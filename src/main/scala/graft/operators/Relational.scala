@@ -1,0 +1,539 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.CassandraModel
+import graft.sources.Tables
+
+/** Relational operator surface over the star schema.
+  *
+  * The reference itself executes only scan/project/limit
+  * (userdata/cloudinit.sh:346-351); everything else here is the extension
+  * surface mandated by the north star, expressed declaratively so Catalyst
+  * picks pushdown, pruning, join strategy and AQE does runtime re-planning.
+  *
+  * Determinism contract with the DuckDB oracle (SURVEY.md §5.2/§7.4):
+  *   - every query ends in a total ORDER BY;
+  *   - money aggregates are computed in exact DECIMAL and cast to DOUBLE at
+  *     the end, so Spark's partial-aggregation order can't perturb the value;
+  *   - every computed column is aliased identically in Spark and SQL.
+  *
+  * Scale notes are per-query in the Scaladoc of each entry.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact money arithmetic: 2-dp doubles → DECIMAL(12,2). */
+  private def money(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** (1 - discount) / (1 + tax) factors → DECIMAL(6,2): keeps DuckDB's
+    * width-additive decimal multiply under 38 digits. */
+  private def factor(c: Column): Column = c.cast(DecimalType(6, 2))
+  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    // O1/O2/O9: full scan + project of the reference's own table, recreated
+    // exactly (FIXTURES.md §A). Constant-sized; oracle is a VALUES list.
+    "q_users_scan" -> ((s, _) => CassandraModel.users(s).orderBy("id")),
+
+    // TPC-H Q1-style pricing summary: scan → partial agg → final agg.
+    // Scale: map-side combine collapses 100 TB to |groups| rows before the
+    // shuffle; filter is pushed to the parquet scan (min/max row-group skip).
+    "q1_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("1999-12-31 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").cast(DoubleType).as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          sum(money(col("l_extendedprice")) * factor(lit(1.0) - col("l_discount")))
+            .cast(DoubleType).as("sum_disc_price"),
+          sum(money(col("l_extendedprice")) * factor(lit(1.0) - col("l_discount"))
+            * factor(lit(1.0) + col("l_tax"))).cast(DoubleType).as("sum_charge"),
+          (sum("l_quantity").cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Pushdown demonstrator: selective filter + narrow projection. The plan
+    // must show PushedFilters + a 4-column ReadSchema (asserted in tests).
+    "q_filtered_scan" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(ts("1998-01-01 00:00:00"), ts("1998-03-31 00:00:00"))
+          && col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Top-k: ORDER BY + LIMIT → TakeOrderedAndProject (no full sort, no
+    // single-partition shuffle — each partition keeps k, driver merges k·p).
+    "q_topk_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // Broadcast-hash join of two small dims (the connector's directJoin
+    // analog, SURVEY.md §2.2): region is tiny → explicit broadcast.
+    "q_join_nation_region" -> { (s, dir) =>
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey")
+    },
+
+    // TPC-H Q3-style: 3-way join, filtered both sides, agg, top-k revenue.
+    // Scale: customer filter broadcast into orders; lineitem⋈orders is the
+    // one unavoidable big shuffle (both sides huge) — AQE sizes it.
+    "q3_shipping_priority" -> { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-06-01 00:00:00"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-06-01 00:00:00"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(money(col("l_extendedprice")) * factor(lit(1.0) - col("l_discount")))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // TPC-H Q5-style: 6-table join tree, region-filtered.
+    // Scale: dims (region/nation/supplier/customer) broadcast; the only
+    // shuffled join is lineitem⋈orders.
+    "q5_local_supplier_volume" -> { (s, dir) =>
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val sup = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00")
+          && col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(c),
+          o("o_custkey") === c("c_custkey")
+            && c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(money(col("l_extendedprice")) * factor(lit(1.0) - col("l_discount")))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    },
+
+    // Semi join (EXISTS): customers having at least one urgent order.
+    "q_semi_join" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Anti join (NOT EXISTS): customers with no orders at all.
+    "q_anti_join" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // Window ranking: top-3 orders per customer (row_number over key'd
+    // window). Scale: one shuffle on o_custkey; skew handled by AQE.
+    "q_window_topn_per_customer" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // Window analytic frame: per-supplier running quantity by ship date.
+    "q_window_running_sum" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 3)
+        .withColumn("running_qty", sum("l_quantity").over(w).cast(DoubleType))
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    },
+
+    // Lag/lead analytics: gap in days between consecutive orders per customer.
+    "q_window_lag_gap" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("gap_days",
+          datediff(col("o_orderdate").cast(DateType), col("prev_date").cast(DateType)))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "gap_days")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Set ops over nation keys of customers vs suppliers.
+    "q_union_counts" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.unionByName(sup).groupBy("nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")
+    },
+    "q_intersect" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup).orderBy("nationkey")
+    },
+    "q_except" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.except(sup).orderBy("nationkey")
+    },
+
+    // ROLLUP hierarchy totals (grouping-sets family). NULL group labels are
+    // coalesced so oracle NULL-ordering differences can't bite.
+    "q_rollup_returns" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum("l_quantity").cast(DoubleType).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("n"), col("qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // CUBE over order status × priority.
+    "q_cube_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    },
+
+    // Exact distinct aggregation (the expensive kind — needs its own shuffle
+    // per distinct column; approx_count_distinct is the 100 TB path, tested
+    // separately since HLL values are engine-specific).
+    "q_count_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // Scalar string functions over part.
+    "q_scalar_string" -> { (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 8).as("prefix"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"))
+        .orderBy("p_partkey")
+    },
+
+    // Scalar date/time functions over orders.
+    "q_scalar_datetime" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          date_trunc("month", col("o_orderdate")).as("month_start"))
+        .orderBy("o_orderkey")
+    },
+
+    // Scalar math + CASE bucketing, aggregated.
+    "q_case_math" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).cast(DoubleType).as("total"),
+          min(money(col("o_totalprice"))).cast(DoubleType).as("mn"),
+          max(money(col("o_totalprice"))).cast(DoubleType).as("mx"))
+        .orderBy("bucket")
+    },
+
+    // JSON scalar functions on events.props ({"k": <int>}).
+    "q_json_events" -> { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          sum(money(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // Exact percentiles (continuous interpolation, matches quantile_cont).
+    "q_percentile" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // Harmonized aggregate over a join: revenue per nation per year
+    // (broadcast dims + single fact shuffle).
+    "q_revenue_by_nation_year" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("y"))
+        .agg(sum(money(col("o_totalprice"))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name", "y")
+    })
+
+  // ----------------------------------------------------------- oracle SQL
+
+  val oracles: Map[String, String] = Map(
+    "q_users_scan" ->
+      """SELECT * FROM (VALUES
+        | (1, 'Alice',   'alice@example.com'),
+        | (2, 'Bob',     'bob@example.com'),
+        | (3, 'Charlie', 'charlie@example.com')) AS t(id, name, email)
+        |ORDER BY id""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,2)))
+        |    AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,2))
+        |    * CAST(1.0 + l_tax AS DECIMAL(6,2))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filtered_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1998-01-01 00:00:00' AND TIMESTAMP '1998-03-31 00:00:00'
+        |  AND l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_join_nation_region" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,2)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,2)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_topn_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running_sum" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |  CAST(SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_window_lag_gap" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(date_diff('day',
+        |    CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_union_counts" ->
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier) u
+        |GROUP BY nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_rollup_returns" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+        |       COALESCE(l_linestatus, '(all)') AS linestatus,
+        |       COUNT(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_cube_orders" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |       COALESCE(o_orderpriority, '(all)') AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supps,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_scalar_string" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS uname,
+        |  LENGTH(p_name) AS name_len,
+        |  SUBSTRING(p_name, 1, 8) AS prefix,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  REPLACE(p_name, ' ', '_') AS snake
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_scalar_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(YEAR(o_orderdate) AS INT) AS y,
+        |  CAST(MONTH(o_orderdate) AS INT) AS m,
+        |  CAST(DAY(o_orderdate) AS INT) AS d,
+        |  date_trunc('month', o_orderdate) AS month_start
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_case_math" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS mn,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS mx
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    "q_json_events" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_revenue_by_nation_year" ->
+      """SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS y,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name, CAST(YEAR(o_orderdate) AS INT)
+        |ORDER BY n_name, y""".stripMargin)
+}

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet testdata (TESTDATA.md).
+  *
+  * This is the engine's "source" layer — the Spark-native stand-in for the
+  * reference's Cassandra table scan (reference: userdata/cloudinit.sh:346-349
+  * reads keyspace/table through the DataStax connector). Parquet gives us the
+  * same read-surface capabilities the pinned connector advertised — filter
+  * pushdown, column pruning, partition-sized splits with preferred locations —
+  * natively through the DSv1 file source (SURVEY.md §2.2).
+  */
+object Tables {
+  val star: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val pipeline: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = star ++ pipeline
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" =>
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects by
+      // default; read it as a long (nanos) and truncate to microseconds —
+      // exactly what DuckDB does internally (µs timestamps) so oracles agree.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path(dir, name))
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    case _ =>
+      spark.read.parquet(path(dir, name))
+  }
+
+  /** Register every table as a temp view so spark.sql(...) works too. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
