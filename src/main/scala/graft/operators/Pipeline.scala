@@ -1,0 +1,410 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** LLM-training-data pipeline operators over the `documents` table:
+  * deduplication (exact, fingerprint, MinHash-LSH, SimHash, n-gram Jaccard)
+  * and text analysis (stats, quality scoring, language-ID heuristic, BPE-ish
+  * token counting, rolling-hash fingerprinting), plus multimodal column
+  * plumbing (struct metadata + a stubbed binary "decode" path).
+  *
+  * The reference repo has no analog of these (its whole data surface is a
+  * 3-row keyspace scan — reference: userdata/cloudinit.sh:296-351); they are
+  * the driver-mandated extension surface (SURVEY.md §2.4).
+  *
+  * Oracle-portability design: every hash used anywhere in this file is
+  * *portable arithmetic* — `H(s) = int(first 8 hex chars of md5(s))`, MinHash
+  * permutations `(a·x + b) mod p`, SimHash bit votes, polynomial rolling
+  * hashes — expressible with identical results in DuckDB SQL. That makes even
+  * the LSH *candidate sets* bit-identical across engines, so the oracle is a
+  * full value check, not a row-count check.
+  *
+  * Scale design (100 TB): no all-pairs joins anywhere. Near-dup candidates
+  * come from equi-joins on band/bucket keys (LSH banding, prefix blocking),
+  * which shuffle-partition by the band key exactly like any large join;
+  * per-doc work is linear HOF evaluation inside whole-stage codegen.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Portable 32-bit string hash, Spark side. DuckDB side:
+    * `('0x'||substr(md5(s),1,8))::BIGINT`. */
+  private def hExpr(s: String): String =
+    s"cast(conv(substring(md5($s),1,8),16,10) as bigint)"
+
+  // MinHash parameters (shared with the DuckDB oracle text below):
+  // k=32 permutations h_i(x) = ((2i+1)·x + 12345 + 777i) mod p over 32-bit
+  // shingle hashes; 8 bands × 4 rows → pair-catch prob ≈ 1-(1-s^4)^8
+  // (≈ 0.9998 at s=0.9). p is the largest 32-bit prime.
+  private val P = "4294967291"
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: group by a normalized-content key (whitespace-collapsed,
+    // lowercased md5), keep the smallest doc_id per group. At 100 TB this is
+    // one hash-shuffle on the 16-byte key with map-side pre-aggregation.
+    "q_dedup_exact" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("ckey", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+        .groupBy("ckey")
+        .agg(min("doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
+        .select("kept_doc_id", "n_copies")
+        .orderBy("kept_doc_id")
+    },
+
+    // Fingerprint dedup: block on the md5 of the first 8 tokens (a cheap
+    // prefix fingerprint); report only groups that actually collide. The
+    // testdata's planted near-duplicates share prefixes, so this is the
+    // "catch template spam" dedup of a crawl pipeline.
+    "q_dedup_fingerprint" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("fp", md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+        .groupBy("fp")
+        .agg(min("doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select("fp", "kept_doc_id", "n_copies")
+        .orderBy("kept_doc_id")
+    },
+
+    // MinHash-LSH near-dup: shingle(3-gram) → 32 minhashes → 8 band keys →
+    // candidate pairs via *equi-join on (band, band-key)* — never all-pairs —
+    // → exact Jaccard verify ≥ 0.8. The banded join is the 100 TB shape:
+    // candidates ∝ true-dup count, not n².
+    "q_minhash_lsh" -> { (s, dir) =>
+      val sh = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          expr("array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))")
+            .as("shingles"))
+      val mh = sh.select(col("doc_id"), col("shingles"),
+          expr(s"transform(shingles, s -> ${hExpr("s")})").as("xs"))
+        .select(col("doc_id"), col("shingles"),
+          expr(s"transform(sequence(0,31), i -> array_min(transform(xs, x -> ((2*i+1)*x + 12345 + 777*i) % $P)))")
+            .as("mh"))
+      val bands = mh.select(col("doc_id"),
+          expr("explode(transform(sequence(0,7), j -> struct(j as band, concat_ws('-', mh[4*j], mh[4*j+1], mh[4*j+2], mh[4*j+3]) as bkey)))")
+            .as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = mh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+      val sb = mh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard",
+          round(expr("size(array_intersect(sa, sb)) / size(array_union(sa, sb))"), 6))
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash near-dup: 32-bit simhash from per-token hash bit votes;
+    // candidates via the byte-block pigeonhole (any pair within Hamming
+    // distance ≤ 3 must agree on at least one of the 4 bytes → equi-join on
+    // (block, byte), never all-pairs), then exact Hamming verify. This is
+    // the standard scalable simhash dedup layout.
+    "q_simhash" -> { (s, dir) =>
+      val sh = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          expr(s"transform(w, wd -> ${hExpr("wd")})").as("hw"))
+        .select(col("doc_id"),
+          expr("aggregate(transform(sequence(0,31), i -> if(aggregate(hw, 0L, (acc, h) -> acc + 2*(shiftright(h, i) & 1) - 1) >= 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)")
+            .as("simhash"))
+      val blocks = sh.select(col("doc_id"), col("simhash"),
+          expr("explode(transform(sequence(0,3), k -> struct(k as blk, (shiftright(simhash, 8*k) & 255) as byte)))").as("e"))
+        .select(col("doc_id"), col("simhash"), col("e.blk").as("blk"), col("e.byte").as("byte"))
+      blocks.as("a").join(blocks.as("b"),
+          col("a.blk") === col("b.blk") && col("a.byte") === col("b.byte")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // n-gram Jaccard near-dup with prefix blocking: candidates = pairs that
+    // share the first-8-token fingerprint, verified by exact trigram Jaccard.
+    // A second, independent candidate-generation strategy next to LSH.
+    "q_ngram_jaccard" -> { (s, dir) =>
+      val base = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("w"), 1, 8))).as("fp"),
+          expr("array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))")
+            .as("sh"))
+      base.as("a").join(base.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard",
+          round(expr("size(array_intersect(a.sh, b.sh)) / size(array_union(a.sh, b.sh))"), 6))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Per-language corpus stats (count / token / char aggregates).
+    "q_text_stats" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          round(avg(col("n_tokens")), 6).as("avg_tokens"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy("lang")
+    },
+
+    // Per-doc quality scoring: token counts, uniqueness ratio, mean token
+    // length, stopword ratio, and a keep/drop rule — the standard crawl
+    // quality gate. Linear per-row work, no shuffle at all until the sort.
+    "q_text_quality" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("w")))
+        .withColumn("n_uniq", size(array_distinct(col("w"))))
+        .withColumn("uniq_ratio", round(col("n_uniq") / col("n_tokens"), 6))
+        .withColumn("avg_token_len",
+          round(expr("aggregate(w, 0L, (a, x) -> a + length(x)) / size(w)"), 6))
+        .withColumn("stop_ratio",
+          round(expr("size(filter(w, x -> x in ('the', 'a'))) / size(w)"), 6))
+        .withColumn("keep",
+          col("n_tokens").between(20, 120) && col("uniq_ratio") >= 0.2)
+        .select("doc_id", "n_tokens", "n_uniq", "uniq_ratio", "avg_token_len",
+          "stop_ratio", "keep")
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic: score each candidate language by lexicon-hit
+    // ratio, argmax with a fixed tie-break order. (The testdata's text is
+    // synthetic, so the interesting property is that the heuristic is
+    // deterministic and engine-portable, not that it is linguistically deep.)
+    "q_lang_id" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("s_en", expr("size(filter(w, x -> x in ('the', 'a', 'key', 'fast'))) / size(w)"))
+        .withColumn("s_es", expr("size(filter(w, x -> x in ('value', 'row', 'data'))) / size(w)"))
+        .withColumn("s_de", expr("size(filter(w, x -> x in ('table', 'scan', 'hash'))) / size(w)"))
+        .withColumn("s_zh", expr("size(filter(w, x -> x in ('spark', 'agg', 'join'))) / size(w)"))
+        .withColumn("predicted",
+          expr("case when s_en >= s_es and s_en >= s_de and s_en >= s_zh then 'en' " +
+            "when s_es >= s_de and s_es >= s_zh then 'es' " +
+            "when s_de >= s_zh then 'de' else 'zh' end"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    },
+
+    // BPE-ish token counting: regex token split (letter runs / digit runs /
+    // single punctuation) — the cheap `len(tokenize(text))` estimator of a
+    // data pipeline, aggregated per language.
+    "q_token_count" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("n_bpe",
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"))
+        .groupBy("lang")
+        .agg(
+          sum(col("n_bpe").cast("long")).as("total_bpe"),
+          round(avg(col("n_bpe")), 6).as("avg_bpe"))
+        .orderBy("lang")
+    },
+
+    // Document fingerprinting: polynomial rolling hash over per-token 32-bit
+    // hashes — an order-sensitive content signature (vs the order-free md5
+    // key of q_dedup_exact).
+    "q_doc_fingerprint" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("hw", expr(s"transform(w, wd -> ${hExpr("wd")})"))
+        .withColumn("fingerprint",
+          expr("aggregate(hw, 0L, (acc, h) -> (acc * 31 + h) % 1000000007)"))
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    },
+
+    // Multimodal column plumbing: opaque payload treated as bytes with typed
+    // struct metadata (width/height derived deterministically — the decode
+    // itself is stubbed, see ImageStub), struct field extraction, byte
+    // length and a content digest.
+    "q_multimodal_meta" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("meta",
+          struct((col("n_chars") % 640).as("w"), ((col("n_chars") * 3) % 480).as("h")))
+        .select(
+          col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          col("meta.w").as("width"),
+          col("meta.h").as("height"),
+          md5(col("text")).as("digest"))
+        .orderBy("doc_id")
+    })
+
+  // ----------------------------------------------------------- oracle SQL
+
+  /** Shared DuckDB CTE: tokenized documents. */
+  private val docsW =
+    "SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS w FROM documents"
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |ORDER BY kept_doc_id""".stripMargin,
+
+    "q_dedup_fingerprint" ->
+      s"""WITH d AS ($docsW)
+        |SELECT md5(array_to_string(w[1:8], ' ')) AS fp,
+        |       min(doc_id) AS kept_doc_id, count(*) AS n_copies
+        |FROM d
+        |GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY kept_doc_id""".stripMargin,
+
+    "q_minhash_lsh" ->
+      s"""WITH d AS ($docsW),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        |  FROM d WHERE len(w) >= 3),
+        |xh AS (
+        |  SELECT doc_id, shingles,
+        |    list_transform(shingles, s -> ('0x'||substr(md5(s),1,8))::BIGINT) AS xs
+        |  FROM sh),
+        |mh AS (
+        |  SELECT doc_id, shingles,
+        |    list_transform(range(0,32),
+        |      i -> list_min(list_transform(xs, x -> ((2*i+1)*x + 12345 + 777*i) % 4294967291))) AS mh
+        |  FROM xh),
+        |bands AS (
+        |  SELECT doc_id, j AS band,
+        |    concat_ws('-', mh[4*j+1], mh[4*j+2], mh[4*j+3], mh[4*j+4]) AS bkey
+        |  FROM mh, range(0,8) t(j)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |    round(len(list_intersect(x.shingles, y.shingles)) * 1.0
+        |      / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+        |  FROM cand JOIN mh x ON x.doc_id = doc_a JOIN mh y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM pairs
+        |WHERE jaccard >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH d AS ($docsW),
+        |hh AS (
+        |  SELECT doc_id,
+        |    list_transform(w, wd -> ('0x'||substr(md5(wd),1,8))::BIGINT) AS hw
+        |  FROM d),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0,32),
+        |      i -> CASE WHEN list_sum(list_transform(hw, h -> 2*((h >> i) & 1) - 1)) >= 0
+        |                THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS simhash
+        |  FROM hh),
+        |blocks AS (
+        |  SELECT doc_id, simhash, k AS blk, (simhash >> (8*k)) & 255 AS byte
+        |  FROM sh, range(0,4) t(k)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sim_a, b.simhash AS sim_b
+        |  FROM blocks a JOIN blocks b
+        |    ON a.blk = b.blk AND a.byte = b.byte AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, sim_a, sim_b,
+        |  CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH d AS ($docsW),
+        |base AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(w[1:8], ' ')) AS fp,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |  FROM d WHERE len(w) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.sh, b.sh)) * 1.0
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM base a JOIN base b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_text_stats" ->
+      s"""WITH d AS ($docsW)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+        |  round(avg(len(w)), 6) AS avg_tokens,
+        |  round(avg(n_chars), 6) AS avg_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH d AS ($docsW)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS INT) AS n_uniq,
+        |  round(len(list_distinct(w)) * 1.0 / len(w), 6) AS uniq_ratio,
+        |  round(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 6) AS avg_token_len,
+        |  round(len(list_filter(w, x -> x IN ('the', 'a'))) * 1.0 / len(w), 6) AS stop_ratio,
+        |  (len(w) BETWEEN 20 AND 120)
+        |    AND (len(list_distinct(w)) * 1.0 / len(w) >= 0.2) AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH d AS ($docsW),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(w, x -> x IN ('the', 'a', 'key', 'fast'))) * 1.0 / len(w) AS s_en,
+        |    len(list_filter(w, x -> x IN ('value', 'row', 'data'))) * 1.0 / len(w) AS s_es,
+        |    len(list_filter(w, x -> x IN ('table', 'scan', 'hash'))) * 1.0 / len(w) AS s_de,
+        |    len(list_filter(w, x -> x IN ('spark', 'agg', 'join'))) * 1.0 / len(w) AS s_zh
+        |  FROM d),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+        |         WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+        |         WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END AS predicted
+        |  FROM sc)
+        |SELECT lang, predicted, count(*) AS n_docs
+        |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT lang,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpe,
+        |  round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 6) AS avg_bpe
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      s"""WITH d AS ($docsW)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_concat([0::BIGINT],
+        |      list_transform(w, wd -> ('0x'||substr(md5(wd),1,8))::BIGINT)),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  CAST(n_chars % 640 AS BIGINT) AS width,
+        |  CAST((n_chars * 3) % 480 AS BIGINT) AS height,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -63,7 +63,8 @@ object Relational {
     },
 
     // Pushdown demonstrator: selective filter + narrow projection. The plan
-    // must show PushedFilters + a 4-column ReadSchema (asserted in tests).
+    // must show PushedFilters + a 4-column ReadSchema (asserted in
+    // PlanSpec."filtered scan pushes filters and prunes columns").
     "q_filtered_scan" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_shipdate").between(ts("1998-01-01 00:00:00"), ts("1998-03-31 00:00:00"))
@@ -92,14 +93,16 @@ object Relational {
     },
 
     // TPC-H Q3-style: 3-way join, filtered both sides, agg, top-k revenue.
-    // Scale: customer filter broadcast into orders; lineitem⋈orders is the
-    // one unavoidable big shuffle (both sides huge) — AQE sizes it.
+    // Scale: customer/orders/lineitem all grow with SF, so no explicit
+    // broadcast hints — size-based auto-broadcast + AQE pick broadcast at
+    // small SF and shuffle at large SF, both correct. The lineitem⋈orders
+    // shuffle is unavoidable (both sides huge).
     "q3_shipping_priority" -> { (s, dir) =>
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-06-01 00:00:00"))
       val l = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-06-01 00:00:00"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(money(col("l_extendedprice")) * factor(lit(1.0) - col("l_discount")))
           .cast(DoubleType).as("revenue"))
@@ -108,8 +111,10 @@ object Relational {
     },
 
     // TPC-H Q5-style: 6-table join tree, region-filtered.
-    // Scale: dims (region/nation/supplier/customer) broadcast; the only
-    // shuffled join is lineitem⋈orders.
+    // Scale: only the constant-cardinality dims (region=5, nation=25) get an
+    // unconditional broadcast hint; supplier/customer scale with SF and are
+    // left to size-based auto-broadcast + AQE. The only guaranteed shuffled
+    // join is lineitem⋈orders.
     "q5_local_supplier_volume" -> { (s, dir) =>
       val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
       val n = t(s, dir, "nation")
@@ -120,8 +125,8 @@ object Relational {
           && col("o_orderdate") < ts("1998-01-01 00:00:00"))
       val l = t(s, dir, "lineitem")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
-        .join(broadcast(c),
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(c,
           o("o_custkey") === c("c_custkey")
             && c("c_nationkey") === sup("s_nationkey"))
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
@@ -306,13 +311,14 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
-    // Harmonized aggregate over a join: revenue per nation per year
-    // (broadcast dims + single fact shuffle).
+    // Harmonized aggregate over a join: revenue per nation per year.
+    // Scale: nation (25 rows, constant) broadcast; customer scales with SF →
+    // no hint, AQE/auto-broadcast decides.
     "q_revenue_by_nation_year" -> { (s, dir) =>
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       val o = t(s, dir, "orders")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).as("y"))
         .agg(sum(money(col("o_totalprice"))).cast(DoubleType).as("revenue"),
@@ -513,7 +519,7 @@ object Relational {
     "q_json_events" ->
       """SELECT event_type,
         |  COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY event_type

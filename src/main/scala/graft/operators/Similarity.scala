@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor / vector-similarity operators over the
+  * `embeddings` table (vec_id BIGINT, embedding FLOAT[64], label INT).
+  *
+  * Three tiers, mirroring how a real 100 TB pipeline scales ANN:
+  *   1. brute-force top-k (q_cosine_topk) — the correctness baseline; cost
+  *      |Q|·|N|, only sane when |Q| is small (here: 10 query vectors);
+  *   2. IVF-style cluster pruning (q_cosine_topk_ivf) — candidates restricted
+  *      to the query's coarse cluster (the `label` column stands in for a
+  *      k-means assignment), an equi-join on the cluster id → candidates
+  *      shrink ~|clusters|-fold and the join shuffle-partitions by cluster;
+  *   3. sign-LSH bucketing (q_embed_neardup_lsh) — 8 deterministic
+  *      pseudo-random hyperplanes hash every vector to a 256-bucket code;
+  *      near-dup candidates come from an equi-join on the bucket, never
+  *      all-pairs.
+  *
+  * Float determinism: both engines widen FLOAT→DOUBLE exactly and the dot
+  * products accumulate left-to-right in index order, so cosines are
+  * bit-identical and even the unrounded ORDER BY ranks agree. Outputs round
+  * to 6 dp anyway.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** embeddings with the vector widened to array<double> + its L2 norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (s, x) -> s + x))"))
+
+  private val dot =
+    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-3 for 10 query vectors (self excluded).
+    "q_cosine_topk" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+      q.crossJoin(e)
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine_raw", expr(dot) / (col("qn") * col("nrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("vec_id").as("match_id"),
+          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+        .orderBy("q_id", "rn")
+    },
+
+    // IVF-style: identical queries, but candidates pruned to the query's
+    // coarse cluster (label) via an equi-join — the scale path.
+    "q_cosine_topk_ivf" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+      q.join(e, col("q_label") === col("label") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine_raw", expr(dot) / (col("qn") * col("nrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("q_label"), col("vec_id").as("match_id"),
+          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+        .orderBy("q_id", "rn")
+    },
+
+    // Sign-LSH near-dup: 8 deterministic ±1 hyperplanes → 8-bit bucket;
+    // same-bucket pairs verified by cosine ≥ 0.2. The hyperplane signs come
+    // from an LCG parity (portable integer arithmetic, identical in DuckDB).
+    "q_embed_neardup_lsh" -> { (s, dir) =>
+      val e = vecs(s, dir)
+        .withColumn("bucket",
+          expr("aggregate(transform(sequence(0,7), j -> " +
+            "if(aggregate(transform(sequence(0,63), i -> v[i] * " +
+            "if((shiftright(1103515245L * (64*j + i) + 12345, 16) & 1) = 1, 1.0D, -1.0D)), " +
+            "0D, (s, x) -> s + x) >= 0, shiftleft(1, j), 0)), 0, (a, x) -> a + x)"))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v"), col("nrm"),
+        col("bucket").as("bucket_b"))
+      a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+        .withColumn("cosine", round(expr(dot) / (col("qn") * col("nrm")), 6))
+        .filter(col("cosine") >= 0.2)
+        .select(col("vec_a"), col("vec_b"), col("bucket").cast("long").as("bucket"),
+          col("cosine"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // Per-cluster vector stats (norm distribution) — sanity surface for the
+    // embedding column itself.
+    "q_embed_stats" -> { (s, dir) =>
+      vecs(s, dir)
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(avg("nrm"), 6).as("avg_norm"),
+          round(min("nrm"), 6).as("min_norm"),
+          round(max("nrm"), 6).as("max_norm"))
+        .orderBy("label")
+    })
+
+  // ----------------------------------------------------------- oracle SQL
+
+  /** Shared DuckDB CTE: vectors widened to DOUBLE[] with norms. */
+  private val vecsSql =
+    """SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |FROM embeddings""".stripMargin
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))"
+
+  val oracles: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      s"""WITH e AS ($vecsSql),
+        |r AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS match_id,
+        |    $dotSql / (q.nrm * c.nrm) AS cosine_raw,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY $dotSql / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rn
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |SELECT q_id, match_id, round(cosine_raw, 6) AS cosine, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+
+    "q_cosine_topk_ivf" ->
+      s"""WITH e AS ($vecsSql),
+        |r AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS match_id,
+        |    $dotSql / (q.nrm * c.nrm) AS cosine_raw,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY $dotSql / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rn
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.label = c.label
+        |    AND c.vec_id <> q.vec_id)
+        |SELECT q_id, q_label, match_id, round(cosine_raw, 6) AS cosine,
+        |  CAST(rn AS INT) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+
+    "q_embed_neardup_lsh" ->
+      s"""WITH e AS ($vecsSql),
+        |h AS (
+        |  SELECT vec_id, v, nrm,
+        |    list_sum(list_transform(range(0, 8), j ->
+        |      CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i + 1] *
+        |          (CASE WHEN ((1103515245 * (64*j + i) + 12345) >> 16) & 1 = 1
+        |                THEN 1.0 ELSE -1.0 END))) >= 0
+        |           THEN (1 << j) ELSE 0 END))::BIGINT AS bucket
+        |  FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, q.bucket AS bucket,
+        |    round($dotSql / (q.nrm * c.nrm), 6) AS cosine
+        |  FROM h q JOIN h c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
+        |SELECT vec_a, vec_b, bucket, cosine FROM p
+        |WHERE cosine >= 0.2 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_embed_stats" ->
+      s"""WITH e AS ($vecsSql)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(nrm), 6) AS avg_norm,
+        |  round(min(nrm), 6) AS min_norm,
+        |  round(max(nrm), 6) AS max_norm
+        |FROM e GROUP BY label ORDER BY label""".stripMargin)
+}
