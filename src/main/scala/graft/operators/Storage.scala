@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.CassandraModel
+import graft.sources.Tables
+
+/** Write-path, catalog and physical-layout operators: the reference's DDL /
+  * upsert-INSERT surface (O6–O8) exercised end-to-end, the token-locality
+  * analog (bucketed layout → shuffle-free join), count pushdown, and the
+  * approximate aggregates that replace exact ones at 100 TB.
+  *
+  * Reference semantics reproduced here:
+  *   - CREATE KEYSPACE → CREATE DATABASE testks
+  *     (reference: userdata/cloudinit.sh:299-302)
+  *   - CREATE TABLE + INSERT upserts → saveAsTable + last-write-wins merge
+  *     (reference: userdata/cloudinit.sh:306-314; Cassandra INSERT is an
+  *     upsert keyed on the partition key)
+  *   - token-aware locality → key-bucketed table layout whose equi-join
+  *     needs no Exchange (reference: README.md:135 — the demo's headline is
+  *     that reads happen on the replica that already holds the key range;
+  *     the Spark-native analog is that co-bucketed tables join without a
+  *     shuffle, asserted in PlanSpec)
+  *   - cassandraCount count pushdown → parquet footer-count pushdown via the
+  *     DSv2 scan (SURVEY.md §2.2)
+  *   - system.local metadata read (reference: userdata/cloudinit.sh:286)
+  */
+object Storage {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hard-delete a warehouse path so saveAsTable overwrites are idempotent
+    * even when a fresh session's in-memory catalog forgot the table. */
+  private def rmPath(s: SparkSession, table: String): Unit = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(s"$wh/${table.replace(".", ".db/")}")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private def saveTable(df: DataFrame, table: String): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    rmPath(s, table)
+    df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    // O6+O7+O8 end-to-end: CREATE DATABASE testks, persist users as a
+    // catalog-managed table, apply a reference-style upsert batch (one
+    // idempotent re-INSERT, one key overwrite, one new key), persist the
+    // result, read it back through the catalog. Last-write-wins per id.
+    "q_users_upsert" -> { (s, _) =>
+      CassandraModel.ensureKeyspace(s)
+      val base = CassandraModel.users(s)
+      val incoming = s.createDataFrame(
+        s.sparkContext.parallelize(Seq(
+          Row(1, "Alice", "alice@example.com"),      // idempotent re-insert
+          Row(2, "Bob", "bob@refresh.example"),       // key overwrite
+          Row(4, "Dana", "dana@example.com")), 1),    // new key
+        CassandraModel.usersSchema)
+      val merged = CassandraModel.upsert(base, incoming, Seq("id"))
+      saveTable(merged, s"${CassandraModel.Keyspace}.users")
+      s.table(s"${CassandraModel.Keyspace}.users").orderBy("id")
+    },
+
+    // Locality analog: co-bucketed orders ⋈ customer on the key — the
+    // bucketed scans already satisfy the join's distribution, so the join
+    // runs with zero Exchange nodes (PlanSpec asserts this). This is the
+    // honest Spark-native equivalent of the reference's token-aware local
+    // read: data pre-placed by key, compute aligned to placement.
+    "q_bucketed_join" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      saveTable(o, "graft_orders_bucketed_src") // plain copy not needed; keep catalog tidy
+      s.sql("DROP TABLE IF EXISTS graft_orders_bucketed_src")
+      rmPath(s, "graft_orders_bucketed_src")
+      Seq(("graft_orders_b", o, "o_custkey"), ("graft_customer_b", c, "c_custkey"))
+        .foreach { case (name, df, key) =>
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          rmPath(s, name)
+          df.write.mode(SaveMode.Overwrite)
+            .bucketBy(8, key).sortBy(key).saveAsTable(name)
+        }
+      val ob = s.table("graft_orders_b")
+      val cb = s.table("graft_customer_b")
+      ob.join(cb, ob("o_custkey") === cb("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Count pushdown (cassandraCount analog): the DSv2 parquet scan answers
+    // COUNT(*) from footer metadata without materializing rows
+    // (PushedAggregation=[COUNT(*)], asserted in PlanSpec).
+    "q_count_pushdown" -> { (s, dir) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.read.parquet(Tables.path(dir, "lineitem"))
+        .agg(count(lit(1)).as("n_rows"))
+    },
+
+    // The 100 TB replacements for exact distinct/percentile: HLL++ and
+    // GK-sketch run in fixed memory per group (the exact forms buffer every
+    // value — q_percentile keeps them for oracle parity; these scale).
+    // Values are sketch-specific → no DuckDB oracle (rows/schema check).
+    "q_approx_distinct" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_nd_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_nd_supps"),
+          expr("percentile_approx(l_quantity, 0.5, 10000)").as("approx_p50"),
+          expr("percentile_approx(l_quantity, 0.9, 10000)").as("approx_p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // O10: SELECT release_version FROM system.local.
+    "q_system_local" -> { (s, _) =>
+      CassandraModel.systemLocal(s).orderBy("release_version")
+    })
+
+  // ----------------------------------------------------------- oracle SQL
+
+  val oracles: Map[String, String] = Map(
+    "q_users_upsert" ->
+      """SELECT * FROM (VALUES
+        | (1, 'Alice',   'alice@example.com'),
+        | (2, 'Bob',     'bob@refresh.example'),
+        | (3, 'Charlie', 'charlie@example.com'),
+        | (4, 'Dana',    'dana@example.com')) AS t(id, name, email)
+        |ORDER BY id""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_count_pushdown" ->
+      "SELECT COUNT(*) AS n_rows FROM lineitem",
+
+    // q_approx_distinct intentionally has no oracle: HLL++/GK sketch values
+    // are engine-specific; the driver records a rows/schema check.
+
+    "q_system_local" ->
+      "SELECT '4.1.2' AS release_version")
+}
