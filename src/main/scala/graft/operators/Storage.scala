@@ -74,9 +74,6 @@ object Storage {
     "q_bucketed_join" -> { (s, dir) =>
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
-      saveTable(o, "graft_orders_bucketed_src") // plain copy not needed; keep catalog tidy
-      s.sql("DROP TABLE IF EXISTS graft_orders_bucketed_src")
-      rmPath(s, "graft_orders_bucketed_src")
       Seq(("graft_orders_b", o, "o_custkey"), ("graft_customer_b", c, "c_custkey"))
         .foreach { case (name, df, key) =>
           s.sql(s"DROP TABLE IF EXISTS $name")

@@ -1,0 +1,207 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2.4 /
+  * §7.2 step 4). The reference itself is batch-only — its one Spark job is a
+  * table scan submitted as a k8s Job (reference: userdata/cloudinit.sh:
+  * 445-470) — so this is the driver-mandated streaming extension.
+  *
+  * Harness: each query stages `events` as K time-ordered parquet chunks plus
+  * a far-future sentinel row, then streams them back with
+  * `maxFilesPerTrigger=1` — one micro-batch per file, replayed in event-time
+  * order (chunk ranges are disjoint via repartitionByRange and the files'
+  * mod-times are set explicitly, which is what the file source sorts on). The
+  * operators run in APPEND mode into a memory sink: windows are emitted
+  * exactly once, when the watermark passes their end. The sentinel advances
+  * the watermark past every real event so all real windows flush from the
+  * state store; the sentinel's own group can never be emitted (its window end
+  * stays ahead of the final watermark) and is filtered defensively anyway.
+  *
+  * Because chunk ranges are disjoint and the watermark delay is positive,
+  * no real event is ever late → the finished sink equals the batch
+  * aggregation over the same data, which is exactly what the DuckDB oracles
+  * compute (island-and-gap SQL for session windows, SURVEY.md §7.4).
+  *
+  * Scale: identical code runs against a real unbounded source; append mode +
+  * watermark eviction is what bounds state at 100 TB/day — demonstrating
+  * complete mode instead would have hidden exactly the property that
+  * matters.
+  */
+object Streaming {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Chunks = 4
+
+  private def stageRoot(tag: String, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-stream/$tag-$safe"
+  }
+
+  /** Stage `df` as `Chunks` range-partitioned parquet files plus a sentinel
+    * file, with strictly increasing mod-times so the file stream source
+    * replays them deterministically in event-time order. */
+  private def stage(s: SparkSession, df: DataFrame, sentinel: Row, path: String): Unit = {
+    df.repartitionByRange(Chunks, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(path)
+    s.createDataFrame(s.sparkContext.parallelize(Seq(sentinel), 1), df.schema)
+      .write.mode("overwrite").parquet(path + ".sent")
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + 1000L * i) }
+    val sent = new java.io.File(path + ".sent").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val target = Paths.get(path, "zz-sentinel.snappy.parquet")
+    Files.move(sent.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+    target.toFile.setLastModified(base + 1000L * (Chunks + 10))
+  }
+
+  /** Open a deterministic replay stream of `events` (+ optional extra rows
+    * via `prep`) with one far-future sentinel event appended. */
+  private def eventStream(s: SparkSession, dir: String, tag: String,
+      prep: DataFrame => DataFrame = identity): DataFrame = {
+    val ev = prep(Tables.load(s, dir, "events"))
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val sentTs = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+    val path = stageRoot(tag, dir)
+    stage(s, ev, Row(-1L, sentTs, -1L, "__sentinel", 0.0, "{}"), path)
+    s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(path)
+  }
+
+  /** Run `out` to completion into an append-mode memory sink and return the
+    * finished table. The final watermark-driven eviction happens in a
+    * no-data micro-batch that can land just after processAllAvailable
+    * returns, so wait until the sink row count is stable. */
+  private def runToMemory(out: DataFrame, name: String): DataFrame = {
+    val s = out.sparkSession
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      var last = -1L
+      var stable = 0
+      var rounds = 0
+      while (stable < 2 && rounds < 40) {
+        val c = s.table(name).count()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        rounds += 1
+        if (stable < 2) { Thread.sleep(250); q.processAllAvailable() }
+      }
+    } finally q.stop()
+    s.table(name)
+  }
+
+  private def moneySum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast(DecimalType(12, 2))).cast(DoubleType)
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1 h windows per event_type with a 30 min watermark.
+    "q_stream_tumbling" -> { (s, dir) =>
+      val agg = eventStream(s, dir, "tumble")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum("value").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      runToMemory(agg, "graft_stream_tumbling")
+        .filter(col("event_type") =!= "__sentinel")
+        .orderBy("w_start", "event_type")
+    },
+
+    // Sliding 2 h windows every 1 h: each event lands in exactly 2 windows.
+    "q_stream_sliding" -> { (s, dir) =>
+      val agg = eventStream(s, dir, "slide")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum("value").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      runToMemory(agg, "graft_stream_sliding")
+        .filter(col("event_type") =!= "__sentinel")
+        .orderBy("w_start", "event_type")
+    },
+
+    // Session windows with a 4 h inactivity gap per user. Spark merges
+    // half-open event windows [ts, ts+gap), so two consecutive events share
+    // a session iff their gap is strictly less than 4 h — the oracle's
+    // island-and-gap SQL encodes the same strict rule.
+    "q_stream_session" -> { (s, dir) =>
+      val agg = eventStream(s, dir, "session")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), moneySum("value").as("sum_value"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("user_id"), col("n_events"), col("sum_value"))
+      runToMemory(agg, "graft_stream_session")
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "s_start")
+    },
+
+    // Streaming dedup: re-inject every 97th event as an in-stream duplicate
+    // and drop it again with watermark-bounded dedup state on the key.
+    "q_stream_dedup" -> { (s, dir) =>
+      val out = eventStream(s, dir, "dedup",
+          prep = df => df.unionByName(df.filter(col("event_id") % 97 === 0)))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      runToMemory(out, "graft_stream_dedup")
+        .filter(col("event_id") >= 0)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("event_id")
+    })
+
+  // ----------------------------------------------------------- oracle SQL
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_sliding" ->
+      """WITH x AS (
+        |  SELECT date_trunc('hour', ts) - INTERVAL (o) HOUR AS w_start,
+        |         event_type, value
+        |  FROM events, (VALUES (0), (1)) t(o))
+        |SELECT w_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM x
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 4 HOUR AS s_end,
+        |  user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM g
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events
+        |ORDER BY event_id""".stripMargin)
+}
