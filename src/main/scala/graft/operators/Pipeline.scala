@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 
@@ -33,6 +35,14 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** documents spread across all cores: the testdata ships as one small
+    * parquet file → one input split, which would serialize the expensive
+    * per-token hash work onto a single core. On a real cluster the scan has
+    * many splits and this explicit spread is a no-op cost-wise (one narrow
+    * shuffle of the raw rows before CPU-bound signature work). */
+  private def docsPar(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+
   /** Portable 32-bit string hash, Spark side. DuckDB side:
     * `('0x'||substr(md5(s),1,8))::BIGINT`. */
   private def hExpr(s: String): String =
@@ -43,6 +53,16 @@ object Pipeline {
   // shingle hashes; 8 bands × 4 rows → pair-catch prob ≈ 1-(1-s^4)^8
   // (≈ 0.9998 at s=0.9). p is the largest 32-bit prime.
   private val P = "4294967291"
+
+  // Skew guard shared by every LSH-style candidate generator: a band/block
+  // bucket holding more than BucketCap signatures is template spam or an
+  // exact-dup cluster — the pairs inside it are O(cap²) and belong to exact
+  // dedup, not near-dup LSH. Buckets over the cap are dropped in BOTH
+  // engines (the cap is part of the operator's declared semantics, so the
+  // oracle stays a full value check). At 100 TB this is what bounds the
+  // worst bucket's pair blow-up; the dropped-bucket count is observable by
+  // aggregating the same windowed count.
+  private val BucketCap = 128
 
   // ---------------------------------------------------------------- queries
 
@@ -77,22 +97,34 @@ object Pipeline {
     // candidate pairs via *equi-join on (band, band-key)* — never all-pairs —
     // → exact Jaccard verify ≥ 0.8. The banded join is the 100 TB shape:
     // candidates ∝ true-dup count, not n².
+    //
+    // The signature table (shingles + minhashes: one md5 per shingle, 32 LCG
+    // permutations) is materialized ONCE and reused by the band explode and
+    // both sides of the verify join — at 100 TB it would be written to a
+    // temp table; here persist() is the local-mode equivalent. Band buckets
+    // larger than BucketCap are dropped (skew guard, mirrored in the
+    // oracle). The verify join feeds tiny candidate sets against the slim
+    // (doc_id, shingles) projection, which AQE turns into broadcast joins at
+    // runtime.
     "q_minhash_lsh" -> { (s, dir) =>
-      val sh = docs(s, dir)
+      val mh = docsPar(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"),
           expr("array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))")
             .as("shingles"))
-      val mh = sh.select(col("doc_id"), col("shingles"),
-          expr(s"transform(shingles, s -> ${hExpr("s")})").as("xs"))
+        .withColumn("xs", expr(s"transform(shingles, s -> ${hExpr("s")})"))
         .select(col("doc_id"), col("shingles"),
           expr(s"transform(sequence(0,31), i -> array_min(transform(xs, x -> ((2*i+1)*x + 12345 + 777*i) % $P)))")
             .as("mh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      mh.count() // materialize before the three downstream reuses
       val bands = mh.select(col("doc_id"),
           expr("explode(transform(sequence(0,7), j -> struct(j as band, concat_ws('-', mh[4*j], mh[4*j+1], mh[4*j+2], mh[4*j+3]) as bkey)))")
             .as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+        .filter(col("bn") <= BucketCap)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
@@ -109,24 +141,36 @@ object Pipeline {
         .orderBy("doc_a", "doc_b")
     },
 
-    // SimHash near-dup: 32-bit simhash from per-token hash bit votes;
-    // candidates via the byte-block pigeonhole (any pair within Hamming
-    // distance ≤ 3 must agree on at least one of the 4 bytes → equi-join on
-    // (block, byte), never all-pairs), then exact Hamming verify. This is
-    // the standard scalable simhash dedup layout.
+    // SimHash near-dup: 60-bit simhash from per-token hash bit votes;
+    // candidates via the block pigeonhole — any pair within Hamming distance
+    // ≤ 3 must agree on at least one of the 4 15-bit blocks → equi-join on
+    // (block, code), never all-pairs — then exact Hamming verify.
+    //
+    // Geometry is the scale-critical choice: 15-bit blocks give 32,768
+    // bucket values per block, so bucket occupancy (and the within-bucket
+    // pair count) stays sub-quadratic as the corpus grows; 8-bit blocks
+    // (256 values) would go O(n²/256). 60 bits (not 64) because the portable
+    // per-token hash is 15 md5 hex chars — the widest that fits a signed
+    // 64-bit integer exactly in both engines. Signature table persisted once
+    // (same reasoning as q_minhash_lsh); oversized buckets dropped at
+    // BucketCap.
     "q_simhash" -> { (s, dir) =>
-      val sh = docs(s, dir)
+      val sh = docsPar(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"),
-          expr(s"transform(w, wd -> ${hExpr("wd")})").as("hw"))
+          expr("transform(w, wd -> cast(conv(substring(md5(wd),1,15),16,10) as bigint))").as("hw"))
         .select(col("doc_id"),
-          expr("aggregate(transform(sequence(0,31), i -> if(aggregate(hw, 0L, (acc, h) -> acc + 2*(shiftright(h, i) & 1) - 1) >= 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)")
+          expr("aggregate(transform(sequence(0,59), i -> if(aggregate(hw, 0L, (acc, h) -> acc + 2*(shiftright(h, i) & 1) - 1) >= 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)")
             .as("simhash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sh.count() // materialize before both sides of the self-join
       val blocks = sh.select(col("doc_id"), col("simhash"),
-          expr("explode(transform(sequence(0,3), k -> struct(k as blk, (shiftright(simhash, 8*k) & 255) as byte)))").as("e"))
-        .select(col("doc_id"), col("simhash"), col("e.blk").as("blk"), col("e.byte").as("byte"))
+          expr("explode(transform(sequence(0,3), k -> struct(k as blk, (shiftright(simhash, 15*k) & 32767) as code)))").as("e"))
+        .select(col("doc_id"), col("simhash"), col("e.blk").as("blk"), col("e.code").as("code"))
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy("blk", "code")))
+        .filter(col("bn") <= BucketCap)
       blocks.as("a").join(blocks.as("b"),
-          col("a.blk") === col("b.blk") && col("a.byte") === col("b.byte")
+          col("a.blk") === col("b.blk") && col("a.code") === col("b.code")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
@@ -141,13 +185,15 @@ object Pipeline {
     // share the first-8-token fingerprint, verified by exact trigram Jaccard.
     // A second, independent candidate-generation strategy next to LSH.
     "q_ngram_jaccard" -> { (s, dir) =>
-      val base = docs(s, dir)
+      val base = docsPar(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"),
           md5(concat_ws(" ", slice(col("w"), 1, 8))).as("fp"),
           expr("array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))")
             .as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      base.count() // materialize once for both sides of the self-join
       base.as("a").join(base.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("jaccard",
@@ -227,7 +273,7 @@ object Pipeline {
     // hashes — an order-sensitive content signature (vs the order-free md5
     // key of q_dedup_exact).
     "q_doc_fingerprint" -> { (s, dir) =>
-      docs(s, dir)
+      docsPar(s, dir)
         .withColumn("w", split(col("text"), " "))
         .withColumn("hw", expr(s"transform(w, wd -> ${hExpr("wd")})"))
         .withColumn("fingerprint",
@@ -294,9 +340,14 @@ object Pipeline {
         |  SELECT doc_id, j AS band,
         |    concat_ws('-', mh[4*j+1], mh[4*j+2], mh[4*j+3], mh[4*j+4]) AS bkey
         |  FROM mh, range(0,8) t(j)),
+        |bandsf AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, band, bkey,
+        |      count(*) OVER (PARTITION BY band, bkey) AS bn
+        |    FROM bands) WHERE bn <= 128),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
+        |  FROM bandsf a JOIN bandsf b
         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
         |pairs AS (
         |  SELECT doc_a, doc_b,
@@ -311,22 +362,27 @@ object Pipeline {
       s"""WITH d AS ($docsW),
         |hh AS (
         |  SELECT doc_id,
-        |    list_transform(w, wd -> ('0x'||substr(md5(wd),1,8))::BIGINT) AS hw
+        |    list_transform(w, wd -> ('0x'||substr(md5(wd),1,15))::BIGINT) AS hw
         |  FROM d),
         |sh AS (
         |  SELECT doc_id,
-        |    list_sum(list_transform(range(0,32),
+        |    list_sum(list_transform(range(0,60),
         |      i -> CASE WHEN list_sum(list_transform(hw, h -> 2*((h >> i) & 1) - 1)) >= 0
         |                THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS simhash
         |  FROM hh),
         |blocks AS (
-        |  SELECT doc_id, simhash, k AS blk, (simhash >> (8*k)) & 255 AS byte
+        |  SELECT doc_id, simhash, k AS blk, (simhash >> (15*k)) & 32767 AS code
         |  FROM sh, range(0,4) t(k)),
+        |blocksf AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, simhash, blk, code,
+        |      count(*) OVER (PARTITION BY blk, code) AS bn
+        |    FROM blocks) WHERE bn <= 128),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.simhash AS sim_a, b.simhash AS sim_b
-        |  FROM blocks a JOIN blocks b
-        |    ON a.blk = b.blk AND a.byte = b.byte AND a.doc_id < b.doc_id)
+        |  FROM blocksf a JOIN blocksf b
+        |    ON a.blk = b.blk AND a.code = b.code AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, sim_a, sim_b,
         |  CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
         |FROM cand

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 
@@ -16,10 +17,12 @@ import graft.sources.Tables
   *      to the query's coarse cluster (the `label` column stands in for a
   *      k-means assignment), an equi-join on the cluster id → candidates
   *      shrink ~|clusters|-fold and the join shuffle-partitions by cluster;
-  *   3. sign-LSH bucketing (q_embed_neardup_lsh) — 8 deterministic
-  *      pseudo-random hyperplanes hash every vector to a 256-bucket code;
-  *      near-dup candidates come from an equi-join on the bucket, never
-  *      all-pairs.
+  *   3. banded sign-LSH (q_embed_neardup_lsh) — 64 deterministic
+  *      pseudo-random hyperplanes grouped as 4 bands × 16-bit codes;
+  *      near-dup candidates come from an equi-join on (band, code), never
+  *      all-pairs. 16-bit codes mean 65,536 bucket values per band, so
+  *      bucket occupancy stays sub-quadratic as the corpus grows — a fixed
+  *      256-bucket code would go O(n²/256) at scale.
   *
   * Float determinism: both engines widen FLOAT→DOUBLE exactly and the dot
   * products accumulate left-to-right in index order, so cosines are
@@ -29,9 +32,13 @@ import graft.sources.Tables
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** embeddings with the vector widened to array<double> + its L2 norm. */
+  /** embeddings with the vector widened to array<double> + its L2 norm,
+    * spread across all cores (the testdata ships as one small parquet file →
+    * one input split, which would serialize the CPU-bound dot-product work;
+    * on a real cluster the scan already has many splits). */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm",
@@ -78,25 +85,35 @@ object Similarity {
         .orderBy("q_id", "rn")
     },
 
-    // Sign-LSH near-dup: 8 deterministic ±1 hyperplanes → 8-bit bucket;
-    // same-bucket pairs verified by cosine ≥ 0.2. The hyperplane signs come
-    // from an LCG parity (portable integer arithmetic, identical in DuckDB).
+    // Banded sign-LSH near-dup: 64 deterministic ±1 hyperplanes → 4 bands of
+    // 16-bit codes; pairs agreeing on ANY band are candidates, verified by
+    // cosine ≥ 0.2. Hyperplane signs come from an LCG parity (portable
+    // integer arithmetic, identical in DuckDB). The code table is persisted
+    // once and reused by both join sides; the tiny candidate set joins back
+    // to the slim (vec_id, v, nrm) projection, which AQE broadcasts.
     "q_embed_neardup_lsh" -> { (s, dir) =>
       val e = vecs(s, dir)
-        .withColumn("bucket",
-          expr("aggregate(transform(sequence(0,7), j -> " +
+        .withColumn("codes",
+          expr("transform(sequence(0,3), b -> struct(b as band, " +
+            "aggregate(transform(sequence(0,15), j -> " +
             "if(aggregate(transform(sequence(0,63), i -> v[i] * " +
-            "if((shiftright(1103515245L * (64*j + i) + 12345, 16) & 1) = 1, 1.0D, -1.0D)), " +
-            "0D, (s, x) -> s + x) >= 0, shiftleft(1, j), 0)), 0, (a, x) -> a + x)"))
-      val a = e.select(col("vec_id").as("vec_a"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket"))
-      val b = e.select(col("vec_id").as("vec_b"), col("v"), col("nrm"),
-        col("bucket").as("bucket_b"))
-      a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+            "if((shiftright(1103515245L * (64*(16*b + j) + i) + 12345, 16) & 1) = 1, 1.0D, -1.0D)), " +
+            "0D, (s, x) -> s + x) >= 0, shiftleft(1, j), 0)), 0, (a, x) -> a + x) as code))"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count() // materialize before the three downstream reuses
+      val ban = e.select(col("vec_id"), explode(col("codes")).as("bc"))
+        .select(col("vec_id"), col("bc.band").as("band"), col("bc.code").as("code"))
+      val cand = ban.as("a").join(ban.as("b"),
+          col("a.band") === col("b.band") && col("a.code") === col("b.code")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val va = e.select(col("vec_id").as("vec_a"), col("v").as("qv"), col("nrm").as("qn"))
+      val vb = e.select(col("vec_id").as("vec_b"), col("v"), col("nrm"))
+      cand.join(va, "vec_a").join(vb, "vec_b")
         .withColumn("cosine", round(expr(dot) / (col("qn") * col("nrm")), 6))
         .filter(col("cosine") >= 0.2)
-        .select(col("vec_a"), col("vec_b"), col("bucket").cast("long").as("bucket"),
-          col("cosine"))
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
         .orderBy("vec_a", "vec_b")
     },
 
@@ -152,18 +169,22 @@ object Similarity {
     "q_embed_neardup_lsh" ->
       s"""WITH e AS ($vecsSql),
         |h AS (
-        |  SELECT vec_id, v, nrm,
-        |    list_sum(list_transform(range(0, 8), j ->
+        |  SELECT vec_id, band,
+        |    list_sum(list_transform(range(0, 16), j ->
         |      CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i + 1] *
-        |          (CASE WHEN ((1103515245 * (64*j + i) + 12345) >> 16) & 1 = 1
+        |          (CASE WHEN ((1103515245 * (64*(16*band + j) + i) + 12345) >> 16) & 1 = 1
         |                THEN 1.0 ELSE -1.0 END))) >= 0
-        |           THEN (1 << j) ELSE 0 END))::BIGINT AS bucket
-        |  FROM e),
+        |           THEN (1 << j) ELSE 0 END))::BIGINT AS code
+        |  FROM e, (VALUES (0), (1), (2), (3)) b(band)),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM h x JOIN h y
+        |    ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id),
         |p AS (
-        |  SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, q.bucket AS bucket,
+        |  SELECT vec_a, vec_b,
         |    round($dotSql / (q.nrm * c.nrm), 6) AS cosine
-        |  FROM h q JOIN h c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
-        |SELECT vec_a, vec_b, bucket, cosine FROM p
+        |  FROM cand JOIN e q ON q.vec_id = vec_a JOIN e c ON c.vec_id = vec_b)
+        |SELECT vec_a, vec_b, cosine FROM p
         |WHERE cosine >= 0.2 ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_embed_stats" ->

@@ -21,10 +21,12 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects by
-      // default; read it as a long (nanos) and truncate to microseconds —
-      // exactly what DuckDB does internally (µs timestamps) so oracles agree.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+      // unless spark.sql.legacy.parquet.nanosAsLong is set — done once in the
+      // session builders (Sessions/Verify/Bench), not here: a loader must not
+      // mutate session conf as a read side effect. The long nanos are
+      // truncated to microseconds, exactly what DuckDB stores internally, so
+      // oracles agree.
       spark.read.parquet(path(dir, name))
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     case _ =>

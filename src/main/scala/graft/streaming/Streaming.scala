@@ -78,9 +78,21 @@ object Streaming {
   /** Run `out` to completion into an append-mode memory sink and return the
     * finished table. The final watermark-driven eviction happens in a
     * no-data micro-batch that can land just after processAllAvailable
-    * returns, so wait until the sink row count is stable. */
+    * returns, so wait until the sink row count is stable.
+    *
+    * State-store partitioning is pinned to 8 for the query's lifetime: each
+    * micro-batch commits one state file per shuffle partition, and at this
+    * data volume 32 partitions are pure commit overhead. (On a real cluster
+    * this knob is sized to state volume, not cores.) */
   private def runToMemory(out: DataFrame, name: String): DataFrame = {
     val s = out.sparkSession
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // RocksDB state store: incremental commits instead of the HDFS-backed
+    // provider's full in-memory map copy per micro-batch — the same choice a
+    // large-state production stream makes.
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
       q.processAllAvailable()
@@ -91,9 +103,12 @@ object Streaming {
         val c = s.table(name).count()
         if (c == last) stable += 1 else { stable = 0; last = c }
         rounds += 1
-        if (stable < 2) { Thread.sleep(250); q.processAllAvailable() }
+        if (stable < 2) { Thread.sleep(150); q.processAllAvailable() }
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", old)
+    }
     s.table(name)
   }
 
