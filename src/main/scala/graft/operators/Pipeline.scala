@@ -282,10 +282,10 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
-    // Multimodal column plumbing: opaque payload treated as bytes with typed
-    // struct metadata (width/height derived deterministically — the decode
-    // itself is stubbed, see ImageStub), struct field extraction, byte
-    // length and a content digest.
+    // Multimodal column plumbing, metadata tier: typed struct metadata
+    // (width/height derived deterministically from n_chars), struct field
+    // extraction, byte length and a content digest. The BinaryType payload
+    // tier is q_multimodal_decode below.
     "q_multimodal_meta" -> { (s, dir) =>
       docs(s, dir)
         .withColumn("meta",
@@ -296,6 +296,27 @@ object Pipeline {
           col("meta.w").as("width"),
           col("meta.h").as("height"),
           md5(col("text")).as("digest"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal BinaryType path: an opaque binary payload column (here the
+    // UTF-8 bytes of `text` standing in for an image blob — no image codec
+    // ships in this environment, so the "decode" is a clearly-fake
+    // deterministic stub that derives dimensions from the content digest).
+    // What IS real and scale-relevant: the BinaryType column flows through
+    // the scan/projection, per-row byte operations (octet_length, hex
+    // preview) run inside codegen, and the digest is the dedup key a real
+    // multimodal pipeline would compute per blob.
+    "q_multimodal_decode" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          lower(substring(hex(col("payload")), 1, 16)).as("header_hex"),
+          (expr(hExpr("text")) % 1920).as("dec_width"),
+          (expr("cast(conv(substring(md5(text),9,8),16,10) as bigint)") % 1080).as("dec_height"),
+          md5(col("payload")).as("digest"))
         .orderBy("doc_id")
     })
 
@@ -462,5 +483,15 @@ object Pipeline {
         |  CAST(n_chars % 640 AS BIGINT) AS width,
         |  CAST((n_chars * 3) % 480 AS BIGINT) AS height,
         |  md5(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """WITH p AS (SELECT doc_id, text, encode(text) AS payload FROM documents)
+        |SELECT doc_id,
+        |  CAST(octet_length(payload) AS INT) AS n_bytes,
+        |  lower(substr(hex(payload), 1, 16)) AS header_hex,
+        |  ('0x'||substr(md5(text),1,8))::BIGINT % 1920 AS dec_width,
+        |  ('0x'||substr(md5(text),9,8))::BIGINT % 1080 AS dec_height,
+        |  md5(text) AS digest
+        |FROM p ORDER BY doc_id""".stripMargin)
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.WeightedAvg
 import graft.model.CassandraModel
 import graft.sources.Tables
 
@@ -289,6 +290,40 @@ object Relational {
         .orderBy("bucket")
     },
 
+    // Typed Aggregator UDAF (SURVEY.md §7.3): per-returnflag quantity-
+    // weighted mean price via graft.functions.WeightedAvg. Exact integer
+    // buffers make the value partial-aggregation-order independent; the
+    // UDAF participates in the normal partial+final hash aggregate.
+    "q_udaf_weighted_avg" -> { (s, dir) =>
+      val wavg = udaf(WeightedAvg, WeightedAvg.inputEncoder)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          (money(col("l_extendedprice")) * 100).cast(LongType).as("cents"),
+          col("l_quantity").cast(LongType).as("w"))
+        .groupBy("l_returnflag")
+        .agg(round(wavg(col("cents"), col("w")), 6).as("wavg_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // from_json with explicit schemas on events.props: struct extraction
+    // for the typed field and MapType parsing for schema-on-read key
+    // enumeration (SURVEY.md §2.4 names from_json; get_json_object is
+    // exercised separately in q_json_events).
+    "q_from_json_props" -> { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("p", from_json(col("props"),
+          StructType(Seq(StructField("k", LongType)))))
+        .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("p.k")).as("sum_k"),
+          min(col("p.k")).as("min_k"),
+          max(col("p.k")).as("max_k"),
+          sum(size(map_keys(col("m"))).cast(LongType)).as("n_keys"))
+        .orderBy("event_type")
+    },
+
     // JSON scalar functions on events.props ({"k": <int>}).
     "q_json_events" -> { (s, dir) =>
       t(s, dir, "events")
@@ -515,6 +550,26 @@ object Relational {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+
+    "q_udaf_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  round(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |            * CAST(l_quantity AS BIGINT)) * 1.0
+        |        / (100 * SUM(CAST(l_quantity AS BIGINT))), 6) AS wavg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_from_json_props" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(SUM(len(json_keys(props))) AS BIGINT) AS n_keys
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_json_events" ->
       """SELECT event_type,

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Pipeline, Similarity}
+
+/** Operator-level invariants on the smoke fixture — cheap sanity nets under
+  * the oracle-differential gate (which checks exact values at sf0.01).
+  */
+class OperatorSpec extends AnyFunSuite with SparkFixture {
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has matching oracle coverage") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    // every oracle points at a real query; every query is oracle-checked
+    // except the sketch-valued one (engine-specific HLL/GK values)
+    assert(o.subsetOf(q))
+    assert((q -- o) == Set("q_approx_distinct"))
+  }
+
+  test("minhash near-dup pairs are ordered and above the jaccard threshold") {
+    val rows = Pipeline.queries("q_minhash_lsh")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.8 && j <= 1.0)
+    }
+  }
+
+  test("simhash pairs respect the hamming bound") {
+    Pipeline.queries("q_simhash")(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(4) <= 3)
+    }
+  }
+
+  test("exact dedup partitions the corpus") {
+    val df = Pipeline.queries("q_dedup_exact")(spark, sfDir)
+    val total = df.agg(org.apache.spark.sql.functions.sum("n_copies"))
+      .head().getLong(0)
+    assert(total == graft.sources.Tables.load(spark, sfDir, "documents").count())
+  }
+
+  test("cosine top-k returns exactly k ranked matches per query vector") {
+    val rows = Similarity.queries("q_cosine_topk")(spark, sfDir).collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.size == 10)
+    perQ.values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.sameElements(Array(1, 2, 3)))
+      val cosines = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cosines.sameElements(cosines.sorted.reverse))
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, Storage}
+
+/** Physical-plan assertions: the scan/join capabilities the reference's
+  * pinned connector advertised (SURVEY.md §2.2) must be visible in the plan,
+  * not just produce correct rows — pushdown and shuffle-freedom are what
+  * survive a 100× scale-up.
+  */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filtered scan pushes filters and prunes columns") {
+    val plan = planOf(Relational.queries("q_filtered_scan")(spark, sfDir))
+    assert(plan.contains("PushedFilters"), plan)
+    // both predicates reach the parquet scan
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,45"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate,"), plan)
+    // pruning: the 11-column lineitem scan reads only the 5 needed columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).mkString
+    Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+      .foreach(c => assert(readSchema.contains(c), readSchema))
+    Seq("l_returnflag", "l_discount", "l_tax", "l_partkey")
+      .foreach(c => assert(!readSchema.contains(c), readSchema))
+  }
+
+  test("co-bucketed join runs with zero Exchange (token-locality analog)") {
+    // materialize the bucketed tables once
+    Storage.queries("q_bucketed_join")(spark, sfDir).collect()
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ob = spark.table("graft_orders_b")
+      val cb = spark.table("graft_customer_b")
+      val joined = ob.join(cb, ob("o_custkey") === cb("c_custkey"))
+      joined.collect() // finalize the (adaptive) plan
+      val plan = planOf(joined)
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("count(*) is answered by parquet footer metadata (cassandraCount analog)") {
+    val plan = planOf(Storage.queries("q_count_pushdown")(spark, sfDir))
+    assert(plan.contains("PushedAggregation"), plan)
+    assert(plan.contains("COUNT(*)"), plan)
+  }
+
+  test("small-dim join broadcasts (directJoin analog)") {
+    val df = Relational.queries("q_join_nation_region")(spark, sfDir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.CassandraModel
+
+/** Property tests for the Cassandra INSERT semantics model: upsert is
+  * last-write-wins per partition key and idempotent (SURVEY.md §5.2 / §7.4 —
+  * "naive append would diverge on duplicate keys"; reference inserts at
+  * userdata/cloudinit.sh:312-314 are upserts by CQL definition).
+  */
+class UpsertSpec extends AnyFunSuite with SparkFixture {
+
+  private def toDf(rows: Map[Int, String]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.toSeq.map { case (k, v) => Row(k, v, s"$v@example.com") }, 2),
+      CassandraModel.usersSchema)
+
+  private def toMap(df: org.apache.spark.sql.DataFrame): Map[Int, String] =
+    df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+
+  private val genRows: Gen[Map[Int, String]] = Gen.mapOf(
+    Gen.zip(Gen.choose(0, 20), Gen.alphaLowerStr.map(_.take(8))))
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status)
+  }
+
+  test("upsert is last-write-wins per key over base ∪ incoming") {
+    check(Prop.forAll(genRows, genRows) { (base, inc) =>
+      val merged = toMap(CassandraModel.upsert(toDf(base), toDf(inc), Seq("id")))
+      merged == base ++ inc
+    })
+  }
+
+  test("upsert is idempotent: re-applying the same batch changes nothing") {
+    check(Prop.forAll(genRows, genRows) { (base, inc) =>
+      val once = CassandraModel.upsert(toDf(base), toDf(inc), Seq("id"))
+      val twice = CassandraModel.upsert(once, toDf(inc), Seq("id"))
+      toMap(once) == toMap(twice)
+    })
+  }
+
+  test("upsert never duplicates a key") {
+    check(Prop.forAll(genRows, genRows) { (base, inc) =>
+      val ids = CassandraModel.upsert(toDf(base), toDf(inc), Seq("id"))
+        .collect().map(_.getInt(0))
+      ids.distinct.length == ids.length
+    })
+  }
+
+  test("the reference rows survive a verbatim re-insert (cloudinit.sh:312-314)") {
+    val users = CassandraModel.users(spark)
+    val again = CassandraModel.upsert(users, users, Seq("id"))
+    assert(toMap(again) == Map(1 -> "Alice", 2 -> "Bob", 3 -> "Charlie"))
+  }
+}
