@@ -311,6 +311,9 @@ object Relational {
     // exercised separately in q_json_events).
     "q_from_json_props" -> { (s, dir) =>
       t(s, dir, "events")
+        // events ships as one parquet file → one split; spread before the
+        // CPU-bound double JSON parse (no-op on a real multi-split scan)
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("p", from_json(col("props"),
           StructType(Seq(StructField("k", LongType)))))
         .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
