@@ -16,6 +16,7 @@ object Sessions {
 
   def local(appName: String = "graft", cpus: String = defaultCpus): SparkSession = {
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)

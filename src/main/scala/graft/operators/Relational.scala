@@ -290,6 +290,26 @@ object Relational {
         .orderBy("bucket")
     },
 
+    // directJoin analog through a custom Rule[LogicalPlan] (SURVEY.md §7.2
+    // step 5): a tiny literal key list joined against customer becomes a
+    // pushed IN-filter point read on the key — see graft.plans.DirectJoinRule.
+    // Registered via experimental.extraOptimizations so it also fires under
+    // externally-built sessions; Sessions.local additionally installs it via
+    // SparkSessionExtensions (GraftExtensions).
+    "q_direct_join" -> { (s, dir) =>
+      if (!s.experimental.extraOptimizations.contains(graft.plans.DirectJoinRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.DirectJoinRule
+      // a driver-local list → LocalRelation, the shape the rule matches
+      val keys = s.createDataFrame(
+        java.util.Arrays.asList(Seq(7L, 42L, 101L).map(org.apache.spark.sql.Row(_)): _*),
+        StructType(Seq(StructField("lookup_key", LongType, nullable = false))))
+      val c = t(s, dir, "customer")
+      c.join(keys, c("c_custkey") === keys("lookup_key"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
     // Typed Aggregator UDAF (SURVEY.md §7.3): per-returnflag quantity-
     // weighted mean price via graft.functions.WeightedAvg. Exact integer
     // buffers make the value partial-aggregation-order independent; the
@@ -553,6 +573,12 @@ object Relational {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+
+    "q_direct_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |JOIN (VALUES (7), (42), (101)) t(lookup_key) ON c_custkey = lookup_key
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_udaf_weighted_avg" ->
       """SELECT l_returnflag,

@@ -51,6 +51,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("COUNT(*)"), plan)
   }
 
+  test("DirectJoinRule turns a literal-key join into a pushed IN point read") {
+    val df = Relational.queries("q_direct_join")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("In(c_custkey, [7,42,101])")
+      || plan.contains("In(c_custkey, [101,42,7]"), plan)
+    assert(df.collect().map(_.getLong(0)).sorted.sameElements(Array(7L, 42L, 101L)))
+  }
+
   test("small-dim join broadcasts (directJoin analog)") {
     val df = Relational.queries("q_join_nation_region")(spark, sfDir)
     df.collect()
