@@ -29,6 +29,10 @@ import graft.sources.Tables
   * which shuffle-partition by the band key exactly like any large join;
   * per-doc work is linear HOF evaluation inside whole-stage codegen.
   */
+/** Typed rows of the mapPartitions batch-decode path (q_multimodal_batch). */
+case class DocPayload(doc_id: Long, text: String)
+case class DocDecoded(doc_id: Long, n_bytes: Int, dec_width: Long, dec_height: Long)
+
 object Pipeline {
   type Q = (SparkSession, String) => DataFrame
 
@@ -318,6 +322,32 @@ object Pipeline {
           (expr("cast(conv(substring(md5(text),9,8),16,10) as bigint)") % 1080).as("dec_height"),
           md5(col("payload")).as("digest"))
         .orderBy("doc_id")
+    },
+
+    // Multimodal batch-decode plumbing via typed mapPartitions — the Scala
+    // analog of a mapInPandas batch UDF: one decoder instance per partition
+    // (here a MessageDigest standing in for an image codec, since no image
+    // library ships in this environment), iterator-to-iterator so partitions
+    // stream without materializing. Same deterministic fake-decode
+    // arithmetic as q_multimodal_decode, so the oracle is a full value
+    // check. This is the (d)-tier escape hatch of the operator preference
+    // order — used precisely where expressions can't express the work
+    // (opaque per-blob codecs).
+    "q_multimodal_batch" -> { (s, dir) =>
+      val ds = docsPar(s, dir).select(col("doc_id"), col("text"))
+        .as[DocPayload](org.apache.spark.sql.Encoders.product[DocPayload])
+      ds.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-partition "codec"
+        it.map { d =>
+          val payload = d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val hx = md.digest(payload).map("%02x".format(_)).mkString
+          DocDecoded(d.doc_id, payload.length,
+            java.lang.Long.parseLong(hx.substring(0, 8), 16) % 1920,
+            java.lang.Long.parseLong(hx.substring(8, 16), 16) % 1080)
+        }
+      }(org.apache.spark.sql.Encoders.product[DocDecoded])
+        .toDF()
+        .orderBy("doc_id")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -493,5 +523,12 @@ object Pipeline {
         |  ('0x'||substr(md5(text),1,8))::BIGINT % 1920 AS dec_width,
         |  ('0x'||substr(md5(text),9,8))::BIGINT % 1080 AS dec_height,
         |  md5(text) AS digest
-        |FROM p ORDER BY doc_id""".stripMargin)
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_batch" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  ('0x'||substr(md5(text),1,8))::BIGINT % 1920 AS dec_width,
+        |  ('0x'||substr(md5(text),9,8))::BIGINT % 1080 AS dec_height
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

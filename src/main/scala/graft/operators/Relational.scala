@@ -236,6 +236,25 @@ object Relational {
         .orderBy("status", "priority")
     },
 
+    // Skew-mitigation pattern: two-stage salted aggregation. l_returnflag
+    // has only 3 values → 3 reducers own the whole table in a naive groupBy;
+    // salting to (key, salt) spreads the partial aggregation over
+    // 3×SaltN reducers, and the final combine touches just 3×SaltN rows.
+    // (With exact DECIMAL partials the result is bit-identical to the direct
+    // aggregation — which is what the oracle computes.) At 100 TB this is
+    // the manual fallback when AQE's skew handling can't apply (aggregation
+    // skew rather than join skew).
+    "q_skew_salted_agg" -> { (s, dir) =>
+      val SaltN = 16
+      t(s, dir, "lineitem")
+        .withColumn("salt", pmod(hash(col("l_orderkey")), lit(SaltN)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(money(col("l_extendedprice"))).as("psum"))
+        .groupBy("l_returnflag")
+        .agg(sum("pn").as("n"), sum("psum").cast(DoubleType).as("revenue"))
+        .orderBy("l_returnflag")
+    },
+
     // Exact distinct aggregation (the expensive kind — needs its own shuffle
     // per distinct column; approx_count_distinct is the 100 TB path, tested
     // separately since HLL values are engine-specific).
@@ -533,6 +552,13 @@ object Relational {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_count_distinct" ->
       """SELECT l_returnflag,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -34,6 +34,16 @@ import graft.sources.Tables
   * complete mode instead would have hidden exactly the property that
   * matters.
   */
+/** Typed row of the `events` stream (field order = parquet column order). */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Custom per-user state for q_stream_stateful: exact integer cents. */
+case class UserState(n: Long, cents: Long)
+
+/** Per-batch emission of q_stream_stateful. */
+case class UserTotals(user_id: Long, n_events: Long, sum_cents: Long)
+
 object Streaming {
   type Q = (SparkSession, String) => DataFrame
 
@@ -84,7 +94,8 @@ object Streaming {
     * micro-batch commits one state file per shuffle partition, and at this
     * data volume 32 partitions are pure commit overhead. (On a real cluster
     * this knob is sized to state volume, not cores.) */
-  private def runToMemory(out: DataFrame, name: String): DataFrame = {
+  private def runToMemory(out: DataFrame, name: String,
+      mode: String = "append"): DataFrame = {
     val s = out.sparkSession
     val old = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -93,7 +104,7 @@ object Streaming {
     // large-state production stream makes.
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try {
       q.processAllAvailable()
       var last = -1L
@@ -161,6 +172,34 @@ object Streaming {
         .orderBy("user_id", "s_start")
     },
 
+    // Custom state via mapGroupsWithState: per-user running totals in exact
+    // integer cents, emitted each micro-batch in update mode. The final
+    // answer is chunking-independent — both counters are monotone, so the
+    // max over the emitted snapshots IS the total — which keeps the oracle a
+    // plain batch GROUP BY even though intermediate emissions depend on
+    // micro-batch boundaries. At scale this is the arbitrary-state tool
+    // (per-key models, custom sessionization) that windowed aggs can't
+    // express; state is one tiny row per user.
+    "q_stream_stateful" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      val ev = eventStream(s, dir, "stateful").as[Ev](Encoders.product[Ev])
+      val out = ev.groupByKey(_.user_id)(Encoders.scalaLong)
+        .mapGroupsWithState[UserState, UserTotals](GroupStateTimeout.NoTimeout) {
+          (uid, evs, state) =>
+            val st = state.getOption.getOrElse(UserState(0L, 0L))
+            var n = st.n
+            var cents = st.cents
+            evs.foreach { e => n += 1; cents += math.round(e.value * 100) }
+            state.update(UserState(n, cents))
+            UserTotals(uid, n, cents)
+        }(Encoders.product[UserState], Encoders.product[UserTotals])
+      runToMemory(out.toDF(), "graft_stream_stateful", mode = "update")
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"), max("sum_cents").as("sum_cents"))
+        .orderBy("user_id")
+    },
+
     // Streaming dedup: re-inject every 97th event as an in-stream duplicate
     // and drop it again with watermark-bounded dedup state on the key.
     "q_stream_dedup" -> { (s, dir) =>
@@ -214,6 +253,13 @@ object Streaming {
         |FROM g
         |GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q_stream_stateful" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value, props
