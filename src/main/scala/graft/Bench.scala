@@ -29,7 +29,11 @@ object Bench {
       // that a count() would let Catalyst drop) without writing anything.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries are self-contained: drop their persisted intermediates so
+      // later timings don't pay earlier queries' memory pressure
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -73,16 +73,23 @@ object Streaming {
     target.toFile.setLastModified(base + 1000L * (Chunks + 10))
   }
 
+  /** Staged dirs already produced this session — queries without a `prep`
+    * replay byte-identical data, so stage it once per sf-dir. */
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
   /** Open a deterministic replay stream of `events` (+ optional extra rows
     * via `prep`) with one far-future sentinel event appended. */
   private def eventStream(s: SparkSession, dir: String, tag: String,
       prep: DataFrame => DataFrame = identity): DataFrame = {
-    val ev = prep(Tables.load(s, dir, "events"))
-    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
-    val sentTs = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
     val path = stageRoot(tag, dir)
-    stage(s, ev, Row(-1L, sentTs, -1L, "__sentinel", 0.0, "{}"), path)
-    s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(path)
+    val schema = staged.getOrElseUpdate(path, {
+      val ev = prep(Tables.load(s, dir, "events"))
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+      stage(s, ev, Row(-1L, sentTs, -1L, "__sentinel", 0.0, "{}"), path)
+      ev.schema
+    })
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(path)
   }
 
   /** Run `out` to completion into an append-mode memory sink and return the
@@ -131,7 +138,7 @@ object Streaming {
   val queries: Map[String, Q] = Map(
     // Tumbling 1 h windows per event_type with a 30 min watermark.
     "q_stream_tumbling" -> { (s, dir) =>
-      val agg = eventStream(s, dir, "tumble")
+      val agg = eventStream(s, dir, "events")
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), moneySum("value").as("sum_value"))
@@ -144,7 +151,7 @@ object Streaming {
 
     // Sliding 2 h windows every 1 h: each event lands in exactly 2 windows.
     "q_stream_sliding" -> { (s, dir) =>
-      val agg = eventStream(s, dir, "slide")
+      val agg = eventStream(s, dir, "events")
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), moneySum("value").as("sum_value"))
@@ -160,7 +167,7 @@ object Streaming {
     // a session iff their gap is strictly less than 4 h — the oracle's
     // island-and-gap SQL encodes the same strict rule.
     "q_stream_session" -> { (s, dir) =>
-      val agg = eventStream(s, dir, "session")
+      val agg = eventStream(s, dir, "events")
         .withWatermark("ts", "30 minutes")
         .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), moneySum("value").as("sum_value"))
@@ -182,7 +189,7 @@ object Streaming {
     // express; state is one tiny row per user.
     "q_stream_stateful" -> { (s, dir) =>
       import org.apache.spark.sql.streaming.GroupStateTimeout
-      val ev = eventStream(s, dir, "stateful").as[Ev](Encoders.product[Ev])
+      val ev = eventStream(s, dir, "events").as[Ev](Encoders.product[Ev])
       val out = ev.groupByKey(_.user_id)(Encoders.scalaLong)
         .mapGroupsWithState[UserState, UserTotals](GroupStateTimeout.NoTimeout) {
           (uid, evs, state) =>
