@@ -138,6 +138,64 @@ object Relational {
         .orderBy(col("revenue").desc, col("n_name").asc)
     },
 
+    // Range (theta) join: orders banded by a tiny price-range dimension.
+    // The only sane plan for a non-equi join with a constant-size dim is
+    // BroadcastNestedLoopJoin — broadcast forced so it stays that plan at
+    // any SF (an SF-scaling range side would need a bin-and-equi-join
+    // rewrite instead, which is what q_case_math's CASE bucketing is).
+    "q_range_join" -> { (s, dir) =>
+      val bands = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("1_small", 0.0, 50000.0),
+          org.apache.spark.sql.Row("2_medium", 50000.0, 150000.0),
+          org.apache.spark.sql.Row("3_large", 150000.0, 1e12)),
+        StructType(Seq(
+          StructField("band", StringType, nullable = false),
+          StructField("lo", DoubleType, nullable = false),
+          StructField("hi", DoubleType, nullable = false))))
+      t(s, dir, "orders")
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .orderBy("band")
+    },
+
+    // As-of join: for every purchase event, the most recent signup event of
+    // the same user at or before it. The scalable formulation is NOT a
+    // per-row correlated lookup (O(n²) per user) but one shuffle on the key:
+    // sort each user's merged event stream by time and carry the last-seen
+    // signup timestamp forward with a running `last(_, ignoreNulls)` window
+    // — exactly how a 100 TB trade/quote as-of is done.
+    "q_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "signup"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("ref_ts",
+          last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "ref_ts")
+        .orderBy("event_id")
+    },
+
+    // The SQL front door (O9's spark.sql path): same engine, textual entry —
+    // a TPC-H Q6-style forecast revenue query over registered temp views.
+    "q_sql_api" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.09
+          AND l_quantity < 24""")
+    },
+
     // Semi join (EXISTS): customers having at least one urgent order.
     "q_semi_join" -> { (s, dir) =>
       val c = t(s, dir, "customer")
@@ -475,6 +533,36 @@ object Relational {
         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN (VALUES ('1_small', 0.0, 50000.0),
+        |             ('2_medium', 50000.0, 150000.0),
+        |             ('3_large', 150000.0, 1e12)) b(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, MAX(s.ts) AS ref_ts
+        |FROM events p
+        |LEFT JOIN events s
+        |  ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_sql_api" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.09
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name
