@@ -259,6 +259,34 @@ object Pipeline {
         .orderBy("lang", "predicted")
     },
 
+    // Sentiment scoring as a lexicon join (SURVEY.md §2.4): explode tokens,
+    // broadcast-join the constant lexicon, aggregate per language. Scores
+    // are exactly binary-representable (±1, ±0.5, 0.25) so the double avg is
+    // order-independent. At 100 TB the explode is the dominant cost and is
+    // pure map-side work; the join side is constant and broadcast.
+    "q_sentiment" -> { (s, dir) =>
+      val lex = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("fast", 1.0),
+          org.apache.spark.sql.Row("merge", 0.5),
+          org.apache.spark.sql.Row("scan", 0.25),
+          org.apache.spark.sql.Row("filter", -0.5),
+          org.apache.spark.sql.Row("slow", -1.0)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("word",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(lex), "word")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_hits"),
+          round(avg(col("score")), 6).as("avg_sentiment"))
+        .orderBy("lang")
+    },
+
     // BPE-ish token counting: regex token split (letter runs / digit runs /
     // single punctuation) — the cheap `len(tokenize(text))` estimator of a
     // data pipeline, aggregated per language.
@@ -491,6 +519,18 @@ object Pipeline {
         |  FROM sc)
         |SELECT lang, predicted, count(*) AS n_docs
         |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "q_sentiment" ->
+      s"""WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |l AS (
+        |  SELECT * FROM (VALUES ('fast', 1.0), ('merge', 0.5), ('scan', 0.25),
+        |                        ('filter', -0.5), ('slow', -1.0)) lex(word, score))
+        |SELECT lang, COUNT(*) AS n_hits,
+        |  round(avg(score), 6) AS avg_sentiment
+        |FROM t JOIN l USING (word)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "q_token_count" ->
       """SELECT lang,

@@ -179,6 +179,31 @@ object Streaming {
         .orderBy("user_id", "s_start")
     },
 
+    // Stream-static join: enrich the event stream with a constant category
+    // dimension (broadcast per micro-batch — no state), then a watermarked
+    // tumbling aggregation on the derived column. The sentinel's type
+    // doesn't join (inner) but it flows through the watermark node first, so
+    // eviction is still driven to completion.
+    "q_stream_enrich" -> { (s, dir) =>
+      val dim = s.createDataFrame(
+        java.util.Arrays.asList(
+          Row("click", "engagement"), Row("view", "engagement"),
+          Row("purchase", "revenue"), Row("signup", "growth"),
+          Row("error", "ops")),
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("category", StringType, nullable = false))))
+      val agg = eventStream(s, dir, "events")
+        .withWatermark("ts", "30 minutes")
+        .join(dim, "event_type")
+        .groupBy(window(col("ts"), "6 hours"), col("category"))
+        .agg(count(lit(1)).as("n"), moneySum("value").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("category"),
+          col("n"), col("sum_value"))
+      runToMemory(agg, "graft_stream_enrich")
+        .orderBy("w_start", "category")
+    },
+
     // Custom state via mapGroupsWithState: per-user running totals in exact
     // integer cents, emitted each micro-batch in update mode. The final
     // answer is chunking-independent — both counters are monotone, so the
@@ -260,6 +285,20 @@ object Streaming {
         |FROM g
         |GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q_stream_enrich" ->
+      """WITH c AS (
+        |  SELECT *, CASE event_type
+        |    WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+        |    WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
+        |    ELSE 'ops' END AS category
+        |  FROM events)
+        |SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start, category,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM c
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_stream_stateful" ->
       """SELECT user_id, COUNT(*) AS n_events,
