@@ -65,4 +65,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val plan = planOf(df)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("top-k is TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Relational.queries("q_topk_orders")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("range join against a constant dim is a broadcast nested loop") {
+    val df = Relational.queries("q_range_join")(spark, sfDir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("flagship aggregation is partial+final (map-side combine)") {
+    val plan = planOf(Relational.queries("q1_pricing_summary")(spark, sfDir))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_sum") || plan.contains("Functions [partial"), plan)
+  }
 }
