@@ -281,6 +281,33 @@ object Relational {
         .orderBy("returnflag", "linestatus")
     },
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // per-(status), per-(priority), and grand-total rows in one pass.
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")
+    },
+
+    // Pivot: order counts by status spread into columns per priority —
+    // DataFrame pivot with pinned column values (pinning keeps the schema
+    // static, which is also what a 100 TB pivot needs: an unpinned pivot
+    // does an extra distinct-values job first).
+    "q_pivot" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    },
+
     // CUBE over order status × priority.
     "q_cube_orders" -> { (s, dir) =>
       t(s, dir, "orders")
@@ -631,6 +658,24 @@ object Relational {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |       COALESCE(o_orderpriority, '(all)') AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_cube_orders" ->
       """SELECT COALESCE(o_orderstatus, '(all)') AS status,
