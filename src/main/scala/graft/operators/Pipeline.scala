@@ -39,6 +39,13 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Register the repo's native Catalyst expressions on a session that was
+    * not built with GraftExtensions (e.g. the driver's Verify/Bench
+    * sessions). Idempotent. */
+  def registerNativeFns(s: SparkSession): Unit =
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash60", exprs => graft.functions.SimHash60(exprs.head), "scala_udf")
+
   /** documents spread across all cores: the testdata ships as one small
     * parquet file → one input split, which would serialize the expensive
     * per-token hash work onto a single core. On a real cluster the scan has
@@ -159,13 +166,15 @@ object Pipeline {
     // (same reasoning as q_minhash_lsh); oversized buckets dropped at
     // BucketCap.
     "q_simhash" -> { (s, dir) =>
+      registerNativeFns(s)
       val sh = docsPar(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"),
           expr("transform(w, wd -> cast(conv(substring(md5(wd),1,15),16,10) as bigint))").as("hw"))
         .select(col("doc_id"),
-          expr("aggregate(transform(sequence(0,59), i -> if(aggregate(hw, 0L, (acc, h) -> acc + 2*(shiftright(h, i) & 1) - 1) >= 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)")
-            .as("simhash"))
+          // native codegen'd expression — one pass over the token hashes
+          // instead of 60 interpreted HOF passes (see functions/SimHash60)
+          expr("graft_simhash60(hw)").as("simhash"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       sh.count() // materialize before both sides of the self-join
       val blocks = sh.select(col("doc_id"), col("simhash"),

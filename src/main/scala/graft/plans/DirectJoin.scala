@@ -87,6 +87,12 @@ object DirectJoinRule extends Rule[LogicalPlan] {
 /** SparkSessionExtensions entry point: `.withExtensions(new GraftExtensions)`
   * or `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DirectJoinRule)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash60"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.SimHash60].getName, "graft_simhash60"),
+      (exprs: Seq[Expression]) => graft.functions.SimHash60(exprs.head)))
+  }
 }

@@ -32,6 +32,21 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("native SimHash60 expression matches the SQL-HOF formulation") {
+    import org.apache.spark.sql.functions._
+    Pipeline.registerNativeFns(spark)
+    val hw = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("transform(split(text, ' '), wd -> cast(conv(substring(md5(wd),1,15),16,10) as bigint))").as("hw"))
+    val mismatches = hw.select(
+        expr("graft_simhash60(hw)").as("native"),
+        expr("aggregate(transform(sequence(0,59), i -> if(aggregate(hw, 0L, (acc, h) -> acc + 2*(shiftright(h, i) & 1) - 1) >= 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)")
+          .as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("simhash pairs respect the hamming bound") {
     Pipeline.queries("q_simhash")(spark, sfDir).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
