@@ -119,6 +119,28 @@ object Storage {
     // O10: SELECT release_version FROM system.local.
     "q_system_local" -> { (s, _) =>
       CassandraModel.systemLocal(s).orderBy("release_version")
+    },
+
+    // Source/sink format breadth beyond parquet: the same projection is
+    // written to CSV (schema-on-read with an explicit schema — never
+    // inference at scale) and ORC, read back through both sources, and
+    // aggregated; equality with the doubled parquet-side oracle proves both
+    // round-trips are lossless. Writers and readers are fully distributed —
+    // one file per task, no driver funnel.
+    "q_format_roundtrip" -> { (s, dir) =>
+      val lf = Tables.load(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 2)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      val base = s"${sys.props("java.io.tmpdir")}/graft-roundtrip/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      lf.write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$base/csv")
+      lf.write.mode(SaveMode.Overwrite).orc(s"$base/orc")
+      val csv = s.read.schema(lf.schema).option("header", "true").csv(s"$base/csv")
+      val orc = s.read.orc(s"$base/orc")
+      csv.unionByName(orc)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").cast(DoubleType).as("qty"))
+        .orderBy("l_returnflag")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -146,5 +168,13 @@ object Storage {
     // are engine-specific; the driver records a rows/schema check.
 
     "q_system_local" ->
-      "SELECT '4.1.2' AS release_version")
+      "SELECT '4.1.2' AS release_version",
+
+    "q_format_roundtrip" ->
+      """SELECT l_returnflag, 2 * COUNT(*) AS n,
+        |  CAST(2 * SUM(l_quantity) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 2
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
 }
