@@ -42,9 +42,12 @@ object Pipeline {
   /** Register the repo's native Catalyst expressions on a session that was
     * not built with GraftExtensions (e.g. the driver's Verify/Bench
     * sessions). Idempotent. */
-  def registerNativeFns(s: SparkSession): Unit =
+  def registerNativeFns(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash60", exprs => graft.functions.SimHash60(exprs.head), "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash32", exprs => graft.functions.MinHash32(exprs.head), "scala_udf")
+  }
 
   /** documents spread across all cores: the testdata ships as one small
     * parquet file → one input split, which would serialize the expensive
@@ -118,6 +121,7 @@ object Pipeline {
     // (doc_id, shingles) projection, which AQE turns into broadcast joins at
     // runtime.
     "q_minhash_lsh" -> { (s, dir) =>
+      registerNativeFns(s)
       val mh = docsPar(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
@@ -126,8 +130,9 @@ object Pipeline {
             .as("shingles"))
         .withColumn("xs", expr(s"transform(shingles, s -> ${hExpr("s")})"))
         .select(col("doc_id"), col("shingles"),
-          expr(s"transform(sequence(0,31), i -> array_min(transform(xs, x -> ((2*i+1)*x + 12345 + 777*i) % $P)))")
-            .as("mh"))
+          // native codegen'd expression — one pass with a primitive running-
+          // min buffer instead of 32 interpreted HOF passes (MinHash32)
+          expr("graft_minhash32(xs)").as("mh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       mh.count() // materialize before the three downstream reuses
       val bands = mh.select(col("doc_id"),

@@ -94,5 +94,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.SimHash60].getName, "graft_simhash60"),
       (exprs: Seq[Expression]) => graft.functions.SimHash60(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash32"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MinHash32].getName, "graft_minhash32"),
+      (exprs: Seq[Expression]) => graft.functions.MinHash32(exprs.head)))
   }
 }

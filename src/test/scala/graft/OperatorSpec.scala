@@ -47,6 +47,20 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(mismatches == 0)
   }
 
+  test("native MinHash32 expression matches the SQL-HOF formulation") {
+    import org.apache.spark.sql.functions._
+    Pipeline.registerNativeFns(spark)
+    val xs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(expr("transform(split(text, ' '), s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))").as("xs"))
+    val mismatches = xs.select(
+        expr("graft_minhash32(xs)").as("native"),
+        expr("transform(sequence(0,31), i -> array_min(transform(xs, x -> ((2*i+1)*x + 12345 + 777*i) % 4294967291)))")
+          .as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("simhash pairs respect the hamming bound") {
     Pipeline.queries("q_simhash")(spark, sfDir).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
