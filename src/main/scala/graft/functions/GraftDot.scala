@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the dense dot product:
+  * `graft_dot(array<double>, array<double>) -> double`.
+  *
+  * Replaces `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (s,x) -> s+x)` in
+  * the similarity operators (the build brief names exactly this pair:
+  * "functions.aggregate/zip_with for the dot product, or a custom
+  * Expression"). Accumulates left-to-right in index order — the same order
+  * as the HOF chain and the DuckDB oracle — so cosines stay bit-identical
+  * across engines. One fused primitive loop inside WholeStageCodegen instead
+  * of an intermediate zipped array plus an interpreted fold; this is the
+  * innermost loop of every ANN verify join.
+  *
+  * Unequal lengths never occur in this repo (fixed 64-dim vectors); the
+  * expression uses the shorter length (the HOF version would return null).
+  */
+case class GraftDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double>, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+         |""".stripMargin
+    })
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session-level registration of the repo's native expressions, for sessions
+  * not built with GraftExtensions (e.g. the driver's Verify/Bench sessions).
+  * Idempotent. */
+object Natives {
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_simhash60", classOf[SimHash60].getName, exprs => SimHash60(exprs.head)),
+    ("graft_minhash32", classOf[MinHash32].getName, exprs => MinHash32(exprs.head)),
+    ("graft_dot", classOf[GraftDot].getName, exprs => GraftDot(exprs(0), exprs(1))))
+
+  def register(s: SparkSession): Unit = all.foreach { case (name, _, builder) =>
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+}

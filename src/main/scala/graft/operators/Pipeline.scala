@@ -42,12 +42,7 @@ object Pipeline {
   /** Register the repo's native Catalyst expressions on a session that was
     * not built with GraftExtensions (e.g. the driver's Verify/Bench
     * sessions). Idempotent. */
-  def registerNativeFns(s: SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash60", exprs => graft.functions.SimHash60(exprs.head), "scala_udf")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash32", exprs => graft.functions.MinHash32(exprs.head), "scala_udf")
-  }
+  def registerNativeFns(s: SparkSession): Unit = graft.functions.Natives.register(s)
 
   /** documents spread across all cores: the testdata ships as one small
     * parquet file → one input split, which would serialize the expensive

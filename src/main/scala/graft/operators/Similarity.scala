@@ -36,16 +36,19 @@ object Similarity {
     * spread across all cores (the testdata ships as one small parquet file →
     * one input split, which would serialize the CPU-bound dot-product work;
     * on a real cluster the scan already has many splits). */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Natives.register(s)
     Tables.load(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (s, x) -> s + x))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+  }
 
-  private val dot =
-    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+  /** Dot product via the native codegen'd expression (graft.functions
+    * .GraftDot) — same left-to-right accumulation as the zip_with/aggregate
+    * HOF chain it replaced, so cosines stay bit-identical to the oracle. */
+  private val dot = "graft_dot(qv, v)"
 
   // ---------------------------------------------------------------- queries
 

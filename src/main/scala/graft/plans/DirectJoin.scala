@@ -89,15 +89,11 @@ object DirectJoinRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DirectJoinRule)
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash60"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.SimHash60].getName, "graft_simhash60"),
-      (exprs: Seq[Expression]) => graft.functions.SimHash60(exprs.head)))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash32"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.MinHash32].getName, "graft_minhash32"),
-      (exprs: Seq[Expression]) => graft.functions.MinHash32(exprs.head)))
+    graft.functions.Natives.all.foreach { case (name, className, builder) =>
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(className, name),
+        builder))
+    }
   }
 }

@@ -61,6 +61,19 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(mismatches == 0)
   }
 
+  test("native GraftDot expression matches the zip_with/aggregate formulation") {
+    import org.apache.spark.sql.functions._
+    Pipeline.registerNativeFns(spark)
+    val v = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val mismatches = v.crossJoin(v.limit(3).select(col("v").as("qv")))
+      .select(expr("graft_dot(qv, v)").as("native"),
+        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (s, x) -> s + x)").as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("simhash pairs respect the hamming bound") {
     Pipeline.queries("q_simhash")(spark, sfDir).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
