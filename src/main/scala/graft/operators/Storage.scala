@@ -121,6 +121,28 @@ object Storage {
       CassandraModel.systemLocal(s).orderBy("release_version")
     },
 
+    // Partition pruning on a partitioned layout — the directory-level analog
+    // of the connector's token-range routing (SURVEY.md §4.1): orders written
+    // `partitionBy(o_year)`, then a year-filtered read touches only that
+    // year's directory (PlanSpec asserts the PartitionFilters + pruned
+    // partition count). At 100 TB this is the difference between scanning
+    // one partition and scanning the table; row-group-stat pushdown
+    // (q_filtered_scan) composes beneath it.
+    "q_partition_pruned" -> { (s, dir) =>
+      val tbl = "graft_orders_byyear"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      rmPath(s, tbl)
+      Tables.load(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode(SaveMode.Overwrite).partitionBy("o_year").saveAsTable(tbl)
+      s.table(tbl)
+        .filter(col("o_year") === 1997)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     // Source/sink format breadth beyond parquet: the same projection is
     // written to CSV (schema-on-read with an explicit schema — never
     // inference at scale) and ORC, read back through both sources, and
@@ -169,6 +191,14 @@ object Storage {
 
     "q_system_local" ->
       "SELECT '4.1.2' AS release_version",
+
+    "q_partition_pruned" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE YEAR(o_orderdate) = 1997
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_format_roundtrip" ->
       """SELECT l_returnflag, 2 * COUNT(*) AS n,

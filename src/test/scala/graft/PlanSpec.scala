@@ -66,6 +66,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("partitioned layout prunes to one year directory") {
+    val df = Storage.queries("q_partition_pruned")(spark, sfDir)
+    df.collect()
+    val plan = planOf(df)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("o_year"), plan)
+    assert(pf.contains("1997"), plan)
+  }
+
   test("top-k is TakeOrderedAndProject, not a global sort") {
     val plan = planOf(Relational.queries("q_topk_orders")(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"), plan)
