@@ -75,6 +75,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(pf.contains("1997"), plan)
   }
 
+  test("dynamic partition pruning fires on a dim-filtered join") {
+    // q_partition_pruned created graft_orders_byyear (partitioned by o_year)
+    Storage.queries("q_partition_pruned")(spark, sfDir).collect()
+    val dimPath = s"${sys.props("java.io.tmpdir")}/graft-dpp-dim"
+    spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(1995, "skip"), org.apache.spark.sql.Row(1996, "skip"),
+          org.apache.spark.sql.Row(1997, "pick"), org.apache.spark.sql.Row(1998, "skip")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType))))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(org.apache.spark.sql.functions.col("tag") === "pick")
+    val fact = spark.table("graft_orders_byyear")
+    val joined = fact.join(dim, fact("o_year") === dim("y"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+  }
+
   test("top-k is TakeOrderedAndProject, not a global sort") {
     val plan = planOf(Relational.queries("q_topk_orders")(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"), plan)
