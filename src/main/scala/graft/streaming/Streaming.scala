@@ -232,6 +232,26 @@ object Streaming {
         .orderBy("user_id")
     },
 
+    // foreachBatch sink + complete output mode: the production pattern for
+    // sinks Spark has no native writer for (JDBC upserts, multi-table
+    // fan-out). Each trigger re-emits the full aggregate; the final batch —
+    // which has seen all data — is kept. The per-batch collect() is sane
+    // ONLY because the aggregate is |event_type|-sized; a real pipeline
+    // would batch.write from the executors instead.
+    "q_stream_foreachbatch" -> { (s, dir) =>
+      val acc = new java.util.concurrent.atomic.AtomicReference[Array[Row]](Array.empty)
+      val agg = eventStream(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), moneySum("value").as("sum_value"))
+      val q = agg.writeStream.outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) => acc.set(batch.collect()) }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.createDataFrame(java.util.Arrays.asList(acc.get(): _*), agg.schema)
+        .filter(col("event_type") =!= "__sentinel")
+        .orderBy("event_type")
+    },
+
     // Streaming dedup: re-inject every 97th event as an in-stream duplicate
     // and drop it again with watermark-bounded dedup state on the key.
     "q_stream_dedup" -> { (s, dir) =>
@@ -310,5 +330,12 @@ object Streaming {
     "q_stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_stream_foreachbatch" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
 }
