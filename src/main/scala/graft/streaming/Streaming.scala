@@ -44,6 +44,9 @@ case class UserState(n: Long, cents: Long)
 /** Per-batch emission of q_stream_stateful. */
 case class UserTotals(user_id: Long, n_events: Long, sum_cents: Long)
 
+/** Emission of q_stream_milestones: user crossed a spend level. */
+case class Milestone(user_id: Long, event_id: Long, level: Long)
+
 object Streaming {
   type Q = (SparkSession, String) => DataFrame
 
@@ -232,6 +235,34 @@ object Streaming {
         .orderBy("user_id")
     },
 
+    // flatMapGroupsWithState in append mode: emit a row each time a user's
+    // cumulative spend crosses a 1,000-unit level (0..n outputs per group
+    // per batch — the shape mapGroupsWithState can't express). The fold is
+    // order-sensitive, so each batch's group iterator is sorted by
+    // (ts, event_id); with time-ordered chunks that yields the global
+    // per-user order, making emissions chunking-independent and the oracle
+    // a batch cumulative-window SQL.
+    "q_stream_milestones" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val ev = eventStream(s, dir, "events").as[Ev](Encoders.product[Ev])
+      val out = ev.groupByKey(_.user_id)(Encoders.scalaLong)
+        .flatMapGroupsWithState[Long, Milestone](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, evs, state) =>
+            var cum = state.getOption.getOrElse(0L)
+            val ms = Seq.newBuilder[Milestone]
+            evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val before = cum / 100000L
+              cum += math.round(e.value * 100)
+              if (cum / 100000L > before) ms += Milestone(uid, e.event_id, cum / 100000L)
+            }
+            state.update(cum)
+            ms.result().iterator
+          }(Encoders.scalaLong, Encoders.product[Milestone])
+      runToMemory(out.toDF(), "graft_stream_milestones")
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "event_id")
+    },
+
     // foreachBatch sink + complete output mode: the production pattern for
     // sinks Spark has no native writer for (JDBC upserts, multi-table
     // fan-out). Each trigger re-emits the full aggregate; the final batch —
@@ -331,6 +362,22 @@ object Streaming {
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "q_stream_milestones" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts,
+        |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, cum // 100000 AS lvl,
+        |    COALESCE(lag(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+        |      // 100000 AS prev_lvl
+        |  FROM c)
+        |SELECT user_id, event_id, CAST(lvl AS BIGINT) AS level
+        |FROM x WHERE lvl > prev_lvl
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_stream_foreachbatch" ->
       """SELECT event_type, COUNT(*) AS n,
