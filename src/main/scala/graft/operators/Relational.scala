@@ -451,6 +451,24 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // Spark 4 VARIANT path for semi-structured data: parse_json → VARIANT
+    // column → typed variant_get extraction. The third JSON tier next to
+    // get_json_object (per-path string extraction) and from_json (fixed
+    // schema): variant keeps the full value in a binary-encoded form with
+    // per-row structure, the right fit when props schemas drift — and at
+    // 100 TB it is shredded columnar in parquet rather than re-parsed text.
+    "q_variant_props" -> { (s, dir) =>
+      t(s, dir, "events")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("v", expr("parse_json(props)"))
+        .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          count(when(expr("variant_get(v, '$.missing', 'bigint')").isNull, 1)).as("n_missing"))
+        .orderBy("event_type")
+    },
+
     // JSON scalar functions on events.props ({"k": <int>}).
     "q_json_events" -> { (s, dir) =>
       t(s, dir, "events")
@@ -755,6 +773,15 @@ object Relational {
         |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
         |  CAST(SUM(len(json_keys(props))) AS BIGINT) AS n_keys
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_variant_props" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n_missing
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
