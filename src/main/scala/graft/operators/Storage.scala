@@ -116,6 +116,28 @@ object Storage {
         .orderBy("l_returnflag")
     },
 
+    // O6–O9 through the textual SQL front door — the closest Spark-native
+    // transcription of the reference's CQL session (reference:
+    // userdata/cloudinit.sh:299-321): CREATE KEYSPACE → CREATE DATABASE,
+    // CREATE TABLE (3 columns, id key), the three INSERTs with the exact
+    // reference rows, then SELECT * — all as spark.sql statements.
+    // DROP-first keeps replays idempotent, mirroring IF NOT EXISTS +
+    // Cassandra upsert semantics for a clean re-run.
+    "q_users_sql_ddl" -> { (s, _) =>
+      s.sql(s"CREATE DATABASE IF NOT EXISTS ${CassandraModel.Keyspace}")
+      s.sql(s"DROP TABLE IF EXISTS ${CassandraModel.Keyspace}.users_sql")
+      rmPath(s, s"${CassandraModel.Keyspace}.users_sql")
+      s.sql(
+        s"""CREATE TABLE ${CassandraModel.Keyspace}.users_sql
+           |  (id INT NOT NULL, name STRING, email STRING)
+           |  USING parquet
+           |  COMMENT 'partition key: id; reference replication: SimpleStrategy RF=2'""".stripMargin)
+      s.sql(s"INSERT INTO ${CassandraModel.Keyspace}.users_sql VALUES (1, 'Alice', 'alice@example.com')")
+      s.sql(s"INSERT INTO ${CassandraModel.Keyspace}.users_sql VALUES (2, 'Bob', 'bob@example.com')")
+      s.sql(s"INSERT INTO ${CassandraModel.Keyspace}.users_sql VALUES (3, 'Charlie', 'charlie@example.com')")
+      s.sql(s"SELECT * FROM ${CassandraModel.Keyspace}.users_sql ORDER BY id")
+    },
+
     // O10: SELECT release_version FROM system.local.
     "q_system_local" -> { (s, _) =>
       CassandraModel.systemLocal(s).orderBy("release_version")
@@ -188,6 +210,13 @@ object Storage {
 
     // q_approx_distinct intentionally has no oracle: HLL++/GK sketch values
     // are engine-specific; the driver records a rows/schema check.
+
+    "q_users_sql_ddl" ->
+      """SELECT * FROM (VALUES
+        | (1, 'Alice',   'alice@example.com'),
+        | (2, 'Bob',     'bob@example.com'),
+        | (3, 'Charlie', 'charlie@example.com')) AS t(id, name, email)
+        |ORDER BY id""".stripMargin,
 
     "q_system_local" ->
       "SELECT '4.1.2' AS release_version",

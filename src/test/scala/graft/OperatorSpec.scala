@@ -13,6 +13,14 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("operator areas declare disjoint query names (no silent shadowing)") {
+    import graft.operators._
+    import graft.streaming.Streaming
+    val areas = Seq(Relational.queries, Pipeline.queries, Similarity.queries,
+      Storage.queries, Streaming.queries)
+    assert(areas.map(_.size).sum == SparkEntry.queries.size)
+  }
+
   test("every declared query has matching oracle coverage") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
