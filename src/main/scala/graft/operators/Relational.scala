@@ -196,6 +196,41 @@ object Relational {
           AND l_quantity < 24""")
     },
 
+    // Correlated scalar subqueries → Catalyst decorrelates both into
+    // aggregate+join (SURVEY.md §4.1 row "subquery decorrelation");
+    // above-nation-average test in exact integer cents so the comparison is
+    // engine-portable (a double AVG would be partial-order dependent at the
+    // boundary).
+    "q_correlated_subquery" -> { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) *
+              (SELECT COUNT(*) FROM customer c2
+               WHERE c2.c_nationkey = c.c_nationkey)
+            > (SELECT SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+               FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")
+    },
+
+    // LATERAL correlated subquery: per-nation top-2 customers by balance —
+    // the per-group-top-k shape as a lateral join instead of a window
+    // (Catalyst plans a DomainJoin/decorrelated limit per key).
+    "q_lateral_topk" -> { (s, dir) =>
+      Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT n.n_name, t.c_custkey, t.acct_cents
+        FROM nation n,
+        LATERAL (SELECT c_custkey,
+                   CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acct_cents
+                 FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY acct_cents DESC, c_custkey
+                 LIMIT 2) t
+        ORDER BY n.n_name, t.acct_cents DESC, t.c_custkey""")
+    },
+
     // Semi join (EXISTS): customers having at least one urgent order.
     "q_semi_join" -> { (s, dir) =>
       val c = t(s, dir, "customer")
@@ -608,6 +643,26 @@ object Relational {
         |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.02 AND 0.09
         |  AND l_quantity < 24""".stripMargin,
+
+    "q_correlated_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) *
+        |      (SELECT COUNT(*) FROM customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |       FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_lateral_topk" ->
+      """SELECT n.n_name, t.c_custkey, t.acct_cents
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey,
+        |           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acct_cents
+        |         FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY acct_cents DESC, c_custkey
+        |         LIMIT 2) t
+        |ORDER BY n.n_name, t.acct_cents DESC, t.c_custkey""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name
