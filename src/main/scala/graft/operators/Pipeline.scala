@@ -215,6 +215,23 @@ object Pipeline {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Scalar array-function surface over the token arrays: size/slice/
+    // distinct/sort, membership, position, positive and negative indexing —
+    // the per-row collection ops a pipeline uses between the heavy HOFs.
+    "q_scalar_array" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("w")).as("n_tok"),
+          sort_array(array_distinct(slice(col("w"), 1, 5))).as("first5_sorted"),
+          array_contains(col("w"), "the").as("has_the"),
+          array_position(col("w"), "fast").cast("bigint").as("fast_pos"),
+          element_at(col("w"), 1).as("first_tok"),
+          element_at(col("w"), -1).as("last_tok"))
+        .orderBy("doc_id")
+    },
+
     // Per-language corpus stats (count / token / char aggregates).
     "q_text_stats" -> { (s, dir) =>
       docs(s, dir)
@@ -490,6 +507,17 @@ object Pipeline {
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         |FROM base a JOIN base b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_scalar_array" ->
+      s"""WITH d AS ($docsW)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INT) AS n_tok,
+        |  list_sort(list_distinct(w[1:5])) AS first5_sorted,
+        |  list_contains(w, 'the') AS has_the,
+        |  CAST(COALESCE(list_position(w, 'fast'), 0) AS BIGINT) AS fast_pos,
+        |  w[1] AS first_tok,
+        |  w[-1] AS last_tok
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH d AS ($docsW)
