@@ -46,11 +46,12 @@ object Pipeline {
 
   /** documents spread across all cores: the testdata ships as one small
     * parquet file → one input split, which would serialize the expensive
-    * per-token hash work onto a single core. On a real cluster the scan has
-    * many splits and this explicit spread is a no-op cost-wise (one narrow
-    * shuffle of the raw rows before CPU-bound signature work). */
+    * per-token hash work onto a single core. The repartition is a real
+    * shuffle of the raw rows, so it is gated: it fires only when the scan
+    * yields fewer splits than cores (the local-testdata case). On a real
+    * cluster the scan already has many splits and no shuffle happens. */
   private def docsPar(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+    Tables.spread(docs(s, dir))
 
   /** Portable 32-bit string hash, Spark side. DuckDB side:
     * `('0x'||substr(md5(s),1,8))::BIGINT`. */
@@ -224,7 +225,9 @@ object Pipeline {
         .select(
           col("doc_id"),
           size(col("w")).as("n_tok"),
-          sort_array(array_distinct(slice(col("w"), 1, 5))).as("first5_sorted"),
+          // joined to a string, not a raw array: array-typed output columns
+          // are not portable through the driver's pandas comparator
+          array_join(sort_array(array_distinct(slice(col("w"), 1, 5))), " ").as("first5_sorted"),
           array_contains(col("w"), "the").as("has_the"),
           array_position(col("w"), "fast").cast("bigint").as("fast_pos"),
           element_at(col("w"), 1).as("first_tok"),
@@ -512,7 +515,7 @@ object Pipeline {
       s"""WITH d AS ($docsW)
         |SELECT doc_id,
         |  CAST(len(w) AS INT) AS n_tok,
-        |  list_sort(list_distinct(w[1:5])) AS first5_sorted,
+        |  array_to_string(list_sort(list_distinct(w[1:5])), ' ') AS first5_sorted,
         |  list_contains(w, 'the') AS has_the,
         |  CAST(COALESCE(list_position(w, 'fast'), 0) AS BIGINT) AS fast_pos,
         |  w[1] AS first_tok,

@@ -171,9 +171,14 @@ object Relational {
     "q_asof_join" -> { (s, dir) =>
       val ev = t(s, dir, "events")
         .filter(col("event_type").isin("purchase", "signup"))
+      // RANGE frame ordered by ts only: a signup sharing the purchase's exact
+      // timestamp is a frame peer and therefore included, matching the
+      // oracle's s.ts <= p.ts tie rule (a ROWS frame tie-broken by event_id
+      // would exclude equal-ts signups with larger event_ids). The carried
+      // value is tie-safe: all in-frame signup peers share the same ts.
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(col("ts").asc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       ev.withColumn("ref_ts",
           last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
         .filter(col("event_type") === "purchase")
@@ -469,10 +474,10 @@ object Relational {
     // enumeration (SURVEY.md §2.4 names from_json; get_json_object is
     // exercised separately in q_json_events).
     "q_from_json_props" -> { (s, dir) =>
-      t(s, dir, "events")
-        // events ships as one parquet file → one split; spread before the
-        // CPU-bound double JSON parse (no-op on a real multi-split scan)
-        .repartition(s.sparkContext.defaultParallelism)
+      // events ships as one parquet file → one split; spread before the
+      // CPU-bound double JSON parse (Tables.spread is gated: it only
+      // shuffles when the scan has fewer splits than cores)
+      Tables.spread(t(s, dir, "events"))
         .withColumn("p", from_json(col("props"),
           StructType(Seq(StructField("k", LongType)))))
         .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
@@ -493,8 +498,7 @@ object Relational {
     // per-row structure, the right fit when props schemas drift — and at
     // 100 TB it is shredded columnar in parquet rather than re-parsed text.
     "q_variant_props" -> { (s, dir) =>
-      t(s, dir, "events")
-        .repartition(s.sparkContext.defaultParallelism)
+      Tables.spread(t(s, dir, "events"))
         .withColumn("v", expr("parse_json(props)"))
         .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
         .groupBy("event_type")

@@ -33,13 +33,13 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
   /** embeddings with the vector widened to array<double> + its L2 norm,
-    * spread across all cores (the testdata ships as one small parquet file →
-    * one input split, which would serialize the CPU-bound dot-product work;
-    * on a real cluster the scan already has many splits). */
+    * spread across all cores only when the scan has fewer splits than cores
+    * (single-file local testdata would serialize the CPU-bound dot-product
+    * work; on a real cluster the scan already has many splits and
+    * Tables.spread adds no shuffle). */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Natives.register(s)
-    Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spread(Tables.load(s, dir, "embeddings"))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
@@ -60,7 +60,10 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine_raw").desc, col("vec_id").asc)
-      q.crossJoin(e)
+      // explicit broadcast of the 10-row query side → BroadcastNestedLoopJoin
+      // streaming the corpus side, instead of a CartesianProduct that
+      // re-partitions both sides; |Q| is constant so this holds at any scale
+      broadcast(q).crossJoin(e)
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cosine_raw", expr(dot) / (col("qn") * col("nrm")))
         .withColumn("rn", row_number().over(w))
@@ -79,7 +82,7 @@ object Similarity {
           col("v").as("qv"), col("nrm").as("qn"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine_raw").desc, col("vec_id").asc)
-      q.join(e, col("q_label") === col("label") && col("vec_id") =!= col("q_id"))
+      broadcast(q).join(e, col("q_label") === col("label") && col("vec_id") =!= col("q_id"))
         .withColumn("cosine_raw", expr(dot) / (col("qn") * col("nrm")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, In, InSet, Literal}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -50,13 +50,22 @@ object DirectJoinRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** True if a prior iteration of the fixed-point optimizer batch already
+    * planted the IN filter anywhere under the big side. Must recognize both
+    * shapes later rules produce from our `In`: OptimizeIn rewrites
+    * In → InSet for key lists above inSetConversionThreshold (default 10),
+    * and ColumnPruning can interpose a Project between the Join and the
+    * Filter — so this searches the whole subtree, not just the immediate
+    * child, or the rule would re-add the filter every iteration and the
+    * batch would never converge for 11..MaxKeys keys. */
   private def alreadyRewritten(side: LogicalPlan, attr: Attribute): Boolean =
-    side match {
+    side.exists {
       case Filter(cond, _) =>
-        cond.find {
+        cond.exists {
           case In(a: Attribute, _) => a.exprId == attr.exprId
+          case InSet(a: Attribute, _) => a.exprId == attr.exprId
           case _ => false
-        }.isDefined
+        }
       case _ => false
     }
 

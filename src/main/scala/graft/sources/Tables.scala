@@ -36,4 +36,15 @@ object Tables {
   /** Register every table as a temp view so spark.sql(...) works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Spread rows across all cores ONLY when the scan yields fewer splits
+    * than the default parallelism (the local single-file-testdata case, where
+    * expensive per-row work would otherwise serialize on one core). On a real
+    * cluster the scan already has ≥cores splits and this is a genuine no-op —
+    * no shuffle is added. Inspecting partition count forces physical planning
+    * of the scan only, not execution. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

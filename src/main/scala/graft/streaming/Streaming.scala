@@ -92,7 +92,11 @@ object Streaming {
       stage(s, ev, Row(-1L, sentTs, -1L, "__sentinel", 0.0, "{}"), path)
       ev.schema
     })
-    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(path)
+    // 2 files per trigger: chunk ranges are disjoint and mod-time ordered, so
+    // event-time order across micro-batches still holds ([c1,c2] [c3,c4]
+    // [sentinel]); 3 micro-batches instead of 5 halves the per-batch state
+    // commit overhead while still exercising multi-batch accumulation.
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(path)
   }
 
   /** Run `out` to completion into an append-mode memory sink and return the
@@ -104,10 +108,12 @@ object Streaming {
     * micro-batch commits one state file per shuffle partition, and at this
     * data volume 32 partitions are pure commit overhead. (On a real cluster
     * this knob is sized to state volume, not cores.) */
-  private def runToMemory(out: DataFrame, name: String,
-      mode: String = "append"): DataFrame = {
-    val s = out.sparkSession
-    val old = s.conf.get("spark.sql.shuffle.partitions")
+  /** Run `body` with streaming-tuned session conf, restoring BOTH touched
+    * keys afterwards so nothing leaks to later batch queries on the same
+    * session. */
+  private def withStreamConf[T](s: SparkSession)(body: => T): T = {
+    val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val oldProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     // State-store provider is a state-size decision: at this volume (KBs
     // per partition) the HDFS-backed in-memory provider beats RocksDB, whose
@@ -116,21 +122,32 @@ object Streaming {
     // Measured here: HDFS ≈ 10% faster end-to-end than RocksDB at sf0.1.
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try {
-      q.processAllAvailable()
-      var last = -1L
-      var stable = 0
-      var rounds = 0
-      while (stable < 2 && rounds < 40) {
-        val c = s.table(name).count()
-        if (c == last) stable += 1 else { stable = 0; last = c }
-        rounds += 1
-        if (stable < 2) { Thread.sleep(150); q.processAllAvailable() }
-      }
-    } finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", old)
+    try body
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", oldProvider)
+    }
+  }
+
+  private def runToMemory(out: DataFrame, name: String,
+      mode: String = "append"): DataFrame = {
+    val s = out.sparkSession
+    withStreamConf(s) {
+      val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try {
+        q.processAllAvailable()
+        var last = -1L
+        var stable = 0
+        var rounds = 0
+        while (stable < 2 && rounds < 40) {
+          val c = s.table(name).count()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+          rounds += 1
+          if (stable < 2) { Thread.sleep(50); q.processAllAvailable() }
+        }
+        // never return a possibly still-flushing sink as a success
+        require(stable >= 2, s"memory sink $name did not stabilize after $rounds rounds")
+      } finally q.stop()
     }
     s.table(name)
   }
@@ -219,16 +236,35 @@ object Streaming {
     // express; state is one tiny row per user.
     "q_stream_stateful" -> { (s, dir) =>
       import org.apache.spark.sql.streaming.GroupStateTimeout
-      val ev = eventStream(s, dir, "events").as[Ev](Encoders.product[Ev])
+      // Event-time timeout bounds state at scale: user cardinality is
+      // unbounded at 100 TB/day, so every state row carries an expiry — a
+      // user idle for 24 h (event time) is flushed and removed. The timed-out
+      // emission repeats the final totals, which the downstream max() absorbs.
+      val ev = eventStream(s, dir, "events")
+        .withWatermark("ts", "30 minutes")
+        .as[Ev](Encoders.product[Ev])
       val out = ev.groupByKey(_.user_id)(Encoders.scalaLong)
-        .mapGroupsWithState[UserState, UserTotals](GroupStateTimeout.NoTimeout) {
+        .mapGroupsWithState[UserState, UserTotals](GroupStateTimeout.EventTimeTimeout) {
           (uid, evs, state) =>
-            val st = state.getOption.getOrElse(UserState(0L, 0L))
-            var n = st.n
-            var cents = st.cents
-            evs.foreach { e => n += 1; cents += math.round(e.value * 100) }
-            state.update(UserState(n, cents))
-            UserTotals(uid, n, cents)
+            if (state.hasTimedOut) {
+              val st = state.get
+              state.remove()
+              UserTotals(uid, st.n, st.cents)
+            } else {
+              val st = state.getOption.getOrElse(UserState(0L, 0L))
+              var n = st.n
+              var cents = st.cents
+              var maxTs = Long.MinValue
+              evs.foreach { e =>
+                n += 1; cents += math.round(e.value * 100)
+                if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+              }
+              state.update(UserState(n, cents))
+              // chunks replay in event-time order, so last-event + 24 h is
+              // always ahead of the current watermark
+              state.setTimeoutTimestamp(maxTs + 24L * 3600 * 1000)
+              UserTotals(uid, n, cents)
+            }
         }(Encoders.product[UserState], Encoders.product[UserTotals])
       runToMemory(out.toDF(), "graft_stream_stateful", mode = "update")
         .filter(col("user_id") >= 0)
@@ -246,19 +282,32 @@ object Streaming {
     // a batch cumulative-window SQL.
     "q_stream_milestones" -> { (s, dir) =>
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-      val ev = eventStream(s, dir, "events").as[Ev](Encoders.product[Ev])
+      // Same state-bounding rule as q_stream_stateful: event-time timeout
+      // evicts users idle 24 h (event time); a timed-out group emits nothing
+      // (milestones were already emitted as they were crossed).
+      val ev = eventStream(s, dir, "events")
+        .withWatermark("ts", "30 minutes")
+        .as[Ev](Encoders.product[Ev])
       val out = ev.groupByKey(_.user_id)(Encoders.scalaLong)
         .flatMapGroupsWithState[Long, Milestone](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, evs, state) =>
-            var cum = state.getOption.getOrElse(0L)
-            val ms = Seq.newBuilder[Milestone]
-            evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              val before = cum / 100000L
-              cum += math.round(e.value * 100)
-              if (cum / 100000L > before) ms += Milestone(uid, e.event_id, cum / 100000L)
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (uid, evs, state) =>
+            if (state.hasTimedOut) {
+              state.remove()
+              Iterator.empty
+            } else {
+              var cum = state.getOption.getOrElse(0L)
+              val ms = Seq.newBuilder[Milestone]
+              var maxTs = Long.MinValue
+              evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+                val before = cum / 100000L
+                cum += math.round(e.value * 100)
+                if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+                if (cum / 100000L > before) ms += Milestone(uid, e.event_id, cum / 100000L)
+              }
+              state.update(cum)
+              state.setTimeoutTimestamp(maxTs + 24L * 3600 * 1000)
+              ms.result().iterator
             }
-            state.update(cum)
-            ms.result().iterator
           }(Encoders.scalaLong, Encoders.product[Milestone])
       runToMemory(out.toDF(), "graft_stream_milestones")
         .filter(col("user_id") >= 0)
@@ -276,10 +325,14 @@ object Streaming {
       val agg = eventStream(s, dir, "events")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), moneySum("value").as("sum_value"))
-      val q = agg.writeStream.outputMode("complete")
-        .foreachBatch { (batch: DataFrame, _: Long) => acc.set(batch.collect()) }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // complete-mode state commits dominate this query's cost, so it runs
+      // under the same pinned shuffle/state partitioning as runToMemory
+      withStreamConf(s) {
+        val q = agg.writeStream.outputMode("complete")
+          .foreachBatch { (batch: DataFrame, _: Long) => acc.set(batch.collect()) }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.createDataFrame(java.util.Arrays.asList(acc.get(): _*), agg.schema)
         .filter(col("event_type") =!= "__sentinel")
         .orderBy("event_type")
