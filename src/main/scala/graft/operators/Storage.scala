@@ -90,6 +90,39 @@ object Storage {
         .orderBy("c_mktsegment")
     },
 
+    // Storage-partitioned join (SURVEY.md §4.1, last row): both sides come
+    // from the DSv2 source graft.sources.KVDataSource, which reports its
+    // key-grouped layout via SupportsReportPartitioning/KeyGroupedPartitioning
+    // and HasPartitionKey splits — so the equi-join on the nation key elides
+    // BOTH shuffles (PlanSpec asserts zero Exchange). This is the truest
+    // Spark-native analog of the reference's token-aware local read
+    // (reference: README.md:135): the source declares who owns each key
+    // range, and the join happens where the data lies. The merge hint only
+    // rules out a broadcast plan, which would have hidden the property under
+    // demonstration.
+    "q_spj_join" -> { (s, dir) =>
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      val nName = s"nation:$dir"
+      val cName = s"customer:$dir"
+      graft.sources.KeyGroupedRegistry.stage(nName,
+        Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast(LongType).as("n_nationkey"), col("n_name")),
+        "n_nationkey")
+      graft.sources.KeyGroupedRegistry.stage(cName,
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"),
+            col("c_nationkey").cast(LongType).as("c_nationkey"), col("c_acctbal")),
+        "c_nationkey")
+      val n = s.read.format("graft.sources.KVDataSource").option("table", nName).load()
+      val c = s.read.format("graft.sources.KVDataSource").option("table", cName).load()
+      n.join(c.hint("merge"), n("n_nationkey") === c("c_nationkey"))
+        .groupBy("n_nationkey", "n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast(DecimalType(12, 2))).cast(DoubleType).as("total_bal"))
+        .orderBy("n_nationkey")
+    },
+
     // Count pushdown (cassandraCount analog): the DSv2 parquet scan answers
     // COUNT(*) from footer metadata without materializing rows
     // (PushedAggregation=[COUNT(*)], asserted in PlanSpec).
@@ -204,6 +237,14 @@ object Storage {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_spj_join" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q_count_pushdown" ->
       "SELECT COUNT(*) AS n_rows FROM lineitem",

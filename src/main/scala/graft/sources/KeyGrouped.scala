@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Storage-partitioned join demo source (SURVEY.md §4.1, last row): a DSv2
+  * table that reports its physical layout — rows pre-grouped by a key — as
+  * `KeyGroupedPartitioning`, so an equi-join of two co-partitioned tables on
+  * that key elides BOTH shuffles (a "storage-partitioned join").
+  *
+  * This is the truest Spark-native analog of the reference demo's headline:
+  * the token-aware connector + node labels arrange that Spark reads each
+  * Cassandra token range from the replica that owns it, so no data moves
+  * between nodes (reference: README.md:135, userdata/cloudinit.sh:124-137).
+  * Here the "token ring" is the key→partition assignment the source reports,
+  * and "no data moves" is the Exchange-free join plan (asserted in PlanSpec).
+  * The bucketed-table analog (q_bucketed_join) shows the same effect via
+  * catalog metadata; this one shows it the way a real connector does — from
+  * the source's own partition report, with each split carrying its partition
+  * key (`HasPartitionKey`).
+  *
+  * Scale: this is precisely the mechanism that removes the two biggest
+  * shuffles of a key-to-key join at 100 TB — data is joined where it lies,
+  * per partition. Requires `spark.sql.sources.v2.bucketing.enabled` (set by
+  * the staging helper); partition-value mismatches between the sides are
+  * handled by Spark's partition push-down (missing keys on one side become
+  * empty partitions rather than a fallback shuffle).
+  *
+  * The in-driver registry below stands in for the external storage system a
+  * real connector would read (the demo's Cassandra cluster); the operator
+  * under test is the scan/join, not the staging.
+  */
+object KeyGroupedRegistry {
+  /** One staged table: schema, the key column (must be LongType), and the
+    * rows grouped by key — one entry per distinct key = one input split. */
+  final case class Entry(schema: StructType, keyCol: String,
+      parts: Array[(Long, Array[Array[Any]])])
+
+  private val tables = TrieMap.empty[String, Entry]
+  def put(name: String, e: Entry): Unit = tables.put(name, e)
+  def get(name: String): Entry = tables.getOrElse(name,
+    throw new IllegalArgumentException(s"graft-kv table not staged: $name"))
+  def contains(name: String): Boolean = tables.contains(name)
+
+  /** Collect a (small) DataFrame into the registry grouped by `keyCol`.
+    * Driver-side by design: the registry emulates the external cluster that
+    * owns the data; at real scale rows never pass through the driver. */
+  def stage(name: String, df: DataFrame, keyCol: String): Unit = {
+    if (contains(name)) return
+    val schema = df.schema
+    val ki = schema.fieldIndex(keyCol)
+    val grouped = df.collect()
+      .map(r => r.toSeq.toArray)
+      .groupBy(a => a(ki).asInstanceOf[Long])
+      .toArray.sortBy(_._1)
+    put(name, Entry(schema, keyCol, grouped))
+  }
+}
+
+/** `spark.read.format("graft.sources.KVDataSource").option("table", name)` */
+class KVDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KeyGroupedRegistry.get(options.get("table")).schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val name = properties.get("table")
+    new KVTable(name, KeyGroupedRegistry.get(name))
+  }
+}
+
+class KVTable(tname: String, entry: KeyGroupedRegistry.Entry)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-kv:$tname"
+  override def schema(): StructType = entry.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity(entry.keyCol))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder { override def build(): Scan = new KVScan(tname, entry) }
+}
+
+class KVScan(tname: String, entry: KeyGroupedRegistry.Entry)
+    extends Scan with Batch with SupportsReportPartitioning {
+  override def readSchema(): StructType = entry.schema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-kv:$tname"
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity(entry.keyCol)), entry.parts.length)
+  override def planInputPartitions(): Array[InputPartition] =
+    entry.parts.map { case (k, rows) => KVPartition(k, rows): InputPartition }
+  override def createReaderFactory(): PartitionReaderFactory = new KVReaderFactory
+}
+
+/** One split = one key's rows; `partitionKey` is what lets Spark line the
+  * two sides of the join up split-by-split. */
+case class KVPartition(key: Long, rows: Array[Array[Any]])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(key)
+}
+
+class KVReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = p.asInstanceOf[KVPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(rows(i).toIndexedSeq.map {
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

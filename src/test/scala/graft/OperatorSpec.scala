@@ -96,6 +96,25 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(total == graft.sources.Tables.load(spark, sfDir, "documents").count())
   }
 
+  test("approx_count_distinct stays within 5% of exact per group") {
+    // bounds the sketch query the oracle can't check (HLL values are
+    // engine-specific): default rsd=5%, asserted against the exact distinct
+    // counts of the same pipeline
+    import graft.operators.{Relational, Storage}
+    val approx = Storage.queries("q_approx_distinct")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Relational.queries("q_count_distinct")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (ndParts, ndSupps)) =>
+      val (aParts, aSupps) = approx(flag)
+      assert(math.abs(aParts - ndParts).toDouble / ndParts <= 0.05,
+        s"$flag parts: approx $aParts vs exact $ndParts")
+      assert(math.abs(aSupps - ndSupps).toDouble / ndSupps <= 0.05,
+        s"$flag supps: approx $aSupps vs exact $ndSupps")
+    }
+  }
+
   test("cosine top-k returns exactly k ranked matches per query vector") {
     val rows = Similarity.queries("q_cosine_topk")(spark, sfDir).collect()
     val perQ = rows.groupBy(_.getLong(0))

@@ -45,6 +45,54 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("storage-partitioned join runs with zero Exchange (DSv2 KeyGroupedPartitioning)") {
+    // run the declared query once: stages the registry + sets the SPJ confs
+    Storage.queries("q_spj_join")(spark, sfDir).collect()
+    val n = spark.read.format("graft.sources.KVDataSource")
+      .option("table", s"nation:$sfDir").load()
+    val c = spark.read.format("graft.sources.KVDataSource")
+      .option("table", s"customer:$sfDir").load()
+    val joined = n.join(c.hint("merge"), n("n_nationkey") === c("c_nationkey"))
+    joined.collect() // finalize the (adaptive) plan
+    val plan = planOf(joined)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("bare limit compiles to CollectLimitExec (the show() physical shape)") {
+    // O3: the reference job's df.show(truncate=False) plans CollectLimitExec(21)
+    // (reference: userdata/cloudinit.sh:351); same shape for a bare .limit
+    val df = graft.sources.Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey").limit(20)
+    val plan = planOf(df)
+    assert(plan.contains("CollectLimit"), plan)
+  }
+
+  test("DirectJoinRule converges above the In->InSet threshold (11..1024 keys)") {
+    // 20 keys > spark.sql.optimizer.inSetConversionThreshold (10): OptimizeIn
+    // rewrites the planted In to InSet in the same fixed-point batch; the
+    // rule must recognize the rewritten form or it re-adds the filter every
+    // iteration (optimizer churn + stacked duplicate filters).
+    Relational.queries("q_direct_join")(spark, sfDir).collect() // installs rule
+    val keys = spark.createDataFrame(
+      java.util.Arrays.asList((1L to 20L).map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lookup_key",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val c = graft.sources.Tables.load(spark, sfDir, "customer")
+    val joined = c.join(keys, c("c_custkey") === keys("lookup_key"))
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val planted = joined.queryExecution.optimizedPlan.collect {
+      case f: Filter if f.condition.exists {
+        case _: In | _: InSet => true
+        case _ => false
+      } => f
+    }
+    assert(planted.size == 1, joined.queryExecution.optimizedPlan.toString)
+    assert(joined.collect().length == 20)
+  }
+
   test("count(*) is answered by parquet footer metadata (cassandraCount analog)") {
     val plan = planOf(Storage.queries("q_count_pushdown")(spark, sfDir))
     assert(plan.contains("PushedAggregation"), plan)
