@@ -406,6 +406,29 @@ object Relational {
         .orderBy("p_partkey")
     },
 
+    // Scalar map-function surface over part: construction (map, map_concat,
+    // element_at), introspection (size, map_keys/values, map_contains_key)
+    // and the map HOFs (map_filter, transform_values). Map-typed columns are
+    // serialized to joined strings on output — same portability rule as
+    // arrays (the driver's comparator can only sort scalars).
+    "q_scalar_map" -> { (s, dir) =>
+      t(s, dir, "part")
+        .withColumn("m", map_concat(
+          map(lit("brand"), col("p_brand"), lit("type"), col("p_type")),
+          map(lit("name"), col("p_name"))))
+        .select(
+          col("p_partkey"),
+          element_at(col("m"), "brand").as("v_brand"),
+          element_at(col("m"), "name").as("v_name"),
+          size(col("m")).as("n_entries"),
+          array_join(sort_array(map_keys(col("m"))), ",").as("keys_sorted"),
+          expr("map_contains_key(m, 'type')").as("has_type"),
+          expr("size(map_filter(m, (k, v) -> k <> 'type'))").as("n_no_type"),
+          expr("array_join(sort_array(map_values(transform_values(m, (k, v) -> upper(v)))), '|')")
+            .as("vals_upper"))
+        .orderBy("p_partkey")
+    },
+
     // Scalar date/time functions over orders.
     "q_scalar_datetime" -> { (s, dir) =>
       t(s, dir, "orders")
@@ -786,6 +809,18 @@ object Relational {
         |  SUBSTRING(p_name, 1, 8) AS prefix,
         |  p_brand || '/' || p_type AS brand_type,
         |  REPLACE(p_name, ' ', '_') AS snake
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_scalar_map" ->
+      """SELECT p_partkey,
+        |  p_brand AS v_brand,
+        |  p_name AS v_name,
+        |  3 AS n_entries,
+        |  'brand,name,type' AS keys_sorted,
+        |  TRUE AS has_type,
+        |  2 AS n_no_type,
+        |  array_to_string(list_sort([upper(p_brand), upper(p_type), upper(p_name)]), '|') AS vals_upper
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
 

@@ -338,6 +338,34 @@ object Streaming {
         .orderBy("event_type")
     },
 
+    // Stream-stream interval join: every purchase matched to the same user's
+    // signups in the preceding 12 h — both sides unbounded streams, the shape
+    // stream-static enrich can't express. The event-time range condition is
+    // what bounds join state at 100 TB: each side's buffered rows are evicted
+    // once the other side's watermark passes their ts + 12 h; without it,
+    // stream-stream join state grows forever. Inner-join results emit eagerly
+    // in the micro-batch where both sides have arrived, so chunked replay
+    // converges to the batch join the oracle computes.
+    "q_stream_join" -> { (s, dir) =>
+      // watermark BEFORE the type filters so the sentinel advances it on
+      // both branches of the self-joined stream
+      val base = eventStream(s, dir, "events").withWatermark("ts", "30 minutes")
+      val p = base.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val sg = base.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+          col("ts").as("s_ts"))
+      val joined = p.join(sg,
+        col("p_user") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 12 HOURS"))
+        .select(col("p_id"), col("s_id"), col("p_user").as("user_id"),
+          col("p_ts"), col("s_ts"))
+      runToMemory(joined, "graft_stream_join")
+        .orderBy("p_id", "s_id")
+    },
+
     // Streaming dedup: re-inject every 97th event as an in-stream duplicate
     // and drop it again with watermark-bounded dedup state on the key.
     "q_stream_dedup" -> { (s, dir) =>
@@ -412,6 +440,15 @@ object Streaming {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT p.event_id AS p_id, s.event_id AS s_id, p.user_id AS user_id,
+        |  p.ts AS p_ts, s.ts AS s_ts
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id
+        | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 12 HOUR
+        |ORDER BY p_id, s_id""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value, props
