@@ -32,4 +32,42 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .select("event_id").collect().map(_.getLong(0)).sorted
     assert(streamed.sameElements(all))
   }
+
+  test("events later than the watermark are dropped, on-time events are not") {
+    // The semantic the replay harness deliberately never exercises (its
+    // chunks are disjoint and time-ordered, so nothing is ever late): an
+    // event older than watermark - delay must be excluded from its window's
+    // append-mode emission. Controlled micro-batches via MemoryStream.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(3600_000L * 24 + 60_000L * min)
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = ms.toDF.toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(sum("v").as("total"))
+      .select(col("window.start").as("w_start"), col("total"))
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = agg.writeStream.format("memory").queryName("graft_late_test")
+      .outputMode("append").start()
+    try {
+      ms.addData((ts(0), 1L), (ts(5), 10L)) // window [24:00,24:10) = 11
+      q.processAllAvailable()
+      ms.addData((ts(60), 100L)) // watermark -> 24:50, first window closes
+      q.processAllAvailable()
+      ms.addData((ts(7), 1000L)) // LATE: 24:07 < watermark 24:50 -> dropped
+      q.processAllAvailable()
+      ms.addData((ts(120), 1L)) // flush the 100-valued window too
+      q.processAllAvailable()
+      val rows = spark.table("graft_late_test")
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(rows(ts(0)) == 11L, rows) // late 1000 NOT added
+      assert(rows(ts(60)) == 100L, rows)
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+  }
 }
