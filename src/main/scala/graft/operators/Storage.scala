@@ -218,6 +218,25 @@ object Storage {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum("l_quantity").cast(DoubleType).as("qty"))
         .orderBy("l_returnflag")
+    },
+
+    // JSON-lines round-trip — the third non-parquet format tier (CSV and ORC
+    // above): distributed write of a projection to .json, schema-declared
+    // read back (schema inference at 100 TB would be a full extra pass),
+    // aggregate must equal the parquet-side oracle. Shortest-representation
+    // double serialization makes the money column round-trip exactly.
+    "q_json_roundtrip" -> { (s, dir) =>
+      val of = Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val base = s"${sys.props("java.io.tmpdir")}/graft-jsonrt/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      of.write.mode(SaveMode.Overwrite).json(base)
+      s.read.schema(of.schema).json(base)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
+        .orderBy("o_orderstatus")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -269,6 +288,14 @@ object Storage {
         |WHERE YEAR(o_orderdate) = 1997
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey <= 50
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_format_roundtrip" ->
       """SELECT l_returnflag, 2 * COUNT(*) AS n,
