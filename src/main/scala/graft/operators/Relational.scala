@@ -186,6 +186,26 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // Time-series resample with gap filling: per-user DAILY event counts
+    // including zero days, over each user's own active span — the generator
+    // (sequence + explode, E9) as a declared operator rather than an LSH
+    // internal. Scale: the explode is bounded by span-days per user (narrow,
+    // no shuffle), and the left join shuffles once on (user_id, day) — the
+    // standard resample shape for feature pipelines at 100 TB.
+    "q_resample" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val span = ev.groupBy("user_id")
+        .agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+      val days = span.select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      days.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy("user_id", "d")
+    },
+
     // The SQL front door (O9's spark.sql path): same engine, textual entry —
     // a TPC-H Q6-style forecast revenue query over registered temp views.
     "q_sql_api" -> { (s, dir) =>
@@ -660,6 +680,20 @@ object Relational {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id, p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_resample" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+        |  FROM events GROUP BY 1),
+        |days AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM span)
+        |SELECT days.user_id, days.d AS d, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+        |FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.d = daily.d
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_sql_api" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))

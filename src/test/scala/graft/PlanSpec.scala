@@ -147,6 +147,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("cosine top-k broadcasts the constant query side") {
+    // the |Q|=10 side must be the broadcast side of the nested-loop join —
+    // a CartesianProduct here would re-partition the full corpus at scale
+    import graft.operators.Similarity
+    val df = Similarity.queries("q_cosine_topk")(spark, sfDir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("range join against a constant dim is a broadcast nested loop") {
     val df = Relational.queries("q_range_join")(spark, sfDir)
     df.collect()
