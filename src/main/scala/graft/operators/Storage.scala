@@ -90,6 +90,29 @@ object Storage {
         .orderBy("c_mktsegment")
     },
 
+    // The CassandraCatalog analog (graft.sources.GraftCatalog): keyspace and
+    // table DDL through a DSv2 catalog plugin, with INSERT-as-upsert enforced
+    // by the write path itself (BatchWrite.commit merges by the declared
+    // key, last-write-wins) — the engine-level form of Cassandra's INSERT
+    // semantics that q_users_upsert implements as a model-layer helper.
+    // Same upsert batch as q_users_upsert: idempotent re-insert, key
+    // overwrite, new key.
+    "q_catalog_upsert" -> { (s, _) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.users")
+      s.sql("CREATE TABLE graftcat.testks.users (id INT, name STRING, email STRING) " +
+        "TBLPROPERTIES ('key'='id')")
+      s.sql("INSERT INTO graftcat.testks.users VALUES " +
+        "(1,'Alice','alice@example.com'), (2,'Bob','bob@example.com'), " +
+        "(3,'Charlie','charlie@example.com')")
+      s.sql("INSERT INTO graftcat.testks.users VALUES " +
+        "(1,'Alice','alice@example.com'), " + // idempotent re-insert
+        "(2,'Bob','bob@refresh.example'), " + // key overwrite
+        "(4,'Dana','dana@example.com')")      // new key
+      s.sql("SELECT * FROM graftcat.testks.users ORDER BY id")
+    },
+
     // Storage-partitioned join (SURVEY.md §4.1, last row): both sides come
     // from the DSv2 source graft.sources.KVDataSource, which reports its
     // key-grouped layout via SupportsReportPartitioning/KeyGroupedPartitioning
@@ -256,6 +279,14 @@ object Storage {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_catalog_upsert" ->
+      """SELECT * FROM (VALUES
+        | (1, 'Alice',   'alice@example.com'),
+        | (2, 'Bob',     'bob@refresh.example'),
+        | (3, 'Charlie', 'charlie@example.com'),
+        | (4, 'Dana',    'dana@example.com')) AS t(id, name, email)
+        |ORDER BY id""".stripMargin,
 
     "q_spj_join" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

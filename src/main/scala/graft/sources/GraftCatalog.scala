@@ -1,0 +1,188 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 catalog plugin with Cassandra keyspace/table semantics — the analog
+  * of the connector's `CassandraCatalog` (the pinned stack's catalog
+  * integration, selected by the reference at userdata/cloudinit.sh:461; the
+  * reference's CQL session does the same operations server-side at
+  * userdata/cloudinit.sh:296-321):
+  *
+  *   - namespace = keyspace (`CREATE NAMESPACE graftcat.testks`);
+  *   - `CREATE TABLE graftcat.testks.users (...) TBLPROPERTIES ('key'='id')`
+  *     declares the partition key;
+  *   - **INSERT is an upsert**: the write path itself merges by key,
+  *     last-write-wins — exactly Cassandra's INSERT semantics, enforced at
+  *     the engine level (the DSv2 `BatchWrite.commit`), not by a helper the
+  *     caller must remember to use.
+  *
+  * Register at runtime:
+  *   `spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")`
+  * (catalogs are resolved lazily on first 3-part-name reference).
+  *
+  * Storage is in-driver (stands in for the external cluster, like
+  * KeyGroupedRegistry); executors stream rows back to the driver only through
+  * commit messages, which is correct for the reference-sized DDL surface this
+  * models — the scan/write PLUMBING (scan builder, writer factory, commit
+  * protocol) is the real DSv2 shape a scaled implementation would keep while
+  * swapping the store.
+  */
+object GraftCatalogStore {
+  final class T(val schema: StructType, val keyCol: String) {
+    val rows = TrieMap.empty[Any, Array[Any]]
+  }
+  val namespaces = TrieMap.empty[String, Map[String, String]]
+  val tables = TrieMap.empty[(String, String), T]
+}
+
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  import GraftCatalogStore._
+
+  private var catName = "graftcat"
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catName = name
+  override def name(): String = catName
+
+  private def nsOf(ident: Identifier): String = ident.namespace().mkString(".")
+
+  // ---- namespaces (keyspaces)
+  override def createNamespace(ns: Array[String], meta: util.Map[String, String]): Unit =
+    namespaces.put(ns.mkString("."), meta.asScala.toMap)
+  override def namespaceExists(ns: Array[String]): Boolean =
+    namespaces.contains(ns.mkString("."))
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] =
+    namespaces.get(ns.mkString("."))
+      .getOrElse(throw new NoSuchNamespaceException(ns)).asJava
+  override def listNamespaces(): Array[Array[String]] =
+    namespaces.keys.map(_.split('.')).toArray
+  override def listNamespaces(parent: Array[String]): Array[Array[String]] =
+    Array.empty
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace")
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    val key = ns.mkString(".")
+    if (cascade) tables.keys.filter(_._1 == key).foreach(tables.remove)
+    namespaces.remove(key).isDefined
+  }
+
+  // ---- tables
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val key = ns.mkString(".")
+    tables.keys.collect { case (n, t) if n == key => Identifier.of(ns, t) }.toArray
+  }
+  override def loadTable(ident: Identifier): Table = {
+    val key = (nsOf(ident), ident.name())
+    val t = tables.getOrElse(key, throw new NoSuchTableException(ident))
+    new GUpsertTable(s"$catName.${key._1}.${key._2}", t)
+  }
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val key = (nsOf(ident), ident.name())
+    if (tables.contains(key))
+      throw new TableAlreadyExistsException(key._1, key._2)
+    val keyCol = Option(properties.get("key")).getOrElse(schema.fields.head.name)
+    require(schema.fieldNames.contains(keyCol), s"key column $keyCol not in schema")
+    tables.put(key, new GraftCatalogStore.T(schema, keyCol))
+    loadTable(ident)
+  }
+  override def dropTable(ident: Identifier): Boolean =
+    tables.remove((nsOf(ident), ident.name())).isDefined
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("alterTable")
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException("renameTable")
+}
+
+/** Readable + writable in-memory table; writes merge by key (upsert). */
+class GUpsertTable(tname: String, t: GraftCatalogStore.T)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = tname
+  override def schema(): StructType = t.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = t.schema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GRows(t.rows.values.toArray))
+        override def createReaderFactory(): PartitionReaderFactory = new GReaderFactory
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+            GWriterFactory(t.schema)
+          // the upsert: every incoming row replaces the stored row with the
+          // same key value — Cassandra INSERT semantics at the commit level
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val ki = t.schema.fieldIndex(t.keyCol)
+            messages.foreach { case GCommit(rows) =>
+              rows.foreach(r => t.rows.put(r(ki), r))
+            }
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+}
+
+case class GRows(rows: Array[Array[Any]]) extends InputPartition
+
+class GReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = p.asInstanceOf[GRows].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(rows(i).toIndexedSeq.map {
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        })
+      override def close(): Unit = ()
+    }
+  }
+}
+
+case class GCommit(rows: Array[Array[Any]]) extends WriterCommitMessage
+
+case class GWriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      override def write(row: InternalRow): Unit =
+        buf += schema.fields.zipWithIndex.map { case (f, i) =>
+          if (row.isNullAt(i)) null
+          else f.dataType match {
+            case IntegerType => row.getInt(i)
+            case LongType => row.getLong(i)
+            case DoubleType => row.getDouble(i)
+            case BooleanType => row.getBoolean(i)
+            case StringType => row.getUTF8String(i).toString
+            case dt => throw new UnsupportedOperationException(s"type $dt")
+          }
+        }
+      override def commit(): WriterCommitMessage = GCommit(buf.toArray)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
