@@ -134,26 +134,32 @@ object Streaming {
     val s = out.sparkSession
     withStreamConf(s) {
       val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
-      try {
-        q.processAllAvailable()
-        var last = -1L
-        var stable = 0
-        var rounds = 0
-        while (stable < 2 && rounds < 40) {
-          val c = s.table(name).count()
-          if (c == last) stable += 1 else { stable = 0; last = c }
-          rounds += 1
-          if (stable < 2) { Thread.sleep(50); q.processAllAvailable() }
-        }
-        // never return a possibly still-flushing sink as a success
-        require(stable >= 2, s"memory sink $name did not stabilize after $rounds rounds")
-      } finally q.stop()
+      try drainStable(q, s.table(name).count()) finally q.stop()
     }
     s.table(name)
   }
 
   private def moneySum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast(DecimalType(12, 2))).cast(DoubleType)
+
+  /** Drive a started query to completion: processAllAvailable, then poll
+    * `size` until it is stable twice (the final watermark-driven eviction
+    * lands in a no-data micro-batch that can trail processAllAvailable);
+    * fails loudly rather than returning a still-flushing sink. */
+  private def drainStable(q: org.apache.spark.sql.streaming.StreamingQuery,
+      size: => Long): Unit = {
+    q.processAllAvailable()
+    var last = -1L
+    var stable = 0
+    var rounds = 0
+    while (stable < 2 && rounds < 40) {
+      val c = size
+      if (c == last) stable += 1 else { stable = 0; last = c }
+      rounds += 1
+      if (stable < 2) { Thread.sleep(50); q.processAllAvailable() }
+    }
+    require(stable >= 2, s"sink did not stabilize after $rounds rounds")
+  }
 
   // ---------------------------------------------------------------- queries
 
@@ -366,6 +372,39 @@ object Streaming {
         .orderBy("p_id", "s_id")
     },
 
+    // File sink with checkpointed exactly-once commits — the durable-output
+    // tier next to the memory sink (tests) and foreachBatch (custom sinks):
+    // append-mode windowed aggregates land as parquet files tracked by the
+    // sink's _spark_metadata log, so readers only ever see committed files
+    // and a crashed batch is re-run, not double-written. At 100 TB this is
+    // THE production sink shape (files + log = atomically visible output).
+    // The checkpoint is deleted up front: the sink's exactly-once contract
+    // is tied to it, and a stale one would make a re-run a no-op.
+    "q_stream_sink_files" -> { (s, dir) =>
+      val root = stageRoot("sink-out", dir)
+      val outPath = s"$root/out"
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val agg = eventStream(s, dir, "events")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "3 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum("value").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      withStreamConf(s) {
+        val q = agg.writeStream.format("parquet")
+          .option("path", outPath)
+          .option("checkpointLocation", s"$root/chk")
+          .outputMode("append").start()
+        // reading the sink dir goes through its metadata log -> only
+        // committed files are counted, even while the query runs
+        try drainStable(q, s.read.parquet(outPath).count()) finally q.stop()
+      }
+      s.read.parquet(outPath)
+        .filter(col("event_type") =!= "__sentinel")
+        .orderBy("w_start", "event_type")
+    },
+
     // Streaming dedup: re-inject every 97th event as an in-stream duplicate
     // and drop it again with watermark-bounded dedup state on the key.
     "q_stream_dedup" -> { (s, dir) =>
@@ -440,6 +479,14 @@ object Streaming {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_stream_sink_files" ->
+      """SELECT time_bucket(INTERVAL 3 HOUR, ts) AS w_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_stream_join" ->
       """SELECT p.event_id AS p_id, s.event_id AS s_id, p.user_id AS user_id,
