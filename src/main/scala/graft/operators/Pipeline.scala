@@ -235,6 +235,23 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Deterministic dataset splitting: train/val/test assignment by a
+    // portable content-independent hash of the document id (md5-prefix mod
+    // 100 → 80/10/10). This is how a 100 TB pipeline splits reproducibly —
+    // no sampling state, no seed coordination across executors, stable under
+    // re-partitioning and re-runs, and any engine (here: DuckDB) assigns
+    // every document to the same split.
+    "q_dataset_split" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("h", expr(s"${hExpr("cast(doc_id as string)")} % 100"))
+        .withColumn("split",
+          when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+        .orderBy("split")
+    },
+
     // Per-language corpus stats (count / token / char aggregates).
     "q_text_stats" -> { (s, dir) =>
       docs(s, dir)
@@ -521,6 +538,17 @@ object Pipeline {
         |  w[1] AS first_tok,
         |  w[-1] AS last_tok
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_dataset_split" ->
+      """WITH d AS (
+        |  SELECT text,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS h
+        |  FROM documents)
+        |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM d GROUP BY 1 ORDER BY split""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH d AS ($docsW)
