@@ -216,6 +216,24 @@ object Pipeline {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Edit-distance near-dup verification: Levenshtein over the fingerprint-
+    // blocked candidate pairs — character-level similarity where the other
+    // strategies are token/vector-level. Scale: the O(len²) per-pair cost is
+    // paid only on blocked candidates (same prefix-fingerprint equi-join as
+    // q_dedup_fingerprint), never all-pairs.
+    "q_edit_distance" -> { (s, dir) =>
+      val base = docsPar(s, dir)
+        .select(col("doc_id"), col("text"),
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("fp"))
+      base.as("a").join(base.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.text"), col("b.text")).as("edit_dist"),
+          round(lit(1.0) - levenshtein(col("a.text"), col("b.text"))
+            / greatest(length(col("a.text")), length(col("b.text"))), 6).as("sim"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Scalar array-function surface over the token arrays: size/slice/
     // distinct/sort, membership, position, positive and negative indexing —
     // the per-row collection ops a pipeline uses between the heavy HOFs.
@@ -525,6 +543,17 @@ object Pipeline {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM base a JOIN base b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_edit_distance" ->
+      s"""WITH d AS ($docsW),
+        |base AS (
+        |  SELECT doc_id, text, md5(array_to_string(w[1:8], ' ')) AS fp FROM d)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
+        |  round(1.0 - levenshtein(a.text, b.text) * 1.0
+        |    / greatest(length(a.text), length(b.text)), 6) AS sim
         |FROM base a JOIN base b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
 

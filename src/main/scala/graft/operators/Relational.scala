@@ -298,6 +298,23 @@ object Relational {
         .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
     },
 
+    // Distribution ranks: ntile/percent_rank/cume_dist per segment — the
+    // quantile-bucketing window family (decile features, percentile caps in
+    // a feature pipeline). The ORDER BY includes the unique key, so peer
+    // groups are single rows and all three functions are engine-portable.
+    "q_window_ranks" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("acct_cents").asc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .withColumn("acct_cents",
+          (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast(LongType))
+        .withColumn("decile", ntile(10).over(w))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .select("c_custkey", "c_mktsegment", "acct_cents", "decile", "pr", "cd")
+        .orderBy("c_custkey")
+    },
+
     // Lag/lead analytics: gap in days between consecutive orders per customer.
     "q_window_lag_gap" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -755,6 +772,18 @@ object Relational {
         |FROM lineitem
         |WHERE l_suppkey <= 3
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_window_ranks" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acct_cents,
+        |  CAST(ntile(10) OVER w AS INT) AS decile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) ASC,
+        |           c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_window_lag_gap" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

@@ -165,6 +165,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // the 100 TB row-level pruning tier beneath DPP: a bloom filter built
+    // from the selective (dim) side is pushed into the fact-side scan
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // rule targets shuffle joins
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val o = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"), plan.take(2500))
+      assert(plan.contains("bloom_filter_agg"), plan.take(2500))
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("flagship aggregation is partial+final (map-side combine)") {
     val plan = planOf(Relational.queries("q1_pricing_summary")(spark, sfDir))
     assert(plan.contains("HashAggregate"), plan)
