@@ -327,6 +327,42 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Batch sessionization (island-and-gap): the windowed-lag + cumulative-
+    // sum assignment of gap-delimited sessions — the batch twin of
+    // q_stream_session's session_window, for when the data is already at
+    // rest. Gap arithmetic runs in exact unix_micros, matching the oracle's
+    // interval comparison bit-for-bit. One shuffle on user_id; both window
+    // passes reuse the same partitioning.
+    "q_sessionize_batch" -> { (s, dir) =>
+      val wo = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
+      val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val GapUs = 4L * 3600 * 1000000
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(wo))
+        .withColumn("new_s",
+          when(col("prev_us").isNull
+            || expr("unix_micros(ts)") - col("prev_us") >= GapUs, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_s").over(wc))
+        .groupBy("user_id", "sid")
+        .agg(min("ts").as("s_start"), max("ts").as("s_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+        .select("user_id", "s_start", "s_end", "n_events", "sum_value")
+        .orderBy("user_id", "s_start")
+    },
+
+    // Collect aggregates: per-group distinct value sets, sorted and joined
+    // to a scalar (collect_set raw output is order-nondeterministic AND
+    // array-typed — both oracle-unportable).
+    "q_collect_agg" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // Set ops over nation keys of customers vs suppliers.
     "q_union_counts" -> { (s, dir) =>
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -793,6 +829,33 @@ object Relational {
         |    CAST(o_orderdate AS DATE)) AS INT) AS gap_days
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_sessionize_batch" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM g
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
+
+    "q_collect_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_union_counts" ->
       """SELECT nationkey, COUNT(*) AS n FROM (
