@@ -45,6 +45,27 @@ object Storage {
     df.write.mode(SaveMode.Overwrite).saveAsTable(table)
   }
 
+  /** Stage the key-grouped DSv2 demo tables (nation by n_nationkey, a
+    * customer projection by c_nationkey) and enable storage-partitioned
+    * joins; idempotent per sf-dir. Shared by q_spj_join / q_kv_point_read
+    * and PlanSpec. */
+  def stageKv(s: SparkSession, dir: String): (String, String) = {
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    val nName = s"nation:$dir"
+    val cName = s"customer:$dir"
+    graft.sources.KeyGroupedRegistry.stage(nName,
+      Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType).as("n_nationkey"), col("n_name")),
+      "n_nationkey")
+    graft.sources.KeyGroupedRegistry.stage(cName,
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          col("c_nationkey").cast(LongType).as("c_nationkey"), col("c_acctbal")),
+      "c_nationkey")
+    (nName, cName)
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map(
@@ -124,19 +145,7 @@ object Storage {
     // rules out a broadcast plan, which would have hidden the property under
     // demonstration.
     "q_spj_join" -> { (s, dir) =>
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-      val nName = s"nation:$dir"
-      val cName = s"customer:$dir"
-      graft.sources.KeyGroupedRegistry.stage(nName,
-        Tables.load(s, dir, "nation")
-          .select(col("n_nationkey").cast(LongType).as("n_nationkey"), col("n_name")),
-        "n_nationkey")
-      graft.sources.KeyGroupedRegistry.stage(cName,
-        Tables.load(s, dir, "customer")
-          .select(col("c_custkey"),
-            col("c_nationkey").cast(LongType).as("c_nationkey"), col("c_acctbal")),
-        "c_nationkey")
+      val (nName, cName) = stageKv(s, dir)
       val n = s.read.format("graft.sources.KVDataSource").option("table", nName).load()
       val c = s.read.format("graft.sources.KVDataSource").option("table", cName).load()
       n.join(c.hint("merge"), n("n_nationkey") === c("c_nationkey"))
@@ -144,6 +153,19 @@ object Storage {
         .agg(count(lit(1)).as("n_cust"),
           sum(col("c_acctbal").cast(DecimalType(12, 2))).cast(DoubleType).as("total_bal"))
         .orderBy("n_nationkey")
+    },
+
+    // Point read by partition key on the DSv2 source: a key-equality filter
+    // is pushed into the scan, which then plans ONLY the split owning that
+    // key (KVScanBuilder → partition pruning; PlanSpec asserts 1 planned
+    // split) — the reference stack's Cassandra point read, where the
+    // coordinator routes a key lookup to the replica owning its token range.
+    "q_kv_point_read" -> { (s, dir) =>
+      val (_, cName) = stageKv(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", cName).load()
+        .filter(col("c_nationkey") === 3)
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
     },
 
     // Count pushdown (cassandraCount analog): the DSv2 parquet scan answers
@@ -287,6 +309,12 @@ object Storage {
         | (3, 'Charlie', 'charlie@example.com'),
         | (4, 'Dana',    'dana@example.com')) AS t(id, name, email)
         |ORDER BY id""".stripMargin,
+
+    "q_kv_point_read" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer
+        |WHERE c_nationkey = 3
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_spj_join" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

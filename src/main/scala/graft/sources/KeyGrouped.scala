@@ -8,8 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportPartitioning}
-import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -53,6 +54,10 @@ object KeyGroupedRegistry {
     throw new IllegalArgumentException(s"graft-kv table not staged: $name"))
   def contains(name: String): Boolean = tables.contains(name)
 
+  /** Observability for tests: splits actually planned by the last scan of
+    * each table — how PlanSpec proves key-predicate partition pruning. */
+  val lastPlanned = TrieMap.empty[String, Int]
+
   /** Collect a (small) DataFrame into the registry grouped by `keyCol`.
     * Driver-side by design: the registry emulates the external cluster that
     * owns the data; at real scale rows never pass through the driver. */
@@ -88,19 +93,65 @@ class KVTable(tname: String, entry: KeyGroupedRegistry.Entry)
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity(entry.keyCol))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = new KVScan(tname, entry) }
+    new KVScanBuilder(tname, entry)
 }
 
-class KVScan(tname: String, entry: KeyGroupedRegistry.Entry)
+/** Pushdown surface of the source — the two capabilities the pinned
+  * connector advertises for reads (SURVEY.md §2.2): key-predicate filters
+  * become partition pruning (a `key = k` / `key IN (...)` scan reads ONLY
+  * the splits owning those keys — Cassandra's point read by partition key),
+  * and column pruning drops unrequested columns before rows leave the
+  * source. */
+class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = entry.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition {
+      case EqualTo(a, _) => a == entry.keyCol
+      case In(a, _) => a == entry.keyCol
+      case _ => false
+    }
+    pushed = sup
+    unsup // key predicates are evaluated exactly by partition pruning
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new KVScan(tname, entry, required, pushed)
+}
+
+class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
+    required: StructType, pushed: Array[Filter])
     extends Scan with Batch with SupportsReportPartitioning {
-  override def readSchema(): StructType = entry.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"graft-kv:$tname"
+  override def description(): String =
+    s"graft-kv:$tname pushed=[${pushed.mkString(",")}]"
+
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      Array(Expressions.identity(entry.keyCol)), entry.parts.length)
-  override def planInputPartitions(): Array[InputPartition] =
-    entry.parts.map { case (k, rows) => KVPartition(k, rows): InputPartition }
+    // key-grouped only while the key column survives column pruning —
+    // otherwise the grouping is unobservable by the query and unreportable
+    if (required.fieldNames.contains(entry.keyCol))
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity(entry.keyCol)), planInputPartitions().length)
+    else new UnknownPartitioning(planInputPartitions().length)
+
+  private def keepKey(k: Long): Boolean = pushed.isEmpty || pushed.forall {
+    case EqualTo(_, v) => v.asInstanceOf[Number].longValue == k
+    case In(_, vs) => vs.exists(_.asInstanceOf[Number].longValue == k)
+    case _ => true
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val idx = required.fieldNames.map(entry.schema.fieldIndex)
+    val parts = entry.parts.collect {
+      case (k, rows) if keepKey(k) =>
+        KVPartition(k, rows.map(r => idx.map(r(_)))): InputPartition
+    }
+    KeyGroupedRegistry.lastPlanned.put(tname, parts.length)
+    parts
+  }
   override def createReaderFactory(): PartitionReaderFactory = new KVReaderFactory
 }
 

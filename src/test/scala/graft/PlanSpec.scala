@@ -59,6 +59,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("SortMergeJoin"), plan)
   }
 
+  test("key-equality filter prunes DSv2 splits to the owning partition (point read)") {
+    val df = Storage.queries("q_kv_point_read")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // of the 25 nation-key splits, exactly the one owning key 3 was planned
+    assert(graft.sources.KeyGroupedRegistry.lastPlanned(s"customer:$sfDir") == 1)
+    // and the pushed predicate is visible in the scan's description
+    val plan = planOf(df)
+    assert(plan.contains("EqualTo(c_nationkey,3)"), plan)
+  }
+
   test("bare limit compiles to CollectLimitExec (the show() physical shape)") {
     // O3: the reference job's df.show(truncate=False) plans CollectLimitExec(21)
     // (reference: userdata/cloudinit.sh:351); same shape for a bare .limit
