@@ -351,6 +351,31 @@ object Pipeline {
         .orderBy("lang")
     },
 
+    // TF-IDF per document: term frequencies joined with corpus document
+    // frequencies, idf = ln(N/df). Scale: two hash aggregations (doc×term,
+    // then term) + one equi-join on term — the standard two-pass shape; the
+    // 1-row corpus count is broadcast. Output is per-doc aggregates (term
+    // count, max tf, rounded tfidf mass), not ranked terms, so float ULP
+    // differences between engines cannot reorder anything.
+    "q_tfidf" -> { (s, dir) =>
+      val tf = docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      tf.count() // materialize once: tf feeds both the df agg and the join
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_terms"),
+          max("tf").as("max_tf"),
+          round(sum(col("tf") * log(col("n_docs") / col("df"))), 6).as("tfidf_sum"))
+        .orderBy("doc_id")
+    },
+
     // BPE-ish token counting: regex token split (letter runs / digit runs /
     // single punctuation) — the cheap `len(tokenize(text))` estimator of a
     // data pipeline, aggregated per language.
@@ -628,6 +653,18 @@ object Pipeline {
         |FROM t JOIN l USING (word)
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, COUNT(*) AS n_terms,
+        |  CAST(MAX(tf) AS BIGINT) AS max_tf,
+        |  round(SUM(tf * ln(n_docs * 1.0 / df)), 6) AS tfidf_sum
+        |FROM tf JOIN dfq USING (term) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT lang,
