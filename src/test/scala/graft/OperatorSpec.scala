@@ -96,6 +96,15 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(total == graft.sources.Tables.load(spark, sfDir, "documents").count())
   }
 
+  test("graft catalog answers SHOW NAMESPACES / SHOW TABLES") {
+    import graft.operators.Storage
+    Storage.queries("q_catalog_upsert")(spark, sfDir).collect()
+    val ns = spark.sql("SHOW NAMESPACES IN graftcat").collect().map(_.getString(0))
+    assert(ns.contains("testks"), ns.mkString(","))
+    val tables = spark.sql("SHOW TABLES IN graftcat.testks").collect().map(_.getString(1))
+    assert(tables.contains("users"), tables.mkString(","))
+  }
+
   test("approx_count_distinct stays within 5% of exact per group") {
     // bounds the sketch query the oracle can't check (HLL values are
     // engine-specific): default rsd=5%, asserted against the exact distinct
