@@ -89,6 +89,22 @@ object Pipeline {
         .orderBy("kept_doc_id")
     },
 
+    // Retention-policy dedup: within each near-identical group (same prefix
+    // fingerprint), KEEP THE BEST copy — longest text, ties to the smallest
+    // doc_id — instead of the arbitrary-min of q_dedup_exact. The argmax is
+    // a row_number window over a deterministic total order, the portable
+    // form of max_by/arg_max (whose tie behavior differs across engines).
+    "q_dedup_keep_best" -> { (s, dir) =>
+      val w = Window.partitionBy(col("fp"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs(s, dir)
+        .withColumn("fp", md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("fp"), col("doc_id").as("kept_doc_id"), col("n_chars"))
+        .orderBy("kept_doc_id")
+    },
+
     // Fingerprint dedup: block on the md5 of the first 8 tokens (a cheap
     // prefix fingerprint); report only groups that actually collide. The
     // testdata's planted near-duplicates share prefixes, so this is the
@@ -478,6 +494,17 @@ object Pipeline {
       """SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
         |FROM documents
         |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |ORDER BY kept_doc_id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH d AS ($docsW),
+        |r AS (
+        |  SELECT md5(array_to_string(w[1:8], ' ')) AS fp, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY md5(array_to_string(w[1:8], ' '))
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM d)
+        |SELECT fp, doc_id AS kept_doc_id, n_chars
+        |FROM r WHERE rn = 1
         |ORDER BY kept_doc_id""".stripMargin,
 
     "q_dedup_fingerprint" ->

@@ -381,6 +381,24 @@ object Relational {
       c.except(sup).orderBy("nationkey")
     },
 
+    // Schema-evolution union: two vintages of the same feed with drifted
+    // projections merged by NAME with missing columns null-filled
+    // (unionByName(allowMissingColumns)) — positional UNION would silently
+    // misalign. The batch form of a pipeline ingesting evolving schemas.
+    "q_union_evolve" -> { (s, dir) =>
+      val v1997 = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val v1998 = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1998)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      v1997.unionByName(v1998, allowMissingColumns = true)
+        .groupBy(coalesce(col("o_orderpriority"), lit("(pre-drift)")).as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .orderBy("priority")
+    },
+
     // ROLLUP hierarchy totals (grouping-sets family). NULL group labels are
     // coalesced so oracle NULL-ordering differences can't bite.
     "q_rollup_returns" -> { (s, dir) =>
@@ -876,6 +894,20 @@ object Relational {
         |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    "q_union_evolve" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE YEAR(o_orderdate) = 1997
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE YEAR(o_orderdate) = 1998)
+        |SELECT COALESCE(o_orderpriority, '(pre-drift)') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM u
+        |GROUP BY 1
+        |ORDER BY priority""".stripMargin,
 
     "q_rollup_returns" ->
       """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,

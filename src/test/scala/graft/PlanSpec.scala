@@ -203,4 +203,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("HashAggregate"), plan)
     assert(plan.contains("partial_sum") || plan.contains("Functions [partial"), plan)
   }
+
+  test("flagship scan-filter-aggregate runs inside whole-stage codegen") {
+    val df = Relational.queries("q1_pricing_summary")(spark, sfDir)
+    df.collect() // finalize the adaptive plan — codegen spans only show executed
+    val plan = planOf(df)
+    // formatted explain marks fused operators with "[codegen id : N]"; the
+    // scan->filter->project->partial-agg pipeline must be one fused span
+    assert(plan.contains("[codegen id :"), plan)
+    assert(plan.linesIterator.exists(l => l.contains("(3) Filter") || l.contains("Filter [codegen id")), plan)
+  }
 }
