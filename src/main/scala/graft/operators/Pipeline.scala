@@ -286,6 +286,46 @@ object Pipeline {
         .orderBy("split")
     },
 
+    // Context-window chunking: split every document into 32-token chunks
+    // with 8-token overlap (stride 24) — THE preprocessing step that turns a
+    // crawl corpus into model-ready sequences. Pure per-row generator work
+    // (sequence + explode + slice), no shuffle until the final sort; chunk
+    // identity is carried as an md5 so downstream chunk-level dedup can
+    // reuse the exact-dedup machinery.
+    "q_chunk_docs" -> { (s, dir) =>
+      docsPar(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(1, greatest(size(w) - 8, 1), 24)")).as("start"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / 24).cast("int").as("chunk_idx"),
+          expr("concat_ws(' ', slice(w, start, 32))").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(split(col("chunk"), " ")).as("n_tok"),
+          md5(col("chunk")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Sequence packing: greedy concatenation of documents into fixed token
+    // budgets (512 tokens per packed sequence), 16 hash shards packed
+    // independently — exactly how a distributed packer works (each worker
+    // owns a shard; the cumulative-sum window runs per shard, never
+    // globally). Deterministic: shard by portable doc_id hash, pack in
+    // doc_id order, bin = floor(cumulative-tokens-before / budget).
+    "q_pack_sequences" -> { (s, dir) =>
+      val wCum = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("shard", expr(s"${hExpr("cast(doc_id as string)")} % 16"))
+        .withColumn("cum_before", coalesce(sum("n_tok").over(wCum), lit(0L)))
+        .withColumn("bin", (col("cum_before") / 512).cast("long"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard", "bin")
+    },
+
     // Per-language corpus stats (count / token / char aggregates).
     "q_text_stats" -> { (s, dir) =>
       docs(s, dir)
@@ -630,6 +670,33 @@ object Pipeline {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM d GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_chunk_docs" ->
+      s"""WITH d AS ($docsW),
+        |st AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(1, greatest(len(w) - 8, 1), 24)) AS start
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 24 AS INT) AS chunk_idx,
+        |  CAST(len(string_split(array_to_string(w[start:start+31], ' '), ' ')) AS INT) AS n_tok,
+        |  md5(array_to_string(w[start:start+31], ' ')) AS chunk_hash
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 16 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM d)
+        |SELECT shard, CAST(cum_before // 512 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH d AS ($docsW)
