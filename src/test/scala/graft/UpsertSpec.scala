@@ -58,4 +58,22 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     val again = CassandraModel.upsert(users, users, Seq("id"))
     assert(toMap(again) == Map(1 -> "Alice", 2 -> "Bob", 3 -> "Charlie"))
   }
+
+  test("catalog write path enforces the same upsert semantics (engine-level)") {
+    // the DSv2 catalog's BatchWrite.commit must agree with the model-layer
+    // upsert: a sequence of INSERT batches is last-write-wins per key
+    check(Prop.forAll(genRows, genRows) { (a, b) =>
+      spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+      spark.sql("DROP TABLE IF EXISTS graftcat.proptest.u")
+      spark.sql("CREATE TABLE graftcat.proptest.u (id INT, name STRING, email STRING) " +
+        "TBLPROPERTIES ('key'='id')")
+      Seq(a, b).filter(_.nonEmpty).foreach { batch =>
+        val vals = batch.toSeq
+          .map { case (k, v) => s"($k, '$v', '$v@example.com')" }.mkString(", ")
+        spark.sql(s"INSERT INTO graftcat.proptest.u VALUES $vals")
+      }
+      toMap(spark.table("graftcat.proptest.u")) == a ++ b
+    })
+  }
 }
