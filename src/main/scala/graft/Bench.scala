@@ -75,7 +75,13 @@ object Bench {
       else ",\"errors\":" + errors
         .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
         .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"queries":$qs$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"queries":$qs$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces copy: r3's stdout capture truncated the JSON tail, so
+    // always leave an untruncated copy on disk too
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
