@@ -119,6 +119,46 @@ object Pipeline {
         .orderBy("kept_doc_id")
     },
 
+    // Duplicate clustering: candidate pairs → connected components →
+    // cluster id (= min doc_id in the component) — the step that turns
+    // pairwise near-dup hits into keep/delete lists. Iterative min-label
+    // propagation: each round is one equi-join + min-aggregate, repeated to
+    // the component diameter (driver loop with a cheap monotone convergence
+    // check; prefix-blocked components have tiny diameters — a planet-scale
+    // graph would switch to the large-star/small-star variant, same
+    // join-per-round shape). Every round's shuffle is on doc_id.
+    "q_dup_clusters" -> { (s, dir) =>
+      val pairs = docs(s, dir)
+        .withColumn("fp", md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+        .select("doc_id", "fp")
+      val e0 = pairs.as("a").join(pairs.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var sum = labels.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val next = labels.join(edges, col("doc_id") === col("src"))
+          .select(col("dst").as("doc_id"), col("label"))
+          .unionByName(labels)
+          .groupBy("doc_id").agg(min("label").as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nextSum = next.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = nextSum == sum // labels only ever decrease
+        sum = nextSum
+        iter += 1
+      }
+      labels.select(col("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+
     // MinHash-LSH near-dup: shingle(3-gram) → 32 minhashes → 8 band keys →
     // candidate pairs via *equi-join on (band, band-key)* — never all-pairs —
     // → exact Jaccard verify ≥ 0.8. The banded join is the 100 TB shape:
@@ -554,6 +594,23 @@ object Pipeline {
         |FROM d
         |GROUP BY 1 HAVING count(*) > 1
         |ORDER BY kept_doc_id""".stripMargin,
+
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE d AS ($docsW),
+        |p AS (
+        |  SELECT doc_id, md5(array_to_string(w[1:8], ' ')) AS fp FROM d),
+        |e0 AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |r AS (
+        |  SELECT src AS doc_id, src AS root FROM e
+        |  UNION
+        |  SELECT e.dst AS doc_id, r.root
+        |  FROM r JOIN e ON e.src = r.doc_id)
+        |SELECT doc_id, MIN(root) AS cluster_id
+        |FROM r GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_minhash_lsh" ->
       s"""WITH d AS ($docsW),
