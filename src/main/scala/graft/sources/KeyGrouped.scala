@@ -129,19 +129,23 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
   override def description(): String =
     s"graft-kv:$tname pushed=[${pushed.mkString(",")}]"
 
-  override def outputPartitioning(): Partitioning =
-    // key-grouped only while the key column survives column pruning —
-    // otherwise the grouping is unobservable by the query and unreportable
-    if (required.fieldNames.contains(entry.keyCol))
-      new KeyGroupedPartitioning(
-        Array(Expressions.identity(entry.keyCol)), planInputPartitions().length)
-    else new UnknownPartitioning(planInputPartitions().length)
-
   private def keepKey(k: Long): Boolean = pushed.isEmpty || pushed.forall {
     case EqualTo(_, v) => v.asInstanceOf[Number].longValue == k
     case In(_, vs) => vs.exists(_.asInstanceOf[Number].longValue == k)
     case _ => true
   }
+
+  // partition COUNT is needed by outputPartitioning during planning —
+  // computed from keys alone, without projecting any rows
+  private lazy val keptKeys: Array[Long] = entry.parts.map(_._1).filter(keepKey)
+
+  override def outputPartitioning(): Partitioning =
+    // key-grouped only while the key column survives column pruning —
+    // otherwise the grouping is unobservable by the query and unreportable
+    if (required.fieldNames.contains(entry.keyCol))
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity(entry.keyCol)), keptKeys.length)
+    else new UnknownPartitioning(keptKeys.length)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val idx = required.fieldNames.map(entry.schema.fieldIndex)
