@@ -124,6 +124,42 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("chunking caps chunks at 32 tokens, indexes them contiguously, covers all tokens") {
+    val chunks = Pipeline.queries("q_chunk_docs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val docTok = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      assert(cs.forall(_._3 <= 32))
+      assert(cs.map(_._2).sorted.toSeq == cs.indices.toSeq) // 0..k contiguous
+      // stride 24 < chunk 32 → overlapping chunks must cover every token
+      assert(cs.map(_._3).sum >= docTok(doc))
+    }
+  }
+
+  test("packed bins stay within budget plus at most one spanning document") {
+    val bins = Pipeline.queries("q_pack_sequences")(spark, sfDir).collect()
+    assert(bins.nonEmpty)
+    // docs are <=120 tokens, so a bin can overshoot 512 only by the one
+    // document that crosses the boundary
+    bins.foreach(r => assert(r.getLong(3) <= 512 + 120, r.toString))
+  }
+
+  test("duplicate clusters are canonical: id is the component's own minimum") {
+    val rows = Pipeline.queries("q_dup_clusters")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty)
+    val byId = rows.toMap
+    rows.foreach { case (doc, cid) =>
+      assert(cid <= doc)
+      assert(byId(cid) == cid) // the canonical member maps to itself
+    }
+  }
+
   test("cosine top-k returns exactly k ranked matches per query vector") {
     val rows = Similarity.queries("q_cosine_topk")(spark, sfDir).collect()
     val perQ = rows.groupBy(_.getLong(0))
