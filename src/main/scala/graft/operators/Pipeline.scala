@@ -447,6 +447,33 @@ object Pipeline {
         .orderBy("lang")
     },
 
+    // Collocation mining: bigram PMI = ln(c(ab)·N / (c(a·)·c(·b))) over the
+    // corpus — the statistic behind multi-word-expression detection in
+    // tokenizer/vocab construction. One explode pass builds the bigram
+    // table, materialized once for its four aggregations; output is
+    // count-thresholded and ordered by the bigram text, never by the float,
+    // so ULP differences cannot reorder or cut rows.
+    "q_collocations" -> { (s, dir) =>
+      val big = docsPar(s, dir)
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w)-1), i -> struct(w[i-1] as w1, w[i] as w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      big.count() // materialize once: feeds four aggregations
+      val cab = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      val ca = big.groupBy("w1").agg(count(lit(1)).as("n_a"))
+      val cb = big.groupBy("w2").agg(count(lit(1)).as("n_b"))
+      val nAll = big.agg(count(lit(1)).as("n_all"))
+      cab.join(ca, "w1").join(cb, "w2").crossJoin(broadcast(nAll))
+        .filter(col("n_ab") >= 20)
+        .withColumn("pmi",
+          round(log(col("n_ab") * col("n_all") / (col("n_a") * col("n_b"))), 6))
+        .select("w1", "w2", "n_ab", "pmi")
+        .orderBy("w1", "w2")
+    },
+
     // TF-IDF per document: term frequencies joined with corpus document
     // frequencies, idf = ln(N/df). Scale: two hash aggregations (doc×term,
     // then term) + one equi-join on term — the standard two-pass shape; the
@@ -804,6 +831,24 @@ object Pipeline {
         |FROM t JOIN l USING (word)
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "q_collocations" ->
+      s"""WITH d AS ($docsW),
+        |big AS (
+        |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM d WHERE len(w) >= 2),
+        |sp AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+        |  FROM big),
+        |cab AS (SELECT w1, w2, COUNT(*) AS n_ab FROM sp GROUP BY 1, 2),
+        |ca AS (SELECT w1, COUNT(*) AS n_a FROM sp GROUP BY 1),
+        |cb AS (SELECT w2, COUNT(*) AS n_b FROM sp GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_all FROM sp)
+        |SELECT w1, w2, n_ab,
+        |  round(ln(n_ab * n_all * 1.0 / (n_a * n_b)), 6) AS pmi
+        |FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN n
+        |WHERE n_ab >= 20
+        |ORDER BY w1, w2""".stripMargin,
 
     "q_tfidf" ->
       """WITH t AS (

@@ -298,6 +298,24 @@ object Relational {
         .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
     },
 
+    // Value-range window frame: per-customer 30-day trailing spend before
+    // each order — RANGE frames bounded by VALUE offsets (days), not row
+    // counts, the frame type rows-frames can't express (a customer with 10
+    // orders in one week vs one order a month apart gets different windows).
+    // Ordering key is exact integer days-since-epoch in both engines.
+    "q_window_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("d").asc)
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .withColumn("d", datediff(col("o_orderdate").cast(DateType),
+          lit(java.sql.Date.valueOf("1970-01-01"))))
+        .withColumn("trailing_30d",
+          sum(money(col("o_totalprice"))).over(w).cast(DoubleType))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "trailing_30d")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Distribution ranks: ntile/percent_rank/cume_dist per segment — the
     // quantile-bucketing window family (decile features, percentile caps in
     // a feature pipeline). The ORDER BY includes the unique key, so peer
@@ -826,6 +844,15 @@ object Relational {
         |FROM lineitem
         |WHERE l_suppkey <= 3
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_window_ranks" ->
       """SELECT c_custkey, c_mktsegment,
