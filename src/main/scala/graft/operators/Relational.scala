@@ -489,6 +489,23 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Statistical moment aggregates: stddev/variance/covariance/correlation
+    // per group — single-pass distributed moment accumulation (Welford-style
+    // partials merge associatively, so the shuffle shape is the same as any
+    // partial+final agg). Computed over small-magnitude columns (quantity,
+    // discount) and the scale-free corr so 6-dp rounding absorbs
+    // partial-order float noise.
+    "q_stats_moments" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
     // Exact distinct aggregation (the expensive kind — needs its own shuffle
     // per distinct column; approx_count_distinct is the 100 TB path, tested
     // separately since HLL values are engine-specific).
@@ -974,6 +991,16 @@ object Relational {
     "q_skew_salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_stats_moments" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
