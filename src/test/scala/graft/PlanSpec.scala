@@ -198,6 +198,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("ANALYZE TABLE feeds catalog row counts into the optimized plan (CBO)") {
+    // stats-driven planning is how join orders stay sane at 100 TB; this
+    // proves the catalog-stats → plan-statistics pipeline is wired
+    Storage.queries("q_bucketed_join")(spark, sfDir).collect() // creates tables
+    spark.sql("ANALYZE TABLE graft_customer_b COMPUTE STATISTICS")
+    val old = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("graft_customer_b").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.isDefined, stats.toString)
+      assert(stats.rowCount.get.toLong > 0)
+    } finally spark.conf.set("spark.sql.cbo.enabled", old)
+  }
+
+  test("observe() attaches verified row-level metrics to a batch query") {
+    // pipeline observability without a second pass: metrics accumulate
+    // inline during the normal action — at 100 TB a separate count() costs
+    // a full extra scan
+    import org.apache.spark.sql.functions.{count => fcount, lit}
+    val expected = graft.sources.Tables.load(spark, sfDir, "orders").count()
+    val obs = new org.apache.spark.sql.Observation("graft_obs")
+    graft.sources.Tables.load(spark, sfDir, "orders")
+      .observe(obs, fcount(lit(1)).as("rows"))
+      .collect()
+    assert(obs.get("rows").asInstanceOf[Long] == expected)
+  }
+
   test("flagship aggregation is partial+final (map-side combine)") {
     val plan = planOf(Relational.queries("q1_pricing_summary")(spark, sfDir))
     assert(plan.contains("HashAggregate"), plan)
