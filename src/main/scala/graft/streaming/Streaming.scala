@@ -344,6 +344,30 @@ object Streaming {
         .orderBy("event_type")
     },
 
+    // Update-mode windowed aggregation — the third output mode next to
+    // append (q_stream_tumbling) and complete (q_stream_foreachbatch):
+    // every micro-batch re-emits only the windows it changed, so the sink
+    // holds a history of per-window snapshots. The final value per window is
+    // recovered by taking the snapshot with the highest count (counts are
+    // monotone per window), carried as a struct max so count and sum stay
+    // from the SAME snapshot. This is the dashboard-refresh pattern: cheap
+    // incremental emissions, last write wins downstream.
+    "q_stream_update_windows" -> { (s, dir) =>
+      val agg = eventStream(s, dir, "events")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "12 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum("value").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      runToMemory(agg, "graft_stream_updwin", mode = "update")
+        .filter(col("event_type") =!= "__sentinel")
+        .groupBy("w_start", "event_type")
+        .agg(max(struct(col("n"), col("sum_value"))).as("m"))
+        .select(col("w_start"), col("event_type"),
+          col("m.n").as("n"), col("m.sum_value").as("sum_value"))
+        .orderBy("w_start", "event_type")
+    },
+
     // Stream-stream interval join: every purchase matched to the same user's
     // signups in the preceding 12 h — both sides unbounded streams, the shape
     // stream-static enrich can't express. The event-time range condition is
@@ -479,6 +503,14 @@ object Streaming {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_stream_update_windows" ->
+      """SELECT time_bucket(INTERVAL 12 HOUR, ts) AS w_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_stream_sink_files" ->
       """SELECT time_bucket(INTERVAL 3 HOUR, ts) AS w_start, event_type,
