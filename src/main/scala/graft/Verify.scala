@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional dev-time filter: extra args = only dump these queries
+    // (the driver always passes exactly two args → full dump).
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,8 +22,10 @@ object Verify {
     // O11 console sink: the reference job's only output is show() to stdout
     // (reference: userdata/cloudinit.sh:351); exercise the same path on the
     // flagship query before the parquet dumps.
-    SparkEntry.entry(spark).show(truncate = false)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    if (only.isEmpty) SparkEntry.entry(spark).show(truncate = false)
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

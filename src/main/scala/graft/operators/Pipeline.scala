@@ -72,7 +72,7 @@ object Pipeline {
   // oracle stays a full value check). At 100 TB this is what bounds the
   // worst bucket's pair blow-up; the dropped-bucket count is observable by
   // aggregating the same windowed count.
-  private val BucketCap = 128
+  private[operators] val BucketCap = 128
 
   // ---------------------------------------------------------------- queries
 
@@ -130,6 +130,12 @@ object Pipeline {
     "q_dup_clusters" -> { (s, dir) =>
       val pairs = docs(s, dir)
         .withColumn("fp", md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+        .select("doc_id", "fp")
+        // Skew guard on edge generation: an fp block larger than BucketCap
+        // would emit O(block²) edges — drop it (exact dedup owns those
+        // groups). Mirrored in the recursive-CTE oracle's `p` stage.
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("bn") <= BucketCap)
         .select("doc_id", "fp")
       val e0 = pairs.as("a").join(pairs.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -264,7 +270,12 @@ object Pipeline {
             .as("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       base.count() // materialize once for both sides of the self-join
-      base.as("a").join(base.as("b"),
+      // Same BucketCap skew guard as q_minhash_lsh: an oversized fp block
+      // degrades the self-join to O(block²) — drop it (mirrored in oracle).
+      val capped = base
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("bn") <= BucketCap)
+      capped.as("a").join(capped.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("jaccard",
           round(expr("size(array_intersect(a.sh, b.sh)) / size(array_union(a.sh, b.sh))"), 6))
@@ -281,6 +292,11 @@ object Pipeline {
       val base = docsPar(s, dir)
         .select(col("doc_id"), col("text"),
           md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("fp"))
+        // BucketCap skew guard (see q_minhash_lsh): the O(len²) Levenshtein
+        // is paid per candidate pair, so an uncapped hot block is doubly
+        // expensive here. Mirrored in the oracle.
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("bn") <= BucketCap)
       base.as("a").join(base.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -624,8 +640,12 @@ object Pipeline {
 
     "q_dup_clusters" ->
       s"""WITH RECURSIVE d AS ($docsW),
-        |p AS (
+        |p0 AS (
         |  SELECT doc_id, md5(array_to_string(w[1:8], ' ')) AS fp FROM d),
+        |p AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS bn FROM p0)
+        |  WHERE bn <= 128),
         |e0 AS (
         |  SELECT a.doc_id AS src, b.doc_id AS dst
         |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id),
@@ -710,12 +730,16 @@ object Pipeline {
 
     "q_ngram_jaccard" ->
       s"""WITH d AS ($docsW),
-        |base AS (
+        |base0 AS (
         |  SELECT doc_id,
         |    md5(array_to_string(w[1:8], ' ')) AS fp,
         |    list_distinct(list_transform(range(1, len(w)-1),
         |      i -> array_to_string(w[i:i+2], ' '))) AS sh
-        |  FROM d WHERE len(w) >= 3)
+        |  FROM d WHERE len(w) >= 3),
+        |base AS (
+        |  SELECT doc_id, fp, sh FROM (
+        |    SELECT doc_id, fp, sh, count(*) OVER (PARTITION BY fp) AS bn
+        |    FROM base0) WHERE bn <= 128)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
@@ -724,8 +748,12 @@ object Pipeline {
 
     "q_edit_distance" ->
       s"""WITH d AS ($docsW),
+        |base0 AS (
+        |  SELECT doc_id, text, md5(array_to_string(w[1:8], ' ')) AS fp FROM d),
         |base AS (
-        |  SELECT doc_id, text, md5(array_to_string(w[1:8], ' ')) AS fp FROM d)
+        |  SELECT doc_id, text, fp FROM (
+        |    SELECT doc_id, text, fp, count(*) OVER (PARTITION BY fp) AS bn
+        |    FROM base0) WHERE bn <= 128)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
         |  round(1.0 - levenshtein(a.text, b.text) * 1.0

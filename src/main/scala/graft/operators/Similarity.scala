@@ -107,8 +107,15 @@ object Similarity {
             "0D, (s, x) -> s + x) >= 0, shiftleft(1, j), 0)), 0, (a, x) -> a + x) as code))"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       e.count() // materialize before the three downstream reuses
-      val ban = e.select(col("vec_id"), explode(col("codes")).as("bc"))
+      val ban0 = e.select(col("vec_id"), explode(col("codes")).as("bc"))
         .select(col("vec_id"), col("bc.band").as("band"), col("bc.code").as("code"))
+      // Same BucketCap skew guard as q_minhash_lsh (Pipeline.BucketCap): a
+      // (band, code) bucket larger than the cap degrades the self-join to
+      // O(bucket²) pairs — drop it. Mirrored in the oracle's `hf` stage.
+      val ban = ban0
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "code")))
+        .filter(col("bn") <= Pipeline.BucketCap)
+        .select("vec_id", "band", "code")
       val cand = ban.as("a").join(ban.as("b"),
           col("a.band") === col("b.band") && col("a.code") === col("b.code")
             && col("a.vec_id") < col("b.vec_id"))
@@ -182,9 +189,14 @@ object Similarity {
         |                THEN 1.0 ELSE -1.0 END))) >= 0
         |           THEN (1 << j) ELSE 0 END))::BIGINT AS code
         |  FROM e, (VALUES (0), (1), (2), (3)) b(band)),
+        |hf AS (
+        |  SELECT vec_id, band, code FROM (
+        |    SELECT vec_id, band, code,
+        |      count(*) OVER (PARTITION BY band, code) AS bn
+        |    FROM h) WHERE bn <= 128),
         |cand AS (
         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |  FROM h x JOIN h y
+        |  FROM hf x JOIN hf y
         |    ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id),
         |p AS (
         |  SELECT vec_a, vec_b,
