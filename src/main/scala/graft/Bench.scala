@@ -13,7 +13,13 @@ import org.apache.spark.sql.SparkSession
   *     shared machine carry ±30% contention noise that has previously burned
   *     judge/builder cycles on phantom regressions;
   *   - failures are recorded explicitly (value -1 + an "errors" map), never
-  *     as a plausible small timing.
+  *     as a plausible small timing;
+  *   - a fixed-cost canary (q_users_scan, min of 3) is timed before the first
+  *     and after the last pass; if the two disagree by >2x the whole run was
+  *     contended and the output says so ("contended": true) — r4 burned judge
+  *     cycles adjudicating six phantom regressions from one loaded machine.
+  *     Triage protocol for any suspicious per-query delta: QBench it 3x
+  *     (`runMain graft.tools.QBench <query>`) before treating it as real.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,6 +51,14 @@ object Bench {
     }
     spark.sharedState.cacheManager.clearCache()
 
+    // Contention canary: a fixed-cost query timed around the measured passes.
+    // min-of-3 smooths scheduler jitter; only sustained machine load moves it.
+    def canary(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      exec(SparkEntry.queries("q_users_scan"), sfDir)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -58,8 +72,15 @@ object Bench {
         case None => name -> dt
       }
     }
+    val canaryBefore = canary()
     val p1 = timedPass()
     val p2 = timedPass()
+    val canaryAfter = canary()
+    val drift = math.max(canaryBefore, canaryAfter) /
+      math.max(1e-9, math.min(canaryBefore, canaryAfter))
+    val contended = drift > 2.0
+    if (contended) System.err.println(
+      f"[bench] WARNING: canary drift $drift%.2fx (${canaryBefore}%.3f -> ${canaryAfter}%.3f s) — machine contended, timings untrustworthy")
     val results = SparkEntry.queries.keys.map { k =>
       val (a, b) = (p1(k), p2(k))
       k -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
@@ -75,8 +96,10 @@ object Bench {
       else ",\"errors\":" + errors
         .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
         .mkString("{", ",", "}")
+    val meth = "warm-up pass at sf0.001, then min of 2 timed passes; " +
+      "canary=q_users_scan min-of-3 before/after; contended = canary drift >2x"
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"queries":$qs$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"reps":2,"canary_before_sec":${r3(canaryBefore)},"canary_after_sec":${r3(canaryAfter)},"contended":$contended,"methodology":"$meth","queries":$qs$errJson,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces copy: r3's stdout capture truncated the JSON tail, so
     // always leave an untruncated copy on disk too
