@@ -168,6 +168,19 @@ object Storage {
         .orderBy("c_custkey")
     },
 
+    // cassandraCount analog at the CUSTOM-source level: the KV source
+    // implements SupportsPushDownAggregates, so an ungrouped COUNT(*) is
+    // answered from the registry's per-key row counts — each split emits one
+    // metadata row [count] and Spark's final agg sums them; no data row is
+    // ever materialized (PlanSpec asserts PushedAggregation on the scan).
+    // Together with q_count_pushdown (parquet footers) this covers the
+    // SURVEY §2.2 count pushdown row for both source kinds.
+    "q_kv_count_pushdown" -> { (s, dir) =>
+      val (_, cName) = stageKv(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", cName).load()
+        .agg(count(lit(1)).as("n_rows"))
+    },
+
     // Count pushdown (cassandraCount analog): the DSv2 parquet scan answers
     // COUNT(*) from footer metadata without materializing rows
     // (PushedAggregation=[COUNT(*)], asserted in PlanSpec).
@@ -326,6 +339,9 @@ object Storage {
 
     "q_count_pushdown" ->
       "SELECT COUNT(*) AS n_rows FROM lineitem",
+
+    "q_kv_count_pushdown" ->
+      "SELECT COUNT(*) AS n_rows FROM customer",
 
     // q_approx_distinct intentionally has no oracle: HLL++/GK sketch values
     // are engine-specific; the driver records a rows/schema check.

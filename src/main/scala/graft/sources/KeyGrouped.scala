@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.StructType
@@ -73,6 +74,29 @@ object KeyGroupedRegistry {
   }
 }
 
+/** The registry's "token ring": a fixed set of node names standing in for
+  * the reference cluster's labeled Cassandra hosts (the demo pins one
+  * Cassandra pod per labeled OKE node — userdata/cloudinit.sh:124-137 — and
+  * the token-aware connector reads each token range from the replica owning
+  * it, README.md:135). Each key's replica set is its ring position plus the
+  * next `ReplicationFactor - 1` successors — Cassandra SimpleStrategy.
+  *
+  * `KVPartition.preferredLocations()` reports this set, which is the literal
+  * Spark mechanism for locality (SURVEY §2.1 P1): the DAGScheduler places
+  * each split's task on a reported host when one is available. Inert under
+  * `local[32]` (one executor, no host match) but it is exactly what makes
+  * reads node-local on a real cluster — and it is observable/testable via
+  * `RDD.preferredLocations`. */
+object KVRing {
+  val hosts: Array[String] = Array("graft-node-0", "graft-node-1", "graft-node-2")
+  val ReplicationFactor = 2
+  def replicasOf(key: Long): Seq[String] = {
+    val n = hosts.length
+    val primary = (((key % n) + n) % n).toInt
+    Seq.tabulate(ReplicationFactor)(i => hosts((primary + i) % n))
+  }
+}
+
 /** `spark.read.format("graft.sources.KVDataSource").option("table", name)` */
 class KVDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -96,16 +120,24 @@ class KVTable(tname: String, entry: KeyGroupedRegistry.Entry)
     new KVScanBuilder(tname, entry)
 }
 
-/** Pushdown surface of the source — the two capabilities the pinned
+/** Pushdown surface of the source — the three capabilities the pinned
   * connector advertises for reads (SURVEY.md §2.2): key-predicate filters
   * become partition pruning (a `key = k` / `key IN (...)` scan reads ONLY
   * the splits owning those keys — Cassandra's point read by partition key),
-  * and column pruning drops unrequested columns before rows leave the
-  * source. */
+  * column pruning drops unrequested columns before rows leave the source,
+  * and an ungrouped COUNT(*) is answered from the registry's per-key row
+  * counts without materializing a single row — the `cassandraCount` analog
+  * at the source level (the connector pushes counts to Cassandra's local
+  * count rather than shipping rows). Partial pushdown: each split returns
+  * its own count and Spark's final aggregate sums them, the same shape as
+  * parquet footer counts — at 100 TB no row bytes cross the wire either
+  * way. */
 class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var required: StructType = entry.schema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition {
@@ -118,16 +150,31 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new KVScan(tname, entry, required, pushed)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    // COUNT(*) with no grouping only: counts are per-key metadata in the
+    // registry. (Grouped-by-key counts would also be answerable, but the
+    // connector analog — cassandraCount — is the table-level count.)
+    countPushed = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+    countPushed
+  }
+
+  override def build(): Scan = new KVScan(tname, entry, required, pushed, countPushed)
 }
 
 class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter], countPushed: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning {
-  override def readSchema(): StructType = required
+  import org.apache.spark.sql.types.LongType
+  override def readSchema(): StructType =
+    if (countPushed) new StructType().add("count(*)", LongType, nullable = false)
+    else required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-kv:$tname pushed=[${pushed.mkString(",")}]"
+    s"graft-kv:$tname pushed=[${pushed.mkString(",")}]" +
+      (if (countPushed) " PushedAggregation: [COUNT(*)]" else "")
 
   private def keepKey(k: Long): Boolean = pushed.isEmpty || pushed.forall {
     case EqualTo(_, v) => v.asInstanceOf[Number].longValue == k
@@ -142,17 +189,26 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
   override def outputPartitioning(): Partitioning =
     // key-grouped only while the key column survives column pruning —
     // otherwise the grouping is unobservable by the query and unreportable
-    if (required.fieldNames.contains(entry.keyCol))
+    if (!countPushed && required.fieldNames.contains(entry.keyCol))
       new KeyGroupedPartitioning(
         Array(Expressions.identity(entry.keyCol)), keptKeys.length)
     else new UnknownPartitioning(keptKeys.length)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val idx = required.fieldNames.map(entry.schema.fieldIndex)
-    val parts = entry.parts.collect {
-      case (k, rows) if keepKey(k) =>
-        KVPartition(k, rows.map(r => idx.map(r(_)))): InputPartition
-    }
+    val parts: Array[InputPartition] =
+      if (countPushed)
+        // one metadata row per split: [row-count]; Spark's final agg sums them
+        entry.parts.collect {
+          case (k, rows) if keepKey(k) =>
+            KVPartition(k, Array(Array[Any](rows.length.toLong))): InputPartition
+        }
+      else {
+        val idx = required.fieldNames.map(entry.schema.fieldIndex)
+        entry.parts.collect {
+          case (k, rows) if keepKey(k) =>
+            KVPartition(k, rows.map(r => idx.map(r(_)))): InputPartition
+        }
+      }
     KeyGroupedRegistry.lastPlanned.put(tname, parts.length)
     parts
   }
@@ -160,10 +216,13 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
 }
 
 /** One split = one key's rows; `partitionKey` is what lets Spark line the
-  * two sides of the join up split-by-split. */
+  * two sides of the join up split-by-split, and `preferredLocations` is what
+  * lets the scheduler run the split on the node that owns the key (the
+  * token-aware read — see [[KVRing]]). */
 case class KVPartition(key: Long, rows: Array[Array[Any]])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(key)
+  override def preferredLocations(): Array[String] = KVRing.replicasOf(key).toArray
 }
 
 class KVReaderFactory extends PartitionReaderFactory {

@@ -110,6 +110,50 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("COUNT(*)"), plan)
   }
 
+  test("count(*) on the KV source is answered from registry metadata (no rows read)") {
+    val df = Storage.queries("q_kv_count_pushdown")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan)
+    val expected = graft.sources.Tables.load(spark, sfDir, "customer").count()
+    assert(df.collect().head.getLong(0) == expected)
+  }
+
+  test("KV splits report token-aware preferred locations to the scheduler") {
+    // SURVEY §2.1 P1 (reference README.md:135): the source declares which
+    // node owns each key; Spark's literal mechanism for acting on that is
+    // InputPartition.preferredLocations -> DataSourceRDD.getPreferredLocations
+    // -> DAGScheduler task placement. Assert the declared replica sets
+    // actually reach the RDD the scheduler sees.
+    val (_, cName) = Storage.stageKv(spark, sfDir)
+    val df = spark.read.format("graft.sources.KVDataSource")
+      .option("table", cName).load()
+    // The DAGScheduler resolves locality by walking the narrow-dep chain to
+    // the leaf RDD and calling its preferredLocations — do the same walk and
+    // assert on the leaf (DataSourceRDD), proving the declared locations
+    // reach task placement, not merely that the partition object carries
+    // them. (sc.getPreferredLocs, the scheduler's entry point, is
+    // private[spark].)
+    def leaf(r: org.apache.spark.rdd.RDD[_]): org.apache.spark.rdd.RDD[_] =
+      if (r.dependencies.isEmpty) r else leaf(r.dependencies.head.rdd)
+    val scan = leaf(df.queryExecution.toRdd)
+    assert(scan.getClass.getSimpleName.contains("DataSourceRDD"), scan.getClass)
+    assert(scan.partitions.nonEmpty)
+    scan.partitions.foreach { p =>
+      val locs = scan.preferredLocations(p)
+      assert(locs.size == graft.sources.KVRing.ReplicationFactor, locs)
+      assert(locs.forall(graft.sources.KVRing.hosts.contains), locs)
+    }
+    // the assignment is the declared ring function of the key, not arbitrary:
+    // a point read of key 3 must land on exactly replicasOf(3)
+    val one = spark.read.format("graft.sources.KVDataSource")
+      .option("table", cName).load()
+      .filter(org.apache.spark.sql.functions.col("c_nationkey") === 3)
+    val oneScan = leaf(one.queryExecution.toRdd)
+    assert(oneScan.partitions.length == 1)
+    assert(oneScan.preferredLocations(oneScan.partitions(0)) ==
+      graft.sources.KVRing.replicasOf(3L))
+  }
+
   test("DirectJoinRule turns a literal-key join into a pushed IN point read") {
     val df = Relational.queries("q_direct_join")(spark, sfDir)
     val plan = planOf(df)
