@@ -177,6 +177,37 @@ object Streaming {
         .orderBy("w_start", "event_type")
     },
 
+    // Backfill trigger (Trigger.AvailableNow): process the whole backlog in
+    // rate-limited micro-batches, then STOP on our own — the reference's
+    // run-to-completion `kind: Job` shape (reference: userdata/cloudinit.sh:
+    // 445-470) expressed in streaming form, and the production pattern for
+    // "catch the stream up, then hand back the cluster". Unlike
+    // processAllAvailable (a test/driver-side wait), AvailableNow snapshots
+    // the available offsets at start and the query terminates itself when
+    // they are consumed — including the trailing no-data batch that lets the
+    // sentinel-advanced watermark flush every real window from state. Same
+    // tumbling aggregation as q_stream_tumbling, so any divergence between
+    // the trigger modes would show up as an oracle mismatch.
+    "q_stream_backfill" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val agg = eventStream(s, dir, "events")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum("value").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      withStreamConf(s) {
+        val q = agg.writeStream.format("memory").queryName("graft_stream_backfill")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try require(q.awaitTermination(180000),
+          "AvailableNow backfill did not self-terminate")
+        finally q.stop()
+      }
+      s.table("graft_stream_backfill")
+        .filter(col("event_type") =!= "__sentinel")
+        .orderBy("w_start", "event_type")
+    },
+
     // Sliding 2 h windows every 1 h: each event lands in exactly 2 windows.
     "q_stream_sliding" -> { (s, dir) =>
       val agg = eventStream(s, dir, "events")
@@ -446,6 +477,16 @@ object Streaming {
 
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Same aggregation as q_stream_tumbling — the trigger mode must not
+    // change the answer.
+    "q_stream_backfill" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

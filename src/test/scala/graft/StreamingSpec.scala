@@ -25,6 +25,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batch)
   }
 
+  test("AvailableNow backfill self-terminates and equals the batch aggregation") {
+    // The query itself requires awaitTermination(timeout) == true — i.e. the
+    // trigger stopped the query, we never stopped it ourselves — so reaching
+    // the comparison at all proves self-termination, including the trailing
+    // no-data batch that flushes watermark state.
+    val streamed = Streaming.queries("q_stream_backfill")(spark, sfDir)
+      .collect().toSet
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .collect().toSet
+    assert(streamed == batch)
+    // and the memory-sink query is no longer active on the session
+    assert(!spark.streams.active.exists(_.name == "graft_stream_backfill"))
+  }
+
   test("streamed dedup drops the injected duplicates and nothing else") {
     val streamed = Streaming.queries("q_stream_dedup")(spark, sfDir)
       .select("event_id").collect().map(_.getLong(0)).sorted
