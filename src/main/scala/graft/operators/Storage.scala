@@ -168,6 +168,51 @@ object Storage {
         .orderBy("c_custkey")
     },
 
+    // The full SURVEY §1.2 CQL↔Catalyst type table in one round-trip: every
+    // public type of the modeled engine — int/text/bigint/smallint/tinyint/
+    // float/double/decimal/boolean/date/timestamp/uuid/inet (as text)/blob/
+    // list/set/map/tuple — written through the catalog's upsert path (row 1
+    // is overwritten; the set column is deduped+ordered on write, CQL set
+    // semantics) and read back. Output serialization follows the oracle
+    // portability rules: blob → base64, collections/struct → to_json,
+    // decimal → full-scale string; everything else rides its native type.
+    "q_types_roundtrip" -> { (s, _) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.typed")
+      s.sql("""CREATE TABLE graftcat.testks.typed (
+        id INT, t_text STRING, t_bigint BIGINT, t_smallint SMALLINT,
+        t_tinyint TINYINT, t_float FLOAT, t_double DOUBLE,
+        t_decimal DECIMAL(38,18), t_boolean BOOLEAN, t_date DATE,
+        t_ts TIMESTAMP, t_uuid STRING, t_inet STRING, t_blob BINARY,
+        t_list ARRAY<INT>, t_set ARRAY<STRING>, t_map MAP<STRING,INT>,
+        t_tuple STRUCT<a:INT,b:STRING>)
+        TBLPROPERTIES ('key'='id', 'sets'='t_set')""")
+      s.sql("""INSERT INTO graftcat.testks.typed VALUES
+        (1, 'stale', -1, -1S, -1Y, CAST(-1.0 AS FLOAT), -1.0,
+         CAST('-1' AS DECIMAL(38,18)), false, DATE'1999-01-01',
+         TIMESTAMP'1999-01-01 00:00:00', 'x', 'x', X'00',
+         array(0), array('z'), map('z', 0), named_struct('a', 0, 'b', 'z'))""")
+      s.sql("""INSERT INTO graftcat.testks.typed VALUES
+        (1, 'alpha', 9007199254740993, 7S, 3Y, CAST(1.5 AS FLOAT), 2.25,
+         CAST('123456789.123456789' AS DECIMAL(38,18)), true, DATE'2024-03-01',
+         TIMESTAMP'2024-03-01 12:34:56',
+         '550e8400-e29b-41d4-a716-446655440000', '10.0.0.1', X'6772616674',
+         array(3, 1, 2), array('b', 'a', 'b'), map('k1', 1, 'k2', 2),
+         named_struct('a', 42, 'b', 'answer')),
+        (2, 'beta', -5, -7S, -3Y, CAST(0.25 AS FLOAT), -2.5,
+         CAST('-0.5' AS DECIMAL(38,18)), false, DATE'1970-01-01',
+         CAST(NULL AS TIMESTAMP), '00000000-0000-0000-0000-000000000000',
+         '192.168.1.255', X'00FF', array(), array('solo'), map(),
+         named_struct('a', -1, 'b', ''))""")
+      s.sql("""SELECT id, t_text, t_bigint, t_smallint, t_tinyint, t_float,
+          t_double, CAST(t_decimal AS STRING) AS t_decimal_str, t_boolean,
+          t_date, t_ts, t_uuid, t_inet, base64(t_blob) AS t_blob_b64,
+          to_json(t_list) AS t_list_json, to_json(t_set) AS t_set_json,
+          to_json(t_map) AS t_map_json, to_json(t_tuple) AS t_tuple_json
+        FROM graftcat.testks.typed ORDER BY id""")
+    },
+
     // cassandraCount analog at the CUSTOM-source level: the KV source
     // implements SupportsPushDownAggregates, so an ungrouped COUNT(*) is
     // answered from the registry's per-key row counts — each split emits one
@@ -342,6 +387,25 @@ object Storage {
 
     "q_kv_count_pushdown" ->
       "SELECT COUNT(*) AS n_rows FROM customer",
+
+    // Expected end-state literals (row 1 overwritten by the upsert; set
+    // deduped+ordered; serialized columns as exact strings).
+    "q_types_roundtrip" ->
+      """SELECT * FROM (VALUES
+        | (1, 'alpha', 9007199254740993, CAST(7 AS SMALLINT), CAST(3 AS TINYINT),
+        |  CAST(1.5 AS REAL), 2.25, '123456789.123456789000000000', true,
+        |  DATE '2024-03-01', TIMESTAMP '2024-03-01 12:34:56',
+        |  '550e8400-e29b-41d4-a716-446655440000', '10.0.0.1', 'Z3JhZnQ=',
+        |  '[3,1,2]', '["a","b"]', '{"k1":1,"k2":2}', '{"a":42,"b":"answer"}'),
+        | (2, 'beta', -5, CAST(-7 AS SMALLINT), CAST(-3 AS TINYINT),
+        |  CAST(0.25 AS REAL), -2.5, '-0.500000000000000000', false,
+        |  DATE '1970-01-01', CAST(NULL AS TIMESTAMP),
+        |  '00000000-0000-0000-0000-000000000000', '192.168.1.255', 'AP8=',
+        |  '[]', '["solo"]', '{}', '{"a":-1,"b":""}')
+        |) AS t(id, t_text, t_bigint, t_smallint, t_tinyint, t_float, t_double,
+        |  t_decimal_str, t_boolean, t_date, t_ts, t_uuid, t_inet, t_blob_b64,
+        |  t_list_json, t_set_json, t_map_json, t_tuple_json)
+        |ORDER BY id""".stripMargin,
 
     // q_approx_distinct intentionally has no oracle: HLL++/GK sketch values
     // are engine-specific; the driver records a rows/schema check.

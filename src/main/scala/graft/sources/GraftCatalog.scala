@@ -41,7 +41,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * swapping the store.
   */
 object GraftCatalogStore {
-  final class T(val schema: StructType, val keyCol: String) {
+  /** `sets` = columns declared CQL-set-typed (TBLPROPERTIES 'sets'='a,b'):
+    * stored as ArrayType but deduplicated + ordered on write, which is
+    * Cassandra's `set<T>` write semantics (SURVEY §1.2). */
+  final class T(val schema: StructType, val keyCol: String,
+      val sets: Set[String] = Set.empty) {
     val rows = TrieMap.empty[Any, Array[Any]]
   }
   val namespaces = TrieMap.empty[String, Map[String, String]]
@@ -95,7 +99,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new TableAlreadyExistsException(key._1, key._2)
     val keyCol = Option(properties.get("key")).getOrElse(schema.fields.head.name)
     require(schema.fieldNames.contains(keyCol), s"key column $keyCol not in schema")
-    tables.put(key, new GraftCatalogStore.T(schema, keyCol))
+    val sets = Option(properties.get("sets"))
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+    tables.put(key, new GraftCatalogStore.T(schema, keyCol, sets))
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -121,7 +127,8 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] =
           Array(GRows(t.rows.values.toArray))
-        override def createReaderFactory(): PartitionReaderFactory = new GReaderFactory
+        override def createReaderFactory(): PartitionReaderFactory =
+          new GReaderFactory(t.schema)
       }
     }
 
@@ -132,11 +139,21 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
             GWriterFactory(t.schema)
           // the upsert: every incoming row replaces the stored row with the
-          // same key value — Cassandra INSERT semantics at the commit level
+          // same key value — Cassandra INSERT semantics at the commit level.
+          // Set-typed columns are deduplicated + ordered here (CQL set<T>
+          // write semantics).
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val ki = t.schema.fieldIndex(t.keyCol)
+            val setIdx = t.schema.fieldNames.zipWithIndex
+              .collect { case (n, i) if t.sets(n) => i }
             messages.foreach { case GCommit(rows) =>
-              rows.foreach(r => t.rows.put(r(ki), r))
+              rows.foreach { r =>
+                setIdx.foreach { i =>
+                  if (r(i) != null)
+                    r(i) = r(i).asInstanceOf[Array[Any]].distinct.sortBy(String.valueOf(_))
+                }
+                t.rows.put(r(ki), r)
+              }
             }
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -147,16 +164,71 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
 
 case class GRows(rows: Array[Array[Any]]) extends InputPartition
 
-class GReaderFactory extends PartitionReaderFactory {
+/** Internal↔external value conversion for the full SURVEY §1.2 type table:
+  * every CQL type's Catalyst mapping round-trips through the store —
+  * int/bigint/smallint/tinyint, text (uuid/inet ride as text), float/double,
+  * decimal, boolean, date, timestamp, blob, list/set (ArrayType),
+  * map (MapType), UDT/tuple (StructType). Executor-side values are detached
+  * from Tungsten buffers into plain JVM objects on write and rebuilt into
+  * internal form on read. */
+object GValues {
+  import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+  import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+
+  def extract(dt: DataType, v: SpecializedGetters, i: Int): Any =
+    if (v.isNullAt(i)) null
+    else dt match {
+      case IntegerType | DateType => v.getInt(i)
+      case LongType | TimestampType => v.getLong(i)
+      case ShortType => v.getShort(i)
+      case ByteType => v.getByte(i)
+      case FloatType => v.getFloat(i)
+      case DoubleType => v.getDouble(i)
+      case BooleanType => v.getBoolean(i)
+      case StringType => v.getUTF8String(i).toString
+      case BinaryType => v.getBinary(i)
+      case d: DecimalType => v.getDecimal(i, d.precision, d.scale)
+      case ArrayType(et, _) =>
+        val a = v.getArray(i)
+        Array.tabulate[Any](a.numElements())(j => extract(et, a, j))
+      case MapType(kt, vt, _) =>
+        val m = v.getMap(i)
+        val (ks, vs) = (m.keyArray(), m.valueArray())
+        Array.tabulate[Any](m.numElements())(j =>
+          (extract(kt, ks, j), extract(vt, vs, j)))
+      case st: StructType =>
+        val r = v.getStruct(i, st.size)
+        st.fields.zipWithIndex.map { case (f, j) => extract(f.dataType, r, j) }: Array[Any]
+      case other => throw new UnsupportedOperationException(s"type $other")
+    }
+
+  def internal(dt: DataType, v: Any): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => UTF8String.fromString(v.asInstanceOf[String])
+      case ArrayType(et, _) =>
+        new GenericArrayData(v.asInstanceOf[Array[Any]].map(internal(et, _)))
+      case MapType(kt, vt, _) =>
+        val pairs = v.asInstanceOf[Array[Any]].map(_.asInstanceOf[(Any, Any)])
+        new ArrayBasedMapData(
+          new GenericArrayData(pairs.map(p => internal(kt, p._1))),
+          new GenericArrayData(pairs.map(p => internal(vt, p._2))))
+      case st: StructType =>
+        InternalRow.fromSeq(v.asInstanceOf[Array[Any]].toIndexedSeq
+          .zip(st.fields).map { case (x, f) => internal(f.dataType, x) })
+      case _ => v
+    }
+}
+
+class GReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rows = p.asInstanceOf[GRows].rows
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow =
-        InternalRow.fromSeq(rows(i).toIndexedSeq.map {
-          case s: String => UTF8String.fromString(s)
-          case v => v
+        InternalRow.fromSeq(rows(i).toIndexedSeq.zip(schema.fields).map {
+          case (v, f) => GValues.internal(f.dataType, v)
         })
       override def close(): Unit = ()
     }
@@ -171,15 +243,7 @@ case class GWriterFactory(schema: StructType) extends DataWriterFactory {
       private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
       override def write(row: InternalRow): Unit =
         buf += schema.fields.zipWithIndex.map { case (f, i) =>
-          if (row.isNullAt(i)) null
-          else f.dataType match {
-            case IntegerType => row.getInt(i)
-            case LongType => row.getLong(i)
-            case DoubleType => row.getDouble(i)
-            case BooleanType => row.getBoolean(i)
-            case StringType => row.getUTF8String(i).toString
-            case dt => throw new UnsupportedOperationException(s"type $dt")
-          }
+          GValues.extract(f.dataType, row, i)
         }
       override def commit(): WriterCommitMessage = GCommit(buf.toArray)
       override def abort(): Unit = ()
