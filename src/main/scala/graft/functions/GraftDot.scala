@@ -74,7 +74,8 @@ object Natives {
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_simhash60", classOf[SimHash60].getName, exprs => SimHash60(exprs.head)),
     ("graft_minhash32", classOf[MinHash32].getName, exprs => MinHash32(exprs.head)),
-    ("graft_dot", classOf[GraftDot].getName, exprs => GraftDot(exprs(0), exprs(1))))
+    ("graft_dot", classOf[GraftDot].getName, exprs => GraftDot(exprs(0), exprs(1))),
+    ("graft_signlsh", classOf[SignLsh].getName, exprs => SignLsh(exprs.head)))
 
   def register(s: SparkSession): Unit = all.foreach { case (name, _, builder) =>
     s.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")

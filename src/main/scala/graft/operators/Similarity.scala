@@ -94,21 +94,18 @@ object Similarity {
     // Banded sign-LSH near-dup: 64 deterministic ±1 hyperplanes → 4 bands of
     // 16-bit codes; pairs agreeing on ANY band are candidates, verified by
     // cosine ≥ 0.2. Hyperplane signs come from an LCG parity (portable
-    // integer arithmetic, identical in DuckDB). The code table is persisted
-    // once and reused by both join sides; the tiny candidate set joins back
-    // to the slim (vec_id, v, nrm) projection, which AQE broadcasts.
+    // integer arithmetic, identical in DuckDB). The signature stage is the
+    // native codegen'd graft_signlsh (functions/SignLsh.scala — one tight
+    // loop instead of a 4096-step HOF chain; HOF-equivalence asserted in
+    // OperatorSpec). The code table is persisted once and reused by both
+    // join sides; the tiny candidate set joins back to the slim
+    // (vec_id, v, nrm) projection, which AQE broadcasts.
     "q_embed_neardup_lsh" -> { (s, dir) =>
       val e = vecs(s, dir)
-        .withColumn("codes",
-          expr("transform(sequence(0,3), b -> struct(b as band, " +
-            "aggregate(transform(sequence(0,15), j -> " +
-            "if(aggregate(transform(sequence(0,63), i -> v[i] * " +
-            "if((shiftright(1103515245L * (64*(16*b + j) + i) + 12345, 16) & 1) = 1, 1.0D, -1.0D)), " +
-            "0D, (s, x) -> s + x) >= 0, shiftleft(1, j), 0)), 0, (a, x) -> a + x) as code))"))
+        .withColumn("codes", expr("graft_signlsh(v)"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       e.count() // materialize before the three downstream reuses
-      val ban0 = e.select(col("vec_id"), explode(col("codes")).as("bc"))
-        .select(col("vec_id"), col("bc.band").as("band"), col("bc.code").as("code"))
+      val ban0 = e.select(col("vec_id"), posexplode(col("codes")).as(Seq("band", "code")))
       // Same BucketCap skew guard as q_minhash_lsh (Pipeline.BucketCap): a
       // (band, code) bucket larger than the cap degrades the self-join to
       // O(bucket²) pairs — drop it. Mirrored in the oracle's `hf` stage.

@@ -69,6 +69,24 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(mismatches == 0)
   }
 
+  test("native SignLsh expression matches the SQL-HOF formulation") {
+    import org.apache.spark.sql.functions._
+    Pipeline.registerNativeFns(spark)
+    val v = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val mismatches = v.select(
+        expr("graft_signlsh(v)").as("native"),
+        expr("transform(sequence(0,3), b -> " +
+          "cast(aggregate(transform(sequence(0,15), j -> " +
+          "if(aggregate(transform(sequence(0,63), i -> v[i] * " +
+          "if((shiftright(1103515245L * (64*(16*b + j) + i) + 12345, 16) & 1) = 1, 1.0D, -1.0D)), " +
+          "0D, (s, x) -> s + x) >= 0, shiftleft(1, j), 0)), 0, (a, x) -> a + x) as bigint))")
+          .as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("native GraftDot expression matches the zip_with/aggregate formulation") {
     import org.apache.spark.sql.functions._
     Pipeline.registerNativeFns(spark)
