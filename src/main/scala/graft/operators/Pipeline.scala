@@ -325,6 +325,105 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Per-source document quota ("domain cap"): a training-data mix control
+    // that keeps at most 50 docs per source, preferring the longest — the
+    // standard guard against one crawl domain dominating the corpus. One
+    // window shuffle on `source`; the cap itself bounds every partition's
+    // output, so the op cannot skew regardless of input distribution.
+    "q_source_cap" -> { (s, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rn") <= 50, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") <= 50, col("n_chars"))).as("chars_kept"))
+        .orderBy("source")
+    },
+
+    // Stratified sampling with per-language rates (en 10%, de 25%, rest
+    // 50%): the mix-rebalancing op of a multilingual corpus. Assignment is
+    // the same portable md5 coin as q_dataset_split — content-independent,
+    // seed-free, stable under re-partitioning, and identical in any engine —
+    // NOT rand()-based sampling, which is irreproducible at scale.
+    "q_stratified_sample" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("h", expr(s"${hExpr("cast(doc_id as string)")} % 100"))
+        .withColumn("rate",
+          when(col("lang") === "en", 10)
+            .when(col("lang") === "de", 25).otherwise(50))
+        .filter(col("h") < col("rate"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tokens_sampled"))
+        .orderBy("lang")
+    },
+
+    // Repetition filter (boilerplate detector): distinct-trigram ratio per
+    // doc; docs whose ratio falls below 0.99 are template/spam candidates
+    // (the synthetic corpus is trigram-diverse; real spam sits far lower).
+    // Per-doc HOF work is linear in doc length and stays inside codegen; no
+    // shuffle at all until the final order.
+    "q_repetition_ngrams" -> { (s, dir) =>
+      docsPar(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .withColumn("tg",
+          expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .select(col("doc_id"),
+          size(col("tg")).as("n_tri"),
+          size(array_distinct(col("tg"))).as("n_uniq"))
+        .withColumn("uniq_ratio", round(col("n_uniq") / col("n_tri"), 6))
+        .filter(col("uniq_ratio") < 0.99)
+        .orderBy("doc_id")
+    },
+
+    // Token-entropy quality score: Shannon entropy of each doc's token
+    // distribution, H = log2(n) − Σ c·log2(c) / n — low entropy = repetitive
+    // or single-token spam, high = diverse vocabulary. Two shuffles
+    // ((doc_id, token) count, then doc_id rollup), both map-side combined.
+    "q_token_entropy" -> { (s, dir) =>
+      docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          sum(col("c").cast("double") * log2(col("c"))).as("slog"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(log2(col("n_tokens")) - col("slog") / col("n_tokens"), 6)
+            .as("entropy"))
+        .orderBy("doc_id")
+    },
+
+    // PII scrub: regex redaction of email/phone shapes with per-doc
+    // redaction counts — the compliance pass every training corpus runs.
+    // The synthetic corpus carries no PII, so deterministic fake PII is
+    // injected first (keyed on doc_id — same rows in both engines); the
+    // operator under test is the scrub+count, which is pure per-row regex
+    // inside codegen.
+    "q_pii_scrub" -> { (s, dir) =>
+      docsPar(s, dir)
+        .withColumn("aug", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" contact agent007@example.com now")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" call 555-867-5309")).otherwise(lit(""))))
+        .withColumn("n_emails",
+          regexp_count(col("aug"), lit("[a-z0-9]+@[a-z]+\\.[a-z]+")))
+        .withColumn("n_phones",
+          regexp_count(col("aug"), lit("\\d{3}-\\d{3}-\\d{4}")))
+        .filter(col("n_emails") + col("n_phones") > 0)
+        .withColumn("clean",
+          regexp_replace(
+            regexp_replace(col("aug"), "[a-z0-9]+@[a-z]+\\.[a-z]+", "[EMAIL]"),
+            "\\d{3}-\\d{3}-\\d{4}", "[PHONE]"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("clean")).as("clean_len"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic dataset splitting: train/val/test assignment by a
     // portable content-independent hash of the document id (md5-prefix mod
     // 100 → 80/10/10). This is how a 100 TB pipeline splits reproducibly —
@@ -771,6 +870,75 @@ object Pipeline {
         |  w[1] AS first_tok,
         |  w[-1] AS last_tok
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_source_cap" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn <= 50 THEN n_chars END) AS BIGINT) AS chars_kept
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT lang, text,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS h,
+        |    CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 ELSE 50 END AS rate
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_sampled,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_sampled
+        |FROM d WHERE h < rate
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_repetition_ngrams" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(w) - 2),
+        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS tg
+        |  FROM d WHERE len(w) >= 3)
+        |SELECT doc_id, CAST(len(tg) AS INT) AS n_tri,
+        |  CAST(len(list_distinct(tg)) AS INT) AS n_uniq,
+        |  round(len(list_distinct(tg)) * 1.0 / len(tg), 6) AS uniq_ratio
+        |FROM t WHERE round(len(list_distinct(tg)) * 1.0 / len(tg), 6) < 0.99
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    SUM(c * log2(c)) AS slog
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(log2(n_tokens) - slog / n_tokens, 6) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |            THEN ' contact agent007@example.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |            THEN ' call 555-867-5309' ELSE '' END AS aug
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS INT) AS n_emails,
+        |    CAST(len(regexp_extract_all(aug, '\d{3}-\d{3}-\d{4}')) AS INT) AS n_phones,
+        |    regexp_replace(
+        |      regexp_replace(aug, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+        |      '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g') AS clean
+        |  FROM d)
+        |SELECT doc_id, n_emails, n_phones, CAST(length(clean) AS INT) AS clean_len
+        |FROM c WHERE n_emails + n_phones > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dataset_split" ->
       """WITH d AS (
