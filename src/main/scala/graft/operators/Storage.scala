@@ -168,6 +168,28 @@ object Storage {
         .orderBy("c_custkey")
     },
 
+    // Runtime split pruning on the KV source (SupportsRuntimeFiltering): the
+    // dim side's surviving keys are only known at execution (the filter is
+    // on a non-key column), so DirectJoinRule's static rewrite can't apply —
+    // instead Spark evaluates the broadcast dim, hands the discovered key
+    // set to KVScan.filter, and re-plans the fact scan to ONLY the splits
+    // owning those keys (PlanSpec asserts <=3 planned). The dynamic form of
+    // the connector's directJoin: point reads routed by runtime keys. At
+    // 100 TB this is the difference between scanning the ring and reading
+    // three partitions.
+    "q_kv_runtime_prune" -> { (s, dir) =>
+      val (_, cName) = stageKv(s, dir)
+      val fact = s.read.format("graft.sources.KVDataSource").option("table", cName).load()
+      val dim = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"), col("n_name"))
+        .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+      fact.join(dim, col("c_nationkey") === col("k"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast(DecimalType(12, 2))).cast(DoubleType).as("total_bal"))
+        .orderBy("n_name")
+    },
+
     // The full SURVEY §1.2 CQL↔Catalyst type table in one round-trip: every
     // public type of the modeled engine — int/text/bigint/smallint/tinyint/
     // float/double/decimal/boolean/date/timestamp/uuid/inet (as text)/blob/
@@ -387,6 +409,13 @@ object Storage {
 
     "q_kv_count_pushdown" ->
       "SELECT COUNT(*) AS n_rows FROM customer",
+
+    "q_kv_runtime_prune" ->
+      """SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     // Expected end-state literals (row 1 overwritten by the upsert; set
     // deduped+ordered; serialized columns as exact strings).

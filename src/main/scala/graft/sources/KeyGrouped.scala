@@ -8,8 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.StructType
@@ -166,7 +167,8 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry)
 
 class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     required: StructType, pushed: Array[Filter], countPushed: Boolean = false)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
   import org.apache.spark.sql.types.LongType
   override def readSchema(): StructType =
     if (countPushed) new StructType().add("count(*)", LongType, nullable = false)
@@ -176,11 +178,32 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     s"graft-kv:$tname pushed=[${pushed.mkString(",")}]" +
       (if (countPushed) " PushedAggregation: [COUNT(*)]" else "")
 
-  private def keepKey(k: Long): Boolean = pushed.isEmpty || pushed.forall {
-    case EqualTo(_, v) => v.asInstanceOf[Number].longValue == k
-    case In(_, vs) => vs.exists(_.asInstanceOf[Number].longValue == k)
-    case _ => true
+  /** Runtime filtering (SupportsRuntimeFiltering): the DYNAMIC form of the
+    * point lookup. Where DirectJoinRule plants a static IN for literal key
+    * lists, this prunes splits at execution time from keys discovered by a
+    * runtime subquery/broadcast (dynamic partition pruning on a DSv2 source)
+    * — the connector behavior of routing a join's actual keys to the
+    * replicas owning them, without rescanning the rest of the ring. Spark
+    * calls `filter` after the dim side is evaluated, then re-plans input
+    * partitions. */
+  private var runtimeKeys: Option[Set[Long]] = None
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(entry.keyCol))
+  override def filter(filters: Array[Filter]): Unit = {
+    val keySets = filters.collect {
+      case In(a, vs) if a == entry.keyCol =>
+        vs.collect { case n: Number => n.longValue }.toSet
+      case EqualTo(a, v: Number) if a == entry.keyCol => Set(v.longValue)
+    }
+    if (keySets.nonEmpty) runtimeKeys = Some(keySets.reduce(_ intersect _))
   }
+
+  private def keepKey(k: Long): Boolean =
+    runtimeKeys.forall(_.contains(k)) && (pushed.isEmpty || pushed.forall {
+      case EqualTo(_, v) => v.asInstanceOf[Number].longValue == k
+      case In(_, vs) => vs.exists(_.asInstanceOf[Number].longValue == k)
+      case _ => true
+    })
 
   // partition COUNT is needed by outputPartitioning during planning —
   // computed from keys alone, without projecting any rows

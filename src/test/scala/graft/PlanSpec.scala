@@ -118,6 +118,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(df.collect().head.getLong(0) == expected)
   }
 
+  test("runtime filtering prunes KV splits from a join's discovered keys (dynamic directJoin)") {
+    // SupportsRuntimeFiltering: the dim side's keys are only known at
+    // execution (a filter on a non-key column), so no static rule can help —
+    // Spark evaluates the broadcast, calls KVScan.filter(In(key, ...)), and
+    // re-plans input partitions. Only the splits owning the 3 surviving
+    // nation keys may be read: point reads routed by a runtime-discovered
+    // key set, the dynamic form of the connector's directJoin.
+    val (_, cName) = Storage.stageKv(spark, sfDir)
+    val fact = spark.read.format("graft.sources.KVDataSource")
+      .option("table", cName).load()
+    val dim = graft.sources.Tables.load(spark, sfDir, "nation")
+      .select(org.apache.spark.sql.functions.col("n_nationkey").cast("long").as("k"),
+        org.apache.spark.sql.functions.col("n_name"))
+      .filter(org.apache.spark.sql.functions.col("n_name")
+        .isin("NATION_3", "NATION_7", "NATION_11"))
+    val joined = fact.join(dim, fact("c_nationkey") === dim("k"))
+    assert(joined.collect().nonEmpty)
+    val planned = graft.sources.KeyGroupedRegistry.lastPlanned(cName)
+    assert(planned <= 3, s"expected <=3 splits planned after runtime filter, got $planned")
+  }
+
   test("KV splits report token-aware preferred locations to the scheduler") {
     // SURVEY §2.1 P1 (reference README.md:135): the source declares which
     // node owns each key; Spark's literal mechanism for acting on that is
