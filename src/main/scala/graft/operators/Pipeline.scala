@@ -424,6 +424,70 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Benchmark-contamination check: the decontamination pass run before
+    // training — fraction of each corpus doc's distinct 5-gram shingles
+    // that also appear in a held-out benchmark set (every 50th doc stands
+    // in for the eval benchmark). The benchmark shingle set is tiny
+    // relative to the corpus and is broadcast, so the corpus probe is
+    // map-only; the only wide op is the per-doc shingle distinct. Shingles
+    // are the portable 32-bit md5 hash, so the candidate sets (not just
+    // counts) are engine-identical.
+    "q_contamination" -> { (s, dir) =>
+      val sh = docsPar(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")).as("g"))
+        .withColumn("sh", expr(hExpr("g")))
+        .select("doc_id", "sh")
+        .distinct()
+      val bench = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("sh")).distinct().withColumn("hit", lit(1))
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .filter(col("n_hit") > 0)
+        .withColumn("overlap", round(col("n_hit") / col("n_shingles"), 6))
+        .orderBy("doc_id")
+    },
+
+    // Budget-driven mixture sampling: the "mix sources to a token budget"
+    // step of training-data assembly. Sources collapse into 3 domains; the
+    // target mix (web 50 / books 30 / wiki 20 % of a 40%-of-corpus token
+    // budget) becomes one integer per-domain sampling rate derived from the
+    // domain's actual token count, and rows are kept by the same portable
+    // md5 coin as q_dataset_split — reproducible under re-partitioning,
+    // no sampler state. Two passes: pass 1 is a map-side-combined 3-row
+    // aggregate; pass 2 broadcasts the 3 rates and filters map-only — the
+    // corpus itself never shuffles. All rate arithmetic is integer (div),
+    // so the kept set is bit-identical in any engine.
+    "q_data_mixture" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("dom_ix", expr("cast(substring(source, 4, 10) as int) % 3"))
+        .withColumn("domain",
+          when(col("dom_ix") === 0, "web")
+            .when(col("dom_ix") === 1, "books").otherwise("wiki"))
+        .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      val rates = d.groupBy("domain").agg(sum("tok").as("dom_tokens"))
+        .withColumn("total_tokens",
+          sum("dom_tokens").over(Window.partitionBy()))
+        .withColumn("share_pct",
+          when(col("domain") === "web", 50L)
+            .when(col("domain") === "books", 30L).otherwise(20L))
+        .withColumn("rate_bp", least(lit(10000L),
+          expr("((((total_tokens * 2) div 5) * share_pct) div 100) * 10000 div dom_tokens")))
+        .select("domain", "rate_bp")
+      d.withColumn("h", expr(s"${hExpr("cast(doc_id as string)")} % 10000"))
+        .join(broadcast(rates), "domain")
+        .filter(col("h") < col("rate_bp"))
+        .groupBy("domain")
+        .agg(max("rate_bp").as("rate_bp"), count(lit(1)).as("n_kept"),
+          sum("tok").as("tokens_kept"))
+        .orderBy("domain")
+    },
+
     // Deterministic dataset splitting: train/val/test assignment by a
     // portable content-independent hash of the document id (md5-prefix mod
     // 100 → 80/10/10). This is how a 100 TB pipeline splits reproducibly —
@@ -939,6 +1003,53 @@ object Pipeline {
         |SELECT doc_id, n_emails, n_phones, CAST(length(clean) AS INT) AS clean_len
         |FROM c WHERE n_emails + n_phones > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ('0x'||substr(md5(g),1,8))::BIGINT AS sh
+        |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(w) - 4),
+        |      i -> w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5])) AS g
+        |    FROM d WHERE len(w) >= 5)),
+        |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
+        |SELECT s.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  round(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+        |    / COUNT(*), 6) AS overlap
+        |FROM sh s LEFT JOIN b ON s.sh = b.sh
+        |WHERE s.doc_id % 50 <> 0
+        |GROUP BY s.doc_id
+        |HAVING SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "q_data_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE CAST(substr(source, 4) AS INT) % 3
+        |      WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'wiki' END AS domain,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |t AS (
+        |  SELECT domain, CAST(SUM(tok) AS BIGINT) AS dom_tokens
+        |  FROM d GROUP BY domain),
+        |r AS (
+        |  SELECT domain, dom_tokens,
+        |    CAST(SUM(dom_tokens) OVER () AS BIGINT) AS total_tokens,
+        |    CASE domain WHEN 'web' THEN 50 WHEN 'books' THEN 30 ELSE 20 END
+        |      AS share_pct
+        |  FROM t),
+        |r2 AS (
+        |  SELECT domain, CAST(least(10000,
+        |    ((((total_tokens * 2) // 5) * share_pct) // 100) * 10000
+        |      // dom_tokens) AS BIGINT) AS rate_bp
+        |  FROM r)
+        |SELECT d.domain, CAST(MAX(r2.rate_bp) AS BIGINT) AS rate_bp,
+        |  COUNT(*) AS n_kept, CAST(SUM(d.tok) AS BIGINT) AS tokens_kept
+        |FROM d JOIN r2 USING (domain)
+        |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
+        |  % 10000 < r2.rate_bp
+        |GROUP BY d.domain ORDER BY d.domain""".stripMargin,
 
     "q_dataset_split" ->
       """WITH d AS (
