@@ -127,6 +127,35 @@ object Similarity {
         .orderBy("vec_a", "vec_b")
     },
 
+    // Int8 symmetric quantization + integer-dot top-k: the bandwidth tier
+    // of 100 TB ANN — a 64-dim FLOAT vector is 256 bytes, its int8 form 64,
+    // so the candidate scan reads 4× less, and the dot product becomes
+    // exact integer arithmetic (the scores themselves are engine-identical
+    // integers, not merely round-stable floats). Per-vector scale =
+    // 127 / max|v_i|; q_i = floor(v_i·scale + 0.5) — floor(x+0.5) is the
+    // portable round-half-up both engines agree on. The quantized cosine
+    // divides by integer norms, so ordering is deterministic too.
+    "q_embed_quantize" -> { (s, dir) =>
+      val q8 = vecs(s, dir)
+        .withColumn("mx", greatest(expr("array_max(transform(v, x -> abs(x)))"), lit(1e-12)))
+        .withColumn("qv", expr("transform(v, x -> cast(floor(x * 127.0d / mx + 0.5d) as bigint))"))
+        .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+        .select("vec_id", "qv", "n2")
+      val q = q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("qa2"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("qcos_raw").desc, col("vec_id").asc)
+      broadcast(q).crossJoin(q8)
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dotq", expr("aggregate(zip_with(qa, qv, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+        .withColumn("qcos_raw", col("dotq") / sqrt((col("qa2") * col("n2")).cast("double")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("vec_id").as("match_id"), col("dotq"),
+          round(col("qcos_raw"), 6).as("qcosine"), col("rn"))
+        .orderBy("q_id", "rn")
+    },
+
     // Per-cluster vector stats (norm distribution) — sanity surface for the
     // embedding column itself.
     "q_embed_stats" -> { (s, dir) =>
@@ -201,6 +230,37 @@ object Similarity {
         |  FROM cand JOIN e q ON q.vec_id = vec_a JOIN e c ON c.vec_id = vec_b)
         |SELECT vec_a, vec_b, cosine FROM p
         |WHERE cosine >= 0.2 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_embed_quantize" ->
+      s"""WITH e AS ($vecsSql),
+        |m AS (
+        |  SELECT vec_id,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS mx, v
+        |  FROM e),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS qv
+        |  FROM m),
+        |qn AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+        |  FROM q8),
+        |r AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS match_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> q.qv[i] * c.qv[i])) AS BIGINT) AS dotq,
+        |    list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> q.qv[i] * c.qv[i])) / sqrt(CAST(q.n2 * c.n2 AS DOUBLE))
+        |      AS qcos_raw
+        |  FROM qn q JOIN qn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |t AS (
+        |  SELECT q_id, match_id, dotq, qcos_raw,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY qcos_raw DESC, match_id ASC) AS rn
+        |  FROM r)
+        |SELECT q_id, match_id, dotq, round(qcos_raw, 6) AS qcosine,
+        |  CAST(rn AS INT) AS rn
+        |FROM t WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
 
     "q_embed_stats" ->
       s"""WITH e AS ($vecsSql)
