@@ -30,6 +30,36 @@ import graft.sources.Tables
 object Storage {
   type Q = (SparkSession, String) => DataFrame
 
+  /** 16-bit Morton spread (interleave-ready bit spreading) as a portable
+    * expression string: the classic shift/mask ladder, identical arithmetic
+    * in Spark (shiftleft) and DuckDB (<<). Input must already be a BIGINT in
+    * [0, 65535]; output occupies the even bits of a 32-bit code. */
+  private val mortonSteps =
+    List((8, "16711935"), (4, "252645135"), (2, "858993459"), (1, "1431655765"))
+
+  private[operators] def mortonSpark(c: String): String =
+    mortonSteps.foldLeft(c) { case (e, (sh, mask)) =>
+      s"((($e) | shiftleft(($e), $sh)) & ${mask}L)"
+    }
+
+  private[operators] def mortonDuck(c: String): String =
+    mortonSteps.foldLeft(c) { case (e, (sh, mask)) =>
+      s"((($e) | (($e) << $sh)) & $mask)"
+    }
+
+  /** Physical z-order layout: interleave two 16-bit key columns into a
+    * Morton code, range-partition on it, and sort within partitions — so
+    * every output file's min/max stats bound BOTH dimensions and either
+    * filter column prunes files. A plain sort on (a, b) clusters only `a`.
+    * PlanSpec asserts the RangePartitioning and the disjoint per-partition
+    * z-ranges. */
+  def zorderLayout(df: DataFrame, c1: String, c2: String, nParts: Int): DataFrame =
+    df.withColumn("zx", expr(s"cast($c1 % 65536 as bigint)"))
+      .withColumn("zy", expr(s"cast($c2 % 65536 as bigint)"))
+      .withColumn("zval", expr(s"(${mortonSpark("zx")}) | shiftleft(${mortonSpark("zy")}, 1)"))
+      .repartitionByRange(nParts, col("zval"))
+      .sortWithinPartitions("zval")
+
   /** Hard-delete a warehouse path so saveAsTable overwrites are idempotent
     * even when a fresh session's in-memory catalog forgot the table. */
   private def rmPath(s: SparkSession, table: String): Unit = {
@@ -345,6 +375,30 @@ object Storage {
         .orderBy("l_returnflag")
     },
 
+    // Z-order (Morton) clustering: the multi-dimensional layout op — a sort
+    // on (a, b) clusters only `a`, while interleaving the key bits bounds
+    // BOTH dimensions inside every z-range, so file-level min/max stats
+    // prune on either filter column. The declared query verifies exactly
+    // that property: per fixed z-range bucket (zval >> 18), both the
+    // custkey span and the date span are narrow — pure shift/mask integer
+    // arithmetic, bit-identical in any engine. The physical write path
+    // (repartitionByRange(zval) + sortWithinPartitions) is zorderLayout
+    // above, asserted in PlanSpec.
+    "q_zorder_layout" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .withColumn("zx", expr("cast(o_custkey % 65536 as bigint)"))
+        .withColumn("zy",
+          expr("cast(datediff(o_orderdate, date'1992-01-01') % 65536 as bigint)"))
+        .withColumn("zval",
+          expr(s"(${mortonSpark("zx")}) | shiftleft(${mortonSpark("zy")}, 1)"))
+        .withColumn("zbucket", expr("zval div 262144"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min("zx").as("min_cust"), max("zx").as("max_cust"),
+          min("zy").as("min_day"), max("zy").as("max_day"))
+        .orderBy("zbucket")
+    },
+
     // JSON-lines round-trip — the third non-parquet format tier (CSV and ORC
     // above): distributed write of a projection to .json, schema-declared
     // read back (schema inference at 100 TB would be a full extra pass),
@@ -471,5 +525,20 @@ object Storage {
         |FROM lineitem
         |WHERE l_suppkey <= 2
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_zorder_layout" ->
+      s"""WITH d AS (
+        |  SELECT CAST(o_custkey % 65536 AS BIGINT) AS zx,
+        |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) % 65536
+        |      AS BIGINT) AS zy
+        |  FROM orders),
+        |z AS (
+        |  SELECT zx, zy,
+        |    (${mortonDuck("zx")}) | ((${mortonDuck("zy")}) << 1) AS zval
+        |  FROM d)
+        |SELECT CAST(zval // 262144 AS BIGINT) AS zbucket, COUNT(*) AS n,
+        |  MIN(zx) AS min_cust, MAX(zx) AS max_cust,
+        |  MIN(zy) AS min_day, MAX(zy) AS max_day
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin)
 }

@@ -296,6 +296,29 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("partial_sum") || plan.contains("Functions [partial"), plan)
   }
 
+  test("zorderLayout range-partitions on the Morton code with disjoint z-ranges") {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, spark_partition_id}
+    val laid = Storage.zorderLayout(
+      graft.sources.Tables.load(spark, sfDir, "orders"), "o_custkey",
+      "datediff(o_orderdate, date'1992-01-01')", 8)
+    // physical layout: a range Exchange on zval, not hash/round-robin
+    val plan = planOf(laid)
+    assert(plan.contains("rangepartitioning(zval"), plan)
+    // per-partition z-ranges are disjoint — the property that lets file-level
+    // min/max stats prune on EITHER original dimension
+    val ranges = laid
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(fmin(col("zval")).as("lo"), fmax(col("zval")).as("hi"))
+      .collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, ranges.mkString(","))
+      case _ =>
+    }
+    assert(ranges.length > 1, ranges.mkString(","))
+  }
+
   test("flagship scan-filter-aggregate runs inside whole-stage codegen") {
     val df = Relational.queries("q1_pricing_summary")(spark, sfDir)
     df.collect() // finalize the adaptive plan — codegen spans only show executed
