@@ -111,17 +111,23 @@ object Streaming {
   /** Run `body` with streaming-tuned session conf, restoring BOTH touched
     * keys afterwards so nothing leaks to later batch queries on the same
     * session. */
-  private def withStreamConf[T](s: SparkSession)(body: => T): T = {
+  // State-store provider is a state-size decision: at this volume (KBs per
+  // partition) the HDFS-backed in-memory provider beats RocksDB, whose JNI +
+  // checkpoint-file overhead only pays off once state outgrows the executor
+  // heap — which is when a production stream flips this conf. Measured here:
+  // HDFS ≈ 10% faster end-to-end than RocksDB at sf0.1. q_stream_rocksdb
+  // exercises the flip itself.
+  private val HdfsProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  private[streaming] val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withStreamConf[T](s: SparkSession,
+      provider: String = HdfsProvider)(body: => T): T = {
     val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val oldProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    // State-store provider is a state-size decision: at this volume (KBs
-    // per partition) the HDFS-backed in-memory provider beats RocksDB, whose
-    // JNI + checkpoint-file overhead only pays off once state outgrows the
-    // executor heap — which is when a production stream flips this conf.
-    // Measured here: HDFS ≈ 10% faster end-to-end than RocksDB at sf0.1.
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     try body
     finally {
       s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
@@ -130,9 +136,9 @@ object Streaming {
   }
 
   private def runToMemory(out: DataFrame, name: String,
-      mode: String = "append"): DataFrame = {
+      mode: String = "append", provider: String = HdfsProvider): DataFrame = {
     val s = out.sparkSession
-    withStreamConf(s) {
+    withStreamConf(s, provider) {
       val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
       try drainStable(q, s.table(name).count()) finally q.stop()
     }
@@ -234,6 +240,27 @@ object Streaming {
           col("session_window.end").as("s_end"),
           col("user_id"), col("n_events"), col("sum_value"))
       runToMemory(agg, "graft_stream_session")
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "s_start")
+    },
+
+    // The provider flip itself: the identical session-window aggregation as
+    // q_stream_session, but with state held off-heap in RocksDB — what a
+    // production stream switches to once live state outgrows the executor
+    // heap (a 100 TB/day stream holds GBs of open sessions; the heap-backed
+    // provider OOMs exactly when state matters most). Shares
+    // q_stream_session's oracle SQL verbatim: results must be
+    // provider-independent, so any RocksDB-specific eviction/serialization
+    // divergence fails the correctness gate, not just a perf check.
+    "q_stream_rocksdb" -> { (s, dir) =>
+      val agg = eventStream(s, dir, "events")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), moneySum("value").as("sum_value"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("user_id"), col("n_events"), col("sum_value"))
+      runToMemory(agg, "graft_stream_rocksdb", provider = RocksProvider)
         .filter(col("user_id") >= 0)
         .orderBy("user_id", "s_start")
     },
@@ -475,6 +502,29 @@ object Streaming {
 
   // ----------------------------------------------------------- oracle SQL
 
+  /** Island-and-gap sessionization — shared by q_stream_session and its
+    * RocksDB-provider twin q_stream_rocksdb (strict-gap rule: a new session
+    * starts when ts - lag(ts) >= the 4 h gap, matching Spark's half-open
+    * [ts, ts+gap) merge semantics). */
+  private val sessionOracle =
+    """WITH m AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1
+      |         ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 4 HOUR AS s_end,
+      |  user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM g
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
@@ -505,24 +555,11 @@ object Streaming {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
-    "q_stream_session" ->
-      """WITH m AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1
-        |         ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |g AS (
-        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM m)
-        |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 4 HOUR AS s_end,
-        |  user_id, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM g
-        |GROUP BY user_id, sid
-        |ORDER BY user_id, s_start""".stripMargin,
+    "q_stream_session" -> sessionOracle,
+
+    // Provider-independence check: byte-for-byte the same oracle as
+    // q_stream_session — RocksDB state must not change a single value.
+    "q_stream_rocksdb" -> sessionOracle,
 
     "q_stream_enrich" ->
       """WITH c AS (
