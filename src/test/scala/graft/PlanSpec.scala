@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.ExplainMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Relational, Storage}
+import graft.operators.{Pipeline, Relational, Storage}
 
 /** Physical-plan assertions: the scan/join capabilities the reference's
   * pinned connector advertised (SURVEY.md §2.2) must be visible in the plan,
@@ -294,6 +294,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val plan = planOf(Relational.queries("q1_pricing_summary")(spark, sfDir))
     assert(plan.contains("HashAggregate"), plan)
     assert(plan.contains("partial_sum") || plan.contains("Functions [partial"), plan)
+  }
+
+  test("contamination and mixture probes broadcast the small side") {
+    // q_contamination: the benchmark shingle set joins broadcast — the
+    // corpus-side probe must not shuffle for it. q_data_mixture: the 3-row
+    // rates table joins broadcast — the corpus filter stays map-only.
+    // Either degrading to SortMergeJoin would add a full-corpus shuffle.
+    val contam = planOf(Pipeline.queries("q_contamination")(spark, sfDir))
+    assert(contam.contains("BroadcastHashJoin"), contam)
+    val mix = planOf(Pipeline.queries("q_data_mixture")(spark, sfDir))
+    assert(mix.contains("BroadcastHashJoin"), mix)
+    assert(!mix.contains("SortMergeJoin"), mix)
   }
 
   test("zorderLayout range-partitions on the Morton code with disjoint z-ranges") {
