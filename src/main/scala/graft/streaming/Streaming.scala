@@ -265,6 +265,26 @@ object Streaming {
         .orderBy("user_id", "s_start")
     },
 
+    // Incremental ingest dedup: the arrival-time form of dedup — each
+    // micro-batch of the stream is anti-joined against a static "already
+    // ingested" key set (users seen in the first 6 h of the log), so only
+    // first-seen traffic flows on. Stream-static left-anti is STATELESS:
+    // the static side is a per-batch hash probe, no streaming state, no
+    // watermark — at 100 TB the history side is a bucketed fingerprint
+    // table and the probe cost scales with the batch, not the corpus.
+    // (Contrast q_stream_dedup, which keys state on the stream itself.)
+    "q_stream_history_dedup" -> { (s, dir) =>
+      val hist = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-01 06:00:00").cast("timestamp"))
+        .select(col("user_id")).distinct()
+      val kept = eventStream(s, dir, "events")
+        .join(hist, Seq("user_id"), "left_anti")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      runToMemory(kept, "graft_stream_histdedup")
+        .filter(col("user_id") >= 0)
+        .orderBy("event_id")
+    },
+
     // Stream-static join: enrich the event stream with a constant category
     // dimension (broadcast per micro-batch — no state), then a watermarked
     // tumbling aggregation on the derived column. The sentinel's type
@@ -560,6 +580,14 @@ object Streaming {
     // Provider-independence check: byte-for-byte the same oracle as
     // q_stream_session — RocksDB state must not change a single value.
     "q_stream_rocksdb" -> sessionOracle,
+
+    "q_stream_history_dedup" ->
+      """SELECT event_id, user_id, event_type
+        |FROM events
+        |WHERE user_id NOT IN (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-01 06:00:00')
+        |ORDER BY event_id""".stripMargin,
 
     "q_stream_enrich" ->
       """WITH c AS (
