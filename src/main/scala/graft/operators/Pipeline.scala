@@ -433,14 +433,16 @@ object Pipeline {
     // are the portable 32-bit md5 hash, so the candidate sets (not just
     // counts) are engine-identical.
     "q_contamination" -> { (s, dir) =>
+      // per-doc shingle dedup happens locally (array_distinct inside the
+      // row) — no corpus-wide (doc_id, shingle) distinct shuffle; the only
+      // wide op left is the final per-doc rollup
       val sh = docsPar(s, dir)
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 5)
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w)-5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")).as("g"))
-        .withColumn("sh", expr(hExpr("g")))
-        .select("doc_id", "sh")
-        .distinct()
+          "array_distinct(transform(sequence(0, size(w)-5), i -> " +
+            hExpr("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])") +
+            "))")).as("sh"))
       val bench = sh.filter(col("doc_id") % 50 === 0)
         .select(col("sh")).distinct().withColumn("hit", lit(1))
       sh.filter(col("doc_id") % 50 =!= 0)
