@@ -37,12 +37,12 @@ object Storage {
   private val mortonSteps =
     List((8, "16711935"), (4, "252645135"), (2, "858993459"), (1, "1431655765"))
 
-  private[operators] def mortonSpark(c: String): String =
+  private[graft] def mortonSpark(c: String): String =
     mortonSteps.foldLeft(c) { case (e, (sh, mask)) =>
       s"((($e) | shiftleft(($e), $sh)) & ${mask}L)"
     }
 
-  private[operators] def mortonDuck(c: String): String =
+  private[graft] def mortonDuck(c: String): String =
     mortonSteps.foldLeft(c) { case (e, (sh, mask)) =>
       s"((($e) | (($e) << $sh)) & $mask)"
     }

@@ -178,6 +178,30 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Morton interleave is invertible across the 16-bit domain") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Storage
+    // deterministic sweep (two co-prime strides) plus the corner values;
+    // compacting the even/odd bits back out must recover (x, y) exactly —
+    // the bijectivity that makes the z-order layout lossless
+    val compactSteps = List((1, "858993459"), (2, "252645135"),
+      (4, "16711935"), (8, "65535"))
+    def compact(c: String): String =
+      compactSteps.foldLeft(c) { case (e, (sh, mask)) =>
+        s"((($e) | shiftright(($e), $sh)) & ${mask}L)"
+      }
+    val bad = spark.range(0, 4000)
+      .select((col("id") * 7919 % 65536).as("x"), (col("id") * 104729 % 65536).as("y"))
+      .union(spark.sql("SELECT 0L x, 65535L y UNION ALL SELECT 65535L, 0L " +
+        "UNION ALL SELECT 65535L, 65535L"))
+      .withColumn("zval",
+        expr(s"(${Storage.mortonSpark("x")}) | shiftleft(${Storage.mortonSpark("y")}, 1)"))
+      .withColumn("x2", expr(compact("zval & 1431655765L")))
+      .withColumn("y2", expr(compact("shiftright(zval, 1) & 1431655765L")))
+      .filter(col("x") =!= col("x2") || col("y") =!= col("y2"))
+    assert(bad.count() == 0)
+  }
+
   test("cosine top-k returns exactly k ranked matches per query vector") {
     val rows = Similarity.queries("q_cosine_topk")(spark, sfDir).collect()
     val perQ = rows.groupBy(_.getLong(0))
