@@ -363,14 +363,22 @@ object Pipeline {
     // Repetition filter (boilerplate detector): distinct-trigram ratio per
     // doc; docs whose ratio falls below 0.99 are template/spam candidates
     // (the synthetic corpus is trigram-diverse; real spam sits far lower).
-    // Per-doc HOF work is linear in doc length and stays inside codegen; no
-    // shuffle at all until the final order.
+    // Per-doc HOF work is linear in doc length; no shuffle at all until the
+    // final order. Trigrams combine per-token md5 hashes with integer
+    // arithmetic via aligned slices + zip_with — NOT hw[i] indexing inside a
+    // transform lambda: HOF lambdas are interpreted, so each element access
+    // would re-evaluate the whole token-hash array and turn the row O(n²)
+    // in md5 calls (measured: 38 s vs ~2 s at sf0.1). Slice children are
+    // evaluated once per row, keeping the md5 count linear.
     "q_repetition_ngrams" -> { (s, dir) =>
       docsPar(s, dir)
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 3)
+        .withColumn("hw", expr(s"transform(w, wd -> ${hExpr("wd")})"))
         .withColumn("tg",
-          expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          expr("zip_with(zip_with(slice(hw, 1, size(w)-2), slice(hw, 2, size(w)-2), " +
+            "(x, y) -> (x * 1000003 + y) % 2147483647), slice(hw, 3, size(w)-2), " +
+            "(p, z) -> p * 1000003 + z)"))
         .select(col("doc_id"),
           size(col("tg")).as("n_tri"),
           size(array_distinct(col("tg"))).as("n_uniq"))
@@ -962,11 +970,16 @@ object Pipeline {
     "q_repetition_ngrams" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(w, wd -> ('0x'||substr(md5(wd),1,8))::BIGINT) AS hw
+        |  FROM d WHERE len(w) >= 3),
         |t AS (
         |  SELECT doc_id,
-        |    list_transform(range(0, len(w) - 2),
-        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS tg
-        |  FROM d WHERE len(w) >= 3)
+        |    list_transform(range(0, len(hw) - 2),
+        |      i -> ((hw[i+1] * 1000003 + hw[i+2]) % 2147483647) * 1000003
+        |        + hw[i+3]) AS tg
+        |  FROM h)
         |SELECT doc_id, CAST(len(tg) AS INT) AS n_tri,
         |  CAST(len(list_distinct(tg)) AS INT) AS n_uniq,
         |  round(len(list_distinct(tg)) * 1.0 / len(tg), 6) AS uniq_ratio
