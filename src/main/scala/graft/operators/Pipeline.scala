@@ -58,6 +58,20 @@ object Pipeline {
   private def hExpr(s: String): String =
     s"cast(conv(substring(md5($s),1,8),16,10) as bigint)"
 
+  /** Space-joined n-gram array over token column `w`, built from n aligned
+    * slices folded with zip_with — NOT `w[i]` indexing inside a transform
+    * lambda: HOF lambdas are interpreted, so every element access would
+    * re-evaluate the whole `w = split(...)` child and make the row O(n²)
+    * in its own length (measured 10×+ on q_repetition_ngrams). Slice
+    * children evaluate once per row; values are byte-identical to the
+    * indexed form, so the DuckDB oracles are untouched. */
+  private def ngramExpr(n: Int): String = {
+    val len = s"size(w)-${n - 1}"
+    (2 to n).foldLeft(s"slice(w, 1, $len)") { (e, k) =>
+      s"zip_with($e, slice(w, $k, $len), (x, y) -> concat(x, ' ', y))"
+    }
+  }
+
   // MinHash parameters (shared with the DuckDB oracle text below):
   // k=32 permutations h_i(x) = ((2i+1)·x + 12345 + 777i) mod p over 32-bit
   // shingle hashes; 8 bands × 4 rows → pair-catch prob ≈ 1-(1-s^4)^8
@@ -184,7 +198,7 @@ object Pipeline {
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"),
-          expr("array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))")
+          expr(s"array_distinct(${ngramExpr(3)})")
             .as("shingles"))
         .withColumn("xs", expr(s"transform(shingles, s -> ${hExpr("s")})"))
         .select(col("doc_id"), col("shingles"),
@@ -266,7 +280,7 @@ object Pipeline {
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"),
           md5(concat_ws(" ", slice(col("w"), 1, 8))).as("fp"),
-          expr("array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))")
+          expr(s"array_distinct(${ngramExpr(3)})")
             .as("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       base.count() // materialize once for both sides of the self-join
@@ -448,9 +462,7 @@ object Pipeline {
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 5)
         .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(0, size(w)-5), i -> " +
-            hExpr("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])") +
-            "))")).as("sh"))
+          s"array_distinct(transform(${ngramExpr(5)}, g -> ${hExpr("g")}))")).as("sh"))
       val bench = sh.filter(col("doc_id") % 50 === 0)
         .select(col("sh")).distinct().withColumn("hit", lit(1))
       sh.filter(col("doc_id") % 50 =!= 0)
@@ -647,7 +659,9 @@ object Pipeline {
         .select(split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 2)
         .select(explode(expr(
-          "transform(sequence(1, size(w)-1), i -> struct(w[i-1] as w1, w[i] as w2))")).as("b"))
+          // aligned slices, not w[i] lambda indexing — see ngramExpr
+          "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), " +
+            "(x, y) -> struct(x as w1, y as w2))")).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       big.count() // materialize once: feeds four aggregations
