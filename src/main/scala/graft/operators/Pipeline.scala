@@ -62,9 +62,13 @@ object Pipeline {
     * slices folded with zip_with — NOT `w[i]` indexing inside a transform
     * lambda: HOF lambdas are interpreted, so every element access would
     * re-evaluate the whole `w = split(...)` child and make the row O(n²)
-    * in its own length (measured 10×+ on q_repetition_ngrams). Slice
-    * children evaluate once per row; values are byte-identical to the
-    * indexed form, so the DuckDB oracles are untouched. */
+    * in its own length (measured 10×+ on q_repetition_ngrams). Indexing a
+    * column sometimes *looks* fine because a Filter between the two
+    * Projects blocks CollapseProject from inlining the array into the
+    * lambda — but that is an accident of plan shape, not a guarantee.
+    * Slice children evaluate once per row by construction; values are
+    * byte-identical to the indexed form, so the DuckDB oracles are
+    * untouched. */
   private def ngramExpr(n: Int): String = {
     val len = s"size(w)-${n - 1}"
     (2 to n).foldLeft(s"slice(w, 1, $len)") { (e, k) =>
