@@ -156,6 +156,24 @@ object Similarity {
         .orderBy("q_id", "rn")
     },
 
+    // Recall@3 of the int8 index against the full-precision baseline — the
+    // eval metric an ANN tier ships with: quantization only earns its 4×
+    // bandwidth cut if recall stays high, and this query measures exactly
+    // that, per query vector. Both sides are the already-declared operators
+    // (composition, not re-implementation); the join is on (q_id, match_id)
+    // over 30-row inputs.
+    "q_quantize_recall" -> { (s, dir) =>
+      val full = queries("q_cosine_topk")(s, dir)
+        .select(col("q_id"), col("match_id"))
+      val quant = queries("q_embed_quantize")(s, dir)
+        .select(col("q_id"), col("match_id"), lit(1).as("hit"))
+      full.join(quant, Seq("q_id", "match_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall", round(col("n_hit") / 3.0, 6))
+        .orderBy("q_id")
+    },
+
     // Per-cluster vector stats (norm distribution) — sanity surface for the
     // embedding column itself.
     "q_embed_stats" -> { (s, dir) =>
@@ -180,17 +198,52 @@ object Similarity {
   private val dotSql =
     "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))"
 
+  /** Full-precision top-3 — also the baseline side of q_quantize_recall. */
+  private val cosineTopkSql =
+    s"""WITH e AS ($vecsSql),
+      |r AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS match_id,
+      |    $dotSql / (q.nrm * c.nrm) AS cosine_raw,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY $dotSql / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rn
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      |SELECT q_id, match_id, round(cosine_raw, 6) AS cosine, CAST(rn AS INT) AS rn
+      |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
+  /** Int8 top-3 — also the probe side of q_quantize_recall. */
+  private val quantizeSql =
+    s"""WITH e AS ($vecsSql),
+      |m AS (
+      |  SELECT vec_id,
+      |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS mx, v
+      |  FROM e),
+      |q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS qv
+      |  FROM m),
+      |qn AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+      |  FROM q8),
+      |r AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS match_id,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |      i -> q.qv[i] * c.qv[i])) AS BIGINT) AS dotq,
+      |    list_sum(list_transform(range(1, len(q.qv) + 1),
+      |      i -> q.qv[i] * c.qv[i])) / sqrt(CAST(q.n2 * c.n2 AS DOUBLE))
+      |      AS qcos_raw
+      |  FROM qn q JOIN qn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |t AS (
+      |  SELECT q_id, match_id, dotq, qcos_raw,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY qcos_raw DESC, match_id ASC) AS rn
+      |  FROM r)
+      |SELECT q_id, match_id, dotq, round(qcos_raw, 6) AS qcosine,
+      |  CAST(rn AS INT) AS rn
+      |FROM t WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_cosine_topk" ->
-      s"""WITH e AS ($vecsSql),
-        |r AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS match_id,
-        |    $dotSql / (q.nrm * c.nrm) AS cosine_raw,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY $dotSql / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rn
-        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
-        |SELECT q_id, match_id, round(cosine_raw, 6) AS cosine, CAST(rn AS INT) AS rn
-        |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_cosine_topk" -> cosineTopkSql,
 
     "q_cosine_topk_ivf" ->
       s"""WITH e AS ($vecsSql),
@@ -231,36 +284,18 @@ object Similarity {
         |SELECT vec_a, vec_b, cosine FROM p
         |WHERE cosine >= 0.2 ORDER BY vec_a, vec_b""".stripMargin,
 
-    "q_embed_quantize" ->
-      s"""WITH e AS ($vecsSql),
-        |m AS (
-        |  SELECT vec_id,
-        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS mx, v
-        |  FROM e),
-        |q8 AS (
-        |  SELECT vec_id,
-        |    list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS qv
-        |  FROM m),
-        |qn AS (
-        |  SELECT vec_id, qv,
-        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
-        |  FROM q8),
-        |r AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS match_id,
-        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
-        |      i -> q.qv[i] * c.qv[i])) AS BIGINT) AS dotq,
-        |    list_sum(list_transform(range(1, len(q.qv) + 1),
-        |      i -> q.qv[i] * c.qv[i])) / sqrt(CAST(q.n2 * c.n2 AS DOUBLE))
-        |      AS qcos_raw
-        |  FROM qn q JOIN qn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
-        |t AS (
-        |  SELECT q_id, match_id, dotq, qcos_raw,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY qcos_raw DESC, match_id ASC) AS rn
-        |  FROM r)
-        |SELECT q_id, match_id, dotq, round(qcos_raw, 6) AS qcosine,
-        |  CAST(rn AS INT) AS rn
-        |FROM t WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_embed_quantize" -> quantizeSql,
+
+    "q_quantize_recall" ->
+      s"""WITH f AS ($cosineTopkSql),
+        |z AS ($quantizeSql)
+        |SELECT f.q_id,
+        |  CAST(SUM(CASE WHEN z.match_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(SUM(CASE WHEN z.match_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / 3.0, 6) AS recall
+        |FROM f LEFT JOIN z ON f.q_id = z.q_id AND f.match_id = z.match_id
+        |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin,
 
     "q_embed_stats" ->
       s"""WITH e AS ($vecsSql)
@@ -269,4 +304,5 @@ object Similarity {
         |  round(min(nrm), 6) AS min_norm,
         |  round(max(nrm), 6) AS max_norm
         |FROM e GROUP BY label ORDER BY label""".stripMargin)
+
 }
