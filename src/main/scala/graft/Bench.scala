@@ -53,9 +53,13 @@ object Bench {
 
     // Contention canary: a fixed-cost query timed around the measured passes.
     // min-of-3 smooths scheduler jitter; only sustained machine load moves it.
+    // A canary FAILURE must be loud, not a suspiciously fast "clean" timing —
+    // a broken canary would report contended=false on exactly the runs it
+    // exists to flag.
     def canary(): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      exec(SparkEntry.queries("q_users_scan"), sfDir)
+      exec(SparkEntry.queries("q_users_scan"), sfDir).foreach(m =>
+        sys.error(s"canary query q_users_scan failed — bench invalid: $m"))
       (System.nanoTime() - t0) / 1e9
     }.min
 

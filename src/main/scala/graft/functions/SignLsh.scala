@@ -30,6 +30,14 @@ case class SignLsh(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_signlsh"
 
+  // Malformed vectors (fewer than 64 components, or a null component) get a
+  // NULL signature rather than a code computed from a silently truncated
+  // sum — NULL drops the row from banding, which is what a signature stage
+  // should do with a bad embedding. (The HOF chain null-propagates each
+  // band code instead; both produce zero candidates downstream, and the
+  // OperatorSpec equivalence holds on well-formed input.)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -38,7 +46,10 @@ case class SignLsh(child: Expression) extends UnaryExpression {
 
   protected override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(64, v.numElements())
+    if (v.numElements() < 64) return null
+    var p = 0
+    while (p < 64) { if (v.isNullAt(p)) return null; p += 1 }
+    val n = 64
     val codes = new Array[Long](4)
     var b = 0
     while (b < 4) {
@@ -64,7 +75,8 @@ case class SignLsh(child: Expression) extends UnaryExpression {
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val n = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
+      val p = ctx.freshName("p")
       val codes = ctx.freshName("codes")
       val b = ctx.freshName("b")
       val j = ctx.freshName("j")
@@ -74,22 +86,27 @@ case class SignLsh(child: Expression) extends UnaryExpression {
       val sign = ctx.freshName("sign")
       val code = ctx.freshName("code")
       s"""
-         |int $n = java.lang.Math.min(64, $c.numElements());
-         |long[] $codes = new long[4];
-         |for (int $b = 0; $b < 4; $b++) {
-         |  long $code = 0L;
-         |  for (int $j = 0; $j < 16; $j++) {
-         |    double $acc = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      long $k = 64L * (16 * $b + $j) + $i;
-         |      double $sign = ((1103515245L * $k + 12345L >> 16) & 1L) == 1L ? 1.0 : -1.0;
-         |      $acc += $c.getDouble($i) * $sign;
+         |boolean $bad = $c.numElements() < 64;
+         |for (int $p = 0; !$bad && $p < 64; $p++) $bad = $c.isNullAt($p);
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $codes = new long[4];
+         |  for (int $b = 0; $b < 4; $b++) {
+         |    long $code = 0L;
+         |    for (int $j = 0; $j < 16; $j++) {
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < 64; $i++) {
+         |        long $k = 64L * (16 * $b + $j) + $i;
+         |        double $sign = ((1103515245L * $k + 12345L >> 16) & 1L) == 1L ? 1.0 : -1.0;
+         |        $acc += $c.getDouble($i) * $sign;
+         |      }
+         |      if ($acc >= 0) $code |= 1L << $j;
          |    }
-         |    if ($acc >= 0) $code |= 1L << $j;
+         |    $codes[$b] = $code;
          |  }
-         |  $codes[$b] = $code;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
          |""".stripMargin
     })
 

@@ -409,14 +409,20 @@ object Pipeline {
     // distribution, H = log2(n) − Σ c·log2(c) / n — low entropy = repetitive
     // or single-token spam, high = diverse vocabulary. Two shuffles
     // ((doc_id, token) count, then doc_id rollup), both map-side combined.
+    // The float Σ is folded over the SORTED per-doc count list, never
+    // sum()-aggregated across the shuffle: double addition is
+    // non-associative, so a shuffle-order sum would differ run to run (and
+    // from the oracle) at the last ULP — the same reason money runs in
+    // DECIMAL. The count list is per-doc-vocabulary-sized, not corpus-sized.
     "q_token_entropy" -> { (s, dir) =>
       docsPar(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("doc_id", "w")
         .agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
-        .agg(sum("c").as("n_tokens"),
-          sum(col("c").cast("double") * log2(col("c"))).as("slog"))
+        .agg(sum("c").as("n_tokens"), collect_list(col("c")).as("cs"))
+        .withColumn("slog",
+          expr("aggregate(array_sort(cs), cast(0.0 as double), (a, x) -> a + x * log2(x))"))
         .select(col("doc_id"), col("n_tokens"),
           round(log2(col("n_tokens")) - col("slog") / col("n_tokens"), 6)
             .as("entropy"))
@@ -1011,7 +1017,9 @@ object Pipeline {
         |  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
         |a AS (
         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-        |    SUM(c * log2(c)) AS slog
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(list_sort(list(c)), x -> x * log2(x))),
+        |      (acc, v) -> acc + v) AS slog
         |  FROM f GROUP BY doc_id)
         |SELECT doc_id, n_tokens,
         |  round(log2(n_tokens) - slog / n_tokens, 6) AS entropy

@@ -51,9 +51,15 @@ object Storage {
     * Morton code, range-partition on it, and sort within partitions — so
     * every output file's min/max stats bound BOTH dimensions and either
     * filter column prunes files. A plain sort on (a, b) clusters only `a`.
-    * PlanSpec asserts the RangePartitioning and the disjoint per-partition
-    * z-ranges. */
+    * Returns the caller's schema unchanged (the Morton key is a layout
+    * detail, not data — persisting it would add a surprise column to every
+    * output file). PlanSpec asserts the RangePartitioning and the disjoint
+    * per-partition z-ranges via the key-retaining internal variant. */
   def zorderLayout(df: DataFrame, c1: String, c2: String, nParts: Int): DataFrame =
+    zorderWithKey(df, c1, c2, nParts).drop("zx", "zy", "zval")
+
+  private[graft] def zorderWithKey(df: DataFrame, c1: String, c2: String,
+      nParts: Int): DataFrame =
     df.withColumn("zx", expr(s"cast($c1 % 65536 as bigint)"))
       .withColumn("zy", expr(s"cast($c2 % 65536 as bigint)"))
       .withColumn("zval", expr(s"(${mortonSpark("zx")}) | shiftleft(${mortonSpark("zy")}, 1)"))

@@ -87,6 +87,17 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(mismatches == 0)
   }
 
+  test("SignLsh yields NULL for short or null-element vectors") {
+    Pipeline.registerNativeFns(spark)
+    // id-dependent inputs defeat constant folding so the codegen path runs
+    val r = spark.range(1).selectExpr(
+      "graft_signlsh(array(cast(id as double))) AS short_v",
+      "graft_signlsh(transform(sequence(0, 63), i -> " +
+        "IF(i = 7 + id, cast(null as double), cast(i as double)))) AS null_elem")
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("native GraftDot expression matches the zip_with/aggregate formulation") {
     import org.apache.spark.sql.functions._
     Pipeline.registerNativeFns(spark)

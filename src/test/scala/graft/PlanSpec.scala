@@ -310,9 +310,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
 
   test("zorderLayout range-partitions on the Morton code with disjoint z-ranges") {
     import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, spark_partition_id}
-    val laid = Storage.zorderLayout(
+    val laid = Storage.zorderWithKey(
       graft.sources.Tables.load(spark, sfDir, "orders"), "o_custkey",
       "datediff(o_orderdate, date'1992-01-01')", 8)
+    // the public API returns the caller's schema — no layout helper columns
+    assert(Storage.zorderLayout(
+      graft.sources.Tables.load(spark, sfDir, "orders"), "o_custkey",
+      "datediff(o_orderdate, date'1992-01-01')", 8).columns.toSet ==
+      graft.sources.Tables.load(spark, sfDir, "orders").columns.toSet)
     // physical layout: a range Exchange on zval, not hash/round-robin
     val plan = planOf(laid)
     assert(plan.contains("rangepartitioning(zval"), plan)
