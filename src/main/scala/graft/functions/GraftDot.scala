@@ -67,6 +67,61 @@ case class GraftDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer sibling of GraftDot for the int8-quantized ANN tier:
+  * `graft_dotl(array<bigint>, array<bigint>) -> bigint`.
+  *
+  * Exact integer accumulation (order-free — no float concerns at all), one
+  * primitive loop inside WholeStageCodegen. Replaces the interpreted
+  * `aggregate(zip_with(...))` chain in q_embed_quantize, whose per-pair
+  * boxing would negate the 4× bandwidth win quantization exists to buy.
+  * Unequal lengths use the shorter (fixed 64-dim in this repo).
+  */
+case class GraftDotLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_dotl"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint>, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+         |""".stripMargin
+    })
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session-level registration of the repo's native expressions, for sessions
   * not built with GraftExtensions (e.g. the driver's Verify/Bench sessions).
   * Idempotent. */
@@ -75,6 +130,7 @@ object Natives {
     ("graft_simhash60", classOf[SimHash60].getName, exprs => SimHash60(exprs.head)),
     ("graft_minhash32", classOf[MinHash32].getName, exprs => MinHash32(exprs.head)),
     ("graft_dot", classOf[GraftDot].getName, exprs => GraftDot(exprs(0), exprs(1))),
+    ("graft_dotl", classOf[GraftDotLong].getName, exprs => GraftDotLong(exprs(0), exprs(1))),
     ("graft_signlsh", classOf[SignLsh].getName, exprs => SignLsh(exprs.head)))
 
   def register(s: SparkSession): Unit = all.foreach { case (name, _, builder) =>

@@ -90,7 +90,7 @@ object Pipeline {
   // oracle stays a full value check). At 100 TB this is what bounds the
   // worst bucket's pair blow-up; the dropped-bucket count is observable by
   // aggregating the same windowed count.
-  private[operators] val BucketCap = 128
+  private[graft] val BucketCap = 128
 
   // ---------------------------------------------------------------- queries
 
@@ -842,7 +842,7 @@ object Pipeline {
         |p AS (
         |  SELECT doc_id, fp FROM (
         |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS bn FROM p0)
-        |  WHERE bn <= 128),
+        |  WHERE bn <= $BucketCap),
         |e0 AS (
         |  SELECT a.doc_id AS src, b.doc_id AS dst
         |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id),
@@ -880,7 +880,7 @@ object Pipeline {
         |  SELECT * FROM (
         |    SELECT doc_id, band, bkey,
         |      count(*) OVER (PARTITION BY band, bkey) AS bn
-        |    FROM bands) WHERE bn <= 128),
+        |    FROM bands) WHERE bn <= $BucketCap),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bandsf a JOIN bandsf b
@@ -913,7 +913,7 @@ object Pipeline {
         |  SELECT * FROM (
         |    SELECT doc_id, simhash, blk, code,
         |      count(*) OVER (PARTITION BY blk, code) AS bn
-        |    FROM blocks) WHERE bn <= 128),
+        |    FROM blocks) WHERE bn <= $BucketCap),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.simhash AS sim_a, b.simhash AS sim_b
@@ -936,7 +936,7 @@ object Pipeline {
         |base AS (
         |  SELECT doc_id, fp, sh FROM (
         |    SELECT doc_id, fp, sh, count(*) OVER (PARTITION BY fp) AS bn
-        |    FROM base0) WHERE bn <= 128)
+        |    FROM base0) WHERE bn <= $BucketCap)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
@@ -950,7 +950,7 @@ object Pipeline {
         |base AS (
         |  SELECT doc_id, text, fp FROM (
         |    SELECT doc_id, text, fp, count(*) OVER (PARTITION BY fp) AS bn
-        |    FROM base0) WHERE bn <= 128)
+        |    FROM base0) WHERE bn <= $BucketCap)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
         |  round(1.0 - levenshtein(a.text, b.text) * 1.0

@@ -136,10 +136,14 @@ object Similarity {
     // portable round-half-up both engines agree on. The quantized cosine
     // divides by integer norms, so ordering is deterministic too.
     "q_embed_quantize" -> { (s, dir) =>
+      // integer dot + norm via the native graft_dotl (one codegen'd
+      // primitive loop) — the interpreted aggregate(zip_with(...)) chain it
+      // replaces would pay per-pair boxing on exactly the tier whose point
+      // is a 4× cheaper scan
       val q8 = vecs(s, dir)
         .withColumn("mx", greatest(expr("array_max(transform(v, x -> abs(x)))"), lit(1e-12)))
         .withColumn("qv", expr("transform(v, x -> cast(floor(x * 127.0d / mx + 0.5d) as bigint))"))
-        .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+        .withColumn("n2", expr("graft_dotl(qv, qv)"))
         .select("vec_id", "qv", "n2")
       val q = q8.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("qa2"))
@@ -147,7 +151,7 @@ object Similarity {
         .orderBy(col("qcos_raw").desc, col("vec_id").asc)
       broadcast(q).crossJoin(q8)
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("dotq", expr("aggregate(zip_with(qa, qv, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+        .withColumn("dotq", expr("graft_dotl(qa, qv)"))
         .withColumn("qcos_raw", col("dotq") / sqrt((col("qa2") * col("n2")).cast("double")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -272,7 +276,7 @@ object Similarity {
         |  SELECT vec_id, band, code FROM (
         |    SELECT vec_id, band, code,
         |      count(*) OVER (PARTITION BY band, code) AS bn
-        |    FROM h) WHERE bn <= 128),
+        |    FROM h) WHERE bn <= ${Pipeline.BucketCap}),
         |cand AS (
         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
         |  FROM hf x JOIN hf y

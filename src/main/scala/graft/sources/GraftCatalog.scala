@@ -50,6 +50,36 @@ object GraftCatalogStore {
   }
   val namespaces = TrieMap.empty[String, Map[String, String]]
   val tables = TrieMap.empty[(String, String), T]
+
+  /** Type-aware ordering for CQL-set elements: numerics sort numerically
+    * (NOT by their string rendering — "10" < "2" lexicographically), binary
+    * unsigned-byte-lexicographically, strings by value. None = element type
+    * unsupported as a set, rejected at createTable rather than silently
+    * mis-sorted at commit. */
+  def setOrdering(et: DataType): Option[Ordering[Any]] = et match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(Ordering.by((v: Any) => v.asInstanceOf[Number].longValue))
+    case FloatType | DoubleType =>
+      Some(Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue))
+    case StringType => Some(Ordering.by((v: Any) => String.valueOf(v)))
+    case BinaryType => Some(Ordering.fromLessThan[Any]((a, b) =>
+      java.util.Arrays.compareUnsigned(
+        a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]) < 0))
+    case _ => None
+  }
+
+  /** Dedup + order a set column's elements. Binary dedups by VALUE (an
+    * Array[Byte].distinct would compare references and keep every
+    * duplicate). */
+  def canonicalSet(arr: Array[Any], et: DataType): Array[Any] = {
+    val deduped = et match {
+      case BinaryType =>
+        arr.map(_.asInstanceOf[Array[Byte]].toSeq).distinct
+          .map(_.toArray: Any).toArray
+      case _ => arr.distinct
+    }
+    deduped.sorted(setOrdering(et).get)
+  }
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
@@ -101,6 +131,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(schema.fieldNames.contains(keyCol), s"key column $keyCol not in schema")
     val sets = Option(properties.get("sets"))
       .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+    // validate up front: a typo'd or mis-typed 'sets' entry must fail DDL,
+    // not silently skip the set semantics at every later commit
+    sets.foreach { n =>
+      require(schema.fieldNames.contains(n), s"set column $n not in schema")
+      schema(n).dataType match {
+        case ArrayType(et, _) =>
+          require(GraftCatalogStore.setOrdering(et).isDefined,
+            s"set column $n: unsupported element type ${et.catalogString}")
+        case other =>
+          throw new IllegalArgumentException(
+            s"set column $n must be an ARRAY, got ${other.catalogString}")
+      }
+    }
     tables.put(key, new GraftCatalogStore.T(schema, keyCol, sets))
     loadTable(ident)
   }
@@ -144,13 +187,16 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
           // write semantics).
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val ki = t.schema.fieldIndex(t.keyCol)
-            val setIdx = t.schema.fieldNames.zipWithIndex
-              .collect { case (n, i) if t.sets(n) => i }
+            val setIdx = t.schema.fields.zipWithIndex.collect {
+              case (f, i) if t.sets(f.name) =>
+                (i, f.dataType.asInstanceOf[ArrayType].elementType)
+            }
             messages.foreach { case GCommit(rows) =>
               rows.foreach { r =>
-                setIdx.foreach { i =>
+                setIdx.foreach { case (i, et) =>
                   if (r(i) != null)
-                    r(i) = r(i).asInstanceOf[Array[Any]].distinct.sortBy(String.valueOf(_))
+                    r(i) = GraftCatalogStore.canonicalSet(
+                      r(i).asInstanceOf[Array[Any]], et)
                 }
                 t.rows.put(r(ki), r)
               }

@@ -87,6 +87,19 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(mismatches == 0)
   }
 
+  test("native GraftDotLong matches the zip_with/aggregate formulation") {
+    import org.apache.spark.sql.functions._
+    Pipeline.registerNativeFns(spark)
+    val v = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(expr("transform(embedding, x -> cast(floor(x * 100) as bigint))").as("q"))
+    val mismatches = v.crossJoin(v.limit(3).select(col("q").as("p")))
+      .select(expr("graft_dotl(p, q)").as("native"),
+        expr("aggregate(zip_with(p, q, (x, y) -> x * y), 0L, (s, x) -> s + x)").as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("SignLsh yields NULL for short or null-element vectors") {
     Pipeline.registerNativeFns(spark)
     // id-dependent inputs defeat constant folding so the codegen path runs

@@ -76,4 +76,25 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       toMap(spark.table("graftcat.proptest.u")) == a ++ b
     })
   }
+
+  test("catalog set columns order numerics numerically and reject bad DDL") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.si")
+    spark.sql("CREATE TABLE graftcat.proptest.si (id INT, xs ARRAY<INT>) " +
+      "TBLPROPERTIES ('key'='id', 'sets'='xs')")
+    // 10 vs 2: lexicographic ordering would yield [10, 2]; dedup must drop
+    // the repeated 2
+    spark.sql("INSERT INTO graftcat.proptest.si VALUES (1, array(10, 2, 2))")
+    val xs = spark.table("graftcat.proptest.si")
+      .collect()(0).getSeq[Int](1)
+    assert(xs == Seq(2, 10), xs)
+    // a typo'd set column must fail CREATE TABLE, not silently no-op later
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.bad")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.proptest.bad (id INT, xs ARRAY<INT>) " +
+        "TBLPROPERTIES ('key'='id', 'sets'='nope')")
+    }
+    assert(e.getMessage.contains("not in schema"), e.getMessage)
+  }
 }
