@@ -456,6 +456,29 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Tokenizer-vocabulary construction: global token frequencies ranked
+    // with the cumulative-coverage curve — the "how many types cover X% of
+    // running tokens" question that picks a vocab size. Two-stage: the
+    // wordcount shuffle is corpus-sized but map-side combined; the ranking
+    // window then runs over the aggregated TYPE table, which is
+    // vocabulary-sized (orders of magnitude smaller than the corpus), so
+    // the single-partition global window is over |vocab|, not |tokens|.
+    "q_vocab_build" -> { (s, dir) =>
+      val types = docsPar(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val ord = Window.orderBy(col("c").desc, col("w").asc)
+      types
+        .withColumn("rank", row_number().over(ord))
+        .withColumn("cum", sum("c").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum("c").over(Window.partitionBy()))
+        .filter(col("rank") <= 100)
+        .select(col("rank"), col("w").as("token"), col("c").as("n_occ"),
+          round(col("cum") / col("total"), 6).as("coverage"))
+        .orderBy("rank")
+    },
+
     // Benchmark-contamination check: the decontamination pass run before
     // training — fraction of each corpus doc's distinct 5-gram shingles
     // that also appear in a held-out benchmark set (every 50th doc stands
@@ -1044,6 +1067,21 @@ object Pipeline {
         |SELECT doc_id, n_emails, n_phones, CAST(length(clean) AS INT) AS clean_len
         |FROM c WHERE n_emails + n_phones > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_build" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |t AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        |r AS (
+        |  SELECT w, c,
+        |    row_number() OVER (ORDER BY c DESC, w ASC) AS rank,
+        |    SUM(c) OVER (ORDER BY c DESC, w ASC ROWS UNBOUNDED PRECEDING)
+        |      AS cum,
+        |    SUM(c) OVER () AS total
+        |  FROM t)
+        |SELECT CAST(rank AS INT) AS rank, w AS token, c AS n_occ,
+        |  round(cum * 1.0 / total, 6) AS coverage
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
 
     "q_contamination" ->
       """WITH d AS (
