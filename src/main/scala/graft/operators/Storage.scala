@@ -56,15 +56,19 @@ object Storage {
     * output file). PlanSpec asserts the RangePartitioning and the disjoint
     * per-partition z-ranges via the key-retaining internal variant. */
   def zorderLayout(df: DataFrame, c1: String, c2: String, nParts: Int): DataFrame =
-    zorderWithKey(df, c1, c2, nParts).drop("zx", "zy", "zval")
+    zorderWithKey(df, c1, c2, nParts).drop("__graft_zx", "__graft_zy", "__graft_zval")
 
   private[graft] def zorderWithKey(df: DataFrame, c1: String, c2: String,
       nParts: Int): DataFrame =
-    df.withColumn("zx", expr(s"cast($c1 % 65536 as bigint)"))
-      .withColumn("zy", expr(s"cast($c2 % 65536 as bigint)"))
-      .withColumn("zval", expr(s"(${mortonSpark("zx")}) | shiftleft(${mortonSpark("zy")}, 1)"))
-      .repartitionByRange(nParts, col("zval"))
-      .sortWithinPartitions("zval")
+    // pmod, not %: Spark % keeps the dividend's sign, and a negative key
+    // would escape [0, 65535] and break the Morton masks. Internal columns
+    // carry a __graft_ prefix so a caller's own zx/zy/zval survive.
+    df.withColumn("__graft_zx", expr(s"pmod(cast($c1 as bigint), 65536L)"))
+      .withColumn("__graft_zy", expr(s"pmod(cast($c2 as bigint), 65536L)"))
+      .withColumn("__graft_zval",
+        expr(s"(${mortonSpark("__graft_zx")}) | shiftleft(${mortonSpark("__graft_zy")}, 1)"))
+      .repartitionByRange(nParts, col("__graft_zval"))
+      .sortWithinPartitions("__graft_zval")
 
   /** Hard-delete a warehouse path so saveAsTable overwrites are idempotent
     * even when a fresh session's in-memory catalog forgot the table. */

@@ -72,6 +72,10 @@ object GraftCatalogStore {
     * Array[Byte].distinct would compare references and keep every
     * duplicate). */
   def canonicalSet(arr: Array[Any], et: DataType): Array[Any] = {
+    // CQL prohibits nulls inside collections; fail with a named reason
+    // instead of an anonymous NPE deep in the ordering at commit time
+    require(arr.forall(_ != null),
+      s"set<${et.simpleString}> column contains a null element (CQL sets cannot hold null)")
     val deduped = et match {
       case BinaryType =>
         arr.map(_.asInstanceOf[Array[Byte]].toSeq).distinct

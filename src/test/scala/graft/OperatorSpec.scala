@@ -226,6 +226,34 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(bad.count() == 0)
   }
 
+  test("zorderWithKey keeps negative keys inside the 16-bit Morton domain") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Storage
+    // Spark % keeps the dividend's sign; the layout uses pmod so a negative
+    // key still lands in [0, 65535] and the spread masks stay valid
+    val df = spark.range(-5, 5).select(col("id").as("a"), (col("id") * -3).as("b"))
+    val keyed = Storage.zorderWithKey(df, "a", "b", 2)
+    val bad = keyed.filter(
+      col("__graft_zx") < 0 || col("__graft_zx") > 65535 ||
+      col("__graft_zy") < 0 || col("__graft_zy") > 65535)
+    assert(bad.count() == 0)
+    // and the caller's own zx/zy/zval columns survive the layout pass
+    val clash = spark.range(3).select(col("id").as("a"), col("id").as("b"),
+      lit(7L).as("zval"))
+    val out = Storage.zorderLayout(clash, "a", "b", 2)
+    assert(out.columns.toSeq == Seq("a", "b", "zval"))
+    assert(out.select("zval").collect().forall(_.getLong(0) == 7L))
+  }
+
+  test("canonicalSet rejects null elements with a named error (CQL set semantics)") {
+    import org.apache.spark.sql.types._
+    import graft.sources.GraftCatalogStore
+    val e = intercept[IllegalArgumentException] {
+      GraftCatalogStore.canonicalSet(Array[Any](1, null, 2), IntegerType)
+    }
+    assert(e.getMessage.contains("null element"), e.getMessage)
+  }
+
   test("cosine top-k returns exactly k ranked matches per query vector") {
     val rows = Similarity.queries("q_cosine_topk")(spark, sfDir).collect()
     val perQ = rows.groupBy(_.getLong(0))

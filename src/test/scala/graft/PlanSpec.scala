@@ -308,6 +308,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!mix.contains("SortMergeJoin"), mix)
   }
 
+  test("q_vocab_build windows only over the top-k, never the full type table") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val df = Pipeline.queries("q_vocab_build")(spark, sfDir)
+    // every Window in the plan must sit above a limit — the corpus-sized
+    // type table may only reach the window after TakeOrderedAndProject
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.collectFirst { case g: GlobalLimit => g }.nonEmpty,
+        s"unbounded Window over the raw type table:\n$w")
+    }
+    // and the top-k itself is per-partition heaps, not a global sort
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("zorderLayout range-partitions on the Morton code with disjoint z-ranges") {
     import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, spark_partition_id}
     val laid = Storage.zorderWithKey(
@@ -320,12 +336,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       graft.sources.Tables.load(spark, sfDir, "orders").columns.toSet)
     // physical layout: a range Exchange on zval, not hash/round-robin
     val plan = planOf(laid)
-    assert(plan.contains("rangepartitioning(zval"), plan)
+    assert(plan.contains("rangepartitioning(__graft_zval"), plan)
     // per-partition z-ranges are disjoint — the property that lets file-level
     // min/max stats prune on EITHER original dimension
     val ranges = laid
       .groupBy(spark_partition_id().as("pid"))
-      .agg(fmin(col("zval")).as("lo"), fmax(col("zval")).as("hi"))
+      .agg(fmin(col("__graft_zval")).as("lo"), fmax(col("__graft_zval")).as("hi"))
       .collect()
       .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
       .sortBy(_._1)
