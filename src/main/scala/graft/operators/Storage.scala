@@ -288,6 +288,53 @@ object Storage {
         .agg(count(lit(1)).as("n_rows"))
     },
 
+    // Source-level write path — the `df.write.cassandra` upsert (SURVEY §2.2
+    // write row; reference capability pin: userdata/cloudinit.sh:461).
+    // INSERT is an upsert: 5 existing nations are overwritten, 3 new keys
+    // append. The write declares RequiresDistributionAndOrdering, so Spark
+    // clusters rows by partition key before the writers run and each key
+    // group is routed once to its ring replicas (KVRing.replicasOf —
+    // placement asserted in UpsertSpec); re-running the write is a no-op on
+    // the final state, CQL idempotence (reference: cloudinit.sh:312-314).
+    "q_kv_upsert" -> { (s, dir) =>
+      val name = s"nation_up:$dir"
+      graft.sources.KeyGroupedRegistry.stage(name,
+        Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast(LongType).as("k"),
+            col("n_name").as("name")),
+        "k")
+      val updates = Tables.load(s, dir, "nation")
+        .filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey").cast(LongType).as("k"),
+          concat(col("n_name"), lit("_v2")).as("name"))
+        .union(s.range(100, 103).select(col("id").as("k"),
+          concat(lit("new_"), col("id")).as("name")))
+      updates.write.format("graft.sources.KVDataSource")
+        .option("table", name).mode("append").save()
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .orderBy("k")
+    },
+
+    // Clustering-column range scan — the standard CQL `(pk, ck)` primary-key
+    // shape, one step beyond the reference's single-column key
+    // (userdata/cloudinit.sh:307): `pk = ? AND ck >= ? AND ck < ?` prunes
+    // the ring to the ONE split owning the partition key (PlanSpec asserts
+    // lastPlanned == 1) and then reads only the contiguous ck-slice of that
+    // partition's ck-sorted rows (two binary searches, not a partition
+    // scan) — Cassandra's within-partition range read. At 100 TB the query
+    // touches one partition's slice, never the table.
+    "q_kv_range_scan" -> { (s, dir) =>
+      val name = s"orders_ck:$dir"
+      graft.sources.KeyGroupedRegistry.stage(name,
+        Tables.load(s, dir, "orders").filter(col("o_custkey") <= 200)
+          .select(col("o_custkey").as("pk"), col("o_orderkey").as("ck"),
+            col("o_totalprice").as("price")),
+        "pk", clusteringCol = Some("ck"))
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .filter(col("pk") === 37 && col("ck") >= 200 && col("ck") < 10000)
+        .orderBy("ck")
+    },
+
     // Count pushdown (cassandraCount analog): the DSv2 parquet scan answers
     // COUNT(*) from footer metadata without materializing rows
     // (PushedAggregation=[COUNT(*)], asserted in PlanSpec).
@@ -473,6 +520,23 @@ object Storage {
 
     "q_kv_count_pushdown" ->
       "SELECT COUNT(*) AS n_rows FROM customer",
+
+    "q_kv_upsert" ->
+      """SELECT k, name FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |    CASE WHEN n_nationkey < 5 THEN n_name || '_v2' ELSE n_name END
+        |      AS name
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT CAST(k AS BIGINT) AS k, 'new_' || CAST(k AS VARCHAR) AS name
+        |  FROM range(100, 103) t(k)
+        |) ORDER BY k""".stripMargin,
+
+    "q_kv_range_scan" ->
+      """SELECT o_custkey AS pk, o_orderkey AS ck, o_totalprice AS price
+        |FROM orders
+        |WHERE o_custkey = 37 AND o_orderkey >= 200 AND o_orderkey < 10000
+        |ORDER BY ck""".stripMargin,
 
     "q_kv_runtime_prune" ->
       """SELECT n_name, COUNT(*) AS n_cust,

@@ -6,13 +6,15 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, LessThan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -45,10 +47,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * under test is the scan/join, not the staging.
   */
 object KeyGroupedRegistry {
-  /** One staged table: schema, the key column (must be LongType), and the
-    * rows grouped by key — one entry per distinct key = one input split. */
+  /** One staged table: schema, the partition-key column (must be LongType),
+    * the rows grouped by key — one entry per distinct key = one input
+    * split — and an optional clustering column (also LongType). With a
+    * clustering column the table models Cassandra's `(pk, ck)` primary key:
+    * rows are kept ck-sorted inside each partition, range predicates on ck
+    * read one partition's contiguous slice, and the upsert identity is the
+    * full `(pk, ck)` pair instead of pk alone. */
   final case class Entry(schema: StructType, keyCol: String,
-      parts: Array[(Long, Array[Array[Any]])])
+      parts: Array[(Long, Array[Array[Any]])],
+      clusteringCol: Option[String] = None)
 
   private val tables = TrieMap.empty[String, Entry]
   def put(name: String, e: Entry): Unit = tables.put(name, e)
@@ -60,18 +68,55 @@ object KeyGroupedRegistry {
     * each table — how PlanSpec proves key-predicate partition pruning. */
   val lastPlanned = TrieMap.empty[String, Int]
 
+  /** Observability for tests: the replica hosts each key of the last batch
+    * write was routed to — how UpsertSpec proves writes land on
+    * `KVRing.replicasOf(key)` (the token-aware write path). */
+  val lastWritePlacement = TrieMap.empty[String, Map[Long, Seq[String]]]
+
   /** Collect a (small) DataFrame into the registry grouped by `keyCol`.
     * Driver-side by design: the registry emulates the external cluster that
     * owns the data; at real scale rows never pass through the driver. */
-  def stage(name: String, df: DataFrame, keyCol: String): Unit = {
+  def stage(name: String, df: DataFrame, keyCol: String,
+      clusteringCol: Option[String] = None): Unit = {
     if (contains(name)) return
     val schema = df.schema
     val ki = schema.fieldIndex(keyCol)
+    val ci = clusteringCol.map(schema.fieldIndex)
     val grouped = df.collect()
       .map(r => r.toSeq.toArray)
       .groupBy(a => a(ki).asInstanceOf[Long])
       .toArray.sortBy(_._1)
-    put(name, Entry(schema, keyCol, grouped))
+      .map { case (k, rows) =>
+        k -> ci.map(c => rows.sortBy(_(c).asInstanceOf[Long])).getOrElse(rows)
+      }
+    put(name, Entry(schema, keyCol, grouped, clusteringCol))
+  }
+
+  /** INSERT-as-upsert commit (CQL write semantics, SURVEY §2.2 write row):
+    * each incoming row replaces the row with the same primary key — the
+    * whole partition for a single-column key, the matching `(pk, ck)` row
+    * when a clustering column is declared — and new keys append. Partitions
+    * stay ck-sorted so range slicing remains valid after a write. */
+  def applyUpsert(name: String, rows: Array[(Long, Array[Any])]): Unit = synchronized {
+    val e = get(name)
+    val ci = e.clusteringCol.map(e.schema.fieldIndex)
+    val byPk = scala.collection.mutable.LinkedHashMap(
+      e.parts.map { case (k, rs) => k -> rs.toBuffer }.toIndexedSeq: _*)
+    rows.foreach { case (pk, row) =>
+      val buf = byPk.getOrElseUpdate(pk, scala.collection.mutable.Buffer.empty)
+      ci match {
+        case Some(c) =>
+          val i = buf.indexWhere(_(c) == row(c))
+          if (i >= 0) buf(i) = row else buf += row
+        case None =>
+          buf.clear(); buf += row
+      }
+    }
+    val parts = byPk.toArray.map { case (k, buf) =>
+      val arr = buf.toArray
+      k -> ci.map(c => arr.sortBy(_(c).asInstanceOf[Long])).getOrElse(arr)
+    }.sortBy(_._1)
+    put(name, e.copy(parts = parts))
   }
 }
 
@@ -110,15 +155,110 @@ class KVDataSource extends TableProvider {
 }
 
 class KVTable(tname: String, entry: KeyGroupedRegistry.Entry)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-kv:$tname"
   override def schema(): StructType = entry.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity(entry.keyCol))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KVScanBuilder(tname, entry)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val in = info.schema().fieldNames.toSeq
+    val own = entry.schema.fieldNames.toSeq
+    require(in == own,
+      s"graft-kv:$tname write schema $in does not match table schema $own")
+    new KVWriteBuilder(tname, entry)
+  }
+}
+
+/** Write path of the source — the `df.write.cassandra` analog (SURVEY §2.2
+  * write row; reference capability pin: userdata/cloudinit.sh:461). Three
+  * Cassandra-faithful properties, each load-bearing at 100 TB:
+  *
+  *   - **ring-routed**: `RequiresDistributionAndOrdering` asks Spark to
+  *     cluster the incoming rows by partition key before any writer runs, so
+  *     each task holds whole key groups and sends each group once to the
+  *     replicas that own it (`KVRing.replicasOf`) — the token-aware batching
+  *     that keeps a 1000-executor write from spraying every coordinator.
+  *   - **upsert-by-primary-key**: INSERT is an upsert (CQL semantics,
+  *     reference: userdata/cloudinit.sh:312-314 re-runs INSERTs
+  *     idempotently); the identity is pk, or (pk, ck) with a clustering
+  *     column. Rows are deduplicated last-write-wins inside each writer
+  *     (rows arrive (pk, ck)-sorted per the required ordering), then merged
+  *     into the table on commit.
+  *   - **observable placement**: each commit message carries the replica set
+  *     every key was routed to; UpsertSpec asserts it equals
+  *     `KVRing.replicasOf(key)`.
+  *
+  * The registry merge on `commit()` is driver-side because the registry IS
+  * the stand-in for the external cluster; on a real ring each writer task
+  * would have already sent its groups to the owning replicas, and commit
+  * would only seal the batch. */
+class KVWriteBuilder(tname: String, entry: KeyGroupedRegistry.Entry)
+    extends WriteBuilder {
+  override def build(): Write = new KVWrite(tname, entry)
+}
+
+class KVWrite(tname: String, entry: KeyGroupedRegistry.Entry)
+    extends Write with RequiresDistributionAndOrdering {
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.identity(entry.keyCol)))
+  override def requiredOrdering(): Array[SortOrder] =
+    (entry.keyCol +: entry.clusteringCol.toSeq).toArray.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+  override def toBatch: BatchWrite = new KVBatchWrite(tname, entry)
+}
+
+case class KVCommitMessage(rows: Array[(Long, Array[Any])],
+    placement: Array[(Long, Array[String])]) extends WriterCommitMessage
+
+class KVBatchWrite(tname: String, entry: KeyGroupedRegistry.Entry)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KVWriterFactory(entry.schema, entry.schema.fieldIndex(entry.keyCol),
+      entry.clusteringCol.map(entry.schema.fieldIndex))
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: KVCommitMessage => m }
+    KeyGroupedRegistry.applyUpsert(tname, msgs.flatMap(_.rows))
+    KeyGroupedRegistry.lastWritePlacement.put(tname,
+      msgs.flatMap(_.placement).map { case (k, hs) => k -> hs.toSeq }.toMap)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class KVWriterFactory(schema: StructType, keyIx: Int, ckIx: Option[Int])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KVDataWriter(schema, keyIx, ckIx)
+}
+
+class KVDataWriter(schema: StructType, keyIx: Int, ckIx: Option[Int])
+    extends DataWriter[InternalRow] {
+  // last-write-wins per primary key within the task; the required ordering
+  // makes "last" deterministic for a sorted batch, and sequential batches
+  // resolve at commit time (later commit overwrites)
+  private val buf =
+    scala.collection.mutable.LinkedHashMap.empty[(Long, Option[Long]), Array[Any]]
+
+  override def write(r: InternalRow): Unit = {
+    require(!r.isNullAt(keyIx), "graft-kv: partition key cannot be null (CQL)")
+    val ext = Array.tabulate[Any](schema.length) { i =>
+      r.get(i, schema.fields(i).dataType) match {
+        case u: UTF8String => u.toString
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case v => v
+      }
+    }
+    val pk = ext(keyIx).asInstanceOf[Long]
+    buf((pk, ckIx.map(c => ext(c).asInstanceOf[Long]))) = ext
+  }
+  override def commit(): WriterCommitMessage = KVCommitMessage(
+    buf.toArray.map { case ((pk, _), row) => pk -> row },
+    buf.keys.map(_._1).toSet.toArray.map(k => k -> KVRing.replicasOf(k).toArray))
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 /** Pushdown surface of the source — the three capabilities the pinned
@@ -141,13 +281,19 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry)
   private var countPushed = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val ck = entry.clusteringCol
     val (sup, unsup) = filters.partition {
+      case EqualTo(a, _: Number) => a == entry.keyCol || ck.contains(a)
       case EqualTo(a, _) => a == entry.keyCol
       case In(a, _) => a == entry.keyCol
+      // clustering-column range: evaluated exactly by slicing the ck-sorted
+      // partition (Cassandra's within-partition range scan)
+      case GreaterThanOrEqual(a, _: Number) => ck.contains(a)
+      case LessThan(a, _: Number) => ck.contains(a)
       case _ => false
     }
     pushed = sup
-    unsup // key predicates are evaluated exactly by partition pruning
+    unsup // pushed predicates are evaluated exactly by pruning + slicing
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
@@ -200,10 +346,48 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
 
   private def keepKey(k: Long): Boolean =
     runtimeKeys.forall(_.contains(k)) && (pushed.isEmpty || pushed.forall {
-      case EqualTo(_, v) => v.asInstanceOf[Number].longValue == k
-      case In(_, vs) => vs.exists(_.asInstanceOf[Number].longValue == k)
-      case _ => true
+      case EqualTo(a, v) if a == entry.keyCol =>
+        v.asInstanceOf[Number].longValue == k
+      case In(a, vs) if a == entry.keyCol =>
+        vs.exists(_.asInstanceOf[Number].longValue == k)
+      case _ => true // clustering-column predicates slice rows, not splits
     })
+
+  // clustering-column range bounds [ckLo, ckHi) from the pushed predicates;
+  // rows are ck-sorted at stage/commit time, so each bound is one binary
+  // search and the scan reads a contiguous slice of the owning partition
+  private lazy val ckIx: Option[Int] =
+    entry.clusteringCol.map(entry.schema.fieldIndex)
+  private lazy val ckLo: Option[Long] = {
+    val los = pushed.collect {
+      case GreaterThanOrEqual(a, v: Number) if entry.clusteringCol.contains(a) =>
+        v.longValue
+      case EqualTo(a, v: Number) if entry.clusteringCol.contains(a) => v.longValue
+    }
+    if (los.isEmpty) None else Some(los.max)
+  }
+  private lazy val ckHi: Option[Long] = {
+    val his = pushed.collect {
+      case LessThan(a, v: Number) if entry.clusteringCol.contains(a) => v.longValue
+      case EqualTo(a, v: Number) if entry.clusteringCol.contains(a) => v.longValue + 1
+    }
+    if (his.isEmpty) None else Some(his.min)
+  }
+  private def lowerBound(rows: Array[Array[Any]], ci: Int, target: Long): Int = {
+    var lo = 0; var hi = rows.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (rows(mid)(ci).asInstanceOf[Long] < target) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+  private def sliceRows(rows: Array[Array[Any]]): Array[Array[Any]] = ckIx match {
+    case Some(ci) if ckLo.nonEmpty || ckHi.nonEmpty =>
+      val lb = ckLo.map(lowerBound(rows, ci, _)).getOrElse(0)
+      val ub = ckHi.map(lowerBound(rows, ci, _)).getOrElse(rows.length)
+      if (lb >= ub) Array.empty else rows.slice(lb, ub)
+    case _ => rows
+  }
 
   // partition COUNT is needed by outputPartitioning during planning —
   // computed from keys alone, without projecting any rows
@@ -223,13 +407,14 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
         // one metadata row per split: [row-count]; Spark's final agg sums them
         entry.parts.collect {
           case (k, rows) if keepKey(k) =>
-            KVPartition(k, Array(Array[Any](rows.length.toLong))): InputPartition
+            KVPartition(k,
+              Array(Array[Any](sliceRows(rows).length.toLong))): InputPartition
         }
       else {
         val idx = required.fieldNames.map(entry.schema.fieldIndex)
         entry.parts.collect {
           case (k, rows) if keepKey(k) =>
-            KVPartition(k, rows.map(r => idx.map(r(_)))): InputPartition
+            KVPartition(k, sliceRows(rows).map(r => idx.map(r(_)))): InputPartition
         }
       }
     KeyGroupedRegistry.lastPlanned.put(tname, parts.length)

@@ -70,6 +70,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("EqualTo(c_nationkey,3)"), plan)
   }
 
+  test("clustering-column range scan prunes to one split and pushes the ck range") {
+    val df = Storage.queries("q_kv_range_scan")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // `pk = 37` prunes the ring to the one owning split...
+    assert(graft.sources.KeyGroupedRegistry.lastPlanned(s"orders_ck:$sfDir") == 1)
+    // ...and the ck bounds reach the source (evaluated by slicing the
+    // ck-sorted partition, Cassandra's within-partition range read)
+    val plan = planOf(df)
+    assert(plan.contains("GreaterThanOrEqual(ck,200)"), plan)
+    assert(plan.contains("LessThan(ck,10000)"), plan)
+    rows.foreach { r =>
+      assert(r.getLong(0) == 37L)
+      assert(r.getLong(1) >= 200L && r.getLong(1) < 10000L)
+    }
+  }
+
   test("bare limit compiles to CollectLimitExec (the show() physical shape)") {
     // O3: the reference job's df.show(truncate=False) plans CollectLimitExec(21)
     // (reference: userdata/cloudinit.sh:351); same shape for a bare .limit

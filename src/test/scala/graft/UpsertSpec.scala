@@ -77,6 +77,66 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     })
   }
 
+  test("KV source write is upsert-by-key with ring-routed placement") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.sources.{KVRing, KeyGroupedRegistry}
+    val kvSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false), StructField("v", StringType)))
+    def toKvDf(rows: Map[Int, String]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.toSeq.map { case (k, v) => Row(k.toLong, v) }, 2), kvSchema)
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    check(Prop.forAll(genRows, genRows) { (base, inc) =>
+      val name = s"kvw_prop_${n.incrementAndGet()}"
+      KeyGroupedRegistry.stage(name, toKvDf(base), "k")
+      if (inc.nonEmpty) {
+        // same batch written twice: CQL INSERT idempotence — final state
+        // must still be base ++ inc with one row per key
+        (1 to 2).foreach { _ =>
+          toKvDf(inc).write.format("graft.sources.KVDataSource")
+            .option("table", name).mode("append").save()
+        }
+      }
+      val got = spark.read.format("graft.sources.KVDataSource")
+        .option("table", name).load()
+        .collect().map(r => r.getLong(0).toInt -> r.getString(1)).toMap
+      val placed = KeyGroupedRegistry.lastWritePlacement.getOrElse(name, Map.empty)
+      got == base ++ inc &&
+        (inc.isEmpty || placed.keySet == inc.keySet.map(_.toLong)) &&
+        placed.forall { case (k, hosts) => hosts == KVRing.replicasOf(k) }
+    })
+  }
+
+  test("KV source write upserts by (pk, ck) and keeps partitions ck-sorted") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.sources.KeyGroupedRegistry
+    val schema = StructType(Seq(
+      StructField("pk", LongType, nullable = false),
+      StructField("ck", LongType, nullable = false),
+      StructField("v", StringType)))
+    def df(rows: (Long, Long, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (p, c, v) => Row(p, c, v) }, 2), schema)
+    val name = "kvw_ck_unit"
+    KeyGroupedRegistry.stage(name, df((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c")),
+      "pk", clusteringCol = Some("ck"))
+    // (1,2) is overwritten, (1,0) is a new clustering position in an
+    // existing partition, (3,5) is a new partition
+    df((1L, 2L, "B2"), (1L, 0L, "z"), (3L, 5L, "n")).write
+      .format("graft.sources.KVDataSource").option("table", name)
+      .mode("append").save()
+    val read = spark.read.format("graft.sources.KVDataSource")
+      .option("table", name).load()
+    val got = read.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSet == Set((1L, 0L, "z"), (1L, 1L, "a"), (1L, 2L, "B2"),
+      (2L, 1L, "c"), (3L, 5L, "n")))
+    // ck range reads the slice — and only the owning split is planned
+    val slice = read.filter("pk = 1 AND ck >= 1 AND ck < 2").collect()
+    assert(slice.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 1L, "a")))
+    assert(KeyGroupedRegistry.lastPlanned(name) == 1)
+  }
+
   test("catalog set columns order numerics numerically and reject bad DDL") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
