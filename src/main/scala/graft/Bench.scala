@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
   *     engine init ~10 s) so timed runs measure operator throughput — the
   *     quantity that scales — not JVM bootstrap, which amortizes to zero on a
   *     cluster;
-  *   - TWO timed passes per query, reporting the min: single-run numbers on a
-  *     shared machine carry ±30% contention noise that has previously burned
-  *     judge/builder cycles on phantom regressions;
+  *   - THREE timed passes per query, reporting the min plus the per-query
+  *     spread (max/min): single-run numbers on a shared machine carry ±30%
+  *     contention noise that has previously burned judge/builder cycles on
+  *     phantom regressions, and r5 showed even min-of-2 leaves ±15% run
+  *     noise; the spread makes the artifact self-describing;
   *   - failures are recorded explicitly (value -1 + an "errors" map), never
   *     as a plausible small timing;
   *   - a fixed-cost canary (q_users_scan, min of 3) is timed before the first
@@ -77,8 +79,13 @@ object Bench {
       }
     }
     val canaryBefore = canary()
-    val p1 = timedPass()
-    val p2 = timedPass()
+    // THREE timed passes: r5 showed min-of-2 under-smooths — two "clean"
+    // runs 37 min apart differed 85.4 -> 99.3 s with per-query swings up to
+    // 1.7x that the canary (sustained-load guard) rightly never flagged.
+    // The per-query spread (max/min across passes) is emitted so a judge
+    // can separate run-length jitter from a real regression WITHOUT
+    // re-running: a 1.5x delta on a query whose own spread is 1.6x is noise.
+    val passes = Seq(timedPass(), timedPass(), timedPass())
     val canaryAfter = canary()
     val drift = math.max(canaryBefore, canaryAfter) /
       math.max(1e-9, math.min(canaryBefore, canaryAfter))
@@ -86,12 +93,19 @@ object Bench {
     if (contended) System.err.println(
       f"[bench] WARNING: canary drift $drift%.2fx (${canaryBefore}%.3f -> ${canaryAfter}%.3f s) — machine contended, timings untrustworthy")
     val results = SparkEntry.queries.keys.map { k =>
-      val (a, b) = (p1(k), p2(k))
-      k -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val ts = passes.map(_(k))
+      k -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }.toSeq
+    val spreads = SparkEntry.queries.keys.map { k =>
+      val ts = passes.map(_(k))
+      k -> (if (ts.exists(_ < 0)) -1.0 else ts.max / math.max(1e-9, ts.min))
     }.toSeq
 
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def r2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val total = ok.sum
@@ -100,10 +114,11 @@ object Bench {
       else ",\"errors\":" + errors
         .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
         .mkString("{", ",", "}")
-    val meth = "warm-up pass at sf0.001, then min of 2 timed passes; " +
+    val meth = "warm-up pass at sf0.001, then min of 3 timed passes; " +
+      "spread = per-query max/min across the passes (jitter bound); " +
       "canary=q_users_scan min-of-3 before/after; contended = canary drift >2x"
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"reps":2,"canary_before_sec":${r3(canaryBefore)},"canary_after_sec":${r3(canaryAfter)},"contended":$contended,"methodology":"$meth","queries":$qs$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"reps":3,"canary_before_sec":${r3(canaryBefore)},"canary_after_sec":${r3(canaryAfter)},"contended":$contended,"methodology":"$meth","queries":$qs,"spread":$sp$errJson,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces copy: r3's stdout capture truncated the JSON tail, so
     // always leave an untruncated copy on disk too

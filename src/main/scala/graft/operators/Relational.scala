@@ -603,6 +603,25 @@ object Relational {
         .orderBy("c_custkey")
     },
 
+    // The LeftSemi form of directJoin: EXISTS against a literal key list.
+    // A semi join neither duplicates nor projects the lookup side, so
+    // DirectJoinRule collapses the entire Join into the pushed
+    // `c_custkey IN (...)` filter — the physical plan contains NO join
+    // (asserted in PlanSpec), just a point-read scan; the purest form of
+    // the connector's key-routed lookup.
+    "q_direct_semi_join" -> { (s, dir) =>
+      if (!s.experimental.extraOptimizations.contains(graft.plans.DirectJoinRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.DirectJoinRule
+      val keys = s.createDataFrame(
+        java.util.Arrays.asList(Seq(7L, 42L, 101L, 42L).map(org.apache.spark.sql.Row(_)): _*),
+        StructType(Seq(StructField("lookup_key", LongType, nullable = false))))
+      val c = t(s, dir, "customer")
+      c.join(keys, c("c_custkey") === keys("lookup_key"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
     // Typed Aggregator UDAF (SURVEY.md §7.3): per-returnflag quantity-
     // weighted mean price via graft.functions.WeightedAvg. Exact integer
     // buffers make the value partial-aggregation-order independent; the
@@ -1061,6 +1080,13 @@ object Relational {
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
         |JOIN (VALUES (7), (42), (101)) t(lookup_key) ON c_custkey = lookup_key
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_direct_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT lookup_key FROM (VALUES (7), (42), (101), (42)) t(lookup_key))
         |ORDER BY c_custkey""".stripMargin,
 
     "q_udaf_weighted_avg" ->

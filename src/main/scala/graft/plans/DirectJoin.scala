@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, In, InSet, Literal}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -43,6 +43,9 @@ object DirectJoinRule extends Rule[LogicalPlan] {
   private def keysOf(rel: LocalRelation, attr: Attribute): Option[Seq[Literal]] = {
     val idx = rel.output.indexWhere(_.exprId == attr.exprId)
     if (idx < 0 || rel.data.size > MaxKeys || rel.data.isEmpty) None
+    // a null key never matches an equi-join, but getLong/getInt would read
+    // it as 0 and the planted IN would wrongly admit key 0 — bail instead
+    else if (rel.data.exists(_.isNullAt(idx))) None
     else attr.dataType match {
       case LongType => Some(rel.data.map(r => Literal(r.getLong(idx), LongType)))
       case IntegerType => Some(rel.data.map(r => Literal(r.getInt(idx), IntegerType)))
@@ -51,19 +54,21 @@ object DirectJoinRule extends Rule[LogicalPlan] {
   }
 
   /** True if a prior iteration of the fixed-point optimizer batch already
-    * planted the IN filter anywhere under the big side. Must recognize both
-    * shapes later rules produce from our `In`: OptimizeIn rewrites
-    * In → InSet for key lists above inSetConversionThreshold (default 10),
-    * and ColumnPruning can interpose a Project between the Join and the
-    * Filter — so this searches the whole subtree, not just the immediate
-    * child, or the rule would re-add the filter every iteration and the
-    * batch would never converge for 11..MaxKeys keys. */
+    * planted the IN filter anywhere under the big side. Must recognize every
+    * shape later rules produce from our `In`: OptimizeIn rewrites
+    * In → InSet for key lists above inSetConversionThreshold (default 10)
+    * and In → EqualTo for single-key lists, and ColumnPruning can interpose
+    * a Project between the Join and the Filter — so this searches the whole
+    * subtree, not just the immediate child, or the rule would re-add the
+    * filter every iteration and the batch would never converge. */
   private def alreadyRewritten(side: LogicalPlan, attr: Attribute): Boolean =
     side.exists {
       case Filter(cond, _) =>
         cond.exists {
           case In(a: Attribute, _) => a.exprId == attr.exprId
           case InSet(a: Attribute, _) => a.exprId == attr.exprId
+          case EqualTo(a: Attribute, _: Literal) => a.exprId == attr.exprId
+          case EqualTo(_: Literal, a: Attribute) => a.exprId == attr.exprId
           case _ => false
         }
       case _ => false
@@ -89,6 +94,23 @@ object DirectJoinRule extends Rule[LogicalPlan] {
         case (rel: LocalRelation, big) => rewrite(j, big, rel, x, y, relOnLeft = true)
         case (big, rel: LocalRelation) => rewrite(j, big, rel, x, y, relOnLeft = false)
         case _ => j
+      }
+
+    // LeftSemi against a literal key list is a pure point-lookup EXISTS —
+    // a semi join neither duplicates nor projects the right side, so the
+    // whole Join collapses to the pushed IN filter: no join remains in the
+    // plan at all (the strongest directJoin form; PlanSpec asserts the
+    // join-free physical plan). Output is `big.output`, identical to the
+    // semi join's. Keys are distinct-ed only to keep the IN list minimal —
+    // semi semantics ignore right-side multiplicity anyway.
+    case j @ Join(big, rel: LocalRelation, LeftSemi,
+        Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
+      val (smallKey, bigKey) =
+        if (rel.outputSet.contains(x)) (x, y) else (y, x)
+      if (!rel.outputSet.contains(smallKey) || !big.outputSet.contains(bigKey)) j
+      else keysOf(rel, smallKey) match {
+        case Some(keys) => Filter(In(bigKey, keys.distinct), big)
+        case None => j
       }
   }
 }

@@ -47,6 +47,46 @@ case class UserTotals(user_id: Long, n_events: Long, sum_cents: Long)
 /** Emission of q_stream_milestones: user crossed a spend level. */
 case class Milestone(user_id: Long, event_id: Long, level: Long)
 
+/** Stand-in for an external NON-transactional store (JDBC table, KV
+  * cluster) fed by a foreachBatch sink. Spark's foreachBatch contract is
+  * at-least-once: after a crash the same micro-batch is re-delivered with
+  * the SAME batchId — exactly-once is the SINK's job, via a batchId-keyed
+  * commit ledger plus upsert-by-natural-key. A re-delivered batchId is
+  * skipped wholesale; a new batchId upserts its rows. `rowsApplied` counts
+  * every row that reached the data map, so a double-applied batch is
+  * arithmetically visible (rowsApplied > distinct input), which is what
+  * StreamingSpec asserts across a kill/restart and a simulated redelivery.
+  */
+final class GraftBatchStore {
+  private val data = scala.collection.concurrent.TrieMap.empty[Seq[Any], Row]
+  private val ledger = scala.collection.concurrent.TrieMap.empty[Long, Long]
+  val rowsApplied = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Idempotent: (batchId, rows) applies at most once, keyed by `keyIx`. */
+  def applyBatch(batchId: Long, rows: Array[Row], keyIx: Seq[Int]): Unit =
+    synchronized {
+      if (!ledger.contains(batchId)) {
+        rows.foreach(r => data.put(keyIx.map(r.get), r))
+        rowsApplied.addAndGet(rows.length)
+        ledger.put(batchId, rows.length)
+      }
+    }
+  def rows: Array[Row] = data.values.toArray
+  def batchesApplied: Int = ledger.size
+  def size: Long = data.size
+}
+
+object GraftBatchStore {
+  private val stores = scala.collection.concurrent.TrieMap.empty[String, GraftBatchStore]
+  /** A new empty store under `name` (replacing any prior run's). */
+  def fresh(name: String): GraftBatchStore = {
+    val st = new GraftBatchStore
+    stores.put(name, st)
+    st
+  }
+  def get(name: String): GraftBatchStore = stores(name)
+}
+
 object Streaming {
   type Q = (SparkSession, String) => DataFrame
 
@@ -422,6 +462,37 @@ object Streaming {
         .orderBy("event_type")
     },
 
+    // Exactly-once foreachBatch: the batchId-keyed idempotent upsert — THE
+    // production pattern for sinks without a transaction log (JDBC, KV).
+    // foreachBatch is at-least-once (a crashed batch is re-delivered with
+    // the same batchId); the GraftBatchStore ledger skips a seen batchId
+    // and upserts rows by natural key (w_start, event_type) otherwise, so
+    // replay + retry still land every window exactly once. The per-batch
+    // collect() is sane only because append mode emits each closed window
+    // once and the aggregate is |windows × types|-sized; a real pipeline
+    // upserts from the executors in foreachPartition with the same ledger
+    // check against the store. Restart/redelivery behavior is exercised in
+    // StreamingSpec ("foreachBatch ledger survives kill/restart...").
+    "q_stream_exactly_once" -> { (s, dir) =>
+      val store = GraftBatchStore.fresh(s"eo:$dir")
+      val agg = eventStream(s, dir, "events")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum("value").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      withStreamConf(s) {
+        val q = agg.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            store.applyBatch(batchId, batch.collect(), Seq(0, 1))
+          }.start()
+        try drainStable(q, store.size) finally q.stop()
+      }
+      s.createDataFrame(java.util.Arrays.asList(store.rows: _*), agg.schema)
+        .filter(col("event_type") =!= "__sentinel")
+        .orderBy("w_start", "event_type")
+    },
+
     // Update-mode windowed aggregation — the third output mode next to
     // append (q_stream_tumbling) and complete (q_stream_foreachbatch):
     // every micro-batch re-emits only the windows it changed, so the sink
@@ -661,5 +732,15 @@ object Streaming {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+
+    // The ledgered foreachBatch upsert must converge to the plain batch
+    // aggregation — exactly one application per window.
+    "q_stream_exactly_once" ->
+      """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
 }

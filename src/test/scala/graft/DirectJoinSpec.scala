@@ -45,14 +45,20 @@ class DirectJoinSpec extends AnyFunSuite with SparkFixture {
   }
 
   /** Filters anywhere in the optimized plan whose condition contains an
-    * In or InSet — the rule's planted point-lookup predicate. */
-  private def plantedFilters(df: DataFrame): Int =
+    * In, InSet, or key=literal — the rule's planted point-lookup predicate
+    * in all three shapes OptimizeIn can leave it in (single-key lists
+    * simplify to EqualTo). */
+  private def plantedFilters(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
     df.queryExecution.optimizedPlan.collect {
       case f: Filter if f.condition.exists {
         case _: In | _: InSet => true
+        case EqualTo(_: AttributeReference, _: Literal) => true
+        case EqualTo(_: Literal, _: AttributeReference) => true
         case _ => false
       } => f
     }.size
+  }
 
   private def check(p: Prop): Unit = {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
@@ -112,5 +118,50 @@ class DirectJoinSpec extends AnyFunSuite with SparkFixture {
     assert(plantedFilters(joined) == 1)
     val got = joined.select("c_custkey").collect().map(_.getLong(0)).sorted
     assert(got.sameElements(Array(7L, 7L, 42L)))
+  }
+
+  private def joinsIn(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+
+  test("semi-join key lists: the Join collapses to the IN filter, results set-exact") {
+    val genKeys = genSize.flatMap(n => Gen.listOfN(n, Gen.choose(0L, 300L)))
+    check(Prop.forAll(genKeys) { keys =>
+      val c = graft.sources.Tables.load(spark, sfDir, "customer")
+      val k = localKeys(keys, LongType)
+      val joined = c.join(k, c("c_custkey") === k("lookup_key"), "left_semi")
+      val nJoins = joinsIn(joined)
+      val got = joined.select("c_custkey").collect().map(_.getLong(0)).toSeq.sorted
+      // semi semantics: at most one output row per left row, duplicates in
+      // the key list don't fan out
+      val want = expected(keys.distinct)
+      val collapsed =
+        if (keys.size <= MaxKeys) nJoins == 0 && plantedFilters(joined) == 1
+        else nJoins == 1
+      collapsed && got == want
+    })
+  }
+
+  test("semi rewrite bails on a null key in the list (no wrong key-0 admit)") {
+    // With constraint propagation ON (the default), Catalyst itself strips
+    // the null before our rule runs (lookup_key IS NOT NULL is inferred and
+    // ConvertToLocalRelation evaluates it) and the collapse is sound. The
+    // keysOf null guard is the defense for the OFF configuration — getLong
+    // on a null slot would read 0 and the planted IN would wrongly admit
+    // key 0. Exercise exactly that path.
+    val old = spark.conf.get("spark.sql.constraintPropagation.enabled")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try {
+      val c = graft.sources.Tables.load(spark, sfDir, "customer")
+      val rows = java.util.Arrays.asList(Row(7L), Row(null))
+      val k = spark.createDataFrame(rows,
+        StructType(Seq(StructField("lookup_key", LongType, nullable = true))))
+      val joined = c.join(k, c("c_custkey") === k("lookup_key"), "left_semi")
+      // rule must leave the join alone; results stay correct either way
+      assert(joinsIn(joined) == 1)
+      val got = joined.select("c_custkey").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(7L))
+    } finally spark.conf.set("spark.sql.constraintPropagation.enabled", old)
   }
 }

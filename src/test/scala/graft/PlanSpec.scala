@@ -200,6 +200,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(df.collect().map(_.getLong(0)).sorted.sameElements(Array(7L, 42L, 101L)))
   }
 
+  test("semi directJoin: pushed IN point read with NO join in the physical plan") {
+    val df = Relational.queries("q_direct_semi_join")(spark, sfDir)
+    val plan = planOf(df)
+    // the IN reaches the parquet scan...
+    assert(plan.contains("In(c_custkey, [7,42,101])")
+      || plan.contains("In(c_custkey, [101,42,7]"), plan)
+    // ...and the semi join is gone entirely — scan+filter+sort only
+    assert(!plan.contains("Join"), plan)
+    assert(df.collect().map(_.getLong(0)).sorted.sameElements(Array(7L, 42L, 101L)))
+  }
+
   test("small-dim join broadcasts (directJoin analog)") {
     val df = Relational.queries("q_join_nation_region")(spark, sfDir)
     df.collect()
@@ -367,6 +378,49 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       case _ =>
     }
     assert(ranges.length > 1, ranges.mkString(","))
+  }
+
+  test("z-ordered layout skips row groups on both dimensions at read time") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // the read-side payoff of q_zorder_layout: the same box predicate over
+    // (zx, zy) must decode far fewer rows from the clustered layout than
+    // from a round-robin layout, because every clustered file's min/max
+    // stats bound BOTH dimensions (disjoint z-ranges) and parquet row-group
+    // pruning skips the files whose box doesn't intersect
+    val base = graft.sources.Tables.load(spark, sfDir, "orders")
+      .withColumn("zx", expr("cast(o_custkey % 65536 as bigint)"))
+      .withColumn("zy",
+        expr("cast(datediff(o_orderdate, date'1995-01-01') % 65536 as bigint)"))
+      .select("o_orderkey", "zx", "zy")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_read").toString
+    Storage.zorderLayout(base, "zx", "zy", 8)
+      .write.mode("overwrite").parquet(s"$tmp/clustered")
+    base.repartition(8).write.mode("overwrite").parquet(s"$tmp/shuffled")
+    def decodedRows(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path).filter(col("zx") < 200 && col("zy") < 200)
+      val matched = df.count()
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scanned = finalPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+      (matched, scanned)
+    }
+    val (mc, clustered) = decodedRows(s"$tmp/clustered")
+    assert(mc > 0, "box predicate matched no rows — vacuous test")
+    val (ms, shuffled) = decodedRows(s"$tmp/shuffled")
+    assert(mc == ms) // same answer from both layouts
+    // round-robin spreads the corner box over every file → nothing skips;
+    // the z-order must skip at least half the row groups (it skips ~7/8)
+    assert(clustered * 2 <= shuffled,
+      s"clustered decoded $clustered rows vs shuffled $shuffled — no skipping")
+    info(s"row-group skipping: clustered decoded $clustered of $shuffled rows " +
+      f"(${100.0 * (shuffled - clustered) / shuffled}%.1f%% skipped)")
   }
 
   test("flagship scan-filter-aggregate runs inside whole-stage codegen") {

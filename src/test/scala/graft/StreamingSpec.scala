@@ -90,6 +90,50 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("foreachBatch ledger survives kill/restart and skips redelivered batches") {
+    import graft.streaming.GraftBatchStore
+    // The non-transactional-store variant of the recovery contract: offsets
+    // in the checkpoint WAL, idempotence from the sink's own batchId
+    // ledger. Kill mid-backlog, restart on the same checkpoint — every
+    // event lands exactly once — then hand the sink a byte-identical
+    // redelivery of an already-committed batch and assert it is a no-op.
+    val ev = Tables.load(spark, sfDir, "events")
+    val total = ev.count()
+    val root = java.nio.file.Files.createTempDirectory("graft-eo").toString
+    val src = s"$root/src"
+    ev.repartitionByRange(4, col("ts")).write.parquet(src)
+    val store = GraftBatchStore.fresh("eo-restart-test")
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Array[org.apache.spark.sql.Row]]()
+    def start() = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .select("event_id", "user_id", "value")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = batch.collect()
+        seen.put(id, rows)
+        store.applyBatch(id, rows, Seq(0))
+      }.start()
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (store.batchesApplied == 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    q1.stop(); q1.awaitTermination()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // exactly once across the restart: every row applied once, by count —
+    // a double-applied batch would make rowsApplied exceed the input
+    assert(store.size == total, s"distinct=${store.size} total=$total")
+    assert(store.rowsApplied.get == total,
+      s"rowsApplied=${store.rowsApplied.get} total=$total")
+    // simulated crash-retry: re-deliver a committed batch verbatim → no-op
+    val (someId, someRows) = {
+      val e = seen.entrySet().iterator().next(); (e.getKey, e.getValue)
+    }
+    store.applyBatch(someId, someRows, Seq(0))
+    assert(store.rowsApplied.get == total, "redelivered batch was re-applied")
+    assert(store.size == total)
+  }
+
   test("restart from checkpoint resumes into the file sink exactly once") {
     // The recovery contract a 100 TB/day ingest job relies on: offsets live
     // in the checkpoint WAL, committed files in the sink manifest — kill the
