@@ -137,6 +137,36 @@ object Pipeline {
         .orderBy("kept_doc_id")
     },
 
+    // Sub-document exact dedup (the C4 "line dedup" pass): fixed 4-token
+    // aligned spans stand in for lines; a span occurring anywhere else in
+    // the corpus is kept only at its FIRST position (min (doc_id, chunk_ix))
+    // and counted as removed everywhere else. Two wide ops, both on the
+    // span hash: a map-side-combined min-aggregate electing each span's
+    // owner, then a same-key shuffle join of spans to owners (owner table ∝
+    // distinct spans — NOT broadcastable at corpus scale, and doesn't need
+    // to be: both sides already hash-partition on h). Per-doc retained
+    // fraction is the standard curation diagnostic this feeds.
+    "q_chunk_dedup" -> { (s, dir) =>
+      val ch = docsPar(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(1, greatest(size(w) - 3, 1), 4)")).as("start"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / 4).cast("int").as("chunk_ix"),
+          expr(s"${hExpr("concat_ws(' ', slice(w, start, 4))")}").as("h"))
+      val owner = ch.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("chunk_ix"))).as("o"))
+      ch.join(owner, "h")
+        .withColumn("kept",
+          col("doc_id") === col("o.doc_id") && col("chunk_ix") === col("o.chunk_ix"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("retained", round(col("n_kept") / col("n_chunks"), 6))
+        .filter(col("n_kept") < col("n_chunks"))
+        .orderBy("doc_id")
+    },
+
     // Duplicate clustering: candidate pairs → connected components →
     // cluster id (= min doc_id in the component) — the step that turns
     // pairwise near-dup hits into keep/delete lists. Iterative min-label
@@ -869,6 +899,29 @@ object Pipeline {
         |FROM d
         |GROUP BY 1 HAVING count(*) > 1
         |ORDER BY kept_doc_id""".stripMargin,
+
+    "q_chunk_dedup" ->
+      s"""WITH d AS ($docsW),
+        |st AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(1, greatest(len(w) - 3, 1), 4)) AS start
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, CAST((start - 1) // 4 AS INT) AS chunk_ix,
+        |    ('0x'||substr(md5(array_to_string(w[start:start+3], ' ')),1,8))::BIGINT AS h
+        |  FROM st),
+        |o AS (
+        |  SELECT h, MIN(ROW(doc_id, chunk_ix)) AS o FROM c GROUP BY h),
+        |k AS (
+        |  SELECT c.doc_id,
+        |    CASE WHEN ROW(c.doc_id, c.chunk_ix) = o.o THEN 1 ELSE 0 END AS kept
+        |  FROM c JOIN o USING (h))
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  round(SUM(kept) * 1.0 / COUNT(*), 6) AS retained
+        |FROM k GROUP BY doc_id
+        |HAVING SUM(kept) < COUNT(*)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dup_clusters" ->
       s"""WITH RECURSIVE d AS ($docsW),

@@ -127,6 +127,25 @@ object Similarity {
         .orderBy("vec_a", "vec_b")
     },
 
+    // Semantic dedup (SemDeDup): turn the near-dup pair list into a
+    // keep/remove decision — a vector is REMOVED iff some smaller-id vector
+    // is cosine-similar above the (tighter) 0.35 threshold; the smaller id
+    // survives as the cluster representative. This is the greedy min-id
+    // star rule: deterministic, one extra map-side-combined aggregate over
+    // the capped candidate pairs, no iteration — the published SemDeDup
+    // keeps one representative per ε-cluster, which this upper-bounds.
+    // Composes the DECLARED q_embed_neardup_lsh (same candidate generation,
+    // same caps), like q_quantize_recall composes the two top-k operators.
+    "q_semantic_dedup" -> { (s, dir) =>
+      queries("q_embed_neardup_lsh")(s, dir)
+        .filter(col("cosine") >= 0.35)
+        .groupBy("vec_b")
+        .agg(min("vec_a").as("kept_neighbor"), count(lit(1)).as("n_similar"),
+          max("cosine").as("max_cosine"))
+        .withColumnRenamed("vec_b", "removed_id")
+        .orderBy("removed_id")
+    },
+
     // Int8 symmetric quantization + integer-dot top-k: the bandwidth tier
     // of 100 TB ANN — a 64-dim FLOAT vector is 256 bytes, its int8 form 64,
     // so the candidate scan reads 4× less, and the dot product becomes
@@ -246,6 +265,32 @@ object Similarity {
       |  CAST(rn AS INT) AS rn
       |FROM t WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
 
+  private val neardupSql =
+    s"""WITH e AS ($vecsSql),
+      |h AS (
+      |  SELECT vec_id, band,
+      |    list_sum(list_transform(range(0, 16), j ->
+      |      CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i + 1] *
+      |          (CASE WHEN ((1103515245 * (64*(16*band + j) + i) + 12345) >> 16) & 1 = 1
+      |                THEN 1.0 ELSE -1.0 END))) >= 0
+      |           THEN (1 << j) ELSE 0 END))::BIGINT AS code
+      |  FROM e, (VALUES (0), (1), (2), (3)) b(band)),
+      |hf AS (
+      |  SELECT vec_id, band, code FROM (
+      |    SELECT vec_id, band, code,
+      |      count(*) OVER (PARTITION BY band, code) AS bn
+      |    FROM h) WHERE bn <= ${Pipeline.BucketCap}),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |  FROM hf x JOIN hf y
+      |    ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id),
+      |p AS (
+      |  SELECT vec_a, vec_b,
+      |    round($dotSql / (q.nrm * c.nrm), 6) AS cosine
+      |  FROM cand JOIN e q ON q.vec_id = vec_a JOIN e c ON c.vec_id = vec_b)
+      |SELECT vec_a, vec_b, cosine FROM p
+      |WHERE cosine >= 0.2 ORDER BY vec_a, vec_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopkSql,
 
@@ -262,31 +307,16 @@ object Similarity {
         |  CAST(rn AS INT) AS rn
         |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
 
-    "q_embed_neardup_lsh" ->
-      s"""WITH e AS ($vecsSql),
-        |h AS (
-        |  SELECT vec_id, band,
-        |    list_sum(list_transform(range(0, 16), j ->
-        |      CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i + 1] *
-        |          (CASE WHEN ((1103515245 * (64*(16*band + j) + i) + 12345) >> 16) & 1 = 1
-        |                THEN 1.0 ELSE -1.0 END))) >= 0
-        |           THEN (1 << j) ELSE 0 END))::BIGINT AS code
-        |  FROM e, (VALUES (0), (1), (2), (3)) b(band)),
-        |hf AS (
-        |  SELECT vec_id, band, code FROM (
-        |    SELECT vec_id, band, code,
-        |      count(*) OVER (PARTITION BY band, code) AS bn
-        |    FROM h) WHERE bn <= ${Pipeline.BucketCap}),
-        |cand AS (
-        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |  FROM hf x JOIN hf y
-        |    ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id),
-        |p AS (
-        |  SELECT vec_a, vec_b,
-        |    round($dotSql / (q.nrm * c.nrm), 6) AS cosine
-        |  FROM cand JOIN e q ON q.vec_id = vec_a JOIN e c ON c.vec_id = vec_b)
-        |SELECT vec_a, vec_b, cosine FROM p
-        |WHERE cosine >= 0.2 ORDER BY vec_a, vec_b""".stripMargin,
+    "q_embed_neardup_lsh" -> neardupSql,
+
+    "q_semantic_dedup" ->
+      s"""WITH nd AS (
+        |$neardupSql
+        |)
+        |SELECT vec_b AS removed_id, MIN(vec_a) AS kept_neighbor,
+        |  COUNT(*) AS n_similar, MAX(cosine) AS max_cosine
+        |FROM nd WHERE cosine >= 0.35
+        |GROUP BY vec_b ORDER BY removed_id""".stripMargin,
 
     "q_embed_quantize" -> quantizeSql,
 

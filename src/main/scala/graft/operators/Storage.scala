@@ -174,6 +174,26 @@ object Storage {
       s.sql("SELECT * FROM graftcat.testks.users ORDER BY id")
     },
 
+    // CQL DELETE through the catalog (SupportsDelete): `DELETE FROM t WHERE
+    // key = ?` / `key IN (...)` removes by partition key — the only DELETE
+    // shape CQL allows (a non-key predicate is rejected at analysis, like
+    // the CQL error). Deleting an absent key (99) is a silent no-op —
+    // Cassandra tombstone semantics. The reference's stack exposes this
+    // via the same connector catalog (userdata/cloudinit.sh:461).
+    "q_users_delete" -> { (s, _) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.users_del")
+      s.sql("CREATE TABLE graftcat.testks.users_del (id INT, name STRING, email STRING) " +
+        "TBLPROPERTIES ('key'='id')")
+      s.sql("INSERT INTO graftcat.testks.users_del VALUES " +
+        "(1,'Alice','alice@example.com'), (2,'Bob','bob@example.com'), " +
+        "(3,'Charlie','charlie@example.com'), (4,'Dana','dana@example.com')")
+      s.sql("DELETE FROM graftcat.testks.users_del WHERE id = 2")
+      s.sql("DELETE FROM graftcat.testks.users_del WHERE id IN (4, 99)")
+      s.sql("SELECT * FROM graftcat.testks.users_del ORDER BY id")
+    },
+
     // Storage-partitioned join (SURVEY.md §4.1, last row): both sides come
     // from the DSv2 source graft.sources.KVDataSource, which reports its
     // key-grouped layout via SupportsReportPartitioning/KeyGroupedPartitioning
@@ -499,6 +519,12 @@ object Storage {
         | (2, 'Bob',     'bob@refresh.example'),
         | (3, 'Charlie', 'charlie@example.com'),
         | (4, 'Dana',    'dana@example.com')) AS t(id, name, email)
+        |ORDER BY id""".stripMargin,
+
+    "q_users_delete" ->
+      """SELECT * FROM (VALUES
+        | (1, 'Alice',   'alice@example.com'),
+        | (3, 'Charlie', 'charlie@example.com')) AS t(id, name, email)
         |ORDER BY id""".stripMargin,
 
     "q_kv_point_read" ->

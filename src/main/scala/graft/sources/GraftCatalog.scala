@@ -7,10 +7,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -159,13 +160,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("renameTable")
 }
 
-/** Readable + writable in-memory table; writes merge by key (upsert). */
+/** Readable + writable in-memory table; writes merge by key (upsert), and
+  * `DELETE FROM ... WHERE key = ?/IN (...)` removes by key — CQL's DELETE,
+  * which requires the partition key in the WHERE clause; a non-key
+  * predicate is rejected at analysis (canDeleteWhere=false), mirroring the
+  * CQL error rather than silently scanning. Deleting an absent key is a
+  * no-op (CQL tombstone semantics). An unfiltered DELETE is TRUNCATE. */
 class GUpsertTable(tname: String, t: GraftCatalogStore.T)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = tname
   override def schema(): StructType = t.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall {
+      case EqualTo(a, _) => a == t.keyCol
+      case In(a, _) => a == t.keyCol
+      case _: AlwaysTrue => true
+      case _ => false
+    }
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    // filters arrive as a conjunction: the deletable key set is their
+    // intersection (an unmatchable id=2 AND id=3 deletes nothing)
+    val keySets: Array[Set[Any]] = filters.collect {
+      case EqualTo(_, v) => Set[Any](v)
+      case In(_, vs) => vs.toSet[Any]
+    }
+    if (keySets.isEmpty) t.rows.clear() // no key predicate: TRUNCATE
+    else keySets.reduce(_ intersect _).foreach(t.rows.remove)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {

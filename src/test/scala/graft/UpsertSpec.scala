@@ -137,6 +137,30 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(KeyGroupedRegistry.lastPlanned(name) == 1)
   }
 
+  test("catalog DELETE removes by key, rejects non-key predicates, truncates unfiltered") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.del")
+    spark.sql("CREATE TABLE graftcat.proptest.del (id INT, name STRING, email STRING) " +
+      "TBLPROPERTIES ('key'='id')")
+    spark.sql("INSERT INTO graftcat.proptest.del VALUES " +
+      "(1,'a','a@x'), (2,'b','b@x'), (3,'c','c@x')")
+    spark.sql("DELETE FROM graftcat.proptest.del WHERE id = 2")
+    assert(toMap(spark.table("graftcat.proptest.del")) == Map(1 -> "a", 3 -> "c"))
+    // absent key: silent no-op (tombstone semantics)
+    spark.sql("DELETE FROM graftcat.proptest.del WHERE id IN (2, 99)")
+    assert(toMap(spark.table("graftcat.proptest.del")) == Map(1 -> "a", 3 -> "c"))
+    // CQL requires the partition key in a DELETE — non-key predicate fails
+    // at analysis instead of silently scanning
+    intercept[Exception] {
+      spark.sql("DELETE FROM graftcat.proptest.del WHERE name = 'a'")
+    }
+    assert(toMap(spark.table("graftcat.proptest.del")) == Map(1 -> "a", 3 -> "c"))
+    // unfiltered DELETE = TRUNCATE
+    spark.sql("DELETE FROM graftcat.proptest.del")
+    assert(spark.table("graftcat.proptest.del").count() == 0)
+  }
+
   test("catalog set columns order numerics numerically and reject bad DDL") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
