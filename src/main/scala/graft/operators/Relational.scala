@@ -711,6 +711,161 @@ object Relational {
         .agg(sum(money(col("o_totalprice"))).cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy("n_name", "y")
+    },
+
+    // TPC-H Q2 shape (adapted: the testdata has no partsupp, so the
+    // supplier-offer table is derived from lineitem): for each part, the
+    // EUROPE suppliers whose observed unit price equals the per-part minimum
+    // — a multi-table correlated MIN subquery over a reused CTE, the classic
+    // decorrelation stress test. unit_cost is one IEEE division of values
+    // both engines read identically from parquet, so MIN + the equality
+    // predicate match bit-for-bit.
+    // Scale: eps is a map-side-combined aggregate on (partkey, suppkey);
+    // Catalyst decorrelates the MIN into an aggregate + equi-join on
+    // l_partkey (same shuffle key as eps itself); nation/region are
+    // constant-size broadcasts; the final LIMIT is TakeOrderedAndProject.
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      Seq("lineitem", "supplier", "nation", "region", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        WITH eps AS (
+          SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+          GROUP BY l_partkey, l_suppkey)
+        SELECT p_partkey, p_brand, s_name, n_name,
+               ROUND(unit_cost, 6) AS unit_cost
+        FROM eps
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN part     ON p_partkey = l_partkey
+        WHERE unit_cost = (SELECT MIN(e2.unit_cost) FROM eps e2
+                           WHERE e2.l_partkey = eps.l_partkey)
+        ORDER BY p_partkey, s_name
+        LIMIT 100""")
+    },
+
+    // TPC-H Q13 shape: customer order-count distribution through a LEFT
+    // OUTER join whose condition carries the filter (a customer with only
+    // urgent orders must still appear with c_count = 0 — pre-filtering
+    // orders is the classic wrong-plan that a plain inner join would give).
+    // Scale: one shuffle on custkey for the outer join + first aggregate
+    // (same key → reused partitioning); the second aggregate's domain is
+    // |distinct order counts| — tiny.
+    "q13_cust_distribution" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey") &&
+          o("o_orderpriority") =!= "1-URGENT", "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q17 shape: revenue from small-quantity orders of one brand,
+    // where "small" is a per-part correlated average. The comparison is
+    // rewritten in exact integers (5·qty·cnt < sum_qty — quantities are
+    // whole numbers, exact in BIGINT) so the decorrelated AVG can't flip at
+    // an ulp boundary between engines; money sums in exact DECIMAL.
+    // Scale: Catalyst decorrelates both scalar subqueries into one
+    // aggregate on l_partkey joined back on the same key; part is the only
+    // broadcast-size side.
+    "q17_small_qty_revenue" -> { (s, dir) =>
+      Seq("lineitem", "part").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND CAST(l_quantity AS BIGINT) * 5 *
+              (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+            < (SELECT SUM(CAST(l_quantity AS BIGINT))
+               FROM lineitem l3 WHERE l3.l_partkey = p_partkey)""")
+    },
+
+    // TPC-H Q18 shape: large-volume orders — semi join against an
+    // aggregated key set (IN over GROUP BY ... HAVING), then re-aggregate
+    // with the customer dimension. Quantities are whole-number doubles →
+    // exact sums in any partial order.
+    // Scale: the HAVING aggregate and the semi join shuffle on the same key
+    // (l_orderkey / o_orderkey); AQE picks broadcast for the surviving key
+    // set when it is small.
+    "q18_large_volume" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("q"))
+        .filter(col("q") > 160)
+        .select("l_orderkey")
+      val oo = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      oo.join(big, oo("o_orderkey") === big("l_orderkey"), "left_semi")
+        .join(c, oo("o_custkey") === c("c_custkey"))
+        .join(l, oo("o_orderkey") === l("l_orderkey"))
+        .groupBy(c("c_name"), c("c_custkey"), oo("o_orderkey"), oo("o_totalprice"))
+        .agg(sum("l_quantity").cast(DoubleType).as("total_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+
+    // TPC-H Q21 shape (adapted: no l_receiptdate/l_commitdate in the
+    // testdata — "late" is shipped >90 days after the order date):
+    // suppliers who were the SOLE late shipper in a multi-supplier order.
+    // EXISTS → left-semi self-join, NOT EXISTS → left-anti self-join, both
+    // with a non-equal secondary condition.
+    // Scale: every self-join shuffles on l_orderkey — one co-partitioned
+    // key chain end to end; supplier is broadcast-size; final top-k is
+    // TakeOrderedAndProject.
+    "q21_waiting_supplier" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val l2 = l.select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+      val late3 = late.select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
+      val sup = t(s, dir, "supplier")
+      late
+        .join(l2, late("l_orderkey") === l2("lo2") &&
+          late("l_suppkey") =!= l2("ls2"), "left_semi")
+        .join(late3, late("l_orderkey") === late3("lo3") &&
+          late("l_suppkey") =!= late3("ls3"), "left_anti")
+        .join(sup, late("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    },
+
+    // TPC-H Q22 shape (adapted: no c_phone — the anti condition is "never
+    // placed an urgent order"): per-nation count and total balance of
+    // above-average-balance customers with no urgent orders. The global
+    // average is an uncorrelated scalar subquery (broadcast 1-row); the
+    // comparison is exact integer cents (bal·cnt > sum), the NOT EXISTS a
+    // left-anti join.
+    // Scale: customer aggregates map-side; the anti join shuffles on
+    // custkey; the scalar subquery is a 1-row broadcast cross join.
+    "q22_dormant_customers" -> { (s, dir) =>
+      Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) *
+              (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+            > (SELECT SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+               FROM customer c3 WHERE c3.c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -1143,5 +1298,88 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name, CAST(YEAR(o_orderdate) AS INT)
-        |ORDER BY n_name, y""".stripMargin)
+        |ORDER BY n_name, y""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH eps AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT p_partkey, p_brand, s_name, n_name,
+        |       ROUND(unit_cost, 6) AS unit_cost
+        |FROM eps
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN part     ON p_partkey = l_partkey
+        |WHERE unit_cost = (SELECT MIN(e2.unit_cost) FROM eps e2
+        |                   WHERE e2.l_partkey = eps.l_partkey)
+        |ORDER BY p_partkey, s_name
+        |LIMIT 100""".stripMargin,
+
+    "q13_cust_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+        |       AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND CAST(l_quantity AS BIGINT) * 5 *
+        |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |    < (SELECT SUM(CAST(l_quantity AS BIGINT))
+        |       FROM lineitem l3 WHERE l3.l_partkey = p_partkey)""".stripMargin,
+
+    "q18_large_volume" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 160)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 100""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) *
+        |      (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |    > (SELECT SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |       FROM customer c3 WHERE c3.c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
 }
