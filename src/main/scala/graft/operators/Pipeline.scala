@@ -866,6 +866,148 @@ object Pipeline {
       }(org.apache.spark.sql.Encoders.product[DocDecoded])
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // Unigram language-model scoring — the perplexity-style quality signal
+    // (docs whose tokens are atypical for the corpus score high). Train:
+    // corpus type counts, vocabulary capped to the top-16 types by
+    // (count desc, token asc) via orderBy+limit (TakeOrderedAndProject — the
+    // same no-global-window shape as q_vocab_build; production would cap at
+    // ~50k, the cap just has to be small enough to broadcast). Score: mean
+    // add-one-smoothed bits/token, OOV → count 0. Per-doc sums fold a SORTED
+    // double list (the q_token_entropy pattern) so partial-aggregation order
+    // can't perturb the value; the corpus token total is a 1-row broadcast
+    // cross join. Scale: two token-keyed aggregates + one broadcast join —
+    // no all-corpus shuffle beyond the (doc, type) aggregate.
+    "q_unigram_lm" -> { (s, dir) =>
+      val tok = docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(16)
+      val nCorpus = tok.agg(count(lit(1)).as("n_corpus"))
+      tok.groupBy("doc_id", "w").agg(count(lit(1)).as("k"))
+        .join(broadcast(vocab), Seq("w"), "left")
+        .withColumn("contrib",
+          col("k") * log2(coalesce(col("c"), lit(0L)) + lit(1.0)))
+        .groupBy("doc_id")
+        .agg(sum("k").as("n_tokens"),
+          expr("aggregate(sort_array(collect_list(contrib)), 0D, (a, x) -> a + x)")
+            .as("slog"))
+        .crossJoin(broadcast(nCorpus))
+        .withColumn("bits_per_token",
+          round(log2(col("n_corpus") + lit(16.0)) - col("slog") / col("n_tokens"), 6))
+        .select("doc_id", "n_tokens", "bits_per_token")
+        .orderBy("doc_id")
+    },
+
+    // Quality-classifier inference: a fixed-weight logistic model over
+    // cheap per-doc features (token count, uniqueness, stopword ratio, mean
+    // token length) — the fastText-classifier stage of a crawl pipeline,
+    // expressed as pure codegen'd expressions (model inference needs no UDF
+    // when the model is linear). The keep decision tests z > 0, not the
+    // sigmoid: z is built from one fixed IEEE expression DAG, so both
+    // engines compute bit-identical z; only the rounded sigmoid is emitted.
+    // Scale: map-only, zero shuffles before the final sort.
+    "q_quality_classifier" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")))
+        .withColumn("uniq_ratio", size(array_distinct(col("w"))) / col("n_tok"))
+        .withColumn("stop_ratio",
+          expr("size(filter(w, x -> x in ('the', 'a'))) / size(w)"))
+        .withColumn("avg_len",
+          expr("aggregate(w, 0L, (a, x) -> a + length(x)) / size(w)"))
+        .withColumn("z",
+          lit(-1.5) + lit(2.5) * col("uniq_ratio") + lit(4.0) * col("stop_ratio")
+            + lit(0.02) * col("n_tok") - lit(0.3) * col("avg_len"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("z"), 6).as("z"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
+          (col("z") > 0).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Source blocklist filtering — the URL/domain-blocklist gate of a crawl
+    // pipeline, as a real anti JOIN against a blocklist table (not an
+    // isin(), which couldn't take a million-row blocklist): broadcast
+    // left-anti, map-only over the corpus. Per-source survivor stats.
+    "q_blocklist_filter" -> { (s, dir) =>
+      val block = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("src3"), org.apache.spark.sql.Row("src7"),
+          org.apache.spark.sql.Row("src13"), org.apache.spark.sql.Row("src17")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("b_source",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      docs(s, dir)
+        .join(broadcast(block), col("source") === col("b_source"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .orderBy("source")
+    },
+
+    // Temperature rebalancing (size^0.5 sampling) — the multilingual-corpus
+    // upsampling rule (rate ∝ count^α / count flattens language skew at
+    // α<1). All rate arithmetic is integer: weights are floor(sqrt(tokens))
+    // (sqrt is exactly rounded IEEE → identical everywhere), the budget is
+    // half the corpus, and the div chain is ordered (budget div sum_w first)
+    // so intermediates stay inside BIGINT even at 100 TB token counts. Keep
+    // coin = the portable md5 basis-point hash of doc_id (q_data_mixture).
+    // Scale: pass 1 is a |langs|-row aggregate; pass 2 broadcasts the rates
+    // and filters map-only — the corpus never shuffles.
+    "q_lang_rebalance" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      val rates = d.groupBy("lang").agg(sum("tok").as("lang_tokens"))
+        .withColumn("w_l", floor(sqrt(col("lang_tokens"))).cast("long"))
+        // constant-0 partition key: explicit 1-partition window over the
+        // |langs|-row table (the q_data_mixture trick)
+        .withColumn("total_tokens",
+          sum("lang_tokens").over(Window.partitionBy(pmod(col("lang_tokens"), lit(1)))))
+        .withColumn("sum_w",
+          sum("w_l").over(Window.partitionBy(pmod(col("lang_tokens"), lit(1)))))
+        .withColumn("rate_bp", least(lit(10000L),
+          expr("(((total_tokens div 2) div sum_w) * w_l * 10000) div lang_tokens")))
+        .select("lang", "rate_bp")
+      d.withColumn("h", expr(s"${hExpr("cast(doc_id as string)")} % 10000"))
+        .join(broadcast(rates), "lang")
+        .filter(col("h") < col("rate_bp"))
+        .groupBy("lang")
+        .agg(max("rate_bp").as("rate_bp"), count(lit(1)).as("n_kept"),
+          sum("tok").as("tokens_kept"))
+        .orderBy("lang")
+    },
+
+    // Per-source KL divergence vs the corpus token distribution — the
+    // corpus-drift / slice-outlier metric (which sources distribute unlike
+    // the whole). Restricted to the top-16 corpus types (broadcastable cap,
+    // same TakeOrderedAndProject shape as q_unigram_lm), add-one smoothing
+    // on the source side so zero counts stay finite; the source×vocab zero
+    // terms come from a |sources|×16 cross join of two small aggregates,
+    // never from the corpus. Per-source KL folds a SORTED double list.
+    "q_source_kl" -> { (s, dir) =>
+      val tok = docsPar(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c_corpus"))
+        .orderBy(col("c_corpus").desc, col("w").asc).limit(16)
+      val nCorpus = tok.agg(count(lit(1)).as("n_corpus"))
+      val srcTotals = tok.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val srcVocab = srcTotals.crossJoin(broadcast(vocab))
+      val counts = tok.join(broadcast(vocab.select("w")), Seq("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("k"))
+      srcVocab.join(counts, Seq("source", "w"), "left")
+        .withColumn("k", coalesce(col("k"), lit(0L)))
+        .crossJoin(broadcast(nCorpus))
+        .withColumn("p_s", (col("k") + lit(1.0)) / (col("n_src") + lit(16.0)))
+        .withColumn("p_c", col("c_corpus") / col("n_corpus").cast("double"))
+        .withColumn("term", col("p_s") * log2(col("p_s") / col("p_c")))
+        .groupBy("source")
+        .agg(max("n_src").as("n_tokens"),
+          round(expr(
+            "aggregate(sort_array(collect_list(term)), 0D, (a, x) -> a + x)"), 6)
+            .as("kl_bits"))
+        .orderBy("source")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -1351,5 +1493,107 @@ object Pipeline {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  ('0x'||substr(md5(text),1,8))::BIGINT % 1920 AS dec_width,
         |  ('0x'||substr(md5(text),9,8))::BIGINT % 1080 AS dec_height
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // NB (this and the next four): bare decimal literals are DECIMAL in
+    // DuckDB but DOUBLE in the Spark code — every mixed-arithmetic literal
+    // is ::DOUBLE'd so both engines run the identical IEEE expression DAG.
+    "q_unigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |ty AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        |vocab AS (SELECT w, c FROM ty ORDER BY c DESC, w ASC LIMIT 16),
+        |n AS (SELECT COUNT(*) AS n_corpus FROM tok),
+        |pd AS (SELECT doc_id, w, COUNT(*) AS k FROM tok GROUP BY 1, 2),
+        |j AS (
+        |  SELECT pd.doc_id, pd.k,
+        |    pd.k * log2(COALESCE(v.c, 0) + 1.0::DOUBLE) AS contrib
+        |  FROM pd LEFT JOIN vocab v USING (w)),
+        |a AS (
+        |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+        |    list_reduce(list_concat([0.0::DOUBLE], list_sort(list(contrib))),
+        |      (acc, v) -> acc + v) AS slog
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(log2((SELECT n_corpus FROM n) + 16.0::DOUBLE) - slog / n_tokens, 6)
+        |    AS bits_per_token
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_quality_classifier" ->
+      s"""WITH d AS ($docsW),
+        |f AS (
+        |  SELECT doc_id, CAST(len(w) AS INT) AS n_tok,
+        |    len(list_distinct(w)) * 1.0::DOUBLE / len(w) AS uniq_ratio,
+        |    len(list_filter(w, x -> x IN ('the', 'a'))) * 1.0::DOUBLE / len(w)
+        |      AS stop_ratio,
+        |    list_sum(list_transform(w, x -> length(x))) * 1.0::DOUBLE / len(w)
+        |      AS avg_len
+        |  FROM d),
+        |z AS (
+        |  SELECT doc_id, n_tok,
+        |    -1.5::DOUBLE + 2.5::DOUBLE * uniq_ratio + 4.0::DOUBLE * stop_ratio
+        |      + 0.02::DOUBLE * n_tok - 0.3::DOUBLE * avg_len AS zv
+        |  FROM f)
+        |SELECT doc_id, n_tok, round(zv, 6) AS z,
+        |  round(1.0::DOUBLE / (1.0::DOUBLE + exp(-zv)), 6) AS score,
+        |  zv > 0 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin,
+
+    "q_blocklist_filter" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents
+        |WHERE source NOT IN ('src3', 'src7', 'src13', 'src17')
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_lang_rebalance" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |agg AS (SELECT lang, CAST(SUM(tok) AS BIGINT) AS lang_tokens
+        |        FROM d GROUP BY lang),
+        |r AS (
+        |  SELECT lang, lang_tokens,
+        |    CAST(floor(sqrt(lang_tokens)) AS BIGINT) AS w_l,
+        |    CAST(SUM(lang_tokens) OVER () AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CAST(floor(sqrt(lang_tokens)) AS BIGINT)) OVER () AS BIGINT)
+        |      AS sum_w
+        |  FROM agg),
+        |rates AS (
+        |  SELECT lang, CAST(least(10000,
+        |    (((total_tokens // 2) // sum_w) * w_l * 10000) // lang_tokens)
+        |    AS BIGINT) AS rate_bp
+        |  FROM r)
+        |SELECT lang, MAX(rate_bp) AS rate_bp, COUNT(*) AS n_kept,
+        |  CAST(SUM(tok) AS BIGINT) AS tokens_kept
+        |FROM d JOIN rates USING (lang)
+        |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10000
+        |      < rate_bp
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_source_kl" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (SELECT w, COUNT(*) AS c_corpus FROM tok GROUP BY w
+        |          ORDER BY c_corpus DESC, w ASC LIMIT 16),
+        |n AS (SELECT COUNT(*) AS n_corpus FROM tok),
+        |st AS (SELECT source, COUNT(*) AS n_src FROM tok GROUP BY source),
+        |sv AS (SELECT source, n_src, w, c_corpus FROM st CROSS JOIN vocab),
+        |cnt AS (
+        |  SELECT source, w, COUNT(*) AS k
+        |  FROM tok JOIN (SELECT w FROM vocab) v USING (w)
+        |  GROUP BY source, w),
+        |terms AS (
+        |  SELECT sv.source, sv.n_src,
+        |    ((COALESCE(cnt.k, 0) + 1.0::DOUBLE) / (sv.n_src + 16.0::DOUBLE))
+        |      * log2(((COALESCE(cnt.k, 0) + 1.0::DOUBLE)
+        |              / (sv.n_src + 16.0::DOUBLE))
+        |             / (sv.c_corpus / CAST((SELECT n_corpus FROM n) AS DOUBLE)))
+        |      AS term
+        |  FROM sv LEFT JOIN cnt ON sv.source = cnt.source AND sv.w = cnt.w)
+        |SELECT source, CAST(MAX(n_src) AS BIGINT) AS n_tokens,
+        |  round(list_reduce(list_concat([0.0::DOUBLE], list_sort(list(term))),
+        |    (acc, v) -> acc + v), 6) AS kl_bits
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin)
 }

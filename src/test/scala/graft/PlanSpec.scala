@@ -352,6 +352,65 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("blocklist filter is a broadcast left-anti join, map-only over the corpus") {
+    val plan = planOf(Pipeline.queries("q_blocklist_filter")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("lang rebalance broadcasts the rates; the corpus never shuffles for the join") {
+    val plan = planOf(Pipeline.queries("q_lang_rebalance")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("unigram LM and source KL cap the vocab via TakeOrderedAndProject and broadcast it") {
+    // Both train-side vocabularies must be per-partition top-k heaps (never
+    // a global sort of the corpus type table) and must reach the scoring
+    // join as broadcasts — the corpus side stays shuffle-free for them.
+    Seq("q_unigram_lm", "q_source_kl").foreach { q =>
+      val plan = planOf(Pipeline.queries(q)(spark, sfDir))
+      assert(plan.contains("TakeOrderedAndProject"), s"$q\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"$q\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
+    }
+  }
+
+  test("quality classifier is map-only: no shuffle before the output sort") {
+    val df = Pipeline.queries("q_quality_classifier")(spark, sfDir)
+    val plan = planOf(df)
+    // exactly one Exchange: the range partition of the final ORDER BY
+    val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, plan)
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("TPC-H-shaped self-join queries plan no cartesian product") {
+    // q2's correlated MIN, q21's semi+anti self-joins and q22's scalar
+    // subqueries must all decorrelate to equi-joins / broadcast 1-row plans.
+    Seq("q2_min_cost_supplier", "q21_waiting_supplier", "q22_dormant_customers",
+      "q17_small_qty_revenue").foreach { q =>
+      val plan = planOf(Relational.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
+    }
+  }
+
+  test("q13 keeps the priority filter inside the outer join, not on the orders scan") {
+    // pre-filtering orders before a LEFT join would be the wrong plan only
+    // semantically if it dropped customers — here the filter must appear as
+    // the join condition; customers with zero surviving orders still flow.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = Relational.queries("q13_cust_distribution")(spark, sfDir)
+    val outer = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType.sql.contains("LEFT") => j
+    }
+    assert(outer.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    // and the distribution still counts every customer exactly once
+    val total = df.agg(org.apache.spark.sql.functions.sum("custdist")).collect()(0).getLong(0)
+    val nCust = graft.sources.Tables.load(spark, sfDir, "customer").count()
+    assert(total == nCust, s"distribution covers $total of $nCust customers")
+  }
+
   test("zorderLayout range-partitions on the Morton code with disjoint z-ranges") {
     import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, spark_partition_id}
     val laid = Storage.zorderWithKey(
