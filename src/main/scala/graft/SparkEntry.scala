@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Pipeline, Relational, Similarity, Storage}
+import graft.operators.{Pipeline, Relational, Similarity, Storage, Tpch}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,12 +24,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Pipeline.queries ++ Similarity.queries ++
-      Storage.queries ++ Streaming.queries
+    Relational.queries ++ Tpch.queries ++ Pipeline.queries ++
+      Similarity.queries ++ Storage.queries ++ Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Pipeline.oracles ++ Similarity.oracles ++
-      Storage.oracles ++ Streaming.oracles
+    Relational.oracles ++ Tpch.oracles ++ Pipeline.oracles ++
+      Similarity.oracles ++ Storage.oracles ++ Streaming.oracles
 }

@@ -585,6 +585,26 @@ object Pipeline {
         .orderBy("domain")
     },
 
+    // Quality-weighted sampling: each document is kept with probability
+    // proportional to a per-doc weight (here length-derived, clamped to 1)
+    // via the same deterministic md5 coin as q_data_mixture — the standard
+    // "sample good data more" curation knob. Weight and coin are exact
+    // integer basis points, so both engines flip identical coins.
+    // Scale: map-only keep decision (no shuffle to decide), one map-side-
+    // combined aggregate on source; at 100 TB this is a single pass.
+    "q_weighted_sample" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("w_bp", expr("least(10000L, (n_chars * 10000L) div 2000L)"))
+        .withColumn("h", expr(s"${hExpr("cast(doc_id as string)")} % 10000"))
+        .withColumn("keep", col("h") < col("w_bp"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("tok")).otherwise(0L)).as("tokens_kept"))
+        .orderBy("source")
+    },
+
     // Deterministic dataset splitting: train/val/test assignment by a
     // portable content-independent hash of the document id (md5-prefix mod
     // 100 → 80/10/10). This is how a 100 TB pipeline splits reproducibly —
@@ -1336,6 +1356,19 @@ object Pipeline {
         |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
         |  % 10000 < r2.rate_bp
         |GROUP BY d.domain ORDER BY d.domain""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    least(10000, (n_chars * 10000) // 2000) AS w_bp,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10000 AS h
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN h < w_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN h < w_bp THEN tok ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dataset_split" ->
       """WITH d AS (

@@ -206,6 +206,23 @@ object Relational {
         .orderBy("user_id", "d")
     },
 
+    // Equi-width histogram: 20 fixed buckets over order value — the
+    // binning primitive behind distribution dashboards and outlier cuts.
+    // Bucket id is one double divide + floor on values both engines read
+    // identically from parquet; counts and double min/max are exact.
+    // Scale: map-only bucket assignment, aggregate domain = 20 → map-side
+    // combine collapses everything before the single tiny shuffle.
+    "q_histogram" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          least(lit(19), floor(col("o_totalprice") / lit(25000.0))).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),
+          sum(money(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .orderBy("bucket")
+    },
+
     // The SQL front door (O9's spark.sql path): same engine, textual entry —
     // a TPC-H Q6-style forecast revenue query over registered temp views.
     "q_sql_api" -> { (s, dir) =>
@@ -974,6 +991,14 @@ object Relational {
         |SELECT days.user_id, days.d AS d, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
         |FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.d = daily.d
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(least(19, floor(o_totalprice / 25000.0)) AS INT) AS bucket,
+        |  COUNT(*) AS n,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_sql_api" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -476,6 +476,33 @@ object Storage {
         .orderBy("zbucket")
     },
 
+    // Small-file compaction: the operational fix for streaming-ingest file
+    // sprawl (thousands of KB-sized parquet files kill scan throughput via
+    // per-file open/footer costs and overwhelm the driver's split listing
+    // at 100 TB). Simulates a fragmented landing zone (64 tiny files), then
+    // compacts with repartitionByRange(user_id, ts) + sortWithinPartitions
+    // — each output file covers a disjoint key range with clustered rows,
+    // so downstream per-user scans prune by file-level min/max. The
+    // declared query aggregates the compacted copy; hash-equality with the
+    // oracle over the ORIGINAL table proves compaction is content-lossless.
+    // All order-independent measures (counts, min/max ids) — no float sums.
+    "q_compact_small_files" -> { (s, dir) =>
+      val base = s"${sys.props("java.io.tmpdir")}/graft-compact/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val ev = Tables.load(s, dir, "events")
+      ev.repartition(64).write.mode(SaveMode.Overwrite).parquet(s"$base/small")
+      s.read.parquet(s"$base/small")
+        .repartitionByRange(4, col("user_id"), col("ts"))
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/compact")
+      s.read.parquet(s"$base/compact")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("event_type")
+    },
+
     // JSON-lines round-trip — the third non-parquet format tier (CSV and ORC
     // above): distributed write of a projection to .json, schema-declared
     // read back (schema inference at 100 TB would be a full extra pass),
@@ -610,6 +637,14 @@ object Storage {
         |WHERE YEAR(o_orderdate) = 1997
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_compact_small_files" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_json_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

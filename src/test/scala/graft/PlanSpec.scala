@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.ExplainMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Pipeline, Relational, Storage}
+import graft.operators.{Pipeline, Relational, Storage, Tpch}
 
 /** Physical-plan assertions: the scan/join capabilities the reference's
   * pinned connector advertised (SURVEY.md §2.2) must be visible in the plan,
@@ -480,6 +480,60 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"clustered decoded $clustered rows vs shuffled $shuffled — no skipping")
     info(s"row-group skipping: clustered decoded $clustered of $shuffled rows " +
       f"(${100.0 * (shuffled - clustered) / shuffled}%.1f%% skipped)")
+  }
+
+  test("Q6 pushes all three predicates to the parquet scan") {
+    val plan = planOf(Tpch.queries("q6_forecast_revenue")(spark, sfDir))
+    // shipdate range, discount band, and quantity cap all reach the scan —
+    // at 100 TB these are the row-group min/max skips that make Q6 IO-bound
+    // on a fraction of the table instead of the whole year
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate,"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_discount,"), plan)
+    assert(plan.contains("LessThan(l_quantity,"), plan)
+  }
+
+  test("Q10 top-20 is TakeOrderedAndProject, not a global sort") {
+    val df = Tpch.queries("q10_returned_items")(spark, sfDir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("GlobalLimit"), plan)
+  }
+
+  test("Q20 window partitions on l_partkey — no unpartitioned WindowExec") {
+    val df = Tpch.queries("q20_excess_suppliers")(spark, sfDir)
+    df.collect()
+    val plan = planOf(df)
+    val winLines = plan.linesIterator.filter(_.contains("partitionBy")).toSeq
+    // the per-part total must be a PARTITION BY l_partkey window, never a
+    // global one (the q_vocab_build lesson from r5)
+    assert(winLines.forall(_.contains("l_partkey")) ||
+      plan.contains("windowspecdefinition(l_partkey"), plan)
+    assert(!plan.contains("windowspecdefinition()"), plan)
+  }
+
+  test("compaction reduces file count and yields disjoint user_id ranges") {
+    Storage.queries("q_compact_small_files")(spark, sfDir).collect()
+    val base = s"${sys.props("java.io.tmpdir")}/graft-compact/" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    def parquets(p: String) =
+      new java.io.File(p).listFiles.filter(_.getName.endsWith(".parquet"))
+    val (small, compact) = (parquets(s"$base/small"), parquets(s"$base/compact"))
+    assert(small.length >= 32, s"expected a fragmented landing zone, got ${small.length}")
+    assert(compact.length <= 4, s"compaction left ${compact.length} files")
+    // range partitioning → file-level min/max on user_id must not overlap,
+    // so a per-user read opens exactly one file
+    val ranges = compact.map { f =>
+      val df = spark.read.parquet(f.getAbsolutePath)
+      val r = df.agg(org.apache.spark.sql.functions.min("user_id"),
+        org.apache.spark.sql.functions.max("user_id")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, ranges.mkString(","))
+      case _ =>
+    }
   }
 
   test("flagship scan-filter-aggregate runs inside whole-stage codegen") {
