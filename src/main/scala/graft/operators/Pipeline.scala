@@ -175,6 +175,60 @@ object Pipeline {
     // check; prefix-blocked components have tiny diameters — a planet-scale
     // graph would switch to the large-star/small-star variant, same
     // join-per-round shape). Every round's shuffle is on doc_id.
+    // TextRank keyword extraction: PageRank over the word co-occurrence
+    // (bigram) graph — the graph-iteration operator beyond connected
+    // components (q_dup_clusters). All arithmetic is EXACT integer (rank
+    // scaled to 1e12, integer division everywhere), so five distributed
+    // join-aggregate iterations hash-match the oracle's recursive CTE —
+    // no float accumulation-order drift is possible.
+    // Scale: vocab capped via TakeOrderedAndProject and broadcast into the
+    // edge build (same cap discipline as q_unigram_lm); each iteration is
+    // one shuffle on the node key over the |edges|-sized table; per-round
+    // persist + unpersist bounds lineage exactly like q_dup_clusters.
+    "q_textrank" -> { (s, dir) =>
+      val Scale = 1000000000000L
+      val d = docsPar(s, dir).select(split(col("text"), " ").as("w"))
+      val vocab = d.select(explode(col("w")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(32).select("w")
+      val bi = d.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          // aligned slices, not w[i] lambda indexing — see ngramExpr
+          "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), " +
+            "(x, y) -> struct(x as w1, y as w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= col("w2"))
+      val e0 = bi
+        .join(broadcast(vocab.withColumnRenamed("w", "w1")), "w1")
+        .join(broadcast(vocab.withColumnRenamed("w", "w2")), "w2")
+        .select("w1", "w2").distinct()
+      // undirected: both directions; deg = out-degree of every node (every
+      // node with an edge has one, so no dangling-node correction needed)
+      val edges = e0.unionByName(e0.select(col("w2").as("w1"), col("w1").as("w2")))
+        .distinct()
+      val ed = edges.join(edges.groupBy("w1").agg(count(lit(1)).as("deg")), "w1")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nNodes = ed.select("w1").distinct().count()
+      val base = (15L * (Scale / nNodes)) / 100L
+      var rank = ed.select(col("w1").as("w")).distinct()
+        .withColumn("r", lit(Scale / nNodes))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      rank.count()
+      for (_ <- 1 to 5) {
+        val next = ed.join(rank, ed("w1") === rank("w"))
+          .select(col("w2"), expr("r div deg").as("c"))
+          .groupBy("w2").agg(sum("c").as("s"))
+          .select(col("w2").as("w"),
+            (lit(base) + expr("(85 * s) div 100")).as("r"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize so the previous round can release
+        rank.unpersist()
+        rank = next
+      }
+      rank.select(col("w"), col("r").as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("w").asc).limit(20)
+    },
+
     "q_dup_clusters" -> { (s, dir) =>
       val pairs = docs(s, dir)
         .withColumn("fp", md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
@@ -1356,6 +1410,42 @@ object Pipeline {
         |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
         |  % 10000 < r2.rate_bp
         |GROUP BY d.domain ORDER BY d.domain""".stripMargin,
+
+    // NB: five explicit chained iterations, NOT a recursive CTE — DuckDB's
+    // recursive-CTE evaluation of an aggregate over the working table gave
+    // values that disagree with a hand computation of the same recurrence
+    // (verified manually for one node); the unrolled form is unambiguous.
+    "q_textrank" -> {
+      val step = (prev: String, cur: String) => s""",
+        |$cur AS (
+        |  SELECT e.w2 AS w,
+        |         (15 * (1000000000000 // (SELECT n_nodes FROM n))) // 100
+        |           + (85 * SUM(p.r // dg.deg)) // 100 AS r
+        |  FROM $prev p JOIN deg dg ON p.w = dg.w1 JOIN edges e ON p.w = e.w1
+        |  GROUP BY e.w2)""".stripMargin
+      """WITH
+        |d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT unnest(w) AS w FROM d),
+        |vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        |                         ORDER BY c DESC, w ASC LIMIT 32) v),
+        |big AS (SELECT unnest(list_transform(range(1, len(w)),
+        |                                     i -> w[i] || ' ' || w[i+1])) AS bg
+        |        FROM d WHERE len(w) >= 2),
+        |sp AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |              string_split(bg, ' ')[2] AS w2 FROM big),
+        |e0 AS (SELECT DISTINCT w1, w2 FROM sp
+        |       JOIN vocab v1 ON w1 = v1.w JOIN vocab v2 ON w2 = v2.w
+        |       WHERE w1 <> w2),
+        |edges AS (SELECT w1, w2 FROM e0 UNION SELECT w2, w1 FROM e0),
+        |deg AS (SELECT w1, COUNT(*) AS deg FROM edges GROUP BY w1),
+        |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+        |pr0 AS (SELECT w1 AS w,
+        |        1000000000000 // (SELECT n_nodes FROM n) AS r FROM deg)""".stripMargin +
+        (1 to 5).map(i => step(s"pr${i - 1}", s"pr$i")).mkString +
+        """
+        |SELECT w, CAST(r AS BIGINT) AS rank_scaled FROM pr5
+        |ORDER BY rank_scaled DESC, w ASC LIMIT 20""".stripMargin
+    },
 
     "q_weighted_sample" ->
       """WITH d AS (
