@@ -545,6 +545,44 @@ object Streaming {
         .orderBy("p_id", "s_id")
     },
 
+    // Stream-stream LEFT OUTER join: purchases with their attributing
+    // signup, or NULLs when none arrived in the window. The outer (null)
+    // rows can only be emitted once the watermark passes the join bound —
+    // the state-eviction semantics the inner join never exercises; the
+    // far-future sentinel guarantees every pending purchase flushes.
+    // Scale: state per side is bounded by watermark + the 12h bound; the
+    // join shuffles both streams on user_id once.
+    "q_stream_left_join" -> { (s, dir) =>
+      val base = eventStream(s, dir, "events").withWatermark("ts", "30 minutes")
+      // The sentinel must survive the branch filters: Catalyst legally
+      // pushes an event_type predicate below EventTimeWatermark (it does
+      // not reference the event-time column), so a plain type filter
+      // strips the sentinel BEFORE the watermark accumulator on both scan
+      // instances and the final state eviction never fires — the inner
+      // q_stream_join never notices (matches emit immediately), but outer
+      // rows stayed pinned in state forever (observed: the last two
+      // unmatched purchases never flushed). Letting '__sentinel' through
+      // costs one self-match artifact row (user -1 joins itself), dropped
+      // from the finished BATCH table below where pushdown can't reach
+      // back into the streaming plan.
+      val p = base.filter(col("event_type").isin("purchase", "__sentinel"))
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val sg = base.filter(col("event_type").isin("signup", "__sentinel"))
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+          col("ts").as("s_ts"))
+      val joined = p.join(sg,
+        col("p_user") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 12 HOURS"),
+        "left_outer")
+        .select(col("p_id"), col("s_id"), col("p_user").as("user_id"),
+          col("p_ts"), col("s_ts"))
+      runToMemory(joined, "graft_stream_left_join")
+        .filter(col("p_id") =!= -1L)
+        .orderBy("p_id", "s_id")
+    },
+
     // File sink with checkpointed exactly-once commits — the durable-output
     // tier next to the memory sink (tests) and foreachBatch (custom sinks):
     // append-mode windowed aggregates land as parquet files tracked by the
@@ -704,6 +742,16 @@ object Streaming {
         |  ON p.user_id = s.user_id
         | AND p.event_type = 'purchase' AND s.event_type = 'signup'
         | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 12 HOUR
+        |ORDER BY p_id, s_id""".stripMargin,
+
+    "q_stream_left_join" ->
+      """SELECT p.event_id AS p_id, s.event_id AS s_id, p.user_id AS user_id,
+        |  p.ts AS p_ts, s.ts AS s_ts
+        |FROM events p LEFT JOIN events s
+        |  ON p.user_id = s.user_id
+        | AND s.event_type = 'signup'
+        | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 12 HOUR
+        |WHERE p.event_type = 'purchase'
         |ORDER BY p_id, s_id""".stripMargin,
 
     "q_stream_dedup" ->
