@@ -386,6 +386,29 @@ object Relational {
         .orderBy("user_id", "s_start")
     },
 
+    // SCD Type-2 dimension build from a change log: per user, each
+    // event_type transition opens a new version row with
+    // [valid_from, valid_to) validity and a version counter; the open row
+    // (valid_to NULL) is current. The standard warehouse/feature-store shape
+    // for "what was this entity's state as of T". Scale: ONE shuffle on
+    // user_id — the change-detect lag, the valid_to lead, and the version
+    // row_number all reuse the same partitioning (the filter between them
+    // preserves it); no self-join, no global window. At 100 TB the change
+    // log bucket-partitions by entity and the same plan holds.
+    "q_scd2_dimension" -> { (s, dir) =>
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wo))
+        .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(wo))
+        .withColumn("version", row_number().over(wo))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    },
+
     // Collect aggregates: per-group distinct value sets, sorted and joined
     // to a scalar (collect_set raw output is order-nondeterministic AND
     // array-typed — both oracle-unportable).
@@ -1109,6 +1132,24 @@ object Relational {
         |FROM g
         |GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q_scd2_dimension" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE prev_type IS NULL OR event_type <> prev_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  event_type, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
 
     "q_collect_agg" ->
       """SELECT o_orderpriority,

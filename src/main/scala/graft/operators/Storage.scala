@@ -295,6 +295,102 @@ object Storage {
         FROM graftcat.testks.typed ORDER BY id""")
     },
 
+    // CQL `USING TIMESTAMP` — last-write-wins by CLIENT timestamp, not
+    // arrival order (the reconciliation rule every Cassandra cell obeys;
+    // reference stack's write path, userdata/cloudinit.sh:307-314). The
+    // catalog table declares a writetime column; commits apply a write only
+    // if its timestamp beats the stored one: a stale replayed write (batch 2,
+    // older ts) cannot clobber a newer value, a newer write (batch 3) wins,
+    // and an equal-timestamp write (batch 4) resolves by the greater cell
+    // value — so ANY interleaving of the same writes converges to this exact
+    // state (commutativity property-tested in UpsertSpec).
+    "q_kv_writetime" -> { (s, _) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.users_wt")
+      s.sql("CREATE TABLE graftcat.testks.users_wt " +
+        "(id INT, name STRING, email STRING, wt TIMESTAMP) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt')")
+      s.sql("INSERT INTO graftcat.testks.users_wt VALUES " +
+        "(1, 'Alice', 'alice@example.com', TIMESTAMP'2024-01-02 00:00:00'), " +
+        "(2, 'Bob', 'bob@example.com', TIMESTAMP'2024-01-02 00:00:00')")
+      s.sql("INSERT INTO graftcat.testks.users_wt VALUES " + // stale replay: loses
+        "(1, 'Alicia', 'alicia@old.example', TIMESTAMP'2024-01-01 00:00:00')")
+      s.sql("INSERT INTO graftcat.testks.users_wt VALUES " + // newer ts: wins
+        "(2, 'Bobby', 'bobby@new.example', TIMESTAMP'2024-01-03 00:00:00')")
+      s.sql("INSERT INTO graftcat.testks.users_wt VALUES " + // ts tie: greater value wins
+        "(1, 'Aline', 'aline@tie.example', TIMESTAMP'2024-01-02 00:00:00')")
+      s.sql("SELECT * FROM graftcat.testks.users_wt ORDER BY id")
+    },
+
+    // CQL `USING TTL` — per-write expiry enforced on the READ path against a
+    // logical clock (Cassandra filters expired cells at read; compaction
+    // reclaims later). Three writes: one whose TTL outlives the first read
+    // but not the second, one already expired, one with NULL TTL (immortal).
+    // The same table is scanned twice with different `now` read options —
+    // rows disappear as the clock advances, no rewrite in between.
+    "q_kv_ttl" -> { (s, _) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.sessions_ttl")
+      s.sql("CREATE TABLE graftcat.testks.sessions_ttl " +
+        "(sid INT, token STRING, wt TIMESTAMP, ttl INT) " +
+        "TBLPROPERTIES ('key'='sid', 'writetime'='wt', 'ttl'='ttl')")
+      s.sql("INSERT INTO graftcat.testks.sessions_ttl VALUES " +
+        "(1, 'live_then_gone', TIMESTAMP'2024-03-01 00:59:00', 3600), " + // expires 01:59
+        "(2, 'already_gone', TIMESTAMP'2024-03-01 00:00:00', 1800), " +   // expired 00:30
+        "(3, 'immortal', TIMESTAMP'2024-03-01 00:30:00', NULL)")
+      val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond
+      val at1 = s.read.option("now", (t0 + 3600).toString) // 01:00
+        .table("graftcat.testks.sessions_ttl")
+        .selectExpr("'T+1h' AS read_at", "sid", "token")
+      val at3 = s.read.option("now", (t0 + 3 * 3600).toString) // 03:00
+        .table("graftcat.testks.sessions_ttl")
+        .selectExpr("'T+3h' AS read_at", "sid", "token")
+      at1.unionByName(at3).orderBy("read_at", "sid")
+    },
+
+    // CQL counter table — writes are INCREMENTS merged additively into the
+    // stored value (`UPDATE t SET hits = hits + ?`), the one CQL write that
+    // is not a blind overwrite. Per-type event counts arrive as TWO partial
+    // batches (split by event_id parity — any partitioning works, increments
+    // commute); the converged table equals the full per-type counts. This is
+    // the distributed-aggregation shape Cassandra counters exist for:
+    // shards push partial counts, the store folds them.
+    "q_kv_counter" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.hits")
+      s.sql("CREATE TABLE graftcat.testks.hits (event_type STRING, hits BIGINT) " +
+        "TBLPROPERTIES ('key'='event_type', 'counters'='hits')")
+      val ev = Tables.load(s, dir, "events")
+      Seq(0, 1).foreach { parity =>
+        ev.filter(pmod(col("event_id"), lit(2)) === parity)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("hits"))
+          .writeTo("graftcat.testks.hits").append()
+      }
+      s.sql("SELECT event_type, hits FROM graftcat.testks.hits ORDER BY event_type")
+    },
+
+    // CQL lightweight transaction `INSERT ... IF NOT EXISTS` — first writer
+    // wins, a later insert of an existing key is NOT applied (Cassandra
+    // returns [applied]=false). Row 2's second write is rejected; row 3 is
+    // fresh and lands. The flag rides the v2 writer options, like the
+    // connector's write configs.
+    "q_kv_insert_if_absent" -> { (s, _) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.claims")
+      s.sql("CREATE TABLE graftcat.testks.claims (id INT, owner STRING) " +
+        "TBLPROPERTIES ('key'='id')")
+      s.sql("INSERT INTO graftcat.testks.claims VALUES (1, 'alpha'), (2, 'alpha')")
+      s.sql("SELECT 2 AS id, 'beta' AS owner UNION ALL SELECT 3, 'beta'")
+        .writeTo("graftcat.testks.claims")
+        .option("ifNotExists", "true").append()
+      s.sql("SELECT * FROM graftcat.testks.claims ORDER BY id")
+    },
+
     // cassandraCount analog at the CUSTOM-source level: the KV source
     // implements SupportsPushDownAggregates, so an ungrouped COUNT(*) is
     // answered from the registry's per-key row counts — each split emits one
@@ -597,6 +693,40 @@ object Storage {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // LWW end state: batch 2 (stale ts) rejected, batch 3 (newer ts) applied,
+    // batch 4 (equal ts) applied by the greater-value tie-break.
+    "q_kv_writetime" ->
+      """SELECT * FROM (VALUES
+        | (1, 'Aline', 'aline@tie.example', TIMESTAMP '2024-01-02 00:00:00'),
+        | (2, 'Bobby', 'bobby@new.example', TIMESTAMP '2024-01-03 00:00:00')
+        |) AS t(id, name, email, wt)
+        |ORDER BY id""".stripMargin,
+
+    // TTL end state: at T+1h rows 1 and 3 are live (row 2 expired at 00:30);
+    // at T+3h row 1 has also expired (00:59 + 1h = 01:59) leaving only the
+    // NULL-TTL row.
+    "q_kv_ttl" ->
+      """SELECT * FROM (VALUES
+        | ('T+1h', 1, 'live_then_gone'),
+        | ('T+1h', 3, 'immortal'),
+        | ('T+3h', 3, 'immortal')
+        |) AS t(read_at, sid, token)
+        |ORDER BY read_at, sid""".stripMargin,
+
+    // Counter convergence: the two parity-partial increment batches must sum
+    // to the full per-type event counts.
+    "q_kv_counter" ->
+      """SELECT event_type, COUNT(*) AS hits
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // LWT end state: key 2's second INSERT IF NOT EXISTS is not applied.
+    "q_kv_insert_if_absent" ->
+      """SELECT * FROM (VALUES
+        | (1, 'alpha'), (2, 'alpha'), (3, 'beta')) AS t(id, owner)
+        |ORDER BY id""".stripMargin,
 
     // Expected end-state literals (row 1 overwritten by the upsert; set
     // deduped+ordered; serialized columns as exact strings).

@@ -44,9 +44,32 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftCatalogStore {
   /** `sets` = columns declared CQL-set-typed (TBLPROPERTIES 'sets'='a,b'):
     * stored as ArrayType but deduplicated + ordered on write, which is
-    * Cassandra's `set<T>` write semantics (SURVEY §1.2). */
+    * Cassandra's `set<T>` write semantics (SURVEY §1.2).
+    *
+    * `writetime` = the column carrying the client write timestamp (CQL
+    * `USING TIMESTAMP`): reconciliation keeps the row with the HIGHEST
+    * timestamp per key, not the latest arrival — a stale replayed write
+    * cannot clobber a newer value, and any interleaving of the same write
+    * set converges to the same state (the property Cassandra's LWW register
+    * rests on; UpsertSpec checks commutativity).
+    *
+    * `ttl` = the column carrying a per-write TTL in seconds (CQL
+    * `USING TTL`), relative to `writetime`; NULL = never expires. Expiry is
+    * enforced on READ against the logical clock `now` (epoch seconds, a
+    * table property overridable per-scan via `spark.read.option("now", …)`)
+    * — Cassandra's read-path tombstone filtering; compaction would reclaim
+    * the rows later.
+    *
+    * `counters` = CQL counter columns (BIGINT): a write is an INCREMENT
+    * merged additively into the stored value, not a replacement — CQL
+    * `UPDATE t SET c = c + ?`. As in Cassandra, a counter table admits no
+    * regular data columns and no writetime/TTL. */
   final class T(val schema: StructType, val keyCol: String,
-      val sets: Set[String] = Set.empty) {
+      val sets: Set[String] = Set.empty,
+      val writetime: Option[String] = None,
+      val ttl: Option[String] = None,
+      val counters: Set[String] = Set.empty,
+      val now: Option[Long] = None) {
     val rows = TrieMap.empty[Any, Array[Any]]
   }
   val namespaces = TrieMap.empty[String, Map[String, String]]
@@ -149,7 +172,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"set column $n must be an ARRAY, got ${other.catalogString}")
       }
     }
-    tables.put(key, new GraftCatalogStore.T(schema, keyCol, sets))
+    val props = properties.asScala
+    val writetime = props.get("writetime")
+    writetime.foreach { n =>
+      require(schema.fieldNames.contains(n), s"writetime column $n not in schema")
+      require(Seq(TimestampType, LongType).contains(schema(n).dataType),
+        s"writetime column $n must be TIMESTAMP or BIGINT, got " +
+          schema(n).dataType.catalogString)
+    }
+    val ttl = props.get("ttl")
+    ttl.foreach { n =>
+      require(writetime.isDefined, "ttl requires a writetime column (expiry = writetime + ttl)")
+      require(schema.fieldNames.contains(n), s"ttl column $n not in schema")
+      require(Seq(IntegerType, LongType).contains(schema(n).dataType),
+        s"ttl column $n must be INT or BIGINT, got ${schema(n).dataType.catalogString}")
+    }
+    val counters = props.get("counters")
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+    if (counters.nonEmpty) {
+      // CQL: a counter table holds ONLY counters outside the primary key,
+      // counters are 64-bit, and they support neither TTL nor USING TIMESTAMP
+      require(writetime.isEmpty && ttl.isEmpty && sets.isEmpty,
+        "counter tables do not support writetime/ttl/sets (CQL restriction)")
+      val nonKey = schema.fieldNames.filterNot(_ == keyCol).toSet
+      require(counters == nonKey,
+        s"counter table: every non-key column must be a counter (counters=$counters, non-key=$nonKey)")
+      counters.foreach { n =>
+        require(schema(n).dataType == LongType,
+          s"counter column $n must be BIGINT, got ${schema(n).dataType.catalogString}")
+      }
+    }
+    val now = props.get("now").map(_.toLong)
+    tables.put(key, new GraftCatalogStore.T(
+      schema, keyCol, sets, writetime, ttl, counters, now))
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -196,8 +251,28 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       override def build(): Scan = new Scan with Batch {
         override def readSchema(): StructType = t.schema
         override def toBatch: Batch = this
-        override def planInputPartitions(): Array[InputPartition] =
-          Array(GRows(t.rows.values.toArray))
+        // TTL expiry is enforced here, on the read path (Cassandra filters
+        // expired cells at read; compaction reclaims them later). The logical
+        // clock comes from the per-scan `now` option, falling back to the
+        // table's `now` property — both epoch seconds.
+        override def planInputPartitions(): Array[InputPartition] = {
+          val live = t.ttl match {
+            case None => t.rows.values.toArray
+            case Some(ttlCol) =>
+              val now = Option(options.get("now")).map(_.toLong).orElse(t.now)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"table $tname has a ttl column: scans need a logical clock " +
+                    "(read option or table property 'now', epoch seconds)"))
+              val ti = t.schema.fieldIndex(ttlCol)
+              val wi = t.schema.fieldIndex(t.writetime.get)
+              t.rows.values.filter { r =>
+                r(ti) == null || // no TTL on this write: never expires
+                  GUpsertTable.epochSeconds(r(wi)) +
+                    r(ti).asInstanceOf[Number].longValue > now
+              }.toArray
+          }
+          Array(GRows(live))
+        }
         override def createReaderFactory(): PartitionReaderFactory =
           new GReaderFactory(t.schema)
       }
@@ -205,6 +280,11 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
+      // CQL lightweight transaction `INSERT ... IF NOT EXISTS`: pass
+      // `.option("ifNotExists", "true")` on the v2 writer. Rows whose key is
+      // already present are NOT applied (Cassandra would return
+      // [applied]=false); absent keys insert normally.
+      private val ifNotExists = info.options.getBoolean("ifnotexists", false)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
@@ -212,12 +292,19 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
           // the upsert: every incoming row replaces the stored row with the
           // same key value — Cassandra INSERT semantics at the commit level.
           // Set-typed columns are deduplicated + ordered here (CQL set<T>
-          // write semantics).
+          // write semantics). With a writetime column, replacement is
+          // timestamp-ordered LWW (highest client timestamp wins, value
+          // tie-break — order of application is immaterial); counter columns
+          // merge additively instead of replacing.
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val ki = t.schema.fieldIndex(t.keyCol)
             val setIdx = t.schema.fields.zipWithIndex.collect {
               case (f, i) if t.sets(f.name) =>
                 (i, f.dataType.asInstanceOf[ArrayType].elementType)
+            }
+            val wtIdx = t.writetime.map(t.schema.fieldIndex)
+            val ctrIdx = t.schema.fields.zipWithIndex.collect {
+              case (f, i) if t.counters(f.name) => i
             }
             messages.foreach { case GCommit(rows) =>
               rows.foreach { r =>
@@ -226,7 +313,35 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
                     r(i) = GraftCatalogStore.canonicalSet(
                       r(i).asInstanceOf[Array[Any]], et)
                 }
-                t.rows.put(r(ki), r)
+                val key = r(ki)
+                if (ifNotExists) t.rows.putIfAbsent(key, r)
+                else if (ctrIdx.nonEmpty) t.rows.get(key) match {
+                  // counter merge: stored + increment (NULL increment = +0,
+                  // NULL stored = counter starts at 0 — CQL counter defaults)
+                  case Some(prev) =>
+                    ctrIdx.foreach { i =>
+                      r(i) = GUpsertTable.longOr0(prev(i)) + GUpsertTable.longOr0(r(i))
+                    }
+                    t.rows.put(key, r)
+                  case None =>
+                    ctrIdx.foreach { i => r(i) = GUpsertTable.longOr0(r(i)) }
+                    t.rows.put(key, r)
+                } else wtIdx match {
+                  case Some(wi) =>
+                    val applies = t.rows.get(key) match {
+                      case Some(prev) =>
+                        val (nw, ow) = (GUpsertTable.epochMicros(r(wi)),
+                          GUpsertTable.epochMicros(prev(wi)))
+                        // strict timestamp order; equal timestamps fall back
+                        // to the greater cell value (Cassandra's LWW
+                        // tie-break, applied row-wise) so replay order can
+                        // never change the converged state
+                        nw > ow || (nw == ow && GUpsertTable.tieGreater(r, prev, ki))
+                      case None => true
+                    }
+                    if (applies) t.rows.put(key, r)
+                  case None => t.rows.put(key, r)
+                }
               }
             }
           }
@@ -234,6 +349,49 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
         }
       }
     }
+}
+
+object GUpsertTable {
+  /** Client write timestamp as comparable micros: TIMESTAMP is already Long
+    * micros internally; BIGINT is taken as-is. NULL is rejected — CQL always
+    * has a write timestamp (the server assigns one when the client doesn't). */
+  private[sources] def epochMicros(v: Any): Long = v match {
+    case null => throw new IllegalArgumentException(
+      "writetime column is null: every write needs a client timestamp")
+    case l: java.lang.Long => l
+    case other => other.asInstanceOf[Number].longValue
+  }
+
+  /** TIMESTAMP micros → epoch seconds (for TTL expiry); BIGINT writetime is
+    * interpreted as micros too, keeping one unit across both encodings. */
+  private[sources] def epochSeconds(v: Any): Long =
+    Math.floorDiv(epochMicros(v), 1000000L)
+
+  private[sources] def longOr0(v: Any): Long =
+    if (v == null) 0L else v.asInstanceOf[Number].longValue
+
+  /** Equal-timestamp tie-break, Cassandra-style "greater value wins" applied
+    * row-wise: compare non-key cells in schema order by their rendered value;
+    * the first differing cell decides. Deterministic for any input, so two
+    * replicas applying the same writes in different orders converge. */
+  private[sources] def tieGreater(r: Array[Any], prev: Array[Any], ki: Int): Boolean = {
+    var i = 0
+    while (i < r.length) {
+      if (i != ki) {
+        val c = render(r(i)).compareTo(render(prev(i)))
+        if (c != 0) return c > 0
+      }
+      i += 1
+    }
+    false
+  }
+
+  private def render(v: Any): String = v match {
+    case null => "" // nulls sort lowest, like an absent cell
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case a: Array[Any] => a.map(render).mkString("[", ",", "]")
+    case other => String.valueOf(other)
+  }
 }
 
 case class GRows(rows: Array[Array[Any]]) extends InputPartition

@@ -16,8 +16,8 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
   test("operator areas declare disjoint query names (no silent shadowing)") {
     import graft.operators._
     import graft.streaming.Streaming
-    val areas = Seq(Relational.queries, Pipeline.queries, Similarity.queries,
-      Storage.queries, Streaming.queries)
+    val areas = Seq(Relational.queries, Tpch.queries, Pipeline.queries,
+      Similarity.queries, Storage.queries, Streaming.queries)
     assert(areas.map(_.size).sum == SparkEntry.queries.size)
   }
 

@@ -161,6 +161,118 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table("graftcat.proptest.del").count() == 0)
   }
 
+  test("writetime LWW converges regardless of write order (USING TIMESTAMP)") {
+    // a set of timestamped writes must fold to the same state under ANY
+    // application order — the property Cassandra's per-cell LWW register
+    // provides. Winner per key = max (writetime, value) with the value
+    // tie-break, independent of arrival sequence.
+    val genWrites: Gen[List[(Int, Long, String)]] = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 3L),
+        Gen.alphaLowerStr.map(s => if (s.isEmpty) "x" else s.take(6))))
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    check(Prop.forAll(genWrites) { writes =>
+      spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+      val states = Seq(writes, writes.reverse).map { order =>
+        val tbl = s"graftcat.proptest.wt_${n.incrementAndGet()}"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (id INT, name STRING, wt BIGINT) " +
+          "TBLPROPERTIES ('key'='id', 'writetime'='wt')")
+        order.foreach { case (k, ts, v) =>
+          spark.sql(s"INSERT INTO $tbl VALUES ($k, '$v', $ts)")
+        }
+        val got = spark.table(tbl).collect()
+          .map(r => r.getInt(0) -> ((r.getLong(2), r.getString(1)))).toMap
+        spark.sql(s"DROP TABLE $tbl")
+        got
+      }
+      val expected = writes.groupBy(_._1).map { case (k, ws) =>
+        k -> ws.map { case (_, ts, v) => (ts, v) }.max
+      }
+      states(0) == states(1) && states(0) == expected
+    })
+  }
+
+  test("counter increments are commutative and sum exactly") {
+    val genIncs: Gen[List[(Int, Long)]] = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0, 4), Gen.choose(-3L, 3L)))
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    check(Prop.forAll(genIncs) { incs =>
+      spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+      val states = Seq(incs, incs.reverse).map { order =>
+        val tbl = s"graftcat.proptest.ctr_${n.incrementAndGet()}"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (id INT, c BIGINT) " +
+          "TBLPROPERTIES ('key'='id', 'counters'='c')")
+        order.foreach { case (k, d) =>
+          spark.sql(s"INSERT INTO $tbl VALUES ($k, $d)")
+        }
+        val got = spark.table(tbl).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        spark.sql(s"DROP TABLE $tbl")
+        got
+      }
+      val expected = incs.groupBy(_._1).map { case (k, ds) => k -> ds.map(_._2).sum }
+      states(0) == states(1) && states(0) == expected
+    })
+  }
+
+  test("INSERT IF NOT EXISTS applies only absent keys (LWT)") {
+    check(Prop.forAll(genRows, genRows) { (a, b) =>
+      spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+      spark.sql("DROP TABLE IF EXISTS graftcat.proptest.lwt")
+      spark.sql("CREATE TABLE graftcat.proptest.lwt (id INT, name STRING, email STRING) " +
+        "TBLPROPERTIES ('key'='id')")
+      if (a.nonEmpty) {
+        val vals = a.toSeq.map { case (k, v) => s"($k, '$v', '$v@x')" }.mkString(", ")
+        spark.sql(s"INSERT INTO graftcat.proptest.lwt VALUES $vals")
+      }
+      if (b.nonEmpty) {
+        toDf(b).writeTo("graftcat.proptest.lwt")
+          .option("ifNotExists", "true").append()
+      }
+      // first writer wins: a's rows survive; only b's genuinely-new keys land
+      toMap(spark.table("graftcat.proptest.lwt")) == (b ++ a)
+    })
+  }
+
+  test("TTL expiry boundary and DDL validation for the CQL write semantics") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.ttlb")
+    // writetime as BIGINT micros: expiry = wt/1e6 + ttl, dead when now >= expiry
+    spark.sql("CREATE TABLE graftcat.proptest.ttlb (id INT, v STRING, wt BIGINT, ttl INT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'ttl'='ttl')")
+    spark.sql("INSERT INTO graftcat.proptest.ttlb VALUES " +
+      "(1, 'edge', 1000000000000000, 60), " + // expiry = 1e9 + 60
+      "(2, 'past', 1000000000000000, 59)")
+    def liveAt(now: Long) = spark.read.option("now", now.toString)
+      .table("graftcat.proptest.ttlb").collect().map(_.getInt(0)).toSet
+    assert(liveAt(1000000058L) == Set(1, 2)) // both strictly before expiry
+    assert(liveAt(1000000059L) == Set(1))    // row 2 dead AT its expiry second
+    assert(liveAt(1000000060L) == Set.empty) // row 1 dead at its own (wt+60)
+    // a scan with no logical clock anywhere must fail loudly, not guess
+    val e1 = intercept[Exception] {
+      spark.table("graftcat.proptest.ttlb").collect()
+    }
+    assert(e1.getMessage.contains("logical clock"), e1.getMessage)
+    // DDL guards: ttl requires writetime; counter tables admit only counters
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.badddl")
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.proptest.badddl (id INT, ttl INT) " +
+        "TBLPROPERTIES ('key'='id', 'ttl'='ttl')")
+    }
+    assert(e2.getMessage.contains("writetime"), e2.getMessage)
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.badctr")
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.proptest.badctr (id INT, c BIGINT, name STRING) " +
+        "TBLPROPERTIES ('key'='id', 'counters'='c')")
+    }
+    assert(e3.getMessage.contains("every non-key column"), e3.getMessage)
+  }
+
   test("catalog set columns order numerics numerically and reject bad DDL") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
