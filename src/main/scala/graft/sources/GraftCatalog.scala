@@ -283,8 +283,12 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       // CQL lightweight transaction `INSERT ... IF NOT EXISTS`: pass
       // `.option("ifNotExists", "true")` on the v2 writer. Rows whose key is
       // already present are NOT applied (Cassandra would return
-      // [applied]=false); absent keys insert normally.
+      // [applied]=false); absent keys insert normally. Rejected on counter
+      // tables — CQL forbids conditional (LWT) updates on counters, and
+      // allowing it here would store a raw un-normalized increment row.
       private val ifNotExists = info.options.getBoolean("ifnotexists", false)
+      require(!(ifNotExists && t.counters.nonEmpty),
+        s"$tname: INSERT IF NOT EXISTS is not supported on counter tables (CQL restriction)")
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
@@ -306,6 +310,15 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
             val ctrIdx = t.schema.fields.zipWithIndex.collect {
               case (f, i) if t.counters(f.name) => i
             }
+            // validate EVERY incoming writetime before applying ANY row:
+            // CQL always has a client timestamp, and lazy rejection would
+            // surface later — on an unrelated write or scan — blaming the
+            // wrong statement for this batch's bad row
+            wtIdx.foreach { wi =>
+              messages.foreach { case GCommit(rows) =>
+                rows.foreach(r => GUpsertTable.epochMicros(r(wi)))
+              }
+            }
             messages.foreach { case GCommit(rows) =>
               rows.foreach { r =>
                 setIdx.foreach { case (i, et) =>
@@ -314,32 +327,47 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
                       r(i).asInstanceOf[Array[Any]], et)
                 }
                 val key = r(ki)
+                // counter merge and LWW apply are CAS retry loops, not
+                // get-then-put: two concurrent commits (separate jobs
+                // appending to the same table) interleaving a read-modify-
+                // write would lose an increment / apply a stale write. The
+                // TrieMap replace/putIfAbsent compare the stored ARRAY
+                // REFERENCE, so a concurrent change always fails the CAS and
+                // retries against the fresh value.
                 if (ifNotExists) t.rows.putIfAbsent(key, r)
-                else if (ctrIdx.nonEmpty) t.rows.get(key) match {
-                  // counter merge: stored + increment (NULL increment = +0,
-                  // NULL stored = counter starts at 0 — CQL counter defaults)
-                  case Some(prev) =>
-                    ctrIdx.foreach { i =>
-                      r(i) = GUpsertTable.longOr0(prev(i)) + GUpsertTable.longOr0(r(i))
-                    }
-                    t.rows.put(key, r)
-                  case None =>
-                    ctrIdx.foreach { i => r(i) = GUpsertTable.longOr0(r(i)) }
-                    t.rows.put(key, r)
+                else if (ctrIdx.nonEmpty) {
+                  // stored + increment (NULL increment = +0, NULL stored =
+                  // counter starts at 0 — CQL counter defaults)
+                  var done = false
+                  while (!done) t.rows.get(key) match {
+                    case Some(prev) =>
+                      val merged = r.clone()
+                      ctrIdx.foreach { i =>
+                        merged(i) = GUpsertTable.longOr0(prev(i)) + GUpsertTable.longOr0(r(i))
+                      }
+                      done = t.rows.replace(key, prev, merged)
+                    case None =>
+                      val init = r.clone()
+                      ctrIdx.foreach { i => init(i) = GUpsertTable.longOr0(r(i)) }
+                      done = t.rows.putIfAbsent(key, init).isEmpty
+                  }
                 } else wtIdx match {
                   case Some(wi) =>
-                    val applies = t.rows.get(key) match {
+                    var done = false
+                    while (!done) t.rows.get(key) match {
                       case Some(prev) =>
                         val (nw, ow) = (GUpsertTable.epochMicros(r(wi)),
                           GUpsertTable.epochMicros(prev(wi)))
                         // strict timestamp order; equal timestamps fall back
                         // to the greater cell value (Cassandra's LWW
-                        // tie-break, applied row-wise) so replay order can
-                        // never change the converged state
-                        nw > ow || (nw == ow && GUpsertTable.tieGreater(r, prev, ki))
-                      case None => true
+                        // tie-break, applied cell-wise with type-aware
+                        // comparators) so replay order can never change the
+                        // converged state
+                        val applies = nw > ow ||
+                          (nw == ow && GUpsertTable.tieGreater(r, prev, ki, t.schema))
+                        done = !applies || t.rows.replace(key, prev, r)
+                      case None => done = t.rows.putIfAbsent(key, r).isEmpty
                     }
-                    if (applies) t.rows.put(key, r)
                   case None => t.rows.put(key, r)
                 }
               }
@@ -371,14 +399,18 @@ object GUpsertTable {
     if (v == null) 0L else v.asInstanceOf[Number].longValue
 
   /** Equal-timestamp tie-break, Cassandra-style "greater value wins" applied
-    * row-wise: compare non-key cells in schema order by their rendered value;
-    * the first differing cell decides. Deterministic for any input, so two
-    * replicas applying the same writes in different orders converge. */
-  private[sources] def tieGreater(r: Array[Any], prev: Array[Any], ki: Int): Boolean = {
+    * cell-wise with TYPE-AWARE comparators (Cassandra compares each cell's
+    * serialized value with the column type's comparator — numerics
+    * numerically, so 10 beats 9; a rendered-string compare would order them
+    * lexicographically): compare non-key cells in schema order; the first
+    * differing cell decides. Deterministic for any input, so two replicas
+    * applying the same writes in different orders converge. */
+  private[sources] def tieGreater(r: Array[Any], prev: Array[Any], ki: Int,
+      schema: StructType): Boolean = {
     var i = 0
     while (i < r.length) {
       if (i != ki) {
-        val c = render(r(i)).compareTo(render(prev(i)))
+        val c = compareCell(schema.fields(i).dataType, r(i), prev(i))
         if (c != 0) return c > 0
       }
       i += 1
@@ -386,11 +418,61 @@ object GUpsertTable {
     false
   }
 
-  private def render(v: Any): String = v match {
-    case null => "" // nulls sort lowest, like an absent cell
-    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
-    case a: Array[Any] => a.map(render).mkString("[", ",", "]")
-    case other => String.valueOf(other)
+  /** Type-aware cell comparison on the store's EXTERNAL value encoding
+    * (GValues.extract output). Nulls sort lowest, like an absent cell. */
+  private[sources] def compareCell(dt: DataType, a: Any, b: Any): Int = {
+    if (a == null && b == null) return 0
+    if (a == null) return -1
+    if (b == null) return 1
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType =>
+        java.lang.Long.compare(a.asInstanceOf[Number].longValue,
+          b.asInstanceOf[Number].longValue)
+      case FloatType | DoubleType =>
+        java.lang.Double.compare(a.asInstanceOf[Number].doubleValue,
+          b.asInstanceOf[Number].doubleValue)
+      case _: DecimalType =>
+        a.asInstanceOf[Decimal].compare(b.asInstanceOf[Decimal])
+      case BooleanType =>
+        java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      case StringType => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+      case BinaryType => java.util.Arrays.compareUnsigned(
+        a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+      case ArrayType(et, _) =>
+        compareSeq(a.asInstanceOf[Array[Any]], b.asInstanceOf[Array[Any]],
+          (x, y) => compareCell(et, x, y))
+      case MapType(kt, vt, _) =>
+        // maps ride as Array[(k, v)]; compare entries pairwise, shorter first
+        compareSeq(a.asInstanceOf[Array[Any]], b.asInstanceOf[Array[Any]],
+          (x, y) => {
+            val (xk, xv) = x.asInstanceOf[(Any, Any)]
+            val (yk, yv) = y.asInstanceOf[(Any, Any)]
+            val c = compareCell(kt, xk, yk)
+            if (c != 0) c else compareCell(vt, xv, yv)
+          })
+      case st: StructType =>
+        val (xa, ya) = (a.asInstanceOf[Array[Any]], b.asInstanceOf[Array[Any]])
+        var i = 0
+        while (i < st.size) {
+          val c = compareCell(st.fields(i).dataType, xa(i), ya(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      case _ => String.valueOf(a).compareTo(String.valueOf(b))
+    }
+  }
+
+  private def compareSeq(a: Array[Any], b: Array[Any],
+      cmp: (Any, Any) => Int): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = cmp(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(a.length, b.length)
   }
 }
 

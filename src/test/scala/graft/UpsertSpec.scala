@@ -102,7 +102,40 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
         .collect().map(r => r.getLong(0).toInt -> r.getString(1)).toMap
       val placed = KeyGroupedRegistry.lastWritePlacement.getOrElse(name, Map.empty)
       got == base ++ inc &&
-        (inc.isEmpty || placed.keySet == inc.keySet.map(_.toLong)) &&
+        (inc.isEmpty || placed.keySet == inc.keySet.map(k => Vector[Any](k.toLong))) &&
+        placed.forall { case (k, hosts) => hosts == KVRing.replicasOf(k) }
+    })
+  }
+
+  test("KV source upserts by composite (bigint, string) key with ring placement") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.sources.{KVRing, KeyGroupedRegistry}
+    val schema = StructType(Seq(
+      StructField("region", LongType, nullable = false),
+      StructField("bucket", StringType, nullable = false),
+      StructField("v", StringType)))
+    def toDf2(rows: Map[(Int, String), String]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.toSeq.map { case ((r, b), v) => Row(r.toLong, b, v) }, 2), schema)
+    val genComposite: Gen[Map[(Int, String), String]] = Gen.mapOf(
+      Gen.zip(Gen.zip(Gen.choose(0, 4), Gen.oneOf("a", "b", "c")),
+        Gen.alphaLowerStr.map(_.take(6))))
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    check(Prop.forAll(genComposite, genComposite) { (base, inc) =>
+      val name = s"kvw_comp_${n.incrementAndGet()}"
+      KeyGroupedRegistry.stageMulti(name, toDf2(base), Seq("region", "bucket"))
+      if (inc.nonEmpty) {
+        toDf2(inc).write.format("graft.sources.KVDataSource")
+          .option("table", name).mode("append").save()
+      }
+      val got = spark.read.format("graft.sources.KVDataSource")
+        .option("table", name).load()
+        .collect().map(r => (r.getLong(0).toInt, r.getString(1)) -> r.getString(2))
+        .toMap
+      val placed = KeyGroupedRegistry.lastWritePlacement.getOrElse(name, Map.empty)
+      got == base ++ inc &&
+        (inc.isEmpty ||
+          placed.keySet == inc.keySet.map { case (r, b) => Vector[Any](r.toLong, b) }) &&
         placed.forall { case (k, hosts) => hosts == KVRing.replicasOf(k) }
     })
   }
@@ -271,6 +304,54 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
         "TBLPROPERTIES ('key'='id', 'counters'='c')")
     }
     assert(e3.getMessage.contains("every non-key column"), e3.getMessage)
+  }
+
+  test("equal-timestamp tie-break compares cells type-aware, not lexicographically") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.tie")
+    spark.sql("CREATE TABLE graftcat.proptest.tie (id INT, n BIGINT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt')")
+    // same writetime: 10 must beat 9 numerically ("10" < "9" as strings) —
+    // and the converged winner must not depend on apply order
+    spark.sql("INSERT INTO graftcat.proptest.tie VALUES (1, 9, 5)")
+    spark.sql("INSERT INTO graftcat.proptest.tie VALUES (1, 10, 5)")
+    spark.sql("INSERT INTO graftcat.proptest.tie VALUES (2, 10, 5)")
+    spark.sql("INSERT INTO graftcat.proptest.tie VALUES (2, 9, 5)")
+    val got = spark.table("graftcat.proptest.tie").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 10L, 2 -> 10L), got)
+  }
+
+  test("writetime NULL is rejected at the offending commit, even on first write") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.wtnull")
+    spark.sql("CREATE TABLE graftcat.proptest.wtnull (id INT, v STRING, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graftcat.proptest.wtnull VALUES (1, 'a', NULL)")
+    }
+    assert(e.getMessage.contains("writetime"), e.getMessage)
+    // the bad batch must not have applied ANY row (validated before storing)
+    assert(spark.table("graftcat.proptest.wtnull").count() == 0)
+    // a later good write to the same key succeeds (not blamed for the NULL)
+    spark.sql("INSERT INTO graftcat.proptest.wtnull VALUES (1, 'b', 7)")
+    assert(spark.table("graftcat.proptest.wtnull").collect()(0).getString(1) == "b")
+  }
+
+  test("INSERT IF NOT EXISTS is rejected on counter tables (CQL forbids LWT on counters)") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.ctrlwt")
+    spark.sql("CREATE TABLE graftcat.proptest.ctrlwt (id INT, c BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'counters'='c')")
+    val e = intercept[Exception] {
+      spark.sql("SELECT 1 AS id, CAST(NULL AS BIGINT) AS c")
+        .writeTo("graftcat.proptest.ctrlwt").option("ifNotExists", "true").append()
+    }
+    assert(e.getMessage.contains("counter"), e.getMessage)
+    assert(spark.table("graftcat.proptest.ctrlwt").count() == 0)
   }
 
   test("catalog set columns order numerics numerically and reject bad DDL") {
