@@ -106,6 +106,44 @@ object Storage {
     (nName, cName)
   }
 
+  /** Stage the composite-key demo table: customer keyed by the
+    * (c_nationkey: bigint, c_mktsegment: string) tuple — 125 splits (25
+    * nations × 5 segments), one per distinct tuple. Idempotent per sf-dir. */
+  def stageKvComposite(s: SparkSession, dir: String): String = {
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    val name = s"cust_comp:$dir"
+    graft.sources.KeyGroupedRegistry.stageMulti(name,
+      Tables.load(s, dir, "customer").select(
+        col("c_nationkey").cast(LongType).as("c_nationkey"),
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal")),
+      Seq("c_nationkey", "c_mktsegment"))
+    name
+  }
+
+  /** Stage the two co-partitioned composite-key aggregate sides for the SPJ
+    * demo: per-(nation, segment) counts/sums on one side, extrema on the
+    * other, both key-grouped by the same tuple. Idempotent per sf-dir. */
+  def stageKvCompositeSides(s: SparkSession, dir: String): (String, String) = {
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    val aName = s"cust_stats:$dir"
+    val bName = s"cust_extr:$dir"
+    val c = Tables.load(s, dir, "customer").select(
+      col("c_nationkey").cast(LongType).as("c_nationkey"),
+      col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+    graft.sources.KeyGroupedRegistry.stageMulti(aName,
+      c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast(DecimalType(12, 2))).cast(DoubleType).as("total_bal")),
+      Seq("c_nationkey", "c_mktsegment"))
+    graft.sources.KeyGroupedRegistry.stageMulti(bName,
+      c.groupBy(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+        .agg(max(col("c_custkey")).as("max_cust"), min(col("c_acctbal")).as("min_bal")),
+      Seq("nk", "seg"))
+    (aName, bName)
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map(
@@ -391,6 +429,37 @@ object Storage {
       s.sql("SELECT * FROM graftcat.testks.claims ORDER BY id")
     },
 
+    // Composite (multi-column, mixed-type) partition key — CQL
+    // `PRIMARY KEY ((c_nationkey, c_mktsegment))`, one step past the
+    // reference's single-column key (userdata/cloudinit.sh:307). The
+    // conjunction of equality predicates on BOTH key columns prunes the ring
+    // to the ONE split owning that tuple (PlanSpec asserts lastPlanned == 1)
+    // — Cassandra's point read routed by the composite token. At 100 TB:
+    // one partition read, never a scan-and-filter.
+    "q_kv_composite_key" -> { (s, dir) =>
+      val name = stageKvComposite(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .filter(col("c_nationkey") === 11 && col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // Storage-partitioned join on the COMPOSITE key: both sides are staged
+    // key-grouped by the same (bigint, string) tuple, the source reports
+    // KeyGroupedPartitioning over both columns, and the two-column equi-join
+    // runs with ZERO Exchange nodes (PlanSpec asserts) — the token-aware
+    // local join generalized to Cassandra's multi-column partition keys.
+    "q_spj_composite" -> { (s, dir) =>
+      val (aName, bName) = stageKvCompositeSides(s, dir)
+      val a = s.read.format("graft.sources.KVDataSource").option("table", aName).load()
+      val b = s.read.format("graft.sources.KVDataSource").option("table", bName).load()
+      a.join(b.hint("merge"),
+          a("c_nationkey") === b("nk") && a("c_mktsegment") === b("seg"))
+        .select(a("c_nationkey"), a("c_mktsegment"),
+          col("n_cust"), col("total_bal"), col("max_cust"), col("min_bal"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // cassandraCount analog at the CUSTOM-source level: the KV source
     // implements SupportsPushDownAggregates, so an ungrouped COUNT(*) is
     // answered from the registry's per-key row counts — each split emits one
@@ -663,6 +732,26 @@ object Storage {
         |FROM nation JOIN customer ON c_nationkey = n_nationkey
         |GROUP BY 1, 2
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q_kv_composite_key" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer
+        |WHERE c_nationkey = 11 AND c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_spj_composite" ->
+      """SELECT CAST(a.c_nationkey AS BIGINT) AS c_nationkey, a.c_mktsegment,
+        |  a.n_cust, a.total_bal, b.max_cust, b.min_bal
+        |FROM (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_cust,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |  FROM customer GROUP BY 1, 2) a
+        |JOIN (
+        |  SELECT c_nationkey, c_mktsegment, MAX(c_custkey) AS max_cust,
+        |    MIN(c_acctbal) AS min_bal
+        |  FROM customer GROUP BY 1, 2) b
+        |ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "q_count_pushdown" ->
       "SELECT COUNT(*) AS n_rows FROM lineitem",

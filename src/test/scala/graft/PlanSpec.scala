@@ -70,6 +70,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("EqualTo(c_nationkey,3)"), plan)
   }
 
+  test("composite-key point read prunes to the one split owning the tuple") {
+    val df = Storage.queries("q_kv_composite_key")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // of the 125 (nation, segment) splits, exactly the one owning (3,
+    // BUILDING) was planned — equality on BOTH key columns composes
+    assert(graft.sources.KeyGroupedRegistry.lastPlanned(s"cust_comp:$sfDir") == 1)
+    val plan = planOf(df)
+    assert(plan.contains("EqualTo(c_nationkey,11)"), plan)
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+  }
+
+  test("composite-key storage-partitioned join runs with zero Exchange") {
+    // run the declared query once: stages both sides + sets the SPJ confs
+    Storage.queries("q_spj_composite")(spark, sfDir).collect()
+    val (aName, bName) = Storage.stageKvCompositeSides(spark, sfDir)
+    val a = spark.read.format("graft.sources.KVDataSource")
+      .option("table", aName).load()
+    val b = spark.read.format("graft.sources.KVDataSource")
+      .option("table", bName).load()
+    val joined = a.join(b.hint("merge"),
+      a("c_nationkey") === b("nk") && a("c_mktsegment") === b("seg"))
+    joined.collect() // finalize the (adaptive) plan
+    val plan = planOf(joined)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
   test("clustering-column range scan prunes to one split and pushes the ck range") {
     val df = Storage.queries("q_kv_range_scan")(spark, sfDir)
     val rows = df.collect()
