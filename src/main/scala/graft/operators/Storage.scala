@@ -473,6 +473,48 @@ object Storage {
         .agg(count(lit(1)).as("n_rows"))
     },
 
+    // CQL `LIMIT n` pushdown (SupportsPushDownLimit): the limit reaches the
+    // KV scan, every split returns at most n rows (PER PARTITION LIMIT —
+    // one split = one Cassandra partition), and Spark takes the global
+    // prefix. The declared query counts the limited read so the result is
+    // deterministic; PlanSpec asserts the scan served ≤ n rows per split.
+    "q_kv_limit_pushdown" -> { (s, dir) =>
+      val (_, cName) = stageKv(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", cName).load()
+        .limit(7)
+        .agg(count(lit(1)).as("n_rows"))
+    },
+
+    // Grouped count pushdown on the KV source: COUNT(*) GROUP BY the full
+    // key tuple is answered entirely from registry metadata — each split
+    // emits one [key..., count] row and, because every split holds its
+    // whole group, the result is FINAL (supportCompletePushDown): no row
+    // materialization, no re-aggregation. Cassandra's per-partition count.
+    "q_kv_grouped_count" -> { (s, dir) =>
+      val name = stageKvComposite(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // Secondary-index analog (Cassandra 2i): a write-maintained inverted
+    // projection (segment -> owning partition keys) lets a NON-key equality
+    // plan only the splits owning matching rows instead of scanning the
+    // ring (PlanSpec asserts planned < total splits), with exact row
+    // filtering inside the survivors. The index is rebuilt per commit —
+    // the registry-side stand-in for Cassandra's per-node local index.
+    "q_kv_secondary_index" -> { (s, dir) =>
+      val name = s"cust_sidx:$dir"
+      graft.sources.KeyGroupedRegistry.stageMulti(name,
+        Tables.load(s, dir, "customer").filter(col("c_custkey") <= 300)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        Seq("c_custkey"), indexCols = Seq("c_mktsegment"))
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .filter(col("c_mktsegment") === "BUILDING")
+        .orderBy("c_custkey")
+    },
+
     // Source-level write path — the `df.write.cassandra` upsert (SURVEY §2.2
     // write row; reference capability pin: userdata/cloudinit.sh:461).
     // INSERT is an upsert: 5 existing nations are overwritten, 3 new keys
@@ -755,6 +797,22 @@ object Storage {
 
     "q_count_pushdown" ->
       "SELECT COUNT(*) AS n_rows FROM lineitem",
+
+    "q_kv_limit_pushdown" ->
+      "SELECT COUNT(*) AS n_rows FROM (SELECT * FROM customer LIMIT 7) t",
+
+    "q_kv_grouped_count" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+        |  COUNT(*) AS n
+        |FROM customer
+        |GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_kv_secondary_index" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM customer
+        |WHERE c_custkey <= 300 AND c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_kv_count_pushdown" ->
       "SELECT COUNT(*) AS n_rows FROM customer",

@@ -163,6 +163,56 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(df.collect().head.getLong(0) == expected)
   }
 
+  test("pushed LIMIT caps what every KV split serves (CQL LIMIT / per-partition limit)") {
+    val df = Storage.queries("q_kv_limit_pushdown")(spark, sfDir)
+    val n = df.collect()(0).getLong(0)
+    assert(n == 7, s"limited count returned $n")
+    val cName = s"customer:$sfDir"
+    // the limit reached the source: across all 25 splits the scan served at
+    // most 7 rows each, instead of the full table
+    val served = graft.sources.KeyGroupedRegistry.lastScanRows(cName)
+    val planned = graft.sources.KeyGroupedRegistry.lastPlanned(cName)
+    val total = graft.sources.Tables.load(spark, sfDir, "customer").count()
+    assert(served <= 7L * planned, s"served $served rows from $planned splits")
+    assert(served < total, s"limit did not reduce the scan ($served of $total)")
+    assert(planOf(df).contains("PushedLimit: 7"), planOf(df))
+  }
+
+  test("grouped count by the full key tuple is answered from registry metadata") {
+    val df = Storage.queries("q_kv_grouped_count")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan)
+    assert(plan.contains("PushedGroupBy: [c_nationkey,c_mktsegment]"), plan)
+    // complete pushdown: no partial/final count re-aggregation in the plan
+    assert(!plan.contains("partial_count"), plan)
+    // no data row was materialized: the scan served one metadata row per split
+    val name = s"cust_comp:$sfDir"
+    val planned = graft.sources.KeyGroupedRegistry.lastPlanned(name)
+    assert(graft.sources.KeyGroupedRegistry.lastScanRows(name) == planned.toLong)
+    // and the counts agree with the parquet-side group-by
+    val expected = graft.sources.Tables.load(spark, sfDir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment").count()
+      .collect().map(r => (r.getInt(0).toLong, r.getString(1)) -> r.getLong(2)).toMap
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  test("secondary index prunes non-key equality to the owning splits (2i analog)") {
+    val df = Storage.queries("q_kv_secondary_index")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(1) == "BUILDING"))
+    val name = s"cust_sidx:$sfDir"
+    val total = graft.sources.KeyGroupedRegistry.get(name).parts.length
+    val planned = graft.sources.KeyGroupedRegistry.lastPlanned(name)
+    // the inverted projection planned only the splits owning BUILDING rows —
+    // strictly fewer than the ring — and exactly as many as matched
+    assert(planned < total, s"index did not prune: $planned of $total splits")
+    assert(planned == rows.length,
+      s"planned $planned splits for ${rows.length} matching single-row partitions")
+    assert(planOf(df).contains("EqualTo(c_mktsegment,BUILDING)"), planOf(df))
+  }
+
   test("runtime filtering prunes KV splits from a join's discovered keys (dynamic directJoin)") {
     // SupportsRuntimeFiltering: the dim side's keys are only known at
     // execution (a filter on a non-key column), so no static rule can help —
