@@ -7,10 +7,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -157,6 +157,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new TableAlreadyExistsException(key._1, key._2)
     val keyCol = Option(properties.get("key")).getOrElse(schema.fields.head.name)
     require(schema.fieldNames.contains(keyCol), s"key column $keyCol not in schema")
+    // a CQL partition key is implicitly NOT NULL — record that in the schema
+    // (it is also what lets the key serve as a DSv2 row-level operation
+    // row ID, which must be non-nullable)
+    val schema1 = StructType(schema.fields.map(f =>
+      if (f.name == keyCol) f.copy(nullable = false) else f))
     val sets = Option(properties.get("sets"))
       .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
     // validate up front: a typo'd or mis-typed 'sets' entry must fail DDL,
@@ -204,7 +209,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val now = props.get("now").map(_.toLong)
     tables.put(key, new GraftCatalogStore.T(
-      schema, keyCol, sets, writetime, ttl, counters, now))
+      schema1, keyCol, sets, writetime, ttl, counters, now))
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -218,12 +223,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 /** Readable + writable in-memory table; writes merge by key (upsert), and
   * `DELETE FROM ... WHERE key = ?/IN (...)` removes by key — CQL's DELETE,
   * which requires the partition key in the WHERE clause; a non-key
-  * predicate is rejected at analysis (canDeleteWhere=false), mirroring the
-  * CQL error rather than silently scanning. Deleting an absent key is a
-  * no-op (CQL tombstone semantics). An unfiltered DELETE is TRUNCATE. */
+  * predicate cannot take the metadata fast path (canDeleteWhere=false, the
+  * CQL shape) and instead falls back to the row-level delta surface below —
+  * a scan-and-delete, the honest cost CQL makes explicit by refusing it.
+  * Deleting an absent key is a no-op (CQL tombstone semantics). An
+  * unfiltered DELETE is TRUNCATE. */
 class GUpsertTable(tname: String, t: GraftCatalogStore.T)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
   override def name(): String = tname
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GRowLevelOperation(tname, t, info.command)
   override def schema(): StructType = t.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
@@ -247,36 +259,7 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan with Batch {
-        override def readSchema(): StructType = t.schema
-        override def toBatch: Batch = this
-        // TTL expiry is enforced here, on the read path (Cassandra filters
-        // expired cells at read; compaction reclaims them later). The logical
-        // clock comes from the per-scan `now` option, falling back to the
-        // table's `now` property — both epoch seconds.
-        override def planInputPartitions(): Array[InputPartition] = {
-          val live = t.ttl match {
-            case None => t.rows.values.toArray
-            case Some(ttlCol) =>
-              val now = Option(options.get("now")).map(_.toLong).orElse(t.now)
-                .getOrElse(throw new IllegalArgumentException(
-                  s"table $tname has a ttl column: scans need a logical clock " +
-                    "(read option or table property 'now', epoch seconds)"))
-              val ti = t.schema.fieldIndex(ttlCol)
-              val wi = t.schema.fieldIndex(t.writetime.get)
-              t.rows.values.filter { r =>
-                r(ti) == null || // no TTL on this write: never expires
-                  GUpsertTable.epochSeconds(r(wi)) +
-                    r(ti).asInstanceOf[Number].longValue > now
-              }.toArray
-          }
-          Array(GRows(live))
-        }
-        override def createReaderFactory(): PartitionReaderFactory =
-          new GReaderFactory(t.schema)
-      }
-    }
+    new GScanBuilder(tname, t, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -380,6 +363,16 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
 }
 
 object GUpsertTable {
+  /** Dedup + order every set-typed cell of `r` in place (CQL `set<T>` write
+    * semantics) — shared by the INSERT commit and the row-level delta path. */
+  private[sources] def canonicalizeSets(t: GraftCatalogStore.T, r: Array[Any]): Unit =
+    t.schema.fields.zipWithIndex.foreach {
+      case (f, i) if t.sets(f.name) && r(i) != null =>
+        r(i) = GraftCatalogStore.canonicalSet(r(i).asInstanceOf[Array[Any]],
+          f.dataType.asInstanceOf[ArrayType].elementType)
+      case _ => ()
+    }
+
   /** Client write timestamp as comparable micros: TIMESTAMP is already Long
     * micros internally; BIGINT is taken as-is. NULL is rejected — CQL always
     * has a write timestamp (the server assigns one when the client doesn't). */
@@ -474,6 +467,120 @@ object GUpsertTable {
     }
     java.lang.Integer.compare(a.length, b.length)
   }
+}
+
+/** Full-table scan of the store (shared by plain reads and the row-level
+  * operation's target scan). TTL expiry is enforced here, on the read path
+  * (Cassandra filters expired cells at read; compaction reclaims them
+  * later). The logical clock comes from the per-scan `now` option, falling
+  * back to the table's `now` property — both epoch seconds. */
+class GScanBuilder(tname: String, t: GraftCatalogStore.T,
+    options: CaseInsensitiveStringMap) extends ScanBuilder {
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = t.schema
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = {
+      val live = t.ttl match {
+        case None => t.rows.values.toArray
+        case Some(ttlCol) =>
+          val now = Option(options.get("now")).map(_.toLong).orElse(t.now)
+            .getOrElse(throw new IllegalArgumentException(
+              s"table $tname has a ttl column: scans need a logical clock " +
+                "(read option or table property 'now', epoch seconds)"))
+          val ti = t.schema.fieldIndex(ttlCol)
+          val wi = t.schema.fieldIndex(t.writetime.get)
+          t.rows.values.filter { r =>
+            r(ti) == null || // no TTL on this write: never expires
+              GUpsertTable.epochSeconds(r(wi)) +
+                r(ti).asInstanceOf[Number].longValue > now
+          }.toArray
+      }
+      Array(GRows(live))
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GReaderFactory(t.schema)
+  }
+}
+
+/** DSv2 row-level operations (MERGE INTO / UPDATE / DELETE with arbitrary
+  * predicates) — delta-based: the engine's upsert store is ALREADY keyed by
+  * the partition key, so the natural row-level contract is `SupportsDelta`
+  * with `rowId = [keyCol]`: Spark plans the merge join, and the writer
+  * receives per-row INSERT / UPDATE / DELETE deltas instead of rewriting
+  * whole groups (copy-on-write would re-ship every untouched row of the
+  * table — at 100 TB the delta form writes only what changed, the same
+  * asymmetry as Cassandra upserts vs SSTable rewrite).
+  *
+  * No CQL statement is a merge, but every warehouse user of the modeled
+  * engine hits MERGE in week one (the verdict's missing-surface #2); the
+  * semantics here compose the engine's own primitives: DELETE by key,
+  * INSERT-as-upsert (set columns canonicalized), UPDATE as keyed replace —
+  * key changes via UPDATE SET key=... relocate the row. Not supported on
+  * counter tables (no CQL-meaningful replace of an increment register). */
+class GRowLevelOperation(tname: String, t: GraftCatalogStore.T,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+  require(t.counters.isEmpty,
+    s"$tname: row-level operations are not supported on counter tables")
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GScanBuilder(tname, t, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = new GDeltaBatchWrite(t)
+      }
+    }
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(t.keyCol))
+}
+
+/** Delta op stream: (op, key, row) applied in writer order at commit. */
+case class GDeltaCommit(ops: Array[(Byte, Any, Array[Any])]) extends WriterCommitMessage
+
+class GDeltaBatchWrite(t: GraftCatalogStore.T) extends DeltaBatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    GDeltaWriterFactory(t.schema, t.schema(t.keyCol).dataType)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach { case GDeltaCommit(ops) =>
+      ops.foreach {
+        case (GDeltaWriterFactory.Delete, key, _) => t.rows.remove(key)
+        case (_, key, row) => // insert / update: keyed replace, sets canonical
+          GUpsertTable.canonicalizeSets(t, row)
+          val ki = t.schema.fieldIndex(t.keyCol)
+          if (key != null && key != row(ki)) t.rows.remove(key) // key change relocates
+          t.rows.put(row(ki), row)
+      }
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class GDeltaWriterFactory(schema: StructType, keyType: DataType)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val ops = scala.collection.mutable.ArrayBuffer.empty[(Byte, Any, Array[Any])]
+      private def extractRow(row: InternalRow): Array[Any] =
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          GValues.extract(f.dataType, row, i)
+        }
+      private def extractId(id: InternalRow): Any = GValues.extract(keyType, id, 0)
+      override def insert(row: InternalRow): Unit =
+        ops += ((GDeltaWriterFactory.Insert, null, extractRow(row)))
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+        ops += ((GDeltaWriterFactory.Update, extractId(id), extractRow(row)))
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        ops += ((GDeltaWriterFactory.Delete, extractId(id), null))
+      override def commit(): WriterCommitMessage = GDeltaCommit(ops.toArray)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+object GDeltaWriterFactory {
+  val Delete: Byte = 0
+  val Update: Byte = 1
+  val Insert: Byte = 2
 }
 
 case class GRows(rows: Array[Array[Any]]) extends InputPartition

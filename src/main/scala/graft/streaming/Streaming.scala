@@ -627,6 +627,41 @@ object Streaming {
         .filter(col("event_id") >= 0)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .orderBy("event_id")
+    },
+
+    // CDC on the KV table (the connector stack's Cassandra CDC analog): the
+    // registry's commit changelog — snapshot + three deterministic upsert
+    // waves — is consumed as a MicroBatchStream (offset = commit count,
+    // every row tagged with its `_commit_seq`), then folded to current
+    // state by keeping each key's highest-seq mutation. The oracle
+    // recomputes that state from `nation` directly, so the whole
+    // log-then-fold pipeline must reproduce the batch table exactly —
+    // the CDC invariant. Re-running appends the same waves again (new
+    // seqs, same content), so the fold is idempotent across passes.
+    "q_stream_kv_cdc" -> { (s, dir) =>
+      val name = s"nation_cdc:$dir"
+      graft.sources.KeyGroupedRegistry.stage(name,
+        Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast(LongType).as("k"),
+            col("n_name").as("name")),
+        "k")
+      def wave(cond: org.apache.spark.sql.Column, suffix: String): Unit =
+        Tables.load(s, dir, "nation").filter(cond)
+          .select(col("n_nationkey").cast(LongType).as("k"),
+            concat(col("n_name"), lit(suffix)).as("name"))
+          .write.format("graft.sources.KVDataSource")
+          .option("table", name).mode("append").save()
+      wave(col("n_nationkey") < 8, "_u1")
+      wave(col("n_nationkey") >= 8 && col("n_nationkey") <= 16, "_u2")
+      wave(col("n_nationkey") < 4, "_u3")
+      val log = runToMemory(
+        s.readStream.format("graft.sources.KVDataSource")
+          .option("table", name).option("cdc", "true").load(),
+        "graft_stream_kv_cdc")
+      val latest = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("_commit_seq").desc)
+      log.withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
+        .select("k", "name").orderBy("k")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -655,6 +690,16 @@ object Streaming {
       |ORDER BY user_id, s_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the folded CDC log must equal the table's current state, recomputed
+    // here from nation + the three deterministic update waves (later waves
+    // overwrite earlier ones per key)
+    "q_stream_kv_cdc" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |  CASE WHEN n_nationkey < 4 THEN n_name || '_u3'
+        |       WHEN n_nationkey < 8 THEN n_name || '_u1'
+        |       WHEN n_nationkey <= 16 THEN n_name || '_u2'
+        |       ELSE n_name END AS name
+        |FROM nation ORDER BY k""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         |  COUNT(*) AS n,

@@ -223,7 +223,13 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       .withColumn("x2", expr(compact("zval & 1431655765L")))
       .withColumn("y2", expr(compact("shiftright(zval, 1) & 1431655765L")))
       .filter(col("x") =!= col("x2") || col("y") =!= col("y2"))
-    assert(bad.count() == 0)
+    // isEmpty, not count(): fusing the two full shift/mask ladders into one
+    // ungrouped hashAgg previously grew the generated
+    // doAggregateWithoutKey past the JVM's 64 KB method limit and fell back
+    // to interpreted execution; a limit-1 probe keeps the ladder inside
+    // split-friendly projection codegen (CodegenSpec guards the rest of the
+    // surface against the same class of overflow)
+    assert(bad.isEmpty)
   }
 
   test("zorderWithKey keeps negative keys inside the 16-bit Morton domain") {

@@ -183,12 +183,11 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     // absent key: silent no-op (tombstone semantics)
     spark.sql("DELETE FROM graftcat.proptest.del WHERE id IN (2, 99)")
     assert(toMap(spark.table("graftcat.proptest.del")) == Map(1 -> "a", 3 -> "c"))
-    // CQL requires the partition key in a DELETE — non-key predicate fails
-    // at analysis instead of silently scanning
-    intercept[Exception] {
-      spark.sql("DELETE FROM graftcat.proptest.del WHERE name = 'a'")
-    }
-    assert(toMap(spark.table("graftcat.proptest.del")) == Map(1 -> "a", 3 -> "c"))
+    // a non-key predicate can't use the metadata fast path (canDeleteWhere
+    // = false, the CQL shape); it falls back to the row-level delta surface
+    // and still deletes correctly — the engine's MERGE-era extension
+    spark.sql("DELETE FROM graftcat.proptest.del WHERE name = 'a'")
+    assert(toMap(spark.table("graftcat.proptest.del")) == Map(3 -> "c"))
     // unfiltered DELETE = TRUNCATE
     spark.sql("DELETE FROM graftcat.proptest.del")
     assert(spark.table("graftcat.proptest.del").count() == 0)
@@ -352,6 +351,42 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("counter"), e.getMessage)
     assert(spark.table("graftcat.proptest.ctrlwt").count() == 0)
+  }
+
+  test("MERGE INTO applies matched-update, matched-delete and not-matched-insert in one commit") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.m")
+    spark.sql("CREATE TABLE graftcat.proptest.m (id INT, v STRING) " +
+      "TBLPROPERTIES ('key'='id')")
+    spark.sql("INSERT INTO graftcat.proptest.m VALUES (1,'keep'), (2,'update_me'), (3,'delete_me')")
+    spark.sql("""MERGE INTO graftcat.proptest.m t
+      USING (SELECT * FROM VALUES (2,'updated'), (3,'x'), (4,'inserted') AS s(id, v)) s
+      ON t.id = s.id
+      WHEN MATCHED AND s.v = 'x' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    val got = spark.table("graftcat.proptest.m").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "keep", 2 -> "updated", 4 -> "inserted"), got)
+    // engine UPDATE rides the same row-level surface
+    spark.sql("UPDATE graftcat.proptest.m SET v = 'bumped' WHERE id = 1")
+    assert(spark.table("graftcat.proptest.m").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap ==
+      Map(1 -> "bumped", 2 -> "updated", 4 -> "inserted"))
+    // no CQL-meaningful merge over increment registers
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.mc")
+    spark.sql("CREATE TABLE graftcat.proptest.mc (id INT, c BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'counters'='c')")
+    // (an insert-only MERGE never builds the row-level operation — Spark
+    // plans it as a plain anti-join append; a MATCHED clause forces it)
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO graftcat.proptest.mc t
+        USING (SELECT 1 AS id, CAST(1 AS BIGINT) AS c) s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET c = s.c
+        WHEN NOT MATCHED THEN INSERT (id, c) VALUES (s.id, s.c)""")
+    }
+    assert(e.getMessage.contains("row-level"), e.getMessage)
   }
 
   test("catalog set columns order numerics numerically and reject bad DDL") {
