@@ -144,6 +144,20 @@ object Storage {
     (aName, bName)
   }
 
+  /** Stage the clustering-column demo table: orders for the first 200
+    * customers keyed `(pk = o_custkey, ck = o_orderkey)`, rows ck-sorted
+    * inside each partition. Idempotent per sf-dir; shared by
+    * q_kv_range_scan / q_kv_topn_pushdown / q_kv_per_partition_limit. */
+  def stageOrdersCk(s: SparkSession, dir: String): String = {
+    val name = s"orders_ck:$dir"
+    graft.sources.KeyGroupedRegistry.stage(name,
+      Tables.load(s, dir, "orders").filter(col("o_custkey") <= 200)
+        .select(col("o_custkey").as("pk"), col("o_orderkey").as("ck"),
+          col("o_totalprice").as("price")),
+      "pk", clusteringCol = Some("ck"))
+    name
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map(
@@ -520,6 +534,26 @@ object Storage {
         "FROM graftcat.testks.dim_scd2 ORDER BY vid")
     },
 
+    // CQL `ALTER TABLE ADD / DROP` — schema evolution on a live table
+    // through the catalog: the added column reads NULL for pre-existing
+    // rows (Cassandra's absent-cell semantics, no rewrite), later upserts
+    // fill it, and DROP removes a retired column; the partition key and
+    // semantic columns are protected. End state: id 1 upserted with a
+    // score, id 2 pre-evolution (NULL score), id 3 post-evolution, the
+    // name column gone.
+    "q_catalog_alter" -> { (s, _) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.alter_t")
+      s.sql("CREATE TABLE graftcat.testks.alter_t (id INT, name STRING) " +
+        "TBLPROPERTIES ('key'='id')")
+      s.sql("INSERT INTO graftcat.testks.alter_t VALUES (1, 'a'), (2, 'b')")
+      s.sql("ALTER TABLE graftcat.testks.alter_t ADD COLUMNS (score BIGINT)")
+      s.sql("INSERT INTO graftcat.testks.alter_t VALUES (3, 'c', 30), (1, 'a', 10)")
+      s.sql("ALTER TABLE graftcat.testks.alter_t DROP COLUMN name")
+      s.sql("SELECT * FROM graftcat.testks.alter_t ORDER BY id")
+    },
+
     // cassandraCount analog at the CUSTOM-source level: the KV source
     // implements SupportsPushDownAggregates, so an ungrouped COUNT(*) is
     // answered from the registry's per-key row counts — each split emits one
@@ -611,15 +645,33 @@ object Storage {
     // scan) — Cassandra's within-partition range read. At 100 TB the query
     // touches one partition's slice, never the table.
     "q_kv_range_scan" -> { (s, dir) =>
-      val name = s"orders_ck:$dir"
-      graft.sources.KeyGroupedRegistry.stage(name,
-        Tables.load(s, dir, "orders").filter(col("o_custkey") <= 200)
-          .select(col("o_custkey").as("pk"), col("o_orderkey").as("ck"),
-            col("o_totalprice").as("price")),
-        "pk", clusteringCol = Some("ck"))
+      val name = stageOrdersCk(s, dir)
       s.read.format("graft.sources.KVDataSource").option("table", name).load()
         .filter(col("pk") === 37 && col("ck") >= 200 && col("ck") < 10000)
         .orderBy("ck")
+    },
+
+    // CQL `ORDER BY ck LIMIT n` (SupportsPushDownTopN): partitions are
+    // ck-sorted, so each split serves its first n rows as a CONTIGUOUS
+    // PREFIX — no sorting anywhere in the source — and Spark's TakeOrdered
+    // merges the per-split prefixes (PlanSpec asserts the pushed top-n and
+    // the ≤ n-per-split served rows). Cassandra's clustering-ordered read.
+    "q_kv_topn_pushdown" -> { (s, dir) =>
+      val name = stageOrdersCk(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .orderBy("ck").limit(5)
+    },
+
+    // CQL `PER PARTITION LIMIT n` as a read option: every partition serves
+    // at most its first n ck-ordered rows — the newest-k-per-key read
+    // shape (e.g. "latest 3 orders per customer") that at 100 TB reads 3
+    // rows per partition instead of materializing and window-ranking the
+    // table. Deterministic because partitions are ck-sorted.
+    "q_kv_per_partition_limit" -> { (s, dir) =>
+      val name = stageOrdersCk(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name)
+        .option("perPartitionLimit", "3").load()
+        .orderBy("pk", "ck")
     },
 
     // Count pushdown (cassandraCount analog): the DSv2 parquet scan answers
@@ -929,6 +981,20 @@ object Storage {
         |WHERE o_custkey = 37 AND o_orderkey >= 200 AND o_orderkey < 10000
         |ORDER BY ck""".stripMargin,
 
+    "q_kv_topn_pushdown" ->
+      """SELECT o_custkey AS pk, o_orderkey AS ck, o_totalprice AS price
+        |FROM orders
+        |WHERE o_custkey <= 200
+        |ORDER BY ck LIMIT 5""".stripMargin,
+
+    "q_kv_per_partition_limit" ->
+      """SELECT pk, ck, price FROM (
+        |  SELECT o_custkey AS pk, o_orderkey AS ck, o_totalprice AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |      AS rn
+        |  FROM orders WHERE o_custkey <= 200) t
+        |WHERE rn <= 3 ORDER BY pk, ck""".stripMargin,
+
     "q_kv_runtime_prune" ->
       """SELECT n_name, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
@@ -1006,6 +1072,15 @@ object Storage {
 
     // q_approx_distinct intentionally has no oracle: HLL++/GK sketch values
     // are engine-specific; the driver records a rows/schema check.
+
+    // evolution end state: literal-input DDL demo (the evolution SEMANTICS
+    // — NULL padding, protected columns — are unit-tested in UpsertSpec)
+    "q_catalog_alter" ->
+      """SELECT * FROM (VALUES
+        | (1, CAST(10 AS BIGINT)),
+        | (2, CAST(NULL AS BIGINT)),
+        | (3, CAST(30 AS BIGINT))) AS t(id, score)
+        |ORDER BY id""".stripMargin,
 
     "q_users_sql_ddl" ->
       """SELECT * FROM (VALUES

@@ -214,8 +214,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
   override def dropTable(ident: Identifier): Boolean =
     tables.remove((nsOf(ident), ident.name())).isDefined
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("alterTable")
+
+  /** CQL `ALTER TABLE ADD / DROP` (schema evolution on a live table):
+    * added columns are nullable and land at the end — existing rows read
+    * NULL for them, exactly Cassandra's absent-cell semantics, with no row
+    * rewrite in a real cluster (here the store pads eagerly). DROP refuses
+    * the partition key and any semantic column (writetime/ttl/set/counter),
+    * as CQL does. Everything else (RENAME, type changes, nested fields) is
+    * rejected loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val key = (nsOf(ident), ident.name())
+    val t = tables.getOrElse(key, throw new NoSuchTableException(ident))
+    var schema = t.schema
+    var migrations = List.empty[Array[Any] => Array[Any]]
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "alterTable: nested columns are not supported")
+        val name = add.fieldNames()(0)
+        require(!schema.fieldNames.contains(name), s"column $name already exists")
+        require(add.isNullable,
+          s"added column $name must be nullable (existing rows have no cell for it)")
+        schema = schema.add(name, add.dataType, nullable = true)
+        migrations ::= ((r: Array[Any]) => r :+ (null: Any))
+      case del: TableChange.DeleteColumn =>
+        val name = del.fieldNames()(0)
+        if (!schema.fieldNames.contains(name)) {
+          require(del.ifExists, s"column $name does not exist")
+        } else {
+          require(name != t.keyCol, s"cannot drop the partition key $name (CQL)")
+          require(!t.sets(name) && !t.counters(name) &&
+            !t.writetime.contains(name) && !t.ttl.contains(name),
+            s"cannot drop semantic column $name (writetime/ttl/set/counter)")
+          val ix = schema.fieldIndex(name)
+          schema = StructType(schema.fields.patch(ix, Nil, 1))
+          migrations ::= ((r: Array[Any]) => r.patch(ix, Nil, 1))
+        }
+      case other =>
+        throw new UnsupportedOperationException(s"alterTable: $other")
+    }
+    val nt = new GraftCatalogStore.T(
+      schema, t.keyCol, t.sets, t.writetime, t.ttl, t.counters, t.now)
+    val mig = migrations.reverse
+    t.rows.foreach { case (k, r) =>
+      nt.rows.put(k, mig.foldLeft(r)((acc, f) => f(acc)))
+    }
+    tables.put(key, nt)
+    loadTable(ident)
+  }
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("renameTable")
 }

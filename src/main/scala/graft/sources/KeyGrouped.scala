@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, LessThan}
@@ -268,7 +268,8 @@ class KVTable(tname: String, entry: KeyGroupedRegistry.Entry,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (cdc) new ScanBuilder {
       override def build(): Scan = new KVCdcScan(tname, entry)
-    } else new KVScanBuilder(tname, entry)
+    } else new KVScanBuilder(tname, entry,
+      Option(options.get("perPartitionLimit")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!cdc, s"graft-kv:$tname: the CDC stream is read-only")
     val in = info.schema().fieldNames.toSeq
@@ -451,26 +452,28 @@ class KVDataWriter(schema: StructType, keyIxs: Array[Int], ckIx: Option[Int])
   * than shipping rows). Partial pushdown: each split returns its own count
   * and Spark's final aggregate sums them, the same shape as parquet footer
   * counts — at 100 TB no row bytes cross the wire either way. */
-class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry)
+class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
+    perPartitionLimit: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = entry.schema
   private var pushed: Array[Filter] = Array.empty
   private var countPushed = false
   private var groupCols: Seq[String] = Nil
   private var limit: Option[Int] = None
+  private var topN: Option[(Boolean, Int)] = None // (ascending, n) on ck
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val ck = entry.clusteringCol
     val keySet = entry.keyCols.toSet
     val idx = entry.indexCols.toSet
     val (sup, unsup) = filters.partition {
-      // secondary-index equality: split pruning via the inverted projection
-      // plus exact row filtering inside the owning splits
+      // secondary-index equality / IN: split pruning via the inverted
+      // projection plus exact row filtering inside the owning splits
       case EqualTo(a, _: Number) => keySet(a) || ck.contains(a) || idx(a)
       case EqualTo(a, _: String) => keySet(a) || idx(a)
-      case In(a, _) => keySet(a)
+      case In(a, _) => keySet(a) || idx(a)
       // clustering-column range: evaluated exactly by slicing the ck-sorted
       // partition (Cassandra's within-partition range scan)
       case GreaterThanOrEqual(a, _: Number) => ck.contains(a)
@@ -490,6 +493,30 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry)
     * 100 TB a LIMIT 10 probe reads ≤10 rows per partition instead of
     * materializing the ring. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  // both limit and top-n are PARTIAL pushdowns (each split honors the cap,
+  // Spark applies the global limit / merge) — and Scala needs the explicit
+  // override because both parent traits default this member
+  override def isPartiallyPushed(): Boolean = true
+
+  /** CQL `ORDER BY ck LIMIT n` analog (SupportsPushDownTopN): partitions
+    * are ck-sorted, so each split's top-n by ck is a CONTIGUOUS PREFIX
+    * (ascending) or SUFFIX (descending) of its slice — zero sorting in the
+    * source, exactly how Cassandra reads a clustering-ordered row prefix.
+    * Partial pushdown: Spark's TakeOrdered merges the per-split prefixes.
+    * At 100 TB an ORDER-BY-ck LIMIT 10 reads ≤10 rows per partition
+    * instead of sorting the ring. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val ok = orders.length == 1 && entry.clusteringCol.exists { ck =>
+      orders(0).expression() match {
+        case nr: NamedReference =>
+          nr.fieldNames.length == 1 && nr.fieldNames()(0) == ck
+        case _ => false
+      }
+    }
+    if (ok) topN = Some((orders(0).direction() == SortDirection.ASCENDING, n))
+    ok
+  }
 
   private def groupByNames(agg: Aggregation): Option[Seq[String]] = {
     val names = agg.groupByExpressions.toSeq.map {
@@ -524,12 +551,14 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry)
   }
 
   override def build(): Scan =
-    new KVScan(tname, entry, required, pushed, countPushed, groupCols, limit)
+    new KVScan(tname, entry, required, pushed, countPushed, groupCols, limit,
+      topN, perPartitionLimit)
 }
 
 class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     required: StructType, pushed: Array[Filter], countPushed: Boolean = false,
-    groupCols: Seq[String] = Nil, limit: Option[Int] = None)
+    groupCols: Seq[String] = Nil, limit: Option[Int] = None,
+    topN: Option[(Boolean, Int)] = None, perPartitionLimit: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType =
@@ -546,7 +575,11 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
         s" PushedAggregation: [COUNT(*)]" +
           (if (groupCols.nonEmpty) s" PushedGroupBy: [${groupCols.mkString(",")}]" else "")
       else "") +
-      limit.map(l => s" PushedLimit: $l").getOrElse("")
+      limit.map(l => s" PushedLimit: $l").getOrElse("") +
+      topN.map { case (asc, n) =>
+        s" PushedTopN: [ck ${if (asc) "ASC" else "DESC"} LIMIT $n]"
+      }.getOrElse("") +
+      perPartitionLimit.map(l => s" PerPartitionLimit: $l").getOrElse("")
 
   /** Integral key cells compare by long value so boxing width never splits a
     * key (a staged Int vs a filter's Long); strings compare by value. */
@@ -579,16 +612,23 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     }
   }
 
-  // secondary-index equality predicates: prune splits through the inverted
-  // projection AND filter rows exactly inside the surviving splits (the
-  // index maps a value to partitions owning AT LEAST ONE matching row)
-  private lazy val idxPreds: Seq[(Int, Any)] = pushed.collect {
+  // secondary-index equality/IN predicates: prune splits through the
+  // inverted projection AND filter rows exactly inside the surviving splits
+  // (the index maps a value to partitions owning AT LEAST ONE matching row;
+  // IN prunes to the union of its values' owners)
+  private lazy val idxPreds: Seq[(Int, Seq[Any])] = pushed.collect {
     case EqualTo(a, v) if entry.indexCols.contains(a) =>
-      entry.schema.fieldIndex(a) -> v
+      entry.schema.fieldIndex(a) -> Seq(v)
+    case In(a, vs) if entry.indexCols.contains(a) =>
+      entry.schema.fieldIndex(a) -> vs.toSeq
   }
   private lazy val idxKeySets: Seq[Set[Vector[Any]]] = pushed.collect {
     case EqualTo(a, v) if entry.indexCols.contains(a) =>
       entry.indexes(a).getOrElse(KeyGroupedRegistry.normCell(v), Set.empty)
+    case In(a, vs) if entry.indexCols.contains(a) =>
+      vs.toSeq.map(v => entry.indexes(a)
+          .getOrElse(KeyGroupedRegistry.normCell(v), Set.empty[Vector[Any]]))
+        .foldLeft(Set.empty[Vector[Any]])(_ union _)
   }
 
   private def keepKey(k: Vector[Any]): Boolean = {
@@ -659,13 +699,22 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
       case (_, v) => v
     }.toArray
 
-  /** Rows a split actually serves: ck-sliced, index-filtered, limit-capped. */
+  /** Rows a split actually serves: ck-sliced, index-filtered, then capped —
+    * by the per-partition limit (CQL PER PARTITION LIMIT, a read option),
+    * by a pushed top-n on ck (prefix of the ck-sorted slice ascending,
+    * suffix descending), and by a pushed plain limit, in that order. */
   private def servedRows(rows: Array[Array[Any]]): Array[Array[Any]] = {
     val sliced = sliceRows(rows)
     val filtered =
       if (idxPreds.isEmpty) sliced
-      else sliced.filter(r => idxPreds.forall { case (ci, v) => cellEq(r(ci), v) })
-    limit.map(filtered.take).getOrElse(filtered)
+      else sliced.filter(r =>
+        idxPreds.forall { case (ci, vs) => vs.exists(v => cellEq(r(ci), v)) })
+    val perPart = perPartitionLimit.map(filtered.take).getOrElse(filtered)
+    val topped = topN match {
+      case Some((asc, n)) => if (asc) perPart.take(n) else perPart.takeRight(n)
+      case None => perPart
+    }
+    limit.map(topped.take).getOrElse(topped)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

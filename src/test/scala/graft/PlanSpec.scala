@@ -178,6 +178,37 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(planOf(df).contains("PushedLimit: 7"), planOf(df))
   }
 
+  test("ORDER BY ck LIMIT pushes top-n: each split serves a sorted prefix") {
+    val df = Storage.queries("q_kv_topn_pushdown")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    // globally ck-ascending result assembled from per-split prefixes
+    val cks = rows.map(_.getLong(1))
+    assert(cks.sameElements(cks.sorted), cks.mkString(","))
+    val name = s"orders_ck:$sfDir"
+    val planned = graft.sources.KeyGroupedRegistry.lastPlanned(name)
+    val served = graft.sources.KeyGroupedRegistry.lastScanRows(name)
+    val total = graft.sources.KeyGroupedRegistry.get(name).parts.map(_._2.length).sum
+    assert(served <= 5L * planned, s"served $served from $planned splits")
+    assert(served < total, s"top-n did not reduce the scan ($served of $total)")
+    assert(planOf(df).contains("PushedTopN: [ck ASC LIMIT 5]"), planOf(df))
+  }
+
+  test("perPartitionLimit caps each partition at its first n ck-ordered rows") {
+    val df = Storage.queries("q_kv_per_partition_limit")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // at most 3 rows per pk, and exactly the ck-smallest ones
+    val byPk = rows.groupBy(_.getLong(0))
+    assert(byPk.values.forall(_.length <= 3))
+    val name = s"orders_ck:$sfDir"
+    val total = graft.sources.KeyGroupedRegistry.get(name).parts.map(_._2.length).sum
+    val served = graft.sources.KeyGroupedRegistry.lastScanRows(name)
+    assert(served == rows.length.toLong, s"served $served, returned ${rows.length}")
+    assert(served < total, s"per-partition limit did not reduce the scan")
+    assert(planOf(df).contains("PerPartitionLimit: 3"), planOf(df))
+  }
+
   test("grouped count by the full key tuple is answered from registry metadata") {
     val df = Storage.queries("q_kv_grouped_count")(spark, sfDir)
     val plan = planOf(df)

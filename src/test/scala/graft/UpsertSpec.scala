@@ -389,6 +389,36 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("row-level"), e.getMessage)
   }
 
+  test("ALTER TABLE pads existing rows with NULL and protects key/semantic columns") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.alt")
+    spark.sql("CREATE TABLE graftcat.proptest.alt (id INT, c BIGINT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt')")
+    spark.sql("INSERT INTO graftcat.proptest.alt VALUES (1, 5, 100)")
+    spark.sql("ALTER TABLE graftcat.proptest.alt ADD COLUMNS (tag STRING)")
+    // pre-evolution row reads NULL for the new cell (absent-cell semantics)
+    val r = spark.table("graftcat.proptest.alt").collect()(0)
+    assert(r.isNullAt(3), r)
+    // post-evolution upsert fills it, still LWW-governed
+    spark.sql("INSERT INTO graftcat.proptest.alt VALUES (1, 6, 200, 'new')")
+    assert(spark.table("graftcat.proptest.alt").collect()(0).getString(3) == "new")
+    // the partition key and the writetime column cannot be dropped
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.proptest.alt DROP COLUMN id")
+    }
+    assert(e1.getMessage.contains("partition key"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.proptest.alt DROP COLUMN wt")
+    }
+    assert(e2.getMessage.contains("semantic column"), e2.getMessage)
+    // a regular column drops fine and rows shrink consistently
+    spark.sql("ALTER TABLE graftcat.proptest.alt DROP COLUMN c")
+    assert(spark.table("graftcat.proptest.alt").columns.toSeq ==
+      Seq("id", "wt", "tag"))
+    assert(spark.table("graftcat.proptest.alt").collect()(0).getString(2) == "new")
+  }
+
   test("catalog set columns order numerics numerically and reject bad DDL") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
