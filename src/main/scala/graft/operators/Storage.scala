@@ -662,6 +662,25 @@ object Storage {
         .orderBy("ck").limit(5)
     },
 
+    // The canonical Cassandra time-series shape — `PRIMARY KEY (user_id,
+    // ts)` with a TIMESTAMP clustering column: one user's time slice is a
+    // pushed pk-equality (prunes the ring to 1 split) plus a pushed ts
+    // range (normalized to the stored epoch-micros encoding, sliced from
+    // the ts-sorted partition by two binary searches). At 100 TB this is
+    // "read 10 days of one sensor", never "scan the table".
+    "q_kv_timeseries" -> { (s, dir) =>
+      val name = s"events_ts:$dir"
+      graft.sources.KeyGroupedRegistry.stage(name,
+        Tables.load(s, dir, "events").filter(col("user_id") <= 50)
+          .select(col("user_id").as("pk"), col("ts"), col("value")),
+        "pk", clusteringCol = Some("ts"))
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .filter(col("pk") === 7 &&
+          col("ts") >= expr("TIMESTAMP'2024-01-10 00:00:00'") &&
+          col("ts") < expr("TIMESTAMP'2024-01-20 00:00:00'"))
+        .orderBy("ts")
+    },
+
     // CQL `PER PARTITION LIMIT n` as a read option: every partition serves
     // at most its first n ck-ordered rows — the newest-k-per-key read
     // shape (e.g. "latest 3 orders per customer") that at 100 TB reads 3
@@ -980,6 +999,14 @@ object Storage {
         |FROM orders
         |WHERE o_custkey = 37 AND o_orderkey >= 200 AND o_orderkey < 10000
         |ORDER BY ck""".stripMargin,
+
+    "q_kv_timeseries" ->
+      """SELECT user_id AS pk, ts, value
+        |FROM events
+        |WHERE user_id = 7
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY ts""".stripMargin,
 
     "q_kv_topn_pushdown" ->
       """SELECT o_custkey AS pk, o_orderkey AS ck, o_totalprice AS price

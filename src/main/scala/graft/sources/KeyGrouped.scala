@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartiti
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, LessThan}
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -56,7 +56,8 @@ object KeyGroupedRegistry {
   /** One staged table: schema, the partition-key columns (each integral or
     * string — the CQL partition-key types this demo carries), the rows
     * grouped by key tuple — one entry per distinct tuple = one input
-    * split — and an optional clustering column (LongType). With a
+    * split — and an optional clustering column (integral, timestamp or
+    * date — stored in its internal long encoding). With a
     * clustering column the table models Cassandra's `((pk...), ck)` primary
     * key: rows are kept ck-sorted inside each partition, range predicates on
     * ck read one partition's contiguous slice, and the upsert identity is
@@ -91,6 +92,22 @@ object KeyGroupedRegistry {
     case n: java.lang.Integer => n.longValue
     case n: java.lang.Long => n
     case x => x
+  }
+
+  /** External (collect()) cell → the INTERNAL representation the reader
+    * serves: timestamps become epoch micros, dates epoch days — so a
+    * TIMESTAMP clustering column orders/slices as a plain long and the
+    * PartitionReader can emit stored cells into InternalRows untouched. */
+  private[sources] def toStoredCell(dt: DataType, v: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    (dt, v) match {
+      case (_, null) => null
+      case (TimestampType, t: java.sql.Timestamp) => DateTimeUtils.fromJavaTimestamp(t)
+      case (TimestampType, i: java.time.Instant) => DateTimeUtils.instantToMicros(i)
+      case (DateType, d: java.sql.Date) => DateTimeUtils.fromJavaDate(d)
+      case (DateType, d: java.time.LocalDate) => d.toEpochDay.toInt
+      case _ => v
+    }
   }
 
   private val tables = TrieMap.empty[String, Entry]
@@ -142,15 +159,25 @@ object KeyGroupedRegistry {
     }
     indexCols.foreach(c => require(schema.fieldNames.contains(c),
       s"graft-kv:$name indexed column $c not in schema"))
+    clusteringCol.foreach { c =>
+      schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType => ()
+        case other => throw new IllegalArgumentException(
+          s"graft-kv:$name clustering column $c must be integral, timestamp " +
+            s"or date, got ${other.catalogString}")
+      }
+    }
     val kis = keyCols.map(schema.fieldIndex)
     val ci = clusteringCol.map(schema.fieldIndex)
     val grouped = df.collect()
-      .map(r => r.toSeq.toArray)
+      .map(r => r.toSeq.toArray.zip(schema.fields)
+        .map { case (v, f) => toStoredCell(f.dataType, v) })
       .groupBy(a => kis.map(a(_)).toVector)
       .toArray
       .sortBy(_._1.map(String.valueOf).mkString("\u0000")) // any stable order
       .map { case (k, rows) =>
-        k -> ci.map(c => rows.sortBy(_(c).asInstanceOf[Long])).getOrElse(rows)
+        k -> ci.map(c =>
+          rows.sortBy(_(c).asInstanceOf[Number].longValue)).getOrElse(rows)
       }
     put(name, Entry(schema, keyCols, grouped, clusteringCol, indexCols))
     changelog.put(name,
@@ -184,7 +211,8 @@ object KeyGroupedRegistry {
     }
     val parts = byPk.toArray.map { case (k, buf) =>
       val arr = buf.toArray
-      k -> ci.map(c => arr.sortBy(_(c).asInstanceOf[Long])).getOrElse(arr)
+      k -> ci.map(c =>
+        arr.sortBy(_(c).asInstanceOf[Number].longValue)).getOrElse(arr)
     }.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
     put(name, e.copy(parts = parts))
     changelog.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) +=
@@ -430,7 +458,7 @@ class KVDataWriter(schema: StructType, keyIxs: Array[Int], ckIx: Option[Int])
       }
     }
     val pk = keyIxs.map(ext(_)).toVector
-    buf((pk, ckIx.map(c => ext(c).asInstanceOf[Long]))) = ext
+    buf((pk, ckIx.map(c => ext(c).asInstanceOf[Number].longValue))) = ext
   }
   override def commit(): WriterCommitMessage = KVCommitMessage(
     buf.toArray.map { case ((pk, _), row) => pk -> row },
@@ -471,13 +499,16 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     val (sup, unsup) = filters.partition {
       // secondary-index equality / IN: split pruning via the inverted
       // projection plus exact row filtering inside the owning splits
-      case EqualTo(a, _: Number) => keySet(a) || ck.contains(a) || idx(a)
+      case EqualTo(a, v: Number) =>
+        keySet(a) || idx(a) || (ck.contains(a) && KVScan.ckValue(v).nonEmpty)
       case EqualTo(a, _: String) => keySet(a) || idx(a)
+      case EqualTo(a, v) => ck.contains(a) && KVScan.ckValue(v).nonEmpty
       case In(a, _) => keySet(a) || idx(a)
       // clustering-column range: evaluated exactly by slicing the ck-sorted
-      // partition (Cassandra's within-partition range scan)
-      case GreaterThanOrEqual(a, _: Number) => ck.contains(a)
-      case LessThan(a, _: Number) => ck.contains(a)
+      // partition (Cassandra's within-partition range scan); timestamp/date
+      // bounds normalize to the stored epoch-micros/days encoding
+      case GreaterThanOrEqual(a, v) => ck.contains(a) && KVScan.ckValue(v).nonEmpty
+      case LessThan(a, v) => ck.contains(a) && KVScan.ckValue(v).nonEmpty
       case _ => false
     }
     pushed = sup
@@ -553,6 +584,24 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
   override def build(): Scan =
     new KVScan(tname, entry, required, pushed, countPushed, groupCols, limit,
       topN, perPartitionLimit)
+}
+
+object KVScan {
+  /** Pushed clustering-column comparison value → the stored long encoding
+    * (integral as-is, timestamp → epoch micros, date → epoch days) so the
+    * binary-search slice works identically for `ck BIGINT` and the
+    * canonical Cassandra time-series shape `PRIMARY KEY (pk, ts)`. */
+  def ckValue(v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    v match {
+      case n: Number => Some(n.longValue)
+      case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+      case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d).toLong)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case _ => None
+    }
+  }
 }
 
 class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
@@ -649,24 +698,26 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     entry.clusteringCol.map(entry.schema.fieldIndex)
   private lazy val ckLo: Option[Long] = {
     val los = pushed.collect {
-      case GreaterThanOrEqual(a, v: Number) if entry.clusteringCol.contains(a) =>
-        v.longValue
-      case EqualTo(a, v: Number) if entry.clusteringCol.contains(a) => v.longValue
-    }
+      case GreaterThanOrEqual(a, v) if entry.clusteringCol.contains(a) =>
+        KVScan.ckValue(v)
+      case EqualTo(a, v) if entry.clusteringCol.contains(a) => KVScan.ckValue(v)
+    }.flatten
     if (los.isEmpty) None else Some(los.max)
   }
   private lazy val ckHi: Option[Long] = {
     val his = pushed.collect {
-      case LessThan(a, v: Number) if entry.clusteringCol.contains(a) => v.longValue
-      case EqualTo(a, v: Number) if entry.clusteringCol.contains(a) => v.longValue + 1
-    }
+      case LessThan(a, v) if entry.clusteringCol.contains(a) => KVScan.ckValue(v)
+      case EqualTo(a, v) if entry.clusteringCol.contains(a) =>
+        KVScan.ckValue(v).map(_ + 1)
+    }.flatten
     if (his.isEmpty) None else Some(his.min)
   }
   private def lowerBound(rows: Array[Array[Any]], ci: Int, target: Long): Int = {
     var lo = 0; var hi = rows.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (rows(mid)(ci).asInstanceOf[Long] < target) lo = mid + 1 else hi = mid
+      if (rows(mid)(ci).asInstanceOf[Number].longValue < target) lo = mid + 1
+      else hi = mid
     }
     lo
   }

@@ -178,6 +178,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(planOf(df).contains("PushedLimit: 7"), planOf(df))
   }
 
+  test("timestamp clustering column: pk + ts range prunes to one sliced split") {
+    val df = Storage.queries("q_kv_timeseries")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // pk equality pruned the ring to the one split owning user 7...
+    assert(graft.sources.KeyGroupedRegistry.lastPlanned(s"events_ts:$sfDir") == 1)
+    // ...and the ts bounds reached the source (the slice, not a scan)
+    val plan = planOf(df)
+    assert(plan.contains("GreaterThanOrEqual(ts,"), plan)
+    assert(plan.contains("LessThan(ts,"), plan)
+    val served = graft.sources.KeyGroupedRegistry.lastScanRows(s"events_ts:$sfDir")
+    assert(served == rows.length.toLong, s"served $served, returned ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(0) == 7L)
+      val t = r.getTimestamp(1).toString
+      assert(t >= "2024-01-10" && t < "2024-01-20", t)
+    }
+  }
+
   test("ORDER BY ck LIMIT pushes top-n: each split serves a sorted prefix") {
     val df = Storage.queries("q_kv_topn_pushdown")(spark, sfDir)
     val rows = df.collect()
