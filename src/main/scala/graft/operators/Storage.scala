@@ -662,6 +662,31 @@ object Storage {
         .orderBy("ck").limit(5)
     },
 
+    // CQL DELETE on the KV source — the connector's programmatic delete
+    // (`deleteFromCassandra` analog; the source lives outside a catalog, so
+    // the DSv2 SupportsDelete surface is driven directly, exactly how the
+    // connector exposes deletes): whole partitions drop by key, an absent
+    // key (99) is a silent no-op (tombstone semantics), and each delete
+    // appends a TOMBSTONE batch to the CDC changelog (StreamingSpec folds
+    // one). Re-running is idempotent.
+    "q_kv_delete" -> { (s, dir) =>
+      val name = s"nation_delkv:$dir"
+      graft.sources.KeyGroupedRegistry.stage(name,
+        Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast(LongType).as("k"),
+            col("n_name").as("name")),
+        "k")
+      val table = new graft.sources.KVTable(name,
+        graft.sources.KeyGroupedRegistry.get(name))
+      val filters: Array[org.apache.spark.sql.sources.Filter] =
+        Array(org.apache.spark.sql.sources.In("k",
+          Array[Any](0L, 1L, 2L, 3L, 4L, 99L)))
+      require(table.canDeleteWhere(filters), "key-only delete must be admissible")
+      table.deleteWhere(filters)
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .orderBy("k")
+    },
+
     // The canonical Cassandra time-series shape — `PRIMARY KEY (user_id,
     // ts)` with a TIMESTAMP clustering column: one user's time slice is a
     // pushed pk-equality (prunes the ring to 1 split) plus a pushed ts
@@ -999,6 +1024,12 @@ object Storage {
         |FROM orders
         |WHERE o_custkey = 37 AND o_orderkey >= 200 AND o_orderkey < 10000
         |ORDER BY ck""".stripMargin,
+
+    "q_kv_delete" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+        |FROM nation
+        |WHERE n_nationkey >= 5
+        |ORDER BY k""".stripMargin,
 
     "q_kv_timeseries" ->
       """SELECT user_id AS pk, ts, value

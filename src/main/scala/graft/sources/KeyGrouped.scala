@@ -131,13 +131,15 @@ object KeyGroupedRegistry {
 
   /** CDC changelog (Cassandra CDC-log analog): one entry per commit — the
     * staged snapshot is batch 0, every upsert commit appends its written
-    * rows as the next batch. `KVMicroBatchStream` serves these as
-    * micro-batches (offset = batch count), which is how a streaming
-    * consumer tails the table's mutations; folding the log by latest
-    * commit per key reproduces the table state (the invariant
-    * q_stream_kv_cdc and StreamingSpec assert). */
-  val changelog =
-    TrieMap.empty[String, scala.collection.mutable.ArrayBuffer[Array[Array[Any]]]]
+    * rows as the next batch, and every DELETE appends a TOMBSTONE batch
+    * (key cells set, data cells null, flag true — exactly how Cassandra
+    * deletes travel: as markers, not absences). `KVMicroBatchStream`
+    * serves these as micro-batches (offset = batch count); folding the log
+    * by latest commit per key — dropping keys whose latest mutation is a
+    * tombstone — reproduces the table state (the invariant q_stream_kv_cdc
+    * and StreamingSpec assert). */
+  val changelog = TrieMap.empty[String,
+    scala.collection.mutable.ArrayBuffer[(Array[Array[Any]], Boolean)]]
 
   private[sources] def supportedKeyType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType => true
@@ -181,7 +183,7 @@ object KeyGroupedRegistry {
       }
     put(name, Entry(schema, keyCols, grouped, clusteringCol, indexCols))
     changelog.put(name,
-      scala.collection.mutable.ArrayBuffer(grouped.flatMap(_._2)))
+      scala.collection.mutable.ArrayBuffer((grouped.flatMap(_._2), false)))
   }
 
   /** Single-column convenience used by the original demo tables. */
@@ -216,7 +218,24 @@ object KeyGroupedRegistry {
     }.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
     put(name, e.copy(parts = parts))
     changelog.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) +=
-      rows.map(_._2)
+      ((rows.map(_._2), false))
+  }
+
+  /** DELETE-by-partition-key commit (CQL DELETE): drops whole partitions —
+    * an absent key is a silent no-op (tombstone semantics) — and appends a
+    * tombstone batch to the changelog so CDC consumers see the deletion as
+    * a marker row (key cells set, data cells null). */
+  def applyDelete(name: String, keys: Set[Vector[Any]]): Unit = synchronized {
+    val e = get(name)
+    put(name, e.copy(parts = e.parts.filterNot { case (k, _) => keys(k) }))
+    val kis = e.keyCols.map(e.schema.fieldIndex)
+    val tombstones = keys.toArray.map { k =>
+      val row = Array.fill[Any](e.schema.length)(null)
+      kis.zip(k).foreach { case (i, v) => row(i) = v }
+      row
+    }
+    changelog.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) +=
+      ((tombstones, true))
   }
 }
 
@@ -284,7 +303,38 @@ class KVDataSource extends TableProvider {
 
 class KVTable(tname: String, entry: KeyGroupedRegistry.Entry,
     cdc: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** CQL DELETE: by partition key only (the metadata fast path Cassandra
+    * offers — key-equality/IN on every key column; anything else is
+    * rejected the way CQL rejects a keyless DELETE). Deletes append
+    * tombstone batches to the CDC changelog. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !cdc && filters.nonEmpty && {
+      val cols = filters.collect {
+        case EqualTo(a, _) if entry.keyCols.contains(a) => a
+        case In(a, _) if entry.keyCols.contains(a) => a
+      }
+      cols.length == filters.length && cols.toSet == entry.keyCols.toSet
+    }
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    // per-column admissible value sets; the deletable key tuples are the
+    // current keys matching every column's set (conjunction)
+    val sets: Map[String, Set[Any]] = filters.collect {
+      case EqualTo(a, v) => a -> Set[Any](v)
+      case In(a, vs) => a -> vs.toSet[Any]
+    }.groupBy(_._1).map { case (a, kvs) => a -> kvs.map(_._2).reduce(_ intersect _) }
+    val at = entry.keyCols.zipWithIndex.toMap
+    def cellEq(stored: Any, v: Any): Boolean = (stored, v) match {
+      case (x: Number, y: Number) => x.longValue == y.longValue
+      case (x, y) => x == y
+    }
+    val doomed = entry.parts.map(_._1).filter { k =>
+      sets.forall { case (col, vs) => vs.exists(v => cellEq(k(at(col)), v)) }
+    }.toSet
+    if (doomed.nonEmpty) KeyGroupedRegistry.applyDelete(tname, doomed)
+  }
   override def name(): String = s"graft-kv:$tname" + (if (cdc) " (cdc)" else "")
   override def schema(): StructType =
     if (cdc) KVCdc.withSeq(entry.schema) else entry.schema
@@ -319,8 +369,10 @@ class KVTable(tname: String, entry: KeyGroupedRegistry.Entry,
   * invariant q_stream_kv_cdc's oracle checks end-to-end. */
 object KVCdc {
   val SeqCol = "_commit_seq"
+  val TombstoneCol = "_tombstone"
   def withSeq(base: StructType): StructType =
     base.add(SeqCol, LongType, nullable = false)
+      .add(TombstoneCol, org.apache.spark.sql.types.BooleanType, nullable = false)
 }
 
 class KVCdcScan(tname: String, entry: KeyGroupedRegistry.Entry) extends Scan {
@@ -351,14 +403,19 @@ class KVMicroBatchStream(tname: String)
     val s0 = start.asInstanceOf[KVOffset].seq.toInt
     val e0 = end.asInstanceOf[KVOffset].seq.toInt
     // one input partition per commit: its rows tagged with the commit seq
-    (s0 until e0).map(i => KVCdcPartition(i.toLong, log(i)): InputPartition).toArray
+    // and the tombstone flag (true = a DELETE's marker batch)
+    (s0 until e0).map { i =>
+      val (rows, tomb) = log(i)
+      KVCdcPartition(i.toLong, tomb, rows): InputPartition
+    }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new KVCdcReaderFactory
   override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-case class KVCdcPartition(seq: Long, rows: Array[Array[Any]]) extends InputPartition
+case class KVCdcPartition(seq: Long, tombstone: Boolean,
+    rows: Array[Array[Any]]) extends InputPartition
 
 class KVCdcReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -367,10 +424,11 @@ class KVCdcReaderFactory extends PartitionReaderFactory {
       private var i = -1
       override def next(): Boolean = { i += 1; i < part.rows.length }
       override def get(): InternalRow =
-        InternalRow.fromSeq((part.rows(i).toIndexedSeq :+ (part.seq: Any)).map {
-          case s: String => UTF8String.fromString(s)
-          case v => v
-        })
+        InternalRow.fromSeq(
+          (part.rows(i).toIndexedSeq :+ (part.seq: Any) :+ (part.tombstone: Any)).map {
+            case s: String => UTF8String.fromString(s)
+            case v => v
+          })
       override def close(): Unit = ()
     }
   }

@@ -661,6 +661,7 @@ object Streaming {
       val latest = org.apache.spark.sql.expressions.Window
         .partitionBy("k").orderBy(col("_commit_seq").desc)
       log.withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
+        .filter(!col("_tombstone")) // a key whose latest mutation is a DELETE is gone
         .select("k", "name").orderBy("k")
     })
 

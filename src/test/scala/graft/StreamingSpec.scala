@@ -158,25 +158,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
     val afterFirst = spark.read.parquet(s"$root/out").count()
     assert(afterFirst == 5, s"snapshot(3) + commit1(2) expected, got $afterFirst")
-    // mutations while the consumer is DOWN, then resume from the checkpoint
+    // mutations while the consumer is DOWN — an upsert AND a delete (whose
+    // tombstone must flow through the log) — then resume from the checkpoint
     upsert(2L -> "b2", 5L -> "e") // commit 2
+    val kvTable = new graft.sources.KVTable(name, KeyGroupedRegistry.get(name))
+    val delFilters: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.EqualTo("k", 3L))
+    assert(kvTable.canDeleteWhere(delFilters))
+    kvTable.deleteWhere(delFilters) // commit 3: tombstone for k=3
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
     val out = spark.read.parquet(s"$root/out")
-    // exactly-once per commit across the restart: only the new commit's rows
-    // were appended, nothing re-delivered
-    assert(out.count() == 7, s"rows=${out.count()}")
-    // folding the log by latest commit per key reproduces the batch table
+    // exactly-once per commit across the restart: only the new commits' rows
+    // were appended (2 upserts + 1 tombstone), nothing re-delivered
+    assert(out.count() == 8, s"rows=${out.count()}")
+    assert(out.filter(col("_tombstone")).count() == 1)
+    // folding the log by latest commit per key — tombstoned keys dropped —
+    // reproduces the batch table
     val latest = org.apache.spark.sql.expressions.Window
       .partitionBy("k").orderBy(col("_commit_seq").desc)
     val folded = out.withColumn("rn", row_number().over(latest))
-      .filter(col("rn") === 1).select("k", "v")
+      .filter(col("rn") === 1).filter(!col("_tombstone")).select("k", "v")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val table = spark.read.format("graft.sources.KVDataSource")
       .option("table", name).load()
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(folded == table, s"folded=$folded table=$table")
-    assert(folded == Map(1L -> "a2", 2L -> "b2", 3L -> "c", 4L -> "d", 5L -> "e"))
+    assert(folded == Map(1L -> "a2", 2L -> "b2", 4L -> "d", 5L -> "e"))
   }
 
   test("restart from checkpoint resumes into the file sink exactly once") {
