@@ -662,6 +662,26 @@ object Storage {
         .orderBy("ck").limit(5)
     },
 
+    // The FULL CQL primary-key shape — `PRIMARY KEY ((cust, prio), ck)`:
+    // composite partition key AND clustering column composed. Equality on
+    // both key columns prunes the ring to the one split owning the tuple;
+    // the pushed ck bounds then slice that split's ck-sorted rows. At
+    // 100 TB: one partition's slice, reached by token + two binary
+    // searches.
+    "q_kv_composite_ck" -> { (s, dir) =>
+      val name = s"orders_comp_ck:$dir"
+      graft.sources.KeyGroupedRegistry.stageMulti(name,
+        Tables.load(s, dir, "orders").filter(col("o_custkey") <= 100)
+          .select(col("o_custkey").as("cust"),
+            col("o_orderpriority").as("prio"),
+            col("o_orderkey").as("ck"), col("o_totalprice").as("price")),
+        Seq("cust", "prio"), clusteringCol = Some("ck"))
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .filter(col("cust") === 37 && col("prio") === "4-NOT SPECIFIED" &&
+          col("ck") >= 1 && col("ck") < 100000000L)
+        .orderBy("ck")
+    },
+
     // CQL DELETE on the KV source — the connector's programmatic delete
     // (`deleteFromCassandra` analog; the source lives outside a catalog, so
     // the DSv2 SupportsDelete surface is driven directly, exactly how the
@@ -1023,6 +1043,14 @@ object Storage {
       """SELECT o_custkey AS pk, o_orderkey AS ck, o_totalprice AS price
         |FROM orders
         |WHERE o_custkey = 37 AND o_orderkey >= 200 AND o_orderkey < 10000
+        |ORDER BY ck""".stripMargin,
+
+    "q_kv_composite_ck" ->
+      """SELECT o_custkey AS cust, o_orderpriority AS prio,
+        |  o_orderkey AS ck, o_totalprice AS price
+        |FROM orders
+        |WHERE o_custkey = 37 AND o_orderpriority = '4-NOT SPECIFIED'
+        |  AND o_orderkey >= 1 AND o_orderkey < 100000000
         |ORDER BY ck""".stripMargin,
 
     "q_kv_delete" ->

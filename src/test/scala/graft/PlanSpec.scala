@@ -178,6 +178,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(planOf(df).contains("PushedLimit: 7"), planOf(df))
   }
 
+  test("composite key + clustering column: ((cust, prio), ck) prunes and slices") {
+    val df = Storage.queries("q_kv_composite_ck")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // both key equalities compose to the one owning split...
+    assert(graft.sources.KeyGroupedRegistry.lastPlanned(s"orders_comp_ck:$sfDir") == 1)
+    val plan = planOf(df)
+    assert(plan.contains("EqualTo(cust,37)"), plan)
+    assert(plan.contains("EqualTo(prio,4-NOT SPECIFIED)"), plan)
+    // ...and the ck bounds reached the source
+    assert(plan.contains("GreaterThanOrEqual(ck,1)"), plan)
+    rows.foreach { r =>
+      assert(r.getLong(0) == 37L && r.getString(1) == "4-NOT SPECIFIED")
+    }
+  }
+
   test("timestamp clustering column: pk + ts range prunes to one sliced split") {
     val df = Storage.queries("q_kv_timeseries")(spark, sfDir)
     val rows = df.collect()
