@@ -263,6 +263,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(got == expected)
   }
 
+  test("subset-of-key grouped count pushes partial per-split counts Spark sums") {
+    import org.apache.spark.sql.functions.{col, count => fcount, lit}
+    val name = Storage.stageKvComposite(spark, sfDir)
+    // grouping by ONE of the two key columns: each split still answers from
+    // metadata (one [group, count] row), but groups span splits, so the
+    // pushdown is partial — Spark's final aggregate sums the partials
+    val df = spark.read.format("graft.sources.KVDataSource")
+      .option("table", name).load()
+      .groupBy("c_nationkey").agg(fcount(lit(1)).as("n"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan)
+    assert(plan.contains("PushedGroupBy: [c_nationkey]"), plan)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = graft.sources.Tables.load(spark, sfDir, "customer")
+      .groupBy(col("c_nationkey").cast("long")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // still metadata-only: the scan served one row per split, no data rows
+    val planned = graft.sources.KeyGroupedRegistry.lastPlanned(name)
+    assert(graft.sources.KeyGroupedRegistry.lastScanRows(name) == planned.toLong)
+  }
+
   test("secondary index prunes non-key equality to the owning splits (2i analog)") {
     val df = Storage.queries("q_kv_secondary_index")(spark, sfDir)
     val rows = df.collect()
