@@ -120,6 +120,10 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"reps":3,"canary_before_sec":${r3(canaryBefore)},"canary_after_sec":${r3(canaryAfter)},"contended":$contended,"methodology":"$meth","queries":$qs,"spread":$sp$errJson,"sf":"$sfDir"}"""
     println(line)
+    // trailing one-line summary AFTER the big line: the driver's tail capture
+    // truncated the r7 line from the head ("parsed": null), so the headline
+    // numbers must also live at the very END of stdout
+    println(s"""{"total_sec":${r3(total)},"n_ok":${ok.size},"n_err":${errors.size},"contended":$contended}""")
     // belt-and-braces copy: r3's stdout capture truncated the JSON tail, so
     // always leave an untruncated copy on disk too
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")

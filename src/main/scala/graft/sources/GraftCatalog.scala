@@ -64,13 +64,19 @@ object GraftCatalogStore {
     * merged additively into the stored value, not a replacement — CQL
     * `UPDATE t SET c = c + ?`. As in Cassandra, a counter table admits no
     * regular data columns and no writetime/TTL. */
-  final class T(val schema: StructType, val keyCol: String,
+  final class T(@volatile var schema: StructType, val keyCol: String,
       val sets: Set[String] = Set.empty,
       val writetime: Option[String] = None,
       val ttl: Option[String] = None,
       val counters: Set[String] = Set.empty,
       val now: Option[Long] = None) {
     val rows = TrieMap.empty[Any, Array[Any]]
+    /** DDL-vs-commit discipline: commits hold the READ lock (concurrent
+      * commits still interleave freely through the CAS loops), ALTER TABLE
+      * holds the WRITE lock while it migrates rows in place — so a commit
+      * can never land an old-shape row between the copy and the swap (the
+      * lost-write race of the previous copy-then-swap design). */
+    val ddlLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
   }
   val namespaces = TrieMap.empty[String, Map[String, String]]
   val tables = TrieMap.empty[(String, String), T]
@@ -225,6 +231,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val key = (nsOf(ident), ident.name())
     val t = tables.getOrElse(key, throw new NoSuchTableException(ident))
+    val wl = t.ddlLock.writeLock()
+    wl.lock()
+    try {
     var schema = t.schema
     var migrations = List.empty[Array[Any] => Array[Any]]
     changes.foreach {
@@ -253,13 +262,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case other =>
         throw new UnsupportedOperationException(s"alterTable: $other")
     }
-    val nt = new GraftCatalogStore.T(
-      schema, t.keyCol, t.sets, t.writetime, t.ttl, t.counters, t.now)
+    // migrate rows IN PLACE under the write lock (commits are excluded, so
+    // no concurrently-committed row can be lost or keep the old shape)
     val mig = migrations.reverse
     t.rows.foreach { case (k, r) =>
-      nt.rows.put(k, mig.foldLeft(r)((acc, f) => f(acc)))
+      t.rows.put(k, mig.foldLeft(r)((acc, f) => f(acc)))
     }
-    tables.put(key, nt)
+    t.schema = schema
+    } finally wl.unlock()
     loadTable(ident)
   }
   override def renameTable(from: Identifier, to: Identifier): Unit =
@@ -318,10 +328,15 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       private val ifNotExists = info.options.getBoolean("ifnotexists", false)
       require(!(ifNotExists && t.counters.nonEmpty),
         s"$tname: INSERT IF NOT EXISTS is not supported on counter tables (CQL restriction)")
+      // extract with the ANALYZED write schema, not t.schema: a concurrent
+      // ALTER ADD between analysis and execution would otherwise make the
+      // writer read past the incoming row's width (adds append, so the
+      // analyzed schema is always a prefix of the current one; commit pads)
+      private val writeSchema = info.schema()
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-            GWriterFactory(t.schema)
+            GWriterFactory(writeSchema)
           // the upsert: every incoming row replaces the stored row with the
           // same key value — Cassandra INSERT semantics at the commit level.
           // Set-typed columns are deduplicated + ordered here (CQL set<T>
@@ -330,6 +345,9 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
           // tie-break — order of application is immaterial); counter columns
           // merge additively instead of replacing.
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val rl = t.ddlLock.readLock()
+            rl.lock()
+            try {
             val ki = t.schema.fieldIndex(t.keyCol)
             val setIdx = t.schema.fields.zipWithIndex.collect {
               case (f, i) if t.sets(f.name) =>
@@ -348,8 +366,18 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
                 rows.foreach(r => GUpsertTable.epochMicros(r(wi)))
               }
             }
-            messages.foreach { case GCommit(rows) =>
-              rows.foreach { r =>
+            // a row written against a pre-ALTER-ADD schema is shorter than
+            // the current one: pad with NULLs (absent-cell semantics —
+            // exactly what the migration gives pre-existing rows). Adds
+            // append and semantic columns are create-time-fixed, so every
+            // index below is stable across the pad.
+            val arity = t.schema.length
+            def padded(r0: Array[Any]): Array[Any] =
+              if (r0.length < arity) r0 ++ Array.fill[Any](arity - r0.length)(null)
+              else r0
+            messages.foreach { case GCommit(rows0) =>
+              rows0.foreach { r0 =>
+                val r = padded(r0)
                 setIdx.foreach { case (i, et) =>
                   if (r(i) != null)
                     r(i) = GraftCatalogStore.canonicalSet(
@@ -401,6 +429,7 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
                 }
               }
             }
+            } finally rl.unlock()
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
@@ -567,6 +596,13 @@ class GRowLevelOperation(tname: String, t: GraftCatalogStore.T,
     cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
   require(t.counters.isEmpty,
     s"$tname: row-level operations are not supported on counter tables")
+  // eager, named failure instead of a confusing scan-time error: the target
+  // scan of a TTL table needs a logical clock, and SQL MERGE/UPDATE/DELETE
+  // cannot pass a per-scan read option — only the table property can supply it
+  require(t.ttl.isEmpty || t.now.isDefined,
+    s"$tname: row-level operations (MERGE / UPDATE / non-key DELETE) on a " +
+      "TTL table require the 'now' table property (epoch seconds) — SQL " +
+      "statements cannot pass the per-scan 'now' read option")
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GScanBuilder(tname, t, options)
@@ -587,16 +623,56 @@ class GDeltaBatchWrite(t: GraftCatalogStore.T) extends DeltaBatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     GDeltaWriterFactory(t.schema, t.schema(t.keyCol).dataType)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    messages.foreach { case GDeltaCommit(ops) =>
-      ops.foreach {
-        case (GDeltaWriterFactory.Delete, key, _) => t.rows.remove(key)
-        case (_, key, row) => // insert / update: keyed replace, sets canonical
-          GUpsertTable.canonicalizeSets(t, row)
-          val ki = t.schema.fieldIndex(t.keyCol)
-          if (key != null && key != row(ki)) t.rows.remove(key) // key change relocates
-          t.rows.put(row(ki), row)
+    val rl = t.ddlLock.readLock()
+    rl.lock()
+    try {
+      val ki = t.schema.fieldIndex(t.keyCol)
+      val wtIdx = t.writetime.map(t.schema.fieldIndex)
+      // validate EVERY delta's writetime before applying ANY row — the same
+      // eager discipline as the INSERT commit: a MERGE that stores a
+      // NULL-writetime row would otherwise poison every later scan of the
+      // table (epochMicros throws there, blaming the wrong statement)
+      wtIdx.foreach { wi =>
+        messages.foreach { case GDeltaCommit(ops) =>
+          ops.foreach { case (op, _, row) =>
+            if (op != GDeltaWriterFactory.Delete) GUpsertTable.epochMicros(row(wi))
+          }
+        }
       }
-    }
+      // pad pre-ALTER-ADD-shaped rows to the current arity (see the INSERT
+      // commit's padding note — same absent-cell semantics)
+      val arity = t.schema.length
+      def padded(r0: Array[Any]): Array[Any] =
+        if (r0.length < arity) r0 ++ Array.fill[Any](arity - r0.length)(null)
+        else r0
+      messages.foreach { case GDeltaCommit(ops) =>
+        ops.foreach {
+          case (GDeltaWriterFactory.Delete, key, _) => t.rows.remove(key)
+          case (_, key, row0) => // insert / update: keyed replace, sets canonical
+            val row = padded(row0)
+            GUpsertTable.canonicalizeSets(t, row)
+            if (key != null && key != row(ki)) t.rows.remove(key) // key change relocates
+            wtIdx match {
+              case Some(wi) =>
+                // timestamp-ordered LWW via the same CAS discipline as the
+                // INSERT path: a stale-writetime MERGE cannot clobber newer
+                // data, preserving the convergence invariant UpsertSpec
+                // property-tests
+                var done = false
+                while (!done) t.rows.get(row(ki)) match {
+                  case Some(prev) =>
+                    val (nw, ow) = (GUpsertTable.epochMicros(row(wi)),
+                      GUpsertTable.epochMicros(prev(wi)))
+                    val applies = nw > ow ||
+                      (nw == ow && GUpsertTable.tieGreater(row, prev, ki, t.schema))
+                    done = !applies || t.rows.replace(row(ki), prev, row)
+                  case None => done = t.rows.putIfAbsent(row(ki), row).isEmpty
+                }
+              case None => t.rows.put(row(ki), row)
+            }
+        }
+      }
+    } finally rl.unlock()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountS
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, LessThan}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, IsNotNull, LessThan}
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -146,12 +146,20 @@ object KeyGroupedRegistry {
     case _ => false
   }
 
+  /** Hard bound on rows staged into the in-driver registry. The registry
+    * stands in for the EXTERNAL cluster, so nothing staged here is ever a
+    * scale path — but the driver-memory bound must be an assertion, not a
+    * comment: a caller accidentally pointing a 100 TB table at stageMulti
+    * should fail loudly at staging, not OOM the driver. */
+  val StagingRowCap = 5000000
+
   /** Collect a (small) DataFrame into the registry grouped by the key tuple.
     * Driver-side by design: the registry emulates the external cluster that
     * owns the data; at real scale rows never pass through the driver. */
   def stageMulti(name: String, df: DataFrame, keyCols: Seq[String],
       clusteringCol: Option[String] = None,
-      indexCols: Seq[String] = Nil): Unit = {
+      indexCols: Seq[String] = Nil,
+      maxRows: Int = StagingRowCap): Unit = {
     if (contains(name)) return
     val schema = df.schema
     keyCols.foreach { k =>
@@ -171,9 +179,23 @@ object KeyGroupedRegistry {
     }
     val kis = keyCols.map(schema.fieldIndex)
     val ci = clusteringCol.map(schema.fieldIndex)
-    val grouped = df.collect()
-      .map(r => r.toSeq.toArray.zip(schema.fields)
-        .map { case (v, f) => toStoredCell(f.dataType, v) })
+    // collect through limit(cap+1) so an over-cap input fails the require
+    // below after materializing at most cap+1 rows — never the full table
+    val collected = df.limit(maxRows + 1).collect()
+    require(collected.length <= maxRows,
+      s"graft-kv:$name staging exceeds the $maxRows-row driver-memory cap; " +
+        "the registry stands in for an external cluster and is not a data path")
+    val grouped = collected
+      .map { r =>
+        val a = r.toSeq.toArray.zip(schema.fields)
+          .map { case (v, f) => toStoredCell(f.dataType, v) }
+        // CQL: no component of the primary key may be null — enforced at
+        // staging so IsNotNull on these columns is sound to push as a no-op
+        (kis ++ ci).foreach(i => require(a(i) != null,
+          s"graft-kv:$name primary-key column ${schema.fields(i).name} " +
+            "cannot be null (CQL)"))
+        a
+      }
       .groupBy(a => kis.map(a(_)).toVector)
       .toArray
       .sortBy(_._1.map(String.valueOf).mkString("\u0000")) // any stable order
@@ -567,6 +589,11 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
       // bounds normalize to the stored epoch-micros/days encoding
       case GreaterThanOrEqual(a, v) => ck.contains(a) && KVScan.ckValue(v).nonEmpty
       case LessThan(a, v) => ck.contains(a) && KVScan.ckValue(v).nonEmpty
+      // primary-key columns are non-null by construction (CQL; staging and
+      // the write path both enforce it), so Spark's inferred IsNotNull is a
+      // no-op here — accepting it lets a ck-range query report ALL filters
+      // pushed, which is what unlocks aggregate pushdown on top
+      case IsNotNull(a) => keySet(a) || ck.contains(a)
       case _ => false
     }
     pushed = sup
@@ -835,7 +862,13 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
         val gIdx = groupCols.map(entry.schema.fieldIndex)
         val gTypes = groupCols.map(entry.schema(_).dataType)
         entry.parts.collect {
-          case (k, rows) if keepKey(k) =>
+          // a GROUPED count must OMIT splits whose pushed ck-range/index
+          // predicates leave zero surviving rows: SQL semantics drop empty
+          // groups, and under complete pushdown Spark would surface a
+          // phantom [key..., 0] row verbatim. The ungrouped count keeps
+          // every split — a 0 still sums correctly into the partial total.
+          case (k, rows) if keepKey(k) &&
+              (groupCols.isEmpty || servedRows(rows).nonEmpty) =>
             val groupVals = gIdx.map(rows.head(_)).zip(gTypes).map {
               case (s: String, StringType) => UTF8String.fromString(s)
               case (v, _) => v

@@ -74,7 +74,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val df = Storage.queries("q_kv_composite_key")(spark, sfDir)
     val rows = df.collect()
     assert(rows.nonEmpty)
-    // of the 125 (nation, segment) splits, exactly the one owning (3,
+    // of the 125 (nation, segment) splits, exactly the one owning (11,
     // BUILDING) was planned — equality on BOTH key columns composes
     assert(graft.sources.KeyGroupedRegistry.lastPlanned(s"cust_comp:$sfDir") == 1)
     val plan = planOf(df)
@@ -242,6 +242,35 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(served == rows.length.toLong, s"served $served, returned ${rows.length}")
     assert(served < total, s"per-partition limit did not reduce the scan")
     assert(planOf(df).contains("PerPartitionLimit: 3"), planOf(df))
+  }
+
+  test("grouped count with a pushed ck predicate omits empty groups (no phantom zeros)") {
+    import org.apache.spark.sql.functions.{col, count => fcount, lit}
+    val name = Storage.stageOrdersCk(spark, sfDir)
+    val ordersF = graft.sources.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_custkey") <= 200)
+    // threshold at ~70% of the max orderkey: some customers have no orders
+    // past it, so their splits serve ZERO rows under the pushed ck range —
+    // under complete pushdown those groups must be OMITTED, not emitted as
+    // phantom [pk, 0] rows SQL semantics would never produce
+    val thr = (ordersF.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+      .head.getLong(0) * 0.7).toLong
+    val df = spark.read.format("graft.sources.KVDataSource")
+      .option("table", name).load()
+      .filter(col("ck") >= thr)
+      .groupBy("pk").agg(fcount(lit(1)).as("n"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan)
+    assert(plan.contains("GreaterThanOrEqual(ck"), plan)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ordersF.filter(col("o_orderkey") >= thr)
+      .groupBy(col("o_custkey").cast("long")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // the scenario is real: at least one key group was emptied by the range
+    val allKeys = ordersF.select("o_custkey").distinct.count()
+    assert(expected.size < allKeys, s"${expected.size} vs $allKeys")
+    assert(!got.valuesIterator.contains(0L), got)
   }
 
   test("grouped count by the full key tuple is answered from registry metadata") {
