@@ -322,23 +322,37 @@ object Storage {
         t_list ARRAY<INT>, t_set ARRAY<STRING>, t_map MAP<STRING,INT>,
         t_tuple STRUCT<a:INT,b:STRING>)
         TBLPROPERTIES ('key'='id', 'sets'='t_set')""")
-      s.sql("""INSERT INTO graftcat.testks.typed VALUES
-        (1, 'stale', -1, -1S, -1Y, CAST(-1.0 AS FLOAT), -1.0,
+      // stage the write log (batch 0 = the stale row 1, batch 1 = the final
+      // rows) as parquet at a FIXED path, then drive the catalog inserts
+      // FROM that log — so the DuckDB oracle can recompute the upsert winner
+      // (max batch per id) and every output serialization from the same
+      // staged rows instead of trusting an expected-value literal
+      s.sql("""SELECT * FROM VALUES
+        (0, 1, 'stale', CAST(-1 AS BIGINT), -1S, -1Y, CAST(-1.0 AS FLOAT), -1.0,
          CAST('-1' AS DECIMAL(38,18)), false, DATE'1999-01-01',
          TIMESTAMP'1999-01-01 00:00:00', 'x', 'x', X'00',
-         array(0), array('z'), map('z', 0), named_struct('a', 0, 'b', 'z'))""")
-      s.sql("""INSERT INTO graftcat.testks.typed VALUES
-        (1, 'alpha', 9007199254740993, 7S, 3Y, CAST(1.5 AS FLOAT), 2.25,
+         array(0), array('z'), map('z', 0), named_struct('a', 0, 'b', 'z')),
+        (1, 1, 'alpha', 9007199254740993, 7S, 3Y, CAST(1.5 AS FLOAT), 2.25,
          CAST('123456789.123456789' AS DECIMAL(38,18)), true, DATE'2024-03-01',
          TIMESTAMP'2024-03-01 12:34:56',
          '550e8400-e29b-41d4-a716-446655440000', '10.0.0.1', X'6772616674',
          array(3, 1, 2), array('b', 'a', 'b'), map('k1', 1, 'k2', 2),
          named_struct('a', 42, 'b', 'answer')),
-        (2, 'beta', -5, -7S, -3Y, CAST(0.25 AS FLOAT), -2.5,
+        (1, 2, 'beta', CAST(-5 AS BIGINT), -7S, -3Y, CAST(0.25 AS FLOAT), -2.5,
          CAST('-0.5' AS DECIMAL(38,18)), false, DATE'1970-01-01',
          CAST(NULL AS TIMESTAMP), '00000000-0000-0000-0000-000000000000',
-         '192.168.1.255', X'00FF', array(), array('solo'), map(),
-         named_struct('a', -1, 'b', ''))""")
+         '192.168.1.255', X'00FF', CAST(array() AS ARRAY<INT>),
+         array('solo'), CAST(map() AS MAP<STRING,INT>),
+         named_struct('a', -1, 'b', ''))
+        AS t(_batch, id, t_text, t_bigint, t_smallint, t_tinyint, t_float,
+          t_double, t_decimal, t_boolean, t_date, t_ts, t_uuid, t_inet,
+          t_blob, t_list, t_set, t_map, t_tuple)""")
+        .write.mode(SaveMode.Overwrite).parquet("/tmp/graft-types-input")
+      val log = s.read.parquet("/tmp/graft-types-input")
+      Seq(0, 1).foreach { b =>
+        log.filter(col("_batch") === b).drop("_batch")
+          .writeTo("graftcat.testks.typed").append()
+      }
       s.sql("""SELECT id, t_text, t_bigint, t_smallint, t_tinyint, t_float,
           t_double, CAST(t_decimal AS STRING) AS t_decimal_str, t_boolean,
           t_date, t_ts, t_uuid, t_inet, base64(t_blob) AS t_blob_b64,
@@ -751,16 +765,28 @@ object Storage {
 
     // The 100 TB replacements for exact distinct/percentile: HLL++ and
     // GK-sketch run in fixed memory per group (the exact forms buffer every
-    // value — q_percentile keeps them for oracle parity; these scale).
-    // Values are sketch-specific → no DuckDB oracle (rows/schema check).
+    // value — q_percentile keeps them for oracle parity; these scale). Raw
+    // sketch values are engine-specific, so the DECLARED columns are the
+    // exact answers plus in-engine "sketch within 5% of exact" booleans —
+    // the oracle recomputes the exact values and pins every flag true,
+    // making the sketch quality itself driver-checkable.
     "q_approx_distinct" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_nd_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_nd_supps"),
-          expr("percentile_approx(l_quantity, 0.5, 10000)").as("approx_p50"),
-          expr("percentile_approx(l_quantity, 0.9, 10000)").as("approx_p90"))
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          approx_count_distinct(col("l_partkey")).as("a_parts"),
+          approx_count_distinct(col("l_suppkey")).as("a_supps"),
+          expr("percentile_approx(l_quantity, 0.5, 10000)").as("a_p50"))
+        .select(col("l_returnflag"), col("nd_parts"), col("nd_supps"), col("p50"),
+          (abs(col("a_parts") - col("nd_parts")) <= col("nd_parts") * 0.05)
+            .as("parts_within_5pct"),
+          (abs(col("a_supps") - col("nd_supps")) <= col("nd_supps") * 0.05)
+            .as("supps_within_5pct"),
+          (abs(col("a_p50") - col("p50")) <= abs(col("p50")) * 0.05)
+            .as("p50_within_5pct"))
         .orderBy("l_returnflag")
     },
 
@@ -1137,27 +1163,43 @@ object Storage {
         | (1, 'alpha'), (2, 'alpha'), (3, 'beta')) AS t(id, owner)
         |ORDER BY id""".stripMargin,
 
-    // Expected end-state literals (row 1 overwritten by the upsert; set
-    // deduped+ordered; serialized columns as exact strings).
+    // recomputed from the staged write log the query itself drives the
+    // catalog from: the upsert winner is the max-batch row per id, the set
+    // column is deduped+ordered, and every serialization (decimal string,
+    // base64 blob, JSON collections) is re-derived by DuckDB — no
+    // expected-value literals
     "q_types_roundtrip" ->
-      """SELECT * FROM (VALUES
-        | (1, 'alpha', 9007199254740993, CAST(7 AS SMALLINT), CAST(3 AS TINYINT),
-        |  CAST(1.5 AS REAL), 2.25, '123456789.123456789000000000', true,
-        |  DATE '2024-03-01', TIMESTAMP '2024-03-01 12:34:56',
-        |  '550e8400-e29b-41d4-a716-446655440000', '10.0.0.1', 'Z3JhZnQ=',
-        |  '[3,1,2]', '["a","b"]', '{"k1":1,"k2":2}', '{"a":42,"b":"answer"}'),
-        | (2, 'beta', -5, CAST(-7 AS SMALLINT), CAST(-3 AS TINYINT),
-        |  CAST(0.25 AS REAL), -2.5, '-0.500000000000000000', false,
-        |  DATE '1970-01-01', CAST(NULL AS TIMESTAMP),
-        |  '00000000-0000-0000-0000-000000000000', '192.168.1.255', 'AP8=',
-        |  '[]', '["solo"]', '{}', '{"a":-1,"b":""}')
-        |) AS t(id, t_text, t_bigint, t_smallint, t_tinyint, t_float, t_double,
-        |  t_decimal_str, t_boolean, t_date, t_ts, t_uuid, t_inet, t_blob_b64,
-        |  t_list_json, t_set_json, t_map_json, t_tuple_json)
-        |ORDER BY id""".stripMargin,
+      """WITH inp AS (
+        |  SELECT * FROM read_parquet('/tmp/graft-types-input/*.parquet')),
+        |w AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY _batch DESC)
+        |      AS rn
+        |    FROM inp) t
+        |  WHERE rn = 1)
+        |SELECT id, t_text, t_bigint, t_smallint, t_tinyint, t_float, t_double,
+        |  CAST(t_decimal AS VARCHAR) AS t_decimal_str, t_boolean, t_date, t_ts,
+        |  t_uuid, t_inet, base64(t_blob) AS t_blob_b64,
+        |  to_json(t_list) AS t_list_json,
+        |  to_json(list_sort(list_distinct(t_set))) AS t_set_json,
+        |  to_json(t_map) AS t_map_json,
+        |  to_json(t_tuple) AS t_tuple_json
+        |FROM w ORDER BY id""".stripMargin,
 
-    // q_approx_distinct intentionally has no oracle: HLL++/GK sketch values
-    // are engine-specific; the driver records a rows/schema check.
+    // exact distinct/percentile recomputed by DuckDB; the within-5pct flags
+    // (sketch vs exact, computed in-engine) are pinned true — a drifting
+    // sketch fails the hash compare
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supps,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  true AS parts_within_5pct,
+        |  true AS supps_within_5pct,
+        |  true AS p50_within_5pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // evolution end state: literal-input DDL demo (the evolution SEMANTICS
     // — NULL padding, protected columns — are unit-tested in UpsertSpec)

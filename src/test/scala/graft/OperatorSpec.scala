@@ -25,9 +25,10 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     // every oracle points at a real query; every query is oracle-checked
-    // except the sketch-valued one (engine-specific HLL/GK values)
+    // (the sketch query declares exact values + within-5pct flags, so even
+    // it is hash-comparable)
     assert(o.subsetOf(q))
-    assert((q -- o) == Set("q_approx_distinct"))
+    assert((q -- o) == Set.empty, (q -- o).toSeq.sorted)
   }
 
   test("minhash near-dup pairs are ordered and above the jaccard threshold") {
@@ -148,22 +149,21 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("approx_count_distinct stays within 5% of exact per group") {
-    // bounds the sketch query the oracle can't check (HLL values are
-    // engine-specific): default rsd=5%, asserted against the exact distinct
-    // counts of the same pipeline
+    // the query now carries the bound itself: exact values plus in-engine
+    // within-5pct flags the oracle pins true. Assert the flags here too and
+    // cross-check the declared exact counts against the independent
+    // q_count_distinct pipeline.
     import graft.operators.{Relational, Storage}
-    val approx = Storage.queries("q_approx_distinct")(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Storage.queries("q_approx_distinct")(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"${r.getString(0)} parts sketch drifted >5%")
+      assert(r.getBoolean(5), s"${r.getString(0)} supps sketch drifted >5%")
+      assert(r.getBoolean(6), s"${r.getString(0)} p50 sketch drifted >5%")
+    }
+    val declared = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exact = Relational.queries("q_count_distinct")(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (flag, (ndParts, ndSupps)) =>
-      val (aParts, aSupps) = approx(flag)
-      assert(math.abs(aParts - ndParts).toDouble / ndParts <= 0.05,
-        s"$flag parts: approx $aParts vs exact $ndParts")
-      assert(math.abs(aSupps - ndSupps).toDouble / ndSupps <= 0.05,
-        s"$flag supps: approx $aSupps vs exact $ndSupps")
-    }
+    assert(declared == exact)
   }
 
   test("chunking caps chunks at 32 tokens, indexes them contiguously, covers all tokens") {
