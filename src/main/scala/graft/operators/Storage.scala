@@ -752,6 +752,22 @@ object Storage {
         .orderBy("pk", "ck")
     },
 
+    // MIN/MAX(ck) aggregate pushdown — the metadata sibling of the grouped
+    // count: partitions are ck-sorted, so each split's per-key MIN(ck) is
+    // its first row and MAX(ck) its last (array-edge reads; with pushed ck
+    // bounds, the edges of the binary-searched slice). Grouped by the full
+    // key the pushdown is COMPLETE: one metadata row per split, no data row
+    // materialized, no re-aggregation (PlanSpec asserts both). At 100 TB
+    // "first/last event per key" never touches row data.
+    "q_kv_minmax_pushdown" -> { (s, dir) =>
+      val name = stageOrdersCk(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .groupBy("pk")
+        .agg(min(col("ck")).as("first_ck"), max(col("ck")).as("last_ck"),
+          count(lit(1)).as("n"))
+        .orderBy("pk")
+    },
+
     // Count pushdown (cassandraCount analog): the DSv2 parquet scan answers
     // COUNT(*) from footer metadata without materializing rows
     // (PushedAggregation=[COUNT(*)], asserted in PlanSpec).
@@ -1053,6 +1069,12 @@ object Storage {
 
     "q_kv_count_pushdown" ->
       "SELECT COUNT(*) AS n_rows FROM customer",
+
+    "q_kv_minmax_pushdown" ->
+      """SELECT o_custkey AS pk, MIN(o_orderkey) AS first_ck,
+        |  MAX(o_orderkey) AS last_ck, COUNT(*) AS n
+        |FROM orders WHERE o_custkey <= 200
+        |GROUP BY 1 ORDER BY pk""".stripMargin,
 
     "q_kv_upsert" ->
       """SELECT k, name FROM (

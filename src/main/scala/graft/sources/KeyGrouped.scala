@@ -10,12 +10,12 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, IsNotNull, LessThan}
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -567,7 +567,7 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = entry.schema
   private var pushed: Array[Filter] = Array.empty
-  private var countPushed = false
+  private var pushedAggs: Seq[KVScan.PushedAgg] = Nil
   private var groupCols: Seq[String] = Nil
   private var limit: Option[Int] = None
   private var topN: Option[(Boolean, Int)] = None // (ascending, n) on ck
@@ -641,37 +641,67 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     }
     Some(names)
   }
-  private def isCountStar(agg: Aggregation): Boolean =
-    agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+  /** Each aggregate expression that can be served from registry metadata /
+    * partition edges: COUNT(*) (per-key row counts), and MIN/MAX of the
+    * clustering column — partitions are ck-sorted, so a split's MIN(ck) is
+    * its first surviving row's ck and MAX(ck) its last (two array-edge
+    * reads, no row materialization; with pushed ck bounds, the edges of the
+    * binary-searched slice). None = some aggregate isn't servable. */
+  private def aggSpecs(agg: Aggregation): Option[Seq[KVScan.PushedAgg]] = {
+    def isCk(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.length == 1 &&
+          entry.clusteringCol.contains(nr.fieldNames()(0))
+        case _ => false
+      }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => KVScan.AggCount
+      case m: Min if isCk(m.column) => KVScan.AggMinCk
+      case m: Max if isCk(m.column) => KVScan.AggMaxCk
+      case _ => return None
+    }
+    Some(specs)
+  }
 
-  /** A count grouped by the FULL key tuple is final: every split holds one
-    * whole group, so per-split counts ARE the answer — no re-aggregation. */
+  /** An aggregate grouped by the FULL key tuple is final: every split holds
+    * one whole group, so per-split values ARE the answer — no
+    * re-aggregation. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    isCountStar(agg) && groupByNames(agg).exists(ns =>
+    aggSpecs(agg).exists(_.nonEmpty) && groupByNames(agg).exists(ns =>
       ns.nonEmpty && ns.toSet == entry.keyCols.toSet)
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    // COUNT(*) — ungrouped, or grouped by key columns: counts are per-key
-    // metadata in the registry (the cassandraCount analog; grouped form =
-    // Cassandra's per-partition count). Ungrouped and subset-of-key
-    // groupings return per-split partial counts that Spark sums; the
-    // full-key grouping is complete (see supportCompletePushDown).
-    if (!isCountStar(agg)) return false
-    groupByNames(agg) match {
-      case Some(Nil) => countPushed = true; true
-      case Some(ns) if ns.forall(entry.keyCols.contains) =>
-        groupCols = ns; countPushed = true; true
+    // COUNT(*) / MIN(ck) / MAX(ck) — ungrouped, or grouped by key columns:
+    // all answered from registry metadata and ck-sorted partition edges
+    // (the cassandraCount analog, extended to the clustering column's
+    // extrema). Ungrouped and subset-of-key groupings return per-split
+    // partials Spark re-aggregates (sum of counts, min of mins, max of
+    // maxes); the full-key grouping is complete (supportCompletePushDown).
+    aggSpecs(agg) match {
+      case Some(specs) if specs.nonEmpty =>
+        groupByNames(agg) match {
+          case Some(Nil) => pushedAggs = specs; true
+          case Some(ns) if ns.forall(entry.keyCols.contains) =>
+            groupCols = ns; pushedAggs = specs; true
+          case _ => false
+        }
       case _ => false
     }
   }
 
   override def build(): Scan =
-    new KVScan(tname, entry, required, pushed, countPushed, groupCols, limit,
+    new KVScan(tname, entry, required, pushed, pushedAggs, groupCols, limit,
       topN, perPartitionLimit)
 }
 
 object KVScan {
+  /** Aggregates servable without materializing rows (see
+    * KVScanBuilder.aggSpecs). */
+  sealed trait PushedAgg
+  case object AggCount extends PushedAgg
+  case object AggMinCk extends PushedAgg
+  case object AggMaxCk extends PushedAgg
+
   /** Pushed clustering-column comparison value → the stored long encoding
     * (integral as-is, timestamp → epoch micros, date → epoch days) so the
     * binary-search slice works identically for `ck BIGINT` and the
@@ -690,23 +720,38 @@ object KVScan {
 }
 
 class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
-    required: StructType, pushed: Array[Filter], countPushed: Boolean = false,
+    required: StructType, pushed: Array[Filter],
+    pushedAggs: Seq[KVScan.PushedAgg] = Nil,
     groupCols: Seq[String] = Nil, limit: Option[Int] = None,
     topN: Option[(Boolean, Int)] = None, perPartitionLimit: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
+  import KVScan.{AggCount, AggMaxCk, AggMinCk}
+
+  private def aggPushed: Boolean = pushedAggs.nonEmpty
+  private def aggLabel(a: KVScan.PushedAgg): String = a match {
+    case AggCount => "COUNT(*)"
+    case AggMinCk => s"MIN(${entry.clusteringCol.get})"
+    case AggMaxCk => s"MAX(${entry.clusteringCol.get})"
+  }
   override def readSchema(): StructType =
-    if (countPushed)
-      groupCols.foldRight(
-        new StructType().add("count(*)", LongType, nullable = false)) {
-        (c, acc) => new StructType((entry.schema(c) +: acc.fields).toArray)
+    if (aggPushed) {
+      val aggFields = pushedAggs.map {
+        case AggCount => StructField("count(*)", LongType, nullable = false)
+        case AggMinCk =>
+          val c = entry.clusteringCol.get
+          StructField(s"min($c)", entry.schema(c).dataType)
+        case AggMaxCk =>
+          val c = entry.clusteringCol.get
+          StructField(s"max($c)", entry.schema(c).dataType)
       }
-    else required
+      StructType((groupCols.map(entry.schema(_)) ++ aggFields).toArray)
+    } else required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-kv:$tname pushed=[${pushed.mkString(",")}]" +
-      (if (countPushed)
-        s" PushedAggregation: [COUNT(*)]" +
+      (if (aggPushed)
+        s" PushedAggregation: [${pushedAggs.map(aggLabel).mkString(",")}]" +
           (if (groupCols.nonEmpty) s" PushedGroupBy: [${groupCols.mkString(",")}]" else "")
       else "") +
       limit.map(l => s" PushedLimit: $l").getOrElse("") +
@@ -821,7 +866,7 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
   override def outputPartitioning(): Partitioning =
     // key-grouped only while every key column survives column pruning —
     // otherwise the grouping is unobservable by the query and unreportable
-    if (!countPushed && entry.keyCols.forall(required.fieldNames.contains))
+    if (!aggPushed && entry.keyCols.forall(required.fieldNames.contains))
       new KeyGroupedPartitioning(
         entry.keyCols.map(Expressions.identity).toArray[org.apache.spark.sql.connector.expressions.Expression],
         keptKeys.length)
@@ -855,26 +900,38 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts: Array[InputPartition] =
-      if (countPushed) {
-        // one metadata row per split: [group-values..., row-count] — the
-        // full-key grouping is final as-is; ungrouped / subset groupings are
-        // partial counts Spark sums (no data row materialized either way)
+      if (aggPushed) {
+        // one metadata row per split: [group-values..., agg-values...] — a
+        // count from the served-row length, MIN/MAX(ck) from the EDGES of
+        // the split's ck-sorted (and possibly ck-sliced) rows — the
+        // full-key grouping is final as-is; ungrouped / subset groupings
+        // are partials Spark re-aggregates (no data row materialized
+        // either way)
         val gIdx = groupCols.map(entry.schema.fieldIndex)
         val gTypes = groupCols.map(entry.schema(_).dataType)
         entry.parts.collect {
-          // a GROUPED count must OMIT splits whose pushed ck-range/index
+          // a GROUPED aggregate must OMIT splits whose pushed ck-range/index
           // predicates leave zero surviving rows: SQL semantics drop empty
           // groups, and under complete pushdown Spark would surface a
-          // phantom [key..., 0] row verbatim. The ungrouped count keeps
-          // every split — a 0 still sums correctly into the partial total.
+          // phantom [key..., 0] row verbatim. The ungrouped form keeps
+          // every split — a 0 count still sums correctly and a NULL
+          // min/max is ignored by the final aggregate.
           case (k, rows) if keepKey(k) &&
               (groupCols.isEmpty || servedRows(rows).nonEmpty) =>
             val groupVals = gIdx.map(rows.head(_)).zip(gTypes).map {
               case (s: String, StringType) => UTF8String.fromString(s)
               case (v, _) => v
             }
+            val served = servedRows(rows)
+            val aggVals = pushedAggs.map {
+              case AggCount => served.length.toLong: Any
+              case AggMinCk =>
+                if (served.isEmpty) null else served.head(ckIx.get)
+              case AggMaxCk =>
+                if (served.isEmpty) null else served.last(ckIx.get)
+            }
             KVPartition(internalKey(k), KVRing.replicasOf(k).toArray,
-              Array((groupVals :+ servedRows(rows).length.toLong).toArray[Any])): InputPartition
+              Array((groupVals ++ aggVals).toArray[Any])): InputPartition
         }
       } else {
         val idx = required.fieldNames.map(entry.schema.fieldIndex)

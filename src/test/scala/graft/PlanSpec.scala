@@ -273,6 +273,59 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!got.valuesIterator.contains(0L), got)
   }
 
+  test("MIN/MAX(ck) pushdown serves partition edges, no row materialization") {
+    import org.apache.spark.sql.functions.{col, count => fcount, lit, max => fmax, min => fmin}
+    val df = Storage.queries("q_kv_minmax_pushdown")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("PushedAggregation: [MIN(ck),MAX(ck),COUNT(*)]"), plan)
+    assert(plan.contains("PushedGroupBy: [pk]"), plan)
+    // complete pushdown on the full key: no partial/final re-aggregation
+    assert(!plan.contains("partial_min"), plan)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // metadata-only: the scan served exactly one row per planned split
+    val name = s"orders_ck:$sfDir"
+    val planned = graft.sources.KeyGroupedRegistry.lastPlanned(name)
+    assert(graft.sources.KeyGroupedRegistry.lastScanRows(name) == planned.toLong)
+    val expected = graft.sources.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_custkey") <= 200)
+      .groupBy("o_custkey")
+      .agg(fmin("o_orderkey"), fmax("o_orderkey"), fcount(lit(1)))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    // with a pushed ck range, the extrema come from the EDGES of the sliced
+    // rows — still one metadata row per surviving split
+    val thr = expected.valuesIterator.map(_._2).max * 7 / 10
+    val sliced = spark.read.format("graft.sources.KVDataSource")
+      .option("table", name).load()
+      .filter(col("ck") >= thr)
+      .groupBy("pk").agg(fmin(col("ck")).as("lo"), fmax(col("ck")).as("hi"))
+    val gotS = sliced.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expS = graft.sources.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_custkey") <= 200 && col("o_orderkey") >= thr)
+      .groupBy("o_custkey")
+      .agg(fmin("o_orderkey"), fmax("o_orderkey"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotS == expS)
+    assert(graft.sources.KeyGroupedRegistry.lastScanRows(name) ==
+      graft.sources.KeyGroupedRegistry.lastPlanned(name).toLong)
+    // the canonical time-series shape: MIN/MAX of a TIMESTAMP ck ride the
+    // stored epoch-micros encoding and come back as timestamps
+    Storage.queries("q_kv_timeseries")(spark, sfDir).collect() // stages events_ts
+    val ts = spark.read.format("graft.sources.KVDataSource")
+      .option("table", s"events_ts:$sfDir").load()
+      .groupBy("pk").agg(fmin(col("ts")).as("first_seen"), fmax(col("ts")).as("last_seen"))
+    assert(planOf(ts).contains("PushedAggregation: [MIN(ts),MAX(ts)]"), planOf(ts))
+    val gotT = ts.collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    val expT = graft.sources.Tables.load(spark, sfDir, "events")
+      .filter(col("user_id") <= 50)
+      .groupBy("user_id").agg(fmin("ts"), fmax("ts"))
+      .collect().map(r => r.getLong(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    assert(gotT == expT)
+  }
+
   test("grouped count by the full key tuple is answered from registry metadata") {
     val df = Storage.queries("q_kv_grouped_count")(spark, sfDir)
     val plan = planOf(df)
