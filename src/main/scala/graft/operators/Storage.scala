@@ -457,6 +457,61 @@ object Storage {
       s.sql("SELECT * FROM graftcat.testks.claims ORDER BY id")
     },
 
+    // CQL UPDATE semantics — PER-CELL writetime/TTL LWW (the reconciliation
+    // granule of the pinned Cassandra 4.0.6, userdata/cloudinit.sh:216): an
+    // UPDATE that SETs a column subset wins only those cells, each cell
+    // carrying its own timestamp and TTL. Orders-derived writes: a full
+    // INSERT batch (both data columns + the row marker, TTL'd), then an
+    // UPDATE batch touching ONLY column a at wt+1 with its own shorter
+    // TTLs. Read at a fixed logical clock: per id, column a shows the
+    // max-wt a-write IF un-expired (an expired winner reads NULL — it never
+    // resurrects the value it shadowed), column b shows the max-wt base
+    // write, wt shows the max live-contributor timestamp, and a row with no
+    // live marker and no visible cell disappears. The oracle recomputes the
+    // cell-wise winner per column in DuckDB from the same derivation.
+    "q_kv_cell_lww" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.cells")
+      s.sql("CREATE TABLE graftcat.testks.cells " +
+        "(id BIGINT, a BIGINT, b DOUBLE, wt BIGINT, ttl INT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'ttl'='ttl', " +
+        "'cellwise'='true')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_custkey") <= 100)
+        .select(col("o_orderkey").as("ok"),
+          pmod(col("o_custkey"), lit(20)).cast(LongType).as("id"),
+          col("o_totalprice").as("price"))
+      // full INSERT: both cells + row marker at wt = ok micros (epoch sec =
+      // ok); every 5th write immortal, the rest expire at (ok%100)*20+30 s
+      o.select(col("id"), col("ok").as("a"), col("price").as("b"),
+          (col("ok") * 1000000L).as("wt"),
+          when(pmod(col("ok"), lit(5)) === 0, lit(null))
+            .otherwise(pmod(col("ok"), lit(100)) * 20 + 30)
+            .cast(IntegerType).as("ttl"))
+        .writeTo("graftcat.testks.cells").append()
+      // UPDATE SET a = ... — column b is NULL = UNTOUCHED (not a write);
+      // wt+1 micros beats the same order's INSERT for cell a only. Every
+      // 12th update is immortal (a visible update win); the rest carry
+      // TTL=1 s, so whenever such an update is an id's newest a-write, cell
+      // a reads NULL at any read clock while b keeps its base value — the
+      // STRUCTURAL per-cell divergence whole-row LWW cannot produce
+      o.filter(pmod(col("ok"), lit(3)) === 0)
+        .select(col("id"), (col("ok") + 1000000L).as("a"),
+          lit(null).cast(DoubleType).as("b"),
+          (col("ok") * 1000000L + 1L).as("wt"),
+          when(pmod(col("ok"), lit(12)) === 0, lit(null))
+            .otherwise(lit(1))
+            .cast(IntegerType).as("ttl"))
+        .writeTo("graftcat.testks.cells").option("update", "true").append()
+      // read at now = max(ok) + 50 s: scale-invariant mix — per-id winners
+      // within ~50 s of the head stay live unless their TTL is short, the
+      // stragglers expire, and ids whose marker AND cells all expired
+      // disappear entirely
+      val now = o.agg(max("ok")).head.getLong(0) + 50
+      s.read.option("now", now.toString).table("graftcat.testks.cells")
+        .select("id", "a", "b", "wt").orderBy("id")
+    },
+
     // Composite (multi-column, mixed-type) partition key — CQL
     // `PRIMARY KEY ((c_nationkey, c_mktsegment))`, one step past the
     // reference's single-column key (userdata/cloudinit.sh:307). The
@@ -1165,6 +1220,65 @@ object Storage {
         |  CAST(SUM(CASE WHEN ttl IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_immortal
         |FROM r GROUP BY read_at ORDER BY read_at""".stripMargin,
+
+    // Cell-wise LWW recomputed independently: winner per (id, column) = the
+    // max-wt write touching THAT column (wts are unique by construction:
+    // INSERT wt = ok*1e6, UPDATE wt = ok*1e6+1); a winner is visible iff
+    // un-expired at now = max(ok)+50 (strict: sec(wt) + ttl > now); a row exists
+    // iff its max-wt marker (INSERTs only) is live or any cell is visible;
+    // wt = max live-contributor timestamp.
+    "q_kv_cell_lww" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, CAST(o_custkey % 20 AS BIGINT) AS id,
+        |    o_totalprice AS price
+        |  FROM orders WHERE o_custkey <= 100),
+        |base AS (
+        |  SELECT id, ok * 1000000 AS wt,
+        |    CASE WHEN ok % 5 = 0 THEN NULL ELSE ok % 100 * 20 + 30 END AS ttl,
+        |    ok AS a_val, price AS b_val
+        |  FROM o),
+        |upd AS (
+        |  SELECT id, ok * 1000000 + 1 AS wt,
+        |    CASE WHEN ok % 12 = 0 THEN NULL ELSE 1 END AS ttl,
+        |    ok + 1000000 AS a_val
+        |  FROM o WHERE ok % 3 = 0),
+        |nowc AS (SELECT MAX(ok) + 50 AS n FROM o),
+        |aw AS (
+        |  SELECT id, wt, ttl, a_val FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY wt DESC)
+        |      AS rn
+        |    FROM (SELECT id, wt, ttl, a_val FROM base
+        |          UNION ALL SELECT id, wt, ttl, a_val FROM upd) u) w
+        |  WHERE rn = 1),
+        |bw AS (
+        |  SELECT id, wt, ttl, b_val FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY wt DESC)
+        |      AS rn FROM base) w
+        |  WHERE rn = 1),
+        |mw AS (
+        |  SELECT id, wt, ttl FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY wt DESC)
+        |      AS rn FROM base) w
+        |  WHERE rn = 1),
+        |j AS (
+        |  SELECT mw.id,
+        |    CASE WHEN aw.ttl IS NULL OR aw.wt // 1000000 + aw.ttl > nowc.n
+        |      THEN aw.a_val END AS a,
+        |    CASE WHEN bw.ttl IS NULL OR bw.wt // 1000000 + bw.ttl > nowc.n
+        |      THEN bw.b_val END AS b,
+        |    CASE WHEN aw.ttl IS NULL OR aw.wt // 1000000 + aw.ttl > nowc.n
+        |      THEN aw.wt END AS a_wt,
+        |    CASE WHEN bw.ttl IS NULL OR bw.wt // 1000000 + bw.ttl > nowc.n
+        |      THEN bw.wt END AS b_wt,
+        |    CASE WHEN mw.ttl IS NULL OR mw.wt // 1000000 + mw.ttl > nowc.n
+        |      THEN mw.wt END AS m_wt
+        |  FROM mw JOIN aw USING (id) JOIN bw USING (id) CROSS JOIN nowc)
+        |SELECT id, a, b,
+        |  GREATEST(COALESCE(m_wt, -1), COALESCE(a_wt, -1), COALESCE(b_wt, -1))
+        |    AS wt
+        |FROM j
+        |WHERE m_wt IS NOT NULL OR a IS NOT NULL OR b IS NOT NULL
+        |ORDER BY id""".stripMargin,
 
     // Counter convergence: the two parity-partial increment batches must sum
     // to the full per-type event counts.

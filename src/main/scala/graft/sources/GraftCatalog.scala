@@ -64,13 +64,39 @@ object GraftCatalogStore {
     * merged additively into the stored value, not a replacement — CQL
     * `UPDATE t SET c = c + ?`. As in Cassandra, a counter table admits no
     * regular data columns and no writetime/TTL. */
+  /** One written cell of a CELLWISE table (CQL's actual storage granule):
+    * value (null = cell tombstone — an explicit null write that shadows
+    * older values), client write timestamp in micros, optional TTL seconds.
+    * Reference semantics pin: the modeled engine is Cassandra 4.0.6
+    * (/root/reference/userdata/cloudinit.sh:216), where every cell merges
+    * independently by (timestamp, value) — an UPDATE touching a column
+    * subset wins ONLY those cells. */
+  final case class GCell(v: Any, wt: Long, ttl: Option[Long])
+
+  /** Per-key state of a cellwise table: the row marker (written by INSERT,
+    * not by UPDATE — Cassandra's primary-key liveness cell) plus one WINNING
+    * cell per data column (null entry = never written). Immutable so merges
+    * CAS-replace the whole per-key state. */
+  final case class GCellRow(marker: Option[GCell], cells: Array[GCell])
+
   final class T(@volatile var schema: StructType, val keyCol: String,
       val sets: Set[String] = Set.empty,
       val writetime: Option[String] = None,
       val ttl: Option[String] = None,
       val counters: Set[String] = Set.empty,
-      val now: Option[Long] = None) {
+      val now: Option[Long] = None,
+      val cellwise: Boolean = false) {
     val rows = TrieMap.empty[Any, Array[Any]]
+    /** Store of a cellwise table ('cellwise'='true'): per-cell LWW instead
+      * of whole-row replacement. `rows` stays empty for these tables. */
+    val cellRows = TrieMap.empty[Any, GCellRow]
+    /** Schema indices of the DATA columns of a cellwise table — everything
+      * except the key and the writetime/ttl metadata columns; `cells` in
+      * [[GCellRow]] is indexed by position in THIS array. */
+    lazy val dataIdx: Array[Int] = schema.fields.indices.filterNot { i =>
+      val n = schema.fields(i).name
+      n == keyCol || writetime.contains(n) || ttl.contains(n)
+    }.toArray
     /** DDL-vs-commit discipline: commits hold the READ lock (concurrent
       * commits still interleave freely through the CAS loops), ALTER TABLE
       * holds the WRITE lock while it migrates rows in place — so a commit
@@ -214,8 +240,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
     }
     val now = props.get("now").map(_.toLong)
+    val cellwise = props.get("cellwise").exists(_.toBoolean)
+    if (cellwise) {
+      // per-cell LWW is defined BY cell timestamps — a cellwise table
+      // without a writetime column has no merge rule
+      require(writetime.isDefined,
+        "cellwise tables require a writetime column (cells merge by timestamp)")
+      require(counters.isEmpty,
+        "cellwise tables do not support counters (CQL: counters are their own granule)")
+    }
     tables.put(key, new GraftCatalogStore.T(
-      schema1, keyCol, sets, writetime, ttl, counters, now))
+      schema1, keyCol, sets, writetime, ttl, counters, now, cellwise))
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -231,6 +266,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val key = (nsOf(ident), ident.name())
     val t = tables.getOrElse(key, throw new NoSuchTableException(ident))
+    require(!t.cellwise, "alterTable: not supported on cellwise tables " +
+      "(the per-column cell store is fixed at CREATE)")
     val wl = t.ddlLock.writeLock()
     wl.lock()
     try {
@@ -310,8 +347,10 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       case EqualTo(_, v) => Set[Any](v)
       case In(_, vs) => vs.toSet[Any]
     }
-    if (keySets.isEmpty) t.rows.clear() // no key predicate: TRUNCATE
-    else keySets.reduce(_ intersect _).foreach(t.rows.remove)
+    if (keySets.isEmpty) { t.rows.clear(); t.cellRows.clear() } // TRUNCATE
+    else keySets.reduce(_ intersect _).foreach { k =>
+      t.rows.remove(k); t.cellRows.remove(k)
+    }
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -328,6 +367,19 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       private val ifNotExists = info.options.getBoolean("ifnotexists", false)
       require(!(ifNotExists && t.counters.nonEmpty),
         s"$tname: INSERT IF NOT EXISTS is not supported on counter tables (CQL restriction)")
+      // CQL UPDATE (cellwise tables): with .option("update","true"), a NULL
+      // data cell means UNTOUCHED — the column was not SET, so the stored
+      // cell keeps its own timestamp — and no row marker is written. A plain
+      // INSERT writes EVERY data cell (an explicit NULL = cell tombstone)
+      // plus the row marker. This is the column-subset write path real
+      // Cassandra users hit immediately (UPDATE t SET a = ? WHERE k = ?).
+      private val updateMode = info.options.getBoolean("update", false)
+      require(!updateMode || t.cellwise,
+        s"$tname: the 'update' write option requires a cellwise table " +
+          "('cellwise'='true') — row-granular tables replace whole rows")
+      require(!(ifNotExists && t.cellwise),
+        s"$tname: INSERT IF NOT EXISTS is not supported on cellwise tables " +
+          "(LWT is modeled only for row-granular tables)")
       // extract with the ANALYZED write schema, not t.schema: a concurrent
       // ALTER ADD between analysis and execution would otherwise make the
       // writer read past the incoming row's width (adds append, so the
@@ -375,6 +427,21 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
             def padded(r0: Array[Any]): Array[Any] =
               if (r0.length < arity) r0 ++ Array.fill[Any](arity - r0.length)(null)
               else r0
+            if (t.cellwise) {
+              // per-cell LWW: each written cell merges independently by its
+              // own (timestamp, value); see GUpsertTable.mergeCellwise
+              messages.foreach { case GCommit(rows0) =>
+                rows0.foreach { r0 =>
+                  val r = padded(r0)
+                  setIdx.foreach { case (i, et) =>
+                    if (r(i) != null)
+                      r(i) = GraftCatalogStore.canonicalSet(
+                        r(i).asInstanceOf[Array[Any]], et)
+                  }
+                  GUpsertTable.mergeCellwise(t, r, updateMode)
+                }
+              }
+            } else
             messages.foreach { case GCommit(rows0) =>
               rows0.foreach { r0 =>
                 val r = padded(r0)
@@ -438,6 +505,86 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
 }
 
 object GUpsertTable {
+  import GraftCatalogStore.{GCell, GCellRow}
+
+  /** Merge one incoming statement row into a cellwise table: per-cell LWW —
+    * every written cell carries the statement's (timestamp, TTL) and wins
+    * against the stored cell by strict timestamp order with the type-aware
+    * greater-value tie-break, independently of every other cell (Cassandra's
+    * actual reconciliation granule; an UPDATE touching a column subset wins
+    * only those cells). CAS-retried against concurrent commits like the
+    * row-granular paths. */
+  private[sources] def mergeCellwise(t: GraftCatalogStore.T, r: Array[Any],
+      updateMode: Boolean): Unit = {
+    val ki = t.schema.fieldIndex(t.keyCol)
+    val wi = t.schema.fieldIndex(t.writetime.get)
+    val ti = t.ttl.map(t.schema.fieldIndex)
+    val wt = epochMicros(r(wi))
+    val ttl = ti.flatMap(i => Option(r(i)).map(_.asInstanceOf[Number].longValue))
+    val key = r(ki)
+    // UPDATE: NULL data cells are untouched; INSERT: every data cell is an
+    // explicit write (NULL = cell tombstone) and the row marker is set
+    val written: Array[(Int, GCell)] = t.dataIdx.zipWithIndex.collect {
+      case (si, di) if !(updateMode && r(si) == null) => di -> GCell(r(si), wt, ttl)
+    }
+    val marker = if (updateMode) None else Some(GCell(null, wt, ttl))
+    def newerMarker(old: Option[GCell]): Option[GCell] = (old, marker) match {
+      case (Some(o), Some(n)) => if (n.wt > o.wt) marker else old
+      case (None, m) => m
+      case (o, None) => o
+    }
+    var done = false
+    while (!done) t.cellRows.get(key) match {
+      case Some(prev) =>
+        val nc = prev.cells.clone()
+        written.foreach { case (di, c) =>
+          val old = nc(di)
+          val applies = old == null || c.wt > old.wt || (c.wt == old.wt &&
+            compareCell(t.schema.fields(t.dataIdx(di)).dataType, c.v, old.v) > 0)
+          if (applies) nc(di) = c
+        }
+        done = t.cellRows.replace(key, prev, GCellRow(newerMarker(prev.marker), nc))
+      case None =>
+        val nc = new Array[GCell](t.dataIdx.length)
+        written.foreach { case (di, c) => nc(di) = c }
+        done = t.cellRows.putIfAbsent(key, GCellRow(marker, nc)).isEmpty
+    }
+  }
+
+  /** Read-path materialization of a cellwise table at logical clock `now`
+    * (epoch seconds; None = no expiry, only legal when the table has no ttl
+    * column): the stored per-column WINNER is visible iff it is neither
+    * expired nor a tombstone. An expired winner reads NULL — it does NOT
+    * resurrect the older value it shadowed, exactly Cassandra's
+    * expiring-cell-becomes-tombstone rule. A row appears iff its marker is
+    * live or any cell is visible; the writetime column reads the row's max
+    * live-contributor timestamp, the ttl column reads NULL (write-only
+    * metadata). */
+  private[sources] def materializeCellwise(t: GraftCatalogStore.T,
+      now: Option[Long]): Array[Array[Any]] = {
+    val ki = t.schema.fieldIndex(t.keyCol)
+    val wi = t.schema.fieldIndex(t.writetime.get)
+    def expired(c: GCell): Boolean =
+      c.ttl.exists(tt => now.exists(n => epochSeconds(c.wt) + tt <= n))
+    t.cellRows.toArray.flatMap { case (key, cr) =>
+      val markerLive = cr.marker.exists(m => !expired(m))
+      val visible = cr.cells.map(c => if (c != null && !expired(c)) c.v else null)
+      if (!markerLive && !visible.exists(_ != null)) None
+      else {
+        val liveWts =
+          cr.marker.toSeq.filterNot(expired).map(_.wt) ++
+            cr.cells.toSeq.collect {
+              case c if c != null && !expired(c) && c.v != null => c.wt
+            }
+        val row = new Array[Any](t.schema.length)
+        row(ki) = key
+        row(wi) = liveWts.max
+        t.dataIdx.zipWithIndex.foreach { case (si, di) => row(si) = visible(di) }
+        Some(row)
+      }
+    }
+  }
+
   /** Dedup + order every set-typed cell of `r` in place (CQL `set<T>` write
     * semantics) — shared by the INSERT commit and the row-level delta path. */
   private[sources] def canonicalizeSets(t: GraftCatalogStore.T, r: Array[Any]): Unit =
@@ -555,21 +702,27 @@ class GScanBuilder(tname: String, t: GraftCatalogStore.T,
     override def readSchema(): StructType = t.schema
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] = {
-      val live = t.ttl match {
-        case None => t.rows.values.toArray
-        case Some(ttlCol) =>
-          val now = Option(options.get("now")).map(_.toLong).orElse(t.now)
-            .getOrElse(throw new IllegalArgumentException(
-              s"table $tname has a ttl column: scans need a logical clock " +
-                "(read option or table property 'now', epoch seconds)"))
-          val ti = t.schema.fieldIndex(ttlCol)
-          val wi = t.schema.fieldIndex(t.writetime.get)
-          t.rows.values.filter { r =>
-            r(ti) == null || // no TTL on this write: never expires
-              GUpsertTable.epochSeconds(r(wi)) +
-                r(ti).asInstanceOf[Number].longValue > now
-          }.toArray
-      }
+      val nowOpt = Option(options.get("now")).map(_.toLong).orElse(t.now)
+      def demandNow: Long = nowOpt.getOrElse(throw new IllegalArgumentException(
+        s"table $tname has a ttl column: scans need a logical clock " +
+          "(read option or table property 'now', epoch seconds)"))
+      val live =
+        if (t.cellwise) {
+          if (t.ttl.isDefined) demandNow // fail with the named error, eagerly
+          GUpsertTable.materializeCellwise(t,
+            if (t.ttl.isDefined) nowOpt else None)
+        } else t.ttl match {
+          case None => t.rows.values.toArray
+          case Some(ttlCol) =>
+            val now = demandNow
+            val ti = t.schema.fieldIndex(ttlCol)
+            val wi = t.schema.fieldIndex(t.writetime.get)
+            t.rows.values.filter { r =>
+              r(ti) == null || // no TTL on this write: never expires
+                GUpsertTable.epochSeconds(r(wi)) +
+                  r(ti).asInstanceOf[Number].longValue > now
+            }.toArray
+        }
       Array(GRows(live))
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -596,6 +749,11 @@ class GRowLevelOperation(tname: String, t: GraftCatalogStore.T,
     cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
   require(t.counters.isEmpty,
     s"$tname: row-level operations are not supported on counter tables")
+  // a MERGE/UPDATE delta replaces whole rows — meaningless against per-cell
+  // state; the cellwise UPDATE surface is the 'update' write option
+  require(!t.cellwise,
+    s"$tname: row-level operations are not supported on cellwise tables — " +
+      "use INSERT / the 'update' write option (per-cell LWW)")
   // eager, named failure instead of a confusing scan-time error: the target
   // scan of a TTL table needs a logical clock, and SQL MERGE/UPDATE/DELETE
   // cannot pass a per-scan read option — only the table property can supply it

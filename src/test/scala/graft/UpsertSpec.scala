@@ -518,6 +518,138 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       .table("graftcat.proptest.ttlok").count() == 0)
   }
 
+  test("cellwise LWW converges column-wise under any batch interleaving") {
+    // property: applying the same set of cell writes in ANY batch split and
+    // order converges to the same state — per column, the max-(wt, value)
+    // write decides; UPDATE leaves unset columns at their OWN timestamps;
+    // INSERT writes every cell (NULL = cell tombstone) plus the row marker.
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    case class W(id: Int, x: Option[Long], y: Option[String], wt: Long,
+        insert: Boolean)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("x", LongType), StructField("y", StringType),
+      StructField("wt", LongType, nullable = false)))
+    def applyBatch(ws: Seq[W]): Unit = {
+      val (ins, upd) = ws.partition(_.insert)
+      def df(set: Seq[W]) = spark.createDataFrame(
+        spark.sparkContext.parallelize(set.map(w =>
+          Row(w.id, w.x.map(Long.box).orNull, w.y.orNull, w.wt)), 1), schema)
+      if (ins.nonEmpty) df(ins).writeTo("graftcat.proptest.cw").append()
+      if (upd.nonEmpty)
+        df(upd).writeTo("graftcat.proptest.cw").option("update", "true").append()
+    }
+    def readState(): Map[Int, (Any, Any, Long)] =
+      spark.table("graftcat.proptest.cw").collect().map(r =>
+        r.getInt(0) -> (r.get(1), r.get(2), r.getLong(3))).toMap
+    // independent expected-state computation (no engine code)
+    def cmpNum(a: Any, b: Any): Int =
+      if (a == null && b == null) 0 else if (a == null) -1 else if (b == null) 1
+      else java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    def cmpStr(a: Any, b: Any): Int =
+      if (a == null && b == null) 0 else if (a == null) -1 else if (b == null) 1
+      else a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    def winner(cands: Seq[(Long, Any)], cmp: (Any, Any) => Int): Option[(Long, Any)] =
+      cands.sortWith((p, q) => p._1 > q._1 || (p._1 == q._1 && cmp(p._2, q._2) > 0))
+        .headOption
+    def expected(ws: Seq[W]): Map[Int, (Any, Any, Long)] =
+      ws.groupBy(_.id).flatMap { case (id, g) =>
+        val ins = g.filter(_.insert)
+        val xW = winner(ins.map(w => (w.wt, w.x.map(Long.box).orNull)) ++
+          g.filterNot(_.insert).flatMap(w => w.x.map(v => (w.wt, Long.box(v)))), cmpNum)
+        val yW = winner(ins.map(w => (w.wt, w.y.orNull)) ++
+          g.filterNot(_.insert).flatMap(w => w.y.map(v => (w.wt, v: Any))), cmpStr)
+        val marker = ins.map(_.wt).maxOption
+        val xv = xW.map(_._2).orNull
+        val yv = yW.map(_._2).orNull
+        if (marker.isEmpty && xv == null && yv == null) None
+        else {
+          val wt = (marker.toSeq ++ xW.filter(_._2 != null).map(_._1) ++
+            yW.filter(_._2 != null).map(_._1)).max
+          Some(id -> (xv, yv, wt))
+        }
+      }
+    val rnd = new scala.util.Random(20260813)
+    (0 until 3).foreach { trial =>
+      val writes = (0 until 20).map { _ =>
+        W(rnd.nextInt(4),
+          if (rnd.nextBoolean()) Some(rnd.nextInt(50).toLong) else None,
+          if (rnd.nextBoolean()) Some("v" + rnd.nextInt(8)) else None,
+          rnd.nextInt(10).toLong, rnd.nextBoolean())
+      }
+      val exp = expected(writes)
+      val states = (0 until 2).map { _ =>
+        spark.sql("DROP TABLE IF EXISTS graftcat.proptest.cw")
+        spark.sql("CREATE TABLE graftcat.proptest.cw " +
+          "(id INT, x BIGINT, y STRING, wt BIGINT) " +
+          "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true')")
+        // a fresh shuffle split into 1-4 sequential batches each round
+        val shuffled = rnd.shuffle(writes)
+        val nb = 1 + rnd.nextInt(4)
+        shuffled.grouped(math.max(1, (shuffled.size + nb - 1) / nb))
+          .foreach(applyBatch)
+        readState()
+      }
+      assert(states(0) == states(1), s"trial $trial diverged across interleavings")
+      assert(states(0) == exp, s"trial $trial: ${states(0)} != $exp")
+    }
+  }
+
+  test("cellwise equals whole-row LWW when every write sets every cell") {
+    // the degenerate case must agree with the row-granular writetime table:
+    // full-row INSERTs only — both engines converge to the same winners
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    Seq("cw_full" -> "'cellwise'='true', ", "row_full" -> "").foreach {
+      case (tbl, extra) =>
+        spark.sql(s"DROP TABLE IF EXISTS graftcat.proptest.$tbl")
+        spark.sql(s"CREATE TABLE graftcat.proptest.$tbl " +
+          "(id INT, x BIGINT, y STRING, wt BIGINT) " +
+          s"TBLPROPERTIES ($extra'key'='id', 'writetime'='wt')")
+        spark.sql(s"INSERT INTO graftcat.proptest.$tbl VALUES " +
+          "(1, 10, 'a', 5), (1, 20, 'b', 3), (2, 30, 'c', 7)")
+        spark.sql(s"INSERT INTO graftcat.proptest.$tbl VALUES " +
+          "(1, 40, 'd', 4), (2, 50, 'e', 9), (3, 60, 'f', 1)")
+    }
+    def state(tbl: String) = spark.table(s"graftcat.proptest.$tbl").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    assert(state("cw_full") == state("row_full"), state("cw_full"))
+    assert(state("cw_full") ==
+      Map(1 -> (10L, "a", 5L), 2 -> (50L, "e", 9L), 3 -> (60L, "f", 1L)))
+  }
+
+  test("cellwise UPDATE touches only SET columns and expired cells never resurrect") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.cwt")
+    spark.sql("CREATE TABLE graftcat.proptest.cwt " +
+      "(id INT, x BIGINT, y STRING, wt BIGINT, ttl INT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'ttl'='ttl', 'cellwise'='true')")
+    // INSERT at t=10s, immortal; UPDATE x only at t=20s with ttl=30s
+    spark.sql("INSERT INTO graftcat.proptest.cwt VALUES (1, 100, 'base', 10000000, NULL)")
+    spark.sql("SELECT 1 AS id, CAST(999 AS BIGINT) AS x, " +
+        "CAST(NULL AS STRING) AS y, CAST(20000000 AS BIGINT) AS wt, 30 AS ttl")
+      .writeTo("graftcat.proptest.cwt").option("update", "true").append()
+    def readAt(now: Long) = spark.read.option("now", now.toString)
+      .table("graftcat.proptest.cwt").collect()
+      .map(r => (r.get(1), r.get(2), r.getLong(3))).toSeq
+    // before expiry: x shows the update, y keeps the base cell AND its own
+    // timestamp is untouched (wt column = max live contributor = 20s)
+    assert(readAt(30) == Seq((999L, "base", 20000000L)), readAt(30))
+    // after the update's expiry: x reads NULL — the expired winner SHADOWS
+    // the base x=100, it does not resurrect it (Cassandra expiring-cell
+    // rule) — while y and the row marker live on; wt falls back to 10s
+    assert(readAt(100) == Seq((null, "base", 10000000L)), readAt(100))
+    // a stale UPDATE (t=15s < 20s) to x must lose even though it arrives last
+    spark.sql("SELECT 1 AS id, CAST(555 AS BIGINT) AS x, " +
+        "CAST(NULL AS STRING) AS y, CAST(15000000 AS BIGINT) AS wt, " +
+        "CAST(NULL AS INT) AS ttl")
+      .writeTo("graftcat.proptest.cwt").option("update", "true").append()
+    assert(readAt(30) == Seq((999L, "base", 20000000L)), readAt(30))
+  }
+
   test("ALTER TABLE migrates rows in place — concurrent commits cannot be lost") {
     // the copy-then-swap design lost any INSERT committing into the old
     // store between copy and swap; the in-place migration under the table's
