@@ -678,6 +678,25 @@ object Storage {
         .orderBy("c_custkey")
     },
 
+    // Materialized-view analog (Cassandra MV) — the GENERAL form of "query
+    // by another key", one ring past the 2i above (which only prunes base
+    // splits): a write-through projection of the same rows RE-KEYED on a
+    // non-primary column, maintained in the same commit as the base write,
+    // and chosen by the planner for equality on that column. The scan reads
+    // ONE MV partition (PlanSpec asserts planned = 1 vs the base ring's
+    // hundreds of splits) living on the replicas owning the VIEW key's
+    // token. At 100 TB: query-by-segment reads one partition, not the ring.
+    "q_kv_mv_read" -> { (s, dir) =>
+      val name = s"cust_mv:$dir"
+      graft.sources.KeyGroupedRegistry.stageMulti(name,
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        Seq("c_custkey"), mvCols = Seq("c_mktsegment"))
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .orderBy("c_custkey")
+    },
+
     // Source-level write path — the `df.write.cassandra` upsert (SURVEY §2.2
     // write row; reference capability pin: userdata/cloudinit.sh:461).
     // INSERT is an upsert: 5 existing nations are overwritten, 3 new keys
@@ -1120,6 +1139,12 @@ object Storage {
       """SELECT c_custkey, c_mktsegment, c_acctbal
         |FROM customer
         |WHERE c_custkey <= 300 AND c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_kv_mv_read" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM customer
+        |WHERE c_mktsegment = 'MACHINERY'
         |ORDER BY c_custkey""".stripMargin,
 
     "q_kv_count_pushdown" ->

@@ -65,8 +65,27 @@ object KeyGroupedRegistry {
   final case class Entry(schema: StructType, keyCols: Seq[String],
       parts: Array[(Vector[Any], Array[Array[Any]])],
       clusteringCol: Option[String] = None,
-      indexCols: Seq[String] = Nil) {
+      indexCols: Seq[String] = Nil,
+      mvCols: Seq[String] = Nil) {
     def keyTypes: Seq[DataType] = keyCols.map(schema(_).dataType)
+
+    /** Materialized-view analog (Cassandra MV): per declared MV column, the
+      * SAME rows re-keyed on that column — a write-through projection table
+      * whose partition key is the MV column, the general form of "query by
+      * another key" (the 2i below only prunes base splits; the MV is its own
+      * ring). Maintained in the same commit as the base write: every
+      * upsert/delete produces a new Entry, so the lazy layout recomputes
+      * from the committed rows — the registry-side stand-in for the
+      * per-write MV updates Cassandra applies on its write path (on a real
+      * ring each MV partition lives on the replicas owning ITS key,
+      * KVRing.replicasOf(mvValue)). Rows with a NULL MV key are excluded,
+      * exactly Cassandra's MV rule. */
+    lazy val mvs: Map[String, Map[Any, Array[Array[Any]]]] = mvCols.map { c =>
+      val ci = schema.fieldIndex(c)
+      c -> parts.toSeq.flatMap(_._2).filter(_(ci) != null)
+        .groupBy(r => normCell(r(ci)))
+        .map { case (v, rs) => v -> rs.toArray }
+    }.toMap
 
     /** Secondary-index analog (Cassandra 2i): per indexed column, an
       * inverted projection `value -> set of partition-key tuples owning at
@@ -159,7 +178,8 @@ object KeyGroupedRegistry {
   def stageMulti(name: String, df: DataFrame, keyCols: Seq[String],
       clusteringCol: Option[String] = None,
       indexCols: Seq[String] = Nil,
-      maxRows: Int = StagingRowCap): Unit = {
+      maxRows: Int = StagingRowCap,
+      mvCols: Seq[String] = Nil): Unit = {
     if (contains(name)) return
     val schema = df.schema
     keyCols.foreach { k =>
@@ -169,6 +189,14 @@ object KeyGroupedRegistry {
     }
     indexCols.foreach(c => require(schema.fieldNames.contains(c),
       s"graft-kv:$name indexed column $c not in schema"))
+    mvCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft-kv:$name MV column $c not in schema")
+      require(supportedKeyType(schema(c).dataType),
+        s"graft-kv:$name MV column $c must be integral or string " +
+          "(it is the view's partition key), got " +
+          schema(c).dataType.catalogString)
+    }
     clusteringCol.foreach { c =>
       schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType => ()
@@ -203,7 +231,7 @@ object KeyGroupedRegistry {
         k -> ci.map(c =>
           rows.sortBy(_(c).asInstanceOf[Number].longValue)).getOrElse(rows)
       }
-    put(name, Entry(schema, keyCols, grouped, clusteringCol, indexCols))
+    put(name, Entry(schema, keyCols, grouped, clusteringCol, indexCols, mvCols))
     changelog.put(name,
       scala.collection.mutable.ArrayBuffer((grouped.flatMap(_._2), false)))
   }
@@ -572,16 +600,25 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
   private var limit: Option[Int] = None
   private var topN: Option[(Boolean, Int)] = None // (ascending, n) on ck
 
+  private def mvPushed: Boolean = pushed.exists {
+    case EqualTo(a, _) => entry.mvCols.contains(a)
+    case _ => false
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val ck = entry.clusteringCol
     val keySet = entry.keyCols.toSet
     val idx = entry.indexCols.toSet
+    val mv = entry.mvCols.toSet
     val (sup, unsup) = filters.partition {
       // secondary-index equality / IN: split pruning via the inverted
-      // projection plus exact row filtering inside the owning splits
+      // projection plus exact row filtering inside the owning splits.
+      // MV-column equality: the scan reads the write-through projection
+      // re-keyed on that column instead of the base ring (one MV partition).
       case EqualTo(a, v: Number) =>
-        keySet(a) || idx(a) || (ck.contains(a) && KVScan.ckValue(v).nonEmpty)
-      case EqualTo(a, _: String) => keySet(a) || idx(a)
+        keySet(a) || idx(a) || mv(a) ||
+          (ck.contains(a) && KVScan.ckValue(v).nonEmpty)
+      case EqualTo(a, _: String) => keySet(a) || idx(a) || mv(a)
       case EqualTo(a, v) => ck.contains(a) && KVScan.ckValue(v).nonEmpty
       case In(a, _) => keySet(a) || idx(a)
       // clustering-column range: evaluated exactly by slicing the ck-sorted
@@ -623,6 +660,9 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     * At 100 TB an ORDER-BY-ck LIMIT 10 reads ≤10 rows per partition
     * instead of sorting the ring. */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    // MV partitions are keyed by the view column, not ck-sorted wholes — a
+    // per-split ck prefix would be wrong there, so let Spark sort
+    if (mvPushed) return false
     val ok = orders.length == 1 && entry.clusteringCol.exists { ck =>
       orders(0).expression() match {
         case nr: NamedReference =>
@@ -667,7 +707,7 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     * one whole group, so per-split values ARE the answer — no
     * re-aggregation. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    aggSpecs(agg).exists(_.nonEmpty) && groupByNames(agg).exists(ns =>
+    !mvPushed && aggSpecs(agg).exists(_.nonEmpty) && groupByNames(agg).exists(ns =>
       ns.nonEmpty && ns.toSet == entry.keyCols.toSet)
 
   override def pushAggregation(agg: Aggregation): Boolean = {
@@ -677,6 +717,8 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     // extrema). Ungrouped and subset-of-key groupings return per-split
     // partials Spark re-aggregates (sum of counts, min of mins, max of
     // maxes); the full-key grouping is complete (supportCompletePushDown).
+    // Not offered through an MV read: those metadata live on base splits.
+    if (mvPushed) return false
     aggSpecs(agg) match {
       case Some(specs) if specs.nonEmpty =>
         groupByNames(agg) match {
@@ -758,7 +800,8 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
       topN.map { case (asc, n) =>
         s" PushedTopN: [ck ${if (asc) "ASC" else "DESC"} LIMIT $n]"
       }.getOrElse("") +
-      perPartitionLimit.map(l => s" PerPartitionLimit: $l").getOrElse("")
+      perPartitionLimit.map(l => s" PerPartitionLimit: $l").getOrElse("") +
+      mvPred.map { case (c, v) => s" MVRead: [$c=$v]" }.getOrElse("")
 
   /** Integral key cells compare by long value so boxing width never splits a
     * key (a staged Int vs a filter's Long); strings compare by value. */
@@ -863,10 +906,21 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
   // computed from keys alone, without projecting any rows
   private lazy val keptKeys: Array[Vector[Any]] = entry.parts.map(_._1).filter(keepKey)
 
+  /** MV route: the first pushed equality on a declared MV column. The scan
+    * then reads the write-through projection keyed on that column — ONE MV
+    * partition — instead of the base ring; every other pushed predicate is
+    * applied exactly inside it. */
+  private lazy val mvPred: Option[(String, Any)] = pushed.collectFirst {
+    case EqualTo(a, v) if entry.mvCols.contains(a) => a -> v
+  }
+
   override def outputPartitioning(): Partitioning =
     // key-grouped only while every key column survives column pruning —
     // otherwise the grouping is unobservable by the query and unreportable
-    if (!aggPushed && entry.keyCols.forall(required.fieldNames.contains))
+    // (an MV read is keyed by the VIEW column, so it never reports the
+    // base grouping)
+    if (!aggPushed && mvPred.isEmpty &&
+        entry.keyCols.forall(required.fieldNames.contains))
       new KeyGroupedPartitioning(
         entry.keyCols.map(Expressions.identity).toArray[org.apache.spark.sql.connector.expressions.Expression],
         keptKeys.length)
@@ -898,9 +952,44 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     limit.map(topped.take).getOrElse(topped)
   }
 
+  /** MV read: all rows owning the queried view-key value, residual-filtered
+    * exactly by every other pushed predicate and the runtime key sets. */
+  private def mvPartitions(c: String, v: Any): Array[InputPartition] = {
+    val fi: String => Int = entry.schema.fieldIndex
+    def rowOk(r: Array[Any]): Boolean = pushed.forall {
+      case EqualTo(a, _) if a == c => true // the MV route itself
+      case EqualTo(a, v2) => cellEq(r(fi(a)), v2)
+      case In(a, vs) => vs.exists(v2 => cellEq(r(fi(a)), v2))
+      case GreaterThanOrEqual(a, v2) =>
+        KVScan.ckValue(v2).exists(lo => r(fi(a)).asInstanceOf[Number].longValue >= lo)
+      case LessThan(a, v2) =>
+        KVScan.ckValue(v2).exists(hi => r(fi(a)).asInstanceOf[Number].longValue < hi)
+      case IsNotNull(a) => r(fi(a)) != null
+      case _ => true
+    } && runtimeSets.forall { case (a, vs) => vs.exists(v2 => cellEq(r(fi(a)), v2)) }
+    val rows0 = entry.mvs(c)
+      .getOrElse(KeyGroupedRegistry.normCell(v), Array.empty[Array[Any]])
+    val filtered = rows0.filter(rowOk)
+    val capped0 = perPartitionLimit.map(filtered.take).getOrElse(filtered)
+    val capped = limit.map(capped0.take).getOrElse(capped0)
+    val idx = required.fieldNames.map(fi)
+    if (capped.isEmpty) Array.empty
+    else Array(KVPartition(
+      Array(v match {
+        case s: String => UTF8String.fromString(s)
+        case x => x
+      }),
+      // the MV partition lives on the replicas owning ITS key's token
+      KVRing.replicasOf(Seq(v)).toArray,
+      capped.map(r => idx.map(r(_)))))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val parts: Array[InputPartition] =
-      if (aggPushed) {
+      if (mvPred.nonEmpty) {
+        val (c, v) = mvPred.get
+        mvPartitions(c, v)
+      } else if (aggPushed) {
         // one metadata row per split: [group-values..., agg-values...] — a
         // count from the served-row length, MIN/MAX(ck) from the EDGES of
         // the split's ck-sorted (and possibly ck-sliced) rows — the

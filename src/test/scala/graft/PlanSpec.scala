@@ -273,6 +273,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!got.valuesIterator.contains(0L), got)
   }
 
+  test("MV-column equality reads ONE view partition instead of the base ring") {
+    val df = Storage.queries("q_kv_mv_read")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val name = s"cust_mv:$sfDir"
+    // the scan planned exactly the one MV partition owning 'MACHINERY' —
+    // not the base ring (one split per customer key)
+    assert(graft.sources.KeyGroupedRegistry.lastPlanned(name) == 1)
+    val baseSplits = graft.sources.KeyGroupedRegistry.get(name).parts.length
+    assert(baseSplits > 100, s"base ring has $baseSplits splits")
+    val plan = planOf(df)
+    assert(plan.contains("MVRead: [c_mktsegment=MACHINERY]"), plan)
+    assert(plan.contains("EqualTo(c_mktsegment,MACHINERY)"), plan)
+    // and the MV served exactly the matching rows
+    assert(graft.sources.KeyGroupedRegistry.lastScanRows(name) == rows.length.toLong)
+  }
+
   test("MIN/MAX(ck) pushdown serves partition edges, no row materialization") {
     import org.apache.spark.sql.functions.{col, count => fcount, lit, max => fmax, min => fmin}
     val df = Storage.queries("q_kv_minmax_pushdown")(spark, sfDir)

@@ -518,6 +518,37 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       .table("graftcat.proptest.ttlok").count() == 0)
   }
 
+  test("MV stays write-through consistent across upserts, re-keys and deletes") {
+    import org.apache.spark.sql.functions.col
+    val name = "mv_wt_test"
+    graft.sources.KeyGroupedRegistry.stageMulti(name,
+      spark.sql("SELECT * FROM VALUES " +
+        "(1L, 'red', CAST(10.0 AS DOUBLE)), (2L, 'red', CAST(20.0 AS DOUBLE)), " +
+        "(3L, 'blue', CAST(30.0 AS DOUBLE)) AS t(k, color, v)"),
+      Seq("k"), mvCols = Seq("color"))
+    def byColor(c: String): Set[(Long, Double)] =
+      spark.read.format("graft.sources.KVDataSource").option("table", name)
+        .load().filter(col("color") === c)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(byColor("red") == Set((1L, 10.0), (2L, 20.0)))
+    // upsert: key 2 MOVES from red to blue, key 4 appears as green — the MV
+    // must drop 2 from red, surface it under blue, and create the green
+    // partition, all in the same commit as the base write
+    spark.sql("SELECT * FROM VALUES (2L, 'blue', CAST(25.0 AS DOUBLE)), " +
+        "(4L, 'green', CAST(40.0 AS DOUBLE)) AS t(k, color, v)")
+      .write.format("graft.sources.KVDataSource")
+      .option("table", name).mode("append").save()
+    assert(byColor("red") == Set((1L, 10.0)))
+    assert(byColor("blue") == Set((2L, 25.0), (3L, 30.0)))
+    assert(byColor("green") == Set((4L, 40.0)))
+    // DELETE propagation: dropping base key 3 removes it from the view
+    val table = new graft.sources.KVTable(name,
+      graft.sources.KeyGroupedRegistry.get(name))
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("k", 3L)))
+    assert(byColor("blue") == Set((2L, 25.0)))
+  }
+
   test("cellwise LWW converges column-wise under any batch interleaving") {
     // property: applying the same set of cell writes in ANY batch split and
     // order converges to the same state — per column, the max-(wt, value)
