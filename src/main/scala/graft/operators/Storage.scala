@@ -678,6 +678,48 @@ object Storage {
         .orderBy("c_custkey")
     },
 
+    // CQL logged BATCH — atomic multi-statement commit ACROSS tables
+    // (`BEGIN BATCH ... APPLY BATCH`, the shape of the reference's insert
+    // session run as one batch, userdata/cloudinit.sh:312-314). One batch
+    // writes per-order rows AND per-customer counts; a second, POISONED
+    // batch (a NULL-writetime row in its audit statement, would also clobber
+    // every total with -1) must apply NOTHING — all-or-nothing enforced by
+    // validating every statement before applying any. The output joins both
+    // tables, so a half-applied poison batch would hash-mismatch.
+    "q_kv_logged_batch" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      Seq("bt_orders", "bt_counts", "bt_audit").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS graftcat.testks.$t"))
+      s.sql("CREATE TABLE graftcat.testks.bt_orders " +
+        "(id BIGINT, cust BIGINT, total DOUBLE) TBLPROPERTIES ('key'='id')")
+      s.sql("CREATE TABLE graftcat.testks.bt_counts " +
+        "(cust BIGINT, n BIGINT) TBLPROPERTIES ('key'='cust')")
+      s.sql("CREATE TABLE graftcat.testks.bt_audit " +
+        "(id BIGINT, wt BIGINT) TBLPROPERTIES ('key'='id', 'writetime'='wt')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_custkey") <= 30)
+        .select(col("o_orderkey").as("id"), col("o_custkey").as("cust"),
+          col("o_totalprice").as("total"))
+      graft.sources.GraftBatch.logged(Seq(
+        "graftcat.testks.bt_orders" -> o,
+        "graftcat.testks.bt_counts" ->
+          o.groupBy("cust").agg(count(lit(1)).as("n"))))
+      val poisoned =
+        try {
+          graft.sources.GraftBatch.logged(Seq(
+            "graftcat.testks.bt_orders" ->
+              o.withColumn("total", lit(-1.0)),
+            "graftcat.testks.bt_audit" ->
+              s.sql("SELECT CAST(1 AS BIGINT) AS id, CAST(NULL AS BIGINT) AS wt")))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(poisoned, "the poisoned batch must be rejected")
+      s.sql("""SELECT a.id, a.cust, a.total, c.n
+        FROM graftcat.testks.bt_orders a
+        JOIN graftcat.testks.bt_counts c ON a.cust = c.cust
+        ORDER BY a.id""")
+    },
+
     // Materialized-view analog (Cassandra MV) — the GENERAL form of "query
     // by another key", one ring past the 2i above (which only prunes base
     // splits): a write-through projection of the same rows RE-KEYED on a
@@ -1146,6 +1188,18 @@ object Storage {
         |FROM customer
         |WHERE c_mktsegment = 'MACHINERY'
         |ORDER BY c_custkey""".stripMargin,
+
+    // the committed batch recomputed from orders; any leakage of the
+    // rejected poison batch (-1 totals / audit row) would hash-mismatch
+    "q_kv_logged_batch" ->
+      """SELECT o_orderkey AS id, o_custkey AS cust, o_totalprice AS total,
+        |  c.n AS n
+        |FROM orders
+        |JOIN (SELECT o_custkey AS cust, COUNT(*) AS n FROM orders
+        |      WHERE o_custkey <= 30 GROUP BY 1) c
+        |ON o_custkey = c.cust
+        |WHERE o_custkey <= 30
+        |ORDER BY id""".stripMargin,
 
     "q_kv_count_pushdown" ->
       "SELECT COUNT(*) AS n_rows FROM customer",

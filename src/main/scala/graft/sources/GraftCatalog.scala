@@ -400,102 +400,13 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
             val rl = t.ddlLock.readLock()
             rl.lock()
             try {
-            val ki = t.schema.fieldIndex(t.keyCol)
-            val setIdx = t.schema.fields.zipWithIndex.collect {
-              case (f, i) if t.sets(f.name) =>
-                (i, f.dataType.asInstanceOf[ArrayType].elementType)
-            }
-            val wtIdx = t.writetime.map(t.schema.fieldIndex)
-            val ctrIdx = t.schema.fields.zipWithIndex.collect {
-              case (f, i) if t.counters(f.name) => i
-            }
-            // validate EVERY incoming writetime before applying ANY row:
-            // CQL always has a client timestamp, and lazy rejection would
-            // surface later — on an unrelated write or scan — blaming the
-            // wrong statement for this batch's bad row
-            wtIdx.foreach { wi =>
-              messages.foreach { case GCommit(rows) =>
-                rows.foreach(r => GUpsertTable.epochMicros(r(wi)))
-              }
-            }
-            // a row written against a pre-ALTER-ADD schema is shorter than
-            // the current one: pad with NULLs (absent-cell semantics —
-            // exactly what the migration gives pre-existing rows). Adds
-            // append and semantic columns are create-time-fixed, so every
-            // index below is stable across the pad.
-            val arity = t.schema.length
-            def padded(r0: Array[Any]): Array[Any] =
-              if (r0.length < arity) r0 ++ Array.fill[Any](arity - r0.length)(null)
-              else r0
-            if (t.cellwise) {
-              // per-cell LWW: each written cell merges independently by its
-              // own (timestamp, value); see GUpsertTable.mergeCellwise
-              messages.foreach { case GCommit(rows0) =>
-                rows0.foreach { r0 =>
-                  val r = padded(r0)
-                  setIdx.foreach { case (i, et) =>
-                    if (r(i) != null)
-                      r(i) = GraftCatalogStore.canonicalSet(
-                        r(i).asInstanceOf[Array[Any]], et)
-                  }
-                  GUpsertTable.mergeCellwise(t, r, updateMode)
-                }
-              }
-            } else
-            messages.foreach { case GCommit(rows0) =>
-              rows0.foreach { r0 =>
-                val r = padded(r0)
-                setIdx.foreach { case (i, et) =>
-                  if (r(i) != null)
-                    r(i) = GraftCatalogStore.canonicalSet(
-                      r(i).asInstanceOf[Array[Any]], et)
-                }
-                val key = r(ki)
-                // counter merge and LWW apply are CAS retry loops, not
-                // get-then-put: two concurrent commits (separate jobs
-                // appending to the same table) interleaving a read-modify-
-                // write would lose an increment / apply a stale write. The
-                // TrieMap replace/putIfAbsent compare the stored ARRAY
-                // REFERENCE, so a concurrent change always fails the CAS and
-                // retries against the fresh value.
-                if (ifNotExists) t.rows.putIfAbsent(key, r)
-                else if (ctrIdx.nonEmpty) {
-                  // stored + increment (NULL increment = +0, NULL stored =
-                  // counter starts at 0 — CQL counter defaults)
-                  var done = false
-                  while (!done) t.rows.get(key) match {
-                    case Some(prev) =>
-                      val merged = r.clone()
-                      ctrIdx.foreach { i =>
-                        merged(i) = GUpsertTable.longOr0(prev(i)) + GUpsertTable.longOr0(r(i))
-                      }
-                      done = t.rows.replace(key, prev, merged)
-                    case None =>
-                      val init = r.clone()
-                      ctrIdx.foreach { i => init(i) = GUpsertTable.longOr0(r(i)) }
-                      done = t.rows.putIfAbsent(key, init).isEmpty
-                  }
-                } else wtIdx match {
-                  case Some(wi) =>
-                    var done = false
-                    while (!done) t.rows.get(key) match {
-                      case Some(prev) =>
-                        val (nw, ow) = (GUpsertTable.epochMicros(r(wi)),
-                          GUpsertTable.epochMicros(prev(wi)))
-                        // strict timestamp order; equal timestamps fall back
-                        // to the greater cell value (Cassandra's LWW
-                        // tie-break, applied cell-wise with type-aware
-                        // comparators) so replay order can never change the
-                        // converged state
-                        val applies = nw > ow ||
-                          (nw == ow && GUpsertTable.tieGreater(r, prev, ki, t.schema))
-                        done = !applies || t.rows.replace(key, prev, r)
-                      case None => done = t.rows.putIfAbsent(key, r).isEmpty
-                    }
-                  case None => t.rows.put(key, r)
-                }
-              }
-            }
+              val all = messages.toSeq.flatMap { case GCommit(rows) => rows.toSeq }
+              // validate EVERY incoming row before applying ANY (CQL always
+              // has a client timestamp; lazy rejection would blame a later,
+              // unrelated statement) — then apply through the shared path
+              // the logged-BATCH surface also uses
+              GUpsertTable.validateWrites(t, all)
+              GUpsertTable.applyWrites(t, all, ifNotExists, updateMode)
             } finally rl.unlock()
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -581,6 +492,95 @@ object GUpsertTable {
         row(wi) = liveWts.max
         t.dataIdx.zipWithIndex.foreach { case (si, di) => row(si) = visible(di) }
         Some(row)
+      }
+    }
+  }
+
+  /** Pre-application validation shared by the INSERT commit and the
+    * logged-BATCH surface: every incoming writetime must be non-null (CQL
+    * always has a client timestamp). Runs COMPLETELY before any mutation so
+    * a bad row can never leave a partial batch behind. */
+  private[sources] def validateWrites(t: GraftCatalogStore.T,
+      rows: Seq[Array[Any]]): Unit =
+    t.writetime.map(t.schema.fieldIndex).foreach { wi =>
+      rows.foreach(r => epochMicros(r(wi)))
+    }
+
+  /** INSERT application shared by the DSv2 commit and the logged-BATCH
+    * surface. Caller holds `t.ddlLock.readLock` and has run
+    * [[validateWrites]] for EVERY table of the enclosing commit/batch.
+    *
+    * Semantics per table kind: plain upsert replaces by key; a writetime
+    * table applies timestamp-ordered LWW (value tie-break); counter columns
+    * merge additively; a cellwise table merges per cell
+    * ([[mergeCellwise]]); `ifNotExists` inserts only absent keys (LWT).
+    * Counter/LWW applies are CAS retry loops, not get-then-put: two
+    * concurrent commits interleaving a read-modify-write would lose an
+    * increment / apply a stale write; the TrieMap replace/putIfAbsent
+    * compare the stored ARRAY REFERENCE, so a concurrent change always
+    * fails the CAS and retries against the fresh value. */
+  private[sources] def applyWrites(t: GraftCatalogStore.T,
+      rows: Seq[Array[Any]], ifNotExists: Boolean, updateMode: Boolean): Unit = {
+    val ki = t.schema.fieldIndex(t.keyCol)
+    val setIdx = t.schema.fields.zipWithIndex.collect {
+      case (f, i) if t.sets(f.name) =>
+        (i, f.dataType.asInstanceOf[ArrayType].elementType)
+    }
+    val wtIdx = t.writetime.map(t.schema.fieldIndex)
+    val ctrIdx = t.schema.fields.zipWithIndex.collect {
+      case (f, i) if t.counters(f.name) => i
+    }
+    // a row written against a pre-ALTER-ADD schema is shorter than the
+    // current one: pad with NULLs (absent-cell semantics — exactly what the
+    // migration gives pre-existing rows). Adds append and semantic columns
+    // are create-time-fixed, so every index below is stable across the pad.
+    val arity = t.schema.length
+    def padded(r0: Array[Any]): Array[Any] =
+      if (r0.length < arity) r0 ++ Array.fill[Any](arity - r0.length)(null)
+      else r0
+    rows.foreach { r0 =>
+      val r = padded(r0)
+      setIdx.foreach { case (i, et) =>
+        if (r(i) != null)
+          r(i) = GraftCatalogStore.canonicalSet(r(i).asInstanceOf[Array[Any]], et)
+      }
+      if (t.cellwise) mergeCellwise(t, r, updateMode)
+      else {
+        val key = r(ki)
+        if (ifNotExists) t.rows.putIfAbsent(key, r)
+        else if (ctrIdx.nonEmpty) {
+          // stored + increment (NULL increment = +0, NULL stored = counter
+          // starts at 0 — CQL counter defaults)
+          var done = false
+          while (!done) t.rows.get(key) match {
+            case Some(prev) =>
+              val merged = r.clone()
+              ctrIdx.foreach { i =>
+                merged(i) = longOr0(prev(i)) + longOr0(r(i))
+              }
+              done = t.rows.replace(key, prev, merged)
+            case None =>
+              val init = r.clone()
+              ctrIdx.foreach { i => init(i) = longOr0(r(i)) }
+              done = t.rows.putIfAbsent(key, init).isEmpty
+          }
+        } else wtIdx match {
+          case Some(wi) =>
+            var done = false
+            while (!done) t.rows.get(key) match {
+              case Some(prev) =>
+                val (nw, ow) = (epochMicros(r(wi)), epochMicros(prev(wi)))
+                // strict timestamp order; equal timestamps fall back to the
+                // greater cell value (Cassandra's LWW tie-break, applied
+                // cell-wise with type-aware comparators) so replay order
+                // can never change the converged state
+                val applies = nw > ow ||
+                  (nw == ow && tieGreater(r, prev, ki, t.schema))
+                done = !applies || t.rows.replace(key, prev, r)
+              case None => done = t.rows.putIfAbsent(key, r).isEmpty
+            }
+          case None => t.rows.put(key, r)
+        }
       }
     }
   }
@@ -937,6 +937,63 @@ class GReaderFactory(schema: StructType) extends PartitionReaderFactory {
 }
 
 case class GCommit(rows: Array[Array[Any]]) extends WriterCommitMessage
+
+/** CQL logged-BATCH analog (`BEGIN BATCH ... APPLY BATCH;`): atomically
+  * apply multiple INSERT statements across catalog tables — either every
+  * statement's rows commit or none do. CQL has no SQL-side equivalent in
+  * Spark, so the surface is programmatic, the way the reference stack's CQL
+  * session would issue it (the shape of userdata/cloudinit.sh:312-314 run
+  * as one BATCH).
+  *
+  * All-or-nothing comes from the batchlog discipline: EVERY statement is
+  * resolved, schema-checked and validated (writetime non-null, etc.) before
+  * ANY row applies — after validation the application (the tables' own
+  * upsert/LWW/counter/cellwise merge via [[GUpsertTable.applyWrites]])
+  * cannot fail. Like Cassandra's logged batches this guarantees atomicity,
+  * NOT isolation: a concurrent reader may observe a prefix mid-flight.
+  * Tables lock in a deterministic order so concurrent batches and DDL
+  * cannot deadlock. */
+object GraftBatch {
+  def logged(statements: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
+    require(statements.nonEmpty, "logged batch: no statements")
+    val stmts = statements.map { case (fqn, df) =>
+      val parts = fqn.split('.')
+      require(parts.length >= 2,
+        s"logged batch: table name '$fqn' must be [catalog.]namespace.table")
+      val cand1 = (parts.init.mkString("."), parts.last)
+      val cand2 =
+        if (parts.length >= 3) Some((parts.tail.init.mkString("."), parts.last))
+        else None
+      val key =
+        if (GraftCatalogStore.tables.contains(cand1)) cand1
+        else cand2.filter(GraftCatalogStore.tables.contains).getOrElse(
+          throw new IllegalArgumentException(s"logged batch: unknown table $fqn"))
+      val t = GraftCatalogStore.tables(key)
+      require(df.schema.fieldNames.toSeq == t.schema.fieldNames.toSeq,
+        s"logged batch: $fqn write schema ${df.schema.fieldNames.toSeq} " +
+          s"does not match table schema ${t.schema.fieldNames.toSeq}")
+      val fields = df.schema.fields
+      // executeCollect returns freshly-decoded InternalRows (safe to keep),
+      // detached into plain JVM values like the DSv2 writer path
+      val rows: Seq[Array[Any]] =
+        df.queryExecution.executedPlan.executeCollect().toSeq.map { ir =>
+          fields.zipWithIndex.map { case (f, i) =>
+            GValues.extract(f.dataType, ir, i)
+          }: Array[Any]
+        }
+      (t, rows)
+    }
+    // the batchlog: EVERY statement validates before ANY applies
+    stmts.foreach { case (t, rows) => GUpsertTable.validateWrites(t, rows) }
+    val locks = stmts.map(_._1).distinct
+      .sortBy(System.identityHashCode(_))
+      .map(_.ddlLock.readLock())
+    locks.foreach(_.lock())
+    try stmts.foreach { case (t, rows) =>
+      GUpsertTable.applyWrites(t, rows, ifNotExists = false, updateMode = false)
+    } finally locks.reverse.foreach(_.unlock())
+  }
+}
 
 case class GWriterFactory(schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =

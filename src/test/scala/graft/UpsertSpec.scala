@@ -518,6 +518,49 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       .table("graftcat.proptest.ttlok").count() == 0)
   }
 
+  test("logged BATCH is all-or-nothing across tables under failure injection") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    Seq("ba", "bb").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graftcat.proptest.$t"))
+    spark.sql("CREATE TABLE graftcat.proptest.ba (id INT, v STRING) " +
+      "TBLPROPERTIES ('key'='id')")
+    spark.sql("CREATE TABLE graftcat.proptest.bb (id INT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt')")
+    // a good batch lands in BOTH tables in one call
+    graft.sources.GraftBatch.logged(Seq(
+      "graftcat.proptest.ba" -> spark.sql("SELECT 1 AS id, 'x' AS v"),
+      "graftcat.proptest.bb" ->
+        spark.sql("SELECT 1 AS id, CAST(100 AS BIGINT) AS wt")))
+    assert(spark.table("graftcat.proptest.ba").count() == 1)
+    assert(spark.table("graftcat.proptest.bb").count() == 1)
+    // failure injection: statement 2 carries a NULL writetime — statement
+    // 1's rows must NOT have applied (batchlog: validate all, then apply)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.GraftBatch.logged(Seq(
+        "graftcat.proptest.ba" -> spark.sql("SELECT 2 AS id, 'y' AS v"),
+        "graftcat.proptest.bb" ->
+          spark.sql("SELECT 2 AS id, CAST(NULL AS BIGINT) AS wt")))
+    }
+    assert(e.getMessage.contains("writetime"), e.getMessage)
+    assert(spark.table("graftcat.proptest.ba").count() == 1,
+      "poisoned batch leaked into table ba")
+    assert(spark.table("graftcat.proptest.bb").count() == 1)
+    // an unknown table anywhere in the batch also applies nothing
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.GraftBatch.logged(Seq(
+        "graftcat.proptest.ba" -> spark.sql("SELECT 3 AS id, 'z' AS v"),
+        "graftcat.proptest.nope" -> spark.sql("SELECT 3 AS id, 'z' AS v")))
+    }
+    assert(e2.getMessage.contains("unknown table"), e2.getMessage)
+    assert(spark.table("graftcat.proptest.ba").count() == 1)
+    // LWW still governs batched writes: a stale-writetime batched row loses
+    graft.sources.GraftBatch.logged(Seq(
+      "graftcat.proptest.bb" ->
+        spark.sql("SELECT 1 AS id, CAST(50 AS BIGINT) AS wt")))
+    assert(spark.table("graftcat.proptest.bb").collect()(0).getLong(1) == 100L)
+  }
+
   test("MV stays write-through consistent across upserts, re-keys and deletes") {
     import org.apache.spark.sql.functions.col
     val name = "mv_wt_test"
