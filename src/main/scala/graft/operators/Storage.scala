@@ -837,6 +837,36 @@ object Storage {
         .orderBy("k")
     },
 
+    // CQL ck-RANGE DELETE — `DELETE FROM t WHERE pk = ? AND ck >= ? AND
+    // ck < ?`, the row-range form between point deletes and partition
+    // drops: one partition's contiguous clustering slice is removed, and
+    // the changelog receives a RANGE TOMBSTONE (marker row + [lo, hi)
+    // bounds — O(1) in the log no matter how many rows it covers, exactly
+    // how Cassandra serializes range deletes; StreamingSpec folds one
+    // through CDC). The replay is idempotent.
+    "q_kv_range_delete" -> { (s, dir) =>
+      val name = s"orders_rdel:$dir"
+      graft.sources.KeyGroupedRegistry.stage(name,
+        Tables.load(s, dir, "orders").filter(col("o_custkey") <= 50)
+          .select(col("o_custkey").as("pk"), col("o_orderkey").as("ck"),
+            col("o_totalprice").as("price")),
+        "pk", clusteringCol = Some("ck"))
+      val table = new graft.sources.KVTable(name,
+        graft.sources.KeyGroupedRegistry.get(name))
+      val filters: Array[org.apache.spark.sql.sources.Filter] = Array(
+        org.apache.spark.sql.sources.EqualTo("pk", 7L),
+        org.apache.spark.sql.sources.GreaterThanOrEqual("ck", 1000L),
+        org.apache.spark.sql.sources.LessThan("ck", 8000L))
+      require(table.canDeleteWhere(filters),
+        "key + ck-range delete must be admissible")
+      table.deleteWhere(filters)
+      // replaying the same range delete is a no-op on the final state
+      new graft.sources.KVTable(name,
+        graft.sources.KeyGroupedRegistry.get(name)).deleteWhere(filters)
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .orderBy("pk", "ck")
+    },
+
     // The canonical Cassandra time-series shape — `PRIMARY KEY (user_id,
     // ts)` with a TIMESTAMP clustering column: one user's time slice is a
     // pushed pk-equality (prunes the ring to 1 split) plus a pushed ts
@@ -1240,6 +1270,13 @@ object Storage {
         |FROM nation
         |WHERE n_nationkey >= 5
         |ORDER BY k""".stripMargin,
+
+    "q_kv_range_delete" ->
+      """SELECT o_custkey AS pk, o_orderkey AS ck, o_totalprice AS price
+        |FROM orders
+        |WHERE o_custkey <= 50
+        |  AND NOT (o_custkey = 7 AND o_orderkey >= 1000 AND o_orderkey < 8000)
+        |ORDER BY pk, ck""".stripMargin,
 
     "q_kv_timeseries" ->
       """SELECT user_id AS pk, ts, value

@@ -107,6 +107,52 @@ object GraftCatalogStore {
   val namespaces = TrieMap.empty[String, Map[String, String]]
   val tables = TrieMap.empty[(String, String), T]
 
+  /** Expiry GC for TTL tables — the compaction / gc_grace maintenance op
+    * that completes the TTL story: until now expired rows were invisible to
+    * reads but retained forever; this physically reclaims every row
+    * (row-granular) or cell (cellwise) whose expiry lies at least
+    * `graceSeconds` before `now`. Reclaiming only PAST the grace window is
+    * what keeps late replicas able to learn of the expiry first — the same
+    * reason Cassandra refuses to purge tombstones younger than gc_grace.
+    * Read-invisible before and after (expiry is enforced on the read
+    * path). Takes the DDL write lock: a physical rewrite must exclude
+    * concurrent commits. Returns (entriesBefore, entriesAfter). */
+  def gcExpired(ns: String, table: String, now: Long,
+      graceSeconds: Long): (Int, Int) = {
+    val t = tables.getOrElse((ns, table),
+      throw new IllegalArgumentException(s"gcExpired: unknown table $ns.$table"))
+    require(t.ttl.isDefined, s"gcExpired: $ns.$table has no ttl column")
+    val wl = t.ddlLock.writeLock()
+    wl.lock()
+    try {
+      if (t.cellwise) {
+        def dead(c: GCell): Boolean = c != null &&
+          c.ttl.exists(tt => GUpsertTable.epochSeconds(c.wt) + tt + graceSeconds <= now)
+        val before = t.cellRows.size
+        t.cellRows.foreach { case (k, cr) =>
+          if (cr.cells.exists(dead) || cr.marker.exists(dead)) {
+            val cells = cr.cells.map(c => if (dead(c)) null else c)
+            val marker = cr.marker.filterNot(dead)
+            if (marker.isEmpty && cells.forall(_ == null)) t.cellRows.remove(k)
+            else t.cellRows.put(k, GCellRow(marker, cells))
+          }
+        }
+        (before, t.cellRows.size)
+      } else {
+        val ti = t.schema.fieldIndex(t.ttl.get)
+        val wi = t.schema.fieldIndex(t.writetime.get)
+        val before = t.rows.size
+        t.rows.foreach { case (k, r) =>
+          if (r(ti) != null &&
+              GUpsertTable.epochSeconds(r(wi)) +
+                r(ti).asInstanceOf[Number].longValue + graceSeconds <= now)
+            t.rows.remove(k)
+        }
+        (before, t.rows.size)
+      }
+    } finally wl.unlock()
+  }
+
   /** Type-aware ordering for CQL-set elements: numerics sort numerically
     * (NOT by their string rendering — "10" < "2" lexicographically), binary
     * unsigned-byte-lexicographically, strings by value. None = element type

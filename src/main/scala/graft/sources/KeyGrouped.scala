@@ -148,17 +148,27 @@ object KeyGroupedRegistry {
     * last scan — how PlanSpec proves a pushed LIMIT capped per-split reads. */
   val lastScanRows = TrieMap.empty[String, Long]
 
+  /** One commit in the CDC changelog: its written rows, whether it is a
+    * tombstone commit, and — for a ck-RANGE delete — the half-open [lo, hi)
+    * clustering bounds its single marker row tombstones (exactly how
+    * Cassandra serializes a range tombstone: partition key + bounds, not an
+    * enumeration of the doomed rows). */
+  final case class LogBatch(rows: Array[Array[Any]], tombstone: Boolean,
+      range: Option[(Long, Long)] = None)
+
   /** CDC changelog (Cassandra CDC-log analog): one entry per commit — the
     * staged snapshot is batch 0, every upsert commit appends its written
-    * rows as the next batch, and every DELETE appends a TOMBSTONE batch
+    * rows as the next batch, every DELETE appends a TOMBSTONE batch
     * (key cells set, data cells null, flag true — exactly how Cassandra
-    * deletes travel: as markers, not absences). `KVMicroBatchStream`
-    * serves these as micro-batches (offset = batch count); folding the log
-    * by latest commit per key — dropping keys whose latest mutation is a
-    * tombstone — reproduces the table state (the invariant q_stream_kv_cdc
-    * and StreamingSpec assert). */
+    * deletes travel: as markers, not absences), and every ck-range DELETE
+    * appends a RANGE-TOMBSTONE batch (marker + bounds).
+    * `KVMicroBatchStream` serves these as micro-batches (offset = batch
+    * count); folding the log in commit order — latest mutation per primary
+    * key, tombstoned keys dropped, range-covered rows dropped — reproduces
+    * the table state (the invariant q_stream_kv_cdc and StreamingSpec
+    * assert). */
   val changelog = TrieMap.empty[String,
-    scala.collection.mutable.ArrayBuffer[(Array[Array[Any]], Boolean)]]
+    scala.collection.mutable.ArrayBuffer[LogBatch]]
 
   private[sources] def supportedKeyType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType => true
@@ -233,7 +243,7 @@ object KeyGroupedRegistry {
       }
     put(name, Entry(schema, keyCols, grouped, clusteringCol, indexCols, mvCols))
     changelog.put(name,
-      scala.collection.mutable.ArrayBuffer((grouped.flatMap(_._2), false)))
+      scala.collection.mutable.ArrayBuffer(LogBatch(grouped.flatMap(_._2), tombstone = false)))
   }
 
   /** Single-column convenience used by the original demo tables. */
@@ -268,7 +278,7 @@ object KeyGroupedRegistry {
     }.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
     put(name, e.copy(parts = parts))
     changelog.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) +=
-      ((rows.map(_._2), false))
+      LogBatch(rows.map(_._2), tombstone = false)
   }
 
   /** DELETE-by-partition-key commit (CQL DELETE): drops whole partitions —
@@ -285,7 +295,88 @@ object KeyGroupedRegistry {
       row
     }
     changelog.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) +=
-      ((tombstones, true))
+      LogBatch(tombstones, tombstone = true)
+  }
+
+  /** CQL ck-RANGE DELETE (`DELETE FROM t WHERE pk = ? AND ck >= ? AND
+    * ck < ?`): removes the contiguous clustering slice of the matching
+    * partitions and appends ONE RANGE-TOMBSTONE batch per partition to the
+    * changelog — a marker row (key cells set, data null) carrying the
+    * half-open [lo, hi) bounds, exactly how Cassandra serializes a range
+    * tombstone (partition key + bounds, never an enumeration of the doomed
+    * rows — at 100 TB the tombstone is O(1), not O(slice)). A partition
+    * emptied by the slice disappears. */
+  def applyRangeDelete(name: String, keys: Set[Vector[Any]],
+      ckLo: Option[Long], ckHi: Option[Long]): Unit = synchronized {
+    val e = get(name)
+    val ci = e.schema.fieldIndex(e.clusteringCol.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-kv:$name: a range delete requires a clustering column")))
+    val targets = keys.map(_.map(normCell))
+    def inRange(r: Array[Any]): Boolean = {
+      val c = r(ci).asInstanceOf[Number].longValue
+      ckLo.forall(c >= _) && ckHi.forall(c < _)
+    }
+    val doomed = e.parts.map(_._1)
+      .filter(k => targets(k.map(normCell))).toSeq
+    val parts = e.parts.map { case (k, rows) =>
+      if (targets(k.map(normCell))) k -> rows.filterNot(inRange) else k -> rows
+    }.filter(_._2.nonEmpty)
+    put(name, e.copy(parts = parts))
+    val kis = e.keyCols.map(e.schema.fieldIndex)
+    val lo = ckLo.getOrElse(Long.MinValue)
+    val hi = ckHi.getOrElse(Long.MaxValue)
+    doomed.foreach { k =>
+      val row = Array.fill[Any](e.schema.length)(null)
+      kis.zip(k).foreach { case (i, v) => row(i) = v }
+      changelog.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) +=
+        LogBatch(Array(row), tombstone = true, range = Some((lo, hi)))
+    }
+  }
+
+  /** Tombstone GC — the compaction / gc_grace maintenance op that completes
+    * the delete story: every commit OLDER than the last `keepLast` is folded
+    * into ONE snapshot batch, physically dropping tombstones AND the rows
+    * they shadowed (until now the changelog retained both forever). The
+    * fold applies commits in order: upserts replace by primary key,
+    * partition tombstones drop keys, range tombstones drop their ck slice.
+    * Like Cassandra reclaiming CDC segments, offsets below the watermark
+    * are renumbered — consumers must be past it; fresh consumers start from
+    * the compacted snapshot and fold to the identical state (asserted in
+    * StreamingSpec). Returns (storedRowsBefore, storedRowsAfter). */
+  def compactChangelog(name: String, keepLast: Int): (Long, Long) = synchronized {
+    val e = get(name)
+    val log = changelog(name)
+    val before = log.map(_.rows.length.toLong).sum
+    val cut = log.size - math.max(0, keepLast)
+    if (cut > 1) {
+      val kis = e.keyCols.map(e.schema.fieldIndex)
+      val ci = e.clusteringCol.map(e.schema.fieldIndex)
+      val state = scala.collection.mutable.LinkedHashMap
+        .empty[(Vector[Any], Option[Long]), Array[Any]]
+      log.take(cut).foreach { b =>
+        if (!b.tombstone) b.rows.foreach { r =>
+          state((kis.map(r(_)).toVector.map(normCell),
+            ci.map(c => r(c).asInstanceOf[Number].longValue))) = r
+        } else b.range match {
+          case Some((lo, hi)) => b.rows.foreach { r =>
+            val key = kis.map(r(_)).toVector.map(normCell)
+            state.filterInPlace { case ((k, ck), _) =>
+              k != key || !ck.exists(c => c >= lo && c < hi)
+            }
+          }
+          case None => b.rows.foreach { r =>
+            val key = kis.map(r(_)).toVector.map(normCell)
+            state.filterInPlace { case ((k, _), _) => k != key }
+          }
+        }
+      }
+      val rest = log.drop(cut).toArray
+      log.clear()
+      log += LogBatch(state.values.toArray, tombstone = false)
+      rest.foreach(log += _)
+    }
+    (before, log.map(_.rows.length.toLong).sum)
   }
 }
 
@@ -341,8 +432,9 @@ class KVDataSource extends TableProvider {
     java.lang.Boolean.parseBoolean(
       Option(options.get("cdc")).getOrElse("false"))
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val base = KeyGroupedRegistry.get(options.get("table")).schema
-    if (isCdc(options)) KVCdc.withSeq(base) else base
+    val entry = KeyGroupedRegistry.get(options.get("table"))
+    if (isCdc(options)) KVCdc.withSeq(entry.schema, entry.clusteringCol.isDefined)
+    else entry.schema
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -356,24 +448,36 @@ class KVTable(tname: String, entry: KeyGroupedRegistry.Entry,
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-  /** CQL DELETE: by partition key only (the metadata fast path Cassandra
-    * offers — key-equality/IN on every key column; anything else is
-    * rejected the way CQL rejects a keyless DELETE). Deletes append
-    * tombstone batches to the CDC changelog. */
+  /** CQL DELETE: by partition key (the metadata fast path Cassandra offers
+    * — key-equality/IN on every key column), optionally narrowed by a
+    * clustering-column range (`AND ck >= ? AND ck < ?` — CQL's row-range
+    * delete within a partition). Anything else is rejected the way CQL
+    * rejects a keyless DELETE. Whole-partition deletes append tombstone
+    * batches to the CDC changelog; ck-range deletes append RANGE tombstones
+    * (marker + bounds). */
+  private def isCkRange(f: Filter): Boolean = f match {
+    case GreaterThanOrEqual(a, v) =>
+      entry.clusteringCol.contains(a) && KVScan.ckValue(v).nonEmpty
+    case LessThan(a, v) =>
+      entry.clusteringCol.contains(a) && KVScan.ckValue(v).nonEmpty
+    case _ => false
+  }
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     !cdc && filters.nonEmpty && {
-      val cols = filters.collect {
+      val keyPreds = filters.collect {
         case EqualTo(a, _) if entry.keyCols.contains(a) => a
         case In(a, _) if entry.keyCols.contains(a) => a
       }
-      cols.length == filters.length && cols.toSet == entry.keyCols.toSet
+      val ckPreds = filters.filter(isCkRange)
+      keyPreds.length + ckPreds.length == filters.length &&
+        keyPreds.toSet == entry.keyCols.toSet
     }
   override def deleteWhere(filters: Array[Filter]): Unit = {
     // per-column admissible value sets; the deletable key tuples are the
     // current keys matching every column's set (conjunction)
     val sets: Map[String, Set[Any]] = filters.collect {
-      case EqualTo(a, v) => a -> Set[Any](v)
-      case In(a, vs) => a -> vs.toSet[Any]
+      case EqualTo(a, v) if entry.keyCols.contains(a) => a -> Set[Any](v)
+      case In(a, vs) if entry.keyCols.contains(a) => a -> vs.toSet[Any]
     }.groupBy(_._1).map { case (a, kvs) => a -> kvs.map(_._2).reduce(_ intersect _) }
     val at = entry.keyCols.zipWithIndex.toMap
     def cellEq(stored: Any, v: Any): Boolean = (stored, v) match {
@@ -383,11 +487,23 @@ class KVTable(tname: String, entry: KeyGroupedRegistry.Entry,
     val doomed = entry.parts.map(_._1).filter { k =>
       sets.forall { case (col, vs) => vs.exists(v => cellEq(k(at(col)), v)) }
     }.toSet
-    if (doomed.nonEmpty) KeyGroupedRegistry.applyDelete(tname, doomed)
+    val ckLo = filters.collect {
+      case GreaterThanOrEqual(a, v) if entry.clusteringCol.contains(a) =>
+        KVScan.ckValue(v)
+    }.flatten.maxOption
+    val ckHi = filters.collect {
+      case LessThan(a, v) if entry.clusteringCol.contains(a) => KVScan.ckValue(v)
+    }.flatten.minOption
+    if (doomed.nonEmpty) {
+      if (ckLo.nonEmpty || ckHi.nonEmpty)
+        KeyGroupedRegistry.applyRangeDelete(tname, doomed, ckLo, ckHi)
+      else KeyGroupedRegistry.applyDelete(tname, doomed)
+    }
   }
   override def name(): String = s"graft-kv:$tname" + (if (cdc) " (cdc)" else "")
   override def schema(): StructType =
-    if (cdc) KVCdc.withSeq(entry.schema) else entry.schema
+    if (cdc) KVCdc.withSeq(entry.schema, entry.clusteringCol.isDefined)
+    else entry.schema
   override def capabilities(): util.Set[TableCapability] =
     if (cdc) util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
@@ -420,17 +536,27 @@ class KVTable(tname: String, entry: KeyGroupedRegistry.Entry,
 object KVCdc {
   val SeqCol = "_commit_seq"
   val TombstoneCol = "_tombstone"
-  def withSeq(base: StructType): StructType =
-    base.add(SeqCol, LongType, nullable = false)
+  val CkLoCol = "_ck_lo"
+  val CkHiCol = "_ck_hi"
+  /** CDC schema: base + commit seq + tombstone flag; tables WITH a
+    * clustering column also carry the range-tombstone bounds columns
+    * (NULL on every non-range commit). */
+  def withSeq(base: StructType, hasCk: Boolean = false): StructType = {
+    val s0 = base.add(SeqCol, LongType, nullable = false)
       .add(TombstoneCol, org.apache.spark.sql.types.BooleanType, nullable = false)
+    if (hasCk) s0.add(CkLoCol, LongType, nullable = true)
+      .add(CkHiCol, LongType, nullable = true)
+    else s0
+  }
 }
 
 class KVCdcScan(tname: String, entry: KeyGroupedRegistry.Entry) extends Scan {
-  override def readSchema(): StructType = KVCdc.withSeq(entry.schema)
+  override def readSchema(): StructType =
+    KVCdc.withSeq(entry.schema, entry.clusteringCol.isDefined)
   override def description(): String = s"graft-kv-cdc:$tname"
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new KVMicroBatchStream(tname)
+    new KVMicroBatchStream(tname, entry.clusteringCol.isDefined)
 }
 
 case class KVOffset(seq: Long)
@@ -438,7 +564,7 @@ case class KVOffset(seq: Long)
   override def json(): String = seq.toString
 }
 
-class KVMicroBatchStream(tname: String)
+class KVMicroBatchStream(tname: String, hasCk: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   private def log = KeyGroupedRegistry.changelog(tname)
   override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
@@ -452,11 +578,12 @@ class KVMicroBatchStream(tname: String)
       end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[KVOffset].seq.toInt
     val e0 = end.asInstanceOf[KVOffset].seq.toInt
-    // one input partition per commit: its rows tagged with the commit seq
-    // and the tombstone flag (true = a DELETE's marker batch)
+    // one input partition per commit: its rows tagged with the commit seq,
+    // the tombstone flag (true = a DELETE's marker batch), and — for range
+    // tombstones — the [lo, hi) ck bounds
     (s0 until e0).map { i =>
-      val (rows, tomb) = log(i)
-      KVCdcPartition(i.toLong, tomb, rows): InputPartition
+      val b = log(i)
+      KVCdcPartition(i.toLong, b.tombstone, b.rows, b.range, hasCk): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new KVCdcReaderFactory
@@ -465,7 +592,8 @@ class KVMicroBatchStream(tname: String)
 }
 
 case class KVCdcPartition(seq: Long, tombstone: Boolean,
-    rows: Array[Array[Any]]) extends InputPartition
+    rows: Array[Array[Any]], range: Option[(Long, Long)] = None,
+    hasCk: Boolean = false) extends InputPartition
 
 class KVCdcReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -473,12 +601,19 @@ class KVCdcReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < part.rows.length }
-      override def get(): InternalRow =
+      override def get(): InternalRow = {
+        val tail: IndexedSeq[Any] =
+          if (part.hasCk)
+            IndexedSeq(part.seq, part.tombstone,
+              part.range.map(_._1).map(Long.box).orNull,
+              part.range.map(_._2).map(Long.box).orNull)
+          else IndexedSeq(part.seq, part.tombstone)
         InternalRow.fromSeq(
-          (part.rows(i).toIndexedSeq :+ (part.seq: Any) :+ (part.tombstone: Any)).map {
+          (part.rows(i).toIndexedSeq ++ tail).map {
             case s: String => UTF8String.fromString(s)
             case v => v
           })
+      }
       override def close(): Unit = ()
     }
   }

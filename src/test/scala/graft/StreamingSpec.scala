@@ -134,6 +134,77 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(store.size == total)
   }
 
+  test("range tombstones flow through CDC and compaction reclaims the log") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.sources.KeyGroupedRegistry
+    val schema = StructType(Seq(
+      StructField("pk", LongType, nullable = false),
+      StructField("ck", LongType, nullable = false),
+      StructField("v", StringType)))
+    def df(rows: (Long, Long, String)*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (p, c, v) =>
+        org.apache.spark.sql.Row(p, c, v) }: _*), schema)
+    val name = "kv_rdel_unit"
+    KeyGroupedRegistry.stage(name,
+      df((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
+        (2L, 1L, "x"), (2L, 2L, "y")),
+      "pk", clusteringCol = Some("ck"))
+    df((1L, 5L, "e")).write.format("graft.sources.KVDataSource")
+      .option("table", name).mode("append").save() // commit 1
+    val tbl = new graft.sources.KVTable(name, KeyGroupedRegistry.get(name))
+    val filters: Array[org.apache.spark.sql.sources.Filter] = Array(
+      org.apache.spark.sql.sources.EqualTo("pk", 1L),
+      org.apache.spark.sql.sources.GreaterThanOrEqual("ck", 2L),
+      org.apache.spark.sql.sources.LessThan("ck", 4L))
+    assert(tbl.canDeleteWhere(filters), "pk + ck-range delete must be admissible")
+    tbl.deleteWhere(filters) // commit 2: ONE range tombstone, not 2 row deletes
+    def streamAll(qname: String): org.apache.spark.sql.DataFrame = {
+      val q = spark.readStream.format("graft.sources.KVDataSource")
+        .option("table", name).option("cdc", "true").load()
+        .writeStream.format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(qname)
+    }
+    val out = streamAll("rdel_cdc_1")
+    // the range delete traveled as ONE marker row carrying its bounds
+    val tombs = out.filter(col("_tombstone")).collect()
+    assert(tombs.length == 1, tombs.mkString(","))
+    assert(tombs(0).getAs[Long]("pk") == 1L)
+    assert(tombs(0).getAs[Long]("_ck_lo") == 2L)
+    assert(tombs(0).getAs[Long]("_ck_hi") == 4L)
+    // folding the log in commit order reproduces the table state
+    def fold(rows: Seq[org.apache.spark.sql.Row]): Map[(Long, Long), String] = {
+      var st = Map.empty[(Long, Long), String]
+      rows.sortBy(_.getAs[Long]("_commit_seq")).foreach { r =>
+        if (!r.getAs[Boolean]("_tombstone"))
+          st += ((r.getAs[Long]("pk"), r.getAs[Long]("ck")) -> r.getAs[String]("v"))
+        else if (r.getAs[Any]("_ck_lo") != null) {
+          val (lo, hi) = (r.getAs[Long]("_ck_lo"), r.getAs[Long]("_ck_hi"))
+          st = st.filterNot { case ((p, c), _) =>
+            p == r.getAs[Long]("pk") && c >= lo && c < hi }
+        } else st = st.filterNot { case ((p, _), _) => p == r.getAs[Long]("pk") }
+      }
+      st
+    }
+    def tableState(): Map[(Long, Long), String] =
+      spark.read.format("graft.sources.KVDataSource").option("table", name)
+        .load().collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val expected = Map((1L, 1L) -> "a", (1L, 4L) -> "d", (1L, 5L) -> "e",
+      (2L, 1L) -> "x", (2L, 2L) -> "y")
+    assert(tableState() == expected)
+    assert(fold(out.collect().toSeq) == expected)
+    // GC: fold the whole log into one snapshot — the tombstone AND the rows
+    // it shadowed are physically reclaimed (before/after storage assertion)
+    val (before, after) = KeyGroupedRegistry.compactChangelog(name, keepLast = 0)
+    assert(after < before, s"$before -> $after")
+    assert(after == expected.size.toLong)
+    val log = KeyGroupedRegistry.changelog(name)
+    assert(log.size == 1 && !log(0).tombstone)
+    // a fresh consumer over the compacted log folds to the identical state
+    assert(fold(streamAll("rdel_cdc_2").collect().toSeq) == expected)
+  }
+
   test("KV CDC stream resumes from its checkpoint and reproduces the table state") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.sources.KeyGroupedRegistry

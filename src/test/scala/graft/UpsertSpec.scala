@@ -518,6 +518,51 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       .table("graftcat.proptest.ttlok").count() == 0)
   }
 
+  test("gcExpired physically reclaims rows/cells past the grace watermark") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.gct")
+    spark.sql("CREATE TABLE graftcat.proptest.gct (id INT, wt BIGINT, ttl INT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'ttl'='ttl')")
+    // expiries: id 1 at t=15s, id 2 never, id 3 at t=1010s
+    spark.sql("INSERT INTO graftcat.proptest.gct VALUES " +
+      "(1, 10000000, 5), (2, 10000000, NULL), (3, 10000000, 1000)")
+    def visible(now: Long): Set[Int] =
+      spark.read.option("now", now.toString).table("graftcat.proptest.gct")
+        .collect().map(_.getInt(0)).toSet
+    assert(visible(100) == Set(2, 3))
+    // id 1 expired 85 s ago > grace 60 → reclaimed; id 3 still live → kept
+    val (b, a) = graft.sources.GraftCatalogStore.gcExpired(
+      "proptest", "gct", now = 100, graceSeconds = 60)
+    assert((b, a) == ((3, 2)), (b, a))
+    // reads are unchanged by the reclaim (expiry was already read-enforced)
+    assert(visible(100) == Set(2, 3))
+    // inside the grace window nothing is reclaimed (late replicas must
+    // still be able to learn of the expiry — the gc_grace rule)
+    val (b2, a2) = graft.sources.GraftCatalogStore.gcExpired(
+      "proptest", "gct", now = 100, graceSeconds = 1000)
+    assert((b2, a2) == ((2, 2)))
+    // cellwise: an expired cell is reclaimed without touching the row;
+    // a fully-dead row disappears
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.gcw")
+    spark.sql("CREATE TABLE graftcat.proptest.gcw " +
+      "(id INT, x BIGINT, wt BIGINT, ttl INT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'ttl'='ttl', 'cellwise'='true')")
+    spark.sql("INSERT INTO graftcat.proptest.gcw VALUES (1, 100, 10000000, NULL)")
+    spark.sql("SELECT 1 AS id, CAST(999 AS BIGINT) AS x, " +
+        "CAST(20000000 AS BIGINT) AS wt, 5 AS ttl") // x cell expires at 25s
+      .writeTo("graftcat.proptest.gcw").option("update", "true").append()
+    spark.sql("INSERT INTO graftcat.proptest.gcw VALUES (2, 7, 10000000, 5)")
+    val (b3, a3) = graft.sources.GraftCatalogStore.gcExpired(
+      "proptest", "gcw", now = 100, graceSeconds = 10)
+    assert((b3, a3) == ((2, 1)), (b3, a3)) // row 2 fully dead; row 1 survives
+    val r1 = spark.read.option("now", "100").table("graftcat.proptest.gcw")
+      .collect()
+    assert(r1.length == 1 && r1(0).getInt(0) == 1)
+    // the reclaimed x cell reads NULL, same as before the GC
+    assert(r1(0).isNullAt(1), r1(0))
+  }
+
   test("logged BATCH is all-or-nothing across tables under failure injection") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
