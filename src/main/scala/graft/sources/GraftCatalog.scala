@@ -103,7 +103,13 @@ object GraftCatalogStore {
       * can never land an old-shape row between the copy and the swap (the
       * lost-write race of the previous copy-then-swap design). */
     val ddlLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+    /** Globally-unique, monotonically-assigned rank used to order
+      * multi-table lock acquisition (logged batches). identityHashCode is
+      * NOT unique per the JVM spec, so sorting by it could give two batches
+      * opposite lock orders — the classic ABBA deadlock. */
+    val lockRank: Long = GraftCatalogStore.nextLockRank.incrementAndGet()
   }
+  private val nextLockRank = new java.util.concurrent.atomic.AtomicLong(0)
   val namespaces = TrieMap.empty[String, Map[String, String]]
   val tables = TrieMap.empty[(String, String), T]
 
@@ -485,8 +491,17 @@ object GUpsertTable {
       case (si, di) if !(updateMode && r(si) == null) => di -> GCell(r(si), wt, ttl)
     }
     val marker = if (updateMode) None else Some(GCell(null, wt, ttl))
+    // full-tie determinism: equal (wt, value) still needs a total order or
+    // two equal-timestamp writes differing ONLY in TTL would converge to
+    // whichever arrived first. Longer-lived wins, immortal above all — any
+    // fixed rule works, it just must be arrival-order-independent (the
+    // row-granular tieGreater gets this for free by comparing the ttl
+    // column as a cell).
+    def ttlRank(c: GCell): Long = c.ttl.getOrElse(Long.MaxValue)
     def newerMarker(old: Option[GCell]): Option[GCell] = (old, marker) match {
-      case (Some(o), Some(n)) => if (n.wt > o.wt) marker else old
+      case (Some(o), Some(n)) =>
+        if (n.wt > o.wt || (n.wt == o.wt && ttlRank(n) > ttlRank(o))) marker
+        else old
       case (None, m) => m
       case (o, None) => o
     }
@@ -496,9 +511,14 @@ object GUpsertTable {
         val nc = prev.cells.clone()
         written.foreach { case (di, c) =>
           val old = nc(di)
-          val applies = old == null || c.wt > old.wt || (c.wt == old.wt &&
-            compareCell(t.schema.fields(t.dataIdx(di)).dataType, c.v, old.v) > 0)
-          if (applies) nc(di) = c
+          val cmp =
+            if (old == null) 1
+            else if (c.wt != old.wt) java.lang.Long.compare(c.wt, old.wt)
+            else {
+              val vc = compareCell(t.schema.fields(t.dataIdx(di)).dataType, c.v, old.v)
+              if (vc != 0) vc else java.lang.Long.compare(ttlRank(c), ttlRank(old))
+            }
+          if (cmp > 0) nc(di) = c
         }
         done = t.cellRows.replace(key, prev, GCellRow(newerMarker(prev.marker), nc))
       case None =>
@@ -544,13 +564,30 @@ object GUpsertTable {
 
   /** Pre-application validation shared by the INSERT commit and the
     * logged-BATCH surface: every incoming writetime must be non-null (CQL
-    * always has a client timestamp). Runs COMPLETELY before any mutation so
-    * a bad row can never leave a partial batch behind. */
+    * always has a client timestamp), every partition key cell non-null, and
+    * every set cell free of null elements. Runs COMPLETELY before any
+    * mutation so a bad row can never leave a partial batch behind — the
+    * all-or-nothing guarantee of the logged BATCH rests on applyWrites
+    * being unable to fail after this passes. */
   private[sources] def validateWrites(t: GraftCatalogStore.T,
-      rows: Seq[Array[Any]]): Unit =
+      rows: Seq[Array[Any]]): Unit = {
+    val ki = t.schema.fieldIndex(t.keyCol)
+    rows.foreach(r => if (r(ki) == null) throw new IllegalArgumentException(
+      s"partition key ${t.keyCol} cannot be null (CQL)"))
     t.writetime.map(t.schema.fieldIndex).foreach { wi =>
       rows.foreach(r => epochMicros(r(wi)))
     }
+    t.schema.fields.zipWithIndex.collect {
+      case (f, i) if t.sets(f.name) => i
+    }.foreach { i =>
+      rows.foreach { r =>
+        if (i < r.length && r(i) != null)
+          require(r(i).asInstanceOf[Array[Any]].forall(_ != null),
+            s"set column ${t.schema.fields(i).name} contains a null element " +
+              "(CQL sets cannot hold null)")
+      }
+    }
+  }
 
   /** INSERT application shared by the DSv2 commit and the logged-BATCH
     * surface. Caller holds `t.ddlLock.readLock` and has run
@@ -855,24 +892,33 @@ class GDeltaBatchWrite(t: GraftCatalogStore.T) extends DeltaBatchWrite {
           case (_, key, row0) => // insert / update: keyed replace, sets canonical
             val row = padded(row0)
             GUpsertTable.canonicalizeSets(t, row)
-            if (key != null && key != row(ki)) t.rows.remove(key) // key change relocates
             wtIdx match {
               case Some(wi) =>
                 // timestamp-ordered LWW via the same CAS discipline as the
                 // INSERT path: a stale-writetime MERGE cannot clobber newer
                 // data, preserving the convergence invariant UpsertSpec
-                // property-tests
+                // property-tests. A LOSING write is a total no-op — in
+                // particular, a key-changing update that loses at the
+                // destination must NOT have deleted its source row first.
                 var done = false
+                var applied = false
                 while (!done) t.rows.get(row(ki)) match {
                   case Some(prev) =>
                     val (nw, ow) = (GUpsertTable.epochMicros(row(wi)),
                       GUpsertTable.epochMicros(prev(wi)))
                     val applies = nw > ow ||
                       (nw == ow && GUpsertTable.tieGreater(row, prev, ki, t.schema))
-                    done = !applies || t.rows.replace(row(ki), prev, row)
-                  case None => done = t.rows.putIfAbsent(row(ki), row).isEmpty
+                    if (!applies) done = true
+                    else { applied = t.rows.replace(row(ki), prev, row); done = applied }
+                  case None =>
+                    applied = t.rows.putIfAbsent(row(ki), row).isEmpty
+                    done = applied
                 }
-              case None => t.rows.put(row(ki), row)
+                if (applied && key != null && key != row(ki))
+                  t.rows.remove(key) // key change relocates only when the write wins
+              case None =>
+                if (key != null && key != row(ki)) t.rows.remove(key)
+                t.rows.put(row(ki), row)
             }
         }
       }
@@ -1015,9 +1061,13 @@ object GraftBatch {
         else cand2.filter(GraftCatalogStore.tables.contains).getOrElse(
           throw new IllegalArgumentException(s"logged batch: unknown table $fqn"))
       val t = GraftCatalogStore.tables(key)
-      require(df.schema.fieldNames.toSeq == t.schema.fieldNames.toSeq,
-        s"logged batch: $fqn write schema ${df.schema.fieldNames.toSeq} " +
-          s"does not match table schema ${t.schema.fieldNames.toSeq}")
+      // names AND types: a name-matching column of the wrong type would
+      // pass a name-only check and then throw mid-apply (ClassCastException
+      // in the set/counter merge), breaking the all-or-nothing guarantee
+      def sig(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+      require(sig(df.schema) == sig(t.schema),
+        s"logged batch: $fqn write schema ${sig(df.schema)} " +
+          s"does not match table schema ${sig(t.schema)}")
       val fields = df.schema.fields
       // executeCollect returns freshly-decoded InternalRows (safe to keep),
       // detached into plain JVM values like the DSv2 writer path
@@ -1031,8 +1081,10 @@ object GraftBatch {
     }
     // the batchlog: EVERY statement validates before ANY applies
     stmts.foreach { case (t, rows) => GUpsertTable.validateWrites(t, rows) }
+    // deterministic GLOBAL order via each table's unique lockRank — two
+    // concurrent batches over any table subset acquire in the same order
     val locks = stmts.map(_._1).distinct
-      .sortBy(System.identityHashCode(_))
+      .sortBy(_.lockRank)
       .map(_.ddlLock.readLock())
     locks.foreach(_.lock())
     try stmts.foreach { case (t, rows) =>

@@ -371,10 +371,15 @@ object KeyGroupedRegistry {
           }
         }
       }
-      val rest = log.drop(cut).toArray
-      log.clear()
-      log += LogBatch(state.values.toArray, tombstone = false)
-      rest.foreach(log += _)
+      // the swap itself synchronizes on the buffer: the CDC stream's
+      // latestOffset/planInputPartitions read under the same monitor, so a
+      // live consumer can never observe the cleared-but-not-rebuilt window
+      log.synchronized {
+        val rest = log.drop(cut).toArray
+        log.clear()
+        log += LogBatch(state.values.toArray, tombstone = false)
+        rest.foreach(log += _)
+      }
     }
     (before, log.map(_.rows.length.toLong).sum)
   }
@@ -568,7 +573,7 @@ class KVMicroBatchStream(tname: String, hasCk: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   private def log = KeyGroupedRegistry.changelog(tname)
   override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
-    KVOffset(log.size.toLong)
+    KVOffset(log.synchronized(log.size.toLong))
   override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
     KVOffset(0L)
   override def deserializeOffset(json: String)
@@ -580,11 +585,14 @@ class KVMicroBatchStream(tname: String, hasCk: Boolean = false)
     val e0 = end.asInstanceOf[KVOffset].seq.toInt
     // one input partition per commit: its rows tagged with the commit seq,
     // the tombstone flag (true = a DELETE's marker batch), and — for range
-    // tombstones — the [lo, hi) ck bounds
-    (s0 until e0).map { i =>
-      val b = log(i)
-      KVCdcPartition(i.toLong, b.tombstone, b.rows, b.range, hasCk): InputPartition
-    }.toArray
+    // tombstones — the [lo, hi) ck bounds. Read under the buffer's monitor
+    // so a concurrent changelog compaction can never be observed mid-swap.
+    log.synchronized {
+      (s0 until e0).map { i =>
+        val b = log(i)
+        KVCdcPartition(i.toLong, b.tombstone, b.rows, b.range, hasCk): InputPartition
+      }.toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory = new KVCdcReaderFactory
   override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
@@ -1091,8 +1099,10 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     * exactly by every other pushed predicate and the runtime key sets. */
   private def mvPartitions(c: String, v: Any): Array[InputPartition] = {
     val fi: String => Int = entry.schema.fieldIndex
+    // NOTE: the routing equality is NOT special-cased — every pushed
+    // predicate re-checks exactly, so a second, different-valued equality
+    // on the same MV column (a contradiction) correctly yields zero rows
     def rowOk(r: Array[Any]): Boolean = pushed.forall {
-      case EqualTo(a, _) if a == c => true // the MV route itself
       case EqualTo(a, v2) => cellEq(r(fi(a)), v2)
       case In(a, vs) => vs.exists(v2 => cellEq(r(fi(a)), v2))
       case GreaterThanOrEqual(a, v2) =>
@@ -1133,30 +1143,33 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
         // either way)
         val gIdx = groupCols.map(entry.schema.fieldIndex)
         val gTypes = groupCols.map(entry.schema(_).dataType)
-        entry.parts.collect {
-          // a GROUPED aggregate must OMIT splits whose pushed ck-range/index
-          // predicates leave zero surviving rows: SQL semantics drop empty
-          // groups, and under complete pushdown Spark would surface a
-          // phantom [key..., 0] row verbatim. The ungrouped form keeps
-          // every split — a 0 count still sums correctly and a NULL
-          // min/max is ignored by the final aggregate.
-          case (k, rows) if keepKey(k) &&
-              (groupCols.isEmpty || servedRows(rows).nonEmpty) =>
-            val groupVals = gIdx.map(rows.head(_)).zip(gTypes).map {
-              case (s: String, StringType) => UTF8String.fromString(s)
-              case (v, _) => v
-            }
+        entry.parts.iterator.filter { case (k, _) => keepKey(k) }
+          .flatMap { case (k, rows) =>
             val served = servedRows(rows)
-            val aggVals = pushedAggs.map {
-              case AggCount => served.length.toLong: Any
-              case AggMinCk =>
-                if (served.isEmpty) null else served.head(ckIx.get)
-              case AggMaxCk =>
-                if (served.isEmpty) null else served.last(ckIx.get)
+            // a GROUPED aggregate must OMIT splits whose pushed
+            // ck-range/index predicates leave zero surviving rows: SQL
+            // semantics drop empty groups, and under complete pushdown
+            // Spark would surface a phantom [key..., 0] row verbatim. The
+            // ungrouped form keeps every split — a 0 count still sums
+            // correctly and a NULL min/max is ignored by the final
+            // aggregate.
+            if (groupCols.nonEmpty && served.isEmpty) None
+            else {
+              val groupVals = gIdx.map(rows.head(_)).zip(gTypes).map {
+                case (s: String, StringType) => UTF8String.fromString(s)
+                case (v, _) => v
+              }
+              val aggVals = pushedAggs.map {
+                case AggCount => served.length.toLong: Any
+                case AggMinCk =>
+                  if (served.isEmpty) null else served.head(ckIx.get)
+                case AggMaxCk =>
+                  if (served.isEmpty) null else served.last(ckIx.get)
+              }
+              Some(KVPartition(internalKey(k), KVRing.replicasOf(k).toArray,
+                Array((groupVals ++ aggVals).toArray[Any])): InputPartition)
             }
-            KVPartition(internalKey(k), KVRing.replicasOf(k).toArray,
-              Array((groupVals ++ aggVals).toArray[Any])): InputPartition
-        }
+          }.toArray
       } else {
         val idx = required.fieldNames.map(entry.schema.fieldIndex)
         entry.parts.collect {

@@ -493,6 +493,14 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("writetime"), e.getMessage)
     assert(row1 == Map(1 -> "fresh"), row1)
+    // a key-changing UPDATE that LOSES at the destination is a total no-op:
+    // in particular it must not have deleted its source row first
+    spark.sql("INSERT INTO graftcat.proptest.wtm VALUES (9, 'src', 100)")
+    spark.sql("UPDATE graftcat.proptest.wtm SET id = 1, v = 'moved', wt = 150 " +
+      "WHERE id = 9") // destination id=1 holds wt=200 > 150 → loses
+    val all = spark.table("graftcat.proptest.wtm").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(all == Map(1 -> "fresh", 9 -> "src"), all)
   }
 
   test("row-level ops on a TTL table without 'now' fail eagerly with a named error") {
@@ -599,6 +607,23 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e2.getMessage.contains("unknown table"), e2.getMessage)
     assert(spark.table("graftcat.proptest.ba").count() == 1)
+    // a NULL partition key in statement 2 applies nothing either — the
+    // batchlog validation covers keys, not just writetimes
+    val e3 = intercept[IllegalArgumentException] {
+      graft.sources.GraftBatch.logged(Seq(
+        "graftcat.proptest.ba" -> spark.sql("SELECT 4 AS id, 'w' AS v"),
+        "graftcat.proptest.ba" ->
+          spark.sql("SELECT CAST(NULL AS INT) AS id, 'n' AS v")))
+    }
+    assert(e3.getMessage.contains("partition key"), e3.getMessage)
+    assert(spark.table("graftcat.proptest.ba").count() == 1)
+    // and a name-matching column of the WRONG TYPE fails resolution up front
+    val e4 = intercept[IllegalArgumentException] {
+      graft.sources.GraftBatch.logged(Seq(
+        "graftcat.proptest.ba" ->
+          spark.sql("SELECT 5 AS id, CAST(7 AS BIGINT) AS v")))
+    }
+    assert(e4.getMessage.contains("schema"), e4.getMessage)
     // LWW still governs batched writes: a stale-writetime batched row loses
     graft.sources.GraftBatch.logged(Seq(
       "graftcat.proptest.bb" ->
@@ -635,6 +660,12 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.EqualTo("k", 3L)))
     assert(byColor("blue") == Set((2L, 25.0)))
+    // contradictory equalities on the MV column are BOTH enforced (the
+    // route's own predicate is not swallowed): the answer is empty
+    val contradiction = spark.read.format("graft.sources.KVDataSource")
+      .option("table", name).load()
+      .filter(col("color") === "red" && col("color") === "green")
+    assert(contradiction.count() == 0)
   }
 
   test("cellwise LWW converges column-wise under any batch interleaving") {
@@ -767,6 +798,27 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
         "CAST(NULL AS INT) AS ttl")
       .writeTo("graftcat.proptest.cwt").option("update", "true").append()
     assert(readAt(30) == Seq((999L, "base", 20000000L)), readAt(30))
+    // equal (wt, value) writes differing only in TTL converge the same way
+    // in EITHER arrival order: immortal outranks TTL'd (determinism — the
+    // cell-granule sibling of the row path's ttl-column tie-break)
+    Seq(Seq("5", "NULL"), Seq("NULL", "5"))
+      .zipWithIndex.foreach { case (order, i) =>
+        spark.sql(s"DROP TABLE IF EXISTS graftcat.proptest.cwtie$i")
+        spark.sql(s"CREATE TABLE graftcat.proptest.cwtie$i " +
+          "(id INT, x BIGINT, wt BIGINT, ttl INT) " +
+          "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'ttl'='ttl', " +
+          "'cellwise'='true')")
+        order.foreach { ttlLit =>
+          spark.sql("INSERT INTO graftcat.proptest.cwtie" + i +
+            s" VALUES (1, 42, 10000000, $ttlLit)")
+        }
+        // at t=100 the ttl=5 cell is long expired; the immortal twin must
+        // have won regardless of order → x still reads 42
+        val got = spark.read.option("now", "100")
+          .table(s"graftcat.proptest.cwtie$i").collect()
+        assert(got.length == 1 && got(0).getLong(1) == 42L,
+          s"order $i: ${got.mkString(",")}")
+      }
   }
 
   test("ALTER TABLE migrates rows in place — concurrent commits cannot be lost") {
