@@ -811,7 +811,7 @@ object Storage {
           .select(col("o_custkey").as("cust"),
             col("o_orderpriority").as("prio"),
             col("o_orderkey").as("ck"), col("o_totalprice").as("price")),
-        Seq("cust", "prio"), clusteringCol = Some("ck"))
+        Seq("cust", "prio"), clusteringCols = Seq("ck"))
       s.read.format("graft.sources.KVDataSource").option("table", name).load()
         .filter(col("cust") === 37 && col("prio") === "4-NOT SPECIFIED" &&
           col("ck") >= 1 && col("ck") < 100000000L)
@@ -841,6 +841,29 @@ object Storage {
       table.deleteWhere(filters)
       s.read.format("graft.sources.KVDataSource").option("table", name).load()
         .orderBy("k")
+    },
+
+    // MULTIPLE clustering columns — `PRIMARY KEY (cust, prio, ck)` with a
+    // STRING first clustering column, the everyday Cassandra schema shape
+    // (almost no real table has exactly one ck). Rows sort by the full
+    // (prio, ck) tuple inside each partition; predicates follow the CQL
+    // prefix rule (equality on ck1, range on ck2 — any other shape is left
+    // to Spark, like CQL without ALLOW FILTERING), and the matching rows
+    // are ONE contiguous tuple-slice found by two binary searches. At
+    // 100 TB: one partition, one slice, regardless of how many clustering
+    // levels the schema has.
+    "q_kv_multick" -> { (s, dir) =>
+      val name = s"orders_mck:$dir"
+      graft.sources.KeyGroupedRegistry.stageMulti(name,
+        Tables.load(s, dir, "orders").filter(col("o_custkey") <= 100)
+          .select(col("o_custkey").as("cust"),
+            col("o_orderpriority").as("prio"),
+            col("o_orderkey").as("ck"), col("o_totalprice").as("price")),
+        Seq("cust"), clusteringCols = Seq("prio", "ck"))
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .filter(col("cust") === 37 && col("prio") === "4-NOT SPECIFIED" &&
+          col("ck") >= 1000)
+        .orderBy("prio", "ck")
     },
 
     // CQL ck-RANGE DELETE — `DELETE FROM t WHERE pk = ? AND ck >= ? AND
@@ -1291,6 +1314,14 @@ object Storage {
         |WHERE o_custkey <= 50
         |  AND NOT (o_custkey = 7 AND o_orderkey >= 1000 AND o_orderkey < 8000)
         |ORDER BY pk, ck""".stripMargin,
+
+    "q_kv_multick" ->
+      """SELECT o_custkey AS cust, o_orderpriority AS prio,
+        |  o_orderkey AS ck, o_totalprice AS price
+        |FROM orders
+        |WHERE o_custkey = 37 AND o_orderpriority = '4-NOT SPECIFIED'
+        |  AND o_orderkey >= 1000
+        |ORDER BY prio, ck""".stripMargin,
 
     "q_kv_timeseries" ->
       """SELECT user_id AS pk, ts, value

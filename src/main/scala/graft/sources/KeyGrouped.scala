@@ -56,18 +56,23 @@ object KeyGroupedRegistry {
   /** One staged table: schema, the partition-key columns (each integral or
     * string — the CQL partition-key types this demo carries), the rows
     * grouped by key tuple — one entry per distinct tuple = one input
-    * split — and an optional clustering column (integral, timestamp or
-    * date — stored in its internal long encoding). With a
-    * clustering column the table models Cassandra's `((pk...), ck)` primary
-    * key: rows are kept ck-sorted inside each partition, range predicates on
-    * ck read one partition's contiguous slice, and the upsert identity is
-    * the full `(pk..., ck)` tuple instead of the partition key alone. */
+    * split — and any number of clustering columns (integral, timestamp,
+    * date or string; temporal cells stored in their internal long
+    * encoding). With clustering columns the table models Cassandra's full
+    * `((pk...), ck1, ck2, ...)` primary key: rows are kept sorted by the
+    * ck TUPLE inside each partition, predicates following the CQL prefix
+    * rule (equality on a ck prefix, range on the next) read one
+    * partition's contiguous tuple-slice, and the upsert identity is the
+    * full `(pk..., ck...)` tuple instead of the partition key alone. */
   final case class Entry(schema: StructType, keyCols: Seq[String],
       parts: Array[(Vector[Any], Array[Array[Any]])],
-      clusteringCol: Option[String] = None,
+      clusteringCols: Seq[String] = Nil,
       indexCols: Seq[String] = Nil,
       mvCols: Seq[String] = Nil) {
     def keyTypes: Seq[DataType] = keyCols.map(schema(_).dataType)
+    /** Schema indices of the clustering columns, in declared order — rows
+      * inside each partition are kept sorted by this TUPLE. */
+    def ckIdxs: Seq[Int] = clusteringCols.map(schema.fieldIndex)
 
     /** Materialized-view analog (Cassandra MV): per declared MV column, the
       * SAME rows re-keyed on that column — a write-through projection table
@@ -129,6 +134,30 @@ object KeyGroupedRegistry {
     }
   }
 
+  /** Ordering of one clustering cell (stored form): integrals/temporals by
+    * long value, strings by value — the two families the staging validator
+    * admits. */
+  private[sources] def compareCkCell(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) => java.lang.Long.compare(x.longValue, y.longValue)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => throw new IllegalArgumentException(
+      s"incomparable clustering cells: $a vs $b")
+  }
+
+  /** Lexicographic ordering of a row by its clustering-column tuple. */
+  private[sources] def ckTupleOrdering(idxs: Seq[Int]): Ordering[Array[Any]] =
+    new Ordering[Array[Any]] {
+      override def compare(a: Array[Any], b: Array[Any]): Int = {
+        var i = 0
+        while (i < idxs.length) {
+          val c = compareCkCell(a(idxs(i)), b(idxs(i)))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+    }
+
   private val tables = TrieMap.empty[String, Entry]
   def put(name: String, e: Entry): Unit = tables.put(name, e)
   def get(name: String): Entry = tables.getOrElse(name,
@@ -186,7 +215,7 @@ object KeyGroupedRegistry {
     * Driver-side by design: the registry emulates the external cluster that
     * owns the data; at real scale rows never pass through the driver. */
   def stageMulti(name: String, df: DataFrame, keyCols: Seq[String],
-      clusteringCol: Option[String] = None,
+      clusteringCols: Seq[String] = Nil,
       indexCols: Seq[String] = Nil,
       maxRows: Int = StagingRowCap,
       mvCols: Seq[String] = Nil): Unit = {
@@ -207,16 +236,17 @@ object KeyGroupedRegistry {
           "(it is the view's partition key), got " +
           schema(c).dataType.catalogString)
     }
-    clusteringCol.foreach { c =>
+    clusteringCols.foreach { c =>
       schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType => ()
+        case ByteType | ShortType | IntegerType | LongType | TimestampType |
+            DateType | StringType => ()
         case other => throw new IllegalArgumentException(
-          s"graft-kv:$name clustering column $c must be integral, timestamp " +
-            s"or date, got ${other.catalogString}")
+          s"graft-kv:$name clustering column $c must be integral, timestamp, " +
+            s"date or string, got ${other.catalogString}")
       }
     }
     val kis = keyCols.map(schema.fieldIndex)
-    val ci = clusteringCol.map(schema.fieldIndex)
+    val cks = clusteringCols.map(schema.fieldIndex)
     // collect through limit(cap+1) so an over-cap input fails the require
     // below after materializing at most cap+1 rows — never the full table
     val collected = df.limit(maxRows + 1).collect()
@@ -229,7 +259,7 @@ object KeyGroupedRegistry {
           .map { case (v, f) => toStoredCell(f.dataType, v) }
         // CQL: no component of the primary key may be null — enforced at
         // staging so IsNotNull on these columns is sound to push as a no-op
-        (kis ++ ci).foreach(i => require(a(i) != null,
+        (kis ++ cks).foreach(i => require(a(i) != null,
           s"graft-kv:$name primary-key column ${schema.fields(i).name} " +
             "cannot be null (CQL)"))
         a
@@ -238,10 +268,9 @@ object KeyGroupedRegistry {
       .toArray
       .sortBy(_._1.map(String.valueOf).mkString("\u0000")) // any stable order
       .map { case (k, rows) =>
-        k -> ci.map(c =>
-          rows.sortBy(_(c).asInstanceOf[Number].longValue)).getOrElse(rows)
+        k -> (if (cks.isEmpty) rows else rows.sorted(ckTupleOrdering(cks)))
       }
-    put(name, Entry(schema, keyCols, grouped, clusteringCol, indexCols, mvCols))
+    put(name, Entry(schema, keyCols, grouped, clusteringCols, indexCols, mvCols))
     changelog.put(name,
       scala.collection.mutable.ArrayBuffer(LogBatch(grouped.flatMap(_._2), tombstone = false)))
   }
@@ -249,7 +278,7 @@ object KeyGroupedRegistry {
   /** Single-column convenience used by the original demo tables. */
   def stage(name: String, df: DataFrame, keyCol: String,
       clusteringCol: Option[String] = None): Unit =
-    stageMulti(name, df, Seq(keyCol), clusteringCol)
+    stageMulti(name, df, Seq(keyCol), clusteringCol.toSeq)
 
   /** INSERT-as-upsert commit (CQL write semantics, SURVEY §2.2 write row):
     * each incoming row replaces the row with the same primary key — the
@@ -258,23 +287,22 @@ object KeyGroupedRegistry {
     * stay ck-sorted so range slicing remains valid after a write. */
   def applyUpsert(name: String, rows: Array[(Vector[Any], Array[Any])]): Unit = synchronized {
     val e = get(name)
-    val ci = e.clusteringCol.map(e.schema.fieldIndex)
+    val cks = e.ckIdxs
     val byPk = scala.collection.mutable.LinkedHashMap(
       e.parts.map { case (k, rs) => k -> rs.toBuffer }.toIndexedSeq: _*)
     rows.foreach { case (pk, row) =>
       val buf = byPk.getOrElseUpdate(pk, scala.collection.mutable.Buffer.empty)
-      ci match {
-        case Some(c) =>
-          val i = buf.indexWhere(_(c) == row(c))
-          if (i >= 0) buf(i) = row else buf += row
-        case None =>
-          buf.clear(); buf += row
+      if (cks.nonEmpty) {
+        val i = buf.indexWhere(r =>
+          cks.forall(c => compareCkCell(r(c), row(c)) == 0))
+        if (i >= 0) buf(i) = row else buf += row
+      } else {
+        buf.clear(); buf += row
       }
     }
     val parts = byPk.toArray.map { case (k, buf) =>
       val arr = buf.toArray
-      k -> ci.map(c =>
-        arr.sortBy(_(c).asInstanceOf[Number].longValue)).getOrElse(arr)
+      k -> (if (cks.isEmpty) arr else arr.sorted(ckTupleOrdering(cks)))
     }.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
     put(name, e.copy(parts = parts))
     changelog.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) +=
@@ -309,9 +337,10 @@ object KeyGroupedRegistry {
   def applyRangeDelete(name: String, keys: Set[Vector[Any]],
       ckLo: Option[Long], ckHi: Option[Long]): Unit = synchronized {
     val e = get(name)
-    val ci = e.schema.fieldIndex(e.clusteringCol.getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-kv:$name: a range delete requires a clustering column")))
+    require(e.clusteringCols.length == 1,
+      s"graft-kv:$name: a range delete requires exactly one clustering " +
+        "column (multi-ck range tombstones are out of scope)")
+    val ci = e.schema.fieldIndex(e.clusteringCols.head)
     val targets = keys.map(_.map(normCell))
     def inRange(r: Array[Any]): Boolean = {
       val c = r(ci).asInstanceOf[Number].longValue
@@ -351,18 +380,23 @@ object KeyGroupedRegistry {
     val cut = log.size - math.max(0, keepLast)
     if (cut > 1) {
       val kis = e.keyCols.map(e.schema.fieldIndex)
-      val ci = e.clusteringCol.map(e.schema.fieldIndex)
+      val cks = e.ckIdxs
       val state = scala.collection.mutable.LinkedHashMap
-        .empty[(Vector[Any], Option[Long]), Array[Any]]
+        .empty[(Vector[Any], Vector[Any]), Array[Any]]
       log.take(cut).foreach { b =>
         if (!b.tombstone) b.rows.foreach { r =>
           state((kis.map(r(_)).toVector.map(normCell),
-            ci.map(c => r(c).asInstanceOf[Number].longValue))) = r
+            cks.map(r(_)).toVector.map(normCell))) = r
         } else b.range match {
           case Some((lo, hi)) => b.rows.foreach { r =>
+            // range tombstones exist only on single-ck tables (see
+            // applyRangeDelete), so the ck tuple is one numeric cell
             val key = kis.map(r(_)).toVector.map(normCell)
             state.filterInPlace { case ((k, ck), _) =>
-              k != key || !ck.exists(c => c >= lo && c < hi)
+              k != key || !ck.headOption.exists { c =>
+                val v = c.asInstanceOf[Number].longValue
+                v >= lo && v < hi
+              }
             }
           }
           case None => b.rows.foreach { r =>
@@ -438,7 +472,7 @@ class KVDataSource extends TableProvider {
       Option(options.get("cdc")).getOrElse("false"))
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val entry = KeyGroupedRegistry.get(options.get("table"))
-    if (isCdc(options)) KVCdc.withSeq(entry.schema, entry.clusteringCol.isDefined)
+    if (isCdc(options)) KVCdc.withSeq(entry.schema, entry.clusteringCols.nonEmpty)
     else entry.schema
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -460,13 +494,14 @@ class KVTable(tname: String, entry: KeyGroupedRegistry.Entry,
     * rejects a keyless DELETE. Whole-partition deletes append tombstone
     * batches to the CDC changelog; ck-range deletes append RANGE tombstones
     * (marker + bounds). */
-  private def isCkRange(f: Filter): Boolean = f match {
-    case GreaterThanOrEqual(a, v) =>
-      entry.clusteringCol.contains(a) && KVScan.ckValue(v).nonEmpty
-    case LessThan(a, v) =>
-      entry.clusteringCol.contains(a) && KVScan.ckValue(v).nonEmpty
-    case _ => false
-  }
+  private def isCkRange(f: Filter): Boolean =
+    entry.clusteringCols.length == 1 && (f match {
+      case GreaterThanOrEqual(a, v) =>
+        entry.clusteringCols.headOption.contains(a) && KVScan.ckValue(v).nonEmpty
+      case LessThan(a, v) =>
+        entry.clusteringCols.headOption.contains(a) && KVScan.ckValue(v).nonEmpty
+      case _ => false
+    })
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     !cdc && filters.nonEmpty && {
       val keyPreds = filters.collect {
@@ -492,12 +527,12 @@ class KVTable(tname: String, entry: KeyGroupedRegistry.Entry,
     val doomed = entry.parts.map(_._1).filter { k =>
       sets.forall { case (col, vs) => vs.exists(v => cellEq(k(at(col)), v)) }
     }.toSet
+    val ckHead = entry.clusteringCols.headOption
     val ckLo = filters.collect {
-      case GreaterThanOrEqual(a, v) if entry.clusteringCol.contains(a) =>
-        KVScan.ckValue(v)
+      case GreaterThanOrEqual(a, v) if ckHead.contains(a) => KVScan.ckValue(v)
     }.flatten.maxOption
     val ckHi = filters.collect {
-      case LessThan(a, v) if entry.clusteringCol.contains(a) => KVScan.ckValue(v)
+      case LessThan(a, v) if ckHead.contains(a) => KVScan.ckValue(v)
     }.flatten.minOption
     if (doomed.nonEmpty) {
       if (ckLo.nonEmpty || ckHi.nonEmpty)
@@ -507,7 +542,7 @@ class KVTable(tname: String, entry: KeyGroupedRegistry.Entry,
   }
   override def name(): String = s"graft-kv:$tname" + (if (cdc) " (cdc)" else "")
   override def schema(): StructType =
-    if (cdc) KVCdc.withSeq(entry.schema, entry.clusteringCol.isDefined)
+    if (cdc) KVCdc.withSeq(entry.schema, entry.clusteringCols.nonEmpty)
     else entry.schema
   override def capabilities(): util.Set[TableCapability] =
     if (cdc) util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -557,11 +592,11 @@ object KVCdc {
 
 class KVCdcScan(tname: String, entry: KeyGroupedRegistry.Entry) extends Scan {
   override def readSchema(): StructType =
-    KVCdc.withSeq(entry.schema, entry.clusteringCol.isDefined)
+    KVCdc.withSeq(entry.schema, entry.clusteringCols.nonEmpty)
   override def description(): String = s"graft-kv-cdc:$tname"
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new KVMicroBatchStream(tname, entry.clusteringCol.isDefined)
+    new KVMicroBatchStream(tname, entry.clusteringCols.nonEmpty)
 }
 
 case class KVOffset(seq: Long)
@@ -661,7 +696,7 @@ class KVWrite(tname: String, entry: KeyGroupedRegistry.Entry)
   override def requiredDistribution(): Distribution =
     Distributions.clustered(entry.keyCols.map(Expressions.identity).toArray)
   override def requiredOrdering(): Array[SortOrder] =
-    (entry.keyCols ++ entry.clusteringCol.toSeq).toArray.map(c =>
+    (entry.keyCols ++ entry.clusteringCols).toArray.map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
   override def toBatch: BatchWrite = new KVBatchWrite(tname, entry)
 }
@@ -674,7 +709,7 @@ class KVBatchWrite(tname: String, entry: KeyGroupedRegistry.Entry)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new KVWriterFactory(entry.schema,
       entry.keyCols.map(entry.schema.fieldIndex).toArray,
-      entry.clusteringCol.map(entry.schema.fieldIndex))
+      entry.ckIdxs.toArray)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: KVCommitMessage => m }
     KeyGroupedRegistry.applyUpsert(tname, msgs.flatMap(_.rows))
@@ -684,19 +719,19 @@ class KVBatchWrite(tname: String, entry: KeyGroupedRegistry.Entry)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class KVWriterFactory(schema: StructType, keyIxs: Array[Int], ckIx: Option[Int])
+class KVWriterFactory(schema: StructType, keyIxs: Array[Int], ckIxs: Array[Int])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KVDataWriter(schema, keyIxs, ckIx)
+    new KVDataWriter(schema, keyIxs, ckIxs)
 }
 
-class KVDataWriter(schema: StructType, keyIxs: Array[Int], ckIx: Option[Int])
+class KVDataWriter(schema: StructType, keyIxs: Array[Int], ckIxs: Array[Int])
     extends DataWriter[InternalRow] {
   // last-write-wins per primary key within the task; the required ordering
   // makes "last" deterministic for a sorted batch, and sequential batches
   // resolve at commit time (later commit overwrites)
   private val buf =
-    scala.collection.mutable.LinkedHashMap.empty[(Vector[Any], Option[Long]), Array[Any]]
+    scala.collection.mutable.LinkedHashMap.empty[(Vector[Any], Vector[Any]), Array[Any]]
 
   override def write(r: InternalRow): Unit = {
     keyIxs.foreach(i =>
@@ -709,7 +744,7 @@ class KVDataWriter(schema: StructType, keyIxs: Array[Int], ckIx: Option[Int])
       }
     }
     val pk = keyIxs.map(ext(_)).toVector
-    buf((pk, ckIx.map(c => ext(c).asInstanceOf[Number].longValue))) = ext
+    buf((pk, ckIxs.map(c => KeyGroupedRegistry.normCell(ext(c))).toVector)) = ext
   }
   override def commit(): WriterCommitMessage = KVCommitMessage(
     buf.toArray.map { case ((pk, _), row) => pk -> row },
@@ -749,31 +784,46 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val ck = entry.clusteringCol
+    val ckCols = entry.clusteringCols
+    val ckSet = ckCols.toSet
     val keySet = entry.keyCols.toSet
     val idx = entry.indexCols.toSet
     val mv = entry.mvCols.toSet
+    // CQL prefix rule for clustering predicates: the constrained ck columns
+    // must be a PREFIX of the declared order, every column before the last
+    // constrained one held by pure EQUALITY, the last by equality or a
+    // range — that is exactly the shape the ck-tuple-sorted partition can
+    // answer with one contiguous slice. Any other ck-predicate shape is
+    // left unpushed (Spark filters after the scan), like CQL rejecting it
+    // without ALLOW FILTERING.
+    def ckColOf(f: Filter): Option[String] = f match {
+      case EqualTo(a, v) if ckSet(a) && KVScan.ckBound(v).nonEmpty => Some(a)
+      case GreaterThanOrEqual(a, v) if ckSet(a) && KVScan.ckBound(v).nonEmpty =>
+        Some(a)
+      case LessThan(a, v) if ckSet(a) && KVScan.ckBound(v).nonEmpty => Some(a)
+      case _ => None
+    }
+    val ckByCol: Map[String, Array[Filter]] = filters
+      .flatMap(f => ckColOf(f).map(_ -> f))
+      .groupBy(_._1).map { case (c, fs) => c -> fs.map(_._2) }
+    val constrained = ckCols.filter(ckByCol.contains)
+    val ckShapeOk = ckCols.take(constrained.length) == constrained &&
+      constrained.dropRight(1).forall(c =>
+        ckByCol(c).forall(_.isInstanceOf[EqualTo]))
     val (sup, unsup) = filters.partition {
+      case f if ckColOf(f).nonEmpty => ckShapeOk
       // secondary-index equality / IN: split pruning via the inverted
       // projection plus exact row filtering inside the owning splits.
       // MV-column equality: the scan reads the write-through projection
       // re-keyed on that column instead of the base ring (one MV partition).
-      case EqualTo(a, v: Number) =>
-        keySet(a) || idx(a) || mv(a) ||
-          (ck.contains(a) && KVScan.ckValue(v).nonEmpty)
+      case EqualTo(a, _: Number) => keySet(a) || idx(a) || mv(a)
       case EqualTo(a, _: String) => keySet(a) || idx(a) || mv(a)
-      case EqualTo(a, v) => ck.contains(a) && KVScan.ckValue(v).nonEmpty
       case In(a, _) => keySet(a) || idx(a)
-      // clustering-column range: evaluated exactly by slicing the ck-sorted
-      // partition (Cassandra's within-partition range scan); timestamp/date
-      // bounds normalize to the stored epoch-micros/days encoding
-      case GreaterThanOrEqual(a, v) => ck.contains(a) && KVScan.ckValue(v).nonEmpty
-      case LessThan(a, v) => ck.contains(a) && KVScan.ckValue(v).nonEmpty
       // primary-key columns are non-null by construction (CQL; staging and
       // the write path both enforce it), so Spark's inferred IsNotNull is a
       // no-op here — accepting it lets a ck-range query report ALL filters
       // pushed, which is what unlocks aggregate pushdown on top
-      case IsNotNull(a) => keySet(a) || ck.contains(a)
+      case IsNotNull(a) => keySet(a) || ckSet(a)
       case _ => false
     }
     pushed = sup
@@ -806,7 +856,10 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     // MV partitions are keyed by the view column, not ck-sorted wholes — a
     // per-split ck prefix would be wrong there, so let Spark sort
     if (mvPushed) return false
-    val ok = orders.length == 1 && entry.clusteringCol.exists { ck =>
+    // top-n on the FIRST clustering column: rows are sorted by the full ck
+    // tuple, so the first/last n rows are a valid top-n by ck1 (ties broken
+    // by the remaining tuple — any tie-break is a correct LIMIT answer)
+    val ok = orders.length == 1 && entry.clusteringCols.headOption.exists { ck =>
       orders(0).expression() match {
         case nr: NamedReference =>
           nr.fieldNames.length == 1 && nr.fieldNames()(0) == ck
@@ -833,8 +886,10 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
   private def aggSpecs(agg: Aggregation): Option[Seq[KVScan.PushedAgg]] = {
     def isCk(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e match {
+        // extrema are servable from partition edges only for the FIRST
+        // clustering column (the tuple sort's primary dimension)
         case nr: NamedReference => nr.fieldNames.length == 1 &&
-          entry.clusteringCol.contains(nr.fieldNames()(0))
+          entry.clusteringCols.headOption.contains(nr.fieldNames()(0))
         case _ => false
       }
     val specs = agg.aggregateExpressions.toSeq.map {
@@ -887,6 +942,14 @@ object KVScan {
   case object AggMinCk extends PushedAgg
   case object AggMaxCk extends PushedAgg
 
+  /** Pushed clustering-column bound → the stored cell encoding the tuple
+    * comparator understands: numerics ride as-is, timestamps/dates
+    * normalize to their epoch-micros/days longs, strings ride as-is. */
+  def ckBound(v: Any): Option[Any] = v match {
+    case s: String => Some(s)
+    case other => ckValue(other)
+  }
+
   /** Pushed clustering-column comparison value → the stored long encoding
     * (integral as-is, timestamp → epoch micros, date → epoch days) so the
     * binary-search slice works identically for `ck BIGINT` and the
@@ -916,18 +979,18 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
   private def aggPushed: Boolean = pushedAggs.nonEmpty
   private def aggLabel(a: KVScan.PushedAgg): String = a match {
     case AggCount => "COUNT(*)"
-    case AggMinCk => s"MIN(${entry.clusteringCol.get})"
-    case AggMaxCk => s"MAX(${entry.clusteringCol.get})"
+    case AggMinCk => s"MIN(${entry.clusteringCols.head})"
+    case AggMaxCk => s"MAX(${entry.clusteringCols.head})"
   }
   override def readSchema(): StructType =
     if (aggPushed) {
       val aggFields = pushedAggs.map {
         case AggCount => StructField("count(*)", LongType, nullable = false)
         case AggMinCk =>
-          val c = entry.clusteringCol.get
+          val c = entry.clusteringCols.head
           StructField(s"min($c)", entry.schema(c).dataType)
         case AggMaxCk =>
-          val c = entry.clusteringCol.get
+          val c = entry.clusteringCols.head
           StructField(s"max($c)", entry.schema(c).dataType)
       }
       StructType((groupCols.map(entry.schema(_)) ++ aggFields).toArray)
@@ -1007,43 +1070,97 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     } && idxKeySets.forall(_.contains(k))
   }
 
-  // clustering-column range bounds [ckLo, ckHi) from the pushed predicates;
-  // rows are ck-sorted at stage/commit time, so each bound is one binary
-  // search and the scan reads a contiguous slice of the owning partition
-  private lazy val ckIx: Option[Int] =
-    entry.clusteringCol.map(entry.schema.fieldIndex)
-  private lazy val ckLo: Option[Long] = {
-    val los = pushed.collect {
-      case GreaterThanOrEqual(a, v) if entry.clusteringCol.contains(a) =>
-        KVScan.ckValue(v)
-      case EqualTo(a, v) if entry.clusteringCol.contains(a) => KVScan.ckValue(v)
-    }.flatten
-    if (los.isEmpty) None else Some(los.max)
+  // clustering-tuple slice bounds from the pushed predicates. Partitions
+  // are sorted by the FULL ck tuple, and pushFilters only accepted a valid
+  // CQL prefix shape (equality on ck1..ck_{m-1}, equality-or-range on
+  // ck_m), so the matching rows form ONE contiguous run found by two
+  // binary searches over tuple prefixes.
+  private lazy val ckIdxs: Seq[Int] = entry.ckIdxs
+  /** (equality-prefix values, lo bound on the next col (inclusive),
+    * hi bound on the next col (value, inclusive?)); None = no ck
+    * predicates pushed. contradictory = provably-empty (two different
+    * equalities on one column). */
+  private lazy val ckSlice: Option[(IndexedSeq[Any], Option[Any], Option[(Any, Boolean)], Boolean)] = {
+    val ckCols = entry.clusteringCols
+    val byCol: Map[String, Array[Filter]] = pushed
+      .filter {
+        case EqualTo(a, _) => ckCols.contains(a)
+        case GreaterThanOrEqual(a, _) => ckCols.contains(a)
+        case LessThan(a, _) => ckCols.contains(a)
+        case _ => false
+      }
+      .groupBy {
+        case EqualTo(a, _) => a
+        case GreaterThanOrEqual(a, _) => a
+        case LessThan(a, _) => a
+        case _ => ""
+      }
+    if (byCol.isEmpty) None
+    else {
+      val constrained = ckCols.filter(byCol.contains)
+      var contradictory = false
+      // pure-equality prefix: all but the last constrained column
+      val eqPrefix = constrained.dropRight(1).map { c =>
+        val vs = byCol(c).collect { case EqualTo(_, v) => KVScan.ckBound(v).get }
+        if (vs.distinct.length > 1) contradictory = true
+        vs.head
+      }.toIndexedSeq
+      // last constrained column: fold equalities and ranges into [lo, hi]
+      val last = constrained.last
+      val eqs = byCol(last).collect { case EqualTo(_, v) => KVScan.ckBound(v).get }
+      if (eqs.distinct.length > 1) contradictory = true
+      val los = byCol(last).collect {
+        case GreaterThanOrEqual(_, v) => KVScan.ckBound(v).get } ++ eqs
+      val hisExcl = byCol(last).collect {
+        case LessThan(_, v) => KVScan.ckBound(v).get }
+      val lo = los.reduceOption((a, b) =>
+        if (KeyGroupedRegistry.compareCkCell(a, b) >= 0) a else b)
+      val hiCands: Seq[(Any, Boolean)] =
+        hisExcl.map(v => (v, false)).toSeq ++ eqs.headOption.map(v => (v, true)).toSeq
+      val hi = hiCands.reduceOption { (a, b) =>
+        val c = KeyGroupedRegistry.compareCkCell(a._1, b._1)
+        if (c < 0) a else if (c > 0) b
+        else if (!a._2) a else b // equal values: exclusive is tighter
+      }
+      Some((eqPrefix, lo, hi, contradictory))
+    }
   }
-  private lazy val ckHi: Option[Long] = {
-    val his = pushed.collect {
-      case LessThan(a, v) if entry.clusteringCol.contains(a) => KVScan.ckValue(v)
-      case EqualTo(a, v) if entry.clusteringCol.contains(a) =>
-        KVScan.ckValue(v).map(_ + 1)
-    }.flatten
-    if (his.isEmpty) None else Some(his.min)
-  }
-  private def lowerBound(rows: Array[Array[Any]], ci: Int, target: Long): Int = {
+  /** First index whose ck-tuple prefix compares >= (strict=false) or >
+    * (strict=true) the bound tuple. */
+  private def boundSearch(rows: Array[Array[Any]], bound: IndexedSeq[Any],
+      strict: Boolean): Int = {
+    def cmpPrefix(r: Array[Any]): Int = {
+      var i = 0
+      while (i < bound.length) {
+        val c = KeyGroupedRegistry.compareCkCell(r(ckIdxs(i)), bound(i))
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
     var lo = 0; var hi = rows.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (rows(mid)(ci).asInstanceOf[Number].longValue < target) lo = mid + 1
-      else hi = mid
+      val c = cmpPrefix(rows(mid))
+      if (c < 0 || (strict && c == 0)) lo = mid + 1 else hi = mid
     }
     lo
   }
-  private def sliceRows(rows: Array[Array[Any]]): Array[Array[Any]] = ckIx match {
-    case Some(ci) if ckLo.nonEmpty || ckHi.nonEmpty =>
-      val lb = ckLo.map(lowerBound(rows, ci, _)).getOrElse(0)
-      val ub = ckHi.map(lowerBound(rows, ci, _)).getOrElse(rows.length)
-      if (lb >= ub) Array.empty else rows.slice(lb, ub)
-    case _ => rows
-  }
+  private def sliceRows(rows: Array[Array[Any]]): Array[Array[Any]] =
+    ckSlice match {
+      case Some((_, _, _, true)) => Array.empty // contradictory equalities
+      case Some((eqPrefix, lo, hi, _)) =>
+        val lb = boundSearch(rows, eqPrefix ++ lo.toSeq, strict = false)
+        val ub = hi match {
+          case Some((v, incl)) =>
+            boundSearch(rows, eqPrefix :+ v, strict = incl)
+          case None =>
+            if (eqPrefix.isEmpty) rows.length
+            else boundSearch(rows, eqPrefix, strict = true)
+        }
+        if (lb >= ub) Array.empty else rows.slice(lb, ub)
+      case None => rows
+    }
 
   // partition COUNT is needed by outputPartitioning during planning —
   // computed from keys alone, without projecting any rows
@@ -1106,9 +1223,11 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
       case EqualTo(a, v2) => cellEq(r(fi(a)), v2)
       case In(a, vs) => vs.exists(v2 => cellEq(r(fi(a)), v2))
       case GreaterThanOrEqual(a, v2) =>
-        KVScan.ckValue(v2).exists(lo => r(fi(a)).asInstanceOf[Number].longValue >= lo)
+        KVScan.ckBound(v2).exists(lo =>
+          KeyGroupedRegistry.compareCkCell(r(fi(a)), lo) >= 0)
       case LessThan(a, v2) =>
-        KVScan.ckValue(v2).exists(hi => r(fi(a)).asInstanceOf[Number].longValue < hi)
+        KVScan.ckBound(v2).exists(hi =>
+          KeyGroupedRegistry.compareCkCell(r(fi(a)), hi) < 0)
       case IsNotNull(a) => r(fi(a)) != null
       case _ => true
     } && runtimeSets.forall { case (a, vs) => vs.exists(v2 => cellEq(r(fi(a)), v2)) }
@@ -1162,9 +1281,9 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
               val aggVals = pushedAggs.map {
                 case AggCount => served.length.toLong: Any
                 case AggMinCk =>
-                  if (served.isEmpty) null else served.head(ckIx.get)
+                  if (served.isEmpty) null else served.head(ckIdxs.head)
                 case AggMaxCk =>
-                  if (served.isEmpty) null else served.last(ckIx.get)
+                  if (served.isEmpty) null else served.last(ckIdxs.head)
               }
               Some(KVPartition(internalKey(k), KVRing.replicasOf(k).toArray,
                 Array((groupVals ++ aggVals).toArray[Any])): InputPartition)

@@ -273,6 +273,47 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!got.valuesIterator.contains(0L), got)
   }
 
+  test("multi-ck prefix predicates slice the tuple-sorted partition exactly") {
+    import org.apache.spark.sql.functions.col
+    val df = Storage.queries("q_kv_multick")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val name = s"orders_mck:$sfDir"
+    // pk equality pruned the ring to one split; the full prefix shape
+    // (eq prio, range ck) pushed and served EXACTLY the matching rows
+    assert(graft.sources.KeyGroupedRegistry.lastPlanned(name) == 1)
+    val plan = planOf(df)
+    assert(plan.contains("EqualTo(prio,4-NOT SPECIFIED)"), plan)
+    assert(plan.contains("GreaterThanOrEqual(ck,1000)"), plan)
+    assert(graft.sources.KeyGroupedRegistry.lastScanRows(name) == rows.length.toLong)
+    val base = graft.sources.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_custkey") <= 100)
+    assert(rows.length == base.filter(col("o_custkey") === 37 &&
+      col("o_orderpriority") === "4-NOT SPECIFIED" &&
+      col("o_orderkey") >= 1000).count())
+    def kv = spark.read.format("graft.sources.KVDataSource")
+      .option("table", name).load()
+    // a STRING range on ck1 alone is also a valid prefix shape — pushed and
+    // sliced (prio >= "3" covers the '3-MEDIUM'..'5-LOW' suffix)
+    val d2 = kv.filter(col("cust") === 37 && col("prio") >= "3")
+    val got2 = d2.collect()
+    assert(planOf(d2).contains("GreaterThanOrEqual(prio,3)"), planOf(d2))
+    assert(got2.length == base.filter(col("o_custkey") === 37 &&
+      col("o_orderpriority") >= "3").count())
+    assert(graft.sources.KeyGroupedRegistry.lastScanRows(name) == got2.length.toLong)
+    // an INVALID shape (range on ck2 with ck1 unconstrained) is NOT pushed —
+    // CQL would demand ALLOW FILTERING — but Spark's residual filter still
+    // answers it correctly
+    val d3 = kv.filter(col("cust") === 37 && col("ck") < 5000)
+    val plan3 = planOf(d3)
+    assert(!plan3.contains("LessThan(ck,5000)") ||
+      !plan3.contains("pushed=[") ||
+      !plan3.split("pushed=\\[")(1).split("]")(0).contains("LessThan(ck,5000)"),
+      plan3)
+    assert(d3.count() == base.filter(col("o_custkey") === 37 &&
+      col("o_orderkey") < 5000).count())
+  }
+
   test("MV-column equality reads ONE view partition instead of the base ring") {
     val df = Storage.queries("q_kv_mv_read")(spark, sfDir)
     val rows = df.collect()

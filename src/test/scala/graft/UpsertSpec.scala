@@ -631,6 +631,36 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table("graftcat.proptest.bb").collect()(0).getLong(1) == 100L)
   }
 
+  test("multi-ck upsert identity is the full clustering tuple, tuple-sorted") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.sources.KeyGroupedRegistry
+    val schema = StructType(Seq(
+      StructField("pk", LongType, nullable = false),
+      StructField("c1", StringType, nullable = false),
+      StructField("c2", LongType, nullable = false),
+      StructField("v", StringType)))
+    def df(rows: (Long, String, Long, String)*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (p, a, b, v) =>
+        Row(p, a, b, v) }: _*), schema)
+    val name = "kv_mck_unit"
+    KeyGroupedRegistry.stageMulti(name,
+      df((1L, "b", 2L, "x"), (1L, "a", 5L, "y"), (1L, "a", 1L, "z")),
+      Seq("pk"), clusteringCols = Seq("c1", "c2"))
+    // (1,a,5) overwrites, (1,b,1) is a new tuple position, (2,c,9) a new
+    // partition — identity is the FULL (c1, c2) tuple, not c1 alone
+    df((1L, "a", 5L, "Y2"), (1L, "b", 1L, "w"), (2L, "c", 9L, "q"))
+      .write.format("graft.sources.KVDataSource")
+      .option("table", name).mode("append").save()
+    val got = spark.read.format("graft.sources.KVDataSource")
+      .option("table", name).load()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    // per partition the rows come back sorted by the (c1, c2) tuple
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, "a", 1L, "z"), (1L, "a", 5L, "Y2"),
+      (1L, "b", 1L, "w"), (1L, "b", 2L, "x")), got.toSeq)
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, "c", 9L, "q")))
+  }
+
   test("MV stays write-through consistent across upserts, re-keys and deletes") {
     import org.apache.spark.sql.functions.col
     val name = "mv_wt_test"
