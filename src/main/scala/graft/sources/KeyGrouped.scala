@@ -68,11 +68,16 @@ object KeyGroupedRegistry {
       parts: Array[(Vector[Any], Array[Array[Any]])],
       clusteringCols: Seq[String] = Nil,
       indexCols: Seq[String] = Nil,
-      mvCols: Seq[String] = Nil) {
+      mvCols: Seq[String] = Nil,
+      ckDesc: Set[String] = Set.empty) {
     def keyTypes: Seq[DataType] = keyCols.map(schema(_).dataType)
     /** Schema indices of the clustering columns, in declared order — rows
-      * inside each partition are kept sorted by this TUPLE. */
+      * inside each partition are kept sorted by this TUPLE, each column in
+      * its declared direction (`ckDesc` = CQL CLUSTERING ORDER BY ... DESC:
+      * the PHYSICAL layout is reversed for those columns, so "first rows"
+      * of a partition are its newest — the Cassandra time-series idiom). */
     def ckIdxs: Seq[Int] = clusteringCols.map(schema.fieldIndex)
+    def ckDescFlags: Seq[Boolean] = clusteringCols.map(ckDesc)
 
     /** Materialized-view analog (Cassandra MV): per declared MV column, the
       * SAME rows re-keyed on that column — a write-through projection table
@@ -144,13 +149,16 @@ object KeyGroupedRegistry {
       s"incomparable clustering cells: $a vs $b")
   }
 
-  /** Lexicographic ordering of a row by its clustering-column tuple. */
-  private[sources] def ckTupleOrdering(idxs: Seq[Int]): Ordering[Array[Any]] =
+  /** Lexicographic ordering of a row by its clustering-column tuple, each
+    * column in its declared direction (CLUSTERING ORDER BY). */
+  private[sources] def ckTupleOrdering(idxs: Seq[Int],
+      desc: Seq[Boolean]): Ordering[Array[Any]] =
     new Ordering[Array[Any]] {
       override def compare(a: Array[Any], b: Array[Any]): Int = {
         var i = 0
         while (i < idxs.length) {
-          val c = compareCkCell(a(idxs(i)), b(idxs(i)))
+          val c0 = compareCkCell(a(idxs(i)), b(idxs(i)))
+          val c = if (desc(i)) -c0 else c0
           if (c != 0) return c
           i += 1
         }
@@ -218,7 +226,8 @@ object KeyGroupedRegistry {
       clusteringCols: Seq[String] = Nil,
       indexCols: Seq[String] = Nil,
       maxRows: Int = StagingRowCap,
-      mvCols: Seq[String] = Nil): Unit = {
+      mvCols: Seq[String] = Nil,
+      ckDesc: Set[String] = Set.empty): Unit = {
     if (contains(name)) return
     val schema = df.schema
     keyCols.foreach { k =>
@@ -245,8 +254,12 @@ object KeyGroupedRegistry {
             s"date or string, got ${other.catalogString}")
       }
     }
+    require(ckDesc.subsetOf(clusteringCols.toSet),
+      s"graft-kv:$name CLUSTERING ORDER BY names non-clustering columns: " +
+        (ckDesc -- clusteringCols.toSet).mkString(","))
     val kis = keyCols.map(schema.fieldIndex)
     val cks = clusteringCols.map(schema.fieldIndex)
+    val descFlags = clusteringCols.map(ckDesc)
     // collect through limit(cap+1) so an over-cap input fails the require
     // below after materializing at most cap+1 rows — never the full table
     val collected = df.limit(maxRows + 1).collect()
@@ -268,9 +281,11 @@ object KeyGroupedRegistry {
       .toArray
       .sortBy(_._1.map(String.valueOf).mkString("\u0000")) // any stable order
       .map { case (k, rows) =>
-        k -> (if (cks.isEmpty) rows else rows.sorted(ckTupleOrdering(cks)))
+        k -> (if (cks.isEmpty) rows
+              else rows.sorted(ckTupleOrdering(cks, descFlags)))
       }
-    put(name, Entry(schema, keyCols, grouped, clusteringCols, indexCols, mvCols))
+    put(name,
+      Entry(schema, keyCols, grouped, clusteringCols, indexCols, mvCols, ckDesc))
     changelog.put(name,
       scala.collection.mutable.ArrayBuffer(LogBatch(grouped.flatMap(_._2), tombstone = false)))
   }
@@ -302,7 +317,8 @@ object KeyGroupedRegistry {
     }
     val parts = byPk.toArray.map { case (k, buf) =>
       val arr = buf.toArray
-      k -> (if (cks.isEmpty) arr else arr.sorted(ckTupleOrdering(cks)))
+      k -> (if (cks.isEmpty) arr
+            else arr.sorted(ckTupleOrdering(cks, e.ckDescFlags)))
     }.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
     put(name, e.copy(parts = parts))
     changelog.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) +=
@@ -696,8 +712,11 @@ class KVWrite(tname: String, entry: KeyGroupedRegistry.Entry)
   override def requiredDistribution(): Distribution =
     Distributions.clustered(entry.keyCols.map(Expressions.identity).toArray)
   override def requiredOrdering(): Array[SortOrder] =
-    (entry.keyCols ++ entry.clusteringCols).toArray.map(c =>
-      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+    (entry.keyCols.map(c => (c, false)) ++
+      entry.clusteringCols.map(c => (c, entry.ckDesc(c)))).toArray.map {
+      case (c, desc) => Expressions.sort(Expressions.column(c),
+        if (desc) SortDirection.DESCENDING else SortDirection.ASCENDING)
+    }
   override def toBatch: BatchWrite = new KVBatchWrite(tname, entry)
 }
 
@@ -866,7 +885,15 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
         case _ => false
       }
     }
-    if (ok) topN = Some((orders(0).direction() == SortDirection.ASCENDING, n))
+    if (ok) {
+      // topN is stored in STORAGE terms: on a DESC-declared column an
+      // ascending request reads the partition SUFFIX (smallest values live
+      // at the physical end), a descending one the prefix — either way zero
+      // sorting in the source
+      val reqAsc = orders(0).direction() == SortDirection.ASCENDING
+      val storedDesc = entry.ckDesc(entry.clusteringCols.head)
+      topN = Some((reqAsc != storedDesc, n))
+    }
     ok
   }
 
@@ -1077,10 +1104,10 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
   // binary searches over tuple prefixes.
   private lazy val ckIdxs: Seq[Int] = entry.ckIdxs
   /** (equality-prefix values, lo bound on the next col (inclusive),
-    * hi bound on the next col (value, inclusive?)); None = no ck
-    * predicates pushed. contradictory = provably-empty (two different
-    * equalities on one column). */
-  private lazy val ckSlice: Option[(IndexedSeq[Any], Option[Any], Option[(Any, Boolean)], Boolean)] = {
+    * hi bound on the next col (value, inclusive?), contradictory =
+    * provably-empty (two different equalities on one column), last
+    * constrained column declared DESC); None = no ck predicates pushed. */
+  private lazy val ckSlice: Option[(IndexedSeq[Any], Option[Any], Option[(Any, Boolean)], Boolean, Boolean)] = {
     val ckCols = entry.clusteringCols
     val byCol: Map[String, Array[Filter]] = pushed
       .filter {
@@ -1122,17 +1149,19 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
         if (c < 0) a else if (c > 0) b
         else if (!a._2) a else b // equal values: exclusive is tighter
       }
-      Some((eqPrefix, lo, hi, contradictory))
+      Some((eqPrefix, lo, hi, contradictory, entry.ckDesc(last)))
     }
   }
   /** First index whose ck-tuple prefix compares >= (strict=false) or >
     * (strict=true) the bound tuple. */
   private def boundSearch(rows: Array[Array[Any]], bound: IndexedSeq[Any],
       strict: Boolean): Int = {
+    val desc = entry.ckDescFlags
     def cmpPrefix(r: Array[Any]): Int = {
       var i = 0
       while (i < bound.length) {
-        val c = KeyGroupedRegistry.compareCkCell(r(ckIdxs(i)), bound(i))
+        val c0 = KeyGroupedRegistry.compareCkCell(r(ckIdxs(i)), bound(i))
+        val c = if (desc(i)) -c0 else c0
         if (c != 0) return c
         i += 1
       }
@@ -1148,16 +1177,32 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
   }
   private def sliceRows(rows: Array[Array[Any]]): Array[Array[Any]] =
     ckSlice match {
-      case Some((_, _, _, true)) => Array.empty // contradictory equalities
-      case Some((eqPrefix, lo, hi, _)) =>
-        val lb = boundSearch(rows, eqPrefix ++ lo.toSeq, strict = false)
-        val ub = hi match {
-          case Some((v, incl)) =>
-            boundSearch(rows, eqPrefix :+ v, strict = incl)
-          case None =>
-            if (eqPrefix.isEmpty) rows.length
-            else boundSearch(rows, eqPrefix, strict = true)
-        }
+      case Some((_, _, _, true, _)) => Array.empty // contradictory equalities
+      case Some((eqPrefix, lo, hi, _, lastDesc)) =>
+        // on an ASC-stored last column the run starts at the lo edge and
+        // ends at the hi edge; a DESC-stored column reverses the physical
+        // order, so the VALUE range [lo, hi) starts at the hi edge
+        val lb =
+          if (!lastDesc) boundSearch(rows, eqPrefix ++ lo.toSeq, strict = false)
+          else hi match {
+            case Some((v, incl)) =>
+              boundSearch(rows, eqPrefix :+ v, strict = !incl)
+            case None => boundSearch(rows, eqPrefix, strict = false)
+          }
+        val ub =
+          if (!lastDesc) hi match {
+            case Some((v, incl)) =>
+              boundSearch(rows, eqPrefix :+ v, strict = incl)
+            case None =>
+              if (eqPrefix.isEmpty) rows.length
+              else boundSearch(rows, eqPrefix, strict = true)
+          }
+          else lo match {
+            case Some(v) => boundSearch(rows, eqPrefix :+ v, strict = true)
+            case None =>
+              if (eqPrefix.isEmpty) rows.length
+              else boundSearch(rows, eqPrefix, strict = true)
+          }
         if (lb >= ub) Array.empty else rows.slice(lb, ub)
       case None => rows
     }
@@ -1278,12 +1323,18 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
                 case (s: String, StringType) => UTF8String.fromString(s)
                 case (v, _) => v
               }
+              // with ck1 declared DESC the physical head holds the MAX
+              val headDesc = entry.ckDescFlags.headOption.getOrElse(false)
               val aggVals = pushedAggs.map {
                 case AggCount => served.length.toLong: Any
                 case AggMinCk =>
-                  if (served.isEmpty) null else served.head(ckIdxs.head)
+                  if (served.isEmpty) null
+                  else if (headDesc) served.last(ckIdxs.head)
+                  else served.head(ckIdxs.head)
                 case AggMaxCk =>
-                  if (served.isEmpty) null else served.last(ckIdxs.head)
+                  if (served.isEmpty) null
+                  else if (headDesc) served.head(ckIdxs.head)
+                  else served.last(ckIdxs.head)
               }
               Some(KVPartition(internalKey(k), KVRing.replicasOf(k).toArray,
                 Array((groupVals ++ aggVals).toArray[Any])): InputPartition)

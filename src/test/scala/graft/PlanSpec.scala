@@ -273,6 +273,47 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!got.valuesIterator.contains(0L), got)
   }
 
+  test("CLUSTERING ORDER BY DESC: ranges, topN and extrema stay exact") {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    Storage.queries("q_kv_clustering_desc")(spark, sfDir).collect() // stages
+    val name = s"events_desc:$sfDir"
+    def kv = spark.read.format("graft.sources.KVDataSource")
+      .option("table", name).load()
+    val base = graft.sources.Tables.load(spark, sfDir, "events")
+      .filter(col("user_id") <= 50)
+    // a ts VALUE range on the DESC-stored column still reads one exact
+    // contiguous slice (the physical run just starts at the hi edge)
+    val lo = "2024-01-10 00:00:00"
+    val hi = "2024-01-20 00:00:00"
+    val d = kv.filter(col("pk") === 7 &&
+      col("ts") >= org.apache.spark.sql.functions.expr(s"TIMESTAMP'$lo'") &&
+      col("ts") < org.apache.spark.sql.functions.expr(s"TIMESTAMP'$hi'"))
+    val got = d.collect()
+    assert(graft.sources.KeyGroupedRegistry.lastPlanned(name) == 1)
+    assert(graft.sources.KeyGroupedRegistry.lastScanRows(name) == got.length.toLong)
+    assert(got.length == base.filter(col("user_id") === 7 &&
+      col("ts") >= org.apache.spark.sql.functions.expr(s"TIMESTAMP'$lo'") &&
+      col("ts") < org.apache.spark.sql.functions.expr(s"TIMESTAMP'$hi'")).count())
+    assert(got.nonEmpty)
+    // ORDER BY ts DESC LIMIT n maps to the partition PREFIX (zero source
+    // sort); ascending maps to the suffix — both pushed
+    val newest = kv.orderBy(col("ts").desc).limit(5)
+    assert(planOf(newest).contains("PushedTopN"), planOf(newest))
+    val gotNew = newest.collect().map(_.getTimestamp(1)).toSeq
+    val expNew = base.orderBy(col("ts").desc).limit(5)
+      .collect().map(_.getTimestamp(1)).toSeq
+    assert(gotNew == expNew)
+    // MIN/MAX(ts) under DESC storage read the right edges
+    val mm = kv.groupBy("pk").agg(fmin(col("ts")).as("first_seen"),
+      fmax(col("ts")).as("last_seen"))
+    assert(planOf(mm).contains("PushedAggregation: [MIN(ts),MAX(ts)]"), planOf(mm))
+    val gotM = mm.collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    val expM = base.groupBy("user_id").agg(fmin("ts"), fmax("ts"))
+      .collect().map(r => r.getLong(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    assert(gotM == expM)
+  }
+
   test("multi-ck prefix predicates slice the tuple-sorted partition exactly") {
     import org.apache.spark.sql.functions.col
     val df = Storage.queries("q_kv_multick")(spark, sfDir)
