@@ -843,6 +843,37 @@ object Storage {
         .orderBy("k")
     },
 
+    // CQL STATIC columns — one cell per PARTITION shared by every
+    // clustering row (`segment text STATIC`): a single write carrying a
+    // non-null static value flips what EVERY row of that partition reads,
+    // without rewriting the rows (Cassandra stores the static row beside
+    // the clustering rows; here the scan overlays the partition's current
+    // cell). Customers' segments live as a static on their orders
+    // partitions; one upsert moves every 3rd customer to 'PROMO', and all
+    // their order rows — old and new — read the new segment. The oracle
+    // recomputes the post-flip view from orders ⋈ customer.
+    "q_kv_static" -> { (s, dir) =>
+      val name = s"orders_static:$dir"
+      val o = Tables.load(s, dir, "orders").filter(col("o_custkey") <= 60)
+      val c = Tables.load(s, dir, "customer")
+      graft.sources.KeyGroupedRegistry.stageMulti(name,
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("o_custkey").as("pk"), col("o_orderkey").as("ck"),
+            col("c_mktsegment").as("segment"), col("o_totalprice").as("price")),
+        Seq("pk"), clusteringCols = Seq("ck"), staticCols = Seq("segment"))
+      // one write per moved customer: a fresh order row whose static cell
+      // re-points the whole partition
+      o.filter(pmod(col("o_custkey"), lit(3)) === 0)
+        .groupBy(col("o_custkey").as("pk"))
+        .agg(max(col("o_orderkey")).as("mx"))
+        .select(col("pk"), (col("mx") + 1000000L).as("ck"),
+          lit("PROMO").as("segment"), lit(0.0).as("price"))
+        .write.format("graft.sources.KVDataSource")
+        .option("table", name).mode("append").save()
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .orderBy("pk", "ck")
+    },
+
     // CLUSTERING ORDER BY ... DESC — the declared PHYSICAL direction of the
     // clustering tuple (`PRIMARY KEY (user, ts, id) WITH CLUSTERING ORDER
     // BY (ts DESC, id DESC)`), Cassandra's time-series idiom: each
@@ -1333,6 +1364,29 @@ object Storage {
         |FROM orders
         |WHERE o_custkey <= 50
         |  AND NOT (o_custkey = 7 AND o_orderkey >= 1000 AND o_orderkey < 8000)
+        |ORDER BY pk, ck""".stripMargin,
+
+    // post-flip view recomputed: every 3rd customer reads 'PROMO' on ALL
+    // rows (incl. the synthetic marker order), everyone else keeps their
+    // customer segment
+    "q_kv_static" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS pk, o_orderkey AS ck, c_mktsegment AS seg,
+        |    o_totalprice AS price
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_custkey <= 60),
+        |markers AS (
+        |  SELECT pk, MAX(ck) + 1000000 AS ck, CAST(0.0 AS DOUBLE) AS price
+        |  FROM o WHERE pk % 3 = 0 GROUP BY pk),
+        |allrows AS (
+        |  SELECT pk, ck, seg, price FROM o
+        |  UNION ALL SELECT pk, ck, NULL, price FROM markers)
+        |SELECT pk, ck,
+        |  CASE WHEN pk % 3 = 0 THEN 'PROMO'
+        |       ELSE (SELECT MAX(seg) FROM o o2 WHERE o2.pk = allrows.pk) END
+        |    AS segment,
+        |  price
+        |FROM allrows
         |ORDER BY pk, ck""".stripMargin,
 
     "q_kv_clustering_desc" ->

@@ -69,8 +69,18 @@ object KeyGroupedRegistry {
       clusteringCols: Seq[String] = Nil,
       indexCols: Seq[String] = Nil,
       mvCols: Seq[String] = Nil,
-      ckDesc: Set[String] = Set.empty) {
+      ckDesc: Set[String] = Set.empty,
+      staticCols: Seq[String] = Nil,
+      staticVals: Map[Vector[Any], Map[Int, Any]] = Map.empty) {
     def keyTypes: Seq[DataType] = keyCols.map(schema(_).dataType)
+    /** CQL STATIC columns: one cell per PARTITION, shared by every
+      * clustering row — `staticVals` holds the current value per
+      * (normalized) partition key and static-column schema index, updated
+      * by any write carrying a non-null cell; reads OVERLAY it onto every
+      * served row, so a single write flips the value seen across the whole
+      * partition (the Cassandra semantics: the static row lives beside the
+      * clustering rows and merges by its own cell). */
+    def staticIdxs: Seq[Int] = staticCols.map(schema.fieldIndex)
     /** Schema indices of the clustering columns, in declared order — rows
       * inside each partition are kept sorted by this TUPLE, each column in
       * its declared direction (`ckDesc` = CQL CLUSTERING ORDER BY ... DESC:
@@ -227,7 +237,8 @@ object KeyGroupedRegistry {
       indexCols: Seq[String] = Nil,
       maxRows: Int = StagingRowCap,
       mvCols: Seq[String] = Nil,
-      ckDesc: Set[String] = Set.empty): Unit = {
+      ckDesc: Set[String] = Set.empty,
+      staticCols: Seq[String] = Nil): Unit = {
     if (contains(name)) return
     val schema = df.schema
     keyCols.foreach { k =>
@@ -237,6 +248,8 @@ object KeyGroupedRegistry {
     }
     indexCols.foreach(c => require(schema.fieldNames.contains(c),
       s"graft-kv:$name indexed column $c not in schema"))
+    (indexCols ++ mvCols).foreach(c => require(!staticCols.contains(c),
+      s"graft-kv:$name column $c cannot be both static and indexed/viewed"))
     mvCols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"graft-kv:$name MV column $c not in schema")
@@ -257,6 +270,15 @@ object KeyGroupedRegistry {
     require(ckDesc.subsetOf(clusteringCols.toSet),
       s"graft-kv:$name CLUSTERING ORDER BY names non-clustering columns: " +
         (ckDesc -- clusteringCols.toSet).mkString(","))
+    staticCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft-kv:$name static column $c not in schema")
+      require(!keyCols.contains(c) && !clusteringCols.contains(c),
+        s"graft-kv:$name static column $c cannot be part of the primary key (CQL)")
+    }
+    require(staticCols.isEmpty || clusteringCols.nonEmpty,
+      s"graft-kv:$name static columns require clustering columns (CQL: a " +
+        "table without clustering rows has nothing to share the cell across)")
     val kis = keyCols.map(schema.fieldIndex)
     val cks = clusteringCols.map(schema.fieldIndex)
     val descFlags = clusteringCols.map(ckDesc)
@@ -284,8 +306,17 @@ object KeyGroupedRegistry {
         k -> (if (cks.isEmpty) rows
               else rows.sorted(ckTupleOrdering(cks, descFlags)))
       }
+    // initial static cells: per partition, the last non-null staged value
+    val sis = staticCols.map(schema.fieldIndex)
+    val statics: Map[Vector[Any], Map[Int, Any]] =
+      if (sis.isEmpty) Map.empty
+      else grouped.map { case (k, rows) =>
+        k.map(normCell) -> sis.flatMap(si =>
+          rows.reverseIterator.map(_(si)).find(_ != null).map(si -> _)).toMap
+      }.toMap
     put(name,
-      Entry(schema, keyCols, grouped, clusteringCols, indexCols, mvCols, ckDesc))
+      Entry(schema, keyCols, grouped, clusteringCols, indexCols, mvCols,
+        ckDesc, staticCols, statics))
     changelog.put(name,
       scala.collection.mutable.ArrayBuffer(LogBatch(grouped.flatMap(_._2), tombstone = false)))
   }
@@ -320,7 +351,19 @@ object KeyGroupedRegistry {
       k -> (if (cks.isEmpty) arr
             else arr.sorted(ckTupleOrdering(cks, e.ckDescFlags)))
     }.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
-    put(name, e.copy(parts = parts))
+    // static cells: any write carrying a non-null static value updates the
+    // PARTITION's cell (a null is untouched, like the cellwise UPDATE rule)
+    val sis = e.staticIdxs
+    val statics =
+      if (sis.isEmpty) e.staticVals
+      else rows.foldLeft(e.staticVals) { case (acc, (pk, row)) =>
+        val k = pk.map(normCell)
+        val upd = sis.flatMap(si =>
+          Option(row(si)).map(si -> _)).toMap
+        if (upd.isEmpty) acc
+        else acc.updated(k, acc.getOrElse(k, Map.empty) ++ upd)
+      }
+    put(name, e.copy(parts = parts, staticVals = statics))
     changelog.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) +=
       LogBatch(rows.map(_._2), tombstone = false)
   }
@@ -1257,6 +1300,19 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     limit.map(topped.take).getOrElse(topped)
   }
 
+  /** Overlay the partition's current STATIC cells onto a stored row (CQL
+    * static semantics: the shared cell's latest value shows on every row of
+    * the partition, whatever the row itself carried when written). */
+  private lazy val staticKis = entry.keyCols.map(entry.schema.fieldIndex)
+  private def overlayStatic(r: Array[Any]): Array[Any] =
+    if (entry.staticCols.isEmpty) r
+    else entry.staticVals.get(
+        staticKis.map(i => KeyGroupedRegistry.normCell(r(i))).toVector) match {
+      case Some(vals) if vals.nonEmpty =>
+        val c = r.clone(); vals.foreach { case (si, v2) => c(si) = v2 }; c
+      case _ => r
+    }
+
   /** MV read: all rows owning the queried view-key value, residual-filtered
     * exactly by every other pushed predicate and the runtime key sets. */
   private def mvPartitions(c: String, v: Any): Array[InputPartition] = {
@@ -1290,7 +1346,7 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
       }),
       // the MV partition lives on the replicas owning ITS key's token
       KVRing.replicasOf(Seq(v)).toArray,
-      capped.map(r => idx.map(r(_)))))
+      capped.map { r => val o = overlayStatic(r); idx.map(o(_)) }))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -1345,7 +1401,10 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
         entry.parts.collect {
           case (k, rows) if keepKey(k) =>
             KVPartition(internalKey(k), KVRing.replicasOf(k).toArray,
-              servedRows(rows).map(r => idx.map(r(_)))): InputPartition
+              servedRows(rows).map { r =>
+                val o = overlayStatic(r)
+                idx.map(o(_))
+              }): InputPartition
         }
       }
     KeyGroupedRegistry.lastPlanned.put(tname, parts.length)

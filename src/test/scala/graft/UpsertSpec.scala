@@ -631,6 +631,49 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table("graftcat.proptest.bb").collect()(0).getLong(1) == 100L)
   }
 
+  test("static columns are one shared cell per partition") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.sources.KeyGroupedRegistry
+    val schema = StructType(Seq(
+      StructField("pk", LongType, nullable = false),
+      StructField("ck", LongType, nullable = false),
+      StructField("st", StringType),
+      StructField("v", StringType)))
+    def df(rows: (Long, Long, String, String)*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (p, c, st, v) =>
+        Row(p, c, st, v) }: _*), schema)
+    val name = "kv_static_unit"
+    KeyGroupedRegistry.stageMulti(name,
+      df((1L, 1L, "old", "a"), (1L, 2L, "old", "b"), (2L, 1L, "x", "c")),
+      Seq("pk"), clusteringCols = Seq("ck"), staticCols = Seq("st"))
+    def read(): Seq[(Long, Long, String, String)] =
+      spark.read.format("graft.sources.KVDataSource").option("table", name)
+        .load().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .toSeq.sorted
+    // ONE write with a non-null static cell flips the value EVERY row of
+    // the partition reads — including rows written long before it
+    df((1L, 3L, "new", "d")).write.format("graft.sources.KVDataSource")
+      .option("table", name).mode("append").save()
+    assert(read() == Seq((1L, 1L, "new", "a"), (1L, 2L, "new", "b"),
+      (1L, 3L, "new", "d"), (2L, 1L, "x", "c")), read())
+    // a NULL static cell leaves the shared value untouched
+    df((1L, 4L, null, "e")).write.format("graft.sources.KVDataSource")
+      .option("table", name).mode("append").save()
+    assert(read().forall(r => r._1 != 1L || r._3 == "new"), read())
+    // partition delete drops the static cell with the partition
+    val tbl = new graft.sources.KVTable(name, KeyGroupedRegistry.get(name))
+    tbl.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("pk", 1L)))
+    assert(read() == Seq((2L, 1L, "x", "c")))
+    // static on a clustering-free or key column is rejected at staging
+    val e = intercept[IllegalArgumentException] {
+      KeyGroupedRegistry.stageMulti("kv_static_bad",
+        df((1L, 1L, "s", "v")), Seq("pk"), staticCols = Seq("st"))
+    }
+    assert(e.getMessage.contains("clustering"), e.getMessage)
+  }
+
   test("multi-ck upsert identity is the full clustering tuple, tuple-sorted") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.sources.KeyGroupedRegistry
