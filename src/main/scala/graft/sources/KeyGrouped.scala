@@ -374,7 +374,12 @@ object KeyGroupedRegistry {
     * a marker row (key cells set, data cells null). */
   def applyDelete(name: String, keys: Set[Vector[Any]]): Unit = synchronized {
     val e = get(name)
-    put(name, e.copy(parts = e.parts.filterNot { case (k, _) => keys(k) }))
+    // a PARTITION delete tombstones the static row with it (CQL: the shared
+    // cells die with the partition; a later re-insert must NOT resurrect
+    // them) — unlike a ck-range delete, which leaves the static row alive
+    val norm = keys.map(_.map(normCell))
+    put(name, e.copy(parts = e.parts.filterNot { case (k, _) => keys(k) },
+      staticVals = e.staticVals -- norm))
     val kis = e.keyCols.map(e.schema.fieldIndex)
     val tombstones = keys.toArray.map { k =>
       val row = Array.fill[Any](e.schema.length)(null)

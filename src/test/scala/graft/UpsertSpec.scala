@@ -666,6 +666,11 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     tbl.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.EqualTo("pk", 1L)))
     assert(read() == Seq((2L, 1L, "x", "c")))
+    // ...and the static cell dies WITH the partition: a re-insert with a
+    // null static cell must not resurrect the pre-delete value
+    df((1L, 9L, null, "z")).write.format("graft.sources.KVDataSource")
+      .option("table", name).mode("append").save()
+    assert(read() == Seq((1L, 9L, null, "z"), (2L, 1L, "x", "c")), read())
     // static on a clustering-free or key column is rejected at staging
     val e = intercept[IllegalArgumentException] {
       KeyGroupedRegistry.stageMulti("kv_static_bad",
