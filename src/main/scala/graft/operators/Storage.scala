@@ -787,6 +787,23 @@ object Storage {
         .orderBy("ck")
     },
 
+    // Token-range scan — `WHERE token(pk) >= ? AND token(pk) < ?`, the arc
+    // shape the connector splits a full-table scan into (and the only range
+    // CQL allows on a partition key). The demo ring's token for a single
+    // integral key is the key itself (KVRing.tokenOf — the
+    // order-preserving-partitioner analog), so the pushed key range IS the
+    // token arc: the scan keeps only the splits whose token lands in
+    // [5, 12) (PlanSpec asserts 25 -> 7 splits, zero residual filtering)
+    // — composite/string keys hash, so their ranges stay Spark-side. At
+    // 100 TB this is how a piecewise full-table export reads the ring arc
+    // by arc without ever re-scanning it.
+    "q_kv_token_range" -> { (s, dir) =>
+      val (_, cName) = stageKv(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", cName).load()
+        .filter(col("c_nationkey") >= 5 && col("c_nationkey") < 12)
+        .orderBy("c_custkey")
+    },
+
     // CQL `ORDER BY ck LIMIT n` (SupportsPushDownTopN): partitions are
     // ck-sorted, so each split serves its first n rows as a CONTIGUOUS
     // PREFIX — no sorting anywhere in the source — and Spark's TakeOrdered
@@ -1344,6 +1361,13 @@ object Storage {
         |FROM orders
         |WHERE o_custkey = 37 AND o_orderkey >= 200 AND o_orderkey < 10000
         |ORDER BY ck""".stripMargin,
+
+    "q_kv_token_range" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  c_acctbal
+        |FROM customer
+        |WHERE c_nationkey >= 5 AND c_nationkey < 12
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_kv_composite_ck" ->
       """SELECT o_custkey AS cust, o_orderpriority AS prio,

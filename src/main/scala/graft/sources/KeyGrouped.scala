@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountS
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, IsNotNull, LessThan}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -850,6 +850,14 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     case _ => false
   }
 
+  // key order == token order only for a single integral partition key
+  // (KVRing.tokenOf identity); the gate for token-range pushdown
+  private val tokenRangeable: Boolean = entry.keyCols.length == 1 &&
+    (entry.keyTypes.head match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val ckCols = entry.clusteringCols
     val ckSet = ckCols.toSet
@@ -886,6 +894,18 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
       case EqualTo(a, _: Number) => keySet(a) || idx(a) || mv(a)
       case EqualTo(a, _: String) => keySet(a) || idx(a) || mv(a)
       case In(a, _) => keySet(a) || idx(a)
+      // token-range scan (`WHERE token(pk) >= ? AND token(pk) < ?` — the
+      // arc reads the connector splits a full scan into): pushable only
+      // where the ring token preserves key order, i.e. a SINGLE integral
+      // partition key (KVRing.tokenOf is the identity there — the
+      // order-preserving-partitioner analog), so a key-range predicate IS
+      // a token arc and prunes whole splits exactly. Composite/string keys
+      // hash, so their key ranges stay Spark-side, like CQL rejecting a
+      // non-token key range.
+      case GreaterThan(a, _: Number) => tokenRangeable && keySet(a)
+      case GreaterThanOrEqual(a, _: Number) => tokenRangeable && keySet(a)
+      case LessThan(a, _: Number) => tokenRangeable && keySet(a)
+      case LessThanOrEqual(a, _: Number) => tokenRangeable && keySet(a)
       // primary-key columns are non-null by construction (CQL; staging and
       // the write path both enforce it), so Spark's inferred IsNotNull is a
       // no-op here — accepting it lets a ck-range query report ALL filters
@@ -1141,6 +1161,17 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     } && pushed.forall {
       case EqualTo(a, v) if at.contains(a) => cellEq(k(at(a)), v)
       case In(a, vs) if at.contains(a) => vs.exists(v => cellEq(k(at(a)), v))
+      // token-arc bounds (pushFilters admits these only under
+      // tokenRangeable, where key order == token order): one split = one
+      // key, so the range prunes splits EXACTLY — no residual filtering
+      case GreaterThan(a, v: Number) if at.contains(a) =>
+        k(at(a)).asInstanceOf[Number].longValue > v.longValue
+      case GreaterThanOrEqual(a, v: Number) if at.contains(a) =>
+        k(at(a)).asInstanceOf[Number].longValue >= v.longValue
+      case LessThan(a, v: Number) if at.contains(a) =>
+        k(at(a)).asInstanceOf[Number].longValue < v.longValue
+      case LessThanOrEqual(a, v: Number) if at.contains(a) =>
+        k(at(a)).asInstanceOf[Number].longValue <= v.longValue
       case _ => true // ck/index predicates slice or filter rows, not keys
     } && idxKeySets.forall(_.contains(k))
   }

@@ -115,6 +115,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("token-range scan prunes the ring to the arc's splits") {
+    val df = Storage.queries("q_kv_token_range")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the single-integral-key ring has identity tokens, so the pushed key
+    // range [5, 12) IS the token arc: 7 of the 25 nation splits planned
+    assert(graft.sources.KeyGroupedRegistry.lastPlanned(s"customer:$sfDir") == 7)
+    val plan = planOf(df)
+    assert(plan.contains("GreaterThanOrEqual(c_nationkey,5)"), plan)
+    assert(plan.contains("LessThan(c_nationkey,12)"), plan)
+    rows.foreach { r =>
+      val nk = r.getLong(r.fieldIndex("c_nationkey"))
+      assert(nk >= 5L && nk < 12L)
+    }
+  }
+
   test("bare limit compiles to CollectLimitExec (the show() physical shape)") {
     // O3: the reference job's df.show(truncate=False) plans CollectLimitExec(21)
     // (reference: userdata/cloudinit.sh:351); same shape for a bare .limit
