@@ -518,6 +518,52 @@ object Storage {
         .select("id", "a", "b", "wt").orderBy("id")
     },
 
+    // CQL set<T> element-wise merge — the collection semantics a user hits
+    // with `UPDATE t SET tags = tags + {..}` / `tags = tags - {..}`
+    // (modeled engine: Cassandra 4.0.6, userdata/cloudinit.sh:216): every
+    // element is its own cell with its own timestamp, an INSERT assign
+    // shadows all older state through a collection tombstone at wt−1 (so
+    // its own cells survive it — Cassandra's overwrite rule), adds and
+    // removes merge element-wise by (timestamp, tombstone-wins-tie), and a
+    // read materializes the sorted live elements (empty set = NULL). The
+    // oracle replays the same per-element LWW from the derived write log;
+    // UpsertSpec property-tests order-independent convergence. The result
+    // EXPLODEs the set so the comparison is scalar-valued.
+    "q_kv_set_merge" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.settags")
+      s.sql("CREATE TABLE graftcat.testks.settags " +
+        "(id BIGINT, tags ARRAY<STRING>, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true', " +
+        "'sets'='tags')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_custkey") <= 150)
+        .select(col("o_orderkey").as("ok"),
+          pmod(col("o_custkey"), lit(40)).cast(LongType).as("id"))
+      def tag(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("t"), pmod(e, lit(7)).cast(StringType))
+      // INSERT assign: every 11th order replaces the whole set at wt = ok µs
+      o.filter(pmod(col("ok"), lit(11)) === 0)
+        .select(col("id"), array(tag(col("ok")), tag(col("ok") + 1)).as("tags"),
+          (col("ok") * 1000000L).as("wt"))
+        .writeTo("graftcat.testks.settags").append()
+      // UPDATE add (`tags = tags + ?`): every 3rd order, one element, wt+1
+      o.filter(pmod(col("ok"), lit(3)) === 0)
+        .select(col("id"), array(tag(col("ok") + 2)).as("tags"),
+          (col("ok") * 1000000L + 1L).as("wt"))
+        .writeTo("graftcat.testks.settags").option("update", "true").append()
+      // UPDATE remove (`tags = tags - ?`): every 5th order tombstones one
+      // element at wt+2
+      o.filter(pmod(col("ok"), lit(5)) === 0)
+        .select(col("id"), array(tag(col("ok"))).as("tags"),
+          (col("ok") * 1000000L + 2L).as("wt"))
+        .writeTo("graftcat.testks.settags")
+        .option("update", "true").option("collremove", "true").append()
+      s.read.table("graftcat.testks.settags")
+        .select(col("id"), explode(col("tags")).as("tag"))
+        .orderBy("id", "tag")
+    },
+
     // Composite (multi-column, mixed-type) partition key — CQL
     // `PRIMARY KEY ((c_nationkey, c_mktsegment))`, one step past the
     // reference's single-column key (userdata/cloudinit.sh:307). The
@@ -1547,6 +1593,40 @@ object Storage {
         |FROM j
         |WHERE m_wt IS NOT NULL OR a IS NOT NULL OR b IS NOT NULL
         |ORDER BY id""".stripMargin,
+
+    // Per-element LWW replay: element ops (assign cells, adds, removes)
+    // ranked by timestamp per (id, tag); live iff the winner is an add
+    // above the id's newest collection tombstone (assign wt − 1).
+    "q_kv_set_merge" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, CAST(o_custkey % 40 AS BIGINT) AS id
+        |  FROM orders WHERE o_custkey <= 150),
+        |ops AS (
+        |  SELECT id, 't' || CAST(ok % 7 AS VARCHAR) AS tag,
+        |    ok * 1000000 AS wt, 1 AS is_add FROM o WHERE ok % 11 = 0
+        |  UNION ALL
+        |  SELECT id, 't' || CAST((ok + 1) % 7 AS VARCHAR),
+        |    ok * 1000000, 1 FROM o WHERE ok % 11 = 0
+        |  UNION ALL
+        |  SELECT id, 't' || CAST((ok + 2) % 7 AS VARCHAR),
+        |    ok * 1000000 + 1, 1 FROM o WHERE ok % 3 = 0
+        |  UNION ALL
+        |  SELECT id, 't' || CAST(ok % 7 AS VARCHAR),
+        |    ok * 1000000 + 2, 0 FROM o WHERE ok % 5 = 0),
+        |clr AS (
+        |  SELECT id, MAX(ok * 1000000 - 1) AS cw
+        |  FROM o WHERE ok % 11 = 0 GROUP BY id),
+        |win AS (
+        |  SELECT id, tag, wt, is_add FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id, tag
+        |      ORDER BY wt DESC) AS rn
+        |    FROM ops) w
+        |  WHERE rn = 1)
+        |SELECT win.id, win.tag
+        |FROM win LEFT JOIN clr ON win.id = clr.id
+        |WHERE win.is_add = 1
+        |  AND win.wt > COALESCE(clr.cw, -9223372036854775808)
+        |ORDER BY win.id, tag""".stripMargin,
 
     // Counter convergence: the two parity-partial increment batches must sum
     // to the full per-type event counts.

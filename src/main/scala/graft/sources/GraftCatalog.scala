@@ -73,6 +73,17 @@ object GraftCatalogStore {
     * subset wins ONLY those cells. */
   final case class GCell(v: Any, wt: Long, ttl: Option[Long])
 
+  /** Collection state of one SET column of a cellwise table — CQL's complex
+    * column: `clearWt` is the collection tombstone's timestamp (an assign
+    * writes it at statement-ts − 1 so its own element cells survive it,
+    * exactly Cassandra's overwrite rule; an INSERT of NULL clears at the
+    * statement ts itself) and `elems` maps each element to its winning cell
+    * (v = element for a live add, v = null for an element tombstone from
+    * `s = s - {..}`). An element is visible iff its cell is a live add with
+    * wt > clearWt. Elements at or below clearWt are shadowed forever
+    * (clearWt only grows), so merges drop them — the in-place compaction. */
+  final case class GCollState(clearWt: Long, elems: Map[Any, GCell])
+
   /** Per-key state of a cellwise table: the row marker (written by INSERT,
     * not by UPDATE — Cassandra's primary-key liveness cell) plus one WINNING
     * cell per data column (null entry = never written). Immutable so merges
@@ -134,11 +145,29 @@ object GraftCatalogStore {
       if (t.cellwise) {
         def dead(c: GCell): Boolean = c != null &&
           c.ttl.exists(tt => GUpsertTable.epochSeconds(c.wt) + tt + graceSeconds <= now)
+        def isSet(di: Int): Boolean = t.sets(t.schema.fields(t.dataIdx(di)).name)
+        // a set column reclaims per ELEMENT cell (expired adds and element
+        // tombstones past grace); a state left with no elements and a
+        // pre-grace collection tombstone drops entirely
+        def gcColl(c: GCell): GCell = {
+          val st = c.v.asInstanceOf[GCollState]
+          val kept = st.elems.filter { case (_, e) => !dead(e) &&
+            !(e.v == null &&
+              GUpsertTable.epochSeconds(e.wt) + graceSeconds <= now) }
+          if (kept.isEmpty &&
+              GUpsertTable.epochSeconds(st.clearWt.max(0L)) + graceSeconds <= now)
+            null
+          else if (kept.size == st.elems.size) c
+          else GCell(GCollState(st.clearWt, kept), c.wt, c.ttl)
+        }
         val before = t.cellRows.size
         t.cellRows.foreach { case (k, cr) =>
-          if (cr.cells.exists(dead) || cr.marker.exists(dead)) {
-            val cells = cr.cells.map(c => if (dead(c)) null else c)
-            val marker = cr.marker.filterNot(dead)
+          val cells = cr.cells.zipWithIndex.map {
+            case (c, di) if c != null && isSet(di) => gcColl(c)
+            case (c, _) => if (dead(c)) null else c
+          }
+          val marker = cr.marker.filterNot(dead)
+          if (!cells.sameElements(cr.cells) || marker != cr.marker) {
             if (marker.isEmpty && cells.forall(_ == null)) t.cellRows.remove(k)
             else t.cellRows.put(k, GCellRow(marker, cells))
           }
@@ -432,6 +461,13 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       require(!(ifNotExists && t.cellwise),
         s"$tname: INSERT IF NOT EXISTS is not supported on cellwise tables " +
           "(LWT is modeled only for row-granular tables)")
+      // CQL `s = s - ?`: the statement's set-column arrays are ELEMENT
+      // REMOVALS (tombstones) instead of adds. Only meaningful on the
+      // cellwise UPDATE path — row-granular tables replace whole rows.
+      private val collRemove = info.options.getBoolean("collremove", false)
+      require(!collRemove || (updateMode && t.sets.nonEmpty),
+        s"$tname: the 'collremove' write option (CQL `s = s - ?`) requires " +
+          "the 'update' option on a cellwise table with declared set columns")
       // extract with the ANALYZED write schema, not t.schema: a concurrent
       // ALTER ADD between analysis and execution would otherwise make the
       // writer read past the incoming row's width (adds append, so the
@@ -458,7 +494,7 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
               // unrelated statement) — then apply through the shared path
               // the logged-BATCH surface also uses
               GUpsertTable.validateWrites(t, all)
-              GUpsertTable.applyWrites(t, all, ifNotExists, updateMode)
+              GUpsertTable.applyWrites(t, all, ifNotExists, updateMode, collRemove)
             } finally rl.unlock()
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -468,7 +504,7 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
 }
 
 object GUpsertTable {
-  import GraftCatalogStore.{GCell, GCellRow}
+  import GraftCatalogStore.{GCell, GCellRow, GCollState}
 
   /** Merge one incoming statement row into a cellwise table: per-cell LWW —
     * every written cell carries the statement's (timestamp, TTL) and wins
@@ -478,17 +514,43 @@ object GUpsertTable {
     * only those cells). CAS-retried against concurrent commits like the
     * row-granular paths. */
   private[sources] def mergeCellwise(t: GraftCatalogStore.T, r: Array[Any],
-      updateMode: Boolean): Unit = {
+      updateMode: Boolean, collRemove: Boolean = false): Unit = {
     val ki = t.schema.fieldIndex(t.keyCol)
     val wi = t.schema.fieldIndex(t.writetime.get)
     val ti = t.ttl.map(t.schema.fieldIndex)
     val wt = epochMicros(r(wi))
     val ttl = ti.flatMap(i => Option(r(i)).map(_.asInstanceOf[Number].longValue))
     val key = r(ki)
+    def isSet(si: Int): Boolean = t.sets(t.schema.fields(si).name)
     // UPDATE: NULL data cells are untouched; INSERT: every data cell is an
     // explicit write (NULL = cell tombstone) and the row marker is set
     val written: Array[(Int, GCell)] = t.dataIdx.zipWithIndex.collect {
-      case (si, di) if !(updateMode && r(si) == null) => di -> GCell(r(si), wt, ttl)
+      case (si, di) if !isSet(si) && !(updateMode && r(si) == null) =>
+        di -> GCell(r(si), wt, ttl)
+    }
+    // set columns merge ELEMENT-wise (CQL complex columns): INSERT assigns
+    // (collection tombstone at wt−1 so its own cells survive, element cells
+    // at wt; an explicit NULL clears at wt itself), UPDATE adds element
+    // cells (`s = s + ?`; NULL = untouched), UPDATE+collremove writes
+    // element tombstones (`s = s - ?`)
+    def elemKey(e: Any): Any = e match {
+      case b: Array[Byte] => b.toSeq
+      case x => x
+    }
+    val collWritten: Array[(Int, GCollState)] = t.dataIdx.zipWithIndex.collect {
+      case (si, di) if isSet(si) && !(updateMode && r(si) == null) =>
+        val delta =
+          if (!updateMode) {
+            if (r(si) == null) GCollState(wt, Map.empty)
+            else GCollState(wt - 1, r(si).asInstanceOf[Array[Any]].iterator
+              .map(e => elemKey(e) -> GCell(e, wt, ttl)).toMap)
+          } else if (collRemove)
+            GCollState(Long.MinValue, r(si).asInstanceOf[Array[Any]].iterator
+              .map(e => elemKey(e) -> GCell(null, wt, None)).toMap)
+          else
+            GCollState(Long.MinValue, r(si).asInstanceOf[Array[Any]].iterator
+              .map(e => elemKey(e) -> GCell(e, wt, ttl)).toMap)
+        di -> delta
     }
     val marker = if (updateMode) None else Some(GCell(null, wt, ttl))
     // full-tie determinism: equal (wt, value) still needs a total order or
@@ -498,6 +560,34 @@ object GUpsertTable {
     // row-granular tieGreater gets this for free by comparing the ttl
     // column as a cell).
     def ttlRank(c: GCell): Long = c.ttl.getOrElse(Long.MaxValue)
+    // element-cell reconciliation: strict timestamp order; on a timestamp
+    // tie the TOMBSTONE wins (Cassandra: deletes shadow equal-ts writes),
+    // then the longer-lived cell (the same arrival-order-independent total
+    // order the scalar cells use — set element values are equal by key)
+    def elemWinner(a: GCell, b: GCell): GCell =
+      if (a.wt != b.wt) { if (a.wt > b.wt) a else b }
+      else if ((a.v == null) != (b.v == null)) { if (a.v == null) a else b }
+      else if (ttlRank(a) >= ttlRank(b)) a else b
+    def mergeColl(old: GCell, delta: GCollState): GCell = {
+      val prev =
+        if (old == null) GCollState(Long.MinValue, Map.empty)
+        else old.v.asInstanceOf[GCollState]
+      val clearWt = math.max(prev.clearWt, delta.clearWt)
+      val keys = prev.elems.keySet ++ delta.elems.keySet
+      // drop cells at or below the collection tombstone: shadowed forever
+      // (clearWt only grows) — the merge-time compaction that keeps a
+      // hot key's collection state bounded by its LIVE elements
+      val elems = keys.iterator.flatMap { k =>
+        val w = (prev.elems.get(k), delta.elems.get(k)) match {
+          case (Some(a), Some(b)) => Some(elemWinner(a, b))
+          case (a, b) => a.orElse(b)
+        }
+        w.filter(_.wt > clearWt).map(k -> _)
+      }.toMap
+      val maxWt =
+        if (elems.isEmpty) clearWt else elems.valuesIterator.map(_.wt).max
+      GCell(GCollState(clearWt, elems), math.max(clearWt, maxWt), None)
+    }
     def newerMarker(old: Option[GCell]): Option[GCell] = (old, marker) match {
       case (Some(o), Some(n)) =>
         if (n.wt > o.wt || (n.wt == o.wt && ttlRank(n) > ttlRank(o))) marker
@@ -520,10 +610,12 @@ object GUpsertTable {
             }
           if (cmp > 0) nc(di) = c
         }
+        collWritten.foreach { case (di, delta) => nc(di) = mergeColl(nc(di), delta) }
         done = t.cellRows.replace(key, prev, GCellRow(newerMarker(prev.marker), nc))
       case None =>
         val nc = new Array[GCell](t.dataIdx.length)
         written.foreach { case (di, c) => nc(di) = c }
+        collWritten.foreach { case (di, delta) => nc(di) = mergeColl(null, delta) }
         done = t.cellRows.putIfAbsent(key, GCellRow(marker, nc)).isEmpty
     }
   }
@@ -545,14 +637,32 @@ object GUpsertTable {
       c.ttl.exists(tt => now.exists(n => epochSeconds(c.wt) + tt <= n))
     t.cellRows.toArray.flatMap { case (key, cr) =>
       val markerLive = cr.marker.exists(m => !expired(m))
-      val visible = cr.cells.map(c => if (c != null && !expired(c)) c.v else null)
+      val visible = new Array[Any](cr.cells.length)
+      val liveWts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      cr.marker.filterNot(expired).foreach(m => liveWts += m.wt)
+      cr.cells.zipWithIndex.foreach { case (c, di) =>
+        if (c != null) {
+          if (t.sets(t.schema.fields(t.dataIdx(di)).name)) {
+            // set column: the visible value is the SORTED live elements
+            // (add cells above the collection tombstone, unexpired); an
+            // empty set reads NULL — Cassandra's empty-collection rule
+            val st = c.v.asInstanceOf[GCollState]
+            val live = st.elems.valuesIterator.filter(e =>
+              e.v != null && e.wt > st.clearWt && !expired(e)).toArray
+            if (live.nonEmpty) {
+              val et = t.schema.fields(t.dataIdx(di)).dataType
+                .asInstanceOf[ArrayType].elementType
+              visible(di) = GraftCatalogStore.canonicalSet(live.map(_.v), et)
+              live.foreach(e => liveWts += e.wt)
+            }
+          } else if (!expired(c)) {
+            visible(di) = c.v
+            if (c.v != null) liveWts += c.wt
+          }
+        }
+      }
       if (!markerLive && !visible.exists(_ != null)) None
       else {
-        val liveWts =
-          cr.marker.toSeq.filterNot(expired).map(_.wt) ++
-            cr.cells.toSeq.collect {
-              case c if c != null && !expired(c) && c.v != null => c.wt
-            }
         val row = new Array[Any](t.schema.length)
         row(ki) = key
         row(wi) = liveWts.max
@@ -603,7 +713,8 @@ object GUpsertTable {
     * compare the stored ARRAY REFERENCE, so a concurrent change always
     * fails the CAS and retries against the fresh value. */
   private[sources] def applyWrites(t: GraftCatalogStore.T,
-      rows: Seq[Array[Any]], ifNotExists: Boolean, updateMode: Boolean): Unit = {
+      rows: Seq[Array[Any]], ifNotExists: Boolean, updateMode: Boolean,
+      collRemove: Boolean = false): Unit = {
     val ki = t.schema.fieldIndex(t.keyCol)
     val setIdx = t.schema.fields.zipWithIndex.collect {
       case (f, i) if t.sets(f.name) =>
@@ -627,7 +738,7 @@ object GUpsertTable {
         if (r(i) != null)
           r(i) = GraftCatalogStore.canonicalSet(r(i).asInstanceOf[Array[Any]], et)
       }
-      if (t.cellwise) mergeCellwise(t, r, updateMode)
+      if (t.cellwise) mergeCellwise(t, r, updateMode, collRemove)
       else {
         val key = r(ki)
         if (ifNotExists) t.rows.putIfAbsent(key, r)

@@ -899,6 +899,147 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       }
   }
 
+  test("set element merge: assign shadows, removes tombstone, ties favor deletes") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.st")
+    spark.sql("CREATE TABLE graftcat.proptest.st " +
+      "(id INT, tags ARRAY<STRING>, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true', " +
+      "'sets'='tags')")
+    def write(tags: Seq[String], wt: Long, update: Boolean = false,
+        remove: Boolean = false): Unit = {
+      val df = spark.sql("SELECT 1 AS id, " +
+        s"array(${tags.map("'" + _ + "'").mkString(",")}) AS tags, " +
+        s"CAST($wt AS BIGINT) AS wt")
+      val w0 = df.writeTo("graftcat.proptest.st")
+      val w1 = if (update) w0.option("update", "true") else w0
+      (if (remove) w1.option("collremove", "true") else w1).append()
+    }
+    def read(): Option[Seq[String]] = {
+      val rows = spark.table("graftcat.proptest.st").collect()
+      rows.headOption.map(r => Option(r.getSeq[String](1)).getOrElse(null))
+    }
+    // stale add below a later assign's tombstone is shadowed...
+    write(Seq("old"), wt = 5, update = true)
+    write(Seq("a", "b"), wt = 10) // INSERT assign: clear at 9 + cells at 10
+    assert(read().contains(Seq("a", "b")), read())
+    // ...but an add ABOVE it accumulates, element-wise
+    write(Seq("c"), wt = 11, update = true)
+    assert(read().contains(Seq("a", "b", "c")), read())
+    // remove tombstones one element, the rest live on
+    write(Seq("b"), wt = 12, update = true, remove = true)
+    assert(read().contains(Seq("a", "c")), read())
+    // a TIMESTAMP TIE between an add and a remove resolves to the DELETE
+    // (Cassandra: deletes shadow equal-ts writes) — in either arrival order
+    write(Seq("d"), wt = 20, update = true)
+    write(Seq("d"), wt = 20, update = true, remove = true)
+    assert(read().contains(Seq("a", "c")), read())
+    write(Seq("e"), wt = 21, update = true, remove = true)
+    write(Seq("e"), wt = 21, update = true)
+    assert(read().contains(Seq("a", "c")), read())
+    // re-add after remove wins with a newer timestamp
+    write(Seq("b"), wt = 30, update = true)
+    assert(read().contains(Seq("a", "b", "c")), read())
+    // INSERT of NULL tags clears the whole collection AT wt (not wt−1): the
+    // row survives on its marker with a NULL set (empty set reads NULL)
+    spark.sql("SELECT 1 AS id, CAST(NULL AS ARRAY<STRING>) AS tags, " +
+        "CAST(40 AS BIGINT) AS wt")
+      .writeTo("graftcat.proptest.st").append()
+    assert(read().contains(null), read())
+    // collremove outside update mode is rejected (CQL: `s - ?` is UPDATE-only)
+    val e = intercept[Exception] {
+      spark.sql("SELECT 1 AS id, array('x') AS tags, CAST(50 AS BIGINT) AS wt")
+        .writeTo("graftcat.proptest.st").option("collremove", "true").append()
+    }
+    assert(e.getMessage.contains("collremove"), e.getMessage)
+  }
+
+  test("set element merge converges under any batch interleaving") {
+    // property: the same op multiset (assigns / adds / removes) applied in
+    // any order and batch split converges, and matches an independent
+    // per-element LWW model (tombstone wins timestamp ties; elements live
+    // iff their winner is an add above the newest collection tombstone).
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    // op kinds: 0 = INSERT assign (None = NULL clear), 1 = add, 2 = remove
+    case class Op(id: Int, kind: Int, elems: Option[Seq[String]], wt: Long)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("tags", ArrayType(StringType)),
+      StructField("wt", LongType, nullable = false)))
+    def applyBatch(ops: Seq[Op]): Unit = {
+      def df(set: Seq[Op]) = spark.createDataFrame(
+        spark.sparkContext.parallelize(set.map(o =>
+          Row(o.id, o.elems.orNull, o.wt)), 1), schema)
+      val byKind = ops.groupBy(_.kind)
+      byKind.get(0).foreach(g => df(g).writeTo("graftcat.proptest.sp").append())
+      byKind.get(1).foreach(g => df(g).writeTo("graftcat.proptest.sp")
+        .option("update", "true").append())
+      byKind.get(2).foreach(g => df(g).writeTo("graftcat.proptest.sp")
+        .option("update", "true").option("collremove", "true").append())
+    }
+    def readState(): Map[Int, (Any, Long)] =
+      spark.table("graftcat.proptest.sp").collect().map(r =>
+        r.getInt(0) -> ((Option(r.getSeq[String](1)).map(_.toList).orNull: Any),
+          r.getLong(2))).toMap
+    // independent expected-state computation (no engine code)
+    def expected(ops: Seq[Op]): Map[Int, (Any, Long)] =
+      ops.groupBy(_.id).flatMap { case (id, g) =>
+        val assigns = g.filter(_.kind == 0)
+        val clearW = assigns.map(o =>
+          if (o.elems.isEmpty) o.wt else o.wt - 1) // NULL clears AT wt
+          .maxOption.getOrElse(Long.MinValue)
+        val elemOps = g.flatMap {
+          case Op(_, 0, Some(es), wt) => es.distinct.map(e => (e, wt, true))
+          case Op(_, 1, Some(es), wt) => es.distinct.map(e => (e, wt, true))
+          case Op(_, 2, Some(es), wt) => es.distinct.map(e => (e, wt, false))
+          case _ => Nil
+        }
+        val live = elemOps.groupBy(_._1).flatMap { case (e, cands) =>
+          val maxWt = cands.map(_._2).max
+          val atMax = cands.filter(_._2 == maxWt)
+          val isAdd = atMax.forall(_._3) // any remove at the tie wins
+          if (isAdd && maxWt > clearW) Some((e, maxWt)) else None
+        }.toSeq
+        val marker = assigns.map(_.wt).maxOption
+        if (marker.isEmpty && live.isEmpty) None
+        else {
+          val tags: Any =
+            if (live.isEmpty) null else live.map(_._1).sorted.toList
+          val wt = (marker.toSeq ++ live.map(_._2)).max
+          Some(id -> (tags, wt))
+        }
+      }
+    val elements = Vector("e0", "e1", "e2", "e3", "e4")
+    val rnd = new scala.util.Random(20260814)
+    (0 until 3).foreach { trial =>
+      val ops = (0 until 24).map { _ =>
+        val kind = rnd.nextInt(3)
+        val elems =
+          if (kind == 0 && rnd.nextInt(4) == 0) None // INSERT NULL = clear
+          else Some(Seq.fill(1 + rnd.nextInt(2))(elements(rnd.nextInt(5))))
+        Op(rnd.nextInt(3), kind, elems, rnd.nextInt(10).toLong)
+      }
+      val exp = expected(ops)
+      val states = (0 until 2).map { _ =>
+        spark.sql("DROP TABLE IF EXISTS graftcat.proptest.sp")
+        spark.sql("CREATE TABLE graftcat.proptest.sp " +
+          "(id INT, tags ARRAY<STRING>, wt BIGINT) " +
+          "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true', " +
+          "'sets'='tags')")
+        val shuffled = rnd.shuffle(ops)
+        val nb = 1 + rnd.nextInt(4)
+        shuffled.grouped(math.max(1, (shuffled.size + nb - 1) / nb))
+          .foreach(applyBatch)
+        readState()
+      }
+      assert(states(0) == states(1), s"trial $trial diverged across interleavings")
+      assert(states(0) == exp, s"trial $trial: ${states(0)} != $exp")
+    }
+  }
+
   test("ALTER TABLE migrates rows in place — concurrent commits cannot be lost") {
     // the copy-then-swap design lost any INSERT committing into the old
     // store between copy and swap; the in-place migration under the table's
