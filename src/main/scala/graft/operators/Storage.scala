@@ -463,6 +463,30 @@ object Storage {
       s.sql("SELECT * FROM graftcat.testks.claims ORDER BY id")
     },
 
+    // CQL `UPDATE ... IF EXISTS` — the LWT dual of INSERT IF NOT EXISTS: a
+    // conditional batch applies only to keys ALREADY present (atomic
+    // replace-if-present, so a racing DELETE can never be resurrected); an
+    // absent key is a silent non-apply. Base = nations 0..14; the
+    // conditional batch spans 10..19, so exactly 10..14 update and 15..19
+    // vanish without a trace — which the oracle recomputes.
+    "q_kv_update_if_exists" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.cond")
+      s.sql("CREATE TABLE graftcat.testks.cond (k BIGINT, name STRING) " +
+        "TBLPROPERTIES ('key'='k')")
+      Tables.load(s, dir, "nation").filter(col("n_nationkey") < 15)
+        .select(col("n_nationkey").cast(LongType).as("k"),
+          col("n_name").as("name"))
+        .writeTo("graftcat.testks.cond").append()
+      Tables.load(s, dir, "nation")
+        .filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)
+        .select(col("n_nationkey").cast(LongType).as("k"),
+          concat(lit("upd_"), col("n_name")).as("name"))
+        .writeTo("graftcat.testks.cond").option("ifexists", "true").append()
+      s.sql("SELECT * FROM graftcat.testks.cond ORDER BY k")
+    },
+
     // CQL UPDATE semantics — PER-CELL writetime/TTL LWW (the reconciliation
     // granule of the pinned Cassandra 4.0.6, userdata/cloudinit.sh:216): an
     // UPDATE that SETs a column subset wins only those cells, each cell
@@ -1646,6 +1670,15 @@ object Storage {
       """SELECT * FROM (VALUES
         | (1, 'alpha'), (2, 'alpha'), (3, 'beta')) AS t(id, owner)
         |ORDER BY id""".stripMargin,
+
+    // replace-if-present: keys < 15 exist, so exactly the [10, 15) overlap
+    // shows the conditional batch's value; [15, 20) never lands
+    "q_kv_update_if_exists" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |  CASE WHEN n_nationkey >= 10 THEN 'upd_' || n_name ELSE n_name END
+        |    AS name
+        |FROM nation WHERE n_nationkey < 15
+        |ORDER BY k""".stripMargin,
 
     // recomputed from the staged write log the query itself drives the
     // catalog from: the upsert winner is the max-batch row per id, the set

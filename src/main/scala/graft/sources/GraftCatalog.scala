@@ -468,6 +468,17 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       require(!collRemove || (updateMode && t.sets.nonEmpty),
         s"$tname: the 'collremove' write option (CQL `s = s - ?`) requires " +
           "the 'update' option on a cellwise table with declared set columns")
+      // CQL `UPDATE ... IF EXISTS` — the LWT dual of INSERT IF NOT EXISTS:
+      // rows apply only to already-present keys. Same LWT restrictions:
+      // no counters, no cellwise, and the two conditions are exclusive.
+      private val ifExists = info.options.getBoolean("ifexists", false)
+      require(!(ifExists && ifNotExists),
+        s"$tname: 'ifexists' and 'ifnotexists' are mutually exclusive")
+      require(!(ifExists && t.counters.nonEmpty),
+        s"$tname: UPDATE IF EXISTS is not supported on counter tables (CQL restriction)")
+      require(!(ifExists && t.cellwise),
+        s"$tname: UPDATE IF EXISTS is not supported on cellwise tables " +
+          "(LWT is modeled only for row-granular tables)")
       // extract with the ANALYZED write schema, not t.schema: a concurrent
       // ALTER ADD between analysis and execution would otherwise make the
       // writer read past the incoming row's width (adds append, so the
@@ -494,7 +505,8 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
               // unrelated statement) — then apply through the shared path
               // the logged-BATCH surface also uses
               GUpsertTable.validateWrites(t, all)
-              GUpsertTable.applyWrites(t, all, ifNotExists, updateMode, collRemove)
+              GUpsertTable.applyWrites(t, all, ifNotExists, updateMode,
+                collRemove, ifExists)
             } finally rl.unlock()
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -714,7 +726,7 @@ object GUpsertTable {
     * fails the CAS and retries against the fresh value. */
   private[sources] def applyWrites(t: GraftCatalogStore.T,
       rows: Seq[Array[Any]], ifNotExists: Boolean, updateMode: Boolean,
-      collRemove: Boolean = false): Unit = {
+      collRemove: Boolean = false, ifExists: Boolean = false): Unit = {
     val ki = t.schema.fieldIndex(t.keyCol)
     val setIdx = t.schema.fields.zipWithIndex.collect {
       case (f, i) if t.sets(f.name) =>
@@ -742,6 +754,12 @@ object GUpsertTable {
       else {
         val key = r(ki)
         if (ifNotExists) t.rows.putIfAbsent(key, r)
+        // UPDATE ... IF EXISTS (the LWT dual of INSERT IF NOT EXISTS):
+        // apply only to keys already present — an absent key is a silent
+        // non-apply. TrieMap.replace(key, r) is the atomic
+        // replace-if-present, so a concurrent DELETE can never interleave
+        // a resurrecting write between a check and a put.
+        else if (ifExists) t.rows.replace(key, r)
         else if (ctrIdx.nonEmpty) {
           // stored + increment (NULL increment = +0, NULL stored = counter
           // starts at 0 — CQL counter defaults)

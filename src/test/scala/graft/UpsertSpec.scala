@@ -899,6 +899,28 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       }
   }
 
+  test("UPDATE IF EXISTS applies only to present keys") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.ie")
+    spark.sql("CREATE TABLE graftcat.proptest.ie (id INT, v STRING) " +
+      "TBLPROPERTIES ('key'='id')")
+    spark.sql("INSERT INTO graftcat.proptest.ie VALUES (1, 'a'), (2, 'b')")
+    spark.sql("SELECT 2 AS id, 'B' AS v UNION ALL SELECT 3, 'C'")
+      .writeTo("graftcat.proptest.ie").option("ifexists", "true").append()
+    val got = spark.table("graftcat.proptest.ie").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    // key 2 updated, key 3 silently not applied (no row created)
+    assert(got == Map(1 -> "a", 2 -> "B"), got)
+    // the two LWT conditions are mutually exclusive
+    val e = intercept[Exception] {
+      spark.sql("SELECT 1 AS id, 'x' AS v")
+        .writeTo("graftcat.proptest.ie")
+        .option("ifexists", "true").option("ifnotexists", "true").append()
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+  }
+
   test("set element merge: assign shadows, removes tombstone, ties favor deletes") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
