@@ -588,6 +588,49 @@ object Storage {
         .orderBy("id", "tag")
     },
 
+    // CQL map<K,V> entry-wise merge — the sibling of the set path: each
+    // entry is its own cell keyed by the map key (`m[k] = v` puts win
+    // per-entry LWW, an INSERT assign shadows older entries via the
+    // collection tombstone at wt−1, collremove tombstones BY KEY — CQL's
+    // `m = m - {keys}`, operand values ignored). The read materializes the
+    // key-sorted live entries; the result EXPLODEs them so the oracle
+    // compares scalar (id, mkey, mval) rows recomputed from the same log.
+    "q_kv_map_merge" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.attrs")
+      s.sql("CREATE TABLE graftcat.testks.attrs " +
+        "(id BIGINT, attrs MAP<STRING, BIGINT>, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true', " +
+        "'maps'='attrs')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_custkey") <= 150)
+        .select(col("o_orderkey").as("ok"),
+          pmod(col("o_custkey"), lit(30)).cast(LongType).as("id"))
+      def mk(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("k"), pmod(e, lit(5)).cast(StringType))
+      // INSERT assign: every 7th order replaces the map (two entries)
+      o.filter(pmod(col("ok"), lit(7)) === 0)
+        .select(col("id"),
+          map(mk(col("ok")), col("ok"),
+            mk(col("ok") + 1), col("ok") + 1).as("attrs"),
+          (col("ok") * 1000000L).as("wt"))
+        .writeTo("graftcat.testks.attrs").append()
+      // UPDATE put (`m[k] = v`): every 3rd order, one entry at wt+1
+      o.filter(pmod(col("ok"), lit(3)) === 0)
+        .select(col("id"), map(mk(col("ok") + 2), col("ok") * 2).as("attrs"),
+          (col("ok") * 1000000L + 1L).as("wt"))
+        .writeTo("graftcat.testks.attrs").option("update", "true").append()
+      // UPDATE remove-by-key (`m = m - {k}`): every 5th order at wt+3
+      o.filter(pmod(col("ok"), lit(5)) === 0)
+        .select(col("id"), map(mk(col("ok")), lit(0L)).as("attrs"),
+          (col("ok") * 1000000L + 3L).as("wt"))
+        .writeTo("graftcat.testks.attrs")
+        .option("update", "true").option("collremove", "true").append()
+      s.read.table("graftcat.testks.attrs")
+        .select(col("id"), explode(col("attrs")).as(Seq("mkey", "mval")))
+        .orderBy("id", "mkey")
+    },
+
     // Composite (multi-column, mixed-type) partition key — CQL
     // `PRIMARY KEY ((c_nationkey, c_mktsegment))`, one step past the
     // reference's single-column key (userdata/cloudinit.sh:307). The
@@ -1651,6 +1694,41 @@ object Storage {
         |WHERE win.is_add = 1
         |  AND win.wt > COALESCE(clr.cw, -9223372036854775808)
         |ORDER BY win.id, tag""".stripMargin,
+
+    // Per-entry LWW replay, keyed by (id, map key): live iff the winner is
+    // a put above the id's newest collection tombstone (assign wt − 1).
+    "q_kv_map_merge" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, CAST(o_custkey % 30 AS BIGINT) AS id
+        |  FROM orders WHERE o_custkey <= 150),
+        |ops AS (
+        |  SELECT id, 'k' || CAST(ok % 5 AS VARCHAR) AS mkey,
+        |    ok AS mval, ok * 1000000 AS wt, 1 AS is_put
+        |  FROM o WHERE ok % 7 = 0
+        |  UNION ALL
+        |  SELECT id, 'k' || CAST((ok + 1) % 5 AS VARCHAR),
+        |    ok + 1, ok * 1000000, 1 FROM o WHERE ok % 7 = 0
+        |  UNION ALL
+        |  SELECT id, 'k' || CAST((ok + 2) % 5 AS VARCHAR),
+        |    ok * 2, ok * 1000000 + 1, 1 FROM o WHERE ok % 3 = 0
+        |  UNION ALL
+        |  SELECT id, 'k' || CAST(ok % 5 AS VARCHAR),
+        |    CAST(NULL AS BIGINT), ok * 1000000 + 3, 0
+        |  FROM o WHERE ok % 5 = 0),
+        |clr AS (
+        |  SELECT id, MAX(ok * 1000000 - 1) AS cw
+        |  FROM o WHERE ok % 7 = 0 GROUP BY id),
+        |win AS (
+        |  SELECT id, mkey, mval, wt, is_put FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id, mkey
+        |      ORDER BY wt DESC) AS rn
+        |    FROM ops) w
+        |  WHERE rn = 1)
+        |SELECT win.id, win.mkey, win.mval
+        |FROM win LEFT JOIN clr ON win.id = clr.id
+        |WHERE win.is_put = 1
+        |  AND win.wt > COALESCE(clr.cw, -9223372036854775808)
+        |ORDER BY win.id, win.mkey""".stripMargin,
 
     // Counter convergence: the two parity-partial increment batches must sum
     // to the full per-type event counts.

@@ -96,7 +96,8 @@ object GraftCatalogStore {
       val ttl: Option[String] = None,
       val counters: Set[String] = Set.empty,
       val now: Option[Long] = None,
-      val cellwise: Boolean = false) {
+      val cellwise: Boolean = false,
+      val maps: Set[String] = Set.empty) {
     val rows = TrieMap.empty[Any, Array[Any]]
     /** Store of a cellwise table ('cellwise'='true'): per-cell LWW instead
       * of whole-row replacement. `rows` stays empty for these tables. */
@@ -145,7 +146,10 @@ object GraftCatalogStore {
       if (t.cellwise) {
         def dead(c: GCell): Boolean = c != null &&
           c.ttl.exists(tt => GUpsertTable.epochSeconds(c.wt) + tt + graceSeconds <= now)
-        def isSet(di: Int): Boolean = t.sets(t.schema.fields(t.dataIdx(di)).name)
+        def isSet(di: Int): Boolean = {
+          val n = t.schema.fields(t.dataIdx(di)).name
+          t.sets(n) || t.maps(n)
+        }
         // a set column reclaims per ELEMENT cell (expired adds and element
         // tombstones past grace); a state left with no elements and a
         // pre-grace collection tombstone drops entirely
@@ -330,8 +334,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       require(counters.isEmpty,
         "cellwise tables do not support counters (CQL: counters are their own granule)")
     }
+    // 'maps' = columns declared CQL-map-typed: entries merge per KEY, each
+    // its own cell (`m[k] = v` puts, `m[k] = null` / collremove-by-key
+    // deletes). Entry-wise merge only exists at the cell granule, so the
+    // property demands a cellwise table — on a row-granular table a map
+    // column is just an opaque value that replaces wholesale.
+    val mapCols = props.get("maps")
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+    mapCols.foreach { n =>
+      require(cellwise, s"map column $n: 'maps' requires a cellwise table")
+      require(schema.fieldNames.contains(n), s"map column $n not in schema")
+      require(!sets(n), s"column $n cannot be both a set and a map")
+      schema(n).dataType match {
+        case MapType(kt, _, _) =>
+          require(GraftCatalogStore.setOrdering(kt).isDefined,
+            s"map column $n: unsupported key type ${kt.catalogString}")
+        case other =>
+          throw new IllegalArgumentException(
+            s"map column $n must be a MAP, got ${other.catalogString}")
+      }
+    }
     tables.put(key, new GraftCatalogStore.T(
-      schema1, keyCol, sets, writetime, ttl, counters, now, cellwise))
+      schema1, keyCol, sets, writetime, ttl, counters, now, cellwise, mapCols))
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -465,9 +489,9 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       // REMOVALS (tombstones) instead of adds. Only meaningful on the
       // cellwise UPDATE path — row-granular tables replace whole rows.
       private val collRemove = info.options.getBoolean("collremove", false)
-      require(!collRemove || (updateMode && t.sets.nonEmpty),
+      require(!collRemove || (updateMode && (t.sets.nonEmpty || t.maps.nonEmpty)),
         s"$tname: the 'collremove' write option (CQL `s = s - ?`) requires " +
-          "the 'update' option on a cellwise table with declared set columns")
+          "the 'update' option on a cellwise table with declared collection columns")
       // CQL `UPDATE ... IF EXISTS` — the LWT dual of INSERT IF NOT EXISTS:
       // rows apply only to already-present keys. Same LWT restrictions:
       // no counters, no cellwise, and the two conditions are exclusive.
@@ -534,34 +558,49 @@ object GUpsertTable {
     val ttl = ti.flatMap(i => Option(r(i)).map(_.asInstanceOf[Number].longValue))
     val key = r(ki)
     def isSet(si: Int): Boolean = t.sets(t.schema.fields(si).name)
+    def isMap(si: Int): Boolean = t.maps(t.schema.fields(si).name)
     // UPDATE: NULL data cells are untouched; INSERT: every data cell is an
     // explicit write (NULL = cell tombstone) and the row marker is set
     val written: Array[(Int, GCell)] = t.dataIdx.zipWithIndex.collect {
-      case (si, di) if !isSet(si) && !(updateMode && r(si) == null) =>
+      case (si, di) if !isSet(si) && !isMap(si) &&
+          !(updateMode && r(si) == null) =>
         di -> GCell(r(si), wt, ttl)
     }
-    // set columns merge ELEMENT-wise (CQL complex columns): INSERT assigns
-    // (collection tombstone at wt−1 so its own cells survive, element cells
-    // at wt; an explicit NULL clears at wt itself), UPDATE adds element
-    // cells (`s = s + ?`; NULL = untouched), UPDATE+collremove writes
-    // element tombstones (`s = s - ?`)
+    // collection columns merge ELEMENT-wise (CQL complex columns): INSERT
+    // assigns (collection tombstone at wt−1 so its own cells survive,
+    // element cells at wt; an explicit NULL clears at wt itself), UPDATE
+    // adds element cells (`s = s + ?` / `m[k] = v`; NULL = untouched),
+    // UPDATE+collremove writes element tombstones (`s = s - ?` / CQL's
+    // remove-by-key — the operand map's VALUES are ignored, only its keys
+    // tombstone). A map entry's cell carries the (key, value) pair; a map
+    // put with a NULL value is itself an entry tombstone (CQL
+    // `m[k] = null` deletes the entry).
     def elemKey(e: Any): Any = e match {
       case b: Array[Byte] => b.toSeq
       case x => x
     }
     val collWritten: Array[(Int, GCollState)] = t.dataIdx.zipWithIndex.collect {
-      case (si, di) if isSet(si) && !(updateMode && r(si) == null) =>
+      case (si, di) if (isSet(si) || isMap(si)) &&
+          !(updateMode && r(si) == null) =>
+        def cells: Map[Any, GCell] =
+          if (r(si) == null) Map.empty
+          else if (isSet(si))
+            r(si).asInstanceOf[Array[Any]].iterator
+              .map(e => elemKey(e) ->
+                GCell(if (collRemove) null else e, wt,
+                  if (collRemove) None else ttl)).toMap
+          else
+            r(si).asInstanceOf[Array[Any]].iterator
+              .map(_.asInstanceOf[(Any, Any)]).map { case (k, v) =>
+                elemKey(k) -> (
+                  if (collRemove || v == null) GCell(null, wt, None)
+                  else GCell((k, v), wt, ttl))
+              }.toMap
         val delta =
           if (!updateMode) {
             if (r(si) == null) GCollState(wt, Map.empty)
-            else GCollState(wt - 1, r(si).asInstanceOf[Array[Any]].iterator
-              .map(e => elemKey(e) -> GCell(e, wt, ttl)).toMap)
-          } else if (collRemove)
-            GCollState(Long.MinValue, r(si).asInstanceOf[Array[Any]].iterator
-              .map(e => elemKey(e) -> GCell(null, wt, None)).toMap)
-          else
-            GCollState(Long.MinValue, r(si).asInstanceOf[Array[Any]].iterator
-              .map(e => elemKey(e) -> GCell(e, wt, ttl)).toMap)
+            else GCollState(wt - 1, cells)
+          } else GCollState(Long.MinValue, cells)
         di -> delta
     }
     val marker = if (updateMode) None else Some(GCell(null, wt, ttl))
@@ -653,18 +692,26 @@ object GUpsertTable {
       val liveWts = scala.collection.mutable.ArrayBuffer.empty[Long]
       cr.marker.filterNot(expired).foreach(m => liveWts += m.wt)
       cr.cells.zipWithIndex.foreach { case (c, di) =>
+        val fname = t.schema.fields(t.dataIdx(di)).name
         if (c != null) {
-          if (t.sets(t.schema.fields(t.dataIdx(di)).name)) {
-            // set column: the visible value is the SORTED live elements
-            // (add cells above the collection tombstone, unexpired); an
-            // empty set reads NULL — Cassandra's empty-collection rule
+          if (t.sets(fname) || t.maps(fname)) {
+            // collection column: the visible value is the SORTED live
+            // elements/entries (cells above the collection tombstone,
+            // unexpired); an empty collection reads NULL — Cassandra's rule
             val st = c.v.asInstanceOf[GCollState]
             val live = st.elems.valuesIterator.filter(e =>
               e.v != null && e.wt > st.clearWt && !expired(e)).toArray
             if (live.nonEmpty) {
-              val et = t.schema.fields(t.dataIdx(di)).dataType
-                .asInstanceOf[ArrayType].elementType
-              visible(di) = GraftCatalogStore.canonicalSet(live.map(_.v), et)
+              t.schema.fields(t.dataIdx(di)).dataType match {
+                case ArrayType(et, _) =>
+                  visible(di) = GraftCatalogStore.canonicalSet(live.map(_.v), et)
+                case MapType(kt, _, _) =>
+                  val ord = GraftCatalogStore.setOrdering(kt).get
+                  visible(di) = live.map(_.v.asInstanceOf[(Any, Any)])
+                    .sortBy(_._1)(ord).map(identity[Any])
+                case other => throw new IllegalStateException(
+                  s"collection column $fname: $other")
+              }
               live.foreach(e => liveWts += e.wt)
             }
           } else if (!expired(c)) {
@@ -707,6 +754,17 @@ object GUpsertTable {
           require(r(i).asInstanceOf[Array[Any]].forall(_ != null),
             s"set column ${t.schema.fields(i).name} contains a null element " +
               "(CQL sets cannot hold null)")
+      }
+    }
+    t.schema.fields.zipWithIndex.collect {
+      case (f, i) if t.maps(f.name) => i
+    }.foreach { i =>
+      rows.foreach { r =>
+        if (i < r.length && r(i) != null)
+          require(r(i).asInstanceOf[Array[Any]]
+              .forall(_.asInstanceOf[(Any, Any)]._1 != null),
+            s"map column ${t.schema.fields(i).name} contains a null key " +
+              "(CQL map keys cannot be null)")
       }
     }
   }

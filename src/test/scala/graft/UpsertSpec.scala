@@ -977,6 +977,51 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("collremove"), e.getMessage)
   }
 
+  test("map entry merge: puts, null-value deletes, remove-by-key, assign shadows") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.mt")
+    spark.sql("CREATE TABLE graftcat.proptest.mt " +
+      "(id INT, m MAP<STRING, BIGINT>, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true', " +
+      "'maps'='m')")
+    def write(sql: String, wt: Long, update: Boolean = false,
+        remove: Boolean = false): Unit = {
+      val df = spark.sql(s"SELECT 1 AS id, $sql AS m, CAST($wt AS BIGINT) AS wt")
+      val w0 = df.writeTo("graftcat.proptest.mt")
+      val w1 = if (update) w0.option("update", "true") else w0
+      (if (remove) w1.option("collremove", "true") else w1).append()
+    }
+    def read(): Map[String, Any] = {
+      val rows = spark.table("graftcat.proptest.mt").collect()
+      Option(rows.head.getMap[String, Any](1))
+        .map(_.toMap).getOrElse(null)
+    }
+    // stale put below the later assign's tombstone is shadowed
+    write("map('old', CAST(1 AS BIGINT))", wt = 5, update = true)
+    write("map('a', CAST(10 AS BIGINT), 'b', CAST(20 AS BIGINT))", wt = 10)
+    assert(read() == Map("a" -> 10L, "b" -> 20L), read())
+    // put accumulates per entry; a newer put to an existing key replaces it
+    write("map('c', CAST(30 AS BIGINT), 'a', CAST(11 AS BIGINT))", wt = 11,
+      update = true)
+    assert(read() == Map("a" -> 11L, "b" -> 20L, "c" -> 30L), read())
+    // CQL `m[k] = null` deletes the entry
+    write("map('b', CAST(NULL AS BIGINT))", wt = 12, update = true)
+    assert(read() == Map("a" -> 11L, "c" -> 30L), read())
+    // remove-by-key ignores the operand's values (CQL `m = m - {keys}`)
+    write("map('c', CAST(999 AS BIGINT))", wt = 13, update = true, remove = true)
+    assert(read() == Map("a" -> 11L), read())
+    // a stale remove (wt < the entry's put) loses — order-independence
+    write("map('a', CAST(0 AS BIGINT))", wt = 8, update = true, remove = true)
+    assert(read() == Map("a" -> 11L), read())
+    // a map on a NON-cellwise table is rejected at DDL
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.proptest.mtbad (id INT, m MAP<STRING, BIGINT>) " +
+        "TBLPROPERTIES ('key'='id', 'maps'='m')")
+    }
+    assert(e.getMessage.contains("cellwise"), e.getMessage)
+  }
+
   test("set element merge converges under any batch interleaving") {
     // property: the same op multiset (assigns / adds / removes) applied in
     // any order and batch split converges, and matches an independent
