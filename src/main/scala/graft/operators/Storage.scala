@@ -631,6 +631,60 @@ object Storage {
         .orderBy("id", "mkey")
     },
 
+    // CQL list<T> position-wise merge — the third collection type: cells
+    // keyed by write POSITION (append major = +wt, prepend major = −wt so a
+    // later prepend lands at the FRONT — Cassandra's negative-timeuuid
+    // trick; INSERT assign shadows older cells via the collection tombstone
+    // at wt−1), and remove-by-value (`l = l - [v]`) as a value tombstone
+    // hiding equal-valued cells at-or-below its timestamp. The result
+    // POSEXPLODEs the read-back lists so the oracle recomputes scalar
+    // (id, pos, tag) rows — position order included — from the same log.
+    "q_kv_list_merge" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.tags")
+      s.sql("CREATE TABLE graftcat.testks.tags " +
+        "(id BIGINT, tags ARRAY<BIGINT>, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true', " +
+        "'lists'='tags')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_custkey") <= 150)
+        .select(col("o_orderkey").as("ok"),
+          pmod(col("o_custkey"), lit(30)).cast(LongType).as("id"))
+      // INSERT assign: every 7th order replaces the list with [ok, ok+1]
+      o.filter(pmod(col("ok"), lit(7)) === 0)
+        .select(col("id"), array(col("ok"), col("ok") + 1).as("tags"),
+          (col("ok") * 1000000L).as("wt"))
+        .writeTo("graftcat.testks.tags").append()
+      // UPDATE append (`l = l + [ok*2]`): every 3rd order at wt+1
+      o.filter(pmod(col("ok"), lit(3)) === 0)
+        .select(col("id"), array(col("ok") * 2).as("tags"),
+          (col("ok") * 1000000L + 1L).as("wt"))
+        .writeTo("graftcat.testks.tags").option("update", "true").append()
+      // UPDATE prepend (`l = [ok+5] + l`): every 11th order at wt+2
+      o.filter(pmod(col("ok"), lit(11)) === 0)
+        .select(col("id"), array(col("ok") + 5).as("tags"),
+          (col("ok") * 1000000L + 2L).as("wt"))
+        .writeTo("graftcat.testks.tags")
+        .option("update", "true").option("prepend", "true").append()
+      // UPDATE remove-by-value (`l = l - [ok]`): every 35th order at wt+3
+      // — shadows that order's own assign cell (and any older equal value)
+      o.filter(pmod(col("ok"), lit(35)) === 0)
+        .select(col("id"), array(col("ok")).as("tags"),
+          (col("ok") * 1000000L + 3L).as("wt"))
+        .writeTo("graftcat.testks.tags")
+        .option("update", "true").option("collremove", "true").append()
+      // STALE remove of the append's value at the append's wt − 1: loses —
+      // the newer append cell stays visible (order-independence of removes)
+      o.filter(pmod(col("ok"), lit(15)) === 0)
+        .select(col("id"), array(col("ok") * 2).as("tags"),
+          (col("ok") * 1000000L).as("wt"))
+        .writeTo("graftcat.testks.tags")
+        .option("update", "true").option("collremove", "true").append()
+      s.read.table("graftcat.testks.tags")
+        .select(col("id"), posexplode(col("tags")).as(Seq("pos", "tag")))
+        .orderBy("id", "pos")
+    },
+
     // Composite (multi-column, mixed-type) partition key — CQL
     // `PRIMARY KEY ((c_nationkey, c_mktsegment))`, one step past the
     // reference's single-column key (userdata/cloudinit.sh:307). The
@@ -1729,6 +1783,50 @@ object Storage {
         |WHERE win.is_put = 1
         |  AND win.wt > COALESCE(clr.cw, -9223372036854775808)
         |ORDER BY win.id, win.mkey""".stripMargin,
+
+    // Position-wise replay: a cell is live iff it sits above the id's newest
+    // collection tombstone (assign wt − 1) and no remove of its VALUE at an
+    // equal-or-newer (and unshadowed) timestamp exists; visible order is
+    // (major, minor) — prepends carry negative majors so later prepends
+    // sort first.
+    "q_kv_list_merge" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, CAST(o_custkey % 30 AS BIGINT) AS id
+        |  FROM orders WHERE o_custkey <= 150),
+        |cells AS (
+        |  SELECT id, ok AS val, ok * 1000000 AS wt,
+        |    ok * 1000000 AS major, 0 AS minor FROM o WHERE ok % 7 = 0
+        |  UNION ALL
+        |  SELECT id, ok + 1, ok * 1000000, ok * 1000000, 1
+        |  FROM o WHERE ok % 7 = 0
+        |  UNION ALL
+        |  SELECT id, ok * 2, ok * 1000000 + 1, ok * 1000000 + 1, 0
+        |  FROM o WHERE ok % 3 = 0
+        |  UNION ALL
+        |  SELECT id, ok + 5, ok * 1000000 + 2, -(ok * 1000000 + 2), 0
+        |  FROM o WHERE ok % 11 = 0),
+        |rmv AS (
+        |  SELECT id, ok AS val, ok * 1000000 + 3 AS wt
+        |  FROM o WHERE ok % 35 = 0
+        |  UNION ALL
+        |  SELECT id, ok * 2, ok * 1000000 FROM o WHERE ok % 15 = 0),
+        |clr AS (
+        |  SELECT id, MAX(ok * 1000000 - 1) AS cw
+        |  FROM o WHERE ok % 7 = 0 GROUP BY id),
+        |live AS (
+        |  SELECT c.id, c.val, c.major, c.minor
+        |  FROM cells c LEFT JOIN clr ON c.id = clr.id
+        |  WHERE c.wt > COALESCE(clr.cw, -9223372036854775808)
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM rmv r
+        |      WHERE r.id = c.id AND r.val = c.val AND r.wt >= c.wt
+        |        AND r.wt > COALESCE(clr.cw, -9223372036854775808)))
+        |SELECT id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY major, minor)
+        |    - 1 AS INT) AS pos,
+        |  val AS tag
+        |FROM live
+        |ORDER BY id, pos""".stripMargin,
 
     // Counter convergence: the two parity-partial increment batches must sum
     // to the full per-type event counts.

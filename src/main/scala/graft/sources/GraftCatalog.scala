@@ -84,6 +84,25 @@ object GraftCatalogStore {
     * (clearWt only grows), so merges drop them — the in-place compaction. */
   final case class GCollState(clearWt: Long, elems: Map[Any, GCell])
 
+  /** Element key of one LIST cell: Cassandra keys list cells by a write-time
+    * timeuuid so elements sort by insertion position. The model's position is
+    * (major, minor): appends write major = +wt, prepends major = −wt (the
+    * negative-timestamp trick — a LATER prepend sorts EARLIER, landing at the
+    * front, exactly CQL `l = [x] + l`), minor = the element's index within
+    * its statement. Distinct statements have distinct wt, so positions
+    * collide only for equal-timestamp writes — the same collision rule as
+    * every other cell. */
+  final case class GListPos(major: Long, minor: Int)
+
+  /** Element key of one list VALUE TOMBSTONE (CQL `l = l - [v]`): hides every
+    * position cell of equal value with cell.wt ≤ its wt. Real Cassandra
+    * implements list remove as read-before-write over the cells the
+    * coordinator observed; the model keys the tombstone by VALUE + timestamp
+    * instead, which is arrival-order-independent and agrees with Cassandra
+    * whenever statements arrive in timestamp order (the replayable contract
+    * every other merge rule here follows). */
+  final case class GValTomb(k: Any)
+
   /** Per-key state of a cellwise table: the row marker (written by INSERT,
     * not by UPDATE — Cassandra's primary-key liveness cell) plus one WINNING
     * cell per data column (null entry = never written). Immutable so merges
@@ -97,7 +116,8 @@ object GraftCatalogStore {
       val counters: Set[String] = Set.empty,
       val now: Option[Long] = None,
       val cellwise: Boolean = false,
-      val maps: Set[String] = Set.empty) {
+      val maps: Set[String] = Set.empty,
+      val lists: Set[String] = Set.empty) {
     val rows = TrieMap.empty[Any, Array[Any]]
     /** Store of a cellwise table ('cellwise'='true'): per-cell LWW instead
       * of whole-row replacement. `rows` stays empty for these tables. */
@@ -148,7 +168,7 @@ object GraftCatalogStore {
           c.ttl.exists(tt => GUpsertTable.epochSeconds(c.wt) + tt + graceSeconds <= now)
         def isSet(di: Int): Boolean = {
           val n = t.schema.fields(t.dataIdx(di)).name
-          t.sets(n) || t.maps(n)
+          t.sets(n) || t.maps(n) || t.lists(n)
         }
         // a set column reclaims per ELEMENT cell (expired adds and element
         // tombstones past grace); a state left with no elements and a
@@ -354,8 +374,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"map column $n must be a MAP, got ${other.catalogString}")
       }
     }
+    // 'lists' = columns declared CQL-list-typed: position-keyed cells (see
+    // GListPos) — INSERT assigns, UPDATE appends, UPDATE+prepend prepends,
+    // UPDATE+collremove removes by VALUE. Same cell granule requirement as
+    // sets/maps: element-wise merge only exists on cellwise tables.
+    val listCols = props.get("lists")
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+    listCols.foreach { n =>
+      require(cellwise, s"list column $n: 'lists' requires a cellwise table")
+      require(schema.fieldNames.contains(n), s"list column $n not in schema")
+      require(!sets(n) && !mapCols(n),
+        s"column $n can be only one of set/map/list")
+      schema(n).dataType match {
+        case ArrayType(et, _) =>
+          require(GraftCatalogStore.setOrdering(et).isDefined,
+            s"list column $n: unsupported element type ${et.catalogString}")
+        case other =>
+          throw new IllegalArgumentException(
+            s"list column $n must be an ARRAY, got ${other.catalogString}")
+      }
+    }
     tables.put(key, new GraftCatalogStore.T(
-      schema1, keyCol, sets, writetime, ttl, counters, now, cellwise, mapCols))
+      schema1, keyCol, sets, writetime, ttl, counters, now, cellwise,
+      mapCols, listCols))
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -489,9 +530,19 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       // REMOVALS (tombstones) instead of adds. Only meaningful on the
       // cellwise UPDATE path — row-granular tables replace whole rows.
       private val collRemove = info.options.getBoolean("collremove", false)
-      require(!collRemove || (updateMode && (t.sets.nonEmpty || t.maps.nonEmpty)),
+      require(!collRemove ||
+          (updateMode && (t.sets.nonEmpty || t.maps.nonEmpty || t.lists.nonEmpty)),
         s"$tname: the 'collremove' write option (CQL `s = s - ?`) requires " +
           "the 'update' option on a cellwise table with declared collection columns")
+      // CQL `l = [x] + l`: the statement's list-column arrays PREPEND —
+      // cells at negative position major, so a later prepend lands at the
+      // front. Only meaningful on the UPDATE path of a table with list
+      // columns, and exclusive with collremove (CQL has no prepend-remove).
+      private val listPrepend = info.options.getBoolean("prepend", false)
+      require(!listPrepend || (updateMode && t.lists.nonEmpty && !collRemove),
+        s"$tname: the 'prepend' write option (CQL `l = [x] + l`) requires " +
+          "the 'update' option on a cellwise table with declared list " +
+          "columns, and cannot combine with 'collremove'")
       // CQL `UPDATE ... IF EXISTS` — the LWT dual of INSERT IF NOT EXISTS:
       // rows apply only to already-present keys. Same LWT restrictions:
       // no counters, no cellwise, and the two conditions are exclusive.
@@ -530,7 +581,7 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
               // the logged-BATCH surface also uses
               GUpsertTable.validateWrites(t, all)
               GUpsertTable.applyWrites(t, all, ifNotExists, updateMode,
-                collRemove, ifExists)
+                collRemove, ifExists, listPrepend)
             } finally rl.unlock()
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -540,7 +591,7 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
 }
 
 object GUpsertTable {
-  import GraftCatalogStore.{GCell, GCellRow, GCollState}
+  import GraftCatalogStore.{GCell, GCellRow, GCollState, GListPos, GValTomb}
 
   /** Merge one incoming statement row into a cellwise table: per-cell LWW —
     * every written cell carries the statement's (timestamp, TTL) and wins
@@ -550,7 +601,8 @@ object GUpsertTable {
     * only those cells). CAS-retried against concurrent commits like the
     * row-granular paths. */
   private[sources] def mergeCellwise(t: GraftCatalogStore.T, r: Array[Any],
-      updateMode: Boolean, collRemove: Boolean = false): Unit = {
+      updateMode: Boolean, collRemove: Boolean = false,
+      listPrepend: Boolean = false): Unit = {
     val ki = t.schema.fieldIndex(t.keyCol)
     val wi = t.schema.fieldIndex(t.writetime.get)
     val ti = t.ttl.map(t.schema.fieldIndex)
@@ -559,10 +611,11 @@ object GUpsertTable {
     val key = r(ki)
     def isSet(si: Int): Boolean = t.sets(t.schema.fields(si).name)
     def isMap(si: Int): Boolean = t.maps(t.schema.fields(si).name)
+    def isList(si: Int): Boolean = t.lists(t.schema.fields(si).name)
     // UPDATE: NULL data cells are untouched; INSERT: every data cell is an
     // explicit write (NULL = cell tombstone) and the row marker is set
     val written: Array[(Int, GCell)] = t.dataIdx.zipWithIndex.collect {
-      case (si, di) if !isSet(si) && !isMap(si) &&
+      case (si, di) if !isSet(si) && !isMap(si) && !isList(si) &&
           !(updateMode && r(si) == null) =>
         di -> GCell(r(si), wt, ttl)
     }
@@ -579,8 +632,11 @@ object GUpsertTable {
       case b: Array[Byte] => b.toSeq
       case x => x
     }
+    // list cells: position-keyed (GListPos) value cells for assign/append/
+    // prepend; value-keyed tombstones (GValTomb) for remove-by-value — see
+    // the key classes' Scaladoc for the position and shadowing rules
     val collWritten: Array[(Int, GCollState)] = t.dataIdx.zipWithIndex.collect {
-      case (si, di) if (isSet(si) || isMap(si)) &&
+      case (si, di) if (isSet(si) || isMap(si) || isList(si)) &&
           !(updateMode && r(si) == null) =>
         def cells: Map[Any, GCell] =
           if (r(si) == null) Map.empty
@@ -589,7 +645,16 @@ object GUpsertTable {
               .map(e => elemKey(e) ->
                 GCell(if (collRemove) null else e, wt,
                   if (collRemove) None else ttl)).toMap
-          else
+          else if (isList(si)) {
+            val arr = r(si).asInstanceOf[Array[Any]]
+            if (collRemove)
+              arr.iterator.map(v =>
+                (GValTomb(elemKey(v)): Any) -> GCell(null, wt, None)).toMap
+            else arr.iterator.zipWithIndex.map { case (v, i) =>
+              (GListPos(if (listPrepend) -wt else wt, i): Any) ->
+                GCell(v, wt, ttl)
+            }.toMap
+          } else
             r(si).asInstanceOf[Array[Any]].iterator
               .map(_.asInstanceOf[(Any, Any)]).map { case (k, v) =>
                 elemKey(k) -> (
@@ -613,13 +678,31 @@ object GUpsertTable {
     def ttlRank(c: GCell): Long = c.ttl.getOrElse(Long.MaxValue)
     // element-cell reconciliation: strict timestamp order; on a timestamp
     // tie the TOMBSTONE wins (Cassandra: deletes shadow equal-ts writes),
-    // then the longer-lived cell (the same arrival-order-independent total
-    // order the scalar cells use — set element values are equal by key)
-    def elemWinner(a: GCell, b: GCell): GCell =
+    // then the greater VALUE (set elements are equal by key, but map entries
+    // and list positions can carry different values at an equal timestamp —
+    // without the value compare the winner would be arrival-order-dependent),
+    // then the longer-lived cell (same total order the scalar cells use)
+    def elemValCompare(si: Int, a: Any, b: Any): Int =
+      t.schema.fields(si).dataType match {
+        case ArrayType(et, _) => compareCell(et, a, b)
+        case MapType(kt, vt, _) =>
+          val (ak, av) = a.asInstanceOf[(Any, Any)]
+          val (bk, bv) = b.asInstanceOf[(Any, Any)]
+          val c = compareCell(kt, ak, bk)
+          if (c != 0) c else compareCell(vt, av, bv)
+        case other =>
+          throw new IllegalStateException(s"collection cell of type $other")
+      }
+    def elemWinner(si: Int)(a: GCell, b: GCell): GCell =
       if (a.wt != b.wt) { if (a.wt > b.wt) a else b }
       else if ((a.v == null) != (b.v == null)) { if (a.v == null) a else b }
-      else if (ttlRank(a) >= ttlRank(b)) a else b
-    def mergeColl(old: GCell, delta: GCollState): GCell = {
+      else {
+        val vc = if (a.v == null) 0 else elemValCompare(si, a.v, b.v)
+        if (vc != 0) { if (vc > 0) a else b }
+        else if (ttlRank(a) >= ttlRank(b)) a else b
+      }
+    def mergeColl(di: Int, old: GCell, delta: GCollState): GCell = {
+      val si = t.dataIdx(di)
       val prev =
         if (old == null) GCollState(Long.MinValue, Map.empty)
         else old.v.asInstanceOf[GCollState]
@@ -628,13 +711,30 @@ object GUpsertTable {
       // drop cells at or below the collection tombstone: shadowed forever
       // (clearWt only grows) — the merge-time compaction that keeps a
       // hot key's collection state bounded by its LIVE elements
-      val elems = keys.iterator.flatMap { k =>
+      val merged = keys.iterator.flatMap { k =>
         val w = (prev.elems.get(k), delta.elems.get(k)) match {
-          case (Some(a), Some(b)) => Some(elemWinner(a, b))
+          case (Some(a), Some(b)) => Some(elemWinner(si)(a, b))
           case (a, b) => a.orElse(b)
         }
         w.filter(_.wt > clearWt).map(k -> _)
       }.toMap
+      // list compaction: a position cell shadowed by a value tombstone of
+      // equal-or-newer timestamp can never become visible again (tombstone
+      // timestamps, like clearWt, only grow under elemWinner), so drop it
+      // physically at merge — this keeps the read path tombstone-free and
+      // makes GC of aged value tombstones safe. Order-independent: a cell
+      // arriving after the tombstone is dropped on ITS merge, and any cell a
+      // sub-clearWt tombstone would have shadowed is itself sub-clearWt.
+      val elems =
+        if (!isList(si)) merged
+        else {
+          val vts = merged.collect { case (GValTomb(vk), c) => vk -> c.wt }
+          if (vts.isEmpty) merged
+          else merged.filter {
+            case (_: GListPos, c) => vts.get(elemKey(c.v)).forall(_ < c.wt)
+            case _ => true
+          }
+        }
       val maxWt =
         if (elems.isEmpty) clearWt else elems.valuesIterator.map(_.wt).max
       GCell(GCollState(clearWt, elems), math.max(clearWt, maxWt), None)
@@ -661,12 +761,12 @@ object GUpsertTable {
             }
           if (cmp > 0) nc(di) = c
         }
-        collWritten.foreach { case (di, delta) => nc(di) = mergeColl(nc(di), delta) }
+        collWritten.foreach { case (di, delta) => nc(di) = mergeColl(di, nc(di), delta) }
         done = t.cellRows.replace(key, prev, GCellRow(newerMarker(prev.marker), nc))
       case None =>
         val nc = new Array[GCell](t.dataIdx.length)
         written.foreach { case (di, c) => nc(di) = c }
-        collWritten.foreach { case (di, delta) => nc(di) = mergeColl(null, delta) }
+        collWritten.foreach { case (di, delta) => nc(di) = mergeColl(di, null, delta) }
         done = t.cellRows.putIfAbsent(key, GCellRow(marker, nc)).isEmpty
     }
   }
@@ -694,25 +794,39 @@ object GUpsertTable {
       cr.cells.zipWithIndex.foreach { case (c, di) =>
         val fname = t.schema.fields(t.dataIdx(di)).name
         if (c != null) {
-          if (t.sets(fname) || t.maps(fname)) {
+          if (t.sets(fname) || t.maps(fname) || t.lists(fname)) {
             // collection column: the visible value is the SORTED live
             // elements/entries (cells above the collection tombstone,
-            // unexpired); an empty collection reads NULL — Cassandra's rule
+            // unexpired — lists sort by POSITION, not value); an empty
+            // collection reads NULL — Cassandra's rule
             val st = c.v.asInstanceOf[GCollState]
-            val live = st.elems.valuesIterator.filter(e =>
-              e.v != null && e.wt > st.clearWt && !expired(e)).toArray
-            if (live.nonEmpty) {
-              t.schema.fields(t.dataIdx(di)).dataType match {
-                case ArrayType(et, _) =>
-                  visible(di) = GraftCatalogStore.canonicalSet(live.map(_.v), et)
-                case MapType(kt, _, _) =>
-                  val ord = GraftCatalogStore.setOrdering(kt).get
-                  visible(di) = live.map(_.v.asInstanceOf[(Any, Any)])
-                    .sortBy(_._1)(ord).map(identity[Any])
-                case other => throw new IllegalStateException(
-                  s"collection column $fname: $other")
+            if (t.lists(fname)) {
+              val live = st.elems.iterator.collect {
+                case (p: GraftCatalogStore.GListPos, e)
+                    if e.v != null && e.wt > st.clearWt && !expired(e) =>
+                  (p, e)
+              }.toArray
+              if (live.nonEmpty) {
+                visible(di) = live.sortBy { case (p, _) => (p.major, p.minor) }
+                  .map(_._2.v)
+                live.foreach { case (_, e) => liveWts += e.wt }
               }
-              live.foreach(e => liveWts += e.wt)
+            } else {
+              val live = st.elems.valuesIterator.filter(e =>
+                e.v != null && e.wt > st.clearWt && !expired(e)).toArray
+              if (live.nonEmpty) {
+                t.schema.fields(t.dataIdx(di)).dataType match {
+                  case ArrayType(et, _) =>
+                    visible(di) = GraftCatalogStore.canonicalSet(live.map(_.v), et)
+                  case MapType(kt, _, _) =>
+                    val ord = GraftCatalogStore.setOrdering(kt).get
+                    visible(di) = live.map(_.v.asInstanceOf[(Any, Any)])
+                      .sortBy(_._1)(ord).map(identity[Any])
+                  case other => throw new IllegalStateException(
+                    s"collection column $fname: $other")
+                }
+                live.foreach(e => liveWts += e.wt)
+              }
             }
           } else if (!expired(c)) {
             visible(di) = c.v
@@ -767,6 +881,16 @@ object GUpsertTable {
               "(CQL map keys cannot be null)")
       }
     }
+    t.schema.fields.zipWithIndex.collect {
+      case (f, i) if t.lists(f.name) => i
+    }.foreach { i =>
+      rows.foreach { r =>
+        if (i < r.length && r(i) != null)
+          require(r(i).asInstanceOf[Array[Any]].forall(_ != null),
+            s"list column ${t.schema.fields(i).name} contains a null " +
+              "element (CQL lists cannot hold null)")
+      }
+    }
   }
 
   /** INSERT application shared by the DSv2 commit and the logged-BATCH
@@ -784,7 +908,8 @@ object GUpsertTable {
     * fails the CAS and retries against the fresh value. */
   private[sources] def applyWrites(t: GraftCatalogStore.T,
       rows: Seq[Array[Any]], ifNotExists: Boolean, updateMode: Boolean,
-      collRemove: Boolean = false, ifExists: Boolean = false): Unit = {
+      collRemove: Boolean = false, ifExists: Boolean = false,
+      listPrepend: Boolean = false): Unit = {
     val ki = t.schema.fieldIndex(t.keyCol)
     val setIdx = t.schema.fields.zipWithIndex.collect {
       case (f, i) if t.sets(f.name) =>
@@ -808,7 +933,7 @@ object GUpsertTable {
         if (r(i) != null)
           r(i) = GraftCatalogStore.canonicalSet(r(i).asInstanceOf[Array[Any]], et)
       }
-      if (t.cellwise) mergeCellwise(t, r, updateMode, collRemove)
+      if (t.cellwise) mergeCellwise(t, r, updateMode, collRemove, listPrepend)
       else {
         val key = r(ki)
         if (ifNotExists) t.rows.putIfAbsent(key, r)

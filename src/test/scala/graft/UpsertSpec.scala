@@ -1022,6 +1022,106 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("cellwise"), e.getMessage)
   }
 
+  test("list position merge: append/prepend order, remove-by-value, assign shadows") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.lt")
+    spark.sql("CREATE TABLE graftcat.proptest.lt " +
+      "(id INT, l ARRAY<BIGINT>, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true', " +
+      "'lists'='l')")
+    def write(sql: String, wt: Long, update: Boolean = false,
+        remove: Boolean = false, prepend: Boolean = false): Unit = {
+      val df = spark.sql(s"SELECT 1 AS id, $sql AS l, CAST($wt AS BIGINT) AS wt")
+      var w = df.writeTo("graftcat.proptest.lt")
+      if (update) w = w.option("update", "true")
+      if (remove) w = w.option("collremove", "true")
+      if (prepend) w = w.option("prepend", "true")
+      w.append()
+    }
+    def read(): Seq[Long] = {
+      val rows = spark.table("graftcat.proptest.lt").collect()
+      Option(rows.head.getSeq[Long](1)).orNull
+    }
+    // stale append below the later assign's tombstone is shadowed
+    write("array(CAST(99 AS BIGINT))", wt = 5, update = true)
+    write("array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))", wt = 10)
+    assert(read() == Seq(1L, 2L), read())
+    // appends land at the back in statement order; dupes are positions
+    write("array(CAST(3 AS BIGINT), CAST(1 AS BIGINT))", wt = 11, update = true)
+    assert(read() == Seq(1L, 2L, 3L, 1L), read())
+    // a LATER prepend lands at the very front (negative-major ordering)
+    write("array(CAST(7 AS BIGINT))", wt = 12, update = true, prepend = true)
+    write("array(CAST(8 AS BIGINT), CAST(9 AS BIGINT))", wt = 13,
+      update = true, prepend = true)
+    assert(read() == Seq(8L, 9L, 7L, 1L, 2L, 3L, 1L), read())
+    // remove-by-value deletes ALL equal-valued occurrences at-or-below its
+    // wt (CQL `l = l - [v]` removes every occurrence)
+    write("array(CAST(1 AS BIGINT))", wt = 14, update = true, remove = true)
+    assert(read() == Seq(8L, 9L, 7L, 2L, 3L), read())
+    // a newer append of the removed value survives the older tombstone
+    write("array(CAST(1 AS BIGINT))", wt = 15, update = true)
+    assert(read() == Seq(8L, 9L, 7L, 2L, 3L, 1L), read())
+    // a stale remove (wt below every current cell) is a no-op
+    write("array(CAST(2 AS BIGINT))", wt = 9, update = true, remove = true)
+    assert(read() == Seq(8L, 9L, 7L, 2L, 3L, 1L), read())
+    // null elements rejected; prepend+collremove rejected; DDL guards
+    val e1 = intercept[Exception] {
+      write("array(CAST(NULL AS BIGINT))", wt = 20, update = true)
+    }
+    assert(e1.getMessage.contains("null"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      val df = spark.sql("SELECT 1 AS id, array(CAST(1 AS BIGINT)) AS l, " +
+        "CAST(21 AS BIGINT) AS wt")
+      df.writeTo("graftcat.proptest.lt").option("update", "true")
+        .option("collremove", "true").option("prepend", "true").append()
+    }
+    assert(e2.getMessage.contains("prepend"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.proptest.ltbad " +
+        "(id INT, l ARRAY<BIGINT>) TBLPROPERTIES ('key'='id', 'lists'='l')")
+    }
+    assert(e3.getMessage.contains("cellwise"), e3.getMessage)
+  }
+
+  test("list merge converges under any op order") {
+    // property: assigns/appends/prepends/removes with distinct timestamps
+    // applied in ANY order converge to the same list — the value-tombstone
+    // model's replayability contract (and the reason the driver's oracle
+    // can recompute list state from the unordered write log)
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    // op = (wt, values, update, remove, prepend)
+    val ops = Seq(
+      (10L, Seq(1L, 2L), false, false, false),  // assign [1,2]
+      (11L, Seq(3L), true, false, false),       // append 3
+      (12L, Seq(4L), true, false, true),        // prepend 4
+      (13L, Seq(1L), true, true, false),        // remove 1s
+      (14L, Seq(1L), true, false, false),       // re-append 1
+      (7L, Seq(5L), true, false, false))        // pre-assign append (shadowed)
+    val expected = Seq(4L, 2L, 3L, 1L)
+    val rnd = new scala.util.Random(42)
+    (0 until 6).foreach { trial =>
+      spark.sql("DROP TABLE IF EXISTS graftcat.proptest.lc")
+      spark.sql("CREATE TABLE graftcat.proptest.lc " +
+        "(id INT, l ARRAY<BIGINT>, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true', " +
+        "'lists'='l')")
+      rnd.shuffle(ops).foreach { case (wt, vs, upd, rm, pre) =>
+        val lit = vs.map(v => s"CAST($v AS BIGINT)").mkString("array(", ", ", ")")
+        var w = spark.sql(s"SELECT 1 AS id, $lit AS l, CAST($wt AS BIGINT) AS wt")
+          .writeTo("graftcat.proptest.lc")
+        if (upd) w = w.option("update", "true")
+        if (rm) w = w.option("collremove", "true")
+        if (pre) w = w.option("prepend", "true")
+        w.append()
+      }
+      val got = Option(spark.table("graftcat.proptest.lc").collect()
+        .head.getSeq[Long](1)).orNull
+      assert(got == expected, s"trial $trial: $got")
+    }
+  }
+
   test("set element merge converges under any batch interleaving") {
     // property: the same op multiset (assigns / adds / removes) applied in
     // any order and batch split converges, and matches an independent
