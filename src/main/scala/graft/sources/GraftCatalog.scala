@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -1093,9 +1093,25 @@ object GUpsertTable {
   * back to the table's `now` property — both epoch seconds. */
 class GScanBuilder(tname: String, t: GraftCatalogStore.T,
     options: CaseInsensitiveStringMap) extends ScanBuilder {
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch with SupportsReportStatistics {
     override def readSchema(): StructType = t.schema
     override def toBatch: Batch = this
+    // table-cardinality statistics so Catalyst can auto-broadcast a small
+    // catalog table instead of shuffling the other join side (a DSv2
+    // relation without stats sizes as defaultSizeInBytes = never broadcast);
+    // row count from the store's key count — expiry filtering happens at
+    // scan, so this is an upper bound, which is the safe direction for a
+    // broadcast decision
+    override def estimateStatistics(): Statistics = {
+      val nRows = (if (t.cellwise) t.cellRows.size else t.rows.size).toLong
+      val width = t.schema.defaultSize.toLong.max(1L)
+      new Statistics {
+        override def sizeInBytes: java.util.OptionalLong =
+          java.util.OptionalLong.of(nRows * width)
+        override def numRows: java.util.OptionalLong =
+          java.util.OptionalLong.of(nRows)
+      }
+    }
     override def planInputPartitions(): Array[InputPartition] = {
       val nowOpt = Option(options.get("now")).map(_.toLong).orElse(t.now)
       def demandNow: Long = nowOpt.getOrElse(throw new IllegalArgumentException(

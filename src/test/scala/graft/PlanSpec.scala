@@ -45,6 +45,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("KV source reports statistics: small side auto-broadcasts with no hint") {
+    // SupportsReportStatistics: a DSv2 relation without stats sizes as
+    // defaultSizeInBytes (effectively infinite) and Catalyst would NEVER
+    // pick BroadcastHashJoin on its own — the 25-row nation KV table must
+    // report its true ~KB size and become the broadcast side against
+    // lineitem WITHOUT any explicit broadcast()/hint (at 100 TB, this
+    // decision is the difference between shipping 25 rows and shuffling
+    // the whole fact table)
+    Storage.queries("q_spj_join")(spark, sfDir).collect() // stages the registry
+    val n = spark.read.format("graft.sources.KVDataSource")
+      .option("table", s"nation:$sfDir").load()
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val joined = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name")).count()
+    joined.collect() // finalize the (adaptive) plan
+    val plan = planOf(joined)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("storage-partitioned join runs with zero Exchange (DSv2 KeyGroupedPartitioning)") {
     // run the declared query once: stages the registry + sets the SPJ confs
     Storage.queries("q_spj_join")(spark, sfDir).collect()
