@@ -487,6 +487,36 @@ object Storage {
       s.sql("SELECT * FROM graftcat.testks.cond ORDER BY k")
     },
 
+    // CQL `UPDATE ... IF col = ?` — the GENERAL lightweight transaction (IF
+    // [NOT] EXISTS are its special cases): the conditional batch applies
+    // only where the STORED row's status column equals 'open'; rows whose
+    // stored status is 'closed' and rows whose key is absent both fail the
+    // condition (CQL [applied]=false). Batches commit sequentially, so the
+    // oracle recomputes the applied set from the first batch's state.
+    "q_kv_lwt_condition" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.lwt")
+      s.sql("CREATE TABLE graftcat.testks.lwt " +
+        "(k BIGINT, status STRING, v BIGINT) TBLPROPERTIES ('key'='k')")
+      val c = Tables.load(s, dir, "customer")
+      // establish: custkey <= 200, BUILDING segment rows are 'open'
+      c.filter(col("c_custkey") <= 200)
+        .select(col("c_custkey").cast(LongType).as("k"),
+          when(col("c_mktsegment") === "BUILDING", lit("open"))
+            .otherwise(lit("closed")).as("status"),
+          col("c_nationkey").cast(LongType).as("v"))
+        .writeTo("graftcat.testks.lwt").append()
+      // conditional: custkey <= 300 (a third of the keys are absent) tries
+      // status='done', v=v*10 — applies ONLY to stored-'open' rows
+      c.filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").cast(LongType).as("k"),
+          lit("done").as("status"),
+          (col("c_nationkey") * 10).cast(LongType).as("v"))
+        .writeTo("graftcat.testks.lwt").option("ifeq", "status:open").append()
+      s.sql("SELECT * FROM graftcat.testks.lwt ORDER BY k")
+    },
+
     // CQL UPDATE semantics — PER-CELL writetime/TTL LWW (the reconciliation
     // granule of the pinned Cassandra 4.0.6, userdata/cloudinit.sh:216): an
     // UPDATE that SETs a column subset wins only those cells, each cell
@@ -1854,6 +1884,19 @@ object Storage {
         |  CASE WHEN n_nationkey >= 10 THEN 'upd_' || n_name ELSE n_name END
         |    AS name
         |FROM nation WHERE n_nationkey < 15
+        |ORDER BY k""".stripMargin,
+
+    // general LWT: the conditional batch lands exactly on the stored-'open'
+    // (BUILDING) rows of the establishing batch; 'closed' rows keep their
+    // values and the (200, 300] keys never appear
+    "q_kv_lwt_condition" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'done' ELSE 'closed' END
+        |    AS status,
+        |  CASE WHEN c_mktsegment = 'BUILDING'
+        |    THEN CAST(c_nationkey * 10 AS BIGINT)
+        |    ELSE CAST(c_nationkey AS BIGINT) END AS v
+        |FROM customer WHERE c_custkey <= 200
         |ORDER BY k""".stripMargin,
 
     // recomputed from the staged write log the query itself drives the

@@ -554,6 +554,47 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       require(!(ifExists && t.cellwise),
         s"$tname: UPDATE IF EXISTS is not supported on cellwise tables " +
           "(LWT is modeled only for row-granular tables)")
+      // CQL `UPDATE ... IF col = ?` — the GENERAL lightweight-transaction
+      // condition (IF [NOT] EXISTS are its special cases): a row applies
+      // only where the STORED row's named column equals the expected value;
+      // an absent row fails the condition (CQL [applied]=false). Same LWT
+      // restrictions, plus: no writetime tables (CQL forbids USING
+      // TIMESTAMP with IF — the Paxos round supplies the timestamp) and
+      // the condition column cannot be part of the primary key.
+      private val ifEq: Option[(Int, Any)] =
+        Option(info.options.get("ifeq")).map { s =>
+          val cut = s.indexOf(':')
+          require(cut > 0 && cut < s.length - 1,
+            s"$tname: 'ifeq' must be '<column>:<value>', got '$s'")
+          val (cn, raw) = (s.substring(0, cut), s.substring(cut + 1))
+          require(t.schema.fieldNames.contains(cn),
+            s"$tname: 'ifeq' column $cn not in schema")
+          require(cn != t.keyCol,
+            s"$tname: 'ifeq' cannot condition on the partition key (CQL)")
+          val v: Any = t.schema(cn).dataType match {
+            case LongType => java.lang.Long.valueOf(raw.toLong)
+            case IntegerType => java.lang.Integer.valueOf(raw.toInt)
+            case ShortType => java.lang.Short.valueOf(raw.toShort)
+            case ByteType => java.lang.Byte.valueOf(raw.toByte)
+            case DoubleType => java.lang.Double.valueOf(raw.toDouble)
+            case FloatType => java.lang.Float.valueOf(raw.toFloat)
+            case BooleanType => java.lang.Boolean.valueOf(raw.toBoolean)
+            case StringType => raw
+            case other => throw new IllegalArgumentException(
+              s"$tname: 'ifeq' unsupported on column type ${other.catalogString}")
+          }
+          (t.schema.fieldIndex(cn), v)
+        }
+      require(!(ifEq.isDefined && (ifExists || ifNotExists)),
+        s"$tname: 'ifeq' cannot combine with 'ifexists'/'ifnotexists'")
+      require(!(ifEq.isDefined && t.counters.nonEmpty),
+        s"$tname: conditional updates are not supported on counter tables (CQL)")
+      require(!(ifEq.isDefined && t.cellwise),
+        s"$tname: conditional updates are not supported on cellwise tables " +
+          "(LWT is modeled only for row-granular tables)")
+      require(!(ifEq.isDefined && t.writetime.isDefined),
+        s"$tname: conditional updates cannot use client timestamps " +
+          "(CQL forbids USING TIMESTAMP with IF)")
       // extract with the ANALYZED write schema, not t.schema: a concurrent
       // ALTER ADD between analysis and execution would otherwise make the
       // writer read past the incoming row's width (adds append, so the
@@ -581,7 +622,7 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
               // the logged-BATCH surface also uses
               GUpsertTable.validateWrites(t, all)
               GUpsertTable.applyWrites(t, all, ifNotExists, updateMode,
-                collRemove, ifExists, listPrepend)
+                collRemove, ifExists, listPrepend, ifEq)
             } finally rl.unlock()
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -909,7 +950,8 @@ object GUpsertTable {
   private[sources] def applyWrites(t: GraftCatalogStore.T,
       rows: Seq[Array[Any]], ifNotExists: Boolean, updateMode: Boolean,
       collRemove: Boolean = false, ifExists: Boolean = false,
-      listPrepend: Boolean = false): Unit = {
+      listPrepend: Boolean = false,
+      ifEq: Option[(Int, Any)] = None): Unit = {
     val ki = t.schema.fieldIndex(t.keyCol)
     val setIdx = t.schema.fields.zipWithIndex.collect {
       case (f, i) if t.sets(f.name) =>
@@ -943,6 +985,20 @@ object GUpsertTable {
         // replace-if-present, so a concurrent DELETE can never interleave
         // a resurrecting write between a check and a put.
         else if (ifExists) t.rows.replace(key, r)
+        else if (ifEq.isDefined) {
+          // CQL `UPDATE ... IF col = ?`: apply only where the stored row
+          // meets the condition — compare-and-set on the STORED reference so
+          // a concurrent write between check and apply retries (the
+          // linearizability LWT's Paxos round buys; a stored NULL never
+          // equals, and an absent row fails the condition, both CQL)
+          val (ci, exp) = ifEq.get
+          var done = false
+          while (!done) t.rows.get(key) match {
+            case Some(prev) =>
+              done = prev(ci) != exp || t.rows.replace(key, prev, r)
+            case None => done = true
+          }
+        }
         else if (ctrIdx.nonEmpty) {
           // stored + increment (NULL increment = +0, NULL stored = counter
           // starts at 0 — CQL counter defaults)

@@ -1022,6 +1022,59 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("cellwise"), e.getMessage)
   }
 
+  test("LWT condition: applies on match only, absent rows fail, guards hold") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.lwt")
+    spark.sql("CREATE TABLE graftcat.proptest.lwt " +
+      "(k BIGINT, status STRING, v BIGINT) TBLPROPERTIES ('key'='k')")
+    def seed(rows: String): Unit =
+      spark.sql(s"SELECT * FROM VALUES $rows AS t(k, status, v)")
+        .selectExpr("CAST(k AS BIGINT) k", "status", "CAST(v AS BIGINT) v")
+        .writeTo("graftcat.proptest.lwt").append()
+    seed("(1, 'open', 10), (2, 'closed', 20), (3, NULL, 30)")
+    // conditional write over keys 1..4: only k=1 matches; k=3 has a stored
+    // NULL (never equals — CQL), k=4 is absent (condition fails)
+    spark.sql("SELECT * FROM VALUES (1, 'done', 11), (2, 'done', 21), " +
+        "(3, 'done', 31), (4, 'done', 41) AS t(k, status, v)")
+      .selectExpr("CAST(k AS BIGINT) k", "status", "CAST(v AS BIGINT) v")
+      .writeTo("graftcat.proptest.lwt").option("ifeq", "status:open").append()
+    val got = spark.table("graftcat.proptest.lwt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "done", 11L), (2L, "closed", 20L),
+      (3L, null, 30L)), got)
+    // numeric condition column parses by the schema type
+    spark.sql("SELECT CAST(1 AS BIGINT) k, 'final' status, CAST(12 AS BIGINT) v")
+      .writeTo("graftcat.proptest.lwt").option("ifeq", "v:11").append()
+    assert(spark.table("graftcat.proptest.lwt")
+      .filter("k = 1").collect().head.getString(1) == "final")
+    // guards: key-column condition, unknown column, bad format, combination
+    // with ifexists, and writetime tables are all rejected
+    def bad(opts: Map[String, String], table: String = "graftcat.proptest.lwt",
+        expect: String): Unit = {
+      val e = intercept[Exception] {
+        var w = spark.sql("SELECT CAST(9 AS BIGINT) k, 'x' status, " +
+          "CAST(0 AS BIGINT) v").writeTo(table)
+        opts.foreach { case (o, ov) => w = w.option(o, ov) }
+        w.append()
+      }
+      assert(e.getMessage.contains(expect), e.getMessage)
+    }
+    bad(Map("ifeq" -> "k:9"), expect = "partition key")
+    bad(Map("ifeq" -> "nope:1"), expect = "not in schema")
+    bad(Map("ifeq" -> "statusopen"), expect = "ifeq")
+    bad(Map("ifeq" -> "status:open", "ifexists" -> "true"), expect = "ifexists")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.lwtw")
+    spark.sql("CREATE TABLE graftcat.proptest.lwtw " +
+      "(k BIGINT, status STRING, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='k', 'writetime'='wt')")
+    val e = intercept[Exception] {
+      spark.sql("SELECT CAST(1 AS BIGINT) k, 'x' status, CAST(1 AS BIGINT) wt")
+        .writeTo("graftcat.proptest.lwtw").option("ifeq", "status:x").append()
+    }
+    assert(e.getMessage.contains("TIMESTAMP"), e.getMessage)
+  }
+
   test("list position merge: append/prepend order, remove-by-value, assign shadows") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
