@@ -267,6 +267,27 @@ object Storage {
         .orderBy("n_nationkey")
     },
 
+    // system.size_estimates analog — the system table the production
+    // connector polls to size its token-range splits (Cassandra publishes
+    // per-range partition counts and mean sizes; the connector divides the
+    // ring by them). The engine serves the same shape from the registry's
+    // real per-split metadata on the identity-token ring: one row per key
+    // range [key, key+1) with its CQL-partition count and row estimate —
+    // the numbers estimateStatistics feeds Catalyst. Metadata-only: no data
+    // row is materialized (ring-bounded, like every system table read).
+    "q_kv_size_estimates" -> { (s, dir) =>
+      val (_, cName) = stageKv(s, dir)
+      val entry = graft.sources.KeyGroupedRegistry.get(cName)
+      val rows = entry.parts.map { case (k, rs) =>
+        val tok = k.head.asInstanceOf[Number].longValue
+        ("customer", tok, tok + 1, 1L, rs.length.toLong)
+      }.toSeq
+      s.createDataFrame(rows)
+        .toDF("table_name", "range_start", "range_end",
+          "partitions_count", "row_estimate")
+        .orderBy("range_start")
+    },
+
     // Point read by partition key on the DSv2 source: a key-equality filter
     // is pushed into the scan, which then plans ONLY the split owning that
     // key (KVScanBuilder → partition pruning; PlanSpec asserts 1 planned
@@ -1885,6 +1906,17 @@ object Storage {
         |    AS name
         |FROM nation WHERE n_nationkey < 15
         |ORDER BY k""".stripMargin,
+
+    // one estimate row per identity-token range [nationkey, nationkey+1):
+    // a single CQL partition holding that nation's customers
+    "q_kv_size_estimates" ->
+      """SELECT 'customer' AS table_name,
+        |  CAST(c_nationkey AS BIGINT) AS range_start,
+        |  CAST(c_nationkey + 1 AS BIGINT) AS range_end,
+        |  CAST(1 AS BIGINT) AS partitions_count,
+        |  COUNT(*) AS row_estimate
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY range_start""".stripMargin,
 
     // general LWT: the conditional batch lands exactly on the stored-'open'
     // (BUILDING) rows of the establishing batch; 'closed' rows keep their

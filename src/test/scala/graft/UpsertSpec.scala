@@ -1022,6 +1022,33 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("cellwise"), e.getMessage)
   }
 
+  test("undeclared collection column is frozen: whole-value cell LWW") {
+    // CQL frozen<map<...>>: a collection column NOT declared in
+    // 'sets'/'maps'/'lists' is one scalar cell — the whole value replaces
+    // under per-cell LWW, no entry-wise merge (exactly Cassandra's frozen
+    // collections, which serialize to a single cell)
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.fz")
+    spark.sql("CREATE TABLE graftcat.proptest.fz " +
+      "(id INT, m MAP<STRING, BIGINT>, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true')")
+    def write(sql: String, wt: Long): Unit =
+      spark.sql(s"SELECT 1 AS id, $sql AS m, CAST($wt AS BIGINT) AS wt")
+        .writeTo("graftcat.proptest.fz").option("update", "true").append()
+    def read(): Map[String, Any] =
+      Option(spark.table("graftcat.proptest.fz").collect()
+        .head.getMap[String, Any](1)).map(_.toMap).orNull
+    write("map('a', CAST(1 AS BIGINT), 'b', CAST(2 AS BIGINT))", wt = 10)
+    assert(read() == Map("a" -> 1L, "b" -> 2L), read())
+    // newer write REPLACES the whole value — no entry merge
+    write("map('c', CAST(3 AS BIGINT))", wt = 11)
+    assert(read() == Map("c" -> 3L), read())
+    // stale write loses wholesale
+    write("map('z', CAST(9 AS BIGINT))", wt = 5)
+    assert(read() == Map("c" -> 3L), read())
+  }
+
   test("LWT condition: applies on match only, absent rows fail, guards hold") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
