@@ -208,6 +208,47 @@ object Similarity {
           round(min("nrm"), 6).as("min_norm"),
           round(max("nrm"), 6).as("max_norm"))
         .orderBy("label")
+    },
+
+    // Vector search SERVED BY THE STORE — the Cassandra 5 `vector<float,
+    // 64>` + SAI ANN shape (`SELECT ... ORDER BY embedding ANN OF ? LIMIT
+    // 10`), on the KV source: the ring is keyed by the coarse cluster
+    // (label), and the ANN read options make each split serve its LOCAL
+    // top-10 rows by cosine to the query vector — splits×k candidate rows
+    // leave the store instead of the corpus (PlanSpec asserts the served
+    // cap), exactly how SAI searches per-sstable graphs and merges at the
+    // coordinator. The Spark side re-scores the candidates with the native
+    // graft_dot and takes the global top-10 — EXACT, because a global
+    // winner is by definition inside its own split's local top-10, and the
+    // store ranks with the same FLOAT→DOUBLE left-to-right arithmetic as
+    // graft_dot and the DuckDB oracle. Query vector = the all-ones
+    // direction (deterministic, |q| = 8 exactly). The global-rank window
+    // runs over ≤ splits×k = 100 candidate rows, never the corpus.
+    "q_kv_ann_topk" -> { (s, dir) =>
+      graft.functions.Natives.register(s)
+      val name = s"embed_ann:$dir"
+      graft.sources.KeyGroupedRegistry.stageMulti(name,
+        Tables.load(s, dir, "embeddings")
+          .select(col("label"), col("vec_id"), col("embedding")),
+        Seq("label"))
+      val ones64 = Array.fill(64)("1.0").mkString(",")
+      val cand = s.read.format("graft.sources.KVDataSource")
+        .option("table", name)
+        .option("annColumn", "embedding")
+        .option("annQuery", ones64)
+        .option("annK", "10")
+        .load()
+      val w = Window.orderBy(col("cosine_raw").desc, col("vec_id").asc)
+      cand
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("qv", expr("array_repeat(1.0d, 64)"))
+        .withColumn("cosine_raw",
+          expr("graft_dot(qv, v)") / (sqrt(expr("graft_dot(v, v)")) * lit(8.0)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("vec_id"), col("label"),
+          round(col("cosine_raw"), 6).as("cosine"), col("rank"))
+        .orderBy("rank")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -337,6 +378,21 @@ object Similarity {
         |  round(avg(nrm), 6) AS avg_norm,
         |  round(min(nrm), 6) AS min_norm,
         |  round(max(nrm), 6) AS max_norm
-        |FROM e GROUP BY label ORDER BY label""".stripMargin)
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    // global cosine top-10 to the all-ones query direction (|q| = 8
+    // exactly): dot(ones, v) = list_sum(v), same left-to-right DOUBLE
+    // accumulation as the store's candidate scoring and graft_dot
+    "q_kv_ann_topk" ->
+      s"""WITH e AS ($vecsSql),
+        |r AS (
+        |  SELECT vec_id, label,
+        |    list_sum(v) / (nrm * 8.0) AS cosine_raw,
+        |    row_number() OVER (ORDER BY list_sum(v) / (nrm * 8.0) DESC,
+        |      vec_id ASC) AS rank
+        |  FROM e)
+        |SELECT vec_id, label, round(cosine_raw, 6) AS cosine,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin)
 
 }

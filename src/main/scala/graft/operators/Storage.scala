@@ -593,6 +593,49 @@ object Storage {
         .select("id", "a", "b", "wt").orderBy("id")
     },
 
+    // CQL `DELETE a FROM t WHERE k = ?` — COLUMN deletes (the 'delcols'
+    // write option): the named column is tombstoned at the statement
+    // timestamp, every other cell and the row marker untouched — the row
+    // lives on, the column reads NULL, and a LATER write resurrects it
+    // (delete-then-update, the sequence that exposes any row-granular
+    // shortcut). Timestamps are ok*4 / ok*4+1 / ok*4+2 so insert, delete
+    // and resurrect never tie, per cell or across orders. The oracle
+    // replays the same per-cell log and takes the max-writetime winner per
+    // (id, column).
+    "q_kv_cell_delete" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.coldel")
+      s.sql("CREATE TABLE graftcat.testks.coldel " +
+        "(id BIGINT, a BIGINT, b DOUBLE, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_custkey") <= 100)
+        .select(col("o_orderkey").as("ok"),
+          pmod(col("o_custkey"), lit(20)).cast(LongType).as("id"),
+          col("o_totalprice").as("price"))
+      // full INSERT: both cells + marker at wt = ok*4
+      o.select(col("id"), col("ok").as("a"), col("price").as("b"),
+          (col("ok") * 4L).as("wt"))
+        .writeTo("graftcat.testks.coldel").append()
+      // DELETE a: every 3rd order tombstones cell a at wt = ok*4+1 — beats
+      // that order's insert for a only; b and the marker stay
+      o.filter(pmod(col("ok"), lit(3)) === 0)
+        .select(col("id"), lit(null).cast(LongType).as("a"),
+          lit(null).cast(DoubleType).as("b"), (col("ok") * 4L + 1L).as("wt"))
+        .writeTo("graftcat.testks.coldel").option("delcols", "a").append()
+      // resurrect: every 6th order re-writes a at wt = ok*4+2 via UPDATE
+      o.filter(pmod(col("ok"), lit(6)) === 0)
+        .select(col("id"), (col("ok") + 7L).as("a"),
+          lit(null).cast(DoubleType).as("b"), (col("ok") * 4L + 2L).as("wt"))
+        .writeTo("graftcat.testks.coldel").option("update", "true").append()
+      // stale delete of b at wt = 1: loses to every insert — a no-op
+      o.filter(pmod(col("ok"), lit(4)) === 0)
+        .select(col("id"), lit(null).cast(LongType).as("a"),
+          lit(null).cast(DoubleType).as("b"), lit(1L).as("wt"))
+        .writeTo("graftcat.testks.coldel").option("delcols", "b").append()
+      s.table("graftcat.testks.coldel").select("id", "a", "b").orderBy("id")
+    },
+
     // CQL set<T> element-wise merge — the collection semantics a user hits
     // with `UPDATE t SET tags = tags + {..}` / `tags = tags - {..}`
     // (modeled engine: Cassandra 4.0.6, userdata/cloudinit.sh:216): every
@@ -1033,6 +1076,44 @@ object Storage {
         .orderBy("ck").limit(5)
     },
 
+    // SAI range query (Cassandra 5 storage-attached index analog): a RANGE
+    // predicate on an indexed non-key column — `WHERE ts >= ? AND ts < ?`
+    // with the ring keyed by user — prunes the scan to the partitions
+    // owning at least one in-range row (via the write-maintained inverted
+    // projection) and row-filters exactly inside them; the classic 2i
+    // (q_kv_secondary_index) answers only equality. PlanSpec asserts
+    // planned splits < ring size and exact served rows. At 100 TB this is
+    // the difference between touching the few partitions with matching
+    // rows and scanning every replica.
+    "q_kv_index_range" -> { (s, dir) =>
+      val name = s"events_sai:$dir"
+      graft.sources.KeyGroupedRegistry.stageMulti(name,
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        Seq("user_id"), indexCols = Seq("ts"))
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .filter(col("ts") >= expr("TIMESTAMP'2024-01-02 00:00:00'") &&
+          col("ts") < expr("TIMESTAMP'2024-01-02 03:00:00'"))
+        .orderBy("event_id")
+    },
+
+    // CQL paging analog (SupportsPushDownOffset): page 2 of one partition's
+    // ck-ordered rows — `WHERE pk = ? ORDER BY ck LIMIT 6 OFFSET 4`, the
+    // read CQL serves via its paging state. The full-key equality pins the
+    // scan to ONE split, which upgrades the top-n to a FULL pushdown
+    // (Spark drops its own Sort+Limit — the split serves the requested
+    // order directly) and makes the trailing OFFSET pushable: the source
+    // serves exactly rows [4, 10) of the partition's ck order, nothing
+    // else leaves the scan (PlanSpec asserts PushedOffset + 6 served
+    // rows). At 100 TB: page k of a partition costs one slice read,
+    // never offset+limit rows shipped to the coordinator.
+    "q_kv_offset_pushdown" -> { (s, dir) =>
+      val name = stageOrdersCk(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .filter(col("pk") === 58)
+        .orderBy("ck").offset(4).limit(6)
+    },
+
     // The FULL CQL primary-key shape — `PRIMARY KEY ((cust, prio), ck)`:
     // composite partition key AND clustering column composed. Equality on
     // both key columns prunes the ring to the one split owning the tuple;
@@ -1300,6 +1381,25 @@ object Storage {
     // O10: SELECT release_version FROM system.local.
     "q_system_local" -> { (s, _) =>
       CassandraModel.systemLocal(s).orderBy("release_version")
+    },
+
+    // CQL `token(pk)` through Spark SQL (FunctionCatalog): the catalog
+    // registers the ring-token function, so SQL can compute placement
+    // directly — `SELECT graftcat.system.token(id)` — exactly the function
+    // CQL token-range paging is written against (`WHERE token(pk) > ?`),
+    // and it agrees by construction with KVRing.tokenOf, the split
+    // placement and the pushed token-range arcs (q_kv_token_range). A
+    // single-bigint key binds the magic-invoke fast path (codegen'd
+    // primitive call); composite/string keys bind the Murmur3 tuple form
+    // (UpsertSpec pins both against KVRing.tokenOf). The identity token on
+    // integral keys is what the oracle reproduces.
+    "q_fn_token" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      Tables.load(s, dir, "customer").filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"), col("c_name"))
+        .createOrReplaceTempView("cust_tok")
+      s.sql("""SELECT c_custkey, graftcat.system.token(c_custkey) AS tok
+              |FROM cust_tok ORDER BY c_custkey""".stripMargin)
     },
 
     // Partition pruning on a partitioned layout — the directory-level analog
@@ -1677,6 +1777,44 @@ object Storage {
         |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
+    // per-cell replay of the column-delete log: the winner per (id, column)
+    // is the max-writetime entry — tombstones are NULL values, and the
+    // ok*4/+1/+2 spacing guarantees no ties to break
+    "q_kv_cell_delete" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, o_custkey % 20 AS id,
+        |    o_totalprice AS price
+        |  FROM orders WHERE o_custkey <= 100),
+        |wa AS (
+        |  SELECT id, ok*4 AS wt, ok AS val FROM o
+        |  UNION ALL SELECT id, ok*4+1, NULL FROM o WHERE ok % 3 = 0
+        |  UNION ALL SELECT id, ok*4+2, ok+7 FROM o WHERE ok % 6 = 0),
+        |wb AS (
+        |  SELECT id, ok*4 AS wt, price AS val FROM o
+        |  UNION ALL SELECT id, 1, NULL FROM o WHERE ok % 4 = 0),
+        |fa AS (SELECT id, val FROM (SELECT id, val,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY wt DESC) AS rn
+        |  FROM wa) t WHERE rn = 1),
+        |fb AS (SELECT id, val FROM (SELECT id, val,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY wt DESC) AS rn
+        |  FROM wb) t WHERE rn = 1)
+        |SELECT fa.id, CAST(fa.val AS BIGINT) AS a, CAST(fb.val AS DOUBLE) AS b
+        |FROM fa JOIN fb ON fa.id = fb.id ORDER BY fa.id""".stripMargin,
+
+    // the same time window evaluated directly over events
+    "q_kv_index_range" ->
+      """SELECT user_id, event_id, ts, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-02 03:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    // page 2 of partition 58's ck-ordered rows — same slice arithmetic
+    "q_kv_offset_pushdown" ->
+      """SELECT o_custkey AS pk, o_orderkey AS ck, o_totalprice AS price
+        |FROM orders WHERE o_custkey = 58
+        |ORDER BY ck LIMIT 6 OFFSET 4""".stripMargin,
+
     // LWW recomputed independently: the converged row per key is the one
     // with the highest writetime (o_orderkey is unique, so no ties; the
     // stale replay batch cannot change this).
@@ -1987,6 +2125,14 @@ object Storage {
 
     "q_system_local" ->
       "SELECT '4.1.2' AS release_version",
+
+    // identity token on a single integral partition key (the ring's
+    // order-preserving analog; string/composite Murmur3 forms are pinned
+    // against KVRing.tokenOf in UpsertSpec, not SQL-expressible)
+    "q_fn_token" ->
+      """SELECT c_custkey, CAST(c_custkey AS BIGINT) AS tok
+        |FROM customer WHERE c_custkey <= 100
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_partition_pruned" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
@@ -145,6 +145,15 @@ object KeyGroupedRegistry {
       case (TimestampType, i: java.time.Instant) => DateTimeUtils.instantToMicros(i)
       case (DateType, d: java.sql.Date) => DateTimeUtils.fromJavaDate(d)
       case (DateType, d: java.time.LocalDate) => d.toEpochDay.toInt
+      // vector / collection cells (the CQL vector<float, n> shape the ANN
+      // read serves): stored in internal ArrayData form so the reader emits
+      // them untouched; elements converted recursively
+      case (at: org.apache.spark.sql.types.ArrayType, s: scala.collection.Seq[_]) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          s.map {
+            case str: String => UTF8String.fromString(str)
+            case e => toStoredCell(at.elementType, e)
+          }.toArray)
       case _ => v
     }
   }
@@ -617,7 +626,8 @@ class KVTable(tname: String, entry: KeyGroupedRegistry.Entry,
     if (cdc) new ScanBuilder {
       override def build(): Scan = new KVCdcScan(tname, entry)
     } else new KVScanBuilder(tname, entry,
-      Option(options.get("perPartitionLimit")).map(_.toInt))
+      Option(options.get("perPartitionLimit")).map(_.toInt),
+      KVScan.AnnSpec.fromOptions(tname, entry, options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!cdc, s"graft-kv:$tname: the CDC stream is read-only")
     val in = info.schema().fieldNames.toSeq
@@ -834,16 +844,19 @@ class KVDataWriter(schema: StructType, keyIxs: Array[Int], ckIxs: Array[Int])
   * and Spark's final aggregate sums them, the same shape as parquet footer
   * counts — at 100 TB no row bytes cross the wire either way. */
 class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
-    perPartitionLimit: Option[Int] = None)
+    perPartitionLimit: Option[Int] = None,
+    ann: Option[KVScan.AnnSpec] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
   private var required: StructType = entry.schema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAggs: Seq[KVScan.PushedAgg] = Nil
   private var groupCols: Seq[String] = Nil
   private var limit: Option[Int] = None
   private var topN: Option[(Boolean, Int)] = None // (ascending, n) on ck
+  private var offset: Option[Int] = None
 
   private def mvPushed: Boolean = pushed.exists {
     case EqualTo(a, _) => entry.mvCols.contains(a)
@@ -857,6 +870,16 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     })
+
+  // index RANGE pushdown needs a totally-ordered cell comparator — the
+  // same integral/temporal/string family the clustering comparator admits
+  // (floating types would truncate under the long-valued compare)
+  private def idxRangeComparable(c: String): Boolean =
+    entry.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | TimestampType |
+          DateType | StringType => true
+      case _ => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val ckCols = entry.clusteringCols
@@ -894,6 +917,21 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
       case EqualTo(a, _: Number) => keySet(a) || idx(a) || mv(a)
       case EqualTo(a, _: String) => keySet(a) || idx(a) || mv(a)
       case In(a, _) => keySet(a) || idx(a)
+      // SAI range analog (Cassandra 5's storage-attached index): RANGE
+      // predicates on an indexed column — the numeric/temporal/string
+      // ranges the classic 2i cannot answer. Pruning via the inverted
+      // projection (owners of any in-range value) + exact row filtering
+      // inside the surviving splits. Only for cell types with a total
+      // order the index comparator understands (integral/temporal/string —
+      // doubles etc. stay Spark-side).
+      case GreaterThan(a, v) if idx(a) =>
+        idxRangeComparable(a) && KVScan.ckBound(v).nonEmpty
+      case GreaterThanOrEqual(a, v) if idx(a) =>
+        idxRangeComparable(a) && KVScan.ckBound(v).nonEmpty
+      case LessThan(a, v) if idx(a) =>
+        idxRangeComparable(a) && KVScan.ckBound(v).nonEmpty
+      case LessThanOrEqual(a, v) if idx(a) =>
+        idxRangeComparable(a) && KVScan.ckBound(v).nonEmpty
       // token-range scan (`WHERE token(pk) >= ? AND token(pk) < ?` — the
       // arc reads the connector splits a full scan into): pushable only
       // where the ring token preserves key order, i.e. a SINGLE integral
@@ -927,10 +965,33 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     * materializing the ring. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
-  // both limit and top-n are PARTIAL pushdowns (each split honors the cap,
-  // Spark applies the global limit / merge) — and Scala needs the explicit
-  // override because both parent traits default this member
-  override def isPartiallyPushed(): Boolean = true
+  /** True when the pushed filters pin EVERY partition-key column by
+    * equality: at most one split can serve, so a per-split cap IS the
+    * global answer. This is the gate for FULL limit/top-n pushdown and for
+    * OFFSET pushdown below — the CQL shape `WHERE pk = ? [ORDER BY ck]
+    * LIMIT n`, which Cassandra answers entirely inside one partition. */
+  private def singleSplit: Boolean = !mvPushed && entry.keyCols.forall(kc =>
+    pushed.exists { case EqualTo(a, _) => a == kc; case _ => false })
+
+  // limit and top-n are PARTIAL pushdowns in general (each split honors the
+  // cap, Spark applies the global limit / merge) — but FULL when the scan is
+  // pinned to a single split, where Spark can then drop its own limit/sort
+  // and push a trailing OFFSET too. (Scala needs the explicit override
+  // because both parent traits default this member.)
+  override def isPartiallyPushed(): Boolean = !singleSplit
+
+  /** CQL paging analog (SupportsPushDownOffset): `LIMIT n OFFSET m` inside
+    * one partition — the page-k read CQL serves via its paging state.
+    * Spark's contract: the source applies the (already pushed) limit/top-n
+    * FIRST, then skips `offset` rows (for `LIMIT n OFFSET m` Spark pushes
+    * limit n+m, then offset m). Only sound when a single split serves —
+    * with many splits a per-split skip would drop rows Spark still needs —
+    * so the same full-key-equality gate as the full limit pushdown. */
+  override def pushOffset(n: Int): Boolean = {
+    val ok = singleSplit && pushedAggs.isEmpty
+    if (ok) offset = Some(n)
+    ok
+  }
 
   /** CQL `ORDER BY ck LIMIT n` analog (SupportsPushDownTopN): partitions
     * are ck-sorted, so each split's top-n by ck is a CONTIGUOUS PREFIX
@@ -1026,7 +1087,7 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
 
   override def build(): Scan =
     new KVScan(tname, entry, required, pushed, pushedAggs, groupCols, limit,
-      topN, perPartitionLimit)
+      topN, perPartitionLimit, offset, ann)
 }
 
 object KVScan {
@@ -1036,6 +1097,55 @@ object KVScan {
   case object AggCount extends PushedAgg
   case object AggMinCk extends PushedAgg
   case object AggMaxCk extends PushedAgg
+
+  /** ANN top-k read (the Cassandra 5 `ORDER BY emb ANN OF ? LIMIT k`
+    * vector-search shape, served like SAI: per data partition, the local
+    * top-k rows by cosine to the query vector — here each split returns its
+    * k best CANDIDATES and the coordinator/Spark side merges, so at 100 TB
+    * the scan ships splits×k rows instead of the corpus). Scoring uses the
+    * same FLOAT→DOUBLE widening + left-to-right accumulation as the engine's
+    * `graft_dot`, so per-split rankings agree exactly with the Spark-side
+    * re-scoring that produces the final global top-k — the true global
+    * top-k is always a subset of the per-split candidates. Exposed as read
+    * options (`annColumn`/`annQuery`/`annK`) because Spark has no ANN
+    * ordering surface to push; a real connector would translate the CQL. */
+  final case class AnnSpec(colIdx: Int, query: Array[Double], k: Int) {
+    val queryNorm: Double = {
+      var s = 0.0; var i = 0
+      while (i < query.length) { s += query(i) * query(i); i += 1 }
+      math.sqrt(s)
+    }
+    def cosineTo(cell: Any): Double = {
+      val arr = cell.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var dot = 0.0; var nrm = 0.0; var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val x = arr.getFloat(i).toDouble
+        dot += query(i) * x; nrm += x * x; i += 1
+      }
+      dot / (math.sqrt(nrm) * queryNorm)
+    }
+  }
+  object AnnSpec {
+    def fromOptions(tname: String, entry: KeyGroupedRegistry.Entry,
+        options: CaseInsensitiveStringMap): Option[AnnSpec] =
+      Option(options.get("annColumn")).map { c =>
+        require(entry.schema.fieldNames.contains(c),
+          s"graft-kv:$tname ANN column $c not in schema")
+        require(entry.schema(c).dataType ==
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true) ||
+          entry.schema(c).dataType ==
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false),
+          s"graft-kv:$tname ANN column $c must be array<float> (vector<float, n>)")
+        val q = Option(options.get("annQuery")).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-kv:$tname ANN read requires 'annQuery' (comma-separated floats)"))
+          .split(',').map(_.trim.toDouble)
+        val k = Option(options.get("annK")).map(_.toInt).getOrElse(10)
+        require(k > 0, s"graft-kv:$tname ANN k must be positive")
+        AnnSpec(entry.schema.fieldIndex(c), q, k)
+      }
+  }
 
   /** Pushed clustering-column bound → the stored cell encoding the tuple
     * comparator understands: numerics ride as-is, timestamps/dates
@@ -1066,7 +1176,8 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     required: StructType, pushed: Array[Filter],
     pushedAggs: Seq[KVScan.PushedAgg] = Nil,
     groupCols: Seq[String] = Nil, limit: Option[Int] = None,
-    topN: Option[(Boolean, Int)] = None, perPartitionLimit: Option[Int] = None)
+    topN: Option[(Boolean, Int)] = None, perPartitionLimit: Option[Int] = None,
+    offset: Option[Int] = None, ann: Option[KVScan.AnnSpec] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering with SupportsReportStatistics {
   import KVScan.{AggCount, AggMaxCk, AggMinCk}
@@ -1102,6 +1213,9 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
         s" PushedTopN: [ck ${if (asc) "ASC" else "DESC"} LIMIT $n]"
       }.getOrElse("") +
       perPartitionLimit.map(l => s" PerPartitionLimit: $l").getOrElse("") +
+      offset.map(o => s" PushedOffset: $o").getOrElse("") +
+      ann.map(a =>
+        s" AnnTopK: [${entry.schema.fieldNames(a.colIdx)} k=${a.k}]").getOrElse("") +
       mvPred.map { case (c, v) => s" MVRead: [$c=$v]" }.getOrElse("")
 
   /** Integral key cells compare by long value so boxing width never splits a
@@ -1135,24 +1249,46 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     }
   }
 
-  // secondary-index equality/IN predicates: prune splits through the
-  // inverted projection AND filter rows exactly inside the surviving splits
-  // (the index maps a value to partitions owning AT LEAST ONE matching row;
-  // IN prunes to the union of its values' owners)
-  private lazy val idxPreds: Seq[(Int, Seq[Any])] = pushed.collect {
-    case EqualTo(a, v) if entry.indexCols.contains(a) =>
-      entry.schema.fieldIndex(a) -> Seq(v)
-    case In(a, vs) if entry.indexCols.contains(a) =>
-      entry.schema.fieldIndex(a) -> vs.toSeq
+  // pushed predicates on INDEXED columns, as (column, predicate over a
+  // stored/normalized cell): equality/IN (the classic 2i) plus ranges (the
+  // SAI analog — pushFilters gated ranges to totally-ordered cell types).
+  // Each prunes splits through the inverted projection (owners of any
+  // matching value) AND filters rows exactly inside the surviving splits
+  // (the index maps a value to partitions owning AT LEAST ONE matching
+  // row).
+  private def idxMatcher(f: Filter): Option[(String, Any => Boolean)] = {
+    val idx = entry.indexCols.toSet
+    def cmp(v: Any)(ok: Int => Boolean): Option[Any => Boolean] =
+      KVScan.ckBound(v).map(b => (cell: Any) =>
+        ok(KeyGroupedRegistry.compareCkCell(cell, b)))
+    f match {
+      case EqualTo(a, v) if idx(a) =>
+        Some(a -> ((c: Any) => cellEq(c, v)))
+      case In(a, vs) if idx(a) =>
+        Some(a -> ((c: Any) => vs.exists(v => cellEq(c, v))))
+      case GreaterThan(a, v) if idx(a) => cmp(v)(_ > 0).map(a -> _)
+      case GreaterThanOrEqual(a, v) if idx(a) => cmp(v)(_ >= 0).map(a -> _)
+      case LessThan(a, v) if idx(a) => cmp(v)(_ < 0).map(a -> _)
+      case LessThanOrEqual(a, v) if idx(a) => cmp(v)(_ <= 0).map(a -> _)
+      case _ => None
+    }
   }
-  private lazy val idxKeySets: Seq[Set[Vector[Any]]] = pushed.collect {
-    case EqualTo(a, v) if entry.indexCols.contains(a) =>
-      entry.indexes(a).getOrElse(KeyGroupedRegistry.normCell(v), Set.empty)
-    case In(a, vs) if entry.indexCols.contains(a) =>
-      vs.toSeq.map(v => entry.indexes(a)
-          .getOrElse(KeyGroupedRegistry.normCell(v), Set.empty[Vector[Any]]))
-        .foldLeft(Set.empty[Vector[Any]])(_ union _)
-  }
+  private lazy val idxPreds: Seq[(Int, Any => Boolean)] =
+    pushed.toSeq.flatMap(f => idxMatcher(f).map { case (c, p) =>
+      entry.schema.fieldIndex(c) -> p })
+  // one owner set per indexed COLUMN, from the conjunction of all its
+  // predicates — computing owners per-filter and intersecting would be far
+  // weaker for ranges (`ts >= lo` and `ts < hi` each match almost every
+  // partition; the conjunction matches few). Exact at the value level
+  // because same-column predicates constrain the same cell.
+  private lazy val idxKeySets: Seq[Set[Vector[Any]]] =
+    pushed.toSeq.flatMap(idxMatcher).groupBy(_._1).toSeq.map {
+      case (c, ps) =>
+        val preds = ps.map(_._2)
+        entry.indexes(c).iterator
+          .collect { case (v, ks) if preds.forall(_(v)) => ks }
+          .foldLeft(Set.empty[Vector[Any]])(_ union _)
+    }
 
   private def keepKey(k: Vector[Any]): Boolean = {
     val at = entry.keyCols.zipWithIndex.toMap
@@ -1321,19 +1457,33 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
   /** Rows a split actually serves: ck-sliced, index-filtered, then capped —
     * by the per-partition limit (CQL PER PARTITION LIMIT, a read option),
     * by a pushed top-n on ck (prefix of the ck-sorted slice ascending,
-    * suffix descending), and by a pushed plain limit, in that order. */
+    * suffix descending — the suffix REVERSED so top-n rows always leave in
+    * the requested order, which a full (single-split) top-n pushdown relies
+    * on after Spark drops its own Sort), by a pushed plain limit, and
+    * finally a pushed OFFSET skip (Spark's contract: limit first, then
+    * offset — for `LIMIT n OFFSET m` it pushes limit n+m and offset m). */
   private def servedRows(rows: Array[Array[Any]]): Array[Array[Any]] = {
     val sliced = sliceRows(rows)
     val filtered =
       if (idxPreds.isEmpty) sliced
-      else sliced.filter(r =>
-        idxPreds.forall { case (ci, vs) => vs.exists(v => cellEq(r(ci), v)) })
-    val perPart = perPartitionLimit.map(filtered.take).getOrElse(filtered)
+      else sliced.filter(r => idxPreds.forall { case (ci, p) => p(r(ci)) })
+    // ANN top-k: the split's k best rows by cosine to the query vector —
+    // its local candidates for the coordinator-side merge (stable sort, so
+    // exact ties keep stored order deterministically)
+    val annPicked = ann match {
+      case Some(a) =>
+        filtered.map(r => (a.cosineTo(r(a.colIdx)), r))
+          .sortBy(-_._1).take(a.k).map(_._2)
+      case None => filtered
+    }
+    val perPart = perPartitionLimit.map(annPicked.take).getOrElse(annPicked)
     val topped = topN match {
-      case Some((asc, n)) => if (asc) perPart.take(n) else perPart.takeRight(n)
+      case Some((asc, n)) =>
+        if (asc) perPart.take(n) else perPart.takeRight(n).reverse
       case None => perPart
     }
-    limit.map(topped.take).getOrElse(topped)
+    val limited = limit.map(topped.take).getOrElse(topped)
+    offset.map(limited.drop).getOrElse(limited)
   }
 
   /** Overlay the partition's current STATIC cells onto a stored row (CQL
@@ -1365,6 +1515,12 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
       case LessThan(a, v2) =>
         KVScan.ckBound(v2).exists(hi =>
           KeyGroupedRegistry.compareCkCell(r(fi(a)), hi) < 0)
+      case GreaterThan(a, v2) =>
+        KVScan.ckBound(v2).exists(lo =>
+          KeyGroupedRegistry.compareCkCell(r(fi(a)), lo) > 0)
+      case LessThanOrEqual(a, v2) =>
+        KVScan.ckBound(v2).exists(hi =>
+          KeyGroupedRegistry.compareCkCell(r(fi(a)), hi) <= 0)
       case IsNotNull(a) => r(fi(a)) != null
       case _ => true
     } && runtimeSets.forall { case (a, vs) => vs.exists(v2 => cellEq(r(fi(a)), v2)) }

@@ -265,6 +265,72 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(planOf(df).contains("PushedTopN: [ck ASC LIMIT 5]"), planOf(df))
   }
 
+  test("ANN top-k serves splits×k candidates, never the corpus (vector search)") {
+    val df = graft.operators.Similarity.queries("q_kv_ann_topk")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    // ranks are 1..10 with non-increasing cosine
+    assert(rows.map(_.getInt(3)).sameElements(1 to 10))
+    val cosines = rows.map(_.getDouble(2))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, cosines.mkString(","))
+    val name = s"embed_ann:$sfDir"
+    val entry = graft.sources.KeyGroupedRegistry.get(name)
+    val total = entry.parts.map(_._2.length).sum
+    val planned = graft.sources.KeyGroupedRegistry.lastPlanned(name)
+    val served = graft.sources.KeyGroupedRegistry.lastScanRows(name)
+    // each split served its local top-10 candidates only
+    assert(served == 10L * planned, s"served $served from $planned splits")
+    assert(served < total, s"ANN did not reduce the scan ($served of $total)")
+    assert(planOf(df).contains("AnnTopK: [embedding k=10]"), planOf(df))
+  }
+
+  test("indexed-column RANGE prunes splits to in-range owners (SAI analog)") {
+    val df = Storage.queries("q_kv_index_range")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val name = s"events_sai:$sfDir"
+    val entry = graft.sources.KeyGroupedRegistry.get(name)
+    // only the partitions owning at least one in-range row were planned
+    val planned = graft.sources.KeyGroupedRegistry.lastPlanned(name)
+    assert(planned < entry.parts.length,
+      s"planned $planned of ${entry.parts.length} splits — no pruning")
+    // and inside them the source filtered exactly: served == returned
+    val served = graft.sources.KeyGroupedRegistry.lastScanRows(name)
+    assert(served == rows.length.toLong, s"served $served, returned ${rows.length}")
+    // the range predicates reached the source
+    val plan = planOf(df)
+    assert(plan.contains("GreaterThanOrEqual(ts,"), plan)
+    assert(plan.contains("LessThan(ts,"), plan)
+    rows.foreach { r =>
+      val t = r.getTimestamp(2).toString
+      assert(t >= "2024-01-02 00:00" && t < "2024-01-02 03:00", t)
+    }
+  }
+
+  test("single-partition LIMIT/OFFSET pushes fully: the split serves page rows only") {
+    val df = Storage.queries("q_kv_offset_pushdown")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 6, s"returned ${rows.length}")
+    assert(rows.forall(_.getLong(0) == 58L))
+    val name = s"orders_ck:$sfDir"
+    // full-key equality pinned the scan to the one split owning pk=58
+    assert(graft.sources.KeyGroupedRegistry.lastPlanned(name) == 1)
+    // and the source served EXACTLY the page — offset+limit collapsed into
+    // the slice, nothing skipped client-side
+    assert(graft.sources.KeyGroupedRegistry.lastScanRows(name) == 6L)
+    val plan = planOf(df)
+    assert(plan.contains("PushedOffset: 4"), plan)
+    assert(plan.contains("PushedTopN: [ck ASC LIMIT 10]"), plan)
+    // the page matches rows [4, 10) of the partition's ck order
+    val entry = graft.sources.KeyGroupedRegistry.get(name)
+    val ckIdx = entry.schema.fieldIndex("ck")
+    val expected = entry.parts
+      .find(_._1.head.asInstanceOf[Number].longValue == 58L).get._2
+      .map(_(ckIdx).asInstanceOf[Number].longValue).slice(4, 10)
+    assert(rows.map(_.getLong(1)).sameElements(expected),
+      rows.map(_.getLong(1)).mkString(","))
+  }
+
   test("perPartitionLimit caps each partition at its first n ck-ordered rows") {
     val df = Storage.queries("q_kv_per_partition_limit")(spark, sfDir)
     val rows = df.collect()
