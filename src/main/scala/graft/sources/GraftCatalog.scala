@@ -6,11 +6,13 @@ import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -247,7 +249,8 @@ object GraftCatalogStore {
   }
 }
 
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
   import GraftCatalogStore._
 
   private var catName = "graftcat"
@@ -457,6 +460,83 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("renameTable")
+
+  // ---- functions (FunctionCatalog — the CQL built-in function surface)
+
+  /** `token(pk...)` as a catalog SQL function (`SELECT graftcat.system
+    * .token(id) ...`): the ring token of a partition key, the function CQL
+    * uses for token-range paging (`WHERE token(pk) > ?`) — computed by
+    * exactly [[KVRing.tokenOf]], so SQL-visible tokens agree with the
+    * source's split placement and pushed token-range arcs. Registered as a
+    * V2 `ScalarFunction` with a magic `invoke` for the single-integral
+    * fast path, so the call codegens to a static-style invoke instead of
+    * an interpreted row. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "token"))
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    ident.name() match {
+      case "token" => GraftFunctions.TokenUnbound
+      case _ => throw new NoSuchFunctionException(ident)
+    }
+}
+
+/** V2 catalog functions (SURVEY §2.2 — the CQL function surface the
+  * connector exposes through Spark SQL). */
+object GraftFunctions {
+  object TokenUnbound extends UnboundFunction {
+    override def name(): String = "token"
+    override def description(): String =
+      "token(pk...): ring token of a partition key (KVRing.tokenOf — " +
+        "identity for a single integral key, Murmur3 otherwise)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.nonEmpty,
+        "token requires at least one partition-key argument")
+      inputType.fields.map(_.dataType).foreach {
+        case ByteType | ShortType | IntegerType | LongType | StringType => ()
+        case other => throw new UnsupportedOperationException(
+          s"token: unsupported partition-key type ${other.catalogString} " +
+            "(CQL partition keys here are integral or text)")
+      }
+      if (inputType.fields.length == 1 &&
+          inputType.fields(0).dataType == LongType) LongToken
+      else TupleToken(inputType.fields.map(_.dataType))
+    }
+  }
+
+  /** Single-bigint fast path: the identity token, with the magic `invoke`
+    * Spark's V2 function framework compiles to a primitive call inside
+    * whole-stage codegen. */
+  object LongToken extends ScalarFunction[java.lang.Long] {
+    override def name(): String = "token"
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def isDeterministic: Boolean = true
+    def invoke(v: Long): Long = KVRing.tokenOf(Seq(v))
+    override def produceResult(input: InternalRow): java.lang.Long =
+      KVRing.tokenOf(Seq(input.getLong(0)))
+  }
+
+  /** General form: any mix of integral/string key columns (the composite
+    * partition key), hashed exactly like the ring's placement. */
+  final case class TupleToken(dts: Array[DataType])
+      extends ScalarFunction[java.lang.Long] {
+    override def name(): String = "token"
+    override def inputTypes(): Array[DataType] = dts
+    override def resultType(): DataType = LongType
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long = {
+      val vals: Seq[Any] = dts.toSeq.zipWithIndex.map {
+        case (ByteType, i) => input.getByte(i)
+        case (ShortType, i) => input.getShort(i)
+        case (IntegerType, i) => input.getInt(i)
+        case (LongType, i) => input.getLong(i)
+        case (StringType, i) => input.getUTF8String(i).toString
+        case (other, _) => throw new IllegalStateException(
+          s"token: unbindable type $other")
+      }
+      KVRing.tokenOf(vals)
+    }
+  }
 }
 
 /** Readable + writable in-memory table; writes merge by key (upsert), and
@@ -477,7 +557,8 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
     () => new GRowLevelOperation(tname, t, info.command)
   override def schema(): StructType = t.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall {
@@ -595,37 +676,91 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       require(!(ifEq.isDefined && t.writetime.isDefined),
         s"$tname: conditional updates cannot use client timestamps " +
           "(CQL forbids USING TIMESTAMP with IF)")
+      // CQL `DELETE a, b FROM t WHERE k = ?` — column deletes: the named
+      // columns are tombstoned at the statement timestamp, everything else
+      // untouched, no row marker written (the row lives on through its
+      // marker / other cells; a later write resurrects the column). Only
+      // meaningful on cellwise tables — row-granular deletes are whole-row.
+      private val delCols: Set[Int] =
+        Option(info.options.get("delcols")) match {
+          case None => Set.empty
+          case Some(sx) =>
+            require(t.cellwise,
+              s"$tname: the 'delcols' write option (CQL `DELETE col FROM t`) " +
+                "requires a cellwise table — row-granular deletes are whole-row")
+            require(!updateMode && !collRemove && !listPrepend &&
+                !ifNotExists && !ifExists && ifEq.isEmpty,
+              s"$tname: 'delcols' cannot combine with other write modes")
+            val names = sx.split(',').map(_.trim).filter(_.nonEmpty)
+            require(names.nonEmpty, s"$tname: 'delcols' names no columns")
+            names.foreach { n =>
+              require(t.schema.fieldNames.contains(n),
+                s"$tname: 'delcols' column $n not in schema")
+              require(n != t.keyCol && !t.writetime.contains(n) &&
+                  !t.ttl.contains(n),
+                s"$tname: 'delcols' cannot delete key/writetime/ttl column $n (CQL)")
+            }
+            names.map(t.schema.fieldIndex).toSet
+        }
       // extract with the ANALYZED write schema, not t.schema: a concurrent
       // ALTER ADD between analysis and execution would otherwise make the
       // writer read past the incoming row's width (adds append, so the
       // analyzed schema is always a prefix of the current one; commit pads)
       private val writeSchema = info.schema()
       override def build(): Write = new Write {
+        // the upsert: every incoming row replaces the stored row with the
+        // same key value — Cassandra INSERT semantics at the commit level.
+        // Set-typed columns are deduplicated + ordered here (CQL set<T>
+        // write semantics). With a writetime column, replacement is
+        // timestamp-ordered LWW (highest client timestamp wins, value
+        // tie-break — order of application is immaterial); counter columns
+        // merge additively instead of replacing. Shared by the batch and
+        // streaming commit paths.
+        private def applyCommit(messages: Array[WriterCommitMessage]): Unit = {
+          val rl = t.ddlLock.readLock()
+          rl.lock()
+          try {
+            val all = messages.toSeq.flatMap { case GCommit(rows) => rows.toSeq }
+            // validate EVERY incoming row before applying ANY (CQL always
+            // has a client timestamp; lazy rejection would blame a later,
+            // unrelated statement) — then apply through the shared path
+            // the logged-BATCH surface also uses
+            GUpsertTable.validateWrites(t, all)
+            GUpsertTable.applyWrites(t, all, ifNotExists, updateMode,
+              collRemove, ifExists, listPrepend, ifEq, delCols)
+          } finally rl.unlock()
+        }
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
             GWriterFactory(writeSchema)
-          // the upsert: every incoming row replaces the stored row with the
-          // same key value — Cassandra INSERT semantics at the commit level.
-          // Set-typed columns are deduplicated + ordered here (CQL set<T>
-          // write semantics). With a writetime column, replacement is
-          // timestamp-ordered LWW (highest client timestamp wins, value
-          // tie-break — order of application is immaterial); counter columns
-          // merge additively instead of replacing.
-          override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            val rl = t.ddlLock.readLock()
-            rl.lock()
-            try {
-              val all = messages.toSeq.flatMap { case GCommit(rows) => rows.toSeq }
-              // validate EVERY incoming row before applying ANY (CQL always
-              // has a client timestamp; lazy rejection would blame a later,
-              // unrelated statement) — then apply through the shared path
-              // the logged-BATCH surface also uses
-              GUpsertTable.validateWrites(t, all)
-              GUpsertTable.applyWrites(t, all, ifNotExists, updateMode,
-                collRemove, ifExists, listPrepend, ifEq)
-            } finally rl.unlock()
-          }
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            applyCommit(messages)
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+        /** Structured Streaming sink (`writeStream.toTable`): each epoch
+          * commits through the same validate/apply path as a batch INSERT,
+          * so a micro-batch is one upsert commit. Spark's checkpoint makes
+          * delivery at-least-once across restarts; the table's merge makes
+          * the replay harmless — a re-applied epoch rewrites identical
+          * cells (plain upsert) or loses LWW to itself (writetime tables),
+          * so the converged state is exactly-once. Counter tables are
+          * REJECTED: additive merge is not idempotent, and a replayed
+          * epoch would double-count — the same reason CQL forbids
+          * retrying counter writes blindly. */
+        override def toStreaming: StreamingWrite = {
+          require(t.counters.isEmpty,
+            s"$tname: streaming writes are not supported on counter tables " +
+              "(additive merge is not idempotent under micro-batch replay)")
+          new StreamingWrite {
+            override def createStreamingWriterFactory(
+                p: PhysicalWriteInfo): StreamingDataWriterFactory =
+              GStreamingWriterFactory(writeSchema)
+            override def commit(epochId: Long,
+                messages: Array[WriterCommitMessage]): Unit =
+              applyCommit(messages)
+            override def abort(epochId: Long,
+                messages: Array[WriterCommitMessage]): Unit = ()
+          }
         }
       }
     }
@@ -643,7 +778,8 @@ object GUpsertTable {
     * row-granular paths. */
   private[sources] def mergeCellwise(t: GraftCatalogStore.T, r: Array[Any],
       updateMode: Boolean, collRemove: Boolean = false,
-      listPrepend: Boolean = false): Unit = {
+      listPrepend: Boolean = false,
+      delIdx: Set[Int] = Set.empty): Unit = {
     val ki = t.schema.fieldIndex(t.keyCol)
     val wi = t.schema.fieldIndex(t.writetime.get)
     val ti = t.ttl.map(t.schema.fieldIndex)
@@ -653,13 +789,26 @@ object GUpsertTable {
     def isSet(si: Int): Boolean = t.sets(t.schema.fields(si).name)
     def isMap(si: Int): Boolean = t.maps(t.schema.fields(si).name)
     def isList(si: Int): Boolean = t.lists(t.schema.fields(si).name)
+    // CQL `DELETE a, b FROM t WHERE k = ?` (the 'delcols' write option):
+    // tombstone EXACTLY the named columns at the statement timestamp —
+    // scalar columns get a cell tombstone, collection columns a collection
+    // tombstone at wt itself (shadowing every element at-or-below it, CQL's
+    // whole-collection delete) — touch nothing else and write no row
+    // marker, so the row survives through its marker/other live cells and
+    // a later write can resurrect the column.
+    val deleting = delIdx.nonEmpty
     // UPDATE: NULL data cells are untouched; INSERT: every data cell is an
     // explicit write (NULL = cell tombstone) and the row marker is set
-    val written: Array[(Int, GCell)] = t.dataIdx.zipWithIndex.collect {
-      case (si, di) if !isSet(si) && !isMap(si) && !isList(si) &&
-          !(updateMode && r(si) == null) =>
-        di -> GCell(r(si), wt, ttl)
-    }
+    val written: Array[(Int, GCell)] =
+      if (deleting) t.dataIdx.zipWithIndex.collect {
+        case (si, di) if delIdx(si) && !isSet(si) && !isMap(si) && !isList(si) =>
+          di -> GCell(null, wt, None)
+      }
+      else t.dataIdx.zipWithIndex.collect {
+        case (si, di) if !isSet(si) && !isMap(si) && !isList(si) &&
+            !(updateMode && r(si) == null) =>
+          di -> GCell(r(si), wt, ttl)
+      }
     // collection columns merge ELEMENT-wise (CQL complex columns): INSERT
     // assigns (collection tombstone at wt−1 so its own cells survive,
     // element cells at wt; an explicit NULL clears at wt itself), UPDATE
@@ -676,7 +825,12 @@ object GUpsertTable {
     // list cells: position-keyed (GListPos) value cells for assign/append/
     // prepend; value-keyed tombstones (GValTomb) for remove-by-value — see
     // the key classes' Scaladoc for the position and shadowing rules
-    val collWritten: Array[(Int, GCollState)] = t.dataIdx.zipWithIndex.collect {
+    val collWritten: Array[(Int, GCollState)] =
+      if (deleting) t.dataIdx.zipWithIndex.collect {
+        case (si, di) if delIdx(si) && (isSet(si) || isMap(si) || isList(si)) =>
+          di -> GCollState(wt, Map.empty)
+      }
+      else t.dataIdx.zipWithIndex.collect {
       case (si, di) if (isSet(si) || isMap(si) || isList(si)) &&
           !(updateMode && r(si) == null) =>
         def cells: Map[Any, GCell] =
@@ -709,7 +863,7 @@ object GUpsertTable {
           } else GCollState(Long.MinValue, cells)
         di -> delta
     }
-    val marker = if (updateMode) None else Some(GCell(null, wt, ttl))
+    val marker = if (updateMode || deleting) None else Some(GCell(null, wt, ttl))
     // full-tie determinism: equal (wt, value) still needs a total order or
     // two equal-timestamp writes differing ONLY in TTL would converge to
     // whichever arrived first. Longer-lived wins, immortal above all — any
@@ -951,7 +1105,8 @@ object GUpsertTable {
       rows: Seq[Array[Any]], ifNotExists: Boolean, updateMode: Boolean,
       collRemove: Boolean = false, ifExists: Boolean = false,
       listPrepend: Boolean = false,
-      ifEq: Option[(Int, Any)] = None): Unit = {
+      ifEq: Option[(Int, Any)] = None,
+      delCols: Set[Int] = Set.empty): Unit = {
     val ki = t.schema.fieldIndex(t.keyCol)
     val setIdx = t.schema.fields.zipWithIndex.collect {
       case (f, i) if t.sets(f.name) =>
@@ -975,7 +1130,8 @@ object GUpsertTable {
         if (r(i) != null)
           r(i) = GraftCatalogStore.canonicalSet(r(i).asInstanceOf[Array[Any]], et)
       }
-      if (t.cellwise) mergeCellwise(t, r, updateMode, collRemove, listPrepend)
+      if (t.cellwise)
+        mergeCellwise(t, r, updateMode, collRemove, listPrepend, delCols)
       else {
         val key = r(ki)
         if (ifNotExists) t.rows.putIfAbsent(key, r)
@@ -1489,4 +1645,14 @@ case class GWriterFactory(schema: StructType) extends DataWriterFactory {
       override def abort(): Unit = ()
       override def close(): Unit = ()
     }
+}
+
+/** Streaming variant of [[GWriterFactory]] — same row extraction, same
+  * commit message; the epoch id is Spark's concern (offset-log bookkeeping),
+  * not the writer's. */
+case class GStreamingWriterFactory(schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    GWriterFactory(schema).createWriter(partitionId, taskId)
 }

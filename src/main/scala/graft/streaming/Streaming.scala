@@ -663,6 +663,42 @@ object Streaming {
       log.withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
         .filter(!col("_tombstone")) // a key whose latest mutation is a DELETE is gone
         .select("k", "name").orderBy("k")
+    },
+
+    // Streaming SINK into the catalog table — the write-side complement of
+    // the KV CDC source: `writeStream.toTable` drives the table's
+    // STREAMING_WRITE surface, each micro-batch epoch committing through
+    // the same validate/apply path as a batch INSERT (upsert + LWW). Spark
+    // checkpointing makes delivery at-least-once across restarts; the
+    // STORE's merge makes replay harmless — a re-applied epoch loses LWW
+    // to itself — so the converged state is exactly-once WITHOUT the
+    // explicit batchId ledger q_stream_exactly_once builds by hand (the
+    // production trade: idempotent-by-merge beats bookkeeping when the
+    // sink is a KV store; StreamingSpec replays the full stream into the
+    // same table and asserts an identical state, and counter tables are
+    // rejected because additive merge would double-count). writetime =
+    // event_id (unique), so the converged row per user is that user's
+    // max-event_id event — exactly the oracle's window.
+    "q_stream_kv_sink" -> { (s, dir) =>
+      val fqn = "graftcat.streamks.user_latest"
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.streamks")
+      s.sql(s"DROP TABLE IF EXISTS $fqn")
+      s.sql(s"""CREATE TABLE $fqn
+        (user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE)
+        TBLPROPERTIES ('key'='user_id', 'writetime'='event_id')""")
+      val in = eventStream(s, dir, "events")
+        .filter(col("event_type") =!= "__sentinel")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+      withStreamConf(s) {
+        val ck = s"${sys.props("java.io.tmpdir")}/graft-stream/" +
+          s"ckpt-kvsink-${System.nanoTime()}"
+        val q = in.writeStream.option("checkpointLocation", ck)
+          .outputMode("append").toTable(fqn)
+        try drainStable(q, s.table(fqn).count()) finally q.stop()
+      }
+      s.table(fqn).orderBy("user_id")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -701,6 +737,16 @@ object Streaming {
         |       WHEN n_nationkey <= 16 THEN n_name || '_u2'
         |       ELSE n_name END AS name
         |FROM nation ORDER BY k""".stripMargin,
+
+    // converged sink state: per user, the max-event_id (= max-writetime)
+    // event — LWW recomputed independently of micro-batch boundaries
+    "q_stream_kv_sink" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         |  COUNT(*) AS n,

@@ -134,6 +134,63 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(store.size == total)
   }
 
+  test("streaming KV sink: full redelivery converges to the same state (LWW idempotence)") {
+    // first pass creates the table and streams all events into it
+    val r1 = Streaming.queries("q_stream_kv_sink")(spark, sfDir).collect().toSeq
+    assert(r1.nonEmpty)
+    // full redelivery: a SECOND stream over the same input, FRESH
+    // checkpoint, into the EXISTING table (no drop) — every epoch replays
+    // onto committed state. The store's LWW merge must converge to the
+    // identical state: this is the at-least-once → exactly-once argument
+    // the sink makes (no batchId ledger anywhere).
+    val fqn = "graftcat.streamks.user_latest"
+    val staged = s"${sys.props("java.io.tmpdir")}/graft-stream/" +
+      s"events-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val schema = spark.read.parquet(staged).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(staged)
+      .filter(col("event_type") =!= "__sentinel")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    val ck = s"${sys.props("java.io.tmpdir")}/graft-stream/" +
+      s"ckpt-kvsink-replay-${System.nanoTime()}"
+    val q = in.writeStream.option("checkpointLocation", ck)
+      .outputMode("append").toTable(fqn)
+    try q.processAllAvailable() finally q.stop()
+    val r2 = spark.table(fqn).orderBy("user_id").collect().toSeq
+    assert(r2 == r1, s"replay diverged: ${r2.size} vs ${r1.size} rows")
+    // a STALE redelivery can never clobber: rewrite one user's row with a
+    // lower writetime through the batch path — LWW must keep the newer row
+    val top = r1.head
+    spark.sql(s"INSERT INTO $fqn VALUES (${top.getLong(0)}, -1, 'stale', 0.0)")
+    assert(spark.table(fqn).orderBy("user_id").collect().toSeq == r1)
+  }
+
+  test("streaming writes are rejected on counter tables (replay would double-count)") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.streamks")
+    spark.sql("DROP TABLE IF EXISTS graftcat.streamks.cnt")
+    spark.sql("CREATE TABLE graftcat.streamks.cnt (id BIGINT, hits BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'counters'='hits')")
+    val staged = s"${sys.props("java.io.tmpdir")}/graft-stream/" +
+      s"events-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val schema = spark.read.parquet(staged).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(staged)
+      .select(col("user_id").as("id"), col("event_id").as("hits"))
+    val ck = s"${sys.props("java.io.tmpdir")}/graft-stream/" +
+      s"ckpt-kvsink-cnt-${System.nanoTime()}"
+    val e = intercept[Exception] {
+      val q = in.writeStream.option("checkpointLocation", ck)
+        .outputMode("append").toTable("graftcat.streamks.cnt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("not supported on counter tables")),
+      chain(e).mkString(" | "))
+  }
+
   test("range tombstones flow through CDC and compaction reclaims the log") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.sources.KeyGroupedRegistry

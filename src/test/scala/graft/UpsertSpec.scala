@@ -1022,6 +1022,77 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("cellwise"), e.getMessage)
   }
 
+  test("delcols tombstones exactly the named columns (CQL DELETE col FROM t)") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.cdel")
+    spark.sql("CREATE TABLE graftcat.proptest.cdel " +
+      "(id INT, a BIGINT, tags ARRAY<STRING>, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true', " +
+      "'sets'='tags')")
+    def write(sql: String, wt: Long, opts: Map[String, String] = Map.empty): Unit = {
+      val w = spark.sql(s"SELECT 1 AS id, $sql, CAST($wt AS BIGINT) AS wt")
+        .writeTo("graftcat.proptest.cdel")
+      opts.foldLeft(w) { case (b, (k, v)) => b.option(k, v) }.append()
+    }
+    def read(): (Any, Any) = {
+      val r = spark.table("graftcat.proptest.cdel").collect().head
+      (if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getSeq[String](2).toList)
+    }
+    write("CAST(5 AS BIGINT) AS a, array('x', 'y') AS tags", wt = 10)
+    assert(read() == ((5L, List("x", "y"))), read())
+    // delete BOTH columns: row survives (marker), both read NULL
+    write("CAST(NULL AS BIGINT) AS a, CAST(NULL AS ARRAY<STRING>) AS tags",
+      wt = 20, Map("delcols" -> "a,tags"))
+    assert(read() == ((null, null)), read())
+    assert(spark.table("graftcat.proptest.cdel").count() == 1)
+    // a LATER update resurrects the scalar; the set stays tombstoned
+    write("CAST(9 AS BIGINT) AS a, CAST(NULL AS ARRAY<STRING>) AS tags",
+      wt = 30, Map("update" -> "true"))
+    assert(read() == ((9L, null)), read())
+    // a STALE delete (wt 15 < the live cells) is a no-op
+    write("CAST(NULL AS BIGINT) AS a, CAST(NULL AS ARRAY<STRING>) AS tags",
+      wt = 15, Map("delcols" -> "a"))
+    assert(read() == ((9L, null)), read())
+    // guards: key/semantic columns, non-cellwise tables, mode combinations
+    val e1 = intercept[Exception](write("CAST(1 AS BIGINT) AS a, " +
+      "CAST(NULL AS ARRAY<STRING>) AS tags", 40, Map("delcols" -> "id")))
+    assert(e1.getMessage.contains("cannot delete key"), e1.getMessage)
+    val e2 = intercept[Exception](write("CAST(1 AS BIGINT) AS a, " +
+      "CAST(NULL AS ARRAY<STRING>) AS tags", 40,
+      Map("delcols" -> "a", "update" -> "true")))
+    assert(e2.getMessage.contains("cannot combine"), e2.getMessage)
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.rowgran")
+    spark.sql("CREATE TABLE graftcat.proptest.rowgran (id INT, a BIGINT) " +
+      "TBLPROPERTIES ('key'='id')")
+    val e3 = intercept[Exception](
+      spark.sql("SELECT 1 AS id, CAST(1 AS BIGINT) AS a")
+        .writeTo("graftcat.proptest.rowgran").option("delcols", "a").append())
+    assert(e3.getMessage.contains("requires a cellwise table"), e3.getMessage)
+  }
+
+  test("catalog token() agrees with KVRing.tokenOf for every key shape") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    // single integral key: identity (magic-invoke fast path)
+    val t1 = spark.sql("SELECT graftcat.system.token(42L) AS t").head().getLong(0)
+    assert(t1 == graft.sources.KVRing.tokenOf(Seq(42L)), t1)
+    // string key: Murmur3 of the canonicalized element
+    val t2 = spark.sql("SELECT graftcat.system.token('BUILDING') AS t")
+      .head().getLong(0)
+    assert(t2 == graft.sources.KVRing.tokenOf(Seq("BUILDING")), t2)
+    // composite key: hashed tuple — and boxing-width independent, so an
+    // INT literal and a BIGINT literal produce the same token
+    val t3 = spark.sql("SELECT graftcat.system.token(11, 'BUILDING') AS t")
+      .head().getLong(0)
+    assert(t3 == graft.sources.KVRing.tokenOf(Seq(11, "BUILDING")), t3)
+    assert(t3 == graft.sources.KVRing.tokenOf(Seq(11L, "BUILDING")), t3)
+    // unknown function name fails loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT graftcat.system.writetime(1) AS t").collect())
+    assert(e.getMessage.toLowerCase.contains("writetime"), e.getMessage)
+  }
+
   test("undeclared collection column is frozen: whole-value cell LWW") {
     // CQL frozen<map<...>>: a collection column NOT declared in
     // 'sets'/'maps'/'lists' is one scalar cell — the whole value replaces
