@@ -593,6 +593,48 @@ object Storage {
         .select("id", "a", "b", "wt").orderBy("id")
     },
 
+    // CQL `SELECT WRITETIME(a), TTL(a)` — cell-metadata projections (the
+    // 'cellwt'/'cellttl' table properties): read-only columns serving the
+    // winning LIVE cell's own write timestamp (micros) and remaining TTL
+    // (seconds at the read clock), NULL for dead/absent cells. Same
+    // orders-derived interleaved INSERT/UPDATE log as q_kv_cell_lww, so
+    // the projections expose exactly the per-cell state that query proves:
+    // an id whose newest a-write is a short-TTL update reads a = NULL AND
+    // a_wt = NULL even though the row (marker, b) lives on.
+    "q_kv_writetime_fn" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.cellmeta")
+      s.sql("CREATE TABLE graftcat.testks.cellmeta " +
+        "(id BIGINT, a BIGINT, b DOUBLE, wt BIGINT, ttl INT, " +
+        "a_wt BIGINT, a_ttl BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'ttl'='ttl', " +
+        "'cellwise'='true', 'cellwt'='a_wt:a', 'cellttl'='a_ttl:a')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_custkey") <= 100)
+        .select(col("o_orderkey").as("ok"),
+          pmod(col("o_custkey"), lit(20)).cast(LongType).as("id"),
+          col("o_totalprice").as("price"))
+      val nulls = Seq(lit(null).cast(LongType).as("a_wt"),
+        lit(null).cast(LongType).as("a_ttl"))
+      o.select(Seq(col("id"), col("ok").as("a"), col("price").as("b"),
+          (col("ok") * 1000000L).as("wt"),
+          when(pmod(col("ok"), lit(5)) === 0, lit(null))
+            .otherwise(pmod(col("ok"), lit(100)) * 20 + 30)
+            .cast(IntegerType).as("ttl")) ++ nulls: _*)
+        .writeTo("graftcat.testks.cellmeta").append()
+      o.filter(pmod(col("ok"), lit(3)) === 0)
+        .select(Seq(col("id"), (col("ok") + 1000000L).as("a"),
+          lit(null).cast(DoubleType).as("b"),
+          (col("ok") * 1000000L + 1L).as("wt"),
+          when(pmod(col("ok"), lit(12)) === 0, lit(null))
+            .otherwise(lit(1))
+            .cast(IntegerType).as("ttl")) ++ nulls: _*)
+        .writeTo("graftcat.testks.cellmeta").option("update", "true").append()
+      val now = o.agg(max("ok")).head.getLong(0) + 50
+      s.read.option("now", now.toString).table("graftcat.testks.cellmeta")
+        .select("id", "a", "a_wt", "a_ttl").orderBy("id")
+    },
+
     // CQL `DELETE a FROM t WHERE k = ?` — COLUMN deletes (the 'delcols'
     // write option): the named column is tombstoned at the statement
     // timestamp, every other cell and the row marker untouched — the row
@@ -926,6 +968,27 @@ object Storage {
         .groupBy("c_nationkey", "c_mktsegment")
         .agg(count(lit(1)).as("n"))
         .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // CQL 3.10+ `GROUP BY pk, ck-prefix` — grouping by the partition key
+    // PLUS a clustering-column prefix is still COMPLETE pushdown: inside a
+    // ck-sorted partition those groups are CONTIGUOUS RUNS, so the source
+    // serves one metadata row per run in one pass — no hashing, no data
+    // row leaves the store, and Spark plans NO aggregate at all (PlanSpec
+    // asserts both). At 100 TB this is a per-partition streaming count
+    // where a generic engine would shuffle the table.
+    "q_kv_grouped_count_ck" -> { (s, dir) =>
+      val name = s"orders_prio_ck:$dir"
+      graft.sources.KeyGroupedRegistry.stageMulti(name,
+        Tables.load(s, dir, "orders").filter(col("o_custkey") <= 100)
+          .select(col("o_custkey").as("pk"),
+            col("o_orderpriority").as("prio"),
+            col("o_orderkey").as("ck"), col("o_totalprice").as("price")),
+        Seq("pk"), clusteringCols = Seq("prio", "ck"))
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .groupBy("pk", "prio")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("pk", "prio")
     },
 
     // Secondary-index analog (Cassandra 2i): a write-maintained inverted
@@ -1630,6 +1693,14 @@ object Storage {
         |GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
+    // per-(customer, priority) counts — the ck-prefix grouping
+    "q_kv_grouped_count_ck" ->
+      """SELECT o_custkey AS pk, o_orderpriority AS prio,
+        |  COUNT(*) AS n_orders
+        |FROM orders WHERE o_custkey <= 100
+        |GROUP BY 1, 2
+        |ORDER BY pk, prio""".stripMargin,
+
     "q_kv_secondary_index" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal
         |FROM customer
@@ -1776,6 +1847,60 @@ object Storage {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // same replay as q_kv_cell_lww, projecting the a-cell winner's own
+    // timestamp and remaining TTL (seconds at the read clock); row
+    // visibility still needs marker/b liveness — a row whose a-cell died
+    // but whose marker lives must appear with NULL projections
+    "q_kv_writetime_fn" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, CAST(o_custkey % 20 AS BIGINT) AS id,
+        |    o_totalprice AS price
+        |  FROM orders WHERE o_custkey <= 100),
+        |base AS (
+        |  SELECT id, ok * 1000000 AS wt,
+        |    CASE WHEN ok % 5 = 0 THEN NULL ELSE ok % 100 * 20 + 30 END AS ttl,
+        |    ok AS a_val, price AS b_val
+        |  FROM o),
+        |upd AS (
+        |  SELECT id, ok * 1000000 + 1 AS wt,
+        |    CASE WHEN ok % 12 = 0 THEN NULL ELSE 1 END AS ttl,
+        |    ok + 1000000 AS a_val
+        |  FROM o WHERE ok % 3 = 0),
+        |nowc AS (SELECT MAX(ok) + 50 AS n FROM o),
+        |aw AS (
+        |  SELECT id, wt, ttl, a_val FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY wt DESC)
+        |      AS rn
+        |    FROM (SELECT id, wt, ttl, a_val FROM base
+        |          UNION ALL SELECT id, wt, ttl, a_val FROM upd) u) w
+        |  WHERE rn = 1),
+        |bw AS (
+        |  SELECT id, wt, ttl, b_val FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY wt DESC)
+        |      AS rn FROM base) w
+        |  WHERE rn = 1),
+        |mw AS (
+        |  SELECT id, wt, ttl FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY wt DESC)
+        |      AS rn FROM base) w
+        |  WHERE rn = 1),
+        |j AS (
+        |  SELECT mw.id,
+        |    (aw.ttl IS NULL OR aw.wt // 1000000 + aw.ttl > nowc.n) AS a_live,
+        |    aw.a_val, aw.wt AS awt, aw.ttl AS attl,
+        |    (bw.ttl IS NULL OR bw.wt // 1000000 + bw.ttl > nowc.n) AS b_live,
+        |    (mw.ttl IS NULL OR mw.wt // 1000000 + mw.ttl > nowc.n) AS m_live,
+        |    nowc.n AS now
+        |  FROM mw JOIN aw USING (id) JOIN bw USING (id) CROSS JOIN nowc)
+        |SELECT id,
+        |  CASE WHEN a_live THEN a_val END AS a,
+        |  CASE WHEN a_live THEN awt END AS a_wt,
+        |  CASE WHEN a_live AND attl IS NOT NULL
+        |    THEN awt // 1000000 + attl - now END AS a_ttl
+        |FROM j
+        |WHERE m_live OR a_live OR b_live
+        |ORDER BY id""".stripMargin,
 
     // per-cell replay of the column-delete log: the winner per (id, column)
     // is the max-writetime entry — tombstones are NULL values, and the

@@ -119,18 +119,32 @@ object GraftCatalogStore {
       val now: Option[Long] = None,
       val cellwise: Boolean = false,
       val maps: Set[String] = Set.empty,
-      val lists: Set[String] = Set.empty) {
+      val lists: Set[String] = Set.empty,
+      val cellWt: Map[String, String] = Map.empty,
+      val cellTtl: Map[String, String] = Map.empty) {
     val rows = TrieMap.empty[Any, Array[Any]]
     /** Store of a cellwise table ('cellwise'='true'): per-cell LWW instead
       * of whole-row replacement. `rows` stays empty for these tables. */
     val cellRows = TrieMap.empty[Any, GCellRow]
     /** Schema indices of the DATA columns of a cellwise table — everything
-      * except the key and the writetime/ttl metadata columns; `cells` in
-      * [[GCellRow]] is indexed by position in THIS array. */
+      * except the key, the writetime/ttl metadata columns and the
+      * WRITETIME()/TTL() projection columns (cellWt/cellTtl — read-only,
+      * filled by materialization, any written value silently ignored, the
+      * way CQL has no way to write WRITETIME(a)); `cells` in [[GCellRow]]
+      * is indexed by position in THIS array. */
     lazy val dataIdx: Array[Int] = schema.fields.indices.filterNot { i =>
       val n = schema.fields(i).name
-      n == keyCol || writetime.contains(n) || ttl.contains(n)
+      n == keyCol || writetime.contains(n) || ttl.contains(n) ||
+        cellWt.contains(n) || cellTtl.contains(n)
     }.toArray
+    /** (meta schema idx, target cell position in dataIdx, isTtl) for each
+      * declared WRITETIME()/TTL() projection column. */
+    lazy val metaIdx: Seq[(Int, Int, Boolean)] =
+      (cellWt.toSeq.map { case (m, d) => (m, d, false) } ++
+        cellTtl.toSeq.map { case (m, d) => (m, d, true) }).map {
+        case (m, d, isTtl) =>
+          (schema.fieldIndex(m), dataIdx.indexOf(schema.fieldIndex(d)), isTtl)
+      }
     /** DDL-vs-commit discipline: commits hold the READ lock (concurrent
       * commits still interleave freely through the CAS loops), ALTER TABLE
       * holds the WRITE lock while it migrates rows in place — so a commit
@@ -397,9 +411,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"list column $n must be an ARRAY, got ${other.catalogString}")
       }
     }
+    // 'cellwt' / 'cellttl' = WRITETIME() / TTL() projection columns (CQL
+    // `SELECT WRITETIME(a), TTL(a)`): each entry 'metaCol:dataCol' declares
+    // a read-only column serving the winning cell's write timestamp
+    // (micros) / remaining TTL (seconds at the read clock). Cell metadata
+    // only exists at the cell granule, so the properties demand a cellwise
+    // table; targets must be SCALAR data columns (CQL's collection
+    // writetime is per-element and not modeled here).
+    def parseMeta(prop: String): Map[String, String] =
+      props.get(prop).map(_.split(',').map(_.trim).filter(_.nonEmpty).map { p =>
+        val cut = p.indexOf(':')
+        require(cut > 0 && cut < p.length - 1,
+          s"'$prop' entries must be 'metaCol:dataCol', got '$p'")
+        p.substring(0, cut) -> p.substring(cut + 1)
+      }.toMap).getOrElse(Map.empty[String, String])
+    val cellWt = parseMeta("cellwt")
+    val cellTtl = parseMeta("cellttl")
+    val metaCols = cellWt.keySet ++ cellTtl.keySet
+    (cellWt ++ cellTtl).foreach { case (m, d) =>
+      require(cellwise, s"meta column $m: 'cellwt'/'cellttl' require a " +
+        "cellwise table (cell metadata only exists at the cell granule)")
+      require(schema.fieldNames.contains(m), s"meta column $m not in schema")
+      require(schema.fieldNames.contains(d),
+        s"meta column $m: target column $d not in schema")
+      require(d != keyCol && !writetime.contains(d) && !ttl.contains(d) &&
+          !metaCols(d) && !sets(d) && !mapCols(d) && !listCols(d),
+        s"meta column $m: target $d must be a scalar data column")
+      require(schema(m).dataType == LongType,
+        s"meta column $m must be BIGINT, got ${schema(m).dataType.catalogString}")
+    }
+    require(cellWt.keySet.intersect(cellTtl.keySet).isEmpty,
+      "a column cannot serve both 'cellwt' and 'cellttl'")
     tables.put(key, new GraftCatalogStore.T(
       schema1, keyCol, sets, writetime, ttl, counters, now, cellwise,
-      mapCols, listCols))
+      mapCols, listCols, cellWt, cellTtl))
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -1035,6 +1080,17 @@ object GUpsertTable {
         row(ki) = key
         row(wi) = liveWts.max
         t.dataIdx.zipWithIndex.foreach { case (si, di) => row(si) = visible(di) }
+        // WRITETIME()/TTL() projections: the winning LIVE cell's own
+        // timestamp / remaining seconds at the read clock — NULL for a
+        // dead/absent cell (exactly CQL's SELECT WRITETIME(a), TTL(a))
+        t.metaIdx.foreach { case (mi, di, isTtl) =>
+          val c = if (di < 0) null else cr.cells(di)
+          row(mi) =
+            if (c == null || expired(c) || c.v == null) null
+            else if (!isTtl) Long.box(c.wt)
+            else c.ttl.flatMap(tt =>
+              now.map(n => Long.box(epochSeconds(c.wt) + tt - n))).orNull
+        }
         Some(row)
       }
     }

@@ -1057,27 +1057,44 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     Some(specs)
   }
 
-  /** An aggregate grouped by the FULL key tuple is final: every split holds
-    * one whole group, so per-split values ARE the answer — no
-    * re-aggregation. */
+  /** Servability shape of a GROUP BY column list: `Some(isComplete)` when
+    * every grouped column is a partition-key column or the clustering
+    * columns used form a PREFIX of the declared clustering order (the CQL
+    * 3.10+ `GROUP BY pk..., ck-prefix` rule — inside a ck-sorted partition
+    * those groups are CONTIGUOUS RUNS, so the source serves them with one
+    * pass and zero hashing). Complete exactly when every key column is
+    * present: a group then lives entirely inside one split. */
+  private def groupShape(ns: Seq[String]): Option[Boolean] = {
+    val cks = ns.filterNot(entry.keyCols.contains)
+    val ckPart = entry.clusteringCols.filter(cks.contains)
+    if (!cks.forall(entry.clusteringCols.contains)) None
+    else if (entry.clusteringCols.take(ckPart.length) != ckPart) None
+    else Some(entry.keyCols.forall(ns.contains))
+  }
+
+  /** An aggregate grouped by the full key tuple (+ any ck prefix) is
+    * final: every group lives inside one split, so served values ARE the
+    * answer — no re-aggregation. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     !mvPushed && aggSpecs(agg).exists(_.nonEmpty) && groupByNames(agg).exists(ns =>
-      ns.nonEmpty && ns.toSet == entry.keyCols.toSet)
+      ns.nonEmpty && groupShape(ns).contains(true))
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    // COUNT(*) / MIN(ck) / MAX(ck) — ungrouped, or grouped by key columns:
-    // all answered from registry metadata and ck-sorted partition edges
-    // (the cassandraCount analog, extended to the clustering column's
-    // extrema). Ungrouped and subset-of-key groupings return per-split
-    // partials Spark re-aggregates (sum of counts, min of mins, max of
-    // maxes); the full-key grouping is complete (supportCompletePushDown).
-    // Not offered through an MV read: those metadata live on base splits.
+    // COUNT(*) / MIN(ck) / MAX(ck) — ungrouped, or grouped by key columns
+    // and/or a clustering-column PREFIX: all answered from registry
+    // metadata, ck-sorted partition edges and contiguous ck runs (the
+    // cassandraCount analog, extended to ck extrema and CQL's
+    // GROUP BY pk, ck-prefix). Ungrouped and subset groupings return
+    // per-split partials Spark re-aggregates (sum of counts, min of mins,
+    // max of maxes); groupings containing the full key tuple are complete
+    // (supportCompletePushDown). Not offered through an MV read: those
+    // metadata live on base splits.
     if (mvPushed) return false
     aggSpecs(agg) match {
       case Some(specs) if specs.nonEmpty =>
         groupByNames(agg) match {
           case Some(Nil) => pushedAggs = specs; true
-          case Some(ns) if ns.forall(entry.keyCols.contains) =>
+          case Some(ns) if groupShape(ns).isDefined =>
             groupCols = ns; pushedAggs = specs; true
           case _ => false
         }
@@ -1562,8 +1579,11 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
           .map(_.asInstanceOf[KVPartition].rows.length.toLong).sum
       } else if (aggPushed) {
         // one metadata row per surviving split (grouped forms omit emptied
-        // splits, exactly as planInputPartitions will)
-        if (groupCols.nonEmpty) servedPerSplit.count(_ > 0).toLong
+        // splits, exactly as planInputPartitions will); ck-prefix
+        // groupings emit one row per run — bounded above by the served
+        // rows, a safe (conservative, anti-broadcast) estimate
+        if (groupCols.exists(entry.clusteringCols.contains)) servedPerSplit.sum
+        else if (groupCols.nonEmpty) servedPerSplit.count(_ > 0).toLong
         else servedPerSplit.length.toLong
       } else servedPerSplit.sum
     val width = readSchema().defaultSize.toLong.max(1L)
@@ -1589,6 +1609,24 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
         // either way)
         val gIdx = groupCols.map(entry.schema.fieldIndex)
         val gTypes = groupCols.map(entry.schema(_).dataType)
+        val ckGrouped = groupCols.exists(entry.clusteringCols.contains)
+        def internalG(vals: Seq[Any]): Seq[Any] = vals.zip(gTypes).map {
+          case (s: String, StringType) => UTF8String.fromString(s)
+          case (v, _) => v
+        }
+        // with ck1 declared DESC the physical head holds the MAX
+        val headDesc = entry.ckDescFlags.headOption.getOrElse(false)
+        def aggValsOf(run: Array[Array[Any]]): Seq[Any] = pushedAggs.map {
+          case AggCount => run.length.toLong: Any
+          case AggMinCk =>
+            if (run.isEmpty) null
+            else if (headDesc) run.last(ckIdxs.head)
+            else run.head(ckIdxs.head)
+          case AggMaxCk =>
+            if (run.isEmpty) null
+            else if (headDesc) run.head(ckIdxs.head)
+            else run.last(ckIdxs.head)
+        }
         entry.parts.iterator.filter { case (k, _) => keepKey(k) }
           .flatMap { case (k, rows) =>
             val served = servedRows(rows)
@@ -1600,26 +1638,30 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
             // correctly and a NULL min/max is ignored by the final
             // aggregate.
             if (groupCols.nonEmpty && served.isEmpty) None
-            else {
-              val groupVals = gIdx.map(rows.head(_)).zip(gTypes).map {
-                case (s: String, StringType) => UTF8String.fromString(s)
-                case (v, _) => v
-              }
-              // with ck1 declared DESC the physical head holds the MAX
-              val headDesc = entry.ckDescFlags.headOption.getOrElse(false)
-              val aggVals = pushedAggs.map {
-                case AggCount => served.length.toLong: Any
-                case AggMinCk =>
-                  if (served.isEmpty) null
-                  else if (headDesc) served.last(ckIdxs.head)
-                  else served.head(ckIdxs.head)
-                case AggMaxCk =>
-                  if (served.isEmpty) null
-                  else if (headDesc) served.head(ckIdxs.head)
-                  else served.last(ckIdxs.head)
+            else if (ckGrouped) {
+              // CQL GROUP BY pk, ck-prefix: the ck-sorted split's groups
+              // are CONTIGUOUS RUNS of the grouped tuple — one pass, one
+              // metadata row per run, no hashing, no data row served
+              val runRows = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+              var start = 0
+              var i = 1
+              def tupleAt(r: Array[Any]): Vector[Any] =
+                gIdx.map(ix => KeyGroupedRegistry.normCell(r(ix))).toVector
+              while (start < served.length) {
+                while (i < served.length &&
+                  tupleAt(served(i)) == tupleAt(served(start))) i += 1
+                val run = served.slice(start, i)
+                runRows += (internalG(gIdx.map(run.head(_))) ++ aggValsOf(run))
+                  .toArray[Any]
+                start = i
+                i = start + 1
               }
               Some(KVPartition(internalKey(k), KVRing.replicasOf(k).toArray,
-                Array((groupVals ++ aggVals).toArray[Any])): InputPartition)
+                runRows.toArray): InputPartition)
+            } else {
+              val groupVals = internalG(gIdx.map(rows.head(_)))
+              Some(KVPartition(internalKey(k), KVRing.replicasOf(k).toArray,
+                Array((groupVals ++ aggValsOf(served)).toArray[Any])): InputPartition)
             }
           }.toArray
       } else {

@@ -346,6 +346,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(planOf(df).contains("PerPartitionLimit: 3"), planOf(df))
   }
 
+  test("GROUP BY pk + ck-prefix counts are complete pushdown: one run row, no aggregate") {
+    val df = Storage.queries("q_kv_grouped_count_ck")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val name = s"orders_prio_ck:$sfDir"
+    // the source served exactly one metadata row per (pk, prio) run —
+    // no data row left the store
+    val served = graft.sources.KeyGroupedRegistry.lastScanRows(name)
+    assert(served == rows.length.toLong, s"served $served, returned ${rows.length}")
+    val total = graft.sources.KeyGroupedRegistry.get(name).parts.map(_._2.length).sum
+    assert(served < total, s"grouping did not stay metadata-only ($served of $total)")
+    val plan = planOf(df)
+    assert(plan.contains("PushedGroupBy: [pk,prio]"), plan)
+    // complete pushdown: Spark plans NO aggregate on top
+    assert(!plan.contains("HashAggregate"), plan)
+    // and the counts match the batch recomputation
+    import org.apache.spark.sql.functions.{col => fcol}
+    val expected = graft.sources.Tables.load(spark, sfDir, "orders")
+      .filter(fcol("o_custkey") <= 100)
+      .groupBy(fcol("o_custkey"), fcol("o_orderpriority")).count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(expected((r.getLong(0), r.getString(1))) == r.getLong(2), r)
+    }
+  }
+
   test("grouped count with a pushed ck predicate omits empty groups (no phantom zeros)") {
     import org.apache.spark.sql.functions.{col, count => fcount, lit}
     val name = Storage.stageOrdersCk(spark, sfDir)

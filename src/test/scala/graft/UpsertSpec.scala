@@ -1022,6 +1022,54 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("cellwise"), e.getMessage)
   }
 
+  test("cellwt/cellttl project the winning cell's timestamp and remaining TTL") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.meta")
+    spark.sql("CREATE TABLE graftcat.proptest.meta " +
+      "(id INT, a BIGINT, wt BIGINT, ttl INT, a_wt BIGINT, a_ttl BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'ttl'='ttl', " +
+      "'cellwise'='true', 'cellwt'='a_wt:a', 'cellttl'='a_ttl:a')")
+    def write(a: String, wtMicros: Long, ttl: String,
+        opts: Map[String, String] = Map.empty): Unit = {
+      val w = spark.sql(s"SELECT 1 AS id, CAST($a AS BIGINT) AS a, " +
+        s"CAST($wtMicros AS BIGINT) AS wt, CAST($ttl AS INT) AS ttl, " +
+        "CAST(NULL AS BIGINT) AS a_wt, CAST(NULL AS BIGINT) AS a_ttl")
+        .writeTo("graftcat.proptest.meta")
+      opts.foldLeft(w) { case (b, (k, v)) => b.option(k, v) }.append()
+    }
+    def read(now: Long): (Any, Any, Any) = {
+      val r = spark.read.option("now", now.toString)
+        .table("graftcat.proptest.meta").collect().head
+      def g(i: Int): Any = if (r.isNullAt(i)) null else r.getLong(i)
+      (g(1), g(4), g(5))
+    }
+    // INSERT at wt = 100 s (micros), TTL 60 s → at now=130: remaining 30
+    write("7", 100000000L, "60")
+    assert(read(130) == ((7L, 100000000L, 30L)), read(130))
+    // newer UPDATE of a at wt = 110 s, immortal → projections follow the
+    // winning cell: its own wt, NULL remaining
+    write("8", 110000000L, "NULL", Map("update" -> "true"))
+    assert(read(130) == ((8L, 110000000L, null)), read(130))
+    // values supplied FOR the projection columns are ignored on write
+    spark.sql("SELECT 1 AS id, CAST(9 AS BIGINT) AS a, " +
+      "CAST(120000000 AS BIGINT) AS wt, CAST(NULL AS INT) AS ttl, " +
+      "CAST(424242 AS BIGINT) AS a_wt, CAST(424242 AS BIGINT) AS a_ttl")
+      .writeTo("graftcat.proptest.meta").option("update", "true").append()
+    assert(read(130) == ((9L, 120000000L, null)), read(130))
+    // guards: non-cellwise table and collection targets are rejected
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE graftcat.proptest.meta_bad (id INT, a BIGINT, a_wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'cellwt'='a_wt:a')"))
+    assert(e1.getMessage.contains("cellwise"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE graftcat.proptest.meta_bad2 " +
+        "(id INT, s ARRAY<STRING>, wt BIGINT, s_wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true', " +
+        "'sets'='s', 'cellwt'='s_wt:s')"))
+    assert(e2.getMessage.contains("scalar data column"), e2.getMessage)
+  }
+
   test("delcols tombstones exactly the named columns (CQL DELETE col FROM t)") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
