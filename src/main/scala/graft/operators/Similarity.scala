@@ -210,6 +210,28 @@ object Similarity {
         .orderBy("label")
     },
 
+    // The CQL 5 vector-similarity FUNCTIONS through Spark SQL
+    // (FunctionCatalog): similarity_cosine / similarity_euclidean /
+    // similarity_dot_product over vector<float> pairs — the scalar-function
+    // face of the vector story whose operator face is q_kv_ann_topk. All
+    // three bind magic-invoke ArrayData fast paths (codegen-compiled), and
+    // score with the same FLOAT→DOUBLE left-to-right arithmetic as
+    // graft_dot and the DuckDB oracle. 66 deterministic pairs.
+    "q_fn_similarity" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      Tables.load(s, dir, "embeddings").filter(col("vec_id") < 12)
+        .createOrReplaceTempView("emb_fn")
+      s.sql("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  round(graftcat.system.similarity_cosine(
+              |    a.embedding, b.embedding), 6) AS sim_cos,
+              |  round(graftcat.system.similarity_euclidean(
+              |    a.embedding, b.embedding), 6) AS sim_euc,
+              |  round(graftcat.system.similarity_dot_product(
+              |    a.embedding, b.embedding), 6) AS sim_dot
+              |FROM emb_fn a JOIN emb_fn b ON a.vec_id < b.vec_id
+              |ORDER BY id_a, id_b""".stripMargin)
+    },
+
     // Vector search SERVED BY THE STORE — the Cassandra 5 `vector<float,
     // 64>` + SAI ANN shape (`SELECT ... ORDER BY embedding ANN OF ? LIMIT
     // 10`), on the KV source: the ring is keyed by the coarse cluster
@@ -379,6 +401,27 @@ object Similarity {
         |  round(min(nrm), 6) AS min_norm,
         |  round(max(nrm), 6) AS max_norm
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    // the three similarity definitions recomputed pairwise in DuckDB —
+    // identical left-to-right DOUBLE accumulation
+    "q_fn_similarity" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id < 12),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.v) + 1),
+        |      i -> a.v[i] * b.v[i])) AS dotp,
+        |    sqrt(list_sum(list_transform(a.v, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(b.v, x -> x * x))) AS nb,
+        |    list_sum(list_transform(range(1, len(a.v) + 1),
+        |      i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS d2
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b,
+        |  round(dotp / (na * nb), 6) AS sim_cos,
+        |  round(1.0 / (1.0 + d2), 6) AS sim_euc,
+        |  round((1.0 + dotp) / 2.0, 6) AS sim_dot
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
 
     // global cosine top-10 to the all-ones query direction (|q| = 8
     // exactly): dot(ones, v) = list_sum(v), same left-to-right DOUBLE

@@ -517,17 +517,106 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * fast path, so the call codegens to a static-style invoke instead of
     * an interpreted row. */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "token"))
+    GraftFunctions.names.map(Identifier.of(namespace, _))
   override def loadFunction(ident: Identifier): UnboundFunction =
-    ident.name() match {
-      case "token" => GraftFunctions.TokenUnbound
-      case _ => throw new NoSuchFunctionException(ident)
-    }
+    GraftFunctions.byName.getOrElse(ident.name(),
+      throw new NoSuchFunctionException(ident))
 }
 
 /** V2 catalog functions (SURVEY §2.2 — the CQL function surface the
   * connector exposes through Spark SQL). */
 object GraftFunctions {
+  /** CQL 5 vector-similarity functions (`similarity_cosine` /
+    * `similarity_euclidean` / `similarity_dot_product` over
+    * `vector<float, n>`): cosine; 1 / (1 + squared L2 distance); and the
+    * [0,1]-mapped dot (1 + v1·v2) / 2 — each accumulated FLOAT→DOUBLE
+    * left-to-right, the same arithmetic as `graft_dot`, the ANN read and
+    * the DuckDB oracle, so scores are engine-identical. Magic `invoke`
+    * over `ArrayData` keeps the call codegen-compiled. */
+  /** NOTE: `invoke` (the magic fast path) and `produceResult` must be
+    * DECLARED on each concrete function class — Spark's V2 function
+    * resolution looks them up with `getDeclaredMethod` on the exact class,
+    * so inherited definitions are invisible to it. */
+  abstract class VectorSim(fname: String) extends ScalarFunction[java.lang.Double] {
+    override def name(): String = fname
+    override def inputTypes(): Array[DataType] =
+      Array(ArrayType(FloatType), ArrayType(FloatType))
+    override def resultType(): DataType = DoubleType
+    override def isDeterministic: Boolean = true
+    protected def check(a: org.apache.spark.sql.catalyst.util.ArrayData,
+        b: org.apache.spark.sql.catalyst.util.ArrayData): Unit =
+      require(a.numElements() == b.numElements(),
+        s"$fname: vectors differ in dimension " +
+          s"(${a.numElements()} vs ${b.numElements()})")
+  }
+  object CosineSim extends VectorSim("similarity_cosine") {
+    def invoke(a: org.apache.spark.sql.catalyst.util.ArrayData,
+        b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+      check(a, b)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override def produceResult(input: InternalRow): java.lang.Double =
+      invoke(input.getArray(0), input.getArray(1))
+  }
+  object EuclideanSim extends VectorSim("similarity_euclidean") {
+    def invoke(a: org.apache.spark.sql.catalyst.util.ArrayData,
+        b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+      check(a, b)
+      var d2 = 0.0; var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+        d2 += d * d; i += 1
+      }
+      1.0 / (1.0 + d2)
+    }
+    override def produceResult(input: InternalRow): java.lang.Double =
+      invoke(input.getArray(0), input.getArray(1))
+  }
+  object DotProductSim extends VectorSim("similarity_dot_product") {
+    def invoke(a: org.apache.spark.sql.catalyst.util.ArrayData,
+        b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+      check(a, b)
+      var dot = 0.0; var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+      }
+      (1.0 + dot) / 2.0
+    }
+    override def produceResult(input: InternalRow): java.lang.Double =
+      invoke(input.getArray(0), input.getArray(1))
+  }
+  abstract class SimUnbound(f: VectorSim) extends UnboundFunction {
+    override def name(): String = f.name()
+    override def description(): String =
+      s"${f.name()}(vector<float>, vector<float>): CQL vector similarity"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2 && inputType.fields.forall(fd =>
+        fd.dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }), s"${f.name()} requires two vector<float> arguments")
+      f
+    }
+  }
+  object CosineUnbound extends SimUnbound(CosineSim)
+  object EuclideanUnbound extends SimUnbound(EuclideanSim)
+  object DotProductUnbound extends SimUnbound(DotProductSim)
+
+  val byName: Map[String, UnboundFunction] = Map(
+    "token" -> TokenUnbound,
+    "similarity_cosine" -> CosineUnbound,
+    "similarity_euclidean" -> EuclideanUnbound,
+    "similarity_dot_product" -> DotProductUnbound)
+  val names: Array[String] = byName.keys.toArray.sorted
+
   object TokenUnbound extends UnboundFunction {
     override def name(): String = "token"
     override def description(): String =

@@ -825,6 +825,92 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("cellwise LWW with column deletes converges under any interleaving") {
+    // same convergence property as above, with CQL column deletes
+    // ('delcols') in the op mix: a delete is a (wt, tombstone) candidate
+    // for exactly its named column and writes NO row marker — under any
+    // batch split/order the per-column winner (and therefore row
+    // visibility) must be identical, and must match an independent model.
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    // kind: 0 = INSERT (both cells + marker), 1 = UPDATE (set cells only),
+    // 2 = DELETE x, 3 = DELETE y
+    case class W(id: Int, x: Option[Long], y: Option[String], wt: Long,
+        kind: Int)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("x", LongType), StructField("y", StringType),
+      StructField("wt", LongType, nullable = false)))
+    def applyBatch(ws: Seq[W]): Unit = {
+      def df(set: Seq[W], blank: Boolean) = spark.createDataFrame(
+        spark.sparkContext.parallelize(set.map(w =>
+          Row(w.id, if (blank) null else w.x.map(Long.box).orNull,
+            if (blank) null else w.y.orNull, w.wt)), 1), schema)
+      val byKind = ws.groupBy(_.kind)
+      byKind.get(0).foreach(g =>
+        df(g, blank = false).writeTo("graftcat.proptest.cwd").append())
+      byKind.get(1).foreach(g => df(g, blank = false)
+        .writeTo("graftcat.proptest.cwd").option("update", "true").append())
+      byKind.get(2).foreach(g => df(g, blank = true)
+        .writeTo("graftcat.proptest.cwd").option("delcols", "x").append())
+      byKind.get(3).foreach(g => df(g, blank = true)
+        .writeTo("graftcat.proptest.cwd").option("delcols", "y").append())
+    }
+    def readState(): Map[Int, (Any, Any)] =
+      spark.table("graftcat.proptest.cwd").collect().map(r =>
+        r.getInt(0) -> ((r.get(1), r.get(2)))).toMap
+    def cmpNum(a: Any, b: Any): Int =
+      if (a == null && b == null) 0 else if (a == null) -1 else if (b == null) 1
+      else java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    def cmpStr(a: Any, b: Any): Int =
+      if (a == null && b == null) 0 else if (a == null) -1 else if (b == null) 1
+      else a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    def winner(cands: Seq[(Long, Any)], cmp: (Any, Any) => Int): Option[(Long, Any)] =
+      cands.sortWith((p, q) => p._1 > q._1 || (p._1 == q._1 && cmp(p._2, q._2) > 0))
+        .headOption
+    def expected(ws: Seq[W]): Map[Int, (Any, Any)] =
+      ws.groupBy(_.id).flatMap { case (id, g) =>
+        val ins = g.filter(_.kind == 0)
+        val xW = winner(
+          ins.map(w => (w.wt, w.x.map(Long.box).orNull)) ++
+            g.filter(_.kind == 1).flatMap(w => w.x.map(v => (w.wt, Long.box(v)))) ++
+            g.filter(_.kind == 2).map(w => (w.wt, null: Any)), cmpNum)
+        val yW = winner(
+          ins.map(w => (w.wt, w.y.orNull)) ++
+            g.filter(_.kind == 1).flatMap(w => w.y.map(v => (w.wt, v: Any))) ++
+            g.filter(_.kind == 3).map(w => (w.wt, null: Any)), cmpStr)
+        val marker = ins.map(_.wt).maxOption
+        val xv = xW.map(_._2).orNull
+        val yv = yW.map(_._2).orNull
+        if (marker.isEmpty && xv == null && yv == null) None
+        else Some(id -> ((xv, yv)))
+      }
+    val rnd = new scala.util.Random(20260814)
+    (0 until 3).foreach { trial =>
+      val writes = (0 until 24).map { _ =>
+        W(rnd.nextInt(4),
+          if (rnd.nextBoolean()) Some(rnd.nextInt(50).toLong) else None,
+          if (rnd.nextBoolean()) Some("v" + rnd.nextInt(8)) else None,
+          rnd.nextInt(10).toLong, rnd.nextInt(4))
+      }
+      val exp = expected(writes)
+      val states = (0 until 2).map { _ =>
+        spark.sql("DROP TABLE IF EXISTS graftcat.proptest.cwd")
+        spark.sql("CREATE TABLE graftcat.proptest.cwd " +
+          "(id INT, x BIGINT, y STRING, wt BIGINT) " +
+          "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true')")
+        val shuffled = rnd.shuffle(writes)
+        val nb = 1 + rnd.nextInt(4)
+        shuffled.grouped(math.max(1, (shuffled.size + nb - 1) / nb))
+          .foreach(applyBatch)
+        readState()
+      }
+      assert(states(0) == states(1), s"trial $trial diverged across interleavings")
+      assert(states(0) == exp, s"trial $trial: ${states(0)} != $exp")
+    }
+  }
+
   test("cellwise equals whole-row LWW when every write sets every cell") {
     // the degenerate case must agree with the row-granular writetime table:
     // full-row INSERTs only — both engines converge to the same winners
@@ -1139,6 +1225,29 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     val e = intercept[Exception](
       spark.sql("SELECT graftcat.system.writetime(1) AS t").collect())
     assert(e.getMessage.toLowerCase.contains("writetime"), e.getMessage)
+  }
+
+  test("vector similarity functions: known values and dimension guard") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    def f(call: String): Double =
+      spark.sql(s"SELECT $call AS v").head().getDouble(0)
+    def vec(xs: Double*): String =
+      s"CAST(array(${xs.mkString(",")}) AS ARRAY<FLOAT>)"
+    // orthogonal → cosine 0; parallel → cosine 1
+    assert(f(s"graftcat.system.similarity_cosine(${vec(1, 0)}, ${vec(0, 1)})") == 0.0)
+    assert(math.abs(f(s"graftcat.system.similarity_cosine(${vec(1, 2)}, ${vec(2, 4)})") - 1.0) < 1e-12)
+    // identical vectors → euclidean similarity 1; unit distance → 1/2
+    assert(f(s"graftcat.system.similarity_euclidean(${vec(3, 4)}, ${vec(3, 4)})") == 1.0)
+    assert(f(s"graftcat.system.similarity_euclidean(${vec(0, 0)}, ${vec(1, 0)})") == 0.5)
+    // dot mapped to [0,1]: unit self-dot → 1
+    assert(f(s"graftcat.system.similarity_dot_product(${vec(1, 0)}, ${vec(1, 0)})") == 1.0)
+    // dimension mismatch fails loudly
+    val e = intercept[Exception](
+      f(s"graftcat.system.similarity_cosine(${vec(1, 0)}, ${vec(1, 0, 0)})"))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("differ in dimension")), chain(e))
   }
 
   test("undeclared collection column is frozen: whole-value cell LWW") {
