@@ -144,6 +144,27 @@ object Storage {
     (aName, bName)
   }
 
+  /** The deterministic IN list for q_kv_ck_in — shared verbatim by the Spark
+    * filter and the DuckDB oracle text. */
+  private[graft] val CkInVals: Seq[Long] = (1 to 400).map(_ * 151L)
+
+  /** Stage the value-aggregate demo table: orders for the first 200
+    * customers keyed `(pk = o_custkey, ck = o_orderkey)`, carrying an exact
+    * integer cents column and a NULLABLE comment-length column (every third
+    * order NULL) so COUNT(col) vs COUNT(*) and the null-skipping folds are
+    * observable. Idempotent per sf-dir. */
+  def stageOrdersVagg(s: SparkSession, dir: String): String = {
+    val name = s"orders_vagg:$dir"
+    graft.sources.KeyGroupedRegistry.stage(name,
+      Tables.load(s, dir, "orders").filter(col("o_custkey") <= 200)
+        .select(col("o_custkey").as("pk"), col("o_orderkey").as("ck"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+          expr("case when o_orderkey % 3 = 0 then null " +
+            "else cast(length(o_orderpriority) as bigint) end").as("clen")),
+      "pk", clusteringCol = Some("ck"))
+    name
+  }
+
   /** Stage the clustering-column demo table: orders for the first 200
     * customers keyed `(pk = o_custkey, ck = o_orderkey)`, rows ck-sorted
     * inside each partition. Idempotent per sf-dir; shared by
@@ -970,6 +991,67 @@ object Storage {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // CQL `SELECT DISTINCT pk...` — the partition-key enumeration CQL
+    // serves from the ring without touching a single row: the grouping has
+    // ZERO aggregate expressions, still COMPLETE pushdown on the full key
+    // tuple, one metadata row per split (PlanSpec asserts served == splits
+    // and no aggregate in the plan). The shape a 100 TB table uses to list
+    // its partitions.
+    "q_kv_distinct_keys" -> { (s, dir) =>
+      val name = stageKvComposite(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .select("c_nationkey", "c_mktsegment").distinct()
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // CQL `ck IN (...)` — the multi-slice clustering read (`SELECT ...
+    // WHERE pk = ? AND ck IN (?, ?, ...)`): the source answers with a UNION
+    // OF POINT RUNS, one binary-searched slice per IN value inside each
+    // surviving ck-sorted partition — rows leave in stored order, and ONLY
+    // matching rows leave (PlanSpec asserts served == result rows). The
+    // batched-point-read shape a 100 TB table uses to fetch a known set of
+    // clustering keys without scanning between them.
+    "q_kv_ck_in" -> { (s, dir) =>
+      val name = stageOrdersCk(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .filter(col("ck").isin(CkInVals.map(Long.box): _*))
+        .orderBy("pk", "ck")
+    },
+
+    // CQL native aggregates (CQL 2.2+ `SELECT sum(x), min(x), avg(x) ...
+    // GROUP BY pk`) — computed REPLICA-SIDE: grouped by the full key, every
+    // group lives inside one split, so the source folds each split's served
+    // rows into ONE aggregate row (COMPLETE pushdown — Spark plans no
+    // aggregate at all, PlanSpec asserts a HashAggregate-free plan and
+    // served == splits). At 100 TB the scan ships one row per partition
+    // key instead of the partition's rows. AVG rides verbatim (complete
+    // pushdown only — avg of avgs is wrong, so partial forms never see it).
+    "q_kv_value_agg" -> { (s, dir) =>
+      val name = stageOrdersVagg(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .groupBy("pk")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"),
+          count("clen").as("n_clen"), avg("cents").as("avg0"))
+        .withColumn("avg_cents", round(col("avg0"), 4)).drop("avg0")
+        .orderBy("pk")
+    },
+
+    // the PARTIAL form: ungrouped SUM/MIN/MAX/COUNT over the whole ring —
+    // each split serves one partial row (sum/min/max/count of its served
+    // rows) and Spark's final aggregate folds the per-split partials (sum
+    // of sums, min of mins, sum of counts). AVG decomposes into SUM+COUNT
+    // before pushdown — Spark's rewrite, exercised here. splits×1 rows
+    // shipped; the 100 TB full-table statistic read.
+    "q_kv_value_agg_partial" -> { (s, dir) =>
+      val name = stageOrdersVagg(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .agg(sum("cents").as("sum_cents"), min("cents").as("min_cents"),
+          max("cents").as("max_cents"), count("clen").as("n_clen"),
+          count(lit(1)).as("n"), avg("cents").as("avg0"))
+        .withColumn("avg_cents", round(col("avg0"), 4)).drop("avg0")
+    },
+
     // CQL 3.10+ `GROUP BY pk, ck-prefix` — grouping by the partition key
     // PLUS a clustering-column prefix is still COMPLETE pushdown: inside a
     // ck-sorted partition those groups are CONTIGUOUS RUNS, so the source
@@ -1691,6 +1773,47 @@ object Storage {
         |  COUNT(*) AS n
         |FROM customer
         |GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // the multi-slice IN read recomputed over the same staged projection
+    "q_kv_ck_in" ->
+      s"""SELECT o_custkey AS pk, o_orderkey AS ck, o_totalprice AS price
+         |FROM orders
+         |WHERE o_custkey <= 200 AND o_orderkey IN (${CkInVals.mkString(", ")})
+         |ORDER BY pk, ck""".stripMargin,
+
+    // the replica-side native aggregates recomputed over the same staged
+    // projection (sum cast back to BIGINT — DuckDB widens bigint sums to
+    // HUGEINT; avg is exact-integer-sum / count in both engines, rounded)
+    "q_kv_value_agg" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS pk,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |         ELSE CAST(length(o_orderpriority) AS BIGINT) END AS clen
+        |  FROM orders WHERE o_custkey <= 200)
+        |SELECT pk, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+        |  COUNT(clen) AS n_clen, round(AVG(cents), 4) AS avg_cents
+        |FROM t GROUP BY pk ORDER BY pk""".stripMargin,
+
+    "q_kv_value_agg_partial" ->
+      """WITH t AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |         ELSE CAST(length(o_orderpriority) AS BIGINT) END AS clen
+        |  FROM orders WHERE o_custkey <= 200)
+        |SELECT CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+        |  COUNT(clen) AS n_clen, COUNT(*) AS n,
+        |  round(AVG(cents), 4) AS avg_cents
+        |FROM t""".stripMargin,
+
+    // the distinct key tuples of the ring
+    "q_kv_distinct_keys" ->
+      """SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  c_mktsegment
+        |FROM customer
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     // per-(customer, priority) counts — the ck-prefix grouping

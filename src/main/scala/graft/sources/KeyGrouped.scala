@@ -10,12 +10,12 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -899,6 +899,12 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
       case GreaterThanOrEqual(a, v) if ckSet(a) && KVScan.ckBound(v).nonEmpty =>
         Some(a)
       case LessThan(a, v) if ckSet(a) && KVScan.ckBound(v).nonEmpty => Some(a)
+      // CQL `ck IN (...)` — the multi-slice read: allowed only on the LAST
+      // constrained clustering column (the prefix-shape check below rejects
+      // IN on earlier columns because it is not an EqualTo), answered as a
+      // union of point runs, one binary-searched slice per value
+      case In(a, vs) if ckSet(a) && vs.nonEmpty &&
+        vs.forall(v => KVScan.ckBound(v).nonEmpty) => Some(a)
       case _ => None
     }
     val ckByCol: Map[String, Array[Filter]] = filters
@@ -1038,7 +1044,12 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     * clustering column — partitions are ck-sorted, so a split's MIN(ck) is
     * its first surviving row's ck and MAX(ck) its last (two array-edge
     * reads, no row materialization; with pushed ck bounds, the edges of the
-    * binary-searched slice). None = some aggregate isn't servable. */
+    * binary-searched slice). Value-column SUM/MIN/MAX/COUNT/AVG are CQL's
+    * native aggregates (CQL 2.2+ `SELECT sum(x) ...` computed replica-side):
+    * one pass over the split's served rows, ONE aggregate row shipped per
+    * split instead of the rows themselves — at 100 TB the difference between
+    * a metadata-sized result and the corpus. None = some aggregate isn't
+    * servable. */
   private def aggSpecs(agg: Aggregation): Option[Seq[KVScan.PushedAgg]] = {
     def isCk(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e match {
@@ -1048,10 +1059,47 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
           entry.clusteringCols.headOption.contains(nr.fieldNames()(0))
         case _ => false
       }
+    // a value column servable by a one-pass fold: any non-static column
+    // (static cells are a per-partition overlay, not row cells — the fold
+    // over row cells would miscount them)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+          entry.schema.fieldNames.contains(nr.fieldNames()(0)) &&
+          !entry.staticCols.contains(nr.fieldNames()(0)) =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    def numeric(c: String): Boolean = entry.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType => true
+      case _ => false
+    }
+    // ordered scalar types with engine-portable comparison (strings excluded:
+    // UTF8String binary order vs collation is not ours to relitigate here)
+    def ordered(c: String): Boolean = numeric(c) ||
+      (entry.schema(c).dataType match {
+        case TimestampType | DateType => true
+        case _ => false
+      })
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => KVScan.AggCount
       case m: Min if isCk(m.column) => KVScan.AggMinCk
       case m: Max if isCk(m.column) => KVScan.AggMaxCk
+      case m: Min => colOf(m.column).filter(ordered)
+        .map(KVScan.AggMinCol).getOrElse(return None)
+      case m: Max => colOf(m.column).filter(ordered)
+        .map(KVScan.AggMaxCol).getOrElse(return None)
+      case s: Sum if !s.isDistinct => colOf(s.column).filter(numeric)
+        .map(KVScan.AggSumCol).getOrElse(return None)
+      case c: Count if !c.isDistinct => colOf(c.column)
+        .map(KVScan.AggCountCol).getOrElse(return None)
+      // AVG is not decomposable across splits (avg of avgs is wrong), so it
+      // is only accepted verbatim; pushAggregation refuses it unless the
+      // grouping is complete (full key tuple — one group per split). Spark
+      // itself rewrites AVG into SUM/COUNT before offering a partial push.
+      case a: Avg if !a.isDistinct => colOf(a.column).filter(numeric)
+        .map(KVScan.AggAvgCol).getOrElse(return None)
       case _ => return None
     }
     Some(specs)
@@ -1074,9 +1122,11 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
 
   /** An aggregate grouped by the full key tuple (+ any ck prefix) is
     * final: every group lives inside one split, so served values ARE the
-    * answer — no re-aggregation. */
+    * answer — no re-aggregation. A grouping with ZERO aggregate
+    * expressions is `SELECT DISTINCT pk[, ck-prefix]` — CQL's DISTINCT
+    * partition-key enumeration, served from ring metadata alone. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    !mvPushed && aggSpecs(agg).exists(_.nonEmpty) && groupByNames(agg).exists(ns =>
+    !mvPushed && aggSpecs(agg).isDefined && groupByNames(agg).exists(ns =>
       ns.nonEmpty && groupShape(ns).contains(true))
 
   override def pushAggregation(agg: Aggregation): Boolean = {
@@ -1092,10 +1142,20 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     if (mvPushed) return false
     aggSpecs(agg) match {
       case Some(specs) if specs.nonEmpty =>
+        val hasAvg = specs.exists(_.isInstanceOf[KVScan.AggAvgCol])
         groupByNames(agg) match {
-          case Some(Nil) => pushedAggs = specs; true
-          case Some(ns) if groupShape(ns).isDefined =>
+          case Some(Nil) if !hasAvg => pushedAggs = specs; true
+          case Some(ns) if ns.nonEmpty && groupShape(ns).isDefined &&
+            (!hasAvg || groupShape(ns).contains(true)) =>
             groupCols = ns; pushedAggs = specs; true
+          case _ => false
+        }
+      case Some(Nil) =>
+        // SELECT DISTINCT pk[, ck-prefix] — group-only pushdown: one
+        // metadata row per split (or per ck run), no aggregate values
+        groupByNames(agg) match {
+          case Some(ns) if ns.nonEmpty && groupShape(ns).isDefined =>
+            groupCols = ns; true
           case _ => false
         }
       case _ => false
@@ -1114,6 +1174,12 @@ object KVScan {
   case object AggCount extends PushedAgg
   case object AggMinCk extends PushedAgg
   case object AggMaxCk extends PushedAgg
+  // CQL native aggregates over a value column (one-pass fold per split)
+  final case class AggSumCol(col: String) extends PushedAgg
+  final case class AggMinCol(col: String) extends PushedAgg
+  final case class AggMaxCol(col: String) extends PushedAgg
+  final case class AggCountCol(col: String) extends PushedAgg
+  final case class AggAvgCol(col: String) extends PushedAgg
 
   /** ANN top-k read (the Cassandra 5 `ORDER BY emb ANN OF ? LIMIT k`
     * vector-search shape, served like SAI: per data partition, the local
@@ -1197,13 +1263,24 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     offset: Option[Int] = None, ann: Option[KVScan.AnnSpec] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering with SupportsReportStatistics {
-  import KVScan.{AggCount, AggMaxCk, AggMinCk}
+  import KVScan.{AggAvgCol, AggCount, AggCountCol, AggMaxCk, AggMaxCol, AggMinCk, AggMinCol, AggSumCol}
 
-  private def aggPushed: Boolean = pushedAggs.nonEmpty
+  private def aggPushed: Boolean = pushedAggs.nonEmpty || groupCols.nonEmpty
   private def aggLabel(a: KVScan.PushedAgg): String = a match {
     case AggCount => "COUNT(*)"
     case AggMinCk => s"MIN(${entry.clusteringCols.head})"
     case AggMaxCk => s"MAX(${entry.clusteringCols.head})"
+    case AggSumCol(c) => s"SUM($c)"
+    case AggMinCol(c) => s"MIN($c)"
+    case AggMaxCol(c) => s"MAX($c)"
+    case AggCountCol(c) => s"COUNT($c)"
+    case AggAvgCol(c) => s"AVG($c)"
+  }
+  /** Result type of a pushed SUM — Spark's Sum widening: integral → LongType,
+    * floating → DoubleType (same rule as CQL's bigint/double sums). */
+  private def sumType(c: String): DataType = entry.schema(c).dataType match {
+    case FloatType | DoubleType => DoubleType
+    case _ => LongType
   }
   override def readSchema(): StructType =
     if (aggPushed) {
@@ -1215,6 +1292,11 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
         case AggMaxCk =>
           val c = entry.clusteringCols.head
           StructField(s"max($c)", entry.schema(c).dataType)
+        case AggSumCol(c) => StructField(s"sum($c)", sumType(c))
+        case AggMinCol(c) => StructField(s"min($c)", entry.schema(c).dataType)
+        case AggMaxCol(c) => StructField(s"max($c)", entry.schema(c).dataType)
+        case AggCountCol(c) => StructField(s"count($c)", LongType, nullable = false)
+        case AggAvgCol(c) => StructField(s"avg($c)", DoubleType)
       }
       StructType((groupCols.map(entry.schema(_)) ++ aggFields).toArray)
     } else required
@@ -1222,7 +1304,9 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
   override def description(): String =
     s"graft-kv:$tname pushed=[${pushed.mkString(",")}]" +
       (if (aggPushed)
-        s" PushedAggregation: [${pushedAggs.map(aggLabel).mkString(",")}]" +
+        (if (pushedAggs.nonEmpty)
+          s" PushedAggregation: [${pushedAggs.map(aggLabel).mkString(",")}]"
+        else " PushedDistinct") +
           (if (groupCols.nonEmpty) s" PushedGroupBy: [${groupCols.mkString(",")}]" else "")
       else "") +
       limit.map(l => s" PushedLimit: $l").getOrElse("") +
@@ -1336,22 +1420,29 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
   // binary searches over tuple prefixes.
   private lazy val ckIdxs: Seq[Int] = entry.ckIdxs
   /** (equality-prefix values, lo bound on the next col (inclusive),
-    * hi bound on the next col (value, inclusive?), contradictory =
-    * provably-empty (two different equalities on one column), last
-    * constrained column declared DESC); None = no ck predicates pushed. */
-  private lazy val ckSlice: Option[(IndexedSeq[Any], Option[Any], Option[(Any, Boolean)], Boolean, Boolean)] = {
+    * hi bound on the next col (value, inclusive?), IN values on the last
+    * constrained col (CQL `ck IN (...)` — None = no IN pushed),
+    * contradictory = provably-empty (two different equalities on one
+    * column), last constrained column declared DESC); None = no ck
+    * predicates pushed. */
+  private final case class CkSliceSpec(eqPrefix: IndexedSeq[Any],
+      lo: Option[Any], hi: Option[(Any, Boolean)], ins: Option[Seq[Any]],
+      contradictory: Boolean, lastDesc: Boolean)
+  private lazy val ckSlice: Option[CkSliceSpec] = {
     val ckCols = entry.clusteringCols
     val byCol: Map[String, Array[Filter]] = pushed
       .filter {
         case EqualTo(a, _) => ckCols.contains(a)
         case GreaterThanOrEqual(a, _) => ckCols.contains(a)
         case LessThan(a, _) => ckCols.contains(a)
+        case In(a, _) => ckCols.contains(a)
         case _ => false
       }
       .groupBy {
         case EqualTo(a, _) => a
         case GreaterThanOrEqual(a, _) => a
         case LessThan(a, _) => a
+        case In(a, _) => a
         case _ => ""
       }
     if (byCol.isEmpty) None
@@ -1364,7 +1455,9 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
         if (vs.distinct.length > 1) contradictory = true
         vs.head
       }.toIndexedSeq
-      // last constrained column: fold equalities and ranges into [lo, hi]
+      // last constrained column: fold equalities and ranges into [lo, hi],
+      // and IN lists into a value set (intersected across multiple INs and
+      // with any equality, range-filtered below at serve time)
       val last = constrained.last
       val eqs = byCol(last).collect { case EqualTo(_, v) => KVScan.ckBound(v).get }
       if (eqs.distinct.length > 1) contradictory = true
@@ -1381,7 +1474,29 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
         if (c < 0) a else if (c > 0) b
         else if (!a._2) a else b // equal values: exclusive is tighter
       }
-      Some((eqPrefix, lo, hi, contradictory, entry.ckDesc(last)))
+      def same(a: Any, b: Any): Boolean =
+        KeyGroupedRegistry.compareCkCell(a, b) == 0
+      val inSets = byCol(last).collect { case In(_, vs) =>
+        vs.iterator.map(v => KVScan.ckBound(v).get).toSeq }
+      val ins: Option[Seq[Any]] = inSets.reduceOption { (a, b) =>
+        a.filter(x => b.exists(same(x, _)))
+      }.map { merged =>
+        // dedup, keep only values satisfying any equality and the [lo, hi]
+        // range folded from the other predicates on this column
+        val dedup = merged.foldLeft(Vector.empty[Any]) { (acc, v) =>
+          if (acc.exists(same(v, _))) acc else acc :+ v
+        }
+        dedup.filter { v =>
+          eqs.forall(same(v, _)) &&
+            lo.forall(l => KeyGroupedRegistry.compareCkCell(v, l) >= 0) &&
+            hi.forall { case (h, incl) =>
+              val c = KeyGroupedRegistry.compareCkCell(v, h)
+              if (incl) c <= 0 else c < 0
+            }
+        }
+      }
+      Some(CkSliceSpec(eqPrefix, lo, hi, ins, contradictory,
+        entry.ckDesc(last)))
     }
   }
   /** First index whose ck-tuple prefix compares >= (strict=false) or >
@@ -1409,8 +1524,23 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
   }
   private def sliceRows(rows: Array[Array[Any]]): Array[Array[Any]] =
     ckSlice match {
-      case Some((_, _, _, true, _)) => Array.empty // contradictory equalities
-      case Some((eqPrefix, lo, hi, _, lastDesc)) =>
+      case Some(s) if s.contradictory => Array.empty
+      case Some(s) if s.ins.isDefined =>
+        // CQL `ck IN (...)`: a union of point runs, one binary-searched
+        // slice per value — values visited in STORED order (DESC columns
+        // reversed) so the concatenation stays physically sorted and the
+        // top-n / per-partition-limit caps downstream remain prefix-exact
+        val sorted = s.ins.get.sortWith { (a, b) =>
+          val c = KeyGroupedRegistry.compareCkCell(a, b)
+          if (s.lastDesc) c > 0 else c < 0
+        }
+        sorted.iterator.flatMap { v =>
+          val t = s.eqPrefix :+ v
+          val lb = boundSearch(rows, t, strict = false)
+          val ub = boundSearch(rows, t, strict = true)
+          if (lb >= ub) Iterator.empty else rows.slice(lb, ub).iterator
+        }.toArray
+      case Some(CkSliceSpec(eqPrefix, lo, hi, _, _, lastDesc)) =>
         // on an ASC-stored last column the run starts at the lo edge and
         // ends at the hi edge; a DESC-stored column reverses the physical
         // order, so the VALUE range [lo, hi) starts at the hi edge
@@ -1616,6 +1746,45 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
         }
         // with ck1 declared DESC the physical head holds the MAX
         val headDesc = entry.ckDescFlags.headOption.getOrElse(false)
+        // value-column folds (CQL native aggregates): SQL null semantics —
+        // SUM/MIN/MAX/AVG skip nulls and are NULL over no surviving value,
+        // COUNT(col) counts non-nulls. Floating columns fold in DOUBLE;
+        // integral in LONG (exact). MIN/MAX compare in the fold's own width
+        // (cells of one column share a type); ts/date cells are stored as
+        // their epoch encodings, so the long compare is the time order.
+        def floating(c: String): Boolean = entry.schema(c).dataType match {
+          case FloatType | DoubleType => true
+          case _ => false
+        }
+        def cells(run: Array[Array[Any]], c: String): Iterator[Any] = {
+          val i = entry.schema.fieldIndex(c)
+          run.iterator.map(_(i)).filter(_ != null)
+        }
+        def sumOf(run: Array[Array[Any]], c: String): Any = {
+          var any = false
+          if (floating(c)) {
+            var s = 0.0
+            cells(run, c).foreach { v =>
+              s += v.asInstanceOf[Number].doubleValue; any = true }
+            if (any) s else null
+          } else {
+            var s = 0L
+            cells(run, c).foreach { v =>
+              s = Math.addExact(s, v.asInstanceOf[Number].longValue); any = true }
+            if (any) s else null
+          }
+        }
+        def extremum(run: Array[Array[Any]], c: String, wantMax: Boolean): Any = {
+          val fl = floating(c)
+          cells(run, c).reduceOption { (a, b) =>
+            val cmp =
+              if (fl) java.lang.Double.compare(
+                a.asInstanceOf[Number].doubleValue, b.asInstanceOf[Number].doubleValue)
+              else java.lang.Long.compare(
+                a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+            if ((cmp >= 0) == wantMax) a else b
+          }.orNull
+        }
         def aggValsOf(run: Array[Array[Any]]): Seq[Any] = pushedAggs.map {
           case AggCount => run.length.toLong: Any
           case AggMinCk =>
@@ -1626,6 +1795,18 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
             if (run.isEmpty) null
             else if (headDesc) run.head(ckIdxs.head)
             else run.last(ckIdxs.head)
+          case AggSumCol(c) => sumOf(run, c)
+          case AggMinCol(c) => extremum(run, c, wantMax = false)
+          case AggMaxCol(c) => extremum(run, c, wantMax = true)
+          case AggCountCol(c) => cells(run, c).size.toLong: Any
+          case AggAvgCol(c) =>
+            val n = cells(run, c).size
+            if (n == 0) null
+            else sumOf(run, c) match {
+              case l: java.lang.Long => l.toDouble / n: Any
+              case d: java.lang.Double => d / n: Any
+              case _ => null
+            }
         }
         entry.parts.iterator.filter { case (k, _) => keepKey(k) }
           .flatMap { case (k, rows) =>

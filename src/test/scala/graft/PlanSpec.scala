@@ -346,6 +346,72 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(planOf(df).contains("PerPartitionLimit: 3"), planOf(df))
   }
 
+  test("SELECT DISTINCT key tuples is metadata-only: one row per split, no aggregate") {
+    val df = Storage.queries("q_kv_distinct_keys")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val name = s"cust_comp:$sfDir"
+    val splits = graft.sources.KeyGroupedRegistry.get(name).parts.length
+    assert(rows.length == splits, s"${rows.length} tuples vs $splits splits")
+    // one metadata row per split — no data row served
+    val served = graft.sources.KeyGroupedRegistry.lastScanRows(name)
+    assert(served == splits.toLong, s"served $served from $splits splits")
+    val plan = planOf(df)
+    assert(plan.contains("PushedDistinct"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
+  test("ck IN multi-slice is pushed: only matching rows leave the store, in stored order") {
+    val df = Storage.queries("q_kv_ck_in")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val name = s"orders_ck:$sfDir"
+    // the IN slices are exact: the store served precisely the result rows,
+    // never the gaps between the point runs
+    val served = graft.sources.KeyGroupedRegistry.lastScanRows(name)
+    assert(served == rows.length.toLong, s"served $served, returned ${rows.length}")
+    val total = graft.sources.KeyGroupedRegistry.get(name).parts.map(_._2.length).sum
+    assert(served < total, s"IN did not slice ($served of $total)")
+    val plan = planOf(df)
+    assert(plan.contains("In(ck"), plan)
+  }
+
+  test("value-column aggregates GROUP BY full key are complete pushdown: one fold row per split") {
+    val df = Storage.queries("q_kv_value_agg")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val name = s"orders_vagg:$sfDir"
+    val splits = graft.sources.KeyGroupedRegistry.get(name).parts.length
+    assert(rows.length == splits, s"${rows.length} groups vs $splits splits")
+    // the source folded each split into ONE aggregate row — no data row
+    // left the store (the CQL-native-aggregate replica-side shape)
+    val served = graft.sources.KeyGroupedRegistry.lastScanRows(name)
+    assert(served == splits.toLong, s"served $served from $splits splits")
+    val plan = planOf(df)
+    assert(plan.contains("SUM(cents)"), plan)
+    assert(plan.contains("AVG(cents)"), plan)
+    assert(plan.contains("COUNT(clen)"), plan)
+    // complete pushdown: Spark plans NO aggregate on top
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
+  test("ungrouped value aggregates are partial pushdown: one partial row per split") {
+    val df = Storage.queries("q_kv_value_agg_partial")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val name = s"orders_vagg:$sfDir"
+    val splits = graft.sources.KeyGroupedRegistry.get(name).parts.length
+    val served = graft.sources.KeyGroupedRegistry.lastScanRows(name)
+    assert(served == splits.toLong, s"served $served from $splits splits")
+    val plan = planOf(df)
+    assert(plan.contains("SUM(cents)"), plan)
+    // AVG decomposed to SUM+COUNT by Spark before the partial push — the
+    // pushed list must NOT contain AVG
+    assert(!plan.contains("AVG("), plan)
+    // partial pushdown: Spark still plans the final re-aggregation
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("GROUP BY pk + ck-prefix counts are complete pushdown: one run row, no aggregate") {
     val df = Storage.queries("q_kv_grouped_count_ck")(spark, sfDir)
     val rows = df.collect()
