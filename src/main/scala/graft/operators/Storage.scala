@@ -788,6 +788,59 @@ object Storage {
         .orderBy("id", "mkey")
     },
 
+    // CQL non-frozen UDT field-wise merge (CQL `CREATE TYPE` + a column
+    // used WITHOUT `frozen<>`): each FIELD of the struct is its own cell —
+    // INSERT assigns the whole value (UDT tombstone at wt−1, cells for the
+    // struct's non-null fields), `UPDATE t SET u.f = ?` wins only field f
+    // (a null field in the update struct = untouched), and `DELETE u.f`
+    // ('delcols'='u.f') tombstones exactly that field, resurrectable by a
+    // later write. The result projects the struct's fields to scalars so
+    // the DuckDB oracle replays the per-field log exactly. A struct column
+    // NOT declared in 'udts' stays FROZEN: one cell, whole-value LWW.
+    "q_kv_udt_merge" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.profile")
+      s.sql("CREATE TABLE graftcat.testks.profile " +
+        "(id BIGINT, p STRUCT<age: BIGINT, city: STRING>, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true', " +
+        "'udts'='p')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_custkey") <= 150)
+        .select(col("o_orderkey").as("ok"),
+          pmod(col("o_custkey"), lit(30)).cast(LongType).as("id"))
+      // INSERT assign: every 7th order replaces the whole UDT
+      o.filter(pmod(col("ok"), lit(7)) === 0)
+        .select(col("id"),
+          expr("named_struct('age', CAST(ok AS BIGINT), " +
+            "'city', 'c' || CAST(ok % 5 AS STRING))").as("p"),
+          (col("ok") * 1000000L).as("wt"))
+        .writeTo("graftcat.testks.profile").append()
+      // UPDATE p.age = ok*2 (city field null = untouched): every 3rd order
+      o.filter(pmod(col("ok"), lit(3)) === 0)
+        .select(col("id"),
+          expr("named_struct('age', CAST(ok * 2 AS BIGINT), " +
+            "'city', CAST(NULL AS STRING))").as("p"),
+          (col("ok") * 1000000L + 1L).as("wt"))
+        .writeTo("graftcat.testks.profile").option("update", "true").append()
+      // UPDATE p.city = 'u'||ok%4 (age untouched): every 5th order
+      o.filter(pmod(col("ok"), lit(5)) === 0)
+        .select(col("id"),
+          expr("named_struct('age', CAST(NULL AS BIGINT), " +
+            "'city', 'u' || CAST(ok % 4 AS STRING))").as("p"),
+          (col("ok") * 1000000L + 2L).as("wt"))
+        .writeTo("graftcat.testks.profile").option("update", "true").append()
+      // DELETE p.age (field tombstone, city and the row survive): every
+      // 11th order
+      o.filter(pmod(col("ok"), lit(11)) === 0)
+        .select(col("id"),
+          expr("CAST(NULL AS STRUCT<age: BIGINT, city: STRING>)").as("p"),
+          (col("ok") * 1000000L + 3L).as("wt"))
+        .writeTo("graftcat.testks.profile").option("delcols", "p.age").append()
+      s.read.table("graftcat.testks.profile")
+        .select(col("id"), col("p.age").as("age"), col("p.city").as("city"))
+        .orderBy("id")
+    },
+
     // CQL list<T> position-wise merge — the third collection type: cells
     // keyed by write POSITION (append major = +wt, prepend major = −wt so a
     // later prepend lands at the FRONT — Cassandra's negative-timeuuid
@@ -2188,6 +2241,58 @@ object Storage {
 
     // Per-entry LWW replay, keyed by (id, map key): live iff the winner is
     // a put above the id's newest collection tombstone (assign wt − 1).
+    // Field-wise replay: per (id, field), cells above the id's newest UDT
+    // tombstone (assign wt − 1) compete by timestamp; the winning put is
+    // the visible field value, a winning delete reads NULL. A row appears
+    // iff it has a marker (any INSERT) or any live field.
+    "q_kv_udt_merge" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, CAST(o_custkey % 30 AS BIGINT) AS id
+        |  FROM orders WHERE o_custkey <= 150),
+        |clr AS (
+        |  SELECT id, MAX(ok * 1000000 - 1) AS cw
+        |  FROM o WHERE ok % 7 = 0 GROUP BY id),
+        |age_ops AS (
+        |  SELECT id, CAST(ok AS BIGINT) AS val, ok * 1000000 AS wt,
+        |    1 AS is_put FROM o WHERE ok % 7 = 0
+        |  UNION ALL
+        |  SELECT id, CAST(ok * 2 AS BIGINT), ok * 1000000 + 1, 1
+        |  FROM o WHERE ok % 3 = 0
+        |  UNION ALL
+        |  SELECT id, CAST(NULL AS BIGINT), ok * 1000000 + 3, 0
+        |  FROM o WHERE ok % 11 = 0),
+        |city_ops AS (
+        |  SELECT id, 'c' || CAST(ok % 5 AS VARCHAR) AS val,
+        |    ok * 1000000 AS wt, 1 AS is_put FROM o WHERE ok % 7 = 0
+        |  UNION ALL
+        |  SELECT id, 'u' || CAST(ok % 4 AS VARCHAR), ok * 1000000 + 2, 1
+        |  FROM o WHERE ok % 5 = 0),
+        |age_win AS (
+        |  SELECT id, val, is_put FROM (
+        |    SELECT a.*, ROW_NUMBER() OVER (PARTITION BY a.id
+        |      ORDER BY a.wt DESC) AS rn
+        |    FROM age_ops a LEFT JOIN clr ON a.id = clr.id
+        |    WHERE a.wt > COALESCE(clr.cw, -9223372036854775808)) w
+        |  WHERE rn = 1),
+        |city_win AS (
+        |  SELECT id, val, is_put FROM (
+        |    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY c.id
+        |      ORDER BY c.wt DESC) AS rn
+        |    FROM city_ops c LEFT JOIN clr ON c.id = clr.id
+        |    WHERE c.wt > COALESCE(clr.cw, -9223372036854775808)) w
+        |  WHERE rn = 1),
+        |ids AS (
+        |  SELECT DISTINCT id FROM o WHERE ok % 7 = 0
+        |  UNION SELECT id FROM age_win WHERE is_put = 1
+        |  UNION SELECT id FROM city_win WHERE is_put = 1)
+        |SELECT i.id,
+        |  CASE WHEN a.is_put = 1 THEN a.val END AS age,
+        |  CASE WHEN c.is_put = 1 THEN c.val END AS city
+        |FROM ids i
+        |LEFT JOIN age_win a ON i.id = a.id
+        |LEFT JOIN city_win c ON i.id = c.id
+        |ORDER BY i.id""".stripMargin,
+
     "q_kv_map_merge" ->
       """WITH o AS (
         |  SELECT o_orderkey AS ok, CAST(o_custkey % 30 AS BIGINT) AS id

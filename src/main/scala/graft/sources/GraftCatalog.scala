@@ -121,7 +121,8 @@ object GraftCatalogStore {
       val maps: Set[String] = Set.empty,
       val lists: Set[String] = Set.empty,
       val cellWt: Map[String, String] = Map.empty,
-      val cellTtl: Map[String, String] = Map.empty) {
+      val cellTtl: Map[String, String] = Map.empty,
+      val udts: Set[String] = Set.empty) {
     val rows = TrieMap.empty[Any, Array[Any]]
     /** Store of a cellwise table ('cellwise'='true'): per-cell LWW instead
       * of whole-row replacement. `rows` stays empty for these tables. */
@@ -184,7 +185,7 @@ object GraftCatalogStore {
           c.ttl.exists(tt => GUpsertTable.epochSeconds(c.wt) + tt + graceSeconds <= now)
         def isSet(di: Int): Boolean = {
           val n = t.schema.fields(t.dataIdx(di)).name
-          t.sets(n) || t.maps(n) || t.lists(n)
+          t.sets(n) || t.maps(n) || t.lists(n) || t.udts(n)
         }
         // a set column reclaims per ELEMENT cell (expired adds and element
         // tombstones past grace); a state left with no elements and a
@@ -411,6 +412,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"list column $n must be an ARRAY, got ${other.catalogString}")
       }
     }
+    // 'udts' = columns declared NON-FROZEN CQL UDTs (CQL `CREATE TYPE` +
+    // a column of that type without `frozen<>`): a StructType column whose
+    // FIELDS each merge as their own cell — `UPDATE t SET u.f = ?` wins
+    // only field f, an assign tombstones the whole value first (wt−1) the
+    // way collections do, and `DELETE u.f FROM t` tombstones one field.
+    // A struct column NOT declared here is FROZEN: one scalar cell,
+    // whole-value LWW — exactly CQL `frozen<my_type>`. Field-wise merge
+    // only exists at the cell granule, so the property demands a cellwise
+    // table.
+    val udtCols = props.get("udts")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    udtCols.foreach { n =>
+      require(cellwise, s"UDT column $n: 'udts' requires a cellwise table " +
+        "(field-wise merge only exists at the cell granule)")
+      require(schema.fieldNames.contains(n), s"UDT column $n not in schema")
+      require(!sets(n) && !mapCols(n) && !listCols(n),
+        s"column $n cannot be both a UDT and a set/map/list")
+      require(n != keyCol && !writetime.contains(n) && !ttl.contains(n) &&
+          !counters(n),
+        s"UDT column $n cannot be a key/writetime/ttl/counter column")
+      schema(n).dataType match {
+        case _: StructType => ()
+        case other => throw new IllegalArgumentException(
+          s"UDT column $n must be a STRUCT, got ${other.catalogString}")
+      }
+    }
+
     // 'cellwt' / 'cellttl' = WRITETIME() / TTL() projection columns (CQL
     // `SELECT WRITETIME(a), TTL(a)`): each entry 'metaCol:dataCol' declares
     // a read-only column serving the winning cell's write timestamp
@@ -435,7 +464,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(schema.fieldNames.contains(d),
         s"meta column $m: target column $d not in schema")
       require(d != keyCol && !writetime.contains(d) && !ttl.contains(d) &&
-          !metaCols(d) && !sets(d) && !mapCols(d) && !listCols(d),
+          !metaCols(d) && !sets(d) && !mapCols(d) && !listCols(d) &&
+          !udtCols(d),
         s"meta column $m: target $d must be a scalar data column")
       require(schema(m).dataType == LongType,
         s"meta column $m must be BIGINT, got ${schema(m).dataType.catalogString}")
@@ -444,7 +474,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "a column cannot serve both 'cellwt' and 'cellttl'")
     tables.put(key, new GraftCatalogStore.T(
       schema1, keyCol, sets, writetime, ttl, counters, now, cellwise,
-      mapCols, listCols, cellWt, cellTtl))
+      mapCols, listCols, cellWt, cellTtl, udtCols))
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -815,9 +845,9 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       // untouched, no row marker written (the row lives on through its
       // marker / other cells; a later write resurrects the column). Only
       // meaningful on cellwise tables — row-granular deletes are whole-row.
-      private val delCols: Set[Int] =
+      private val (delCols: Set[Int], delFields: Map[Int, Set[Int]]) =
         Option(info.options.get("delcols")) match {
-          case None => Set.empty
+          case None => (Set.empty[Int], Map.empty[Int, Set[Int]])
           case Some(sx) =>
             require(t.cellwise,
               s"$tname: the 'delcols' write option (CQL `DELETE col FROM t`) " +
@@ -827,14 +857,29 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
               s"$tname: 'delcols' cannot combine with other write modes")
             val names = sx.split(',').map(_.trim).filter(_.nonEmpty)
             require(names.nonEmpty, s"$tname: 'delcols' names no columns")
-            names.foreach { n =>
+            // dotted names are FIELD deletes on a non-frozen UDT column
+            // (CQL `DELETE u.f FROM t WHERE k = ?`): tombstone exactly that
+            // field's cell, the rest of the UDT untouched
+            val (dotted, plain) = names.partition(_.contains('.'))
+            plain.foreach { n =>
               require(t.schema.fieldNames.contains(n),
                 s"$tname: 'delcols' column $n not in schema")
               require(n != t.keyCol && !t.writetime.contains(n) &&
                   !t.ttl.contains(n),
                 s"$tname: 'delcols' cannot delete key/writetime/ttl column $n (CQL)")
             }
-            names.map(t.schema.fieldIndex).toSet
+            val fieldDels = dotted.map { n =>
+              val cut = n.indexOf('.')
+              val (cn, fn) = (n.substring(0, cut), n.substring(cut + 1))
+              require(t.udts(cn),
+                s"$tname: 'delcols' $n — field deletes need a declared " +
+                  "non-frozen UDT column (frozen values delete whole)")
+              val st = t.schema(cn).dataType.asInstanceOf[StructType]
+              require(st.fieldNames.contains(fn),
+                s"$tname: 'delcols' $n — no field $fn in ${st.catalogString}")
+              t.schema.fieldIndex(cn) -> st.fieldIndex(fn)
+            }.groupBy(_._1).map { case (si, fs) => si -> fs.map(_._2).toSet }
+            (plain.map(t.schema.fieldIndex).toSet, fieldDels)
         }
       // extract with the ANALYZED write schema, not t.schema: a concurrent
       // ALTER ADD between analysis and execution would otherwise make the
@@ -861,7 +906,7 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
             // the logged-BATCH surface also uses
             GUpsertTable.validateWrites(t, all)
             GUpsertTable.applyWrites(t, all, ifNotExists, updateMode,
-              collRemove, ifExists, listPrepend, ifEq, delCols)
+              collRemove, ifExists, listPrepend, ifEq, delCols, delFields)
           } finally rl.unlock()
         }
         override def toBatch: BatchWrite = new BatchWrite {
@@ -913,7 +958,8 @@ object GUpsertTable {
   private[sources] def mergeCellwise(t: GraftCatalogStore.T, r: Array[Any],
       updateMode: Boolean, collRemove: Boolean = false,
       listPrepend: Boolean = false,
-      delIdx: Set[Int] = Set.empty): Unit = {
+      delIdx: Set[Int] = Set.empty,
+      delFields: Map[Int, Set[Int]] = Map.empty): Unit = {
     val ki = t.schema.fieldIndex(t.keyCol)
     val wi = t.schema.fieldIndex(t.writetime.get)
     val ti = t.ttl.map(t.schema.fieldIndex)
@@ -923,6 +969,9 @@ object GUpsertTable {
     def isSet(si: Int): Boolean = t.sets(t.schema.fields(si).name)
     def isMap(si: Int): Boolean = t.maps(t.schema.fields(si).name)
     def isList(si: Int): Boolean = t.lists(t.schema.fields(si).name)
+    def isUdt(si: Int): Boolean = t.udts(t.schema.fields(si).name)
+    def isComplex(si: Int): Boolean =
+      isSet(si) || isMap(si) || isList(si) || isUdt(si)
     // CQL `DELETE a, b FROM t WHERE k = ?` (the 'delcols' write option):
     // tombstone EXACTLY the named columns at the statement timestamp —
     // scalar columns get a cell tombstone, collection columns a collection
@@ -930,17 +979,16 @@ object GUpsertTable {
     // whole-collection delete) — touch nothing else and write no row
     // marker, so the row survives through its marker/other live cells and
     // a later write can resurrect the column.
-    val deleting = delIdx.nonEmpty
+    val deleting = delIdx.nonEmpty || delFields.nonEmpty
     // UPDATE: NULL data cells are untouched; INSERT: every data cell is an
     // explicit write (NULL = cell tombstone) and the row marker is set
     val written: Array[(Int, GCell)] =
       if (deleting) t.dataIdx.zipWithIndex.collect {
-        case (si, di) if delIdx(si) && !isSet(si) && !isMap(si) && !isList(si) =>
+        case (si, di) if delIdx(si) && !isComplex(si) =>
           di -> GCell(null, wt, None)
       }
       else t.dataIdx.zipWithIndex.collect {
-        case (si, di) if !isSet(si) && !isMap(si) && !isList(si) &&
-            !(updateMode && r(si) == null) =>
+        case (si, di) if !isComplex(si) && !(updateMode && r(si) == null) =>
           di -> GCell(r(si), wt, ttl)
       }
     // collection columns merge ELEMENT-wise (CQL complex columns): INSERT
@@ -961,14 +1009,37 @@ object GUpsertTable {
     // the key classes' Scaladoc for the position and shadowing rules
     val collWritten: Array[(Int, GCollState)] =
       if (deleting) t.dataIdx.zipWithIndex.collect {
-        case (si, di) if delIdx(si) && (isSet(si) || isMap(si) || isList(si)) =>
+        // whole-column delete: a collection/UDT tombstone at wt itself;
+        // `DELETE u.f` (delFields): one FIELD tombstone cell, no clear —
+        // the rest of the UDT survives and a later write resurrects f
+        case (si, di) if delIdx(si) && isComplex(si) =>
           di -> GCollState(wt, Map.empty)
+        case (si, di) if delFields.contains(si) =>
+          di -> GCollState(Long.MinValue,
+            delFields(si).iterator.map(fi =>
+              (fi: Any) -> GCell(null, wt, None)).toMap)
       }
       else t.dataIdx.zipWithIndex.collect {
-      case (si, di) if (isSet(si) || isMap(si) || isList(si)) &&
-          !(updateMode && r(si) == null) =>
+      case (si, di) if isComplex(si) && !(updateMode && r(si) == null) =>
+        // non-frozen UDT (CQL `CREATE TYPE` minus `frozen<>`): each FIELD
+        // is its own cell, keyed by field ordinal, carrying (ordinal,
+        // value) like a map entry. INSERT/assign writes the collection-
+        // style tombstone at wt−1 plus cells for the struct's NON-NULL
+        // fields (null fields are simply shadowed — CQL writes no cell for
+        // an unset field); UPDATE writes cells for the non-null fields
+        // only, touching nothing else — `UPDATE t SET u.f = ?` per field.
+        def udtCells: Map[Any, GCell] = {
+          require(!collRemove,
+            s"${t.schema.fields(si).name}: a UDT has no element-remove " +
+              "form (CQL) — delete fields with 'delcols'='u.f'")
+          r(si).asInstanceOf[Array[Any]].iterator.zipWithIndex.collect {
+            case (fv, fi) if fv != null =>
+              (fi: Any) -> GCell((fi, fv), wt, ttl)
+          }.toMap
+        }
         def cells: Map[Any, GCell] =
           if (r(si) == null) Map.empty
+          else if (isUdt(si)) udtCells
           else if (isSet(si))
             r(si).asInstanceOf[Array[Any]].iterator
               .map(e => elemKey(e) ->
@@ -1019,6 +1090,12 @@ object GUpsertTable {
           val (bk, bv) = b.asInstanceOf[(Any, Any)]
           val c = compareCell(kt, ak, bk)
           if (c != 0) c else compareCell(vt, av, bv)
+        // UDT field cells: same field by key construction — tie-break on
+        // the field VALUE in the field's own type
+        case st: StructType =>
+          val (af, av) = a.asInstanceOf[(Int, Any)]
+          val (_, bv) = b.asInstanceOf[(Int, Any)]
+          compareCell(st.fields(af).dataType, av, bv)
         case other =>
           throw new IllegalStateException(s"collection cell of type $other")
       }
@@ -1123,7 +1200,26 @@ object GUpsertTable {
       cr.cells.zipWithIndex.foreach { case (c, di) =>
         val fname = t.schema.fields(t.dataIdx(di)).name
         if (c != null) {
-          if (t.sets(fname) || t.maps(fname) || t.lists(fname)) {
+          if (t.udts(fname)) {
+            // non-frozen UDT: visible value = the struct with each LIVE
+            // field's winning cell filled in, dead/absent fields NULL; an
+            // all-dead UDT reads NULL (the empty-collection rule applied
+            // to fields — Cassandra's non-frozen UDT liveness)
+            val st = c.v.asInstanceOf[GCollState]
+            val live = st.elems.valuesIterator.filter(e =>
+              e.v != null && e.wt > st.clearWt && !expired(e)).toArray
+            if (live.nonEmpty) {
+              val nf = t.schema.fields(t.dataIdx(di)).dataType
+                .asInstanceOf[StructType].size
+              val arr = new Array[Any](nf)
+              live.foreach { e =>
+                val (fi, fv) = e.v.asInstanceOf[(Int, Any)]
+                arr(fi) = fv
+              }
+              visible(di) = arr
+              live.foreach(e => liveWts += e.wt)
+            }
+          } else if (t.sets(fname) || t.maps(fname) || t.lists(fname)) {
             // collection column: the visible value is the SORTED live
             // elements/entries (cells above the collection tombstone,
             // unexpired — lists sort by POSITION, not value); an empty
@@ -1251,7 +1347,8 @@ object GUpsertTable {
       collRemove: Boolean = false, ifExists: Boolean = false,
       listPrepend: Boolean = false,
       ifEq: Option[(Int, Any)] = None,
-      delCols: Set[Int] = Set.empty): Unit = {
+      delCols: Set[Int] = Set.empty,
+      delFields: Map[Int, Set[Int]] = Map.empty): Unit = {
     val ki = t.schema.fieldIndex(t.keyCol)
     val setIdx = t.schema.fields.zipWithIndex.collect {
       case (f, i) if t.sets(f.name) =>
@@ -1276,7 +1373,8 @@ object GUpsertTable {
           r(i) = GraftCatalogStore.canonicalSet(r(i).asInstanceOf[Array[Any]], et)
       }
       if (t.cellwise)
-        mergeCellwise(t, r, updateMode, collRemove, listPrepend, delCols)
+        mergeCellwise(t, r, updateMode, collRemove, listPrepend, delCols,
+          delFields)
       else {
         val key = r(ki)
         if (ifNotExists) t.rows.putIfAbsent(key, r)

@@ -1515,6 +1515,204 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("non-frozen UDT merges per field: updates, field deletes, assigns, resurrection") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.udt")
+    spark.sql("CREATE TABLE graftcat.proptest.udt " +
+      "(id INT, p STRUCT<age: BIGINT, city: STRING>, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true', " +
+      "'udts'='p')")
+    def w(sql: String, opts: (String, String)*): Unit = {
+      var wr = spark.sql(sql).writeTo("graftcat.proptest.udt")
+      opts.foreach { case (k, v) => wr = wr.option(k, v) }
+      wr.append()
+    }
+    def state(): (Any, Any) = {
+      val r = spark.table("graftcat.proptest.udt")
+        .selectExpr("p.age", "p.city").collect()
+      assert(r.length == 1, r.mkString(","))
+      (r.head.get(0), r.head.get(1))
+    }
+    // INSERT assigns both fields
+    w("SELECT 1 AS id, named_struct('age', 1L, 'city', 'a') AS p, 10L AS wt")
+    assert(state() == ((1L, "a")))
+    // UPDATE wins only the set field
+    w("SELECT 1 AS id, named_struct('age', 5L, " +
+      "'city', CAST(NULL AS STRING)) AS p, 20L AS wt", "update" -> "true")
+    assert(state() == ((5L, "a")))
+    // a STALE field update loses to the stored cell
+    w("SELECT 1 AS id, named_struct('age', CAST(NULL AS BIGINT), " +
+      "'city', 'stale') AS p, 5L AS wt", "update" -> "true")
+    assert(state() == ((5L, "a")))
+    // DELETE p.age tombstones one field; city and the row survive
+    w("SELECT 1 AS id, CAST(NULL AS STRUCT<age: BIGINT, city: STRING>) AS p," +
+      " 30L AS wt", "delcols" -> "p.age")
+    assert(state() == ((null, "a")))
+    // a write OLDER than the field tombstone cannot resurrect it
+    w("SELECT 1 AS id, named_struct('age', 7L, " +
+      "'city', CAST(NULL AS STRING)) AS p, 25L AS wt", "update" -> "true")
+    assert(state() == ((null, "a")))
+    // a NEWER write does
+    w("SELECT 1 AS id, named_struct('age', 9L, " +
+      "'city', CAST(NULL AS STRING)) AS p, 40L AS wt", "update" -> "true")
+    assert(state() == ((9L, "a")))
+    // assign shadows everything below it: null city field reads NULL
+    w("SELECT 1 AS id, named_struct('age', 2L, " +
+      "'city', CAST(NULL AS STRING)) AS p, 50L AS wt")
+    assert(state() == ((2L, null)))
+    // DDL guards: 'udts' demands a STRUCT column on a cellwise table, and
+    // field deletes check the field exists
+    var e: Exception = intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.proptest.udtbad " +
+        "(id INT, p BIGINT, wt BIGINT) TBLPROPERTIES ('key'='id', " +
+        "'writetime'='wt', 'cellwise'='true', 'udts'='p')")
+    }
+    assert(e.getMessage.contains("STRUCT"), e.getMessage)
+    e = intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.proptest.udtbad2 " +
+        "(id INT, p STRUCT<a: BIGINT>) TBLPROPERTIES ('key'='id', " +
+        "'udts'='p')")
+    }
+    assert(e.getMessage.contains("cellwise"), e.getMessage)
+    e = intercept[Exception] {
+      w("SELECT 1 AS id, CAST(NULL AS STRUCT<age: BIGINT, city: STRING>) " +
+        "AS p, 60L AS wt", "delcols" -> "p.nope")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("no field nope")), chain(e))
+  }
+
+  test("an undeclared struct column is frozen: whole-value cell LWW") {
+    // CQL frozen<my_type>: without 'udts' the struct is ONE scalar cell —
+    // an update replaces the whole value, never a single field
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.fz")
+    spark.sql("CREATE TABLE graftcat.proptest.fz " +
+      "(id INT, p STRUCT<age: BIGINT, city: STRING>, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true')")
+    spark.sql("SELECT 1 AS id, named_struct('age', 1L, 'city', 'a') AS p, " +
+      "10L AS wt").writeTo("graftcat.proptest.fz").append()
+    // newer whole-value write wins even with a null field inside
+    spark.sql("SELECT 1 AS id, named_struct('age', 2L, " +
+      "'city', CAST(NULL AS STRING)) AS p, 20L AS wt")
+      .writeTo("graftcat.proptest.fz").option("update", "true").append()
+    val r = spark.table("graftcat.proptest.fz")
+      .selectExpr("p.age", "p.city").collect()
+    assert(r.length == 1 && r.head.get(0) == 2L && r.head.get(1) == null,
+      r.mkString(","))
+    // a stale whole-value write loses wholesale — 'a' does NOT come back
+    spark.sql("SELECT 1 AS id, named_struct('age', 3L, 'city', 'zzz') AS p, " +
+      "15L AS wt").writeTo("graftcat.proptest.fz").option("update", "true").append()
+    val r2 = spark.table("graftcat.proptest.fz")
+      .selectExpr("p.age", "p.city").collect()
+    assert(r2.head.get(0) == 2L && r2.head.get(1) == null, r2.mkString(","))
+  }
+
+  test("UDT field merge converges under any batch interleaving") {
+    // property: the same op multiset (assigns / field updates / field
+    // deletes) applied in any order and batch split converges, and matches
+    // an independent per-field LWW model (fields live iff their winner is a
+    // put above the newest UDT tombstone; a row lives through its marker or
+    // any live field).
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    // kind 0 = INSERT assign (fields as given, None = NULL assign = clear),
+    // kind 1 = UPDATE (non-null fields win), kind 2 = DELETE p.age,
+    // kind 3 = DELETE p.city
+    case class Op(id: Int, age: Option[Long], city: Option[String], wt: Long,
+        kind: Int)
+    val pType = StructType(Seq(
+      StructField("age", LongType), StructField("city", StringType)))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("p", pType),
+      StructField("wt", LongType, nullable = false)))
+    def applyBatch(ops: Seq[Op]): Unit = {
+      def df(set: Seq[Op], blank: Boolean) = spark.createDataFrame(
+        spark.sparkContext.parallelize(set.map(o =>
+          Row(o.id,
+            if (blank || (o.kind == 0 && o.age.isEmpty && o.city.isEmpty)) null
+            else Row(o.age.map(Long.box).orNull, o.city.orNull),
+            o.wt)), 1), schema)
+      val byKind = ops.groupBy(_.kind)
+      byKind.get(0).foreach(g =>
+        df(g, blank = false).writeTo("graftcat.proptest.up").append())
+      byKind.get(1).foreach(g => df(g, blank = false)
+        .writeTo("graftcat.proptest.up").option("update", "true").append())
+      byKind.get(2).foreach(g => df(g, blank = true)
+        .writeTo("graftcat.proptest.up").option("delcols", "p.age").append())
+      byKind.get(3).foreach(g => df(g, blank = true)
+        .writeTo("graftcat.proptest.up").option("delcols", "p.city").append())
+    }
+    def readState(): Map[Int, (Any, Any)] =
+      spark.table("graftcat.proptest.up").selectExpr("id", "p.age", "p.city")
+        .collect().map(r => r.getInt(0) -> ((r.get(1), r.get(2)))).toMap
+    def expected(ops: Seq[Op]): Map[Int, (Any, Any)] =
+      ops.groupBy(_.id).flatMap { case (id, g) =>
+        val assigns = g.filter(_.kind == 0)
+        // an assign with a VALUE clears at wt−1 (its own field cells are at
+        // wt); a NULL assign clears at wt itself
+        val clearW = assigns.map(o =>
+          if (o.age.isEmpty && o.city.isEmpty) o.wt else o.wt - 1)
+          .maxOption.getOrElse(Long.MinValue)
+        // per-field candidates: (wt, value-or-null-for-tombstone)
+        def winner(cands: Seq[(Long, Any)], cmp: (Any, Any) => Int): Option[Any] =
+          cands.filter(_._1 > clearW)
+            .sortWith((p, q) => p._1 > q._1 ||
+              (p._1 == q._1 && ((p._2 == null && q._2 != null) ||
+                (((p._2 == null) == (q._2 == null)) && cmp(p._2, q._2) > 0))))
+            .headOption.map(_._2)
+        def cmpNum(a: Any, b: Any): Int =
+          if (a == null || b == null) 0
+          else java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+        def cmpStr(a: Any, b: Any): Int =
+          if (a == null || b == null) 0
+          else a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+        val ageW = winner(
+          (assigns ++ g.filter(_.kind == 1))
+            .flatMap(o => o.age.map(v => (o.wt, Long.box(v): Any))) ++
+            g.filter(_.kind == 2).map(o => (o.wt, null: Any)), cmpNum)
+        val cityW = winner(
+          (assigns ++ g.filter(_.kind == 1))
+            .flatMap(o => o.city.map(v => (o.wt, v: Any))) ++
+            g.filter(_.kind == 3).map(o => (o.wt, null: Any)), cmpStr)
+        val marker = assigns.map(_.wt).maxOption
+        val av = ageW.orNull
+        val cv = cityW.orNull
+        if (marker.isEmpty && av == null && cv == null) None
+        else Some(id -> ((av, cv)))
+      }
+    val rnd = new scala.util.Random(20260815)
+    (0 until 3).foreach { trial =>
+      val ops = (0 until 24).map { _ =>
+        Op(rnd.nextInt(3),
+          if (rnd.nextBoolean()) Some(rnd.nextInt(50).toLong) else None,
+          if (rnd.nextBoolean()) Some("v" + rnd.nextInt(8)) else None,
+          rnd.nextInt(10).toLong, rnd.nextInt(4))
+      }
+      val exp = expected(ops)
+      val states = (0 until 2).map { _ =>
+        spark.sql("DROP TABLE IF EXISTS graftcat.proptest.up")
+        spark.sql("CREATE TABLE graftcat.proptest.up " +
+          "(id INT, p STRUCT<age: BIGINT, city: STRING>, wt BIGINT) " +
+          "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true', " +
+          "'udts'='p')")
+        val shuffled = rnd.shuffle(ops)
+        val nb = 1 + rnd.nextInt(4)
+        shuffled.grouped(math.max(1, (shuffled.size + nb - 1) / nb))
+          .foreach(applyBatch)
+        readState()
+      }
+      assert(states(0) == states(1), s"trial $trial diverged across interleavings")
+      assert(states(0) == exp, s"trial $trial: ${states(0)} != $exp")
+    }
+  }
+
   test("ALTER TABLE migrates rows in place — concurrent commits cannot be lost") {
     // the copy-then-swap design lost any INSERT committing into the old
     // store between copy and swap; the in-place migration under the table's
