@@ -788,6 +788,32 @@ object Storage {
         .orderBy("id", "mkey")
     },
 
+    // CQL `WITH default_time_to_live = N`: a write with NO explicit TTL
+    // expires after the table default; an explicit `USING TTL` overrides,
+    // and `USING TTL 0` disables even the default (immortal). Three write
+    // classes (defaulted / explicit-120 / zero) read at a clock 90 s past
+    // the writes: the defaulted (60 s) rows are gone, the others live, and
+    // the visible ttl column shows the EFFECTIVE value the way the stored
+    // cell carries it (60 / 120 / NULL).
+    "q_kv_default_ttl" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.dttl")
+      s.sql("CREATE TABLE graftcat.testks.dttl " +
+        "(id BIGINT, v BIGINT, wt BIGINT, tl BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'ttl'='tl', " +
+        "'default_ttl'='60', 'now'='1000090')")
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") * 7).as("v"),
+          lit(1000000000000L).as("wt"),
+          expr("CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN NULL " +
+            "WHEN 1 THEN 120L ELSE 0L END").as("tl"))
+        .writeTo("graftcat.testks.dttl").append()
+      s.read.table("graftcat.testks.dttl")
+        .select("id", "v", "tl").orderBy("id")
+    },
+
     // CQL non-frozen UDT field-wise merge (CQL `CREATE TYPE` + a column
     // used WITHOUT `frozen<>`): each FIELD of the struct is its own cell —
     // INSERT assigns the whole value (UDT tombstone at wt−1, cells for the
@@ -2241,6 +2267,15 @@ object Storage {
 
     // Per-entry LWW replay, keyed by (id, map key): live iff the winner is
     // a put above the id's newest collection tombstone (assign wt − 1).
+    // default-TTL replay: writes at epochSeconds 1e6, read clock 1e6+90 —
+    // defaulted (60 s) rows expired, explicit 120 s and TTL-0 rows live
+    "q_kv_default_ttl" ->
+      """SELECT o_orderkey AS id, o_orderkey * 7 AS v,
+        |  CAST(CASE CAST(o_orderkey % 3 AS INT) WHEN 1 THEN 120 END AS BIGINT) AS tl
+        |FROM orders
+        |WHERE o_orderkey <= 500 AND o_orderkey % 3 <> 0
+        |ORDER BY id""".stripMargin,
+
     // Field-wise replay: per (id, field), cells above the id's newest UDT
     // tombstone (assign wt − 1) compete by timestamp; the winning put is
     // the visible field value, a winning delete reads NULL. A row appears

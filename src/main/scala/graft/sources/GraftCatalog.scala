@@ -122,7 +122,8 @@ object GraftCatalogStore {
       val lists: Set[String] = Set.empty,
       val cellWt: Map[String, String] = Map.empty,
       val cellTtl: Map[String, String] = Map.empty,
-      val udts: Set[String] = Set.empty) {
+      val udts: Set[String] = Set.empty,
+      val defaultTtl: Option[Long] = None) {
     val rows = TrieMap.empty[Any, Array[Any]]
     /** Store of a cellwise table ('cellwise'='true'): per-cell LWW instead
       * of whole-row replacement. `rows` stays empty for these tables. */
@@ -472,9 +473,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     require(cellWt.keySet.intersect(cellTtl.keySet).isEmpty,
       "a column cannot serve both 'cellwt' and 'cellttl'")
+    // 'default_ttl' = CQL `WITH default_time_to_live = N`: a write whose
+    // ttl cell is NULL gets the table default; an EXPLICIT ttl overrides
+    // it, and CQL's `USING TTL 0` turns the default OFF for that write
+    // (stored as no-expiry). Only meaningful with a declared ttl column.
+    val defaultTtl = props.get("default_ttl").map { v =>
+      require(ttl.isDefined,
+        "'default_ttl' requires a 'ttl' column (CQL default_time_to_live " +
+          "is a default for USING TTL)")
+      val n = v.toLong
+      require(n > 0, s"'default_ttl' must be positive, got $n")
+      n
+    }
     tables.put(key, new GraftCatalogStore.T(
       schema1, keyCol, sets, writetime, ttl, counters, now, cellwise,
-      mapCols, listCols, cellWt, cellTtl, udtCols))
+      mapCols, listCols, cellWt, cellTtl, udtCols, defaultTtl))
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -964,7 +977,10 @@ object GUpsertTable {
     val wi = t.schema.fieldIndex(t.writetime.get)
     val ti = t.ttl.map(t.schema.fieldIndex)
     val wt = epochMicros(r(wi))
+    // CQL default_time_to_live: NULL ttl → the table default; an explicit
+    // TTL overrides; TTL 0 disables even the default (no expiry)
     val ttl = ti.flatMap(i => Option(r(i)).map(_.asInstanceOf[Number].longValue))
+      .orElse(t.defaultTtl).filter(_ != 0L)
     val key = r(ki)
     def isSet(si: Int): Boolean = t.sets(t.schema.fields(si).name)
     def isMap(si: Int): Boolean = t.maps(t.schema.fields(si).name)
@@ -1366,11 +1382,25 @@ object GUpsertTable {
     def padded(r0: Array[Any]): Array[Any] =
       if (r0.length < arity) r0 ++ Array.fill[Any](arity - r0.length)(null)
       else r0
+    // CQL default_time_to_live on the row-granular path: materialize the
+    // default into the stored ttl cell (NULL → default, explicit wins,
+    // TTL 0 → no expiry) so the read-path expiry check and the visible ttl
+    // column both see the effective value
+    // (row-granular only: mergeCellwise applies the default per cell and
+    // must see the raw 0-vs-NULL distinction)
+    val ttlIdx = if (t.defaultTtl.isDefined && !t.cellwise)
+      t.ttl.map(t.schema.fieldIndex) else None
     rows.foreach { r0 =>
       val r = padded(r0)
       setIdx.foreach { case (i, et) =>
         if (r(i) != null)
           r(i) = GraftCatalogStore.canonicalSet(r(i).asInstanceOf[Array[Any]], et)
+      }
+      ttlIdx.foreach { i =>
+        r(i) =
+          if (r(i) == null) Long.box(t.defaultTtl.get)
+          else if (r(i).asInstanceOf[Number].longValue == 0L) null
+          else r(i)
       }
       if (t.cellwise)
         mergeCellwise(t, r, updateMode, collRemove, listPrepend, delCols,

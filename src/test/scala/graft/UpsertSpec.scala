@@ -1713,6 +1713,37 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("default_time_to_live: NULL ttl defaults, explicit overrides, TTL 0 disables") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    // cellwise: the default rides on every CELL written without a ttl
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.dt")
+    spark.sql("CREATE TABLE graftcat.proptest.dt " +
+      "(id INT, a BIGINT, b BIGINT, wt BIGINT, tl BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'ttl'='tl', " +
+      "'cellwise'='true', 'default_ttl'='60')")
+    // wt 1e12 micros = epochSeconds 1e6; a defaulted (60 s), b immortal
+    spark.sql("SELECT 1 AS id, 10L AS a, CAST(NULL AS BIGINT) AS b, " +
+      "1000000000000L AS wt, CAST(NULL AS BIGINT) AS tl")
+      .writeTo("graftcat.proptest.dt").append()
+    spark.sql("SELECT 1 AS id, CAST(NULL AS BIGINT) AS a, 20L AS b, " +
+      "1000000000001L AS wt, 0L AS tl")
+      .writeTo("graftcat.proptest.dt").option("update", "true").append()
+    def at(now: Long): Seq[(Any, Any)] =
+      spark.read.option("now", now.toString)
+        .table("graftcat.proptest.dt").selectExpr("a", "b").collect()
+        .map(r => (r.get(0), r.get(1))).toSeq
+    // before the default expiry both live; after it only the TTL-0 cell
+    assert(at(1000030) == Seq((10L, 20L)), at(1000030))
+    assert(at(1000090) == Seq((null, 20L)), at(1000090))
+    // DDL guard: default_ttl without a ttl column is rejected
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.proptest.dtbad (id INT, v BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'default_ttl'='60')")
+    }
+    assert(e.getMessage.contains("default_ttl"), e.getMessage)
+  }
+
   test("ALTER TABLE migrates rows in place — concurrent commits cannot be lost") {
     // the copy-then-swap design lost any INSERT committing into the old
     // store between copy and swap; the in-place migration under the table's
