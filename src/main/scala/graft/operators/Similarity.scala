@@ -271,6 +271,40 @@ object Similarity {
         .select(col("vec_id"), col("label"),
           round(col("cosine_raw"), 6).as("cosine"), col("rank"))
         .orderBy("rank")
+    },
+
+    // the same ANN read under SAI's `similarity_function = 'euclidean'`
+    // index option (`annSim`): per-split candidates ranked by
+    // 1 / (1 + squared L2 distance) — the store's scoring matches the
+    // catalog's similarity_euclidean SQL function and the Spark-side
+    // re-score below element-for-element, so the global top-10 is always a
+    // subset of the splits' candidate sets
+    "q_kv_ann_euclidean" -> { (s, dir) =>
+      val name = s"embed_ann:$dir"
+      graft.sources.KeyGroupedRegistry.stageMulti(name,
+        Tables.load(s, dir, "embeddings")
+          .select(col("label"), col("vec_id"), col("embedding")),
+        Seq("label"))
+      val ones64 = Array.fill(64)("1.0").mkString(",")
+      val cand = s.read.format("graft.sources.KVDataSource")
+        .option("table", name)
+        .option("annColumn", "embedding")
+        .option("annQuery", ones64)
+        .option("annK", "10")
+        .option("annSim", "euclidean")
+        .load()
+      val w = Window.orderBy(col("euc_raw").desc, col("vec_id").asc)
+      cand
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("qv", expr("array_repeat(1.0d, 64)"))
+        .withColumn("d2", expr("aggregate(zip_with(qv, v, " +
+          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+        .withColumn("euc_raw", lit(1.0) / (lit(1.0) + col("d2")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("vec_id"), col("label"),
+          round(col("euc_raw"), 6).as("sim_euc"), col("rank"))
+        .orderBy("rank")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -435,6 +469,22 @@ object Similarity {
         |      vec_id ASC) AS rank
         |  FROM e)
         |SELECT vec_id, label, round(cosine_raw, 6) AS cosine,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // euclidean similarity to the all-ones query: 1 / (1 + Σ (x − 1)²),
+    // the same per-element left-to-right accumulation as the store
+    "q_kv_ann_euclidean" ->
+      s"""WITH e AS ($vecsSql),
+        |r AS (
+        |  SELECT vec_id, label,
+        |    1.0 / (1.0 + list_sum(list_transform(v,
+        |      x -> (1.0 - x) * (1.0 - x)))) AS euc_raw,
+        |    row_number() OVER (ORDER BY 1.0 / (1.0 + list_sum(
+        |      list_transform(v, x -> (1.0 - x) * (1.0 - x)))) DESC,
+        |      vec_id ASC) AS rank
+        |  FROM e)
+        |SELECT vec_id, label, round(euc_raw, 6) AS sim_euc,
         |  CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin)
 

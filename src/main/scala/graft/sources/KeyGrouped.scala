@@ -1192,21 +1192,43 @@ object KVScan {
     * top-k is always a subset of the per-split candidates. Exposed as read
     * options (`annColumn`/`annQuery`/`annK`) because Spark has no ANN
     * ordering surface to push; a real connector would translate the CQL. */
-  final case class AnnSpec(colIdx: Int, query: Array[Double], k: Int) {
+  final case class AnnSpec(colIdx: Int, query: Array[Double], k: Int,
+      sim: String = "cosine") {
     val queryNorm: Double = {
       var s = 0.0; var i = 0
       while (i < query.length) { s += query(i) * query(i); i += 1 }
       math.sqrt(s)
     }
-    def cosineTo(cell: Any): Double = {
+    /** Similarity score, higher = closer — the SAI `similarity_function`
+      * index option (Cassandra 5: COSINE default, EUCLIDEAN as
+      * 1 / (1 + squared distance), DOT_PRODUCT mapped to [0, 1]). Each
+      * accumulates FLOAT→DOUBLE left-to-right, the same arithmetic as the
+      * catalog's similarity_* SQL functions, so store-side candidate
+      * rankings agree exactly with a Spark-side re-score. */
+    def scoreTo(cell: Any): Double = {
       val arr = cell.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      var dot = 0.0; var nrm = 0.0; var i = 0
       val n = arr.numElements()
-      while (i < n) {
-        val x = arr.getFloat(i).toDouble
-        dot += query(i) * x; nrm += x * x; i += 1
+      var i = 0
+      sim match {
+        case "euclidean" =>
+          var d2 = 0.0
+          while (i < n) {
+            val d = query(i) - arr.getFloat(i).toDouble
+            d2 += d * d; i += 1
+          }
+          1.0 / (1.0 + d2)
+        case "dot_product" =>
+          var dot = 0.0
+          while (i < n) { dot += query(i) * arr.getFloat(i).toDouble; i += 1 }
+          (1.0 + dot) / 2.0
+        case _ =>
+          var dot = 0.0; var nrm = 0.0
+          while (i < n) {
+            val x = arr.getFloat(i).toDouble
+            dot += query(i) * x; nrm += x * x; i += 1
+          }
+          dot / (math.sqrt(nrm) * queryNorm)
       }
-      dot / (math.sqrt(nrm) * queryNorm)
     }
   }
   object AnnSpec {
@@ -1226,7 +1248,12 @@ object KVScan {
           .split(',').map(_.trim.toDouble)
         val k = Option(options.get("annK")).map(_.toInt).getOrElse(10)
         require(k > 0, s"graft-kv:$tname ANN k must be positive")
-        AnnSpec(entry.schema.fieldIndex(c), q, k)
+        // SAI `similarity_function` index option (Cassandra 5)
+        val sim = Option(options.get("annSim")).getOrElse("cosine")
+        require(Set("cosine", "euclidean", "dot_product")(sim),
+          s"graft-kv:$tname ANN similarity must be cosine/euclidean/" +
+            s"dot_product, got $sim")
+        AnnSpec(entry.schema.fieldIndex(c), q, k, sim)
       }
   }
 
@@ -1316,7 +1343,7 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
       perPartitionLimit.map(l => s" PerPartitionLimit: $l").getOrElse("") +
       offset.map(o => s" PushedOffset: $o").getOrElse("") +
       ann.map(a =>
-        s" AnnTopK: [${entry.schema.fieldNames(a.colIdx)} k=${a.k}]").getOrElse("") +
+        s" AnnTopK: [${entry.schema.fieldNames(a.colIdx)} k=${a.k} sim=${a.sim}]").getOrElse("") +
       mvPred.map { case (c, v) => s" MVRead: [$c=$v]" }.getOrElse("")
 
   /** Integral key cells compare by long value so boxing width never splits a
@@ -1619,7 +1646,7 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     // exact ties keep stored order deterministically)
     val annPicked = ann match {
       case Some(a) =>
-        filtered.map(r => (a.cosineTo(r(a.colIdx)), r))
+        filtered.map(r => (a.scoreTo(r(a.colIdx)), r))
           .sortBy(-_._1).take(a.k).map(_._2)
       case None => filtered
     }

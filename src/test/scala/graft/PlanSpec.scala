@@ -281,7 +281,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // each split served its local top-10 candidates only
     assert(served == 10L * planned, s"served $served from $planned splits")
     assert(served < total, s"ANN did not reduce the scan ($served of $total)")
-    assert(planOf(df).contains("AnnTopK: [embedding k=10]"), planOf(df))
+    assert(planOf(df).contains("AnnTopK: [embedding k=10 sim=cosine]"), planOf(df))
   }
 
   test("indexed-column RANGE prunes splits to in-range owners (SAI analog)") {
