@@ -1083,6 +1083,28 @@ object Storage {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // CQL `WHERE tags CONTAINS ?` — the collection-index read (Cassandra
+    // 2i on a set, SAI collection semantics): the indexed ARRAY column's
+    // inverted projection maps each ELEMENT to the partitions owning at
+    // least one row whose collection holds it, so the scan plans only those
+    // splits and row-filters exactly inside them (PlanSpec asserts planned
+    // splits < ring size and served == result rows). A read option, like
+    // the ANN read — Spark has no array-containment Filter to push; a real
+    // connector translates the CQL predicate.
+    "q_kv_contains" -> { (s, dir) =>
+      val name = s"cust_tags:$dir"
+      graft.sources.KeyGroupedRegistry.stageMulti(name,
+        Tables.load(s, dir, "customer").select(
+          col("c_custkey"), col("c_acctbal"),
+          array(col("c_mktsegment"),
+            concat(lit("N"), col("c_nationkey"))).as("tags")),
+        Seq("c_custkey"), indexCols = Seq("tags"))
+      s.read.format("graft.sources.KVDataSource").option("table", name)
+        .option("contains", "tags:N7").load()
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
     // CQL `ck IN (...)` — the multi-slice clustering read (`SELECT ...
     // WHERE pk = ? AND ck IN (?, ?, ...)`): the source answers with a UNION
     // OF POINT RUNS, one binary-searched slice per IN value inside each
@@ -1853,6 +1875,12 @@ object Storage {
         |FROM customer
         |GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // CONTAINS 'N7' over the derived tag set == nationkey 7
+    "q_kv_contains" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer WHERE c_nationkey = 7
+        |ORDER BY c_custkey""".stripMargin,
 
     // the multi-slice IN read recomputed over the same staged projection
     "q_kv_ck_in" ->

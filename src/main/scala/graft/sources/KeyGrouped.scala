@@ -117,8 +117,28 @@ object KeyGroupedRegistry {
       * instead of the full ring. */
     lazy val indexes: Map[String, Map[Any, Set[Vector[Any]]]] = indexCols.map { c =>
       val ci = schema.fieldIndex(c)
+      // a collection column indexes per ELEMENT (Cassandra's index on a
+      // set/list — SAI collection semantics): the inverted projection maps
+      // each element value to the partitions owning at least one row whose
+      // collection CONTAINS it; NULL collections contribute nothing
+      val elemType = schema(c).dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) => Some(et)
+        case _ => None
+      }
+      def cellsOf(r: Array[Any]): Iterator[Any] = elemType match {
+        case None => Iterator.single(normCell(r(ci)))
+        case Some(et) => r(ci) match {
+          case null => Iterator.empty
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toObjectArray(et).iterator.map {
+              case u: UTF8String => u.toString
+              case e => normCell(e)
+            }
+        }
+      }
       c -> parts.toSeq
-        .flatMap { case (k, rows) => rows.map(r => normCell(r(ci)) -> k) }
+        .flatMap { case (k, rows) => rows.iterator.flatMap(r =>
+          cellsOf(r).map(_ -> k)) }
         .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
     }.toMap
   }
@@ -627,7 +647,8 @@ class KVTable(tname: String, entry: KeyGroupedRegistry.Entry,
       override def build(): Scan = new KVCdcScan(tname, entry)
     } else new KVScanBuilder(tname, entry,
       Option(options.get("perPartitionLimit")).map(_.toInt),
-      KVScan.AnnSpec.fromOptions(tname, entry, options))
+      KVScan.AnnSpec.fromOptions(tname, entry, options),
+      KVScan.ContainsSpec.fromOptions(tname, entry, options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!cdc, s"graft-kv:$tname: the CDC stream is read-only")
     val in = info.schema().fieldNames.toSeq
@@ -845,7 +866,8 @@ class KVDataWriter(schema: StructType, keyIxs: Array[Int], ckIxs: Array[Int])
   * counts — at 100 TB no row bytes cross the wire either way. */
 class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     perPartitionLimit: Option[Int] = None,
-    ann: Option[KVScan.AnnSpec] = None)
+    ann: Option[KVScan.AnnSpec] = None,
+    contains: Option[KVScan.ContainsSpec] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -1164,7 +1186,7 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
 
   override def build(): Scan =
     new KVScan(tname, entry, required, pushed, pushedAggs, groupCols, limit,
-      topN, perPartitionLimit, offset, ann)
+      topN, perPartitionLimit, offset, ann, contains)
 }
 
 object KVScan {
@@ -1231,6 +1253,44 @@ object KVScan {
       }
     }
   }
+  /** CQL `WHERE tags CONTAINS ?` — the collection-index read (Cassandra 2i
+    * on a set/list, SAI collection semantics): served through the indexed
+    * column's per-ELEMENT inverted projection, pruning the ring to the
+    * partitions owning at least one row whose collection holds the value,
+    * then filtering rows exactly inside them. A read option (like the ANN
+    * read) because Spark has no array-containment source Filter to push —
+    * a real connector would translate the CQL predicate. */
+  final case class ContainsSpec(col: String, colIdx: Int,
+      elemType: DataType, value: Any)
+  object ContainsSpec {
+    def fromOptions(tname: String, entry: KeyGroupedRegistry.Entry,
+        options: CaseInsensitiveStringMap): Option[ContainsSpec] =
+      Option(options.get("contains")).map { s =>
+        val cut = s.indexOf(':')
+        require(cut > 0 && cut < s.length - 1,
+          s"graft-kv:$tname 'contains' must be '<column>:<element>', got '$s'")
+        val (c, raw) = (s.substring(0, cut), s.substring(cut + 1))
+        require(entry.schema.fieldNames.contains(c),
+          s"graft-kv:$tname CONTAINS column $c not in schema")
+        require(entry.indexCols.contains(c),
+          s"graft-kv:$tname CONTAINS needs an index on $c (CQL: CONTAINS " +
+            "requires a secondary index on the collection)")
+        val et = entry.schema(c).dataType match {
+          case org.apache.spark.sql.types.ArrayType(t, _) => t
+          case other => throw new IllegalArgumentException(
+            s"graft-kv:$tname CONTAINS column $c must be a collection, " +
+              s"got ${other.catalogString}")
+        }
+        val v: Any = et match {
+          case ByteType | ShortType | IntegerType | LongType => raw.toLong
+          case StringType => raw
+          case other => throw new IllegalArgumentException(
+            s"graft-kv:$tname CONTAINS unsupported element type ${other.catalogString}")
+        }
+        ContainsSpec(c, entry.schema.fieldIndex(c), et, v)
+      }
+  }
+
   object AnnSpec {
     def fromOptions(tname: String, entry: KeyGroupedRegistry.Entry,
         options: CaseInsensitiveStringMap): Option[AnnSpec] =
@@ -1287,7 +1347,8 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     pushedAggs: Seq[KVScan.PushedAgg] = Nil,
     groupCols: Seq[String] = Nil, limit: Option[Int] = None,
     topN: Option[(Boolean, Int)] = None, perPartitionLimit: Option[Int] = None,
-    offset: Option[Int] = None, ann: Option[KVScan.AnnSpec] = None)
+    offset: Option[Int] = None, ann: Option[KVScan.AnnSpec] = None,
+    contains: Option[KVScan.ContainsSpec] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering with SupportsReportStatistics {
   import KVScan.{AggAvgCol, AggCount, AggCountCol, AggMaxCk, AggMaxCol, AggMinCk, AggMinCol, AggSumCol}
@@ -1344,6 +1405,7 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
       offset.map(o => s" PushedOffset: $o").getOrElse("") +
       ann.map(a =>
         s" AnnTopK: [${entry.schema.fieldNames(a.colIdx)} k=${a.k} sim=${a.sim}]").getOrElse("") +
+      contains.map(cs => s" Contains: [${cs.col}=${cs.value}]").getOrElse("") +
       mvPred.map { case (c, v) => s" MVRead: [$c=$v]" }.getOrElse("")
 
   /** Integral key cells compare by long value so boxing width never splits a
@@ -1418,8 +1480,27 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
           .foldLeft(Set.empty[Vector[Any]])(_ union _)
     }
 
+  // CONTAINS pruning: the owner set of the element value in the indexed
+  // collection column's per-element inverted projection — partitions with
+  // no row holding the value are never planned
+  private lazy val containsKeys: Option[Set[Vector[Any]]] =
+    contains.map(cs =>
+      entry.indexes(cs.col).getOrElse(KeyGroupedRegistry.normCell(cs.value),
+        Set.empty[Vector[Any]]))
+  private def rowContains(cell: Any, cs: KVScan.ContainsSpec): Boolean =
+    cell match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(cs.elemType).exists {
+          case u: UTF8String => u.toString == cs.value
+          case e => KeyGroupedRegistry.normCell(e) ==
+            KeyGroupedRegistry.normCell(cs.value)
+        }
+      case _ => false
+    }
+
   private def keepKey(k: Vector[Any]): Boolean = {
     val at = entry.keyCols.zipWithIndex.toMap
+    containsKeys.forall(_.contains(k)) &&
     runtimeSets.forall { case (col, vs) =>
       vs.exists(v => cellEq(k(at(col)), v))
     } && pushed.forall {
@@ -1638,9 +1719,15 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     * offset — for `LIMIT n OFFSET m` it pushes limit n+m and offset m). */
   private def servedRows(rows: Array[Array[Any]]): Array[Array[Any]] = {
     val sliced = sliceRows(rows)
-    val filtered =
+    val filtered0 =
       if (idxPreds.isEmpty) sliced
       else sliced.filter(r => idxPreds.forall { case (ci, p) => p(r(ci)) })
+    // CONTAINS: exact row filter inside the index-pruned splits (the index
+    // maps an element to partitions owning AT LEAST ONE matching row)
+    val filtered = contains match {
+      case Some(cs) => filtered0.filter(r => rowContains(r(cs.colIdx), cs))
+      case None => filtered0
+    }
     // ANN top-k: the split's k best rows by cosine to the query vector —
     // its local candidates for the coordinator-side merge (stable sort, so
     // exact ties keep stored order deterministically)

@@ -361,6 +361,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("HashAggregate"), plan)
   }
 
+  test("CONTAINS plans only the element's owning splits (collection index)") {
+    val df = Storage.queries("q_kv_contains")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val name = s"cust_tags:$sfDir"
+    val total = graft.sources.KeyGroupedRegistry.get(name).parts.length
+    val planned = graft.sources.KeyGroupedRegistry.lastPlanned(name)
+    assert(planned < total, s"CONTAINS did not prune ($planned of $total)")
+    // the element index is exact here (one row per split), so the store
+    // served precisely the result rows
+    val served = graft.sources.KeyGroupedRegistry.lastScanRows(name)
+    assert(served == rows.length.toLong, s"served $served, returned ${rows.length}")
+    assert(planOf(df).contains("Contains: [tags=N7]"), planOf(df))
+  }
+
   test("ck IN multi-slice is pushed: only matching rows leave the store, in stored order") {
     val df = Storage.queries("q_kv_ck_in")(spark, sfDir)
     val rows = df.collect()
