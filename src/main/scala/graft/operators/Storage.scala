@@ -788,6 +788,33 @@ object Storage {
         .orderBy("id", "mkey")
     },
 
+    // Replication + consistency levels + blocking read repair (the
+    // keyspace `replication_factor`, modeled per table as 'rf'=2): a
+    // baseline write lands on BOTH replicas, then newer writes for the
+    // even ids MISS replica 0 ('failreplica'='0' — the down-node
+    // injection, no hinted handoff). A CL=ONE read of replica 0 would
+    // still see the stale baseline; this CL=QUORUM read merges the
+    // replicas by the table's LWW order, WRITES THE WINNER BACK to the
+    // stale replica (Cassandra's blocking read repair — UpsertSpec asserts
+    // the post-repair CL=ONE read), and serves the merged rows the oracle
+    // recomputes from the full write log.
+    "q_kv_read_repair" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.rr")
+      s.sql("CREATE TABLE graftcat.testks.rr (id BIGINT, v BIGINT, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'rf'='2')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey").as("id"))
+      o.select(col("id"), (col("id") * 10).as("v"), lit(1000000L).as("wt"))
+        .writeTo("graftcat.testks.rr").append()
+      o.filter(pmod(col("id"), lit(2)) === 0)
+        .select(col("id"), (col("id") * 30).as("v"), lit(2000000L).as("wt"))
+        .writeTo("graftcat.testks.rr").option("failreplica", "0").append()
+      s.read.option("cl", "quorum").table("graftcat.testks.rr")
+        .select("id", "v").orderBy("id")
+    },
+
     // CQL `WITH default_time_to_live = N`: a write with NO explicit TTL
     // expires after the table default; an explicit `USING TTL` overrides,
     // and `USING TTL 0` disables even the default (immortal). Three write
@@ -2295,6 +2322,15 @@ object Storage {
 
     // Per-entry LWW replay, keyed by (id, map key): live iff the winner is
     // a put above the id's newest collection tombstone (assign wt − 1).
+    // quorum = LWW over the FULL write log (the failed replica's miss is
+    // repaired, so the merged result is what a healthy cluster stores)
+    "q_kv_read_repair" ->
+      """SELECT o_orderkey AS id,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey * 30
+        |       ELSE o_orderkey * 10 END AS v
+        |FROM orders WHERE o_orderkey <= 400
+        |ORDER BY id""".stripMargin,
+
     // default-TTL replay: writes at epochSeconds 1e6, read clock 1e6+90 —
     // defaulted (60 s) rows expired, explicit 120 s and TTL-0 rows live
     "q_kv_default_ttl" ->

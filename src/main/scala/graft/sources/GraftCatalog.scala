@@ -123,8 +123,19 @@ object GraftCatalogStore {
       val cellWt: Map[String, String] = Map.empty,
       val cellTtl: Map[String, String] = Map.empty,
       val udts: Set[String] = Set.empty,
-      val defaultTtl: Option[Long] = None) {
+      val defaultTtl: Option[Long] = None,
+      val rf: Int = 1) {
     val rows = TrieMap.empty[Any, Array[Any]]
+    /** Replicas 1..rf−1 of a replicated table ('rf' > 1): `rows` is replica
+      * 0. Writes apply the same LWW merge to every replica a test hasn't
+      * failed ('failreplica'); CL=ONE reads replica 0 alone, CL=QUORUM
+      * merges all replicas by timestamp and write-back-repairs divergence
+      * (blocking read repair). Row-granular writetime tables only — the
+      * repair merge IS the LWW reconciliation, exactly Cassandra's. */
+    val extraReplicas: Array[TrieMap[Any, Array[Any]]] =
+      Array.fill(math.max(0, rf - 1))(TrieMap.empty[Any, Array[Any]])
+    def allReplicas: Array[TrieMap[Any, Array[Any]]] =
+      rows +: extraReplicas
     /** Store of a cellwise table ('cellwise'='true'): per-cell LWW instead
       * of whole-row replacement. `rows` stays empty for these tables. */
     val cellRows = TrieMap.empty[Any, GCellRow]
@@ -485,9 +496,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(n > 0, s"'default_ttl' must be positive, got $n")
       n
     }
+    // 'rf' = replication factor (CQL `WITH replication = {...
+    // 'replication_factor': N}` at the keyspace level, modeled per table):
+    // N independent replica stores. Writes apply to every replica (minus
+    // any test-failed ones), CL=QUORUM reads merge + read-repair. The
+    // repair merge is timestamp LWW, so a replicated table must carry a
+    // writetime column; cellwise/counter/LWT surfaces stay RF=1 (cell
+    // repair and Paxos are out of the modeled scope, stated loudly).
+    val rf = props.get("rf").map(_.toInt).getOrElse(1)
+    require(rf >= 1 && rf <= 3, s"'rf' must be 1..3, got $rf")
+    if (rf > 1) {
+      require(writetime.isDefined,
+        "'rf' > 1 requires a 'writetime' column — read repair merges " +
+          "replicas by client timestamp (Cassandra's LWW reconciliation)")
+      require(!cellwise, "'rf' > 1 is not supported on cellwise tables " +
+        "(per-cell repair is not modeled)")
+      require(counters.isEmpty, "'rf' > 1 is not supported on counter " +
+        "tables (additive merge is not LWW-repairable)")
+    }
     tables.put(key, new GraftCatalogStore.T(
       schema1, keyCol, sets, writetime, ttl, counters, now, cellwise,
-      mapCols, listCols, cellWt, cellTtl, udtCols, defaultTtl))
+      mapCols, listCols, cellWt, cellTtl, udtCols, defaultTtl, rf))
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -751,9 +780,12 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       case EqualTo(_, v) => Set[Any](v)
       case In(_, vs) => vs.toSet[Any]
     }
-    if (keySets.isEmpty) { t.rows.clear(); t.cellRows.clear() } // TRUNCATE
-    else keySets.reduce(_ intersect _).foreach { k =>
-      t.rows.remove(k); t.cellRows.remove(k)
+    // deletes hit EVERY replica (no failure injection on the delete path —
+    // quorumRead's missing-key-means-missed-write rule rests on this)
+    if (keySets.isEmpty) { // TRUNCATE
+      t.allReplicas.foreach(_.clear()); t.cellRows.clear()
+    } else keySets.reduce(_ intersect _).foreach { k =>
+      t.allReplicas.foreach(_.remove(k)); t.cellRows.remove(k)
     }
   }
 
@@ -894,6 +926,23 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
             }.groupBy(_._1).map { case (si, fs) => si -> fs.map(_._2).toSet }
             (plain.map(t.schema.fieldIndex).toSet, fieldDels)
         }
+      // replicated-table write injection ('failreplica' = comma-separated
+      // replica indices that MISS this write — the down-node model; no
+      // hinted handoff, so the miss persists until read repair): at least
+      // one replica must accept (CL=ONE minimum), and LWT is rf=1-only
+      // (Paxos is out of the modeled scope, enforced at DDL + here)
+      private val failReplicas: Set[Int] =
+        Option(info.options.get("failreplica"))
+          .map(_.split(',').map(_.trim.toInt).toSet).getOrElse(Set.empty)
+      require(failReplicas.isEmpty || t.rf > 1,
+        s"$tname: 'failreplica' requires a replicated table ('rf' > 1)")
+      require(failReplicas.forall(i => i >= 0 && i < t.rf),
+        s"$tname: 'failreplica' indices must be in [0, ${t.rf})")
+      require(failReplicas.size < t.rf,
+        s"$tname: at least one replica must accept the write (CL=ONE)")
+      require(t.rf == 1 || (!ifNotExists && !ifExists && ifEq.isEmpty),
+        s"$tname: LWT writes are not supported on replicated tables " +
+          "(Paxos is not modeled; conditions are rf=1-only)")
       // extract with the ANALYZED write schema, not t.schema: a concurrent
       // ALTER ADD between analysis and execution would otherwise make the
       // writer read past the incoming row's width (adds append, so the
@@ -919,7 +968,8 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
             // the logged-BATCH surface also uses
             GUpsertTable.validateWrites(t, all)
             GUpsertTable.applyWrites(t, all, ifNotExists, updateMode,
-              collRemove, ifExists, listPrepend, ifEq, delCols, delFields)
+              collRemove, ifExists, listPrepend, ifEq, delCols, delFields,
+              failReplicas)
           } finally rl.unlock()
         }
         override def toBatch: BatchWrite = new BatchWrite {
@@ -1297,6 +1347,40 @@ object GUpsertTable {
     }
   }
 
+  /** CL=QUORUM read of a replicated table: merge every replica's row per
+    * key by the table's own LWW order (strict timestamp, type-aware value
+    * tie-break) and WRITE THE WINNER BACK to any replica that disagrees —
+    * Cassandra's blocking read repair, after which a CL=ONE read of any
+    * replica sees the merged row. A key missing from one replica is a
+    * missed write (deletes hit every replica here), so the present row
+    * wins. The repair write-back is CAS-retried against the replica's
+    * CURRENT row so it can never clobber a concurrently-committed newer
+    * write. */
+  private[sources] def quorumRead(t: GraftCatalogStore.T): Array[Array[Any]] = {
+    val wi = t.schema.fieldIndex(t.writetime.get)
+    val ki = t.schema.fieldIndex(t.keyCol)
+    def newer(a: Array[Any], b: Array[Any]): Boolean = {
+      val (aw, bw) = (epochMicros(a(wi)), epochMicros(b(wi)))
+      aw > bw || (aw == bw && tieGreater(a, b, ki, t.schema))
+    }
+    val reps = t.allReplicas
+    val keys = reps.iterator.flatMap(_.keysIterator).toSet
+    keys.iterator.map { k =>
+      val cands = reps.flatMap(_.get(k))
+      val winner = cands.reduce((a, b) => if (newer(b, a)) b else a)
+      reps.foreach { st =>
+        var done = false
+        while (!done) st.get(k) match {
+          case Some(prev) =>
+            done = (prev eq winner) || !newer(winner, prev) ||
+              st.replace(k, prev, winner)
+          case None => done = st.putIfAbsent(k, winner).isEmpty
+        }
+      }
+      winner
+    }.toArray
+  }
+
   /** Pre-application validation shared by the INSERT commit and the
     * logged-BATCH surface: every incoming writetime must be non-null (CQL
     * always has a client timestamp), every partition key cell non-null, and
@@ -1364,7 +1448,8 @@ object GUpsertTable {
       listPrepend: Boolean = false,
       ifEq: Option[(Int, Any)] = None,
       delCols: Set[Int] = Set.empty,
-      delFields: Map[Int, Set[Int]] = Map.empty): Unit = {
+      delFields: Map[Int, Set[Int]] = Map.empty,
+      failReplicas: Set[Int] = Set.empty): Unit = {
     val ki = t.schema.fieldIndex(t.keyCol)
     val setIdx = t.schema.fields.zipWithIndex.collect {
       case (f, i) if t.sets(f.name) =>
@@ -1407,6 +1492,16 @@ object GUpsertTable {
           delFields)
       else {
         val key = r(ki)
+        // replicated tables ('rf' > 1): the same merge applies to EVERY
+        // replica a test hasn't failed ('failreplica' — the down-node
+        // injection; plain tables have exactly replica 0). LWT and counter
+        // paths are DDL-gated to rf=1, so only the LWW/plain branches ever
+        // see a second replica.
+        def store = t.allReplicas // fresh view per row (cheap: rf ≤ 3)
+        def eachReplica(f: TrieMap[Any, Array[Any]] => Unit): Unit =
+          store.zipWithIndex.foreach { case (st, ri) =>
+            if (!failReplicas(ri)) f(st)
+          }
         if (ifNotExists) t.rows.putIfAbsent(key, r)
         // UPDATE ... IF EXISTS (the LWT dual of INSERT IF NOT EXISTS):
         // apply only to keys already present — an absent key is a silent
@@ -1445,9 +1540,9 @@ object GUpsertTable {
               done = t.rows.putIfAbsent(key, init).isEmpty
           }
         } else wtIdx match {
-          case Some(wi) =>
+          case Some(wi) => eachReplica { st =>
             var done = false
-            while (!done) t.rows.get(key) match {
+            while (!done) st.get(key) match {
               case Some(prev) =>
                 val (nw, ow) = (epochMicros(r(wi)), epochMicros(prev(wi)))
                 // strict timestamp order; equal timestamps fall back to the
@@ -1456,10 +1551,11 @@ object GUpsertTable {
                 // can never change the converged state
                 val applies = nw > ow ||
                   (nw == ow && tieGreater(r, prev, ki, t.schema))
-                done = !applies || t.rows.replace(key, prev, r)
-              case None => done = t.rows.putIfAbsent(key, r).isEmpty
+                done = !applies || st.replace(key, prev, r)
+              case None => done = st.putIfAbsent(key, r).isEmpty
             }
-          case None => t.rows.put(key, r)
+          }
+          case None => eachReplica(_.put(key, r))
         }
       }
     }
@@ -1602,22 +1698,34 @@ class GScanBuilder(tname: String, t: GraftCatalogStore.T,
       def demandNow: Long = nowOpt.getOrElse(throw new IllegalArgumentException(
         s"table $tname has a ttl column: scans need a logical clock " +
           "(read option or table property 'now', epoch seconds)"))
+      // consistency level ('cl' read option, replicated tables): ONE reads
+      // replica 0 alone — fast, possibly stale after a partial write;
+      // QUORUM/ALL merges every replica by LWW and read-repairs divergence
+      // before serving (Cassandra's blocking read repair)
+      val cl = Option(options.get("cl")).map(_.toLowerCase).getOrElse("one")
+      require(Set("one", "quorum", "all")(cl),
+        s"table $tname: 'cl' must be one/quorum/all, got $cl")
       val live =
         if (t.cellwise) {
           if (t.ttl.isDefined) demandNow // fail with the named error, eagerly
           GUpsertTable.materializeCellwise(t,
             if (t.ttl.isDefined) nowOpt else None)
-        } else t.ttl match {
-          case None => t.rows.values.toArray
-          case Some(ttlCol) =>
-            val now = demandNow
-            val ti = t.schema.fieldIndex(ttlCol)
-            val wi = t.schema.fieldIndex(t.writetime.get)
-            t.rows.values.filter { r =>
-              r(ti) == null || // no TTL on this write: never expires
-                GUpsertTable.epochSeconds(r(wi)) +
-                  r(ti).asInstanceOf[Number].longValue > now
-            }.toArray
+        } else {
+          val base =
+            if (t.rf > 1 && cl != "one") GUpsertTable.quorumRead(t)
+            else t.rows.values.toArray
+          t.ttl match {
+            case None => base
+            case Some(ttlCol) =>
+              val now = demandNow
+              val ti = t.schema.fieldIndex(ttlCol)
+              val wi = t.schema.fieldIndex(t.writetime.get)
+              base.filter { r =>
+                r(ti) == null || // no TTL on this write: never expires
+                  GUpsertTable.epochSeconds(r(wi)) +
+                    r(ti).asInstanceOf[Number].longValue > now
+              }
+          }
         }
       Array(GRows(live))
     }
@@ -1657,6 +1765,11 @@ class GRowLevelOperation(tname: String, t: GraftCatalogStore.T,
     s"$tname: row-level operations (MERGE / UPDATE / non-key DELETE) on a " +
       "TTL table require the 'now' table property (epoch seconds) — SQL " +
       "statements cannot pass the per-scan 'now' read option")
+  // the delta commit writes replica 0 directly; on a replicated table that
+  // would silently diverge the others
+  require(t.rf == 1,
+    s"$tname: row-level operations are not supported on replicated tables " +
+      "(the delta commit is not replica-aware)")
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GScanBuilder(tname, t, options)

@@ -1744,6 +1744,56 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("default_ttl"), e.getMessage)
   }
 
+  test("replicated table: CL=ONE sees the stale replica, CL=QUORUM merges and repairs") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.rr")
+    spark.sql("CREATE TABLE graftcat.proptest.rr (id INT, v BIGINT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'rf'='2')")
+    def read(cl: String): Map[Int, Long] =
+      spark.read.option("cl", cl).table("graftcat.proptest.rr")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // baseline reaches both replicas
+    spark.sql("SELECT * FROM VALUES (1, 10L, 100L), (2, 20L, 100L) AS t(id, v, wt)")
+      .writeTo("graftcat.proptest.rr").append()
+    // a newer write for id=1 misses replica 0 (down node, no hinted handoff)
+    spark.sql("SELECT 1 AS id, 111L AS v, 200L AS wt")
+      .writeTo("graftcat.proptest.rr").option("failreplica", "0").append()
+    // CL=ONE reads replica 0: stale
+    assert(read("one") == Map(1 -> 10L, 2 -> 20L), read("one"))
+    // CL=QUORUM merges by LWW — and read-repairs replica 0 as a side effect
+    assert(read("quorum") == Map(1 -> 111L, 2 -> 20L), read("quorum"))
+    assert(read("one") == Map(1 -> 111L, 2 -> 20L), "read repair did not stick")
+    // a write missing replica 1 instead: quorum still merges (direction-free)
+    spark.sql("SELECT 2 AS id, 222L AS v, 300L AS wt")
+      .writeTo("graftcat.proptest.rr").option("failreplica", "1").append()
+    assert(read("quorum") == Map(1 -> 111L, 2 -> 222L), read("quorum"))
+    // a STALE write after repair changes nothing anywhere (LWW on every replica)
+    spark.sql("SELECT 1 AS id, 9L AS v, 150L AS wt")
+      .writeTo("graftcat.proptest.rr").append()
+    assert(read("quorum") == Map(1 -> 111L, 2 -> 222L), read("quorum"))
+    // guards: failing every replica, LWT on a replicated table, rf without
+    // writetime, rf on cellwise — all rejected loudly
+    def msg(f: => Unit): String = {
+      val e = intercept[Exception](f)
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("; ")
+    }
+    assert(msg(spark.sql("SELECT 3 AS id, 1L AS v, 100L AS wt")
+      .writeTo("graftcat.proptest.rr").option("failreplica", "0,1").append())
+      .contains("at least one replica"))
+    assert(msg(spark.sql("SELECT 3 AS id, 1L AS v, 100L AS wt")
+      .writeTo("graftcat.proptest.rr").option("ifnotexists", "true").append())
+      .contains("Paxos"))
+    assert(msg(spark.sql("CREATE TABLE graftcat.proptest.rrbad " +
+      "(id INT, v BIGINT) TBLPROPERTIES ('key'='id', 'rf'='2')"))
+      .contains("writetime"))
+    assert(msg(spark.sql("CREATE TABLE graftcat.proptest.rrbad2 " +
+      "(id INT, v BIGINT, wt BIGINT) TBLPROPERTIES ('key'='id', " +
+      "'writetime'='wt', 'cellwise'='true', 'rf'='2')"))
+      .contains("cellwise"))
+  }
+
   test("ALTER TABLE migrates rows in place — concurrent commits cannot be lost") {
     // the copy-then-swap design lost any INSERT committing into the old
     // store between copy and swap; the in-place migration under the table's
