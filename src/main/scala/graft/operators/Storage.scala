@@ -788,6 +788,31 @@ object Storage {
         .orderBy("id", "mkey")
     },
 
+    // Hinted handoff — the other half of the replication story: the
+    // coordinator stores a hint for every write a down replica missed, and
+    // REPLAY (the node coming back) drains the queue through the table's
+    // own LWW merge, closing the staleness window WITHOUT a quorum read.
+    // Here the newer writes for even ids miss replica 0, hints replay, and
+    // a plain CL=ONE read of replica 0 already serves the full-log LWW
+    // result the oracle recomputes.
+    "q_kv_hinted_handoff" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.hh")
+      s.sql("CREATE TABLE graftcat.testks.hh (id BIGINT, v BIGINT, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'rf'='2')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey").as("id"))
+      o.select(col("id"), (col("id") * 10).as("v"), lit(1000000L).as("wt"))
+        .writeTo("graftcat.testks.hh").append()
+      o.filter(pmod(col("id"), lit(2)) === 0)
+        .select(col("id"), (col("id") * 30).as("v"), lit(2000000L).as("wt"))
+        .writeTo("graftcat.testks.hh").option("failreplica", "0").append()
+      graft.sources.GraftCatalogStore.replayHints("testks", "hh")
+      s.read.table("graftcat.testks.hh") // CL=ONE: replica 0, post-replay
+        .select("id", "v").orderBy("id")
+    },
+
     // Replication + consistency levels + blocking read repair (the
     // keyspace `replication_factor`, modeled per table as 'rf'=2): a
     // baseline write lands on BOTH replicas, then newer writes for the
@@ -2322,6 +2347,14 @@ object Storage {
 
     // Per-entry LWW replay, keyed by (id, map key): live iff the winner is
     // a put above the id's newest collection tombstone (assign wt − 1).
+    // post-replay CL=ONE = LWW over the full write log, same as quorum
+    "q_kv_hinted_handoff" ->
+      """SELECT o_orderkey AS id,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey * 30
+        |       ELSE o_orderkey * 10 END AS v
+        |FROM orders WHERE o_orderkey <= 400
+        |ORDER BY id""".stripMargin,
+
     // quorum = LWW over the FULL write log (the failed replica's miss is
     // repaired, so the merged result is what a healthy cluster stores)
     "q_kv_read_repair" ->

@@ -136,6 +136,11 @@ object GraftCatalogStore {
       Array.fill(math.max(0, rf - 1))(TrieMap.empty[Any, Array[Any]])
     def allReplicas: Array[TrieMap[Any, Array[Any]]] =
       rows +: extraReplicas
+    /** Hinted handoff queue: (target replica, row) for every write a
+      * failed replica missed, appended by the coordinator (write path,
+      * under `synchronized`) and drained by
+      * [[GraftCatalogStore.replayHints]] when the node "comes back". */
+    val hints = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Any])]
     /** Store of a cellwise table ('cellwise'='true'): per-cell LWW instead
       * of whole-row replacement. `rows` stays empty for these tables. */
     val cellRows = TrieMap.empty[Any, GCellRow]
@@ -173,6 +178,32 @@ object GraftCatalogStore {
   private val nextLockRank = new java.util.concurrent.atomic.AtomicLong(0)
   val namespaces = TrieMap.empty[String, Map[String, String]]
   val tables = TrieMap.empty[(String, String), T]
+
+  /** Hinted-handoff replay — the node-came-back maintenance op: drain the
+    * table's hint queue, applying each missed write to ITS target replica
+    * through the table's own LWW merge. Replay is idempotent and
+    * order-independent (the merge is), so a hint whose write was already
+    * superseded — by a newer write or a read repair — is a harmless no-op.
+    * Returns the number of hints replayed. Exactly Cassandra's hinted
+    * handoff minus the TTL on hints (no expiry window modeled). */
+  def replayHints(ns: String, table: String): Int = {
+    val t = tables.getOrElse((ns, table),
+      throw new IllegalArgumentException(s"replayHints: unknown table $ns.$table"))
+    val rl = t.ddlLock.readLock()
+    rl.lock()
+    try {
+      val drained = t.synchronized {
+        val d = t.hints.toArray
+        t.hints.clear()
+        d
+      }
+      val reps = t.allReplicas
+      drained.foreach { case (ri, r) =>
+        GUpsertTable.lwwMergeInto(t, reps(ri), r)
+      }
+      drained.length
+    } finally rl.unlock()
+  }
 
   /** Expiry GC for TTL tables — the compaction / gc_grace maintenance op
     * that completes the TTL story: until now expired rows were invisible to
@@ -781,11 +812,23 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       case In(_, vs) => vs.toSet[Any]
     }
     // deletes hit EVERY replica (no failure injection on the delete path —
-    // quorumRead's missing-key-means-missed-write rule rests on this)
+    // quorumRead's missing-key-means-missed-write rule rests on this), and
+    // drop the keys' pending hints: a hint replayed after the delete would
+    // resurrect the row (the hazard Cassandra guards with tombstoned hints
+    // + gc_grace; modeled here as delete-wins since deletes are total)
+    val ki = t.schema.fieldIndex(t.keyCol)
     if (keySets.isEmpty) { // TRUNCATE
       t.allReplicas.foreach(_.clear()); t.cellRows.clear()
-    } else keySets.reduce(_ intersect _).foreach { k =>
-      t.allReplicas.foreach(_.remove(k)); t.cellRows.remove(k)
+      t.synchronized(t.hints.clear())
+    } else {
+      val doomed = keySets.reduce(_ intersect _)
+      doomed.foreach { k =>
+        t.allReplicas.foreach(_.remove(k)); t.cellRows.remove(k)
+      }
+      t.synchronized {
+        val kept = t.hints.filterNot { case (_, r) => doomed(r(ki)) }
+        t.hints.clear(); t.hints ++= kept
+      }
     }
   }
 
@@ -1347,6 +1390,30 @@ object GUpsertTable {
     }
   }
 
+  /** The table's row-granular LWW merge applied to ONE store: strict
+    * timestamp order, type-aware greater-value tie-break, CAS-retried
+    * against concurrent writers. Shared by the write path (per replica),
+    * read repair's write-back and hint replay — one reconciliation rule
+    * everywhere, which is what makes replay/repair order-independent. */
+  private[sources] def lwwMergeInto(t: GraftCatalogStore.T,
+      st: TrieMap[Any, Array[Any]], r: Array[Any]): Unit = {
+    val ki = t.schema.fieldIndex(t.keyCol)
+    val wi = t.schema.fieldIndex(t.writetime.get)
+    val key = r(ki)
+    var done = false
+    while (!done) st.get(key) match {
+      case Some(prev) =>
+        val (nw, ow) = (epochMicros(r(wi)), epochMicros(prev(wi)))
+        // strict timestamp order; equal timestamps fall back to the
+        // greater cell value (Cassandra's LWW tie-break, applied
+        // cell-wise with type-aware comparators) so replay order
+        // can never change the converged state
+        val applies = nw > ow || (nw == ow && tieGreater(r, prev, ki, t.schema))
+        done = !applies || st.replace(key, prev, r)
+      case None => done = st.putIfAbsent(key, r).isEmpty
+    }
+  }
+
   /** CL=QUORUM read of a replicated table: merge every replica's row per
     * key by the table's own LWW order (strict timestamp, type-aware value
     * tie-break) and WRITE THE WINNER BACK to any replica that disagrees —
@@ -1540,21 +1607,16 @@ object GUpsertTable {
               done = t.rows.putIfAbsent(key, init).isEmpty
           }
         } else wtIdx match {
-          case Some(wi) => eachReplica { st =>
-            var done = false
-            while (!done) st.get(key) match {
-              case Some(prev) =>
-                val (nw, ow) = (epochMicros(r(wi)), epochMicros(prev(wi)))
-                // strict timestamp order; equal timestamps fall back to the
-                // greater cell value (Cassandra's LWW tie-break, applied
-                // cell-wise with type-aware comparators) so replay order
-                // can never change the converged state
-                val applies = nw > ow ||
-                  (nw == ow && tieGreater(r, prev, ki, t.schema))
-                done = !applies || st.replace(key, prev, r)
-              case None => done = st.putIfAbsent(key, r).isEmpty
+          case Some(_) =>
+            eachReplica(st => lwwMergeInto(t, st, r))
+            // hinted handoff: the coordinator stores a hint for every
+            // replica that missed the write, replayed when the node comes
+            // back (GraftCatalogStore.replayHints) — until then CL=ONE of
+            // that replica stays stale, exactly the window read repair or
+            // replay closes
+            if (failReplicas.nonEmpty) t.synchronized {
+              failReplicas.foreach(ri => t.hints += ((ri, r)))
             }
-          }
           case None => eachReplica(_.put(key, r))
         }
       }
@@ -1765,16 +1827,19 @@ class GRowLevelOperation(tname: String, t: GraftCatalogStore.T,
     s"$tname: row-level operations (MERGE / UPDATE / non-key DELETE) on a " +
       "TTL table require the 'now' table property (epoch seconds) — SQL " +
       "statements cannot pass the per-scan 'now' read option")
-  // the delta commit writes replica 0 directly; on a replicated table that
-  // would silently diverge the others
-  require(t.rf == 1,
-    s"$tname: row-level operations are not supported on replicated tables " +
-      "(the delta commit is not replica-aware)")
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GScanBuilder(tname, t, options)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
+      // the delta commit writes replica 0 directly; on a replicated table
+      // that would silently diverge the others. Checked HERE, not in the
+      // operation constructor: Spark builds the row-level operation eagerly
+      // for every DELETE and only later elects the metadata-only path
+      // (canDeleteWhere), which replicated tables DO support.
+      require(t.rf == 1,
+        s"$tname: row-level operations are not supported on replicated " +
+          "tables (the delta commit is not replica-aware)")
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite = new GDeltaBatchWrite(t)
       }

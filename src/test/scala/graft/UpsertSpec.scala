@@ -1794,6 +1794,39 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       .contains("cellwise"))
   }
 
+  test("hinted handoff: replay closes the staleness window; deletes drop pending hints") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.hh")
+    spark.sql("CREATE TABLE graftcat.proptest.hh (id INT, v BIGINT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'rf'='2')")
+    def one(): Map[Int, Long] =
+      spark.table("graftcat.proptest.hh").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    spark.sql("SELECT * FROM VALUES (1, 10L, 100L), (2, 20L, 100L) AS t(id, v, wt)")
+      .writeTo("graftcat.proptest.hh").append()
+    spark.sql("SELECT 1 AS id, 111L AS v, 200L AS wt")
+      .writeTo("graftcat.proptest.hh").option("failreplica", "0").append()
+    assert(one() == Map(1 -> 10L, 2 -> 20L), one()) // stale before replay
+    assert(graft.sources.GraftCatalogStore.replayHints("proptest", "hh") == 1)
+    assert(one() == Map(1 -> 111L, 2 -> 20L), one()) // replay closed it
+    // a hint superseded before replay is a harmless no-op (LWW)
+    spark.sql("SELECT 2 AS id, 22L AS v, 300L AS wt")
+      .writeTo("graftcat.proptest.hh").option("failreplica", "0").append()
+    spark.sql("SELECT 2 AS id, 2222L AS v, 400L AS wt")
+      .writeTo("graftcat.proptest.hh").append()
+    assert(graft.sources.GraftCatalogStore.replayHints("proptest", "hh") == 1)
+    assert(one() == Map(1 -> 111L, 2 -> 2222L), one())
+    // a delete DROPS the key's pending hints — replay cannot resurrect
+    spark.sql("SELECT 1 AS id, 999L AS v, 500L AS wt")
+      .writeTo("graftcat.proptest.hh").option("failreplica", "1").append()
+    spark.sql("DELETE FROM graftcat.proptest.hh WHERE id = 1")
+    assert(graft.sources.GraftCatalogStore.replayHints("proptest", "hh") == 0)
+    assert(one() == Map(2 -> 2222L), one())
+    assert(spark.read.option("cl", "quorum").table("graftcat.proptest.hh")
+      .collect().map(_.getInt(0)).toSet == Set(2), "resurrected via replica 1")
+  }
+
   test("ALTER TABLE migrates rows in place — concurrent commits cannot be lost") {
     // the copy-then-swap design lost any INSERT committing into the old
     // store between copy and swap; the in-place migration under the table's
