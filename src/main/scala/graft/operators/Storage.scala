@@ -788,6 +788,20 @@ object Storage {
         .orderBy("id", "mkey")
     },
 
+    // DSv2 METADATA COLUMNS (`SupportsMetadataColumns`) — the connector's
+    // hidden columns, selectable by name but excluded from SELECT *:
+    // `_token` is the row's ring token (what CQL's token(pk) computes —
+    // identical to the catalog's token() SQL function and the pushed
+    // token-range arcs, so the three surfaces can never disagree). On a
+    // single-bigint key the ring token is the identity, which is what
+    // makes the DuckDB oracle able to recompute it.
+    "q_kv_token_metadata" -> { (s, dir) =>
+      val (nName, _) = stageKv(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", nName).load()
+        .select(col("n_nationkey"), col("n_name"), col("_token"))
+        .orderBy("n_nationkey")
+    },
+
     // Hinted handoff — the other half of the replication story: the
     // coordinator stores a hint for every write a down replica missed, and
     // REPLAY (the node coming back) drains the queue through the table's
@@ -2347,6 +2361,13 @@ object Storage {
 
     // Per-entry LWW replay, keyed by (id, map key): live iff the winner is
     // a put above the id's newest collection tombstone (assign wt − 1).
+    // identity ring token on a single-bigint partition key
+    "q_kv_token_metadata" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_nationkey AS BIGINT) AS _token
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
     // post-replay CL=ONE = LWW over the full write log, same as quorum
     "q_kv_hinted_handoff" ->
       """SELECT o_orderkey AS id,

@@ -205,6 +205,21 @@ object GraftCatalogStore {
     } finally rl.unlock()
   }
 
+  /** Anti-entropy repair (the nodetool-repair analog): a full-table quorum
+    * merge + write-back across every replica — unlike read repair it fixes
+    * divergence for keys no read has touched, and unlike hint replay it
+    * needs no queue (it recomputes from replica state, covering misses
+    * whose hints were lost). Returns the number of keys examined. */
+  def repairTable(ns: String, table: String): Int = {
+    val t = tables.getOrElse((ns, table),
+      throw new IllegalArgumentException(s"repairTable: unknown table $ns.$table"))
+    require(t.rf > 1, s"repairTable: $ns.$table is not replicated")
+    val rl = t.ddlLock.readLock()
+    rl.lock()
+    try GUpsertTable.quorumRead(t).length
+    finally rl.unlock()
+  }
+
   /** Expiry GC for TTL tables — the compaction / gc_grace maintenance op
     * that completes the TTL story: until now expired rows were invisible to
     * reads but retained forever; this physically reclaims every row

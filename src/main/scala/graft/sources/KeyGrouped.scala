@@ -578,7 +578,33 @@ class KVDataSource extends TableProvider {
 class KVTable(tname: String, entry: KeyGroupedRegistry.Entry,
     cdc: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** DSv2 metadata columns — the connector's hidden columns, selectable by
+    * name but excluded from `SELECT *`: `_token` is the ring token of the
+    * row's partition key (what CQL's `token(pk)` computes — identical to
+    * [[KVRing.tokenOf]] and the catalog's `token()` SQL function, so the
+    * three surfaces can never disagree), `_replica` the primary replica
+    * host owning that token. The Spark-native form of Cassandra's
+    * token/ownership introspection. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (cdc) Array.empty
+    else Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_token"
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "ring token of the row's partition key (token(pk))"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_replica"
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "primary replica host owning the row's token"
+      })
 
   /** CQL DELETE: by partition key (the metadata fast path Cassandra offers
     * — key-equality/IN on every key column), optionally narrowed by a
@@ -1960,13 +1986,26 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
             }
           }.toArray
       } else {
-        val idx = required.fieldNames.map(entry.schema.fieldIndex)
+        // per-field getters: schema columns read the stored cell, metadata
+        // columns (_token/_replica — SupportsMetadataColumns) compute from
+        // the split's KEY, constant per partition and never stored
+        val getters: Array[(Vector[Any], Array[Any]) => Any] =
+          required.fieldNames.map {
+            case "_token" =>
+              (k: Vector[Any], _: Array[Any]) => KVRing.tokenOf(k): Any
+            case "_replica" =>
+              (k: Vector[Any], _: Array[Any]) =>
+                KVRing.replicasOf(k).head: Any
+            case f =>
+              val i = entry.schema.fieldIndex(f)
+              (_: Vector[Any], o: Array[Any]) => o(i)
+          }
         entry.parts.collect {
           case (k, rows) if keepKey(k) =>
             KVPartition(internalKey(k), KVRing.replicasOf(k).toArray,
               servedRows(rows).map { r =>
                 val o = overlayStatic(r)
-                idx.map(o(_))
+                getters.map(g => g(k, o))
               }): InputPartition
         }
       }

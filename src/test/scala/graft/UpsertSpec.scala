@@ -1827,6 +1827,49 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getInt(0)).toSet == Set(2), "resurrected via replica 1")
   }
 
+  test("anti-entropy repair converges replicas for keys no read touched") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.ae")
+    spark.sql("CREATE TABLE graftcat.proptest.ae (id INT, v BIGINT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'rf'='2')")
+    spark.sql("SELECT * FROM VALUES (1, 10L, 100L), (2, 20L, 100L) AS t(id, v, wt)")
+      .writeTo("graftcat.proptest.ae").append()
+    // diverge both directions, lose the hints (simulate a restarted
+    // coordinator) — only anti-entropy can find these
+    spark.sql("SELECT 1 AS id, 111L AS v, 200L AS wt")
+      .writeTo("graftcat.proptest.ae").option("failreplica", "0").append()
+    spark.sql("SELECT 2 AS id, 222L AS v, 200L AS wt")
+      .writeTo("graftcat.proptest.ae").option("failreplica", "1").append()
+    val t = graft.sources.GraftCatalogStore.tables(("proptest", "ae"))
+    t.synchronized(t.hints.clear())
+    assert(graft.sources.GraftCatalogStore.repairTable("proptest", "ae") == 2)
+    // CL=ONE of replica 0 sees everything without any quorum read
+    assert(spark.table("graftcat.proptest.ae").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(1 -> 111L, 2 -> 222L))
+    // and replica 1 was repaired too (direction-free)
+    assert(t.extraReplicas(0).toMap.map { case (k, r) =>
+      k.asInstanceOf[Int] -> r(1).asInstanceOf[Long]
+    } == Map(1 -> 111L, 2 -> 222L))
+  }
+
+  test("metadata columns: _token agrees with the token() function and the ring") {
+    import org.apache.spark.sql.functions.col
+    val (nName, _) = graft.operators.Storage.stageKv(spark, sfDir)
+    val df = spark.read.format("graft.sources.KVDataSource")
+      .option("table", nName).load()
+    // hidden: SELECT * must NOT include metadata columns
+    assert(!df.columns.contains("_token"))
+    val rows = df.select(col("n_nationkey"), col("_token"), col("_replica"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) == graft.sources.KVRing.tokenOf(Seq[Any](k)), r)
+      assert(r.getString(2) == graft.sources.KVRing.replicasOf(k).head, r)
+    }
+  }
+
   test("ALTER TABLE migrates rows in place — concurrent commits cannot be lost") {
     // the copy-then-swap design lost any INSERT committing into the old
     // store between copy and swap; the in-place migration under the table's
