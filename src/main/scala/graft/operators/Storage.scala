@@ -788,6 +788,35 @@ object Storage {
         .orderBy("id", "mkey")
     },
 
+    // MERGE INTO a REPLICATED table — the row-level delta surface composed
+    // with 'rf'=2: every delta (upsert and delete) applies the same LWW
+    // CAS to EVERY replica, so the post-merge CL=QUORUM read needs no
+    // repair and matches the oracle's recomputation of the merge. Deletes
+    // also drop the affected keys' pending hints (no resurrection).
+    "q_kv_merge_replicated" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.mrep")
+      s.sql("CREATE TABLE graftcat.testks.mrep " +
+        "(id BIGINT, bal DOUBLE, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'rf'='2')")
+      Tables.load(s, dir, "customer").filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"),
+          lit(1000000L).as("wt"))
+        .writeTo("graftcat.testks.mrep").append()
+      Tables.load(s, dir, "orders").filter(col("o_custkey") <= 150)
+        .groupBy(col("o_custkey").as("id")).agg(count(lit(1)).as("n"))
+        .createOrReplaceTempView("mrep_src")
+      s.sql("""MERGE INTO graftcat.testks.mrep t
+        USING mrep_src s ON t.id = s.id
+        WHEN MATCHED AND s.n >= 10 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET bal = t.bal + s.n, wt = 2000000
+        WHEN NOT MATCHED THEN INSERT (id, bal, wt)
+          VALUES (s.id, CAST(s.n AS DOUBLE), 2000000)""")
+      s.read.option("cl", "quorum").table("graftcat.testks.mrep")
+        .select("id", "bal").orderBy("id")
+    },
+
     // DSv2 METADATA COLUMNS (`SupportsMetadataColumns`) — the connector's
     // hidden columns, selectable by name but excluded from SELECT *:
     // `_token` is the row's ring token (what CQL's token(pk) computes —
@@ -2361,6 +2390,22 @@ object Storage {
 
     // Per-entry LWW replay, keyed by (id, map key): live iff the winner is
     // a put above the id's newest collection tombstone (assign wt − 1).
+    // the replicated merge recomputed — identical to the rf=1 merge shape
+    "q_kv_merge_replicated" ->
+      """WITH t AS (SELECT c_custkey AS id, c_acctbal AS bal
+        |           FROM customer WHERE c_custkey <= 100),
+        |s AS (SELECT o_custkey AS id, COUNT(*) AS n
+        |      FROM orders WHERE o_custkey <= 150 GROUP BY 1)
+        |SELECT id, bal FROM (
+        |  SELECT t.id AS id,
+        |    CASE WHEN s.id IS NULL THEN t.bal ELSE t.bal + s.n END AS bal
+        |  FROM t LEFT JOIN s ON t.id = s.id
+        |  WHERE s.id IS NULL OR s.n < 10
+        |  UNION ALL
+        |  SELECT s.id, CAST(s.n AS DOUBLE)
+        |  FROM s LEFT JOIN t ON s.id = t.id WHERE t.id IS NULL
+        |) u ORDER BY id""".stripMargin,
+
     // identity ring token on a single-bigint partition key
     "q_kv_token_metadata" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

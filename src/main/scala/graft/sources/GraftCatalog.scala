@@ -998,9 +998,16 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
         s"$tname: 'failreplica' indices must be in [0, ${t.rf})")
       require(failReplicas.size < t.rf,
         s"$tname: at least one replica must accept the write (CL=ONE)")
-      require(t.rf == 1 || (!ifNotExists && !ifExists && ifEq.isEmpty),
-        s"$tname: LWT writes are not supported on replicated tables " +
-          "(Paxos is not modeled; conditions are rf=1-only)")
+      // LWT on replicated tables runs at SERIAL consistency — the modeled
+      // Paxos round needs every replica reachable, so a down-node
+      // injection cannot combine with a conditional write. (IF col = ?
+      // stays impossible on replicated tables independently: 'rf' demands
+      // a writetime column, which 'ifeq' forbids — CQL's no-USING-
+      // TIMESTAMP-with-IF rule.)
+      require(failReplicas.isEmpty ||
+          (!ifNotExists && !ifExists && ifEq.isEmpty),
+        s"$tname: LWT writes need every replica (SERIAL consistency) — " +
+          "'failreplica' cannot combine with conditions")
       // extract with the ANALYZED write schema, not t.schema: a concurrent
       // ALTER ADD between analysis and execution would otherwise make the
       // writer read past the incoming row's width (adds append, so the
@@ -1584,13 +1591,32 @@ object GUpsertTable {
           store.zipWithIndex.foreach { case (st, ri) =>
             if (!failReplicas(ri)) f(st)
           }
-        if (ifNotExists) t.rows.putIfAbsent(key, r)
+        // LWT on a REPLICATED table: the Paxos round modeled as the
+        // coordinator's serialization point (`t.synchronized`) — the
+        // condition is decided against the merged replica view (a key
+        // present on ANY replica exists; a missing copy is a missed write)
+        // and the winning proposal applies to EVERY replica atomically.
+        // SERIAL consistency needs all modeled replicas up, so the write
+        // path rejects 'failreplica' + LWT.
+        if (ifNotExists) {
+          if (t.rf == 1) t.rows.putIfAbsent(key, r)
+          else t.synchronized {
+            if (!t.allReplicas.exists(_.contains(key)))
+              t.allReplicas.foreach(_.put(key, r))
+          }
+        }
         // UPDATE ... IF EXISTS (the LWT dual of INSERT IF NOT EXISTS):
         // apply only to keys already present — an absent key is a silent
         // non-apply. TrieMap.replace(key, r) is the atomic
         // replace-if-present, so a concurrent DELETE can never interleave
         // a resurrecting write between a check and a put.
-        else if (ifExists) t.rows.replace(key, r)
+        else if (ifExists) {
+          if (t.rf == 1) t.rows.replace(key, r)
+          else t.synchronized {
+            if (t.allReplicas.exists(_.contains(key)))
+              t.allReplicas.foreach(_.put(key, r))
+          }
+        }
         else if (ifEq.isDefined) {
           // CQL `UPDATE ... IF col = ?`: apply only where the stored row
           // meets the condition — compare-and-set on the STORED reference so
@@ -1847,14 +1873,6 @@ class GRowLevelOperation(tname: String, t: GraftCatalogStore.T,
     new GScanBuilder(tname, t, options)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      // the delta commit writes replica 0 directly; on a replicated table
-      // that would silently diverge the others. Checked HERE, not in the
-      // operation constructor: Spark builds the row-level operation eagerly
-      // for every DELETE and only later elects the metadata-only path
-      // (canDeleteWhere), which replicated tables DO support.
-      require(t.rf == 1,
-        s"$tname: row-level operations are not supported on replicated " +
-          "tables (the delta commit is not replica-aware)")
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite = new GDeltaBatchWrite(t)
       }
@@ -1894,37 +1912,50 @@ class GDeltaBatchWrite(t: GraftCatalogStore.T) extends DeltaBatchWrite {
         else r0
       messages.foreach { case GDeltaCommit(ops) =>
         ops.foreach {
-          case (GDeltaWriterFactory.Delete, key, _) => t.rows.remove(key)
+          case (GDeltaWriterFactory.Delete, key, _) =>
+            // replica-aware: deltas hit EVERY replica (no failure injection
+            // on the MERGE path), and deletes drop the key's pending hints
+            // — the same no-resurrection rule as deleteWhere
+            t.allReplicas.foreach(_.remove(key))
+            if (t.rf > 1) t.synchronized {
+              val kept = t.hints.filterNot { case (_, r) => r(ki) == key }
+              t.hints.clear(); t.hints ++= kept
+            }
           case (_, key, row0) => // insert / update: keyed replace, sets canonical
             val row = padded(row0)
             GUpsertTable.canonicalizeSets(t, row)
             wtIdx match {
               case Some(wi) =>
                 // timestamp-ordered LWW via the same CAS discipline as the
-                // INSERT path: a stale-writetime MERGE cannot clobber newer
-                // data, preserving the convergence invariant UpsertSpec
-                // property-tests. A LOSING write is a total no-op — in
-                // particular, a key-changing update that loses at the
-                // destination must NOT have deleted its source row first.
-                var done = false
-                var applied = false
-                while (!done) t.rows.get(row(ki)) match {
-                  case Some(prev) =>
-                    val (nw, ow) = (GUpsertTable.epochMicros(row(wi)),
-                      GUpsertTable.epochMicros(prev(wi)))
-                    val applies = nw > ow ||
-                      (nw == ow && GUpsertTable.tieGreater(row, prev, ki, t.schema))
-                    if (!applies) done = true
-                    else { applied = t.rows.replace(row(ki), prev, row); done = applied }
-                  case None =>
-                    applied = t.rows.putIfAbsent(row(ki), row).isEmpty
-                    done = applied
+                // INSERT path, applied PER REPLICA: a stale-writetime MERGE
+                // cannot clobber newer data, preserving the convergence
+                // invariant UpsertSpec property-tests. A LOSING write is a
+                // total no-op on that replica — in particular, a
+                // key-changing update that loses at the destination must
+                // NOT have deleted its source row there first.
+                t.allReplicas.foreach { st =>
+                  var done = false
+                  var applied = false
+                  while (!done) st.get(row(ki)) match {
+                    case Some(prev) =>
+                      val (nw, ow) = (GUpsertTable.epochMicros(row(wi)),
+                        GUpsertTable.epochMicros(prev(wi)))
+                      val applies = nw > ow ||
+                        (nw == ow && GUpsertTable.tieGreater(row, prev, ki, t.schema))
+                      if (!applies) done = true
+                      else { applied = st.replace(row(ki), prev, row); done = applied }
+                    case None =>
+                      applied = st.putIfAbsent(row(ki), row).isEmpty
+                      done = applied
+                  }
+                  if (applied && key != null && key != row(ki))
+                    st.remove(key) // key change relocates only when the write wins
                 }
-                if (applied && key != null && key != row(ki))
-                  t.rows.remove(key) // key change relocates only when the write wins
               case None =>
-                if (key != null && key != row(ki)) t.rows.remove(key)
-                t.rows.put(row(ki), row)
+                t.allReplicas.foreach { st =>
+                  if (key != null && key != row(ki)) st.remove(key)
+                  st.put(row(ki), row)
+                }
             }
         }
       }

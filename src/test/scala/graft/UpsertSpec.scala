@@ -1782,9 +1782,22 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(msg(spark.sql("SELECT 3 AS id, 1L AS v, 100L AS wt")
       .writeTo("graftcat.proptest.rr").option("failreplica", "0,1").append())
       .contains("at least one replica"))
-    assert(msg(spark.sql("SELECT 3 AS id, 1L AS v, 100L AS wt")
-      .writeTo("graftcat.proptest.rr").option("ifnotexists", "true").append())
-      .contains("Paxos"))
+    // LWT on a replicated table: the modeled Paxos round decides against
+    // the merged replica view and applies to every replica — an INSERT IF
+    // NOT EXISTS of a key present on ANY replica is a no-op everywhere
+    spark.sql("SELECT 1 AS id, 777L AS v, 999L AS wt")
+      .writeTo("graftcat.proptest.rr").option("ifnotexists", "true").append()
+    assert(read("quorum")(1) == 111L, read("quorum"))
+    spark.sql("SELECT 9 AS id, 90L AS v, 100L AS wt")
+      .writeTo("graftcat.proptest.rr").option("ifnotexists", "true").append()
+    assert(read("one")(9) == 90L, "LWT insert did not reach replica 0")
+    val t = graft.sources.GraftCatalogStore.tables(("proptest", "rr"))
+    assert(t.extraReplicas(0).contains(9), "LWT insert did not reach replica 1")
+    // SERIAL consistency: a down replica cannot combine with a condition
+    assert(msg(spark.sql("SELECT 10 AS id, 1L AS v, 100L AS wt")
+      .writeTo("graftcat.proptest.rr").option("ifnotexists", "true")
+      .option("failreplica", "0").append())
+      .contains("SERIAL"))
     assert(msg(spark.sql("CREATE TABLE graftcat.proptest.rrbad " +
       "(id INT, v BIGINT) TBLPROPERTIES ('key'='id', 'rf'='2')"))
       .contains("writetime"))
