@@ -1743,6 +1743,26 @@ object Storage {
               |FROM cust_tok ORDER BY c_custkey""".stripMargin)
     },
 
+    // CQL user-defined aggregate (`CREATE AGGREGATE wavg ... SFUNC sfunc
+    // FINALFUNC final`) through the V2 FunctionCatalog: the state function
+    // accumulates (Σ v·w, Σ w) per group, Spark MERGES partial states
+    // across partitions (the distributed form of the coordinator folding
+    // per-replica partials), and the final function divides. Exact long
+    // arithmetic in the state so the result is split-independent; the
+    // quantity-weighted mean price per return flag, in cents.
+    "q_fn_uda" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+          col("l_quantity").cast(LongType).as("qty"))
+        .createOrReplaceTempView("li_uda")
+      s.sql("""SELECT l_returnflag,
+              |  round(graftcat.system.wavg(cents, qty), 6) AS wavg_cents
+              |FROM li_uda GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)
+    },
+
     // Partition pruning on a partitioned layout — the directory-level analog
     // of the connector's token-range routing (SURVEY.md §4.1): orders written
     // `partitionBy(o_year)`, then a year-filtered read touches only that
@@ -2684,6 +2704,19 @@ object Storage {
       """SELECT c_custkey, CAST(c_custkey AS BIGINT) AS tok
         |FROM customer WHERE c_custkey <= 100
         |ORDER BY c_custkey""".stripMargin,
+
+    // the UDA recomputed: exact integer Σ v·w / Σ w, then one division
+    "q_fn_uda" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  round(CAST(SUM(cents * qty) AS DOUBLE) / CAST(SUM(qty) AS DOUBLE),
+        |    6) AS wavg_cents
+        |FROM t GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_partition_pruned" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

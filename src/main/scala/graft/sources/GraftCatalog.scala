@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{AggregateFunction, BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, Write, WriteBuilder, WriterCommitMessage}
@@ -728,8 +728,53 @@ object GraftFunctions {
   object EuclideanUnbound extends SimUnbound(EuclideanSim)
   object DotProductUnbound extends SimUnbound(DotProductSim)
 
+  /** CQL user-defined aggregate (`CREATE AGGREGATE wavg(bigint, bigint)
+    * SFUNC ... FINALFUNC ...`) as a Spark V2 `AggregateFunction`: the state
+    * function accumulates (Σ v·w, Σ w) — CQL's SFUNC over the state tuple —
+    * partial states MERGE across partitions (Spark's distributed form of
+    * the coordinator folding replica partials), and the final function
+    * divides, NULL over an empty/zero-weight group. Long arithmetic
+    * throughout (Math.addExact / multiplyHigh-free range), so the result
+    * is bit-identical however Spark splits the input — the portability rule
+    * every oracle-checked value obeys. CQL aggregates skip NULL inputs. */
+  case class WavgState(var svw: Long, var sw: Long) extends java.io.Serializable
+  object WavgAgg extends AggregateFunction[WavgState, java.lang.Double] {
+    override def name(): String = "wavg"
+    override def inputTypes(): Array[DataType] = Array(LongType, LongType)
+    override def resultType(): DataType = DoubleType
+    override def isDeterministic: Boolean = true
+    override def newAggregationState(): WavgState = WavgState(0L, 0L)
+    override def update(s: WavgState, in: InternalRow): WavgState = {
+      if (!in.isNullAt(0) && !in.isNullAt(1)) {
+        s.svw = Math.addExact(s.svw,
+          Math.multiplyExact(in.getLong(0), in.getLong(1)))
+        s.sw = Math.addExact(s.sw, in.getLong(1))
+      }
+      s
+    }
+    override def merge(a: WavgState, b: WavgState): WavgState = {
+      a.svw = Math.addExact(a.svw, b.svw)
+      a.sw = Math.addExact(a.sw, b.sw)
+      a
+    }
+    override def produceResult(s: WavgState): java.lang.Double =
+      if (s.sw == 0L) null else s.svw.toDouble / s.sw
+  }
+  object WavgUnbound extends UnboundFunction {
+    override def name(): String = "wavg"
+    override def description(): String =
+      "wavg(value BIGINT, weight BIGINT): weighted average (CQL UDA analog)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2 && inputType.fields.forall(f =>
+        f.dataType == LongType),
+        "wavg requires two BIGINT arguments")
+      WavgAgg
+    }
+  }
+
   val byName: Map[String, UnboundFunction] = Map(
     "token" -> TokenUnbound,
+    "wavg" -> WavgUnbound,
     "similarity_cosine" -> CosineUnbound,
     "similarity_euclidean" -> EuclideanUnbound,
     "similarity_dot_product" -> DotProductUnbound)

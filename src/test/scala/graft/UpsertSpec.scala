@@ -1883,6 +1883,26 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("UDA wavg: null inputs skipped, empty group NULL, split-independent") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    def v(sql: String): Any = spark.sql(sql).head().get(0)
+    // (10*2 + 30*4) / 6 = 140/6
+    assert(v("SELECT graftcat.system.wavg(v, w) FROM VALUES " +
+      "(10L, 2L), (30L, 4L), (NULL, 5L), (7L, CAST(NULL AS BIGINT)) " +
+      "AS t(v, w)") == 140.0 / 6)
+    // all-null group → NULL (CQL aggregates skip nulls; zero weight too)
+    assert(v("SELECT graftcat.system.wavg(v, w) FROM VALUES " +
+      "(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) AS t(v, w)") == null)
+    // repartitioned input converges to the same exact value (long state)
+    import org.apache.spark.sql.functions.expr
+    val df = spark.range(1, 1001).selectExpr("id AS v", "(id % 7 + 1) AS w")
+    df.repartition(32).createOrReplaceTempView("uda_a")
+    df.coalesce(1).createOrReplaceTempView("uda_b")
+    val a = spark.sql("SELECT graftcat.system.wavg(v, w) FROM uda_a").head().getDouble(0)
+    val b = spark.sql("SELECT graftcat.system.wavg(v, w) FROM uda_b").head().getDouble(0)
+    assert(a == b, s"$a != $b")
+  }
+
   test("ALTER TABLE migrates rows in place — concurrent commits cannot be lost") {
     // the copy-then-swap design lost any INSERT committing into the old
     // store between copy and swap; the in-place migration under the table's
