@@ -788,6 +788,37 @@ object Storage {
         .orderBy("id", "mkey")
     },
 
+    // Point-in-time SNAPSHOT (nodetool snapshot analog) + restore: phase-1
+    // writes, a snapshot taken under the DDL lock (a consistent cut,
+    // O(keys) hard links — row arrays are immutable under the merge
+    // discipline), then phase-2 overwrites/inserts/deletes. The
+    // 'snapshot' read option serves the pre-phase-2 state the oracle
+    // recomputes; UpsertSpec additionally restores and checks rollback.
+    "q_kv_snapshot" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.snap")
+      s.sql("CREATE TABLE graftcat.testks.snap " +
+        "(id BIGINT, v BIGINT, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey").as("id"))
+      o.select(col("id"), (col("id") * 10).as("v"), lit(1000000L).as("wt"))
+        .writeTo("graftcat.testks.snap").append()
+      graft.sources.GraftCatalogStore.snapshotTable("testks", "snap", "s1")
+      // phase 2: overwrite evens, insert shifted ids, delete multiples of 5
+      o.filter(pmod(col("id"), lit(2)) === 0)
+        .select(col("id"), (col("id") * 30).as("v"), lit(2000000L).as("wt"))
+        .writeTo("graftcat.testks.snap").append()
+      o.select((col("id") + 1000000L).as("id"), col("id").as("v"),
+          lit(2000000L).as("wt"))
+        .writeTo("graftcat.testks.snap").append()
+      s.sql("DELETE FROM graftcat.testks.snap WHERE id IN " +
+        "(SELECT id FROM graftcat.testks.snap WHERE id % 5 = 0 AND id <= 400)")
+      s.read.option("snapshot", "s1").table("graftcat.testks.snap")
+        .select("id", "v").orderBy("id")
+    },
+
     // MERGE INTO a REPLICATED table — the row-level delta surface composed
     // with 'rf'=2: every delta (upsert and delete) applies the same LWW
     // CAS to EVERY replica, so the post-merge CL=QUORUM read needs no
@@ -2410,6 +2441,12 @@ object Storage {
 
     // Per-entry LWW replay, keyed by (id, map key): live iff the winner is
     // a put above the id's newest collection tombstone (assign wt − 1).
+    // the snapshot is the pre-phase-2 cut: every id with its phase-1 value
+    "q_kv_snapshot" ->
+      """SELECT o_orderkey AS id, o_orderkey * 10 AS v
+        |FROM orders WHERE o_orderkey <= 400
+        |ORDER BY id""".stripMargin,
+
     // the replicated merge recomputed — identical to the rf=1 merge shape
     "q_kv_merge_replicated" ->
       """WITH t AS (SELECT c_custkey AS id, c_acctbal AS bal

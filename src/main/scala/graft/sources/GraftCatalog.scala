@@ -141,6 +141,13 @@ object GraftCatalogStore {
       * under `synchronized`) and drained by
       * [[GraftCatalogStore.replayHints]] when the node "comes back". */
     val hints = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Any])]
+    /** Named point-in-time snapshots (nodetool snapshot analog): immutable
+      * copies of the row store / cell store taken under the DDL write lock.
+      * Row arrays are never mutated in place (every merge replaces whole
+      * arrays), so the copies are O(keys) hard links, exactly like
+      * Cassandra's SSTable hard-link snapshots. */
+    val snapshots = TrieMap.empty[String,
+      (Map[Any, Array[Any]], Map[Any, GCellRow])]
     /** Store of a cellwise table ('cellwise'='true'): per-cell LWW instead
       * of whole-row replacement. `rows` stays empty for these tables. */
     val cellRows = TrieMap.empty[Any, GCellRow]
@@ -203,6 +210,40 @@ object GraftCatalogStore {
       }
       drained.length
     } finally rl.unlock()
+  }
+
+  /** Point-in-time snapshot (the nodetool-snapshot analog): under the DDL
+    * write lock (a consistent cut — no commit is mid-flight), link the
+    * current row/cell maps under a name. O(keys): row arrays are immutable
+    * under the merge discipline, so this is the hard-link trick, not a
+    * deep copy. Snapshots read via `spark.read.option("snapshot", name)`
+    * and restore via [[restoreSnapshot]]. */
+  def snapshotTable(ns: String, table: String, name: String): Unit = {
+    val t = tables.getOrElse((ns, table),
+      throw new IllegalArgumentException(s"snapshotTable: unknown table $ns.$table"))
+    val wl = t.ddlLock.writeLock()
+    wl.lock()
+    try t.snapshots.put(name, (t.rows.toMap, t.cellRows.toMap))
+    finally wl.unlock()
+  }
+
+  /** Restore a snapshot (the SSTable-restore analog): truncate and reload
+    * EVERY replica from the named snapshot — the restored state is fully
+    * replicated, and pending hints are dropped (they reference overwritten
+    * history). The snapshot itself survives, like Cassandra's. */
+  def restoreSnapshot(ns: String, table: String, name: String): Unit = {
+    val t = tables.getOrElse((ns, table),
+      throw new IllegalArgumentException(s"restoreSnapshot: unknown table $ns.$table"))
+    val (rowsSnap, cellsSnap) = t.snapshots.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"restoreSnapshot: no snapshot '$name' on $ns.$table"))
+    val wl = t.ddlLock.writeLock()
+    wl.lock()
+    try {
+      t.allReplicas.foreach { st => st.clear(); st ++= rowsSnap }
+      t.cellRows.clear(); t.cellRows ++= cellsSnap
+      t.synchronized(t.hints.clear())
+    } finally wl.unlock()
   }
 
   /** Anti-entropy repair (the nodetool-repair analog): a full-table quorum
@@ -1363,12 +1404,13 @@ object GUpsertTable {
     * live-contributor timestamp, the ttl column reads NULL (write-only
     * metadata). */
   private[sources] def materializeCellwise(t: GraftCatalogStore.T,
-      now: Option[Long]): Array[Array[Any]] = {
+      now: Option[Long],
+      src: scala.collection.Map[Any, GCellRow]): Array[Array[Any]] = {
     val ki = t.schema.fieldIndex(t.keyCol)
     val wi = t.schema.fieldIndex(t.writetime.get)
     def expired(c: GCell): Boolean =
       c.ttl.exists(tt => now.exists(n => epochSeconds(c.wt) + tt <= n))
-    t.cellRows.toArray.flatMap { case (key, cr) =>
+    src.toArray.flatMap { case (key, cr) =>
       val markerLive = cr.marker.exists(m => !expired(m))
       val visible = new Array[Any](cr.cells.length)
       val liveWts = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -1853,15 +1895,33 @@ class GScanBuilder(tname: String, t: GraftCatalogStore.T,
       val cl = Option(options.get("cl")).map(_.toLowerCase).getOrElse("one")
       require(Set("one", "quorum", "all")(cl),
         s"table $tname: 'cl' must be one/quorum/all, got $cl")
+      // point-in-time read of a named snapshot ('snapshot' read option):
+      // serves the linked copy instead of the live store — expiry is still
+      // read-time (a snapshot preserves cells, not their liveness), and
+      // 'cl' is moot (the snapshot IS a single consistent cut). Rows
+      // captured before an ALTER ADD pad to the current arity at read.
+      val snap = Option(options.get("snapshot")).map { sn =>
+        t.snapshots.getOrElse(sn, throw new IllegalArgumentException(
+          s"table $tname has no snapshot '$sn'"))
+      }
       val live =
         if (t.cellwise) {
           if (t.ttl.isDefined) demandNow // fail with the named error, eagerly
           GUpsertTable.materializeCellwise(t,
-            if (t.ttl.isDefined) nowOpt else None)
+            if (t.ttl.isDefined) nowOpt else None,
+            snap.map(_._2).getOrElse(t.cellRows))
         } else {
-          val base =
-            if (t.rf > 1 && cl != "one") GUpsertTable.quorumRead(t)
-            else t.rows.values.toArray
+          val arity = t.schema.length
+          val base = snap match {
+            case Some((rowsSnap, _)) => rowsSnap.values.iterator.map { r =>
+              if (r.length < arity)
+                r ++ Array.fill[Any](arity - r.length)(null)
+              else r
+            }.toArray
+            case None =>
+              if (t.rf > 1 && cl != "one") GUpsertTable.quorumRead(t)
+              else t.rows.values.toArray
+          }
           t.ttl match {
             case None => base
             case Some(ttlCol) =>

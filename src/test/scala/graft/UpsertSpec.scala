@@ -1903,6 +1903,39 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(a == b, s"$a != $b")
   }
 
+  test("snapshot is an isolated cut; restore rolls every replica back") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.sn")
+    spark.sql("CREATE TABLE graftcat.proptest.sn (id INT, v BIGINT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'rf'='2')")
+    def read(opts: (String, String)*): Map[Int, Long] = {
+      var r = spark.read
+      opts.foreach { case (k, vv) => r = r.option(k, vv) }
+      r.table("graftcat.proptest.sn").collect()
+        .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    }
+    spark.sql("SELECT * FROM VALUES (1, 10L, 100L), (2, 20L, 100L) AS t(id, v, wt)")
+      .writeTo("graftcat.proptest.sn").append()
+    graft.sources.GraftCatalogStore.snapshotTable("proptest", "sn", "pre")
+    spark.sql("SELECT * FROM VALUES (1, 111L, 200L), (3, 30L, 200L) AS t(id, v, wt)")
+      .writeTo("graftcat.proptest.sn").append()
+    spark.sql("DELETE FROM graftcat.proptest.sn WHERE id = 2")
+    // live moved on; the snapshot did not
+    assert(read() == Map(1 -> 111L, 3 -> 30L), read())
+    assert(read("snapshot" -> "pre") == Map(1 -> 10L, 2 -> 20L))
+    // restore: every replica rolls back, the snapshot survives
+    graft.sources.GraftCatalogStore.restoreSnapshot("proptest", "sn", "pre")
+    assert(read() == Map(1 -> 10L, 2 -> 20L), read())
+    assert(read("cl" -> "quorum") == Map(1 -> 10L, 2 -> 20L))
+    assert(read("snapshot" -> "pre") == Map(1 -> 10L, 2 -> 20L))
+    val e = intercept[Exception](read("snapshot" -> "nope"))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("no snapshot")), chain(e))
+  }
+
   test("ALTER TABLE migrates rows in place — concurrent commits cannot be lost") {
     // the copy-then-swap design lost any INSERT committing into the old
     // store between copy and swap; the in-place migration under the table's
