@@ -1889,6 +1889,38 @@ object Storage {
         .orderBy("event_type")
     },
 
+    // TWCS — TimeWindowCompactionStrategy as a LAYOUT discipline (the
+    // compaction strategy the pinned Cassandra uses for time series):
+    // events land in NON-OVERLAPPING time-window partitions (one daily
+    // directory per window), each window compacted within itself
+    // (ts-sorted), and a NEW window's arrival appends ONLY its own
+    // directory — PlanSpec asserts the old windows' files are untouched
+    // bit-for-bit and that a window-filtered read plans only its
+    // directory. At 100 TB this is why time-series expiry is O(1) (drop
+    // whole windows) and why late reads never rewrite history.
+    "q_twcs_layout" -> { (s, dir) =>
+      val base = s"${sys.props("java.io.tmpdir")}/graft-twcs/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("w", date_format(col("ts"), "yyyy-MM-dd"))
+      val lastDay = ev.agg(max("w")).head().getString(0)
+      // history: every closed window, compacted within itself
+      ev.filter(col("w") < lastDay)
+        .repartition(col("w")).sortWithinPartitions("ts")
+        .write.partitionBy("w").mode(SaveMode.Overwrite).parquet(base)
+      // the open window arrives later: append touches ONLY its directory
+      ev.filter(col("w") === lastDay)
+        .repartition(1).sortWithinPartitions("ts")
+        .write.partitionBy("w").mode(SaveMode.Append).parquet(base)
+      // partition-column type inference turns the yyyy-MM-dd directory
+      // value into a DATE — re-render it as the string key the oracle uses
+      s.read.parquet(base)
+        .groupBy(date_format(col("w").cast("timestamp"), "yyyy-MM-dd").as("w"))
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("w")
+    },
+
     // JSON-lines round-trip — the third non-parquet format tier (CSV and ORC
     // above): distributed write of a projection to .json, schema-declared
     // read back (schema inference at 100 TB would be a full extra pass),
@@ -2441,6 +2473,13 @@ object Storage {
 
     // Per-entry LWW replay, keyed by (id, map key): live iff the winner is
     // a put above the id's newest collection tombstone (assign wt − 1).
+    // per-window stats over the same daily windows
+    "q_twcs_layout" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS w, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events GROUP BY 1 ORDER BY w""".stripMargin,
+
     // the snapshot is the pre-phase-2 cut: every id with its phase-1 value
     "q_kv_snapshot" ->
       """SELECT o_orderkey AS id, o_orderkey * 10 AS v

@@ -361,6 +361,44 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("HashAggregate"), plan)
   }
 
+  test("TWCS layout: a new window's append leaves closed windows untouched and prunes reads") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft-twcs/" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    import org.apache.spark.sql.functions.{col => fcol, date_format, max => fmax}
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .withColumn("w", date_format(fcol("ts"), "yyyy-MM-dd"))
+    val lastDay = ev.agg(fmax("w")).head().getString(0)
+    ev.filter(fcol("w") < lastDay)
+      .repartition(fcol("w")).sortWithinPartitions("ts")
+      .write.partitionBy("w").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(base)
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(base))
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getPath.contains(s"w=$lastDay"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files()
+    assert(before.nonEmpty)
+    ev.filter(fcol("w") === lastDay)
+      .repartition(1).sortWithinPartitions("ts")
+      .write.partitionBy("w").mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(base)
+    // closed windows: same files, same mtimes — the open window's arrival
+    // rewrote nothing (TWCS's whole point)
+    assert(files() == before, "closed-window files changed")
+    // a window-filtered read plans ONLY that window's directory
+    val pruned = spark.read.parquet(base).filter(fcol("w") === lastDay)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    val scanned = pruned.select(org.apache.spark.sql.functions
+      .input_file_name()).distinct().collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains(s"w=$lastDay")),
+      scanned.mkString(","))
+  }
+
   test("CONTAINS plans only the element's owning splits (collection index)") {
     val df = Storage.queries("q_kv_contains")(spark, sfDir)
     val rows = df.collect()
