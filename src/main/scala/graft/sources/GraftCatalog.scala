@@ -111,6 +111,10 @@ object GraftCatalogStore {
     * CAS-replace the whole per-key state. */
   final case class GCellRow(marker: Option[GCell], cells: Array[GCell])
 
+  /** One CDC changelog entry: a commit's statement rows (padded to the
+    * commit-time schema), tombstone = a DELETE's marker batch. */
+  final case class CdcBatch(rows: Array[Array[Any]], tombstone: Boolean)
+
   final class T(@volatile var schema: StructType, val keyCol: String,
       val sets: Set[String] = Set.empty,
       val writetime: Option[String] = None,
@@ -141,6 +145,14 @@ object GraftCatalogStore {
       * under `synchronized`) and drained by
       * [[GraftCatalogStore.replayHints]] when the node "comes back". */
     val hints = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Any])]
+    /** CDC changelog (the Cassandra commit-log / CDC-log analog for the
+      * catalog store): one entry per commit — INSERT/streaming-sink/logged-
+      * BATCH commits append their statement rows, key deletes append a
+      * TOMBSTONE batch of marker rows (key set, data null). Served by the
+      * `<table>__cdc` streaming read as micro-batches (offset = batch
+      * count). MERGE deltas are not captured (scope stated in Scaladoc). */
+    val changelog =
+      scala.collection.mutable.ArrayBuffer.empty[GraftCatalogStore.CdcBatch]
     /** Named point-in-time snapshots (nodetool snapshot analog): immutable
       * copies of the row store / cell store taken under the DDL write lock.
       * Row arrays are never mutated in place (every merge replaces whole
@@ -400,6 +412,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tables.keys.collect { case (n, t) if n == key => Identifier.of(ns, t) }.toArray
   }
   override def loadTable(ident: Identifier): Table = {
+    // `<table>__cdc` resolves to the base table's CDC stream (the commit-
+    // log read) — a read-only MicroBatchStream surface, like a CDC-enabled
+    // Cassandra table's cdc_raw log next to the table itself
+    if (ident.name().endsWith("__cdc")) {
+      val base = ident.name().stripSuffix("__cdc")
+      val key = (nsOf(ident), base)
+      val t = tables.getOrElse(key, throw new NoSuchTableException(ident))
+      return new GCdcTable(s"$catName.${key._1}.${key._2}__cdc", t)
+    }
     val key = (nsOf(ident), ident.name())
     val t = tables.getOrElse(key, throw new NoSuchTableException(ident))
     new GUpsertTable(s"$catName.${key._1}.${key._2}", t)
@@ -929,6 +950,13 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
       t.synchronized {
         val kept = t.hints.filterNot { case (_, r) => doomed(r(ki)) }
         t.hints.clear(); t.hints ++= kept
+      }
+      // CDC tombstone batch: one marker row per deleted key
+      t.changelog.synchronized {
+        t.changelog += GraftCatalogStore.CdcBatch(
+          doomed.iterator.map { k =>
+            val r = new Array[Any](t.schema.length); r(ki) = k; r
+          }.toArray, tombstone = true)
       }
     }
   }
@@ -1651,6 +1679,13 @@ object GUpsertTable {
     // must see the raw 0-vs-NULL distinction)
     val ttlIdx = if (t.defaultTtl.isDefined && !t.cellwise)
       t.ttl.map(t.schema.fieldIndex) else None
+    // CDC: every commit through this path (INSERT, streaming sink, logged
+    // BATCH) appends its statement rows — the commit-log entry consumers
+    // fold; the __cdc stream serves it as one micro-batch per commit
+    t.changelog.synchronized {
+      t.changelog += GraftCatalogStore.CdcBatch(
+        rows.iterator.map(padded).toArray, tombstone = false)
+    }
     rows.foreach { r0 =>
       val r = padded(r0)
       setIdx.foreach { case (i, et) =>
@@ -2098,6 +2133,90 @@ object GDeltaWriterFactory {
 }
 
 case class GRows(rows: Array[Array[Any]]) extends InputPartition
+
+/** CDC read of a catalog table (`<table>__cdc`): the commit changelog as a
+  * Structured Streaming micro-batch source — one micro-batch per commit,
+  * rows extended with `_commit_seq` (the commit's position) and
+  * `_tombstone` (a DELETE's marker batch). Offset = number of commits, so
+  * restart/replay is exact; consumers fold the log by (key, max seq), the
+  * same shape as the KV CDC stream. Read-only. */
+class GCdcTable(tname: String, t: GraftCatalogStore.T)
+    extends Table with SupportsRead {
+  override def name(): String = tname
+  override def schema(): StructType = GCdcTable.withSeq(t.schema)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GCdcTable.withSeq(t.schema)
+        override def description(): String = s"$tname (cdc)"
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new GCatMicroBatchStream(t)
+      }
+    }
+}
+
+object GCdcTable {
+  def withSeq(schema: StructType): StructType =
+    StructType(schema.fields ++ Array(
+      StructField("_commit_seq", LongType, nullable = false),
+      StructField("_tombstone", BooleanType, nullable = false)))
+}
+
+class GCatMicroBatchStream(t: GraftCatalogStore.T)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  private def log = t.changelog
+  override def latestOffset(): Offset =
+    GCatOffset(log.synchronized(log.size.toLong))
+  override def initialOffset(): Offset = GCatOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    GCatOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GCatOffset].seq.toInt
+    val e0 = end.asInstanceOf[GCatOffset].seq.toInt
+    log.synchronized {
+      (s0 until e0).map { i =>
+        val b = log(i)
+        GCdcPartition(i.toLong, b.tombstone, b.rows, t.schema): InputPartition
+      }.toArray
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GCdcReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class GCatOffset(seq: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = seq.toString
+}
+
+case class GCdcPartition(seq: Long, tombstone: Boolean,
+    rows: Array[Array[Any]], schema: StructType) extends InputPartition
+
+class GCdcReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GCdcPartition]
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < part.rows.length }
+      override def get(): InternalRow = {
+        // rows may predate an ALTER ADD: pad to the CDC schema's base arity
+        val base = part.schema.fields.indices.map { j =>
+          val r = part.rows(i)
+          if (j < r.length) GValues.internal(part.schema.fields(j).dataType, r(j))
+          else null
+        }
+        InternalRow.fromSeq(base ++ IndexedSeq(part.seq, part.tombstone))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
 
 /** Internal↔external value conversion for the full SURVEY §1.2 type table:
   * every CQL type's Catalyst mapping round-trips through the store —

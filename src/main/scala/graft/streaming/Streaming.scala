@@ -665,6 +665,38 @@ object Streaming {
         .select("k", "name").orderBy("k")
     },
 
+    // CDC stream of a CATALOG table (`<table>__cdc` — the commit-log read,
+    // the catalog-side twin of q_stream_kv_cdc): three write waves and a
+    // DELETE commit land as four micro-batches tagged with `_commit_seq`
+    // and `_tombstone`; the consumer folds the log by (key, max seq), so
+    // the fold equals the table's own LWW state with deleted keys gone —
+    // which is exactly what the DuckDB oracle recomputes from the same
+    // wave definitions.
+    "q_stream_catalog_cdc" -> { (s, dir) =>
+      val fqn = "graftcat.streamks.cdc_nat"
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.streamks")
+      s.sql(s"DROP TABLE IF EXISTS $fqn")
+      s.sql(s"CREATE TABLE $fqn (k BIGINT, name STRING) " +
+        "TBLPROPERTIES ('key'='k')")
+      def wave(cond: org.apache.spark.sql.Column, suffix: String): Unit =
+        Tables.load(s, dir, "nation").filter(cond)
+          .select(col("n_nationkey").cast(LongType).as("k"),
+            concat(col("n_name"), lit(suffix)).as("name"))
+          .writeTo(fqn).append()
+      wave(col("n_nationkey") < 20, "_v1")
+      wave(col("n_nationkey") >= 8, "_v2")
+      wave(col("n_nationkey") < 4, "_v3")
+      s.sql(s"DELETE FROM $fqn WHERE k IN (5, 9, 23)")
+      val log = runToMemory(
+        s.readStream.table(s"${fqn}__cdc"), "graft_stream_cat_cdc")
+      val latest = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("_commit_seq").desc)
+      log.withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
+        .filter(!col("_tombstone"))
+        .select("k", "name").orderBy("k")
+    },
+
     // Streaming SINK into the catalog table — the write-side complement of
     // the KV CDC source: `writeStream.toTable` drives the table's
     // STREAMING_WRITE surface, each micro-batch epoch committing through
@@ -730,6 +762,16 @@ object Streaming {
     // the folded CDC log must equal the table's current state, recomputed
     // here from nation + the three deterministic update waves (later waves
     // overwrite earlier ones per key)
+    // catalog CDC fold: the latest wave per key, deleted keys gone
+    "q_stream_catalog_cdc" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |  n_name || CASE WHEN n_nationkey < 4 THEN '_v3'
+        |                 WHEN n_nationkey >= 8 THEN '_v2'
+        |                 ELSE '_v1' END AS name
+        |FROM nation
+        |WHERE n_nationkey NOT IN (5, 9, 23)
+        |ORDER BY k""".stripMargin,
+
     "q_stream_kv_cdc" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS k,
         |  CASE WHEN n_nationkey < 4 THEN n_name || '_u3'
