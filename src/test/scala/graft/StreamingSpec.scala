@@ -315,6 +315,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(folded == Map(1L -> "a2", 2L -> "b2", 4L -> "d", 5L -> "e"))
   }
 
+  test("catalog CDC stream resumes from its checkpoint and folds to the table state") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.cdcr")
+    spark.sql("CREATE TABLE graftcat.proptest.cdcr (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key'='k')")
+    def upsert(rows: (Long, String)*): Unit =
+      spark.sql("SELECT * FROM VALUES " +
+        rows.map { case (k, v) => s"(${k}L, '$v')" }.mkString(", ") +
+        " AS t(k, v)").writeTo("graftcat.proptest.cdcr").append()
+    upsert(1L -> "a", 2L -> "b") // commit 1
+    upsert(1L -> "a2", 4L -> "d") // commit 2
+    val root = java.nio.file.Files.createTempDirectory("graft-cat-cdc").toString
+    def start() = spark.readStream.table("graftcat.proptest.cdcr__cdc")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+    assert(spark.read.parquet(s"$root/out").count() == 4)
+    // mutations while the consumer is DOWN, including a tombstone batch
+    upsert(2L -> "b2", 5L -> "e") // commit 3
+    spark.sql("DELETE FROM graftcat.proptest.cdcr WHERE k = 4") // commit 4
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(s"$root/out")
+    // exactly-once per commit across the restart
+    assert(out.count() == 7, s"rows=${out.count()}")
+    assert(out.filter(col("_tombstone")).count() == 1)
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("_commit_seq").desc)
+    val folded = out.withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1).filter(!col("_tombstone")).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val table = spark.table("graftcat.proptest.cdcr")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(folded == table, s"folded=$folded table=$table")
+    assert(folded == Map(1L -> "a2", 2L -> "b2", 5L -> "e"))
+  }
+
   test("restart from checkpoint resumes into the file sink exactly once") {
     // The recovery contract a 100 TB/day ingest job relies on: offsets live
     // in the checkpoint WAL, committed files in the sink manifest — kill the
