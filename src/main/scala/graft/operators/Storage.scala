@@ -788,6 +788,31 @@ object Storage {
         .orderBy("id", "mkey")
     },
 
+    // cqlsh COPY TO / COPY FROM — the CSV bulk unload/load pair: a table
+    // projection unloads to headered CSV (distributed write, one file per
+    // partition), and a fresh catalog table loads it back through the
+    // normal upsert commit (schema-declared read — inference at 100 TB
+    // would be an extra full pass). Doubles survive by shortest-
+    // representation serialization. The oracle recomputes the loaded
+    // table from the source rows.
+    "q_catalog_copy" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.copied")
+      s.sql("CREATE TABLE graftcat.testks.copied " +
+        "(id BIGINT, name STRING, bal DOUBLE) TBLPROPERTIES ('key'='id')")
+      val base = s"${sys.props("java.io.tmpdir")}/graft-copy/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+      cust.write.mode(SaveMode.Overwrite).option("header", "true").csv(base)
+      s.read.schema(cust.schema).option("header", "true").csv(base)
+        .writeTo("graftcat.testks.copied").append()
+      s.table("graftcat.testks.copied").orderBy("id")
+    },
+
     // Point-in-time SNAPSHOT (nodetool snapshot analog) + restore: phase-1
     // writes, a snapshot taken under the DDL lock (a consistent cut,
     // O(keys) hard links — row arrays are immutable under the merge
@@ -1435,6 +1460,28 @@ object Storage {
       s.read.format("graft.sources.KVDataSource").option("table", cName).load()
         .filter(col("c_nationkey") >= 5 && col("c_nationkey") < 12)
         .orderBy("c_custkey")
+    },
+
+    // Token-range PAGING — the way every full-table Spark scan of a
+    // Cassandra table actually runs: the ring divided into disjoint
+    // half-open token arcs, one scan per arc (each pruned to its arc's
+    // splits — the same pushdown as q_kv_token_range), unioned back
+    // together. The arcs partition the ring exactly, so the union IS the
+    // full scan — at 100 TB this is the decomposition that lets a
+    // thousand executors each own an arc. The oracle is simply the whole
+    // table.
+    "q_kv_token_pages" -> { (s, dir) =>
+      val (_, cName) = stageKv(s, dir)
+      val t = s.read.format("graft.sources.KVDataSource")
+        .option("table", cName).load()
+      // 4 disjoint arcs over the 25-nation key space (identity tokens)
+      val bounds = Seq(0L, 7L, 13L, 19L, 25L)
+      bounds.sliding(2).map { case Seq(lo, hi) =>
+        t.filter(col("c_nationkey") >= lo && col("c_nationkey") < hi)
+      }.reduce(_ unionAll _)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("sum_cust"))
+        .orderBy("c_nationkey")
     },
 
     // CQL `ORDER BY ck LIMIT n` (SupportsPushDownTopN): partitions are
@@ -2479,6 +2526,18 @@ object Storage {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
         |FROM events GROUP BY 1 ORDER BY w""".stripMargin,
+
+    // every arc unioned = the whole ring
+    "q_kv_token_pages" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_cust
+        |FROM customer GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    // the CSV-roundtripped load equals the source projection
+    "q_catalog_copy" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+        |FROM customer WHERE c_custkey <= 100
+        |ORDER BY id""".stripMargin,
 
     // the snapshot is the pre-phase-2 cut: every id with its phase-1 value
     "q_kv_snapshot" ->
