@@ -887,6 +887,39 @@ object Storage {
         .orderBy("n_nationkey")
     },
 
+    // REPLICATED COUNTERS — Cassandra's counter shards: each increment
+    // lands on the leader replica's shard as (clock+1, value+delta) and
+    // the updated shard replicates; replicas reconcile shard-wise by MAX
+    // CLOCK, which makes repair and hint replay idempotent (the property
+    // blind additive merge cannot have — and the reason CQL forbids
+    // retrying counter writes but happily replays counter hints). Three
+    // increment waves, the middle one missing replica 0: the CL=QUORUM
+    // read shard-merges and serves the full totals the oracle recomputes
+    // — no increment lost, none double-counted.
+    "q_kv_counter_shards" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.hits_rf")
+      s.sql("CREATE TABLE graftcat.testks.hits_rf (id BIGINT, n BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'counters'='n', 'rf'='2')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_custkey") <= 100)
+        .select(pmod(col("o_custkey"), lit(20)).cast(LongType).as("id"),
+          col("o_orderkey"))
+      def wave(cond: org.apache.spark.sql.Column, delta: org.apache.spark.sql.Column,
+          fail: Option[String]): Unit = {
+        var w = o.filter(cond)
+          .groupBy("id").agg(sum(delta).cast(LongType).as("n"))
+          .writeTo("graftcat.testks.hits_rf")
+        fail.foreach(f => w = w.option("failreplica", f))
+        w.append()
+      }
+      wave(pmod(col("o_orderkey"), lit(3)) === 0, lit(1L), None)
+      wave(pmod(col("o_orderkey"), lit(3)) === 1, lit(2L), Some("0"))
+      wave(pmod(col("o_orderkey"), lit(3)) === 2, lit(3L), Some("1"))
+      s.read.option("cl", "quorum").table("graftcat.testks.hits_rf")
+        .orderBy("id")
+    },
+
     // Hinted handoff — the other half of the replication story: the
     // coordinator stores a hint for every write a down replica missed, and
     // REPLAY (the node coming back) drains the queue through the table's
@@ -2567,6 +2600,15 @@ object Storage {
         |  CAST(n_nationkey AS BIGINT) AS _token
         |FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+
+    // total increments per id across all three waves — what a lossless
+    // shard merge must serve
+    "q_kv_counter_shards" ->
+      """SELECT CAST(o_custkey % 20 AS BIGINT) AS id,
+        |  CAST(SUM(CASE CAST(o_orderkey % 3 AS INT)
+        |           WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END) AS BIGINT) AS n
+        |FROM orders WHERE o_custkey <= 100
+        |GROUP BY 1 ORDER BY id""".stripMargin,
 
     // post-replay CL=ONE = LWW over the full write log, same as quorum
     "q_kv_hinted_handoff" ->

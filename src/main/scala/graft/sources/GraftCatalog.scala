@@ -115,6 +115,15 @@ object GraftCatalogStore {
     * commit-time schema), tombstone = a DELETE's marker batch. */
   final case class CdcBatch(rows: Array[Array[Any]], tombstone: Boolean)
 
+  /** One counter SHARD — Cassandra's counter cell fragment: the sub-count
+    * a single replica is the leader for, versioned by its own logical
+    * clock. A replicated counter column stores `Map[replicaIdx, CtrShard]`;
+    * the visible value is the SUM of shard values, and replicas reconcile
+    * shard-wise by MAX CLOCK — which is what makes counter repair and hint
+    * replay idempotent (replaying an already-seen shard state is a no-op),
+    * the property plain additive merge can never have. */
+  final case class CtrShard(clock: Long, value: Long)
+
   final class T(@volatile var schema: StructType, val keyCol: String,
       val sets: Set[String] = Set.empty,
       val writetime: Option[String] = None,
@@ -218,7 +227,8 @@ object GraftCatalogStore {
       }
       val reps = t.allReplicas
       drained.foreach { case (ri, r) =>
-        GUpsertTable.lwwMergeInto(t, reps(ri), r)
+        if (t.counters.nonEmpty) GUpsertTable.shardMergeInto(t, reps(ri), r)
+        else GUpsertTable.lwwMergeInto(t, reps(ri), r)
       }
       drained.length
     } finally rl.unlock()
@@ -614,13 +624,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val rf = props.get("rf").map(_.toInt).getOrElse(1)
     require(rf >= 1 && rf <= 3, s"'rf' must be 1..3, got $rf")
     if (rf > 1) {
-      require(writetime.isDefined,
-        "'rf' > 1 requires a 'writetime' column — read repair merges " +
-          "replicas by client timestamp (Cassandra's LWW reconciliation)")
       require(!cellwise, "'rf' > 1 is not supported on cellwise tables " +
         "(per-cell repair is not modeled)")
-      require(counters.isEmpty, "'rf' > 1 is not supported on counter " +
-        "tables (additive merge is not LWW-repairable)")
+      // counter tables replicate by SHARDS (per-replica sub-counts merged
+      // by shard clock — Cassandra's counter cells), every other table by
+      // timestamp LWW, which needs a writetime column
+      if (counters.isEmpty)
+        require(writetime.isDefined,
+          "'rf' > 1 requires a 'writetime' column — read repair merges " +
+            "replicas by client timestamp (Cassandra's LWW reconciliation)")
     }
     tables.put(key, new GraftCatalogStore.T(
       schema1, keyCol, sets, writetime, ttl, counters, now, cellwise,
@@ -1551,6 +1563,65 @@ object GUpsertTable {
     }
   }
 
+  /** Shard-wise merge of one replicated-counter row into a store: per
+    * counter column, per replica shard, the higher CLOCK wins — replaying
+    * an already-merged state is a no-op, so hint replay and anti-entropy
+    * are idempotent on counters (the property that distinguishes shards
+    * from blind additive merge). CAS-retried like every other merge. */
+  private[sources] def shardMergeInto(t: GraftCatalogStore.T,
+      st: TrieMap[Any, Array[Any]], r: Array[Any]): Unit = {
+    import GraftCatalogStore.CtrShard
+    val ki = t.schema.fieldIndex(t.keyCol)
+    val ctrIdx = t.schema.fields.zipWithIndex.collect {
+      case (f, i) if t.counters(f.name) => i
+    }
+    def shardsOf(row: Array[Any], ci: Int): Map[Int, CtrShard] =
+      Option(row(ci)).map(_.asInstanceOf[Map[Int, CtrShard]])
+        .getOrElse(Map.empty)
+    val key = r(ki)
+    var done = false
+    while (!done) st.get(key) match {
+      case Some(prev) =>
+        val n = prev.clone()
+        var changed = false
+        ctrIdx.foreach { ci =>
+          val base = shardsOf(prev, ci)
+          val merged = shardsOf(r, ci).foldLeft(base) { case (acc, (ri, sh)) =>
+            acc.get(ri) match {
+              case Some(old) if old.clock >= sh.clock => acc
+              case _ => changed = true; acc.updated(ri, sh)
+            }
+          }
+          n(ci) = merged
+        }
+        done = !changed || st.replace(key, prev, n)
+      case None => done = st.putIfAbsent(key, r).isEmpty
+    }
+  }
+
+  /** CL=QUORUM read of a replicated COUNTER table: shard-wise union of
+    * every replica's copy (max clock per shard), written back to all —
+    * the anti-entropy form of counter reconciliation. Serialized with the
+    * write path on the table monitor. */
+  private[sources] def quorumReadCounters(t: GraftCatalogStore.T): Array[Array[Any]] =
+    t.synchronized {
+      val reps = t.allReplicas
+      val keys = reps.iterator.flatMap(_.keysIterator).toSet
+      keys.iterator.map { k =>
+        val copies = reps.flatMap(_.get(k))
+        val merged = copies.reduce { (a, b) =>
+          val n = a.clone()
+          // fold b's shards into a copy of a
+          val tmp = TrieMap.empty[Any, Array[Any]]
+          tmp.put(k, n)
+          shardMergeInto(t, tmp, b)
+          tmp(k)
+        }
+        reps.foreach(st => shardMergeInto(t, st, merged))
+        merged
+      }.toArray
+    }
+
   /** CL=QUORUM read of a replicated table: merge every replica's row per
     * key by the table's own LWW order (strict timestamp, type-aware value
     * tie-break) and WRITE THE WINNER BACK to any replica that disagrees —
@@ -1561,6 +1632,7 @@ object GUpsertTable {
     * CURRENT row so it can never clobber a concurrently-committed newer
     * write. */
   private[sources] def quorumRead(t: GraftCatalogStore.T): Array[Array[Any]] = {
+    if (t.counters.nonEmpty) return quorumReadCounters(t)
     val wi = t.schema.fieldIndex(t.writetime.get)
     val ki = t.schema.fieldIndex(t.keyCol)
     def newer(a: Array[Any], b: Array[Any]): Boolean = {
@@ -1754,20 +1826,68 @@ object GUpsertTable {
           }
         }
         else if (ctrIdx.nonEmpty) {
-          // stored + increment (NULL increment = +0, NULL stored = counter
-          // starts at 0 — CQL counter defaults)
-          var done = false
-          while (!done) t.rows.get(key) match {
-            case Some(prev) =>
-              val merged = r.clone()
-              ctrIdx.foreach { i =>
-                merged(i) = longOr0(prev(i)) + longOr0(r(i))
+          if (t.rf == 1) {
+            // stored + increment (NULL increment = +0, NULL stored = counter
+            // starts at 0 — CQL counter defaults)
+            var done = false
+            while (!done) t.rows.get(key) match {
+              case Some(prev) =>
+                val merged = r.clone()
+                ctrIdx.foreach { i =>
+                  merged(i) = longOr0(prev(i)) + longOr0(r(i))
+                }
+                done = t.rows.replace(key, prev, merged)
+              case None =>
+                val init = r.clone()
+                ctrIdx.foreach { i => init(i) = longOr0(r(i)) }
+                done = t.rows.putIfAbsent(key, init).isEmpty
+            }
+          } else t.synchronized {
+            // REPLICATED counter: the increment lands on the LEADER
+            // replica's SHARD — (clock+1, value+delta) — and the updated
+            // shard replicates to every live replica; a down replica gets a
+            // hint of the post-update row, replayed shard-wise by max
+            // clock (idempotent — the reason Cassandra CAN replay counter
+            // hints but forbids blind client retries). Coordinator-
+            // serialized (`t.synchronized`), like the counter lock
+            // Cassandra takes on the leader.
+            import GraftCatalogStore.CtrShard
+            val reps = t.allReplicas
+            val leader = (0 until t.rf).find(i => !failReplicas(i)).get
+            def shardsOf(row: Array[Any], ci: Int): Map[Int, CtrShard] =
+              Option(row(ci)).map(_.asInstanceOf[Map[Int, CtrShard]])
+                .getOrElse(Map.empty)
+            // leader's current shard = its max-clock copy on any LIVE
+            // replica (a stale copy only exists where a write was missed)
+            def currentShard(ci: Int): CtrShard =
+              reps.zipWithIndex.iterator.collect {
+                case (st, ri) if !failReplicas(ri) => st.get(key)
+              }.flatten.flatMap(row => shardsOf(row, ci).get(leader))
+                .reduceOption((a, b) => if (a.clock >= b.clock) a else b)
+                .getOrElse(CtrShard(0L, 0L))
+            val updates: Map[Int, CtrShard] = ctrIdx.map { ci =>
+              val cur = currentShard(ci)
+              ci -> CtrShard(cur.clock + 1,
+                Math.addExact(cur.value, longOr0(r(ci))))
+            }.toMap
+            def applied(prev: Option[Array[Any]]): Array[Any] = {
+              val n = prev.map(_.clone()).getOrElse {
+                val init = r.clone()
+                ctrIdx.foreach(ci => init(ci) = null)
+                init
               }
-              done = t.rows.replace(key, prev, merged)
-            case None =>
-              val init = r.clone()
-              ctrIdx.foreach { i => init(i) = longOr0(r(i)) }
-              done = t.rows.putIfAbsent(key, init).isEmpty
+              ctrIdx.foreach { ci =>
+                n(ci) = shardsOf(n, ci).updated(leader, updates(ci))
+              }
+              n
+            }
+            reps.zipWithIndex.foreach { case (st, ri) =>
+              if (!failReplicas(ri)) st.put(key, applied(st.get(key)))
+            }
+            if (failReplicas.nonEmpty) {
+              val hintRow = reps(leader)(key)
+              failReplicas.foreach(ri => t.hints += ((ri, hintRow)))
+            }
           }
         } else wtIdx match {
           case Some(_) =>
@@ -1947,7 +2067,7 @@ class GScanBuilder(tname: String, t: GraftCatalogStore.T,
             snap.map(_._2).getOrElse(t.cellRows))
         } else {
           val arity = t.schema.length
-          val base = snap match {
+          val base0 = snap match {
             case Some((rowsSnap, _)) => rowsSnap.values.iterator.map { r =>
               if (r.length < arity)
                 r ++ Array.fill[Any](arity - r.length)(null)
@@ -1957,6 +2077,25 @@ class GScanBuilder(tname: String, t: GraftCatalogStore.T,
               if (t.rf > 1 && cl != "one") GUpsertTable.quorumRead(t)
               else t.rows.values.toArray
           }
+          // replicated counters store per-replica SHARD maps; the visible
+          // counter value is the SUM of shard values (Cassandra's read of
+          // a counter cell)
+          val base =
+            if (t.rf > 1 && t.counters.nonEmpty) {
+              val ctrIdx = t.schema.fields.zipWithIndex.collect {
+                case (f, i) if t.counters(f.name) => i
+              }
+              base0.map { r =>
+                val n = r.clone()
+                ctrIdx.foreach { ci =>
+                  n(ci) = Option(n(ci))
+                    .map(_.asInstanceOf[Map[Int, GraftCatalogStore.CtrShard]]
+                      .valuesIterator.map(_.value).sum)
+                    .map(Long.box).getOrElse(Long.box(0L))
+                }
+                n
+              }
+            } else base0
           t.ttl match {
             case None => base
             case Some(ttlCol) =>

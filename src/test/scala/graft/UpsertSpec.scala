@@ -1936,6 +1936,49 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(chain(e).exists(_.contains("no snapshot")), chain(e))
   }
 
+  test("replicated counter shards: no increment lost, none double-counted") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.cs")
+    spark.sql("CREATE TABLE graftcat.proptest.cs (id INT, n BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'counters'='n', 'rf'='2')")
+    def inc(delta: Long, fail: Option[String] = None): Unit = {
+      var w = spark.sql(s"SELECT 1 AS id, ${delta}L AS n")
+        .writeTo("graftcat.proptest.cs")
+      fail.foreach(f => w = w.option("failreplica", f))
+      w.append()
+    }
+    def read(cl: String): Long =
+      spark.read.option("cl", cl).table("graftcat.proptest.cs")
+        .head().getLong(1)
+    inc(5L)
+    assert(read("one") == 5L)
+    // +7 misses replica 0: its leader shard lives on replica 1 only
+    inc(7L, Some("0"))
+    assert(read("one") == 5L, "replica 0 should be stale")
+    // quorum shard-merges (max clock per shard) and repairs
+    assert(read("quorum") == 12L)
+    assert(read("one") == 12L, "read repair did not stick")
+    // +1 misses replica 1; the hint replays SHARD state — idempotently
+    inc(1L, Some("1"))
+    assert(read("one") == 13L)
+    assert(graft.sources.GraftCatalogStore.replayHints("proptest", "cs") >= 1)
+    assert(read("quorum") == 13L, "replay lost or double-counted")
+    // replaying again and repairing again changes nothing (idempotence —
+    // the property blind additive merge cannot have)
+    assert(graft.sources.GraftCatalogStore.replayHints("proptest", "cs") == 0)
+    assert(graft.sources.GraftCatalogStore.repairTable("proptest", "cs") == 1)
+    assert(read("quorum") == 13L)
+    assert(read("one") == 13L)
+    // both replicas hold the full shard set now
+    val t = graft.sources.GraftCatalogStore.tables(("proptest", "cs"))
+    Seq(t.rows, t.extraReplicas(0)).foreach { st =>
+      val shards = st.values.head(1)
+        .asInstanceOf[Map[Int, graft.sources.GraftCatalogStore.CtrShard]]
+      assert(shards.valuesIterator.map(_.value).sum == 13L, shards)
+    }
+  }
+
   test("ALTER TABLE migrates rows in place — concurrent commits cannot be lost") {
     // the copy-then-swap design lost any INSERT committing into the old
     // store between copy and swap; the in-place migration under the table's
