@@ -551,6 +551,61 @@ object Pipeline {
     // 100 surviving rows ever meet the rank/cumulative window — at a 100 TB
     // corpus the raw type table is 10^8–10^9 rows and must never be pulled
     // into one task (PlanSpec asserts the Window sits above the top-k).
+    // BPE TOKENIZER TRAINING — three merge rounds of byte-pair encoding
+    // over the corpus vocabulary, the distributed shape a tokenizer
+    // pipeline runs before any model sees a token: per round, adjacent
+    // symbol pairs counted corpus-weighted (explode + sum — the only wide
+    // op), the argmax pair (count DESC, pair ASC — deterministic) chosen
+    // with a SCALAR driver action, and the merge applied map-only by a
+    // sentinel-spaced string replace. Both engines scan replace()
+    // left-to-right non-overlapping, so the applied merges are
+    // engine-identical (real BPE re-scans repeated pairs — a stated
+    // single-pass simplification). Vocab capped at the top 200 types, so
+    // rounds run over a bounded table; at 100 TB the pair counting is the
+    // map-side-combined aggregation, never an all-pairs join.
+    "q_bpe_merges" -> { (s, dir) =>
+      val words = docsPar(s, dir)
+        .select(explode(split(col("text"), " +")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+      val top = words
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(pmod(col("wc"), lit(1)))
+            .orderBy(col("wc").desc, col("word").asc)))
+        .filter(col("rn") <= 200)
+        // sentinel spaces so a merge pattern ' a b ' can never match across
+        // a symbol boundary (the tail of a previously merged symbol)
+        .select(col("wc"),
+          concat(lit(" "), concat_ws(" ", split(col("word"), "")), lit(" "))
+            .as("syms"))
+      def pairCounts(df: DataFrame): DataFrame = df
+        .withColumn("l", split(trim(col("syms")), " "))
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(l) - 2), " +
+            "i -> concat(element_at(l, i + 1), ' ', element_at(l, i + 2)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("wc").as("cnt"))
+      var syms = top
+      val rounds = (1 to 3).map { r =>
+        val pc = pairCounts(syms).persist(StorageLevel.MEMORY_AND_DISK)
+        val best = pc.orderBy(col("cnt").desc, col("pair").asc)
+          .head().getString(0) // scalar driver action: the chosen merge
+        val out = pc
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(pmod(col("cnt"), lit(1)))
+              .orderBy(col("cnt").desc, col("pair").asc)))
+          .filter(col("rank") <= 15)
+          .select(lit(r).as("round"), col("rank"), col("pair"), col("cnt"))
+        syms = syms.withColumn("syms",
+          regexp_replace(col("syms"),
+            java.util.regex.Pattern.quote(s" $best "),
+            java.util.regex.Matcher.quoteReplacement(
+              s" ${best.replace(" ", "")} ")))
+        out
+      }
+      rounds.reduce(_ unionAll _).orderBy("round", "rank")
+    },
+
     "q_vocab_build" -> { (s, dir) =>
       val types = docsPar(s, dir)
         .select(explode(split(col("text"), " ")).as("w"))
@@ -1348,6 +1403,67 @@ object Pipeline {
         |SELECT doc_id, n_emails, n_phones, CAST(length(clean) AS INT) AS clean_len
         |FROM c WHERE n_emails + n_phones > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // three unrolled BPE rounds: identical pair extraction, identical
+    // argmax tie-break, identical left-to-right replace()
+    "q_bpe_merges" ->
+      """WITH w0 AS (
+        |  SELECT word, COUNT(*) AS wc FROM (
+        |    SELECT unnest(string_split_regex(text, ' +')) AS word
+        |    FROM documents) t
+        |  WHERE length(word) >= 2 GROUP BY 1),
+        |top AS (
+        |  SELECT word, wc FROM (
+        |    SELECT word, wc,
+        |      row_number() OVER (ORDER BY wc DESC, word ASC) AS rn
+        |    FROM w0) z WHERE rn <= 200),
+        |s0 AS (
+        |  SELECT wc,
+        |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS syms
+        |  FROM top),
+        |p1 AS (
+        |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        |    SELECT wc, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT wc, string_split(trim(syms), ' ') AS l FROM s0) q)
+        |  GROUP BY 1),
+        |b1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |s1 AS (
+        |  SELECT wc, replace(syms,
+        |    ' ' || (SELECT pair FROM b1) || ' ',
+        |    ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS syms
+        |  FROM s0),
+        |p2 AS (
+        |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        |    SELECT wc, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT wc, string_split(trim(syms), ' ') AS l FROM s1) q)
+        |  GROUP BY 1),
+        |b2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |s2 AS (
+        |  SELECT wc, replace(syms,
+        |    ' ' || (SELECT pair FROM b2) || ' ',
+        |    ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS syms
+        |  FROM s1),
+        |p3 AS (
+        |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        |    SELECT wc, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT wc, string_split(trim(syms), ' ') AS l FROM s2) q)
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT 1 AS round,
+        |    row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank,
+        |    pair, cnt FROM p1
+        |  UNION ALL
+        |  SELECT 2, row_number() OVER (ORDER BY cnt DESC, pair ASC),
+        |    pair, cnt FROM p2
+        |  UNION ALL
+        |  SELECT 3, row_number() OVER (ORDER BY cnt DESC, pair ASC),
+        |    pair, cnt FROM p3)
+        |SELECT round, CAST(rank AS INT) AS rank, pair, cnt
+        |FROM ranked WHERE rank <= 15
+        |ORDER BY round, rank""".stripMargin,
 
     "q_vocab_build" ->
       """WITH tok AS (
