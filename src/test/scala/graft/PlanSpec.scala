@@ -361,6 +361,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("HashAggregate"), plan)
   }
 
+  test("token-range pages: each arc plans only its own splits") {
+    val (_, cName) = Storage.stageKv(spark, sfDir)
+    val t = spark.read.format("graft.sources.KVDataSource")
+      .option("table", cName).load()
+    val total = graft.sources.KeyGroupedRegistry.get(cName).parts.length
+    import org.apache.spark.sql.functions.{col => fcol}
+    // one arc: [7, 13) over the 25-nation identity-token ring
+    val arc = t.filter(fcol("c_nationkey") >= 7L && fcol("c_nationkey") < 13L)
+    arc.collect()
+    val planned = graft.sources.KeyGroupedRegistry.lastPlanned(cName)
+    assert(planned < total, s"arc did not prune ($planned of $total)")
+    assert(planned <= 6, s"arc [7,13) planned $planned splits")
+  }
+
   test("TWCS layout: a new window's append leaves closed windows untouched and prunes reads") {
     val base = s"${sys.props("java.io.tmpdir")}/graft-twcs/" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")

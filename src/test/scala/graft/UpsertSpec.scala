@@ -1979,6 +1979,52 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("counter shards: random failure patterns never lose or double-count") {
+    // property: any sequence of increments, each missing an arbitrary
+    // replica (or none), followed by repair, converges every replica to
+    // the exact total — the shard-merge idempotence claim under a
+    // randomized schedule instead of the curated one above
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    val rnd = new scala.util.Random(20260816)
+    (0 until 3).foreach { trial =>
+      spark.sql("DROP TABLE IF EXISTS graftcat.proptest.csp")
+      spark.sql("CREATE TABLE graftcat.proptest.csp (id INT, n BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'counters'='n', 'rf'='2')")
+      val totals = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+      (0 until 12).foreach { _ =>
+        val id = rnd.nextInt(3)
+        val delta = rnd.nextInt(21) - 10L
+        totals(id) += delta
+        var w = spark.sql(s"SELECT $id AS id, ${delta}L AS n")
+          .writeTo("graftcat.proptest.csp")
+        rnd.nextInt(3) match {
+          case 0 => w = w.option("failreplica", "0")
+          case 1 => w = w.option("failreplica", "1")
+          case _ => ()
+        }
+        w.append()
+      }
+      // occasionally replay hints mid-schedule too — must stay harmless
+      if (rnd.nextBoolean())
+        graft.sources.GraftCatalogStore.replayHints("proptest", "csp")
+      graft.sources.GraftCatalogStore.repairTable("proptest", "csp")
+      val one = spark.table("graftcat.proptest.csp").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val expected = totals.filter(_._2 != 0).toMap ++
+        totals.filter(_._2 == 0).toMap // all touched ids present, even at 0
+      assert(one == expected.toMap, s"trial $trial: $one vs $totals")
+      // replica 1 agrees after repair
+      val t = graft.sources.GraftCatalogStore.tables(("proptest", "csp"))
+      val rep1 = t.extraReplicas(0).toMap.map { case (k, r) =>
+        k.asInstanceOf[Int] ->
+          r(1).asInstanceOf[Map[Int, graft.sources.GraftCatalogStore.CtrShard]]
+            .valuesIterator.map(_.value).sum
+      }
+      assert(rep1 == expected.toMap, s"trial $trial replica 1: $rep1")
+    }
+  }
+
   test("ALTER TABLE migrates rows in place — concurrent commits cannot be lost") {
     // the copy-then-swap design lost any INSERT committing into the old
     // store between copy and swap; the in-place migration under the table's
