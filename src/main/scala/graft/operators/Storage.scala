@@ -1322,6 +1322,23 @@ object Storage {
         .orderBy("pk")
     },
 
+    // value aggregates COMPOSED with ck-range slicing — CQL
+    // `SELECT sum(x) ... WHERE pk = ? AND ck >= ?` computed replica-side
+    // over just the slice: the pushed ck bound binary-searches each
+    // partition first, then the fold runs over the surviving run only, so
+    // the served row reflects BOTH pushdowns (empty slices drop their
+    // group entirely — no phantom zeros, the r7 ADVICE rule extended to
+    // value folds).
+    "q_kv_value_agg_sliced" -> { (s, dir) =>
+      val name = stageOrdersVagg(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .filter(col("ck") >= 7000L)
+        .groupBy("pk")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          max("cents").as("max_cents"))
+        .orderBy("pk")
+    },
+
     // the PARTIAL form: ungrouped SUM/MIN/MAX/COUNT over the whole ring —
     // each split serves one partial row (sum/min/max/count of its served
     // rows) and Spark's final aggregate folds the per-split partials (sum
@@ -2161,6 +2178,16 @@ object Storage {
         |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
         |  COUNT(clen) AS n_clen, round(AVG(cents), 4) AS avg_cents
         |FROM t GROUP BY pk ORDER BY pk""".stripMargin,
+
+    "q_kv_value_agg_sliced" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS pk, o_orderkey AS ck,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey <= 200)
+        |SELECT pk, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  MAX(cents) AS max_cents
+        |FROM t WHERE ck >= 7000
+        |GROUP BY pk ORDER BY pk""".stripMargin,
 
     "q_kv_value_agg_partial" ->
       """WITH t AS (
