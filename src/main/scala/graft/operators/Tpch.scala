@@ -220,6 +220,34 @@ object Tpch {
           col("total").cast(DoubleType)).as("promo_revenue"))
     },
 
+    // TPC-H Q15 shape (adapted: supplier has no s_address/s_phone in the
+    // testdata — output is key/name/revenue): top supplier by quarter
+    // revenue. The revenue CTE aggregates lineitem once; the max is a
+    // scalar subquery over that aggregate (supplier-count-sized, tiny) and
+    // the tie predicate compares the EXACT decimal sums — the cast to
+    // DOUBLE happens only in the projection, so both engines pick the same
+    // winner(s) even under float-equal ties.
+    // Scale: one shuffle on l_suppkey for the CTE; the scalar-subquery max
+    // is a single-row broadcast; supplier joins on the already-aggregated
+    // (|suppliers|-row) side.
+    "q15_top_supplier" -> { (s, dir) =>
+      Seq("lineitem", "supplier")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        WITH revenue0 AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                     CAST(1 - l_discount AS DECIMAL(6,2))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT MAX(total_rev) FROM revenue0)
+        ORDER BY s_suppkey""")
+    },
+
     // TPC-H Q16 shape (adapted: supplier-part pairs derived from lineitem,
     // the "bad supplier" exclusion keys on negative balance): distinct
     // supplier count per (brand, type, size) bucket. DISTINCT pair
@@ -416,6 +444,20 @@ object Tpch {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
         |  AND l_shipdate <  TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue0 AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             CAST(1 - l_discount AS DECIMAL(6,2))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue0)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q16_supplier_parts" ->
       """SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt

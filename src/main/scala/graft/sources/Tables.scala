@@ -21,14 +21,23 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-      // unless spark.sql.legacy.parquet.nanosAsLong is set — done once in the
-      // session builders (Sessions/Verify/Bench), not here: a loader must not
-      // mutate session conf as a read side effect. The long nanos are
-      // truncated to microseconds, exactly what DuckDB stores internally, so
-      // oracles agree.
-      spark.read.parquet(path(dir, name))
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (read as LONG
+      // nanos under spark.sql.legacy.parquet.nanosAsLong, set once in the
+      // session builders) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read
+      // as TIMESTAMP_NTZ) across testdata generations. Normalize either to a
+      // session-zone TIMESTAMP — the session zone is pinned to UTC, so the
+      // NTZ cast is instant-preserving and matches DuckDB's naive reading of
+      // the same file.
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val raw = spark.read.parquet(path(dir, name))
+      raw.schema("ts").dataType match {
+        case LongType => // nanos-as-long: truncate to micros (DuckDB's granule)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     case _ =>
       spark.read.parquet(path(dir, name))
   }
