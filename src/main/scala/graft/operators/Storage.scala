@@ -1891,6 +1891,39 @@ object Storage {
               |ORDER BY l_returnflag""".stripMargin)
     },
 
+    // CQL user-defined scalar function (`CREATE FUNCTION ... LANGUAGE java
+    // AS 'return ...;'` — the pinned Cassandra 4.0.6 ships UDFs alongside
+    // UDAs, userdata/cloudinit.sh:216) through the V2 FunctionCatalog: the
+    // DDL registers an expression-bodied scalar, SQL calls it like any
+    // built-in. Both CQL null modes in one query — `fahrenheit` is RETURNS
+    // NULL ON NULL INPUT (all-double signature → binds the magic-invoke
+    // codegen class, Spark's own null guard short-circuits), `rescale` is
+    // CALLED ON NULL INPUT (the body sees the null and coalesce rescues
+    // it — the interpreted path, since a primitive invoke signature cannot
+    // see per-argument nulls). nullif() manufactures the null inputs.
+    // IEEE double ops in source order both sides, so values are
+    // bit-identical with the oracle's inlined arithmetic.
+    "q_fn_udf" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      graft.functions.CqlUdfs.executeDdl(
+        "CREATE OR REPLACE FUNCTION fahrenheit(c double) " +
+          "RETURNS NULL ON NULL INPUT RETURNS double " +
+          "LANGUAGE java AS 'return c * 9.0 / 5.0 + 32.0;'")
+      graft.functions.CqlUdfs.executeDdl(
+        "CREATE OR REPLACE FUNCTION rescale(d double) " +
+          "CALLED ON NULL INPUT RETURNS double " +
+          "LANGUAGE java AS 'return coalesce(d, -1.0) * 100.0;'")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("nullif(l_discount, 0.0)").as("disc"))
+        .createOrReplaceTempView("li_udf")
+      s.sql("""SELECT l_orderkey, l_linenumber,
+              |  graftcat.system.fahrenheit(disc) AS f,
+              |  graftcat.system.rescale(disc) AS g
+              |FROM li_udf ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
+
     // Partition pruning on a partitioned layout — the directory-level analog
     // of the connector's token-range routing (SURVEY.md §4.1): orders written
     // `partitionBy(o_year)`, then a year-filtered read touches only that
@@ -2921,6 +2954,17 @@ object Storage {
         |    6) AS wavg_cents
         |FROM t GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // both UDF bodies inlined: RETURNS NULL propagates the manufactured
+    // null, CALLED ON NULL INPUT's coalesce rescues it
+    "q_fn_udf" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount = 0 THEN NULL
+        |       ELSE l_discount * 9.0 / 5.0 + 32.0 END AS f,
+        |  COALESCE(CASE WHEN l_discount = 0 THEN NULL ELSE l_discount END,
+        |           -1.0) * 100.0 AS g
+        |FROM lineitem WHERE l_orderkey <= 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_partition_pruned" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

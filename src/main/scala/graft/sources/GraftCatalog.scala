@@ -709,10 +709,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * fast path, so the call codegens to a static-style invoke instead of
     * an interpreted row. */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    GraftFunctions.names.map(Identifier.of(namespace, _))
+    (GraftFunctions.names ++ graft.functions.CqlUdfs.names)
+      .map(Identifier.of(namespace, _))
   override def loadFunction(ident: Identifier): UnboundFunction =
-    GraftFunctions.byName.getOrElse(ident.name(),
-      throw new NoSuchFunctionException(ident))
+    GraftFunctions.byName.get(ident.name())
+      .orElse(graft.functions.CqlUdfs.lookup(ident.name()))
+      .getOrElse(throw new NoSuchFunctionException(ident))
 }
 
 /** V2 catalog functions (SURVEY §2.2 — the CQL function surface the

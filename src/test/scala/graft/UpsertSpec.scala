@@ -1903,6 +1903,77 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(a == b, s"$a != $b")
   }
 
+  test("CREATE FUNCTION: both CQL null modes, magic-invoke binding, DDL rules") {
+    import graft.functions.CqlUdfs
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    def v(sql: String): Any = spark.sql(sql).head().get(0)
+
+    // RETURNS NULL ON NULL INPUT: null in → null out, body never runs
+    CqlUdfs.executeDdl("CREATE OR REPLACE FUNCTION t_f(c double) " +
+      "RETURNS NULL ON NULL INPUT RETURNS double " +
+      "LANGUAGE java AS 'return c * 9.0 / 5.0 + 32.0;'")
+    assert(v("SELECT graftcat.system.t_f(100.0)") == 212.0)
+    assert(v("SELECT graftcat.system.t_f(CAST(NULL AS DOUBLE))") == null)
+    // ...and the all-double signature binds the magic-invoke class
+    assert(CqlUdfs.lookup("t_f").get
+      .bind(StructType(Seq(StructField("c", DoubleType))))
+      .isInstanceOf[CqlUdfs.UdfInvokeD1])
+
+    // CALLED ON NULL INPUT: the body sees the null; coalesce rescues it
+    CqlUdfs.executeDdl("CREATE OR REPLACE FUNCTION t_c(d double) " +
+      "CALLED ON NULL INPUT RETURNS double " +
+      "LANGUAGE java AS 'return coalesce(d, -1.0) * 2.0;'")
+    assert(v("SELECT graftcat.system.t_c(3.0)") == 6.0)
+    assert(v("SELECT graftcat.system.t_c(CAST(NULL AS DOUBLE))") == -2.0)
+    // ...and without a coalesce, arithmetic over the null is null (the
+    // Java-body analog of returning null from a null boxed arg)
+    CqlUdfs.executeDdl("CREATE OR REPLACE FUNCTION t_c2(d double) " +
+      "CALLED ON NULL INPUT RETURNS double LANGUAGE java AS 'd + 1.0'")
+    assert(v("SELECT graftcat.system.t_c2(CAST(NULL AS DOUBLE))") == null)
+
+    // bigint signature: exact long arithmetic, integer division, magic L2
+    CqlUdfs.executeDdl("CREATE OR REPLACE FUNCTION t_l(a bigint, b bigint) " +
+      "RETURNS NULL ON NULL INPUT RETURNS bigint " +
+      "LANGUAGE java AS 'return (a * 10 + b) / 3;'")
+    assert(v("SELECT graftcat.system.t_l(7L, 2L)") == 24L) // 72/3
+    assert(CqlUdfs.lookup("t_l").get
+      .bind(StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+      .isInstanceOf[CqlUdfs.UdfInvokeL2])
+    // int arguments upcast through Spark's V2 implicit casts
+    assert(v("SELECT graftcat.system.t_l(7, 2)") == 24L)
+
+    // DDL rules: bare CREATE refuses a duplicate; IF NOT EXISTS keeps the
+    // old body; OR REPLACE swaps it; both modifiers together are refused
+    intercept[IllegalArgumentException] {
+      CqlUdfs.executeDdl("CREATE FUNCTION t_f(c double) " +
+        "RETURNS NULL ON NULL INPUT RETURNS double LANGUAGE java AS 'c'")
+    }
+    CqlUdfs.executeDdl("CREATE FUNCTION IF NOT EXISTS t_f(c double) " +
+      "RETURNS NULL ON NULL INPUT RETURNS double LANGUAGE java AS 'c'")
+    assert(v("SELECT graftcat.system.t_f(100.0)") == 212.0) // old body kept
+    intercept[IllegalArgumentException] {
+      CqlUdfs.executeDdl("CREATE OR REPLACE FUNCTION IF NOT EXISTS t_x(c " +
+        "double) RETURNS NULL ON NULL INPUT RETURNS double LANGUAGE java AS 'c'")
+    }
+
+    // body parser: unknown identifiers and functions are compile-time errors
+    intercept[IllegalArgumentException] {
+      CqlUdfs.executeDdl("CREATE OR REPLACE FUNCTION t_bad(c double) " +
+        "RETURNS NULL ON NULL INPUT RETURNS double LANGUAGE java AS 'c + z'")
+    }
+    intercept[IllegalArgumentException] {
+      CqlUdfs.executeDdl("CREATE OR REPLACE FUNCTION t_bad(c double) " +
+        "RETURNS NULL ON NULL INPUT RETURNS double LANGUAGE java AS 'rm(c)'")
+    }
+
+    // DROP FUNCTION analog: the name resolves no more
+    assert(CqlUdfs.drop("t_c2"))
+    intercept[Exception] { v("SELECT graftcat.system.t_c2(1.0)") }
+
+    Seq("t_f", "t_c", "t_l").foreach(CqlUdfs.drop)
+  }
+
   test("snapshot is an isolated cut; restore rolls every replica back") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
