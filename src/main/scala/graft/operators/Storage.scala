@@ -1392,6 +1392,26 @@ object Storage {
         .orderBy("c_custkey")
     },
 
+    // CQL ALLOW FILTERING — the guardrail, exercised from the opt-in side:
+    // a predicate on a plain value column (no key, no index, no MV) is a
+    // filtered full scan, which the KV source REFUSES by default exactly
+    // like CQL (the negative shape is pinned in UpsertSpec); with
+    // `.option("allowFiltering", "true")` the scan runs and the residual
+    // predicate is applied Spark-side after it — Cassandra's replica-side
+    // post-filter. The guardrail is the point at 100 TB: the refusal is
+    // what stops a query that reads the whole ring to return a sliver.
+    "q_kv_allow_filtering" -> { (s, dir) =>
+      val name = s"cust_af:$dir"
+      graft.sources.KeyGroupedRegistry.stageMulti(name,
+        Tables.load(s, dir, "customer").filter(col("c_custkey") <= 500)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        Seq("c_custkey"))
+      s.read.format("graft.sources.KVDataSource").option("table", name)
+        .option("allowFiltering", "true").load()
+        .filter(col("c_acctbal") > 5000.0 && col("c_mktsegment") =!= "MACHINERY")
+        .orderBy("c_custkey")
+    },
+
     // CQL logged BATCH — atomic multi-statement commit ACROSS tables
     // (`BEGIN BATCH ... APPLY BATCH`, the shape of the reference's insert
     // session run as one batch, userdata/cloudinit.sh:312-314). One batch
@@ -2253,6 +2273,13 @@ object Storage {
       """SELECT c_custkey, c_mktsegment, c_acctbal
         |FROM customer
         |WHERE c_custkey <= 300 AND c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_kv_allow_filtering" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM customer
+        |WHERE c_custkey <= 500 AND c_acctbal > 5000.0
+        |  AND c_mktsegment <> 'MACHINERY'
         |ORDER BY c_custkey""".stripMargin,
 
     "q_kv_mv_read" ->

@@ -674,7 +674,8 @@ class KVTable(tname: String, entry: KeyGroupedRegistry.Entry,
     } else new KVScanBuilder(tname, entry,
       Option(options.get("perPartitionLimit")).map(_.toInt),
       KVScan.AnnSpec.fromOptions(tname, entry, options),
-      KVScan.ContainsSpec.fromOptions(tname, entry, options))
+      KVScan.ContainsSpec.fromOptions(tname, entry, options),
+      options.getBoolean("allowFiltering", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!cdc, s"graft-kv:$tname: the CDC stream is read-only")
     val in = info.schema().fieldNames.toSeq
@@ -890,10 +891,24 @@ class KVDataWriter(schema: StructType, keyIxs: Array[Int], ckIxs: Array[Int])
   * than shipping rows). Partial pushdown: each split returns its own count
   * and Spark's final aggregate sums them, the same shape as parquet footer
   * counts — at 100 TB no row bytes cross the wire either way. */
+/** CQL's refusal of a filtered full scan (`Cannot execute this query as it
+  * might involve data filtering and thus may have unpredictable
+  * performance...`). Named so tests and callers can catch exactly this. */
+class KVAllowFilteringRequired(table: String,
+    preds: Seq[org.apache.spark.sql.sources.Filter])
+    extends UnsupportedOperationException(
+      s"graft-kv:$table: predicates ${preds.mkString("[", ", ", "]")} are " +
+        "served by no key / clustering-prefix / index / materialized-view " +
+        "path and require a filtered full scan. Cannot execute this query " +
+        "as it might involve data filtering and thus may have unpredictable "
+        + "performance; set .option(\"allowFiltering\", \"true\") to run it " +
+        "anyway (CQL ALLOW FILTERING).")
+
 class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     perPartitionLimit: Option[Int] = None,
     ann: Option[KVScan.AnnSpec] = None,
-    contains: Option[KVScan.ContainsSpec] = None)
+    contains: Option[KVScan.ContainsSpec] = None,
+    allowFiltering: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -1006,6 +1021,19 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
       case _ => false
     }
     pushed = sup
+    // CQL ALLOW FILTERING gate: a predicate no key / clustering-prefix /
+    // 2i / SAI / MV / token path can answer means a filtered full scan —
+    // the query Cassandra REFUSES unless the user opts in with ALLOW
+    // FILTERING, because at 100 TB it silently reads the whole ring to
+    // return a sliver. Same contract here: such a read throws unless
+    // `.option("allowFiltering", "true")` is set, in which case the
+    // residual predicates run Spark-side after the scan (exactly
+    // Cassandra's replica-side post-filtering). Spark's inferred
+    // IsNotNull guards are exempt — they are planner artifacts, not CQL
+    // predicates a user wrote.
+    val needsFiltering = unsup.filterNot(_.isInstanceOf[IsNotNull])
+    if (needsFiltering.nonEmpty && !allowFiltering)
+      throw new KVAllowFilteringRequired(tname, needsFiltering.toSeq)
     unsup // pushed predicates are evaluated exactly by pruning + slicing
   }
   override def pushedFilters(): Array[Filter] = pushed

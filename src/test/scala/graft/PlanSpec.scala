@@ -603,13 +603,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(got2.length == base.filter(col("o_custkey") === 37 &&
       col("o_orderpriority") >= "3").count())
     assert(graft.sources.KeyGroupedRegistry.lastScanRows(name) == got2.length.toLong)
-    // an INVALID shape (range on ck2 with ck1 unconstrained) is NOT pushed —
-    // CQL would demand ALLOW FILTERING — but Spark's residual filter still
-    // answers it correctly
-    val d3 = kv.filter(col("cust") === 37 && col("ck") < 5000)
+    // an INVALID shape (range on ck2 with ck1 unconstrained) is NOT
+    // servable — since r9 the source enforces CQL's answer: REFUSED
+    // without ALLOW FILTERING...
+    val d3bare = kv.filter(col("cust") === 37 && col("ck") < 5000)
+    val e = intercept[Throwable] { d3bare.collect() }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(_.isInstanceOf[graft.sources.KVAllowFilteringRequired]), e.toString)
+    // ...and with the opt-in, Spark's residual filter answers it correctly
+    // (the ck range stays UNPUSHED — post-scan filtering, not slicing)
+    val d3 = spark.read.format("graft.sources.KVDataSource")
+      .option("table", name).option("allowFiltering", "true").load()
+      .filter(col("cust") === 37 && col("ck") < 5000)
     val plan3 = planOf(d3)
-    assert(!plan3.contains("LessThan(ck,5000)") ||
-      !plan3.contains("pushed=[") ||
+    assert(!plan3.contains("pushed=[") ||
       !plan3.split("pushed=\\[")(1).split("]")(0).contains("LessThan(ck,5000)"),
       plan3)
     assert(d3.count() == base.filter(col("o_custkey") === 37 &&

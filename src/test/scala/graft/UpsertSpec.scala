@@ -1903,6 +1903,41 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(a == b, s"$a != $b")
   }
 
+  test("ALLOW FILTERING: value-column predicate refused unless opted in") {
+    import graft.sources.{KeyGroupedRegistry, KVAllowFilteringRequired}
+    val name = "af_gate"
+    KeyGroupedRegistry.stageMulti(name,
+      spark.range(0, 100).selectExpr("id AS pk", "id % 7 AS v",
+        "CAST(id % 3 AS STRING) AS seg"),
+      Seq("pk"), indexCols = Seq("seg"))
+    def read = spark.read.format("graft.sources.KVDataSource")
+      .option("table", name)
+
+    // value-column predicate, no opt-in → the named CQL refusal
+    val e = intercept[Throwable] { read.load().filter("v = 3").collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.isInstanceOf[KVAllowFilteringRequired]),
+      s"expected KVAllowFilteringRequired, got $e")
+
+    // ...opted in, the same scan runs and post-filters Spark-side
+    assert(read.option("allowFiltering", "true").load()
+      .filter("v = 3").count() == 14)
+
+    // key / index / IsNotNull paths stay un-gated: no opt-in needed
+    assert(read.load().filter("pk = 42").count() == 1)
+    assert(read.load().filter("seg = '1'").count() == 33)
+    assert(read.load().filter("pk IS NOT NULL").count() == 100)
+    // a key predicate COMBINED with a value predicate still needs the
+    // opt-in (CQL's rule: any unserved predicate taints the query)
+    val e2 = intercept[Throwable] {
+      read.load().filter("pk < 10 AND v = 3").collect()
+    }
+    assert(chain(e2).exists(_.isInstanceOf[KVAllowFilteringRequired]))
+    assert(read.option("allowFiltering", "true").load()
+      .filter("pk < 10 AND v = 3").count() == 1)
+  }
+
   test("CREATE FUNCTION: both CQL null modes, magic-invoke binding, DDL rules") {
     import graft.functions.CqlUdfs
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
