@@ -945,6 +945,37 @@ object Storage {
         .select("id", "v").orderBy("id")
     },
 
+    // Cassandra `max_hint_window`: hints age on the table's writetime
+    // clock; at replay time (clock 2_000_000, window 500_000 → cutoff
+    // 1_500_000) the OLD missed wave's hints (wt 1_200_000, ids ≡1 mod 3)
+    // are dropped — replica 0 keeps the baseline for those keys, and only
+    // anti-entropy repair could heal them (UpsertSpec pins that) — while
+    // the RECENT wave's hints (wt 1_800_000, ids ≡0 mod 3) replay
+    // normally. The CL=ONE read of replica 0 shows exactly that split,
+    // which the oracle recomputes from the write schedule.
+    "q_kv_hint_window" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.hw")
+      s.sql("CREATE TABLE graftcat.testks.hw (id BIGINT, v BIGINT, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'rf'='2', " +
+        "'max_hint_window'='500000')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey").as("id"))
+      o.select(col("id"), (col("id") * 10).as("v"), lit(1000000L).as("wt"))
+        .writeTo("graftcat.testks.hw").append()
+      o.filter(pmod(col("id"), lit(3)) === 1)
+        .select(col("id"), (col("id") * 20).as("v"), lit(1200000L).as("wt"))
+        .writeTo("graftcat.testks.hw").option("failreplica", "0").append()
+      o.filter(pmod(col("id"), lit(3)) === 0)
+        .select(col("id"), (col("id") * 30).as("v"), lit(1800000L).as("wt"))
+        .writeTo("graftcat.testks.hw").option("failreplica", "0").append()
+      graft.sources.GraftCatalogStore.replayHints("testks", "hw",
+        now = Some(2000000L))
+      s.read.table("graftcat.testks.hw") // CL=ONE: replica 0, post-replay
+        .select("id", "v").orderBy("id")
+    },
+
     // Replication + consistency levels + blocking read repair (the
     // keyspace `replication_factor`, modeled per table as 'rf'=2): a
     // baseline write lands on BOTH replicas, then newer writes for the
@@ -2701,6 +2732,15 @@ object Storage {
     "q_kv_hinted_handoff" ->
       """SELECT o_orderkey AS id,
         |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey * 30
+        |       ELSE o_orderkey * 10 END AS v
+        |FROM orders WHERE o_orderkey <= 400
+        |ORDER BY id""".stripMargin,
+
+    // within-window hints (ids ≡0 mod 3) replayed onto replica 0; expired
+    // hints (ids ≡1 mod 3) dropped, so those keys read the baseline
+    "q_kv_hint_window" ->
+      """SELECT o_orderkey AS id,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey * 30
         |       ELSE o_orderkey * 10 END AS v
         |FROM orders WHERE o_orderkey <= 400
         |ORDER BY id""".stripMargin,

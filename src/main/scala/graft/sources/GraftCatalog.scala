@@ -137,7 +137,13 @@ object GraftCatalogStore {
       val cellTtl: Map[String, String] = Map.empty,
       val udts: Set[String] = Set.empty,
       val defaultTtl: Option[Long] = None,
-      val rf: Int = 1) {
+      val rf: Int = 1,
+      /** Cassandra `max_hint_window`: hints older than this window (in the
+        * table's writetime clock units) at replay time are DROPPED instead
+        * of replayed — past the window, anti-entropy repair is the only
+        * recovery, exactly Cassandra's contract. None = hints never
+        * expire. */
+      val maxHintWindow: Option[Long] = None) {
     val rows = TrieMap.empty[Any, Array[Any]]
     /** Replicas 1..rf−1 of a replicated table ('rf' > 1): `rows` is replica
       * 0. Writes apply the same LWW merge to every replica a test hasn't
@@ -212,9 +218,17 @@ object GraftCatalogStore {
     * through the table's own LWW merge. Replay is idempotent and
     * order-independent (the merge is), so a hint whose write was already
     * superseded — by a newer write or a read repair — is a harmless no-op.
-    * Returns the number of hints replayed. Exactly Cassandra's hinted
-    * handoff minus the TTL on hints (no expiry window modeled). */
-  def replayHints(ns: String, table: String): Int = {
+    * Returns the number of hints replayed.
+    *
+    * Hint expiry (`max_hint_window` table property): when the table
+    * declares a window AND the caller passes the current clock `now`
+    * (same writetime units), hints whose row writetime lies before
+    * `now - window` are DROPPED, not replayed — Cassandra stops delivering
+    * hints past max_hint_window, and from there anti-entropy
+    * [[repairTable]] is the only path that heals the replica. Dropped
+    * hints never resurrect (UpsertSpec pins this). Without a window or
+    * without a clock, every hint replays (the pre-window behavior). */
+  def replayHints(ns: String, table: String, now: Option[Long] = None): Int = {
     val t = tables.getOrElse((ns, table),
       throw new IllegalArgumentException(s"replayHints: unknown table $ns.$table"))
     val rl = t.ddlLock.readLock()
@@ -225,12 +239,22 @@ object GraftCatalogStore {
         t.hints.clear()
         d
       }
+      val cutoff = for { n <- now; w <- t.maxHintWindow } yield n - w
+      val wtIdx = t.writetime.map(t.schema.fieldIndex)
+      // a hint is live unless PROVABLY expired: its writetime cell exists
+      // and lies strictly before the cutoff
+      val live = cutoff match {
+        case Some(c) => drained.filter { case (_, r) =>
+          wtIdx.forall(i => Option(r(i)).forall(_.asInstanceOf[Long] >= c))
+        }
+        case None => drained
+      }
       val reps = t.allReplicas
-      drained.foreach { case (ri, r) =>
+      live.foreach { case (ri, r) =>
         if (t.counters.nonEmpty) GUpsertTable.shardMergeInto(t, reps(ri), r)
         else GUpsertTable.lwwMergeInto(t, reps(ri), r)
       }
-      drained.length
+      live.length
     } finally rl.unlock()
   }
 
@@ -623,6 +647,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // repair and Paxos are out of the modeled scope, stated loudly).
     val rf = props.get("rf").map(_.toInt).getOrElse(1)
     require(rf >= 1 && rf <= 3, s"'rf' must be 1..3, got $rf")
+    // 'max_hint_window' = Cassandra max_hint_window_in_ms, measured on the
+    // table's writetime clock (the logical time domain every replication
+    // property here shares). Needs replication (hints exist only there) and
+    // a writetime column (the clock hints are aged by) — which also means
+    // replicated COUNTER tables cannot declare it: their hints carry shard
+    // clocks, not timestamps, and Cassandra itself stores counter "hints"
+    // only as full-row reconciliation, aged by wall clock we don't model.
+    val maxHintWindow = props.get("max_hint_window").map { v =>
+      val n = v.toLong
+      require(n > 0, s"'max_hint_window' must be positive, got $n")
+      require(rf > 1, "'max_hint_window' requires a replicated table " +
+        "('rf' > 1) — hints only exist under replication")
+      require(writetime.isDefined, "'max_hint_window' ages hints by the " +
+        "table's writetime clock — requires a 'writetime' column")
+      n
+    }
     if (rf > 1) {
       require(!cellwise, "'rf' > 1 is not supported on cellwise tables " +
         "(per-cell repair is not modeled)")
@@ -636,7 +676,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     tables.put(key, new GraftCatalogStore.T(
       schema1, keyCol, sets, writetime, ttl, counters, now, cellwise,
-      mapCols, listCols, cellWt, cellTtl, udtCols, defaultTtl, rf))
+      mapCols, listCols, cellWt, cellTtl, udtCols, defaultTtl, rf,
+      maxHintWindow))
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean =

@@ -1840,6 +1840,52 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getInt(0)).toSet == Set(2), "resurrected via replica 1")
   }
 
+  test("max_hint_window: expired hints never resurrect; repair still converges") {
+    import graft.sources.GraftCatalogStore
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.hw")
+    spark.sql("CREATE TABLE graftcat.proptest.hw (id INT, v BIGINT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'rf'='2', " +
+      "'max_hint_window'='100')")
+    def one(): Map[Int, Long] =
+      spark.table("graftcat.proptest.hw").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    spark.sql("SELECT * FROM VALUES (1, 10L, 100L), (2, 20L, 100L) AS t(id, v, wt)")
+      .writeTo("graftcat.proptest.hw").append()
+    // two misses: id=1 long ago (wt 150), id=2 recent (wt 450)
+    spark.sql("SELECT 1 AS id, 111L AS v, 150L AS wt")
+      .writeTo("graftcat.proptest.hw").option("failreplica", "0").append()
+    spark.sql("SELECT 2 AS id, 222L AS v, 450L AS wt")
+      .writeTo("graftcat.proptest.hw").option("failreplica", "0").append()
+    // replay at clock 500, window 100 → cutoff 400: id=1's hint EXPIRED
+    // (dropped, not delivered), id=2's replays
+    assert(GraftCatalogStore.replayHints("proptest", "hw", Some(500L)) == 1)
+    assert(one() == Map(1 -> 10L, 2 -> 222L), one())
+    // the dropped hint is GONE — a later replay inside any window cannot
+    // resurrect it (the queue was drained, exactly Cassandra's drop)
+    assert(GraftCatalogStore.replayHints("proptest", "hw", Some(500L)) == 0)
+    assert(one() == Map(1 -> 10L, 2 -> 222L), one())
+    // ...anti-entropy repair remains the recovery: replica 1 still holds
+    // the newer row, the full-table quorum merge writes it back
+    GraftCatalogStore.repairTable("proptest", "hw")
+    assert(one() == Map(1 -> 111L, 2 -> 222L), one())
+    // without a clock the window is inert (pre-window behavior)
+    spark.sql("SELECT 1 AS id, 333L AS v, 160L AS wt")
+      .writeTo("graftcat.proptest.hw").option("failreplica", "0").append()
+    assert(GraftCatalogStore.replayHints("proptest", "hw") == 1)
+    assert(one() == Map(1 -> 333L, 2 -> 222L), one())
+    // property validation: needs rf > 1 and a writetime column
+    def msg(f: => Any): String =
+      intercept[Exception](f).getMessage
+    assert(msg(spark.sql("CREATE TABLE graftcat.proptest.hwbad (id INT, " +
+      "v BIGINT, wt BIGINT) TBLPROPERTIES ('key'='id', 'writetime'='wt', " +
+      "'max_hint_window'='100')")).contains("rf"))
+    assert(msg(spark.sql("CREATE TABLE graftcat.proptest.hwbad2 (id INT, " +
+      "v BIGINT) TBLPROPERTIES ('key'='id', 'rf'='2', " +
+      "'max_hint_window'='100')")).contains("writetime"))
+  }
+
   test("anti-entropy repair converges replicas for keys no read touched") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
