@@ -945,6 +945,43 @@ object Storage {
         .select("id", "v").orderBy("id")
     },
 
+    // Per-CELL read repair on a replicated cellwise table (rf=2 +
+    // 'cellwise' — supported since r9): after a baseline INSERT lands on
+    // both replicas, one UPDATE wave writes a NEWER cell `a` past a down
+    // replica 0 and another writes a NEWER cell `b` past a down replica 1.
+    // For ids hit by both waves the fully-merged row — new a AND new b —
+    // exists on NO single replica; row-granular LWW would pick one UPDATE's
+    // row wholesale and LOSE the other column's write. The CL=QUORUM read
+    // joins replicas cell by cell (Cassandra's real reconciliation granule),
+    // write-back-repairs both replicas, and serves the per-column winners
+    // the oracle recomputes.
+    "q_kv_cell_read_repair" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.crr")
+      s.sql("CREATE TABLE graftcat.testks.crr " +
+        "(id BIGINT, a BIGINT, b BIGINT, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'cellwise'='true', " +
+        "'rf'='2')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey").as("id"))
+      o.select(col("id"), (col("id") * 10).as("a"), (col("id") * 100).as("b"),
+          lit(1000000L).as("wt"))
+        .writeTo("graftcat.testks.crr").append()
+      o.filter(pmod(col("id"), lit(2)) === 0)
+        .select(col("id"), (col("id") * 20).as("a"),
+          lit(null).cast(LongType).as("b"), lit(2000000L).as("wt"))
+        .writeTo("graftcat.testks.crr")
+        .option("update", "true").option("failreplica", "0").append()
+      o.filter(pmod(col("id"), lit(3)) === 0)
+        .select(col("id"), lit(null).cast(LongType).as("a"),
+          (col("id") * 200).as("b"), lit(3000000L).as("wt"))
+        .writeTo("graftcat.testks.crr")
+        .option("update", "true").option("failreplica", "1").append()
+      s.read.option("cl", "quorum").table("graftcat.testks.crr")
+        .select("id", "a", "b").orderBy("id")
+    },
+
     // Cassandra `max_hint_window`: hints age on the table's writetime
     // clock; at replay time (clock 2_000_000, window 500_000 → cutoff
     // 1_500_000) the OLD missed wave's hints (wt 1_200_000, ids ≡1 mod 3)
@@ -2733,6 +2770,16 @@ object Storage {
       """SELECT o_orderkey AS id,
         |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey * 30
         |       ELSE o_orderkey * 10 END AS v
+        |FROM orders WHERE o_orderkey <= 400
+        |ORDER BY id""".stripMargin,
+
+    // per-cell winners: each column independently takes its newest write
+    "q_kv_cell_read_repair" ->
+      """SELECT o_orderkey AS id,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey * 20
+        |       ELSE o_orderkey * 10 END AS a,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey * 200
+        |       ELSE o_orderkey * 100 END AS b
         |FROM orders WHERE o_orderkey <= 400
         |ORDER BY id""".stripMargin,
 

@@ -178,6 +178,15 @@ object GraftCatalogStore {
     /** Store of a cellwise table ('cellwise'='true'): per-cell LWW instead
       * of whole-row replacement. `rows` stays empty for these tables. */
     val cellRows = TrieMap.empty[Any, GCellRow]
+    /** Replica cell stores 1..rf−1 of a REPLICATED cellwise table
+      * ('cellwise' + 'rf' > 1): `cellRows` is replica 0. Reconciliation is
+      * the per-CELL lattice join ([[GUpsertTable.joinCellRows]]) — the
+      * granule real Cassandra repairs at — not row-granular LWW. */
+    val extraCellReplicas: Array[TrieMap[Any, GCellRow]] =
+      Array.fill(if (cellwise) math.max(0, rf - 1) else 0)(
+        TrieMap.empty[Any, GCellRow])
+    def allCellReplicas: Array[TrieMap[Any, GCellRow]] =
+      cellRows +: extraCellReplicas
     /** Schema indices of the DATA columns of a cellwise table — everything
       * except the key, the writetime/ttl metadata columns and the
       * WRITETIME()/TTL() projection columns (cellWt/cellTtl — read-only,
@@ -287,7 +296,7 @@ object GraftCatalogStore {
     wl.lock()
     try {
       t.allReplicas.foreach { st => st.clear(); st ++= rowsSnap }
-      t.cellRows.clear(); t.cellRows ++= cellsSnap
+      t.allCellReplicas.foreach { st => st.clear(); st ++= cellsSnap }
       t.synchronized(t.hints.clear())
     } finally wl.unlock()
   }
@@ -303,7 +312,9 @@ object GraftCatalogStore {
     require(t.rf > 1, s"repairTable: $ns.$table is not replicated")
     val rl = t.ddlLock.readLock()
     rl.lock()
-    try GUpsertTable.quorumRead(t).length
+    try
+      if (t.cellwise) GUpsertTable.quorumReadCellwise(t)
+      else GUpsertTable.quorumRead(t).length
     finally rl.unlock()
   }
 
@@ -347,15 +358,19 @@ object GraftCatalogStore {
           else GCell(GCollState(st.clearWt, kept), c.wt, c.ttl)
         }
         val before = t.cellRows.size
-        t.cellRows.foreach { case (k, cr) =>
-          val cells = cr.cells.zipWithIndex.map {
-            case (c, di) if c != null && isSet(di) => gcColl(c)
-            case (c, _) => if (dead(c)) null else c
-          }
-          val marker = cr.marker.filterNot(dead)
-          if (!cells.sameElements(cr.cells) || marker != cr.marker) {
-            if (marker.isEmpty && cells.forall(_ == null)) t.cellRows.remove(k)
-            else t.cellRows.put(k, GCellRow(marker, cells))
+        // replicated cellwise: the physical rewrite runs on EVERY replica
+        // (each holds its own cell store); counts report replica 0
+        t.allCellReplicas.foreach { store =>
+          store.foreach { case (k, cr) =>
+            val cells = cr.cells.zipWithIndex.map {
+              case (c, di) if c != null && isSet(di) => gcColl(c)
+              case (c, _) => if (dead(c)) null else c
+            }
+            val marker = cr.marker.filterNot(dead)
+            if (!cells.sameElements(cr.cells) || marker != cr.marker) {
+              if (marker.isEmpty && cells.forall(_ == null)) store.remove(k)
+              else store.put(k, GCellRow(marker, cells))
+            }
           }
         }
         (before, t.cellRows.size)
@@ -664,11 +679,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       n
     }
     if (rf > 1) {
-      require(!cellwise, "'rf' > 1 is not supported on cellwise tables " +
-        "(per-cell repair is not modeled)")
       // counter tables replicate by SHARDS (per-replica sub-counts merged
-      // by shard clock — Cassandra's counter cells), every other table by
-      // timestamp LWW, which needs a writetime column
+      // by shard clock — Cassandra's counter cells), cellwise tables by
+      // the per-CELL lattice join (quorumReadCellwise — each cell already
+      // carries its own timestamp), every other table by row-granular
+      // timestamp LWW, which needs a writetime column (cellwise tables
+      // always declare one, so the require below is uniform)
       if (counters.isEmpty)
         require(writetime.isDefined,
           "'rf' > 1 requires a 'writetime' column — read repair merges " +
@@ -995,12 +1011,13 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
     // + gc_grace; modeled here as delete-wins since deletes are total)
     val ki = t.schema.fieldIndex(t.keyCol)
     if (keySets.isEmpty) { // TRUNCATE
-      t.allReplicas.foreach(_.clear()); t.cellRows.clear()
+      t.allReplicas.foreach(_.clear()); t.allCellReplicas.foreach(_.clear())
       t.synchronized(t.hints.clear())
     } else {
       val doomed = keySets.reduce(_ intersect _)
       doomed.foreach { k =>
-        t.allReplicas.foreach(_.remove(k)); t.cellRows.remove(k)
+        t.allReplicas.foreach(_.remove(k))
+        t.allCellReplicas.foreach(_.remove(k))
       }
       t.synchronized {
         val kept = t.hints.filterNot { case (_, r) => doomed(r(ki)) }
@@ -1252,7 +1269,8 @@ object GUpsertTable {
     * actual reconciliation granule; an UPDATE touching a column subset wins
     * only those cells). CAS-retried against concurrent commits like the
     * row-granular paths. */
-  private[sources] def mergeCellwise(t: GraftCatalogStore.T, r: Array[Any],
+  private[sources] def mergeCellwise(t: GraftCatalogStore.T,
+      store: TrieMap[Any, GCellRow], r: Array[Any],
       updateMode: Boolean, collRemove: Boolean = false,
       listPrepend: Boolean = false,
       delIdx: Set[Int] = Set.empty,
@@ -1374,107 +1392,194 @@ object GUpsertTable {
     // whichever arrived first. Longer-lived wins, immortal above all — any
     // fixed rule works, it just must be arrival-order-independent (the
     // row-granular tieGreater gets this for free by comparing the ttl
-    // column as a cell).
-    def ttlRank(c: GCell): Long = c.ttl.getOrElse(Long.MaxValue)
-    // element-cell reconciliation: strict timestamp order; on a timestamp
-    // tie the TOMBSTONE wins (Cassandra: deletes shadow equal-ts writes),
-    // then the greater VALUE (set elements are equal by key, but map entries
-    // and list positions can carry different values at an equal timestamp —
-    // without the value compare the winner would be arrival-order-dependent),
-    // then the longer-lived cell (same total order the scalar cells use)
-    def elemValCompare(si: Int, a: Any, b: Any): Int =
-      t.schema.fields(si).dataType match {
-        case ArrayType(et, _) => compareCell(et, a, b)
-        case MapType(kt, vt, _) =>
-          val (ak, av) = a.asInstanceOf[(Any, Any)]
-          val (bk, bv) = b.asInstanceOf[(Any, Any)]
-          val c = compareCell(kt, ak, bk)
-          if (c != 0) c else compareCell(vt, av, bv)
-        // UDT field cells: same field by key construction — tie-break on
-        // the field VALUE in the field's own type
-        case st: StructType =>
-          val (af, av) = a.asInstanceOf[(Int, Any)]
-          val (_, bv) = b.asInstanceOf[(Int, Any)]
-          compareCell(st.fields(af).dataType, av, bv)
-        case other =>
-          throw new IllegalStateException(s"collection cell of type $other")
-      }
-    def elemWinner(si: Int)(a: GCell, b: GCell): GCell =
-      if (a.wt != b.wt) { if (a.wt > b.wt) a else b }
-      else if ((a.v == null) != (b.v == null)) { if (a.v == null) a else b }
-      else {
-        val vc = if (a.v == null) 0 else elemValCompare(si, a.v, b.v)
-        if (vc != 0) { if (vc > 0) a else b }
-        else if (ttlRank(a) >= ttlRank(b)) a else b
-      }
-    def mergeColl(di: Int, old: GCell, delta: GCollState): GCell = {
-      val si = t.dataIdx(di)
-      val prev =
-        if (old == null) GCollState(Long.MinValue, Map.empty)
-        else old.v.asInstanceOf[GCollState]
-      val clearWt = math.max(prev.clearWt, delta.clearWt)
-      val keys = prev.elems.keySet ++ delta.elems.keySet
-      // drop cells at or below the collection tombstone: shadowed forever
-      // (clearWt only grows) — the merge-time compaction that keeps a
-      // hot key's collection state bounded by its LIVE elements
-      val merged = keys.iterator.flatMap { k =>
-        val w = (prev.elems.get(k), delta.elems.get(k)) match {
-          case (Some(a), Some(b)) => Some(elemWinner(si)(a, b))
-          case (a, b) => a.orElse(b)
-        }
-        w.filter(_.wt > clearWt).map(k -> _)
-      }.toMap
-      // list compaction: a position cell shadowed by a value tombstone of
-      // equal-or-newer timestamp can never become visible again (tombstone
-      // timestamps, like clearWt, only grow under elemWinner), so drop it
-      // physically at merge — this keeps the read path tombstone-free and
-      // makes GC of aged value tombstones safe. Order-independent: a cell
-      // arriving after the tombstone is dropped on ITS merge, and any cell a
-      // sub-clearWt tombstone would have shadowed is itself sub-clearWt.
-      val elems =
-        if (!isList(si)) merged
-        else {
-          val vts = merged.collect { case (GValTomb(vk), c) => vk -> c.wt }
-          if (vts.isEmpty) merged
-          else merged.filter {
-            case (_: GListPos, c) => vts.get(elemKey(c.v)).forall(_ < c.wt)
-            case _ => true
-          }
-        }
-      val maxWt =
-        if (elems.isEmpty) clearWt else elems.valuesIterator.map(_.wt).max
-      GCell(GCollState(clearWt, elems), math.max(clearWt, maxWt), None)
-    }
-    def newerMarker(old: Option[GCell]): Option[GCell] = (old, marker) match {
-      case (Some(o), Some(n)) =>
-        if (n.wt > o.wt || (n.wt == o.wt && ttlRank(n) > ttlRank(o))) marker
-        else old
-      case (None, m) => m
-      case (o, None) => o
-    }
+    // column as a cell). The comparators live at object level (cw*) since
+    // r9: replica cell repair joins two stored states with the SAME total
+    // order the statement merge uses, so they are shared.
     var done = false
-    while (!done) t.cellRows.get(key) match {
+    while (!done) store.get(key) match {
       case Some(prev) =>
         val nc = prev.cells.clone()
         written.foreach { case (di, c) =>
           val old = nc(di)
-          val cmp =
-            if (old == null) 1
-            else if (c.wt != old.wt) java.lang.Long.compare(c.wt, old.wt)
-            else {
-              val vc = compareCell(t.schema.fields(t.dataIdx(di)).dataType, c.v, old.v)
-              if (vc != 0) vc else java.lang.Long.compare(ttlRank(c), ttlRank(old))
-            }
-          if (cmp > 0) nc(di) = c
+          nc(di) = if (old == null) c else cwScalarWinner(t, di, c, old)
         }
-        collWritten.foreach { case (di, delta) => nc(di) = mergeColl(di, nc(di), delta) }
-        done = t.cellRows.replace(key, prev, GCellRow(newerMarker(prev.marker), nc))
+        collWritten.foreach { case (di, delta) =>
+          nc(di) = cwCollJoin(t, di, nc(di), delta)
+        }
+        done = store.replace(key, prev,
+          GCellRow(cwMarkerWinner(prev.marker, marker), nc))
       case None =>
         val nc = new Array[GCell](t.dataIdx.length)
         written.foreach { case (di, c) => nc(di) = c }
-        collWritten.foreach { case (di, delta) => nc(di) = mergeColl(di, null, delta) }
-        done = t.cellRows.putIfAbsent(key, GCellRow(marker, nc)).isEmpty
+        collWritten.foreach { case (di, delta) =>
+          nc(di) = cwCollJoin(t, di, null, delta)
+        }
+        done = store.putIfAbsent(key, GCellRow(marker, nc)).isEmpty
     }
+  }
+
+  // ---- cellwise comparators (shared by statement merge AND replica join)
+
+  private def cwTtlRank(c: GCell): Long = c.ttl.getOrElse(Long.MaxValue)
+  private def cwElemKey(e: Any): Any = e match {
+    case b: Array[Byte] => b.toSeq
+    case x => x
+  }
+  // element-cell reconciliation: strict timestamp order; on a timestamp
+  // tie the TOMBSTONE wins (Cassandra: deletes shadow equal-ts writes),
+  // then the greater VALUE (set elements are equal by key, but map entries
+  // and list positions can carry different values at an equal timestamp —
+  // without the value compare the winner would be arrival-order-dependent),
+  // then the longer-lived cell (same total order the scalar cells use)
+  private def cwElemValCompare(t: GraftCatalogStore.T, si: Int,
+      a: Any, b: Any): Int =
+    t.schema.fields(si).dataType match {
+      case ArrayType(et, _) => compareCell(et, a, b)
+      case MapType(kt, vt, _) =>
+        val (ak, av) = a.asInstanceOf[(Any, Any)]
+        val (bk, bv) = b.asInstanceOf[(Any, Any)]
+        val c = compareCell(kt, ak, bk)
+        if (c != 0) c else compareCell(vt, av, bv)
+      // UDT field cells: same field by key construction — tie-break on
+      // the field VALUE in the field's own type
+      case st: StructType =>
+        val (af, av) = a.asInstanceOf[(Int, Any)]
+        val (_, bv) = b.asInstanceOf[(Int, Any)]
+        compareCell(st.fields(af).dataType, av, bv)
+      case other =>
+        throw new IllegalStateException(s"collection cell of type $other")
+    }
+  private def cwElemWinner(t: GraftCatalogStore.T, si: Int)(
+      a: GCell, b: GCell): GCell =
+    if (a.wt != b.wt) { if (a.wt > b.wt) a else b }
+    else if ((a.v == null) != (b.v == null)) { if (a.v == null) a else b }
+    else {
+      val vc = if (a.v == null) 0 else cwElemValCompare(t, si, a.v, b.v)
+      if (vc != 0) { if (vc > 0) a else b }
+      else if (cwTtlRank(a) >= cwTtlRank(b)) a else b
+    }
+  /** Scalar-cell winner: strict timestamp order, then the value compare in
+    * the column's type (tombstone = null loses value ties), then TTL rank.
+    * `inc` wins only when STRICTLY greater — ties keep `old` (equal cells,
+    * so either is correct; keeping old makes the join idempotent). */
+  private def cwScalarWinner(t: GraftCatalogStore.T, di: Int,
+      inc: GCell, old: GCell): GCell = {
+    val cmp =
+      if (inc.wt != old.wt) java.lang.Long.compare(inc.wt, old.wt)
+      else {
+        val vc = compareCell(t.schema.fields(t.dataIdx(di)).dataType,
+          inc.v, old.v)
+        if (vc != 0) vc
+        else java.lang.Long.compare(cwTtlRank(inc), cwTtlRank(old))
+      }
+    if (cmp > 0) inc else old
+  }
+  private def cwMarkerWinner(old: Option[GCell],
+      inc: Option[GCell]): Option[GCell] = (old, inc) match {
+    case (Some(o), Some(n)) =>
+      if (n.wt > o.wt || (n.wt == o.wt && cwTtlRank(n) > cwTtlRank(o))) inc
+      else old
+    case (None, m) => m
+    case (o, None) => o
+  }
+  /** Join a collection/UDT cell with an incoming [[GCollState]] — used both
+    * for a statement delta (its clearWt/element cells) and for a replica's
+    * full stored state: the lattice join is the same operation either way
+    * (commutative, associative, idempotent — clearWt only grows, elements
+    * reconcile by [[cwElemWinner]], shadowed cells compact away). */
+  private def cwCollJoin(t: GraftCatalogStore.T, di: Int,
+      old: GCell, delta: GCollState): GCell = {
+    val si = t.dataIdx(di)
+    val isList = t.lists(t.schema.fields(si).name)
+    val prev =
+      if (old == null) GCollState(Long.MinValue, Map.empty)
+      else old.v.asInstanceOf[GCollState]
+    val clearWt = math.max(prev.clearWt, delta.clearWt)
+    val keys = prev.elems.keySet ++ delta.elems.keySet
+    // drop cells at or below the collection tombstone: shadowed forever
+    // (clearWt only grows) — the merge-time compaction that keeps a
+    // hot key's collection state bounded by its LIVE elements
+    val merged = keys.iterator.flatMap { k =>
+      val w = (prev.elems.get(k), delta.elems.get(k)) match {
+        case (Some(a), Some(b)) => Some(cwElemWinner(t, si)(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      w.filter(_.wt > clearWt).map(k -> _)
+    }.toMap
+    // list compaction: a position cell shadowed by a value tombstone of
+    // equal-or-newer timestamp can never become visible again (tombstone
+    // timestamps, like clearWt, only grow under cwElemWinner), so drop it
+    // physically at merge — this keeps the read path tombstone-free and
+    // makes GC of aged value tombstones safe. Order-independent: a cell
+    // arriving after the tombstone is dropped on ITS merge, and any cell a
+    // sub-clearWt tombstone would have shadowed is itself sub-clearWt.
+    val elems =
+      if (!isList) merged
+      else {
+        val vts = merged.collect { case (GValTomb(vk), c) => vk -> c.wt }
+        if (vts.isEmpty) merged
+        else merged.filter {
+          case (_: GListPos, c) => vts.get(cwElemKey(c.v)).forall(_ < c.wt)
+          case _ => true
+        }
+      }
+    val maxWt =
+      if (elems.isEmpty) clearWt else elems.valuesIterator.map(_.wt).max
+    GCell(GCollState(clearWt, elems), math.max(clearWt, maxWt), None)
+  }
+
+  /** Lattice join of two stored per-key cellwise states — the replica
+    * reconciliation granule (Cassandra repairs row CONTENTS cell by cell,
+    * not whole rows): marker by (wt, ttl-rank), scalar cells by
+    * [[cwScalarWinner]]'s exact statement-merge order, collection/UDT
+    * cells by [[cwCollJoin]]. Commutative + associative + idempotent, so
+    * repair converges replicas regardless of merge order or repetition. */
+  private[sources] def joinCellRows(t: GraftCatalogStore.T,
+      a: GCellRow, b: GCellRow): GCellRow = {
+    val nc = a.cells.clone()
+    b.cells.zipWithIndex.foreach { case (c, di) =>
+      if (c != null) {
+        val si = t.dataIdx(di)
+        val fname = t.schema.fields(si).name
+        val complex = t.sets(fname) || t.maps(fname) || t.lists(fname) ||
+          t.udts(fname)
+        nc(di) =
+          if (complex) cwCollJoin(t, di, nc(di), c.v.asInstanceOf[GCollState])
+          else if (nc(di) == null) c
+          else cwScalarWinner(t, di, c, nc(di))
+      }
+    }
+    GCellRow(cwMarkerWinner(a.marker, b.marker), nc)
+  }
+
+  /** CAS-join one state into a replica store — the write-back half of
+    * per-cell repair. */
+  private def joinCellRowInto(t: GraftCatalogStore.T,
+      store: TrieMap[Any, GCellRow], key: Any, inc: GCellRow): Unit = {
+    var done = false
+    while (!done) store.get(key) match {
+      case Some(prev) =>
+        done = store.replace(key, prev, joinCellRows(t, prev, inc))
+      case None => done = store.putIfAbsent(key, inc).isEmpty
+    }
+  }
+
+  /** Blocking per-cell read repair at CL=QUORUM/ALL on a replicated
+    * cellwise table (and the anti-entropy repair body): per key, join
+    * every replica's stored state cell-wise and write the joined winner
+    * back to every replica. After it runs, a CL=ONE read of any replica
+    * sees the cell-wise winners — divergent columns of the SAME row heal
+    * independently, which row-granular LWW cannot do. Returns the number
+    * of keys examined. */
+  private[sources] def quorumReadCellwise(t: GraftCatalogStore.T): Int = {
+    val reps = t.allCellReplicas
+    val keys = reps.iterator.flatMap(_.keysIterator).toSet
+    keys.foreach { k =>
+      val states = reps.flatMap(_.get(k))
+      val winner = states.reduce((x, y) => joinCellRows(t, x, y))
+      reps.foreach(st => joinCellRowInto(t, st, k, winner))
+    }
+    keys.size
   }
 
   /** Read-path materialization of a cellwise table at logical clock `now`
@@ -1814,8 +1919,18 @@ object GUpsertTable {
           else r(i)
       }
       if (t.cellwise)
-        mergeCellwise(t, r, updateMode, collRemove, listPrepend, delCols,
-          delFields)
+        // replicated cellwise ('rf' > 1): the statement merges into EVERY
+        // live replica's cell store. A failed replica's miss is healed by
+        // per-cell read repair (CL=QUORUM) or repairTable — cellwise
+        // misses store NO hint: a hint would need the whole statement
+        // context (update/collremove/delcols/...), and Cassandra's own
+        // recovery story for lost hints is exactly repair, which the cell
+        // granule here makes lossless.
+        t.allCellReplicas.zipWithIndex.foreach { case (st, ri) =>
+          if (!failReplicas(ri))
+            mergeCellwise(t, st, r, updateMode, collRemove, listPrepend,
+              delCols, delFields)
+        }
       else {
         val key = r(ki)
         // replicated tables ('rf' > 1): the same merge applies to EVERY
@@ -2105,6 +2220,12 @@ class GScanBuilder(tname: String, t: GraftCatalogStore.T,
       val live =
         if (t.cellwise) {
           if (t.ttl.isDefined) demandNow // fail with the named error, eagerly
+          // CL=QUORUM/ALL on a replicated cellwise table: blocking
+          // per-cell read repair first, then serve replica 0 (now the
+          // joined winner) — divergent columns of one row heal
+          // independently (the cell granule real Cassandra reconciles at)
+          if (t.rf > 1 && cl != "one" && snap.isEmpty)
+            GUpsertTable.quorumReadCellwise(t)
           GUpsertTable.materializeCellwise(t,
             if (t.ttl.isDefined) nowOpt else None,
             snap.map(_._2).getOrElse(t.cellRows))

@@ -1801,10 +1801,67 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(msg(spark.sql("CREATE TABLE graftcat.proptest.rrbad " +
       "(id INT, v BIGINT) TBLPROPERTIES ('key'='id', 'rf'='2')"))
       .contains("writetime"))
-    assert(msg(spark.sql("CREATE TABLE graftcat.proptest.rrbad2 " +
-      "(id INT, v BIGINT, wt BIGINT) TBLPROPERTIES ('key'='id', " +
-      "'writetime'='wt', 'cellwise'='true', 'rf'='2')"))
-      .contains("cellwise"))
+  }
+
+  test("per-cell repair: divergent replica cells converge to cell-wise winners") {
+    import graft.sources.GraftCatalogStore
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.ccell")
+    spark.sql("CREATE TABLE graftcat.proptest.ccell " +
+      "(id INT, a BIGINT, b BIGINT, wt BIGINT) TBLPROPERTIES ('key'='id', " +
+      "'writetime'='wt', 'cellwise'='true', 'rf'='2')")
+    def one(): Map[Int, (Any, Any)] =
+      spark.table("graftcat.proptest.ccell").collect()
+        .map(r => r.getInt(0) -> (r.get(1), r.get(2))).toMap
+    spark.sql("SELECT 1 AS id, 1L AS a, 1L AS b, 100L AS wt")
+      .writeTo("graftcat.proptest.ccell").append()
+    // newer cell a misses replica 0; newer cell b misses replica 1
+    spark.sql("SELECT 1 AS id, 11L AS a, CAST(NULL AS BIGINT) AS b, 200L AS wt")
+      .writeTo("graftcat.proptest.ccell")
+      .option("update", "true").option("failreplica", "0").append()
+    spark.sql("SELECT 1 AS id, CAST(NULL AS BIGINT) AS a, 22L AS b, 300L AS wt")
+      .writeTo("graftcat.proptest.ccell")
+      .option("update", "true").option("failreplica", "1").append()
+    // CL=ONE of replica 0: stale a, fresh b — the divergent view
+    assert(one() == Map(1 -> (1L, 22L)), one())
+    // CL=QUORUM: the cell-wise join yields a row NO single replica held
+    // (new a AND new b) — row-granular LWW would have lost one update
+    val q = spark.read.option("cl", "quorum").table("graftcat.proptest.ccell")
+      .collect().map(r => r.getInt(0) -> (r.get(1), r.get(2))).toMap
+    assert(q == Map(1 -> (11L, 22L)), q)
+    // blocking write-back: replica 0's CL=ONE view now shows the winners
+    assert(one() == Map(1 -> (11L, 22L)), one())
+    // anti-entropy repairTable converges keys NO read touched, and is
+    // idempotent on already-converged state
+    spark.sql("SELECT 2 AS id, 5L AS a, CAST(NULL AS BIGINT) AS b, 400L AS wt")
+      .writeTo("graftcat.proptest.ccell")
+      .option("update", "true").option("failreplica", "0").append()
+    assert(one().get(2).isEmpty) // replica 0 never saw id=2
+    GraftCatalogStore.repairTable("proptest", "ccell")
+    assert(one() == Map(1 -> (11L, 22L), 2 -> (5L, null)), one())
+    GraftCatalogStore.repairTable("proptest", "ccell")
+    assert(one() == Map(1 -> (11L, 22L), 2 -> (5L, null)), one())
+
+    // collection cells join ELEMENT-wise across replicas: adds past
+    // different down replicas union under quorum instead of one side
+    // winning wholesale
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.cset")
+    spark.sql("CREATE TABLE graftcat.proptest.cset " +
+      "(id INT, tags ARRAY<STRING>, wt BIGINT) TBLPROPERTIES ('key'='id', " +
+      "'writetime'='wt', 'cellwise'='true', 'sets'='tags', 'rf'='2')")
+    spark.sql("SELECT 1 AS id, array('base') AS tags, 100L AS wt")
+      .writeTo("graftcat.proptest.cset").append()
+    spark.sql("SELECT 1 AS id, array('left') AS tags, 200L AS wt")
+      .writeTo("graftcat.proptest.cset")
+      .option("update", "true").option("failreplica", "0").append()
+    spark.sql("SELECT 1 AS id, array('right') AS tags, 300L AS wt")
+      .writeTo("graftcat.proptest.cset")
+      .option("update", "true").option("failreplica", "1").append()
+    val tags = spark.read.option("cl", "quorum")
+      .table("graftcat.proptest.cset").collect()
+      .map(r => r.getInt(0) -> r.getSeq[String](1).toSet).toMap
+    assert(tags == Map(1 -> Set("base", "left", "right")), tags)
   }
 
   test("hinted handoff: replay closes the staleness window; deletes drop pending hints") {
