@@ -131,7 +131,8 @@ object Natives {
     ("graft_minhash32", classOf[MinHash32].getName, exprs => MinHash32(exprs.head)),
     ("graft_dot", classOf[GraftDot].getName, exprs => GraftDot(exprs(0), exprs(1))),
     ("graft_dotl", classOf[GraftDotLong].getName, exprs => GraftDotLong(exprs(0), exprs(1))),
-    ("graft_signlsh", classOf[SignLsh].getName, exprs => SignLsh(exprs.head)))
+    ("graft_signlsh", classOf[SignLsh].getName, exprs => SignLsh(exprs.head)),
+    ("graft_ahash60", classOf[AHash60].getName, exprs => AHash60(exprs.head)))
 
   def register(s: SparkSession): Unit = all.foreach { case (name, _, builder) =>
     s.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")

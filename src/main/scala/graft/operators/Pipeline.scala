@@ -359,6 +359,55 @@ object Pipeline {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Perceptual near-duplicate detection over the multimodal BINARY
+    // payload — the image analog of SimHash, completing the near-dup
+    // family across modalities: graft_ahash60 (native codegen, see
+    // functions/AHash60) computes the aHash-structure fingerprint
+    // (60-block mean-threshold grid in exact cross-multiplied integers)
+    // per blob, then the SAME banded pipeline as q_simhash — 4×15-bit
+    // bucket join with per-bucket caps, Hamming verify (≤6: perceptual
+    // hashes tolerate more bit drift than text simhash). A real deployment
+    // swaps the byte grid for the decoded 8×8 luma grid; every stage
+    // around the codec — fingerprint scan in WholeStageCodegen, banding,
+    // capped self-join — is the production shape. Scale: sub-quadratic by
+    // construction (bucketed candidates only), one shuffle per band join
+    // side.
+    "q_image_neardup" -> { (s, dir) =>
+      registerNativeFns(s)
+      // near-dup fixture: every 10th blob gets a SAME-LENGTH perturbed
+      // variant (every 'e' byte bumped to 'f' — the byte-grid analog of a
+      // re-encode that nudges pixel values), the case a perceptual hash
+      // must catch: block boundaries unchanged, means nudged, hamming
+      // stays ≤ 3 while unrelated blobs sit ~30 apart. An APPENDED byte
+      // would shift every block boundary and the hash — aHash, like real
+      // pHash, is robust to value noise, not to cropping.
+      val base = docsPar(s, dir).select(col("doc_id"), col("text"))
+      val variants = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          translate(col("text"), "e", "f").as("text"))
+      val ph = base.unionByName(variants)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .filter(octet_length(col("payload")) > 0)
+        .select(col("doc_id"), expr("graft_ahash60(payload)").as("phash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ph.count() // materialize before both sides of the self-join
+      val bands = ph.select(col("doc_id"), col("phash"),
+          expr("explode(transform(sequence(0,3), k -> struct(k as blk, (shiftright(phash, 15*k) & 32767) as code)))").as("e"))
+        .select(col("doc_id"), col("phash"), col("e.blk").as("blk"), col("e.code").as("code"))
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy("blk", "code")))
+        .filter(col("bn") <= BucketCap)
+      bands.as("a").join(bands.as("b"),
+          col("a.blk") === col("b.blk") && col("a.code") === col("b.code")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)"))
+        .filter(col("hamming") <= 6)
+        .select("doc_a", "doc_b", "ph_a", "ph_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // n-gram Jaccard near-dup with prefix blocking: candidates = pairs that
     // share the first-8-token fingerprint, verified by exact trigram Jaccard.
     // A second, independent candidate-generation strategy next to LSH.
@@ -1282,6 +1331,55 @@ object Pipeline {
         |  CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
         |FROM cand
         |WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the aHash recomputed per byte: hex-extracted unsigned bytes, 60-way
+    // block partition, exact cross-multiplied mean threshold — then the
+    // same banded candidate pipeline as q_simhash with Hamming ≤ 6
+    "q_image_neardup" ->
+      s"""WITH du AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, replace(text, 'e', 'f')
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM du WHERE octet_length(encode(text)) > 0),
+        |idx AS (
+        |  SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM p),
+        |bytes AS (
+        |  SELECT doc_id, n, ('0x'||substr(hx, 2*i+1, 2))::BIGINT AS v,
+        |    (i*60)//n AS k
+        |  FROM idx),
+        |blocks AS (
+        |  SELECT doc_id, k, SUM(v) AS bs, COUNT(*) AS bc,
+        |    ANY_VALUE(n) AS n
+        |  FROM bytes GROUP BY doc_id, k),
+        |tot AS (SELECT doc_id, SUM(v) AS ts FROM bytes GROUP BY doc_id),
+        |ph AS (
+        |  SELECT b.doc_id,
+        |    SUM(CASE WHEN b.bs * b.n > t.ts * b.bc
+        |             THEN (1::BIGINT << b.k) ELSE 0 END)::BIGINT AS phash
+        |  FROM blocks b JOIN tot t ON b.doc_id = t.doc_id
+        |  GROUP BY b.doc_id),
+        |bands AS (
+        |  SELECT doc_id, phash, k AS blk, (phash >> (15*k)) & 32767 AS code
+        |  FROM ph, range(0,4) t(k)),
+        |bandsf AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, phash, blk, code,
+        |      count(*) OVER (PARTITION BY blk, code) AS bn
+        |    FROM bands) WHERE bn <= $BucketCap),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.phash AS ph_a, b.phash AS ph_b
+        |  FROM bandsf a JOIN bandsf b
+        |    ON a.blk = b.blk AND a.code = b.code AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, ph_a, ph_b,
+        |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(ph_a, ph_b)) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_ngram_jaccard" ->

@@ -260,6 +260,36 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("null element"), e.getMessage)
   }
 
+  test("graft_ahash60: perceptual robustness, interpreted == codegen, edge cases") {
+    graft.operators.Pipeline.registerNativeFns(spark)
+    import org.apache.spark.sql.functions.{col, expr}
+    def hash(s: String): Long =
+      spark.sql(s"SELECT graft_ahash60(encode('${s}', 'UTF-8'))").head().getLong(0)
+    // deterministic + empty-payload zero
+    assert(spark.sql("SELECT graft_ahash60(CAST('' AS BINARY))").head().getLong(0) == 0L)
+    assert(hash("hello world, a reasonably long payload for hashing") ==
+      hash("hello world, a reasonably long payload for hashing"))
+    // sign bit clear: 60-bit hash fits a positive BIGINT in any engine
+    val df = spark.range(0, 200).selectExpr(
+      "graft_ahash60(encode(concat('doc ', repeat(uuid(), 8), ' tail'), 'UTF-8')) AS h")
+    assert(df.agg(expr("min(h)")).head().getLong(0) >= 0L)
+    assert(df.agg(expr("max(h)")).head().getLong(0) < (1L << 60))
+    // perceptual property: a same-length byte nudge moves few bits; a
+    // different payload moves many
+    val a = "the quick brown fox jumps over the lazy dog " * 8
+    val b = a.replace('e', 'f')
+    val c = "completely different content with other byte statistics! " * 7
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(ham(hash(a), hash(b)) <= 6, s"perturbed pair too far: ${ham(hash(a), hash(b))}")
+    assert(ham(hash(a), hash(c)) > 6, s"unrelated pair too close: ${ham(hash(a), hash(c))}")
+    // interpreted eval (nullSafeEval) agrees with the codegen'd path the
+    // SQL above exercised
+    val bytes = a.getBytes("UTF-8")
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      bytes, org.apache.spark.sql.types.BinaryType)
+    assert(graft.functions.AHash60(lit).eval(null) == hash(a))
+  }
+
   test("cosine top-k returns exactly k ranked matches per query vector") {
     val rows = Similarity.queries("q_cosine_topk")(spark, sfDir).collect()
     val perQ = rows.groupBy(_.getLong(0))
