@@ -945,6 +945,36 @@ object Storage {
         .select("id", "v").orderBy("id")
     },
 
+    // NetworkTopologyStrategy + LOCAL_QUORUM ('dcs'='dc1:2,dc2:1' — two
+    // named datacenters, rf=3): one write wave misses dc1's first replica
+    // (still reaches dc1's second → LOCAL_QUORUM in dc1 sees and repairs
+    // it), a second wave misses BOTH dc1 replicas (lands only in dc2 →
+    // invisible to any dc1-scoped read, exactly Cassandra's LOCAL_QUORUM
+    // blast radius: cross-DC divergence waits for a global CL or
+    // anti-entropy repair). The dc1 LOCAL_QUORUM read serves wave A but
+    // not wave B, which the oracle recomputes; the cross-DC convergence
+    // story is pinned in UpsertSpec.
+    "q_kv_local_quorum" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.lq")
+      s.sql("CREATE TABLE graftcat.testks.lq (id BIGINT, v BIGINT, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'dcs'='dc1:2,dc2:1')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey").as("id"))
+      o.select(col("id"), (col("id") * 10).as("v"), lit(1000000L).as("wt"))
+        .writeTo("graftcat.testks.lq").append()
+      o.filter(pmod(col("id"), lit(2)) === 0)
+        .select(col("id"), (col("id") * 30).as("v"), lit(2000000L).as("wt"))
+        .writeTo("graftcat.testks.lq").option("failreplica", "0").append()
+      o.filter(pmod(col("id"), lit(3)) === 0)
+        .select(col("id"), (col("id") * 50).as("v"), lit(3000000L).as("wt"))
+        .writeTo("graftcat.testks.lq").option("failreplica", "0,1").append()
+      s.read.option("cl", "local_quorum").option("dc", "dc1")
+        .table("graftcat.testks.lq")
+        .select("id", "v").orderBy("id")
+    },
+
     // Per-CELL read repair on a replicated cellwise table (rf=2 +
     // 'cellwise' — supported since r9): after a baseline INSERT lands on
     // both replicas, one UPDATE wave writes a NEWER cell `a` past a down
@@ -2767,6 +2797,15 @@ object Storage {
 
     // post-replay CL=ONE = LWW over the full write log, same as quorum
     "q_kv_hinted_handoff" ->
+      """SELECT o_orderkey AS id,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey * 30
+        |       ELSE o_orderkey * 10 END AS v
+        |FROM orders WHERE o_orderkey <= 400
+        |ORDER BY id""".stripMargin,
+
+    // dc1's quorum: wave A (≡0 mod 2, reached dc1 replica 1) visible,
+    // wave B (≡0 mod 3, dc2-only) invisible to a dc1-scoped read
+    "q_kv_local_quorum" ->
       """SELECT o_orderkey AS id,
         |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey * 30
         |       ELSE o_orderkey * 10 END AS v

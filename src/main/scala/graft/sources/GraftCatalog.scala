@@ -143,7 +143,25 @@ object GraftCatalogStore {
         * of replayed — past the window, anti-entropy repair is the only
         * recovery, exactly Cassandra's contract. None = hints never
         * expire. */
-      val maxHintWindow: Option[Long] = None) {
+      val maxHintWindow: Option[Long] = None,
+      /** NetworkTopologyStrategy analog ('dcs'='dc1:2,dc2:1'): the table's
+        * replicas partitioned into named datacenters, replica indices
+        * assigned DC-majority-first in declaration order (dc1 → replicas
+        * 0,1; dc2 → replica 2 in the example; rf = the sum). Empty = the
+        * SimpleStrategy single implicit DC holding every replica, so
+        * LOCAL_* consistency levels degrade to their global forms exactly
+        * as they do on a one-DC cluster. */
+      val dcSpec: Seq[(String, Int)] = Nil) {
+    def dcNames: Seq[String] = if (dcSpec.isEmpty) Seq("dc1") else dcSpec.map(_._1)
+    /** replica index → DC index. */
+    lazy val dcOf: Array[Int] =
+      if (dcSpec.isEmpty) Array.fill(rf)(0)
+      else dcSpec.zipWithIndex.flatMap { case ((_, n), di) =>
+        Seq.fill(n)(di)
+      }.toArray
+    /** Replica indices of one DC, in index order. */
+    def dcReplicas(di: Int): Array[Int] =
+      dcOf.zipWithIndex.collect { case (d, i) if d == di => i }
     val rows = TrieMap.empty[Any, Array[Any]]
     /** Replicas 1..rf−1 of a replicated table ('rf' > 1): `rows` is replica
       * 0. Writes apply the same LWW merge to every replica a test hasn't
@@ -660,7 +678,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // repair merge is timestamp LWW, so a replicated table must carry a
     // writetime column; cellwise/counter/LWT surfaces stay RF=1 (cell
     // repair and Paxos are out of the modeled scope, stated loudly).
-    val rf = props.get("rf").map(_.toInt).getOrElse(1)
+    // 'dcs' = CQL `WITH replication = {'class': 'NetworkTopologyStrategy',
+    // 'dc1': 2, 'dc2': 1}`: named datacenters with per-DC replica counts.
+    // rf becomes the sum; 'rf' may be given redundantly but must agree.
+    val dcSpec: Seq[(String, Int)] = props.get("dcs").map { v =>
+      val spec = v.split(",").toSeq.map { part =>
+        val Array(dc, n) = part.trim.split(":").map(_.trim)
+        require(n.toInt >= 1, s"'dcs': replica count for $dc must be >= 1")
+        (dc, n.toInt)
+      }
+      require(spec.map(_._1).distinct.length == spec.length,
+        s"'dcs': duplicate datacenter name in '$v'")
+      spec
+    }.getOrElse(Nil)
+    val rf = props.get("rf").map(_.toInt)
+      .orElse(Some(dcSpec.map(_._2).sum).filter(_ > 0)).getOrElse(1)
+    require(dcSpec.isEmpty || dcSpec.map(_._2).sum == rf,
+      s"'rf' ($rf) disagrees with the 'dcs' replica total " +
+        s"(${dcSpec.map(_._2).sum})")
     require(rf >= 1 && rf <= 3, s"'rf' must be 1..3, got $rf")
     // 'max_hint_window' = Cassandra max_hint_window_in_ms, measured on the
     // table's writetime clock (the logical time domain every replication
@@ -693,7 +728,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tables.put(key, new GraftCatalogStore.T(
       schema1, keyCol, sets, writetime, ttl, counters, now, cellwise,
       mapCols, listCols, cellWt, cellTtl, udtCols, defaultTtl, rf,
-      maxHintWindow))
+      maxHintWindow, dcSpec))
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -1571,8 +1606,11 @@ object GUpsertTable {
     * sees the cell-wise winners — divergent columns of the SAME row heal
     * independently, which row-granular LWW cannot do. Returns the number
     * of keys examined. */
-  private[sources] def quorumReadCellwise(t: GraftCatalogStore.T): Int = {
-    val reps = t.allCellReplicas
+  private[sources] def quorumReadCellwise(t: GraftCatalogStore.T): Int =
+    quorumReadCellwise(t, t.allCellReplicas.indices.toArray)
+  private[sources] def quorumReadCellwise(t: GraftCatalogStore.T,
+      idxs: Array[Int]): Int = {
+    val reps = idxs.map(t.allCellReplicas)
     val keys = reps.iterator.flatMap(_.keysIterator).toSet
     keys.foreach { k =>
       val states = reps.flatMap(_.get(k))
@@ -1751,9 +1789,10 @@ object GUpsertTable {
     * every replica's copy (max clock per shard), written back to all —
     * the anti-entropy form of counter reconciliation. Serialized with the
     * write path on the table monitor. */
-  private[sources] def quorumReadCounters(t: GraftCatalogStore.T): Array[Array[Any]] =
+  private[sources] def quorumReadCounters(t: GraftCatalogStore.T,
+      idxs: Array[Int]): Array[Array[Any]] =
     t.synchronized {
-      val reps = t.allReplicas
+      val reps = idxs.map(t.allReplicas)
       val keys = reps.iterator.flatMap(_.keysIterator).toSet
       keys.iterator.map { k =>
         val copies = reps.flatMap(_.get(k))
@@ -1778,16 +1817,25 @@ object GUpsertTable {
     * missed write (deletes hit every replica here), so the present row
     * wins. The repair write-back is CAS-retried against the replica's
     * CURRENT row so it can never clobber a concurrently-committed newer
-    * write. */
-  private[sources] def quorumRead(t: GraftCatalogStore.T): Array[Array[Any]] = {
-    if (t.counters.nonEmpty) return quorumReadCounters(t)
+    * write.
+    *
+    * The replica SCOPE (`idxs`) is the consistency level's merge group:
+    * every replica for QUORUM/EACH_QUORUM/ALL, one datacenter's replicas
+    * for LOCAL_QUORUM — read repair then also stays DC-local (divergence
+    * in the other DC is untouched until a global CL or repairTable visits
+    * it, exactly Cassandra's LOCAL_QUORUM blast radius). */
+  private[sources] def quorumRead(t: GraftCatalogStore.T): Array[Array[Any]] =
+    quorumRead(t, t.allReplicas.indices.toArray)
+  private[sources] def quorumRead(t: GraftCatalogStore.T,
+      idxs: Array[Int]): Array[Array[Any]] = {
+    if (t.counters.nonEmpty) return quorumReadCounters(t, idxs)
     val wi = t.schema.fieldIndex(t.writetime.get)
     val ki = t.schema.fieldIndex(t.keyCol)
     def newer(a: Array[Any], b: Array[Any]): Boolean = {
       val (aw, bw) = (epochMicros(a(wi)), epochMicros(b(wi)))
       aw > bw || (aw == bw && tieGreater(a, b, ki, t.schema))
     }
-    val reps = t.allReplicas
+    val reps = idxs.map(t.allReplicas)
     val keys = reps.iterator.flatMap(_.keysIterator).toSet
     keys.iterator.map { k =>
       val cands = reps.flatMap(_.get(k))
@@ -2203,11 +2251,39 @@ class GScanBuilder(tname: String, t: GraftCatalogStore.T,
           "(read option or table property 'now', epoch seconds)"))
       // consistency level ('cl' read option, replicated tables): ONE reads
       // replica 0 alone — fast, possibly stale after a partial write;
-      // QUORUM/ALL merges every replica by LWW and read-repairs divergence
-      // before serving (Cassandra's blocking read repair)
+      // QUORUM/EACH_QUORUM/ALL merges every replica by LWW and read-repairs
+      // divergence before serving (Cassandra's blocking read repair).
+      // Multi-DC ('dcs' tables): LOCAL_ONE reads the named DC's first
+      // replica alone; LOCAL_QUORUM merges and repairs ONLY that DC's
+      // replicas — cross-DC divergence is out of its blast radius, exactly
+      // Cassandra's. 'dc' picks the coordinator's datacenter (default: the
+      // first declared).
       val cl = Option(options.get("cl")).map(_.toLowerCase).getOrElse("one")
-      require(Set("one", "quorum", "all")(cl),
-        s"table $tname: 'cl' must be one/quorum/all, got $cl")
+      require(Set("one", "local_one", "quorum", "local_quorum",
+        "each_quorum", "all")(cl),
+        s"table $tname: 'cl' must be one/local_one/quorum/local_quorum/" +
+          s"each_quorum/all, got $cl")
+      val dcIdx: Int = Option(options.get("dc")) match {
+        case Some(d) =>
+          val i = t.dcNames.indexOf(d)
+          require(i >= 0,
+            s"table $tname: unknown dc '$d' (declared: ${t.dcNames.mkString(", ")})")
+          i
+        case None => 0
+      }
+      /** Replica merge scope of the CL; None = a single replica, no merge. */
+      def clScope: Option[Array[Int]] =
+        if (t.rf <= 1) None
+        else cl match {
+          case "one" | "local_one" => None
+          case "local_quorum" => Some(t.dcReplicas(dcIdx))
+          case _ => Some(t.allReplicas.indices.toArray) // quorum/each_quorum/all
+        }
+      /** The single replica a no-merge CL reads. */
+      def clSingle: Int = cl match {
+        case "local_one" => t.dcReplicas(dcIdx).head
+        case _ => 0
+      }
       // point-in-time read of a named snapshot ('snapshot' read option):
       // serves the linked copy instead of the live store — expiry is still
       // read-time (a snapshot preserves cells, not their liveness), and
@@ -2221,14 +2297,18 @@ class GScanBuilder(tname: String, t: GraftCatalogStore.T,
         if (t.cellwise) {
           if (t.ttl.isDefined) demandNow // fail with the named error, eagerly
           // CL=QUORUM/ALL on a replicated cellwise table: blocking
-          // per-cell read repair first, then serve replica 0 (now the
-          // joined winner) — divergent columns of one row heal
-          // independently (the cell granule real Cassandra reconciles at)
-          if (t.rf > 1 && cl != "one" && snap.isEmpty)
-            GUpsertTable.quorumReadCellwise(t)
+          // per-cell read repair first, then serve the coordinator's
+          // replica (now the joined winner) — divergent columns of one
+          // row heal independently (the cell granule real Cassandra
+          // reconciles at); LOCAL_QUORUM scopes the join + repair to one
+          // DC's cell stores
+          if (snap.isEmpty) clScope.foreach(idxs =>
+            GUpsertTable.quorumReadCellwise(t, idxs))
           GUpsertTable.materializeCellwise(t,
             if (t.ttl.isDefined) nowOpt else None,
-            snap.map(_._2).getOrElse(t.cellRows))
+            snap.map(_._2).getOrElse(t.allCellReplicas(
+              if (clScope.isEmpty) clSingle
+              else clScope.get.head)))
         } else {
           val arity = t.schema.length
           val base0 = snap match {
@@ -2237,9 +2317,10 @@ class GScanBuilder(tname: String, t: GraftCatalogStore.T,
                 r ++ Array.fill[Any](arity - r.length)(null)
               else r
             }.toArray
-            case None =>
-              if (t.rf > 1 && cl != "one") GUpsertTable.quorumRead(t)
-              else t.rows.values.toArray
+            case None => clScope match {
+              case Some(idxs) => GUpsertTable.quorumRead(t, idxs)
+              case None => t.allReplicas(clSingle).values.toArray
+            }
           }
           // replicated counters store per-replica SHARD maps; the visible
           // counter value is the SUM of shard values (Cassandra's read of

@@ -1803,6 +1803,56 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       .contains("writetime"))
   }
 
+  test("multi-DC: LOCAL_QUORUM repairs within its DC; global CLs converge both") {
+    import graft.sources.GraftCatalogStore
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.mdc")
+    spark.sql("CREATE TABLE graftcat.proptest.mdc (id INT, v BIGINT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'dcs'='dc1:2,dc2:1')")
+    def read(opts: (String, String)*): Map[Int, Long] = {
+      val r = opts.foldLeft(spark.read)((b, o) => b.option(o._1, o._2))
+      r.table("graftcat.proptest.mdc").collect()
+        .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    }
+    spark.sql("SELECT 1 AS id, 10L AS v, 100L AS wt")
+      .writeTo("graftcat.proptest.mdc").append()
+    // wave A misses dc1's replica 0 only; wave B reaches ONLY dc2
+    spark.sql("SELECT 1 AS id, 30L AS v, 200L AS wt")
+      .writeTo("graftcat.proptest.mdc").option("failreplica", "0").append()
+    spark.sql("SELECT 1 AS id, 50L AS v, 300L AS wt")
+      .writeTo("graftcat.proptest.mdc").option("failreplica", "0,1").append()
+    // LOCAL_ONE per DC shows the divergence: dc1's head replica is stale,
+    // dc2's holds the newest write
+    assert(read("cl" -> "local_one", "dc" -> "dc1") == Map(1 -> 10L))
+    assert(read("cl" -> "local_one", "dc" -> "dc2") == Map(1 -> 50L))
+    // LOCAL_QUORUM in dc1: merges+repairs replicas 0,1 only → serves wave
+    // A, and the repair write-back is DC-local (dc2 untouched, and the
+    // dc2-only wave B stays invisible to dc1)
+    assert(read("cl" -> "local_quorum", "dc" -> "dc1") == Map(1 -> 30L))
+    assert(read("cl" -> "local_one", "dc" -> "dc1") == Map(1 -> 30L)) // repaired
+    assert(read("cl" -> "local_one", "dc" -> "dc2") == Map(1 -> 50L)) // untouched
+    // global QUORUM (≡ EACH_QUORUM/ALL here): merges across DCs, repairs
+    // everyone — every LOCAL_ONE now agrees on the newest write
+    assert(read("cl" -> "each_quorum") == Map(1 -> 50L))
+    assert(read("cl" -> "local_one", "dc" -> "dc1") == Map(1 -> 50L))
+    assert(read("cl" -> "local_one", "dc" -> "dc2") == Map(1 -> 50L))
+    // validation: unknown dc; rf/dcs disagreement
+    def msg(f: => Any): String = intercept[Exception](f).getMessage
+    assert(msg(read("cl" -> "local_quorum", "dc" -> "dc9")).contains("unknown dc"))
+    assert(msg(spark.sql("CREATE TABLE graftcat.proptest.mdcbad (id INT, " +
+      "v BIGINT, wt BIGINT) TBLPROPERTIES ('key'='id', 'writetime'='wt', " +
+      "'dcs'='dc1:2,dc2:1', 'rf'='2')")).contains("disagrees"))
+    // single-DC tables: LOCAL_* degrade to the global forms (no error)
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.sdc")
+    spark.sql("CREATE TABLE graftcat.proptest.sdc (id INT, v BIGINT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'rf'='2')")
+    spark.sql("SELECT 7 AS id, 70L AS v, 100L AS wt")
+      .writeTo("graftcat.proptest.sdc").append()
+    assert(spark.read.option("cl", "local_quorum").option("dc", "dc1")
+      .table("graftcat.proptest.sdc").collect().head.getLong(1) == 70L)
+  }
+
   test("per-cell repair: divergent replica cells converge to cell-wise winners") {
     import graft.sources.GraftCatalogStore
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
