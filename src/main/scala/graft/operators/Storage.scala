@@ -309,6 +309,43 @@ object Storage {
         .orderBy("range_start")
     },
 
+    // Ring topology change (nodetool bootstrap/decommission analog): the
+    // same per-nation aggregate is read under THREE live topologies — the
+    // bootstrap 3-node ring, after graft-node-3 joins (its vnodes take
+    // arcs, placement re-routes at next plan — the logical re-stream),
+    // and after graft-node-0 decommissions (its arcs fold into
+    // successors). The oracle is the aggregate × 3: topology moves
+    // OWNERSHIP, never data — no row lost, duplicated, or changed by a
+    // resize, which is exactly what a user of an elastic ring must be able
+    // to rely on. Each phase is FORCED while its topology is live (the
+    // 25-row aggregate is collected per phase — ring-bounded, not a data
+    // path); arc-movement bounds are pinned in UpsertSpec.
+    "q_kv_ring_scale" -> { (s, dir) =>
+      import graft.sources.KVRing
+      val (_, cName) = stageKv(s, dir)
+      def phase(tag: String): Seq[(String, Long, Long, Double)] =
+        s.read.format("graft.sources.KVDataSource").option("table", cName).load()
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(DecimalType(12, 2)))
+              .cast(DoubleType).as("bal"))
+          .collect()
+          .map(r => (tag, r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      KVRing.resetTopology()
+      try {
+        val base = phase("1_base3")
+        KVRing.addNode("graft-node-3")
+        require(KVRing.liveHosts.contains("graft-node-3"))
+        val grown = phase("2_bootstrap4")
+        KVRing.decommission("graft-node-0")
+        require(!KVRing.liveHosts.contains("graft-node-0"))
+        val shrunk = phase("3_decommissioned")
+        s.createDataFrame(base ++ grown ++ shrunk)
+          .toDF("phase", "c_nationkey", "n", "bal")
+          .orderBy("phase", "c_nationkey")
+      } finally KVRing.resetTopology()
+    },
+
     // Point read by partition key on the DSv2 source: a key-equality filter
     // is pushed into the scan, which then plans ONLY the split owning that
     // key (KVScanBuilder → partition pruning; PlanSpec asserts 1 planned
@@ -3008,6 +3045,18 @@ object Storage {
 
     // one estimate row per identity-token range [nationkey, nationkey+1):
     // a single CQL partition holding that nation's customers
+    // topology moves ownership, never data: the identical aggregate under
+    // all three ring phases
+    "q_kv_ring_scale" ->
+      """WITH agg AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |  FROM customer GROUP BY c_nationkey),
+        |phases AS (SELECT unnest(['1_base3', '2_bootstrap4',
+        |  '3_decommissioned']) AS phase)
+        |SELECT phase, c_nationkey, n, bal FROM phases, agg
+        |ORDER BY phase, c_nationkey""".stripMargin,
+
     "q_kv_size_estimates" ->
       """SELECT 'customer' AS table_name,
         |  CAST(c_nationkey AS BIGINT) AS range_start,

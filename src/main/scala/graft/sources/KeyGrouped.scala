@@ -526,8 +526,40 @@ object KeyGroupedRegistry {
   * reads node-local on a real cluster — and it is observable/testable via
   * `RDD.preferredLocations`. */
 object KVRing {
+  /** The default 3-node cluster (the reference deploys a 3-node ring,
+    * README.md:36). [[liveHosts]] is the CURRENT membership — these are
+    * only the bootstrap set. */
   val hosts: Array[String] = Array("graft-node-0", "graft-node-1", "graft-node-2")
   val ReplicationFactor = 2
+
+  /** Ring positions form a small cyclic space so vnode arcs are
+    * inspectable in tests: a key's position is its token mod RingSize.
+    * Real Cassandra's ring is the full Long range; the model's is a
+    * congruent cyclic group, which preserves every ownership/movement
+    * property (arcs, wrap-around, bounded movement on bootstrap) while
+    * keeping arithmetic testable. */
+  val RingSize = 720
+  /** Default `num_tokens` per node — vnodes, so each node owns several
+    * interleaved arcs instead of one contiguous wedge (Cassandra's
+    * num_tokens; its default is 16 in 4.x — 8 keeps the default ring at
+    * 24 arcs, plenty of interleaving at test scale). */
+  val DefaultNumTokens = 8
+
+  /** One virtual node: this host owns the arc (prevPos, pos]. */
+  final case class Vnode(pos: Int, host: String)
+
+  /** The default ring: hosts' vnodes evenly interleaved — host i's j-th
+    * vnode at (j·3 + i)·30, so consecutive 30-position arcs rotate
+    * through the hosts. Deterministic, balanced (each host owns exactly
+    * RingSize/3 positions). */
+  private def defaultRing: Vector[Vnode] =
+    (for {
+      j <- 0 until DefaultNumTokens
+      i <- hosts.indices
+    } yield Vnode((j * hosts.length + i) * (RingSize / (DefaultNumTokens * hosts.length)),
+      hosts(i))).sortBy(_.pos).toVector
+
+  @volatile private var vnodes: Vector[Vnode] = defaultRing
 
   /** Ring token of a composite key: a single integral key is its own token
     * (keeps placement directly inspectable in tests — the demo analog of an
@@ -545,13 +577,78 @@ object KVRing {
       scala.util.hashing.MurmurHash3.orderedHash(canon).toLong
   }
 
-  def replicasOf(key: Seq[Any]): Seq[String] = {
-    val n = hosts.length
-    val t = tokenOf(key)
-    val primary = (((t % n) + n) % n).toInt
-    Seq.tabulate(ReplicationFactor)(i => hosts((primary + i) % n))
-  }
+  def posOf(token: Long): Int = (((token % RingSize) + RingSize) % RingSize).toInt
+
+  /** Replicas of a key: walk the ring clockwise from the key's position —
+    * the FIRST vnode at-or-after it owns the key (Cassandra's
+    * (prev, token] arc rule), successive DISTINCT hosts complete the
+    * replica set (vnode-aware: consecutive vnodes of one host count
+    * once). Total: min(RF, live hosts). */
+  def replicasOf(key: Seq[Any]): Seq[String] = replicasAt(posOf(tokenOf(key)))
   def replicasOf(key: Long): Seq[String] = replicasOf(Seq[Any](key))
+  private def replicasAt(p: Int): Seq[String] = {
+    val ring = vnodes
+    val n = ring.length
+    val start = { val i = ring.indexWhere(_.pos >= p); if (i < 0) 0 else i }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < n && out.length < ReplicationFactor) {
+      val h = ring((start + i) % n).host
+      if (!out.contains(h)) out += h
+      i += 1
+    }
+    out.toSeq
+  }
+
+  // ---- topology changes (nodetool bootstrap / decommission analogs)
+
+  def liveHosts: Seq[String] = vnodes.map(_.host).distinct.sorted
+  /** Current arcs, for introspection/tests: (pos, host) sorted. */
+  def arcs: Seq[(Int, String)] = vnodes.map(v => (v.pos, v.host))
+
+  /** Bootstrap a node: it takes `numTokens` deterministically-derived ring
+    * positions (evenly spaced, seeded by the host name, linear-probed past
+    * occupied positions — the model's token allocation). Only the arcs
+    * immediately counter-clockwise of the new vnodes change owners — the
+    * bounded-movement property consistent hashing buys, pinned in
+    * UpsertSpec. Data "re-streams" logically: placement (preferred
+    * locations, `_replica`, split routing) is recomputed from the ring at
+    * every plan, so the next read already routes to the new owners; no
+    * stored row moves or is lost (the registry is the storage layer,
+    * topology is metadata — stated scope). */
+  def addNode(host: String, numTokens: Int = DefaultNumTokens): Seq[Int] =
+    synchronized {
+      require(numTokens >= 1 && numTokens <= RingSize / 4,
+        s"addNode: numTokens must be in [1, ${RingSize / 4}], got $numTokens")
+      require(!vnodes.exists(_.host == host),
+        s"addNode: $host is already in the ring")
+      val taken = scala.collection.mutable.Set.from(vnodes.map(_.pos))
+      val step = RingSize / numTokens
+      val seed = math.floorMod(scala.util.hashing.MurmurHash3.stringHash(host), step)
+      val chosen = (0 until numTokens).map { j =>
+        var p = (seed + j * step) % RingSize
+        while (taken(p)) p = (p + 1) % RingSize
+        taken += p
+        p
+      }
+      vnodes = (vnodes ++ chosen.map(Vnode(_, host))).sortBy(v => (v.pos, v.host))
+      chosen.sorted
+    }
+
+  /** Decommission a node: its vnodes leave the ring and their arcs fold
+    * into the clockwise successors (the keys it owned re-home; nothing
+    * else moves). Refuses to shrink below ReplicationFactor hosts — the
+    * ring could no longer place RF distinct replicas. */
+  def decommission(host: String): Unit = synchronized {
+    require(vnodes.exists(_.host == host), s"decommission: $host is not in the ring")
+    require(liveHosts.length > ReplicationFactor,
+      s"decommission: refusing to drop below ReplicationFactor=" +
+        s"$ReplicationFactor live hosts (CQL: insufficient replicas)")
+    vnodes = vnodes.filterNot(_.host == host)
+  }
+
+  /** Restore the bootstrap 3-node ring (test isolation). */
+  def resetTopology(): Unit = synchronized { vnodes = defaultRing }
 }
 
 /** `spark.read.format("graft.sources.KVDataSource").option("table", name)`;

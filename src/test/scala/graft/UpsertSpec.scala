@@ -1803,6 +1803,78 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       .contains("writetime"))
   }
 
+  test("ring topology: bootstrap/decommission move bounded arcs, lose nothing") {
+    import graft.sources.KVRing
+    KVRing.resetTopology()
+    try {
+      val keys = (0L until KVRing.RingSize.toLong)
+      def placement(): Map[Long, Seq[String]] =
+        keys.map(k => k -> KVRing.replicasOf(k)).toMap
+      def rfInvariant(p: Map[Long, Seq[String]]): Unit =
+        assert(p.values.forall(r =>
+          r.length == KVRing.ReplicationFactor &&
+            r.distinct.length == KVRing.ReplicationFactor))
+      val before = placement()
+      rfInvariant(before)
+      // vnodes: every default host owns several NON-ADJACENT arcs
+      val arcHosts = KVRing.arcs.map(_._2)
+      KVRing.hosts.foreach { h =>
+        assert(arcHosts.count(_ == h) == KVRing.DefaultNumTokens) }
+      assert(arcHosts.sliding(2).forall { case Seq(a, b) => a != b })
+
+      // bootstrap: numTokens positions allocated, spread around the ring
+      val newPos = KVRing.addNode("graft-node-3", 4)
+      assert(newPos.length == 4 && newPos.distinct.length == 4)
+      assert(newPos.sorted.sliding(2).forall { case Seq(a, b) => b - a >= 60 })
+      val grown = placement()
+      rfInvariant(grown)
+      assert(grown.values.exists(_.contains("graft-node-3")))
+      // bounded movement: a replica set changes ONLY by the new node
+      // entering it — no key moves between pre-existing hosts
+      keys.foreach { k =>
+        if (grown(k) != before(k))
+          assert(grown(k).contains("graft-node-3"), s"$k: ${before(k)} -> ${grown(k)}")
+      }
+      // decommission: the leaver vanishes, only ITS keys re-home
+      KVRing.decommission("graft-node-1")
+      val shrunk = placement()
+      rfInvariant(shrunk)
+      assert(shrunk.values.forall(!_.contains("graft-node-1")))
+      keys.foreach { k =>
+        if (shrunk(k) != grown(k))
+          assert(grown(k).contains("graft-node-1"), s"$k: ${grown(k)} -> ${shrunk(k)}")
+      }
+      // a full bootstrap+decommission cycle restores the original ring
+      // exactly: no row lost, duplicated, or re-homed at the end
+      KVRing.decommission("graft-node-3")
+      KVRing.addNode("graft-node-1") // NB: fresh tokens, placement may differ
+      assert(KVRing.liveHosts == Seq("graft-node-0", "graft-node-1", "graft-node-2"))
+      rfInvariant(placement())
+      // guardrails: below-RF shrink and duplicate bootstrap refused
+      KVRing.decommission("graft-node-1")
+      intercept[IllegalArgumentException] { KVRing.decommission("graft-node-0") }
+      intercept[IllegalArgumentException] { KVRing.addNode("graft-node-0") }
+    } finally KVRing.resetTopology()
+
+    // reads stay correct across a resize: the same KV rows come back under
+    // every topology (ownership is metadata; the store is the data path)
+    val name = "ring_scale_t"
+    graft.sources.KeyGroupedRegistry.stageMulti(name,
+      spark.range(0, 300).selectExpr("id AS pk", "id * 7 AS v"), Seq("pk"))
+    def readAll(): Seq[(Long, Long)] =
+      spark.read.format("graft.sources.KVDataSource").option("table", name)
+        .load().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val base = readAll()
+    assert(base.length == 300)
+    try {
+      KVRing.addNode("graft-node-3")
+      assert(readAll() == base)
+      KVRing.decommission("graft-node-2")
+      assert(readAll() == base)
+    } finally KVRing.resetTopology()
+    assert(readAll() == base)
+  }
+
   test("multi-DC: LOCAL_QUORUM repairs within its DC; global CLs converge both") {
     import graft.sources.GraftCatalogStore
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
