@@ -1008,6 +1008,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       val plan = planOf(Relational.queries(q)(spark, sfDir))
       assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
     }
+    // q15's scalar-subquery max must plan as a 1-row broadcast/subquery,
+    // never a cartesian against the revenue CTE
+    val p15 = planOf(graft.operators.Tpch.queries("q15_top_supplier")(spark, sfDir))
+    assert(!p15.contains("CartesianProduct"), p15)
+  }
+
+  test("image near-dup candidates come from the banded equi-join, no cartesian") {
+    // the sub-quadratic contract of every near-dup family member: bucket
+    // join on (band, code), never an all-pairs product — at 100 TB this is
+    // the difference between a shuffle-bounded join and corpus²
+    val df = graft.operators.Pipeline.queries("q_image_neardup")(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("graft_ahash60"), plan) // the native expression, not a HOF chain
   }
 
   test("q13 keeps the priority filter inside the outer join, not on the orders scan") {
