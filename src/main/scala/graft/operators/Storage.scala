@@ -1012,6 +1012,44 @@ object Storage {
         .select("id", "v").orderBy("id")
     },
 
+    // WRITE consistency level + UnavailableException (the coordinator-side
+    // guard CQL applies BEFORE a write): at 'writecl'='quorum' on rf=3, a
+    // wave with one dead replica proceeds (2 live ≥ quorum 2); a wave with
+    // two dead replicas is REFUSED WHOLE — Cassandra's
+    // UnavailableException, nothing applied anywhere (unlike a timeout,
+    // which may land) — so the final quorum read shows the accepted wave
+    // and no trace of the refused one. The oracle recomputes exactly that.
+    "q_kv_write_cl" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.wcl")
+      s.sql("CREATE TABLE graftcat.testks.wcl (id BIGINT, v BIGINT, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'dcs'='dc1:2,dc2:1')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey").as("id"))
+      o.select(col("id"), (col("id") * 10).as("v"), lit(1000000L).as("wt"))
+        .writeTo("graftcat.testks.wcl").append()
+      o.filter(pmod(col("id"), lit(2)) === 0)
+        .select(col("id"), (col("id") * 30).as("v"), lit(2000000L).as("wt"))
+        .writeTo("graftcat.testks.wcl")
+        .option("failreplica", "2").option("writecl", "quorum").append()
+      val refused =
+        try {
+          o.filter(pmod(col("id"), lit(3)) === 0)
+            .select(col("id"), (col("id") * 50).as("v"), lit(3000000L).as("wt"))
+            .writeTo("graftcat.testks.wcl")
+            .option("failreplica", "0,1").option("writecl", "quorum").append()
+          false
+        } catch {
+          case e: Throwable => Iterator.iterate(e)(_.getCause)
+            .takeWhile(_ != null).take(10)
+            .exists(_.isInstanceOf[graft.sources.GUnavailableException])
+        }
+      require(refused, "the under-quorum write must raise UnavailableException")
+      s.read.option("cl", "quorum").table("graftcat.testks.wcl")
+        .select("id", "v").orderBy("id")
+    },
+
     // Per-CELL read repair on a replicated cellwise table (rf=2 +
     // 'cellwise' — supported since r9): after a baseline INSERT lands on
     // both replicas, one UPDATE wave writes a NEWER cell `a` past a down
@@ -2007,6 +2045,23 @@ object Storage {
       CassandraModel.systemLocal(s).orderBy("release_version")
     },
 
+    // Ring introspection (`nodetool ring` / system.peers analog): the live
+    // vnode table — every (position, host) arc — served as a DataFrame.
+    // On the DEFAULT ring the arc layout is a closed form (host i's j-th
+    // vnode at (j·3+i)·30 ⇒ host index = (pos/30) mod 3), which is exactly
+    // what the oracle recomputes — so the engine's actual topology vector
+    // is pinned against the documented allocation, not just against
+    // itself. Metadata-only and ring-bounded like every system table.
+    "q_kv_ring_arcs" -> { (s, _) =>
+      import graft.sources.KVRing
+      KVRing.resetTopology()
+      s.createDataFrame(KVRing.arcs.map { case (pos, host) =>
+          (pos.toLong, host, KVRing.RingSize.toLong)
+        })
+        .toDF("pos", "host", "ring_size")
+        .orderBy("pos")
+    },
+
     // CQL `token(pk)` through Spark SQL (FunctionCatalog): the catalog
     // registers the ring-token function, so SQL can compute placement
     // directly — `SELECT graftcat.system.token(id)` — exactly the function
@@ -2840,6 +2895,14 @@ object Storage {
         |FROM orders WHERE o_orderkey <= 400
         |ORDER BY id""".stripMargin,
 
+    // accepted quorum wave visible, refused wave absent without trace
+    "q_kv_write_cl" ->
+      """SELECT o_orderkey AS id,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey * 30
+        |       ELSE o_orderkey * 10 END AS v
+        |FROM orders WHERE o_orderkey <= 400
+        |ORDER BY id""".stripMargin,
+
     // dc1's quorum: wave A (≡0 mod 2, reached dc1 replica 1) visible,
     // wave B (≡0 mod 3, dc2-only) invisible to a dc1-scoped read
     "q_kv_local_quorum" ->
@@ -3135,6 +3198,14 @@ object Storage {
 
     "q_system_local" ->
       "SELECT '4.1.2' AS release_version",
+
+    // the default ring's closed-form arc allocation, recomputed
+    "q_kv_ring_arcs" ->
+      """SELECT CAST(p * 30 AS BIGINT) AS pos,
+        |  'graft-node-' || CAST(p % 3 AS VARCHAR) AS host,
+        |  CAST(720 AS BIGINT) AS ring_size
+        |FROM (SELECT unnest(range(0, 24)) AS p)
+        |ORDER BY pos""".stripMargin,
 
     // identity token on a single integral partition key (the ring's
     // order-preserving analog; string/composite Murmur3 forms are pinned

@@ -442,6 +442,12 @@ object GraftCatalogStore {
   }
 }
 
+/** Cassandra's UnavailableException: the coordinator knows up front that
+  * too few replicas are live for the requested consistency level, so the
+  * write is refused whole — nothing applied anywhere. Named so tests and
+  * callers can catch exactly this condition. */
+class GUnavailableException(msg: String) extends IllegalStateException(msg)
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with FunctionCatalog {
   import GraftCatalogStore._
@@ -1219,6 +1225,52 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
         s"$tname: 'failreplica' indices must be in [0, ${t.rf})")
       require(failReplicas.size < t.rf,
         s"$tname: at least one replica must accept the write (CL=ONE)")
+      // WRITE consistency level ('writecl', default ONE): the coordinator
+      // refuses the write UP FRONT — Cassandra's UnavailableException —
+      // when fewer live replicas remain than the CL demands. Nothing is
+      // applied on refusal (the atomicity Cassandra gives: an unavailable
+      // write leaves no partial state; contrast a TIMED-OUT write, which
+      // may land — timeouts have no analog here). The live writes still
+      // go to EVERY live replica, as in Cassandra: CL is an ack
+      // threshold, not a routing rule.
+      locally {
+        val writeCl = Option(info.options.get("writecl"))
+          .map(_.toLowerCase).getOrElse("one")
+        val dcIdx = Option(info.options.get("dc")).map { d =>
+          val i = t.dcNames.indexOf(d)
+          require(i >= 0, s"$tname: unknown dc '$d' (declared: ${t.dcNames.mkString(", ")})")
+          i
+        }.getOrElse(0)
+        def liveIn(idxs: Array[Int]): Int = idxs.count(!failReplicas(_))
+        def quorumOf(n: Int): Int = n / 2 + 1
+        def unavailable(needed: Int, scope: String, live: Int): Nothing =
+          throw new GUnavailableException(
+            s"$tname: cannot achieve consistency level ${writeCl.toUpperCase}" +
+              s" — $live live replica(s) in $scope, $needed required " +
+              "(Cassandra UnavailableException: the write was NOT applied)")
+        val all = (0 until t.rf).toArray
+        writeCl match {
+          case "one" => // the existing >=1-live require covers it
+          case "all" =>
+            if (liveIn(all) < t.rf) unavailable(t.rf, "the cluster", liveIn(all))
+          case "quorum" =>
+            if (liveIn(all) < quorumOf(t.rf))
+              unavailable(quorumOf(t.rf), "the cluster", liveIn(all))
+          case "local_quorum" =>
+            val dc = t.dcReplicas(dcIdx)
+            if (liveIn(dc) < quorumOf(dc.length))
+              unavailable(quorumOf(dc.length), s"dc ${t.dcNames(dcIdx)}", liveIn(dc))
+          case "each_quorum" =>
+            t.dcNames.indices.foreach { di =>
+              val dc = t.dcReplicas(di)
+              if (liveIn(dc) < quorumOf(dc.length))
+                unavailable(quorumOf(dc.length), s"dc ${t.dcNames(di)}", liveIn(dc))
+            }
+          case other => throw new IllegalArgumentException(
+            s"$tname: 'writecl' must be one/quorum/local_quorum/each_quorum/" +
+              s"all, got $other")
+        }
+      }
       // LWT on replicated tables runs at SERIAL consistency — the modeled
       // Paxos round needs every replica reachable, so a down-node
       // injection cannot combine with a conditional write. (IF col = ?

@@ -1925,6 +1925,52 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       .table("graftcat.proptest.sdc").collect().head.getLong(1) == 70L)
   }
 
+  test("writecl: UnavailableException thresholds per scope; refusal is traceless") {
+    import graft.sources.GUnavailableException
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.wcl")
+    spark.sql("CREATE TABLE graftcat.proptest.wcl (id INT, v BIGINT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'dcs'='dc1:2,dc2:1')")
+    def write(opts: (String, String)*)(sql: String): Unit = {
+      val w = spark.sql(sql).writeTo("graftcat.proptest.wcl")
+      opts.foldLeft(w)((b, o) => b.option(o._1, o._2)).append()
+    }
+    def unavailable(f: => Unit): Boolean =
+      try { f; false } catch {
+        case e: Throwable => Iterator.iterate(e)(_.getCause)
+          .takeWhile(_ != null).take(10)
+          .exists(_.isInstanceOf[GUnavailableException])
+      }
+    // rf=3 quorum=2: 1 down proceeds, 2 down refused
+    write("failreplica" -> "2", "writecl" -> "quorum")(
+      "SELECT 1 AS id, 10L AS v, 100L AS wt")
+    assert(unavailable(write("failreplica" -> "0,1", "writecl" -> "quorum")(
+      "SELECT 2 AS id, 20L AS v, 100L AS wt")))
+    // ALL: any down replica refuses
+    assert(unavailable(write("failreplica" -> "2", "writecl" -> "all")(
+      "SELECT 3 AS id, 30L AS v, 100L AS wt")))
+    // LOCAL_QUORUM scopes to the named DC: dc2 (1 replica, quorum 1) with
+    // ITS replica down is unavailable even though the global quorum holds
+    write("failreplica" -> "2", "writecl" -> "local_quorum", "dc" -> "dc1")(
+      "SELECT 4 AS id, 40L AS v, 100L AS wt")
+    assert(unavailable(write("failreplica" -> "2", "writecl" -> "local_quorum",
+      "dc" -> "dc2")("SELECT 5 AS id, 50L AS v, 100L AS wt")))
+    // EACH_QUORUM needs every DC's quorum
+    assert(unavailable(write("failreplica" -> "2", "writecl" -> "each_quorum")(
+      "SELECT 6 AS id, 60L AS v, 100L AS wt")))
+    write("writecl" -> "each_quorum")("SELECT 7 AS id, 70L AS v, 100L AS wt")
+    // traceless refusal: only the accepted ids exist, on EVERY replica
+    // view, and no hint was queued for a refused write
+    val ids = spark.read.option("cl", "all").table("graftcat.proptest.wcl")
+      .collect().map(_.getInt(0)).toSet
+    assert(ids == Set(1, 4, 7), ids)
+    assert(graft.sources.GraftCatalogStore.replayHints("proptest", "wcl") <= 2)
+    val after = spark.read.option("cl", "all").table("graftcat.proptest.wcl")
+      .collect().map(_.getInt(0)).toSet
+    assert(after == Set(1, 4, 7), after)
+  }
+
   test("per-cell repair: divergent replica cells converge to cell-wise winners") {
     import graft.sources.GraftCatalogStore
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
