@@ -1627,6 +1627,52 @@ object Storage {
         ORDER BY a.id""")
     },
 
+    // Batchlog replay — the HALF of the logged-BATCH contract
+    // q_kv_logged_batch can't show: Cassandra journals a logged batch
+    // before applying and guarantees EVENTUAL completion, not isolation.
+    // A second batch of newer values crashes (injected) after its first
+    // statement — table A updated, table B stale, the batchlog entry
+    // surviving — then replayBatchlog() completes it idempotently
+    // (timestamp-idempotent merges: the already-applied statement re-lands
+    // as a no-op). The final join shows BOTH tables at the second batch's
+    // values, which the oracle recomputes.
+    "q_kv_batchlog" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      Seq("bl_a", "bl_b").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS graftcat.testks.$t"))
+      s.sql("CREATE TABLE graftcat.testks.bl_a " +
+        "(id BIGINT, cust BIGINT, v BIGINT, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt')")
+      s.sql("CREATE TABLE graftcat.testks.bl_b (cust BIGINT, n BIGINT, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='cust', 'writetime'='wt')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_custkey") <= 30)
+        .select(col("o_orderkey").as("id"), col("o_custkey").as("cust"))
+      def aDf(mul: Int, wt: Long) = o.select(col("id"), col("cust"),
+        (col("id") * mul).as("v"), lit(wt).as("wt"))
+      def bDf(mul: Int, wt: Long) = o.groupBy("cust")
+        .agg((count(lit(1)) * mul).as("n")).withColumn("wt", lit(wt))
+      graft.sources.GraftBatch.logged(Seq(
+        "graftcat.testks.bl_a" -> aDf(10, 1000000L),
+        "graftcat.testks.bl_b" -> bDf(1, 1000000L)))
+      val crashed =
+        try {
+          graft.sources.GraftBatch.logged(Seq(
+            "graftcat.testks.bl_a" -> aDf(20, 2000000L),
+            "graftcat.testks.bl_b" -> bDf(2, 2000000L)),
+            crashAfterStatements = Some(1))
+          false
+        } catch { case _: graft.sources.GraftBatch.CoordinatorCrash => true }
+      require(crashed, "the injected coordinator crash must surface")
+      require(graft.sources.GraftBatch.pendingBatches >= 1,
+        "the crashed batch must survive in the batchlog")
+      require(graft.sources.GraftBatch.replayBatchlog() >= 1)
+      require(graft.sources.GraftBatch.pendingBatches == 0)
+      val a = s.read.table("graftcat.testks.bl_a").select("id", "cust", "v")
+      val b = s.read.table("graftcat.testks.bl_b").select("cust", "n")
+      a.join(b, "cust").select("id", "cust", "v", "n").orderBy("id")
+    },
+
     // Materialized-view analog (Cassandra MV) — the GENERAL form of "query
     // by another key", one ring past the 2i above (which only prunes base
     // splits): a write-through projection of the same rows RE-KEYED on a
@@ -2485,6 +2531,17 @@ object Storage {
         |  c.n AS n
         |FROM orders
         |JOIN (SELECT o_custkey AS cust, COUNT(*) AS n FROM orders
+        |      WHERE o_custkey <= 30 GROUP BY 1) c
+        |ON o_custkey = c.cust
+        |WHERE o_custkey <= 30
+        |ORDER BY id""".stripMargin,
+
+    // the completed second batch: both tables at its values
+    "q_kv_batchlog" ->
+      """SELECT o_orderkey AS id, o_custkey AS cust,
+        |  o_orderkey * 20 AS v, c.n AS n
+        |FROM orders
+        |JOIN (SELECT o_custkey AS cust, COUNT(*) * 2 AS n FROM orders
         |      WHERE o_custkey <= 30 GROUP BY 1) c
         |ON o_custkey = c.cust
         |WHERE o_custkey <= 30

@@ -2743,7 +2743,50 @@ case class GCommit(rows: Array[Array[Any]]) extends WriterCommitMessage
   * Tables lock in a deterministic order so concurrent batches and DDL
   * cannot deadlock. */
 object GraftBatch {
-  def logged(statements: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
+  /** Coordinator crash injection marker (tests only — the "node died
+    * between statement k and k+1" fault a logged batch must survive). */
+  class CoordinatorCrash(applied: Int)
+    extends RuntimeException(
+      s"injected coordinator crash after $applied applied statement(s); " +
+        "the batchlog entry survives for replay")
+
+  /** The batchlog (Cassandra's system batch log): every logged batch is
+    * journaled BEFORE any statement applies and removed only after ALL
+    * applied — so a coordinator crash mid-apply leaves the entry, and
+    * [[replayBatchlog]] completes the batch later. That is Cassandra's
+    * actual atomicity contract for logged batches: not isolation, but
+    * guaranteed EVENTUAL completion. Replay re-applies every statement;
+    * the write paths are timestamp-idempotent (LWW / cellwise merges), so
+    * re-applying the prefix that already landed is a no-op. */
+  private val batchlog =
+    TrieMap.empty[Long, Seq[(GraftCatalogStore.T, Seq[Array[Any]])]]
+  private val nextBatchId = new java.util.concurrent.atomic.AtomicLong(0)
+  def pendingBatches: Int = batchlog.size
+
+  /** Replay every pending batchlog entry to completion (the batchlog
+    * replay Cassandra's replica nodes run after a coordinator death).
+    * Idempotent and ordered by batch id. Returns batches completed. */
+  def replayBatchlog(): Int = {
+    val ids = batchlog.keys.toSeq.sorted
+    ids.count { id =>
+      batchlog.get(id).exists { stmts =>
+        val locks = stmts.map(_._1).distinct.sortBy(_.lockRank)
+          .map(_.ddlLock.readLock())
+        locks.foreach(_.lock())
+        try {
+          stmts.foreach { case (t, rows) =>
+            GUpsertTable.applyWrites(t, rows, ifNotExists = false,
+              updateMode = false)
+          }
+          batchlog.remove(id)
+          true
+        } finally locks.reverse.foreach(_.unlock())
+      }
+    }
+  }
+
+  def logged(statements: Seq[(String, org.apache.spark.sql.DataFrame)],
+      crashAfterStatements: Option[Int] = None): Unit = {
     require(statements.nonEmpty, "logged batch: no statements")
     val stmts = statements.map { case (fqn, df) =>
       val parts = fqn.split('.')
@@ -2776,16 +2819,37 @@ object GraftBatch {
         }
       (t, rows)
     }
-    // the batchlog: EVERY statement validates before ANY applies
+    // EVERY statement validates before ANY applies (and before the batch
+    // is journaled — a bad statement must fail the batch, not poison the
+    // batchlog with an unreplayable entry)
     stmts.foreach { case (t, rows) => GUpsertTable.validateWrites(t, rows) }
+    // CQL rule: counter mutations cannot ride a LOGGED batch — their
+    // additive merge is not idempotent, so batchlog replay would
+    // double-count exactly the increments a crash already landed
+    stmts.foreach { case (t, _) =>
+      require(t.counters.isEmpty,
+        "logged batch: counter tables cannot be batched (CQL restriction " +
+          "— counter mutations are not idempotent under batchlog replay)")
+    }
+    // journal BEFORE applying: the crash window below is covered
+    val batchId = nextBatchId.incrementAndGet()
+    batchlog.put(batchId, stmts)
     // deterministic GLOBAL order via each table's unique lockRank — two
     // concurrent batches over any table subset acquire in the same order
     val locks = stmts.map(_._1).distinct
       .sortBy(_.lockRank)
       .map(_.ddlLock.readLock())
     locks.foreach(_.lock())
-    try stmts.foreach { case (t, rows) =>
-      GUpsertTable.applyWrites(t, rows, ifNotExists = false, updateMode = false)
+    try {
+      stmts.zipWithIndex.foreach { case ((t, rows), i) =>
+        crashAfterStatements.foreach { k =>
+          if (i >= k) throw new CoordinatorCrash(i)
+        }
+        GUpsertTable.applyWrites(t, rows, ifNotExists = false,
+          updateMode = false)
+      }
+      // removed ONLY after full success — a crash leaves it for replay
+      batchlog.remove(batchId)
     } finally locks.reverse.foreach(_.unlock())
   }
 }

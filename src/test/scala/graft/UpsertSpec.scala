@@ -1925,6 +1925,63 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       .table("graftcat.proptest.sdc").collect().head.getLong(1) == 70L)
   }
 
+  test("batchlog: crashed batch completes on replay, idempotently; counters refused") {
+    import graft.sources.GraftBatch
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    Seq("blg_a", "blg_b", "blg_c").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graftcat.proptest.$t"))
+    spark.sql("CREATE TABLE graftcat.proptest.blg_a (id INT, v BIGINT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt')")
+    spark.sql("CREATE TABLE graftcat.proptest.blg_b (id INT, v BIGINT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt')")
+    def one(t: String): Map[Int, Long] =
+      spark.table(s"graftcat.proptest.$t").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    GraftBatch.logged(Seq(
+      "graftcat.proptest.blg_a" -> spark.sql("SELECT 1 AS id, 10L AS v, 100L AS wt"),
+      "graftcat.proptest.blg_b" -> spark.sql("SELECT 1 AS id, 11L AS v, 100L AS wt")))
+    // crash between statements: a applied, b NOT — the non-isolation
+    // window Cassandra documents — and the batchlog entry survives
+    intercept[GraftBatch.CoordinatorCrash] {
+      GraftBatch.logged(Seq(
+        "graftcat.proptest.blg_a" -> spark.sql("SELECT 1 AS id, 20L AS v, 200L AS wt"),
+        "graftcat.proptest.blg_b" -> spark.sql("SELECT 1 AS id, 21L AS v, 200L AS wt")),
+        crashAfterStatements = Some(1))
+    }
+    assert(one("blg_a") == Map(1 -> 20L))
+    assert(one("blg_b") == Map(1 -> 11L)) // stale: the crash window
+    assert(GraftBatch.pendingBatches == 1)
+    // replay completes the batch; the already-applied statement re-lands
+    // as a timestamp-idempotent no-op
+    assert(GraftBatch.replayBatchlog() == 1)
+    assert(one("blg_a") == Map(1 -> 20L))
+    assert(one("blg_b") == Map(1 -> 21L))
+    assert(GraftBatch.pendingBatches == 0)
+    assert(GraftBatch.replayBatchlog() == 0) // idempotent: nothing pending
+    // a write NEWER than the crashed batch survives its replay (LWW)
+    intercept[GraftBatch.CoordinatorCrash] {
+      GraftBatch.logged(Seq(
+        "graftcat.proptest.blg_a" -> spark.sql("SELECT 1 AS id, 30L AS v, 300L AS wt"),
+        "graftcat.proptest.blg_b" -> spark.sql("SELECT 1 AS id, 31L AS v, 300L AS wt")),
+        crashAfterStatements = Some(0))
+    }
+    spark.sql("SELECT 1 AS id, 99L AS v, 400L AS wt")
+      .writeTo("graftcat.proptest.blg_a").append()
+    GraftBatch.replayBatchlog()
+    assert(one("blg_a") == Map(1 -> 99L)) // newer write wins over replay
+    assert(one("blg_b") == Map(1 -> 31L))
+    // CQL rule: counter tables cannot ride a logged batch
+    spark.sql("CREATE TABLE graftcat.proptest.blg_c (id INT, c BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'counters'='c')")
+    val e = intercept[IllegalArgumentException] {
+      GraftBatch.logged(Seq(
+        "graftcat.proptest.blg_c" -> spark.sql("SELECT 1 AS id, 1L AS c")))
+    }
+    assert(e.getMessage.contains("counter"), e.getMessage)
+    assert(GraftBatch.pendingBatches == 0) // the refusal never journaled
+  }
+
   test("writecl: UnavailableException thresholds per scope; refusal is traceless") {
     import graft.sources.GUnavailableException
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
