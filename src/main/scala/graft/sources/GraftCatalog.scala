@@ -112,7 +112,10 @@ object GraftCatalogStore {
   final case class GCellRow(marker: Option[GCell], cells: Array[GCell])
 
   /** One CDC changelog entry: a commit's statement rows (padded to the
-    * commit-time schema), tombstone = a DELETE's marker batch. */
+    * commit-time schema), tombstone = a DELETE's marker batch. MERGE /
+    * row-level-delta commits append their deltas too (tombstone batch for
+    * deletes + key-changing updates' source keys, data batch for
+    * upserts). */
   final case class CdcBatch(rows: Array[Array[Any]], tombstone: Boolean)
 
   /** One counter SHARD — Cassandra's counter cell fragment: the sub-count
@@ -183,7 +186,8 @@ object GraftCatalogStore {
       * BATCH commits append their statement rows, key deletes append a
       * TOMBSTONE batch of marker rows (key set, data null). Served by the
       * `<table>__cdc` streaming read as micro-batches (offset = batch
-      * count). MERGE deltas are not captured (scope stated in Scaladoc). */
+      * count). MERGE / row-level deltas are captured too (tombstone +
+      * data batches per commit — see GDeltaBatchWrite). */
     val changelog =
       scala.collection.mutable.ArrayBuffer.empty[GraftCatalogStore.CdcBatch]
     /** Named point-in-time snapshots (nodetool snapshot analog): immutable
@@ -2534,6 +2538,32 @@ class GDeltaBatchWrite(t: GraftCatalogStore.T) extends DeltaBatchWrite {
                 }
             }
         }
+      }
+      // CDC capture (the commit-log entry this MERGE is): deletes — and
+      // the SOURCE key of a key-changing update — land as one tombstone
+      // marker batch, upserted/inserted rows as one data batch, appended
+      // atomically in that order so a key-change folds correctly (old key
+      // dead at seq N, new key live at seq N+1). Cassandra's commit log
+      // records the mutation AS ISSUED — an LWW-losing delta is still
+      // logged; consumers folding by (key, max seq) or by writetime
+      // converge to the same state the table itself holds.
+      val allOps = messages.toSeq.flatMap { case GDeltaCommit(ops) => ops }
+      val tombKeys = allOps.collect {
+        case (GDeltaWriterFactory.Delete, key, _) => key
+        case (op, key, row0) if op != GDeltaWriterFactory.Delete &&
+          key != null && key != padded(row0)(ki) => key
+      }
+      val tombs = tombKeys.map { k =>
+        val r = new Array[Any](arity); r(ki) = k; r
+      }
+      val datas = allOps.collect {
+        case (op, _, row0) if op != GDeltaWriterFactory.Delete => padded(row0)
+      }
+      t.changelog.synchronized {
+        if (tombs.nonEmpty)
+          t.changelog += GraftCatalogStore.CdcBatch(tombs.toArray, tombstone = true)
+        if (datas.nonEmpty)
+          t.changelog += GraftCatalogStore.CdcBatch(datas.toArray, tombstone = false)
       }
     } finally rl.unlock()
   }

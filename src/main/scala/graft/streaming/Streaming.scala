@@ -697,6 +697,41 @@ object Streaming {
         .select("k", "name").orderBy("k")
     },
 
+    // CDC of a MERGE'd catalog table — the commit-log capture of row-level
+    // deltas (r9: previously a disclosed gap): an INSERT wave establishes
+    // the table, then one MERGE updates matched rows, deletes a condition
+    // band, and inserts unmatched sources; its deltas land in the
+    // changelog as a tombstone batch + a data batch. The streamed fold by
+    // (key, max _commit_seq) must therefore equal the table's own final
+    // state — deleted band gone, updates and inserts visible — which the
+    // oracle recomputes relationally from the same wave definitions.
+    "q_stream_merge_cdc" -> { (s, dir) =>
+      val fqn = "graftcat.streamks.cdc_merge"
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.streamks")
+      s.sql(s"DROP TABLE IF EXISTS $fqn")
+      s.sql(s"CREATE TABLE $fqn (id BIGINT, bal DOUBLE) " +
+        "TBLPROPERTIES ('key'='id')")
+      Tables.load(s, dir, "customer").filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"))
+        .writeTo(fqn).append()
+      Tables.load(s, dir, "orders").filter(col("o_custkey") <= 150)
+        .groupBy(col("o_custkey").as("id")).agg(count(lit(1)).as("n"))
+        .createOrReplaceTempView("cdc_merge_src")
+      s.sql(s"""MERGE INTO $fqn t
+        USING cdc_merge_src s ON t.id = s.id
+        WHEN MATCHED AND s.n >= 10 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET bal = t.bal + s.n
+        WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (s.id, CAST(s.n AS DOUBLE))""")
+      val log = runToMemory(
+        s.readStream.table(s"${fqn}__cdc"), "graft_stream_merge_cdc")
+      val latest = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("_commit_seq").desc)
+      log.withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
+        .filter(!col("_tombstone"))
+        .select("id", "bal").orderBy("id")
+    },
+
     // Streaming SINK into the catalog table — the write-side complement of
     // the KV CDC source: `writeStream.toTable` drives the table's
     // STREAMING_WRITE surface, each micro-batch epoch committing through
@@ -762,6 +797,23 @@ object Streaming {
     // the folded CDC log must equal the table's current state, recomputed
     // here from nation + the three deterministic update waves (later waves
     // overwrite earlier ones per key)
+    // the folded MERGE CDC equals the table's post-MERGE state: updated
+    // matched rows, the n>=10 band deleted, unmatched sources inserted
+    "q_stream_merge_cdc" ->
+      """WITH t AS (SELECT c_custkey AS id, c_acctbal AS bal
+        |           FROM customer WHERE c_custkey <= 100),
+        |s AS (SELECT o_custkey AS id, COUNT(*) AS n
+        |      FROM orders WHERE o_custkey <= 150 GROUP BY 1)
+        |SELECT id, bal FROM (
+        |  SELECT t.id AS id,
+        |    CASE WHEN s.id IS NULL THEN t.bal ELSE t.bal + s.n END AS bal
+        |  FROM t LEFT JOIN s ON t.id = s.id
+        |  WHERE s.id IS NULL OR s.n < 10
+        |  UNION ALL
+        |  SELECT s.id, CAST(s.n AS DOUBLE)
+        |  FROM s LEFT JOIN t ON s.id = t.id WHERE t.id IS NULL
+        |) u ORDER BY id""".stripMargin,
+
     // catalog CDC fold: the latest wave per key, deleted keys gone
     "q_stream_catalog_cdc" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS k,
