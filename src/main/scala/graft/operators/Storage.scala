@@ -1734,6 +1734,35 @@ object Storage {
         .orderBy("ck")
     },
 
+    // CQL driver cursor paging WITHIN a partition (fetch_size + paging
+    // state): each fetch is `WHERE pk = ? AND ck > <cursor> LIMIT n` — the
+    // resume point is the last clustering key served, exactly the paging
+    // state a Cassandra driver carries. Every page binds the ck-slice +
+    // TopN pushdown (a binary-searched suffix of the ck-sorted partition,
+    // ≤ n rows served), and the driver-side loop IS the client cursor —
+    // each collect is one page fetch, bounded by fetch_size, the one place
+    // driver-side materialization is the semantics. The page column pins
+    // the pagination layout against the oracle's row_number arithmetic.
+    "q_kv_cursor_pages" -> { (s, dir) =>
+      val name = stageOrdersCk(s, dir)
+      val t = s.read.format("graft.sources.KVDataSource")
+        .option("table", name).load()
+      val pageSize = 5
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+      var cursor = Long.MinValue
+      var page = 0
+      var done = false
+      while (!done) {
+        val rows = t.filter(col("pk") === 37 && col("ck") > cursor)
+          .orderBy("ck").limit(pageSize).collect()
+        rows.foreach(r => buf += ((r.getLong(0), r.getLong(1), r.getDouble(2), page)))
+        if (rows.length < pageSize) done = true
+        else { cursor = rows.last.getLong(1); page += 1 }
+      }
+      s.createDataFrame(buf.toSeq).toDF("pk", "ck", "price", "page")
+        .orderBy("ck")
+    },
+
     // Token-range scan — `WHERE token(pk) >= ? AND token(pk) < ?`, the arc
     // shape the connector splits a full-table scan into (and the only range
     // CQL allows on a partition key). The demo ring's token for a single
@@ -2571,6 +2600,15 @@ object Storage {
       """SELECT o_custkey AS pk, o_orderkey AS ck, o_totalprice AS price
         |FROM orders
         |WHERE o_custkey = 37 AND o_orderkey >= 200 AND o_orderkey < 10000
+        |ORDER BY ck""".stripMargin,
+
+    // the cursor walk reassembled: page k = rows 5k..5k+4 in ck order
+    "q_kv_cursor_pages" ->
+      """SELECT pk, ck, price,
+        |  CAST((ROW_NUMBER() OVER (ORDER BY ck) - 1) // 5 AS INT) AS page
+        |FROM (SELECT o_custkey AS pk, o_orderkey AS ck,
+        |        o_totalprice AS price
+        |      FROM orders WHERE o_custkey = 37)
         |ORDER BY ck""".stripMargin,
 
     "q_kv_token_range" ->

@@ -1056,9 +1056,15 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     // without ALLOW FILTERING.
     def ckColOf(f: Filter): Option[String] = f match {
       case EqualTo(a, v) if ckSet(a) && KVScan.ckBound(v).nonEmpty => Some(a)
+      // all four CQL range shapes — the strict lower bound is the driver
+      // paging-state read (`WHERE pk = ? AND ck > <last served> LIMIT n`)
+      case GreaterThan(a, v) if ckSet(a) && KVScan.ckBound(v).nonEmpty =>
+        Some(a)
       case GreaterThanOrEqual(a, v) if ckSet(a) && KVScan.ckBound(v).nonEmpty =>
         Some(a)
       case LessThan(a, v) if ckSet(a) && KVScan.ckBound(v).nonEmpty => Some(a)
+      case LessThanOrEqual(a, v) if ckSet(a) && KVScan.ckBound(v).nonEmpty =>
+        Some(a)
       // CQL `ck IN (...)` — the multi-slice read: allowed only on the LAST
       // constrained clustering column (the prefix-shape check below rejects
       // IN on earlier columns because it is not an EqualTo), answered as a
@@ -1678,29 +1684,35 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
   // ck_m), so the matching rows form ONE contiguous run found by two
   // binary searches over tuple prefixes.
   private lazy val ckIdxs: Seq[Int] = entry.ckIdxs
-  /** (equality-prefix values, lo bound on the next col (inclusive),
-    * hi bound on the next col (value, inclusive?), IN values on the last
-    * constrained col (CQL `ck IN (...)` — None = no IN pushed),
-    * contradictory = provably-empty (two different equalities on one
-    * column), last constrained column declared DESC); None = no ck
-    * predicates pushed. */
+  /** (equality-prefix values, lo bound on the next col (value,
+    * inclusive?), hi bound on the next col (value, inclusive?), IN values
+    * on the last constrained col (CQL `ck IN (...)` — None = no IN
+    * pushed), contradictory = provably-empty (two different equalities on
+    * one column), last constrained column declared DESC); None = no ck
+    * predicates pushed. All four CQL range shapes (> >= < <=) push —
+    * strict lower bounds are the driver paging-state shape
+    * (`ck > <last served>`). */
   private final case class CkSliceSpec(eqPrefix: IndexedSeq[Any],
-      lo: Option[Any], hi: Option[(Any, Boolean)], ins: Option[Seq[Any]],
-      contradictory: Boolean, lastDesc: Boolean)
+      lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)],
+      ins: Option[Seq[Any]], contradictory: Boolean, lastDesc: Boolean)
   private lazy val ckSlice: Option[CkSliceSpec] = {
     val ckCols = entry.clusteringCols
     val byCol: Map[String, Array[Filter]] = pushed
       .filter {
         case EqualTo(a, _) => ckCols.contains(a)
+        case GreaterThan(a, _) => ckCols.contains(a)
         case GreaterThanOrEqual(a, _) => ckCols.contains(a)
         case LessThan(a, _) => ckCols.contains(a)
+        case LessThanOrEqual(a, _) => ckCols.contains(a)
         case In(a, _) => ckCols.contains(a)
         case _ => false
       }
       .groupBy {
         case EqualTo(a, _) => a
+        case GreaterThan(a, _) => a
         case GreaterThanOrEqual(a, _) => a
         case LessThan(a, _) => a
+        case LessThanOrEqual(a, _) => a
         case In(a, _) => a
         case _ => ""
       }
@@ -1720,14 +1732,21 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
       val last = constrained.last
       val eqs = byCol(last).collect { case EqualTo(_, v) => KVScan.ckBound(v).get }
       if (eqs.distinct.length > 1) contradictory = true
-      val los = byCol(last).collect {
-        case GreaterThanOrEqual(_, v) => KVScan.ckBound(v).get } ++ eqs
-      val hisExcl = byCol(last).collect {
-        case LessThan(_, v) => KVScan.ckBound(v).get }
-      val lo = los.reduceOption((a, b) =>
-        if (KeyGroupedRegistry.compareCkCell(a, b) >= 0) a else b)
+      val loCands: Seq[(Any, Boolean)] =
+        byCol(last).collect {
+          case GreaterThan(_, v) => (KVScan.ckBound(v).get, false)
+          case GreaterThanOrEqual(_, v) => (KVScan.ckBound(v).get, true)
+        }.toSeq ++ eqs.headOption.map(v => (v, true)).toSeq
+      val lo = loCands.reduceOption { (a, b) =>
+        val c = KeyGroupedRegistry.compareCkCell(a._1, b._1)
+        if (c > 0) a else if (c < 0) b
+        else if (!a._2) a else b // equal values: exclusive is tighter
+      }
       val hiCands: Seq[(Any, Boolean)] =
-        hisExcl.map(v => (v, false)).toSeq ++ eqs.headOption.map(v => (v, true)).toSeq
+        byCol(last).collect {
+          case LessThan(_, v) => (KVScan.ckBound(v).get, false)
+          case LessThanOrEqual(_, v) => (KVScan.ckBound(v).get, true)
+        }.toSeq ++ eqs.headOption.map(v => (v, true)).toSeq
       val hi = hiCands.reduceOption { (a, b) =>
         val c = KeyGroupedRegistry.compareCkCell(a._1, b._1)
         if (c < 0) a else if (c > 0) b
@@ -1747,7 +1766,10 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
         }
         dedup.filter { v =>
           eqs.forall(same(v, _)) &&
-            lo.forall(l => KeyGroupedRegistry.compareCkCell(v, l) >= 0) &&
+            lo.forall { case (l, incl) =>
+              val c = KeyGroupedRegistry.compareCkCell(v, l)
+              if (incl) c >= 0 else c > 0
+            } &&
             hi.forall { case (h, incl) =>
               val c = KeyGroupedRegistry.compareCkCell(v, h)
               if (incl) c <= 0 else c < 0
@@ -1802,9 +1824,16 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
       case Some(CkSliceSpec(eqPrefix, lo, hi, _, _, lastDesc)) =>
         // on an ASC-stored last column the run starts at the lo edge and
         // ends at the hi edge; a DESC-stored column reverses the physical
-        // order, so the VALUE range [lo, hi) starts at the hi edge
+        // order, so the VALUE range starts at the hi edge. An INCLUSIVE
+        // bound keeps the equal run on its own side (strict=false at a
+        // lower edge / strict=true at an upper edge); an EXCLUSIVE bound
+        // flips each
         val lb =
-          if (!lastDesc) boundSearch(rows, eqPrefix ++ lo.toSeq, strict = false)
+          if (!lastDesc) lo match {
+            case Some((v, incl)) =>
+              boundSearch(rows, eqPrefix :+ v, strict = !incl)
+            case None => boundSearch(rows, eqPrefix, strict = false)
+          }
           else hi match {
             case Some((v, incl)) =>
               boundSearch(rows, eqPrefix :+ v, strict = !incl)
@@ -1819,7 +1848,8 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
               else boundSearch(rows, eqPrefix, strict = true)
           }
           else lo match {
-            case Some(v) => boundSearch(rows, eqPrefix :+ v, strict = true)
+            case Some((v, incl)) =>
+              boundSearch(rows, eqPrefix :+ v, strict = incl)
             case None =>
               if (eqPrefix.isEmpty) rows.length
               else boundSearch(rows, eqPrefix, strict = true)

@@ -1803,6 +1803,36 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       .contains("writetime"))
   }
 
+  test("strict ck bounds (> and <=) slice exactly, ASC and DESC storage") {
+    import graft.sources.KeyGroupedRegistry
+    // ASC ck 0..99 under pk 1
+    KeyGroupedRegistry.stage("ckstrict_asc",
+      spark.range(0, 100).selectExpr("1L AS pk", "id AS ck", "id * 2 AS v"),
+      "pk", clusteringCol = Some("ck"))
+    def read(name: String) = spark.read
+      .format("graft.sources.KVDataSource").option("table", name).load()
+    def cks(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(1)).toSeq.sorted
+    val asc = read("ckstrict_asc")
+    assert(cks(asc.filter("pk = 1 AND ck > 95")) == Seq(96L, 97L, 98L, 99L))
+    assert(cks(asc.filter("pk = 1 AND ck <= 3")) == Seq(0L, 1L, 2L, 3L))
+    assert(cks(asc.filter("pk = 1 AND ck > 10 AND ck <= 13")) == Seq(11L, 12L, 13L))
+    // combined strict + inclusive on one edge: the tighter (strict) wins
+    assert(cks(asc.filter("pk = 1 AND ck > 97 AND ck >= 90")) == Seq(98L, 99L))
+    // the full strict shape is PUSHED (no residual => no ALLOW FILTERING
+    // refusal, and the source serves exactly the slice)
+    assert(asc.filter("pk = 1 AND ck > 10 AND ck <= 13").collect().length == 3)
+    assert(KeyGroupedRegistry.lastScanRows("ckstrict_asc") == 3L)
+    // DESC-stored ck: same VALUE semantics, reversed physical order
+    KeyGroupedRegistry.stageMulti("ckstrict_desc",
+      spark.range(0, 100).selectExpr("1L AS pk", "id AS ck", "id * 2 AS v"),
+      Seq("pk"), clusteringCols = Seq("ck"), ckDesc = Set("ck"))
+    val desc = read("ckstrict_desc")
+    assert(cks(desc.filter("pk = 1 AND ck > 95")) == Seq(96L, 97L, 98L, 99L))
+    assert(cks(desc.filter("pk = 1 AND ck <= 3")) == Seq(0L, 1L, 2L, 3L))
+    assert(cks(desc.filter("pk = 1 AND ck > 10 AND ck <= 13")) == Seq(11L, 12L, 13L))
+  }
+
   test("ring topology: bootstrap/decommission move bounded arcs, lose nothing") {
     import graft.sources.KVRing
     KVRing.resetTopology()
