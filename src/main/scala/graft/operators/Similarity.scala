@@ -273,6 +273,43 @@ object Similarity {
         .orderBy("rank")
     },
 
+    // Filtered ANN — Cassandra 5's `WHERE <indexed pred> ORDER BY emb ANN
+    // OF ? LIMIT k`: the pushed 2i equality prunes rows BEFORE each
+    // split's local top-k, so candidates come only from the matching
+    // subset and the union of per-split filtered top-ks provably contains
+    // the global filtered top-k (each split contributes ITS best matching
+    // rows). The one-ring composition of the SAI read with the ANN read —
+    // at 100 TB the filter cuts the candidate scoring, not just the final
+    // result.
+    "q_kv_ann_filtered" -> { (s, dir) =>
+      graft.functions.Natives.register(s)
+      val name = s"embed_annf:$dir"
+      graft.sources.KeyGroupedRegistry.stageMulti(name,
+        Tables.load(s, dir, "embeddings")
+          .select(col("label"), col("vec_id"), col("embedding"),
+            pmod(col("vec_id"), lit(4)).cast("long").as("bucket")),
+        Seq("label"), indexCols = Seq("bucket"))
+      val ones64 = Array.fill(64)("1.0").mkString(",")
+      val cand = s.read.format("graft.sources.KVDataSource")
+        .option("table", name)
+        .option("annColumn", "embedding")
+        .option("annQuery", ones64)
+        .option("annK", "10")
+        .load()
+        .filter(col("bucket") === 1)
+      val w = Window.orderBy(col("cosine_raw").desc, col("vec_id").asc)
+      cand
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("qv", expr("array_repeat(1.0d, 64)"))
+        .withColumn("cosine_raw",
+          expr("graft_dot(qv, v)") / (sqrt(expr("graft_dot(v, v)")) * lit(8.0)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("vec_id"), col("label"),
+          round(col("cosine_raw"), 6).as("cosine"), col("rank"))
+        .orderBy("rank")
+    },
+
     // the same ANN read under SAI's `similarity_function = 'euclidean'`
     // index option (`annSim`): per-split candidates ranked by
     // 1 / (1 + squared L2 distance) — the store's scoring matches the
@@ -468,6 +505,19 @@ object Similarity {
         |    row_number() OVER (ORDER BY list_sum(v) / (nrm * 8.0) DESC,
         |      vec_id ASC) AS rank
         |  FROM e)
+        |SELECT vec_id, label, round(cosine_raw, 6) AS cosine,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // the filtered top-10: rank only among the bucket-1 rows
+    "q_kv_ann_filtered" ->
+      s"""WITH e AS ($vecsSql),
+        |r AS (
+        |  SELECT vec_id, label,
+        |    list_sum(v) / (nrm * 8.0) AS cosine_raw,
+        |    row_number() OVER (ORDER BY list_sum(v) / (nrm * 8.0) DESC,
+        |      vec_id ASC) AS rank
+        |  FROM e WHERE vec_id % 4 = 1)
         |SELECT vec_id, label, round(cosine_raw, 6) AS cosine,
         |  CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
