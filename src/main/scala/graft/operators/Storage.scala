@@ -1012,6 +1012,31 @@ object Storage {
         .select("id", "v").orderBy("id")
     },
 
+    // LOCAL_ONE — the cheapest multi-DC read (one replica, own DC, no
+    // merge, no repair): a write wave that missed dc2's only replica
+    // ('failreplica'='2') leaves dc2 PERMANENTLY stale for those keys
+    // until a quorum path visits them, and the dc2-coordinated LOCAL_ONE
+    // read serves exactly that stale view — the consistency/latency trade
+    // the CL exists for, recomputed by the oracle from the write schedule
+    // (wave ≡0 mod 2 never reached dc2 → baseline there).
+    "q_kv_local_one" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.lo1")
+      s.sql("CREATE TABLE graftcat.testks.lo1 (id BIGINT, v BIGINT, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'dcs'='dc1:2,dc2:1')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey").as("id"))
+      o.select(col("id"), (col("id") * 10).as("v"), lit(1000000L).as("wt"))
+        .writeTo("graftcat.testks.lo1").append()
+      o.filter(pmod(col("id"), lit(2)) === 0)
+        .select(col("id"), (col("id") * 30).as("v"), lit(2000000L).as("wt"))
+        .writeTo("graftcat.testks.lo1").option("failreplica", "2").append()
+      s.read.option("cl", "local_one").option("dc", "dc2")
+        .table("graftcat.testks.lo1")
+        .select("id", "v").orderBy("id")
+    },
+
     // WRITE consistency level + UnavailableException (the coordinator-side
     // guard CQL applies BEFORE a write): at 'writecl'='quorum' on rf=3, a
     // wave with one dead replica proceeds (2 live ≥ quorum 2); a wave with
@@ -2987,6 +3012,12 @@ object Storage {
       """SELECT o_orderkey AS id,
         |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey * 30
         |       ELSE o_orderkey * 10 END AS v
+        |FROM orders WHERE o_orderkey <= 400
+        |ORDER BY id""".stripMargin,
+
+    // dc2's lone replica missed the newer wave entirely: baseline only
+    "q_kv_local_one" ->
+      """SELECT o_orderkey AS id, o_orderkey * 10 AS v
         |FROM orders WHERE o_orderkey <= 400
         |ORDER BY id""".stripMargin,
 

@@ -1014,6 +1014,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p15.contains("CartesianProduct"), p15)
   }
 
+  test("cursor page fetch pushes the strict ck bound AND the TopN") {
+    // one page of the driver cursor: `pk = ? AND ck > <cursor> LIMIT n`
+    // must reach the source as a pushed GreaterThan + PushedTopN — the
+    // binary-searched suffix serving ≤ n rows, zero residual filtering
+    import org.apache.spark.sql.functions.col
+    val name = Storage.stageOrdersCk(spark, sfDir)
+    val page = spark.read.format("graft.sources.KVDataSource")
+      .option("table", name).load()
+      .filter(col("pk") === 37 && col("ck") > 1000)
+      .orderBy("ck").limit(5)
+    val plan = planOf(page)
+    assert(plan.contains("GreaterThan(ck,1000)"), plan)
+    assert(plan.contains("PushedTopN: [ck ASC LIMIT 5]"), plan)
+    val rows = page.collect()
+    assert(rows.forall(_.getLong(1) > 1000))
+    // the source served at most the page, not the partition
+    assert(graft.sources.KeyGroupedRegistry.lastScanRows(name) <= 5L)
+  }
+
   test("image near-dup candidates come from the banded equi-join, no cartesian") {
     // the sub-quadratic contract of every near-dup family member: bucket
     // join on (band, code), never an all-pairs product — at 100 TB this is
