@@ -276,7 +276,9 @@ object GraftCatalogStore {
       // and lies strictly before the cutoff
       val live = cutoff match {
         case Some(c) => drained.filter { case (_, r) =>
-          wtIdx.forall(i => Option(r(i)).forall(_.asInstanceOf[Long] >= c))
+          // normalize through epochMicros like every other writetime read —
+          // the cell is Long today, but the encoding set may widen
+          wtIdx.forall(i => Option(r(i)).forall(GUpsertTable.epochMicros(_) >= c))
         }
         case None => drained
       }
@@ -1270,9 +1272,13 @@ class GUpsertTable(tname: String, t: GraftCatalogStore.T)
               if (liveIn(dc) < quorumOf(dc.length))
                 unavailable(quorumOf(dc.length), s"dc ${t.dcNames(di)}", liveIn(dc))
             }
+          case "local_one" => // >=1 live replica in the coordinator's DC
+            val dc = t.dcReplicas(dcIdx)
+            if (liveIn(dc) < 1)
+              unavailable(1, s"dc ${t.dcNames(dcIdx)}", liveIn(dc))
           case other => throw new IllegalArgumentException(
-            s"$tname: 'writecl' must be one/quorum/local_quorum/each_quorum/" +
-              s"all, got $other")
+            s"$tname: 'writecl' must be one/local_one/quorum/local_quorum/" +
+              s"each_quorum/all, got $other")
         }
       }
       // LWT on replicated tables runs at SERIAL consistency — the modeled
@@ -2315,10 +2321,14 @@ class GScanBuilder(tname: String, t: GraftCatalogStore.T,
       // Cassandra's. 'dc' picks the coordinator's datacenter (default: the
       // first declared).
       val cl = Option(options.get("cl")).map(_.toLowerCase).getOrElse("one")
-      require(Set("one", "local_one", "quorum", "local_quorum",
-        "each_quorum", "all")(cl),
-        s"table $tname: 'cl' must be one/local_one/quorum/local_quorum/" +
-          s"each_quorum/all, got $cl")
+      // EACH_QUORUM is a WRITE-only CL in Cassandra — reads reject it
+      // (o.a.c.db.ConsistencyLevel.validateForRead)
+      require(cl != "each_quorum",
+        s"table $tname: EACH_QUORUM ConsistencyLevel is only supported for " +
+          "writes")
+      require(Set("one", "local_one", "quorum", "local_quorum", "all")(cl),
+        s"table $tname: 'cl' must be one/local_one/quorum/local_quorum/all, " +
+          s"got $cl")
       val dcIdx: Int = Option(options.get("dc")) match {
         case Some(d) =>
           val i = t.dcNames.indexOf(d)
@@ -2333,7 +2343,7 @@ class GScanBuilder(tname: String, t: GraftCatalogStore.T,
         else cl match {
           case "one" | "local_one" => None
           case "local_quorum" => Some(t.dcReplicas(dcIdx))
-          case _ => Some(t.allReplicas.indices.toArray) // quorum/each_quorum/all
+          case _ => Some(t.allReplicas.indices.toArray) // quorum/all
         }
       /** The single replica a no-merge CL reads. */
       def clSingle: Int = cl match {
@@ -2490,6 +2500,7 @@ class GDeltaBatchWrite(t: GraftCatalogStore.T) extends DeltaBatchWrite {
       def padded(r0: Array[Any]): Array[Any] =
         if (r0.length < arity) r0 ++ Array.fill[Any](arity - r0.length)(null)
         else r0
+      val tombKeys = scala.collection.mutable.ArrayBuffer.empty[Any]
       messages.foreach { case GDeltaCommit(ops) =>
         ops.foreach {
           case (GDeltaWriterFactory.Delete, key, _) =>
@@ -2501,6 +2512,7 @@ class GDeltaBatchWrite(t: GraftCatalogStore.T) extends DeltaBatchWrite {
               val kept = t.hints.filterNot { case (_, r) => r(ki) == key }
               t.hints.clear(); t.hints ++= kept
             }
+            tombKeys += key
           case (_, key, row0) => // insert / update: keyed replace, sets canonical
             val row = padded(row0)
             GUpsertTable.canonicalizeSets(t, row)
@@ -2513,6 +2525,7 @@ class GDeltaBatchWrite(t: GraftCatalogStore.T) extends DeltaBatchWrite {
                 // total no-op on that replica — in particular, a
                 // key-changing update that loses at the destination must
                 // NOT have deleted its source row there first.
+                var anyRelocated = false
                 t.allReplicas.foreach { st =>
                   var done = false
                   var applied = false
@@ -2528,31 +2541,35 @@ class GDeltaBatchWrite(t: GraftCatalogStore.T) extends DeltaBatchWrite {
                       applied = st.putIfAbsent(row(ki), row).isEmpty
                       done = applied
                   }
-                  if (applied && key != null && key != row(ki))
+                  if (applied && key != null && key != row(ki)) {
                     st.remove(key) // key change relocates only when the write wins
+                    anyRelocated = true
+                  }
                 }
+                if (anyRelocated) tombKeys += key
               case None =>
                 t.allReplicas.foreach { st =>
                   if (key != null && key != row(ki)) st.remove(key)
                   st.put(row(ki), row)
                 }
+                if (key != null && key != row(ki)) tombKeys += key
             }
         }
       }
-      // CDC capture (the commit-log entry this MERGE is): deletes — and
-      // the SOURCE key of a key-changing update — land as one tombstone
-      // marker batch, upserted/inserted rows as one data batch, appended
-      // atomically in that order so a key-change folds correctly (old key
-      // dead at seq N, new key live at seq N+1). Cassandra's commit log
-      // records the mutation AS ISSUED — an LWW-losing delta is still
-      // logged; consumers folding by (key, max seq) or by writetime
-      // converge to the same state the table itself holds.
+      // CDC capture (the commit-log entry this MERGE is): deletes — and the
+      // SOURCE key of a key-changing update WHOSE RELOCATION APPLIED — land
+      // as one tombstone marker batch, upserted/inserted rows as one data
+      // batch, appended atomically in that order so a key-change folds
+      // correctly (old key dead at seq N, new key live at seq N+1). Data
+      // rows are logged AS ISSUED (Cassandra's commit log records every
+      // mutation, LWW-losing or not; folding data rows by writetime
+      // converges to table state), but a source-key tombstone is a
+      // RESULT of applying the delta, not part of the issued mutation — an
+      // LWW-losing key-change leaves its source row intact, so logging its
+      // tombstone would make a (key, max _commit_seq) fold report a
+      // still-live key as deleted. Hence tombKeys is threaded from the
+      // apply loop above, capturing only relocations that actually won.
       val allOps = messages.toSeq.flatMap { case GDeltaCommit(ops) => ops }
-      val tombKeys = allOps.collect {
-        case (GDeltaWriterFactory.Delete, key, _) => key
-        case (op, key, row0) if op != GDeltaWriterFactory.Delete &&
-          key != null && key != padded(row0)(ki) => key
-      }
       val tombs = tombKeys.map { k =>
         val r = new Array[Any](arity); r(ki) = k; r
       }

@@ -501,6 +501,21 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     val all = spark.table("graftcat.proptest.wtm").collect()
       .map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(all == Map(1 -> "fresh", 9 -> "src"), all)
+    // ...and its CDC entry must NOT carry a source-key tombstone: the row
+    // is still live in the table, so a (key, max _commit_seq) fold of the
+    // log would otherwise report id=9 deleted while the table holds it
+    val t = graft.sources.GraftCatalogStore.tables(("proptest", "wtm"))
+    def tombedKeys: Set[Any] = t.changelog.synchronized {
+      t.changelog.filter(_.tombstone).flatMap(_.rows.map(_(0))).toSet
+    }
+    assert(!tombedKeys.contains(9), tombedKeys)
+    // a WINNING key-change does tombstone its source key (old key dead at
+    // seq N, new key live at seq N+1)
+    spark.sql("UPDATE graftcat.proptest.wtm SET id = 2, v = 'moved', wt = 300 " +
+      "WHERE id = 9")
+    assert(spark.table("graftcat.proptest.wtm").collect()
+      .map(_.getInt(0)).toSet == Set(1, 2))
+    assert(tombedKeys.contains(9), tombedKeys)
   }
 
   test("row-level ops on a TTL table without 'now' fail eagerly with a named error") {
@@ -1934,9 +1949,12 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(read("cl" -> "local_quorum", "dc" -> "dc1") == Map(1 -> 30L))
     assert(read("cl" -> "local_one", "dc" -> "dc1") == Map(1 -> 30L)) // repaired
     assert(read("cl" -> "local_one", "dc" -> "dc2") == Map(1 -> 50L)) // untouched
-    // global QUORUM (≡ EACH_QUORUM/ALL here): merges across DCs, repairs
-    // everyone — every LOCAL_ONE now agrees on the newest write
-    assert(read("cl" -> "each_quorum") == Map(1 -> 50L))
+    // global QUORUM (≡ ALL here): merges across DCs, repairs everyone —
+    // every LOCAL_ONE now agrees on the newest write. EACH_QUORUM is
+    // write-only in Cassandra: the read path rejects it.
+    assert(intercept[Exception](read("cl" -> "each_quorum")).getMessage
+      .contains("only supported for writes"))
+    assert(read("cl" -> "quorum") == Map(1 -> 50L))
     assert(read("cl" -> "local_one", "dc" -> "dc1") == Map(1 -> 50L))
     assert(read("cl" -> "local_one", "dc" -> "dc2") == Map(1 -> 50L))
     // validation: unknown dc; rf/dcs disagreement
@@ -2047,15 +2065,22 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(unavailable(write("failreplica" -> "2", "writecl" -> "each_quorum")(
       "SELECT 6 AS id, 60L AS v, 100L AS wt")))
     write("writecl" -> "each_quorum")("SELECT 7 AS id, 70L AS v, 100L AS wt")
+    // LOCAL_ONE scopes to the named DC: dc2's only replica down is
+    // unavailable at LOCAL_ONE/dc2, fine at LOCAL_ONE/dc1 (Cassandra
+    // allows LOCAL_ONE writes — the ack threshold is 1 DC-local replica)
+    assert(unavailable(write("failreplica" -> "2", "writecl" -> "local_one",
+      "dc" -> "dc2")("SELECT 8 AS id, 80L AS v, 100L AS wt")))
+    write("failreplica" -> "2", "writecl" -> "local_one", "dc" -> "dc1")(
+      "SELECT 9 AS id, 90L AS v, 100L AS wt")
     // traceless refusal: only the accepted ids exist, on EVERY replica
     // view, and no hint was queued for a refused write
     val ids = spark.read.option("cl", "all").table("graftcat.proptest.wcl")
       .collect().map(_.getInt(0)).toSet
-    assert(ids == Set(1, 4, 7), ids)
-    assert(graft.sources.GraftCatalogStore.replayHints("proptest", "wcl") <= 2)
+    assert(ids == Set(1, 4, 7, 9), ids)
+    assert(graft.sources.GraftCatalogStore.replayHints("proptest", "wcl") <= 3)
     val after = spark.read.option("cl", "all").table("graftcat.proptest.wcl")
       .collect().map(_.getInt(0)).toSet
-    assert(after == Set(1, 4, 7), after)
+    assert(after == Set(1, 4, 7, 9), after)
   }
 
   test("per-cell repair: divergent replica cells converge to cell-wise winners") {
