@@ -73,4 +73,35 @@ object CassandraModel {
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(spark.version)), 1),
       StructType(Seq(StructField("release_version", StringType, nullable = false))))
+
+  /** `system_schema.columns` analog for the reference keyspace — the
+    * metadata table drivers and the Spark connector read to discover a
+    * table's shape before planning (the reference's connector does exactly
+    * this for `testks.users`, the table cloudinit creates at
+    * userdata/cloudinit.sh:296-315). Rows are DERIVED from `usersSchema`,
+    * not hand-listed, so a schema drift here would break the pinned
+    * oracle. Encoding follows Cassandra: partition-key columns carry their
+    * key position (0-based), regular columns report position -1. */
+  def systemSchema(spark: SparkSession): DataFrame = {
+    def cql(dt: DataType): String = dt match {
+      case IntegerType => "int"
+      case LongType    => "bigint"
+      case StringType  => "text"
+      case DoubleType  => "double"
+      case other       => other.simpleString
+    }
+    val rows = usersSchema.fields.zipWithIndex.map { case (f, i) =>
+      val kind = if (i == 0) "partition_key" else "regular"
+      Row(Keyspace, "users", f.name, kind, if (i == 0) 0 else -1, cql(f.dataType))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("keyspace_name", StringType, nullable = false),
+        StructField("table_name", StringType, nullable = false),
+        StructField("column_name", StringType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("position", IntegerType, nullable = false),
+        StructField("type", StringType, nullable = false))))
+  }
 }

@@ -529,6 +529,36 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Skew-mitigation pattern, JOIN form: replicate-and-salt. The fact side
+    // joins on l_returnflag (3 values → 3 reducers own the whole shuffle in
+    // a naive sort-merge join); salting the fact key to (flag, salt) and
+    // REPLICATING the dim row across all SaltN salt values spreads the join
+    // over 3×SaltN balanced partitions. The dim grows ×SaltN — the
+    // technique's real cost, affordable exactly when the dim is small
+    // relative to the fact (when it's broadcastable you broadcast instead;
+    // the shuffle_hash hint models the 100 TB case where per-key state is
+    // too big to broadcast but skew would stall 3 reducers). Salt values
+    // don't affect the RESULT — dim carries every salt, so (flag, salt)
+    // matches exactly the rows (flag) would — which is what the unsalted
+    // oracle recomputes; exact DECIMAL partials keep the weighted sum
+    // bit-identical.
+    "q_skew_salted_join" -> { (s, dir) =>
+      val SaltN = 16
+      val dim = s.createDataFrame(Seq(("A", 2L), ("N", 10L), ("R", 5L)))
+        .toDF("flag", "weight")
+        .withColumn("salt", explode(expr(s"sequence(0, ${SaltN - 1})")))
+      t(s, dir, "lineitem")
+        .withColumn("fsalt", pmod(hash(col("l_orderkey")), lit(SaltN)))
+        .hint("shuffle_hash")
+        .join(dim, col("l_returnflag") === col("flag") &&
+          col("fsalt") === col("salt"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_quantity")) * col("weight"))
+            .cast(DoubleType).as("wsum"))
+        .orderBy("l_returnflag")
+    },
+
     // Statistical moment aggregates: stddev/variance/covariance/correlation
     // per group — single-pass distributed moment accumulation (Welford-style
     // partials merge associatively, so the shuffle shape is the same as any
@@ -1232,6 +1262,17 @@ object Relational {
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // the UNSALTED join recomputed — salting must not change the result
+    "q_skew_salted_join" ->
+      """WITH dim AS (SELECT * FROM (VALUES
+        |  ('A', 2), ('N', 10), ('R', 5)) AS d(flag, weight))
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * weight) AS DOUBLE)
+        |    AS wsum
+        |FROM lineitem JOIN dim ON l_returnflag = flag
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 

@@ -2145,6 +2145,15 @@ object Storage {
       CassandraModel.systemLocal(s).orderBy("release_version")
     },
 
+    // system_schema.columns introspection (the metadata read every CQL
+    // driver and the Spark connector issue before planning): column rows
+    // for the reference keyspace, derived from the live schema object —
+    // see CassandraModel.systemSchema. Completes the system-table family
+    // alongside system.local, system.size_estimates and the ring arcs.
+    "q_system_schema" -> { (s, _) =>
+      CassandraModel.systemSchema(s).orderBy("column_name")
+    },
+
     // Ring introspection (`nodetool ring` / system.peers analog): the live
     // vnode table — every (position, host) arc — served as a DataFrame.
     // On the DEFAULT ring the arc layout is a closed form (host i's j-th
@@ -2359,6 +2368,76 @@ object Storage {
         .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"),
           min("event_id").as("min_id"), max("event_id").as("max_id"))
         .orderBy("w")
+    },
+
+    // STCS — SizeTieredCompactionStrategy (Cassandra's default strategy)
+    // as its DECISION LEDGER: memtable flushes of widely varying sizes
+    // (flush f = orders with floor(sqrt(o_orderkey)) = f → sizes 1, 3, 5, …
+    // rows) are bucketed into size tiers, and any tier holding >=
+    // min_threshold (4) sstables is a compaction candidate merging up to
+    // max_threshold (32) tables per pass — n_after = ceil(n/32) via exact
+    // integer arithmetic. At 100 TB the sstable inventory is METADATA
+    // (thousands of rows per node): the ledger is two map-side-combined
+    // aggregations (flush → tier), no wide row ever moves; the actual
+    // merge IO the ledger schedules is the per-directory rewrite
+    // demonstrated physically by q_compact_small_files. Every column is
+    // integer (tier boundaries are explicit CASE cut-points, not float
+    // log), so the oracle is bit-exact. The boundaries are powers of
+    // bucket ratio 4 — the same geometric tiering STCS's bucket_high/low
+    // induce around averages.
+    "q_stcs_layout" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .withColumn("flush_id", expr("cast(floor(sqrt(o_orderkey)) as bigint)"))
+        .groupBy("flush_id").agg(count(lit(1)).as("n"))
+        .withColumn("tier", expr(
+          "case when n < 4 then 0 when n < 16 then 1 when n < 64 then 2 " +
+            "when n < 256 then 3 when n < 1024 then 4 else 5 end"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_sstables"),
+          sum("n").as("n_rows"),
+          min("flush_id").as("min_flush"), max("flush_id").as("max_flush"))
+        .withColumn("n_after", expr(
+          "case when n_sstables >= 4 then (n_sstables + 31) div 32 " +
+            "else n_sstables end"))
+        .select("tier", "n_sstables", "n_after", "n_rows",
+          "min_flush", "max_flush")
+        .orderBy("tier")
+    },
+
+    // LCS — LeveledCompactionStrategy as a LAYOUT CONTRAST on the same
+    // rows: L0 is the flush zone (4 arrival-interleaved sstables,
+    // event_id % 4, each spanning ~the whole key range — the overlap that
+    // makes L0 reads touch EVERY table), while L1+ is the leveled run
+    // (fixed 160-row sstables = event_id div 160, levels growing 10× —
+    // 10, 100, 1000 tables — with DISJOINT key ranges within a level by
+    // construction). `read_amp` makes the invariant measurable: the count
+    // of sstables whose [min,max] covers probe key 5000 is 4 in L0 and
+    // exactly 1 across all leveled rows — why LCS bounds point reads to
+    // one table per level where L0/STCS degrade with flush count. At
+    // 100 TB the leveled assignment is the same range-partitioned sort a
+    // repartitionByRange write produces (zorderLayout/compactSmallFiles
+    // demonstrate that physical path); the ledger itself is two key-local
+    // aggregations with map-side combine.
+    "q_lcs_layout" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events").select(col("event_id"))
+      val l0 = ev.withColumn("sst", expr("event_id % 4"))
+        .withColumn("level", lit("L0"))
+      val leveled = ev.withColumn("sst", expr("event_id div 160"))
+        .withColumn("level", expr(
+          "case when event_id div 160 < 10 then 'L1' " +
+            "when event_id div 160 < 110 then 'L2' " +
+            "when event_id div 160 < 1110 then 'L3' else 'L4' end"))
+      l0.unionByName(leveled)
+        .groupBy("level", "sst")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("lo"), max("event_id").as("hi"))
+        .groupBy("level")
+        .agg(count(lit(1)).as("n_sstables"),
+          sum("n").as("n_rows"),
+          min("lo").as("min_key"), max("hi").as("max_key"),
+          sum(when(col("lo") <= 5000 && col("hi") >= 5000, 1L)
+            .otherwise(0L)).as("read_amp"))
+        .orderBy("level")
     },
 
     // JSON-lines round-trip — the third non-parquet format tier (CSV and ORC
@@ -3324,6 +3403,57 @@ object Storage {
 
     "q_system_local" ->
       "SELECT '4.1.2' AS release_version",
+
+    // the users table's column metadata, pinned literally — the Spark side
+    // derives it from the schema object, so drift breaks the hash
+    "q_system_schema" ->
+      """SELECT * FROM (VALUES
+        | ('testks', 'users', 'email', 'regular',       -1, 'text'),
+        | ('testks', 'users', 'id',    'partition_key',  0, 'int'),
+        | ('testks', 'users', 'name',  'regular',       -1, 'text'))
+        | AS t(keyspace_name, table_name, column_name, kind, position, type)
+        |ORDER BY column_name""".stripMargin,
+
+    // the STCS ledger recomputed: same flush sizing, tier cut-points and
+    // integer ceil-div merge arithmetic
+    "q_stcs_layout" ->
+      """WITH fl AS (
+        |  SELECT CAST(floor(sqrt(o_orderkey)) AS BIGINT) AS flush_id,
+        |         COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT CASE WHEN n < 4 THEN 0 WHEN n < 16 THEN 1
+        |              WHEN n < 64 THEN 2 WHEN n < 256 THEN 3
+        |              WHEN n < 1024 THEN 4 ELSE 5 END AS tier, flush_id, n
+        |  FROM fl)
+        |SELECT tier, COUNT(*) AS n_sstables,
+        |  CASE WHEN COUNT(*) >= 4 THEN (COUNT(*) + 31) // 32
+        |       ELSE COUNT(*) END AS n_after,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  MIN(flush_id) AS min_flush, MAX(flush_id) AS max_flush
+        |FROM t GROUP BY tier ORDER BY tier""".stripMargin,
+
+    // the LCS layout recomputed: L0 arrival flushes vs leveled 160-row
+    // runs, read amplification at probe key 5000
+    "q_lcs_layout" ->
+      """WITH st AS (
+        |  SELECT 'L0' AS level, event_id % 4 AS sst, event_id FROM events
+        |  UNION ALL
+        |  SELECT CASE WHEN event_id // 160 < 10 THEN 'L1'
+        |              WHEN event_id // 160 < 110 THEN 'L2'
+        |              WHEN event_id // 160 < 1110 THEN 'L3'
+        |              ELSE 'L4' END AS level,
+        |         event_id // 160 AS sst, event_id FROM events),
+        |pe AS (
+        |  SELECT level, sst, COUNT(*) AS n,
+        |         MIN(event_id) AS lo, MAX(event_id) AS hi
+        |  FROM st GROUP BY 1, 2)
+        |SELECT level, COUNT(*) AS n_sstables,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  MIN(lo) AS min_key, MAX(hi) AS max_key,
+        |  CAST(SUM(CASE WHEN lo <= 5000 AND hi >= 5000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS read_amp
+        |FROM pe GROUP BY level ORDER BY level""".stripMargin,
 
     // the default ring's closed-form arc allocation, recomputed
     "q_kv_ring_arcs" ->
