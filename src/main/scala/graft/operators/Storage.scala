@@ -179,6 +179,59 @@ object Storage {
     name
   }
 
+  /** CQL `INSERT INTO t JSON '...'` (CQL 4.0 JSON DML): each document's
+    * keys map to column names; a key not in the table schema is a
+    * statement error (Cassandra InvalidRequest), a missing column is set
+    * to NULL (CQL's DEFAULT NULL mode), malformed JSON fails the statement
+    * (FAILFAST, never a silent null row). The parse is `from_json` with
+    * the TABLE's schema — declarative and codegen'd, so at 100 TB the
+    * JSON decode rides whole-stage codegen per partition; only the
+    * unknown-key guard adds a scan of the documents' key sets. */
+  def insertJson(s: SparkSession, fqn: String,
+      docs: org.apache.spark.sql.DataFrame): Unit = {
+    require(docs.schema.length == 1 &&
+        docs.schema.head.dataType == StringType,
+      s"INSERT JSON into $fqn: input must be a single STRING column of " +
+        "JSON documents")
+    val schema = s.table(fqn).schema
+    val dcol = docs.columns.head
+    val known = schema.fieldNames.toSeq
+    val bad = docs
+      .select(explode(expr(s"json_object_keys($dcol)")).as("k"))
+      .filter(!col("k").isin(known: _*)).limit(1).collect()
+    require(bad.isEmpty,
+      s"INSERT JSON into $fqn: JSON values map to undefined column " +
+        s"'${bad.head.getString(0)}' (CQL InvalidRequest)")
+    docs
+      .select(from_json(col(dcol), schema, Map("mode" -> "FAILFAST")).as("r"))
+      .select(col("r.*"))
+      .writeTo(fqn).append()
+  }
+
+  /** CQL `SELECT JSON * FROM t`: one `json` text column per row, keys in
+    * schema column order, NULL cells rendered explicitly (Cassandra prints
+    * `"col": null`, so ignoreNullFields is off). */
+  def selectJson(s: SparkSession, fqn: String): org.apache.spark.sql.DataFrame = {
+    val t = s.table(fqn)
+    t.select(to_json(struct(t.columns.map(col).toIndexedSeq: _*),
+      Map("ignoreNullFields" -> "false")).as("json"))
+  }
+
+  /** Stage the map-index demo table: customers with an indexed
+    * `attrs map<text, bigint>` column (segment -> nationkey), the shape
+    * Cassandra's KEYS/VALUES/ENTRIES(m) index granules serve. Idempotent
+    * per sf-dir; shared by q_kv_contains_key / q_kv_map_entry /
+    * q_kv_map_contains. */
+  def stageCustAttrs(s: SparkSession, dir: String): String = {
+    val name = s"cust_attrs:$dir"
+    graft.sources.KeyGroupedRegistry.stageMulti(name,
+      Tables.load(s, dir, "customer").select(
+        col("c_custkey"), col("c_acctbal"),
+        map(col("c_mktsegment"), col("c_nationkey")).as("attrs")),
+      Seq("c_custkey"), indexCols = Seq("attrs"))
+    name
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map(
@@ -1487,6 +1540,63 @@ object Storage {
         .orderBy("c_custkey")
     },
 
+    // CQL `m CONTAINS KEY ?` — the KEYS(m) map-index granule (`CREATE
+    // INDEX ON t (KEYS(m))`): the inverted projection tags map KEYS apart
+    // from map values, so the read prunes the ring to partitions owning a
+    // row whose map HAS the key, then filters rows exactly. The map cell
+    // here is attrs = {mktsegment -> nationkey}, so CONTAINS KEY
+    // 'BUILDING' is the segment membership read.
+    "q_kv_contains_key" -> { (s, dir) =>
+      val name = stageCustAttrs(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name)
+        .option("containskey", "attrs:BUILDING").load()
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // CQL `m[?] = ?` — the ENTRIES(m) granule: an exact (key, value) pair
+    // lookup through the entry-tagged inverted projection — strictly more
+    // selective than either single-granule read (segment AND nation here).
+    "q_kv_map_entry" -> { (s, dir) =>
+      val name = stageCustAttrs(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name)
+        .option("mapentry", "attrs:BUILDING:7").load()
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // CQL `m CONTAINS ?` on a map — the VALUES(m) granule (CONTAINS over a
+    // map ranges over its VALUES, per CQL): nation-7 membership through
+    // the value-tagged projection, same table and index as the two above.
+    "q_kv_map_contains" -> { (s, dir) =>
+      val name = stageCustAttrs(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name)
+        .option("contains", "attrs:7").load()
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // Size-targeted split coalescing — the connector's
+    // `input.split.sizeInMB` knob driven by system.size_estimates
+    // (q_kv_size_estimates exposes the estimates; this read CONSUMES
+    // them): with 'split_target_rows' set, the scan walks the per-key row
+    // groups in token order and packs them into multi-key splits of
+    // ~target rows, flushing whenever the replica set changes (a split
+    // needs one preferredLocations) or the target fills. 200 single-key
+    // splits collapse to a handful of ~target-row tasks — at 100 TB this
+    // is the difference between a task per partition key (millions of
+    // 10 ms tasks drowning in scheduler overhead) and ~64 MB tasks, while
+    // the result is split-layout-independent, which the oracle recomputes.
+    // PlanSpec asserts the packing discipline and row conservation.
+    "q_kv_split_sizing" -> { (s, dir) =>
+      val name = stageOrdersCk(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name)
+        .option("split_target_rows", "100").load()
+        .agg(count(lit(1)).as("n"), sum("ck").as("sum_ck"),
+          min("ck").as("min_ck"), max("ck").as("max_ck"),
+          countDistinct("pk").as("n_parts"))
+    },
+
     // CQL `ck IN (...)` — the multi-slice clustering read (`SELECT ...
     // WHERE pk = ? AND ck IN (?, ?, ...)`): the source answers with a UNION
     // OF POINT RUNS, one binary-searched slice per IN value inside each
@@ -1650,6 +1760,87 @@ object Storage {
         FROM graftcat.testks.bt_orders a
         JOIN graftcat.testks.bt_counts c ON a.cust = c.cust
         ORDER BY a.id""")
+    },
+
+    // CONDITIONAL batch — LWT inside a BATCH (`BEGIN BATCH ... IF ... APPLY
+    // BATCH`), the composition of C5d and the LWT rows: all statements hit
+    // one partition of one table, every IF evaluates against the PRE-batch
+    // partition state in one modeled Paxos round, and the batch applies
+    // all-or-nothing. The driver loop below IS the modeled CQL client (one
+    // Paxos round per partition, like the cursor-page loop): per customer
+    // key 1..12, a two-statement batch [step1 IF status='open'; done
+    // unconditional] — it lands whole on seeded-'open' rows (BUILDING
+    // segment) and leaves every other row byte-identical, which the oracle
+    // recomputes from the same customer derivation. Batches here are
+    // CLIENT-side control flow over a handful of rows, never a data path —
+    // at 100 TB bulk writes stay on the DSv2 commit; conditional batches
+    // are the coordination primitive (uniqueness, state machines).
+    "q_kv_cas_batch" -> { (s, dir) =>
+      import graft.sources.GraftBatch
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.casb")
+      s.sql("CREATE TABLE graftcat.testks.casb " +
+        "(k BIGINT, status STRING, v BIGINT) TBLPROPERTIES ('key'='k')")
+      val c = Tables.load(s, dir, "customer")
+      c.filter(col("c_custkey") <= 200)
+        .select(col("c_custkey").cast(LongType).as("k"),
+          when(col("c_mktsegment") === "BUILDING", lit("open"))
+            .otherwise(lit("closed")).as("status"),
+          col("c_nationkey").cast(LongType).as("v"))
+        .writeTo("graftcat.testks.casb").append()
+      val targets = c.filter(col("c_custkey").between(1, 12))
+        .select(col("c_custkey").cast(LongType), col("c_nationkey").cast(LongType))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val applied = targets.map { case (k, nat) =>
+        GraftBatch.conditional("graftcat.testks.casb", Seq(
+          s.sql(s"SELECT CAST($k AS BIGINT) AS k, 'step1' AS status, " +
+            s"CAST(${nat * 10} AS BIGINT) AS v") -> GraftBatch.CondIfColEq("status", "open"),
+          s.sql(s"SELECT CAST($k AS BIGINT) AS k, 'done' AS status, " +
+            s"CAST(${nat * 10 + 1} AS BIGINT) AS v") -> GraftBatch.Unconditional))
+      }
+      // a rejected batch applies NEITHER statement: no 'step1' ever visible
+      require(applied.count(identity) ==
+        s.sql("SELECT count(*) FROM graftcat.testks.casb WHERE status = 'done'")
+          .head().getLong(0))
+      s.sql("SELECT * FROM graftcat.testks.casb ORDER BY k")
+    },
+
+    // CQL JSON DML (`INSERT INTO t JSON '...'` / `SELECT JSON * FROM t`):
+    // customer rows rendered to JSON documents, inserted THROUGH the JSON
+    // statement form (unknown keys rejected, FAILFAST parse — see
+    // insertJson), then read back via SELECT JSON — one `json` column,
+    // keys in schema order. Money rides as exact DECIMAL-derived cents so
+    // the serialized integer is engine-portable; the oracle re-renders the
+    // same documents from the source table in DuckDB. An unknown-key doc
+    // must be refused atomically (nothing from its statement lands).
+    "q_kv_json_dml" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.jsn")
+      s.sql("CREATE TABLE graftcat.testks.jsn " +
+        "(id BIGINT, name STRING, cents BIGINT) TBLPROPERTIES ('key'='id')")
+      val docs = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select(to_json(struct(
+          col("c_custkey").cast(LongType).as("id"),
+          col("c_name").as("name"),
+          (col("c_acctbal").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("cents"))).as("doc"))
+      insertJson(s, "graftcat.testks.jsn", docs)
+      // a document with a key the schema lacks is an InvalidRequest — and
+      // its whole statement is refused before any row lands
+      val refused =
+        try {
+          insertJson(s, "graftcat.testks.jsn",
+            s.sql("""SELECT '{"id": 9999, "name": "x", "oops": 1}' AS doc"""))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(refused, "unknown-key JSON must be refused")
+      val t = s.table("graftcat.testks.jsn")
+      t.select(col("id"), to_json(struct(t.columns.map(col).toIndexedSeq: _*),
+          Map("ignoreNullFields" -> "false")).as("json"))
+        .orderBy("id").select("json")
     },
 
     // Batchlog replay — the HALF of the logged-BATCH contract
@@ -2578,6 +2769,57 @@ object Storage {
       """SELECT c_custkey, c_acctbal
         |FROM customer WHERE c_nationkey = 7
         |ORDER BY c_custkey""".stripMargin,
+
+    // KEYS(m): the map key is the market segment
+    "q_kv_contains_key" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+
+    // ENTRIES(m): exact (segment, nation) pair
+    "q_kv_map_entry" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 7
+        |ORDER BY c_custkey""".stripMargin,
+
+    // VALUES(m): the map value is the nation key
+    "q_kv_map_contains" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer WHERE c_nationkey = 7
+        |ORDER BY c_custkey""".stripMargin,
+
+    // the SELECT JSON documents re-rendered by DuckDB from the same rows
+    "q_kv_json_dml" ->
+      """SELECT CAST(to_json(struct_pack(
+        |    id := CAST(c_custkey AS BIGINT),
+        |    name := c_name,
+        |    cents := CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)))
+        |  AS VARCHAR) AS json
+        |FROM customer WHERE c_custkey <= 100
+        |ORDER BY c_custkey""".stripMargin,
+
+    // the conditional-batch outcome recomputed: keys 1-12 seeded 'open'
+    // (BUILDING) take BOTH batch statements (the second wins the row),
+    // everything else is byte-identical to the seed
+    "q_kv_cas_batch" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  CASE WHEN c_custkey BETWEEN 1 AND 12 AND c_mktsegment = 'BUILDING'
+        |       THEN 'done'
+        |       WHEN c_mktsegment = 'BUILDING' THEN 'open'
+        |       ELSE 'closed' END AS status,
+        |  CASE WHEN c_custkey BETWEEN 1 AND 12 AND c_mktsegment = 'BUILDING'
+        |       THEN CAST(c_nationkey * 10 + 1 AS BIGINT)
+        |       ELSE CAST(c_nationkey AS BIGINT) END AS v
+        |FROM customer WHERE c_custkey <= 200
+        |ORDER BY k""".stripMargin,
+
+    // the coalesced read serves every staged row exactly once — the
+    // result is independent of the split layout
+    "q_kv_split_sizing" ->
+      """SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_ck,
+        |  MIN(o_orderkey) AS min_ck, MAX(o_orderkey) AS max_ck,
+        |  COUNT(DISTINCT o_custkey) AS n_parts
+        |FROM orders WHERE o_custkey <= 200""".stripMargin,
 
     // the multi-slice IN read recomputed over the same staged projection
     "q_kv_ck_in" ->

@@ -2832,39 +2832,46 @@ object GraftBatch {
     }
   }
 
+  private def resolveTable(fqn: String): GraftCatalogStore.T = {
+    val parts = fqn.split('.')
+    require(parts.length >= 2,
+      s"logged batch: table name '$fqn' must be [catalog.]namespace.table")
+    val cand1 = (parts.init.mkString("."), parts.last)
+    val cand2 =
+      if (parts.length >= 3) Some((parts.tail.init.mkString("."), parts.last))
+      else None
+    val key =
+      if (GraftCatalogStore.tables.contains(cand1)) cand1
+      else cand2.filter(GraftCatalogStore.tables.contains).getOrElse(
+        throw new IllegalArgumentException(s"logged batch: unknown table $fqn"))
+    GraftCatalogStore.tables(key)
+  }
+
+  private def rowsOf(fqn: String, t: GraftCatalogStore.T,
+      df: org.apache.spark.sql.DataFrame): Seq[Array[Any]] = {
+    // names AND types: a name-matching column of the wrong type would
+    // pass a name-only check and then throw mid-apply (ClassCastException
+    // in the set/counter merge), breaking the all-or-nothing guarantee
+    def sig(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    require(sig(df.schema) == sig(t.schema),
+      s"logged batch: $fqn write schema ${sig(df.schema)} " +
+        s"does not match table schema ${sig(t.schema)}")
+    val fields = df.schema.fields
+    // executeCollect returns freshly-decoded InternalRows (safe to keep),
+    // detached into plain JVM values like the DSv2 writer path
+    df.queryExecution.executedPlan.executeCollect().toSeq.map { ir =>
+      fields.zipWithIndex.map { case (f, i) =>
+        GValues.extract(f.dataType, ir, i)
+      }: Array[Any]
+    }
+  }
+
   def logged(statements: Seq[(String, org.apache.spark.sql.DataFrame)],
       crashAfterStatements: Option[Int] = None): Unit = {
     require(statements.nonEmpty, "logged batch: no statements")
     val stmts = statements.map { case (fqn, df) =>
-      val parts = fqn.split('.')
-      require(parts.length >= 2,
-        s"logged batch: table name '$fqn' must be [catalog.]namespace.table")
-      val cand1 = (parts.init.mkString("."), parts.last)
-      val cand2 =
-        if (parts.length >= 3) Some((parts.tail.init.mkString("."), parts.last))
-        else None
-      val key =
-        if (GraftCatalogStore.tables.contains(cand1)) cand1
-        else cand2.filter(GraftCatalogStore.tables.contains).getOrElse(
-          throw new IllegalArgumentException(s"logged batch: unknown table $fqn"))
-      val t = GraftCatalogStore.tables(key)
-      // names AND types: a name-matching column of the wrong type would
-      // pass a name-only check and then throw mid-apply (ClassCastException
-      // in the set/counter merge), breaking the all-or-nothing guarantee
-      def sig(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
-      require(sig(df.schema) == sig(t.schema),
-        s"logged batch: $fqn write schema ${sig(df.schema)} " +
-          s"does not match table schema ${sig(t.schema)}")
-      val fields = df.schema.fields
-      // executeCollect returns freshly-decoded InternalRows (safe to keep),
-      // detached into plain JVM values like the DSv2 writer path
-      val rows: Seq[Array[Any]] =
-        df.queryExecution.executedPlan.executeCollect().toSeq.map { ir =>
-          fields.zipWithIndex.map { case (f, i) =>
-            GValues.extract(f.dataType, ir, i)
-          }: Array[Any]
-        }
-      (t, rows)
+      val t = resolveTable(fqn)
+      (t, rowsOf(fqn, t, df))
     }
     // EVERY statement validates before ANY applies (and before the batch
     // is journaled — a bad statement must fail the batch, not poison the
@@ -2898,6 +2905,81 @@ object GraftBatch {
       // removed ONLY after full success — a crash leaves it for replay
       batchlog.remove(batchId)
     } finally locks.reverse.foreach(_.unlock())
+  }
+
+  /** Per-statement condition of a CONDITIONAL batch (CQL `IF ...`). */
+  sealed trait Cond
+  case object Unconditional extends Cond
+  case object CondIfNotExists extends Cond
+  case object CondIfExists extends Cond
+  final case class CondIfColEq(col: String, value: Any) extends Cond
+
+  /** CQL CONDITIONAL batch (`BEGIN BATCH ... <stmts, some with IF ...>
+    * APPLY BATCH;`) — LWT inside a batch. Cassandra's rules, enforced
+    * here: every statement must hit ONE PARTITION of ONE TABLE ("batch
+    * with conditions cannot span multiple partitions/tables"), the whole
+    * batch runs as ONE Paxos round at SERIAL — every condition evaluates
+    * against the partition's state BEFORE the batch — and either ALL
+    * statements apply (every condition held) or NONE does
+    * (`[applied] = false`). Returns the applied flag.
+    *
+    * Composition restrictions inherited from both parents: no counter
+    * tables (logged-batch rule), no writetime tables (CQL forbids USING
+    * TIMESTAMP with IF), no cellwise tables (LWT is row-granular), and —
+    * like single-statement LWT on replicated tables — the Paxos round
+    * needs every replica, so there is no failure-injection parameter.
+    * Unlike [[logged]], a conditional batch never touches the batchlog:
+    * single-partition mutations are atomic at the storage layer, which is
+    * exactly why Cassandra exempts them (and their Paxos commit) from
+    * batchlog journaling. */
+  def conditional(fqn: String,
+      statements: Seq[(org.apache.spark.sql.DataFrame, Cond)]): Boolean = {
+    require(statements.nonEmpty, "conditional batch: no statements")
+    require(statements.exists(_._2 != Unconditional),
+      "conditional batch: no statement carries a condition — use logged()")
+    val t = resolveTable(fqn)
+    require(t.counters.isEmpty,
+      "conditional batch: counter tables cannot be batched (CQL)")
+    require(t.writetime.isEmpty,
+      "conditional batch: conditional updates cannot use client timestamps " +
+        "(CQL forbids USING TIMESTAMP with IF)")
+    require(!t.cellwise,
+      "conditional batch: not supported on cellwise tables (LWT is modeled " +
+        "only for row-granular tables)")
+    val stmts = statements.map { case (df, cond) => (rowsOf(fqn, t, df), cond) }
+    stmts.foreach { case (rows, _) => GUpsertTable.validateWrites(t, rows) }
+    val ki = t.schema.fieldIndex(t.keyCol)
+    val pks = stmts.flatMap(_._1.map(_(ki))).distinct
+    require(pks.size == 1,
+      s"conditional batch: statements span ${pks.size} partitions — batch " +
+        "with conditions cannot span multiple partitions (CQL)")
+    val key = pks.head
+    val rl = t.ddlLock.readLock()
+    rl.lock()
+    try t.synchronized { // the coordinator's Paxos round, serialized
+      // SERIAL read: conditions see the pre-batch partition state (on
+      // replicated tables all replicas are reachable by construction, so
+      // replica 0 is the linearization point)
+      val stored = t.allReplicas.head.get(key)
+      val allHold = stmts.forall { case (_, cond) => cond match {
+        case Unconditional => true
+        case CondIfNotExists => stored.isEmpty
+        case CondIfExists => stored.nonEmpty
+        case CondIfColEq(cn, exp) =>
+          require(t.schema.fieldNames.contains(cn),
+            s"conditional batch: IF column $cn not in schema")
+          require(cn != t.keyCol,
+            "conditional batch: IF cannot condition on the partition key (CQL)")
+          // a stored NULL never equals, an absent row fails the condition
+          stored.exists(r => r(t.schema.fieldIndex(cn)) == exp)
+      } }
+      if (allHold)
+        stmts.foreach { case (rows, _) =>
+          GUpsertTable.applyWrites(t, rows, ifNotExists = false,
+            updateMode = false)
+        }
+      allHold
+    } finally rl.unlock()
   }
 }
 

@@ -120,21 +120,32 @@ object KeyGroupedRegistry {
       // a collection column indexes per ELEMENT (Cassandra's index on a
       // set/list — SAI collection semantics): the inverted projection maps
       // each element value to the partitions owning at least one row whose
-      // collection CONTAINS it; NULL collections contribute nothing
-      val elemType = schema(c).dataType match {
-        case org.apache.spark.sql.types.ArrayType(et, _) => Some(et)
-        case _ => None
+      // collection CONTAINS it; NULL collections contribute nothing. A MAP
+      // column indexes all three CQL granules at once — KEYS(m) (tagged
+      // "mk"), VALUES(m) ("mv") and ENTRIES(m) ("me", serving m[k] = v) —
+      // the index forms `CREATE INDEX ON t (KEYS(m) / VALUES(m) /
+      // ENTRIES(m))` create; tags keep a map KEY "x" distinct from a map
+      // VALUE "x" in the one projection.
+      def norm(x: Any): Any = x match {
+        case u: UTF8String => u.toString
+        case e => normCell(e)
       }
-      def cellsOf(r: Array[Any]): Iterator[Any] = elemType match {
-        case None => Iterator.single(normCell(r(ci)))
-        case Some(et) => r(ci) match {
+      def cellsOf(r: Array[Any]): Iterator[Any] = schema(c).dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) => r(ci) match {
           case null => Iterator.empty
           case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-            a.toObjectArray(et).iterator.map {
-              case u: UTF8String => u.toString
-              case e => normCell(e)
-            }
+            a.toObjectArray(et).iterator.map(norm)
         }
+        case org.apache.spark.sql.types.MapType(kt, vt, _) => r(ci) match {
+          case null => Iterator.empty
+          case m: org.apache.spark.sql.catalyst.util.MapData =>
+            val ks = m.keyArray.toObjectArray(kt).map(norm)
+            val vs = m.valueArray.toObjectArray(vt).map(norm)
+            ks.iterator.map(("mk", _): Any) ++
+              vs.iterator.map(("mv", _): Any) ++
+              ks.iterator.zip(vs.iterator).map(kv => ("me", kv._1, kv._2): Any)
+        }
+        case _ => Iterator.single(normCell(r(ci)))
       }
       c -> parts.toSeq
         .flatMap { case (k, rows) => rows.iterator.flatMap(r =>
@@ -174,6 +185,20 @@ object KeyGroupedRegistry {
             case str: String => UTF8String.fromString(str)
             case e => toStoredCell(at.elementType, e)
           }.toArray)
+      // map cells (CQL map<k, v>): stored as internal MapData, entries
+      // key-sorted so the stored form is deterministic regardless of the
+      // external Map's iteration order
+      case (mt: org.apache.spark.sql.types.MapType, m: scala.collection.Map[_, _]) =>
+        val kvs = m.toSeq.sortBy(kv => String.valueOf(kv._1))
+        def conv(dt: DataType)(x: Any): Any = x match {
+          case str: String => UTF8String.fromString(str)
+          case e => toStoredCell(dt, e)
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            kvs.map(kv => conv(mt.keyType)(kv._1)).toArray),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            kvs.map(kv => conv(mt.valueType)(kv._2)).toArray))
       case _ => v
     }
   }
@@ -772,7 +797,13 @@ class KVTable(tname: String, entry: KeyGroupedRegistry.Entry,
       Option(options.get("perPartitionLimit")).map(_.toInt),
       KVScan.AnnSpec.fromOptions(tname, entry, options),
       KVScan.ContainsSpec.fromOptions(tname, entry, options),
-      options.getBoolean("allowFiltering", false))
+      options.getBoolean("allowFiltering", false),
+      Option(options.get("split_target_rows")).map { s =>
+        val n = s.toInt
+        require(n > 0,
+          s"graft-kv:$tname 'split_target_rows' must be positive, got $n")
+        n
+      })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!cdc, s"graft-kv:$tname: the CDC stream is read-only")
     val in = info.schema().fieldNames.toSeq
@@ -1005,7 +1036,8 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
     perPartitionLimit: Option[Int] = None,
     ann: Option[KVScan.AnnSpec] = None,
     contains: Option[KVScan.ContainsSpec] = None,
-    allowFiltering: Boolean = false)
+    allowFiltering: Boolean = false,
+    splitTargetRows: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -1343,7 +1375,7 @@ class KVScanBuilder(tname: String, entry: KeyGroupedRegistry.Entry,
 
   override def build(): Scan =
     new KVScan(tname, entry, required, pushed, pushedAggs, groupCols, limit,
-      topN, perPartitionLimit, offset, ann, contains)
+      topN, perPartitionLimit, offset, ann, contains, splitTargetRows)
 }
 
 object KVScan {
@@ -1410,42 +1442,79 @@ object KVScan {
       }
     }
   }
-  /** CQL `WHERE tags CONTAINS ?` — the collection-index read (Cassandra 2i
-    * on a set/list, SAI collection semantics): served through the indexed
-    * column's per-ELEMENT inverted projection, pruning the ring to the
-    * partitions owning at least one row whose collection holds the value,
-    * then filtering rows exactly inside them. A read option (like the ANN
-    * read) because Spark has no array-containment source Filter to push —
-    * a real connector would translate the CQL predicate. */
+  /** CQL collection-index reads: `WHERE tags CONTAINS ?` on a set/list
+    * (mode "v"), and the three map-index granules of Cassandra's
+    * `CREATE INDEX ON t (KEYS/VALUES/ENTRIES(m))` — `m CONTAINS ?` over
+    * values (mode "v"), `m CONTAINS KEY ?` (mode "k"), and `m[?] = ?`
+    * (mode "e", the entries index). Served through the indexed column's
+    * inverted projection, pruning the ring to the partitions owning at
+    * least one row whose collection matches, then filtering rows exactly
+    * inside them. Read options (like the ANN read) because Spark has no
+    * collection-containment source Filter to push — a real connector would
+    * translate the CQL predicate. */
   final case class ContainsSpec(col: String, colIdx: Int,
-      elemType: DataType, value: Any)
+      elemType: DataType, value: Any, mode: String = "v",
+      key: Option[Any] = None) {
+    /** The inverted-projection cell this predicate looks up: untagged for
+      * set/list elements, tagged for map granules (see Entry.indexes). */
+    def indexCell(isMap: Boolean): Any =
+      if (!isMap) KeyGroupedRegistry.normCell(value)
+      else mode match {
+        case "v" => ("mv", KeyGroupedRegistry.normCell(value))
+        case "k" => ("mk", KeyGroupedRegistry.normCell(value))
+        case "e" => ("me", KeyGroupedRegistry.normCell(key.get),
+          KeyGroupedRegistry.normCell(value))
+      }
+  }
   object ContainsSpec {
     def fromOptions(tname: String, entry: KeyGroupedRegistry.Entry,
-        options: CaseInsensitiveStringMap): Option[ContainsSpec] =
-      Option(options.get("contains")).map { s =>
-        val cut = s.indexOf(':')
-        require(cut > 0 && cut < s.length - 1,
-          s"graft-kv:$tname 'contains' must be '<column>:<element>', got '$s'")
-        val (c, raw) = (s.substring(0, cut), s.substring(cut + 1))
-        require(entry.schema.fieldNames.contains(c),
-          s"graft-kv:$tname CONTAINS column $c not in schema")
-        require(entry.indexCols.contains(c),
-          s"graft-kv:$tname CONTAINS needs an index on $c (CQL: CONTAINS " +
-            "requires a secondary index on the collection)")
-        val et = entry.schema(c).dataType match {
-          case org.apache.spark.sql.types.ArrayType(t, _) => t
-          case other => throw new IllegalArgumentException(
-            s"graft-kv:$tname CONTAINS column $c must be a collection, " +
-              s"got ${other.catalogString}")
+        options: CaseInsensitiveStringMap): Option[ContainsSpec] = {
+      def parse(opt: String, mode: String): Option[ContainsSpec] =
+        Option(options.get(opt)).map { s =>
+          val bits = s.split(":", -1)
+          require(bits.length == (if (mode == "e") 3 else 2) &&
+              bits.forall(_.nonEmpty),
+            s"graft-kv:$tname '$opt' must be '<column>:" +
+              (if (mode == "e") "<key>:<value>'" else "<element>'") +
+              s", got '$s'")
+          val c = bits(0)
+          require(entry.schema.fieldNames.contains(c),
+            s"graft-kv:$tname CONTAINS column $c not in schema")
+          require(entry.indexCols.contains(c),
+            s"graft-kv:$tname CONTAINS needs an index on $c (CQL: CONTAINS " +
+              "requires a secondary index on the collection)")
+          def typed(dt: DataType, raw: String): Any = dt match {
+            case ByteType | ShortType | IntegerType | LongType => raw.toLong
+            case StringType => raw
+            case other => throw new IllegalArgumentException(
+              s"graft-kv:$tname CONTAINS unsupported element type ${other.catalogString}")
+          }
+          entry.schema(c).dataType match {
+            case org.apache.spark.sql.types.ArrayType(t, _) =>
+              require(mode == "v",
+                s"graft-kv:$tname '$opt' needs a map column, $c is a " +
+                  "set/list (CQL: CONTAINS KEY / entry reads are map-only)")
+              ContainsSpec(c, entry.schema.fieldIndex(c), t, typed(t, bits(1)))
+            case org.apache.spark.sql.types.MapType(kt, vt, _) => mode match {
+              case "v" => ContainsSpec(c, entry.schema.fieldIndex(c), vt,
+                typed(vt, bits(1)), "v")
+              case "k" => ContainsSpec(c, entry.schema.fieldIndex(c), kt,
+                typed(kt, bits(1)), "k")
+              case "e" => ContainsSpec(c, entry.schema.fieldIndex(c), vt,
+                typed(vt, bits(2)), "e", Some(typed(kt, bits(1))))
+            }
+            case other => throw new IllegalArgumentException(
+              s"graft-kv:$tname CONTAINS column $c must be a collection, " +
+                s"got ${other.catalogString}")
+          }
         }
-        val v: Any = et match {
-          case ByteType | ShortType | IntegerType | LongType => raw.toLong
-          case StringType => raw
-          case other => throw new IllegalArgumentException(
-            s"graft-kv:$tname CONTAINS unsupported element type ${other.catalogString}")
-        }
-        ContainsSpec(c, entry.schema.fieldIndex(c), et, v)
-      }
+      val specs = parse("contains", "v") ++ parse("containskey", "k") ++
+        parse("mapentry", "e")
+      require(specs.size <= 1,
+        s"graft-kv:$tname at most one of 'contains'/'containskey'/" +
+          "'mapentry' per read")
+      specs.headOption
+    }
   }
 
   object AnnSpec {
@@ -1505,7 +1574,8 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     groupCols: Seq[String] = Nil, limit: Option[Int] = None,
     topN: Option[(Boolean, Int)] = None, perPartitionLimit: Option[Int] = None,
     offset: Option[Int] = None, ann: Option[KVScan.AnnSpec] = None,
-    contains: Option[KVScan.ContainsSpec] = None)
+    contains: Option[KVScan.ContainsSpec] = None,
+    splitTargetRows: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering with SupportsReportStatistics {
   import KVScan.{AggAvgCol, AggCount, AggCountCol, AggMaxCk, AggMaxCol, AggMinCk, AggMinCol, AggSumCol}
@@ -1562,8 +1632,13 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
       offset.map(o => s" PushedOffset: $o").getOrElse("") +
       ann.map(a =>
         s" AnnTopK: [${entry.schema.fieldNames(a.colIdx)} k=${a.k} sim=${a.sim}]").getOrElse("") +
-      contains.map(cs => s" Contains: [${cs.col}=${cs.value}]").getOrElse("") +
-      mvPred.map { case (c, v) => s" MVRead: [$c=$v]" }.getOrElse("")
+      contains.map(cs => cs.mode match {
+        case "v" => s" Contains: [${cs.col}=${cs.value}]"
+        case "k" => s" ContainsKey: [${cs.col}=${cs.value}]"
+        case "e" => s" MapEntry: [${cs.col}[${cs.key.get}]=${cs.value}]"
+      }).getOrElse("") +
+      mvPred.map { case (c, v) => s" MVRead: [$c=$v]" }.getOrElse("") +
+      splitTargetRows.map(n => s" SplitTarget: [$n rows]").getOrElse("")
 
   /** Integral key cells compare by long value so boxing width never splits a
     * key (a staged Int vs a filter's Long); strings compare by value. */
@@ -1637,23 +1712,38 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
           .foldLeft(Set.empty[Vector[Any]])(_ union _)
     }
 
-  // CONTAINS pruning: the owner set of the element value in the indexed
-  // collection column's per-element inverted projection — partitions with
-  // no row holding the value are never planned
+  // CONTAINS pruning: the owner set of the element/key/entry cell in the
+  // indexed collection column's inverted projection — partitions with no
+  // row matching the collection predicate are never planned
+  private lazy val containsIsMap: Boolean = contains.exists(cs =>
+    entry.schema(cs.col).dataType
+      .isInstanceOf[org.apache.spark.sql.types.MapType])
   private lazy val containsKeys: Option[Set[Vector[Any]]] =
     contains.map(cs =>
-      entry.indexes(cs.col).getOrElse(KeyGroupedRegistry.normCell(cs.value),
+      entry.indexes(cs.col).getOrElse(cs.indexCell(containsIsMap),
         Set.empty[Vector[Any]]))
-  private def rowContains(cell: Any, cs: KVScan.ContainsSpec): Boolean =
+  private def rowContains(cell: Any, cs: KVScan.ContainsSpec): Boolean = {
+    def eq(x: Any, v: Any): Boolean = x match {
+      case u: UTF8String => u.toString == v
+      case e => KeyGroupedRegistry.normCell(e) == KeyGroupedRegistry.normCell(v)
+    }
     cell match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        a.toObjectArray(cs.elemType).exists {
-          case u: UTF8String => u.toString == cs.value
-          case e => KeyGroupedRegistry.normCell(e) ==
-            KeyGroupedRegistry.normCell(cs.value)
+        a.toObjectArray(cs.elemType).exists(eq(_, cs.value))
+      case m: org.apache.spark.sql.catalyst.util.MapData =>
+        val mt = entry.schema(cs.col).dataType
+          .asInstanceOf[org.apache.spark.sql.types.MapType]
+        val ks = m.keyArray.toObjectArray(mt.keyType)
+        val vs = m.valueArray.toObjectArray(mt.valueType)
+        cs.mode match {
+          case "v" => vs.exists(eq(_, cs.value))
+          case "k" => ks.exists(eq(_, cs.value))
+          case "e" => ks.iterator.zip(vs.iterator).exists { case (k, v) =>
+            eq(k, cs.key.get) && eq(v, cs.value) }
         }
       case _ => false
     }
+  }
 
   private def keepKey(k: Vector[Any]): Boolean = {
     val at = entry.keyCols.zipWithIndex.toMap
@@ -1874,8 +1964,9 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
     // key-grouped only while every key column survives column pruning —
     // otherwise the grouping is unobservable by the query and unreportable
     // (an MV read is keyed by the VIEW column, so it never reports the
-    // base grouping)
-    if (!aggPushed && mvPred.isEmpty &&
+    // base grouping). A size-coalesced read packs many keys per split, so
+    // it cannot report per-key grouping either.
+    if (!aggPushed && mvPred.isEmpty && splitTargetRows.isEmpty &&
         entry.keyCols.forall(required.fieldNames.contains))
       new KeyGroupedPartitioning(
         entry.keyCols.map(Expressions.identity).toArray[org.apache.spark.sql.connector.expressions.Expression],
@@ -2155,18 +2246,56 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
               val i = entry.schema.fieldIndex(f)
               (_: Vector[Any], o: Array[Any]) => o(i)
           }
-        entry.parts.collect {
+        val perKey = entry.parts.collect {
           case (k, rows) if keepKey(k) =>
+            (k, servedRows(rows).map { r =>
+              val o = overlayStatic(r)
+              getters.map(g => g(k, o))
+            })
+        }
+        splitTargetRows match {
+          case None => perKey.map { case (k, rs) =>
             KVPartition(internalKey(k), KVRing.replicasOf(k).toArray,
-              servedRows(rows).map { r =>
-                val o = overlayStatic(r)
-                getters.map(g => g(k, o))
-              }): InputPartition
+              rs): InputPartition
+          }
+          // Size-targeted split coalescing (the connector's
+          // `input.split.sizeInMB` driven by system.size_estimates): the
+          // per-key row groups — what size_estimates counts — are walked
+          // in TOKEN order and packed into multi-key splits of ~target
+          // rows. Two Cassandra rules shape the packing: ranges coalesce
+          // only while their REPLICA SET is unchanged (a split must have
+          // well-defined preferredLocations — the token-aware read), and
+          // a PARTITION never splits across Spark tasks (the key is the
+          // atomic unit; one oversized partition yields one oversized
+          // split, exactly the connector's behavior). At 100 TB this is
+          // what turns a ring of millions of tiny vnode ranges into ~64 MB
+          // tasks instead of a task per key.
+          case Some(target) =>
+            val ordered = perKey.sortBy { case (k, _) => KVRing.tokenOf(k) }
+            val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+            var curHosts: Seq[String] = null
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+            def flush(): Unit = if (buf.nonEmpty) {
+              out += KVMultiPartition(curHosts.toArray, buf.toArray)
+              buf.clear()
+            }
+            ordered.foreach { case (k, rs) =>
+              val hosts = KVRing.replicasOf(k)
+              if (curHosts == null || hosts != curHosts ||
+                  buf.length >= target) flush()
+              curHosts = hosts
+              buf ++= rs
+            }
+            flush()
+            out.toArray
         }
       }
     KeyGroupedRegistry.lastPlanned.put(tname, parts.length)
     KeyGroupedRegistry.lastScanRows.put(tname,
-      parts.map(_.asInstanceOf[KVPartition].rows.length.toLong).sum)
+      parts.map {
+        case kp: KVPartition => kp.rows.length.toLong
+        case mp: KVMultiPartition => mp.rows.length.toLong
+      }.sum)
     parts
   }
   override def createReaderFactory(): PartitionReaderFactory = new KVReaderFactory
@@ -2184,9 +2313,22 @@ case class KVPartition(keyInternal: Array[Any], hosts: Array[String],
   override def preferredLocations(): Array[String] = hosts
 }
 
+/** A size-coalesced split: the rows of SEVERAL token-adjacent keys sharing
+  * one replica set (see the SplitTarget packing in planInputPartitions).
+  * No `HasPartitionKey` — the split spans keys — but `preferredLocations`
+  * still carries the common replica set, so the token-aware read survives
+  * coalescing. */
+case class KVMultiPartition(hosts: Array[String], rows: Array[Array[Any]])
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts
+}
+
 class KVReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val rows = p.asInstanceOf[KVPartition].rows
+    val rows = p match {
+      case kp: KVPartition => kp.rows
+      case mp: KVMultiPartition => mp.rows
+    }
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }

@@ -428,6 +428,63 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(planOf(df).contains("Contains: [tags=N7]"), planOf(df))
   }
 
+  test("split coalescing: token-order packing to ~target rows, replica-set flush, row conservation") {
+    import graft.sources.{KeyGroupedRegistry, KVMultiPartition, KVRing}
+    val res = Storage.queries("q_kv_split_sizing")(spark, sfDir).head()
+    val name = s"orders_ck:$sfDir"
+    val e = KeyGroupedRegistry.get(name)
+    val nKeys = e.parts.length
+    val totalRows = e.parts.map(_._2.length).sum
+    // the coalesced read served every row exactly once
+    assert(res.getLong(0) == totalRows.toLong)
+    val planned = KeyGroupedRegistry.lastPlanned(name)
+    assert(planned < nKeys / 4, s"no real coalescing: $planned of $nKeys")
+    assert(KeyGroupedRegistry.lastScanRows(name) == totalRows.toLong)
+    // inspect the planned splits directly
+    val raw = spark.read.format("graft.sources.KVDataSource")
+      .option("table", name).option("split_target_rows", "100").load()
+    val scan = raw.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.toString.contains("SplitTarget: [100 rows]"), scan.toString)
+    val splits = scan.inputPartitions.map(_.asInstanceOf[KVMultiPartition])
+    assert(splits.length == planned)
+    // packing discipline: a split exceeds the target by at most ONE key's
+    // rows (a partition never splits across tasks), and every split
+    // carries a replica set for the token-aware read
+    val maxPart = e.parts.map(_._2.length).max
+    splits.foreach { mp =>
+      assert(mp.rows.length <= 100 + maxPart, s"split of ${mp.rows.length}")
+      assert(mp.hosts.nonEmpty)
+    }
+    // and the coalesced scan reports no per-key grouping (it cannot)
+    assert(!scan.outputPartitioning.toString.contains("KeyGroupedPartitioning"),
+      scan.outputPartitioning.toString)
+  }
+
+  test("map-index granules prune: CONTAINS KEY / entry / map CONTAINS") {
+    val name = s"cust_attrs:$sfDir"
+    def run(q: String, marker: String): Long = {
+      val df = Storage.queries(q)(spark, sfDir)
+      val rows = df.collect()
+      assert(rows.nonEmpty, q)
+      val total = graft.sources.KeyGroupedRegistry.get(name).parts.length
+      val planned = graft.sources.KeyGroupedRegistry.lastPlanned(name)
+      assert(planned < total, s"$q did not prune ($planned of $total)")
+      // one row per split here, so the index is exact: the store served
+      // precisely the result rows for every granule
+      val served = graft.sources.KeyGroupedRegistry.lastScanRows(name)
+      assert(served == rows.length.toLong, s"$q served $served, returned ${rows.length}")
+      assert(planOf(df).contains(marker), planOf(df))
+      rows.length.toLong
+    }
+    val nKey = run("q_kv_contains_key", "ContainsKey: [attrs=BUILDING]")
+    val nVal = run("q_kv_map_contains", "Contains: [attrs=7]")
+    val nEntry = run("q_kv_map_entry", "MapEntry: [attrs[BUILDING]=7]")
+    // the entry read is the conjunction of the key and value granules
+    assert(nEntry <= math.min(nKey, nVal), s"$nEntry vs $nKey/$nVal")
+  }
+
   test("ck IN multi-slice is pushed: only matching rows leave the store, in stored order") {
     val df = Storage.queries("q_kv_ck_in")(spark, sfDir)
     val rows = df.collect()

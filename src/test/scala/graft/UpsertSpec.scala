@@ -2030,6 +2030,67 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(GraftBatch.pendingBatches == 0) // the refusal never journaled
   }
 
+  test("conditional batch: pre-state IF evaluation, all-or-nothing, CQL rejections") {
+    import graft.sources.GraftBatch
+    import graft.sources.GraftBatch.{CondIfColEq, CondIfExists, CondIfNotExists, Unconditional}
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.cndb")
+    spark.sql("CREATE TABLE graftcat.proptest.cndb (id INT, st STRING, v BIGINT) " +
+      "TBLPROPERTIES ('key'='id')")
+    val fqn = "graftcat.proptest.cndb"
+    def row(id: Int, st: String, v: Long) =
+      spark.sql(s"SELECT $id AS id, '$st' AS st, ${v}L AS v")
+    def state(): Map[Int, (String, Long)] =
+      spark.table(fqn).collect()
+        .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    // IF NOT EXISTS on an absent partition applies the WHOLE batch
+    assert(GraftBatch.conditional(fqn, Seq(
+      row(1, "a", 10L) -> CondIfNotExists,
+      row(1, "b", 11L) -> Unconditional)))
+    assert(state() == Map(1 -> ("b", 11L))) // later statement wins the row
+    // a failed condition applies NOTHING — including unconditional riders
+    assert(!GraftBatch.conditional(fqn, Seq(
+      row(1, "x", 90L) -> CondIfColEq("st", "a"), // stored st is 'b'
+      row(1, "y", 91L) -> Unconditional)))
+    assert(state() == Map(1 -> ("b", 11L)))
+    // EVERY condition evaluates against the PRE-batch state: the second
+    // IF sees 'b' even though the first statement writes 'c' mid-batch
+    assert(GraftBatch.conditional(fqn, Seq(
+      row(1, "c", 20L) -> CondIfColEq("st", "b"),
+      row(1, "d", 21L) -> CondIfColEq("st", "b"))))
+    assert(state() == Map(1 -> ("d", 21L)))
+    // IF EXISTS on an absent partition refuses
+    assert(!GraftBatch.conditional(fqn, Seq(
+      row(7, "z", 70L) -> CondIfExists)))
+    assert(state() == Map(1 -> ("d", 21L)))
+    def msg(f: => Any): String = intercept[Exception](f).getMessage
+    // CQL: a conditional batch cannot span partitions
+    assert(msg(GraftBatch.conditional(fqn, Seq(
+      row(1, "e", 30L) -> CondIfExists,
+      row(2, "e", 31L) -> Unconditional))).contains("span"), "span")
+    // a batch with no condition anywhere belongs to logged()
+    assert(msg(GraftBatch.conditional(fqn, Seq(
+      row(1, "e", 30L) -> Unconditional))).contains("no statement"))
+    // no counter tables, no writetime tables (USING TIMESTAMP with IF)
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.cndb_c")
+    spark.sql("CREATE TABLE graftcat.proptest.cndb_c (id INT, c BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'counters'='c')")
+    assert(msg(GraftBatch.conditional("graftcat.proptest.cndb_c", Seq(
+      spark.sql("SELECT 1 AS id, 1L AS c") -> CondIfNotExists)))
+      .contains("counter"))
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.cndb_w")
+    spark.sql("CREATE TABLE graftcat.proptest.cndb_w (id INT, v BIGINT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt')")
+    assert(msg(GraftBatch.conditional("graftcat.proptest.cndb_w", Seq(
+      spark.sql("SELECT 1 AS id, 1L AS v, 100L AS wt") -> CondIfNotExists)))
+      .contains("TIMESTAMP"))
+    // conditioning on the partition key itself is refused
+    assert(msg(GraftBatch.conditional(fqn, Seq(
+      row(1, "e", 30L) -> CondIfColEq("id", 1))))
+      .contains("partition key"))
+  }
+
   test("writecl: UnavailableException thresholds per scope; refusal is traceless") {
     import graft.sources.GUnavailableException
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
