@@ -195,17 +195,33 @@ object Storage {
         "JSON documents")
     val schema = s.table(fqn).schema
     val dcol = docs.columns.head
-    val known = schema.fieldNames.toSeq
-    val bad = docs
-      .select(explode(expr(s"json_object_keys($dcol)")).as("k"))
-      .filter(!col("k").isin(known: _*)).limit(1).collect()
-    require(bad.isEmpty,
-      s"INSERT JSON into $fqn: JSON values map to undefined column " +
-        s"'${bad.head.getString(0)}' (CQL InvalidRequest)")
-    docs
-      .select(from_json(col(dcol), schema, Map("mode" -> "FAILFAST")).as("r"))
-      .select(col("r.*"))
-      .writeTo(fqn).append()
+    // persisted across the two jobs so the VALIDATED rows are the WRITTEN
+    // rows even on a non-deterministic source (and the input computes once)
+    val d = docs.persist()
+    try {
+      // one validation pass catches every InvalidRequest shape: a SQL NULL
+      // document, a non-object document (JSON null / scalar / malformed —
+      // json_object_keys yields NULL for all of them), and any key not in
+      // the table schema. Checked BEFORE any row lands, so a refused
+      // statement is atomic.
+      val knownList = schema.fieldNames
+        .map(n => "'" + n.replace("'", "\\'") + "'").mkString(", ")
+      val bad = d.select(expr(
+        s"""case
+           |  when $dcol is null then '<null document>'
+           |  when json_object_keys($dcol) is null
+           |    then '<malformed or non-object document>'
+           |  else try_element_at(
+           |    filter(json_object_keys($dcol), k -> NOT (k IN ($knownList))), 1)
+           |end""".stripMargin).as("bad"))
+        .filter(col("bad").isNotNull).limit(1).collect()
+      require(bad.isEmpty,
+        s"INSERT JSON into $fqn: JSON values map to undefined column " +
+          s"'${bad.head.getString(0)}' (CQL InvalidRequest)")
+      d.select(from_json(col(dcol), schema, Map("mode" -> "FAILFAST")).as("r"))
+        .select(col("r.*"))
+        .writeTo(fqn).append()
+    } finally d.unpersist()
   }
 
   /** CQL `SELECT JSON * FROM t`: one `json` text column per row, keys in
@@ -1837,10 +1853,19 @@ object Storage {
           false
         } catch { case _: IllegalArgumentException => true }
       require(refused, "unknown-key JSON must be refused")
-      val t = s.table("graftcat.testks.jsn")
-      t.select(col("id"), to_json(struct(t.columns.map(col).toIndexedSeq: _*),
-          Map("ignoreNullFields" -> "false")).as("json"))
-        .orderBy("id").select("json")
+      // ...as are a SQL NULL document and a non-object document (JSON
+      // null/scalar/malformed): Cassandra rejects INSERT JSON null as
+      // InvalidRequest; none of these may become a silent all-null row
+      Seq("CAST(NULL AS STRING)", "'null'", "'[1, 2]'", "'{broken'").foreach { bad =>
+        val r = try {
+          insertJson(s, "graftcat.testks.jsn", s.sql(s"SELECT $bad AS doc"))
+          false
+        } catch { case _: IllegalArgumentException => true }
+        require(r, s"$bad JSON document must be refused")
+      }
+      // binary string order on the rendered documents — engine-portable,
+      // and it keeps the declared output exactly selectJson's one column
+      selectJson(s, "graftcat.testks.jsn").orderBy("json")
     },
 
     // Batchlog replay — the HALF of the logged-BATCH contract
@@ -2796,7 +2821,7 @@ object Storage {
         |    cents := CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)))
         |  AS VARCHAR) AS json
         |FROM customer WHERE c_custkey <= 100
-        |ORDER BY c_custkey""".stripMargin,
+        |ORDER BY json""".stripMargin,
 
     // the conditional-batch outcome recomputed: keys 1-12 seeded 'open'
     // (BUILDING) take BOTH batch statements (the second wins the row),

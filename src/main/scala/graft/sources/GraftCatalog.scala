@@ -2525,7 +2525,8 @@ class GDeltaBatchWrite(t: GraftCatalogStore.T) extends DeltaBatchWrite {
                 // total no-op on that replica — in particular, a
                 // key-changing update that loses at the destination must
                 // NOT have deleted its source row there first.
-                var anyRelocated = false
+                val isKeyChange = key != null && key != row(ki)
+                var relocatedEverywhere = isKeyChange
                 t.allReplicas.foreach { st =>
                   var done = false
                   var applied = false
@@ -2541,12 +2542,17 @@ class GDeltaBatchWrite(t: GraftCatalogStore.T) extends DeltaBatchWrite {
                       applied = st.putIfAbsent(row(ki), row).isEmpty
                       done = applied
                   }
-                  if (applied && key != null && key != row(ki)) {
+                  if (applied && isKeyChange)
                     st.remove(key) // key change relocates only when the write wins
-                    anyRelocated = true
-                  }
+                  else if (isKeyChange) relocatedEverywhere = false
                 }
-                if (anyRelocated) tombKeys += key
+                // tombstone only when the source key is dead on EVERY
+                // replica: a relocation that lost LWW on any diverged
+                // replica leaves the source row there, and anti-entropy
+                // repair will resurrect it cluster-wide — a tombstone for
+                // a key the converged table still holds would make the
+                // (key, max seq) fold lie
+                if (relocatedEverywhere) tombKeys += key
               case None =>
                 t.allReplicas.foreach { st =>
                   if (key != null && key != row(ki)) st.remove(key)
@@ -2948,6 +2954,18 @@ object GraftBatch {
         "only for row-granular tables)")
     val stmts = statements.map { case (df, cond) => (rowsOf(fqn, t, df), cond) }
     stmts.foreach { case (rows, _) => GUpsertTable.validateWrites(t, rows) }
+    // EVERY condition validates eagerly, before any evaluates: an invalid
+    // IF is a statement error (Cassandra InvalidRequest) regardless of
+    // whether an earlier condition already fails the batch — it must never
+    // degrade into a quiet [applied]=false
+    stmts.foreach {
+      case (_, CondIfColEq(cn, _)) =>
+        require(t.schema.fieldNames.contains(cn),
+          s"conditional batch: IF column $cn not in schema")
+        require(cn != t.keyCol,
+          "conditional batch: IF cannot condition on the partition key (CQL)")
+      case _ => ()
+    }
     val ki = t.schema.fieldIndex(t.keyCol)
     val pks = stmts.flatMap(_._1.map(_(ki))).distinct
     require(pks.size == 1,
@@ -2957,19 +2975,18 @@ object GraftBatch {
     val rl = t.ddlLock.readLock()
     rl.lock()
     try t.synchronized { // the coordinator's Paxos round, serialized
-      // SERIAL read: conditions see the pre-batch partition state (on
-      // replicated tables all replicas are reachable by construction, so
-      // replica 0 is the linearization point)
-      val stored = t.allReplicas.head.get(key)
+      // SERIAL read: conditions see the pre-batch partition state. The
+      // linearization view is ANY replica holding the key — the same
+      // existence rule the single-statement LWT path applies (a partial
+      // write that missed replica 0 but landed elsewhere still makes the
+      // key EXIST; conditional tables have no writetime, so whichever
+      // replica holds the row serves its value)
+      val stored = t.allReplicas.iterator.flatMap(_.get(key)).nextOption()
       val allHold = stmts.forall { case (_, cond) => cond match {
         case Unconditional => true
         case CondIfNotExists => stored.isEmpty
         case CondIfExists => stored.nonEmpty
         case CondIfColEq(cn, exp) =>
-          require(t.schema.fieldNames.contains(cn),
-            s"conditional batch: IF column $cn not in schema")
-          require(cn != t.keyCol,
-            "conditional batch: IF cannot condition on the partition key (CQL)")
           // a stored NULL never equals, an absent row fails the condition
           stored.exists(r => r(t.schema.fieldIndex(cn)) == exp)
       } }

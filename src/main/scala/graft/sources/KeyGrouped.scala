@@ -1471,13 +1471,21 @@ object KVScan {
         options: CaseInsensitiveStringMap): Option[ContainsSpec] = {
       def parse(opt: String, mode: String): Option[ContainsSpec] =
         Option(options.get(opt)).map { s =>
-          val bits = s.split(":", -1)
-          require(bits.length == (if (mode == "e") 3 else 2) &&
-              bits.forall(_.nonEmpty),
-            s"graft-kv:$tname '$opt' must be '<column>:" +
-              (if (mode == "e") "<key>:<value>'" else "<element>'") +
-              s", got '$s'")
-          val c = bits(0)
+          // cut at the FIRST colon(s) only, so string elements/values may
+          // themselves contain ':' (timestamps, URIs) — the trailing
+          // segment is always the value
+          def cutAt(str: String): (String, String) = {
+            val i = str.indexOf(':')
+            require(i > 0 && i < str.length - 1,
+              s"graft-kv:$tname '$opt' must be '<column>:" +
+                (if (mode == "e") "<key>:<value>'" else "<element>'") +
+                s", got '$s'")
+            (str.substring(0, i), str.substring(i + 1))
+          }
+          val (c, rest) = cutAt(s)
+          val bits: Array[String] =
+            if (mode == "e") { val (k, v) = cutAt(rest); Array(c, k, v) }
+            else Array(c, rest)
           require(entry.schema.fieldNames.contains(c),
             s"graft-kv:$tname CONTAINS column $c not in schema")
           require(entry.indexCols.contains(c),
@@ -2112,6 +2120,49 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // One split per key, or — with 'split_target_rows' — token-order
+    // packing into multi-key splits (see the Scaladoc at the packing
+    // below). Applied to BOTH the data-row and pushed-aggregate branches:
+    // metadata rows are rows too, and a million-key ring would otherwise
+    // still schedule a million tasks for a pushed COUNT. (The MV branch is
+    // exempt: an MV read serves ONE view partition already.)
+    def emit(perKey: Array[(Vector[Any], Array[Array[Any]])]): Array[InputPartition] =
+      splitTargetRows match {
+        case None => perKey.map { case (k, rs) =>
+          KVPartition(internalKey(k), KVRing.replicasOf(k).toArray,
+            rs): InputPartition
+        }
+        // Size-targeted split coalescing (the connector's
+        // `input.split.sizeInMB` driven by system.size_estimates): the
+        // per-key row groups — what size_estimates counts — are walked
+        // in TOKEN order and packed into multi-key splits of ~target
+        // rows. Two Cassandra rules shape the packing: ranges coalesce
+        // only while their REPLICA SET is unchanged (a split must have
+        // well-defined preferredLocations — the token-aware read), and
+        // a PARTITION never splits across Spark tasks (the key is the
+        // atomic unit; one oversized partition yields one oversized
+        // split, exactly the connector's behavior). At 100 TB this is
+        // what turns a ring of millions of tiny vnode ranges into ~64 MB
+        // tasks instead of a task per key.
+        case Some(target) =>
+          val ordered = perKey.sortBy { case (k, _) => KVRing.tokenOf(k) }
+          val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+          var curHosts: Seq[String] = null
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+          def flush(): Unit = if (buf.nonEmpty) {
+            out += KVMultiPartition(curHosts.toArray, buf.toArray)
+            buf.clear()
+          }
+          ordered.foreach { case (k, rs) =>
+            val hosts = KVRing.replicasOf(k)
+            if (curHosts == null || hosts != curHosts ||
+                buf.length >= target) flush()
+            curHosts = hosts
+            buf ++= rs
+          }
+          flush()
+          out.toArray
+      }
     val parts: Array[InputPartition] =
       if (mvPred.nonEmpty) {
         val (c, v) = mvPred.get
@@ -2194,7 +2245,7 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
               case _ => null
             }
         }
-        entry.parts.iterator.filter { case (k, _) => keepKey(k) }
+        emit(entry.parts.iterator.filter { case (k, _) => keepKey(k) }
           .flatMap { case (k, rows) =>
             val served = servedRows(rows)
             // a GROUPED aggregate must OMIT splits whose pushed
@@ -2223,14 +2274,12 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
                 start = i
                 i = start + 1
               }
-              Some(KVPartition(internalKey(k), KVRing.replicasOf(k).toArray,
-                runRows.toArray): InputPartition)
+              Some((k, runRows.toArray))
             } else {
               val groupVals = internalG(gIdx.map(rows.head(_)))
-              Some(KVPartition(internalKey(k), KVRing.replicasOf(k).toArray,
-                Array((groupVals ++ aggValsOf(served)).toArray[Any])): InputPartition)
+              Some((k, Array((groupVals ++ aggValsOf(served)).toArray[Any])))
             }
-          }.toArray
+          }.toArray)
       } else {
         // per-field getters: schema columns read the stored cell, metadata
         // columns (_token/_replica — SupportsMetadataColumns) compute from
@@ -2246,49 +2295,13 @@ class KVScan(tname: String, entry: KeyGroupedRegistry.Entry,
               val i = entry.schema.fieldIndex(f)
               (_: Vector[Any], o: Array[Any]) => o(i)
           }
-        val perKey = entry.parts.collect {
+        emit(entry.parts.collect {
           case (k, rows) if keepKey(k) =>
             (k, servedRows(rows).map { r =>
               val o = overlayStatic(r)
               getters.map(g => g(k, o))
             })
-        }
-        splitTargetRows match {
-          case None => perKey.map { case (k, rs) =>
-            KVPartition(internalKey(k), KVRing.replicasOf(k).toArray,
-              rs): InputPartition
-          }
-          // Size-targeted split coalescing (the connector's
-          // `input.split.sizeInMB` driven by system.size_estimates): the
-          // per-key row groups — what size_estimates counts — are walked
-          // in TOKEN order and packed into multi-key splits of ~target
-          // rows. Two Cassandra rules shape the packing: ranges coalesce
-          // only while their REPLICA SET is unchanged (a split must have
-          // well-defined preferredLocations — the token-aware read), and
-          // a PARTITION never splits across Spark tasks (the key is the
-          // atomic unit; one oversized partition yields one oversized
-          // split, exactly the connector's behavior). At 100 TB this is
-          // what turns a ring of millions of tiny vnode ranges into ~64 MB
-          // tasks instead of a task per key.
-          case Some(target) =>
-            val ordered = perKey.sortBy { case (k, _) => KVRing.tokenOf(k) }
-            val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-            var curHosts: Seq[String] = null
-            val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
-            def flush(): Unit = if (buf.nonEmpty) {
-              out += KVMultiPartition(curHosts.toArray, buf.toArray)
-              buf.clear()
-            }
-            ordered.foreach { case (k, rs) =>
-              val hosts = KVRing.replicasOf(k)
-              if (curHosts == null || hosts != curHosts ||
-                  buf.length >= target) flush()
-              curHosts = hosts
-              buf ++= rs
-            }
-            flush()
-            out.toArray
-        }
+        })
       }
     KeyGroupedRegistry.lastPlanned.put(tname, parts.length)
     KeyGroupedRegistry.lastScanRows.put(tname,

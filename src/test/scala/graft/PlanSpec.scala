@@ -460,6 +460,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // and the coalesced scan reports no per-key grouping (it cannot)
     assert(!scan.outputPartitioning.toString.contains("KeyGroupedPartitioning"),
       scan.outputPartitioning.toString)
+    // sizing composes with aggregate pushdown: a pushed COUNT over the
+    // coalesced read packs the per-key METADATA rows too — a million-key
+    // ring must not schedule a million tasks for a count(*)
+    val cnt = spark.read.format("graft.sources.KVDataSource")
+      .option("table", name).option("split_target_rows", "100").load()
+      .groupBy("pk").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val total2 = cnt.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total2 == totalRows.toLong)
+    val aggPlanned = KeyGroupedRegistry.lastPlanned(name)
+    assert(aggPlanned < nKeys / 4, s"agg read did not coalesce: $aggPlanned")
+    val aggScan = cnt.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(aggScan.toString.contains("PushedGroupBy"), aggScan.toString)
   }
 
   test("map-index granules prune: CONTAINS KEY / entry / map CONTAINS") {
