@@ -993,6 +993,29 @@ object Storage {
         .orderBy("n_nationkey")
     },
 
+    // repartitionByCassandraReplica analog (the connector's RDD-level
+    // entry point, re-expressed DataFrame-first — the last r9-verdict
+    // item): the `_replica` metadata column IS the owning host, so
+    // `repartition(col("_replica"))` co-locates every row with its
+    // replica before a write-back or a directJoin — one shuffle keyed by
+    // host, after which each task's writes are replica-LOCAL (the
+    // locality the RDD API bought). The declared output aggregates per
+    // host; the oracle recomputes placement from the ring's closed form
+    // (owner of position p = host ((p+29) div 30) mod 3 on the default
+    // ring — the (prev, pos] arc rule), so the engine's actual routing
+    // vector is pinned against the documented allocation.
+    "q_kv_replica_align" -> { (s, dir) =>
+      graft.sources.KVRing.resetTopology()
+      val name = stageOrdersCk(s, dir)
+      s.read.format("graft.sources.KVDataSource").option("table", name).load()
+        .select(col("pk"), col("ck"), col("_replica"))
+        .repartition(col("_replica"))
+        .groupBy("_replica")
+        .agg(count(lit(1)).as("n"), countDistinct("pk").as("n_parts"),
+          sum("ck").as("sum_ck"))
+        .orderBy("_replica")
+    },
+
     // REPLICATED COUNTERS — Cassandra's counter shards: each increment
     // lands on the leader replica's shard as (clock+1, value+delta) and
     // the updated shard replicates; replicas reconcile shard-wise by MAX
@@ -3343,6 +3366,17 @@ object Storage {
         |  CAST(n_nationkey AS BIGINT) AS _token
         |FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+
+    // placement recomputed from the default ring's closed form: the owner
+    // of position p is host ((p+29) // 30) % 3 — the (prev, pos] arc rule
+    "q_kv_replica_align" ->
+      """SELECT 'graft-node-' ||
+        |    CAST((((o_custkey + 29) // 30) % 3) AS VARCHAR) AS _replica,
+        |  COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_parts,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ck
+        |FROM orders WHERE o_custkey <= 200
+        |GROUP BY 1
+        |ORDER BY _replica""".stripMargin,
 
     // total increments per id across all three waves — what a lossless
     // shard merge must serve

@@ -583,6 +583,36 @@ object Streaming {
         .orderBy("p_id", "s_id")
     },
 
+    // FULL OUTER stream-stream join — the third member of the join family
+    // (inner q_stream_join, left q_stream_left_join): BOTH sides' unmatched
+    // rows must flush when the watermark passes their join window, so state
+    // eviction runs on the purchase AND signup buffers (the left join only
+    // ever evicts one). Same sentinel discipline as the left join (the
+    // watermark must advance through both branch filters); the one
+    // sentinel-self-match artifact row is dropped null-safely below —
+    // `=!=` would silently drop every half-null OUTER row too.
+    "q_stream_full_join" -> { (s, dir) =>
+      val base = eventStream(s, dir, "events").withWatermark("ts", "30 minutes")
+      val p = base.filter(col("event_type").isin("purchase", "__sentinel"))
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val sg = base.filter(col("event_type").isin("signup", "__sentinel"))
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+          col("ts").as("s_ts"))
+      val joined = p.join(sg,
+        col("p_user") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 12 HOURS"),
+        "full_outer")
+        .select(col("p_id"), col("s_id"),
+          coalesce(col("p_user"), col("s_user")).as("user_id"),
+          col("p_ts"), col("s_ts"))
+      runToMemory(joined, "graft_stream_full_join")
+        .filter(!(col("p_id") <=> lit(-1L) && col("s_id") <=> lit(-1L)))
+        .orderBy(coalesce(col("p_id"), lit(-1L)),
+          coalesce(col("s_id"), lit(-1L)))
+    },
+
     // File sink with checkpointed exactly-once commits — the durable-output
     // tier next to the memory sink (tests) and foreachBatch (custom sinks):
     // append-mode windowed aggregates land as parquet files tracked by the
@@ -939,6 +969,19 @@ object Streaming {
         | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 12 HOUR
         |WHERE p.event_type = 'purchase'
         |ORDER BY p_id, s_id""".stripMargin,
+
+    // the FULL OUTER recompute: per-side type filters BEFORE the join (a
+    // WHERE after a full join would drop the other side's outer rows)
+    "q_stream_full_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS s_id, user_id AS s_user, ts AS s_ts
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT p_id, s_id, COALESCE(p_user, s_user) AS user_id, p_ts, s_ts
+        |FROM p FULL JOIN s
+        |  ON p_user = s_user
+        | AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 12 HOUR
+        |ORDER BY COALESCE(p_id, -1), COALESCE(s_id, -1)""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value, props
