@@ -549,8 +549,10 @@ object Relational {
         .withColumn("salt", explode(expr(s"sequence(0, ${SaltN - 1})")))
       t(s, dir, "lineitem")
         .withColumn("fsalt", pmod(hash(col("l_orderkey")), lit(SaltN)))
-        .hint("shuffle_hash")
-        .join(dim, col("l_returnflag") === col("flag") &&
+        // hint the DIM side: it becomes the hash-table BUILD side (48
+        // rows per partition), the salted fact side streams — building on
+        // the fact would materialize the big side into memory per task
+        .join(dim.hint("shuffle_hash"), col("l_returnflag") === col("flag") &&
           col("fsalt") === col("salt"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
