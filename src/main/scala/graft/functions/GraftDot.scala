@@ -126,13 +126,29 @@ case class GraftDotLong(left: Expression, right: Expression) extends BinaryExpre
   * not built with GraftExtensions (e.g. the driver's Verify/Bench sessions).
   * Idempotent. */
 object Natives {
+  import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_simhash60", classOf[SimHash60].getName, exprs => SimHash60(exprs.head)),
     ("graft_minhash32", classOf[MinHash32].getName, exprs => MinHash32(exprs.head)),
     ("graft_dot", classOf[GraftDot].getName, exprs => GraftDot(exprs(0), exprs(1))),
     ("graft_dotl", classOf[GraftDotLong].getName, exprs => GraftDotLong(exprs(0), exprs(1))),
     ("graft_signlsh", classOf[SignLsh].getName, exprs => SignLsh(exprs.head)),
-    ("graft_ahash60", classOf[AHash60].getName, exprs => AHash60(exprs.head)))
+    ("graft_ahash60", classOf[AHash60].getName, exprs => AHash60(exprs.head)),
+    // Spark's own runtime-filter sketch pair, surfaced as session functions
+    // for the incremental-dedup operator (q_dedup_incremental): a
+    // distributed, mergeable Bloom build over xxhash64 fingerprints and its
+    // O(1) membership probe. The aggregate's partials OR together (ObjectHash
+    // aggregate), so the build is one map-side pass over the history corpus;
+    // the probe deserializes the broadcast filter once per task.
+    ("graft_bloom_agg", classOf[BloomFilterAggregate].getName, {
+      case Seq(c) => new BloomFilterAggregate(c)
+      case Seq(c, n) => new BloomFilterAggregate(c, n)
+      case exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+    }),
+    ("graft_might_contain", classOf[BloomFilterMightContain].getName,
+      exprs => BloomFilterMightContain(exprs(0), exprs(1))))
 
   def register(s: SparkSession): Unit = all.foreach { case (name, _, builder) =>
     s.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")

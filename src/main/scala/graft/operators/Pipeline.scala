@@ -107,6 +107,49 @@ object Pipeline {
         .orderBy("kept_doc_id")
     },
 
+    // Incremental dedup against a historical corpus — the 100 TB ingest
+    // pattern: dedup TODAY'S batch against ALL of history without ever
+    // joining (or shuffling) the history corpus itself. Phase 1 builds a
+    // Bloom filter over history fingerprints with Spark's own distributed
+    // BloomFilterAggregate (partial filters OR-merge map-side; ~1.2 GB for
+    // 10^9 keys at the default fpp — shippable to every executor, where the
+    // history rows are not). Phase 2 probes the broadcast filter per
+    // incoming row (graft_might_contain: O(1), inside codegen, no join) —
+    // rows the filter misses are DEFINITELY novel (Bloom filters have no
+    // false negatives) and skip verification entirely. Phase 3
+    // exact-verifies only the candidates (possible false positives): one
+    // join whose BOTH sides are pruned to candidate fingerprints, so its
+    // size tracks the day's duplicate count, not the corpus. The Bloom hash
+    // (xxhash64) is the one non-portable hash in this file; it never
+    // reaches the output — the verdict column comes from exact fp equality,
+    // which the oracle recomputes join-only.
+    "q_dedup_incremental" -> { (s, dir) =>
+      graft.functions.Natives.register(s)
+      val d = docs(s, dir).withColumn("fp",
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+      val history = d.filter(col("doc_id") % 10 =!= 0).select("fp")
+      val incoming = d.filter(col("doc_id") % 10 === 0).select("doc_id", "fp")
+      // sizing estimate for the filter (at scale: system.size_estimates);
+      // a pushed count, not a data read
+      val nHist = history.count()
+      val bloom = history
+        .agg(call_function("graft_bloom_agg", xxhash64(col("fp")), lit(nHist))
+          .as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val probed = incoming.withColumn("maybe",
+        call_function("graft_might_contain", lit(bloom), xxhash64(col("fp"))))
+      val novelFast = probed.filter(!col("maybe"))
+        .select(col("doc_id"), lit(false).as("dup"))
+      val cand = probed.filter(col("maybe"))
+      val candHist = history
+        .join(broadcast(cand.select("fp").distinct()), Seq("fp"), "left_semi")
+        .distinct()
+      val verdict = cand
+        .join(candHist.withColumn("hit", lit(true)), Seq("fp"), "left")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("dup"))
+      novelFast.union(verdict).orderBy("doc_id")
+    },
+
     // Retention-policy dedup: within each near-identical group (same prefix
     // fingerprint), KEEP THE BEST copy — longest text, ties to the smallest
     // doc_id — instead of the arbitrary-min of q_dedup_exact. The argmax is
@@ -1200,6 +1243,17 @@ object Pipeline {
         |FROM documents
         |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         |ORDER BY kept_doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+        |  FROM documents)
+        |SELECT i.doc_id,
+        |  EXISTS (SELECT 1 FROM d h WHERE h.doc_id % 10 <> 0 AND h.fp = i.fp)
+        |    AS dup
+        |FROM d i WHERE i.doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_keep_best" ->
       s"""WITH d AS ($docsW),

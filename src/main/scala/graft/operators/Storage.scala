@@ -428,6 +428,32 @@ object Storage {
         .orderBy("c_custkey")
     },
 
+    // joinWithCassandraTable analog (the connector's RDD-level entry point,
+    // re-expressed Dataset-first — r9 verdict item 6): a TYPED driver-side
+    // key set (Dataset[Long] via its Encoder, the `RDD[K]` of the RDD API)
+    // inner-joined against the KV table on its partition key. DirectJoinRule
+    // rewrites the join into a pushed `c_nationkey IN (...)` point read, so
+    // only the splits owning the requested keys are planned (PlanSpec
+    // asserts planned < ring size) — exactly joinWithCassandraTable's
+    // contract: per-left-element point lookups, left multiplicity preserved
+    // (key 3 appears twice → its matches appear twice), keys with no
+    // partition (99) yield nothing. At 100 TB the key list must stay
+    // driver-sized — the rule's MaxKeys guard — or the plan correctly stays
+    // a join; that mirrors the connector's directJoinSizeRatio gate.
+    "q_kv_typed_join" -> { (s, dir) =>
+      if (!s.experimental.extraOptimizations.contains(graft.plans.DirectJoinRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.DirectJoinRule
+      val (_, cName) = stageKv(s, dir)
+      import s.implicits._
+      val keys = Seq(1L, 3L, 3L, 7L, 99L).toDS().toDF("k")
+      val kv = s.read.format("graft.sources.KVDataSource")
+        .option("table", cName).load()
+      keys.join(kv, col("k") === col("c_nationkey"))
+        .select(col("k"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("k", "c_custkey")
+    },
+
     // Runtime split pruning on the KV source (SupportsRuntimeFiltering): the
     // dim side's surviving keys are only known at execution (the filter is
     // on a non-key column), so DirectJoinRule's static rewrite can't apply —
@@ -2735,6 +2761,12 @@ object Storage {
         |FROM customer
         |WHERE c_nationkey = 3
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_kv_typed_join" ->
+      """SELECT CAST(t.k AS BIGINT) AS k, c_custkey, c_acctbal
+        |FROM (VALUES (1), (3), (3), (7), (99)) AS t(k)
+        |JOIN customer ON c_nationkey = t.k
+        |ORDER BY k, c_custkey""".stripMargin,
 
     "q_spj_join" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

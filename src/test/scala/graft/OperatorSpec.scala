@@ -300,4 +300,40 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       assert(cosines.sameElements(cosines.sorted.reverse))
     }
   }
+
+  test("bloom natives: members always hit, non-members mostly miss") {
+    graft.functions.Natives.register(spark)
+    import org.apache.spark.sql.functions.{call_function, col, lit, xxhash64}
+    import spark.implicits._
+    val members = (0 until 1000).map(i => s"member_$i").toDF("s")
+    val bloom = members
+      .agg(call_function("graft_bloom_agg", xxhash64(col("s")), lit(1000L)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    def probe(df: org.apache.spark.sql.DataFrame) = df.withColumn("hit",
+      call_function("graft_might_contain", lit(bloom), xxhash64(col("s"))))
+    // the dedup fast path is sound only because Bloom filters have NO false
+    // negatives: every inserted member must probe true
+    assert(probe(members).filter(!col("hit")).count() == 0)
+    // false positives exist but stay near the configured rate (3% default;
+    // deterministic given the fixed inputs — this is not a flaky bound)
+    val fp = probe((0 until 1000).map(i => s"other_$i").toDF("s"))
+      .filter(col("hit")).count()
+    assert(fp < 150, s"$fp of 1000 non-members probed true — filter mis-built")
+  }
+
+  test("incremental dedup equals the join-only recompute") {
+    import org.apache.spark.sql.functions._
+    val out = Pipeline.queries("q_dedup_incremental")(spark, sfDir).collect()
+    val d = graft.sources.Tables.load(spark, sfDir, "documents").withColumn("fp",
+      md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+    val hist = d.filter(col("doc_id") % 10 =!= 0)
+      .select("fp").distinct().withColumn("hit", lit(true))
+    val expect = d.filter(col("doc_id") % 10 === 0)
+      .join(hist, Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("dup"))
+      .orderBy("doc_id").collect()
+    assert(out.length == expect.length && out.exists(_.getBoolean(1)) &&
+      out.exists(!_.getBoolean(1)), s"degenerate split: ${out.length} rows")
+    assert(out.toSeq == expect.toSeq)
+  }
 }

@@ -90,6 +90,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("EqualTo(c_nationkey,3)"), plan)
   }
 
+  test("typed key-set join plans only the splits owning the requested keys") {
+    val rows = Storage.queries("q_kv_typed_join")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // joinWithCassandraTable contract: left multiplicity preserved — key 3
+    // was requested twice, so its matches appear an even number of times
+    val hits3 = rows.count(_.getLong(0) == 3L)
+    assert(hits3 > 0 && hits3 % 2 == 0, s"key 3 matched $hits3 rows")
+    // a key owning no partition yields nothing
+    assert(!rows.exists(_.getLong(0) == 99L))
+    // DirectJoinRule turned the join into point reads: of the 25 nation
+    // splits, only those owning the 3 distinct live keys were planned
+    val planned = graft.sources.KeyGroupedRegistry.lastPlanned(s"customer:$sfDir")
+    assert(planned <= 3, s"planned $planned splits for a 3-key typed join")
+  }
+
   test("composite-key point read prunes to the one split owning the tuple") {
     val df = Storage.queries("q_kv_composite_key")(spark, sfDir)
     val rows = df.collect()
