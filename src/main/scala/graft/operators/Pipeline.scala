@@ -823,6 +823,28 @@ object Pipeline {
         .orderBy("split")
     },
 
+    // Deterministic epoch shuffle — the training-order operator. An epoch's
+    // read order must be (a) pseudo-random w.r.t. corpus order, (b)
+    // reproducible across re-runs and engines, (c) computable WITHOUT a
+    // global sort at 100 TB. Shard = portable hash of (doc_id, epoch) mod
+    // 16, re-keyed each epoch so shard MEMBERSHIP reshuffles too, not just
+    // intra-shard order; position = rank by the same hash (doc_id breaks
+    // ties). The only wide op is the per-shard window — hash-partitioned,
+    // locally sorted, never a global ordering; the trainer's data loaders
+    // read shards independently, exactly how epoch shuffling is served in
+    // practice.
+    "q_epoch_shuffle" -> { (s, dir) =>
+      val epoch = 3
+      docs(s, dir)
+        .withColumn("h",
+          expr(hExpr(s"concat(cast(doc_id as string), ':$epoch')")))
+        .withColumn("shard", (col("h") % 16).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    },
+
     // Context-window chunking: split every document into 32-token chunks
     // with 8-token overlap (stride 24) — THE preprocessing step that turns a
     // crawl corpus into model-ready sequences. Pure per-row generator work
@@ -1738,6 +1760,16 @@ object Pipeline {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM d GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':3'),1,8))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 16 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+        |    AS INT) AS pos
+        |FROM d ORDER BY shard, pos""".stripMargin,
 
     "q_chunk_docs" ->
       s"""WITH d AS ($docsW),
