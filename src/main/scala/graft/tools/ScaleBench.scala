@@ -4,17 +4,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Scale-probe bench: empirically back the "survives a 10×/100× scale-up"
   * design claims (r9 verdict item 5) by timing the most expensive
-  * non-streaming declared queries at sf0.1 and at a ScaleGen'd ×10 tier,
-  * and reporting the wall-time growth ratio per query.
+  * non-streaming declared queries at sf0.1, at a ScaleGen'd ×10 tier, and
+  * (for a heavy subset) at a ×100 tier, reporting wall-time growth per query.
   *
-  * `runMain graft.tools.ScaleBench [scaledDir] [outFile]`
+  * `runMain graft.tools.ScaleBench [x10Dir] [outFile] [x100Dir]`
   *
   * Acceptance gate: 10× data should cost ≤ ~12× wall (linear + a log factor
-  * for sort/shuffle depth); the artifact flags anything above 12× and hard-
-  * flags > 20× (2× super-linear). Queries whose base time is under 0.5 s are
-  * annotated `fixed_cost` — there the ratio mostly measures job-scheduling
-  * floor, not throughput, and a large ratio is NOT evidence of super-linear
-  * data work (it is evidence the base run never left the fixed-cost regime).
+  * for sort/shuffle depth; 100× ≤ ~120×); the artifact flags anything above
+  * and hard-flags 2× super-linear. Queries whose base time is under 0.5 s
+  * are annotated `fixed_cost` — there the ratio mostly measures the
+  * job-scheduling floor, not throughput, and a large ratio is NOT evidence
+  * of super-linear data work (it is evidence the base run never left the
+  * fixed-cost regime).
   *
   * Probe set: the top batch data-path queries by self-bench cost, covering
   * every candidate-generation pattern whose scaling could go quadratic if a
@@ -28,7 +29,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology mirrors Bench: warm-up pass at sf0.001 (JIT + codegen
   * compile), min of REPS timed runs per (query, tier), noop sink so the
-  * whole plan executes, cache cleared between runs.
+  * whole plan executes, cache cleared between runs. maxPartitionBytes is
+  * dropped to 32 MB so the single-file ScaleGen tiers split like the
+  * many-file layout a real ingest produces — without it the ×10 lineitem
+  * (one ~110 MB file) scans as ONE task and the probe measures a core,
+  * not the engine.
   */
 object ScaleBench {
   val probes: Seq[String] = Seq(
@@ -37,8 +42,8 @@ object ScaleBench {
     "q_revenue_by_nation_year", "q_window_topn_per_customer",
     "q_sessionize_batch", "q_skew_salted_agg", "q_skew_salted_join",
     // dedup family — every banded/blocked candidate generator
-    "q_dedup_exact", "q_minhash_lsh", "q_simhash", "q_ngram_jaccard",
-    "q_edit_distance", "q_dup_clusters", "q_image_neardup",
+    "q_dedup_exact", "q_dedup_incremental", "q_minhash_lsh", "q_simhash",
+    "q_ngram_jaccard", "q_edit_distance", "q_dup_clusters", "q_image_neardup",
     // similarity family
     "q_embed_neardup_lsh", "q_cosine_topk", "q_cosine_topk_ivf",
     "q_semantic_dedup",
@@ -46,13 +51,24 @@ object ScaleBench {
     "q_tfidf", "q_textrank", "q_bpe_merges", "q_collocations",
     "q_vocab_build", "q_token_entropy")
 
+  /** ×100 subset: the heaviest per-family representatives (full set would
+    * take ~an hour at 100×; the point is the growth curve, which one probe
+    * per scaling pattern establishes). */
+  val probes100: Seq[String] = Seq(
+    "q1_pricing_summary", "q9_product_profit", "q16_supplier_parts",
+    "q_sessionize_batch", "q_skew_salted_join", "q_dedup_incremental",
+    "q_minhash_lsh", "q_dup_clusters", "q_embed_neardup_lsh",
+    "q_semantic_dedup", "q_tfidf")
+
   def main(args: Array[String]): Unit = {
-    val scaledDir = args.lift(0).getOrElse("/root/repo/target/scaledata/sf1")
+    val x10Dir = args.lift(0).getOrElse("/root/repo/target/scaledata/sf1")
     val outFile = args.lift(1).getOrElse("/root/repo/BENCH_SCALE.json")
+    val x100Dir = args.lift(2)
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val spark = graft.Sessions.local("graft-scalebench")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", 32L * 1024 * 1024)
 
     def exec(name: String, dir: String): Unit = {
       graft.SparkEntry.queries(name)(spark, dir)
@@ -62,31 +78,47 @@ object ScaleBench {
     // warm-up: JIT + whole-stage-codegen compile off the timed path
     probes.foreach(exec(_, warmDir))
 
-    def time(name: String, dir: String): Double = (1 to reps).map { _ =>
+    def time(name: String, dir: String, r: Int = reps): Double = (1 to r).map { _ =>
       val t0 = System.nanoTime()
       exec(name, dir)
       (System.nanoTime() - t0) / 1e9
     }.min
 
     val base = probes.map(q => q -> time(q, baseDir)).toMap
-    val scaled = probes.map(q => q -> time(q, scaledDir)).toMap
-    val ratio = probes.map(q => q -> scaled(q) / math.max(base(q), 1e-9)).toMap
+    val x10 = probes.map(q => q -> time(q, x10Dir)).toMap
+    // ×100 runs are long; a single rep's noise is small relative to the
+    // 1-2 orders of magnitude the ratio spans
+    val x100 = x100Dir.map(d => probes100.map(q => q -> time(q, d, 1)).toMap)
+      .getOrElse(Map.empty[String, Double])
+
     def f(d: Double) = f"$d%.3f".toDouble
+    def ratio(q: String, t: Map[String, Double]) = t(q) / math.max(base(q), 1e-9)
+    def tags(q: String): String = Seq(
+      if (base(q) < 0.5) Some("\"fixed_cost\"") else None,
+      if (base(q) >= 0.5 && ratio(q, x10) > 20) Some("\"superlinear\"")
+      else if (base(q) >= 0.5 && ratio(q, x10) > 12) Some("\"watch\"")
+      else if (base(q) >= 0.5 && x100.contains(q) && ratio(q, x100) > 200)
+        Some("\"superlinear_x100\"") else None
+    ).flatten.mkString(",")
     val rows = probes.map { q =>
-      val tags = Seq(
-        if (base(q) < 0.5) Some("\"fixed_cost\"") else None,
-        if (ratio(q) > 20 && base(q) >= 0.5) Some("\"superlinear\"")
-        else if (ratio(q) > 12 && base(q) >= 0.5) Some("\"watch\"") else None
-      ).flatten.mkString(",")
-      s""""$q":{"base_sec":${f(base(q))},"scaled_sec":${f(scaled(q))},"ratio":${f(ratio(q))},"tags":[$tags]}"""
+      val t2 = if (x100.contains(q))
+        s""","x100_sec":${f(x100(q))},"x100_ratio":${f(ratio(q, x100))}""" else ""
+      s""""$q":{"base_sec":${f(base(q))},"x10_sec":${f(x10(q))},""" +
+        s""""x10_ratio":${f(ratio(q, x10))}$t2,"tags":[${tags(q)}]}"""
     }
-    val meaningful = probes.filter(base(_) >= 0.5)
-    val flagged = meaningful.filter(ratio(_) > 12)
+    val flagged = probes.filter(q => base(q) >= 0.5 &&
+      (ratio(q, x10) > 12 || (x100.contains(q) && ratio(q, x100) > 120)))
+    val x100Part = if (x100.nonEmpty) {
+      val tot = probes100.map(x100).sum
+      val botTot = probes100.map(base).sum
+      s""""x100_dir":"${x100Dir.get}","x100_total_sec":${f(tot)},""" +
+        s""""x100_total_ratio":${f(tot / botTot)},"""
+    } else ""
     val json =
-      s"""{"metric":"scale_probe","base_sf":"$baseDir","scaled_dir":"$scaledDir",""" +
-      s""""copies":10,"reps":$reps,""" +
-      s""""base_total_sec":${f(base.values.sum)},"scaled_total_sec":${f(scaled.values.sum)},""" +
-      s""""total_ratio":${f(scaled.values.sum / base.values.sum)},""" +
+      s"""{"metric":"scale_probe","base_sf":"$baseDir","x10_dir":"$x10Dir",""" +
+      s""""reps":$reps,""" +
+      s""""base_total_sec":${f(base.values.sum)},"x10_total_sec":${f(x10.values.sum)},""" +
+      s""""x10_total_ratio":${f(x10.values.sum / base.values.sum)},$x100Part""" +
       s""""flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""queries":{${rows.mkString(",")}}}"""
     println(json)

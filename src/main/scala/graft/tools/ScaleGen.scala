@@ -104,10 +104,17 @@ object ScaleGen {
       .withColumn("n_chars", length(col("text")).cast("long")))
 
     val emb = read("embeddings"); val embS = stride(emb, "vec_id")
-    // cyclic rotation by copy index: an isometry of each copy's geometry
-    val rotated = transform(sequence(lit(0), size(col("embedding")) - 1),
-      j => element_at(col("embedding"),
-        ((j + col("_i")) % size(col("embedding"))) + 1))
+    // cyclic rotation by copy index: an isometry of each copy's geometry.
+    // Rotation repeats mod dim, so for copies >= dim (the ×100 tier on
+    // 64-dim vectors) the second lap is ALSO negated — negation preserves
+    // every intra-copy dot product (signs cancel pairwise) while sending
+    // cross-lap cosine to its negative, keeping cross-copy near-dup density
+    // at zero through 2×dim copies.
+    val dim = size(col("embedding"))
+    val rolled = transform(sequence(lit(0), dim - 1),
+      j => element_at(col("embedding"), ((j + col("_i")) % dim) + 1))
+    val rotated = when(col("_i") < dim, rolled)
+      .otherwise(transform(rolled, x => -x))
     write("embeddings", fan(emb).select(shift("vec_id", embS),
       rotated.as("embedding"), col("label")))
   }
