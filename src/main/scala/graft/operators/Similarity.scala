@@ -91,6 +91,66 @@ object Similarity {
         .orderBy("q_id", "rn")
     },
 
+    // K-means training for the IVF coarse index. Tier 2 (q_cosine_topk_ivf)
+    // prunes by a cluster ASSIGNMENT someone must have trained; this
+    // operator trains it. Quantized exact-integer Lloyd: vectors quantize
+    // to integer milli-units (round(v·1000) after the usual FLOAT→DOUBLE
+    // widening), and centroids are re-floored to INTEGERS after every mean
+    // update — so every distance is an exact bigint Σ(x_j − c_j)² and the
+    // argmin never compares floats; the assignment is bit-identical across
+    // engines, partitionings and reduction orders by construction. Two
+    // Lloyd rounds from the first K quantized vectors as seeds. Per round:
+    // one broadcast K-row crossJoin (assignment — map-side, the corpus
+    // never shuffles) and one posexplode groupBy (update — the only wide
+    // op, K·64 cells with map-side partial sums). The K·64 centroid longs
+    // pass through the driver between rounds, the same bounded scalar
+    // action as BPE's per-round argmax; the corpus itself never does. An
+    // emptied cluster simply drops (both engines lose the group row the
+    // same way), matching Lloyd's standard degenerate case.
+    "q_kmeans_ivf" -> { (s, dir) =>
+      val K = 10
+      val Iters = 2
+      val x = vecs(s, dir).select(col("vec_id"),
+        expr("transform(v, e -> cast(round(e * 1000d) as bigint))").as("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        x.count() // materialize once for the 2·Iters+1 reuses
+        var cents: Seq[(Int, Seq[Long])] = x.filter(col("vec_id") < K)
+          .orderBy("vec_id").collect().zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
+        def assigned(c: Seq[(Int, Seq[Long])]): DataFrame = {
+          val cdf = s.createDataFrame(c).toDF("cluster", "cent")
+          x.crossJoin(broadcast(cdf))
+            .withColumn("num", expr(
+              "aggregate(zip_with(x, cent, (a, b) -> (a-b)*(a-b)), 0L, (acc, t) -> acc + t)"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("vec_id").orderBy(col("num"), col("cluster"))))
+            .filter(col("rn") === 1)
+        }
+        (1 to Iters).foreach { _ =>
+          val upd = assigned(cents)
+            .select(col("cluster"), posexplode(col("x")).as(Seq("j", "xj")))
+            .groupBy("cluster", "j")
+            .agg(sum("xj").as("sj"), count(lit(1)).as("cnt"))
+            .collect()
+          cents = upd.groupBy(_.getInt(0)).toSeq.map { case (c, rows) =>
+            (c, rows.sortBy(_.getInt(1))
+              .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+              .toSeq)
+          }.sortBy(_._1)
+        }
+        val ck = s.createDataFrame(cents.map { case (c, arr) =>
+          (c, arr.zipWithIndex.map { case (v, j) => (j + 1L) * v }.sum)
+        }).toDF("cluster", "checksum")
+        assigned(cents)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_vecs"), sum("num").as("inertia"))
+          .join(ck, "cluster")
+          .select("cluster", "n_vecs", "inertia", "checksum")
+          .orderBy("cluster")
+      } finally { x.unpersist(); () }
+    },
+
     // Banded sign-LSH near-dup: 64 deterministic ±1 hyperplanes → 4 bands of
     // 16-bit codes; pairs agreeing on ANY band are candidates, verified by
     // cosine ≥ 0.2. Hyperplane signs come from an LCG parity (portable
@@ -440,6 +500,56 @@ object Similarity {
         |SELECT q_id, q_label, match_id, round(cosine_raw, 6) AS cosine,
         |  CAST(rn AS INT) AS rn
         |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+
+    // Unrolled Lloyd (2 rounds + final assignment): cN are the integer
+    // centroids after round N, dN/aN the exact-integer distances/argmin
+    // assignment against c(N-1). Arithmetic is integer end-to-end (list
+    // indexing 1-based here vs posexplode 0-based there; checksum weights
+    // j align as (j+1)·cent_j).
+    "q_kmeans_ivf" ->
+      """WITH x AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS x
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, x AS cent
+        |       FROM x WHERE vec_id < 10),
+        |d1 AS (SELECT x.vec_id, c.cluster, CAST(list_sum(list_transform(
+        |    range(1, 65), j -> (x.x[j]-c.cent[j])*(x.x[j]-c.cent[j])))
+        |    AS BIGINT) AS num FROM x, c0 c),
+        |a1 AS (SELECT vec_id, cluster, num FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY num, cluster) AS rn FROM d1) WHERE rn = 1),
+        |s1 AS (SELECT a1.cluster, t.j, SUM(x.x[t.j]) AS sj, COUNT(*) AS cnt
+        |  FROM a1 JOIN x USING (vec_id), range(1, 65) AS t(j)
+        |  GROUP BY a1.cluster, t.j),
+        |c1 AS (SELECT cluster,
+        |  list(CAST(floor(sj * 1.0 / cnt) AS BIGINT) ORDER BY j) AS cent
+        |  FROM s1 GROUP BY cluster),
+        |d2 AS (SELECT x.vec_id, c.cluster, CAST(list_sum(list_transform(
+        |    range(1, 65), j -> (x.x[j]-c.cent[j])*(x.x[j]-c.cent[j])))
+        |    AS BIGINT) AS num FROM x, c1 c),
+        |a2 AS (SELECT vec_id, cluster, num FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY num, cluster) AS rn FROM d2) WHERE rn = 1),
+        |s2 AS (SELECT a2.cluster, t.j, SUM(x.x[t.j]) AS sj, COUNT(*) AS cnt
+        |  FROM a2 JOIN x USING (vec_id), range(1, 65) AS t(j)
+        |  GROUP BY a2.cluster, t.j),
+        |c2 AS (SELECT cluster,
+        |  list(CAST(floor(sj * 1.0 / cnt) AS BIGINT) ORDER BY j) AS cent
+        |  FROM s2 GROUP BY cluster),
+        |d3 AS (SELECT x.vec_id, c.cluster, CAST(list_sum(list_transform(
+        |    range(1, 65), j -> (x.x[j]-c.cent[j])*(x.x[j]-c.cent[j])))
+        |    AS BIGINT) AS num FROM x, c2 c),
+        |a3 AS (SELECT vec_id, cluster, num FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY num, cluster) AS rn FROM d3) WHERE rn = 1),
+        |ck AS (SELECT cluster, CAST(list_sum(list_transform(range(1, 65),
+        |    j -> j * cent[j])) AS BIGINT) AS checksum FROM c2)
+        |SELECT a3.cluster, COUNT(*) AS n_vecs,
+        |  CAST(SUM(a3.num) AS BIGINT) AS inertia, ck.checksum
+        |FROM a3 JOIN ck USING (cluster)
+        |GROUP BY a3.cluster, ck.checksum
+        |ORDER BY cluster""".stripMargin,
 
     "q_embed_neardup_lsh" -> neardupSql,
 
