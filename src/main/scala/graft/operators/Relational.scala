@@ -561,6 +561,52 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Declarative data-quality contract (the Deequ/"expectations" shape):
+    // one aggregation pass per table computes every rule's violation count
+    // simultaneously (conditional-sum partials — no per-rule scans), plus a
+    // referential rule as an anti-join count; the long-format result
+    // (table, rule, n_violations, pass) is what a pipeline gates a
+    // promotion on. At 100 TB: 2 scans + one broadcast anti-join, however
+    // many rules the contract holds. Includes a deliberately tight
+    // plausibility bound (totalprice cap) so the failing path is exercised,
+    // not just asserted green.
+    "q_quality_contract" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      def v(pred: org.apache.spark.sql.Column) =
+        sum(when(pred, 1L).otherwise(0L))
+      val liRules = li.agg(
+        v(col("l_orderkey").isNull).as("r1"),
+        v(col("l_quantity") <= 0).as("r2"),
+        v(col("l_discount") < 0 || col("l_discount") > 1).as("r3"),
+        v(col("l_extendedprice") < 0).as("r4"),
+        v(col("l_shipdate").isNull).as("r5"))
+        .select(expr("""stack(5,
+          'lineitem', 'orderkey_not_null', r1,
+          'lineitem', 'quantity_positive', r2,
+          'lineitem', 'discount_in_unit_range', r3,
+          'lineitem', 'extendedprice_nonnegative', r4,
+          'lineitem', 'shipdate_not_null', r5) AS (tbl, rule, n_violations)"""))
+      val oRules = o.agg(
+        v(col("o_orderkey").isNull).as("r1"),
+        v(col("o_totalprice") <= 0).as("r2"),
+        v(col("o_totalprice") > 100000).as("r3"),
+        v(col("o_orderdate").isNull).as("r4"))
+        .select(expr("""stack(4,
+          'orders', 'orderkey_not_null', r1,
+          'orders', 'totalprice_positive', r2,
+          'orders', 'totalprice_cap_100k', r3,
+          'orders', 'orderdate_not_null', r4) AS (tbl, rule, n_violations)"""))
+      val orphans = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orders").as("tbl"), lit("custkey_references_customer").as("rule"),
+          col("n_violations"))
+      liRules.union(oRules).union(orphans)
+        .withColumn("pass", col("n_violations") === 0)
+        .orderBy("tbl", "rule")
+    },
+
     // Statistical moment aggregates: stddev/variance/covariance/correlation
     // per group — single-pass distributed moment accumulation (Welford-style
     // partials merge associatively, so the shuffle shape is the same as any
@@ -1277,6 +1323,36 @@ object Relational {
         |FROM lineitem JOIN dim ON l_returnflag = flag
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_quality_contract" ->
+      """WITH r AS (
+        |  SELECT 'lineitem' AS tbl, 'orderkey_not_null' AS rule,
+        |    SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'quantity_positive',
+        |    SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'discount_in_unit_range',
+        |    SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+        |    FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'extendedprice_nonnegative',
+        |    SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'shipdate_not_null',
+        |    SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) FROM lineitem
+        |  UNION ALL SELECT 'orders', 'orderkey_not_null',
+        |    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL SELECT 'orders', 'totalprice_positive',
+        |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL SELECT 'orders', 'totalprice_cap_100k',
+        |    SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL SELECT 'orders', 'orderdate_not_null',
+        |    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL SELECT 'orders', 'custkey_references_customer',
+        |    COUNT(*) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                      WHERE c.c_custkey = o.o_custkey))
+        |SELECT tbl, rule, CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS pass
+        |FROM r ORDER BY tbl, rule""".stripMargin,
 
     "q_stats_moments" ->
       """SELECT l_returnflag,

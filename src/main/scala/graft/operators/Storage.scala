@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -2355,6 +2355,39 @@ object Storage {
     // exact answers plus in-engine "sketch within 5% of exact" booleans —
     // the oracle recomputes the exact values and pins every flag true,
     // making the sketch quality itself driver-checkable.
+    // Mergeable-sketch rollup — the 100 TB distinct-count pattern: shard
+    // sketches union to a corpus estimate WITHOUT revisiting rows. Each
+    // source builds a DataSketches HLL once (hll_sketch_agg); the corpus
+    // estimate comes from hll_union_agg over those per-shard partials. Two
+    // accuracy flags per row: the direct sketch estimate and the
+    // union-of-partials estimate, each within 5% of the exact distinct
+    // count. (The two estimates need not be BIT-equal: a sparse-mode shard
+    // sketch unions through a different internal representation than a
+    // single dense build, so the honest invariant is the bound, not
+    // register equality — measured here.) Sketch binaries are
+    // engine-specific, so (q_approx_distinct precedent) the oracle pins the
+    // flags and recomputes the exact counts.
+    "q_hll_mergeable" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val shard = d.groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("nd_docs"),
+          hll_sketch_agg(col("doc_id")).as("sk"))
+      def flags(nd: Column, dsk: Column, msk: Column) = Seq(
+        (abs(hll_sketch_estimate(dsk) - nd) <= nd * 0.05).as("est_within_5pct"),
+        (abs(hll_sketch_estimate(msk) - nd) <= nd * 0.05).as("merged_within_5pct"))
+      val per = shard.groupBy("source")
+        .agg(first("nd_docs").as("nd_docs"),
+          hll_union_agg(col("sk")).as("msk"), first("sk").as("dsk"))
+        .select(col("source").as("scope") +: col("nd_docs") +:
+          flags(col("nd_docs"), col("dsk"), col("msk")): _*)
+      val allRow = shard.agg(hll_union_agg(col("sk")).as("msk"))
+        .crossJoin(d.agg(countDistinct(col("doc_id")).as("nd_docs"),
+          hll_sketch_agg(col("doc_id")).as("dsk")))
+        .select(lit("(all)").as("scope") +: col("nd_docs") +:
+          flags(col("nd_docs"), col("dsk"), col("msk")): _*)
+      per.union(allRow).orderBy("scope")
+    },
+
     "q_approx_distinct" -> { (s, dir) =>
       // THREE aggregations joined on the 3-row group key, not one: mixing
       // two DISTINCT columns with an exact percentile in a single agg makes
@@ -3706,6 +3739,14 @@ object Storage {
     // exact distinct/percentile recomputed by DuckDB; the within-5pct flags
     // (sketch vs exact, computed in-engine) are pinned true — a drifting
     // sketch fails the hash compare
+    "q_hll_mergeable" ->
+      """SELECT source AS scope, COUNT(DISTINCT doc_id) AS nd_docs,
+        |  true AS est_within_5pct, true AS merged_within_5pct
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT '(all)', COUNT(DISTINCT doc_id), true, true FROM documents
+        |ORDER BY scope""".stripMargin,
+
     "q_approx_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS nd_parts,
