@@ -581,6 +581,44 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Exact-substring dedup (the Lee et al. "Deduplicating Training Data
+    // Makes Language Models Better" pass): every 8-token span gets a rolling
+    // hash; a span whose hash already occurs in an EARLIER doc (keeper =
+    // min doc_id per hash) is a removable duplicate — first occurrence is
+    // kept, so re-running is idempotent. Differs from MinHash/SimHash
+    // (whole-doc NEAR-dup): this catches verbatim boilerplate *inside*
+    // otherwise-distinct docs, the dominant duplication mode in web corpora.
+    // Shape at 100 TB: spans reduce to per-(doc, hash) counts map-side
+    // before any shuffle, the keeper table is one partial-agg groupBy on the
+    // hash, and the join back is hash-partitioned on the same key — no
+    // suffix array, no all-pairs, state linear in distinct spans. The span
+    // hash folds the 8 aligned slice columns with zip_with (same reason as
+    // the trigram note above: per-element indexing inside a HOF lambda is
+    // O(n²) in doc length; slices evaluate once).
+    "q_substring_dedup" -> { (s, dir) =>
+      val W = 8
+      val spans = docsPar(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= W)
+        .withColumn("hw", expr(s"transform(w, wd -> ${hExpr("wd")})"))
+        .withColumn("sh", expr(
+          (2 to W).foldLeft(s"slice(hw, 1, size(hw)-${W - 1})") { (acc, k) =>
+            s"zip_with($acc, slice(hw, $k, size(hw)-${W - 1}), " +
+              "(a, b) -> (a * 1000003 + b) % 2147483647)"
+          }))
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+      val perDoc = spans.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      val keepers = perDoc.groupBy("h").agg(min("doc_id").as("keeper"))
+      perDoc.join(keepers, "h")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_spans"),
+          sum(when(col("doc_id") > col("keeper"), col("c")).otherwise(0L))
+            .as("n_dup"))
+        .filter(col("n_dup") > 0)
+        .withColumn("dup_ratio", round(col("n_dup") / col("n_spans"), 6))
+        .orderBy("doc_id")
+    },
+
     // Token-entropy quality score: Shannon entropy of each doc's token
     // distribution, H = log2(n) − Σ c·log2(c) / n — low entropy = repetitive
     // or single-token spam, high = diverse vocabulary. Two shuffles
@@ -1542,6 +1580,34 @@ object Pipeline {
         |  round(len(list_distinct(tg)) * 1.0 / len(tg), 6) AS uniq_ratio
         |FROM t WHERE round(len(list_distinct(tg)) * 1.0 / len(tg), 6) < 0.99
         |ORDER BY doc_id""".stripMargin,
+
+    // Same 8-term rolling-hash fold, 1-based list indexing (i from range(0,·)).
+    "q_substring_dedup" -> {
+      val sh = (2 to 8).foldLeft("hw[i+1]") { (acc, k) =>
+        s"($acc * 1000003 + hw[i+$k]) % 2147483647"
+      }
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(w, wd -> ('0x'||substr(md5(wd),1,8))::BIGINT) AS hw
+        |  FROM d WHERE len(w) >= 8),
+        |sp AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, len(hw) - 7), i -> $sh)) AS h
+        |  FROM h),
+        |pd AS (SELECT doc_id, h, COUNT(*) AS c FROM sp GROUP BY 1, 2),
+        |g AS (SELECT h, MIN(doc_id) AS keeper FROM pd GROUP BY h)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN doc_id > keeper THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_dup,
+        |  round(SUM(CASE WHEN doc_id > keeper THEN c ELSE 0 END) * 1.0
+        |    / SUM(c), 6) AS dup_ratio
+        |FROM pd JOIN g USING (h)
+        |GROUP BY doc_id
+        |HAVING SUM(CASE WHEN doc_id > keeper THEN c ELSE 0 END) > 0
+        |ORDER BY doc_id""".stripMargin
+    },
 
     "q_token_entropy" ->
       """WITH tok AS (

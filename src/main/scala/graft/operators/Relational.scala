@@ -238,6 +238,40 @@ object Relational {
           AND l_quantity < 24""")
     },
 
+    // Recursive CTE (WITH RECURSIVE, new in Spark 4.x): a calendar month
+    // spine from the first to the last order month, LEFT-joined to monthly
+    // revenue so gap months surface as explicit zero rows — the standard
+    // "dense time series from sparse facts" shape. Catalyst executes the
+    // recursion as a UnionLoop; depth is bounded by CALENDAR length (~80
+    // iterations here), never by data volume, and each iteration is one
+    // constant-width row — the data side remains a single hash aggregate.
+    // That bound is what makes recursion scale-safe: the anti-pattern
+    // (recursing over per-row edges) would put the 100 TB corpus inside the
+    // loop; a spine recursion keeps it in one shuffle outside the loop.
+    "q_recursive_cte" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        WITH RECURSIVE spine(m, hi) AS (
+          SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE),
+                 CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE)
+          FROM orders
+          UNION ALL
+          SELECT add_months(m, 1), hi FROM spine WHERE m < hi
+        ),
+        r AS (
+          SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT s.m AS month_start,
+               CAST(coalesce(r.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(r.revenue, 0.0) AS DOUBLE) AS revenue
+        FROM spine s LEFT JOIN r ON s.m = r.m
+        ORDER BY month_start""")
+    },
+
     // Correlated scalar subqueries → Catalyst decorrelates both into
     // aggregate+join (SURVEY.md §4.1 row "subquery decorrelation");
     // above-nation-average test in exact integer cents so the comparison is
@@ -1110,6 +1144,29 @@ object Relational {
         |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.02 AND 0.09
         |  AND l_quantity < 24""".stripMargin,
+
+    // DuckDB executes the identical recursion (interval add instead of
+    // add_months — same month-start arithmetic on first-of-month dates).
+    "q_recursive_cte" ->
+      """WITH RECURSIVE spine(m, hi) AS (
+        |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+        |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM spine WHERE m < hi
+        |),
+        |r AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |         COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |           AS revenue
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT s.m AS month_start,
+        |  CAST(coalesce(r.n_orders, 0) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(r.revenue, 0.0) AS DOUBLE) AS revenue
+        |FROM spine s LEFT JOIN r ON s.m = r.m
+        |ORDER BY month_start""".stripMargin,
 
     "q_correlated_subquery" ->
       """SELECT c_custkey, c_name FROM customer c

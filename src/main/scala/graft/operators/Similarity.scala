@@ -151,6 +151,71 @@ object Similarity {
       } finally { x.unpersist(); () }
     },
 
+    // Product quantization + ADC (the IVF-PQ memory path): each 64-dim
+    // vector compresses to M=4 one-byte codes — the argmin codeword of each
+    // 16-dim subvector against a 16-entry per-subspace codebook — shrinking
+    // the resident index 64× (256 B of floats → 4 B), which is what lets a
+    // 100 TB corpus's index fit a cluster's RAM. Queries score candidates by
+    // Asymmetric Distance Computation: per query, a 4×16 lookup table of
+    // exact query-subvector→codeword distances is built once, and every
+    // corpus vector's approximate distance is just Σ_m lut[m][code_m] — a
+    // broadcast join on (m, code) + a map-side-combined sum, never touching
+    // the original vectors. Codebooks here are the first-16 vectors'
+    // subvectors in integer milli-units (k-means training of exactly this
+    // shape is q_kmeans_ivf's subject); all arithmetic is exact bigint so
+    // encode/score are bit-identical across engines. Output: ADC top-3 per
+    // query with a `hit` flag against the exact integer-L2 top-3 (the
+    // recall readout every PQ deployment monitors). The encode argmin is a
+    // min_by AGGREGATE, not a window sort — partial-aggregated map-side, no
+    // per-(vec,m) sort at scale.
+    "q_pq_adc" -> { (s, dir) =>
+      val M = 4; val Dsub = 16; val K = 16
+      val x = vecs(s, dir).select(col("vec_id"),
+        expr("transform(v, e -> cast(round(e * 1000d) as bigint))").as("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        x.count() // materialize once for the encode + exact-recall passes
+        val subs = x.select(col("vec_id"), explode(expr(
+          s"transform(sequence(0, ${M - 1}), " +
+            s"m -> named_struct('m', m, 'sx', slice(x, m*$Dsub+1, $Dsub)))")).as("t"))
+          .select(col("vec_id"), col("t.m").as("m"), col("t.sx").as("sx"))
+        val cb = subs.filter(col("vec_id") < K)
+          .select(col("m"), col("vec_id").cast("int").as("c"), col("sx").as("cent"))
+        // exact subspace distances of EVERY vector to every codeword — the
+        // encode input, and (restricted to query ids) the ADC lookup table
+        val dists = subs.join(broadcast(cb), "m")
+          .withColumn("d", expr(
+            "aggregate(zip_with(sx, cent, (a, b) -> (a-b)*(a-b)), 0L, (acc, t) -> acc + t)"))
+        val enc = dists.groupBy("vec_id", "m")
+          .agg(min_by(col("c"), struct(col("d"), col("c"))).as("c"))
+        val qd = dists.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("m"), col("c"), col("d").as("qdist"))
+        val adc = enc.join(broadcast(qd), Seq("m", "c"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum("qdist").as("adist"))
+        // exact integer-L2 top-3 (the recall reference; same broadcast-NLJ
+        // shape as q_cosine_topk — constant |Q|, not a CartesianProduct)
+        val q = x.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("x").as("qx"))
+        val exact = broadcast(q).crossJoin(x)
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("ed", expr(
+            "aggregate(zip_with(qx, x, (a, b) -> (a-b)*(a-b)), 0L, (acc, t) -> acc + t)"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("ed"), col("vec_id"))))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id").as("match_id"), lit(1).as("hit"))
+        val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+        adc.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id").as("match_id"), col("adist"), col("rn"))
+          .join(exact, Seq("q_id", "match_id"), "left")
+          .withColumn("hit", coalesce(col("hit"), lit(0)))
+          .orderBy("q_id", "rn")
+      } finally { x.unpersist(); () }
+    },
+
     // Banded sign-LSH near-dup: 64 deterministic ±1 hyperplanes → 4 bands of
     // 16-bit codes; pairs agreeing on ANY band are candidates, verified by
     // cosine ≥ 0.2. Hyperplane signs come from an LCG parity (portable
@@ -550,6 +615,51 @@ object Similarity {
         |FROM a3 JOIN ck USING (cluster)
         |GROUP BY a3.cluster, ck.checksum
         |ORDER BY cluster""".stripMargin,
+
+    // Same exact-integer PQ pipeline: subspace slices are 1-based list
+    // slices x[m·16+1 : m·16+16]; encode argmin via row_number (result-
+    // equivalent to the engine's min_by aggregate under the same (d, c)
+    // tie-break); `ed` doubles as encode input and ADC lookup table.
+    "q_pq_adc" ->
+      """WITH x AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS x
+        |  FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, t.m, x[t.m*16+1 : t.m*16+16] AS sx
+        |  FROM x, range(0, 4) t(m)),
+        |cb AS (SELECT m, CAST(vec_id AS INT) AS c, sx AS cent
+        |       FROM subs WHERE vec_id < 16),
+        |ed AS (SELECT s.vec_id, s.m, cb.c, CAST(list_sum(list_transform(
+        |    range(1, 17), j -> (s.sx[j]-cb.cent[j])*(s.sx[j]-cb.cent[j])))
+        |    AS BIGINT) AS d
+        |  FROM subs s JOIN cb USING (m)),
+        |enc AS (SELECT vec_id, m, c FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |    ORDER BY d, c) AS rn FROM ed) WHERE rn = 1),
+        |qd AS (SELECT vec_id AS q_id, m, c, d AS qdist FROM ed
+        |       WHERE vec_id < 10),
+        |adc AS (SELECT qd.q_id, enc.vec_id, CAST(SUM(qd.qdist) AS BIGINT)
+        |    AS adist
+        |  FROM enc JOIN qd USING (m, c)
+        |  WHERE enc.vec_id <> qd.q_id
+        |  GROUP BY 1, 2),
+        |exd AS (SELECT a.vec_id AS q_id, b.vec_id AS match_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> (a.x[j]-b.x[j])*(a.x[j]-b.x[j]))) AS BIGINT) AS edist
+        |  FROM x a, x b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        |ex AS (SELECT q_id, match_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY edist, match_id) AS rn FROM exd) WHERE rn <= 3),
+        |top AS (SELECT q_id, vec_id AS match_id, adist,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+        |  FROM adc)
+        |SELECT t.q_id, t.match_id, t.adist, CAST(t.rn AS INT) AS rn,
+        |  CASE WHEN ex.match_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |FROM top t LEFT JOIN ex
+        |  ON t.q_id = ex.q_id AND t.match_id = ex.match_id
+        |WHERE t.rn <= 3
+        |ORDER BY t.q_id, t.rn""".stripMargin,
 
     "q_embed_neardup_lsh" -> neardupSql,
 

@@ -47,6 +47,77 @@ case class UserTotals(user_id: Long, n_events: Long, sum_cents: Long)
 /** Emission of q_stream_milestones: user crossed a spend level. */
 case class Milestone(user_id: Long, event_id: Long, level: Long)
 
+/** Per-user snapshot emitted by q_stream_transform_state. */
+case class UserTws(user_id: Long, n_events: Long, sum_cents: Long, n_types: Long)
+
+/** StatefulProcessor for q_stream_transform_state — the Spark 4.x
+  * transformWithState successor to mapGroupsWithState. Three typed state
+  * variables per user (two ValueState counters in exact integer cents plus
+  * a MapState of per-event-type counts), and one event-time timer per key
+  * that evicts users idle 24 h (event time) — the same state-bounding rule
+  * as q_stream_stateful, expressed through the new API's explicit timer
+  * registry instead of GroupStateTimeout. Every emission is a monotone
+  * snapshot, so the downstream max-fold is chunking-independent and the
+  * oracle stays a plain batch GROUP BY; the timer's final re-emission is
+  * absorbed by the same fold. State schema here is per-variable (each
+  * ValueState/MapState is its own column family in RocksDB), which is what
+  * lets a 100 TB/day stream evolve one variable without rewriting the rest.
+  */
+final class UserTwsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserTws] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
+    TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var nState: ValueState[Long] = _
+  @transient private var centsState: ValueState[Long] = _
+  @transient private var typesState: MapState[String, Long] = _
+  @transient private var timerState: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    centsState = getHandle.getValueState[Long]("cents", Encoders.scalaLong, TTLConfig.NONE)
+    typesState = getHandle.getMapState[String, Long]("types",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    timerState = getHandle.getValueState[Long]("tmr", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timers: TimerValues): Iterator[UserTws] = {
+    var n = if (nState.exists()) nState.get() else 0L
+    var cents = if (centsState.exists()) centsState.get() else 0L
+    var maxTs = Long.MinValue
+    rows.foreach { e =>
+      n += 1
+      cents += math.round(e.value * 100)
+      val c = if (typesState.containsKey(e.event_type))
+        typesState.getValue(e.event_type) else 0L
+      typesState.updateValue(e.event_type, c + 1)
+      if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+    }
+    nState.update(n)
+    centsState.update(cents)
+    // one live timer per key: replace last batch's registration with
+    // last-event + 24 h (always ahead of the watermark — chunks replay in
+    // event-time order)
+    if (timerState.exists()) getHandle.deleteTimer(timerState.get())
+    val expiry = maxTs + 24L * 3600 * 1000
+    getHandle.registerTimer(expiry)
+    timerState.update(expiry)
+    Iterator.single(UserTws(key, n, cents, typesState.keys().size.toLong))
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[UserTws] = {
+    if (!nState.exists()) Iterator.empty
+    else {
+      val out = UserTws(key, nState.get(), centsState.get(),
+        typesState.keys().size.toLong)
+      nState.clear(); centsState.clear(); typesState.clear(); timerState.clear()
+      Iterator.single(out)
+    }
+  }
+}
+
 /** Stand-in for an external NON-transactional store (JDBC table, KV
   * cluster) fed by a foreachBatch sink. Spark's foreachBatch contract is
   * at-least-once: after a crash the same micro-batch is re-delivered with
@@ -394,6 +465,31 @@ object Streaming {
         .filter(col("user_id") >= 0)
         .groupBy("user_id")
         .agg(max("n_events").as("n_events"), max("sum_cents").as("sum_cents"))
+        .orderBy("user_id")
+    },
+
+    // transformWithState (Spark 4.x arbitrary-state API): the same per-user
+    // running totals as q_stream_stateful plus a distinct-event-type count,
+    // held in THREE independent typed state variables (2× ValueState +
+    // MapState) with an explicit per-key event-time timer — see
+    // UserTwsProcessor's doc for why each piece exists. Requires the RocksDB
+    // state-store provider (the API is built on its column families), so
+    // this query also exercises the scale-grade store. Snapshots are
+    // monotone → max-fold downstream → batch GROUP BY oracle.
+    "q_stream_transform_state" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val ev = eventStream(s, dir, "events")
+        .withWatermark("ts", "30 minutes")
+        .as[Ev](Encoders.product[Ev])
+      val out = ev.groupByKey(_.user_id)(Encoders.scalaLong)
+        .transformWithState[UserTws](new UserTwsProcessor,
+          TimeMode.EventTime(), OutputMode.Update())(Encoders.product[UserTws])
+      runToMemory(out.toDF(), "graft_stream_tws", mode = "update",
+          provider = RocksProvider)
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"), max("sum_cents").as("sum_cents"),
+          max("n_types").as("n_types"))
         .orderBy("user_id")
     },
 
@@ -931,6 +1027,16 @@ object Streaming {
     "q_stream_stateful" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // transformWithState converges to the same batch totals as
+    // q_stream_stateful, plus the MapState-backed distinct-type count.
+    "q_stream_transform_state" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,

@@ -336,4 +336,33 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       out.exists(!_.getBoolean(1)), s"degenerate split: ${out.length} rows")
     assert(out.toSeq == expect.toSeq)
   }
+
+  test("substring dedup: dup spans bounded by totals, verbatim spans reach ratio 1") {
+    val rows = Pipeline.queries("q_substring_dedup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSpans, nDup, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nDup > 0 && nDup <= nSpans, r.toString)
+      assert(ratio > 0.0 && ratio <= 1.0, r.toString)
+    }
+    // the corpus carries docs whose every 8-token span recurs from an
+    // earlier doc (shared boilerplate) — those must surface at ratio 1.0
+    assert(rows.exists(_.getDouble(3) == 1.0))
+  }
+
+  test("PQ-ADC: 3 ranked candidates per query, ADC-ordered, nonzero recall") {
+    val rows = Similarity.queries("q_pq_adc")(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10, s"queries: ${byQ.keySet.toSeq.sorted}")
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.sameElements(Array(1, 2, 3)))
+      // approximate distance must be non-decreasing in rank
+      val byRn = rs.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(byRn.zip(byRn.tail).forall { case (a, b) => a <= b }, byRn.toSeq)
+      rs.foreach(r => assert(r.getInt(4) == 0 || r.getInt(4) == 1))
+    }
+    // a 4×16 integer codebook must recover SOME exact-top-3 neighbors —
+    // zero total hits means the encode or the lookup join is broken
+    assert(rows.map(_.getInt(4)).sum > 0)
+  }
 }

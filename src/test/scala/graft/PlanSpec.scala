@@ -1272,6 +1272,40 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("recursive CTE: spine recursion is a UnionLoop, data side one aggregate") {
+    val df = Relational.queries("q_recursive_cte")(spark, sfDir)
+    val plan = planOf(df)
+    // the recursion executes as Catalyst's UnionLoop operator…
+    assert(plan.contains("UnionLoop"), plan)
+    // …and its depth is the CALENDAR span, not the data volume: exactly one
+    // spine row per month between the first and last order month, no gaps
+    val months = graft.sources.Tables.load(spark, sfDir, "orders")
+      .selectExpr("cast(months_between(date_trunc('MONTH', max(o_orderdate)), " +
+        "date_trunc('MONTH', min(o_orderdate))) as int) + 1 AS n").head.getInt(0)
+    val rows = df.collect()
+    assert(rows.length == months, s"spine ${rows.length} != months $months")
+    // zero-order gap months surface as explicit zeros, and the spine's
+    // order totals reconcile with the raw table
+    val total = rows.map(_.getLong(1)).sum
+    val expected = graft.sources.Tables.load(spark, sfDir, "orders").count()
+    assert(total == expected, s"spine total $total != orders $expected")
+  }
+
+  test("PQ encode argmin is a min_by aggregate, not a per-(vec,m) window sort") {
+    // static plan (no collect): AQE's final-plan explain elides the
+    // per-operator detail sections where aggregate functions are listed
+    val plan = planOf(graft.operators.Similarity.queries("q_pq_adc")(spark, sfDir))
+    // encode must partial-aggregate map-side (min_by), leaving exactly the
+    // two top-k Windows (ADC ranking + exact-recall reference); a third
+    // Window would mean the per-(vec,m) argmin regressed to a sorted window
+    assert(plan.contains("min_by"), plan)
+    // exact node name: "(N) Window" — WindowGroupLimit is top-k pre-pruning
+    // (desirable), not a sorted window pass
+    val windows = plan.linesIterator.count(_.matches("""\(\d+\) Window"""))
+    assert(windows <= 2, s"$windows Window nodes:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("flagship scan-filter-aggregate runs inside whole-stage codegen") {
     val df = Relational.queries("q1_pricing_summary")(spark, sfDir)
     df.collect() // finalize the adaptive plan — codegen spans only show executed

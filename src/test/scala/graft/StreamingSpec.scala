@@ -386,4 +386,18 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() == total, s"rows=${out.count()} total=$total afterFirst=$afterFirst")
     assert(out.select("event_id").distinct().count() == total)
   }
+
+  test("transformWithState totals equal the batch aggregation (3 state vars + timers)") {
+    val streamed = Streaming.queries("q_stream_transform_state")(spark, sfDir)
+      .collect().toSet
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(12,2)") * 100).cast("long"))
+          .as("sum_cents"),
+        countDistinct("event_type").as("n_types"))
+      .orderBy("user_id")
+      .collect().toSet
+    assert(streamed == batch)
+  }
 }
