@@ -272,6 +272,31 @@ object Relational {
         ORDER BY month_start""")
     },
 
+    // SQL-native UDF (Spark 4.x `CREATE FUNCTION … RETURN <expr>`): the
+    // discounted-price formula packaged as a reusable catalog function —
+    // the governance shape real warehouses standardize metrics with. Unlike
+    // a Scala/Python UDF (an opaque black box that breaks codegen, pushdown
+    // and the optimizer's cost model), a SQL UDF is INLINED by the analyzer:
+    // the plan below contains only the decimal arithmetic itself, stays
+    // inside whole-stage codegen, and aggregates exactly like the hand-
+    // written q1 idiom (PlanSpec pins no-ScalaUDF + codegen). This is the
+    // "functions, not UDFs" rule made available to SQL authors.
+    "q_sql_udf" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(19,4)
+        RETURN CAST(p AS DECIMAL(12,2)) * CAST(1 - d AS DECIMAL(6,2))""")
+      s.sql("""
+        SELECT l_returnflag,
+               CAST(SUM(graft_disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+                 AS disc_revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    },
+
     // Correlated scalar subqueries → Catalyst decorrelates both into
     // aggregate+join (SURVEY.md §4.1 row "subquery decorrelation");
     // above-nation-average test in exact integer cents so the comparison is
@@ -1167,6 +1192,17 @@ object Relational {
         |  CAST(coalesce(r.revenue, 0.0) AS DOUBLE) AS revenue
         |FROM spine s LEFT JOIN r ON s.m = r.m
         |ORDER BY month_start""".stripMargin,
+
+    // the UDF body inlined — same exact-decimal arithmetic, no macro needed
+    "q_sql_udf" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(1 - l_discount AS DECIMAL(6,2))) AS DOUBLE)
+        |    AS disc_revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_correlated_subquery" ->
       """SELECT c_custkey, c_name FROM customer c

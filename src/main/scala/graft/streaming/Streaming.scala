@@ -468,6 +468,40 @@ object Streaming {
         .orderBy("user_id")
     },
 
+    // State-store introspection (Spark 4.x `statestore` DSv2 reader): run a
+    // per-user running aggregation against an explicit checkpoint, then read
+    // the OPERATOR'S OWN STATE FILES back as a DataFrame and reproduce the
+    // batch totals from them. This is the ops tool for a 100 TB/day stream —
+    // inspecting what a stateful operator actually holds (skewed keys, state
+    // bloat, a suspect key's buffer) without stopping the query or
+    // instrumenting the job. No watermark on purpose: state = every user's
+    // live (count, cents) buffer, so the read is deterministic and the
+    // oracle is the plain batch GROUP BY. Buffer fields are mapped
+    // positionally (they follow the agg declaration order) — the reader
+    // names them after the aggregate FUNCTION, not the alias.
+    "q_stream_state_reader" -> { (s, dir) =>
+      val ckpt = stageRoot("stateckpt", dir) + "-" + System.nanoTime()
+      val agg = eventStream(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("value").cast(DecimalType(12, 2)) * 100).cast("long"))
+            .as("sum_cents"))
+      val st = withStreamConf(s) {
+        val q = agg.writeStream.format("memory")
+          .queryName("graft_stream_state_src").outputMode("update")
+          .option("checkpointLocation", ckpt).start()
+        try drainStable(q, s.table("graft_stream_state_src").count())
+        finally q.stop()
+        s.read.format("statestore").load(ckpt)
+      }
+      val vcols = st.select(col("value.*")).columns
+      st.select(col("key.user_id").as("user_id"),
+          col(s"value.${vcols(0)}").as("n_events"),
+          col(s"value.${vcols(1)}").as("sum_cents"))
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id")
+    },
+
     // transformWithState (Spark 4.x arbitrary-state API): the same per-user
     // running totals as q_stream_stateful plus a distinct-event-type count,
     // held in THREE independent typed state variables (2× ValueState +
@@ -1025,6 +1059,14 @@ object Streaming {
         |ORDER BY 1, 2""".stripMargin,
 
     "q_stream_stateful" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // the state files hold exactly the batch totals (no eviction configured)
+    "q_stream_state_reader" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events

@@ -337,6 +337,12 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == expect.toSeq)
   }
 
+  test("SQL table-valued function (Spark 4 CREATE FUNCTION … RETURNS TABLE)") {
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_seq_tvf(n INT) " +
+      "RETURNS TABLE (i INT) RETURN SELECT explode(sequence(1, n)) AS i")
+    assert(spark.sql("SELECT sum(i) AS s FROM graft_seq_tvf(10)").head.getLong(0) == 55)
+  }
+
   test("substring dedup: dup spans bounded by totals, verbatim spans reach ratio 1") {
     val rows = Pipeline.queries("q_substring_dedup")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -1306,6 +1306,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("SQL UDF is inlined by the analyzer: no UDF node, stays in codegen") {
+    val plan = planOf(Relational.queries("q_sql_udf")(spark, sfDir))
+    // the function must dissolve into its decimal arithmetic — an opaque
+    // UDF node would break codegen and the optimizer's visibility
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("graft_disc_price"), plan)
+    // the body's decimal arithmetic lands INSIDE the partial aggregate —
+    // map-side combined like the hand-written q1 idiom
+    assert(plan.contains("partial_sum((cast("), plan)
+  }
+
   test("flagship scan-filter-aggregate runs inside whole-stage codegen") {
     val df = Relational.queries("q1_pricing_summary")(spark, sfDir)
     df.collect() // finalize the adaptive plan — codegen spans only show executed

@@ -387,6 +387,19 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out.select("event_id").distinct().count() == total)
   }
 
+  test("statestore reader reproduces the batch totals from the state files") {
+    val fromState = Streaming.queries("q_stream_state_reader")(spark, sfDir)
+      .collect().toSet
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(12,2)") * 100).cast("long"))
+          .as("sum_cents"))
+      .orderBy("user_id")
+      .collect().toSet
+    assert(fromState == batch)
+  }
+
   test("transformWithState totals equal the batch aggregation (3 state vars + timers)") {
     val streamed = Streaming.queries("q_stream_transform_state")(spark, sfDir)
       .collect().toSet
