@@ -272,6 +272,25 @@ object Relational {
         ORDER BY month_start""")
     },
 
+    // UNPIVOT (melt): wide per-segment metrics reshaped to long
+    // (segment, metric, value) form — q_pivot's inverse, and the feed shape
+    // metric stores and plotting layers want. Dataset.unpivot is a MAP-ONLY
+    // reshape (each row fans out to |metrics| rows locally, no shuffle), so
+    // it composes freely after the aggregation at any scale. Exact integer
+    // cents keep the three metrics in one common value type with no float
+    // compare anywhere.
+    "q_unpivot" -> { (s, dir) =>
+      val cents = (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long")
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(min(cents).as("min_cents"), max(cents).as("max_cents"),
+          sum(cents).as("sum_cents"))
+        .unpivot(Array(col("c_mktsegment")),
+          Array(col("min_cents"), col("max_cents"), col("sum_cents")),
+          "metric", "cents")
+        .orderBy("c_mktsegment", "metric")
+    },
+
     // SQL-native UDF (Spark 4.x `CREATE FUNCTION … RETURN <expr>`): the
     // discounted-price formula packaged as a reusable catalog function —
     // the governance shape real warehouses standardize metrics with. Unlike
@@ -1192,6 +1211,21 @@ object Relational {
         |  CAST(coalesce(r.revenue, 0.0) AS DOUBLE) AS revenue
         |FROM spine s LEFT JOIN r ON s.m = r.m
         |ORDER BY month_start""".stripMargin,
+
+    // result-equivalent UNION ALL melt (metric = source column name)
+    "q_unpivot" -> {
+      val c = "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+      s"""WITH b AS (
+        |  SELECT c_mktsegment, MIN($c) AS min_cents, MAX($c) AS max_cents,
+        |    CAST(SUM($c) AS BIGINT) AS sum_cents
+        |  FROM customer GROUP BY 1)
+        |SELECT c_mktsegment, 'min_cents' AS metric, min_cents AS cents FROM b
+        |UNION ALL
+        |SELECT c_mktsegment, 'max_cents' AS metric, max_cents AS cents FROM b
+        |UNION ALL
+        |SELECT c_mktsegment, 'sum_cents' AS metric, sum_cents AS cents FROM b
+        |ORDER BY c_mktsegment, metric""".stripMargin
+    },
 
     // the UDF body inlined — same exact-decimal arithmetic, no macro needed
     "q_sql_udf" ->

@@ -158,8 +158,67 @@ object GraftBatchStore {
   def get(name: String): GraftBatchStore = stores(name)
 }
 
+/** One user's pre-cutoff history for q_stream_tws_initial's warm start. */
+case class UserHist(user_id: Long, n: Long, cents: Long)
+
+/** StatefulProcessor with INITIAL STATE for q_stream_tws_initial — the
+  * batch→streaming migration shape: a batch aggregate of all history warm-
+  * starts the state store, then the live stream continues from it, so
+  * cutover needs no replay of the historical corpus (at 100 TB of history
+  * that replay is the migration blocker). handleInitialState seeds the
+  * counters AND registers an event-time timer at the cutoff, so a user with
+  * history but no post-cutoff traffic still emits its totals when the
+  * watermark first advances — the fold misses nobody regardless of the
+  * stream's key coverage. Snapshots are monotone from the warm base, so the
+  * downstream max-fold equals the full-history batch GROUP BY.
+  */
+final class UserTwsInitProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, Ev, UserTotals, UserHist] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+    TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var nState: ValueState[Long] = _
+  @transient private var centsState: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    centsState = getHandle.getValueState[Long]("cents", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInitialState(key: Long, hist: UserHist,
+      timers: TimerValues): Unit = {
+    nState.update(hist.n)
+    centsState.update(hist.cents)
+    // flush-at-first-watermark guard for history-only users: fires once the
+    // watermark passes the cutoff (immediately after the first micro-batch),
+    // emitting the warm totals even if this key never sees stream traffic
+    getHandle.registerTimer(Streaming.TwsInitCutoff.getTime)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timers: TimerValues): Iterator[UserTotals] = {
+    var n = if (nState.exists()) nState.get() else 0L
+    var cents = if (centsState.exists()) centsState.get() else 0L
+    rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+    nState.update(n)
+    centsState.update(cents)
+    Iterator.single(UserTotals(key, n, cents))
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[UserTotals] =
+    if (!nState.exists()) Iterator.empty
+    else Iterator.single(UserTotals(key, nState.get(), centsState.get()))
+}
+
 object Streaming {
   type Q = (SparkSession, String) => DataFrame
+
+  /** History/stream boundary for q_stream_tws_initial (events span
+    * 2024-01-01..31 at every SF; mid-month keeps both sides populated). */
+  val TwsInitCutoff: java.sql.Timestamp =
+    java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
 
   private val Chunks = 4
 
@@ -499,6 +558,38 @@ object Streaming {
           col(s"value.${vcols(0)}").as("n_events"),
           col(s"value.${vcols(1)}").as("sum_cents"))
         .filter(col("user_id") >= 0)
+        .orderBy("user_id")
+    },
+
+    // transformWithState WITH INITIAL STATE — batch history warm-starts the
+    // stream's state store (see UserTwsInitProcessor): history = batch
+    // aggregate of events before the cutoff, stream = only the tail after
+    // it; totals must equal the FULL-history batch GROUP BY, proving the
+    // cutover lost nothing and replayed nothing.
+    "q_stream_tws_initial" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val cutoff = lit(TwsInitCutoff)
+      val hist = Tables.load(s, dir, "events")
+        .filter(col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum((col("value").cast(DecimalType(12, 2)) * 100).cast("long"))
+            .as("cents"))
+        .as[UserHist](Encoders.product[UserHist])
+        .groupByKey(_.user_id)(Encoders.scalaLong)
+      val tail = eventStream(s, dir, "events_tail",
+          prep = _.filter(col("ts") >= cutoff))
+        .withWatermark("ts", "30 minutes")
+        .as[Ev](Encoders.product[Ev])
+      val out = tail.groupByKey(_.user_id)(Encoders.scalaLong)
+        .transformWithState[UserTotals, UserHist](new UserTwsInitProcessor,
+          TimeMode.EventTime(), OutputMode.Update(), hist)(
+          Encoders.product[UserTotals], Encoders.product[UserHist])
+      runToMemory(out.toDF(), "graft_stream_tws_init", mode = "update",
+          provider = RocksProvider)
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"), max("sum_cents").as("sum_cents"))
         .orderBy("user_id")
     },
 
@@ -1067,6 +1158,14 @@ object Streaming {
 
     // the state files hold exactly the batch totals (no eviction configured)
     "q_stream_state_reader" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // warm-started stream totals must equal the FULL-history aggregation
+    "q_stream_tws_initial" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events

@@ -1306,6 +1306,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("UNPIVOT is a map-only Expand over the aggregate — no extra shuffle") {
+    val plan = planOf(Relational.queries("q_unpivot")(spark, sfDir))
+    assert(plan.contains("Expand"), plan)
+    // exactly two Exchanges: the groupBy's and the final global sort's —
+    // the reshape itself must add none
+    val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange"""))
+    assert(exchanges <= 2, s"$exchanges Exchanges:\n$plan")
+  }
+
   test("SQL UDF is inlined by the analyzer: no UDF node, stays in codegen") {
     val plan = planOf(Relational.queries("q_sql_udf")(spark, sfDir))
     // the function must dissolve into its decimal arithmetic — an opaque

@@ -400,6 +400,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(fromState == batch)
   }
 
+  test("initial-state warm start: stream over the tail equals FULL-history totals") {
+    val streamed = Streaming.queries("q_stream_tws_initial")(spark, sfDir)
+      .collect().toSet
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(12,2)") * 100).cast("long"))
+          .as("sum_cents"))
+      .orderBy("user_id")
+      .collect().toSet
+    assert(streamed == batch)
+    // the cutover split is real on this fixture: both halves are non-empty
+    val cutoff = Streaming.TwsInitCutoff
+    val pre = Tables.load(spark, sfDir, "events").filter(col("ts") < lit(cutoff)).count()
+    val post = Tables.load(spark, sfDir, "events").filter(col("ts") >= lit(cutoff)).count()
+    assert(pre > 0 && post > 0, s"degenerate cutoff: pre=$pre post=$post")
+  }
+
   test("transformWithState totals equal the batch aggregation (3 state vars + timers)") {
     val streamed = Streaming.queries("q_stream_transform_state")(spark, sfDir)
       .collect().toSet
