@@ -1288,6 +1288,47 @@ object Storage {
         .select("id", "v").orderBy("id")
     },
 
+    // Repair preview (`nodetool repair --preview` — the validation phase):
+    // per-replica range DIGESTS, compared without healing anything. Each
+    // replica is read VERBATIM via the 'replica' debug option (a CL read
+    // would trigger blocking read repair and destroy the divergence it is
+    // supposed to report); rows hash portably (md5-derived bigint) and sum
+    // order-independently into one digest per validation range (id mod 16 —
+    // the token-subrange granule stand-in), so a range's replicas agree iff
+    // digests and counts agree. The stale write is scoped to ranges 0-3, so
+    // the preview reports exactly those out of sync and the other 12 clean —
+    // the ranges anti-entropy would stream vs skip. At 100 TB this is the
+    // shape that matters: digests are one aggregate row per (replica,
+    // range); the full-resolution diff never leaves the nodes.
+    "q_kv_repair_preview" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
+      s.sql("DROP TABLE IF EXISTS graftcat.testks.rp")
+      s.sql("CREATE TABLE graftcat.testks.rp (id BIGINT, v BIGINT, wt BIGINT) " +
+        "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'rf'='2')")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey").as("id"))
+      o.select(col("id"), (col("id") * 10).as("v"), lit(1000000L).as("wt"))
+        .writeTo("graftcat.testks.rp").append()
+      // the divergence: replica 0 misses an update to ranges 0-3
+      o.filter(pmod(col("id"), lit(16)) < 4)
+        .select(col("id"), (col("id") * 30).as("v"), lit(2000000L).as("wt"))
+        .writeTo("graftcat.testks.rp").option("failreplica", "0").append()
+      def digests(rep: Int) = s.read.option("replica", rep.toString)
+        .table("graftcat.testks.rp")
+        .withColumn("rng", pmod(col("id"), lit(16)))
+        .withColumn("h", expr("cast(conv(substring(md5(" +
+          "concat_ws('|', id, v, wt)),1,8),16,10) as bigint)"))
+        .groupBy("rng")
+        .agg(sum("h").as(s"digest$rep"), count(lit(1)).as(s"n$rep"))
+      digests(0).join(digests(1), "rng")
+        .withColumn("in_sync",
+          (col("digest0") === col("digest1") && col("n0") === col("n1"))
+            .cast("int"))
+        .select("rng", "n0", "n1", "digest0", "digest1", "in_sync")
+        .orderBy("rng")
+    },
+
     // CQL `WITH default_time_to_live = N`: a write with NO explicit TTL
     // expires after the table default; an explicit `USING TTL` overrides,
     // and `USING TTL 0` disables even the default (immortal). Three write
@@ -3510,6 +3551,28 @@ object Storage {
         |       ELSE o_orderkey * 10 END AS v
         |FROM orders WHERE o_orderkey <= 400
         |ORDER BY id""".stripMargin,
+
+    // both replica states recomputed: replica 0 = first write only; replica
+    // 1 = LWW of both (update wins on ranges 0-3); digest = same md5-bigint
+    // sum per id%16 range
+    "q_kv_repair_preview" ->
+      """WITH ids AS (SELECT o_orderkey AS id FROM orders WHERE o_orderkey <= 400),
+        |r0 AS (SELECT id, id * 10 AS v, 1000000 AS wt FROM ids),
+        |r1 AS (SELECT id,
+        |  CASE WHEN id % 16 < 4 THEN id * 30 ELSE id * 10 END AS v,
+        |  CASE WHEN id % 16 < 4 THEN 2000000 ELSE 1000000 END AS wt FROM ids),
+        |d0 AS (SELECT CAST(id % 16 AS BIGINT) AS rng, COUNT(*) AS n0,
+        |  CAST(SUM(('0x'||substr(md5(id||'|'||v||'|'||wt),1,8))::BIGINT)
+        |    AS BIGINT) AS digest0
+        |  FROM r0 GROUP BY 1),
+        |d1 AS (SELECT CAST(id % 16 AS BIGINT) AS rng, COUNT(*) AS n1,
+        |  CAST(SUM(('0x'||substr(md5(id||'|'||v||'|'||wt),1,8))::BIGINT)
+        |    AS BIGINT) AS digest1
+        |  FROM r1 GROUP BY 1)
+        |SELECT rng, n0, n1, digest0, digest1,
+        |  CASE WHEN digest0 = digest1 AND n0 = n1 THEN 1 ELSE 0 END AS in_sync
+        |FROM d0 JOIN d1 USING (rng)
+        |ORDER BY rng""".stripMargin,
 
     // default-TTL replay: writes at epochSeconds 1e6, read clock 1e6+90 —
     // defaulted (60 s) rows expired, explicit 120 s and TTL-0 rows live

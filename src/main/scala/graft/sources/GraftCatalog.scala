@@ -2337,19 +2337,37 @@ class GScanBuilder(tname: String, t: GraftCatalogStore.T,
           i
         case None => 0
       }
+      // 'replica' read option: a DEBUG read of exactly one replica's local
+      // store, verbatim — no LWW merge, no read-repair side effect. This is
+      // what repair --preview / validation compaction builds its digests
+      // from: the preview must observe divergence without healing it (a
+      // repairing read would destroy the evidence it reports). Conflicts
+      // with 'cl' by construction (a CL names a merge contract; a replica
+      // read opts out of one).
+      val repOpt = Option(options.get("replica")).map(_.toInt)
+      repOpt.foreach { i =>
+        require(t.rf > 1,
+          s"table $tname: 'replica' read requires a replicated table (rf>1)")
+        require(i >= 0 && i < t.allReplicas.length,
+          s"table $tname: replica index $i out of range " +
+            s"0..${t.allReplicas.length - 1}")
+        require(options.get("cl") == null,
+          s"table $tname: 'replica' (a verbatim single-replica debug read) " +
+            "conflicts with 'cl'")
+      }
       /** Replica merge scope of the CL; None = a single replica, no merge. */
       def clScope: Option[Array[Int]] =
-        if (t.rf <= 1) None
+        if (t.rf <= 1 || repOpt.isDefined) None
         else cl match {
           case "one" | "local_one" => None
           case "local_quorum" => Some(t.dcReplicas(dcIdx))
           case _ => Some(t.allReplicas.indices.toArray) // quorum/all
         }
       /** The single replica a no-merge CL reads. */
-      def clSingle: Int = cl match {
+      def clSingle: Int = repOpt.getOrElse(cl match {
         case "local_one" => t.dcReplicas(dcIdx).head
         case _ => 0
-      }
+      })
       // point-in-time read of a named snapshot ('snapshot' read option):
       // serves the linked copy instead of the live store — expiry is still
       // read-time (a snapshot preserves cells, not their liveness), and

@@ -1759,6 +1759,45 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("default_ttl"), e.getMessage)
   }
 
+  test("'replica' debug read serves one replica verbatim with NO repair side effect") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.repdbg")
+    spark.sql("CREATE TABLE graftcat.proptest.repdbg (id INT, v BIGINT, wt BIGINT) " +
+      "TBLPROPERTIES ('key'='id', 'writetime'='wt', 'rf'='2')")
+    def rep(i: Int): Map[Int, Long] =
+      spark.read.option("replica", i.toString).table("graftcat.proptest.repdbg")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    spark.sql("SELECT * FROM VALUES (1, 10L, 100L), (2, 20L, 100L) AS t(id, v, wt)")
+      .writeTo("graftcat.proptest.repdbg").append()
+    spark.sql("SELECT 1 AS id, 111L AS v, 200L AS wt")
+      .writeTo("graftcat.proptest.repdbg").option("failreplica", "0").append()
+    // the two replicas disagree, and reading them does NOT heal anything:
+    // a second pass still sees the same divergence (the preview contract)
+    (1 to 2).foreach { pass =>
+      assert(rep(0) == Map(1 -> 10L, 2 -> 20L), s"pass $pass: ${rep(0)}")
+      assert(rep(1) == Map(1 -> 111L, 2 -> 20L), s"pass $pass: ${rep(1)}")
+    }
+    // a QUORUM read repairs; replica reads then converge
+    spark.read.option("cl", "quorum").table("graftcat.proptest.repdbg").collect()
+    assert(rep(0) == rep(1) && rep(0)(1) == 111L, s"${rep(0)} vs ${rep(1)}")
+    // guards: out-of-range index, cl conflict, unreplicated table
+    def msg(f: => Unit): String = {
+      val e = intercept[Exception](f)
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("; ")
+    }
+    assert(msg(spark.read.option("replica", "2")
+      .table("graftcat.proptest.repdbg").collect()).contains("out of range"))
+    assert(msg(spark.read.option("replica", "0").option("cl", "quorum")
+      .table("graftcat.proptest.repdbg").collect()).contains("conflicts with 'cl'"))
+    spark.sql("DROP TABLE IF EXISTS graftcat.proptest.repdbg1")
+    spark.sql("CREATE TABLE graftcat.proptest.repdbg1 (id INT, v BIGINT) " +
+      "TBLPROPERTIES ('key'='id')")
+    assert(msg(spark.read.option("replica", "0")
+      .table("graftcat.proptest.repdbg1").collect()).contains("rf>1"))
+  }
+
   test("replicated table: CL=ONE sees the stale replica, CL=QUORUM merges and repairs") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
