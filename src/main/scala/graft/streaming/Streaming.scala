@@ -880,6 +880,28 @@ object Streaming {
         .orderBy("event_id")
     },
 
+    // CHAINED stateful operators in one query (Spark 3.4+ multi-stateful
+    // support): watermark-bounded dedup feeds a tumbling-window aggregation
+    // — the production ingest shape (at-least-once transport duplicates
+    // dropped, THEN windowed rollup) that previously required two jobs with
+    // an intermediate topic. One watermark drives both state stores; the
+    // injected every-97th duplicate must not inflate any window's count, so
+    // the finished sink equals the plain batch aggregation over the
+    // original events.
+    "q_stream_chained" -> { (s, dir) =>
+      val out = eventStream(s, dir, "chained",
+          prep = df => df.unionByName(df.filter(col("event_id") % 97 === 0)))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum("value").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      runToMemory(out, "graft_stream_chained")
+        .filter(col("event_type") =!= "__sentinel")
+        .orderBy("w_start", "event_type")
+    },
+
     // CDC on the KV table (the connector stack's Cassandra CDC analog): the
     // registry's commit changelog — snapshot + three deterministic upsert
     // waves — is consumed as a MicroBatchStream (offset = commit count,
@@ -1234,6 +1256,16 @@ object Streaming {
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // dedup drops the injected duplicates exactly, so the chained window
+    // agg equals the batch rollup over the ORIGINAL events
+    "q_stream_chained" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_stream_milestones" ->
       """WITH c AS (

@@ -387,6 +387,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out.select("event_id").distinct().count() == total)
   }
 
+  test("chained stateful ops: dedup feeds the window agg inside ONE query") {
+    val streamed = Streaming.queries("q_stream_chained")(spark, sfDir)
+      .collect().toSet
+    val ev = Tables.load(spark, sfDir, "events")
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .collect().toSet
+    // equals the clean rollup…
+    assert(streamed == roll(ev))
+    // …and NOT the rollup over the duplicated stream — i.e. the in-query
+    // dedup stage really dropped the injected copies (fixture is non-trivial)
+    val dup = roll(ev.unionByName(ev.filter(col("event_id") % 97 === 0)))
+    assert(streamed != dup, "injection was a no-op — degenerate fixture")
+  }
+
   test("statestore reader reproduces the batch totals from the state files") {
     val fromState = Streaming.queries("q_stream_state_reader")(spark, sfDir)
       .collect().toSet
