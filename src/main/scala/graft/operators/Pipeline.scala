@@ -1093,6 +1093,34 @@ object Pipeline {
     // (width/height derived deterministically from n_chars), struct field
     // extraction, byte length and a content digest. The BinaryType payload
     // tier is q_multimodal_decode below.
+    // Multimodal frame sampling (the video-shaped member of the decode /
+    // feature-extract / resize / frame-sample family): the payload (text
+    // bytes standing in for a video blob — no codec ships here, same
+    // documented stub rule as q_multimodal_decode) is treated as a sequence
+    // of fixed 64-byte frames; every 4th frame is sampled (the stride-
+    // sampling every video pipeline runs so feature extraction touches
+    // seconds, not every frame), each sampled frame fingerprinted, and the
+    // ordered sample digests roll up to one thumbnail fingerprint per doc —
+    // the compact representation a near-dup video index stores. All
+    // per-frame work is codegen'd string/hash ops fanned out by a bounded
+    // explode (frames/4 rows per doc, linear in payload size); the rollup
+    // is one map-side-combinable groupBy.
+    "q_multimodal_frames" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("n_frames", (octet_length(col("text")) / 64).cast("int"))
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id"), col("n_frames"),
+          explode(expr("sequence(0, n_frames - 1, 4)")).as("f"),
+          col("text"))
+        .withColumn("frame_digest", md5(expr("substring(text, f * 64 + 1, 64)")))
+        .groupBy("doc_id", "n_frames")
+        .agg(count(lit(1)).as("n_sampled"),
+          md5(concat_ws("", expr(
+            "transform(array_sort(collect_list(struct(f, frame_digest))), " +
+              "x -> x.frame_digest)"))).as("thumb_digest"))
+        .orderBy("doc_id")
+    },
+
     "q_multimodal_meta" -> { (s, dir) =>
       docs(s, dir)
         .withColumn("meta",
@@ -1962,6 +1990,27 @@ object Pipeline {
         |      list_transform(w, wd -> ('0x'||substr(md5(wd),1,8))::BIGINT)),
         |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // same 64-byte framing / stride-4 sampling; ASCII corpus ⇒ char and
+    // byte offsets agree, so substr-based frames match Spark's
+    "q_multimodal_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(floor(strlen(text) / 64) AS INT) AS n_frames
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_frames, CAST(UNNEST(range(0, n_frames, 4)) AS INT) AS f,
+        |    text
+        |  FROM d WHERE n_frames > 0),
+        |g AS (
+        |  SELECT doc_id, n_frames, f,
+        |    md5(substr(text, f * 64 + 1, 64)) AS frame_digest
+        |  FROM f)
+        |SELECT doc_id, n_frames, COUNT(*) AS n_sampled,
+        |  md5(string_agg(frame_digest, '' ORDER BY f)) AS thumb_digest
+        |FROM g
+        |GROUP BY doc_id, n_frames
+        |ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
