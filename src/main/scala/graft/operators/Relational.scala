@@ -272,6 +272,28 @@ object Relational {
         ORDER BY month_start""")
     },
 
+    // SQL pipe syntax (Spark 4.x `|>` operators): the same monthly-rollup
+    // query a warehouse author would write top-to-bottom — source, filter,
+    // derive, aggregate, post-filter, order — each stage reading as a step
+    // instead of inside-out nested SQL. Pure FRONT-END sugar: the parser
+    // lowers it to the identical logical plan (filter → project → aggregate
+    // → filter → sort), so Catalyst optimizes and codegens exactly as the
+    // classic form; zero runtime surface. The post-AGGREGATE WHERE is the
+    // HAVING shape without the keyword.
+    "q_sql_pipe" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m
+        |> AGGREGATE COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue
+           GROUP BY m
+        |> WHERE n_orders > 5
+        |> ORDER BY m""")
+    },
+
     // UNPIVOT (melt): wide per-segment metrics reshaped to long
     // (segment, metric, value) form — q_pivot's inverse, and the feed shape
     // metric stores and plotting layers want. Dataset.unpivot is a MAP-ONLY
@@ -1211,6 +1233,17 @@ object Relational {
         |  CAST(coalesce(r.revenue, 0.0) AS DOUBLE) AS revenue
         |FROM spine s LEFT JOIN r ON s.m = r.m
         |ORDER BY month_start""".stripMargin,
+
+    // classic GROUP BY + HAVING — the pipe form lowers to exactly this
+    "q_sql_pipe" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY 1
+        |HAVING COUNT(*) > 5
+        |ORDER BY m""".stripMargin,
 
     // result-equivalent UNION ALL melt (metric = source column name)
     "q_unpivot" -> {
