@@ -477,6 +477,42 @@ object Pipeline {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Containment near-dup (ASYMMETRIC): |A∩B| / min(|A|,|B|) over trigram
+    // sets — catches a short doc embedded inside a long one, where
+    // symmetric Jaccard stays low (|A∪B| is dominated by the long doc) and
+    // prefix blocking can't see mid-document containment at all. Candidates
+    // come from a shingle INVERTED INDEX self-join: a pair is considered
+    // once per shared trigram, so the per-pair count IS the exact
+    // intersection size — no array intersection ever materializes. The
+    // BucketCap on shingle postings doubles as the stop-shingle filter a
+    // production containment index applies: at corpus scale every common
+    // trigram exceeds the cap and drops, leaving only discriminative
+    // shingles to generate pairs (mirrored in the oracle, so counts agree
+    // by construction). Set sizes |A| are the UNCAPPED distinct counts,
+    // carried through the join rather than recomputed.
+    "q_containment" -> { (s, dir) =>
+      val base = docsPar(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), expr(s"array_distinct(${ngramExpr(3)})").as("sh"))
+      val inv = base.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("g"))
+      val capped = inv
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("bn") <= BucketCap)
+      capped.as("a").join(capped.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("containment",
+          round(col("n_shared") / least(col("n_a"), col("n_b")), 6))
+        .filter(col("containment") >= 0.9)
+        .select("doc_a", "doc_b", "n_shared", "containment")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Edit-distance near-dup verification: Levenshtein over the fingerprint-
     // blocked candidate pairs — character-level similarity where the other
     // strategies are token/vector-level. Scale: the O(len²) per-pair cost is
@@ -1544,6 +1580,31 @@ object Pipeline {
         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         |FROM base a JOIN base b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // identical inverted-index pair counting; the capped postings make the
+    // per-pair COUNT(*) equal Spark's by construction
+    "q_containment" ->
+      s"""WITH d AS ($docsW),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |  FROM d WHERE len(w) >= 3),
+        |inv AS (SELECT doc_id, len(sh) AS n, UNNEST(sh) AS g FROM s),
+        |cap AS (
+        |  SELECT doc_id, n, g FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY g) AS bn FROM inv)
+        |  WHERE bn <= $BucketCap),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+        |    COUNT(*) AS n_shared
+        |  FROM cap a JOIN cap b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  round(n_shared * 1.0 / least(n_a, n_b), 6) AS containment
+        |FROM p
+        |WHERE round(n_shared * 1.0 / least(n_a, n_b), 6) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_edit_distance" ->

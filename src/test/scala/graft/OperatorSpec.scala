@@ -356,6 +356,18 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(rows.exists(_.getDouble(3) == 1.0))
   }
 
+  test("containment is asymmetric: bounds hold and it dominates Jaccard per pair") {
+    val cont = Pipeline.queries("q_containment")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(cont.nonEmpty)
+    cont.values.foreach(c => assert(c >= 0.9 && c <= 1.0, c))
+    // for any pair both strategies surface: |A∩B|/min ≥ |A∩B|/|A∪B|
+    val jac = Pipeline.queries("q_ngram_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val both = cont.keySet intersect jac.keySet
+    both.foreach(k => assert(cont(k) >= jac(k) - 1e-9, s"$k: ${cont(k)} < ${jac(k)}"))
+  }
+
   test("PQ-ADC: 3 ranked candidates per query, ADC-ordered, nonzero recall") {
     val rows = Similarity.queries("q_pq_adc")(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getLong(0))
