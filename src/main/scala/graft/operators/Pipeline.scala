@@ -477,6 +477,28 @@ object Pipeline {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Boolean AND retrieval over the corpus inverted index: find every doc
+    // containing ALL of the query terms — the filter-side primitive next to
+    // TF-IDF's ranking side. The query here is self-deriving (top-3 corpus
+    // terms by frequency, count-desc/word-asc tie-break) so the oracle needs
+    // no magic literals. Shape at scale: the k-term query broadcasts, the
+    // corpus explodes once to (doc, term) postings, the semi-match reduces
+    // map-side to per-doc matched-term counts, and `matched == k` is the
+    // posting-list intersection — no doc ever compares against another.
+    "q_boolean_search" -> { (s, dir) =>
+      val tok = docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val terms = tok.groupBy("w").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("w").asc).limit(3)
+        .select(col("w"), col("tf"))
+      tok.join(broadcast(terms.select("w")), "w")
+        .groupBy("doc_id")
+        .agg(countDistinct("w").as("matched"), count(lit(1)).as("n_hits"))
+        .filter(col("matched") === 3)
+        .select(col("doc_id"), col("n_hits"))
+        .orderBy("doc_id")
+    },
+
     // Containment near-dup (ASYMMETRIC): |A∩B| / min(|A|,|B|) over trigram
     // sets — catches a short doc embedded inside a long one, where
     // symmetric Jaccard stays low (|A∪B| is dominated by the long doc) and
@@ -1581,6 +1603,22 @@ object Pipeline {
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         |FROM base a JOIN base b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same self-deriving top-3 terms, then docs matching all three
+    "q_boolean_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |terms AS (
+        |  SELECT w FROM (
+        |    SELECT w, COUNT(*) AS tf FROM tok GROUP BY w
+        |    ORDER BY tf DESC, w ASC LIMIT 3)),
+        |m AS (
+        |  SELECT t.doc_id, COUNT(DISTINCT t.w) AS matched, COUNT(*) AS n_hits
+        |  FROM tok t JOIN terms USING (w)
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+        |FROM m WHERE matched = 3
+        |ORDER BY doc_id""".stripMargin,
 
     // identical inverted-index pair counting; the capped postings make the
     // per-pair COUNT(*) equal Spark's by construction

@@ -44,7 +44,7 @@ object ScaleBench {
     // dedup family — every banded/blocked candidate generator
     "q_dedup_exact", "q_dedup_incremental", "q_minhash_lsh", "q_simhash",
     "q_ngram_jaccard", "q_edit_distance", "q_dup_clusters", "q_image_neardup",
-    "q_substring_dedup",
+    "q_substring_dedup", "q_containment",
     // similarity family
     "q_embed_neardup_lsh", "q_cosine_topk", "q_cosine_topk_ivf",
     "q_semantic_dedup", "q_pq_adc",
@@ -59,7 +59,8 @@ object ScaleBench {
     "q1_pricing_summary", "q9_product_profit", "q16_supplier_parts",
     "q_sessionize_batch", "q_skew_salted_join", "q_dedup_incremental",
     "q_minhash_lsh", "q_dup_clusters", "q_embed_neardup_lsh",
-    "q_semantic_dedup", "q_tfidf", "q_substring_dedup", "q_pq_adc")
+    "q_semantic_dedup", "q_tfidf", "q_substring_dedup", "q_pq_adc",
+    "q_containment")
 
   def main(args: Array[String]): Unit = {
     val x10Dir = args.lift(0).getOrElse("/root/repo/target/scaledata/sf1")
