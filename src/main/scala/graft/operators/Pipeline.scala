@@ -499,6 +499,44 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // BM25 ranked retrieval (k1=1.2, b=0.75) — the ranking side of the
+    // search pair (q_boolean_search filters, this scores): same
+    // self-deriving top-3 query, Robertson idf, per-term contributions
+    // joined from THREE broadcast-sized stats (term df, 1-row corpus
+    // stats, the 3-term tf table) against the per-doc length table — the
+    // corpus explodes once and nothing doc-to-doc ever joins. Float
+    // discipline: avgdl is exact-integer Σdl/N (one deterministic double
+    // division, never a partial-averaged double), the ≤3 per-doc
+    // contributions fold over a SORTED list so addition order is pinned,
+    // and the score rounds to 6 dp before the rank sort — the same rules
+    // that keep tfidf/entropy cross-engine stable. Formula text is written
+    // identically here and in the oracle (same association order).
+    "q_bm25" -> { (s, dir) =>
+      val tok = docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      tok.count() // materialize once: feeds dl, term stats and tf
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+      val terms = tok.groupBy("w").agg(count(lit(1)).as("ctf"))
+        .orderBy(col("ctf").desc, col("w").asc).limit(3).select("w")
+      val tf = tok.join(broadcast(terms), "w")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "w").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("c", expr(
+          "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2" +
+            " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (total_dl / n_docs)))"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          expr("round(aggregate(array_sort(collect_list(c)), " +
+            "cast(0.0 as double), (a, x) -> a + x), 6)").as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+        .select("doc_id", "n_terms", "bm25")
+    },
+
     // Containment near-dup (ASYMMETRIC): |A∩B| / min(|A|,|B|) over trigram
     // sets — catches a short doc embedded inside a long one, where
     // symmetric Jaccard stays low (|A∪B| is dominated by the long doc) and
@@ -1603,6 +1641,34 @@ object Pipeline {
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         |FROM base a JOIN base b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same derivation; formula text identical to the engine's (association
+    // order included), sorted-fold sum, round-6 before the rank sort
+    "q_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl
+        |          FROM dlen),
+        |terms AS (SELECT w FROM (
+        |  SELECT w, COUNT(*) AS ctf FROM tok GROUP BY w
+        |  ORDER BY ctf DESC, w ASC LIMIT 3)),
+        |tft AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+        |        JOIN terms USING (w) GROUP BY doc_id, w),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tft GROUP BY w),
+        |contrib AS (
+        |  SELECT tft.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (total_dl / n_docs))) AS c
+        |  FROM tft JOIN dfq USING (w) JOIN dlen USING (doc_id), stats),
+        |g AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |    round(list_reduce(list_concat([0.0::DOUBLE], list_sort(list(c))),
+        |      (a, v) -> a + v), 6) AS bm25
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT doc_id, n_terms, bm25 FROM g
+        |ORDER BY bm25 DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
 
     // same self-deriving top-3 terms, then docs matching all three
     "q_boolean_search" ->

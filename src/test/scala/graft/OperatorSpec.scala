@@ -356,6 +356,15 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(rows.exists(_.getDouble(3) == 1.0))
   }
 
+  test("BM25: top-20 ranked, scores positive and non-increasing, ≤3 terms hit") {
+    val rows = Pipeline.queries("q_bm25")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, scores.toSeq)
+    rows.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= 3))
+  }
+
   test("containment is asymmetric: bounds hold and it dominates Jaccard per pair") {
     val cont = Pipeline.queries("q_containment")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
