@@ -294,6 +294,31 @@ object Relational {
         |> ORDER BY m""")
     },
 
+    // SQL scripting (Spark 4.x BEGIN…END control flow): an exponential
+    // threshold search — double `thr` until fewer than 100 orders clear it —
+    // DECLAREd variables and a WHILE loop driving real scans, the procedural
+    // shape ops teams ship as stored-proc-style maintenance jobs. ~20 scalar
+    // iterations, each one pushed-down count; the loop is over a SCALAR, the
+    // data side stays set-based per iteration (the scale-safe scripting
+    // rule — row-at-a-time cursors are the anti-pattern, not loops). The
+    // oracle exploits count monotonicity in thr: the first power of two
+    // with n < 100 is exactly where the loop stops.
+    "q_sql_script" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql("""
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 1;
+          DECLARE n BIGINT DEFAULT 0;
+          SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice >= thr);
+          WHILE n >= 100 DO
+            SET thr = thr * 2;
+            SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice >= thr);
+          END WHILE;
+          SELECT thr, n AS n_above;
+        END""")
+    },
+
     // UNPIVOT (melt): wide per-segment metrics reshaped to long
     // (segment, metric, value) form — q_pivot's inverse, and the feed shape
     // metric stores and plotting layers want. Dataset.unpivot is a MAP-ONLY
@@ -1244,6 +1269,20 @@ object Relational {
         |GROUP BY 1
         |HAVING COUNT(*) > 5
         |ORDER BY m""".stripMargin,
+
+    // closed form of the exponential search: counts are monotone
+    // non-increasing in thr, so the loop stops at the FIRST power of two
+    // whose count drops below 100
+    "q_sql_script" ->
+      """WITH p AS (
+        |  SELECT CAST(power(2, i) AS BIGINT) AS thr FROM range(0, 41) t(i)),
+        |c AS (
+        |  SELECT thr,
+        |    (SELECT COUNT(*) FROM orders WHERE o_totalprice >= thr) AS n_above
+        |  FROM p)
+        |SELECT thr, n_above FROM c
+        |WHERE n_above < 100
+        |ORDER BY thr LIMIT 1""".stripMargin,
 
     // result-equivalent UNION ALL melt (metric = source column name)
     "q_unpivot" -> {
