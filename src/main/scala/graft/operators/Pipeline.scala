@@ -499,6 +499,49 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // In-engine classifier TRAINING (the CCNet/LLaMA-pipeline "train a
+    // quality/language classifier, then filter the crawl" step — until now
+    // the engine only APPLIED heuristic scores): a batch perceptron over
+    // exact-integer features (bias, capped token count, milli-scaled mean
+    // word length) against the lang=='en' label. Each round is ONE filtered
+    // aggregation — misclassified rows under the current weights contribute
+    // Σ y·x per feature, map-side combined; only the 3 weight longs visit
+    // the driver between rounds (the kmeans/BPE precedent). All arithmetic
+    // is bigint, so weights, margins and the final accuracy are
+    // bit-identical across engines, partitionings and reduction orders —
+    // no sigmoid, no float gradient. 3 rounds unrolled in the oracle.
+    // Scale note: margins are bounded by rounds×|corpus|×feature-range;
+    // ANSI mode would fail loudly on bigint overflow rather than corrupt —
+    // a production run rescales features per round.
+    "q_classifier_train" -> { (s, dir) =>
+      val Rounds = 3
+      val x = docsPar(s, dir).select(
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+          lit(1L).as("x0"),
+          least(size(split(col("text"), " ")).cast("long"), lit(1000L)).as("x1"),
+          expr("cast(n_chars * 1000 as bigint) div " +
+            "cast(greatest(size(split(text, ' ')), 1) as bigint)").as("x2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        x.count() // materialize once for Rounds+1 passes
+        val w = Array(0L, 0L, 0L)
+        def margin = col("y") *
+          (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") + lit(w(2)) * col("x2"))
+        (1 to Rounds).foreach { _ =>
+          val upd = x.filter(margin <= 0)
+            .agg(sum(col("y") * col("x0")), sum(col("y") * col("x1")),
+              sum(col("y") * col("x2")))
+            .head()
+          (0 until 3).foreach(j =>
+            w(j) += (if (upd.isNullAt(j)) 0L else upd.getLong(j)))
+        }
+        x.agg(count(lit(1)).as("n_docs"),
+            sum(when(margin > 0, 1L).otherwise(0L)).as("n_correct"))
+          .select(col("n_docs"), col("n_correct"),
+            lit(w(0)).as("w0"), lit(w(1)).as("w1"), lit(w(2)).as("w2"))
+      } finally { x.unpersist(); () }
+    },
+
     // BM25 ranked retrieval (k1=1.2, b=0.75) — the ranking side of the
     // search pair (q_boolean_search filters, this scores): same
     // self-deriving top-3 query, Robertson idf, per-term contributions
@@ -1641,6 +1684,42 @@ object Pipeline {
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         |FROM base a JOIN base b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // fully unrolled 3-round batch perceptron: uN = Σ y·x over rows
+    // misclassified under w(N-1); round 1 has w=0 so every row updates
+    "q_classifier_train" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |    CAST(1 AS BIGINT) AS x0,
+        |    CAST(least(len(string_split(text, ' ')), 1000) AS BIGINT) AS x1,
+        |    CAST(n_chars * 1000 // greatest(len(string_split(text, ' ')), 1)
+        |      AS BIGINT) AS x2
+        |  FROM documents),
+        |w1 AS (
+        |  SELECT CAST(COALESCE(SUM(y*x0),0) AS BIGINT) AS w0,
+        |    CAST(COALESCE(SUM(y*x1),0) AS BIGINT) AS w1,
+        |    CAST(COALESCE(SUM(y*x2),0) AS BIGINT) AS w2
+        |  FROM f),
+        |u2 AS (
+        |  SELECT CAST(COALESCE(SUM(f.y*f.x0),0) AS BIGINT) AS d0,
+        |    CAST(COALESCE(SUM(f.y*f.x1),0) AS BIGINT) AS d1,
+        |    CAST(COALESCE(SUM(f.y*f.x2),0) AS BIGINT) AS d2
+        |  FROM f, w1 WHERE f.y*(w1.w0*f.x0 + w1.w1*f.x1 + w1.w2*f.x2) <= 0),
+        |w2_ AS (SELECT w1.w0 + u2.d0 AS w0, w1.w1 + u2.d1 AS w1,
+        |        w1.w2 + u2.d2 AS w2 FROM w1, u2),
+        |u3 AS (
+        |  SELECT CAST(COALESCE(SUM(f.y*f.x0),0) AS BIGINT) AS d0,
+        |    CAST(COALESCE(SUM(f.y*f.x1),0) AS BIGINT) AS d1,
+        |    CAST(COALESCE(SUM(f.y*f.x2),0) AS BIGINT) AS d2
+        |  FROM f, w2_ WHERE f.y*(w2_.w0*f.x0 + w2_.w1*f.x1 + w2_.w2*f.x2) <= 0),
+        |w3 AS (SELECT w2_.w0 + u3.d0 AS w0, w2_.w1 + u3.d1 AS w1,
+        |       w2_.w2 + u3.d2 AS w2 FROM w2_, u3)
+        |SELECT (SELECT COUNT(*) FROM f) AS n_docs,
+        |  (SELECT CAST(SUM(CASE WHEN f.y*(w3.w0*f.x0 + w3.w1*f.x1
+        |     + w3.w2*f.x2) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM f, w3) AS n_correct,
+        |  w3.w0, w3.w1, w3.w2
+        |FROM w3""".stripMargin,
 
     // same derivation; formula text identical to the engine's (association
     // order included), sorted-fold sum, round-6 before the rank sort

@@ -356,6 +356,15 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(rows.exists(_.getDouble(3) == 1.0))
   }
 
+  test("perceptron training: one summary row, sane accuracy bounds, learned weights") {
+    val r = Pipeline.queries("q_classifier_train")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (n, correct) = (r(0).getLong(0), r(0).getLong(1))
+    assert(n > 0 && correct >= 0 && correct <= n, r(0).toString)
+    // three rounds over a labeled corpus must move SOME weight off zero
+    assert((2 to 4).exists(j => r(0).getLong(j) != 0L), r(0).toString)
+  }
+
   test("BM25: top-20 ranked, scores positive and non-increasing, ≤3 terms hit") {
     val rows = Pipeline.queries("q_bm25")(spark, sfDir).collect()
     assert(rows.length == 20)
