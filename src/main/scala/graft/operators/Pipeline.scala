@@ -499,6 +499,30 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Dataset card (the "datasheet for datasets" release artifact): one
+    // summary row a corpus publisher ships next to the data — volume,
+    // token mass, language/source breadth, exact-duplicate mass, length
+    // envelope. One pass, one aggregate; the two COUNT(DISTINCT)s and the
+    // fingerprint distinct are the only memory-bearing pieces and all
+    // partial-aggregate. Mean length is exact Σtokens/N computed once
+    // post-agg (a single deterministic double division, never avg()'s
+    // partial-averaged doubles).
+    "q_dataset_card" -> { (s, dir) =>
+      docsPar(s, dir)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          md5(col("text")).as("fp"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("ntok").as("n_tokens"),
+          countDistinct("lang").as("n_langs"),
+          countDistinct("source").as("n_sources"),
+          (count(lit(1)) - countDistinct("fp")).as("n_exact_dups"),
+          min("ntok").as("min_tokens"),
+          max("ntok").as("max_tokens"))
+        .withColumn("mean_tokens", round(col("n_tokens") / col("n_docs"), 6))
+    },
+
     // In-engine classifier TRAINING (the CCNet/LLaMA-pipeline "train a
     // quality/language classifier, then filter the crawl" step — until now
     // the engine only APPLIED heuristic scores): a batch perceptron over
@@ -1684,6 +1708,21 @@ object Pipeline {
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         |FROM base a JOIN base b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dataset_card" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    md5(text) AS fp
+        |  FROM documents)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+        |  MIN(ntok) AS min_tokens, MAX(ntok) AS max_tokens,
+        |  round(CAST(SUM(ntok) AS BIGINT) / COUNT(*), 6) AS mean_tokens
+        |FROM d""".stripMargin,
 
     // fully unrolled 3-round batch perceptron: uN = Σ y·x over rows
     // misclassified under w(N-1); round 1 has w=0 so every row updates
