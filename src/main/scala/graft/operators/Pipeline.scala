@@ -76,6 +76,45 @@ object Pipeline {
     }
   }
 
+  /** Train `rounds` BPE merges — greedy most-frequent adjacent pair,
+    * count-desc/pair-asc tie-break — over the top-200 word vocabulary.
+    * Exactly q_bpe_merges' training loop (same vocab cut, same sentinel
+    * spaces, same replace discipline) returning only the chosen merges, so
+    * q_bpe_encode and the unrolled DuckDB oracle pick identical tables.
+    * Per round only one scalar (the winning pair) visits the driver. */
+  private def bpeTrainMerges(
+      s: SparkSession, dir: String, rounds: Int): Seq[String] = {
+    val words = docsPar(s, dir)
+      .select(explode(split(col("text"), " +")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val top = words
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(pmod(col("wc"), lit(1)))
+          .orderBy(col("wc").desc, col("word").asc)))
+      .filter(col("rn") <= 200)
+      .select(col("wc"),
+        concat(lit(" "), concat_ws(" ", split(col("word"), "")), lit(" "))
+          .as("syms"))
+    var syms = top
+    (1 to rounds).map { _ =>
+      val best = syms
+        .withColumn("l", split(trim(col("syms")), " "))
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(l) - 2), " +
+            "i -> concat(element_at(l, i + 1), ' ', element_at(l, i + 2)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .head().getString(0) // scalar driver action: the chosen merge
+      syms = syms.withColumn("syms", regexp_replace(col("syms"),
+        java.util.regex.Pattern.quote(s" $best "),
+        java.util.regex.Matcher.quoteReplacement(
+          s" ${best.replace(" ", "")} ")))
+      best
+    }
+  }
+
   // MinHash parameters (shared with the DuckDB oracle text below):
   // k=32 permutations h_i(x) = ((2i+1)·x + 12345 + 777i) mod p over 32-bit
   // shingle hashes; 8 bands × 4 rows → pair-catch prob ≈ 1-(1-s^4)^8
@@ -499,6 +538,65 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Phrase search over a POSITIONAL inverted index — the retrieval
+    // family's third member (q_boolean_search filters, q_bm25 ranks, this
+    // matches adjacency): every occurrence of the corpus's most frequent
+    // bigram, found the way a positional index evaluates a phrase query.
+    // The phrase self-derives (top bigram, count-desc/text-asc tie-break)
+    // so the oracle needs no literals. Shape at scale: tokenize emits
+    // (doc, term, pos) postings ONCE, the filter keeps only the two
+    // phrase terms' postings (the inverted-index seek — everything else
+    // dies at the scan), and adjacency is an equi-join on
+    // (doc_id, pos+1) — the full text is never substring-scanned and no
+    // document compares against another.
+    "q_phrase_search" -> { (s, dir) =>
+      val d = docsPar(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val phrase = d
+        .select(explode(expr(ngramExpr(2))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g").asc)
+        .head().getString(0) // scalar driver action: the query phrase
+      val Array(t1, t2) = phrase.split(" ", 2)
+      val post = d
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+        .filter(col("tok").isin(t1, t2))
+      post.filter(col("tok") === t1).as("a")
+        .join(post.filter(col("tok") === t2).as("b"),
+          col("a.doc_id") === col("b.doc_id")
+            && col("b.pos") === col("a.pos") + 1)
+        .select(col("a.doc_id").as("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_occ"))
+        .withColumn("phrase", lit(phrase))
+        .orderBy("doc_id")
+    },
+
+    // Prefix (wildcard) search — `pre*` against the term DICTIONARY: the
+    // fourth retrieval member exercises the sorted-dictionary range scan
+    // (Lucene's PrefixQuery shape). The prefix self-derives (first 3
+    // chars of the most frequent ≥3-char term); matching terms come from
+    // a prefix predicate over the dictionary, which then semi-joins the
+    // postings. Shape at scale: the dictionary is orders of magnitude
+    // smaller than the postings and the prefix prunes it to a handful of
+    // terms that BROADCAST into the postings join — the corpus explodes
+    // once, is filtered map-side, and is never compared doc-to-doc.
+    "q_prefix_search" -> { (s, dir) =>
+      val tok = docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dict = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+      val prefix = dict.filter(length(col("tok")) >= 3)
+        .orderBy(col("tf").desc, col("tok").asc)
+        .head().getString(0).substring(0, 3) // scalar: the query prefix
+      val terms = dict.filter(col("tok").startsWith(prefix)).select("tok")
+      tok.join(broadcast(terms), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct("tok").as("n_terms"))
+        .withColumn("prefix", lit(prefix))
+        .orderBy("doc_id")
+    },
+
     // Dataset card (the "datasheet for datasets" release artifact): one
     // summary row a corpus publisher ships next to the data — volume,
     // token mass, language/source breadth, exact-duplicate mass, length
@@ -901,6 +999,43 @@ object Pipeline {
         out
       }
       rounds.reduce(_ unionAll _).orderBy("round", "rank")
+    },
+
+    // BPE ENCODE — the tokenizer's other half: q_bpe_merges TRAINS the
+    // merge table, this query APPLIES it to encode the whole corpus and
+    // reports per-doc subword counts (the "tokenize the crawl with the
+    // trained tokenizer" pass every training pipeline runs after BPE
+    // training). The 3 learned merges visit the driver as scalars (the
+    // kmeans/BPE-training precedent) and come back as LITERALS folded into
+    // one map-only projection — at 100 TB encoding is embarrassingly
+    // parallel: no shuffle touches the corpus until the per-doc rollup,
+    // and a production run ships the merge table as a broadcast instead of
+    // retraining. Sentinel-space symbol strings keep a merge replacement
+    // ' a b '→' ab ' from matching across symbol boundaries (training's
+    // discipline); regexp_replace here and replace() in DuckDB both scan
+    // left-to-right non-overlapping and resume AFTER the replacement, so
+    // adjacent-pair consumption agrees byte-for-byte.
+    "q_bpe_encode" -> { (s, dir) =>
+      val merges = bpeTrainMerges(s, dir, 3)
+      val enc0 = docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " +")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .withColumn("syms",
+          concat(lit(" "), concat_ws(" ", split(col("word"), "")), lit(" ")))
+      val enc = merges.foldLeft(enc0) { (df, m) =>
+        df.withColumn("syms", regexp_replace(col("syms"),
+          java.util.regex.Pattern.quote(s" $m "),
+          java.util.regex.Matcher.quoteReplacement(s" ${m.replace(" ", "")} ")))
+      }
+      enc
+        .select(col("doc_id"), length(col("word")).cast("long").as("wlen"),
+          size(split(trim(col("syms")), " ")).cast("long").as("ntok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("ntok").as("n_bpe_tokens"),
+          sum("wlen").as("n_chars"))
+        .withColumn("fertility",
+          round(col("n_bpe_tokens") / col("n_words"), 6))
+        .orderBy("doc_id")
     },
 
     "q_vocab_build" -> { (s, dir) =>
@@ -1804,6 +1939,45 @@ object Pipeline {
         |FROM m WHERE matched = 3
         |ORDER BY doc_id""".stripMargin,
 
+    // same self-deriving top bigram; the naive per-doc bigram count equals
+    // the engine's positional-postings adjacency join by construction
+    "q_phrase_search" ->
+      s"""WITH d AS ($docsW),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM d),
+        |top AS (
+        |  SELECT g FROM (
+        |    SELECT g, COUNT(*) AS c FROM bg GROUP BY g
+        |    ORDER BY c DESC, g ASC LIMIT 1)),
+        |m AS (
+        |  SELECT doc_id, COUNT(*) AS n_occ
+        |  FROM bg JOIN top USING (g) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ,
+        |  (SELECT g FROM top) AS phrase
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // same self-deriving 3-char prefix over the term dictionary
+    "q_prefix_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |dict AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok),
+        |p AS (
+        |  SELECT substr(tok, 1, 3) AS pre FROM (
+        |    SELECT tok, tf FROM dict WHERE length(tok) >= 3
+        |    ORDER BY tf DESC, tok ASC LIMIT 1)),
+        |terms AS (SELECT tok FROM dict, p WHERE starts_with(tok, pre)),
+        |m AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_hits,
+        |    COUNT(DISTINCT t.tok) AS n_terms
+        |  FROM tok t JOIN terms USING (tok) GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(n_terms AS BIGINT) AS n_terms,
+        |  (SELECT pre FROM p) AS prefix
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // identical inverted-index pair counting; the capped postings make the
     // per-pair COUNT(*) equal Spark's by construction
     "q_containment" ->
@@ -2019,6 +2193,88 @@ object Pipeline {
         |SELECT round, CAST(rank AS INT) AS rank, pair, cnt
         |FROM ranked WHERE rank <= 15
         |ORDER BY round, rank""".stripMargin,
+
+    // training unrolled exactly as q_bpe_merges (b1/b2/b3 are the chosen
+    // merges), then the corpus encodes with three sequential replace()s —
+    // replace() resumes after each replacement, matching regexp_replace
+    "q_bpe_encode" ->
+      """WITH w0 AS (
+        |  SELECT word, COUNT(*) AS wc FROM (
+        |    SELECT unnest(string_split_regex(text, ' +')) AS word
+        |    FROM documents) t
+        |  WHERE length(word) >= 2 GROUP BY 1),
+        |top AS (
+        |  SELECT word, wc FROM (
+        |    SELECT word, wc,
+        |      row_number() OVER (ORDER BY wc DESC, word ASC) AS rn
+        |    FROM w0) z WHERE rn <= 200),
+        |s0 AS (
+        |  SELECT wc,
+        |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS syms
+        |  FROM top),
+        |p1 AS (
+        |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        |    SELECT wc, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT wc, string_split(trim(syms), ' ') AS l FROM s0) q)
+        |  GROUP BY 1),
+        |b1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |s1 AS (
+        |  SELECT wc, replace(syms,
+        |    ' ' || (SELECT pair FROM b1) || ' ',
+        |    ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS syms
+        |  FROM s0),
+        |p2 AS (
+        |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        |    SELECT wc, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT wc, string_split(trim(syms), ' ') AS l FROM s1) q)
+        |  GROUP BY 1),
+        |b2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |s2 AS (
+        |  SELECT wc, replace(syms,
+        |    ' ' || (SELECT pair FROM b2) || ' ',
+        |    ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS syms
+        |  FROM s1),
+        |p3 AS (
+        |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        |    SELECT wc, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT wc, string_split(trim(syms), ' ') AS l FROM s2) q)
+        |  GROUP BY 1),
+        |b3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |dw AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, ' +')) AS word
+        |    FROM documents) t
+        |  WHERE length(word) >= 1),
+        |e0 AS (
+        |  SELECT doc_id, length(word) AS wlen,
+        |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS syms
+        |  FROM dw),
+        |e1 AS (
+        |  SELECT doc_id, wlen, replace(syms,
+        |    ' ' || (SELECT pair FROM b1) || ' ',
+        |    ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS syms
+        |  FROM e0),
+        |e2 AS (
+        |  SELECT doc_id, wlen, replace(syms,
+        |    ' ' || (SELECT pair FROM b2) || ' ',
+        |    ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS syms
+        |  FROM e1),
+        |e3 AS (
+        |  SELECT doc_id, wlen, replace(syms,
+        |    ' ' || (SELECT pair FROM b3) || ' ',
+        |    ' ' || replace((SELECT pair FROM b3), ' ', '') || ' ') AS syms
+        |  FROM e2)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(len(string_split(trim(syms), ' '))) AS BIGINT)
+        |    AS n_bpe_tokens,
+        |  CAST(SUM(wlen) AS BIGINT) AS n_chars,
+        |  round(SUM(len(string_split(trim(syms), ' '))) * 1.0 / COUNT(*), 6)
+        |    AS fertility
+        |FROM e3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_vocab_build" ->
       """WITH tok AS (

@@ -374,6 +374,62 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     rows.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= 3))
   }
 
+  test("BPE encode: token counts bounded by words and chars, merges compress") {
+    val rows = Pipeline.queries("q_bpe_encode")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, toks, chars, fert) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      // every word is ≥1 symbol; a symbol never exceeds one char pre-merge
+      assert(toks >= words && toks <= chars, r.toString)
+      assert(fert >= 1.0, r.toString)
+    }
+    // 3 learned merges must actually merge SOMETHING corpus-wide: strictly
+    // fewer subword tokens than characters
+    assert(rows.map(_.getLong(2)).sum < rows.map(_.getLong(3)).sum)
+    // encode covers the whole corpus (one row per doc)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length.toLong == nDocs)
+  }
+
+  test("phrase search: positional adjacency join equals naive bigram counting") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_phrase_search")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val phrase = rows(0).getString(2)
+    assert(phrase.split(" ", -1).length == 2, phrase)
+    assert(rows.forall(_.getString(2) == phrase))
+    rows.foreach(r => assert(r.getLong(1) >= 1, r.toString))
+    // independent recomputation: count the phrase as a per-doc bigram scan
+    val expect = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), " +
+          "(x, y) -> concat(x, ' ', y))")).as("g"))
+      .filter(col("g") === phrase)
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+  }
+
+  test("prefix search: dictionary range scan equals direct postings filter") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_prefix_search")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val prefix = rows(0).getString(3)
+    assert(prefix.length == 3, prefix)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) >= 1, r.toString)
+    }
+    // independent recomputation: filter the postings directly, no dictionary
+    val expect = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").startsWith(prefix))
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+  }
+
   test("containment is asymmetric: bounds hold and it dominates Jaccard per pair") {
     val cont = Pipeline.queries("q_containment")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
