@@ -96,23 +96,28 @@ object Pipeline {
       .select(col("wc"),
         concat(lit(" "), concat_ws(" ", split(col("word"), "")), lit(" "))
           .as("syms"))
-    var syms = top
-    (1 to rounds).map { _ =>
-      val best = syms
-        .withColumn("l", split(trim(col("syms")), " "))
-        .select(col("wc"), explode(expr(
-          "transform(sequence(0, size(l) - 2), " +
-            "i -> concat(element_at(l, i + 1), ' ', element_at(l, i + 2)))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum("wc").as("cnt"))
-        .orderBy(col("cnt").desc, col("pair").asc)
-        .head().getString(0) // scalar driver action: the chosen merge
-      syms = syms.withColumn("syms", regexp_replace(col("syms"),
-        java.util.regex.Pattern.quote(s" $best "),
-        java.util.regex.Matcher.quoteReplacement(
-          s" ${best.replace(" ", "")} ")))
-      best
-    }
+      // the 200-row vocab is re-read every round through the growing syms
+      // lineage; cached, training rounds 2..N never touch the corpus again
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var syms = top
+      (1 to rounds).map { _ =>
+        val best = syms
+          .withColumn("l", split(trim(col("syms")), " "))
+          .select(col("wc"), explode(expr(
+            "transform(sequence(0, size(l) - 2), " +
+              "i -> concat(element_at(l, i + 1), ' ', element_at(l, i + 2)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("wc").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .head().getString(0) // scalar driver action: the chosen merge
+        syms = syms.withColumn("syms", regexp_replace(col("syms"),
+          java.util.regex.Pattern.quote(s" $best "),
+          java.util.regex.Matcher.quoteReplacement(
+            s" ${best.replace(" ", "")} ")))
+        best
+      }
+    } finally { top.unpersist(); () } // all round actions ran inside
   }
 
   // MinHash parameters (shared with the DuckDB oracle text below):

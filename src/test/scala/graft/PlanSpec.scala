@@ -1038,6 +1038,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!mix.contains("SortMergeJoin"), mix)
   }
 
+  test("retrieval probes broadcast the query side, never shuffle the corpus for it") {
+    // q_prefix_search: the prefix-pruned term dictionary must broadcast
+    // into the postings join — a SortMergeJoin would shuffle the full
+    // postings by term. q_phrase_search: both adjacency sides are the two
+    // phrase terms' postings; the join may shuffle those (they are the
+    // data), but the plan must stay an equi-join — a nested-loop or
+    // cartesian here would blow up doc-to-doc.
+    val pre = planOf(Pipeline.queries("q_prefix_search")(spark, sfDir))
+    assert(pre.contains("BroadcastHashJoin"), pre)
+    val ph = planOf(Pipeline.queries("q_phrase_search")(spark, sfDir))
+    assert(!ph.contains("CartesianProduct") &&
+      !ph.contains("BroadcastNestedLoopJoin"), ph)
+  }
+
   test("q_vocab_build windows only over the top-k, never the full type table") {
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
     val df = Pipeline.queries("q_vocab_build")(spark, sfDir)
