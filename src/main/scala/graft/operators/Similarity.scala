@@ -151,6 +151,78 @@ object Similarity {
       } finally { x.unpersist(); () }
     },
 
+    // k-CENTER GREEDY coreset selection (the diversity-selection step of
+    // training-data curation: SemDeDup removes redundancy pairwise, this
+    // SELECTS a maximally-spread K-subset — Gonzalez's 2-approximation of
+    // the k-center objective, the greedy the coreset literature builds
+    // on): seed = lowest vec_id, then K-1 rounds of "add the point
+    // farthest from the chosen set". Distances are exact bigint over
+    // milli-quantized embeddings (the kmeans/PQ discipline), so the
+    // selection sequence is bit-identical across engines, partitionings
+    // and reduction orders. The running min-distance-to-set FOLDS
+    // incrementally — each round computes distance to the ONE new center
+    // (its 64 longs inlined as literals, a map-only projection) and
+    // least()s it into the cached per-point state, O(n·K) total work
+    // rather than the O(n·K²) of re-minning all centers every round; per
+    // round only the argmax (vec_id, dist) pair visits the driver, and
+    // the per-round persist/unpersist bounds lineage (the label-
+    // propagation discipline). The final pass assigns every point to its
+    // nearest chosen center and reports per-center cell population and
+    // coverage radius — the balance readout a curation run ships with
+    // the sample. Greedy invariant (asserted in OperatorSpec): selection
+    // distances are non-increasing and the final max radius never
+    // exceeds the last selection distance.
+    "q_kcenter_select" -> { (s, dir) =>
+      val K = 5
+      val x = vecs(s, dir).select(col("vec_id"),
+        expr("transform(v, e -> cast(round(e * 1000d) as bigint))").as("x"))
+      def distTo(cent: Seq[Long]) = aggregate(
+        zip_with(col("x"), array(cent.map(lit(_)): _*),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, t) => acc + t)
+      val seed = x.orderBy("vec_id").head()
+      // (rank, vec_id, selection distance)
+      var chosen = Vector((1, seed.getLong(0), 0L))
+      var cents = Vector(seed.getSeq[Long](1))
+      var mind = x
+        .withColumn("mind", distTo(cents.head))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        mind.count()
+        (2 to K).foreach { r =>
+          val far = mind.orderBy(col("mind").desc, col("vec_id").asc)
+            .head() // scalar driver action: the farthest point (+ vector)
+          chosen = chosen :+ ((r, far.getLong(0), far.getLong(2)))
+          cents = cents :+ far.getSeq[Long](1)
+          if (r < K) { // the last center never needs a fold-in
+            val next = mind
+              .withColumn("mind", least(col("mind"), distTo(cents.last)))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            next.count()
+            mind.unpersist()
+            mind = next
+          }
+        }
+        val sel = s.createDataFrame(chosen).toDF("sel_rank", "vec_id", "sel_dist")
+        val cdf = s.createDataFrame(cents.zipWithIndex.map {
+          case (v, i) => (i + 1, v)
+        }).toDF("ci", "cent")
+        val cells = x.crossJoin(broadcast(cdf))
+          .withColumn("d", expr(
+            "aggregate(zip_with(x, cent, (a, b) -> (a-b)*(a-b)), " +
+              "0L, (acc, t) -> acc + t)"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d"), col("ci"))))
+          .filter(col("rn") === 1)
+          .groupBy("ci")
+          .agg(count(lit(1)).as("n_cell"), max("d").as("radius"))
+        sel.join(cells, sel("sel_rank") === cells("ci"))
+          .select(col("sel_rank"), sel("vec_id"), col("sel_dist"),
+            col("n_cell"), col("radius"))
+          .orderBy("sel_rank")
+      } finally { mind.unpersist(); () }
+    },
+
     // Product quantization + ADC (the IVF-PQ memory path): each 64-dim
     // vector compresses to M=4 one-byte codes — the argmin codeword of each
     // 16-dim subvector against a 16-entry per-subspace codebook — shrinking
@@ -615,6 +687,68 @@ object Similarity {
         |FROM a3 JOIN ck USING (cluster)
         |GROUP BY a3.cluster, ck.checksum
         |ORDER BY cluster""".stripMargin,
+
+    // Gonzalez greedy unrolled: c1 = seed, p_r = farthest-from-set argmax,
+    // m_r folds the new center into the running min via least() — exactly
+    // the engine's per-round min-over-centers on exact bigint distances
+    "q_kcenter_select" ->
+      """WITH x AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS x
+        |  FROM embeddings),
+        |c1 AS (SELECT vec_id, x FROM x ORDER BY vec_id LIMIT 1),
+        |m1 AS (SELECT x.vec_id, CAST(list_sum(list_transform(range(1, 65),
+        |    j -> (x.x[j]-c.x[j])*(x.x[j]-c.x[j]))) AS BIGINT) AS mind
+        |  FROM x, c1 c),
+        |p2 AS (SELECT vec_id, mind FROM m1
+        |       ORDER BY mind DESC, vec_id ASC LIMIT 1),
+        |c2 AS (SELECT x.vec_id, x.x FROM x JOIN p2 USING (vec_id)),
+        |m2 AS (SELECT x.vec_id, least(m1.mind,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> (x.x[j]-c.x[j])*(x.x[j]-c.x[j]))) AS BIGINT)) AS mind
+        |  FROM x JOIN m1 USING (vec_id), c2 c),
+        |p3 AS (SELECT vec_id, mind FROM m2
+        |       ORDER BY mind DESC, vec_id ASC LIMIT 1),
+        |c3 AS (SELECT x.vec_id, x.x FROM x JOIN p3 USING (vec_id)),
+        |m3 AS (SELECT x.vec_id, least(m2.mind,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> (x.x[j]-c.x[j])*(x.x[j]-c.x[j]))) AS BIGINT)) AS mind
+        |  FROM x JOIN m2 USING (vec_id), c3 c),
+        |p4 AS (SELECT vec_id, mind FROM m3
+        |       ORDER BY mind DESC, vec_id ASC LIMIT 1),
+        |c4 AS (SELECT x.vec_id, x.x FROM x JOIN p4 USING (vec_id)),
+        |m4 AS (SELECT x.vec_id, least(m3.mind,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> (x.x[j]-c.x[j])*(x.x[j]-c.x[j]))) AS BIGINT)) AS mind
+        |  FROM x JOIN m3 USING (vec_id), c4 c),
+        |p5 AS (SELECT vec_id, mind FROM m4
+        |       ORDER BY mind DESC, vec_id ASC LIMIT 1),
+        |c5 AS (SELECT x.vec_id, x.x FROM x JOIN p5 USING (vec_id)),
+        |sel AS (
+        |  SELECT CAST(1 AS INT) AS sel_rank, vec_id,
+        |    CAST(0 AS BIGINT) AS sel_dist FROM c1
+        |  UNION ALL SELECT 2, vec_id, mind FROM p2
+        |  UNION ALL SELECT 3, vec_id, mind FROM p3
+        |  UNION ALL SELECT 4, vec_id, mind FROM p4
+        |  UNION ALL SELECT 5, vec_id, mind FROM p5),
+        |cents AS (
+        |  SELECT CAST(1 AS INT) AS ci, x FROM c1
+        |  UNION ALL SELECT 2, x FROM c2
+        |  UNION ALL SELECT 3, x FROM c3
+        |  UNION ALL SELECT 4, x FROM c4
+        |  UNION ALL SELECT 5, x FROM c5),
+        |ad AS (SELECT x.vec_id, c.ci, CAST(list_sum(list_transform(
+        |    range(1, 65), j -> (x.x[j]-c.x[j])*(x.x[j]-c.x[j])))
+        |    AS BIGINT) AS d FROM x, cents c),
+        |asg AS (SELECT vec_id, ci, d FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d, ci) AS rn FROM ad) WHERE rn = 1),
+        |cell AS (SELECT ci, COUNT(*) AS n_cell,
+        |    CAST(MAX(d) AS BIGINT) AS radius
+        |  FROM asg GROUP BY ci)
+        |SELECT s.sel_rank, s.vec_id, s.sel_dist, cell.n_cell, cell.radius
+        |FROM sel s JOIN cell ON cell.ci = s.sel_rank
+        |ORDER BY s.sel_rank""".stripMargin,
 
     // Same exact-integer PQ pipeline: subspace slices are 1-based list
     // slices x[m·16+1 : m·16+16]; encode argmin via row_number (result-

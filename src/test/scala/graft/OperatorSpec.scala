@@ -442,6 +442,23 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     both.foreach(k => assert(cont(k) >= jac(k) - 1e-9, s"$k: ${cont(k)} < ${jac(k)}"))
   }
 
+  test("k-center greedy: shrinking selection distances, full coverage, radius bound") {
+    val rows = Similarity.queries("q_kcenter_select")(spark, sfDir).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 5))
+    assert(rows.map(_.getLong(1)).distinct.length == 5) // distinct centers
+    val d = rows.map(_.getLong(2))
+    assert(d(0) == 0L)
+    // Gonzalez invariant: each round's max-min distance is non-increasing
+    assert(d.drop(1).zip(d.drop(2)).forall { case (a, b) => a >= b }, d.toSeq)
+    // every corpus point lands in exactly one cell
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(3)).sum == n)
+    // after the K-th center joins, no point is farther than the K-th
+    // selection distance (coverage only shrinks)
+    assert(rows.map(_.getLong(4)).max <= d.last, rows.toSeq)
+  }
+
   test("PQ-ADC: 3 ranked candidates per query, ADC-ordered, nonzero recall") {
     val rows = Similarity.queries("q_pq_adc")(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getLong(0))
