@@ -577,6 +577,35 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Proximity (NEAR/k) search — the positional family's windowed member:
+    // phrase search matches adjacency at distance exactly 1; this finds
+    // the corpus's top two terms co-occurring within 4 tokens in either
+    // order (the NEAR operator of classic IR engines). Same scale shape
+    // as phrase: only the two query terms' postings survive the scan
+    // filter, and the window test is an equi-join on doc_id with the
+    // |Δpos| ≤ 4 residual — never a text scan, never doc-to-doc. Reports
+    // per doc the qualifying pair count and the tightest gap.
+    "q_proximity_search" -> { (s, dir) =>
+      val tok = docsPar(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val top2 = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok").asc).limit(2)
+        .collect().map(_.getString(0)) // scalar driver action: 2 terms
+      val (t1, t2) = (top2(0), top2(1))
+      val post = tok.filter(col("tok").isin(t1, t2))
+      post.filter(col("tok") === t1).as("a")
+        .join(post.filter(col("tok") === t2).as("b"),
+          col("a.doc_id") === col("b.doc_id")
+            && abs(col("b.pos") - col("a.pos")) <= 4)
+        .select(col("a.doc_id").as("doc_id"),
+          abs(col("b.pos") - col("a.pos")).as("gap"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min("gap").cast("long").as("min_gap"))
+        .orderBy("doc_id")
+    },
+
     // Prefix (wildcard) search — `pre*` against the term DICTIONARY: the
     // fourth retrieval member exercises the sorted-dictionary range scan
     // (Lucene's PrefixQuery shape). The prefix self-derives (first 3
@@ -1961,6 +1990,30 @@ object Pipeline {
         |  FROM bg JOIN top USING (g) GROUP BY doc_id)
         |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ,
         |  (SELECT g FROM top) AS phrase
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // same self-deriving top-2 terms; positions via generate_subscripts
+    // (1-based vs Spark's 0-based posexplode — only gaps matter)
+    "q_proximity_search" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |posts AS (
+        |  SELECT doc_id, unnest(w) AS tok,
+        |    generate_subscripts(w, 1) AS pos
+        |  FROM d),
+        |dict AS (SELECT tok, COUNT(*) AS tf FROM posts GROUP BY tok),
+        |t1 AS (SELECT tok FROM dict ORDER BY tf DESC, tok ASC LIMIT 1),
+        |t2 AS (SELECT tok FROM dict ORDER BY tf DESC, tok ASC
+        |       LIMIT 1 OFFSET 1),
+        |a AS (SELECT doc_id, pos FROM posts JOIN t1 USING (tok)),
+        |b AS (SELECT doc_id, pos FROM posts JOIN t2 USING (tok)),
+        |m AS (
+        |  SELECT a.doc_id, COUNT(*) AS n_pairs,
+        |    MIN(abs(b.pos - a.pos)) AS min_gap
+        |  FROM a JOIN b ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) <= 4
+        |  GROUP BY a.doc_id)
+        |SELECT doc_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(min_gap AS BIGINT) AS min_gap
         |FROM m ORDER BY doc_id""".stripMargin,
 
     // same self-deriving 3-char prefix over the term dictionary

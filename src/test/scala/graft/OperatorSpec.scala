@@ -412,6 +412,33 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
   }
 
+  test("proximity search: postings window join equals driver-side pair scan") {
+    val rows = Pipeline.queries("q_proximity_search")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1 && r.getLong(2) <= 4,
+        r.toString)
+    }
+    // fully independent recomputation in plain Scala over the raw docs:
+    // re-derive the top-2 terms and scan position pairs per doc
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val Seq(t1, t2) = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, o) => (w, o.length) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(2).map(_._1)
+    val expect = docs.flatMap { case (id, w) =>
+      val pa = w.zipWithIndex.collect { case (t, i) if t == t1 => i }
+      val pb = w.zipWithIndex.collect { case (t, i) if t == t2 => i }
+      val gaps = for { i <- pa; j <- pb; g = math.abs(j - i) if g <= 4 }
+        yield g.toLong
+      if (gaps.nonEmpty) Some(id -> ((gaps.length.toLong, gaps.min)))
+      else None
+    }.toMap
+    assert(rows.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap == expect)
+  }
+
   test("prefix search: dictionary range scan equals direct postings filter") {
     import org.apache.spark.sql.functions._
     val rows = Pipeline.queries("q_prefix_search")(spark, sfDir).collect()
