@@ -76,14 +76,18 @@ object Pipeline {
     }
   }
 
-  /** Train `rounds` BPE merges — greedy most-frequent adjacent pair,
+  /** THE BPE training loop — greedy most-frequent adjacent pair,
     * count-desc/pair-asc tie-break — over the top-200 word vocabulary.
-    * Exactly q_bpe_merges' training loop (same vocab cut, same sentinel
-    * spaces, same replace discipline) returning only the chosen merges, so
-    * q_bpe_encode and the unrolled DuckDB oracle pick identical tables.
-    * Per round only one scalar (the winning pair) visits the driver. */
-  private def bpeTrainMerges(
-      s: SparkSession, dir: String, rounds: Int): Seq[String] = {
+    * This is the single training implementation: q_bpe_merges renders its
+    * per-round top-15 pair tables, q_bpe_encode (via [[bpeTrainMerges]])
+    * takes only the chosen merges — so the encode pass and the merge-table
+    * query can never desynchronize (same vocab cut, same sentinel spaces,
+    * same replace discipline as the unrolled DuckDB oracles). Per round one
+    * scalar (the winning pair) visits the driver; the round's pair-count
+    * table (≤ ~200·wordlen rows) is persisted so the head() and the
+    * returned top-15 view read one computation. */
+  private def bpeTrainRounds(s: SparkSession, dir: String,
+      rounds: Int): Seq[(String, DataFrame)] = {
     val words = docsPar(s, dir)
       .select(explode(split(col("text"), " +")).as("word"))
       .filter(length(col("word")) >= 2)
@@ -93,6 +97,8 @@ object Pipeline {
         Window.partitionBy(pmod(col("wc"), lit(1)))
           .orderBy(col("wc").desc, col("word").asc)))
       .filter(col("rn") <= 200)
+      // sentinel spaces so a merge pattern ' a b ' can never match across
+      // a symbol boundary (the tail of a previously merged symbol)
       .select(col("wc"),
         concat(lit(" "), concat_ws(" ", split(col("word"), "")), lit(" "))
           .as("syms"))
@@ -101,24 +107,36 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var syms = top
-      (1 to rounds).map { _ =>
-        val best = syms
+      (1 to rounds).map { r =>
+        val pc = syms
           .withColumn("l", split(trim(col("syms")), " "))
           .select(col("wc"), explode(expr(
             "transform(sequence(0, size(l) - 2), " +
               "i -> concat(element_at(l, i + 1), ' ', element_at(l, i + 2)))"))
             .as("pair"))
           .groupBy("pair").agg(sum("wc").as("cnt"))
-          .orderBy(col("cnt").desc, col("pair").asc)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val best = pc.orderBy(col("cnt").desc, col("pair").asc)
           .head().getString(0) // scalar driver action: the chosen merge
+        val top15 = pc
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(pmod(col("cnt"), lit(1)))
+              .orderBy(col("cnt").desc, col("pair").asc)))
+          .filter(col("rank") <= 15)
+          .select(lit(r).as("round"), col("rank"), col("pair"), col("cnt"))
         syms = syms.withColumn("syms", regexp_replace(col("syms"),
           java.util.regex.Pattern.quote(s" $best "),
           java.util.regex.Matcher.quoteReplacement(
             s" ${best.replace(" ", "")} ")))
-        best
+        (best, top15)
       }
     } finally { top.unpersist(); () } // all round actions ran inside
   }
+
+  /** The chosen merges only (q_bpe_encode's view of [[bpeTrainRounds]]). */
+  private def bpeTrainMerges(
+      s: SparkSession, dir: String, rounds: Int): Seq[String] =
+    bpeTrainRounds(s, dir, rounds).map(_._1)
 
   // MinHash parameters (shared with the DuckDB oracle text below):
   // k=32 permutations h_i(x) = ((2i+1)·x + 12345 + 777i) mod p over 32-bit
@@ -592,6 +610,8 @@ object Pipeline {
       val top2 = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
         .orderBy(col("tf").desc, col("tok").asc).limit(2)
         .collect().map(_.getString(0)) // scalar driver action: 2 terms
+      require(top2.length == 2,
+        s"q_proximity_search needs >= 2 distinct corpus terms, got ${top2.length}")
       val (t1, t2) = (top2(0), top2(1))
       val post = tok.filter(col("tok").isin(t1, t2))
       post.filter(col("tok") === t1).as("a")
@@ -621,7 +641,10 @@ object Pipeline {
       val dict = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
       val prefix = dict.filter(length(col("tok")) >= 3)
         .orderBy(col("tf").desc, col("tok").asc)
-        .head().getString(0).substring(0, 3) // scalar: the query prefix
+        .limit(1).collect().headOption // scalar: the query prefix
+        .getOrElse(throw new IllegalArgumentException(
+          "q_prefix_search needs at least one corpus term of length >= 3"))
+        .getString(0).substring(0, 3)
       val terms = dict.filter(col("tok").startsWith(prefix)).select("tok")
       tok.join(broadcast(terms), "tok")
         .groupBy("doc_id")
@@ -993,46 +1016,10 @@ object Pipeline {
     // rounds run over a bounded table; at 100 TB the pair counting is the
     // map-side-combined aggregation, never an all-pairs join.
     "q_bpe_merges" -> { (s, dir) =>
-      val words = docsPar(s, dir)
-        .select(explode(split(col("text"), " +")).as("word"))
-        .filter(length(col("word")) >= 2)
-        .groupBy("word").agg(count(lit(1)).as("wc"))
-      val top = words
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(pmod(col("wc"), lit(1)))
-            .orderBy(col("wc").desc, col("word").asc)))
-        .filter(col("rn") <= 200)
-        // sentinel spaces so a merge pattern ' a b ' can never match across
-        // a symbol boundary (the tail of a previously merged symbol)
-        .select(col("wc"),
-          concat(lit(" "), concat_ws(" ", split(col("word"), "")), lit(" "))
-            .as("syms"))
-      def pairCounts(df: DataFrame): DataFrame = df
-        .withColumn("l", split(trim(col("syms")), " "))
-        .select(col("wc"), explode(expr(
-          "transform(sequence(0, size(l) - 2), " +
-            "i -> concat(element_at(l, i + 1), ' ', element_at(l, i + 2)))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum("wc").as("cnt"))
-      var syms = top
-      val rounds = (1 to 3).map { r =>
-        val pc = pairCounts(syms).persist(StorageLevel.MEMORY_AND_DISK)
-        val best = pc.orderBy(col("cnt").desc, col("pair").asc)
-          .head().getString(0) // scalar driver action: the chosen merge
-        val out = pc
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(pmod(col("cnt"), lit(1)))
-              .orderBy(col("cnt").desc, col("pair").asc)))
-          .filter(col("rank") <= 15)
-          .select(lit(r).as("round"), col("rank"), col("pair"), col("cnt"))
-        syms = syms.withColumn("syms",
-          regexp_replace(col("syms"),
-            java.util.regex.Pattern.quote(s" $best "),
-            java.util.regex.Matcher.quoteReplacement(
-              s" ${best.replace(" ", "")} ")))
-        out
-      }
-      rounds.reduce(_ unionAll _).orderBy("round", "rank")
+      // the shared bpeTrainRounds loop IS this query's semantics; it only
+      // renders the per-round top-15 tables the loop already computed
+      bpeTrainRounds(s, dir, 3).map(_._2)
+        .reduce(_ unionAll _).orderBy("round", "rank")
     },
 
     // BPE ENCODE — the tokenizer's other half: q_bpe_merges TRAINS the
@@ -1048,7 +1035,13 @@ object Pipeline {
     // ' a b '→' ab ' from matching across symbol boundaries (training's
     // discipline); regexp_replace here and replace() in DuckDB both scan
     // left-to-right non-overlapping and resume AFTER the replacement, so
-    // adjacent-pair consumption agrees byte-for-byte.
+    // adjacent-pair consumption agrees byte-for-byte. Like training, the
+    // replace is SINGLE-PASS per merge: a run of repeated pairs consumes
+    // its shared sentinel spaces, so 'abab' encodes as 3 tokens where a
+    // fixpoint-rescanning reference BPE would emit 2 — fertility and
+    // n_bpe_tokens are therefore slightly INFLATED vs reference
+    // tokenizers (engine and oracle agree exactly; the simplification is
+    // in the declared semantics, not a divergence).
     "q_bpe_encode" -> { (s, dir) =>
       val merges = bpeTrainMerges(s, dir, 3)
       val enc0 = docsPar(s, dir)

@@ -216,9 +216,14 @@ object Similarity {
           .filter(col("rn") === 1)
           .groupBy("ci")
           .agg(count(lit(1)).as("n_cell"), max("d").as("radius"))
-        sel.join(cells, sel("sel_rank") === cells("ci"))
+        // LEFT join: a later center duplicating an earlier vector gets
+        // sel_dist=0 and an EMPTY Voronoi cell (ties assign to the lower
+        // ci) — the K-row contract must survive that degenerate corpus,
+        // so empty cells report (0, 0) instead of dropping the row
+        sel.join(cells, sel("sel_rank") === cells("ci"), "left")
           .select(col("sel_rank"), sel("vec_id"), col("sel_dist"),
-            col("n_cell"), col("radius"))
+            coalesce(col("n_cell"), lit(0L)).as("n_cell"),
+            coalesce(col("radius"), lit(0L)).as("radius"))
           .orderBy("sel_rank")
       } finally { mind.unpersist(); () }
     },
@@ -746,8 +751,10 @@ object Similarity {
         |cell AS (SELECT ci, COUNT(*) AS n_cell,
         |    CAST(MAX(d) AS BIGINT) AS radius
         |  FROM asg GROUP BY ci)
-        |SELECT s.sel_rank, s.vec_id, s.sel_dist, cell.n_cell, cell.radius
-        |FROM sel s JOIN cell ON cell.ci = s.sel_rank
+        |SELECT s.sel_rank, s.vec_id, s.sel_dist,
+        |  COALESCE(cell.n_cell, 0) AS n_cell,
+        |  COALESCE(cell.radius, 0) AS radius
+        |FROM sel s LEFT JOIN cell ON cell.ci = s.sel_rank
         |ORDER BY s.sel_rank""".stripMargin,
 
     // Same exact-integer PQ pipeline: subspace slices are 1-based list

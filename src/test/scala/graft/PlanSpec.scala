@@ -1050,6 +1050,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val ph = planOf(Pipeline.queries("q_phrase_search")(spark, sfDir))
     assert(!ph.contains("CartesianProduct") &&
       !ph.contains("BroadcastNestedLoopJoin"), ph)
+    // q_proximity_search: the doc_id equi-join with the |Δpos|<=4 RESIDUAL
+    // is the join most likely to regress into a nested-loop if the
+    // condition is refactored (drop the equi-key and the residual alone
+    // forces BNLJ over the full postings cross product)
+    val prox = planOf(Pipeline.queries("q_proximity_search")(spark, sfDir))
+    assert(!prox.contains("CartesianProduct") &&
+      !prox.contains("BroadcastNestedLoopJoin"), prox)
   }
 
   test("q_vocab_build windows only over the top-k, never the full type table") {
