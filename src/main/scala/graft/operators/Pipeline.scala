@@ -1538,6 +1538,74 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Interpolated BIGRAM language-model scoring — the CCNet crawl gate
+    // ("filter the crawl by LM perplexity"): q_unigram_lm stops at token
+    // frequency; this conditions each token on its predecessor. Vocab =
+    // top-16 types by (count desc, token asc), everything else one UNK id
+    // 0, so the model is a bounded ≤17² bigram table regardless of corpus
+    // size. TRAIN: the vocab visits the driver as 16 scalars (the
+    // BPE/kmeans precedent) and comes back as a CASE literal folded into a
+    // map-only token→id projection; per-doc adjacent id pairs come from
+    // the aligned-slice zip_with (never w[i] indexing — see ngramExpr),
+    // so the corpus is NEVER self-joined on positions and never shuffles
+    // before the (doc, bigram) rollup. Corpus-level tables (bigram counts,
+    // context masses, unigram counts, token total) are tiny aggregates
+    // that broadcast back. PROBABILITY: add-one-smoothed bigram
+    // interpolated with the add-one unigram at fixed λ=0.75 —
+    //   p(v|u) = 0.75·(c(u,v)+1)/(ctx(u)+17) + 0.25·(c1(v)+1)/(N+17)
+    // — counts are exact bigints, each division is one exactly-rounded
+    // IEEE op, and 0.75/0.25 are exact binary fractions, so p is
+    // bit-identical cross-engine; only log2 is libm-shaped, absorbed by
+    // the house round(...,6). SCORE: per-doc Σ k·log2(p) folds a SORTED
+    // list (the q_token_entropy pattern) → bits per transition; high =
+    // atypical = the cut candidates. Scale: one TakeOrdered vocab pass +
+    // map-only encode + three bounded aggregates — no corpus-sized join
+    // anywhere.
+    "q_bigram_lm" -> { (s, dir) =>
+      val d0 = docsPar(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val vocab = d0.select(explode(col("w")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(16)
+        .collect().map(_.getString(0)) // scalar driver action: the vocab
+      require(vocab.nonEmpty, "q_bigram_lm needs a non-empty corpus")
+      val cases = vocab.zipWithIndex.map { case (t, i) =>
+        s"WHEN '${t.replace("'", "''")}' THEN ${i + 1}"
+      }.mkString(" ")
+      val enc = d0
+        .withColumn("ids", expr(s"transform(w, x -> CASE x $cases ELSE 0 END)"))
+      val uni = enc.select(explode(col("ids")).as("vid"))
+        .groupBy("vid").agg(count(lit(1)).as("c1"))
+      val nTok = enc.agg(sum(size(col("ids"))).cast("long").as("n_corpus"))
+      val docBg = enc.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(ids, 1, size(ids)-1), slice(ids, 2, size(ids)-1), " +
+            "(a, b) -> a * 17 + b)")).as("bg"))
+      val cbg = docBg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+      val ctx = cbg.withColumn("u", expr("bg div 17"))
+        .groupBy("u").agg(sum("cbg").as("cctx"))
+      val model = cbg
+        .withColumn("u", expr("bg div 17"))
+        .withColumn("v", expr("bg % 17"))
+        .join(broadcast(ctx), "u")
+        .join(broadcast(uni.withColumnRenamed("vid", "v")), "v")
+        .crossJoin(broadcast(nTok))
+        .withColumn("p",
+          lit(0.75) * ((col("cbg") + lit(1.0)) / (col("cctx") + lit(17.0)))
+            + lit(0.25) * ((col("c1") + lit(1.0)) / (col("n_corpus") + lit(17.0))))
+        .select(col("bg"), log2(col("p")).as("lp"))
+      docBg.groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+        .join(broadcast(model), "bg")
+        .withColumn("contrib", col("k") * col("lp"))
+        .groupBy("doc_id")
+        .agg(sum("k").as("n_bigrams"),
+          expr("aggregate(sort_array(collect_list(contrib)), 0D, (a, x) -> a + x)")
+            .as("slog"))
+        .withColumn("bits_per_token", round(-col("slog") / col("n_bigrams"), 6))
+        .select("doc_id", "n_bigrams", "bits_per_token")
+        .orderBy("doc_id")
+    },
+
     // Quality-classifier inference: a fixed-weight logistic model over
     // cheap per-doc features (token count, uniqueness, stopword ratio, mean
     // token length) — the fastText-classifier stage of a crawl pipeline,
@@ -2650,6 +2718,41 @@ object Pipeline {
         |  round(log2((SELECT n_corpus FROM n) + 16.0::DOUBLE) - slog / n_tokens, 6)
         |    AS bits_per_token
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // Identical model arithmetic to the engine: same vocab cut + ids, same
+    // λ=0.75 interpolation parenthesization (exact-binary-fraction
+    // coefficients, one IEEE division per component), same sorted-fold
+    // per-doc sum; only log2 is libm-shaped, absorbed by round(...,6).
+    "q_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ty AS (SELECT u.t AS w, COUNT(*) AS c
+        |  FROM d, unnest(d.w) u(t) GROUP BY 1),
+        |vocab AS (SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS vid
+        |  FROM (SELECT w, c FROM ty ORDER BY c DESC, w ASC LIMIT 16)),
+        |tok AS (SELECT doc_id, unnest(w) AS t,
+        |  generate_subscripts(w, 1) AS pos FROM d),
+        |m AS (SELECT tok.doc_id, tok.pos, COALESCE(v.vid, 0) AS vid
+        |  FROM tok LEFT JOIN vocab v ON v.w = tok.t),
+        |bgs AS (SELECT a.doc_id, a.vid * 17 + b.vid AS bg
+        |  FROM m a JOIN m b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |cbg AS (SELECT bg, COUNT(*) AS cbg FROM bgs GROUP BY 1),
+        |ctx AS (SELECT bg // 17 AS u, SUM(cbg) AS cctx FROM cbg GROUP BY 1),
+        |uni AS (SELECT vid, COUNT(*) AS c1 FROM m GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_corpus FROM m),
+        |model AS (SELECT bg,
+        |    log2(0.75::DOUBLE * ((cbg + 1.0::DOUBLE) / (cctx + 17.0::DOUBLE))
+        |      + 0.25::DOUBLE * ((c1 + 1.0::DOUBLE)
+        |        / ((SELECT n_corpus FROM n) + 17.0::DOUBLE))) AS lp
+        |  FROM cbg
+        |  JOIN ctx ON ctx.u = cbg.bg // 17
+        |  JOIN uni ON uni.vid = cbg.bg % 17),
+        |dk AS (SELECT doc_id, bg, COUNT(*) AS k FROM bgs GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_concat([0.0::DOUBLE], list_sort(list(k * lp))),
+        |      (acc, v) -> acc + v) AS slog
+        |  FROM dk JOIN model USING (bg) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, round(-slog / n_bigrams, 6) AS bits_per_token
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_quality_classifier" ->
       s"""WITH d AS ($docsW),

@@ -365,6 +365,25 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert((2 to 4).exists(j => r(0).getLong(j) != 0L), r(0).toString)
   }
 
+  test("bigram LM: one row per multi-token doc, transitions = tokens-1, bits in smoothing bounds") {
+    val rows = Pipeline.queries("q_bigram_lm")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nTotal = docs.values.sum
+    // add-one + λ=0.25 unigram floor: p >= 0.25/(N+17), so
+    // bits <= log2(4·(N+17)); and p < 1 keeps bits strictly positive
+    val maxBits = math.log(4.0 * (nTotal + 17)) / math.log(2.0)
+    assert(rows.length == docs.count(_._2 >= 2))
+    rows.foreach { r =>
+      val (id, nbg, bits) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(nbg == docs(id) - 1, r.toString)
+      assert(bits > 0.0 && bits <= maxBits, r.toString)
+    }
+  }
+
   test("BM25: top-20 ranked, scores positive and non-increasing, ≤3 terms hit") {
     val rows = Pipeline.queries("q_bm25")(spark, sfDir).collect()
     assert(rows.length == 20)

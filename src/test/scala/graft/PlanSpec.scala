@@ -1099,6 +1099,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bigram LM: model tables broadcast into the scoring join, vocab folds as literals") {
+    // The vocab reaches the encode as CASE literals (a collect job, not
+    // part of this plan); the ≤17²-row model must BROADCAST into the
+    // per-(doc, bigram) scoring join — a SortMergeJoin would shuffle the
+    // corpus-sized bigram table by model key, and any CartesianProduct
+    // means the tiny aggregates stopped broadcasting.
+    val plan = planOf(Pipeline.queries("q_bigram_lm")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("quality classifier is map-only: no shuffle before the output sort") {
     val df = Pipeline.queries("q_quality_classifier")(spark, sfDir)
     val plan = planOf(df)
