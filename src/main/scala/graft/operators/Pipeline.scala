@@ -1606,6 +1606,51 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Boilerplate/template-line removal — the CCNet/RefinedWeb "strip the
+    // nav bars, cookie banners and footers" pass: a LINE that recurs
+    // verbatim across documents OF THE SAME SOURCE is template chrome, not
+    // content. The corpus has no newlines, so a "line" is a fixed
+    // non-overlapping 10-token segment (deterministic boundaries keep the
+    // line-hash equi-joinable; a real crawl splits on '\n'). Phase 1
+    // builds per-(source, line) document frequencies — one aggregate over
+    // the exploded segments, the inverted-index discipline of
+    // q_containment (keyed by content, never doc-to-doc). Lines with
+    // df >= 2 distinct docs in a source are the template set: it is
+    // orders of magnitude smaller than the corpus (template mass per
+    // source is bounded — the df cut is what bounds it) and BROADCASTS
+    // into the strip join, so the strip decision is map-side; the only
+    // corpus shuffle is the per-doc rollup every per-doc op pays. Output:
+    // per-doc line counts, removed fraction, and the md5 of the retained
+    // text (segments rejoined in position order — the payload a real
+    // pipeline would write back).
+    "q_boilerplate_strip" -> { (s, dir) =>
+      val L = 10
+      val seg = docsPar(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), col("source"), posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(w) / $L.0) as int) - 1), " +
+            s"i -> array_join(slice(w, i * $L + 1, $L), ' '))"))
+          .as(Seq("pos", "line")))
+      val boiler = seg.groupBy("source", "line")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 2)
+        .select(col("source"), col("line"), lit(true).as("boiler"))
+      seg.join(broadcast(boiler), Seq("source", "line"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("boiler"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
+          // collect_list skips the CASE's nulls, so only retained segments
+          // are gathered; array_sort on (pos, line) structs restores
+          // document order before the rejoin
+          expr("md5(array_join(transform(array_sort(collect_list(" +
+            "CASE WHEN boiler IS NULL THEN struct(pos, line) END)), " +
+            "x -> x.line), ' '))").as("retained_hash"))
+        .withColumn("removed_frac", round(col("n_removed") / col("n_lines"), 6))
+        .select("doc_id", "n_lines", "n_removed", "removed_frac", "retained_hash")
+        .orderBy("doc_id")
+    },
+
     // Quality-classifier inference: a fixed-weight logistic model over
     // cheap per-doc features (token count, uniqueness, stopword ratio, mean
     // token length) — the fastText-classifier stage of a crawl pipeline,
@@ -2753,6 +2798,34 @@ object Pipeline {
         |  FROM dk JOIN model USING (bg) GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, round(-slog / n_bigrams, 6) AS bits_per_token
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Same fixed 10-token segmentation, same per-(source, line) df >= 2
+    // template cut, same position-ordered retained rejoin (string_agg
+    // skips the CASE's NULLs exactly as collect_list does; COALESCE('')
+    // matches Spark's md5 of the empty join when every line is stripped)
+    "q_boilerplate_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |seg0 AS (SELECT doc_id, source,
+        |  list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+        |    i -> array_to_string(w[(i*10+1):(i*10+10)], ' ')) AS segs FROM d),
+        |seg AS (SELECT doc_id, source, unnest(segs) AS line,
+        |  generate_subscripts(segs, 1) AS pos FROM seg0),
+        |boiler AS (SELECT source, line FROM seg
+        |  GROUP BY source, line HAVING COUNT(DISTINCT doc_id) >= 2),
+        |j AS (SELECT s.doc_id, s.pos, s.line,
+        |    (b.line IS NOT NULL) AS is_boiler
+        |  FROM seg s LEFT JOIN boiler b
+        |    ON b.source = s.source AND b.line = s.line)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  round(CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+        |    / COUNT(*), 6) AS removed_frac,
+        |  md5(COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line END,
+        |    ' ' ORDER BY pos), '')) AS retained_hash
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_quality_classifier" ->
       s"""WITH d AS ($docsW),

@@ -384,6 +384,22 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("boilerplate strip: bounds hold, the template corpus loses lines, clean docs keep all") {
+    val rows = Pipeline.queries("q_boilerplate_strip")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nl, nr, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nl > 0 && nr >= 0 && nr <= nl, r.toString)
+      assert(frac >= 0.0 && frac <= 1.0, r.toString)
+      assert(r.getString(4).length == 32, r.toString)
+    }
+    // the fixture corpus carries same-source verbatim repeats (the shared
+    // boilerplate of the substring-dedup fixture) — SOME doc must lose a
+    // line, and untouched docs must dominate (template mass is small)
+    assert(rows.exists(_.getLong(2) > 0))
+    assert(rows.count(_.getLong(2) == 0) > rows.length / 2)
+  }
+
   test("BM25: top-20 ranked, scores positive and non-increasing, ≤3 terms hit") {
     val rows = Pipeline.queries("q_bm25")(spark, sfDir).collect()
     assert(rows.length == 20)

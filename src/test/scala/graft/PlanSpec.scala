@@ -1099,6 +1099,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("boilerplate strip: the template set broadcasts into the strip join") {
+    // The df>=2 template table must reach the segment stream as a
+    // broadcast — a SortMergeJoin would shuffle the full exploded corpus
+    // by (source, line) just to make the strip decision.
+    val plan = planOf(Pipeline.queries("q_boilerplate_strip")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("bigram LM: model tables broadcast into the scoring join, vocab folds as literals") {
     // The vocab reaches the encode as CASE literals (a collect job, not
     // part of this plan); the ≤17²-row model must BROADCAST into the
