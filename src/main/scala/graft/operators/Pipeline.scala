@@ -654,6 +654,54 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Fuzzy dictionary search (Lucene FuzzyQuery / SymSpell): find every
+    // dictionary term within edit distance 1 of a misspelled query, then
+    // probe the postings. The query self-derives as a GUARANTEED
+    // misspelling — the most frequent ≥4-char term with its last char
+    // dropped — so the oracle carries no literals. Candidate generation is
+    // the SYMSPELL DELETION INDEX, not a dictionary-wide distance scan:
+    // every term emits its ≤1-char-deletion neighborhood (term + length
+    // deletions — a (len+1)-row explode of the DICTIONARY, never the
+    // postings), the query's own ≤1-deletion keys fold in as literals
+    // (a batched query workload would equi-join the two deletion-key
+    // tables instead), and the 1-deletion intersection provably covers
+    // all distance-≤1 pairs (delete catches insert via the term itself,
+    // substitution via same-position deletes). Survivors are
+    // exact-verified with levenshtein ≤ 1 — the distance function only
+    // ever runs on the handful of candidates, which is the entire point
+    // of the index at a 10^9-term dictionary. Verified terms BROADCAST
+    // into the postings probe (the q_prefix_search discipline): the
+    // corpus explodes once, is filtered map-side, never doc-to-doc.
+    "q_fuzzy_search" -> { (s, dir) =>
+      val tok = docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dict = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+      val qterm = dict.filter(length(col("tok")) >= 4)
+        .orderBy(col("tf").desc, col("tok").asc)
+        .limit(1).collect().headOption // scalar: the term to misspell
+        .getOrElse(throw new IllegalArgumentException(
+          "q_fuzzy_search needs at least one corpus term of length >= 4"))
+        .getString(0)
+      val q = qterm.dropRight(1)
+      val qKeys = (q +: q.indices.map(i =>
+        q.substring(0, i) + q.substring(i + 1))).distinct
+      val cand = dict
+        .select(col("tok"), explode(expr(
+          "array_distinct(concat(array(tok), " +
+            "transform(sequence(1, length(tok)), " +
+            "i -> concat(substring(tok, 1, i - 1), substring(tok, i + 1)))))"))
+          .as("dk"))
+        .filter(col("dk").isin(qKeys: _*))
+        .select("tok").distinct()
+        .filter(levenshtein(lit(q), col("tok")) <= 1) // exact verify
+      tok.join(broadcast(cand), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct("tok").as("n_terms"))
+        .withColumn("query", lit(q))
+        .orderBy("doc_id")
+    },
+
     // Dataset card (the "datasheet for datasets" release artifact): one
     // summary row a corpus publisher ships next to the data — volume,
     // token mass, language/source breadth, exact-duplicate mass, length
@@ -2140,6 +2188,30 @@ object Pipeline {
         |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
         |  CAST(n_terms AS BIGINT) AS n_terms,
         |  (SELECT pre FROM p) AS prefix
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // DIFFERENTIAL oracle on purpose: a direct levenshtein<=1 scan of the
+    // whole dictionary — the naive O(|dict|) evaluation the engine's
+    // SymSpell deletion index must equal exactly (1-deletion neighborhoods
+    // cover all distance-<=1 pairs, and the engine exact-verifies the
+    // survivors, so candidate!=match differences cannot leak through)
+    "q_fuzzy_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |dict AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok),
+        |q AS (
+        |  SELECT substr(tok, 1, length(tok) - 1) AS q FROM (
+        |    SELECT tok, tf FROM dict WHERE length(tok) >= 4
+        |    ORDER BY tf DESC, tok ASC LIMIT 1)),
+        |cand AS (SELECT d.tok FROM dict d, q WHERE levenshtein(d.tok, q.q) <= 1),
+        |m AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_hits,
+        |    COUNT(DISTINCT t.tok) AS n_terms
+        |  FROM tok t JOIN cand USING (tok) GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(n_terms AS BIGINT) AS n_terms,
+        |  (SELECT q FROM q) AS "query"
         |FROM m ORDER BY doc_id""".stripMargin,
 
     // identical inverted-index pair counting; the capped postings make the

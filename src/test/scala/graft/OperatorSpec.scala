@@ -384,6 +384,32 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("fuzzy search: SymSpell deletion index ≡ direct edit-distance dictionary scan") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_fuzzy_search")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val q = rows.head.getString(3)
+    // independently re-derive the query and the brute-force match set
+    val tok = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dict = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val qterm = dict.filter(length(col("tok")) >= 4)
+      .orderBy(col("tf").desc, col("tok").asc).head.getString(0)
+    assert(q == qterm.dropRight(1))
+    val matched = dict
+      .filter(levenshtein(lit(q), col("tok")) <= 1)
+      .select("tok").collect().map(_.getString(0)).toSet
+    assert(matched.nonEmpty) // the misspelling always matches its own term
+    val perDoc = tok.filter(col("tok").isin(matched.toSeq: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == perDoc.size)
+    rows.foreach { r =>
+      assert(r.getLong(1) == perDoc(r.getLong(0)), r.toString)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= matched.size, r.toString)
+    }
+  }
+
   test("boilerplate strip: bounds hold, the template corpus loses lines, clean docs keep all") {
     val rows = Pipeline.queries("q_boilerplate_strip")(spark, sfDir).collect()
     assert(rows.nonEmpty)

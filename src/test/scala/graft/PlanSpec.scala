@@ -1047,6 +1047,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // cartesian here would blow up doc-to-doc.
     val pre = planOf(Pipeline.queries("q_prefix_search")(spark, sfDir))
     assert(pre.contains("BroadcastHashJoin"), pre)
+    // q_fuzzy_search: the levenshtein-verified candidate terms must
+    // broadcast into the postings probe exactly like the prefix terms —
+    // and the distance function must never appear on the corpus side
+    // (it runs only on the deletion-index survivors)
+    val fz = planOf(Pipeline.queries("q_fuzzy_search")(spark, sfDir))
+    assert(fz.contains("BroadcastHashJoin"), fz)
+    assert(!fz.contains("CartesianProduct") &&
+      !fz.contains("BroadcastNestedLoopJoin"), fz)
     val ph = planOf(Pipeline.queries("q_phrase_search")(spark, sfDir))
     assert(!ph.contains("CartesianProduct") &&
       !ph.contains("BroadcastNestedLoopJoin"), ph)
