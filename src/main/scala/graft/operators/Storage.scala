@@ -479,11 +479,18 @@ object Storage {
     // The full SURVEY §1.2 CQL↔Catalyst type table in one round-trip: every
     // public type of the modeled engine — int/text/bigint/smallint/tinyint/
     // float/double/decimal/boolean/date/timestamp/uuid/inet (as text)/blob/
-    // list/set/map/tuple — written through the catalog's upsert path (row 1
-    // is overwritten; the set column is deduped+ordered on write, CQL set
-    // semantics) and read back. Output serialization follows the oracle
+    // varint (DECIMAL(38,0) — covers CQL varints to 38 digits; wider needs
+    // a text codec)/time (BIGINT nanos since midnight, the driver's own
+    // wire shape)/list/set/map/tuple — written through the catalog's upsert
+    // path (row 1 is overwritten; the set column is deduped+ordered on
+    // write, CQL set semantics) and read back. CQL `duration` is
+    // deliberately UNMAPPED: it is non-comparable in CQL (no ordering, no
+    // stable normalized encoding across (months, days, nanos) triples), so
+    // no oracle-checkable roundtrip exists — a production mapping would be
+    // an opaque 3-int struct. Output serialization follows the oracle
     // portability rules: blob → base64, collections/struct → to_json,
-    // decimal → full-scale string; everything else rides its native type.
+    // decimal/varint → full-scale string; everything else rides its native
+    // type.
     "q_types_roundtrip" -> { (s, _) =>
       s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.testks")
@@ -493,6 +500,7 @@ object Storage {
         t_tinyint TINYINT, t_float FLOAT, t_double DOUBLE,
         t_decimal DECIMAL(38,18), t_boolean BOOLEAN, t_date DATE,
         t_ts TIMESTAMP, t_uuid STRING, t_inet STRING, t_blob BINARY,
+        t_varint DECIMAL(38,0), t_time BIGINT,
         t_list ARRAY<INT>, t_set ARRAY<STRING>, t_map MAP<STRING,INT>,
         t_tuple STRUCT<a:INT,b:STRING>)
         TBLPROPERTIES ('key'='id', 'sets'='t_set')""")
@@ -506,29 +514,34 @@ object Storage {
       // concurrent run's overwrite could otherwise delete files out from
       // under another process's oracle read
       val typesStaged =
-        new java.io.File("/tmp/graft-types-input/_SUCCESS").exists
+        new java.io.File("/tmp/graft-types-input-v2/_SUCCESS").exists
       if (!typesStaged) s.sql("""SELECT * FROM VALUES
         (0, 1, 'stale', CAST(-1 AS BIGINT), -1S, -1Y, CAST(-1.0 AS FLOAT), -1.0,
          CAST('-1' AS DECIMAL(38,18)), false, DATE'1999-01-01',
          TIMESTAMP'1999-01-01 00:00:00', 'x', 'x', X'00',
+         CAST('-1' AS DECIMAL(38,0)), CAST(-1 AS BIGINT),
          array(0), array('z'), map('z', 0), named_struct('a', 0, 'b', 'z')),
         (1, 1, 'alpha', 9007199254740993, 7S, 3Y, CAST(1.5 AS FLOAT), 2.25,
          CAST('123456789.123456789' AS DECIMAL(38,18)), true, DATE'2024-03-01',
          TIMESTAMP'2024-03-01 12:34:56',
          '550e8400-e29b-41d4-a716-446655440000', '10.0.0.1', X'6772616674',
+         CAST('12345678901234567890123456789012345678' AS DECIMAL(38,0)),
+         CAST(45296123456789 AS BIGINT),
          array(3, 1, 2), array('b', 'a', 'b'), map('k1', 1, 'k2', 2),
          named_struct('a', 42, 'b', 'answer')),
         (1, 2, 'beta', CAST(-5 AS BIGINT), -7S, -3Y, CAST(0.25 AS FLOAT), -2.5,
          CAST('-0.5' AS DECIMAL(38,18)), false, DATE'1970-01-01',
          CAST(NULL AS TIMESTAMP), '00000000-0000-0000-0000-000000000000',
-         '192.168.1.255', X'00FF', CAST(array() AS ARRAY<INT>),
+         '192.168.1.255', X'00FF',
+         CAST('-98765432109876543210987654321098765432' AS DECIMAL(38,0)),
+         CAST(0 AS BIGINT), CAST(array() AS ARRAY<INT>),
          array('solo'), CAST(map() AS MAP<STRING,INT>),
          named_struct('a', -1, 'b', ''))
         AS t(_batch, id, t_text, t_bigint, t_smallint, t_tinyint, t_float,
           t_double, t_decimal, t_boolean, t_date, t_ts, t_uuid, t_inet,
-          t_blob, t_list, t_set, t_map, t_tuple)""")
-        .write.mode(SaveMode.Overwrite).parquet("/tmp/graft-types-input")
-      val log = s.read.parquet("/tmp/graft-types-input")
+          t_blob, t_varint, t_time, t_list, t_set, t_map, t_tuple)""")
+        .write.mode(SaveMode.Overwrite).parquet("/tmp/graft-types-input-v2")
+      val log = s.read.parquet("/tmp/graft-types-input-v2")
       Seq(0, 1).foreach { b =>
         log.filter(col("_batch") === b).drop("_batch")
           .writeTo("graftcat.testks.typed").append()
@@ -536,6 +549,7 @@ object Storage {
       s.sql("""SELECT id, t_text, t_bigint, t_smallint, t_tinyint, t_float,
           t_double, CAST(t_decimal AS STRING) AS t_decimal_str, t_boolean,
           t_date, t_ts, t_uuid, t_inet, base64(t_blob) AS t_blob_b64,
+          CAST(t_varint AS STRING) AS t_varint_str, t_time,
           to_json(t_list) AS t_list_json, to_json(t_set) AS t_set_json,
           to_json(t_map) AS t_map_json, to_json(t_tuple) AS t_tuple_json
         FROM graftcat.testks.typed ORDER BY id""")
@@ -3783,7 +3797,7 @@ object Storage {
     // expected-value literals
     "q_types_roundtrip" ->
       """WITH inp AS (
-        |  SELECT * FROM read_parquet('/tmp/graft-types-input/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft-types-input-v2/*.parquet')),
         |w AS (
         |  SELECT * FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY _batch DESC)
@@ -3793,6 +3807,7 @@ object Storage {
         |SELECT id, t_text, t_bigint, t_smallint, t_tinyint, t_float, t_double,
         |  CAST(t_decimal AS VARCHAR) AS t_decimal_str, t_boolean, t_date, t_ts,
         |  t_uuid, t_inet, base64(t_blob) AS t_blob_b64,
+        |  CAST(t_varint AS VARCHAR) AS t_varint_str, t_time,
         |  to_json(t_list) AS t_list_json,
         |  to_json(list_sort(list_distinct(t_set))) AS t_set_json,
         |  to_json(t_map) AS t_map_json,
