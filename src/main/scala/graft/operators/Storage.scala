@@ -415,6 +415,107 @@ object Storage {
       } finally KVRing.resetTopology()
     },
 
+    // BOOTSTRAP DATA MOVEMENT on ring scale-out — C11 models ownership
+    // recompute; this models the STREAM Cassandra runs under it: when a
+    // node joins, every key whose replica set gains the joiner has its
+    // rows COPIED to the joiner's store (bootstrap streaming), and rows on
+    // hosts that lost ownership are dropped by cleanup (nodetool cleanup).
+    // The new node joins at EXPLICIT initial_token positions (15 + 90j —
+    // Cassandra's initial_token list, KVRing.addNodeAt), which makes the
+    // whole movement pure modular arithmetic over declared positions: the
+    // DuckDB oracle replays placement (first-RF-distinct-hosts = hosts
+    // ordered by min clockwise vnode distance) before and after and
+    // recomputes the per-host key/row accounting with no engine literals.
+    // The per-host stores are materialized from placement, the stream and
+    // cleanup are applied to them, and convergence (stores == post-ring
+    // placement) is REQUIRED, as are the two consistent-hashing movement
+    // bounds (only the joiner gains data; each key displaces at most one
+    // old replica) and the byte-equal-read gate: a distributed content
+    // fingerprint (count + summed portable row hash over size-coalesced
+    // splits) must be identical before and after — bootstrap moves bytes,
+    // never changes them. Placement is driver-held ring×partition METADATA
+    // (Cassandra's token map); the row data itself only flows through the
+    // fingerprint scans. Output: per-(phase, host) key/row ownership with
+    // streamed-in/cleaned-up key counts.
+    "q_kv_bootstrap_stream" -> { (s, dir) =>
+      import graft.sources.{KVRing, KeyGroupedRegistry}
+      val name = s"orders_boot:$dir"
+      KeyGroupedRegistry.stage(name,
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents")),
+        "o_custkey")
+      def fingerprint(): (Long, Long) = {
+        val r = s.read.format("graft.sources.KVDataSource")
+          .option("table", name).option("split_target_rows", "20000").load()
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(conv(substring(md5(concat_ws('|', o_custkey, " +
+              "o_orderkey, cents)), 1, 8), 16, 10) as bigint)")).as("h"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val keyRows: Seq[(Long, Long)] = KeyGroupedRegistry.get(name).parts.toSeq
+        .map { case (k, rs) =>
+          (k.head.asInstanceOf[Number].longValue, rs.length.toLong)
+        }
+      val joiner = "graft-node-3"
+      KVRing.resetTopology()
+      try {
+        val fpBefore = fingerprint()
+        val before = keyRows.map { case (k, _) => k -> KVRing.replicasOf(k) }.toMap
+        KVRing.addNodeAt(joiner, Seq(15, 105, 195, 285, 375, 465, 555, 645))
+        val after = keyRows.map { case (k, _) => k -> KVRing.replicasOf(k) }.toMap
+        // the stream, applied to materialized per-host stores
+        val stores = scala.collection.mutable.Map.empty[String,
+          scala.collection.mutable.Set[Long]]
+        keyRows.foreach { case (k, _) =>
+          before(k).foreach(h =>
+            stores.getOrElseUpdate(h,
+              scala.collection.mutable.Set.empty[Long]) += k)
+        }
+        keyRows.foreach { case (k, _) =>
+          val b = before(k).toSet; val a = after(k).toSet
+          val gained = a -- b
+          require(gained.subsetOf(Set(joiner)),
+            s"bootstrap streamed key $k to a pre-existing node: $gained")
+          require((b -- a).size <= 1,
+            s"bootstrap displaced more than one replica of key $k")
+          gained.foreach(h => stores.getOrElseUpdate(h,
+            scala.collection.mutable.Set.empty[Long]) += k) // stream in
+          (b -- a).foreach(h => stores(h) -= k)             // cleanup
+        }
+        keyRows.groupBy { case (k, _) => after(k) }.keys.flatten.toSet
+          .foreach { h: String =>
+            val placed = keyRows.collect {
+              case (k, _) if after(k).contains(h) => k
+            }.toSet
+            require(stores.getOrElse(h, Set.empty[Long]).toSet == placed,
+              s"store of $h diverged from post-bootstrap placement")
+          }
+        val fpAfter = fingerprint()
+        require(fpBefore == fpAfter,
+          s"bootstrap changed read content: $fpBefore -> $fpAfter")
+        def phaseRows(tag: String, rep: Map[Long, Seq[String]],
+            other: Option[Map[Long, Seq[String]]]) = {
+          val hosts = rep.values.flatten.toSet.toSeq.sorted
+          hosts.map { h =>
+            val owned = keyRows.filter { case (k, _) => rep(k).contains(h) }
+            val gained = other.fold(0L)(o => keyRows.count { case (k, _) =>
+              rep(k).contains(h) && !o(k).contains(h) }.toLong)
+            val dropped = other.fold(0L)(o => keyRows.count { case (k, _) =>
+              o(k).contains(h) && !rep(k).contains(h) }.toLong)
+            (tag, h, owned.size.toLong, owned.map(_._2).sum, gained, dropped)
+          }
+        }
+        s.createDataFrame(
+          phaseRows("1_before", before, None) ++
+            phaseRows("2_after", after, Some(before)))
+          .toDF("phase", "host", "n_keys", "n_rows",
+            "streamed_in_keys", "cleaned_up_keys")
+          .orderBy("phase", "host")
+      } finally KVRing.resetTopology()
+    },
+
     // Point read by partition key on the DSv2 source: a key-equality filter
     // is pushed into the scan, which then plans ONLY the split owning that
     // key (KVScanBuilder → partition pruning; PlanSpec asserts 1 planned
@@ -3767,6 +3868,56 @@ object Storage {
         |  '3_decommissioned']) AS phase)
         |SELECT phase, c_nationkey, n, bal FROM phases, agg
         |ORDER BY phase, c_nationkey""".stripMargin,
+
+    // full placement replay from declared ring arithmetic: default ring =
+    // vnode m at position 30m owned by graft-node-(m%3); the joiner's
+    // initial_token list = 15+90j; a key's replicas (RF=2) are the first
+    // two hosts ordered by min clockwise distance to one of their vnodes
+    // (first-occurrence order == min-distance order; distances are
+    // distinct because positions are). Accounting is recomputed per host
+    // from the before/after replica sets — no engine literals
+    "q_kv_bootstrap_stream" ->
+      """WITH k0 AS (SELECT o_custkey AS k, COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |kr AS (SELECT k, n, k % 720 AS pos FROM k0),
+        |vb AS (SELECT m * 30 AS vpos,
+        |    'graft-node-' || CAST(m % 3 AS VARCHAR) AS host
+        |  FROM range(0, 24) t(m)),
+        |va AS (SELECT * FROM vb UNION ALL
+        |  SELECT 15 + 90 * j, 'graft-node-3' FROM range(0, 8) t(j)),
+        |db AS (SELECT kr.k, kr.n, v.host,
+        |    MIN((v.vpos - kr.pos + 720) % 720) AS d
+        |  FROM kr, vb v GROUP BY 1, 2, 3),
+        |rb AS (SELECT k, n, host FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY d, host)
+        |    AS rnk FROM db) WHERE rnk <= 2),
+        |da AS (SELECT kr.k, kr.n, v.host,
+        |    MIN((v.vpos - kr.pos + 720) % 720) AS d
+        |  FROM kr, va v GROUP BY 1, 2, 3),
+        |ra AS (SELECT k, n, host FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY d, host)
+        |    AS rnk FROM da) WHERE rnk <= 2),
+        |bef AS (SELECT '1_before' AS phase, host, COUNT(*) AS n_keys,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(0 AS BIGINT) AS streamed_in_keys,
+        |    CAST(0 AS BIGINT) AS cleaned_up_keys
+        |  FROM rb GROUP BY host),
+        |gain AS (SELECT a.host, COUNT(*) AS g FROM ra a
+        |  LEFT JOIN rb b ON b.k = a.k AND b.host = a.host
+        |  WHERE b.host IS NULL GROUP BY a.host),
+        |drp AS (SELECT b.host, COUNT(*) AS dr FROM rb b
+        |  LEFT JOIN ra a ON a.k = b.k AND a.host = b.host
+        |  WHERE a.host IS NULL GROUP BY b.host),
+        |afc AS (SELECT a.host, COUNT(*) AS n_keys,
+        |    CAST(SUM(a.n) AS BIGINT) AS n_rows
+        |  FROM ra a GROUP BY a.host),
+        |aft AS (SELECT '2_after' AS phase, afc.host, afc.n_keys, afc.n_rows,
+        |    CAST(COALESCE(g.g, 0) AS BIGINT) AS streamed_in_keys,
+        |    CAST(COALESCE(d.dr, 0) AS BIGINT) AS cleaned_up_keys
+        |  FROM afc LEFT JOIN gain g ON g.host = afc.host
+        |  LEFT JOIN drp d ON d.host = afc.host)
+        |SELECT * FROM bef UNION ALL SELECT * FROM aft
+        |ORDER BY phase, host""".stripMargin,
 
     "q_kv_size_estimates" ->
       """SELECT 'customer' AS table_name,

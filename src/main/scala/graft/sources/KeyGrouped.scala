@@ -645,8 +645,6 @@ object KVRing {
     synchronized {
       require(numTokens >= 1 && numTokens <= RingSize / 4,
         s"addNode: numTokens must be in [1, ${RingSize / 4}], got $numTokens")
-      require(!vnodes.exists(_.host == host),
-        s"addNode: $host is already in the ring")
       val taken = scala.collection.mutable.Set.from(vnodes.map(_.pos))
       val step = RingSize / numTokens
       val seed = math.floorMod(scala.util.hashing.MurmurHash3.stringHash(host), step)
@@ -656,9 +654,29 @@ object KVRing {
         taken += p
         p
       }
-      vnodes = (vnodes ++ chosen.map(Vnode(_, host))).sortBy(v => (v.pos, v.host))
+      addNodeAt(host, chosen)
       chosen.sorted
     }
+
+  /** Bootstrap a node at EXPLICIT ring positions — Cassandra's
+    * `initial_token` list (the primitive [[addNode]]'s derived allocation
+    * sits on). Explicit tokens make ownership arithmetic replayable by an
+    * external oracle: the movement a bootstrap causes is then pure modular
+    * arithmetic over declared positions, not a hash seed. */
+  def addNodeAt(host: String, positions: Seq[Int]): Unit = synchronized {
+    require(positions.nonEmpty, "addNodeAt: empty initial_token list")
+    require(positions.forall(p => p >= 0 && p < RingSize),
+      s"addNodeAt: positions must lie in [0, $RingSize)")
+    require(positions.distinct.size == positions.size,
+      "addNodeAt: duplicate initial_token positions")
+    require(!vnodes.exists(_.host == host),
+      s"addNodeAt: $host is already in the ring")
+    val taken = vnodes.map(_.pos).toSet
+    require(positions.forall(p => !taken(p)),
+      s"addNodeAt: positions ${positions.filter(taken)} already owned " +
+        "(Cassandra: token conflict on bootstrap)")
+    vnodes = (vnodes ++ positions.map(Vnode(_, host))).sortBy(v => (v.pos, v.host))
+  }
 
   /** Decommission a node: its vnodes leave the ring and their arcs fold
     * into the clockwise successors (the keys it owned re-home; nothing

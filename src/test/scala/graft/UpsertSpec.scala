@@ -1887,6 +1887,54 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     assert(cks(desc.filter("pk = 1 AND ck > 10 AND ck <= 13")) == Seq(11L, 12L, 13L))
   }
 
+  test("bootstrap streaming at explicit initial_tokens: movement-bound property") {
+    import graft.sources.KVRing
+    // arbitrary initial_token lists (never colliding with the default
+    // ring's multiples of 30): for EVERY ring key, (1) RF distinct
+    // replicas survive the join, (2) a replica set changes only by the
+    // joiner entering — data streams exclusively TO the bootstrapping
+    // node, (3) at most ONE pre-existing replica is displaced per key
+    // (cleanup is bounded), and (4) the keys sitting exactly on the new
+    // tokens always stream (the joiner owns its own arcs)
+    val genTokens: Gen[Seq[Int]] = Gen.nonEmptyListOf(Gen.choose(0, 719))
+      .map(ps => ps.distinct.filterNot(_ % 30 == 0).take(180))
+      .map(ps => if (ps.isEmpty) Seq(15) else ps)
+    check(Prop.forAll(genTokens) { tokens =>
+      KVRing.resetTopology()
+      try {
+        val keys = 0L until KVRing.RingSize.toLong
+        val before = keys.map(k => k -> KVRing.replicasOf(k)).toMap
+        KVRing.addNodeAt("graft-node-9", tokens)
+        val after = keys.map(k => k -> KVRing.replicasOf(k)).toMap
+        val rfOk = after.values.forall(r =>
+          r.length == KVRing.ReplicationFactor &&
+            r.distinct.length == KVRing.ReplicationFactor)
+        val onlyJoinerGains = keys.forall { k =>
+          (after(k).toSet -- before(k).toSet).subsetOf(Set("graft-node-9"))
+        }
+        val boundedCleanup = keys.forall { k =>
+          (before(k).toSet -- after(k).toSet).size <= 1
+        }
+        val ownArcsStream = tokens.forall(p =>
+          after(p.toLong).contains("graft-node-9"))
+        rfOk && onlyJoinerGains && boundedCleanup && ownArcsStream
+      } finally KVRing.resetTopology()
+    })
+    // guardrails: token conflicts and duplicates are refused
+    KVRing.resetTopology()
+    try {
+      intercept[IllegalArgumentException] {
+        KVRing.addNodeAt("graft-node-9", Seq(30)) // owned by the ring
+      }
+      intercept[IllegalArgumentException] {
+        KVRing.addNodeAt("graft-node-9", Seq(15, 15))
+      }
+      intercept[IllegalArgumentException] {
+        KVRing.addNodeAt("graft-node-0", Seq(15)) // already a member
+      }
+    } finally KVRing.resetTopology()
+  }
+
   test("ring topology: bootstrap/decommission move bounded arcs, lose nothing") {
     import graft.sources.KVRing
     KVRing.resetTopology()
