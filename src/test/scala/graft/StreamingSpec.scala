@@ -315,6 +315,63 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(folded == Map(1L -> "a2", 2L -> "b2", 4L -> "d", 5L -> "e"))
   }
 
+  test("KV CDC stream stays consistent across a mid-stream ring bootstrap") {
+    // C11 ∘ E6: a node joining the ring MID-STREAM must be invisible to
+    // the CDC consumer — the changelog is commit-ordered per table, and
+    // topology is placement metadata, so offsets neither skip nor
+    // re-deliver and the fold still equals the (placement-independent)
+    // table state.
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.sources.{KeyGroupedRegistry, KVRing}
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false), StructField("v", StringType)))
+    def df(rows: (Long, String)*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (k, v) =>
+        org.apache.spark.sql.Row(k, v) }: _*), schema)
+    val name = "kv_cdc_boot"
+    KeyGroupedRegistry.stage(name, df(1L -> "a", 2L -> "b", 3L -> "c"), "k")
+    def upsert(rows: (Long, String)*): Unit =
+      df(rows: _*).write.format("graft.sources.KVDataSource")
+        .option("table", name).mode("append").save()
+    val root = java.nio.file.Files.createTempDirectory("graft-kv-boot").toString
+    KVRing.resetTopology()
+    val q = spark.readStream.format("graft.sources.KVDataSource")
+      .option("table", name).option("cdc", "true").load()
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk").start()
+    try {
+      upsert(1L -> "a2", 4L -> "d") // commit 1, pre-bootstrap ring
+      q.processAllAvailable()
+      // the topology change lands between two served micro-batches
+      KVRing.addNodeAt("graft-node-7", Seq(15, 255, 495))
+      upsert(2L -> "b2", 5L -> "e") // commit 2, post-bootstrap ring
+      upsert(3L -> "c2")            // commit 3
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$root/out")
+      // no skip, no re-delivery: snapshot(3) + 2 + 2 + 1, each exactly once
+      assert(out.count() == 8, s"rows=${out.count()}")
+      val seqs = out.select("_commit_seq").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(seqs == Seq(0L, 1L, 2L, 3L), s"offsets skipped/repeated: $seqs")
+      // fold == table state read under the GROWN ring
+      val latest = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("_commit_seq").desc)
+      val folded = out.withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1).filter(!col("_tombstone")).select("k", "v")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val table = spark.read.format("graft.sources.KVDataSource")
+        .option("table", name).load()
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(folded == table, s"folded=$folded table=$table")
+      assert(folded == Map(1L -> "a2", 2L -> "b2", 3L -> "c2",
+        4L -> "d", 5L -> "e"))
+    } finally {
+      q.stop(); q.awaitTermination()
+      KVRing.resetTopology()
+    }
+  }
+
   test("catalog CDC stream resumes from its checkpoint and folds to the table state") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
