@@ -702,6 +702,51 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Trigram-index substring search — "grep the corpus" the way pg_trgm /
+    // Zoekt / Google Code Search do it: an arbitrary INFIX query (no token
+    // or prefix alignment) answered from a character-3-gram inverted
+    // index, never a full-text scan. The query self-derives (chars 2..5 of
+    // the top ≥6-char term — a guaranteed-present infix). Index side: each
+    // doc emits its DISTINCT character trigrams ONCE (the posting list);
+    // only the query's trigrams survive the scan filter — the inverted-
+    // index seek, everything else dies before any shuffle. A doc
+    // containing the query necessarily contains ALL its trigrams, so the
+    // AND-intersection (per-doc count == |query trigrams|) is a complete
+    // candidate set; contains() then exact-verifies ONLY the candidates —
+    // at 100 TB the expensive substring scan touches the candidate docs,
+    // not the corpus. Occurrence counts via the replace-length identity
+    // (non-overlapping, same rule both engines). Oracle is DIFFERENTIAL:
+    // a direct contains() grep of every doc.
+    "q_trigram_search" -> { (s, dir) =>
+      val d = docsPar(s, dir).select(col("doc_id"), col("text"))
+      val term = d.select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) >= 6)
+        .groupBy("tok").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok").asc)
+        .limit(1).collect().headOption // scalar: the term carrying the infix
+        .getOrElse(throw new IllegalArgumentException(
+          "q_trigram_search needs at least one corpus term of length >= 6"))
+        .getString(0)
+      val q = term.substring(1, 5)
+      val qEsc = q.replace("'", "''")
+      val qTris = q.sliding(3).toSeq.distinct
+      val cand = d.filter(length(col("text")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3)))")).as("g"))
+        .filter(col("g").isin(qTris: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("nq"))
+        .filter(col("nq") === qTris.size)
+        .select("doc_id")
+      d.join(cand, Seq("doc_id"), "left_semi")
+        .filter(col("text").contains(q))
+        .select(col("doc_id"),
+          expr(s"cast((length(text) - length(replace(text, '$qEsc', ''))) " +
+            s"/ ${q.length} as bigint)").as("n_occ"))
+        .withColumn("query", lit(q))
+        .orderBy("doc_id")
+    },
+
     // Dataset card (the "datasheet for datasets" release artifact): one
     // summary row a corpus publisher ships next to the data — volume,
     // token mass, language/source breadth, exact-duplicate mass, length
@@ -1111,6 +1156,50 @@ object Pipeline {
         .withColumn("fertility",
           round(col("n_bpe_tokens") / col("n_words"), 6))
         .orderBy("doc_id")
+    },
+
+    // COUNT-MIN SKETCH heavy hitters — the streaming frequent-items
+    // counter (next to HLL distinct and quantile sketches in the approx
+    // family): a d=4 × w=512 counter grid; token t increments counter
+    // (r, h_r(t)) per row r, and its estimate is the MIN over its d
+    // counters — an OVERESTIMATE by construction (collisions only add),
+    // never an under. The sketch is ADDITIVE (counters only sum), so it
+    // is insertion-order- and partitioning-independent — the property
+    // that makes it mergeable across 1000 executors and ACROSS DAYS at
+    // 100 TB: here it builds from the type counts (one token aggregate);
+    // a production ingest builds the same grid map-side per partition
+    // and ORs nothing — just sums 2048 longs. Probes: the exact top-10
+    // tokens (the ground truth the sketch would replace) with their CM
+    // estimates, the always-true overestimate bound pinned as a column,
+    // and the relative error the 512-bucket width buys at this corpus.
+    // Hashes are the portable 32-bit md5 (hExpr) salted by the row index,
+    // so the oracle rebuilds the identical grid.
+    "q_heavy_hitters" -> { (s, dir) =>
+      val D = 4; val W = 512
+      val types = docsPar(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      def bucket(i: Int) =
+        expr(s"pmod(${hExpr(s"concat('$i ', tok)")}, $W)").as("b")
+      val counters = (0 until D).map(i =>
+        types.select(lit(i).as("r"), bucket(i), col("c")))
+        .reduce(_ unionAll _)
+        .groupBy("r", "b").agg(sum("c").as("cnt"))
+      val top = types.orderBy(col("c").desc, col("tok").asc).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(pmod(col("c"), lit(1)))
+            .orderBy(col("c").desc, col("tok").asc)))
+      val probes = (0 until D).map(i =>
+        top.select(col("rank"), col("tok"), col("c"), lit(i).as("r"), bucket(i)))
+        .reduce(_ unionAll _)
+      probes.join(broadcast(counters), Seq("r", "b"))
+        .groupBy("rank", "tok", "c")
+        .agg(min("cnt").as("cm_est"))
+        .select(col("rank"), col("tok").as("token"), col("c").as("exact"),
+          col("cm_est"),
+          (col("cm_est") >= col("c")).as("overestimate"),
+          round((col("cm_est") - col("c")) / col("c"), 6).as("rel_err"))
+        .orderBy("rank")
     },
 
     "q_vocab_build" -> { (s, dir) =>
@@ -2214,6 +2303,23 @@ object Pipeline {
         |  (SELECT q FROM q) AS "query"
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // DIFFERENTIAL oracle: a direct contains() grep of every doc — the
+    // naive full-text scan the engine's trigram index must equal exactly
+    // (trigram AND-intersection is a complete candidate set; contains()
+    // verify removes the false positives)
+    "q_trigram_search" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |tt AS (SELECT unnest(string_split(text, ' ')) AS tok FROM d),
+        |q AS (SELECT substr(tok, 2, 4) AS q FROM (
+        |  SELECT tok, COUNT(*) AS tf FROM tt WHERE length(tok) >= 6
+        |  GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT 1))
+        |SELECT d.doc_id,
+        |  CAST((length(d.text) - length(replace(d.text, q.q, '')))
+        |    / length(q.q) AS BIGINT) AS n_occ,
+        |  q.q AS "query"
+        |FROM d, q WHERE contains(d.text, q.q)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // identical inverted-index pair counting; the capped postings make the
     // per-pair COUNT(*) equal Spark's by construction
     "q_containment" ->
@@ -2511,6 +2617,33 @@ object Pipeline {
         |  round(SUM(len(string_split(trim(syms), ' '))) * 1.0 / COUNT(*), 6)
         |    AS fertility
         |FROM e3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical d=4 × w=512 grid from the same salted 32-bit md5 hash;
+    // estimate = MIN over the probe token's 4 counters
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |ty AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        |cms AS (SELECT t.r,
+        |    ('0x'||substr(md5(CAST(t.r AS VARCHAR) || ' ' || tok), 1, 8))::BIGINT
+        |      % 512 AS b,
+        |    CAST(SUM(c) AS BIGINT) AS cnt
+        |  FROM ty, range(0, 4) t(r) GROUP BY 1, 2),
+        |top AS (SELECT tok, c,
+        |    row_number() OVER (ORDER BY c DESC, tok ASC) AS rank
+        |  FROM (SELECT tok, c FROM ty ORDER BY c DESC, tok ASC LIMIT 10)),
+        |pr AS (SELECT top.rank, top.tok, top.c, t.r,
+        |    ('0x'||substr(md5(CAST(t.r AS VARCHAR) || ' ' || top.tok), 1, 8))::BIGINT
+        |      % 512 AS b
+        |  FROM top, range(0, 4) t(r)),
+        |est AS (SELECT pr.rank, pr.tok, pr.c,
+        |    CAST(MIN(cms.cnt) AS BIGINT) AS cm_est
+        |  FROM pr JOIN cms ON cms.r = pr.r AND cms.b = pr.b
+        |  GROUP BY 1, 2, 3)
+        |SELECT rank, tok AS token, c AS exact, cm_est,
+        |  cm_est >= c AS overestimate,
+        |  round((cm_est - c) / c, 6) AS rel_err
+        |FROM est ORDER BY rank""".stripMargin,
 
     "q_vocab_build" ->
       """WITH tok AS (

@@ -338,6 +338,42 @@ object Relational {
         .orderBy("c_mktsegment", "metric")
     },
 
+    // Spark 4 VARIANT — the open-schema semi-structured type (the
+    // warehouse answer to "the upstream team keeps adding fields"): each
+    // event's loose attributes assemble into ONE nested JSON document
+    // (props rides in verbatim as a nested object; money enters as exact
+    // cents so the document text is deterministic), `parse_json` encodes
+    // it as a VARIANT — a binary tree walked by PATH at query time, no
+    // schema declared up front — and `variant_get` extracts typed fields
+    // for a relational rollup. `try_variant_get` probes a path that does
+    // not exist: schema drift reads as NULL, never a failure (pinned by
+    // n_missing == n). At 100 TB this is the ingest pattern for logs with
+    // unstable schemas: the scan stays one column, extraction is
+    // expression-level (codegen, prunable), and documents with new fields
+    // need no migration. The oracle is DIFFERENTIAL on purpose: DuckDB
+    // computes the same rollup from the RAW columns + json_extract of the
+    // original props, so construct→variant→extract must round-trip
+    // exactly.
+    "q_variant_json" -> { (s, dir) =>
+      val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+      Tables.load(s, dir, "events")
+        .withColumn("doc", concat(
+          lit("{\"meta\":{\"type\":\""), col("event_type"),
+          lit("\",\"props\":"), col("props"),
+          lit("},\"cents\":"), cents, lit("}")))
+        .withColumn("v", parse_json(col("doc")))
+        .select(
+          expr("variant_get(v, '$.meta.type', 'string')").as("etype"),
+          expr("variant_get(v, '$.meta.props.k', 'int')").as("k"),
+          expr("variant_get(v, '$.cents', 'long')").as("cents"),
+          expr("try_variant_get(v, '$.nope.deep', 'int')").as("missing"))
+        .groupBy(col("etype"), pmod(col("k"), lit(10)).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          sum(when(col("missing").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_missing"))
+        .orderBy("etype", "k_bucket")
+    },
+
     // SQL-native UDF (Spark 4.x `CREATE FUNCTION … RETURN <expr>`): the
     // discounted-price formula packaged as a reusable catalog function —
     // the governance shape real warehouses standardize metrics with. Unlike
@@ -1298,6 +1334,20 @@ object Relational {
         |SELECT c_mktsegment, 'sum_cents' AS metric, sum_cents AS cents FROM b
         |ORDER BY c_mktsegment, metric""".stripMargin
     },
+
+    // DIFFERENTIAL: the same rollup from the RAW columns + json_extract of
+    // the original props — construct→VARIANT→extract must round-trip; the
+    // never-present probe path pins n_missing == n
+    "q_variant_json" ->
+      """WITH x AS (
+        |  SELECT event_type AS etype,
+        |    CAST(json_extract(props, '$.k') AS INT) AS k,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT etype, k % 10 AS k_bucket, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  COUNT(*) AS n_missing
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the UDF body inlined — same exact-decimal arithmetic, no macro needed
     "q_sql_udf" ->

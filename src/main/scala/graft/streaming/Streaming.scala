@@ -318,6 +318,50 @@ object Streaming {
   private def moneySum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast(DecimalType(12, 2))).cast(DoubleType)
 
+  /** Scale-probe hook (tools.ScaleBench's streaming tier): run two
+    * canonical stateful operators against `dir`'s events with explicit
+    * checkpoints, then read their state stores back (the
+    * q_stream_state_reader machinery) and report what they actually hold
+    * next to the key counts that bound them. The running agg carries NO
+    * watermark, so its state must be EXACTLY one row per distinct user
+    * plus the sentinel — strictly linear in keys, the gate ScaleBench
+    * enforces; the dedup carries the 1 h watermark, so its state is
+    * bounded by the event ids still inside the watermark horizon (growth
+    * tracks data rate, not stream length — the property that bounds a
+    * 100 TB/day ingest). */
+  def stateProbe(s: SparkSession, dir: String): Map[String, Long] = {
+    val aggCkpt = stageRoot("scaleprobe-agg", dir) + "-" + System.nanoTime()
+    val agg = eventStream(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val aggRows = withStreamConf(s) {
+      val q = agg.writeStream.format("memory")
+        .queryName("graft_scaleprobe_agg").outputMode("update")
+        .option("checkpointLocation", aggCkpt).start()
+      try drainStable(q, s.table("graft_scaleprobe_agg").count())
+      finally q.stop()
+      s.read.format("statestore").load(aggCkpt).count()
+    }
+    val dedupCkpt = stageRoot("scaleprobe-dedup", dir) + "-" + System.nanoTime()
+    val ded = eventStream(s, dir, "events")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val dedupRows = withStreamConf(s) {
+      val q = ded.writeStream.format("memory")
+        .queryName("graft_scaleprobe_dedup").outputMode("append")
+        .option("checkpointLocation", dedupCkpt).start()
+      try drainStable(q, s.table("graft_scaleprobe_dedup").count())
+      finally q.stop()
+      s.read.format("statestore").load(dedupCkpt).count()
+    }
+    val ev = Tables.load(s, dir, "events")
+    Map(
+      "agg_state_rows" -> aggRows,
+      "distinct_users" -> ev.select("user_id").distinct().count(),
+      "dedup_state_rows" -> dedupRows,
+      "distinct_events" -> ev.select("event_id").distinct().count())
+  }
+
   /** Drive a started query to completion: processAllAvailable, then poll
     * `size` until it is stable twice (the final watermark-driven eviction
     * lands in a no-data micro-batch that can trail processAllAvailable);

@@ -21,11 +21,20 @@ import org.apache.spark.sql.SparkSession
   * every candidate-generation pattern whose scaling could go quadratic if a
   * cap/band were wrong — MinHash/SimHash/Jaccard/embedding-LSH near-dup,
   * connected components, SemDeDup, IVF top-k, TextRank, BPE, TF-IDF — plus
-  * scan-agg/join/window/skew baselines (TPC-H shapes). Streaming is excluded
-  * (micro-batch scheduling floor dominates; state is watermark-bounded by
-  * construction and StreamingSpec covers eviction), and the KV-registry
+  * scan-agg/join/window/skew baselines (TPC-H shapes). The KV-registry
   * queries are excluded (the registry is the documented in-driver modeling
   * boundary, explicitly capped and "not a data path" — SURVEY §8).
+  *
+  * STREAMING TIER: four stateful streaming queries (chained
+  * dedup→window, transformWithState, watermark dedup, stream-stream
+  * join) run on the ×10 events tier too — their wall clock carries the
+  * micro-batch scheduling floor (so base times mostly measure that
+  * floor, and the ratio is the signal), and `Streaming.stateProbe`
+  * additionally reads the state stores back (the q_stream_state_reader
+  * machinery) at both tiers: the unwatermarked running agg's state must
+  * be EXACTLY linear in distinct keys (rows == users + sentinel — a
+  * hard gate, flagged as `stream_state_nonlinear`), and the watermark
+  * dedup's state growth must track the key ratio, not stream length.
   *
   * Methodology mirrors Bench: warm-up pass at sf0.001 (JIT + codegen
   * compile), min of REPS timed runs per (query, tier), noop sink so the
@@ -51,6 +60,12 @@ object ScaleBench {
     // text-analysis heavies (iterative / two-pass)
     "q_tfidf", "q_textrank", "q_bpe_merges", "q_collocations",
     "q_vocab_build", "q_token_entropy")
+
+  /** Streaming tier probes: every stateful-operator family — chained
+    * multi-stateful, transformWithState (RocksDB), watermark dedup,
+    * watermark-bounded stream-stream join. */
+  val streamProbes: Seq[String] = Seq("q_stream_chained",
+    "q_stream_transform_state", "q_stream_dedup", "q_stream_join")
 
   /** ×100 subset: the heaviest per-family representatives (full set would
     * take ~an hour at 100×; the point is the growth curve, which one probe
@@ -88,6 +103,13 @@ object ScaleBench {
 
     val base = probes.map(q => q -> time(q, baseDir)).toMap
     val x10 = probes.map(q => q -> time(q, x10Dir)).toMap
+
+    // streaming tier: wall time + state-store row counts at both tiers
+    streamProbes.foreach(exec(_, warmDir))
+    val sBase = streamProbes.map(q => q -> time(q, baseDir)).toMap
+    val sX10 = streamProbes.map(q => q -> time(q, x10Dir)).toMap
+    val spBase = graft.streaming.Streaming.stateProbe(spark, baseDir)
+    val spX10 = graft.streaming.Streaming.stateProbe(spark, x10Dir)
     // ×100 runs are long; a single rep's noise is small relative to the
     // 1-2 orders of magnitude the ratio spans
     val x100 = x100Dir.map(d => probes100.map(q => q -> time(q, d, 1)).toMap)
@@ -108,8 +130,41 @@ object ScaleBench {
       s""""$q":{"base_sec":${f(base(q))},"x10_sec":${f(x10(q))},""" +
         s""""x10_ratio":${f(ratio(q, x10))}$t2,"tags":[${tags(q)}]}"""
     }
+    def sratio(q: String) = sX10(q) / math.max(sBase(q), 1e-9)
+    val sRows = streamProbes.map { q =>
+      val tag =
+        if (sBase(q) < 0.5) "\"fixed_cost\""
+        else if (sratio(q) > 12) "\"watch\"" else ""
+      s""""$q":{"base_sec":${f(sBase(q))},"x10_sec":${f(sX10(q))},""" +
+        s""""x10_ratio":${f(sratio(q))},"tags":[$tag]}"""
+    }
+    // hard gate: unwatermarked agg state == distinct users + sentinel
+    val aggLinear =
+      spBase("agg_state_rows") == spBase("distinct_users") + 1 &&
+        spX10("agg_state_rows") == spX10("distinct_users") + 1
+    val dedupRatio = spX10("dedup_state_rows").toDouble /
+      math.max(spBase("dedup_state_rows"), 1L)
+    val keyRatio = spX10("distinct_users").toDouble /
+      math.max(spBase("distinct_users"), 1L)
+    val stateJson =
+      s""""state":{"agg_state_rows_base":${spBase("agg_state_rows")},""" +
+      s""""distinct_users_base":${spBase("distinct_users")},""" +
+      s""""agg_state_rows_x10":${spX10("agg_state_rows")},""" +
+      s""""distinct_users_x10":${spX10("distinct_users")},""" +
+      s""""agg_state_linear_in_keys":$aggLinear,""" +
+      s""""dedup_state_rows_base":${spBase("dedup_state_rows")},""" +
+      s""""dedup_state_rows_x10":${spX10("dedup_state_rows")},""" +
+      s""""distinct_events_base":${spBase("distinct_events")},""" +
+      s""""distinct_events_x10":${spX10("distinct_events")},""" +
+      s""""dedup_state_ratio":${f(dedupRatio)},"keys_ratio":${f(keyRatio)}}"""
+    val streamingJson =
+      s""""streaming":{${(sRows :+ stateJson).mkString(",")}},"""
+
     val flagged = probes.filter(q => base(q) >= 0.5 &&
-      (ratio(q, x10) > 12 || (x100.contains(q) && ratio(q, x100) > 120)))
+      (ratio(q, x10) > 12 || (x100.contains(q) && ratio(q, x100) > 120))) ++
+      streamProbes.filter(q => sBase(q) >= 0.5 && sratio(q) > 12) ++
+      (if (!aggLinear) Seq("stream_state_nonlinear") else Nil) ++
+      (if (dedupRatio > 12) Seq("stream_dedup_state_growth") else Nil)
     val x100Part = if (x100.nonEmpty) {
       val tot = probes100.map(x100).sum
       val botTot = probes100.map(base).sum
@@ -122,6 +177,7 @@ object ScaleBench {
       s""""base_total_sec":${f(base.values.sum)},"x10_total_sec":${f(x10.values.sum)},""" +
       s""""x10_total_ratio":${f(x10.values.sum / base.values.sum)},$x100Part""" +
       s""""flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
+      streamingJson +
       s""""queries":{${rows.mkString(",")}}}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

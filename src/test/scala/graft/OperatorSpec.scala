@@ -384,6 +384,58 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("count-min heavy hitters: overestimate bound holds, exact ranks correct") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_heavy_hitters")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(2), r.getLong(3))
+      assert(est >= exact, r.toString) // CM never underestimates
+      assert(r.getBoolean(4), r.toString)
+      assert(r.getDouble(5) >= 0.0, r.toString)
+    }
+    // exact counts are non-increasing by rank, and rank 1 really is the
+    // corpus's most frequent token (independently re-derived)
+    val exacts = rows.map(_.getLong(2))
+    assert(exacts.zip(exacts.tail).forall { case (a, b) => a >= b })
+    val top = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc).head
+    assert(rows.head.getString(1) == top.getString(0))
+    assert(rows.head.getLong(2) == top.getLong(1))
+  }
+
+  test("trigram search: index+verify ≡ direct substring grep, counts exact") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_trigram_search")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val q = rows.head.getString(2)
+    assert(q.length == 4)
+    // brute-force grep over the raw corpus must agree exactly
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = docs.filter(_._2.contains(q))
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val t = expect(r.getLong(0))
+      // non-overlapping occurrence count, the replace-length identity
+      val nOcc = (t.length - t.replace(q, "").length) / q.length
+      assert(r.getLong(1) == nOcc.toLong, r.toString)
+    }
+  }
+
+  test("variant extraction: totals reconcile with the raw columns, drift path all-null") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val rows = Relational.queries("q_variant_json")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(4) == r.getLong(2), r.toString))
+    val nTotal = rows.map(_.getLong(2)).sum
+    assert(nTotal == spark.read.parquet(s"$sfDir/events.parquet").count())
+  }
+
   test("fuzzy search: SymSpell deletion index ≡ direct edit-distance dictionary scan") {
     import org.apache.spark.sql.functions._
     val rows = Pipeline.queries("q_fuzzy_search")(spark, sfDir).collect()

@@ -1107,6 +1107,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("heavy hitters: the 2048-counter grid broadcasts into the probe join") {
+    val plan = planOf(Pipeline.queries("q_heavy_hitters")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("trigram search: no cartesian/BNLJ; verify only touches candidates via semi join") {
+    val plan = planOf(Pipeline.queries("q_trigram_search")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("boilerplate strip: the template set broadcasts into the strip join") {
     // The df>=2 template table must reach the segment stream as a
     // broadcast — a SortMergeJoin would shuffle the full exploded corpus
