@@ -106,6 +106,84 @@ object Storage {
     (nName, cName)
   }
 
+  /** Shared by q_kv_bootstrap_stream / q_kv_decommission_stream: full
+    * orders keyed by o_custkey — many partitions spread over the whole
+    * ring, several rows per partition, so movement accounting counts keys
+    * AND rows. Idempotent per sf-dir (deterministic content). */
+  def stageBootOrders(s: SparkSession, dir: String): String = {
+    val name = s"orders_boot:$dir"
+    graft.sources.KeyGroupedRegistry.stage(name,
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents")),
+      "o_custkey")
+    name
+  }
+
+  /** Distributed content fingerprint of the boot-orders table: (row count,
+    * summed portable 32-bit row hash) over size-coalesced splits — the
+    * byte-equal-read gate both ring-movement queries compare across the
+    * topology change. */
+  private def bootFingerprint(s: SparkSession, name: String): (Long, Long) = {
+    val r = s.read.format("graft.sources.KVDataSource")
+      .option("table", name).option("split_target_rows", "20000").load()
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(conv(substring(md5(concat_ws('|', o_custkey, " +
+          "o_orderkey, cents)), 1, 8), 16, 10) as bigint)")).as("h"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** (partition key, row count) of every boot-orders partition — the
+    * driver-held ring×partition METADATA (Cassandra's token map) the
+    * movement accounting runs over; row data never visits the driver. */
+  private def bootKeyRows(name: String): Seq[(Long, Long)] =
+    graft.sources.KeyGroupedRegistry.get(name).parts.toSeq
+      .map { case (k, rs) =>
+        (k.head.asInstanceOf[Number].longValue, rs.length.toLong)
+      }
+
+  /** Materialize per-host stores from the BEFORE placement, apply the
+    * stream (copy gained keys in) and cleanup (drop lost keys), then
+    * REQUIRE every store equals the AFTER placement — the convergence
+    * gate of both ring-movement queries. */
+  private def applyRingStream(keyRows: Seq[(Long, Long)],
+      before: Map[Long, Seq[String]], after: Map[Long, Seq[String]]): Unit = {
+    val stores = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.Set[Long]]
+    def store(h: String) = stores.getOrElseUpdate(h,
+      scala.collection.mutable.Set.empty[Long])
+    keyRows.foreach { case (k, _) => before(k).foreach(store(_) += k) }
+    keyRows.foreach { case (k, _) =>
+      val b = before(k).toSet; val a = after(k).toSet
+      (a -- b).foreach(store(_) += k) // stream in
+      (b -- a).foreach(store(_) -= k) // cleanup / leaver drain
+    }
+    val hosts = (before.values.flatten ++ after.values.flatten).toSet
+    hosts.foreach { h =>
+      val placed = keyRows.collect {
+        case (k, _) if after(k).contains(h) => k
+      }.toSet
+      require(store(h).toSet == placed,
+        s"store of $h diverged from post-change placement")
+    }
+  }
+
+  /** Per-(phase, host) ownership + movement accounting row set. */
+  private def ringPhaseRows(tag: String, keyRows: Seq[(Long, Long)],
+      rep: Map[Long, Seq[String]], other: Option[Map[Long, Seq[String]]])
+      : Seq[(String, String, Long, Long, Long, Long)] = {
+    val hosts = rep.values.flatten.toSet.toSeq.sorted
+    hosts.map { h =>
+      val owned = keyRows.filter { case (k, _) => rep(k).contains(h) }
+      val gained = other.fold(0L)(o => keyRows.count { case (k, _) =>
+        rep(k).contains(h) && !o(k).contains(h) }.toLong)
+      val dropped = other.fold(0L)(o => keyRows.count { case (k, _) =>
+        o(k).contains(h) && !rep(k).contains(h) }.toLong)
+      (tag, h, owned.size.toLong, owned.map(_._2).sum, gained, dropped)
+    }
+  }
+
   /** Stage the composite-key demo table: customer keyed by the
     * (c_nationkey: bigint, c_mktsegment: string) tuple — 125 splits (25
     * nations × 5 segments), one per distinct tuple. Idempotent per sf-dir. */
@@ -438,78 +516,79 @@ object Storage {
     // fingerprint scans. Output: per-(phase, host) key/row ownership with
     // streamed-in/cleaned-up key counts.
     "q_kv_bootstrap_stream" -> { (s, dir) =>
-      import graft.sources.{KVRing, KeyGroupedRegistry}
-      val name = s"orders_boot:$dir"
-      KeyGroupedRegistry.stage(name,
-        Tables.load(s, dir, "orders")
-          .select(col("o_custkey"), col("o_orderkey"),
-            expr("cast(round(o_totalprice * 100) as bigint)").as("cents")),
-        "o_custkey")
-      def fingerprint(): (Long, Long) = {
-        val r = s.read.format("graft.sources.KVDataSource")
-          .option("table", name).option("split_target_rows", "20000").load()
-          .agg(count(lit(1)).as("n"),
-            sum(expr("cast(conv(substring(md5(concat_ws('|', o_custkey, " +
-              "o_orderkey, cents)), 1, 8), 16, 10) as bigint)")).as("h"))
-          .head()
-        (r.getLong(0), r.getLong(1))
-      }
-      val keyRows: Seq[(Long, Long)] = KeyGroupedRegistry.get(name).parts.toSeq
-        .map { case (k, rs) =>
-          (k.head.asInstanceOf[Number].longValue, rs.length.toLong)
-        }
+      import graft.sources.KVRing
+      val name = stageBootOrders(s, dir)
+      val keyRows = bootKeyRows(name)
       val joiner = "graft-node-3"
       KVRing.resetTopology()
       try {
-        val fpBefore = fingerprint()
+        val fpBefore = bootFingerprint(s, name)
         val before = keyRows.map { case (k, _) => k -> KVRing.replicasOf(k) }.toMap
         KVRing.addNodeAt(joiner, Seq(15, 105, 195, 285, 375, 465, 555, 645))
         val after = keyRows.map { case (k, _) => k -> KVRing.replicasOf(k) }.toMap
-        // the stream, applied to materialized per-host stores
-        val stores = scala.collection.mutable.Map.empty[String,
-          scala.collection.mutable.Set[Long]]
+        // the stream, applied to materialized per-host stores: only the
+        // joiner may gain data, and each key displaces at most one old
+        // replica (the consistent-hashing movement bounds)
         keyRows.foreach { case (k, _) =>
-          before(k).foreach(h =>
-            stores.getOrElseUpdate(h,
-              scala.collection.mutable.Set.empty[Long]) += k)
-        }
-        keyRows.foreach { case (k, _) =>
-          val b = before(k).toSet; val a = after(k).toSet
-          val gained = a -- b
+          val gained = after(k).toSet -- before(k).toSet
           require(gained.subsetOf(Set(joiner)),
             s"bootstrap streamed key $k to a pre-existing node: $gained")
-          require((b -- a).size <= 1,
+          require((before(k).toSet -- after(k).toSet).size <= 1,
             s"bootstrap displaced more than one replica of key $k")
-          gained.foreach(h => stores.getOrElseUpdate(h,
-            scala.collection.mutable.Set.empty[Long]) += k) // stream in
-          (b -- a).foreach(h => stores(h) -= k)             // cleanup
         }
-        keyRows.groupBy { case (k, _) => after(k) }.keys.flatten.toSet
-          .foreach { h: String =>
-            val placed = keyRows.collect {
-              case (k, _) if after(k).contains(h) => k
-            }.toSet
-            require(stores.getOrElse(h, Set.empty[Long]).toSet == placed,
-              s"store of $h diverged from post-bootstrap placement")
-          }
-        val fpAfter = fingerprint()
+        applyRingStream(keyRows, before, after)
+        val fpAfter = bootFingerprint(s, name)
         require(fpBefore == fpAfter,
           s"bootstrap changed read content: $fpBefore -> $fpAfter")
-        def phaseRows(tag: String, rep: Map[Long, Seq[String]],
-            other: Option[Map[Long, Seq[String]]]) = {
-          val hosts = rep.values.flatten.toSet.toSeq.sorted
-          hosts.map { h =>
-            val owned = keyRows.filter { case (k, _) => rep(k).contains(h) }
-            val gained = other.fold(0L)(o => keyRows.count { case (k, _) =>
-              rep(k).contains(h) && !o(k).contains(h) }.toLong)
-            val dropped = other.fold(0L)(o => keyRows.count { case (k, _) =>
-              o(k).contains(h) && !rep(k).contains(h) }.toLong)
-            (tag, h, owned.size.toLong, owned.map(_._2).sum, gained, dropped)
+        s.createDataFrame(
+          ringPhaseRows("1_before", keyRows, before, None) ++
+            ringPhaseRows("2_after", keyRows, after, Some(before)))
+          .toDF("phase", "host", "n_keys", "n_rows",
+            "streamed_in_keys", "cleaned_up_keys")
+          .orderBy("phase", "host")
+      } finally KVRing.resetTopology()
+    },
+
+    // DECOMMISSION DATA MOVEMENT — the ring lifecycle's other half (CQL
+    // `nodetool decommission`): the leaver STREAMS each of its partitions
+    // to the key's replacement replica (the next distinct host clockwise)
+    // before leaving; nothing else moves. Same declared-arithmetic oracle
+    // as the bootstrap: the after-ring is simply the default ring minus
+    // the leaver's vnodes, so DuckDB replays placement both sides and
+    // recomputes the accounting. Movement bounds REQUIRED in-engine: keys
+    // that never listed the leaver are untouched; keys that did gain
+    // EXACTLY one replacement host; store convergence and the byte-equal
+    // read fingerprint gate hold as in the bootstrap.
+    "q_kv_decommission_stream" -> { (s, dir) =>
+      import graft.sources.KVRing
+      val name = stageBootOrders(s, dir)
+      val keyRows = bootKeyRows(name)
+      val leaver = "graft-node-1"
+      KVRing.resetTopology()
+      try {
+        val fpBefore = bootFingerprint(s, name)
+        val before = keyRows.map { case (k, _) => k -> KVRing.replicasOf(k) }.toMap
+        KVRing.decommission(leaver)
+        val after = keyRows.map { case (k, _) => k -> KVRing.replicasOf(k) }.toMap
+        keyRows.foreach { case (k, _) =>
+          val b = before(k).toSet; val a = after(k).toSet
+          require(!a.contains(leaver), s"key $k still replicated on the leaver")
+          if (!b.contains(leaver))
+            require(a == b, s"key $k moved without touching the leaver: $b -> $a")
+          else {
+            require((a -- b).size == 1,
+              s"key $k gained ${(a -- b).size} replacements, expected exactly 1")
+            require((b -- a) == Set(leaver),
+              s"key $k lost a non-leaver replica: ${b -- a}")
           }
         }
+        applyRingStream(keyRows, before, after)
+        val fpAfter = bootFingerprint(s, name)
+        require(fpBefore == fpAfter,
+          s"decommission changed read content: $fpBefore -> $fpAfter")
         s.createDataFrame(
-          phaseRows("1_before", before, None) ++
-            phaseRows("2_after", after, Some(before)))
+          ringPhaseRows("1_before", keyRows, before, None) ++
+            ringPhaseRows("2_after", keyRows, after, Some(before)))
           .toDF("phase", "host", "n_keys", "n_rows",
             "streamed_in_keys", "cleaned_up_keys")
           .orderBy("phase", "host")
@@ -3885,6 +3964,50 @@ object Storage {
         |  FROM range(0, 24) t(m)),
         |va AS (SELECT * FROM vb UNION ALL
         |  SELECT 15 + 90 * j, 'graft-node-3' FROM range(0, 8) t(j)),
+        |db AS (SELECT kr.k, kr.n, v.host,
+        |    MIN((v.vpos - kr.pos + 720) % 720) AS d
+        |  FROM kr, vb v GROUP BY 1, 2, 3),
+        |rb AS (SELECT k, n, host FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY d, host)
+        |    AS rnk FROM db) WHERE rnk <= 2),
+        |da AS (SELECT kr.k, kr.n, v.host,
+        |    MIN((v.vpos - kr.pos + 720) % 720) AS d
+        |  FROM kr, va v GROUP BY 1, 2, 3),
+        |ra AS (SELECT k, n, host FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY d, host)
+        |    AS rnk FROM da) WHERE rnk <= 2),
+        |bef AS (SELECT '1_before' AS phase, host, COUNT(*) AS n_keys,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(0 AS BIGINT) AS streamed_in_keys,
+        |    CAST(0 AS BIGINT) AS cleaned_up_keys
+        |  FROM rb GROUP BY host),
+        |gain AS (SELECT a.host, COUNT(*) AS g FROM ra a
+        |  LEFT JOIN rb b ON b.k = a.k AND b.host = a.host
+        |  WHERE b.host IS NULL GROUP BY a.host),
+        |drp AS (SELECT b.host, COUNT(*) AS dr FROM rb b
+        |  LEFT JOIN ra a ON a.k = b.k AND a.host = b.host
+        |  WHERE a.host IS NULL GROUP BY b.host),
+        |afc AS (SELECT a.host, COUNT(*) AS n_keys,
+        |    CAST(SUM(a.n) AS BIGINT) AS n_rows
+        |  FROM ra a GROUP BY a.host),
+        |aft AS (SELECT '2_after' AS phase, afc.host, afc.n_keys, afc.n_rows,
+        |    CAST(COALESCE(g.g, 0) AS BIGINT) AS streamed_in_keys,
+        |    CAST(COALESCE(d.dr, 0) AS BIGINT) AS cleaned_up_keys
+        |  FROM afc LEFT JOIN gain g ON g.host = afc.host
+        |  LEFT JOIN drp d ON d.host = afc.host)
+        |SELECT * FROM bef UNION ALL SELECT * FROM aft
+        |ORDER BY phase, host""".stripMargin,
+
+    // same placement replay; the after-ring is simply the default ring
+    // MINUS the leaver's vnodes (host index m%3 = 1)
+    "q_kv_decommission_stream" ->
+      """WITH k0 AS (SELECT o_custkey AS k, COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |kr AS (SELECT k, n, k % 720 AS pos FROM k0),
+        |vb AS (SELECT m * 30 AS vpos,
+        |    'graft-node-' || CAST(m % 3 AS VARCHAR) AS host
+        |  FROM range(0, 24) t(m)),
+        |va AS (SELECT * FROM vb WHERE host <> 'graft-node-1'),
         |db AS (SELECT kr.k, kr.n, v.host,
         |    MIN((v.vpos - kr.pos + 720) % 720) AS d
         |  FROM kr, vb v GROUP BY 1, 2, 3),
