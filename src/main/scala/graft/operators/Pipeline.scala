@@ -1327,6 +1327,51 @@ object Pipeline {
         .orderBy("split")
     },
 
+    // DEDUP-AWARE SPLIT + LEAKAGE AUDIT — the evaluation-integrity step
+    // q_dataset_split skips: hashing DOC ids can send members of the same
+    // duplicate group to different splits, so test answers leak into
+    // train through duplicates (the documented C4/Pile eval-inflation
+    // failure). The fix is to hash the GROUP REPRESENTATIVE: groups are
+    // exact-fingerprint classes (md5 of the first 8 tokens — fp equality
+    // is transitive, so the class IS the connected component, no
+    // iteration needed), rep = min doc_id per fp via one fp-partitioned
+    // window (the same single shuffle exact dedup pays — the rep table
+    // is corpus-sized and must NOT be driver- or broadcast-shaped).
+    // Both schemes run side by side on the same md5 basis-point coin and
+    // the audit counts, per scheme, the multi-doc groups that span >1
+    // split and the docs inside them: the group-hash scheme's leakage is
+    // STRUCTURALLY zero (one coin per group), which the oracle replays
+    // rather than trusts.
+    "q_split_leakage" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("fp", md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+        .withColumn("rep", min("doc_id").over(Window.partitionBy("fp")))
+        .withColumn("nh", expr(s"${hExpr("cast(doc_id as string)")} % 100"))
+        .withColumn("ah", expr(s"${hExpr("cast(rep as string)")} % 100"))
+      def splitOf(h: org.apache.spark.sql.Column) =
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+      val tagged = Seq(
+        ("1_doc_hash", splitOf(col("nh"))),
+        ("2_group_hash", splitOf(col("ah"))))
+        .map { case (nm, sc) =>
+          d.withColumn("scheme", lit(nm)).withColumn("split", sc)
+            .select("scheme", "split", "fp")
+        }.reduce(_ unionAll _)
+      val splits = tagged.groupBy("scheme").agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      val leaks = tagged.groupBy("scheme", "fp")
+        .agg(count(lit(1)).as("n"), countDistinct("split").as("ns"))
+        .groupBy("scheme").agg(
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("multi_doc_groups"),
+          sum(when(col("n") >= 2 && col("ns") > 1, 1L).otherwise(0L))
+            .as("leaked_groups"),
+          sum(when(col("n") >= 2 && col("ns") > 1, col("n")).otherwise(lit(0L)))
+            .as("leaked_docs"))
+      splits.join(leaks, "scheme").orderBy("scheme")
+    },
+
     // Deterministic epoch shuffle — the training-order operator. An epoch's
     // read order must be (a) pseudo-random w.r.t. corpus order, (b)
     // reproducible across re-runs and engines, (c) computable WITHOUT a
@@ -2766,6 +2811,51 @@ object Pipeline {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM d GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // same fp classes, same basis-point coins; group-hash leakage must
+    // come out zero by the same arithmetic, not by fiat
+    "q_split_leakage" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS fp
+        |  FROM documents),
+        |r AS (SELECT doc_id, fp,
+        |    MIN(doc_id) OVER (PARTITION BY fp) AS rep FROM d),
+        |t AS (SELECT doc_id, fp,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS nh,
+        |    ('0x'||substr(md5(CAST(rep AS VARCHAR)),1,8))::BIGINT % 100 AS ah
+        |  FROM r),
+        |tagged AS (
+        |  SELECT '1_doc_hash' AS scheme, fp,
+        |    CASE WHEN nh < 80 THEN 'train' WHEN nh < 90 THEN 'val'
+        |         ELSE 'test' END AS split FROM t
+        |  UNION ALL
+        |  SELECT '2_group_hash', fp,
+        |    CASE WHEN ah < 80 THEN 'train' WHEN ah < 90 THEN 'val'
+        |         ELSE 'test' END FROM t),
+        |sp AS (SELECT scheme,
+        |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_train,
+        |    CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_val,
+        |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_test
+        |  FROM tagged GROUP BY scheme),
+        |g AS (SELECT scheme, fp, COUNT(*) AS n,
+        |    COUNT(DISTINCT split) AS ns
+        |  FROM tagged GROUP BY scheme, fp),
+        |lk AS (SELECT scheme,
+        |    CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS multi_doc_groups,
+        |    CAST(SUM(CASE WHEN n >= 2 AND ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS leaked_groups,
+        |    CAST(SUM(CASE WHEN n >= 2 AND ns > 1 THEN n ELSE 0 END) AS BIGINT)
+        |      AS leaked_docs
+        |  FROM g GROUP BY scheme)
+        |SELECT sp.scheme, n_train, n_val, n_test,
+        |  multi_doc_groups, leaked_groups, leaked_docs
+        |FROM sp JOIN lk ON lk.scheme = sp.scheme
+        |ORDER BY sp.scheme""".stripMargin,
 
     "q_epoch_shuffle" ->
       """WITH d AS (

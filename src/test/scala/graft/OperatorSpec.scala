@@ -384,6 +384,22 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("split leakage: group-hash scheme leaks zero dup groups, doc-hash leaks some") {
+    val rows = Pipeline.queries("q_split_leakage")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (doc, grp) = (rows("1_doc_hash"), rows("2_group_hash"))
+    // both schemes partition the same corpus
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    Seq(doc, grp).foreach(r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == nDocs, r.toString))
+    // same dup-group universe; group-hash leakage is structurally zero
+    assert(doc.getLong(4) == grp.getLong(4))
+    assert(grp.getLong(5) == 0L && grp.getLong(6) == 0L, grp.toString)
+    // the fixture carries enough dup groups that doc-hash demonstrably leaks
+    assert(doc.getLong(4) > 0, doc.toString)
+    assert(doc.getLong(5) > 0 && doc.getLong(6) >= 2 * doc.getLong(5), doc.toString)
+  }
+
   test("count-min heavy hitters: overestimate bound holds, exact ranks correct") {
     import org.apache.spark.sql.functions._
     val rows = Pipeline.queries("q_heavy_hitters")(spark, sfDir).collect()
