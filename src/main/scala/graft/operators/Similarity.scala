@@ -293,6 +293,94 @@ object Similarity {
       } finally { x.unpersist(); () }
     },
 
+    // IVF-PQ — the two ANN tiers COMPOSED into the production FAISS
+    // layout (q_cosine_topk_ivf prunes, q_pq_adc compresses; a real
+    // billion-vector index does BOTH): a coarse quantizer (first-8
+    // integer centroids — q_kmeans_ivf trains this shape) partitions the
+    // corpus into inverted lists; each vector PQ-encodes its RESIDUAL
+    // x − centroid (the part IVF hasn't explained — encoding residuals
+    // instead of raw vectors is what makes the 4-byte code usable, and
+    // the codebook is SHARED across lists, faithful IVFPQ); a query
+    // probes its nprobe=2 nearest lists, builds one ADC lookup table per
+    // probed list from its own residual there, and scores ONLY vectors
+    // in probed lists — at 10^9 vectors the scan touches nprobe/K of the
+    // corpus and reads 4-byte codes, not 256-byte vectors. Everything is
+    // exact bigint over milli-quantized embeddings (the kmeans/PQ/
+    // k-center discipline) so encode, probe and rank are bit-identical
+    // cross-engine. Output: per query the ADC top-3 from probed lists
+    // with the recall hit flag against the UNPRUNED exact top-3 — the
+    // recall-vs-speed readout every IVFPQ deployment tunes nprobe by.
+    "q_ivf_pq" -> { (s, dir) =>
+      val Kc = 8; val NProbe = 2; val M = 4; val Dsub = 16; val Kpq = 16
+      val x = vecs(s, dir).select(col("vec_id"),
+        expr("transform(v, e -> cast(round(e * 1000d) as bigint))").as("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        x.count() // materialize once: assignment + codebook + exact passes
+        val coarse = x.filter(col("vec_id") < Kc)
+          .select(col("vec_id").cast("int").as("ci"), col("x").as("ccent"))
+        val sq = "aggregate(zip_with(%s, %s, (a, b) -> (a-b)*(a-b)), " +
+          "0L, (acc, t) -> acc + t)"
+        // every vector: nearest coarse centroid + residual
+        val asg = x.crossJoin(broadcast(coarse))
+          .withColumn("d", expr(sq.format("x", "ccent")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d"), col("ci"))))
+          .filter(col("rn") === 1)
+          .withColumn("res", expr("zip_with(x, ccent, (a, b) -> a - b)"))
+          .select(col("vec_id"), col("ci"), col("res"))
+        val subs = asg.select(col("vec_id"), col("ci"), explode(expr(
+          s"transform(sequence(0, ${M - 1}), " +
+            s"m -> named_struct('m', m, 'sx', slice(res, m*$Dsub+1, $Dsub)))")).as("t"))
+          .select(col("vec_id"), col("ci"), col("t.m").as("m"), col("t.sx").as("sx"))
+        // shared residual codebook: the first Kpq vectors' residual subvectors
+        val cb = subs.filter(col("vec_id") < Kpq)
+          .select(col("m"), col("vec_id").cast("int").as("c"), col("sx").as("cent"))
+        val enc = subs.join(broadcast(cb), "m")
+          .withColumn("d", expr(sq.format("sx", "cent")))
+          .groupBy("vec_id", "ci", "m")
+          .agg(min_by(col("c"), struct(col("d"), col("c"))).as("c"))
+        // query side: probe the NProbe nearest lists, residual LUT per list
+        val qAsg = x.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("x").as("qx"))
+          .crossJoin(broadcast(coarse))
+          .withColumn("d", expr(sq.format("qx", "ccent")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("d"), col("ci"))))
+          .filter(col("rn") <= NProbe)
+          .withColumn("qres", expr("zip_with(qx, ccent, (a, b) -> a - b)"))
+        val lut = qAsg.select(col("q_id"), col("ci"), explode(expr(
+          s"transform(sequence(0, ${M - 1}), " +
+            s"m -> named_struct('m', m, 'sx', slice(qres, m*$Dsub+1, $Dsub)))")).as("t"))
+          .select(col("q_id"), col("ci"), col("t.m").as("m"), col("t.sx").as("qsx"))
+          .join(broadcast(cb), "m")
+          .withColumn("qdist", expr(sq.format("qsx", "cent")))
+          .select(col("q_id"), col("ci"), col("m"), col("c"), col("qdist"))
+        // ADC over probed lists only: codes join the 10·2·4·16-row LUT
+        val adc = enc.join(broadcast(lut), Seq("ci", "m", "c"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum("qdist").as("adist"))
+        // unpruned exact top-3: the recall reference
+        val q = x.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("x").as("qx"))
+        val exact = broadcast(q).crossJoin(x)
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("ed", expr(sq.format("qx", "x")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("ed"), col("vec_id"))))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id").as("match_id"), lit(1).as("hit"))
+        val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+        adc.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id").as("match_id"), col("adist"), col("rn"))
+          .join(exact, Seq("q_id", "match_id"), "left")
+          .withColumn("hit", coalesce(col("hit"), lit(0)))
+          .orderBy("q_id", "rn")
+      } finally { x.unpersist(); () }
+    },
+
     // Banded sign-LSH near-dup: 64 deterministic ±1 hyperplanes → 4 bands of
     // 16-bit codes; pairs agreeing on ANY band are candidates, verified by
     // cosine ≥ 0.2. Hyperplane signs come from an LCG parity (portable
@@ -761,6 +849,72 @@ object Similarity {
     // slices x[m·16+1 : m·16+16]; encode argmin via row_number (result-
     // equivalent to the engine's min_by aggregate under the same (d, c)
     // tie-break); `ed` doubles as encode input and ADC lookup table.
+    // full IVFPQ replay: coarse argmin + residuals, shared residual
+    // codebook, nprobe=2 query LUTs, ADC restricted to probed lists,
+    // recall vs the unpruned exact top-3 — all exact bigint
+    "q_ivf_pq" ->
+      """WITH x AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS x
+        |  FROM embeddings),
+        |co AS (SELECT CAST(vec_id AS INT) AS ci, x AS ccent
+        |  FROM x WHERE vec_id < 8),
+        |ad AS (SELECT x.vec_id, co.ci, x.x, co.ccent,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> (x.x[j]-co.ccent[j])*(x.x[j]-co.ccent[j]))) AS BIGINT) AS d
+        |  FROM x, co),
+        |asg AS (SELECT vec_id, ci,
+        |    list_transform(range(1, 65), j -> x[j]-ccent[j]) AS res
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d, ci) AS rn FROM ad) WHERE rn = 1),
+        |subs AS (SELECT vec_id, ci, t.m, res[t.m*16+1 : t.m*16+16] AS sx
+        |  FROM asg, range(0, 4) t(m)),
+        |cb AS (SELECT m, CAST(vec_id AS INT) AS c, sx AS cent
+        |  FROM subs WHERE vec_id < 16),
+        |ed AS (SELECT s.vec_id, s.ci, s.m, cb.c,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      j -> (s.sx[j]-cb.cent[j])*(s.sx[j]-cb.cent[j]))) AS BIGINT) AS d
+        |  FROM subs s JOIN cb USING (m)),
+        |enc AS (SELECT vec_id, ci, m, c FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |    ORDER BY d, c) AS rn FROM ed) WHERE rn = 1),
+        |qd0 AS (SELECT x.vec_id AS q_id, co.ci,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> (x.x[j]-co.ccent[j])*(x.x[j]-co.ccent[j]))) AS BIGINT) AS d,
+        |    list_transform(range(1, 65), j -> x.x[j]-co.ccent[j]) AS qres
+        |  FROM x, co WHERE x.vec_id < 10),
+        |qa AS (SELECT q_id, ci, qres FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY d, ci) AS rn FROM qd0) WHERE rn <= 2),
+        |qsub AS (SELECT q_id, ci, t.m, qres[t.m*16+1 : t.m*16+16] AS qsx
+        |  FROM qa, range(0, 4) t(m)),
+        |lut AS (SELECT q.q_id, q.ci, q.m, cb.c,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      j -> (q.qsx[j]-cb.cent[j])*(q.qsx[j]-cb.cent[j]))) AS BIGINT)
+        |      AS qdist
+        |  FROM qsub q JOIN cb USING (m)),
+        |adc AS (SELECT lut.q_id, enc.vec_id,
+        |    CAST(SUM(lut.qdist) AS BIGINT) AS adist
+        |  FROM enc JOIN lut ON lut.ci = enc.ci AND lut.m = enc.m
+        |    AND lut.c = enc.c
+        |  WHERE enc.vec_id <> lut.q_id GROUP BY 1, 2),
+        |qx AS (SELECT vec_id AS q_id, x AS qx FROM x WHERE vec_id < 10),
+        |exd AS (SELECT qx.q_id, x.vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> (qx.qx[j]-x.x[j])*(qx.qx[j]-x.x[j]))) AS BIGINT) AS ed
+        |  FROM qx, x WHERE x.vec_id <> qx.q_id),
+        |ex AS (SELECT q_id, vec_id AS match_id, 1 AS hit FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY ed, vec_id) AS rn FROM exd) WHERE rn <= 3),
+        |top AS (SELECT q_id, vec_id AS match_id, adist, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist, vec_id) AS rn FROM adc) WHERE rn <= 3)
+        |SELECT top.q_id, top.match_id, top.adist, top.rn,
+        |  COALESCE(ex.hit, 0) AS hit
+        |FROM top LEFT JOIN ex ON ex.q_id = top.q_id
+        |  AND ex.match_id = top.match_id
+        |ORDER BY top.q_id, top.rn""".stripMargin,
+
     "q_pq_adc" ->
       """WITH x AS (
         |  SELECT vec_id, list_transform(embedding,

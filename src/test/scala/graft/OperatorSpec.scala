@@ -384,6 +384,20 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("IVF-PQ: 3 ranked rows per query, distances non-decreasing, recall nonzero") {
+    val rows = Similarity.queries("q_ivf_pq")(spark, sfDir).collect()
+    assert(rows.length == 30) // 10 queries × top-3
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+      val dists = byRank.map(_.getLong(2))
+      assert(dists.forall(_ >= 0))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    }
+    // pruned+compressed search still finds SOME of the exact top-3
+    assert(rows.count(_.getInt(4) == 1) > 0)
+  }
+
   test("split leakage: group-hash scheme leaks zero dup groups, doc-hash leaks some") {
     val rows = Pipeline.queries("q_split_leakage")(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
