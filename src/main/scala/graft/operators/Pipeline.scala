@@ -138,6 +138,49 @@ object Pipeline {
       s: SparkSession, dir: String, rounds: Int): Seq[String] =
     bpeTrainRounds(s, dir, rounds).map(_._1)
 
+  /** Shared by q_bigram_lm / q_kneser_ney: cap the vocab at the top-16
+    * types (16 driver scalars → CASE literals — the BPE precedent), encode
+    * every doc token→id map-only (OOV → UNK id 0), and explode adjacent id
+    * pairs via the aligned-slice zip_with (never a positional self-join —
+    * the corpus does not shuffle before the per-(doc, bigram) rollup).
+    * Returns (encoded docs with `ids`, the (doc_id, bg) transition
+    * stream); `bg = u·17 + v`. One training implementation, two smoothers
+    * on top. */
+  private def bigramEncoded(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d0 = docsPar(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val vocab = d0.select(explode(col("w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(16)
+      .collect().map(_.getString(0)) // scalar driver action: the vocab
+    require(vocab.nonEmpty, "bigram LM needs a non-empty corpus")
+    val cases = vocab.zipWithIndex.map { case (t, i) =>
+      s"WHEN '${t.replace("'", "''")}' THEN ${i + 1}"
+    }.mkString(" ")
+    val enc = d0
+      .withColumn("ids", expr(s"transform(w, x -> CASE x $cases ELSE 0 END)"))
+    val docBg = enc.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(ids, 1, size(ids)-1), slice(ids, 2, size(ids)-1), " +
+          "(a, b) -> a * 17 + b)")).as("bg"))
+    (enc, docBg)
+  }
+
+  /** Shared scoring tail of the two bigram LMs: per-doc Σ k·log2(p) over a
+    * SORTED fold (the q_token_entropy float discipline) → bits per
+    * transition. `model` must be (bg, lp). */
+  private def perDocBits(docBg: DataFrame, model: DataFrame): DataFrame =
+    docBg.groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+      .join(broadcast(model), "bg")
+      .withColumn("contrib", col("k") * col("lp"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"),
+        expr("aggregate(sort_array(collect_list(contrib)), 0D, (a, x) -> a + x)")
+          .as("slog"))
+      .withColumn("bits_per_token", round(-col("slog") / col("n_bigrams"), 6))
+      .select("doc_id", "n_bigrams", "bits_per_token")
+      .orderBy("doc_id")
+
   // MinHash parameters (shared with the DuckDB oracle text below):
   // k=32 permutations h_i(x) = ((2i+1)·x + 12345 + 777i) mod p over 32-bit
   // shingle hashes; 8 bands × 4 rows → pair-catch prob ≈ 1-(1-s^4)^8
@@ -1744,25 +1787,10 @@ object Pipeline {
     // map-only encode + three bounded aggregates — no corpus-sized join
     // anywhere.
     "q_bigram_lm" -> { (s, dir) =>
-      val d0 = docsPar(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-      val vocab = d0.select(explode(col("w")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w").asc).limit(16)
-        .collect().map(_.getString(0)) // scalar driver action: the vocab
-      require(vocab.nonEmpty, "q_bigram_lm needs a non-empty corpus")
-      val cases = vocab.zipWithIndex.map { case (t, i) =>
-        s"WHEN '${t.replace("'", "''")}' THEN ${i + 1}"
-      }.mkString(" ")
-      val enc = d0
-        .withColumn("ids", expr(s"transform(w, x -> CASE x $cases ELSE 0 END)"))
+      val (enc, docBg) = bigramEncoded(s, dir)
       val uni = enc.select(explode(col("ids")).as("vid"))
         .groupBy("vid").agg(count(lit(1)).as("c1"))
       val nTok = enc.agg(sum(size(col("ids"))).cast("long").as("n_corpus"))
-      val docBg = enc.filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "zip_with(slice(ids, 1, size(ids)-1), slice(ids, 2, size(ids)-1), " +
-            "(a, b) -> a * 17 + b)")).as("bg"))
       val cbg = docBg.groupBy("bg").agg(count(lit(1)).as("cbg"))
       val ctx = cbg.withColumn("u", expr("bg div 17"))
         .groupBy("u").agg(sum("cbg").as("cctx"))
@@ -1776,16 +1804,44 @@ object Pipeline {
           lit(0.75) * ((col("cbg") + lit(1.0)) / (col("cctx") + lit(17.0)))
             + lit(0.25) * ((col("c1") + lit(1.0)) / (col("n_corpus") + lit(17.0))))
         .select(col("bg"), log2(col("p")).as("lp"))
-      docBg.groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
-        .join(broadcast(model), "bg")
-        .withColumn("contrib", col("k") * col("lp"))
-        .groupBy("doc_id")
-        .agg(sum("k").as("n_bigrams"),
-          expr("aggregate(sort_array(collect_list(contrib)), 0D, (a, x) -> a + x)")
-            .as("slog"))
-        .withColumn("bits_per_token", round(-col("slog") / col("n_bigrams"), 6))
-        .select("doc_id", "n_bigrams", "bits_per_token")
-        .orderBy("doc_id")
+      perDocBits(docBg, model)
+    },
+
+    // KNESER-NEY bigram LM — the smoothing real LM-perplexity filters ship
+    // (absolute discounting + CONTINUATION probability: a word's backoff
+    // mass reflects how many distinct contexts it follows, not its raw
+    // frequency — 'Francisco' is frequent but follows only 'San', so KN
+    // correctly scores it near-zero elsewhere; add-one interpolation
+    // (q_bigram_lm) can't express that). Same capped 17-id encode, same
+    // bounded ≤17² model. D = 0.75 (an exact binary fraction, the
+    // standard discount):
+    //   p(v|u) = max(c(u,v)−D, 0)/ctx(u)
+    //          + (D·N1+(u·)/ctx(u)) · (N1+(·v)/T)
+    // where N1+(u·) = distinct continuations of u, N1+(·v) = distinct
+    // contexts v follows, T = distinct bigram types. All counts exact
+    // bigints, each probability a fixed DAG of exactly-rounded IEEE ops
+    // (one division per component), only log2 libm-shaped → round(...,6).
+    // Only OBSERVED transitions are scored (c ≥ 1 → p > 0); the unseen-
+    // bigram backoff path needs no extra machinery because the scorer
+    // never meets one.
+    "q_kneser_ney" -> { (s, dir) =>
+      val (_, docBg) = bigramEncoded(s, dir)
+      val cbg = docBg.groupBy("bg").agg(count(lit(1)).as("c"))
+        .withColumn("u", expr("bg div 17"))
+        .withColumn("v", expr("bg % 17"))
+      val ctx = cbg.groupBy("u")
+        .agg(sum("c").as("cctx"), count(lit(1)).as("n1u"))
+      val cont = cbg.groupBy("v").agg(count(lit(1)).as("n1c"))
+      val tTypes = cbg.agg(count(lit(1)).as("t"))
+      val model = cbg
+        .join(broadcast(ctx), "u")
+        .join(broadcast(cont), "v")
+        .crossJoin(broadcast(tTypes))
+        .withColumn("p",
+          greatest(col("c") - lit(0.75), lit(0.0)) / col("cctx")
+            + lit(0.75) * col("n1u") / col("cctx") * (col("n1c") / col("t")))
+        .select(col("bg"), log2(col("p")).as("lp"))
+      perDocBits(docBg, model)
     },
 
     // Boilerplate/template-line removal — the CCNet/RefinedWeb "strip the
@@ -3086,6 +3142,39 @@ object Pipeline {
         |  FROM cbg
         |  JOIN ctx ON ctx.u = cbg.bg // 17
         |  JOIN uni ON uni.vid = cbg.bg % 17),
+        |dk AS (SELECT doc_id, bg, COUNT(*) AS k FROM bgs GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_concat([0.0::DOUBLE], list_sort(list(k * lp))),
+        |      (acc, v) -> acc + v) AS slog
+        |  FROM dk JOIN model USING (bg) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, round(-slog / n_bigrams, 6) AS bits_per_token
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // same encode; KN model: max(c−D,0)/ctx + (D·N1+(u·)/ctx)·(N1+(·v)/T)
+    // with D = 0.75 — identical fixed DAG, one division per component
+    "q_kneser_ney" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ty AS (SELECT u.t AS w, COUNT(*) AS c
+        |  FROM d, unnest(d.w) u(t) GROUP BY 1),
+        |vocab AS (SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS vid
+        |  FROM (SELECT w, c FROM ty ORDER BY c DESC, w ASC LIMIT 16)),
+        |tok AS (SELECT doc_id, unnest(w) AS t,
+        |  generate_subscripts(w, 1) AS pos FROM d),
+        |m AS (SELECT tok.doc_id, tok.pos, COALESCE(v.vid, 0) AS vid
+        |  FROM tok LEFT JOIN vocab v ON v.w = tok.t),
+        |bgs AS (SELECT a.doc_id, a.vid * 17 + b.vid AS bg
+        |  FROM m a JOIN m b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |cbg AS (SELECT bg, bg // 17 AS u, bg % 17 AS v, COUNT(*) AS c
+        |  FROM bgs GROUP BY 1, 2, 3),
+        |ctx AS (SELECT u, SUM(c) AS cctx, COUNT(*) AS n1u
+        |  FROM cbg GROUP BY u),
+        |cont AS (SELECT v, COUNT(*) AS n1c FROM cbg GROUP BY v),
+        |tt AS (SELECT COUNT(*) AS t FROM cbg),
+        |model AS (SELECT cbg.bg,
+        |    log2(greatest(cbg.c - 0.75::DOUBLE, 0.0::DOUBLE) / ctx.cctx
+        |      + 0.75::DOUBLE * ctx.n1u / ctx.cctx
+        |        * (cont.n1c / (SELECT t FROM tt))) AS lp
+        |  FROM cbg JOIN ctx USING (u) JOIN cont USING (v)),
         |dk AS (SELECT doc_id, bg, COUNT(*) AS k FROM bgs GROUP BY 1, 2),
         |sc AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
         |    list_reduce(list_concat([0.0::DOUBLE], list_sort(list(k * lp))),

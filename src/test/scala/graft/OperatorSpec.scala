@@ -508,6 +508,20 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(rows.count(_.getLong(2) == 0) > rows.length / 2)
   }
 
+  test("Kneser-Ney LM: same transition universe as add-one, different smoothing, bounds hold") {
+    val kn = Pipeline.queries("q_kneser_ney")(spark, sfDir).collect()
+    val ao = Pipeline.queries("q_bigram_lm")(spark, sfDir).collect()
+    assert(kn.nonEmpty && kn.length == ao.length)
+    kn.zip(ao).foreach { case (k, a) =>
+      assert(k.getLong(0) == a.getLong(0))
+      assert(k.getLong(1) == a.getLong(1)) // same transitions per doc
+      assert(k.getDouble(2) > 0.0, k.toString)
+    }
+    // the two smoothers must actually DIFFER somewhere — identical scores
+    // would mean the KN continuation/discount terms collapsed
+    assert(kn.zip(ao).exists { case (k, a) => k.getDouble(2) != a.getDouble(2) })
+  }
+
   test("BM25: top-20 ranked, scores positive and non-increasing, ≤3 terms hit") {
     val rows = Pipeline.queries("q_bm25")(spark, sfDir).collect()
     assert(rows.length == 20)

@@ -1136,10 +1136,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // per-(doc, bigram) scoring join — a SortMergeJoin would shuffle the
     // corpus-sized bigram table by model key, and any CartesianProduct
     // means the tiny aggregates stopped broadcasting.
-    val plan = planOf(Pipeline.queries("q_bigram_lm")(spark, sfDir))
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+    Seq("q_bigram_lm", "q_kneser_ney").foreach { q =>
+      val plan = planOf(Pipeline.queries(q)(spark, sfDir))
+      assert(plan.contains("BroadcastHashJoin"), s"$q\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
+    }
   }
 
   test("quality classifier is map-only: no shuffle before the output sort") {
