@@ -745,6 +745,38 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // KWIC snippet generation — the result-RENDERING step every retrieval
+    // stack ships next to ranking (Lucene's highlighter): for each doc
+    // matching the query term, a keyword-in-context window of ±2 tokens
+    // around the FIRST occurrence, plus the occurrence count. Shape at
+    // scale: the postings filter keeps only the query term's positions
+    // (inverted-index seek), min(pos) aggregates per doc, and the window
+    // slices the doc's own token array map-side in the verify join — the
+    // text is never substring-scanned and no doc compares to another.
+    // Window arithmetic is pure 1-based slice bounds [max(p−2,0)+1, p+3],
+    // identical in both engines including edge clamping at doc start/end.
+    "q_kwic_snippet" -> { (s, dir) =>
+      val d = docsPar(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val tok = d.select(col("doc_id"),
+        posexplode(col("w")).as(Seq("pos", "tok")))
+      val t1 = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok").asc)
+        .head().getString(0) // scalar driver action: the query term
+      tok.filter(col("tok") === t1)
+        .groupBy("doc_id")
+        .agg(min("pos").cast("long").as("first_pos"),
+          count(lit(1)).as("n_occ"))
+        .join(d, "doc_id")
+        .withColumn("snippet", expr(
+          "array_join(slice(w, greatest(first_pos - 2, 0) + 1, " +
+            "cast(first_pos + 3 - greatest(first_pos - 2, 0) as int)), ' ')"))
+        .select(col("doc_id"), col("first_pos"), col("n_occ"),
+          col("snippet"))
+        .withColumn("term", lit(t1))
+        .orderBy("doc_id")
+    },
+
     // Trigram-index substring search — "grep the corpus" the way pg_trgm /
     // Zoekt / Google Code Search do it: an arbitrary INFIX query (no token
     // or prefix alignment) answered from a character-3-gram inverted
@@ -2403,6 +2435,27 @@ object Pipeline {
         |  CAST(n_terms AS BIGINT) AS n_terms,
         |  (SELECT q FROM q) AS "query"
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // same postings min + 1-based window slice; generate_subscripts is
+    // 1-based so first_pos converts by −1 before the shared bounds
+    "q_kwic_snippet" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |posts AS (SELECT doc_id, unnest(w) AS tok,
+        |  generate_subscripts(w, 1) AS pos FROM d),
+        |t1 AS (SELECT tok FROM (
+        |  SELECT tok, COUNT(*) AS tf FROM posts GROUP BY tok
+        |  ORDER BY tf DESC, tok ASC LIMIT 1)),
+        |hits AS (SELECT p.doc_id,
+        |    CAST(MIN(p.pos) - 1 AS BIGINT) AS first_pos,
+        |    COUNT(*) AS n_occ
+        |  FROM posts p JOIN t1 USING (tok) GROUP BY p.doc_id)
+        |SELECT h.doc_id, h.first_pos, h.n_occ,
+        |  array_to_string(
+        |    d.w[(greatest(h.first_pos - 2, 0) + 1):(h.first_pos + 3)], ' ')
+        |    AS snippet,
+        |  (SELECT tok FROM t1) AS term
+        |FROM hits h JOIN d USING (doc_id)
+        |ORDER BY h.doc_id""".stripMargin,
 
     // DIFFERENTIAL oracle: a direct contains() grep of every doc — the
     // naive full-text scan the engine's trigram index must equal exactly

@@ -384,6 +384,21 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("KWIC snippets: window contains the term at the clamped offset, counts positive") {
+    val rows = Pipeline.queries("q_kwic_snippet")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val term = rows.head.getString(4)
+    rows.foreach { r =>
+      val (p, n, snip) = (r.getLong(1), r.getLong(2), r.getString(3))
+      assert(p >= 0 && n >= 1, r.toString)
+      val toks = snip.split(" ")
+      assert(toks.length <= 5, r.toString)
+      // the term sits exactly where the clamped window math puts it
+      val offInWindow = (p - math.max(p - 2, 0)).toInt
+      assert(toks(offInWindow) == term, r.toString)
+    }
+  }
+
   test("IVF-PQ: 3 ranked rows per query, distances non-decreasing, recall nonzero") {
     val rows = Similarity.queries("q_ivf_pq")(spark, sfDir).collect()
     assert(rows.length == 30) // 10 queries × top-3
