@@ -2820,6 +2820,65 @@ object Storage {
         .orderBy("l_returnflag")
     },
 
+    // PHI-ACCRUAL FAILURE DETECTOR — the gossip-layer conviction math
+    // every Cassandra coordinator runs before routing around a node
+    // (Hayashibara et al.; Cassandra's FailureDetector uses exactly the
+    // exponential simplification modeled here: φ = Δt/mean · log10 e,
+    // convicting at φ > 8, the phi_convict_threshold default). Heartbeat
+    // history self-derives: node i's arrivals are the orderkeys ≡ i
+    // (mod 3) in tick units, so the stream is dense and deterministic at
+    // every SF. Mean inter-arrival is the EXACT (last−first)/(n−1) — one
+    // IEEE division over bigints, not an average of floats — and φ is a
+    // fixed three-op DAG ending in the house round(...,6); probes at
+    // declared gaps {0, 100, 1000} ticks beyond the last heartbeat show
+    // the detector's whole range: alive, suspicious-but-under-threshold,
+    // convicted. At scale this is per-endpoint O(1) state — the point of
+    // accrual detection is that NO query traffic is spent probing.
+    "q_kv_phi_accrual" -> { (s, dir) =>
+      val hb = Tables.load(s, dir, "orders")
+        .select(pmod(col("o_orderkey"), lit(3)).cast("int").as("node"),
+          col("o_orderkey").cast(LongType).as("t"))
+      val tmax = hb.agg(max("t")).head().getLong(0) // scalar: "now" anchor
+      hb.groupBy("node")
+        .agg(min("t").as("first_t"), max("t").as("last_t"),
+          count(lit(1)).as("n_hb"))
+        .withColumn("gap", explode(array(lit(0L), lit(30L), lit(300L))))
+        .withColumn("probe_t", lit(tmax) + col("gap"))
+        .withColumn("mean_iv",
+          (col("last_t") - col("first_t")) / (col("n_hb") - 1))
+        .withColumn("phi", round(
+          (col("probe_t") - col("last_t")) / col("mean_iv")
+            * lit(0.4342944819032518), 6))
+        .select(col("gap"), col("node"), col("n_hb"), col("last_t"),
+          round(col("mean_iv"), 6).as("mean_interval"), col("phi"),
+          (col("phi") <= 8.0).as("up"))
+        .orderBy("gap", "node")
+    },
+
+    // XML round-trip — Spark 4's built-in XML source (spark-xml folded
+    // into core in 4.0): nation written as one <nation> element per row,
+    // read back with an EXPLICIT schema (schema-on-read; inference never
+    // at scale), aggregated per region. Lossless-ness is proven by the
+    // oracle aggregating the parquet original. The writer/reader are
+    // distributed like every other file source; XML's role at scale is
+    // interchange with legacy feeds, not the hot path — which is exactly
+    // what a roundtrip + equality check certifies.
+    "q_xml_roundtrip" -> { (s, dir) =>
+      val n = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+      val base = s"${sys.props("java.io.tmpdir")}/graft-xml/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      n.write.mode(SaveMode.Overwrite).format("xml")
+        .option("rowTag", "nation").save(base)
+      s.read.schema(n.schema).format("xml").option("rowTag", "nation")
+        .load(base)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"),
+          sum("n_nationkey").as("sum_key"),
+          min("n_name").as("first_name"))
+        .orderBy("n_regionkey")
+    },
+
     // Z-order (Morton) clustering: the multi-dimensional layout op — a sort
     // on (a, b) clusters only `a`, while interleaving the key bits bounds
     // BOTH dimensions inside every z-range, so file-level min/max stats
@@ -4252,6 +4311,38 @@ object Storage {
         |WHERE l_suppkey <= 2
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // same exact mean (one bigint division) and φ DAG with the identical
+    // log10(e) literal; up re-derives from the ROUNDED φ in both engines
+    "q_kv_phi_accrual" ->
+      """WITH hb AS (SELECT CAST(o_orderkey % 3 AS INT) AS node,
+        |    CAST(o_orderkey AS BIGINT) AS t FROM orders),
+        |st AS (SELECT node, MIN(t) AS first_t, MAX(t) AS last_t,
+        |    COUNT(*) AS n_hb FROM hb GROUP BY 1),
+        |tm AS (SELECT MAX(t) AS tmax FROM hb),
+        |p AS (SELECT unnest([0, 30, 300]) AS gap),
+        |x AS (SELECT CAST(p.gap AS BIGINT) AS gap, st.node, st.n_hb,
+        |    st.last_t,
+        |    (st.last_t - st.first_t) / (st.n_hb - 1) AS mean_iv,
+        |    tm.tmax + p.gap AS probe_t
+        |  FROM st, tm, p),
+        |y AS (SELECT gap, node, n_hb, last_t,
+        |    round(mean_iv, 6) AS mean_interval,
+        |    round((probe_t - last_t) / mean_iv * 0.4342944819032518, 6)
+        |      AS phi
+        |  FROM x)
+        |SELECT gap, node, n_hb, last_t, mean_interval, phi,
+        |  phi <= 8.0 AS up
+        |FROM y ORDER BY gap, node""".stripMargin,
+
+    // the parquet original — equality certifies the XML write+read lost
+    // nothing
+    "q_xml_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+        |  MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
 
     "q_zorder_layout" ->
       s"""WITH d AS (

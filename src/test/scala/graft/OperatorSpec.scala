@@ -384,6 +384,22 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("phi accrual: monotone in the gap, all three regimes present, conviction at 8") {
+    import graft.operators.Storage
+    val rows = Storage.queries("q_kv_phi_accrual")(spark, sfDir).collect()
+    assert(rows.length == 9) // 3 gaps × 3 nodes
+    rows.groupBy(_.getInt(1)).foreach { case (_, rs) =>
+      val byGap = rs.sortBy(_.getLong(0))
+      val phis = byGap.map(_.getDouble(5))
+      assert(phis.zip(phis.tail).forall { case (a, b) => a < b }, phis.toSeq)
+      byGap.foreach(r => assert(r.getBoolean(6) == (r.getDouble(5) <= 8.0)))
+    }
+    val up = rows.groupBy(_.getLong(0)).view.mapValues(_.forall(_.getBoolean(6)))
+    assert(up(0L) && up(30L) && !up(300L)) // alive / suspicious / convicted
+    assert(rows.filter(_.getLong(0) == 30L).forall(r =>
+      r.getDouble(5) > 1.0 && r.getDouble(5) <= 8.0)) // genuinely mid-range
+  }
+
   test("KWIC snippets: window contains the term at the clamped offset, counts positive") {
     val rows = Pipeline.queries("q_kwic_snippet")(spark, sfDir).collect()
     assert(rows.nonEmpty)
