@@ -375,7 +375,9 @@ object Similarity {
         adc.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("q_id"), col("vec_id").as("match_id"), col("adist"), col("rn"))
-          .join(exact, Seq("q_id", "match_id"), "left")
+          // 3·|Q| rows by construction — broadcast so the recall join
+          // never sorts either side
+          .join(broadcast(exact), Seq("q_id", "match_id"), "left")
           .withColumn("hit", coalesce(col("hit"), lit(0)))
           .orderBy("q_id", "rn")
       } finally { x.unpersist(); () }

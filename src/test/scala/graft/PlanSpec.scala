@@ -1107,6 +1107,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("IVF-PQ: coarse/codebook/LUT all broadcast; corpus never shuffles for a join") {
+    // the corpus-side streams (assignment, encode, ADC probe) must each
+    // meet their tiny model tables as broadcasts — a SortMergeJoin
+    // anywhere would shuffle the full vector table by model key; the
+    // constant-|Q| exact-recall pass is a BroadcastNestedLoopJoin by
+    // design, but a CartesianProduct is never acceptable
+    val plan = planOf(graft.operators.Similarity.queries("q_ivf_pq")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("heavy hitters: the 2048-counter grid broadcasts into the probe join") {
     val plan = planOf(Pipeline.queries("q_heavy_hitters")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)
