@@ -1233,6 +1233,32 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // FEATURE HASHING (HashingTF / Vowpal Wabbit's signed trick) — the
+    // schema-free featurizer classical quality classifiers run on: token
+    // t lands in bucket h(t) mod 32 with sign from h(t)'s bit 5, so the
+    // feature space is FIXED-WIDTH regardless of vocabulary (no vocab
+    // table to build, broadcast or version — the property that matters
+    // when the corpus is 100 TB and the vocab is open). Signed hashing
+    // makes collisions cancel in expectation instead of biasing up
+    // (Weinberger et al.). Map-only until the per-doc rollup; weights,
+    // norms and the positional checksum are exact integers so the vector
+    // itself (not a summary) is what the oracle checks.
+    "q_feature_hashing" -> { (s, dir) =>
+      val tok = docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", expr(hExpr("tok")))
+        .withColumn("b", pmod(col("h"), lit(32)))
+        .withColumn("sgn",
+          when(pmod(expr("h div 32"), lit(2)) === 0, lit(1L)).otherwise(lit(-1L)))
+      tok.groupBy("doc_id", "b").agg(sum("sgn").as("w"))
+        .filter(col("w") =!= 0)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"),
+          sum(abs(col("w"))).as("l1"),
+          sum((col("b") + 1) * col("w")).as("checksum"))
+        .orderBy("doc_id")
+    },
+
     // COUNT-MIN SKETCH heavy hitters — the streaming frequent-items
     // counter (next to HLL distinct and quantile sketches in the approx
     // family): a d=4 × w=512 counter grid; token t increments counter
@@ -2771,6 +2797,23 @@ object Pipeline {
         |  round(SUM(len(string_split(trim(syms), ' '))) * 1.0 / COUNT(*), 6)
         |    AS fertility
         |FROM e3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical 32-bucket signed hashing: bucket = h mod 32, sign = bit 5
+    "q_feature_hashing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    ('0x'||substr(md5(tok),1,8))::BIGINT % 32 AS b,
+        |    CASE WHEN (('0x'||substr(md5(tok),1,8))::BIGINT // 32) % 2 = 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM tok),
+        |v AS (SELECT doc_id, b, CAST(SUM(sgn) AS BIGINT) AS w
+        |  FROM h GROUP BY 1, 2 HAVING SUM(sgn) <> 0)
+        |SELECT doc_id, COUNT(*) AS nnz,
+        |  CAST(SUM(abs(w)) AS BIGINT) AS l1,
+        |  CAST(SUM((b + 1) * w) AS BIGINT) AS checksum
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // identical d=4 × w=512 grid from the same salted 32-bit md5 hash;
     // estimate = MIN over the probe token's 4 counters

@@ -186,6 +186,45 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // BUCKETED INTERVAL JOIN — point-in-interval containment at scale:
+    // the naive `ts BETWEEN start AND end` join has no equi-key, so Spark
+    // plans a BroadcastNestedLoopJoin that evaluates every (event, window)
+    // pair — quadratic, the classic range-join trap. The scalable shape
+    // adds a 1-hour BUCKET granule as a manufactured equi-key: each window
+    // (2 h wide, so ≤ 3 granules) explodes into its covering buckets, the
+    // event's single bucket hash-joins against them, and the true
+    // containment predicate survives only as a residual on the matched
+    // pairs. Windows step 5 h (disjoint), anchored at the corpus min ts
+    // (self-deriving — the oracle carries no literals); all time
+    // arithmetic is exact unix micros. PlanSpec pins the plan to a
+    // BroadcastHashJoin with no BNLJ/cartesian — the entire point.
+    "q_interval_join" -> { (s, dir) =>
+      val G = 3600L * 1000000L // 1 h bucket granule (µs)
+      val W = 7200L * 1000000L // window width 2 h
+      val Step = 18000L * 1000000L // window stride 5 h
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+      val t0 = ev.agg(min("us")).head().getLong(0) // scalar: the anchor
+      val wins = (0 until 24).flatMap { i =>
+        val start = t0 + i * Step; val end = start + W
+        (start / G to (end - 1) / G).map(b => (i, b, start, end))
+      }
+      val wdf = s.createDataFrame(wins)
+        .toDF("win_id", "bkt", "w_start", "w_end")
+      ev.withColumn("bkt", expr(s"us div $G")).as("e")
+        .join(broadcast(wdf.as("w")),
+          col("e.bkt") === col("w.bkt")
+            && col("e.us") >= col("w.w_start")
+            && col("e.us") < col("w.w_end"))
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("e.user_id")).as("n_users"),
+          sum("cents").as("sum_cents"))
+        .orderBy("win_id")
+    },
+
     // Time-series resample with gap filling: per-user DAILY event counts
     // including zero days, over each user's own active span — the generator
     // (sequence + explode, E9) as a declared operator rather than an LSH
@@ -1239,6 +1278,24 @@ object Relational {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id, p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // DIFFERENTIAL: the naive containment join — the bucketed equi-join
+    // plus residual must equal it exactly
+    "q_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |t0 AS (SELECT MIN(us) AS t0 FROM e),
+        |w AS (SELECT CAST(r.i AS INT) AS win_id,
+        |    t0.t0 + r.i * 18000000000 AS w_start,
+        |    t0.t0 + r.i * 18000000000 + 7200000000 AS w_end
+        |  FROM range(0, 24) r(i), t0)
+        |SELECT w.win_id, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT e.user_id) AS n_users,
+        |  CAST(SUM(e.cents) AS BIGINT) AS sum_cents
+        |FROM e JOIN w ON e.us >= w.w_start AND e.us < w.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_resample" ->
       """WITH daily AS (

@@ -384,6 +384,40 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("interval join: bucketed equi-join ≡ direct containment per window") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val rows = Relational.queries("q_interval_join")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 24)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .collect().map(_.getLong(0))
+    val t0 = ev.min
+    rows.foreach { r =>
+      val start = t0 + r.getInt(0) * 18000000000L
+      val end = start + 7200000000L
+      assert(r.getLong(1) == ev.count(u => u >= start && u < end), r.toString)
+    }
+    // windows are disjoint: no event double-counted across them
+    assert(rows.map(_.getLong(1)).sum <= ev.length)
+  }
+
+  test("feature hashing: fixed-width signed vectors with exact integer invariants") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_feature_hashing")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nTok = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (id, nnz, l1, ck) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nnz >= 1 && nnz <= 32, r.toString)
+      // signed collisions can only CANCEL mass, never add it
+      assert(l1 >= 1 && l1 <= nTok(id), r.toString)
+      assert(math.abs(ck) <= 32 * l1, r.toString)
+    }
+  }
+
   test("phi accrual: monotone in the gap, all three regimes present, conviction at 8") {
     import graft.operators.Storage
     val rows = Storage.queries("q_kv_phi_accrual")(spark, sfDir).collect()

@@ -1107,6 +1107,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("interval join: the bucket equi-key defeats the range-join BNLJ trap") {
+    // without the manufactured bucket key, `ts BETWEEN start AND end` has
+    // no equi-condition and Spark plans a BroadcastNestedLoopJoin over
+    // every (event, window) pair — the plan must instead be a
+    // BroadcastHashJoin on the bucket with the containment as residual
+    val plan = planOf(Relational.queries("q_interval_join")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("IVF-PQ: coarse/codebook/LUT all broadcast; corpus never shuffles for a join") {
     // the corpus-side streams (assignment, encode, ADC probe) must each
     // meet their tiny model tables as broadcasts — a SortMergeJoin
