@@ -186,6 +186,57 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // ANSI SAFETY VALVES — this session runs full ANSI mode (overflow and
+    // division-by-zero THROW, the correctness posture a 100 TB pipeline
+    // wants), so the `try_*` family is how a query declares "null, don't
+    // fail" for a specific expression instead of disabling ANSI globally.
+    // try_divide meets a derived {0,1,2} divisor (nulls exactly the zero
+    // rows); try_multiply meets a product that overflows BIGINT exactly
+    // when round(price) ≥ 9224 (9224·10¹⁵ > Long.Max) — an exact integer
+    // boundary the oracle replays as a CASE, since DuckDB's operators
+    // error like ANSI rather than null. Survivor sums stay exact: qty/2
+    // values are all k/2 (exactly representable), so the double sum is
+    // order-independent.
+    "q_try_arithmetic" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          expr("cast(round(l_discount * 100) as bigint) % 3").as("d"),
+          expr("cast(round(l_extendedprice) as bigint)").as("p"))
+        // decimal dividend: try_divide's null-on-zero contract is the
+        // decimal/integral one; the k/2 results cast back to exact doubles
+        .withColumn("qpd", expr(
+          "cast(try_divide(cast(l_quantity as decimal(12,2)), d) as double)"))
+        .withColumn("big", expr("try_multiply(p, 1000000000000000L)"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("qpd").isNull, 1L).otherwise(0L)).as("n_div_zero"),
+          round(sum("qpd"), 6).as("sum_qpd"),
+          sum(when(col("big").isNull, 1L).otherwise(0L)).as("n_overflow"),
+          min("big").as("min_big"), max("big").as("max_big"))
+        .orderBy("l_returnflag")
+    },
+
+    // SPARK 4 COLLATIONS — comparison semantics at the TYPE level (the
+    // governance alternative to sprinkling lower() into every predicate):
+    // a deterministically mixed-case segment column is compared and
+    // distinct-counted under UTF8_LCASE, where 'BUILDING' = 'building'
+    // holds by collation rather than by rewriting; the binary-collation
+    // counts sit alongside as the contrast. The oracle replays with
+    // explicit lower() — the semantics collation packages away.
+    "q_collation" -> { (s, dir) =>
+      val d = t(s, dir, "customer")
+        .withColumn("seg_mixed", expr(
+          "CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment) " +
+            "ELSE c_mktsegment END"))
+      d.agg(
+        count(when(expr(
+          "collate(seg_mixed, 'UTF8_LCASE') = 'bUiLdInG' COLLATE UTF8_LCASE"),
+          1)).as("n_building_ci"),
+        countDistinct(expr("collate(seg_mixed, 'UTF8_LCASE')"))
+          .as("n_segments_ci"),
+        countDistinct(col("seg_mixed")).as("n_segments_raw"))
+    },
+
     // BUCKETED INTERVAL JOIN — point-in-interval containment at scale:
     // the naive `ts BETWEEN start AND end` join has no equi-key, so Spark
     // plans a BroadcastNestedLoopJoin that evaluates every (event, window)
@@ -1278,6 +1329,42 @@ object Relational {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id, p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // DuckDB's operators ERROR like ANSI rather than null, so the oracle
+    // replays the try_* semantics as lazily-guarded CASEs: the zero
+    // divisor and the exact p >= 9224 overflow boundary
+    "q_try_arithmetic" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    CAST(round(l_discount * 100) AS BIGINT) % 3 AS d,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS p
+        |  FROM lineitem),
+        |x AS (SELECT l_returnflag,
+        |    CASE WHEN d = 0 THEN NULL ELSE l_quantity / d END AS qpd,
+        |    CASE WHEN p >= 9224 THEN NULL
+        |         ELSE p * 1000000000000000 END AS big
+        |  FROM l)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN qpd IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_div_zero,
+        |  round(SUM(qpd), 6) AS sum_qpd,
+        |  CAST(SUM(CASE WHEN big IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overflow,
+        |  CAST(MIN(big) AS BIGINT) AS min_big,
+        |  CAST(MAX(big) AS BIGINT) AS max_big
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // lower() is the semantics UTF8_LCASE packages at the type level
+    "q_collation" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+        |              ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |SELECT COUNT(CASE WHEN lower(seg) = 'building' THEN 1 END)
+        |    AS n_building_ci,
+        |  COUNT(DISTINCT lower(seg)) AS n_segments_ci,
+        |  COUNT(DISTINCT seg) AS n_segments_raw
+        |FROM d""".stripMargin,
 
     // DIFFERENTIAL: the naive containment join — the bucketed equi-join
     // plus residual must equal it exactly

@@ -2855,6 +2855,39 @@ object Storage {
         .orderBy("gap", "node")
     },
 
+    // CORRUPT-RECORD QUARANTINE on JSON ingest — the error-handling
+    // contract a 100 TB crawl ingest lives by: malformed lines must be
+    // QUARANTINED (PERMISSIVE mode + columnNameOfCorruptRecord), never
+    // silently dropped (DROPMALFORMED would bias the corpus) and never
+    // fatal (FAILFAST at line 10^12 wastes the job). The fixture stages
+    // one JSON line per document with every 7th line truncated
+    // mid-string (deterministically invalid); good lines parse to typed
+    // columns, corrupt lines surface as NULL-typed rows carrying the raw
+    // line — so the rollup can count and bound the damage per language.
+    // The oracle replays the corruption rule from the documents table
+    // directly: quarantine accounting must equal the ground truth.
+    "q_json_corrupt" -> { (s, dir) =>
+      val base = s"${sys.props("java.io.tmpdir")}/graft-jsonl/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Tables.load(s, dir, "documents").select(
+        when(col("doc_id") % 7 === 0,
+          concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"lang\":\"")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+          .as("value"))
+        .write.mode(SaveMode.Overwrite).text(base)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(base)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy(col("lang").asc_nulls_first)
+    },
+
     // XML round-trip — Spark 4's built-in XML source (spark-xml folded
     // into core in 4.0): nation written as one <nation> element per row,
     // read back with an EXPLICIT schema (schema-on-read; inference never
@@ -4334,6 +4367,18 @@ object Storage {
         |SELECT gap, node, n_hb, last_t, mean_interval, phi,
         |  phi <= 8.0 AS up
         |FROM y ORDER BY gap, node""".stripMargin,
+
+    // quarantine accounting replayed from the ground truth: corrupt =
+    // doc_id % 7 = 0, surfacing as the NULL-lang group with NULL sums
+    "q_json_corrupt" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    doc_id % 7 = 0 AS bad FROM documents)
+        |SELECT CASE WHEN bad THEN NULL ELSE lang END AS lang,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(CASE WHEN bad THEN NULL ELSE n_chars END) AS BIGINT)
+        |    AS sum_chars
+        |FROM d GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin,
 
     // the parquet original — equality certifies the XML write+read lost
     // nothing

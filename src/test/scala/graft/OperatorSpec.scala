@@ -384,6 +384,44 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("json corrupt quarantine: every 7th line lands in the null-lang group, none dropped") {
+    import graft.operators.Storage
+    val rows = Storage.queries("q_json_corrupt")(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    val nBad = docs.filter("doc_id % 7 = 0").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs) // quarantined, not dropped
+    val corrupt = rows.filter(_.isNullAt(0))
+    assert(corrupt.length == 1 && corrupt.head.getLong(1) == nBad)
+    assert(corrupt.head.getLong(2) == nBad && corrupt.head.isNullAt(3))
+    rows.filterNot(_.isNullAt(0)).foreach(r => assert(r.getLong(2) == 0, r.toString))
+  }
+
+  test("try_* safety valves: null exactly at the declared boundaries, survivors exact") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_try_arithmetic")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nDiv, nOvf) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(nDiv > 0 && nDiv < n, r.toString)   // both sides of the zero divisor
+      assert(nOvf > 0 && nOvf < n, r.toString)   // both sides of the overflow bound
+      assert(r.getLong(6) <= Long.MaxValue && r.getLong(6) > 0, r.toString)
+      assert(r.getLong(5) % 1000000000000000L == 0, r.toString)
+    }
+  }
+
+  test("collation: UTF8_LCASE merges case variants that binary keeps apart") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_collation")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (ci, raw) = (r.head.getLong(1), r.head.getLong(2))
+    assert(ci == 5 && raw == 10, r.head.toString) // 5 segments × 2 cases
+    // case-insensitive BUILDING count == the full segment regardless of case
+    val full = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter("c_mktsegment = 'BUILDING'").count()
+    assert(r.head.getLong(0) == full)
+  }
+
   test("interval join: bucketed equi-join ≡ direct containment per window") {
     import graft.operators.Relational
     import org.apache.spark.sql.functions._
