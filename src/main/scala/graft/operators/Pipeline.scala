@@ -1088,16 +1088,14 @@ object Pipeline {
     // scale.
     "q_substring_dedup" -> { (s, dir) =>
       val W = 8
+      registerNativeFns(s)
       val spans = docsPar(s, dir)
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= W)
-        .withColumn("hw", expr(s"transform(w, wd -> ${hExpr("wd")})"))
-        .withColumn("sh", expr(
-          (2 to W).foldLeft(s"slice(hw, 1, size(hw)-${W - 1})") { (acc, k) =>
-            s"zip_with($acc, slice(hw, $k, size(hw)-${W - 1}), " +
-              "(a, b) -> (a * 1000003 + b) % 2147483647)"
-          }))
-        .select(col("doc_id"), explode(col("sh")).as("h"))
+        // native codegen span hash (functions/SpanHash8) — one primitive
+        // pass instead of the interpreted transform + 7-deep zip_with
+        // chain; HOF-equivalence is asserted in OperatorSpec
+        .select(col("doc_id"), explode(expr("graft_spanhash8(w)")).as("h"))
       spans
         .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
         .groupBy("doc_id")

@@ -70,6 +70,29 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(mismatches == 0)
   }
 
+  test("native SpanHash8 expression matches the SQL-HOF formulation") {
+    import org.apache.spark.sql.functions._
+    Pipeline.registerNativeFns(spark)
+    val hofSh = (2 to 8).foldLeft("slice(hw, 1, size(hw)-7)") { (acc, k) =>
+      s"zip_with($acc, slice(hw, $k, size(hw)-7), " +
+        "(a, b) -> (a * 1000003 + b) % 2147483647)"
+    }
+    val w = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .withColumn("hw",
+        expr("transform(w, wd -> cast(conv(substring(md5(wd),1,8),16,10) as bigint))"))
+    val mismatches = w.select(
+        expr("graft_spanhash8(w)").as("native"),
+        expr(hofSh).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+    // short docs: the native form returns zero spans
+    val short = spark.sql("SELECT graft_spanhash8(array('a','b')) AS r").head
+    assert(short.getSeq[Long](0).isEmpty)
+  }
+
   test("native SignLsh expression matches the SQL-HOF formulation") {
     import org.apache.spark.sql.functions._
     Pipeline.registerNativeFns(spark)
