@@ -1920,6 +1920,20 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
         rfOk && onlyJoinerGains && boundedCleanup && ownArcsStream
       } finally KVRing.resetTopology()
     })
+    // round-trip: bootstrapping a node and immediately decommissioning it
+    // restores EVERY key's replica set exactly — the join's arcs fold back
+    // into the clockwise successors they were carved from, so no key is
+    // left re-homed by a transient member
+    check(Prop.forAll(genTokens) { tokens =>
+      KVRing.resetTopology()
+      try {
+        val keys = 0L until KVRing.RingSize.toLong
+        val before = keys.map(k => k -> KVRing.replicasOf(k)).toMap
+        KVRing.addNodeAt("graft-node-9", tokens)
+        KVRing.decommission("graft-node-9")
+        keys.forall(k => KVRing.replicasOf(k) == before(k))
+      } finally KVRing.resetTopology()
+    })
     // guardrails: token conflicts and duplicates are refused
     KVRing.resetTopology()
     try {
