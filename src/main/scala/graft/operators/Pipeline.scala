@@ -1231,6 +1231,50 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // FILTER FUNNEL — the composed keep/drop POLICY every corpus release
+    // publishes (the C4/RefinedWeb "data funnel" table): each doc meets
+    // the gates IN ORDER — fingerprint dedup first (the first-8-token
+    // blocking key of q_dedup_fingerprint: only each group's min-id
+    // survives; dedup-first is the URL-dedup convention and keeps every
+    // later gate's accounting dup-free), then language allowlist (top-3
+    // langs by doc count, self-derived), length envelope [40, 10000]
+    // tokens, and the linear quality model (q_quality_classifier's exact
+    // z-DAG, z > 0) — and is attributed to
+    // the FIRST gate that kills it, so the stages sum to the corpus and
+    // every kill has one reason. Single pass: all gates are row-local
+    // expressions except dedup's one fp-window; the rollup is a 5-row
+    // aggregate. The funnel is the operator; each gate's member query
+    // (q_lang_rebalance, q_text_stats, q_quality_classifier,
+    // q_dedup_exact) audits its own stage in isolation.
+    "q_filter_funnel" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")).cast("long"))
+        .withColumn("fp", md5(concat_ws(" ", slice(col("w"), 1, 8))))
+        .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
+      val langs = d.groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lang").asc).limit(3)
+        .collect().map(_.getString(0)) // scalar driver action: the allowlist
+      d.withColumn("uniq_ratio", size(array_distinct(col("w"))) / col("n_tok"))
+        .withColumn("stop_ratio",
+          expr("size(filter(w, x -> x in ('the', 'a'))) / size(w)"))
+        .withColumn("avg_len",
+          expr("aggregate(w, 0L, (a, x) -> a + length(x)) / size(w)"))
+        .withColumn("z",
+          lit(-1.5) + lit(2.5) * col("uniq_ratio")
+            + lit(4.0) * col("stop_ratio")
+            + lit(0.02) * col("n_tok") - lit(0.3) * col("avg_len"))
+        .withColumn("stage",
+          when(col("doc_id") =!= col("keeper"), "1_fingerprint_dup")
+            .when(!col("lang").isin(langs: _*), "2_lang")
+            .when(col("n_tok") < 40 || col("n_tok") > 10000, "3_length")
+            .when(!(col("z") > 0), "4_quality")
+            .otherwise("5_kept"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("stage")
+    },
+
     // FEATURE HASHING (HashingTF / Vowpal Wabbit's signed trick) — the
     // schema-free featurizer classical quality classifiers run on: token
     // t lands in bucket h(t) mod 32 with sign from h(t)'s bit 5, so the
@@ -2795,6 +2839,43 @@ object Pipeline {
         |  round(SUM(len(string_split(trim(syms), ' '))) * 1.0 / COUNT(*), 6)
         |    AS fertility
         |FROM e3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same gate order, same exact z-DAG (::DOUBLE'd literals), same
+    // first-kill attribution — stages sum to the corpus by construction
+    "q_filter_funnel" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS fp
+        |  FROM documents),
+        |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM d),
+        |langs AS (SELECT lang FROM (
+        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        |  ORDER BY n DESC, lang ASC LIMIT 3)),
+        |f AS (
+        |  SELECT doc_id, lang, n_tok, keeper,
+        |    len(list_distinct(w)) * 1.0::DOUBLE / len(w) AS uniq_ratio,
+        |    len(list_filter(w, x -> x IN ('the', 'a'))) * 1.0::DOUBLE / len(w)
+        |      AS stop_ratio,
+        |    list_sum(list_transform(w, x -> length(x))) * 1.0::DOUBLE / len(w)
+        |      AS avg_len
+        |  FROM k),
+        |z AS (
+        |  SELECT doc_id, lang, n_tok, keeper,
+        |    -1.5::DOUBLE + 2.5::DOUBLE * uniq_ratio + 4.0::DOUBLE * stop_ratio
+        |      + 0.02::DOUBLE * n_tok - 0.3::DOUBLE * avg_len AS zv
+        |  FROM f),
+        |st AS (
+        |  SELECT CASE
+        |    WHEN doc_id <> keeper THEN '1_fingerprint_dup'
+        |    WHEN lang NOT IN (SELECT lang FROM langs) THEN '2_lang'
+        |    WHEN n_tok < 40 OR n_tok > 10000 THEN '3_length'
+        |    WHEN NOT (zv > 0) THEN '4_quality'
+        |    ELSE '5_kept' END AS stage, n_tok
+        |  FROM z)
+        |SELECT stage, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
 
     // identical 32-bucket signed hashing: bucket = h mod 32, sign = bit 5
     "q_feature_hashing" ->

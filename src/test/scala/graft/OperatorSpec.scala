@@ -407,6 +407,24 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("filter funnel: stages partition the corpus, every gate fires, one reason per kill") {
+    val rows = Pipeline.queries("q_filter_funnel")(spark, sfDir).collect()
+    val stages = rows.map(_.getString(0)).toSet
+    assert(stages == Set("1_fingerprint_dup", "2_lang", "3_length",
+      "4_quality", "5_kept"), stages)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(rows.map(_.getLong(1)).sum == docs.count()) // exactly one stage per doc
+    rows.foreach(r => assert(r.getLong(1) > 0 && r.getLong(2) > 0, r.toString))
+    // the dedup gate kills exactly the fingerprint-group losers
+    import org.apache.spark.sql.functions._
+    val nLosers = docs
+      .withColumn("fp", md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+      .withColumn("keeper", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("doc_id") =!= col("keeper")).count()
+    assert(rows.find(_.getString(0) == "1_fingerprint_dup").get.getLong(1) == nLosers)
+  }
+
   test("json corrupt quarantine: every 7th line lands in the null-lang group, none dropped") {
     import graft.operators.Storage
     val rows = Storage.queries("q_json_corrupt")(spark, sfDir).collect()
