@@ -2855,6 +2855,62 @@ object Storage {
         .orderBy("gap", "node")
     },
 
+    // COLUMN DEFAULT VALUES (Spark 3.4+ `DEFAULT`): the schema-evolution
+    // courtesy CQL gives with absent cells, expressed the warehouse way —
+    // writers that predate a column keep working, the TABLE declares what
+    // absent means ('unassigned'/0 here), and INSERTs with explicit
+    // column lists materialize the defaults at write time (no
+    // read-path COALESCE debt). Two insert waves: one pre-evolution
+    // (k, name only — defaults fill), one post (all columns). The oracle
+    // recomputes every cell from nation + the declared defaults.
+    "q_column_defaults" -> { (s, dir) =>
+      val tbl = "graft_defaults_demo"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      rmPath(s, tbl)
+      s.sql(s"""CREATE TABLE $tbl (
+        k BIGINT, name STRING,
+        region STRING DEFAULT 'unassigned',
+        score BIGINT DEFAULT 0) USING parquet""")
+      Tables.load(s, dir, "nation").createOrReplaceTempView("graft_nation_v")
+      s.sql(s"""INSERT INTO $tbl (k, name)
+        SELECT n_nationkey, n_name FROM graft_nation_v WHERE n_nationkey < 10""")
+      s.sql(s"""INSERT INTO $tbl (k, name, region, score)
+        SELECT n_nationkey, n_name, concat('r', n_regionkey), n_regionkey * 10
+        FROM graft_nation_v WHERE n_nationkey >= 10""")
+      s.table(tbl).orderBy("k")
+    },
+
+    // DYNAMIC PARTITION OVERWRITE — the idempotent-backfill primitive of
+    // a partitioned lake (re-run one day's job without touching the other
+    // 3,652 partitions; STATIC mode would wipe the whole table): orders
+    // laid out by year, then 1995's partition alone is overwritten with a
+    // corrected copy. The readback proves surgical replacement — 1995
+    // carries only the replacement marker, every other year is
+    // byte-identical to the original load — which is exactly what the
+    // oracle recomputes relationally.
+    "q_dynamic_overwrite" -> { (s, dir) =>
+      val tbl = "graft_orders_dynover"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      rmPath(s, tbl)
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+      o.write.mode(SaveMode.Overwrite).partitionBy("o_year").saveAsTable(tbl)
+      val oldMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        o.filter(col("o_year") === 1995)
+          .withColumn("o_orderpriority", lit("0-REPLACED"))
+          .write.mode(SaveMode.Overwrite).insertInto(tbl)
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", oldMode)
+      s.table(tbl)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("o_orderpriority").as("n_prios"),
+          sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast("long"))
+            .as("sum_cents"))
+        .orderBy("o_year")
+    },
+
     // CORRUPT-RECORD QUARANTINE on JSON ingest — the error-handling
     // contract a 100 TB crawl ingest lives by: malformed lines must be
     // QUARANTINED (PERMISSIVE mode + columnNameOfCorruptRecord), never
@@ -4367,6 +4423,30 @@ object Storage {
         |SELECT gap, node, n_hb, last_t, mean_interval, phi,
         |  phi <= 8.0 AS up
         |FROM y ORDER BY gap, node""".stripMargin,
+
+    // every cell recomputed from nation + the declared defaults
+    "q_column_defaults" ->
+      """SELECT n_nationkey AS k, n_name AS name,
+        |  CASE WHEN n_nationkey < 10 THEN 'unassigned'
+        |       ELSE 'r' || CAST(n_regionkey AS VARCHAR) END AS region,
+        |  CAST(CASE WHEN n_nationkey < 10 THEN 0
+        |       ELSE n_regionkey * 10 END AS BIGINT) AS score
+        |FROM nation ORDER BY k""".stripMargin,
+
+    // surgical replacement recomputed relationally: only 1995's priority
+    // collapses to the marker, every other year matches the original
+    "q_dynamic_overwrite" ->
+      """WITH o AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CASE WHEN year(o_orderdate) = 1995 THEN '0-REPLACED'
+        |         ELSE o_orderpriority END AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |SELECT o_year, COUNT(*) AS n,
+        |  COUNT(DISTINCT prio) AS n_prios,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM o GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     // quarantine accounting replayed from the ground truth: corrupt =
     // doc_id % 7 = 0, surfacing as the NULL-lang group with NULL sums

@@ -497,6 +497,22 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dynamic overwrite: 1995 surgically replaced, other partitions untouched") {
+    import graft.operators.Storage
+    import org.apache.spark.sql.functions._
+    val rows = Storage.queries("q_dynamic_overwrite")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows(1995).getLong(2) == 1L) // only the replacement marker
+    val orig = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("n"), countDistinct("o_orderpriority").as("p"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (y, r) =>
+      assert(r.getLong(1) == orig(y)._1, s"row count changed for $y")
+      if (y != 1995) assert(r.getLong(2) == orig(y)._2, s"priorities changed for $y")
+    }
+  }
+
   test("phi accrual: monotone in the gap, all three regimes present, conviction at 8") {
     import graft.operators.Storage
     val rows = Storage.queries("q_kv_phi_accrual")(spark, sfDir).collect()
