@@ -370,6 +370,28 @@ object Relational {
     // → filter → sort), so Catalyst optimizes and codegens exactly as the
     // classic form; zero runtime surface. The post-AGGREGATE WHERE is the
     // HAVING shape without the keyword.
+    // EXECUTE IMMEDIATE (Spark 4 parameterized SQL): the dynamic-SQL entry
+    // point ops tooling uses — a query TEMPLATE with named parameter
+    // markers bound at execution, so values never string-concatenate into
+    // SQL (the injection-safe form). The parameters themselves come from a
+    // first query (top segment by customer count — self-deriving, the
+    // oracle recomputes it), demonstrating the template re-run pattern:
+    // same plan, new bindings.
+    "q_execute_immediate" -> { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      val seg = s.sql("""SELECT c_mktsegment FROM customer
+        GROUP BY 1 ORDER BY COUNT(*) DESC, c_mktsegment ASC LIMIT 1""")
+        .head().getString(0) // scalar: the binding
+      s.sql("DECLARE OR REPLACE VARIABLE graft_seg STRING")
+      s.sql(s"SET VAR graft_seg = '${seg.replace("'", "''")}'")
+      s.sql("""EXECUTE IMMEDIATE
+        'SELECT c_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+         FROM customer WHERE c_mktsegment = :seg
+         GROUP BY c_nationkey ORDER BY c_nationkey'
+        USING graft_seg AS seg""")
+    },
+
     "q_sql_pipe" -> { (s, dir) =>
       Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql("""
@@ -1353,6 +1375,16 @@ object Relational {
         |  CAST(MIN(big) AS BIGINT) AS min_big,
         |  CAST(MAX(big) AS BIGINT) AS max_big
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle re-derives the binding (top segment) and inlines it
+    "q_execute_immediate" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment FROM customer
+        |  GROUP BY 1 ORDER BY COUNT(*) DESC, c_mktsegment ASC LIMIT 1)
+        |SELECT c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |FROM customer WHERE c_mktsegment = (SELECT c_mktsegment FROM seg)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // lower() is the semantics UTF8_LCASE packages at the type level
     "q_collation" ->
