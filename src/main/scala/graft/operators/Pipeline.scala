@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -186,6 +186,20 @@ object Pipeline {
   // shingle hashes; 8 bands × 4 rows → pair-catch prob ≈ 1-(1-s^4)^8
   // (≈ 0.9998 at s=0.9). p is the largest 32-bit prime.
   private val P = "4294967291"
+
+  /** THE linear quality model — one z-DAG shared by q_quality_classifier
+    * (which audits it in isolation) and q_filter_funnel's quality gate, so
+    * the gate and its audit query can never desynchronize. `w` is the
+    * token array; `nTok` its size in the caller's integer width (int vs
+    * long both promote to the same doubles). Expression order is part of
+    * the declared semantics — both DuckDB oracles replay it verbatim. */
+  private def qualityZ(w: Column, nTok: Column): Column = {
+    val uniq = size(array_distinct(w)) / nTok
+    val stop = size(filter(w, x => x.isin("the", "a"))) / size(w)
+    val avgLen = aggregate(w, lit(0L), (a, x) => a + length(x)) / size(w)
+    lit(-1.5) + lit(2.5) * uniq + lit(4.0) * stop +
+      lit(0.02) * nTok - lit(0.3) * avgLen
+  }
 
   // Skew guard shared by every LSH-style candidate generator: a band/block
   // bucket holding more than BucketCap signatures is template spam or an
@@ -1255,15 +1269,7 @@ object Pipeline {
       val langs = d.groupBy("lang").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("lang").asc).limit(3)
         .collect().map(_.getString(0)) // scalar driver action: the allowlist
-      d.withColumn("uniq_ratio", size(array_distinct(col("w"))) / col("n_tok"))
-        .withColumn("stop_ratio",
-          expr("size(filter(w, x -> x in ('the', 'a'))) / size(w)"))
-        .withColumn("avg_len",
-          expr("aggregate(w, 0L, (a, x) -> a + length(x)) / size(w)"))
-        .withColumn("z",
-          lit(-1.5) + lit(2.5) * col("uniq_ratio")
-            + lit(4.0) * col("stop_ratio")
-            + lit(0.02) * col("n_tok") - lit(0.3) * col("avg_len"))
+      d.withColumn("z", qualityZ(col("w"), col("n_tok")))
         .withColumn("stage",
           when(col("doc_id") =!= col("keeper"), "1_fingerprint_dup")
             .when(!col("lang").isin(langs: _*), "2_lang")
@@ -2001,14 +2007,7 @@ object Pipeline {
       docs(s, dir)
         .withColumn("w", split(col("text"), " "))
         .withColumn("n_tok", size(col("w")))
-        .withColumn("uniq_ratio", size(array_distinct(col("w"))) / col("n_tok"))
-        .withColumn("stop_ratio",
-          expr("size(filter(w, x -> x in ('the', 'a'))) / size(w)"))
-        .withColumn("avg_len",
-          expr("aggregate(w, 0L, (a, x) -> a + length(x)) / size(w)"))
-        .withColumn("z",
-          lit(-1.5) + lit(2.5) * col("uniq_ratio") + lit(4.0) * col("stop_ratio")
-            + lit(0.02) * col("n_tok") - lit(0.3) * col("avg_len"))
+        .withColumn("z", qualityZ(col("w"), col("n_tok")))
         .select(col("doc_id"), col("n_tok"),
           round(col("z"), 6).as("z"),
           round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
