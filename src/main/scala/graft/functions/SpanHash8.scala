@@ -23,10 +23,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * at 100 TB. No overflow: acc < 2³¹, acc·1000003 + 2³² < 2⁶³.
   *
   * Fewer than 8 tokens → empty array (callers filter `size(w) >= 8`; the
-  * HOF slice form would produce the same zero spans).
+  * HOF slice form would produce the same zero spans). A NULL array element
+  * nulls the whole RESULT (the HOF form null-propagated per span; since
+  * any null token poisons every window it touches and callers split() —
+  * which never yields null elements — whole-result null is the honest
+  * total behavior, and it keeps the output's containsNull = false).
   */
 case class SpanHash8(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // nullable even over a non-null child: a null ELEMENT nulls the result
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_spanhash8"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -39,8 +45,9 @@ case class SpanHash8(child: Expression) extends UnaryExpression {
     SpanHash8.compute(input.asInstanceOf[ArrayData])
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SpanHash8$$.MODULE$$.compute($c);")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SpanHash8$$.MODULE$$.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
 
   protected override def withNewChildInternal(newChild: Expression): SpanHash8 =
     copy(child = newChild)
@@ -66,7 +73,11 @@ object SpanHash8 {
     if (n < 8) return new GenericArrayData(Array.emptyLongArray)
     val th = new Array[Long](n)
     var i = 0
-    while (i < n) { th(i) = hash32(arr.getUTF8String(i)); i += 1 }
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      if (u == null) return null // null element -> null result (see Scaladoc)
+      th(i) = hash32(u); i += 1
+    }
     val out = new Array[Long](n - 7)
     var s = 0
     while (s < n - 7) {

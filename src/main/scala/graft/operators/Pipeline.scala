@@ -124,6 +124,10 @@ object Pipeline {
               .orderBy(col("cnt").desc, col("pair").asc)))
           .filter(col("rank") <= 15)
           .select(lit(r).as("round"), col("rank"), col("pair"), col("cnt"))
+          // ≤15 rows: eagerly materialize (lineage truncated) so pc can be
+          // unpersisted HERE instead of leaking one cached frame per round
+          .localCheckpoint(true)
+        pc.unpersist()
         syms = syms.withColumn("syms", regexp_replace(col("syms"),
           java.util.regex.Pattern.quote(s" $best "),
           java.util.regex.Matcher.quoteReplacement(

@@ -190,23 +190,28 @@ object Relational {
     // division-by-zero THROW, the correctness posture a 100 TB pipeline
     // wants), so the `try_*` family is how a query declares "null, don't
     // fail" for a specific expression instead of disabling ANSI globally.
-    // try_divide meets a derived {0,1,2} divisor (nulls exactly the zero
-    // rows); try_multiply meets a product that overflows BIGINT exactly
-    // when round(price) ≥ 9224 (9224·10¹⁵ > Long.Max) — an exact integer
-    // boundary the oracle replays as a CASE, since DuckDB's operators
-    // error like ANSI rather than null. Survivor sums stay exact: qty/2
-    // values are all k/2 (exactly representable), so the double sum is
-    // order-independent.
+    // Spark's TryEval catches a JVM exception per failing row, so the
+    // boundaries are chosen to keep the exceptional path EXCEPTIONAL
+    // (~2-3% of rows each, but present in every group at every SF):
+    // try_divide meets a {0,1,2} divisor that is zero exactly on the
+    // p % 37 == 0 residue class (~2.6%); try_multiply(p, 9·10¹³)
+    // overflows BIGINT exactly when round(price) ≥ 102482 (the top
+    // ~2.4% of prices; 102482·9·10¹³ > Long.Max ≥ 102481·9·10¹³) — exact
+    // integer boundaries the oracle replays as CASEs, since DuckDB's
+    // operators error like ANSI rather than null. Survivor sums stay
+    // exact: nonzero divisors are {1,2}, so qty/d values are all k/2
+    // (exactly representable) and the double sum is order-independent.
     "q_try_arithmetic" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_quantity"),
-          expr("cast(round(l_discount * 100) as bigint) % 3").as("d"),
           expr("cast(round(l_extendedprice) as bigint)").as("p"))
+        .withColumn("d", expr(
+          "CASE WHEN p % 37 = 0 THEN 0L ELSE 1L + p % 2 END"))
         // decimal dividend: try_divide's null-on-zero contract is the
         // decimal/integral one; the k/2 results cast back to exact doubles
         .withColumn("qpd", expr(
           "cast(try_divide(cast(l_quantity as decimal(12,2)), d) as double)"))
-        .withColumn("big", expr("try_multiply(p, 1000000000000000L)"))
+        .withColumn("big", expr("try_multiply(p, 90000000000000L)"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(when(col("qpd").isNull, 1L).otherwise(0L)).as("n_div_zero"),
@@ -1353,19 +1358,21 @@ object Relational {
         |ORDER BY p.event_id""".stripMargin,
 
     // DuckDB's operators ERROR like ANSI rather than null, so the oracle
-    // replays the try_* semantics as lazily-guarded CASEs: the zero
-    // divisor and the exact p >= 9224 overflow boundary
+    // replays the try_* semantics as lazily-guarded CASEs: the
+    // p % 37 == 0 zero divisor and the exact p >= 102482 overflow boundary
     "q_try_arithmetic" ->
       """WITH l AS (
         |  SELECT l_returnflag, l_quantity,
-        |    CAST(round(l_discount * 100) AS BIGINT) % 3 AS d,
         |    CAST(round(l_extendedprice) AS BIGINT) AS p
         |  FROM lineitem),
+        |ld AS (SELECT l_returnflag, l_quantity, p,
+        |    CASE WHEN p % 37 = 0 THEN 0 ELSE 1 + p % 2 END AS d
+        |  FROM l),
         |x AS (SELECT l_returnflag,
         |    CASE WHEN d = 0 THEN NULL ELSE l_quantity / d END AS qpd,
-        |    CASE WHEN p >= 9224 THEN NULL
-        |         ELSE p * 1000000000000000 END AS big
-        |  FROM l)
+        |    CASE WHEN p >= 102482 THEN NULL
+        |         ELSE p * 90000000000000 END AS big
+        |  FROM ld)
         |SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN qpd IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_div_zero,

@@ -2830,7 +2830,7 @@ object Storage {
     // every SF. Mean inter-arrival is the EXACT (last−first)/(n−1) — one
     // IEEE division over bigints, not an average of floats — and φ is a
     // fixed three-op DAG ending in the house round(...,6); probes at
-    // declared gaps {0, 100, 1000} ticks beyond the last heartbeat show
+    // declared gaps {0, 30, 300} ticks beyond the last heartbeat show
     // the detector's whole range: alive, suspicious-but-under-threshold,
     // convicted. At scale this is per-endpoint O(1) state — the point of
     // accrual detection is that NO query traffic is spent probing.

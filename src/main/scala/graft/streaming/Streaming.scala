@@ -328,7 +328,11 @@ object Streaming {
     * enforces; the dedup carries the 1 h watermark, so its state is
     * bounded by the event ids still inside the watermark horizon (growth
     * tracks data rate, not stream length — the property that bounds a
-    * 100 TB/day ingest). */
+    * 100 TB/day ingest). Because the far-future sentinel deliberately
+    * evicts every real id in the final batches, the dedup probe reads the
+    * state snapshot of EVERY committed batch and reports the PEAK — the
+    * in-horizon working set a provisioned state store must actually hold
+    * (the latest snapshot is always ~1 row and measures nothing). */
   def stateProbe(s: SparkSession, dir: String): Map[String, Long] = {
     val aggCkpt = stageRoot("scaleprobe-agg", dir) + "-" + System.nanoTime()
     val agg = eventStream(s, dir, "events")
@@ -352,7 +356,13 @@ object Streaming {
         .option("checkpointLocation", dedupCkpt).start()
       try drainStable(q, s.table("graft_scaleprobe_dedup").count())
       finally q.stop()
-      s.read.format("statestore").load(dedupCkpt).count()
+      // peak over batch snapshots, NOT the latest (see Scaladoc above)
+      val batches = Option(new java.io.File(dedupCkpt + "/commits").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .map(_.getName).filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      require(batches.nonEmpty, s"no committed batches under $dedupCkpt")
+      batches.map(b => s.read.format("statestore")
+        .option("batchId", b).load(dedupCkpt).count()).max
     }
     val ev = Tables.load(s, dir, "events")
     Map(

@@ -34,7 +34,9 @@ import org.apache.spark.sql.SparkSession
   * machinery) at both tiers: the unwatermarked running agg's state must
   * be EXACTLY linear in distinct keys (rows == users + sentinel — a
   * hard gate, flagged as `stream_state_nonlinear`), and the watermark
-  * dedup's state growth must track the key ratio, not stream length.
+  * dedup's PEAK state across batch snapshots (the in-horizon working
+  * set — the final snapshot is empty by sentinel design) must track the
+  * data-rate ratio, not stream length.
   *
   * Methodology mirrors Bench: warm-up pass at sf0.001 (JIT + codegen
   * compile), min of REPS timed runs per (query, tier), noop sink so the

@@ -91,6 +91,11 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     // short docs: the native form returns zero spans
     val short = spark.sql("SELECT graft_spanhash8(array('a','b')) AS r").head
     assert(short.getSeq[Long](0).isEmpty)
+    // a null ELEMENT nulls the whole result (both eval paths), never NPEs
+    val nul = spark.sql(
+      "SELECT graft_spanhash8(array('a','b','c','d',cast(null as string)," +
+        "'f','g','h')) AS r, graft_spanhash8(cast(null as array<string>)) AS rn")
+    assert(nul.head.isNullAt(0) && nul.head.isNullAt(1))
   }
 
   test("native SignLsh expression matches the SQL-HOF formulation") {
@@ -447,7 +452,7 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       assert(nDiv > 0 && nDiv < n, r.toString)   // both sides of the zero divisor
       assert(nOvf > 0 && nOvf < n, r.toString)   // both sides of the overflow bound
       assert(r.getLong(6) <= Long.MaxValue && r.getLong(6) > 0, r.toString)
-      assert(r.getLong(5) % 1000000000000000L == 0, r.toString)
+      assert(r.getLong(5) % 90000000000000L == 0, r.toString)
     }
   }
 

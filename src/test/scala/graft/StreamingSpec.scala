@@ -494,6 +494,18 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(pre > 0 && post > 0, s"degenerate cutoff: pre=$pre post=$post")
   }
 
+  test("stateProbe: agg state linear in keys, dedup PEAK sees the in-horizon working set") {
+    val p = Streaming.stateProbe(spark, sfDir)
+    // unwatermarked running agg: exactly one state row per user + sentinel
+    assert(p("agg_state_rows") == p("distinct_users") + 1, p.toString)
+    // watermark dedup: the PEAK batch snapshot must hold a real working set
+    // (the post-sentinel latest snapshot is ~1 row by eviction design — the
+    // r11 ADVICE bug this probe now avoids), bounded above by every id that
+    // ever entered the store
+    assert(p("dedup_state_rows") > p("distinct_events") / 4, p.toString)
+    assert(p("dedup_state_rows") <= p("distinct_events") + 1, p.toString)
+  }
+
   test("transformWithState totals equal the batch aggregation (3 state vars + timers)") {
     val streamed = Streaming.queries("q_stream_transform_state")(spark, sfDir)
       .collect().toSet
