@@ -137,6 +137,49 @@ object Pipeline {
     } finally { top.unpersist(); () } // all round actions ran inside
   }
 
+  /** BM25 top-20 (k1=1.2, b=0.75) — the ranking side of the search pair
+    * (q_boolean_search filters, this scores), shared verbatim by q_bm25
+    * and the lexical leg of q_hybrid_rrf: same self-deriving top-3 query,
+    * Robertson idf, per-term contributions joined from THREE broadcast-
+    * sized stats (term df, 1-row corpus stats, the 3-term tf table)
+    * against the per-doc length table — the corpus explodes once and
+    * nothing doc-to-doc ever joins. Float discipline: avgdl is exact-
+    * integer Σdl/N (one deterministic double division, never a partial-
+    * averaged double), the ≤3 per-doc contributions fold over a SORTED
+    * list so addition order is pinned, and the score rounds to 6 dp
+    * before the rank sort — the same rules that keep tfidf/entropy
+    * cross-engine stable. Formula text is written identically here and in
+    * the oracle (same association order). */
+  private def bm25Top(s: SparkSession, dir: String): DataFrame = {
+    val tok = docsPar(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+      val terms = tok.groupBy("w").agg(count(lit(1)).as("ctf"))
+        .orderBy(col("ctf").desc, col("w").asc).limit(3).select("w")
+      val tf = tok.join(broadcast(terms), "w")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "w").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("c", expr(
+          "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2" +
+            " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (total_dl / n_docs)))"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          expr("round(aggregate(array_sort(collect_list(c)), " +
+            "cast(0.0 as double), (a, x) -> a + x), 6)").as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+        .select("doc_id", "n_terms", "bm25")
+        // the 20-row result truncates lineage here, so the token cache can
+        // be released before the caller composes further (q_hybrid_rrf)
+        .localCheckpoint(true)
+    } finally { tok.unpersist(); () }
+  }
+
   /** The chosen merges only (q_bpe_encode's view of [[bpeTrainRounds]]). */
   private def bpeTrainMerges(
       s: SparkSession, dir: String, rounds: Int): Seq[String] =
@@ -840,6 +883,48 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // REGEX search over the trigram index — the production follow-up to
+    // q_trigram_search (Zoekt / Google Code Search): a literal-bearing
+    // regex is COMPILED to its required trigram set (every string matching
+    // `A[^ ]*B` must contain both literals A and B, hence all their
+    // character trigrams), the same AND-intersection over the inverted
+    // index yields a provably complete candidate set, and rlike() exact-
+    // verifies ONLY the candidates — the regex engine never touches a
+    // non-candidate doc, which is the whole trick at 100 TB (regex is
+    // 10-100× a contains() scan). Query self-derives: the top all-
+    // lowercase term of length ≥ 8 split into its 4-char head and tail
+    // with a non-space gap ([a-z]-only, so no metachar escaping). Both
+    // engines run leftmost greedy matching, so the extracted witness
+    // string is identical; oracle is DIFFERENTIAL (regexp over every doc).
+    "q_regex_search" -> { (s, dir) =>
+      val d = docsPar(s, dir).select(col("doc_id"), col("text"))
+      val term = d.select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").rlike("^[a-z]{8,}$"))
+        .groupBy("tok").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok").asc)
+        .limit(1).collect().headOption // scalar: the literal-bearing term
+        .getOrElse(throw new IllegalArgumentException(
+          "q_regex_search needs a corpus term matching ^[a-z]{8,}$"))
+        .getString(0)
+      val (a, b) = (term.substring(0, 4), term.substring(term.length - 4))
+      val pat = s"$a[^ ]*$b"
+      val qTris = (a.sliding(3) ++ b.sliding(3)).toSeq.distinct
+      val cand = d.filter(length(col("text")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3)))")).as("g"))
+        .filter(col("g").isin(qTris: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("nq"))
+        .filter(col("nq") === qTris.size)
+        .select("doc_id")
+      d.join(cand, Seq("doc_id"), "left_semi")
+        .filter(col("text").rlike(pat))
+        .select(col("doc_id"),
+          regexp_extract(col("text"), pat, 0).as("hit"))
+        .withColumn("pattern", lit(pat))
+        .orderBy("doc_id")
+    },
+
     // Dataset card (the "datasheet for datasets" release artifact): one
     // summary row a corpus publisher ships next to the data — volume,
     // token mass, language/source breadth, exact-duplicate mass, length
@@ -907,42 +992,42 @@ object Pipeline {
       } finally { x.unpersist(); () }
     },
 
-    // BM25 ranked retrieval (k1=1.2, b=0.75) — the ranking side of the
-    // search pair (q_boolean_search filters, this scores): same
-    // self-deriving top-3 query, Robertson idf, per-term contributions
-    // joined from THREE broadcast-sized stats (term df, 1-row corpus
-    // stats, the 3-term tf table) against the per-doc length table — the
-    // corpus explodes once and nothing doc-to-doc ever joins. Float
-    // discipline: avgdl is exact-integer Σdl/N (one deterministic double
-    // division, never a partial-averaged double), the ≤3 per-doc
-    // contributions fold over a SORTED list so addition order is pinned,
-    // and the score rounds to 6 dp before the rank sort — the same rules
-    // that keep tfidf/entropy cross-engine stable. Formula text is written
-    // identically here and in the oracle (same association order).
-    "q_bm25" -> { (s, dir) =>
-      val tok = docsPar(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      tok.count() // materialize once: feeds dl, term stats and tf
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
-      val terms = tok.groupBy("w").agg(count(lit(1)).as("ctf"))
-        .orderBy(col("ctf").desc, col("w").asc).limit(3).select("w")
-      val tf = tok.join(broadcast(terms), "w")
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), "w").join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("c", expr(
-          "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2" +
-            " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (total_dl / n_docs)))"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"),
-          expr("round(aggregate(array_sort(collect_list(c)), " +
-            "cast(0.0 as double), (a, x) -> a + x), 6)").as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id").asc)
-        .limit(20)
-        .select("doc_id", "n_terms", "bm25")
+    // BM25 ranked retrieval — see [[bm25Top]] (one implementation, shared
+    // with the lexical leg of q_hybrid_rrf).
+    "q_bm25" -> { (s, dir) => bm25Top(s, dir) },
+
+    // HYBRID RETRIEVAL via reciprocal-rank fusion — the production search
+    // shape composing the lexical ranker (the exact q_bm25 DAG, one
+    // implementation — the BPE-merge discipline) with the vector ranker
+    // (the exact cosine kernel of q_cosine_topk against the self-derived
+    // query vec_id 0): per-doc RRF = Σ 1/(60+rank) over whichever of the
+    // two top-20 lists the doc appears in (k=60, Cormack et al.). The two
+    // ranked lists are ≤20 rows each — the fusion join is constant-sized
+    // no matter the corpus, which is the whole point of fusing RANKS
+    // instead of incomparable scores: each side's heavy lifting stays in
+    // its own index (postings / ANN), and only top-k tables meet. Docs
+    // present in one list keep a NULL rank on the other side (at sf0.1
+    // only 2 of 5 k docs have embeddings — the partial-coverage reality).
+    // Rank arithmetic is exact integers; the two 1/(60+r) doubles add in
+    // a fixed order and round once.
+    "q_hybrid_rrf" -> { (s, dir) =>
+      val one = (c: Column) => pmod(c, lit(1)) // tiny-table total-order rank
+      val bm = bm25Top(s, dir)
+        .withColumn("r_bm", row_number().over(
+          Window.partitionBy(one(col("doc_id")))
+            .orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("r_bm"))
+      val ann = Similarity.annTop(s, dir, 20)
+      bm.join(ann, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("r_bm")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_ann")), lit(0.0)), 6))
+        .withColumn("rrf_rank", row_number().over(
+          Window.partitionBy(one(col("doc_id")))
+            .orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rrf_rank") <= 10)
+        .select("rrf_rank", "doc_id", "r_bm", "r_ann", "rrf")
+        .orderBy("rrf_rank")
     },
 
     // Containment near-dup (ASYMMETRIC): |A∩B| / min(|A|,|B|) over trigram
@@ -2404,6 +2489,58 @@ object Pipeline {
         |ORDER BY bm25 DESC, doc_id ASC
         |LIMIT 20""".stripMargin,
 
+    // replays BOTH rankings (the q_bm25 CTE chain verbatim + the cosine
+    // kernel vs vec 0) and the 1/(60+rank) fusion; full outer keeps docs
+    // present in only one list
+    "q_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl
+        |          FROM dlen),
+        |terms AS (SELECT w FROM (
+        |  SELECT w, COUNT(*) AS ctf FROM tok GROUP BY w
+        |  ORDER BY ctf DESC, w ASC LIMIT 3)),
+        |tft AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+        |        JOIN terms USING (w) GROUP BY doc_id, w),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tft GROUP BY w),
+        |contrib AS (
+        |  SELECT tft.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (total_dl / n_docs))) AS c
+        |  FROM tft JOIN dfq USING (w) JOIN dlen USING (doc_id), stats),
+        |g AS (
+        |  SELECT doc_id,
+        |    round(list_reduce(list_concat([0.0::DOUBLE], list_sort(list(c))),
+        |      (a, v) -> a + v), 6) AS bm25
+        |  FROM contrib GROUP BY doc_id),
+        |bmtop AS (SELECT doc_id, bm25 FROM g
+        |          ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+        |bm AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm
+        |  FROM bmtop),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+        |      AS nrm
+        |  FROM embeddings),
+        |anntop AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    list_sum(list_transform(range(1, len(q.v) + 1),
+        |      i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+        |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0
+        |  ORDER BY cos DESC, c.vec_id ASC LIMIT 20),
+        |ann AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r_ann
+        |  FROM anntop),
+        |f AS (
+        |  SELECT doc_id, bm.r_bm, ann.r_ann,
+        |    round(COALESCE(1.0::DOUBLE / (60 + bm.r_bm), 0) +
+        |          COALESCE(1.0::DOUBLE / (60 + ann.r_ann), 0), 6) AS rrf
+        |  FROM bm FULL OUTER JOIN ann USING (doc_id))
+        |SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rrf_rank,
+        |  doc_id, r_bm, r_ann, rrf
+        |FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
+
     // same self-deriving top-3 terms, then docs matching all three
     "q_boolean_search" ->
       """WITH tok AS (
@@ -2543,6 +2680,23 @@ object Pipeline {
         |    / length(q.q) AS BIGINT) AS n_occ,
         |  q.q AS "query"
         |FROM d, q WHERE contains(d.text, q.q)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // DIFFERENTIAL oracle: the same self-derived regex run directly over
+    // every doc — what the trigram-prefiltered rlike must equal exactly
+    "q_regex_search" ->
+      """WITH tt AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |term AS (
+        |  SELECT tok FROM tt WHERE regexp_matches(tok, '^[a-z]{8,}$')
+        |  GROUP BY tok ORDER BY COUNT(*) DESC, tok ASC LIMIT 1),
+        |pat AS (SELECT substr(tok, 1, 4) || '[^ ]*' ||
+        |               substr(tok, length(tok) - 3, 4) AS p FROM term)
+        |SELECT d.doc_id,
+        |  regexp_extract(d.text, (SELECT p FROM pat)) AS hit,
+        |  (SELECT p FROM pat) AS pattern
+        |FROM documents d
+        |WHERE regexp_matches(d.text, (SELECT p FROM pat))
         |ORDER BY d.doc_id""".stripMargin,
 
     // identical inverted-index pair counting; the capped postings make the

@@ -50,6 +50,27 @@ object Similarity {
     * HOF chain it replaced, so cosines stay bit-identical to the oracle. */
   private val dot = "graft_dot(qv, v)"
 
+  /** Vector leg of q_hybrid_rrf: top-k corpus docs by cosine against the
+    * self-derived query vector (vec_id 0, self excluded), using the exact
+    * q_cosine_topk kernel — broadcast 1-row query side streamed over the
+    * corpus, distributed TakeOrdered top-k (per-partition heaps, never a
+    * global sort), then ranks assigned on the k-row result. Returns
+    * (doc_id, r_ann); vec_id doubles as the document id (the testdata
+    * embeds docs 1:1 at small SFs and a prefix subset at sf0.1). */
+  private[operators] def annTop(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    broadcast(q).crossJoin(e.filter(col("vec_id") =!= 0))
+      .withColumn("cosine_raw", expr(dot) / (col("qn") * col("nrm")))
+      .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .withColumn("r_ann", row_number().over(
+        Window.partitionBy(pmod(col("vec_id"), lit(1)))
+          .orderBy(col("cosine_raw").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("r_ann"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map(

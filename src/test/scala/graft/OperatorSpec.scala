@@ -621,6 +621,44 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("hybrid RRF: fusion arithmetic row-exact, both legs represented, order total") {
+    val rows = Pipeline.queries("q_hybrid_rrf")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    // rrf_rank is 1..10 in order; rrf non-increasing with doc_id tiebreak
+    rows.zipWithIndex.foreach { case (r, i) => assert(r.getLong(0) == i + 1) }
+    val rrfs = rows.map(_.getDouble(4))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    // each row's score is exactly the two reciprocal-rank terms re-added
+    rows.foreach { r =>
+      val t1 = if (r.isNullAt(2)) 0.0 else 1.0 / (60 + r.getLong(2))
+      val t2 = if (r.isNullAt(3)) 0.0 else 1.0 / (60 + r.getLong(3))
+      assert(r.getDouble(4) == BigDecimal(t1 + t2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r.toString)
+      assert(!(r.isNullAt(2) && r.isNullAt(3)), r.toString)
+    }
+    // both rankers contribute to the fused top-10 (the two top-20 lists
+    // need not overlap — embeddings are independent of text — but each
+    // leg's head ranks must surface)
+    assert(rows.exists(r => !r.isNullAt(2)) && rows.exists(r => !r.isNullAt(3)),
+      rows.mkString("\n"))
+  }
+
+  test("regex search: trigram-prefiltered rlike ≡ brute regex scan, witness exact") {
+    val rows = Pipeline.queries("q_regex_search")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pat = rows.head.getString(2)
+    assert(pat.contains("[^ ]*") && pat.length == 13, pat)
+    val re = pat.r
+    // brute regex over the raw corpus must agree exactly, doc set AND witness
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = docs.flatMap { case (id, t) =>
+      re.findFirstIn(t).map(id -> _) }
+    assert(rows.length == expect.size)
+    rows.foreach(r => assert(expect(r.getLong(0)) == r.getString(1), r.toString))
+  }
+
   test("variant extraction: totals reconcile with the raw columns, drift path all-null") {
     import graft.operators.Relational
     import org.apache.spark.sql.functions._

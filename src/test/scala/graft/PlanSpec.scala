@@ -1143,6 +1143,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("regex search: no cartesian/BNLJ; rlike verify only touches candidates") {
+    val plan = planOf(Pipeline.queries("q_regex_search")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("boilerplate strip: the template set broadcasts into the strip join") {
     // The df>=2 template table must reach the segment stream as a
     // broadcast — a SortMergeJoin would shuffle the full exploded corpus
