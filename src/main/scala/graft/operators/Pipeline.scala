@@ -1334,6 +1334,95 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // UNIGRAM-LM TOKENIZER TRAINER — the SentencePiece family next to BPE
+    // (Kudo 2018): hard-EM over a capped seed vocab. Seed = every single
+    // char of the top-200 word table (coverage guarantee: the all-chars
+    // segmentation always exists) plus the top-25 substrings of length
+    // 2..4 by weighted occurrence count. Piece likelihoods are EXACT
+    // per-myriad integers q = max(1, cnt·10⁴ div T) (the max(1) is the
+    // declared smoothing floor that keeps unused pieces alive, and the
+    // only float-free stand-in for log-probs: Viterbi compares products
+    // Πq·10⁴^(8−k) — 8-factor-padded so different piece counts are
+    // commensurable — computed in decimal(38,0)/HUGEINT, ≤ 10³² so never
+    // overflowing, bit-identical across engines). The Viterbi E-step is
+    // EXHAUSTIVE: word lengths are capped at 8, so the 2^(n−1) ≤ 128
+    // segmentations of each word are enumerated as bitmasks and the
+    // argmax (score desc, mask asc) is exact, not beam-searched. M-step
+    // recounts piece usage over the chosen segmentations. Two rounds,
+    // unrolled in the oracle. The q_kmeans_ivf driver discipline: the
+    // corpus reduces to the 200-row word table ONCE; each round is
+    // map-side expressions over that table plus one tiny usage rollup,
+    // and only the ~50 (piece, q) scalars visit the driver between
+    // rounds — at 100 TB the word-table cap (a real SentencePiece
+    // training corpus is sampled the same way) keeps every round
+    // constant-cost regardless of corpus size.
+    "q_unigram_tokenizer" -> { (s, dir) =>
+      def esc(x: String) = x.replace("'", "''")
+      val words = docsPar(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")).between(2, 8))
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+        .orderBy(col("wc").desc, col("word").asc).limit(200)
+        .localCheckpoint(true) // 200 rows; feeds vocab + both EM rounds
+      val subs = words.select(col("wc"), explode(expr(
+        "flatten(transform(sequence(1, length(word)), " +
+          "a -> transform(sequence(1, least(4, length(word) - a + 1)), " +
+          "l -> substring(word, a, l))))")).as("piece"))
+      val chars = subs.filter(length(col("piece")) === 1)
+        .groupBy("piece").agg(sum("wc").as("cnt"))
+      val multi = subs.filter(length(col("piece")) >= 2)
+        .groupBy("piece").agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("piece").asc).limit(25)
+      val vocab = chars.unionByName(multi).localCheckpoint(true)
+      val t1 = vocab.agg(sum("cnt")).head().getLong(0)
+      require(t1 > 0, "unigram tokenizer needs a non-empty word table")
+      val q1 = vocab.select(col("piece"),
+          expr(s"greatest(1L, (cnt * 10000L) div ${t1}L)").as("q"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // one Viterbi (hard-E) pass under piece likelihoods `qs`
+      def segment(qs: Map[String, Long]): DataFrame = {
+        val cases = qs.toSeq.sortBy(_._1)
+          .map { case (p, q) => s"WHEN '${esc(p)}' THEN ${q}L" }.mkString(" ")
+        words
+          .withColumn("n", length(col("word")))
+          .withColumn("m", explode(expr("sequence(0, shiftleft(1, n - 1) - 1)")))
+          .withColumn("starts", expr(
+            "concat(array(1), filter(sequence(2, n), " +
+              "p -> (m div shiftleft(1, p - 2)) % 2 = 1))"))
+          .withColumn("pieces", expr(
+            "zip_with(starts, concat(slice(starts, 2, size(starts) - 1), " +
+              "array(n + 1)), (a, b) -> substring(word, a, b - a))"))
+          .withColumn("score", expr(
+            "aggregate(transform(sequence(1, 8), " +
+              "i -> CASE WHEN i <= size(pieces) THEN cast(" +
+              s"CASE element_at(pieces, i) $cases ELSE 0L END " +
+              "as decimal(38,0)) ELSE cast(10000L as decimal(38,0)) END), " +
+              "cast(1 as decimal(38,0)), " +
+              "(acc, q) -> cast(acc * q as decimal(38,0)))"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("word")
+              .orderBy(col("score").desc, col("m").asc)))
+          .filter(col("rn") === 1)
+          .select(col("word"), col("wc"), col("pieces"))
+      }
+      def usage(seg: DataFrame): DataFrame = seg
+        .select(col("wc"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum("wc").as("used"))
+      val u1 = usage(segment(q1))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val t2 = u1.values.sum
+      require(t2 > 0, "unigram tokenizer round-1 usage is empty")
+      val q2 = q1.keys.map(p =>
+        p -> math.max(1L, u1.getOrElse(p, 0L) * 10000L / t2)).toMap
+      val case2 = q2.toSeq.sortBy(_._1)
+        .map { case (p, q) => s"WHEN '${esc(p)}' THEN ${q}L" }.mkString(" ")
+      vocab.join(usage(segment(q2)), Seq("piece"), "left")
+        .select(col("piece"),
+          coalesce(col("used"), lit(0L)).as("used"),
+          expr(s"CASE piece $case2 ELSE 1L END").as("q"))
+        .orderBy(col("used").desc, col("piece").asc)
+    },
+
     // FILTER FUNNEL — the composed keep/drop POLICY every corpus release
     // publishes (the C4/RefinedWeb "data funnel" table): each doc meets
     // the gates IN ORDER — fingerprint dedup first (the first-8-token
@@ -2996,6 +3085,86 @@ object Pipeline {
         |  round(SUM(len(string_split(trim(syms), ' '))) * 1.0 / COUNT(*), 6)
         |    AS fertility
         |FROM e3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // unrolled 2-round hard-EM: same vocab derivation, same per-myriad
+    // integer likelihoods (floor 1), same 8-factor-padded HUGEINT product
+    // scores over the exhaustive bitmask segmentation lattice, same
+    // (score DESC, mask ASC) argmax — the map lookup is the oracle's
+    // stand-in for the engine's driver-scalar CASE literals
+    "q_unigram_tokenizer" ->
+      """WITH wt AS (
+        |  SELECT word, COUNT(*) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) BETWEEN 2 AND 8
+        |  GROUP BY word ORDER BY wc DESC, word ASC LIMIT 200),
+        |subs AS (
+        |  SELECT unnest(flatten(list_transform(range(1, length(word) + 1),
+        |      a -> list_transform(range(1, least(4, length(word) - a + 1) + 1),
+        |        l -> substr(word, a, l))))) AS piece, wc
+        |  FROM wt),
+        |chars AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM subs
+        |          WHERE length(piece) = 1 GROUP BY piece),
+        |multi AS (SELECT piece, cnt FROM (
+        |  SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM subs
+        |  WHERE length(piece) >= 2 GROUP BY piece
+        |  ORDER BY cnt DESC, piece ASC LIMIT 25)),
+        |vocab AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+        |t1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab),
+        |v1 AS (SELECT piece,
+        |    GREATEST(1, (cnt * 10000) // (SELECT t FROM t1)) AS q FROM vocab),
+        |m1 AS (SELECT map(list(piece ORDER BY piece),
+        |                  list(q ORDER BY piece)) AS qm FROM v1),
+        |masks1 AS (
+        |  SELECT word, wc,
+        |    unnest(range(0, (1 << (length(word) - 1)))) AS m FROM wt),
+        |st1 AS (
+        |  SELECT word, wc, m,
+        |    list_concat([1], list_filter(range(2, length(word) + 1),
+        |      p -> ((m >> (p - 2)) & 1) = 1)) AS starts
+        |  FROM masks1),
+        |pc1 AS (
+        |  SELECT word, wc, m,
+        |    list_transform(range(1, len(starts) + 1),
+        |      i -> substr(word, starts[i],
+        |        (CASE WHEN i < len(starts) THEN starts[i + 1]
+        |              ELSE length(word) + 1 END) - starts[i])) AS pieces
+        |  FROM st1),
+        |sc1 AS (
+        |  SELECT word, wc, m, pieces,
+        |    list_reduce(list_concat([1::HUGEINT],
+        |      list_transform(range(1, 9), i -> CASE WHEN i <= len(pieces)
+        |        THEN COALESCE(qm[pieces[i]][1], 0) ELSE 10000 END)),
+        |      (acc, q) -> acc * q) AS score
+        |  FROM pc1, m1),
+        |best1 AS (
+        |  SELECT word, wc, pieces FROM sc1
+        |  QUALIFY row_number() OVER (PARTITION BY word
+        |    ORDER BY score DESC, m ASC) = 1),
+        |u1 AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS used FROM (
+        |    SELECT wc, unnest(pieces) AS piece FROM best1) GROUP BY piece),
+        |t2 AS (SELECT CAST(SUM(used) AS BIGINT) AS t FROM u1),
+        |v2 AS (SELECT v.piece,
+        |    GREATEST(1, (COALESCE(u.used, 0) * 10000) // (SELECT t FROM t2))
+        |      AS q
+        |  FROM vocab v LEFT JOIN u1 u USING (piece)),
+        |m2 AS (SELECT map(list(piece ORDER BY piece),
+        |                  list(q ORDER BY piece)) AS qm FROM v2),
+        |sc2 AS (
+        |  SELECT word, wc, m, pieces,
+        |    list_reduce(list_concat([1::HUGEINT],
+        |      list_transform(range(1, 9), i -> CASE WHEN i <= len(pieces)
+        |        THEN COALESCE(qm[pieces[i]][1], 0) ELSE 10000 END)),
+        |      (acc, q) -> acc * q) AS score
+        |  FROM pc1, m2),
+        |best2 AS (
+        |  SELECT word, wc, pieces FROM sc2
+        |  QUALIFY row_number() OVER (PARTITION BY word
+        |    ORDER BY score DESC, m ASC) = 1),
+        |u2 AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS used FROM (
+        |    SELECT wc, unnest(pieces) AS piece FROM best2) GROUP BY piece)
+        |SELECT v2.piece, COALESCE(u2.used, 0) AS used, v2.q AS q
+        |FROM v2 LEFT JOIN u2 USING (piece)
+        |ORDER BY used DESC, piece ASC""".stripMargin,
 
     // same gate order, same exact z-DAG (::DOUBLE'd literals), same
     // first-kill attribution — stages sum to the corpus by construction

@@ -621,6 +621,29 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("unigram tokenizer: segmentations partition every word (char mass conserved)") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_unigram_tokenizer")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0).length >= 1 && r.getString(0).length <= 4, r.toString)
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 10000L, r.toString) // q per-myriad
+      assert(r.getLong(1) >= 0L, r.toString)
+    }
+    // Viterbi output is a PARTITION of each word: summed over the vocab,
+    // used(piece)·len(piece) must equal the word table's total char mass
+    val pieceMass = rows.map(r => r.getLong(1) * r.getString(0).length).sum
+    val wordMass = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")).between(2, 8))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("word").asc).limit(200)
+      .select(sum(length(col("word")) * col("wc"))).head().getLong(0)
+    assert(pieceMass == wordMass, s"$pieceMass != $wordMass")
+    // multi-char pieces actually won segmentations (the EM did something)
+    assert(rows.exists(r => r.getString(0).length > 1 && r.getLong(1) > 0))
+  }
+
   test("hybrid RRF: fusion arithmetic row-exact, both legs represented, order total") {
     val rows = Pipeline.queries("q_hybrid_rrf")(spark, sfDir).collect()
     assert(rows.length == 10)
