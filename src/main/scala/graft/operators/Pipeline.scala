@@ -117,7 +117,10 @@ object Pipeline {
           .groupBy("pair").agg(sum("wc").as("cnt"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val best = pc.orderBy(col("cnt").desc, col("pair").asc)
-          .head().getString(0) // scalar driver action: the chosen merge
+          .limit(1).collect().headOption // scalar driver action: the chosen merge
+          .getOrElse(throw new IllegalArgumentException(
+            s"BPE round $r found no adjacent symbol pair — corpus too small"))
+          .getString(0)
         val top15 = pc
           .withColumn("rank", row_number().over(
             Window.partitionBy(pmod(col("cnt"), lit(1)))
@@ -683,7 +686,10 @@ object Pipeline {
         .select(explode(expr(ngramExpr(2))).as("g"))
         .groupBy("g").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("g").asc)
-        .head().getString(0) // scalar driver action: the query phrase
+        .limit(1).collect().headOption // scalar driver action: the query phrase
+        .getOrElse(throw new IllegalArgumentException(
+          "q_phrase_search needs at least one 2-token document"))
+        .getString(0)
       val Array(t1, t2) = phrase.split(" ", 2)
       val post = d
         .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
@@ -823,7 +829,10 @@ object Pipeline {
         posexplode(col("w")).as(Seq("pos", "tok")))
       val t1 = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
         .orderBy(col("tf").desc, col("tok").asc)
-        .head().getString(0) // scalar driver action: the query term
+        .limit(1).collect().headOption // scalar driver action: the query term
+        .getOrElse(throw new IllegalArgumentException(
+          "q_kwic_snippet needs a non-empty corpus"))
+        .getString(0)
       tok.filter(col("tok") === t1)
         .groupBy("doc_id")
         .agg(min("pos").cast("long").as("first_pos"),
@@ -1374,8 +1383,10 @@ object Pipeline {
         .groupBy("piece").agg(sum("wc").as("cnt"))
         .orderBy(col("cnt").desc, col("piece").asc).limit(25)
       val vocab = chars.unionByName(multi).localCheckpoint(true)
-      val t1 = vocab.agg(sum("cnt")).head().getLong(0)
-      require(t1 > 0, "unigram tokenizer needs a non-empty word table")
+      val t1row = vocab.agg(sum("cnt")).head()
+      require(!t1row.isNullAt(0) && t1row.getLong(0) > 0,
+        "unigram tokenizer needs a non-empty word table")
+      val t1 = t1row.getLong(0)
       val q1 = vocab.select(col("piece"),
           expr(s"greatest(1L, (cnt * 10000L) div ${t1}L)").as("q"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

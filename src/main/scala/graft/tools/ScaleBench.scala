@@ -65,9 +65,14 @@ object ScaleBench {
 
   /** Streaming tier probes: every stateful-operator family — chained
     * multi-stateful, transformWithState (RocksDB), watermark dedup,
-    * watermark-bounded stream-stream join. */
+    * watermark-bounded stream-stream join — plus the KV CDC fold
+    * (q_stream_kv_cdc streams the `nation` changelog, a GLOBAL dim the
+    * tiers copy verbatim, so its cost must stay FLAT across tiers — the
+    * probe pins that the CDC path carries no hidden data-volume term).
+    * All five run at base, ×10 AND (when a dir is given) ×100. */
   val streamProbes: Seq[String] = Seq("q_stream_chained",
-    "q_stream_transform_state", "q_stream_dedup", "q_stream_join")
+    "q_stream_transform_state", "q_stream_dedup", "q_stream_join",
+    "q_stream_kv_cdc")
 
   /** ×100 subset: the heaviest per-family representatives (full set would
     * take ~an hour at 100×; the point is the growth curve, which one probe
@@ -106,12 +111,15 @@ object ScaleBench {
     val base = probes.map(q => q -> time(q, baseDir)).toMap
     val x10 = probes.map(q => q -> time(q, x10Dir)).toMap
 
-    // streaming tier: wall time + state-store row counts at both tiers
+    // streaming tier: wall time + state-store row counts at every tier
     streamProbes.foreach(exec(_, warmDir))
     val sBase = streamProbes.map(q => q -> time(q, baseDir)).toMap
     val sX10 = streamProbes.map(q => q -> time(q, x10Dir)).toMap
+    val sX100 = x100Dir.map(d => streamProbes.map(q => q -> time(q, d, 1)).toMap)
+      .getOrElse(Map.empty[String, Double])
     val spBase = graft.streaming.Streaming.stateProbe(spark, baseDir)
     val spX10 = graft.streaming.Streaming.stateProbe(spark, x10Dir)
+    val spX100 = x100Dir.map(d => graft.streaming.Streaming.stateProbe(spark, d))
     // ×100 runs are long; a single rep's noise is small relative to the
     // 1-2 orders of magnitude the ratio spans
     val x100 = x100Dir.map(d => probes100.map(q => q -> time(q, d, 1)).toMap)
@@ -133,26 +141,42 @@ object ScaleBench {
         s""""x10_ratio":${f(ratio(q, x10))}$t2,"tags":[${tags(q)}]}"""
     }
     def sratio(q: String) = sX10(q) / math.max(sBase(q), 1e-9)
+    def sratio100(q: String) = sX100(q) / math.max(sBase(q), 1e-9)
     val sRows = streamProbes.map { q =>
       val tag =
         if (sBase(q) < 0.5) "\"fixed_cost\""
-        else if (sratio(q) > 12) "\"watch\"" else ""
+        else if (sratio(q) > 12) "\"watch\""
+        else if (sX100.contains(q) && sratio100(q) > 120) "\"watch_x100\""
+        else ""
+      val t2 = if (sX100.contains(q))
+        s""","x100_sec":${f(sX100(q))},"x100_ratio":${f(sratio100(q))}""" else ""
       s""""$q":{"base_sec":${f(sBase(q))},"x10_sec":${f(sX10(q))},""" +
-        s""""x10_ratio":${f(sratio(q))},"tags":[$tag]}"""
+        s""""x10_ratio":${f(sratio(q))}$t2,"tags":[$tag]}"""
     }
-    // hard gate: unwatermarked agg state == distinct users + sentinel
+    // hard gate at EVERY measured tier: unwatermarked agg state ==
+    // distinct users + sentinel
     val aggLinear =
       spBase("agg_state_rows") == spBase("distinct_users") + 1 &&
-        spX10("agg_state_rows") == spX10("distinct_users") + 1
+        spX10("agg_state_rows") == spX10("distinct_users") + 1 &&
+        spX100.forall(p => p("agg_state_rows") == p("distinct_users") + 1)
     val dedupRatio = spX10("dedup_state_rows").toDouble /
       math.max(spBase("dedup_state_rows"), 1L)
+    val dedupRatio100 = spX100.map(_("dedup_state_rows").toDouble /
+      math.max(spBase("dedup_state_rows"), 1L))
     val keyRatio = spX10("distinct_users").toDouble /
       math.max(spBase("distinct_users"), 1L)
+    val x100State = spX100.map(p =>
+      s""""agg_state_rows_x100":${p("agg_state_rows")},""" +
+      s""""distinct_users_x100":${p("distinct_users")},""" +
+      s""""dedup_state_rows_x100":${p("dedup_state_rows")},""" +
+      s""""distinct_events_x100":${p("distinct_events")},""" +
+      s""""dedup_state_ratio_x100":${f(dedupRatio100.get)},""").getOrElse("")
     val stateJson =
       s""""state":{"agg_state_rows_base":${spBase("agg_state_rows")},""" +
       s""""distinct_users_base":${spBase("distinct_users")},""" +
       s""""agg_state_rows_x10":${spX10("agg_state_rows")},""" +
       s""""distinct_users_x10":${spX10("distinct_users")},""" +
+      x100State +
       s""""agg_state_linear_in_keys":$aggLinear,""" +
       s""""dedup_state_rows_base":${spBase("dedup_state_rows")},""" +
       s""""dedup_state_rows_x10":${spX10("dedup_state_rows")},""" +
@@ -164,9 +188,11 @@ object ScaleBench {
 
     val flagged = probes.filter(q => base(q) >= 0.5 &&
       (ratio(q, x10) > 12 || (x100.contains(q) && ratio(q, x100) > 120))) ++
-      streamProbes.filter(q => sBase(q) >= 0.5 && sratio(q) > 12) ++
+      streamProbes.filter(q => sBase(q) >= 0.5 &&
+        (sratio(q) > 12 || (sX100.contains(q) && sratio100(q) > 120))) ++
       (if (!aggLinear) Seq("stream_state_nonlinear") else Nil) ++
-      (if (dedupRatio > 12) Seq("stream_dedup_state_growth") else Nil)
+      (if (dedupRatio > 12 || dedupRatio100.exists(_ > 120))
+        Seq("stream_dedup_state_growth") else Nil)
     val x100Part = if (x100.nonEmpty) {
       val tot = probes100.map(x100).sum
       val botTot = probes100.map(base).sum

@@ -372,6 +372,66 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("KV CDC stream stays consistent across a mid-stream decommission") {
+    // The symmetric case to the bootstrap test above: a node LEAVING the
+    // ring mid-stream (its ranges re-owned by the survivors) must be just
+    // as invisible to the CDC consumer — commit offsets neither skip nor
+    // re-deliver, and the fold equals the table state read under the
+    // SHRUNK ring.
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.sources.{KeyGroupedRegistry, KVRing}
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false), StructField("v", StringType)))
+    def df(rows: (Long, String)*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (k, v) =>
+        org.apache.spark.sql.Row(k, v) }: _*), schema)
+    val name = "kv_cdc_decomm"
+    KeyGroupedRegistry.stage(name, df(1L -> "a", 2L -> "b", 3L -> "c"), "k")
+    def upsert(rows: (Long, String)*): Unit =
+      df(rows: _*).write.format("graft.sources.KVDataSource")
+        .option("table", name).mode("append").save()
+    val root = java.nio.file.Files.createTempDirectory("graft-kv-decomm").toString
+    KVRing.resetTopology()
+    // 4-node ring up front so the mid-stream decommission (RF guard needs
+    // > RF live hosts) is the ONLY topology change the stream sees
+    KVRing.addNodeAt("graft-node-7", Seq(15, 255, 495))
+    val q = spark.readStream.format("graft.sources.KVDataSource")
+      .option("table", name).option("cdc", "true").load()
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk").start()
+    try {
+      upsert(1L -> "a2", 4L -> "d") // commit 1, 4-node ring
+      q.processAllAvailable()
+      // an ORIGINAL owner leaves between two served micro-batches: every
+      // range it held is re-owned, yet the changelog is placement-free
+      KVRing.decommission("graft-node-1")
+      upsert(2L -> "b2", 5L -> "e") // commit 2, shrunk ring
+      upsert(3L -> "c2")            // commit 3
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$root/out")
+      // no skip, no re-delivery: snapshot(3) + 2 + 2 + 1, each exactly once
+      assert(out.count() == 8, s"rows=${out.count()}")
+      val seqs = out.select("_commit_seq").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(seqs == Seq(0L, 1L, 2L, 3L), s"offsets skipped/repeated: $seqs")
+      val latest = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("_commit_seq").desc)
+      val folded = out.withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1).filter(!col("_tombstone")).select("k", "v")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val table = spark.read.format("graft.sources.KVDataSource")
+        .option("table", name).load()
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(folded == table, s"folded=$folded table=$table")
+      assert(folded == Map(1L -> "a2", 2L -> "b2", 3L -> "c2",
+        4L -> "d", 5L -> "e"))
+    } finally {
+      q.stop(); q.awaitTermination()
+      KVRing.resetTopology()
+    }
+  }
+
   test("catalog CDC stream resumes from its checkpoint and folds to the table state") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proptest")
