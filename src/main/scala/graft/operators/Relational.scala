@@ -221,6 +221,37 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // OBSERVED METRICS (Spark 3.3+ `Dataset.observe` / CollectMetrics):
+    // data-quality counters collected as ACCUMULATOR side-effects of a
+    // production pass — at 100 TB the difference between "metrics from the
+    // pass you were already running" and "metrics from a second scan" is
+    // the whole cost of the job, which is why every serious ingest wires
+    // observe() instead of a follow-up aggregate. The observed pass here
+    // is a realistic one (the corpus flows through a filter to a noop
+    // sink); metrics attach BEFORE the filter so they audit the full
+    // input, and only partial-mergeable aggregates are legal (no
+    // distinct — the API rejects what an accumulator can't merge). The
+    // one-row result replays the observed map; the oracle computes the
+    // same aggregates the honest (second-scan) way.
+    "q_observe_metrics" -> { (s, dir) =>
+      val obs = org.apache.spark.sql.Observation()
+      t(s, dir, "documents")
+        .observe(obs,
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          count(when(col("lang") === "en", lit(1))).as("n_en"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .filter(col("n_chars") >= 100) // the pass the metrics piggyback on
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_docs").asInstanceOf[Long], m("n_chars").asInstanceOf[Long],
+          m("n_en").asInstanceOf[Long], m("min_chars").asInstanceOf[Long],
+          m("max_chars").asInstanceOf[Long]))
+        .toDF("n_docs", "n_chars", "n_en", "min_chars", "max_chars")
+    },
+
     // SPARK 4 COLLATIONS — comparison semantics at the TYPE level (the
     // governance alternative to sprinkling lower() into every predicate):
     // a deterministically mixed-case segment column is compared and
@@ -1392,6 +1423,15 @@ object Relational {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
         |FROM customer WHERE c_mktsegment = (SELECT c_mktsegment FROM seg)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // the honest second-scan version of the observed accumulators
+    "q_observe_metrics" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents""".stripMargin,
 
     // lower() is the semantics UTF8_LCASE packages at the type level
     "q_collation" ->

@@ -94,6 +94,48 @@ object Similarity {
         .orderBy("q_id", "rn")
     },
 
+    // RETRIEVAL EVAL — the recall@k / MRR job every ANN deployment ships
+    // next to its index (the FAISS/ANN-benchmarks readout): the pruned
+    // path's top-20 (the q_cosine_topk_ivf kernel — candidates restricted
+    // to the query's coarse cluster) is scored against the brute-force
+    // top-20 ground truth (the exact annTop/q_cosine_topk kernel) for
+    // ONE self-derived query (vec 0). recall@k = |truth∩sys| within each
+    // rank-k prefix; MRR = 1/rank of the true nearest neighbor in the
+    // pruned list (0 if pruned away). Everything until the final ≤20-row
+    // join is the two index reads themselves — the eval adds constant
+    // work no matter the corpus, which is why it runs on every index
+    // build; rank arithmetic exact integers, two IEEE divisions, one
+    // round each.
+    "q_retrieval_metrics" -> { (s, dir) =>
+      val truth = annTop(s, dir, 20) // brute-force ground truth: (doc_id, r_ann)
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("label").as("q_label"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val sys = broadcast(q)
+        .join(e, col("label") === col("q_label") && col("vec_id") =!= 0)
+        .withColumn("cosine_raw", expr(dot) / (col("qn") * col("nrm")))
+        .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+        .limit(20)
+        .withColumn("r_sys", row_number().over(
+          Window.partitionBy(pmod(col("vec_id"), lit(1)))
+            .orderBy(col("cosine_raw").desc, col("vec_id").asc)).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("r_sys"))
+      truth.join(sys, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("r_ann") <= 5 && col("r_sys") <= 5, 1L)
+            .otherwise(0L)).as("h5"),
+          sum(when(col("r_ann") <= 10 && col("r_sys") <= 10, 1L)
+            .otherwise(0L)).as("h10"),
+          sum(when(col("r_sys") <= 20, 1L).otherwise(0L)).as("h20"),
+          max(when(col("r_ann") === 1, col("r_sys"))).as("r1"))
+        .select(col("n_truth"),
+          round(col("h5") / 5.0, 6).as("recall_at_5"),
+          round(col("h10") / 10.0, 6).as("recall_at_10"),
+          round(col("h20") / 20.0, 6).as("recall_at_20"),
+          round(coalesce(lit(1.0) / col("r1"), lit(0.0)), 6).as("mrr"))
+    },
+
     // IVF-style: identical queries, but candidates pruned to the query's
     // coarse cluster (label) via an equi-join — the scale path.
     "q_cosine_topk_ivf" -> { (s, dir) =>
@@ -740,6 +782,38 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopkSql,
+
+    // replays the brute top-20 (truth) and the label-pruned top-20 (sys)
+    // for vec 0, then the identical rank-prefix metrics
+    "q_retrieval_metrics" ->
+      s"""WITH e AS ($vecsSql),
+        |truth0 AS (
+        |  SELECT c.vec_id AS doc_id, $dotSql / (q.nrm * c.nrm) AS cos
+        |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0
+        |  ORDER BY cos DESC, c.vec_id ASC LIMIT 20),
+        |truth AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r_ann
+        |  FROM truth0),
+        |sys0 AS (
+        |  SELECT c.vec_id AS doc_id, $dotSql / (q.nrm * c.nrm) AS cos
+        |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0
+        |    AND c.label = q.label
+        |  ORDER BY cos DESC, c.vec_id ASC LIMIT 20),
+        |sys AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r_sys
+        |  FROM sys0),
+        |j AS (SELECT t.doc_id, t.r_ann, s.r_sys
+        |      FROM truth t LEFT JOIN sys s USING (doc_id))
+        |SELECT COUNT(*) AS n_truth,
+        |  round(CAST(SUM(CASE WHEN r_ann <= 5 AND r_sys <= 5
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / 5, 6) AS recall_at_5,
+        |  round(CAST(SUM(CASE WHEN r_ann <= 10 AND r_sys <= 10
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / 10, 6) AS recall_at_10,
+        |  round(CAST(SUM(CASE WHEN r_sys <= 20
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / 20, 6) AS recall_at_20,
+        |  round(COALESCE(1.0::DOUBLE / MAX(CASE WHEN r_ann = 1
+        |    THEN r_sys END), 0), 6) AS mrr
+        |FROM j""".stripMargin,
 
     "q_cosine_topk_ivf" ->
       s"""WITH e AS ($vecsSql),

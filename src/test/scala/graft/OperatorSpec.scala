@@ -621,6 +621,37 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("observe metrics: accumulator side-channel equals the dedicated aggregate") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val r = Relational.queries("q_observe_metrics")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exp = d.agg(count(lit(1)), sum("n_chars"),
+      count(when(col("lang") === "en", lit(1))), min("n_chars"), max("n_chars"))
+      .head()
+    (0 until 5).foreach(i => assert(r.head.getLong(i) == exp.getLong(i),
+      s"metric $i: ${r.head} vs $exp"))
+  }
+
+  test("retrieval metrics: rank-prefix hits nest, MRR consistent with a real rank") {
+    import graft.operators.Similarity
+    val r = Similarity.queries("q_retrieval_metrics")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 20)
+    val (r5, r10, r20, mrr) =
+      (row.getDouble(1), row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    Seq(r5, r10, r20, mrr).foreach(x => assert(x >= 0.0 && x <= 1.0, row.toString))
+    // hit sets nest across prefixes: h5 <= h10 <= h20
+    assert(r5 * 5 <= r10 * 10 + 1e-9 && r10 * 10 <= r20 * 20 + 1e-9, row.toString)
+    // a nonzero MRR is the reciprocal of an integer rank <= 20
+    if (mrr > 0) {
+      val rank = 1.0 / mrr
+      assert(math.abs(rank - math.round(rank)) < 1e-3 && rank <= 20.5, row.toString)
+    }
+  }
+
   test("unigram tokenizer: segmentations partition every word (char mass conserved)") {
     import org.apache.spark.sql.functions._
     val rows = Pipeline.queries("q_unigram_tokenizer")(spark, sfDir).collect()
