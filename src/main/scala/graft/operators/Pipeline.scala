@@ -76,6 +76,31 @@ object Pipeline {
     }
   }
 
+  /** Shared capped word graph for the graph-analytics family
+    * (q_recursive_cte, q_triangle_count — same cap discipline as
+    * q_textrank's graph): vocab = top-V corpus tokens with counts,
+    * e0 = DISTINCT directed co-occurrence (bigram) edges between vocab
+    * words, self-loops dropped. The corpus-sized work is exactly the one
+    * bigram extraction; both returned frames are ≤V²-sized. */
+  private def wordGraph(s: SparkSession, dir: String, v: Int)
+      : (DataFrame, DataFrame) = {
+    val d = docsPar(s, dir).select(split(col("text"), " ").as("w"))
+    val vocab = d.select(explode(col("w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(v)
+    val bi = d.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), " +
+          "(x, y) -> struct(x as w1, y as w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val e0 = bi
+      .join(broadcast(vocab.select(col("w").as("w1"))), "w1")
+      .join(broadcast(vocab.select(col("w").as("w2"))), "w2")
+      .select("w1", "w2").distinct()
+    (vocab, e0)
+  }
+
   /** THE BPE training loop — greedy most-frequent adjacent pair,
     * count-desc/pair-asc tie-break — over the top-200 word vocabulary.
     * This is the single training implementation: q_bpe_merges renders its
@@ -439,6 +464,87 @@ object Pipeline {
       }
       rank.select(col("w"), col("r").as("rank_scaled"))
         .orderBy(col("rank_scaled").desc, col("w").asc).limit(20)
+    },
+
+    // RECURSIVE CTE hierarchy walk (Spark 4 `WITH RECURSIVE` — the SQL
+    // surface for iterative plans that q_textrank/q_dup_clusters drive
+    // from the Scala side; the org-chart/category-tree query every
+    // warehouse ships). The hierarchy is SELF-DERIVED and provably
+    // acyclic: over the capped word graph, each node's parent is its
+    // strictly-higher-ranked neighbor (rank = corpus count desc, then
+    // word asc — a total order, so parent chains strictly ascend and must
+    // terminate at a root). The recursion walks every node to its root,
+    // emitting depth — path-bounded (one row per (node, ancestor) chain
+    // link, ≤ V² total, no UNION-ALL path explosion possible in a
+    // forest). Scale: the corpus-sized work is the one bigram extraction
+    // feeding the ≤V-node graph (the q_textrank cap discipline); the
+    // recursion itself runs on broadcast-sized tables, and Spark's
+    // cteRecursionLevelLimit (100) bounds the iteration the same way the
+    // driver loops cap theirs.
+    "q_recursive_cte" -> { (s, dir) =>
+      val (vocab, e0) = wordGraph(s, dir, 32)
+      val edges = e0.unionByName(
+        e0.select(col("w2").as("w1"), col("w1").as("w2"))).distinct()
+      val parents = edges
+        .join(broadcast(vocab.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+        .join(broadcast(vocab.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+        .filter(col("c2") > col("c1") ||
+          (col("c2") === col("c1") && col("w2") < col("w1")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("w1").orderBy(col("c2").desc, col("w2").asc)))
+        .filter(col("rn") === 1)
+        .select(col("w1").as("w"), col("w2").as("parent"))
+      vocab.select("w").createOrReplaceTempView("g_nodes")
+      parents.createOrReplaceTempView("g_parents")
+      s.sql(
+        """WITH RECURSIVE up (w, anc, depth) AS (
+          |  SELECT w, w, 0 FROM g_nodes
+          |  UNION ALL
+          |  SELECT u.w, p.parent, u.depth + 1
+          |  FROM up u JOIN g_parents p ON p.w = u.anc
+          |)
+          |SELECT w, anc AS root, depth
+          |FROM up
+          |WHERE anc NOT IN (SELECT w FROM g_parents)
+          |ORDER BY w""".stripMargin)
+    },
+
+    // TRIANGLE COUNTING + local clustering coefficient — the graph-
+    // analytics readout beyond PageRank (q_textrank) and connected
+    // components (q_dup_clusters): how clique-ish is each node's
+    // neighborhood. Edges oriented a<b once so each triangle is counted
+    // exactly once as (a<b<c): two equi-joins close the wedge — the
+    // standard distributed triangle enumeration; at planet scale the same
+    // plan runs with the lower-degree endpoint as the join key, and here
+    // the graph is vocab-capped (broadcast-sized) so only the bigram
+    // extraction ever sees the corpus. Coefficient = 2T/(deg·(deg−1)) as
+    // one exact integer ratio rounded at the end; deg<2 nodes define 0.
+    "q_triangle_count" -> { (s, dir) =>
+      val (vocab, e0) = wordGraph(s, dir, 32)
+      val und = e0.select(least(col("w1"), col("w2")).as("a"),
+          greatest(col("w1"), col("w2")).as("b")).distinct()
+      val tri = und.as("e1")
+        .join(und.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+        .join(und.select(col("a").as("ca"), col("b").as("cb")),
+          col("a") === col("ca") && col("c") === col("cb"))
+        .select("a", "b", "c")
+      val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_tri"))
+      val deg = und.select(col("a").as("w"))
+        .unionByName(und.select(col("b").as("w")))
+        .groupBy("w").agg(count(lit(1)).as("deg"))
+      vocab.select("w")
+        .join(deg, Seq("w"), "left")
+        .join(perNode, Seq("w"), "left")
+        .select(col("w"),
+          coalesce(col("deg"), lit(0L)).as("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("clustering",
+          when(col("deg") >= 2,
+            round(col("n_tri") * 2.0 / (col("deg") * (col("deg") - 1)), 6))
+            .otherwise(lit(0.0)))
+        .orderBy("w")
     },
 
     "q_dup_clusters" -> { (s, dir) =>
@@ -2256,6 +2362,67 @@ object Pipeline {
         .orderBy("lang")
     },
 
+    // NAIVE BAYES language classifier — TRAINED from the corpus (the
+    // counts-based complement of q_quality_classifier's fixed-weight linear
+    // scorer; fastText-style langid is exactly this shape at scale):
+    // multinomial NB over the top-32 corpus tokens with add-one smoothing,
+    // then every doc re-scored and the CONFUSION MATRIX (true lang ×
+    // predicted lang) reported — the readout a labeling run ships. Scale
+    // shape: training is two map-side-combined count aggregations ((class,
+    // token) and class totals); the model is ≤ |langs|·32 cells and
+    // BROADCASTS into scoring; scoring is one (doc, token) rollup joined
+    // to the model — the corpus shuffles once on (doc_id, w), never on
+    // anything model-sized. Float discipline: each log-prob is rounded to
+    // 6 dp BEFORE use (a last-ulp ln() divergence between engines cannot
+    // survive the rounding except on a measure-zero boundary), and each
+    // doc's Σ k·logp folds a SORTED (by token) list — the q_token_entropy
+    // rule — so partial-aggregation order can't move the sum; argmax
+    // tie-breaks by class name. Docs with no vocab token classify by
+    // prior alone (exact same arithmetic both engines).
+    "q_naive_bayes" -> { (s, dir) =>
+      val V = 32
+      val d = docsPar(s, dir)
+      val tokAll = d.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      val vocab = tokAll.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(V).select("w")
+      val tok = tokAll.join(broadcast(vocab), "w")
+      val cls = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val nTotal = cls.agg(sum("n_docs")).head().getLong(0) // scalar
+      val priors = cls.withColumn("prior",
+        round(log(col("n_docs").cast("double") / lit(nTotal.toDouble)), 6))
+      val tot = tok.groupBy("lang").agg(count(lit(1)).as("twc"))
+      val wc = tok.groupBy("lang", "w").agg(count(lit(1)).as("cwc"))
+      // full |langs|×V grid so unseen (class, token) cells smooth to 1/(T+V)
+      val grid = cls.select("lang").crossJoin(vocab)
+        .join(wc, Seq("lang", "w"), "left")
+        .join(tot, Seq("lang"), "left")
+        .withColumn("logp", round(log(
+          (coalesce(col("cwc"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("twc"), lit(0L)) + V)), 6))
+        .select(col("lang").as("cls"), col("w"), col("logp"))
+      val dk = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("k"))
+      val sc = dk.join(broadcast(grid), "w")
+        .select(col("doc_id"), col("cls"),
+          struct(col("w"), (col("k") * col("logp")).as("term")).as("t"))
+        .groupBy("doc_id", "cls")
+        .agg(collect_list(col("t")).as("ts"))
+        .withColumn("s", expr(
+          "aggregate(array_sort(ts), cast(0.0 as double), (a, x) -> a + x.term)"))
+        .select("doc_id", "cls", "s")
+      val pred = d.select("doc_id", "lang")
+        .crossJoin(broadcast(priors.select(col("lang").as("cls"), col("prior"))))
+        .join(sc, Seq("doc_id", "cls"), "left")
+        .withColumn("score", col("prior") + coalesce(col("s"), lit(0.0)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("cls").asc)))
+        .filter(col("rn") === 1)
+      pred.groupBy(col("lang"), col("cls").as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    },
+
     // Per-source KL divergence vs the corpus token distribution — the
     // corpus-drift / slice-outlier metric (which sources distribute unlike
     // the whole). Restricted to the top-16 corpus types (broadcastable cap,
@@ -2292,6 +2459,22 @@ object Pipeline {
   /** Shared DuckDB CTE: tokenized documents. */
   private val docsW =
     "SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS w FROM documents"
+
+  /** DuckDB dual of [[wordGraph]]: vocab(w, c) + e0(w1, w2) CTE chain
+    * (same bigram extraction the q_textrank oracle uses). */
+  private val wordGraphSql =
+    """d AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT unnest(w) AS w FROM d),
+      |vocab AS (SELECT w, c FROM (SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+      |                            ORDER BY c DESC, w ASC LIMIT 32) v),
+      |big AS (SELECT unnest(list_transform(range(1, len(w)),
+      |                                     i -> w[i] || ' ' || w[i+1])) AS bg
+      |        FROM d WHERE len(w) >= 2),
+      |sp AS (SELECT string_split(bg, ' ')[1] AS w1,
+      |              string_split(bg, ' ')[2] AS w2 FROM big),
+      |e0 AS (SELECT DISTINCT w1, w2 FROM sp
+      |       JOIN vocab v1 ON w1 = v1.w JOIN vocab v2 ON w2 = v2.w
+      |       WHERE w1 <> w2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -3356,6 +3539,53 @@ object Pipeline {
         |ORDER BY rank_scaled DESC, w ASC LIMIT 20""".stripMargin
     },
 
+    // same capped graph, same strict-total-order parent, same walk
+    "q_recursive_cte" ->
+      s"""WITH RECURSIVE
+        |$wordGraphSql,
+        |edges AS (SELECT w1, w2 FROM e0 UNION SELECT w2, w1 FROM e0),
+        |cand AS (SELECT e.w1, e.w2, v2.c AS c2
+        |         FROM edges e JOIN vocab v1 ON e.w1 = v1.w
+        |         JOIN vocab v2 ON e.w2 = v2.w
+        |         WHERE v2.c > v1.c OR (v2.c = v1.c AND e.w2 < e.w1)),
+        |parents AS (SELECT w1 AS w, w2 AS parent FROM (
+        |    SELECT w1, w2, row_number() OVER (PARTITION BY w1
+        |      ORDER BY c2 DESC, w2 ASC) AS rn FROM cand) r
+        |  WHERE rn = 1),
+        |up (w, anc, depth) AS (
+        |  SELECT w, w, 0 FROM vocab
+        |  UNION ALL
+        |  SELECT u.w, p.parent, u.depth + 1
+        |  FROM up u JOIN parents p ON p.w = u.anc)
+        |SELECT w, anc AS root, depth FROM up
+        |WHERE anc NOT IN (SELECT w FROM parents)
+        |ORDER BY w""".stripMargin,
+
+    // identical a<b<c orientation, wedge close, and integer ratio
+    "q_triangle_count" ->
+      s"""WITH
+        |$wordGraphSql,
+        |und AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+        |        FROM e0),
+        |tri AS (SELECT e1.a, e1.b, e2.b AS c
+        |        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT w, COUNT(*) AS n_tri FROM (
+        |         SELECT a AS w FROM tri
+        |         UNION ALL SELECT b FROM tri
+        |         UNION ALL SELECT c FROM tri) x GROUP BY w),
+        |deg AS (SELECT w, COUNT(*) AS deg FROM (
+        |         SELECT a AS w FROM und UNION ALL SELECT b FROM und) x
+        |        GROUP BY w)
+        |SELECT v.w, COALESCE(deg.deg, 0) AS deg,
+        |  COALESCE(pn.n_tri, 0) AS n_tri,
+        |  CASE WHEN COALESCE(deg.deg, 0) >= 2
+        |       THEN round(COALESCE(pn.n_tri, 0) * 2.0::DOUBLE
+        |                  / (deg.deg * (deg.deg - 1)), 6)
+        |       ELSE 0.0::DOUBLE END AS clustering
+        |FROM vocab v LEFT JOIN deg ON deg.w = v.w LEFT JOIN pn ON pn.w = v.w
+        |ORDER BY v.w""".stripMargin,
+
     "q_weighted_sample" ->
       """WITH d AS (
         |  SELECT source,
@@ -3775,6 +4005,51 @@ object Pipeline {
         |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10000
         |      < rate_bp
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // replays training (same vocab cut, same smoothing, logp rounded to
+    // 6 dp before use) and scoring (Σ k·logp folded over the token-sorted
+    // list, prior added, argmax tie-broken by class name)
+    "q_naive_bayes" ->
+      """WITH tokall AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w FROM (
+        |  SELECT w, COUNT(*) AS c FROM tokall GROUP BY w
+        |  ORDER BY c DESC, w ASC LIMIT 32)),
+        |tok AS (SELECT t.doc_id, t.lang, t.w
+        |        FROM tokall t JOIN vocab USING (w)),
+        |cls AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |priors AS (SELECT lang AS cls,
+        |    round(ln(n_docs::DOUBLE /
+        |      (SELECT SUM(n_docs) FROM cls)), 6) AS prior FROM cls),
+        |tot AS (SELECT lang, COUNT(*) AS twc FROM tok GROUP BY lang),
+        |wc AS (SELECT lang, w, COUNT(*) AS cwc FROM tok GROUP BY lang, w),
+        |grid AS (
+        |  SELECT c.lang AS cls, v.w,
+        |    round(ln((COALESCE(wc.cwc, 0) + 1)::DOUBLE /
+        |      (COALESCE(t.twc, 0) + 32)), 6) AS logp
+        |  FROM cls c CROSS JOIN vocab v
+        |  LEFT JOIN wc ON wc.lang = c.lang AND wc.w = v.w
+        |  LEFT JOIN tot t ON t.lang = c.lang),
+        |dk AS (SELECT doc_id, w, COUNT(*) AS k FROM tok GROUP BY doc_id, w),
+        |sc AS (
+        |  SELECT dk.doc_id, g.cls,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list(dk.k * g.logp ORDER BY dk.w)), (a, v) -> a + v) AS s
+        |  FROM dk JOIN grid g USING (w) GROUP BY dk.doc_id, g.cls),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, p.cls,
+        |    p.prior + COALESCE(sc.s, 0.0::DOUBLE) AS score
+        |  FROM documents d CROSS JOIN priors p
+        |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.cls = p.cls),
+        |pred AS (
+        |  SELECT doc_id, lang, cls,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cls ASC) AS rn
+        |  FROM scored)
+        |SELECT lang, cls AS pred, COUNT(*) AS n
+        |FROM pred WHERE rn = 1
+        |GROUP BY lang, cls ORDER BY lang, pred""".stripMargin,
 
     "q_source_kl" ->
       """WITH tok AS (

@@ -136,6 +136,101 @@ object Similarity {
           round(coalesce(lit(1.0) / col("r1"), lit(0.0)), 6).as("mrr"))
     },
 
+    // MATRYOSHKA PREFIX-DIM RECALL (Kusupati et al. '22 — the MRL serving
+    // pattern: one stored 64-dim embedding, cheap retrieval on a PREFIX of
+    // it): top-10 by cosine over the first {8,16,32} dims scored against
+    // the full-64-dim top-10, one recall row per tier (the readout that
+    // picks the serving dimension — at 100 TB a 8-dim first pass reads
+    // 1/8th the bytes). Each tier is the exact q_cosine_topk kernel on
+    // slice(v, 1, dims) with the norm recomputed on the slice; the 64
+    // tier closes the loop at recall 1.0 by construction. Only 10-row
+    // top-k tables meet in the overlap join; ranks exact integers, one
+    // IEEE division per candidate.
+    "q_matryoshka_recall" -> { (s, dir) =>
+      val K = 10
+      val e = vecs(s, dir)
+      def top(dims: Int): DataFrame = {
+        val ed = e.select(col("vec_id"),
+            expr(s"slice(v, 1, $dims)").as("v"))
+          .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+        val q = ed.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nrm").as("qn"))
+        broadcast(q).crossJoin(ed.filter(col("vec_id") =!= 0))
+          .withColumn("cos", expr(dot) / (col("qn") * col("nrm")))
+          .orderBy(col("cos").desc, col("vec_id").asc).limit(K)
+          .select(col("vec_id").as("doc_id"))
+      }
+      val truth = top(64)
+      Seq(8, 16, 32, 64).map { dims =>
+        truth.join(top(dims), "doc_id")
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(dims).as("dims"), col("n_hit"),
+            round(col("n_hit").cast("double") / K, 6).as("recall_at_10"))
+      }.reduce(_ unionByName _).orderBy("dims")
+    },
+
+    // MMR DIVERSITY RE-RANKING (Carbonell & Goldstein '98 — the de-dup
+    // knob every production retrieval/RAG stack exposes): the plain top-k
+    // returns 20 near-copies of the same best hit; MMR greedily re-picks
+    // Sel=5 of them maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) with
+    // λ = 1/2 (an exact binary fraction — both engines multiply the same
+    // IEEE doubles by 0.5). The SCALE SHAPE is the whole point: the
+    // corpus-sized work is the retrieval itself (the exact q_cosine_topk
+    // kernel: broadcast query, distributed TakeOrdered top-20); the MMR
+    // greedy then touches only the CONSTANT-K candidate table — K·(K−1)
+    // pairwise cosines and Sel rounds of argmax over ≤20 rows, the same
+    // bounded-scalar driver action as the k-center round picks (at 100 TB
+    // this stays exactly 20 rows while the index does the heavy lifting).
+    // Cosines on both sides come from the identical left-to-right dot
+    // fold (graft_dot ≡ DuckDB list_sum/list_transform), so scores and
+    // therefore the selection sequence are bit-identical cross-engine;
+    // rank-1 carries no diversity term yet (empty set ⇒ score = rel/2).
+    // NB: selection scores need NOT decrease round to round — a candidate
+    // whose max-sim to the selected set is NEGATIVE scores above rel/2
+    // (measured on this corpus) — so OperatorSpec pins the bound
+    // |score − rel/2| ≤ 1/2 instead of a false monotonicity.
+    "q_mmr_rerank" -> { (s, dir) =>
+      val K = 20; val Sel = 5
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val cands = broadcast(q).crossJoin(e.filter(col("vec_id") =!= 0))
+        .withColumn("rel", expr(dot) / (col("qn") * col("nrm")))
+        .orderBy(col("rel").desc, col("vec_id").asc)
+        .limit(K)
+        .select(col("vec_id").as("doc_id"), col("rel"), col("v"), col("nrm"))
+        .collect() // constant-K scalar action: ≤20 rows at any corpus size
+      require(cands.length >= Sel,
+        s"q_mmr_rerank needs ≥$Sel retrieved candidates, got ${cands.length}")
+      case class Cand(id: Long, rel: Double, v: IndexedSeq[Double], nrm: Double)
+      val cs = cands.map(r => Cand(r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toIndexedSeq, r.getDouble(3)))
+      def cos(a: Cand, b: Cand): Double = { // left-to-right, = graft_dot
+        var acc = 0.0; var i = 0
+        while (i < a.v.length) { acc += a.v(i) * b.v(i); i += 1 }
+        acc / (a.nrm * b.nrm)
+      }
+      var selected = Vector(cs.minBy(c => (-c.rel, c.id))) // argmax rel
+      var out = Vector((1, selected.head.id, selected.head.rel,
+        0.5 * selected.head.rel))
+      (2 to Sel).foreach { r =>
+        val pick = cs.filterNot(c => selected.exists(_.id == c.id))
+          .map { c =>
+            val maxsim = selected.map(cos(c, _)).max
+            (c, 0.5 * c.rel - 0.5 * maxsim)
+          }
+          .minBy { case (c, sc) => (-sc, c.id) }
+        selected = selected :+ pick._1
+        out = out :+ ((r, pick._1.id, pick._1.rel, pick._2))
+      }
+      import s.implicits._
+      out.toDF("sel_rank", "doc_id", "rel_raw", "score_raw")
+        .select(col("sel_rank"), col("doc_id"),
+          round(col("rel_raw"), 6).as("rel"),
+          round(col("score_raw"), 6).as("mmr_score"))
+        .orderBy("sel_rank")
+    },
+
     // IVF-style: identical queries, but candidates pruned to the query's
     // coarse cluster (label) via an equi-join — the scale path.
     "q_cosine_topk_ivf" -> { (s, dir) =>
@@ -814,6 +909,88 @@ object Similarity {
         |  round(COALESCE(1.0::DOUBLE / MAX(CASE WHEN r_ann = 1
         |    THEN r_sys END), 0), 6) AS mrr
         |FROM j""".stripMargin,
+
+    // replays every prefix tier's sliced-norm top-10 and the overlap
+    "q_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |t(dims) AS (VALUES (8), (16), (32), (64)),
+        |n AS (SELECT t.dims, e.vec_id, e.v[1:t.dims] AS v,
+        |        sqrt(list_sum(list_transform(e.v[1:t.dims], x -> x * x)))
+        |          AS nrm
+        |      FROM e CROSS JOIN t),
+        |r AS (SELECT q.dims, c.vec_id AS doc_id,
+        |        list_sum(list_transform(range(1, len(q.v) + 1),
+        |          i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+        |      FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id <> 0
+        |        AND q.dims = c.dims),
+        |topd AS (SELECT dims, doc_id, row_number() OVER (PARTITION BY dims
+        |           ORDER BY cos DESC, doc_id ASC) AS rn FROM r),
+        |tt AS (SELECT doc_id FROM topd WHERE dims = 64 AND rn <= 10),
+        |h AS (SELECT s.dims, COUNT(*) AS n_hit
+        |      FROM topd s JOIN tt USING (doc_id) WHERE s.rn <= 10
+        |      GROUP BY s.dims)
+        |SELECT t.dims, COALESCE(h.n_hit, 0) AS n_hit,
+        |  round(COALESCE(h.n_hit, 0)::DOUBLE / 10, 6) AS recall_at_10
+        |FROM t LEFT JOIN h USING (dims) ORDER BY t.dims""".stripMargin,
+
+    // replays the top-20 retrieval, the K·(K−1) pairwise cosines, and the
+    // 5 greedy MMR rounds with growing selected-set CTEs (λ = 0.5 written
+    // as 0.5::DOUBLE — the DECIMAL-literal trap); MAX over identical IEEE
+    // sims is order-independent, so the selection sequence is bit-equal
+    "q_mmr_rerank" ->
+      s"""WITH e AS ($vecsSql),
+        |c0 AS (
+        |  SELECT c.vec_id AS doc_id, $dotSql / (q.nrm * c.nrm) AS rel,
+        |    c.v AS v, c.nrm AS nrm
+        |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0
+        |  ORDER BY rel DESC, c.vec_id ASC LIMIT 20),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |    list_sum(list_transform(range(1, len(a.v) + 1),
+        |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS sim
+        |  FROM c0 a JOIN c0 b ON a.doc_id <> b.doc_id),
+        |s1 AS (SELECT doc_id, rel, 0.5::DOUBLE * rel AS score FROM c0
+        |       ORDER BY rel DESC, doc_id ASC LIMIT 1),
+        |sel1 AS (SELECT doc_id FROM s1),
+        |s2 AS (SELECT c.doc_id, c.rel,
+        |         0.5::DOUBLE * c.rel - 0.5::DOUBLE * MAX(p.sim) AS score
+        |       FROM c0 c JOIN p ON p.da = c.doc_id
+        |         AND p.db IN (SELECT doc_id FROM sel1)
+        |       WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1)
+        |       GROUP BY c.doc_id, c.rel
+        |       ORDER BY score DESC, c.doc_id ASC LIMIT 1),
+        |sel2 AS (SELECT doc_id FROM sel1 UNION ALL SELECT doc_id FROM s2),
+        |s3 AS (SELECT c.doc_id, c.rel,
+        |         0.5::DOUBLE * c.rel - 0.5::DOUBLE * MAX(p.sim) AS score
+        |       FROM c0 c JOIN p ON p.da = c.doc_id
+        |         AND p.db IN (SELECT doc_id FROM sel2)
+        |       WHERE c.doc_id NOT IN (SELECT doc_id FROM sel2)
+        |       GROUP BY c.doc_id, c.rel
+        |       ORDER BY score DESC, c.doc_id ASC LIMIT 1),
+        |sel3 AS (SELECT doc_id FROM sel2 UNION ALL SELECT doc_id FROM s3),
+        |s4 AS (SELECT c.doc_id, c.rel,
+        |         0.5::DOUBLE * c.rel - 0.5::DOUBLE * MAX(p.sim) AS score
+        |       FROM c0 c JOIN p ON p.da = c.doc_id
+        |         AND p.db IN (SELECT doc_id FROM sel3)
+        |       WHERE c.doc_id NOT IN (SELECT doc_id FROM sel3)
+        |       GROUP BY c.doc_id, c.rel
+        |       ORDER BY score DESC, c.doc_id ASC LIMIT 1),
+        |sel4 AS (SELECT doc_id FROM sel3 UNION ALL SELECT doc_id FROM s4),
+        |s5 AS (SELECT c.doc_id, c.rel,
+        |         0.5::DOUBLE * c.rel - 0.5::DOUBLE * MAX(p.sim) AS score
+        |       FROM c0 c JOIN p ON p.da = c.doc_id
+        |         AND p.db IN (SELECT doc_id FROM sel4)
+        |       WHERE c.doc_id NOT IN (SELECT doc_id FROM sel4)
+        |       GROUP BY c.doc_id, c.rel
+        |       ORDER BY score DESC, c.doc_id ASC LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS sel_rank, doc_id, round(rel, 6) AS rel,
+        |    round(score, 6) AS mmr_score FROM s1
+        |  UNION ALL SELECT 2, doc_id, round(rel, 6), round(score, 6) FROM s2
+        |  UNION ALL SELECT 3, doc_id, round(rel, 6), round(score, 6) FROM s3
+        |  UNION ALL SELECT 4, doc_id, round(rel, 6), round(score, 6) FROM s4
+        |  UNION ALL SELECT 5, doc_id, round(rel, 6), round(score, 6) FROM s5)
+        |ORDER BY sel_rank""".stripMargin,
 
     "q_cosine_topk_ivf" ->
       s"""WITH e AS ($vecsSql),

@@ -652,6 +652,125 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("mmr rerank: rank1 is max-rel, scores non-increasing, diversity penalty applied") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val r = Similarity.queries("q_mmr_rerank")(spark, sfDir).collect()
+    assert(r.length == 5)
+    assert(r.map(_.getLong(1)).distinct.length == 5, "selected docs must be distinct")
+    assert(r.map(_.getInt(0)).toSeq == (1 to 5), r.mkString(";"))
+    // rank 1 = argmax relevance: its rel is the max rel in the selection
+    // and its mmr_score is exactly rel/2 (empty selected set, no penalty)
+    val rels = r.map(_.getDouble(2))
+    assert(rels.head == rels.max, r.mkString(";"))
+    assert(math.abs(r.head.getDouble(3) - rels.head / 2) < 2e-6, r.head.toString)
+    // each later pick's score is rel/2 shifted by half a cosine — the
+    // penalty can be NEGATIVE (a candidate anti-similar to the selected
+    // set scores above rel/2), so the honest bound is |score - rel/2| <= 1/2
+    r.drop(1).foreach { row =>
+      val pen = row.getDouble(2) / 2 - row.getDouble(3)
+      assert(math.abs(pen) <= 0.5 + 1e-9, row.toString)
+    }
+    // and no later pick can beat rank 1 on pure relevance (rank 1 was the
+    // relevance argmax over the same candidate pool)
+    assert(r.drop(1).forall(_.getDouble(2) <= rels.head + 1e-9), r.mkString(";"))
+  }
+
+  test("matryoshka recall: 64-dim tier closes the loop at 1.0, all tiers bounded") {
+    import graft.operators.Similarity
+    val rows = Similarity.queries("q_matryoshka_recall")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(8, 16, 32, 64), rows.mkString(";"))
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 10, r.toString)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, r.toString)
+      assert(math.abs(r.getDouble(2) - r.getLong(1) / 10.0) < 1e-9, r.toString)
+    }
+    // prefix = full vector at dims=64: recall exactly 1
+    assert(rows.last.getLong(1) == 10, rows.last.toString)
+  }
+
+  test("naive bayes: confusion matrix partitions the corpus over real classes") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_naive_bayes")(spark, sfDir).collect()
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = d.count()
+    val langs = d.select("lang").distinct().collect().map(_.getString(0)).toSet
+    // every doc lands in exactly one (true, pred) cell
+    assert(rows.map(_.getLong(2)).sum == nDocs, rows.mkString(";"))
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0, r.toString)
+      assert(langs.contains(r.getString(0)) && langs.contains(r.getString(1)),
+        r.toString)
+    }
+    // cells are unique and the true-lang marginal matches the corpus
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length
+      == rows.length)
+    val marginal = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    val byLang = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (l, n) => assert(marginal.getOrElse(l, 0L) == n, l) }
+  }
+
+  test("recursive cte: every node walks to a parentless root, top word is its own root") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_recursive_cte")(spark, sfDir).collect()
+    // one chain per vocab node, each ending at a root
+    assert(rows.nonEmpty && rows.length <= 32)
+    assert(rows.map(_.getString(0)).distinct.length == rows.length,
+      "one row per node")
+    val roots = rows.filter(r => r.getString(0) == r.getString(1))
+    roots.foreach(r => assert(r.getInt(2) == 0, r.toString))
+    // the globally most-frequent word outranks every neighbor → must be
+    // a root (depth 0, its own root)
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val top = d.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().orderBy(col("count").desc, col("w").asc)
+      .head().getString(0)
+    val topRow = rows.find(_.getString(0) == top)
+    assert(topRow.exists(r => r.getString(1) == top && r.getInt(2) == 0),
+      s"top word $top: ${topRow}")
+    // depths bounded by the vocab size (chains strictly ascend a total order)
+    rows.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) < 32, r.toString))
+  }
+
+  test("triangle count: per-node counts sum to 3x a brute-force recount") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_triangle_count")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 32)
+    rows.foreach { r =>
+      val (deg, tri, cc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(deg >= 0 && deg < 32 && tri >= 0, r.toString)
+      assert(cc >= 0.0 && cc <= 1.0 + 1e-9, r.toString)
+      // a node in t triangles needs deg >= 2 and t <= C(deg, 2)
+      if (tri > 0) assert(tri <= deg * (deg - 1) / 2, r.toString)
+    }
+    // brute-force recount on the collected (<=32-node) graph: the word
+    // graph is vocab x vocab adjacency rebuilt from raw bigrams here
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(split(col("text"), " ").as("w"))
+    val vocab = d.select(explode(col("w")).as("w")).groupBy("w").count()
+      .orderBy(col("count").desc, col("w").asc).limit(32)
+      .collect().map(_.getString(0)).toSet
+    val adj = d.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), " +
+          "(x, y) -> struct(x as w1, y as w2))")).as("b"))
+      .select("b.w1", "b.w2").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (a, b) => a != b && vocab(a) && vocab(b) }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct.toSet
+    val vs = vocab.toVector.sorted
+    var nTri = 0L
+    for {
+      i <- vs.indices; j <- (i + 1) until vs.length
+      if adj((vs(i), vs(j)))
+      k <- (j + 1) until vs.length
+      if adj((vs(j), vs(k))) && adj((vs(i), vs(k)))
+    } nTri += 1
+    assert(rows.map(_.getLong(2)).sum == 3 * nTri,
+      s"per-node sum ${rows.map(_.getLong(2)).sum} vs 3x$nTri")
+  }
+
   test("unigram tokenizer: segmentations partition every word (char mass conserved)") {
     import org.apache.spark.sql.functions._
     val rows = Pipeline.queries("q_unigram_tokenizer")(spark, sfDir).collect()
