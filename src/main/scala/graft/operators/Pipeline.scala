@@ -77,7 +77,7 @@ object Pipeline {
   }
 
   /** Shared capped word graph for the graph-analytics family
-    * (q_recursive_cte, q_triangle_count — same cap discipline as
+    * (q_recursive_hierarchy, q_triangle_count — same cap discipline as
     * q_textrank's graph): vocab = top-V corpus tokens with counts,
     * e0 = DISTINCT directed co-occurrence (bigram) edges between vocab
     * words, self-loops dropped. The corpus-sized work is exactly the one
@@ -481,7 +481,7 @@ object Pipeline {
     // recursion itself runs on broadcast-sized tables, and Spark's
     // cteRecursionLevelLimit (100) bounds the iteration the same way the
     // driver loops cap theirs.
-    "q_recursive_cte" -> { (s, dir) =>
+    "q_recursive_hierarchy" -> { (s, dir) =>
       val (vocab, e0) = wordGraph(s, dir, 32)
       val edges = e0.unionByName(
         e0.select(col("w2").as("w1"), col("w1").as("w2"))).distinct()
@@ -3540,7 +3540,7 @@ object Pipeline {
     },
 
     // same capped graph, same strict-total-order parent, same walk
-    "q_recursive_cte" ->
+    "q_recursive_hierarchy" ->
       s"""WITH RECURSIVE
         |$wordGraphSql,
         |edges AS (SELECT w1, w2 FROM e0 UNION SELECT w2, w1 FROM e0),

@@ -695,6 +695,72 @@ object Relational {
         .orderBy("user_id", "s_start")
     },
 
+    // ORDERED-FUNNEL analysis — the product-analytics staple: users
+    // completing view → click → purchase IN ORDER, each step within 7
+    // days of the previous. STRICT-SEQUENCE semantics (a click before
+    // the first view does not count), which set-membership GROUP BYs
+    // cannot express: each stage is the previous stage's cohort joined
+    // back to the event stream with a (after, within-window) predicate
+    // and a min-aggregate — the earliest qualifying event. Scale: every
+    // join/agg keys on user_id, so all three stages reuse one hash
+    // partitioning; stage tables only shrink; the final rate join is a
+    // 1-row broadcast. Interval arithmetic in exact timestamp micros.
+    "q_event_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      def step(prev: DataFrame, tPrev: String, typ: String, tNew: String) =
+        ev.filter(col("event_type") === typ)
+          .join(prev.select("user_id", tPrev), "user_id")
+          .filter(col("ts") > col(tPrev) &&
+            col("ts") <= col(tPrev) + expr("INTERVAL 7 DAYS"))
+          .groupBy("user_id").agg(min("ts").as(tNew))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = step(s1, "t1", "click", "t2")
+      val s3 = step(s2, "t2", "purchase", "t3")
+      def c(df: DataFrame, n: Int, stage: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(n).as("step"), lit(stage).as("stage"), col("n_users"))
+      val counts = c(s1, 1, "view")
+        .unionByName(c(s2, 2, "click_after_view"))
+        .unionByName(c(s3, 3, "purchase_after_click"))
+      val base = s1.agg(count(lit(1)).as("n_base"))
+      counts.crossJoin(broadcast(base))
+        .select(col("step"), col("stage"), col("n_users"),
+          round(col("n_users").cast(DoubleType) / col("n_base"), 6)
+            .as("conv_rate"))
+        .orderBy("step")
+    },
+
+    // RETENTION COHORT matrix — the other product-analytics staple: users
+    // grouped by first-seen week (cohort), the fraction still active k
+    // weeks later. One groupBy(user) finds first_ts; the (user, cohort
+    // week, active week) triples come from a user-keyed join + distinct
+    // (both reuse the user_id partitioning); the matrix itself is
+    // |weeks|² rows, so the cohort-size join broadcasts. Week offsets are
+    // exact integer micros division on date_trunc'd Mondays — no float,
+    // no calendar edge (both engines truncate to ISO Monday).
+    "q_retention_cohorts" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+      val first = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+      val marks = ev.join(first, "user_id")
+        .select(col("user_id"),
+          date_trunc("week", col("first_ts")).as("cohort_week"),
+          date_trunc("week", col("ts")).as("act_week"))
+        .distinct()
+        .withColumn("week_offset", expr(
+          "(unix_micros(act_week) - unix_micros(cohort_week)) div 604800000000"))
+      val act = marks.groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+      val size = act.filter(col("week_offset") === 0)
+        .select(col("cohort_week"), col("n_active").as("n_cohort"))
+      act.join(broadcast(size), "cohort_week")
+        .select(col("cohort_week").cast(DateType).as("cohort_week"),
+          col("week_offset"), col("n_active"), col("n_cohort"),
+          round(col("n_active").cast(DoubleType) / col("n_cohort"), 6)
+            .as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // SCD Type-2 dimension build from a change log: per user, each
     // event_type transition opens a new version row with
     // [valid_from, valid_to) validity and a version counter; the open row
@@ -1682,6 +1748,59 @@ object Relational {
         |FROM g
         |GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+
+    // same strict-sequence stages, same 7-day windows, same rate base
+    "q_event_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |c AS (
+        |  SELECT 1 AS step, 'view' AS stage,
+        |    (SELECT COUNT(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click_after_view', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase_after_click',
+        |    (SELECT COUNT(*) FROM s3))
+        |SELECT step, stage, n_users,
+        |  round(n_users::DOUBLE / (SELECT COUNT(*) FROM s1), 6) AS conv_rate
+        |FROM c ORDER BY step""".stripMargin,
+
+    // same Monday truncation, same exact-micros week offsets
+    "q_retention_cohorts" ->
+      """WITH first AS (
+        |  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+        |marks AS (
+        |  SELECT DISTINCT e.user_id,
+        |    date_trunc('week', f.first_ts) AS cohort_week,
+        |    date_trunc('week', e.ts) AS act_week
+        |  FROM events e JOIN first f USING (user_id)),
+        |m2 AS (
+        |  SELECT user_id, cohort_week, act_week,
+        |    (epoch_us(act_week) - epoch_us(cohort_week)) // 604800000000
+        |      AS week_offset
+        |  FROM marks),
+        |act AS (
+        |  SELECT cohort_week, week_offset, COUNT(*) AS n_active
+        |  FROM m2 GROUP BY cohort_week, week_offset),
+        |sz AS (
+        |  SELECT cohort_week, n_active AS n_cohort FROM act
+        |  WHERE week_offset = 0)
+        |SELECT a.cohort_week::DATE AS cohort_week, a.week_offset,
+        |  a.n_active, s.n_cohort,
+        |  round(a.n_active::DOUBLE / s.n_cohort, 6) AS retention
+        |FROM act a JOIN sz s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q_scd2_dimension" ->
       """WITH o AS (

@@ -676,6 +676,40 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(r.drop(1).forall(_.getDouble(2) <= rels.head + 1e-9), r.mkString(";"))
   }
 
+  test("event funnel: stages shrink monotonically, base rate is 1.0") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val r = Relational.queries("q_event_funnel")(spark, sfDir).collect()
+    assert(r.length == 3 && r.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val ns = r.map(_.getLong(2))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), ns.mkString(","))
+    assert(math.abs(r.head.getDouble(3) - 1.0) < 1e-9, r.head.toString)
+    r.foreach(row => assert(row.getDouble(3) >= 0 && row.getDouble(3) <= 1.0))
+    // step 1 is exactly the users with any 'view' event
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val nViewers = ev.filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(ns(0) == nViewers, s"${ns(0)} vs $nViewers")
+  }
+
+  test("retention cohorts: offset-0 diagonal is 1.0, cohorts partition the users") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_retention_cohorts")(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (off, act, coh, ret) =
+        (row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
+      assert(off >= 0 && act >= 1 && act <= coh, row.toString)
+      assert(ret > 0 && ret <= 1.0 + 1e-9, row.toString)
+      if (off == 0) assert(math.abs(ret - 1.0) < 1e-9, row.toString)
+    }
+    // every user lands in exactly one cohort: Σ cohort sizes = |users|
+    val nUsers = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    val sumCoh = r.filter(_.getLong(1) == 0).map(_.getLong(3)).sum
+    assert(sumCoh == nUsers, s"$sumCoh vs $nUsers")
+  }
+
   test("matryoshka recall: 64-dim tier closes the loop at 1.0, all tiers bounded") {
     import graft.operators.Similarity
     val rows = Similarity.queries("q_matryoshka_recall")(spark, sfDir).collect()
@@ -713,7 +747,7 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
 
   test("recursive cte: every node walks to a parentless root, top word is its own root") {
     import org.apache.spark.sql.functions._
-    val rows = Pipeline.queries("q_recursive_cte")(spark, sfDir).collect()
+    val rows = Pipeline.queries("q_recursive_hierarchy")(spark, sfDir).collect()
     // one chain per vocab node, each ending at a root
     assert(rows.nonEmpty && rows.length <= 32)
     assert(rows.map(_.getString(0)).distinct.length == rows.length,
