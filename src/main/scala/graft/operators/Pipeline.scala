@@ -509,6 +509,59 @@ object Pipeline {
           |ORDER BY w""".stripMargin)
     },
 
+    // SINGLE-SOURCE SHORTEST PATH (BFS) — the remaining graph-analytics
+    // staple next to PageRank (q_textrank), connected components
+    // (q_dup_clusters), the hierarchy walk (q_recursive_hierarchy) and
+    // triangles (q_triangle_count): hop distance from the top corpus word
+    // to every vocab word over the undirected co-occurrence graph,
+    // unreachable ⇒ -1. Spark's recursive CTE only supports UNION ALL
+    // (which path-explodes on a cyclic graph), so the Spark side runs the
+    // canonical frontier expansion — a driver loop of ≤V rounds, each one
+    // join+anti-join over the ≤V²-row broadcast-sized edge table with a
+    // single scalar (frontier size) visiting the driver per round (the
+    // q_textrank iteration discipline; at 100 TB this is exactly Pregel's
+    // superstep loop). The corpus-sized work is the one shared wordGraph
+    // bigram extraction. The oracle replays BFS as a WITH RECURSIVE
+    // UNION (DuckDB dedups (node, depth) pairs, so a depth cap bounds it)
+    // + MIN(depth) — same fixpoint, different engine idiom.
+    "q_shortest_path" -> { (s, dir) =>
+      val (vocab0, e0) = wordGraph(s, dir, 32)
+      // one corpus pass total: the ≤V-row vocab and ≤V²-row edge tables
+      // are materialized once (eager localCheckpoint — the temp-table
+      // analog), so the BFS rounds never re-touch the bigram extraction
+      val vocab = vocab0.localCheckpoint(true)
+      val edges = e0.unionByName(
+        e0.select(col("w2").as("w1"), col("w1").as("w2"))).distinct()
+        .localCheckpoint(true)
+      val srcRow = vocab.orderBy(col("c").desc, col("w").asc)
+        .limit(1).select("w").collect()
+      require(srcRow.nonEmpty,
+        "q_shortest_path: empty vocabulary (degenerate corpus)")
+      val src = srcRow.head.getString(0)
+      import s.implicits._
+      var dist = Seq((src, 0L)).toDF("w", "dist").localCheckpoint(true)
+      var frontier = dist.select("w")
+      var d = 0L
+      var go = true
+      while (go && d < 32) {
+        val next = edges
+          .join(frontier.select(col("w").as("w1")), "w1")
+          .select(col("w2").as("w")).distinct()
+          .join(dist.select("w"), Seq("w"), "left_anti")
+          .localCheckpoint(true) // eager: one evaluation per round
+        if (next.isEmpty) go = false
+        else {
+          d += 1
+          dist = dist.unionByName(next.withColumn("dist", lit(d)))
+            .localCheckpoint(true)
+          frontier = next
+        }
+      }
+      vocab.select("w").join(dist, Seq("w"), "left")
+        .select(col("w"), coalesce(col("dist"), lit(-1L)).as("dist"))
+        .orderBy("w")
+    },
+
     // TRIANGLE COUNTING + local clustering coefficient — the graph-
     // analytics readout beyond PageRank (q_textrank) and connected
     // components (q_dup_clusters): how clique-ish is each node's
@@ -3560,6 +3613,23 @@ object Pipeline {
         |SELECT w, anc AS root, depth FROM up
         |WHERE anc NOT IN (SELECT w FROM parents)
         |ORDER BY w""".stripMargin,
+
+    // same capped graph, same top-word source; BFS via recursive UNION
+    // ((node, depth) pairs dedup, depth cap bounds) + MIN(depth)
+    "q_shortest_path" ->
+      s"""WITH RECURSIVE
+        |$wordGraphSql,
+        |edges AS (SELECT w1, w2 FROM e0 UNION SELECT w2, w1 FROM e0),
+        |src AS (SELECT w FROM vocab ORDER BY c DESC, w ASC LIMIT 1),
+        |bfs (w, d) AS (
+        |  SELECT w, 0 FROM src
+        |  UNION
+        |  SELECT e.w2, b.d + 1 FROM bfs b JOIN edges e ON e.w1 = b.w
+        |  WHERE b.d < 32),
+        |dm AS (SELECT w, MIN(d) AS dist FROM bfs GROUP BY w)
+        |SELECT v.w, CAST(COALESCE(dm.dist, -1) AS BIGINT) AS dist
+        |FROM vocab v LEFT JOIN dm ON dm.w = v.w
+        |ORDER BY v.w""".stripMargin,
 
     // identical a<b<c orientation, wedge close, and integer ratio
     "q_triangle_count" ->

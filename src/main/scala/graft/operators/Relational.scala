@@ -761,6 +761,154 @@ object Relational {
         .orderBy("cohort_week", "week_offset")
     },
 
+    // A/B EXPERIMENT readout — the third product-analytics staple next to
+    // the funnel and the cohort matrix: deterministic 50/50 variant
+    // assignment by the same portable md5 coin the sampling family uses
+    // (hash of user_id — reproducible across engines, runs and
+    // repartitioning; no seed coordination at 100 TB), conversion = the
+    // user purchases within 24 h of their first event (declared-semantics
+    // window — "has any purchase" is degenerate on this stream: every
+    // user eventually buys), readout = the two-proportion pooled
+    // z-statistic. Scale: both the first-event agg and the conversion
+    // probe key on user_id (one hash partitioning reused), then a single
+    // global agg of four conditional integer sums — the statistic itself
+    // is arithmetic on four scalars. All divisions go through explicit
+    // DOUBLE casts with the identical expression tree in the oracle
+    // (exact-integer inputs + IEEE ops incl. correctly-rounded sqrt ⇒
+    // bit-equal), rounded to 6 dp at the end; a degenerate pooled rate
+    // (0 or 1) yields NULL z rather than an ANSI divide-by-zero.
+    "q_ab_test" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val first = ev.groupBy("user_id").agg(min("ts").as("t0"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(first, "user_id")
+        .filter(col("ts") > col("t0") &&
+          col("ts") <= col("t0") + expr("INTERVAL 1 DAY"))
+        .select("user_id").distinct().withColumn("converted", lit(1L))
+      val users = first.join(conv, Seq("user_id"), "left")
+        .select(col("user_id"), coalesce(col("converted"), lit(0L))
+          .as("converted"))
+        .withColumn("variant", when(
+          expr("cast(conv(substring(md5(cast(user_id as string)),1,8),16,10) as bigint) % 2") === 0,
+          "A").otherwise("B"))
+      users.agg(
+          sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "A", col("converted")).otherwise(0L)).as("conv_a"),
+          sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "B", col("converted")).otherwise(0L)).as("conv_b"))
+        .select(col("n_a"), col("conv_a"),
+          round(col("conv_a").cast(DoubleType) / col("n_a"), 6).as("rate_a"),
+          col("n_b"), col("conv_b"),
+          round(col("conv_b").cast(DoubleType) / col("n_b"), 6).as("rate_b"),
+          when(col("conv_a") + col("conv_b") > 0 &&
+              col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+            round(
+              (col("conv_a").cast(DoubleType) / col("n_a") -
+                col("conv_b").cast(DoubleType) / col("n_b")) /
+              sqrt(((col("conv_a") + col("conv_b")).cast(DoubleType) /
+                  (col("n_a") + col("n_b"))) *
+                (lit(1.0) - (col("conv_a") + col("conv_b")).cast(DoubleType) /
+                  (col("n_a") + col("n_b"))) *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+            .as("z_stat"))
+    },
+
+    // IQR OUTLIER fences + winsorized mean per order priority — the
+    // data-cleaning staple (Tukey fences; winsorization is what a robust
+    // feature pipeline does before normalization). Exact interpolated
+    // quantiles per group (the q_percentile parity: Spark `percentile` ≡
+    // DuckDB `quantile_cont`), fences ROUNDED TO 6 DP BEFORE USE so a
+    // last-ulp interpolation difference can't flip a row across a fence;
+    // the winsorized sum runs in DECIMAL(18,6) so partial-aggregation
+    // order can't perturb it (the money rule). Scale: two passes over the
+    // table (quantile agg, then clamp+agg), fences join back via a ≤5-row
+    // broadcast; at 100 TB the exact percentile swaps for the t-digest
+    // sketch (q_approx_stats) with the same downstream plan.
+    "q_outlier_iqr" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val fences = o.groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.25)").as("q1r"),
+          expr("percentile(o_totalprice, 0.75)").as("q3r"))
+        .select(col("o_orderpriority"),
+          round(col("q1r"), 6).as("q1"), round(col("q3r"), 6).as("q3"))
+        .withColumn("lo_fence",
+          round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 6))
+        .withColumn("hi_fence",
+          round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 6))
+      o.join(broadcast(fences), "o_orderpriority")
+        .withColumn("clamped",
+          round(least(greatest(col("o_totalprice"), col("lo_fence")),
+            col("hi_fence")), 6).cast(DecimalType(18, 6)))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+          first(col("lo_fence")).as("lo_fence"),
+          first(col("hi_fence")).as("hi_fence"),
+          sum(when(col("o_totalprice") < col("lo_fence"), 1L).otherwise(0L))
+            .as("n_low"),
+          sum(when(col("o_totalprice") > col("hi_fence"), 1L).otherwise(0L))
+            .as("n_high"),
+          sum(col("clamped")).as("wsum"))
+        .select(col("o_orderpriority"), col("n_orders"), col("q1"), col("q3"),
+          col("lo_fence"), col("hi_fence"), col("n_low"), col("n_high"),
+          round(col("wsum").cast(DoubleType) / col("n_orders"), 6)
+            .as("winsorized_mean"))
+        .orderBy("o_orderpriority")
+    },
+
+    // COLUMN PROFILER — the Deequ/dbt-style data-quality summary every
+    // ingestion run publishes: per column, row count, null count, exact
+    // distinct count, canonical min/max strings. ONE pass over the table:
+    // a single global agg computes all 6×4 statistics (the multiple exact
+    // COUNT(DISTINCT)s make Catalyst plan an Expand — a deliberate 6×
+    // input blow-up that IS the cost of exact profiling; the 100 TB
+    // variant swaps approx_count_distinct with the same plan minus the
+    // Expand, cf. q_approx_stats), then a map-only `stack` unpivots the
+    // one row into the per-column report. Min/max stringification is
+    // type-canonical in both engines: BIGINT/VARCHAR verbatim, TIMESTAMP
+    // through DATE ('yyyy-MM-dd'), DOUBLE through DECIMAL(12,2).
+    "q_column_profile" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def mn(c: Column) = min(c).cast(StringType)
+      def mx(c: Column) = max(c).cast(StringType)
+      o.agg(
+          count(lit(1)).as("nr"),
+          count(col("o_orderkey")).as("nn1"),
+          countDistinct(col("o_orderkey")).as("nd1"),
+          mn(col("o_orderkey")).as("mn1"), mx(col("o_orderkey")).as("mx1"),
+          count(col("o_custkey")).as("nn2"),
+          countDistinct(col("o_custkey")).as("nd2"),
+          mn(col("o_custkey")).as("mn2"), mx(col("o_custkey")).as("mx2"),
+          count(col("o_orderstatus")).as("nn3"),
+          countDistinct(col("o_orderstatus")).as("nd3"),
+          mn(col("o_orderstatus")).as("mn3"), mx(col("o_orderstatus")).as("mx3"),
+          count(col("o_totalprice")).as("nn4"),
+          countDistinct(col("o_totalprice")).as("nd4"),
+          mn(money(col("o_totalprice"))).as("mn4"),
+          mx(money(col("o_totalprice"))).as("mx4"),
+          count(col("o_orderdate")).as("nn5"),
+          countDistinct(col("o_orderdate")).as("nd5"),
+          mn(col("o_orderdate").cast(DateType)).as("mn5"),
+          mx(col("o_orderdate").cast(DateType)).as("mx5"),
+          count(col("o_orderpriority")).as("nn6"),
+          countDistinct(col("o_orderpriority")).as("nd6"),
+          mn(col("o_orderpriority")).as("mn6"),
+          mx(col("o_orderpriority")).as("mx6"))
+        .select(expr(
+          """stack(6,
+            |'o_orderkey',      nr - nn1, nd1, mn1, mx1,
+            |'o_custkey',       nr - nn2, nd2, mn2, mx2,
+            |'o_orderstatus',   nr - nn3, nd3, mn3, mx3,
+            |'o_totalprice',    nr - nn4, nd4, mn4, mx4,
+            |'o_orderdate',     nr - nn5, nd5, mn5, mx5,
+            |'o_orderpriority', nr - nn6, nd6, mn6, mx6)
+            |as (column_name, n_null, n_distinct, min_val, max_val)
+            |""".stripMargin), col("nr").as("n_rows"))
+        .select("column_name", "n_rows", "n_null", "n_distinct",
+          "min_val", "max_val")
+        .orderBy("column_name")
+    },
+
     // SCD Type-2 dimension build from a change log: per user, each
     // event_type transition opens a new version row with
     // [valid_from, valid_to) validity and a version counter; the open row
@@ -1801,6 +1949,112 @@ object Relational {
         |  round(a.n_active::DOUBLE / s.n_cohort, 6) AS retention
         |FROM act a JOIN sz s USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // same md5 coin, same 24 h conversion window, same pooled-z
+    // expression tree (explicit DOUBLE casts), same degenerate-rate guard
+    "q_ab_test" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT DISTINCT e.user_id
+        |  FROM events e JOIN f USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > f.t0
+        |    AND e.ts <= f.t0 + INTERVAL 1 DAY),
+        |u AS (
+        |  SELECT f.user_id,
+        |    CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS converted
+        |  FROM f LEFT JOIN c ON c.user_id = f.user_id),
+        |v AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))
+        |    ::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS variant, converted
+        |  FROM u),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM v)
+        |SELECT n_a, conv_a, round(conv_a::DOUBLE / n_a, 6) AS rate_a,
+        |  n_b, conv_b, round(conv_b::DOUBLE / n_b, 6) AS rate_b,
+        |  CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+        |    THEN round((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b) /
+        |      sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)) *
+        |        (1.0::DOUBLE - (conv_a + conv_b)::DOUBLE / (n_a + n_b)) *
+        |        (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b)), 6)
+        |  END AS z_stat
+        |FROM a""".stripMargin,
+
+    // same rounded fences, same DECIMAL(18,6) winsorized sum
+    "q_outlier_iqr" ->
+      """WITH f AS (
+        |  SELECT o_orderpriority,
+        |    round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+        |    round(quantile_cont(o_totalprice, 0.75), 6) AS q3
+        |  FROM orders GROUP BY o_orderpriority),
+        |f2 AS (
+        |  SELECT o_orderpriority, q1, q3,
+        |    round(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
+        |    round(q3 + 1.5 * (q3 - q1), 6) AS hi_fence
+        |  FROM f)
+        |SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+        |  ANY_VALUE(f2.q1) AS q1, ANY_VALUE(f2.q3) AS q3,
+        |  ANY_VALUE(f2.lo_fence) AS lo_fence,
+        |  ANY_VALUE(f2.hi_fence) AS hi_fence,
+        |  CAST(SUM(CASE WHEN o.o_totalprice < f2.lo_fence THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN o.o_totalprice > f2.hi_fence THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_high,
+        |  round(SUM(round(least(greatest(o.o_totalprice, f2.lo_fence),
+        |      f2.hi_fence), 6)::DECIMAL(18,6))::DOUBLE / COUNT(*), 6)
+        |    AS winsorized_mean
+        |FROM orders o JOIN f2 USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
+
+    // same canonical stringification: BIGINT/VARCHAR verbatim,
+    // TIMESTAMP via DATE, DOUBLE via DECIMAL(12,2)
+    "q_column_profile" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(o_orderkey) AS n_null,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    MIN(o_orderkey)::VARCHAR AS min_val,
+        |    MAX(o_orderkey)::VARCHAR AS max_val
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+        |    COUNT(DISTINCT o_custkey),
+        |    MIN(o_custkey)::VARCHAR, MAX(o_custkey)::VARCHAR
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus),
+        |    MIN(o_orderstatus), MAX(o_orderstatus)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |    COUNT(DISTINCT o_totalprice),
+        |    MIN(o_totalprice::DECIMAL(12,2))::VARCHAR,
+        |    MAX(o_totalprice::DECIMAL(12,2))::VARCHAR
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+        |    COUNT(DISTINCT o_orderdate),
+        |    MIN(o_orderdate::DATE)::VARCHAR, MAX(o_orderdate::DATE)::VARCHAR
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*),
+        |    COUNT(*) - COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority),
+        |    MIN(o_orderpriority), MAX(o_orderpriority)
+        |  FROM orders)
+        |SELECT column_name, n_rows, n_null, n_distinct, min_val, max_val
+        |FROM p ORDER BY column_name""".stripMargin,
 
     "q_scd2_dimension" ->
       """WITH o AS (

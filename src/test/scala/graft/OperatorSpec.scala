@@ -710,6 +710,63 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(sumCoh == nUsers, s"$sumCoh vs $nUsers")
   }
 
+  test("ab test: variants partition the users, z sign matches the rate gap") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val r = Relational.queries("q_ab_test")(spark, sfDir).collect().head
+    val (na, ca, ra) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val (nb, cb, rb) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+    assert(ca <= na && cb <= nb && na > 0 && nb > 0, r.toString)
+    assert(ra >= 0 && ra <= 1 && rb >= 0 && rb <= 1)
+    val nUsers = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(na + nb == nUsers, s"${na + nb} vs $nUsers")
+    if (!r.isNullAt(6)) {
+      val z = r.getDouble(6)
+      assert(math.signum(z) == math.signum(ra - rb) || ra == rb, r.toString)
+    }
+  }
+
+  test("outlier iqr: fences ordered, winsorized mean inside them, outliers minority") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_outlier_iqr")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val (q1, q3, lo, hi) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val (nLow, nHigh, wm) = (r.getLong(6), r.getLong(7), r.getDouble(8))
+      assert(lo <= q1 && q1 <= q3 && q3 <= hi, r.toString)
+      assert(nLow + nHigh < n, r.toString)
+      assert(wm >= lo - 1e-6 && wm <= hi + 1e-6, r.toString)
+    }
+  }
+
+  test("column profile: one row per column, pk fully distinct, counts bounded") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_column_profile")(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val nRows = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == nRows)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= nRows, r.toString)
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= nRows, r.toString)
+    }
+    val pk = rows.find(_.getString(0) == "o_orderkey").get
+    assert(pk.getLong(3) == nRows && pk.getLong(2) == 0, pk.toString)
+  }
+
+  test("shortest path: source at 0, hop distances contiguous from 1") {
+    val rows = Pipeline.queries("q_shortest_path")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 32)
+    val dists = rows.map(_.getLong(1))
+    assert(dists.count(_ == 0L) == 1, "exactly one source at distance 0")
+    assert(dists.forall(d => d >= -1 && d <= 32))
+    // reachable distances form a contiguous range 0..max (BFS property)
+    val reach = dists.filter(_ >= 0).distinct.sorted
+    assert(reach.toList == (0L to reach.max).toList, reach.mkString(","))
+  }
+
   test("matryoshka recall: 64-dim tier closes the loop at 1.0, all tiers bounded") {
     import graft.operators.Similarity
     val rows = Similarity.queries("q_matryoshka_recall")(spark, sfDir).collect()
