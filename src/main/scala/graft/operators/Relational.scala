@@ -909,6 +909,92 @@ object Relational {
         .orderBy("column_name")
     },
 
+    // MARKOV NEXT-EVENT transition matrix — P(next event type | current)
+    // from each user's time-ordered stream: the behavioral model behind
+    // "users who view usually click next" readouts and next-action
+    // prediction baselines. Scale: ONE shuffle on user_id for the lead()
+    // window (event_id breaks ts ties so the successor is total-ordered),
+    // then a |types|²-cell rollup; the per-source totals join back as a
+    // ≤|types|-row broadcast. Probabilities are exact-integer ratios
+    // rounded at the end.
+    "q_markov_transitions" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val tr = ev
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("to_type"))
+      val cnt = tr.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("from_type").agg(sum("n").as("n_from"))
+      cnt.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast(DoubleType) / col("n_from"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+
+    // ROLLING Z-SCORE anomaly flagging over the daily event-count series —
+    // the ops-dashboard staple (trailing-window mean/std, |z| > 2 flags).
+    // The window statistics are built from EXACT INTEGER window sums
+    // (count, Σn, Σn²) so the variance is one arithmetic expression over
+    // exact inputs — identical tree both engines — not an engine-specific
+    // streaming stddev; z is rounded to 6 dp and the flag reads the
+    // ROUNDED z so a last-ulp difference can't flip it. A <2-day frame or
+    // zero variance yields NULL z (guard, not div-by-zero). Scale: the
+    // daily rollup is the only corpus-sized agg; the series itself is
+    // one row per day (tiny), so the window runs single-partition BY
+    // DESIGN on the aggregate, not the raw stream.
+    "q_anomaly_zscore" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(col("ts").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("cnt_w", count(lit(1)).over(w))
+        .withColumn("sum_w", sum("n_events").over(w))
+        .withColumn("sumsq_w", sum(col("n_events") * col("n_events")).over(w))
+        .withColumn("mean7",
+          round(col("sum_w").cast(DoubleType) / col("cnt_w"), 6))
+        .withColumn("varr", when(col("cnt_w") > 1,
+          (col("sumsq_w").cast(DoubleType) -
+            col("sum_w").cast(DoubleType) * col("sum_w") / col("cnt_w")) /
+            (col("cnt_w") - 1)))
+        .withColumn("z", when(col("cnt_w") > 1 && col("varr") > 0,
+          round((col("n_events") - col("sum_w").cast(DoubleType) /
+            col("cnt_w")) / sqrt(col("varr")), 6)))
+        .withColumn("is_anomaly",
+          coalesce(abs(col("z")) > 2.0, lit(false)))
+        .select("day", "n_events", "mean7", "z", "is_anomaly")
+        .orderBy("day")
+    },
+
+    // EWMA (α = ½) of each user's event-value series — the smoothing
+    // baseline feature stores compute per entity. α = ½ is a DECLARED-
+    // SEMANTICS constant chosen so every weight (1−α)^k = 2^-k is an
+    // EXACT double: the recurrence s_t = ½·x_t + ½·s_{t−1} (s_0 = x_0)
+    // is then a deterministic IEEE fold — both engines run the identical
+    // left-to-right fold over the identically (ts, event_id)-ordered
+    // list (the q_token_entropy sorted-fold rule; Spark seeds aggregate()
+    // with the head, DuckDB's list_reduce seeds with element 1 — same
+    // semantics). Scale: one groupBy(user_id); the per-entity list is
+    // bounded by per-user activity (the sessionization state assumption);
+    // values round to 6 dp only at the end.
+    "q_ewma" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("value")))).as("seq"))
+        .withColumn("vals", expr("transform(seq, x -> x.value)"))
+        .withColumn("ewma", round(expr(
+          "aggregate(slice(vals, 2, size(vals) - 1), vals[0], " +
+            "(acc, x) -> acc * 0.5D + x * 0.5D)"), 6))
+        .withColumn("last_value", round(expr("element_at(vals, -1)"), 6))
+        .select("user_id", "n_events", "ewma", "last_value")
+        .orderBy("user_id")
+    },
+
     // SCD Type-2 dimension build from a change log: per user, each
     // event_type transition opens a new version row with
     // [valid_from, valid_to) validity and a version counter; the open row
@@ -2015,6 +2101,65 @@ object Relational {
         |FROM orders o JOIN f2 USING (o_orderpriority)
         |GROUP BY o.o_orderpriority
         |ORDER BY o.o_orderpriority""".stripMargin,
+
+    // same (ts, event_id) successor order, same integer-ratio rounding
+    "q_markov_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM tr
+        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |t AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c
+        |  GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(c.n::DOUBLE / t.n_from, 6) AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // same exact-integer window sums, same variance tree, same rounded-z
+    // flag and guards
+    "q_anomaly_zscore" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, COUNT(*) AS n_events
+        |  FROM events GROUP BY ts::DATE),
+        |w AS (
+        |  SELECT day, n_events,
+        |    COUNT(*) OVER fr AS cnt_w,
+        |    SUM(n_events) OVER fr AS sum_w,
+        |    SUM(n_events * n_events) OVER fr AS sumsq_w
+        |  FROM daily
+        |  WINDOW fr AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+        |    AND CURRENT ROW)),
+        |z AS (
+        |  SELECT day, n_events,
+        |    round(sum_w::DOUBLE / cnt_w, 6) AS mean7,
+        |    CASE WHEN cnt_w > 1 AND
+        |      (sumsq_w::DOUBLE - sum_w::DOUBLE * sum_w / cnt_w)
+        |        / (cnt_w - 1) > 0
+        |    THEN round((n_events - sum_w::DOUBLE / cnt_w) /
+        |      sqrt((sumsq_w::DOUBLE - sum_w::DOUBLE * sum_w / cnt_w)
+        |        / (cnt_w - 1)), 6)
+        |    END AS z
+        |  FROM w)
+        |SELECT day, n_events, mean7, z,
+        |  COALESCE(abs(z) > 2.0::DOUBLE, false) AS is_anomaly
+        |FROM z ORDER BY day""".stripMargin,
+
+    // same (ts, event_id) list order, same seeded left fold, same α = ½
+    "q_ewma" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    list(value ORDER BY ts, event_id) AS vals
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  round(list_reduce(vals,
+        |    (acc, x) -> acc * 0.5::DOUBLE + x * 0.5::DOUBLE), 6) AS ewma,
+        |  round(vals[-1], 6) AS last_value
+        |FROM u ORDER BY user_id""".stripMargin,
 
     // same canonical stringification: BIGINT/VARCHAR verbatim,
     // TIMESTAMP via DATE, DOUBLE via DECIMAL(12,2)

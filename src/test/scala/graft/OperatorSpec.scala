@@ -767,6 +767,54 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(reach.toList == (0L to reach.max).toList, reach.mkString(","))
   }
 
+  test("markov transitions: rows stochastic per source, transitions count out") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_markov_transitions")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.groupBy(_.getString(0)).foreach { case (ft, rs) =>
+      val psum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 25e-6, s"$ft sums to $psum")
+    }
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers,
+      "one transition per event except each user's last")
+  }
+
+  test("anomaly zscore: one row per day, cold-start null z, flag reads rounded z") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val rows = Relational.queries("q_anomaly_zscore")(spark, sfDir).collect()
+    val nDays = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("ts").cast("date")).distinct().count()
+    assert(rows.length == nDays)
+    assert(rows.head.isNullAt(3), "first day has no trailing variance")
+    rows.foreach { r =>
+      val flag = r.getBoolean(4)
+      if (r.isNullAt(3)) assert(!flag, r.toString)
+      else assert(flag == (math.abs(r.getDouble(3)) > 2.0), r.toString)
+    }
+  }
+
+  test("ewma: one row per user, value is a convex combination of the series") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val rows = Relational.queries("q_ewma")(spark, sfDir).collect()
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    assert(rows.length == ev.select("user_id").distinct().count())
+    val bounds = ev.groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getLong(0))
+      val e = r.getDouble(2)
+      assert(e >= lo - 1e-6 && e <= hi + 1e-6, r.toString)
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
   test("matryoshka recall: 64-dim tier closes the loop at 1.0, all tiers bounded") {
     import graft.operators.Similarity
     val rows = Similarity.queries("q_matryoshka_recall")(spark, sfDir).collect()
