@@ -562,6 +562,36 @@ object Pipeline {
         .orderBy("w")
     },
 
+    // CHI-SQUARE independence audit of the source × language contingency
+    // table — the corpus-composition readout next to q_source_kl: does
+    // language mix depend on source (it should, and the per-cell
+    // contributions say WHERE). One corpus pass builds the observed cell
+    // counts; the FULL margin cross product (both margins are tiny
+    // broadcast tables — zero-observed cells still carry expected mass
+    // and contribute e to the statistic, the textbook definition) left-
+    // joins them back; expected = row·col/N is exact-integer-derived
+    // double arithmetic with the identical tree both engines
+    // ((o−e)·(o−e)/e, no pow), rounded at the end. Margins are sums of
+    // positive counts, so expected > 0 on every grid cell.
+    "q_chi_square" -> { (s, dir) =>
+      val cells = docs(s, dir).groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"))
+      val rowT = cells.groupBy("source").agg(sum("n").as("n_source"))
+      val colT = cells.groupBy("lang").agg(sum("n").as("n_lang"))
+      val tot = cells.agg(sum("n").as("n_total"))
+      broadcast(rowT).crossJoin(broadcast(colT))
+        .join(cells, Seq("source", "lang"), "left")
+        .withColumn("observed", coalesce(col("n"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("e",
+          col("n_source").cast("double") * col("n_lang") / col("n_total"))
+        .select(col("source"), col("lang"), col("observed"),
+          round(col("e"), 6).as("expected"),
+          round((col("observed") - col("e")) * (col("observed") - col("e"))
+            / col("e"), 6).as("contrib"))
+        .orderBy("source", "lang")
+    },
+
     // TRIANGLE COUNTING + local clustering coefficient — the graph-
     // analytics readout beyond PageRank (q_textrank) and connected
     // components (q_dup_clusters): how clique-ish is each node's
@@ -3630,6 +3660,28 @@ object Pipeline {
         |SELECT v.w, CAST(COALESCE(dm.dist, -1) AS BIGINT) AS dist
         |FROM vocab v LEFT JOIN dm ON dm.w = v.w
         |ORDER BY v.w""".stripMargin,
+
+    // same full margin grid (zero cells carry expected mass), same
+    // (o−e)·(o−e)/e tree
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT source, lang, COUNT(*) AS n FROM documents
+        |  GROUP BY source, lang),
+        |r AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_source
+        |      FROM cells GROUP BY source),
+        |c AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+        |      FROM cells GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cells),
+        |e AS (
+        |  SELECT r.source, c.lang,
+        |    CAST(COALESCE(cells.n, 0) AS BIGINT) AS observed,
+        |    r.n_source::DOUBLE * c.n_lang / t.n_total AS e
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN cells ON cells.source = r.source AND cells.lang = c.lang
+        |  CROSS JOIN t)
+        |SELECT source, lang, observed, round(e, 6) AS expected,
+        |  round((observed - e) * (observed - e) / e, 6) AS contrib
+        |FROM e ORDER BY source, lang""".stripMargin,
 
     // identical a<b<c orientation, wedge close, and integer ratio
     "q_triangle_count" ->

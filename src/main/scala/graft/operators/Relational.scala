@@ -995,6 +995,50 @@ object Relational {
         .orderBy("user_id")
     },
 
+    // ASSOCIATION RULES over (user, day) event-type baskets — the
+    // market-basket staple (support / confidence / lift): which event
+    // types co-occur in a user-day beyond chance. Pair enumeration is the
+    // standard a-priori self-join on the basket key — fan-out bounded by
+    // the ≤|types| items per basket (≤C(5,2) pairs here), NOT quadratic
+    // in the corpus; at 100 TB the same plan shuffles once on the basket
+    // key. Item/total counts join back as ≤|types|-row broadcasts and a
+    // 1-row broadcast; every metric is an exact-integer ratio rounded at
+    // the end. Rules emit in BOTH directions (confidence is asymmetric).
+    "q_association_rules" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val baskets = ev.select(col("user_id"),
+        col("ts").cast(DateType).as("day"), col("event_type")).distinct()
+      val items = baskets.groupBy("event_type")
+        .agg(count(lit(1)).as("n_item"))
+      val total = baskets.select("user_id", "day").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val pairs = baskets.as("b1")
+        .join(baskets.as("b2"),
+          col("b1.user_id") === col("b2.user_id") &&
+            col("b1.day") === col("b2.day") &&
+            col("b1.event_type") < col("b2.event_type"))
+        .groupBy(col("b1.event_type").as("a"), col("b2.event_type").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val rules = pairs.select(col("a").as("antecedent"),
+          col("b").as("consequent"), col("n_ab"))
+        .unionByName(pairs.select(col("b").as("antecedent"),
+          col("a").as("consequent"), col("n_ab")))
+      rules
+        .join(broadcast(items.select(col("event_type").as("antecedent"),
+          col("n_item").as("n_ant"))), "antecedent")
+        .join(broadcast(items.select(col("event_type").as("consequent"),
+          col("n_item").as("n_con"))), "consequent")
+        .crossJoin(broadcast(total))
+        .select(col("antecedent"), col("consequent"), col("n_ab"),
+          round(col("n_ab").cast(DoubleType) / col("n_baskets"), 6)
+            .as("support"),
+          round(col("n_ab").cast(DoubleType) / col("n_ant"), 6)
+            .as("confidence"),
+          round(col("n_ab").cast(DoubleType) * col("n_baskets") /
+            (col("n_ant") * col("n_con")), 6).as("lift"))
+        .orderBy("antecedent", "consequent")
+    },
+
     // SCD Type-2 dimension build from a change log: per user, each
     // event_type transition opens a new version row with
     // [valid_from, valid_to) validity and a version counter; the open row
@@ -2101,6 +2145,38 @@ object Relational {
         |FROM orders o JOIN f2 USING (o_orderpriority)
         |GROUP BY o.o_orderpriority
         |ORDER BY o.o_orderpriority""".stripMargin,
+
+    // same basket key, same a<b pair enumeration, same exact ratios
+    "q_association_rules" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT user_id, ts::DATE AS day, event_type
+        |  FROM events),
+        |items AS (
+        |  SELECT event_type, COUNT(*) AS n_item FROM baskets
+        |  GROUP BY event_type),
+        |tot AS (
+        |  SELECT COUNT(*) AS n_baskets FROM
+        |    (SELECT DISTINCT user_id, day FROM baskets)),
+        |pairs AS (
+        |  SELECT b1.event_type AS a, b2.event_type AS b, COUNT(*) AS n_ab
+        |  FROM baskets b1 JOIN baskets b2
+        |    ON b1.user_id = b2.user_id AND b1.day = b2.day
+        |    AND b1.event_type < b2.event_type
+        |  GROUP BY b1.event_type, b2.event_type),
+        |rules AS (
+        |  SELECT a AS antecedent, b AS consequent, n_ab FROM pairs
+        |  UNION ALL
+        |  SELECT b, a, n_ab FROM pairs)
+        |SELECT r.antecedent, r.consequent, r.n_ab,
+        |  round(r.n_ab::DOUBLE / t.n_baskets, 6) AS support,
+        |  round(r.n_ab::DOUBLE / ia.n_item, 6) AS confidence,
+        |  round(r.n_ab::DOUBLE * t.n_baskets / (ia.n_item * ic.n_item), 6)
+        |    AS lift
+        |FROM rules r
+        |JOIN items ia ON ia.event_type = r.antecedent
+        |JOIN items ic ON ic.event_type = r.consequent
+        |CROSS JOIN tot t
+        |ORDER BY antecedent, consequent""".stripMargin,
 
     // same (ts, event_id) successor order, same integer-ratio rounding
     "q_markov_transitions" ->

@@ -815,6 +815,39 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("association rules: lift symmetric, confidence >= support, both directions") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_association_rules")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length % 2 == 0, "rules come in direction pairs")
+    val byPair = rows.groupBy(r =>
+      Set(r.getString(0), r.getString(1))).values
+    byPair.foreach { pair =>
+      assert(pair.length == 2, pair.mkString(";"))
+      assert(pair(0).getLong(2) == pair(1).getLong(2), "n_ab direction-invariant")
+      assert(math.abs(pair(0).getDouble(5) - pair(1).getDouble(5)) < 2e-6,
+        "lift is symmetric")
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0, r.toString)
+      assert(r.getDouble(4) >= r.getDouble(3) - 1e-9,
+        s"confidence >= support: $r")
+    }
+  }
+
+  test("chi square: cells partition the corpus, expected margins match observed") {
+    val rows = Pipeline.queries("q_chi_square")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.foreach(r => assert(r.getDouble(4) >= 0, r.toString))
+    // expected preserves row margins: Σ_lang expected(source) = n(source)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val obs = rs.map(_.getLong(2)).sum.toDouble
+      val exp = rs.map(_.getDouble(3)).sum
+      assert(math.abs(obs - exp) < 1e-3 * obs + 1e-3, s"$src: $obs vs $exp")
+    }
+  }
+
   test("matryoshka recall: 64-dim tier closes the loop at 1.0, all tiers bounded") {
     import graft.operators.Similarity
     val rows = Similarity.queries("q_matryoshka_recall")(spark, sfDir).collect()

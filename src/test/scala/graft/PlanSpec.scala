@@ -1107,6 +1107,29 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("round-12 analytics: tiny model sides broadcast, no corpus cartesian") {
+    // transition totals, IQR fences and chi-square margins are all
+    // ≤|types|-row tables and must meet the corpus as broadcasts — a
+    // SortMergeJoin there would shuffle the big side by a tiny key
+    Seq("q_markov_transitions" -> Relational.queries("q_markov_transitions"),
+        "q_outlier_iqr" -> Relational.queries("q_outlier_iqr")).foreach {
+      case (q, f) =>
+        val plan = planOf(f(spark, sfDir))
+        assert(plan.contains("BroadcastHashJoin"), s"$q\n$plan")
+        assert(!plan.contains("SortMergeJoin"), s"$q\n$plan")
+        assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
+    }
+    // the a-priori basket self-join MAY legitimately sort-merge at scale,
+    // and the 1-row total meets the rules as a by-design broadcast nested
+    // loop; a cartesian product is never acceptable
+    val ar = planOf(Relational.queries("q_association_rules")(spark, sfDir))
+    assert(!ar.contains("CartesianProduct"), ar)
+    // the exact multi-distinct profiler plans an Expand BY DESIGN (the
+    // documented 6x blow-up); its absence means the profile went approx
+    val prof = planOf(Relational.queries("q_column_profile")(spark, sfDir))
+    assert(prof.contains("Expand"), prof)
+  }
+
   test("interval join: the bucket equi-key defeats the range-join BNLJ trap") {
     // without the manufactured bucket key, `ts BETWEEN start AND end` has
     // no equi-condition and Spark plans a BroadcastNestedLoopJoin over
