@@ -592,6 +592,83 @@ object Pipeline {
         .orderBy("source", "lang")
     },
 
+    // POSTINGS-LIST SIZE ESTIMATOR (delta-gap + varint) — the index-
+    // engineering readout behind every Lucene/ES capacity plan: for the
+    // top-16 terms, the doc-id postings are delta-gap encoded and costed
+    // at varint bytes (1 byte per 7-bit group — an exact integer CASE
+    // ladder, no logs, no floats except the final ratio). Scale shape IS
+    // the inverted-index build: one distinct (doc, term) pass, postings
+    // partitioned BY TERM and sorted by doc_id (the lag window), per-term
+    // rollup; df-skewed terms are exactly the segments a real index
+    // shards, and nothing here is corpus-quadratic.
+    "q_postings_size" -> { (s, dir) =>
+      val postings = docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val top = postings.groupBy("w").agg(count(lit(1)).as("dfc"))
+        .orderBy(col("dfc").desc, col("w").asc).limit(16)
+      val wnd = Window.partitionBy("w").orderBy("doc_id")
+      postings.join(broadcast(top.select("w")), "w")
+        .withColumn("prev", lag("doc_id", 1).over(wnd))
+        .withColumn("gap", when(col("prev").isNull, col("doc_id"))
+          .otherwise(col("doc_id") - col("prev")))
+        .withColumn("vbytes",
+          when(col("gap") < 128L, 1L)
+            .when(col("gap") < 16384L, 2L)
+            .when(col("gap") < 2097152L, 3L)
+            .when(col("gap") < 268435456L, 4L)
+            .otherwise(5L))
+        .groupBy("w")
+        .agg(count(lit(1)).as("df"),
+          sum("vbytes").as("varint_bytes"),
+          max("gap").as("max_gap"))
+        .withColumn("raw_bytes", col("df") * 8L)
+        .select(col("w"), col("df"), col("raw_bytes"), col("varint_bytes"),
+          col("max_gap"),
+          round(col("raw_bytes").cast("double") / col("varint_bytes"), 6)
+            .as("compression"))
+        .orderBy("w")
+    },
+
+    // ZIPF RANK-FREQUENCY SLOPE — the corpus-linguistics QA gate (a
+    // natural corpus fits y ≈ a − s·x on (ln rank, ln freq) with s near
+    // 1; template/bot-generated corpora don't): OLS over the top-64
+    // tokens. Float discipline: ln() is libm (NOT correctly-rounded), so
+    // both engines round x and y to 6 dp BEFORE the regression, and all
+    // four OLS sums fold the SAME rank-ordered list left-to-right (the
+    // q_token_entropy sorted-fold rule) — the slope is then one shared
+    // arithmetic tree over identical doubles. Corpus-sized work = the one
+    // token count; the regression runs on 64 rows (q_vocab_build window
+    // discipline).
+    "q_zipf_slope" -> { (s, dir) =>
+      val top = docsPar(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(64)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("c").desc, col("w").asc)).cast("long"))
+        .withColumn("x", round(log(col("rank").cast("double")), 6))
+        .withColumn("y", round(log(col("c").cast("double")), 6))
+      top.agg(count(lit(1)).as("n"),
+          sort_array(collect_list(struct(col("rank"), col("x"), col("y"))))
+            .as("pts"))
+        .withColumn("sx", expr(
+          "aggregate(pts, cast(0.0 as double), (a, p) -> a + p.x)"))
+        .withColumn("sy", expr(
+          "aggregate(pts, cast(0.0 as double), (a, p) -> a + p.y)"))
+        .withColumn("sxy", expr(
+          "aggregate(pts, cast(0.0 as double), (a, p) -> a + p.x * p.y)"))
+        .withColumn("sxx", expr(
+          "aggregate(pts, cast(0.0 as double), (a, p) -> a + p.x * p.x)"))
+        .withColumn("slope_raw",
+          (col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            (col("n").cast("double") * col("sxx") - col("sx") * col("sx")))
+        .select(col("n"),
+          round(col("slope_raw"), 6).as("zipf_slope"),
+          round((col("sy") - col("slope_raw") * col("sx")) /
+            col("n").cast("double"), 6).as("intercept"))
+    },
+
     // TRIANGLE COUNTING + local clustering coefficient — the graph-
     // analytics readout beyond PageRank (q_textrank) and connected
     // components (q_dup_clusters): how clique-ish is each node's
@@ -3682,6 +3759,70 @@ object Pipeline {
         |SELECT source, lang, observed, round(e, 6) AS expected,
         |  round((observed - e) * (observed - e) / e, 6) AS contrib
         |FROM e ORDER BY source, lang""".stripMargin,
+
+    // same delta-gap + 7-bit-group CASE ladder, exact integers
+    "q_postings_size" ->
+      """WITH postings AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |top AS (
+        |  SELECT w FROM (SELECT w, COUNT(*) AS dfc FROM postings GROUP BY w
+        |                 ORDER BY dfc DESC, w ASC LIMIT 16)),
+        |g AS (
+        |  SELECT p.w, doc_id,
+        |    doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY p.w
+        |      ORDER BY doc_id), 0) AS gap
+        |  FROM postings p JOIN top USING (w)),
+        |v AS (
+        |  SELECT w, gap,
+        |    CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+        |         WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+        |         ELSE 5 END AS vbytes
+        |  FROM g)
+        |SELECT w, COUNT(*) AS df, COUNT(*) * 8 AS raw_bytes,
+        |  CAST(SUM(vbytes) AS BIGINT) AS varint_bytes,
+        |  MAX(gap) AS max_gap,
+        |  round((COUNT(*) * 8)::DOUBLE / SUM(vbytes), 6) AS compression
+        |FROM v GROUP BY w ORDER BY w""".stripMargin,
+
+    // same 6-dp-rounded ln pairs, same rank-ordered left fold, same OLS
+    // tree
+    "q_zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |top AS (
+        |  SELECT w, c FROM (SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        |                    ORDER BY c DESC, w ASC LIMIT 64)),
+        |r AS (
+        |  SELECT round(ln((row_number() OVER (ORDER BY c DESC, w ASC))
+        |      ::DOUBLE), 6) AS x,
+        |    round(ln(c::DOUBLE), 6) AS y,
+        |    row_number() OVER (ORDER BY c DESC, w ASC) AS rank
+        |  FROM top),
+        |l AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    list(x ORDER BY rank) AS xs, list(y ORDER BY rank) AS ys
+        |  FROM r),
+        |s AS (
+        |  SELECT n,
+        |    list_reduce(list_concat([0.0::DOUBLE], xs),
+        |      (a, b) -> a + b) AS sx,
+        |    list_reduce(list_concat([0.0::DOUBLE], ys),
+        |      (a, b) -> a + b) AS sy,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(range(1, len(xs) + 1), i -> xs[i] * ys[i])),
+        |      (a, b) -> a + b) AS sxy,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(range(1, len(xs) + 1), i -> xs[i] * xs[i])),
+        |      (a, b) -> a + b) AS sxx
+        |  FROM l),
+        |sl AS (
+        |  SELECT n, (n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sxx - sx * sx)
+        |    AS slope_raw, sx, sy
+        |  FROM s)
+        |SELECT n, round(slope_raw, 6) AS zipf_slope,
+        |  round((sy - slope_raw * sx) / n::DOUBLE, 6) AS intercept
+        |FROM sl""".stripMargin,
 
     // identical a<b<c orientation, wedge close, and integer ratio
     "q_triangle_count" ->

@@ -848,6 +848,30 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("postings size: varint strictly beats raw, gaps telescope to the last doc") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_postings_size")(spark, sfDir).collect()
+    assert(rows.length == 16)
+    val maxDoc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(max("doc_id")).collect().head.getLong(0)
+    rows.foreach { r =>
+      val (df, raw, vb, maxGap) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw == df * 8 && vb >= df && vb <= 5 * df, r.toString)
+      assert(vb < raw, s"varint must beat 8-byte ids: $r")
+      assert(maxGap <= maxDoc, r.toString)
+      assert(math.abs(r.getDouble(5) - raw.toDouble / vb) < 1e-5, r.toString)
+    }
+  }
+
+  test("zipf slope: negative slope, positive intercept, full top-64 fit") {
+    val r = Pipeline.queries("q_zipf_slope")(spark, sfDir).collect().head
+    assert(r.getLong(0) >= 3 && r.getLong(0) <= 64,
+      "regression over the (vocab-capped) top-64")
+    assert(r.getDouble(1) < 0, s"rank-frequency slope must be negative: $r")
+    assert(r.getDouble(2) > 0, s"intercept ~ ln(max freq) must be positive: $r")
+  }
+
   test("matryoshka recall: 64-dim tier closes the loop at 1.0, all tiers bounded") {
     import graft.operators.Similarity
     val rows = Similarity.queries("q_matryoshka_recall")(spark, sfDir).collect()
