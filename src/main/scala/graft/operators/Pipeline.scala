@@ -669,6 +669,68 @@ object Pipeline {
             col("n").cast("double"), 6).as("intercept"))
     },
 
+    // PERCOLATOR (reverse search) — Elastic's alerting shape: QUERIES are
+    // stored, every incoming DOC is matched against all of them ("which
+    // saved alerts does this doc trigger"). Stored queries self-derive as
+    // the C(4,2) AND-pairs of the top-4 corpus terms; the percolator
+    // INVERTS THE QUERIES (a (term → qid) index — tiny, broadcasts), the
+    // corpus explodes once to distinct (doc, term), and a doc matches a
+    // conjunctive query when it hits ALL its terms (count == arity).
+    // At 100 TB this is exactly the streaming-ingest alerting plan: the
+    // query index is the broadcast side, docs never self-join.
+    "q_percolate" -> { (s, dir) =>
+      val postings = docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val top4 = postings.groupBy("w").agg(count(lit(1)).as("dfc"))
+        .orderBy(col("dfc").desc, col("w").asc).limit(4)
+        .select(col("w"), row_number().over(
+          Window.orderBy(col("dfc").desc, col("w").asc)).as("r"))
+      val queries = top4.as("a").join(top4.as("b"), col("a.r") < col("b.r"))
+        .select((col("a.r") * 10 + col("b.r")).cast("long").as("qid"),
+          col("a.w").as("term_a"), col("b.w").as("term_b"))
+      val qTerms = queries.select(col("qid"), col("term_a").as("w"))
+        .unionByName(queries.select(col("qid"), col("term_b").as("w")))
+      val matches = postings.join(broadcast(qTerms), "w")
+        .groupBy("doc_id", "qid").agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") === 2)
+        .groupBy("qid").agg(count(lit(1)).as("n_matched_docs"))
+      queries.join(matches, Seq("qid"), "left")
+        .select(col("qid"), col("term_a"), col("term_b"),
+          coalesce(col("n_matched_docs"), lit(0L)).as("n_matched_docs"))
+        .orderBy("qid")
+    },
+
+    // KV PREFIX-CACHE HIT-RATE ESTIMATOR — the LLM-serving capacity
+    // readout: how much prefill compute does a shared-prefix cache save
+    // on this corpus, per prefix depth k ∈ {1,2,4,8} tokens. First doc
+    // with a given prefix is the miss that populates the cache; every
+    // other doc with the same prefix hits, saving len(prefix) tokens
+    // (shorter docs key by their actual ≤k-token prefix). ONE corpus
+    // pass: k explodes map-side (×4), one groupBy (k, prefix), exact
+    // integer accounting; the per-k rollup is 4 rows.
+    "q_prefix_cache" -> { (s, dir) =>
+      val d = docsPar(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr("array(1, 2, 4, 8)")).as("k"),
+          col("toks"))
+        .select(col("k"),
+          expr("concat_ws(' ', slice(toks, 1, k))").as("prefix"),
+          least(size(col("toks")), col("k")).cast("long").as("plen"))
+      d.groupBy("k", "prefix")
+        .agg(count(lit(1)).as("n"), first("plen").as("plen"))
+        .groupBy("k")
+        .agg(sum("n").as("n_docs"),
+          count(lit(1)).as("n_prefixes"),
+          sum((col("n") - 1) * col("plen")).as("tokens_saved"))
+        .select(col("k").cast("long").as("k"), col("n_docs"),
+          col("n_prefixes"),
+          round(lit(1.0) - col("n_prefixes").cast("double") / col("n_docs"),
+            6).as("hit_rate"),
+          col("tokens_saved"))
+        .orderBy("k")
+    },
+
     // TRIANGLE COUNTING + local clustering coefficient — the graph-
     // analytics readout beyond PageRank (q_textrank) and connected
     // components (q_dup_clusters): how clique-ish is each node's
@@ -3823,6 +3885,51 @@ object Pipeline {
         |SELECT n, round(slope_raw, 6) AS zipf_slope,
         |  round((sy - slope_raw * sx) / n::DOUBLE, 6) AS intercept
         |FROM sl""".stripMargin,
+
+    // same inverted-query index, same count==arity conjunctive match
+    "q_percolate" ->
+      """WITH postings AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |top4 AS (
+        |  SELECT w, row_number() OVER (ORDER BY dfc DESC, w ASC) AS r
+        |  FROM (SELECT w, COUNT(*) AS dfc FROM postings GROUP BY w
+        |        ORDER BY dfc DESC, w ASC LIMIT 4)),
+        |queries AS (
+        |  SELECT CAST(a.r * 10 + b.r AS BIGINT) AS qid,
+        |    a.w AS term_a, b.w AS term_b
+        |  FROM top4 a JOIN top4 b ON a.r < b.r),
+        |qt AS (
+        |  SELECT qid, term_a AS w FROM queries
+        |  UNION ALL SELECT qid, term_b FROM queries),
+        |m AS (
+        |  SELECT p.doc_id, q.qid, COUNT(*) AS n_hit
+        |  FROM postings p JOIN qt q ON p.w = q.w
+        |  GROUP BY p.doc_id, q.qid),
+        |mm AS (
+        |  SELECT qid, COUNT(*) AS n_matched_docs FROM m
+        |  WHERE n_hit = 2 GROUP BY qid)
+        |SELECT q.qid, q.term_a, q.term_b,
+        |  CAST(COALESCE(mm.n_matched_docs, 0) AS BIGINT) AS n_matched_docs
+        |FROM queries q LEFT JOIN mm USING (qid)
+        |ORDER BY qid""".stripMargin,
+
+    // same ≤k-token prefix key, same miss-populates/hit-saves accounting
+    "q_prefix_cache" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |e AS (
+        |  SELECT k, array_to_string(list_slice(toks, 1, k), ' ') AS prefix,
+        |    CAST(least(len(toks), k) AS BIGINT) AS plen
+        |  FROM d CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS k)),
+        |g AS (
+        |  SELECT k, prefix, COUNT(*) AS n, ANY_VALUE(plen) AS plen
+        |  FROM e GROUP BY k, prefix)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_prefixes,
+        |  round(1.0::DOUBLE - COUNT(*)::DOUBLE / SUM(n), 6) AS hit_rate,
+        |  CAST(SUM((n - 1) * plen) AS BIGINT) AS tokens_saved
+        |FROM g GROUP BY k ORDER BY k""".stripMargin,
 
     // identical a<b<c orientation, wedge close, and integer ratio
     "q_triangle_count" ->

@@ -61,7 +61,12 @@ object ScaleBench {
     "q_semantic_dedup", "q_pq_adc",
     // text-analysis heavies (iterative / two-pass)
     "q_tfidf", "q_textrank", "q_bpe_merges", "q_collocations",
-    "q_vocab_build", "q_token_entropy")
+    "q_vocab_build", "q_token_entropy",
+    // round-12 events-analytics family (user-keyed multi-stage shapes:
+    // funnel = 3 chained user joins, markov = per-user lead window,
+    // association = a-priori basket self-join, ewma = per-entity fold)
+    "q_event_funnel", "q_markov_transitions", "q_association_rules",
+    "q_ewma")
 
   /** Streaming tier probes: every stateful-operator family — chained
     * multi-stateful, transformWithState (RocksDB), watermark dedup,
@@ -82,7 +87,10 @@ object ScaleBench {
     "q_sessionize_batch", "q_skew_salted_join", "q_dedup_incremental",
     "q_minhash_lsh", "q_dup_clusters", "q_embed_neardup_lsh",
     "q_semantic_dedup", "q_tfidf", "q_substring_dedup", "q_pq_adc",
-    "q_containment")
+    "q_containment",
+    // events-analytics representatives: the chained user-keyed funnel and
+    // the window-heavy markov matrix (user cardinality grows with the tier)
+    "q_event_funnel", "q_markov_transitions")
 
   def main(args: Array[String]): Unit = {
     val x10Dir = args.lift(0).getOrElse("/root/repo/target/scaledata/sf1")

@@ -1230,4 +1230,41 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     // zero total hits means the encode or the lookup join is broken
     assert(rows.map(_.getInt(4)).sum > 0)
   }
+
+  test("percolate: every stored query's match count equals a brute-force recount") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_percolate")(spark, sfDir).collect()
+    assert(rows.length == 6, s"C(4,2) stored queries: ${rows.length}")
+    assert(rows.map(_.getLong(0)).distinct.length == 6, "qids unique")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(split(col("text"), " ").as("toks"))
+    rows.foreach { r =>
+      val (a, b) = (r.getString(1), r.getString(2))
+      assert(a != b, r.toString)
+      // conjunctive match semantics: doc contains BOTH terms as whole words
+      val brute = docs.filter(array_contains(col("toks"), a) &&
+        array_contains(col("toks"), b)).count()
+      assert(r.getLong(3) == brute, s"$r: brute recount $brute")
+    }
+  }
+
+  test("prefix cache: deeper keys only split caches — prefixes grow, hit rate falls") {
+    val rows = Pipeline.queries("q_prefix_cache")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L), rows.mkString(";"))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == nDocs, s"every doc keyed at every depth: $r")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= nDocs, r.toString)
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) < 1, r.toString)
+      assert(r.getLong(4) >= 0, r.toString)
+    }
+    // a k-token key refines a (k-1)-token key: distinct prefixes can only
+    // grow with k, so the hit rate can only fall
+    val pref = rows.map(_.getLong(2))
+    assert(pref.zip(pref.tail).forall { case (x, y) => x <= y }, pref.toSeq)
+    val hr = rows.map(_.getDouble(3))
+    assert(hr.zip(hr.tail).forall { case (x, y) => x >= y - 1e-9 }, hr.toSeq)
+    // k=1: every doc has a first token, so saved tokens == cache hits
+    assert(rows.head.getLong(4) == nDocs - rows.head.getLong(2), rows.head.toString)
+  }
 }

@@ -1445,6 +1445,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("partial_sum((cast("), plan)
   }
 
+  test("percolator query index broadcasts into the postings probe") {
+    val plan = planOf(graft.operators.Pipeline.queries("q_percolate")(spark, sfDir))
+    // the (term -> qid) inverted-query index is the broadcast side; the
+    // corpus-sized postings table must never shuffle for the match join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("flagship scan-filter-aggregate runs inside whole-stage codegen") {
     val df = Relational.queries("q1_pricing_summary")(spark, sfDir)
     df.collect() // finalize the adaptive plan — codegen spans only show executed
