@@ -1637,6 +1637,169 @@ object Relational {
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey
         ORDER BY c_nationkey""")
+    },
+
+    // ROC AUC of a scoring rule — the model-evaluation staple next to the
+    // q_naive_bayes confusion matrix: does a score rank positives above
+    // negatives (here: document length as a predictor of lang='en', a
+    // declared-semantics demo pairing). Computed EXACTLY by the
+    // rank-statistic identity AUC = U / (P·N) with half-credit for ties —
+    // but over the SCORE HISTOGRAM, not the corpus: group to one row per
+    // distinct score (the only corpus-sized agg), then a cumulative window
+    // over the histogram accumulates negatives-below; 2·U = Σ_s pos(s) ·
+    // (2·cum_neg_below(s) + neg(s)) stays in exact BIGINT (no float rank
+    // averaging). The window is single-partition BY DESIGN on the
+    // histogram (distinct-score-sized, like the q_anomaly_zscore daily
+    // series), never on the raw table; at 100 TB the histogram is still
+    // ≤|distinct scores| rows. At ~1e10 docs P·N overflows BIGINT — the
+    // scale swap is the same tree in DECIMAL(38,0), plan unchanged.
+    "q_roc_auc" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val h = d.groupBy(col("n_chars").as("score"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"),
+          sum(when(col("lang") === "en", 0L).otherwise(1L)).as("neg"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("cneg", coalesce(sum("neg").over(w), lit(0L)))
+        .agg(
+          sum(col("pos") * (lit(2L) * col("cneg") + col("neg"))).as("u2"),
+          sum("pos").as("n_pos"), sum("neg").as("n_neg"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          round(col("u2").cast(DoubleType) /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"),
+          round(col("u2").cast(DoubleType) /
+            (col("n_pos").cast(DoubleType) * col("n_neg")) - lit(1.0), 6)
+            .as("gini"))
+    },
+
+    // OLS SIMPLE REGRESSION per group (price ~ quantity by return flag) —
+    // closed-form normal equations from ONE aggregation pass: slope =
+    // (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), plus intercept and R². Every
+    // sufficient statistic is an EXACT aggregate (x is integral → BIGINT;
+    // y and its products in DECIMAL — the money rule: partial-aggregation
+    // order can't perturb them), so the final algebra is IEEE DOUBLE over
+    // exact inputs with the identical expression tree in the oracle →
+    // bit-equal. Degenerate groups (zero x- or y-variance) yield NULL
+    // slope/R², not a divide-by-zero. Scale: map-side partials into a
+    // ≤|groups|-row final agg — the cheapest possible "fit a trend at
+    // 100 TB" plan (one pass, no shuffle beyond the group keys).
+    "q_ols_regression" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast(LongType).as("x"),
+          money(col("l_extendedprice")).as("y"))
+      val a = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("y") * col("x")).as("sxy"))
+      val (dn, dsx, dsxx, dsy, dsyy, dsxy) =
+        (col("n").cast(DoubleType), col("sx").cast(DoubleType),
+          col("sxx").cast(DoubleType), col("sy").cast(DoubleType),
+          col("syy").cast(DoubleType), col("sxy").cast(DoubleType))
+      val denomX = dn * dsxx - dsx * dsx
+      val denomY = dn * dsyy - dsy * dsy
+      val covN = dn * dsxy - dsx * dsy
+      a.select(col("l_returnflag"), col("n"),
+          when(denomX > 0, round(covN / denomX, 6)).as("slope"),
+          when(denomX > 0,
+            round((dsy - (covN / denomX) * dsx) / dn, 6)).as("intercept"),
+          when(denomX > 0 && denomY > 0,
+            round(covN * covN / (denomX * denomY), 6)).as("r2"))
+        .orderBy("l_returnflag")
+    },
+
+    // KAPLAN–MEIER survival curve — time from a user's first event to
+    // first purchase, right-censored at the stream's end: the standard
+    // estimator behind "how long until activation" readouts. Durations
+    // are exact integer days; the per-duration death/censor rollup is the
+    // only corpus-sized agg. n_risk comes from a cumulative window over
+    // the ≤|distinct durations|-row life table (single-partition BY
+    // DESIGN on the aggregate, the q_anomaly_zscore rule), and the
+    // survival product Π(1 − dᵢ/nᵢ) is the house sorted-fold: both
+    // engines left-fold the identically-ordered factor list (each factor
+    // one correctly-rounded IEEE division of exact integers), so the
+    // running product is bit-equal without a log/exp detour. KM
+    // convention: deaths at t precede censors at t (same-day censored
+    // users remain at risk). Scale: two user_id-keyed aggs sharing one
+    // partitioning, a 1-row obs-end broadcast, then life-table-sized work.
+    "q_kaplan_meier" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val obsEnd = ev.agg(max("ts").as("obs_end"))
+      val t0 = ev.groupBy("user_id").agg(min("ts").as("t0"))
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .join(t0, "user_id").filter(col("ts") > col("t0"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      val users = t0.join(firstP, Seq("user_id"), "left")
+        .crossJoin(broadcast(obsEnd))
+        .select(
+          when(col("tp").isNotNull, 1L).otherwise(0L).as("ev_flag"),
+          when(col("tp").isNotNull,
+            expr("(unix_micros(tp) - unix_micros(t0)) div 86400000000"))
+            .otherwise(
+              expr("(unix_micros(obs_end) - unix_micros(t0)) div 86400000000"))
+            .as("dur"))
+      val byDur = users.groupBy("dur").agg(
+        sum("ev_flag").as("d"),
+        sum(lit(1L) - col("ev_flag")).as("c"))
+      val total = users.agg(count(lit(1)).as("n_total"))
+      val wz = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val risk = byDur.crossJoin(broadcast(total))
+        .withColumn("n_risk", col("n_total") -
+          coalesce(sum(col("d") + col("c")).over(wz), lit(0L)))
+        .select("dur", "d", "n_risk", "c")
+      risk
+        .agg(sort_array(collect_list(
+          struct(col("dur"), col("d"), col("n_risk"), col("c")))).as("l"))
+        .select(col("l"), posexplode(col("l")))
+        .select(col("col.dur").as("duration_day"),
+          col("col.n_risk").as("n_risk"),
+          col("col.d").as("n_events"),
+          col("col.c").as("n_censored"),
+          round(expr(
+            """aggregate(
+              |  transform(slice(l, 1, pos + 1),
+              |    x -> 1.0D - CAST(x.d AS DOUBLE) / x.n_risk),
+              |  1.0D, (acc, f) -> acc * f)""".stripMargin), 6)
+            .as("survival"))
+        .orderBy("duration_day")
+    },
+
+    // REFERENTIAL-INTEGRITY AUDIT — the warehouse QA contract (dbt
+    // `relationships` test / Deequ isContainedIn): for every declared FK
+    // edge, how many child rows have no parent. Each edge is ONE left-anti
+    // join shuffling on the key (dimension parents broadcast under AQE);
+    // the report is a fixed-size union of scalar aggregates. An audit,
+    // not an assert: orphan_rate is REPORTED so drift shows up as a
+    // number, and NULL child keys count as orphans (they reference
+    // nothing). Scale: the fact-to-fact edge (lineitem→orders) is the
+    // only big shuffle and it reuses the join key both sides; everything
+    // else is broadcast-sized.
+    "q_fk_audit" -> { (s, dir) =>
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String): DataFrame = {
+        val orphan = child.join(parent, child(ck) === parent(pk), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphan.agg(count(lit(1)).as("n_orphan")))
+          .select(lit(name).as("relationship"), col("n_child"),
+            col("n_orphan"),
+            round(col("n_orphan").cast(DoubleType) / col("n_child"), 6)
+              .as("orphan_rate"))
+      }
+      val (li, o, c, n, r, sup, ev) =
+        (t(s, dir, "lineitem"), t(s, dir, "orders"), t(s, dir, "customer"),
+          t(s, dir, "nation"), t(s, dir, "region"), t(s, dir, "supplier"),
+          t(s, dir, "events"))
+      edge("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey")
+        .unionByName(edge("events.user_id -> customer", ev, "user_id", c, "c_custkey"))
+        .unionByName(edge("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(edge("nation.n_regionkey -> region", n, "n_regionkey", r, "r_regionkey"))
+        .unionByName(edge("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(edge("supplier.s_nationkey -> nation", sup, "s_nationkey", n, "n_nationkey"))
+        .orderBy("relationship")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -2632,5 +2795,142 @@ object Relational {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey
-        |ORDER BY c_nationkey""".stripMargin)
+        |ORDER BY c_nationkey""".stripMargin,
+
+    // same score histogram, same exact-BIGINT 2U rank statistic, same
+    // half-credit tie handling, same double trees for auc/gini
+    "q_roc_auc" ->
+      """WITH h AS (
+        |  SELECT n_chars AS score,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS neg
+        |  FROM documents GROUP BY n_chars),
+        |cw AS (
+        |  SELECT pos, neg, COALESCE(SUM(neg) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+        |  FROM h),
+        |a AS (
+        |  SELECT CAST(SUM(pos * (2 * cneg + neg)) AS BIGINT) AS u2,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(neg) AS BIGINT) AS n_neg
+        |  FROM cw)
+        |SELECT n_pos, n_neg, u2,
+        |  round(u2::DOUBLE / (2.0::DOUBLE * n_pos * n_neg), 6) AS auc,
+        |  round(u2::DOUBLE / (n_pos::DOUBLE * n_neg) - 1.0::DOUBLE, 6)
+        |    AS gini
+        |FROM a""".stripMargin,
+
+    // same exact sufficient statistics (BIGINT x, DECIMAL(12,2) y), same
+    // double algebra over the cast aggregates, same degenerate guards
+    "q_ols_regression" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    SUM(y) AS sy, SUM(y * y) AS syy, SUM(y * x) AS sxy
+        |  FROM b GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n, n::DOUBLE AS dn, sx::DOUBLE AS dsx,
+        |    sxx::DOUBLE AS dsxx, sy::DOUBLE AS dsy, syy::DOUBLE AS dsyy,
+        |    sxy::DOUBLE AS dsxy
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN dn * dsxx - dsx * dsx > 0 THEN
+        |    round((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx), 6)
+        |  END AS slope,
+        |  CASE WHEN dn * dsxx - dsx * dsx > 0 THEN
+        |    round((dsy - ((dn * dsxy - dsx * dsy) /
+        |      (dn * dsxx - dsx * dsx)) * dsx) / dn, 6)
+        |  END AS intercept,
+        |  CASE WHEN dn * dsxx - dsx * dsx > 0 AND dn * dsyy - dsy * dsy > 0
+        |    THEN round((dn * dsxy - dsx * dsy) * (dn * dsxy - dsx * dsy) /
+        |      ((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)), 6)
+        |  END AS r2
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    // same integer-day durations, same deaths-before-censors life table,
+    // same left-fold of (1 - d/n_risk) factors over the dur-sorted list
+    "q_kaplan_meier" ->
+      """WITH ends AS (SELECT MAX(ts) AS obs_end FROM events),
+        |t0 AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+        |fp AS (
+        |  SELECT e.user_id, MIN(e.ts) AS tp
+        |  FROM events e JOIN t0 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t0.t0
+        |  GROUP BY e.user_id),
+        |u AS (
+        |  SELECT CASE WHEN fp.user_id IS NULL THEN 0 ELSE 1 END AS ev_flag,
+        |    CASE WHEN fp.user_id IS NULL
+        |      THEN (epoch_us(ends.obs_end) - epoch_us(t0.t0)) // 86400000000
+        |      ELSE (epoch_us(fp.tp) - epoch_us(t0.t0)) // 86400000000
+        |    END AS dur
+        |  FROM t0 LEFT JOIN fp ON fp.user_id = t0.user_id CROSS JOIN ends),
+        |bd AS (
+        |  SELECT dur, CAST(SUM(ev_flag) AS BIGINT) AS d,
+        |    CAST(SUM(1 - ev_flag) AS BIGINT) AS c
+        |  FROM u GROUP BY dur),
+        |tot AS (SELECT COUNT(*) AS n_total FROM u),
+        |rk AS (
+        |  SELECT dur, d, c, CAST(tot.n_total - COALESCE(SUM(d + c) OVER
+        |    (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS n_risk
+        |  FROM bd CROSS JOIN tot),
+        |lst AS (
+        |  SELECT list(struct_pack(dur := dur, d := d, n_risk := n_risk)
+        |    ORDER BY dur) AS l
+        |  FROM rk),
+        |e AS (
+        |  SELECT dur, d, n_risk, c, ROW_NUMBER() OVER (ORDER BY dur) AS i
+        |  FROM rk)
+        |SELECT e.dur AS duration_day, e.n_risk, e.d AS n_events,
+        |  e.c AS n_censored,
+        |  round(list_reduce(list_concat([1.0::DOUBLE],
+        |    list_transform(lst.l[1:e.i],
+        |      x -> 1.0::DOUBLE - x.d::DOUBLE / x.n_risk)),
+        |    (acc, f) -> acc * f), 6) AS survival
+        |FROM e CROSS JOIN lst
+        |ORDER BY duration_day""".stripMargin,
+
+    // same six declared FK edges, NOT EXISTS ≡ the left-anti join
+    // (NULL child keys orphan in both)
+    "q_fk_audit" ->
+      """WITH edges AS (
+        |  SELECT 'customer.c_nationkey -> nation' AS relationship,
+        |    (SELECT COUNT(*) FROM customer) AS n_child,
+        |    (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |      AS n_orphan
+        |  UNION ALL
+        |  SELECT 'events.user_id -> customer',
+        |    (SELECT COUNT(*) FROM events),
+        |    (SELECT COUNT(*) FROM events e WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey -> orders',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey -> region',
+        |    (SELECT COUNT(*) FROM nation),
+        |    (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+        |      (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey -> customer',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'supplier.s_nationkey -> nation',
+        |    (SELECT COUNT(*) FROM supplier),
+        |    (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)))
+        |SELECT relationship, n_child, n_orphan,
+        |  round(n_orphan::DOUBLE / n_child, 6) AS orphan_rate
+        |FROM edges ORDER BY relationship""".stripMargin)
 }

@@ -1267,4 +1267,90 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     // k=1: every doc has a first token, so saved tokens == cache hits
     assert(rows.head.getLong(4) == nDocs - rows.head.getLong(2), rows.head.toString)
   }
+
+  test("roc auc: bounded, gini consistent, u2 matches a brute pair recount") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val r = Relational.queries("q_roc_auc")(spark, sfDir).collect().head
+    val (p, n, u2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (auc, gini) = (r.getDouble(3), r.getDouble(4))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(p + n == docs.count(), "labels partition the corpus")
+    assert(auc >= 0 && auc <= 1 && math.abs(gini - (2 * auc - 1)) < 3e-6)
+    // brute recount of the rank statistic: wins + half-ties over all P×N
+    val pairs = docs.select(col("n_chars"), (col("lang") === "en").as("y"))
+      .collect().map(x => (x.getLong(0), x.getBoolean(1)))
+    val (pos, neg) = pairs.partition(_._2)
+    val brute = (for (a <- pos; b <- neg) yield
+      if (a._1 > b._1) 2L else if (a._1 == b._1) 1L else 0L).sum
+    assert(u2 == brute, s"u2 $u2 vs brute $brute")
+  }
+
+  test("ols regression: matches a brute per-group least-squares refit") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val rows = Relational.queries("q_ols_regression")(spark, sfDir).collect()
+    assert(rows.length == 3, "one fit per return flag")
+    val pts = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => (r.getDouble(1), r.getDouble(2)))
+      }
+    rows.foreach { r =>
+      val xs = pts(r.getString(0))
+      assert(r.getLong(1) == xs.length, r.toString)
+      val (mx, my) = (xs.map(_._1).sum / xs.length, xs.map(_._2).sum / xs.length)
+      val sxy = xs.map(p => (p._1 - mx) * (p._2 - my)).sum
+      val sxx = xs.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      val syy = xs.map(p => (p._2 - my) * (p._2 - my)).sum
+      assert(math.abs(r.getDouble(2) - sxy / sxx) < 1e-3,
+        s"slope vs brute ${sxy / sxx}: $r")
+      assert(math.abs(r.getDouble(3) - (my - (sxy / sxx) * mx)) < 1.0,
+        s"intercept vs brute ${my - (sxy / sxx) * mx}: $r")
+      val r2 = r.getDouble(4)
+      assert(r2 >= 0 && r2 <= 1 + 1e-9, s"r2 in [0,1]: $r")
+      assert(math.abs(r2 - sxy * sxy / (sxx * syy)) < 1e-3, r.toString)
+    }
+  }
+
+  test("kaplan meier: survival non-increasing from <=1, risk set telescopes") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_kaplan_meier")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nUsers = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.head.getLong(1) == nUsers, "everyone at risk at t=0 row")
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum == nUsers,
+      "every user dies or censors exactly once")
+    var prevS = 1.0
+    var prevRisk = nUsers
+    var prevOut = 0L
+    rows.foreach { r =>
+      assert(r.getLong(1) == prevRisk - prevOut, s"risk telescopes: $r")
+      val s = r.getDouble(4)
+      assert(s <= prevS + 1e-9 && s >= 0, s"survival non-increasing: $r")
+      prevS = s; prevRisk = r.getLong(1)
+      prevOut = r.getLong(2) + r.getLong(3)
+    }
+  }
+
+  test("fk audit: six edges, declared-complete schema edges have zero orphans") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_fk_audit")(spark, sfDir).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) >= 0 &&
+        r.getLong(2) <= r.getLong(1), r.toString)
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1)) < 2e-6, r.toString)
+    }
+    // the TPC-H-derived edges are complete by construction in testdata
+    Seq("lineitem.l_orderkey -> orders", "nation.n_regionkey -> region",
+      "orders.o_custkey -> customer").foreach { e =>
+      val r = rows.find(_.getString(0) == e).get
+      assert(r.getLong(2) == 0, s"$e should have no orphans: $r")
+    }
+  }
 }
