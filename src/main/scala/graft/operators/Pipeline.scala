@@ -2674,6 +2674,57 @@ object Pipeline {
             "aggregate(sort_array(collect_list(term)), 0D, (a, x) -> a + x)"), 6)
             .as("kl_bits"))
         .orderBy("source")
+    },
+
+    // RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    // keyword miner next to q_textrank (graph ranks single words; RAKE
+    // scores PHRASES): candidate phrases are maximal runs of non-stopwords
+    // (stopwords self-derive as the corpus top-5 tokens — declared
+    // semantics), word score = degree/frequency where degree sums the
+    // lengths of phrases containing the word (co-occurrence incl. self),
+    // phrase score = Σ member word scores (with multiplicity — faithful
+    // RAKE). Scale: the segment window is ONE shuffle on doc_id (cumulative
+    // stopword count = run id — no regex split, no per-doc loops); word
+    // scores live in a vocab-bounded broadcast as exact 6-dp DECIMALs so
+    // the phrase-score SUM is order-independent; the top-20 cut orders by
+    // the exact decimal (phrase tiebreak), never a float.
+    "q_rake_keyphrases" -> { (s, dir) =>
+      val posts = docsPar(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val stop = posts.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(5)
+        .select(col("tok").as("swt"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = posts
+        .join(broadcast(stop), posts("tok") === stop("swt"), "left")
+        .withColumn("is_stop", col("swt").isNotNull)
+        .withColumn("seg",
+          sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
+        .filter(!col("is_stop"))
+      val phrases = runs.groupBy(col("doc_id"), col("seg"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("tok"))))
+          .as("pw"))
+        .select(
+          array_join(expr("transform(pw, x -> x.tok)"), " ").as("phrase"),
+          size(col("pw")).cast("long").as("len"))
+      val wstat = phrases
+        .select(col("len"), explode(split(col("phrase"), " ")).as("wd"))
+        .groupBy("wd")
+        .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+        .select(col("wd"),
+          round(col("deg").cast("double") / col("freq"), 6)
+            .cast("decimal(12,6)").as("wscore"))
+      val dp = phrases.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+      dp.select(col("phrase"), col("n_occ"),
+          explode(split(col("phrase"), " ")).as("wd"))
+        .join(broadcast(wstat), "wd")
+        .groupBy("phrase", "n_occ")
+        .agg(count(lit(1)).as("n_words"), sum(col("wscore")).as("sc"))
+        .orderBy(col("sc").desc, col("phrase").asc)
+        .limit(20)
+        .select(col("phrase"), col("n_occ"), col("n_words"),
+          round(col("sc").cast("double"), 6).as("score"))
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -4444,5 +4495,45 @@ object Pipeline {
         |SELECT source, CAST(MAX(n_src) AS BIGINT) AS n_tokens,
         |  round(list_reduce(list_concat([0.0::DOUBLE], list_sort(list(term))),
         |    (acc, v) -> acc + v), 6) AS kl_bits
-        |FROM terms GROUP BY source ORDER BY source""".stripMargin)
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    // same top-5 stopword derivation, same cumulative-stopword run ids,
+    // same DECIMAL(12,6) word scores and exact-decimal top-20 cut
+    "q_rake_keyphrases" ->
+      s"""WITH d AS ($docsW),
+        |posts AS (
+        |  SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+        |  FROM d),
+        |sw AS (
+        |  SELECT tok AS swt FROM (
+        |    SELECT tok, COUNT(*) AS c FROM posts GROUP BY tok
+        |    ORDER BY c DESC, tok ASC LIMIT 5)),
+        |fl AS (
+        |  SELECT p.doc_id, p.pos, p.tok, (s.swt IS NOT NULL) AS is_stop
+        |  FROM posts p LEFT JOIN sw s ON s.swt = p.tok),
+        |runs AS (
+        |  SELECT doc_id, pos, tok, is_stop,
+        |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY doc_id ORDER BY pos) AS seg
+        |  FROM fl),
+        |ph AS (
+        |  SELECT string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    COUNT(*) AS len
+        |  FROM runs WHERE NOT is_stop GROUP BY doc_id, seg),
+        |ws AS (
+        |  SELECT wd, CAST(round(CAST(SUM(len) AS BIGINT)::DOUBLE /
+        |    COUNT(*), 6) AS DECIMAL(12,6)) AS wscore
+        |  FROM (SELECT len, unnest(string_split(phrase, ' ')) AS wd FROM ph)
+        |  GROUP BY wd),
+        |dp AS (SELECT phrase, COUNT(*) AS n_occ FROM ph GROUP BY phrase),
+        |pw AS (
+        |  SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS wd
+        |  FROM dp),
+        |psc AS (
+        |  SELECT pw.phrase, pw.n_occ, COUNT(*) AS n_words,
+        |    SUM(ws.wscore) AS sc
+        |  FROM pw JOIN ws USING (wd)
+        |  GROUP BY pw.phrase, pw.n_occ)
+        |SELECT phrase, n_occ, n_words, round(sc::DOUBLE, 6) AS score
+        |FROM psc ORDER BY sc DESC, phrase ASC LIMIT 20""".stripMargin)
 }

@@ -1800,6 +1800,127 @@ object Relational {
         .unionByName(edge("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"))
         .unionByName(edge("supplier.s_nationkey -> nation", sup, "s_nationkey", n, "n_nationkey"))
         .orderBy("relationship")
+    },
+
+    // CALIBRATION (reliability diagram) of a probabilistic scorer — the
+    // companion readout to E72's AUC: AUC checks RANKING, this checks
+    // whether p≈0.7 means 70%. The demo model is logistic-of-standardized-
+    // length (declared semantics, same label as q_roc_auc); z standardizes
+    // via EXACT integer sums (n, Σx, Σx²) broadcast as one row, rounds to
+    // 6 dp, and p = σ(z) rounds to 6 dp BEFORE use (libm exp isn't
+    // correctly rounded — the q_zipf_slope rule: round at the libm
+    // boundary, derive everything downstream from the rounded value).
+    // Binning and Brier run on p as an EXACT DECIMAL(8,6): the bin index
+    // floor(10·p) is decimal arithmetic (no 0.3·10 = 2.999… float trap)
+    // and Σp, Σ(p−y)² are exact decimal sums — partial-aggregation order
+    // can't perturb any reported statistic. Scale: one corpus pass + a
+    // 10-row rollup.
+    "q_calibration_bins" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("n_chars").cast(LongType).as("x"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val st = d.agg(count(lit(1)).as("nd"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val scored = d.crossJoin(broadcast(st))
+        .withColumn("z", round(
+          (col("x") - col("sx").cast(DoubleType) / col("nd")) /
+            sqrt((col("nd").cast(DoubleType) * col("sxx") -
+              col("sx").cast(DoubleType) * col("sx")) /
+              (col("nd") * (col("nd") - 1))), 6))
+        .withColumn("p",
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6)
+            .cast(DecimalType(8, 6)))
+        .withColumn("bin",
+          least(floor(col("p") * 10).cast(LongType), lit(9L)))
+      scored.groupBy("bin")
+        .agg(count(lit(1)).as("n_bin"),
+          sum(col("p")).as("sp"),
+          sum(col("y")).as("n_pos"),
+          sum((col("p") - col("y").cast(DecimalType(1, 0))) *
+            (col("p") - col("y").cast(DecimalType(1, 0)))).as("ssq"))
+        .select(col("bin"), col("n_bin"), col("n_pos"),
+          round(col("sp").cast(DoubleType) / col("n_bin"), 6)
+            .as("mean_pred"),
+          round(col("n_pos").cast(DoubleType) / col("n_bin"), 6)
+            .as("frac_pos"),
+          round(col("sp").cast(DoubleType) / col("n_bin") -
+            col("n_pos").cast(DoubleType) / col("n_bin"), 6).as("gap"),
+          round(col("ssq").cast(DoubleType) / col("n_bin"), 6).as("brier"))
+        .orderBy("bin")
+    },
+
+    // CUSUM changepoint detection over the daily event-count series — the
+    // classical sequential drift detector (Page 1954) next to
+    // q_anomaly_zscore's point-outlier flags: one-sided cumulative sums
+    // S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ−μ−k)) / S⁻ₜ symmetric, reference k = σ/2,
+    // decision h = 4σ. μ and σ derive from EXACT integer sums of the daily
+    // table and round to 6 dp before use; the recurrences are the house
+    // sorted-fold (both engines left-fold the identical day-ordered list,
+    // so every max/add step is bit-equal IEEE). Per-day prefix folds are
+    // O(days²) BY DESIGN on the tiny aggregate — the corpus-sized work is
+    // only the daily rollup; the flag reads the ROUNDED statistic so a
+    // last-ulp wobble can't flip it.
+    "q_cusum_changepoint" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("ts").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val st = daily
+        .agg(count(lit(1)).as("nd"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(
+          round(col("sx").cast(DoubleType) / col("nd"), 6).as("mu"),
+          round(sqrt((col("nd").cast(DoubleType) * col("sxx") -
+            col("sx").cast(DoubleType) * col("sx")) /
+            (col("nd") * (col("nd") - 1))), 6).as("sd"))
+        .select(col("mu"),
+          round(col("sd") * 0.5, 6).as("kk"),
+          round(col("sd") * 4.0, 6).as("hh"))
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("l"))
+        .crossJoin(broadcast(st))
+        .select(col("l"), col("mu"), col("kk"), col("hh"),
+          posexplode(col("l")))
+        .select(col("col.day").as("day"), col("col.x").as("n_events"),
+          round(expr(
+            """aggregate(slice(l, 1, pos + 1), 0.0D,
+              |  (acc, e) -> greatest(0.0D,
+              |    acc + (CAST(e.x AS DOUBLE) - mu - kk)))""".stripMargin),
+            6).as("cusum_pos"),
+          round(expr(
+            """aggregate(slice(l, 1, pos + 1), 0.0D,
+              |  (acc, e) -> greatest(0.0D,
+              |    acc + (mu - kk - CAST(e.x AS DOUBLE))))""".stripMargin),
+            6).as("cusum_neg"),
+          col("hh").as("threshold"))
+        .withColumn("is_change",
+          col("cusum_pos") > col("threshold") ||
+            col("cusum_neg") > col("threshold"))
+        .orderBy("day")
+    },
+
+    // FREQUENT SEQUENTIAL PATTERNS — contiguous event-type trigrams per
+    // user's time-ordered stream (the order-2 extension of E63's Markov
+    // bigrams; the "view→click→purchase" path-mining readout). ONE shuffle
+    // on user_id for the two lead() windows (event_id breaks ts ties so
+    // successors are total-ordered), then a ≤|types|³-cell rollup with the
+    // 1-row total broadcast; support is an exact-integer ratio. Ordered by
+    // count DESC with a full lexicographic tiebreak — a total order, so
+    // equal-support patterns can't reorder across engines.
+    "q_seq_patterns" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val tri = ev
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(col("event_type").as("e1"), col("e2"), col("e3"))
+      val cnt = tri.groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+      val tot = tri.agg(count(lit(1)).as("n_total"))
+      cnt.crossJoin(broadcast(tot))
+        .select(col("e1"), col("e2"), col("e3"), col("n"),
+          round(col("n").cast(DoubleType) / col("n_total"), 6).as("support"))
+        .orderBy(col("n").desc, col("e1").asc, col("e2").asc, col("e3").asc)
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -2932,5 +3053,95 @@ object Relational {
         |      (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)))
         |SELECT relationship, n_child, n_orphan,
         |  round(n_orphan::DOUBLE / n_child, 6) AS orphan_rate
-        |FROM edges ORDER BY relationship""".stripMargin)
+        |FROM edges ORDER BY relationship""".stripMargin,
+
+    // same exact standardization sums, same round-at-the-libm-boundary
+    // sigmoid, same DECIMAL(8,6) binning and Brier accounting
+    "q_calibration_bins" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |st AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM d),
+        |z AS (
+        |  SELECT y, round((x - sx::DOUBLE / nd) /
+        |    sqrt((nd::DOUBLE * sxx - sx::DOUBLE * sx) /
+        |      (nd * (nd - 1))), 6) AS z
+        |  FROM d CROSS JOIN st),
+        |p AS (
+        |  SELECT y, CAST(round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 6)
+        |    AS DECIMAL(8,6)) AS p
+        |  FROM z),
+        |b AS (
+        |  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p, y
+        |  FROM p)
+        |SELECT bin, COUNT(*) AS n_bin, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  round(SUM(p)::DOUBLE / COUNT(*), 6) AS mean_pred,
+        |  round(SUM(y)::DOUBLE / COUNT(*), 6) AS frac_pos,
+        |  round(SUM(p)::DOUBLE / COUNT(*) -
+        |    SUM(y)::DOUBLE / COUNT(*), 6) AS gap,
+        |  round(SUM((p - y::DECIMAL(1,0)) * (p - y::DECIMAL(1,0)))::DOUBLE /
+        |    COUNT(*), 6) AS brier
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // same rounded mu/k/h from exact daily sums, same day-ordered
+    // left-fold recurrences, flag reads the rounded statistics
+    "q_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, COUNT(*) AS x
+        |  FROM events GROUP BY ts::DATE),
+        |st0 AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM daily),
+        |st1 AS (
+        |  SELECT round(sx::DOUBLE / nd, 6) AS mu,
+        |    round(sqrt((nd::DOUBLE * sxx - sx::DOUBLE * sx) /
+        |      (nd * (nd - 1))), 6) AS sd
+        |  FROM st0),
+        |st AS (
+        |  SELECT mu, round(sd * 0.5, 6) AS kk, round(sd * 4.0, 6) AS hh
+        |  FROM st1),
+        |lst AS (
+        |  SELECT list(struct_pack(day := day, x := x) ORDER BY day) AS l
+        |  FROM daily),
+        |e AS (
+        |  SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS i
+        |  FROM daily),
+        |folds AS (
+        |  SELECT e.day, e.x,
+        |    round(list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(lst.l[1:e.i], v -> v.x::DOUBLE)),
+        |      (acc, xv) -> greatest(0.0::DOUBLE,
+        |        acc + (xv - st.mu - st.kk))), 6) AS cusum_pos,
+        |    round(list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(lst.l[1:e.i], v -> v.x::DOUBLE)),
+        |      (acc, xv) -> greatest(0.0::DOUBLE,
+        |        acc + (st.mu - st.kk - xv))), 6) AS cusum_neg,
+        |    st.hh AS threshold
+        |  FROM e CROSS JOIN lst CROSS JOIN st)
+        |SELECT day, x AS n_events, cusum_pos, cusum_neg, threshold,
+        |  (cusum_pos > threshold OR cusum_neg > threshold) AS is_change
+        |FROM folds ORDER BY day""".stripMargin,
+
+    // same lead-x2 trigram extraction, same exact support ratio, same
+    // count-desc + lexicographic total order
+    "q_seq_patterns" ->
+      """WITH tri AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |t2 AS (SELECT e1, e2, e3 FROM tri WHERE e3 IS NOT NULL),
+        |cnt AS (
+        |  SELECT e1, e2, e3, COUNT(*) AS n FROM t2 GROUP BY e1, e2, e3),
+        |tot AS (SELECT COUNT(*) AS n_total FROM t2)
+        |SELECT e1, e2, e3, n,
+        |  round(n::DOUBLE / n_total, 6) AS support
+        |FROM cnt CROSS JOIN tot
+        |ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC""".stripMargin)
 }

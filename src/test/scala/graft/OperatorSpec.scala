@@ -1336,6 +1336,74 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("calibration bins: docs conserved, means in-bin, brier bounded") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_calibration_bins")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "bins partition the corpus")
+    rows.foreach { r =>
+      val (bin, n, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (mp, fp, gap, brier) = (r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))
+      assert(bin >= 0 && bin <= 9 && np <= n, r.toString)
+      // mean predicted prob sits inside its own bin's [lo, hi) envelope
+      assert(mp >= bin / 10.0 - 1e-6 &&
+        (mp < (bin + 1) / 10.0 + 1e-6 || bin == 9), r.toString)
+      assert(math.abs(gap - (mp - fp)) < 3e-6, r.toString)
+      assert(brier >= 0 && brier <= 1 + 1e-9, r.toString)
+    }
+  }
+
+  test("cusum: folds restart at zero, flag reads rounded stat vs threshold") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_cusum_changepoint")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val h = rows.head.getDouble(4)
+    assert(h > 0 && rows.forall(_.getDouble(4) == h), "one global threshold")
+    rows.foreach { r =>
+      val (cp, cn) = (r.getDouble(2), r.getDouble(3))
+      assert(cp >= 0 && cn >= 0, r.toString)
+      assert(r.getBoolean(5) == (cp > h || cn > h), r.toString)
+    }
+  }
+
+  test("seq patterns: trigram totals telescope from the event counts") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_seq_patterns")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val perUser = ev.groupBy("user_id").count().collect()
+      .map(r => math.max(0L, r.getLong(1) - 2)).sum
+    assert(rows.map(_.getLong(3)).sum == perUser,
+      "each user contributes max(0, n-2) contiguous trigrams")
+    val sup = rows.map(_.getDouble(4)).sum
+    assert(math.abs(sup - 1.0) < rows.length * 1e-6,
+      s"supports sum to 1: $sup")
+  }
+
+  test("rake: phrases contain no stopwords, scores positive and capped at 20") {
+    val rows = Pipeline.queries("q_rake_keyphrases")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // recompute the self-derived top-5 stopword set
+    import org.apache.spark.sql.functions._
+    val stop = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok").asc).limit(5)
+      .collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.nonEmpty && words.forall(w => !stop.contains(w)),
+        s"stopword leaked into phrase: $r")
+      assert(r.getLong(2) == words.length, r.toString)
+      assert(r.getLong(1) >= 1 && r.getDouble(3) > 0, r.toString)
+      // RAKE word score = degree/freq >= 1 (self co-occurrence), so a
+      // phrase's score is at least its word count
+      assert(r.getDouble(3) >= words.length - 1e-6, r.toString)
+    }
+  }
+
   test("fk audit: six edges, declared-complete schema edges have zero orphans") {
     import graft.operators.Relational
     val rows = Relational.queries("q_fk_audit")(spark, sfDir).collect()
