@@ -137,6 +137,8 @@ object Natives {
     ("graft_signlsh", classOf[SignLsh].getName, exprs => SignLsh(exprs.head)),
     ("graft_ahash60", classOf[AHash60].getName, exprs => AHash60(exprs.head)),
     ("graft_spanhash8", classOf[SpanHash8].getName, exprs => SpanHash8(exprs.head)),
+    ("graft_jaro_winkler", classOf[JaroWinkler].getName,
+      exprs => JaroWinkler(exprs(0), exprs(1))),
     // Spark's own runtime-filter sketch pair, surfaced as session functions
     // for the incremental-dedup operator (q_dedup_incremental): a
     // distributed, mergeable Bloom build over xxhash64 fingerprints and its

@@ -2676,6 +2676,53 @@ object Pipeline {
         .orderBy("source")
     },
 
+    // ENTITY RESOLUTION (record linkage) — block + fuzzy-verify + top-1
+    // assign, the Fellegi–Sunter pipeline every master-data/training-data
+    // dedup ships: a "dirty file" self-derives by deterministically
+    // corrupting each customer name (digit suffix reversed — same char
+    // multiset, so the true pair stays close under Jaro while non-pairs
+    // drift), candidates BLOCK on stable attributes (nationkey ×
+    // mktsegment — never all-pairs; block size is |customers|/125-ish and
+    // at 100 TB the blocking key simply gets finer), the verify stage
+    // scores candidates with the NATIVE codegen `graft_jaro_winkler`
+    // (fuzz-validated bit-exact vs DuckDB's jaro_winkler_similarity on
+    // 75k pairs), and each dirty record takes its top-1 clean candidate
+    // by the ROUNDED-DECIMAL score with a key tiebreak — a total order,
+    // so the assignment is deterministic in both engines. Ground truth is
+    // known by construction → the readout is per-nation top-1 ACCURACY
+    // (the ER evaluation number), plus the exact-decimal mean best score.
+    "q_entity_match" -> { (s, dir) =>
+      registerNativeFns(s)
+      val c = Tables.load(s, dir, "customer")
+      val clean = c.select(col("c_custkey").as("clean_key"),
+        col("c_name").as("clean_name"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      val dirty = c.select(col("c_custkey").as("dirty_key"),
+        concat(lit("Customer#"), reverse(substring(col("c_name"), 10, 9)))
+          .as("dirty_name"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      val pairs = dirty.join(clean, Seq("nk", "seg"))
+        .withColumn("jw",
+          round(expr("graft_jaro_winkler(dirty_name, clean_name)"), 6)
+            .cast("decimal(8,6)"))
+      val w = Window.partitionBy("dirty_key")
+        .orderBy(col("jw").desc, col("clean_key").asc)
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n_entities"),
+          sum(when(col("clean_key") === col("dirty_key"), 1L).otherwise(0L))
+            .as("n_correct"),
+          sum(col("jw")).as("sjw"))
+        .select(col("nk").as("c_nationkey"), col("n_entities"),
+          col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_entities"), 6)
+            .as("top1_accuracy"),
+          round(col("sjw").cast("double") / col("n_entities"), 6)
+            .as("avg_top1_jw"))
+        .orderBy("c_nationkey")
+    },
+
     // RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
     // keyword miner next to q_textrank (graph ranks single words; RAKE
     // scores PHRASES): candidate phrases are maximal runs of non-stopwords
@@ -4496,6 +4543,38 @@ object Pipeline {
         |  round(list_reduce(list_concat([0.0::DOUBLE], list_sort(list(term))),
         |    (acc, v) -> acc + v), 6) AS kl_bits
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    // same derived dirty file, same blocking, DuckDB's own
+    // jaro_winkler_similarity (bit-exact with the native expression),
+    // same rounded-decimal top-1 total order
+    "q_entity_match" ->
+      """WITH clean AS (
+        |  SELECT c_custkey AS clean_key, c_name AS clean_name,
+        |    c_nationkey AS nk, c_mktsegment AS seg
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS dirty_key,
+        |    'Customer#' || reverse(substr(c_name, 10, 9)) AS dirty_name,
+        |    c_nationkey AS nk, c_mktsegment AS seg
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT d.dirty_key, c.clean_key, d.nk,
+        |    CAST(round(jaro_winkler_similarity(d.dirty_name, c.clean_name),
+        |      6) AS DECIMAL(8,6)) AS jw
+        |  FROM dirty d JOIN clean c ON c.nk = d.nk AND c.seg = d.seg),
+        |t1 AS (
+        |  SELECT dirty_key, clean_key, nk, jw,
+        |    ROW_NUMBER() OVER (PARTITION BY dirty_key
+        |      ORDER BY jw DESC, clean_key ASC) AS rn
+        |  FROM pairs)
+        |SELECT nk AS c_nationkey, COUNT(*) AS n_entities,
+        |  CAST(SUM(CASE WHEN clean_key = dirty_key THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  round(SUM(CASE WHEN clean_key = dirty_key THEN 1 ELSE 0 END)
+        |    ::DOUBLE / COUNT(*), 6) AS top1_accuracy,
+        |  round(SUM(jw)::DOUBLE / COUNT(*), 6) AS avg_top1_jw
+        |FROM t1 WHERE rn = 1
+        |GROUP BY nk ORDER BY nk""".stripMargin,
 
     // same top-5 stopword derivation, same cumulative-stopword run ids,
     // same DECIMAL(12,6) word scores and exact-decimal top-20 cut

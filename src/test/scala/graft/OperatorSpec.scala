@@ -1404,6 +1404,51 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("graft_jaro_winkler: published vectors, edges, interpreted == codegen") {
+    graft.operators.Pipeline.registerNativeFns(spark)
+    def jw(a: String, b: String): Double =
+      spark.sql(s"SELECT graft_jaro_winkler('$a', '$b')").head().getDouble(0)
+    // Winkler's published vectors (also DuckDB's)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    // below the 0.7 boost threshold the prefix must NOT boost
+    assert(math.abs(jw("CRATE", "TRACE") - 0.7333333333333334) < 1e-12)
+    assert(jw("abqqqqqqqq", "abzzzzzzzz") < 0.7, "no boost under threshold")
+    // edges: disjoint -> 0, equal -> 1, any empty side -> 0 (DuckDB's
+    // convention), adjacent transposition window
+    assert(jw("abc", "xyz") == 0.0 && jw("ab", "ba") == 0.0)
+    assert(jw("same", "same") == 1.0)
+    assert(jw("", "") == 0.0 && jw("x", "") == 0.0)
+    // null propagation
+    assert(spark.sql(
+      "SELECT graft_jaro_winkler(CAST(NULL AS STRING), 'x')").head().isNullAt(0))
+    // interpreted eval agrees with the codegen path the SQL exercised
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.functions.JaroWinkler(
+      Literal.create("MARTHA"), Literal.create("MARHTA"))
+    assert(e.eval(null) == jw("MARTHA", "MARHTA"))
+  }
+
+  test("entity match: per-nation entity counts conserved, accuracy bounded") {
+    val rows = Pipeline.queries("q_entity_match")(spark, sfDir).collect()
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val perNation = cust.groupBy("c_nationkey").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.length == perNation.size, "one readout row per nation")
+    rows.foreach { r =>
+      val nk = r.getInt(0)
+      assert(r.getLong(1) == perNation(nk),
+        s"every dirty record gets exactly one top-1 assignment: $r")
+      assert(r.getLong(2) <= r.getLong(1), r.toString)
+      val (acc, ajw) = (r.getDouble(3), r.getDouble(4))
+      assert(acc >= 0 && acc <= 1 && ajw > 0 && ajw <= 1 + 1e-9, r.toString)
+    }
+    // the reversed-digits corruption preserves the char multiset, so the
+    // true pair stays Jaro-close: overall top-1 accuracy is high
+    val (nAll, nOk) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    assert(nOk.toDouble / nAll > 0.8, s"top-1 accuracy $nOk/$nAll")
+  }
+
   test("fk audit: six edges, declared-complete schema edges have zero orphans") {
     import graft.operators.Relational
     val rows = Relational.queries("q_fk_audit")(spark, sfDir).collect()

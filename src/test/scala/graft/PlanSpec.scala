@@ -1141,6 +1141,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("entity match: blocked candidate join is an equi-join, never all-pairs") {
+    // the dirty×clean candidate generation must hash-join on the blocking
+    // key (nationkey, mktsegment) — a BNLJ/cartesian here is the quadratic
+    // ER trap the blocking stage exists to prevent
+    val plan = planOf(Pipeline.queries("q_entity_match")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("IVF-PQ: coarse/codebook/LUT all broadcast; corpus never shuffles for a join") {
     // the corpus-side streams (assignment, encode, ADC probe) must each
     // meet their tiny model tables as broadcasts — a SortMergeJoin
