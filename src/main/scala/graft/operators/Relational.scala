@@ -1898,6 +1898,111 @@ object Relational {
         .orderBy("day")
     },
 
+    // SNAPSHOT DIFF — the incremental-ingestion audit every corpus refresh
+    // publishes (what changed between yesterday's and today's crawl):
+    // added / removed / changed / unchanged per source, plus churn rate.
+    // The two snapshots self-derive deterministically (A drops doc_id ≡ 3
+    // mod 11 — "new docs"; B drops ≡ 5 mod 13 — "expired docs" — and
+    // edits the text of ≡ 2 mod 7 — "content drift"). Each side projects
+    // to (doc_id, source, content-hash) BEFORE the join — at 100 TB only
+    // ids+hashes shuffle, never text — and the diff is ONE full outer
+    // join on doc_id; the classification is row-local null/compare logic
+    // and the report a ≤|sources|-row rollup of exact integers.
+    "q_snapshot_diff" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val snapA = d.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("ha"))
+      val snapB = d.filter(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"), col("source").as("source_b"),
+          md5(when(col("doc_id") % 7 === 2, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("hb"))
+      snapA.join(snapB, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("source"), col("source_b")).as("src"),
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") =!= col("hb"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+        .select(col("src").as("source"), col("n_docs"), col("n_added"),
+          col("n_removed"), col("n_changed"), col("n_unchanged"),
+          round((col("n_added") + col("n_removed") + col("n_changed"))
+            .cast(DoubleType) / col("n_docs"), 6).as("churn_rate"))
+        .orderBy("source")
+    },
+
+    // HOLT LINEAR TREND (double exponential smoothing, α = β = ½) over the
+    // daily event-count series — the trend-aware upgrade of E65's EWMA
+    // (which cannot track a ramp): level lₜ = ½xₜ + ½(lₜ₋₁+bₜ₋₁), trend
+    // bₜ = ½(lₜ−lₜ₋₁) + ½bₜ₋₁, seeded l₀ = x₀, b₀ = 0 (declared). α = β =
+    // ½ makes every coefficient an exact binary fraction, and the
+    // recurrence is the house sorted-fold with a STRUCT accumulator —
+    // both engines left-fold the identical day-ordered list carrying
+    // (level, trend) through named-struct lambdas, so each IEEE step is
+    // bit-equal; lₜ recomputes inside the trend term (same expression,
+    // same value — no hidden state). Per-day prefix folds are O(days²)
+    // BY DESIGN on the tiny aggregate; the corpus-sized work is only the
+    // daily rollup. Output: per-day level, trend, one-step forecast.
+    "q_holt_linear" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("ts").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val step =
+        """(a, e) -> named_struct(
+          |  'lv', 0.5D * e.lv + 0.5D * (a.lv + a.tr),
+          |  'tr', 0.5D * ((0.5D * e.lv + 0.5D * (a.lv + a.tr)) - a.lv)
+          |        + 0.5D * a.tr)""".stripMargin
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("l"))
+        .withColumn("vals", expr(
+          "transform(l, e -> named_struct('lv', CAST(e.x AS DOUBLE), 'tr', 0.0D))"))
+        .select(col("l"), col("vals"), posexplode(col("l")))
+        .withColumn("st", expr(
+          s"""aggregate(slice(vals, 2, pos),
+            |  named_struct('lv', vals[0].lv, 'tr', 0.0D),
+            |  $step)""".stripMargin))
+        .select(col("col.day").as("day"), col("col.x").as("n_events"),
+          round(col("st.lv"), 6).as("level"),
+          round(col("st.tr"), 6).as("trend"),
+          round(expr("st.lv + st.tr"), 6).as("forecast_next"))
+        .orderBy("day")
+    },
+
+    // BENFORD'S LAW first-digit audit — the forensic data-quality check
+    // (fabricated/generated numeric columns rarely follow the log
+    // distribution natural multiplicative data does): observed leading-
+    // digit shares of o_totalprice vs expected log10(1+1/d), with the
+    // per-digit chi-square contribution. An AUDIT, not an assert — the
+    // deviation is REPORTED (synthetic uniform prices will deviate, which
+    // is exactly what the audit is for). The expected shares round at the
+    // libm-log10 boundary (the E69/E76 rule) and the contribution
+    // (n−e)²/e is one shared double tree over exact integer counts; the
+    // leading digit extracts via exact integer floor→string, never float
+    // formatting. Scale: one map-side digit extraction + a 9-row rollup.
+    "q_benford_audit" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice")).cast(LongType)
+          .cast(StringType), 1, 1).cast(LongType).as("digit"))
+      val tot = o.agg(count(lit(1)).as("n_total"))
+      o.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(tot))
+        .withColumn("p_expected",
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+        .select(col("digit"), col("n_obs"),
+          round(col("n_obs").cast(DoubleType) / col("n_total"), 6)
+            .as("p_observed"),
+          col("p_expected"),
+          round(
+            (col("n_obs") - col("n_total") * col("p_expected")) *
+              (col("n_obs") - col("n_total") * col("p_expected")) /
+              (col("n_total") * col("p_expected")), 6).as("chi2_term"))
+        .orderBy("digit")
+    },
+
     // FREQUENT SEQUENTIAL PATTERNS — contiguous event-type trigrams per
     // user's time-ordered stream (the order-2 extension of E63's Markov
     // bigrams; the "view→click→purchase" path-mining readout). ONE shuffle
@@ -3126,6 +3231,88 @@ object Relational {
         |SELECT day, x AS n_events, cusum_pos, cusum_neg, threshold,
         |  (cusum_pos > threshold OR cusum_neg > threshold) AS is_change
         |FROM folds ORDER BY day""".stripMargin,
+
+    // same derived snapshots, same hash-compare full outer join
+    "q_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, source, md5(text) AS ha FROM documents
+        |  WHERE doc_id % 11 <> 3),
+        |b AS (
+        |  SELECT doc_id, source AS source_b,
+        |    md5(CASE WHEN doc_id % 7 = 2 THEN text || ' v2' ELSE text END)
+        |      AS hb
+        |  FROM documents WHERE doc_id % 13 <> 5),
+        |j AS (
+        |  SELECT COALESCE(a.source, b.source_b) AS source,
+        |    CASE WHEN a.ha IS NULL THEN 'added'
+        |         WHEN b.hb IS NULL THEN 'removed'
+        |         WHEN a.ha <> b.hb THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unchanged,
+        |  round((SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) +
+        |         SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) +
+        |         SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END))::DOUBLE
+        |    / COUNT(*), 6) AS churn_rate
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // same day-ordered (level, trend) left fold, same seed (x0, 0). The
+    // accumulator is a 2-element DOUBLE LIST, not a struct: DuckDB 1.0.0's
+    // list_reduce mis-evaluates multi-field STRUCT accumulators (later
+    // steps see partially-updated fields — verified by minimal repro);
+    // the list form folds correctly and carries the identical arithmetic.
+    "q_holt_linear" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, COUNT(*) AS x
+        |  FROM events GROUP BY ts::DATE),
+        |lst AS (
+        |  SELECT list([x::DOUBLE, 0.0::DOUBLE] ORDER BY day) AS vals
+        |  FROM daily),
+        |e AS (
+        |  SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+        |f AS (
+        |  SELECT e.day, e.x,
+        |    list_reduce(list_concat(
+        |      [[lst.vals[1][1], 0.0::DOUBLE]],
+        |      lst.vals[2:e.i]),
+        |      (a, el) -> [
+        |        0.5::DOUBLE * el[1] + 0.5::DOUBLE * (a[1] + a[2]),
+        |        0.5::DOUBLE * ((0.5::DOUBLE * el[1] +
+        |            0.5::DOUBLE * (a[1] + a[2])) - a[1])
+        |          + 0.5::DOUBLE * a[2]]) AS st
+        |  FROM e CROSS JOIN lst)
+        |SELECT day, x AS n_events,
+        |  round(st[1], 6) AS level, round(st[2], 6) AS trend,
+        |  round(st[1] + st[2], 6) AS forecast_next
+        |FROM f ORDER BY day""".stripMargin,
+
+    // same exact integer digit extraction, same rounded-log10 expected
+    // shares, same (n-e)^2/e tree
+    "q_benford_audit" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |tot AS (SELECT COUNT(*) AS n_total FROM d),
+        |g AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit)
+        |SELECT digit, n_obs,
+        |  round(n_obs::DOUBLE / n_total, 6) AS p_observed,
+        |  round(log10(1.0::DOUBLE + 1.0::DOUBLE / digit), 6) AS p_expected,
+        |  round((n_obs - n_total * round(log10(1.0::DOUBLE +
+        |      1.0::DOUBLE / digit), 6)) *
+        |    (n_obs - n_total * round(log10(1.0::DOUBLE +
+        |      1.0::DOUBLE / digit), 6)) /
+        |    (n_total * round(log10(1.0::DOUBLE + 1.0::DOUBLE / digit), 6)),
+        |    6) AS chi2_term
+        |FROM g CROSS JOIN tot ORDER BY digit""".stripMargin,
 
     // same lead-x2 trigram extraction, same exact support ratio, same
     // count-desc + lexicographic total order

@@ -1336,6 +1336,66 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("snapshot diff: statuses reconcile with the residue-class construction") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_snapshot_diff")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    // replay the declared derivation driver-side
+    val added = docs.count(d => d % 11 == 3 && d % 13 != 5)
+    val removed = docs.count(d => d % 13 == 5 && d % 11 != 3)
+    val changed = docs.count(d => d % 7 == 2 && d % 11 != 3 && d % 13 != 5)
+    assert(rows.map(_.getLong(2)).sum == added, "added")
+    assert(rows.map(_.getLong(3)).sum == removed, "removed")
+    assert(rows.map(_.getLong(4)).sum == changed, "changed")
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4) +
+        r.getLong(5), s"statuses partition the union: $r")
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1, r.toString)
+    }
+  }
+
+  test("holt linear: day-1 seed exact, forecast = level + trend, tracks bounds") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_holt_linear")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val h = rows.head
+    assert(h.getDouble(2) == h.getLong(1).toDouble && h.getDouble(3) == 0.0,
+      s"seed l0 = x0, b0 = 0: $h")
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4) - (r.getDouble(2) + r.getDouble(3)))
+        < 3e-6, s"forecast = level + trend: $r")
+    }
+    // level is a convex mixture of observations: stays inside the series
+    // envelope seen so far
+    var (lo, hi) = (Double.MaxValue, Double.MinValue)
+    rows.foreach { r =>
+      lo = math.min(lo, r.getLong(1).toDouble)
+      hi = math.max(hi, r.getLong(1).toDouble)
+      val lv = r.getDouble(2)
+      // trend feedback can overshoot the raw envelope, but not unboundedly
+      assert(lv >= lo - (hi - lo) && lv <= hi + (hi - lo), r.toString)
+    }
+  }
+
+  test("benford audit: nine digits partition orders, expected shares sum to 1") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_benford_audit")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L), rows.mkString(";"))
+    val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nOrders)
+    val pe = rows.map(_.getDouble(3)).sum
+    assert(math.abs(pe - 1.0) < 1e-4, s"benford shares sum to 1: $pe")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1, r.toString)
+      assert(r.getDouble(4) >= 0, s"chi2 term nonnegative: $r")
+    }
+    // benford expectation is monotonically decreasing in the digit
+    val exp = rows.map(_.getDouble(3))
+    assert(exp.zip(exp.tail).forall { case (a, b) => a > b }, exp.toSeq)
+  }
+
   test("calibration bins: docs conserved, means in-bin, brier bounded") {
     import graft.operators.Relational
     val rows = Relational.queries("q_calibration_bins")(spark, sfDir).collect()
