@@ -2688,9 +2688,15 @@ object Pipeline {
     // (fuzz-validated bit-exact vs DuckDB's jaro_winkler_similarity on
     // 75k pairs), and each dirty record takes its top-1 clean candidate
     // by the ROUNDED-DECIMAL score with a key tiebreak — a total order,
-    // so the assignment is deterministic in both engines. Ground truth is
-    // known by construction → the readout is per-nation top-1 ACCURACY
-    // (the ER evaluation number), plus the exact-decimal mean best score.
+    // so the assignment is deterministic in both engines. The top-1 is a
+    // max-STRUCT AGGREGATION, not a row_number window: partial aggregation
+    // combines map-side, so the shuffle carries one best-so-far row per
+    // dirty record instead of every scored pair (the difference between
+    // shuffling |dirty| and |dirty|·|block| rows at 100 TB; the oracle's
+    // row_number formulation is provably the same total order). Ground
+    // truth is known by construction → the readout is per-nation top-1
+    // ACCURACY (the ER evaluation number), plus the exact-decimal mean
+    // best score.
     "q_entity_match" -> { (s, dir) =>
       registerNativeFns(s)
       val c = Tables.load(s, dir, "customer")
@@ -2705,10 +2711,15 @@ object Pipeline {
         .withColumn("jw",
           round(expr("graft_jaro_winkler(dirty_name, clean_name)"), 6)
             .cast("decimal(8,6)"))
-      val w = Window.partitionBy("dirty_key")
-        .orderBy(col("jw").desc, col("clean_key").asc)
-      pairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      pairs
+        .groupBy("nk", "dirty_key")
+        // lexicographic struct max ≡ (jw DESC, clean_key ASC): negate the
+        // key so the max picks the smallest clean_key among jw ties
+        .agg(max(struct(col("jw"), (lit(0L) - col("clean_key"))
+          .as("neg_key"))).as("best"))
+        .select(col("nk"), col("dirty_key"),
+          (lit(0L) - col("best.neg_key")).as("clean_key"),
+          col("best.jw").as("jw"))
         .groupBy("nk")
         .agg(count(lit(1)).as("n_entities"),
           sum(when(col("clean_key") === col("dirty_key"), 1L).otherwise(0L))
