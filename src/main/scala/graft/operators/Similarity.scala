@@ -792,6 +792,43 @@ object Similarity {
         .select(col("vec_id"), col("label"),
           round(col("euc_raw"), 6).as("sim_euc"), col("rank"))
         .orderBy("rank")
+    },
+
+    // IN-BATCH NEGATIVE SAMPLING — the contrastive-training data prep
+    // (CLIP / sentence-transformers): anchors pair with every
+    // DIFFERENT-label vector inside their own batch (batch = vec_id div
+    // 32, the deterministic analog of a dataloader's shard), so the pair
+    // count is ≤B per anchor — LINEAR in the corpus, never all-pairs, and
+    // the join is an equi-join on the batch id. Pair hardness readout uses
+    // the E15 int8 quantization (floor(x·127/mx + 0.5)) and the native
+    // graft_dotl integer dot, so min/max/mean negative similarity are
+    // exact integers / exact ratios — the numbers a curriculum scheduler
+    // actually consumes. At 100 TB the same plan holds: batches are
+    // id-ranges, quantized vectors are 4× cheaper to shuffle.
+    "q_negative_sampling" -> { (s, dir) =>
+      val q8 = vecs(s, dir)
+        .withColumn("mx",
+          greatest(expr("array_max(transform(v, x -> abs(x)))"), lit(1e-12)))
+        .withColumn("qv",
+          expr("transform(v, x -> cast(floor(x * 127.0d / mx + 0.5d) as bigint))"))
+        .select(col("vec_id"), col("label"), col("qv"),
+          expr("vec_id div 32").as("batch"))
+      val a = q8.select(col("batch"), col("vec_id").as("aid"),
+        col("label").as("albl"), col("qv").as("qa"))
+      val b = q8.select(col("batch"), col("label").as("nlbl"),
+        col("qv").as("qb"))
+      a.join(b, Seq("batch")).filter(col("albl") =!= col("nlbl"))
+        .withColumn("dotq", expr("graft_dotl(qa, qb)"))
+        .groupBy("batch")
+        .agg(countDistinct(col("aid")).as("n_anchors"),
+          count(lit(1)).as("n_pairs"),
+          min("dotq").as("min_dot"), max("dotq").as("max_dot"),
+          sum("dotq").as("sdot"))
+        .select(col("batch"), col("n_anchors"), col("n_pairs"),
+          col("min_dot"), col("max_dot"),
+          round(col("sdot").cast("double") / col("n_pairs"), 6)
+            .as("mean_dot"))
+        .orderBy("batch")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -1325,6 +1362,32 @@ object Similarity {
         |  FROM e)
         |SELECT vec_id, label, round(euc_raw, 6) AS sim_euc,
         |  CAST(rank AS INT) AS rank
-        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin)
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // same div-32 batches, same int8 quantization, same exact integer
+    // dot accounting
+    "q_negative_sampling" ->
+      s"""WITH e AS ($vecsSql),
+        |m AS (
+        |  SELECT vec_id, label,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS mx,
+        |    v
+        |  FROM e),
+        |q8 AS (
+        |  SELECT vec_id, label, vec_id // 32 AS batch,
+        |    list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5)
+        |      AS BIGINT)) AS qv
+        |  FROM m),
+        |p AS (
+        |  SELECT a.batch, a.vec_id AS aid,
+        |    CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+        |      i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dotq
+        |  FROM q8 a JOIN q8 b
+        |    ON a.batch = b.batch AND a.label <> b.label)
+        |SELECT batch, COUNT(DISTINCT aid) AS n_anchors, COUNT(*) AS n_pairs,
+        |  CAST(MIN(dotq) AS BIGINT) AS min_dot,
+        |  CAST(MAX(dotq) AS BIGINT) AS max_dot,
+        |  round(SUM(dotq)::DOUBLE / COUNT(*), 6) AS mean_dot
+        |FROM p GROUP BY batch ORDER BY batch""".stripMargin)
 
 }
