@@ -51,6 +51,13 @@ object Bench {
     else SparkEntry.queries.foreach { case (name, fn) =>
       exec(fn, warmDir).foreach(m => System.err.println(s"[bench] warm-up $name failed: $m"))
     }
+    // Staged KV tables are keyed per sf-dir, so the warm-up at sf0.001 does
+    // NOT stage the timed dir's copies — without this, the first timed query
+    // to touch a shared staged table (q_kv_contains_key in r12) pays its
+    // one-off staging cost and shows a phantom 1.5x drift between runs.
+    try graft.operators.Storage.stageCustAttrs(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] pre-stage failed: ${e.getMessage}") }
     spark.sharedState.cacheManager.clearCache()
 
     // Contention canary: a fixed-cost query timed around the measured passes.

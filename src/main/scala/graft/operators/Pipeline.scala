@@ -98,7 +98,10 @@ object Pipeline {
       .join(broadcast(vocab.select(col("w").as("w1"))), "w1")
       .join(broadcast(vocab.select(col("w").as("w2"))), "w2")
       .select("w1", "w2").distinct()
-    (vocab, e0)
+    // materialize the ≤v-row vocab and ≤v²-row edge tables eagerly (the
+    // temp-table analog): every caller reuses them in 2+ joins, and without
+    // this the corpus-sized token/bigram extraction recomputes per reference
+    (vocab.localCheckpoint(true), e0.localCheckpoint(true))
   }
 
   /** THE BPE training loop — greedy most-frequent adjacent pair,
@@ -525,11 +528,9 @@ object Pipeline {
     // UNION (DuckDB dedups (node, depth) pairs, so a depth cap bounds it)
     // + MIN(depth) — same fixpoint, different engine idiom.
     "q_shortest_path" -> { (s, dir) =>
-      val (vocab0, e0) = wordGraph(s, dir, 32)
-      // one corpus pass total: the ≤V-row vocab and ≤V²-row edge tables
-      // are materialized once (eager localCheckpoint — the temp-table
-      // analog), so the BFS rounds never re-touch the bigram extraction
-      val vocab = vocab0.localCheckpoint(true)
+      val (vocab, e0) = wordGraph(s, dir, 32)
+      // wordGraph already checkpoints vocab/e0; the symmetrized edge table
+      // gets its own (the BFS rounds iterate it, never re-touching bigrams)
       val edges = e0.unionByName(
         e0.select(col("w2").as("w1"), col("w1").as("w2"))).distinct()
         .localCheckpoint(true)
@@ -718,7 +719,10 @@ object Pipeline {
           expr("concat_ws(' ', slice(toks, 1, k))").as("prefix"),
           least(size(col("toks")), col("k")).cast("long").as("plen"))
       d.groupBy("k", "prefix")
-        .agg(count(lit(1)).as("n"), first("plen").as("plen"))
+        // min, not first/any_value: plen is functionally dependent on the
+        // prefix only when tokens are never empty — doubled spaces yield
+        // empty tokens, so pick the value deterministically on both engines
+        .agg(count(lit(1)).as("n"), min("plen").as("plen"))
         .groupBy("k")
         .agg(sum("n").as("n_docs"),
           count(lit(1)).as("n_prefixes"),
@@ -1694,7 +1698,10 @@ object Pipeline {
     // training corpus is sampled the same way) keeps every round
     // constant-cost regardless of corpus size.
     "q_unigram_tokenizer" -> { (s, dir) =>
-      def esc(x: String) = x.replace("'", "''")
+      // escape backslashes FIRST (Spark string literals interpret \-escapes
+      // by default), then double quotes — so a piece containing \ or ' maps
+      // to the same raw string the DuckDB oracle sees as a map key
+      def esc(x: String) = x.replace("\\", "\\\\").replace("'", "''")
       val words = docsPar(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")).between(2, 8))
@@ -4032,7 +4039,7 @@ object Pipeline {
         |    CAST(least(len(toks), k) AS BIGINT) AS plen
         |  FROM d CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS k)),
         |g AS (
-        |  SELECT k, prefix, COUNT(*) AS n, ANY_VALUE(plen) AS plen
+        |  SELECT k, prefix, COUNT(*) AS n, MIN(plen) AS plen
         |  FROM e GROUP BY k, prefix)
         |SELECT CAST(k AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_docs,
         |  COUNT(*) AS n_prefixes,

@@ -245,6 +245,11 @@ object Relational {
         .filter(col("n_chars") >= 100) // the pass the metrics piggyback on
         .write.format("noop").mode("overwrite").save()
       val m = obs.get
+      // min/max metrics are NULL on an empty table — fail with a diagnostic
+      // (the sibling queries' require() discipline) instead of an NPE unbox
+      require(m("n_docs").asInstanceOf[Long] > 0L,
+        "q_observe_metrics: degenerate corpus (0 documents) — " +
+          "min/max observation metrics are undefined")
       import s.implicits._
       Seq((m("n_docs").asInstanceOf[Long], m("n_chars").asInstanceOf[Long],
           m("n_en").asInstanceOf[Long], m("min_chars").asInstanceOf[Long],

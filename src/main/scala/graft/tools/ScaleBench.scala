@@ -139,7 +139,7 @@ object ScaleBench {
       if (base(q) < 0.5) Some("\"fixed_cost\"") else None,
       if (base(q) >= 0.5 && ratio(q, x10) > 20) Some("\"superlinear\"")
       else if (base(q) >= 0.5 && ratio(q, x10) > 12) Some("\"watch\"")
-      else if (base(q) >= 0.5 && x100.contains(q) && ratio(q, x100) > 200)
+      else if (base(q) >= 0.5 && x100.contains(q) && ratio(q, x100) > 120)
         Some("\"superlinear_x100\"") else None
     ).flatten.mkString(",")
     val rows = probes.map { q =>
