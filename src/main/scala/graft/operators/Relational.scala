@@ -1677,6 +1677,56 @@ object Relational {
             .as("gini"))
     },
 
+    // MANN-WHITNEY U — the nonparametric sibling of q_ab_test (does one
+    // variant's per-user engagement stochastically dominate the other's,
+    // with NO normality assumption on the heavily-skewed count
+    // distribution). Sample = per-user event count, variant = the q_ab_test
+    // md5 coin. By the AUC identity U is q_roc_auc's rank statistic, so the
+    // same machinery runs: histogram to one row per distinct score (the
+    // only corpus-sized agg), cumulative window over the histogram, 2U_A =
+    // Σ_s n_A(s)·(2·cum_B_below(s) + n_B(s)) in exact BIGINT (half-credit
+    // ties via the doubling). Tie-corrected normal approximation: Var U =
+    // (n_A·n_B/12)·((n+1) − Σ(t³−t)/(n(n−1))) with the tie term Σ(t³−t)
+    // ALSO an exact BIGINT aggregate; z = (U − n_A·n_B/2)/√Var computed as
+    // one shared double tree over the exact integers (doubled numerator /
+    // 2.0 so no half-integer leaves BIGINT early). Rank sums stay exact by
+    // doubling: 2R_A = 2U_A + n_A(n_A+1). Degenerate splits (one-sided or
+    // zero variance) yield NULL z, never a throw. Scale: map-side partials
+    // into a ≤|distinct scores|-row histogram; the single-partition window
+    // runs on the histogram BY DESIGN (q_roc_auc's documented shape); at
+    // ~1e10 users the BIGINT products swap to DECIMAL(38,0), plan
+    // unchanged.
+    "q_mann_whitney" -> { (s, dir) =>
+      val users = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("score"))
+        .withColumn("va", when(expr(
+          "cast(conv(substring(md5(cast(user_id as string)),1,8),16,10) as bigint) % 2") === 0,
+          1L).otherwise(0L))
+      val h = users.groupBy("score").agg(
+        sum(col("va")).as("na"),
+        sum(lit(1L) - col("va")).as("nb"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val varU =
+        "(CAST(n_a AS DOUBLE) * n_b / 12.0D) * " +
+          "((CAST(n_a + n_b AS DOUBLE) + 1.0D) - CAST(tie_term AS DOUBLE) / " +
+          "(CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0D)))"
+      h.withColumn("cnb", coalesce(sum("nb").over(w), lit(0L)))
+        .agg(
+          sum("na").as("n_a"), sum("nb").as("n_b"),
+          sum(col("na") * (lit(2L) * col("cnb") + col("nb"))).as("u_x2"),
+          sum((col("na") + col("nb")) * (col("na") + col("nb")) *
+            (col("na") + col("nb")) - (col("na") + col("nb"))).as("tie_term"))
+        .withColumn("rank_sum_x2",
+          col("u_x2") + col("n_a") * (col("n_a") + lit(1L)))
+        .withColumn("z_stat", expr(
+          s"""CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+             |  AND $varU > 0.0D
+             |THEN round(((CAST(u_x2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+             |  / 2.0D) / sqrt($varU), 6) END""".stripMargin))
+        .select("n_a", "n_b", "u_x2", "rank_sum_x2", "tie_term", "z_stat")
+    },
+
     // OLS SIMPLE REGRESSION per group (price ~ quantity by return flag) —
     // closed-form normal equations from ONE aggregation pass: slope =
     // (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), plus intercept and R². Every
@@ -1974,6 +2024,54 @@ object Relational {
           round(col("st.lv"), 6).as("level"),
           round(col("st.tr"), 6).as("trend"),
           round(expr("st.lv + st.tr"), 6).as("forecast_next"))
+        .orderBy("day")
+    },
+
+    // HOLT-WINTERS additive seasonal smoothing — the production upgrade of
+    // q_holt_linear for traffic that repeats by day-of-week: weekly season
+    // (period 7) over the daily event series. α = β = γ = ½ so every
+    // coefficient is an exact binary fraction. Classical decomposition
+    // seeding (declared semantics): l₇ = mean(x₁..x₇), b₇ = 0,
+    // sᵢ = xᵢ − l₇ for the first week; from day 8 the recurrence
+    //   lₜ = ½(xₜ − sₜ₋₇) + ½(lₜ₋₁ + bₜ₋₁)
+    //   bₜ = ½(lₜ − lₜ₋₁) + ½bₜ₋₁
+    //   sₜ = ½(xₜ − lₜ) + ½sₜ₋₇
+    // folds day-ordered with a 9-slot DOUBLE ARRAY accumulator
+    // [level, trend, sₜ₋₆..sₜ] — the house sorted-fold, array (not struct)
+    // so the DuckDB list_reduce struct-fold bug (q_holt_linear's note)
+    // never applies. The seasonal queue rotates by slice+append, so
+    // element 3 is always the season the NEXT step consumes; lₜ recomputes
+    // inline inside the trend/season terms (same expression, same value).
+    // Both engines run the identical IEEE tree per step → bit-equal before
+    // the final round. Per-day prefix folds are O(days²) on the ≤|days|-row
+    // daily aggregate BY DESIGN — the corpus-sized work is only the daily
+    // rollup. Output (day ≥ 8): level, trend, season, one-step forecast
+    // lₜ + bₜ + sₜ₊₁₋₇.
+    "q_holt_winters" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("ts").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val nl = "(0.5D * (e - element_at(a, 3)) + " +
+        "0.5D * (element_at(a, 1) + element_at(a, 2)))"
+      val step = s"(a, e) -> concat(" +
+        s"array($nl, 0.5D * ($nl - element_at(a, 1)) + 0.5D * element_at(a, 2)), " +
+        "slice(a, 4, 6), " +
+        s"array(0.5D * (e - $nl) + 0.5D * element_at(a, 3)))"
+      val l7 = "(aggregate(slice(vals, 1, 7), 0.0D, (a, x) -> a + x) / 7.0D)"
+      val seed = s"concat(array($l7, 0.0D), " +
+        s"transform(slice(vals, 1, 7), x -> x - $l7))"
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("l"))
+        .withColumn("vals", expr("transform(l, e -> CAST(e.x AS DOUBLE))"))
+        .select(col("l"), col("vals"), posexplode(col("l")))
+        .filter(col("pos") >= 7) // seeded from the first full week
+        .withColumn("st", expr(s"aggregate(slice(vals, 8, pos - 6), $seed, $step)"))
+        .select(col("col.day").as("day"), col("col.x").as("n_events"),
+          round(expr("element_at(st, 1)"), 6).as("level"),
+          round(expr("element_at(st, 2)"), 6).as("trend"),
+          round(expr("element_at(st, 9)"), 6).as("season"),
+          round(expr("element_at(st, 1) + element_at(st, 2) + element_at(st, 3)"), 6)
+            .as("forecast_next"))
         .orderBy("day")
     },
 
@@ -3053,6 +3151,47 @@ object Relational {
         |    AS gini
         |FROM a""".stripMargin,
 
+    // same md5 coin, same per-score histogram + cumulative window, same
+    // exact-BIGINT 2U / tie-term / doubled rank sum, same tie-corrected
+    // z double tree with the identical degenerate guard
+    "q_mann_whitney" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS score FROM events GROUP BY user_id),
+        |v AS (
+        |  SELECT score, CASE WHEN ('0x' || substr(md5(user_id::VARCHAR),
+        |    1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS va
+        |  FROM u),
+        |h AS (
+        |  SELECT score, CAST(SUM(va) AS BIGINT) AS na,
+        |    CAST(SUM(1 - va) AS BIGINT) AS nb
+        |  FROM v GROUP BY score),
+        |cw AS (
+        |  SELECT na, nb, COALESCE(SUM(nb) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+        |  FROM h),
+        |a AS (
+        |  SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb) AS BIGINT) AS n_b,
+        |    CAST(SUM(na * (2 * cnb + nb)) AS BIGINT) AS u_x2,
+        |    CAST(SUM((na + nb) * (na + nb) * (na + nb) - (na + nb))
+        |      AS BIGINT) AS tie_term
+        |  FROM cw)
+        |SELECT n_a, n_b, u_x2,
+        |  u_x2 + n_a * (n_a + 1) AS rank_sum_x2, tie_term,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+        |    AND (CAST(n_a AS DOUBLE) * n_b / 12.0::DOUBLE) *
+        |      ((CAST(n_a + n_b AS DOUBLE) + 1.0::DOUBLE) -
+        |       CAST(tie_term AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
+        |         (CAST(n_a + n_b AS DOUBLE) - 1.0::DOUBLE))) > 0.0::DOUBLE
+        |  THEN round(((CAST(u_x2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+        |    / 2.0::DOUBLE) /
+        |    sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0::DOUBLE) *
+        |      ((CAST(n_a + n_b AS DOUBLE) + 1.0::DOUBLE) -
+        |       CAST(tie_term AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
+        |         (CAST(n_a + n_b AS DOUBLE) - 1.0::DOUBLE)))), 6)
+        |  END AS z_stat
+        |FROM a""".stripMargin,
+
     // same exact sufficient statistics (BIGINT x, DECIMAL(12,2) y), same
     // double algebra over the cast aggregates, same degenerate guards
     "q_ols_regression" ->
@@ -3297,6 +3436,48 @@ object Relational {
         |SELECT day, x AS n_events,
         |  round(st[1], 6) AS level, round(st[2], 6) AS trend,
         |  round(st[1] + st[2], 6) AS forecast_next
+        |FROM f ORDER BY day""".stripMargin,
+
+    // same first-week decomposition seed, same day-ordered 9-slot list
+    // fold with the rotating seasonal queue, same inlined-level IEEE tree
+    // (list accumulator — the q_holt_linear struct-fold-bug workaround)
+    "q_holt_winters" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, COUNT(*) AS x
+        |  FROM events GROUP BY ts::DATE),
+        |lst AS (
+        |  SELECT list([x::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+        |    0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE]
+        |    ORDER BY day) AS vals
+        |  FROM daily),
+        |e AS (
+        |  SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+        |f AS (
+        |  SELECT e.day, e.x,
+        |    list_reduce(list_concat(
+        |      [list_concat(
+        |        [(list_reduce(list_transform(lst.vals[1:7], v -> v[1]),
+        |            (a, b) -> a + b) / 7.0::DOUBLE), 0.0::DOUBLE],
+        |        list_transform(lst.vals[1:7], v -> v[1] -
+        |          (list_reduce(list_transform(lst.vals[1:7], v2 -> v2[1]),
+        |            (a, b) -> a + b) / 7.0::DOUBLE)))],
+        |      lst.vals[8:e.i]),
+        |      (a, el) -> [
+        |        (0.5::DOUBLE * (el[1] - a[3]) +
+        |          0.5::DOUBLE * (a[1] + a[2])),
+        |        0.5::DOUBLE * ((0.5::DOUBLE * (el[1] - a[3]) +
+        |            0.5::DOUBLE * (a[1] + a[2])) - a[1])
+        |          + 0.5::DOUBLE * a[2],
+        |        a[4], a[5], a[6], a[7], a[8], a[9],
+        |        0.5::DOUBLE * (el[1] - (0.5::DOUBLE * (el[1] - a[3]) +
+        |            0.5::DOUBLE * (a[1] + a[2])))
+        |          + 0.5::DOUBLE * a[3]]) AS st
+        |  FROM e CROSS JOIN lst
+        |  WHERE e.i >= 8)
+        |SELECT day, x AS n_events,
+        |  round(st[1], 6) AS level, round(st[2], 6) AS trend,
+        |  round(st[9], 6) AS season,
+        |  round(st[1] + st[2] + st[3], 6) AS forecast_next
         |FROM f ORDER BY day""".stripMargin,
 
     // same exact integer digit extraction, same rounded-log10 expected

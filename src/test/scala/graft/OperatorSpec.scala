@@ -1526,4 +1526,60 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(2) == 0, s"$e should have no orphans: $r")
     }
   }
+
+  test("mann whitney: u2/ties match a brute rank recount, z recomputes") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val r = Relational.queries("q_mann_whitney")(spark, sfDir).collect().head
+    val (na, nb, u2, r2, t3) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").count()
+      .withColumn("va", expr(
+        "cast(conv(substring(md5(cast(user_id as string)),1,8),16,10) as bigint) % 2 = 0"))
+      .collect().map(x => (x.getLong(1), x.getBoolean(2)))
+    val (a, b) = users.partition(_._2)
+    assert(na == a.length && nb == b.length, s"variant split: $r")
+    val brute = (for (x <- a; y <- b) yield
+      if (x._1 > y._1) 2L else if (x._1 == y._1) 1L else 0L).sum
+    assert(u2 == brute, s"u2 $u2 vs brute $brute")
+    assert(r2 == u2 + na * (na + 1), s"doubled rank-sum identity: $r")
+    val ties = users.groupBy(_._1).map(_._2.length.toLong)
+      .map(t => t * t * t - t).sum
+    assert(t3 == ties, s"tie term $t3 vs brute $ties")
+    val n = (na + nb).toDouble
+    val varU = na.toDouble * nb / 12.0 * ((n + 1.0) - ties / (n * (n - 1.0)))
+    val z = ((u2.toDouble - na.toDouble * nb) / 2.0) / math.sqrt(varU)
+    assert(math.abs(r.getDouble(5) - z) < 3e-6, s"z $z vs $r")
+  }
+
+  test("holt winters: brute recursion replay matches every output column") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_holt_winters")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("cast(ts as date) as day").groupBy("day").count()
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    assert(daily.length >= 8, "needs a seed week plus one day")
+    assert(rows.length == daily.length - 7, "one row per post-seed day")
+    val l7 = daily.take(7).sum / 7.0
+    var lv = l7; var tr = 0.0
+    var seas = daily.take(7).map(_ - l7)
+    var i = 7
+    rows.foreach { r =>
+      val x = daily(i)
+      val sOld = seas(0)
+      val nl = 0.5 * (x - sOld) + 0.5 * (lv + tr)
+      val nt = 0.5 * (nl - lv) + 0.5 * tr
+      val ns = 0.5 * (x - nl) + 0.5 * sOld
+      seas = seas.drop(1) :+ ns
+      assert(r.getLong(1) == x.toLong, s"n_events: $r")
+      assert(math.abs(r.getDouble(2) - nl) < 3e-6, s"level: $r vs $nl")
+      assert(math.abs(r.getDouble(3) - nt) < 3e-6, s"trend: $r vs $nt")
+      assert(math.abs(r.getDouble(4) - ns) < 3e-6, s"season: $r vs $ns")
+      assert(math.abs(r.getDouble(5) - (nl + nt + seas(0))) < 3e-6,
+        s"forecast consumes next week's season slot: $r")
+      lv = nl; tr = nt; i += 1
+    }
+  }
 }
