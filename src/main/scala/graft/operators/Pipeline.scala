@@ -1337,6 +1337,50 @@ object Pipeline {
     // with the lexical leg of q_hybrid_rrf).
     "q_bm25" -> { (s, dir) => bm25Top(s, dir) },
 
+    // QUERY-LIKELIHOOD retrieval (Dirichlet-smoothed document language
+    // model, Zhai & Lafferty 2001) — the third classical ranker beside
+    // BM25 and the trigram family: score(q,d) = Σ_{w∈q} ln((tf_{w,d} +
+    // μ·ctf_w/|C|) / (dl_d + μ)), μ = 2000 (the published default). Same
+    // self-derived 3-term query and doc-stats discipline as [[bm25Top]];
+    // UNLIKE BM25 every query term scores in every doc (an absent term
+    // smooths to the collection prior — that's what makes QL a proper
+    // probability model), so the (doc × 3-term) grid manufactures
+    // map-side from the broadcast 3-row term table, absent tf coalesces
+    // to 0, and the 3 ln contributions add via the sorted fold BEFORE the
+    // rank sort on the rounded score (total order with the doc_id
+    // tiebreak). Scale: term stats broadcast; the grid left-join on
+    // (doc_id, w) carries ≤|q| rows per doc; the only corpus-sized
+    // shuffles are the tokenize rollups BM25 already pays — and the two
+    // rankers could share one postings pass at 100 TB.
+    "q_query_likelihood" -> { (s, dir) =>
+      val tok = docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(sum("dl").as("total_dl"))
+        val terms = tok.groupBy("w").agg(count(lit(1)).as("ctf"))
+          .orderBy(col("ctf").desc, col("w").asc).limit(3)
+        val tf = tok.join(broadcast(terms.select("w")), "w")
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        dl.crossJoin(broadcast(terms))
+          .join(tf, Seq("doc_id", "w"), "left")
+          .withColumn("tf", coalesce(col("tf"), lit(0L)))
+          .crossJoin(broadcast(stats))
+          .withColumn("c", expr(
+            "ln((tf + 2000.0D * ctf / total_dl) / (dl + 2000.0D))"))
+          .groupBy("doc_id")
+          .agg(min("dl").as("dl"),
+            sum(when(col("tf") > 0, 1L).otherwise(0L)).as("n_hit"),
+            expr("round(aggregate(array_sort(collect_list(c)), " +
+              "cast(0.0 as double), (a, x) -> a + x), 6)").as("ql"))
+          .orderBy(col("ql").desc, col("doc_id").asc)
+          .limit(20)
+          .select("doc_id", "dl", "n_hit", "ql")
+          .localCheckpoint(true) // 20 rows; releases the token cache
+      } finally { tok.unpersist(); () }
+    },
+
     // HYBRID RETRIEVAL via reciprocal-rank fusion — the production search
     // shape composing the lexical ranker (the exact q_bm25 DAG, one
     // implementation — the BPE-merge discipline) with the vector ranker
@@ -1961,6 +2005,67 @@ object Pipeline {
         .agg(max("rate_bp").as("rate_bp"), count(lit(1)).as("n_kept"),
           sum("tok").as("tokens_kept"))
         .orderBy("domain")
+    },
+
+    // DSIR HASHED N-GRAM IMPORTANCE RESAMPLING (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling" — the
+    // data-selection operator between q_data_mixture's fixed domain rates
+    // and q_quality_classifier's model gate): raw-corpus docs are up/down-
+    // weighted toward a TARGET distribution (the 'en' slice, declared) in
+    // hashed n-gram space. Unigrams+bigrams hash into 64 buckets (the
+    // paper's hashed-feature trick: NO vocabulary to build, version, or
+    // broadcast at 100 TB — the feature space is fixed-width by
+    // construction); add-one-smoothed bucket distributions p̂ (target) and
+    // q̂ (raw) reduce to per-bucket Δ_b = ln p̂_b − ln q̂_b, rounded 6dp at
+    // the libm boundary inside the 64-row broadcast table (E69 rule); the
+    // per-doc log-weight Σ k_b·Δ_b folds sorted over the doc's ≤64 bucket
+    // counts and rounds once; the resample is the house md5 basis-point
+    // coin against rate = min(10000, ⌊exp(logw)·2500⌋) — expected keep
+    // 25% at logw = 0, saturating for strongly target-like docs (the
+    // paper's importance resample at a declared 1-in-4 budget). Per-lang
+    // means use micro-unit BIGINT sums (exact, partition-order-free).
+    // Scale: the only corpus-sized shuffle is the (doc, bucket) rollup;
+    // everything the docs join against is ≤64 rows, broadcast.
+    "q_importance_resample" -> { (s, dir) =>
+      val d = docsPar(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      val grams = d.select(col("doc_id"), col("lang"),
+          explode(expr(s"concat(w, ${ngramExpr(2)})")).as("g"))
+        .withColumn("b", expr(s"${hExpr("g")} % 64"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val db = grams.groupBy("doc_id", "lang", "b")
+          .agg(count(lit(1)).as("k"))
+        val buckets = grams.groupBy("b").agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        val tots = buckets.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+        val delta = buckets.crossJoin(broadcast(tots))
+          .withColumn("delta", round(expr(
+            "ln((ct + 1.0D) / (tt + 64.0D)) - ln((cr + 1.0D) / (tr + 64.0D))"), 6))
+          .select("b", "delta")
+        val logw = db.join(broadcast(delta), "b")
+          .withColumn("contrib", col("k") * col("delta"))
+          .groupBy("doc_id", "lang")
+          .agg(expr("round(aggregate(array_sort(collect_list(contrib)), " +
+            "cast(0.0 as double), (a, x) -> a + x), 6)").as("logw"))
+        logw
+          .withColumn("rate_bp", least(lit(10000L),
+            expr("cast(floor(round(exp(logw) * 2500.0D, 6)) as bigint)")))
+          .withColumn("keep",
+            expr(s"${hExpr("cast(doc_id as string)")} % 10000") < col("rate_bp"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(expr("cast(round(round(logw, 6) * 1000000.0D, 0) as bigint)"))
+              .as("logw_micro"))
+          .select(col("lang"), col("n_docs"), col("n_kept"),
+            round(col("n_kept").cast("double") / col("n_docs"), 6)
+              .as("keep_rate"),
+            round(col("logw_micro").cast("double") / lit(1000000.0) /
+              col("n_docs"), 6).as("avg_logw"))
+          .orderBy("lang")
+      } finally { grams.unpersist(); () }
     },
 
     // Quality-weighted sampling: each document is kept with probability
@@ -3110,6 +3215,37 @@ object Pipeline {
         |ORDER BY bm25 DESC, doc_id ASC
         |LIMIT 20""".stripMargin,
 
+    // same 3-term query derivation, same (doc × term) smoothed grid with
+    // tf→0 coalescing, same μ=2000 ln tree, same sorted fold + total order
+    "q_query_likelihood" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_dl FROM dlen),
+        |terms AS (SELECT w, ctf FROM (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS ctf FROM tok GROUP BY w
+        |  ORDER BY ctf DESC, w ASC LIMIT 3)),
+        |tft AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |        JOIN terms USING (w) GROUP BY doc_id, w),
+        |pairs AS (
+        |  SELECT dlen.doc_id, dlen.dl, t.ctf, COALESCE(tft.tf, 0) AS tf
+        |  FROM dlen CROSS JOIN terms t
+        |  LEFT JOIN tft ON tft.doc_id = dlen.doc_id AND tft.w = t.w),
+        |contrib AS (
+        |  SELECT doc_id, dl, tf,
+        |    ln((tf + 2000.0::DOUBLE * ctf / total_dl) / (dl + 2000.0::DOUBLE))
+        |      AS c
+        |  FROM pairs, stats),
+        |g AS (
+        |  SELECT doc_id, CAST(MIN(dl) AS BIGINT) AS dl,
+        |    CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |    round(list_reduce(list_concat([0.0::DOUBLE], list_sort(list(c))),
+        |      (a, v) -> a + v), 6) AS ql
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT doc_id, dl, n_hit, ql FROM g
+        |ORDER BY ql DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
+
     // replays BOTH rankings (the q_bm25 CTE chain verbatim + the cosine
     // kernel vs vec 0) and the 1/(60+rank) fusion; full outer keeps docs
     // present in only one list
@@ -3840,6 +3976,56 @@ object Pipeline {
         |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
         |  % 10000 < r2.rate_bp
         |GROUP BY d.domain ORDER BY d.domain""".stripMargin,
+
+    // same 64-bucket hashed unigram+bigram features, same add-one
+    // smoothed Δ table rounded at the libm boundary, same sorted fold +
+    // exp rate + md5 coin, same micro-unit exact means
+    "q_importance_resample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(list_concat(w,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])))
+        |    AS g
+        |  FROM d),
+        |gb AS (
+        |  SELECT doc_id, lang,
+        |    ('0x'||substr(md5(g),1,8))::BIGINT % 64 AS b
+        |  FROM g),
+        |db AS (
+        |  SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM gb GROUP BY doc_id, lang, b),
+        |bk AS (
+        |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ct
+        |  FROM gb GROUP BY b),
+        |tots AS (
+        |  SELECT CAST(SUM(cr) AS BIGINT) AS tr,
+        |    CAST(SUM(ct) AS BIGINT) AS tt FROM bk),
+        |dl AS (
+        |  SELECT b, round(ln((ct + 1.0::DOUBLE) / (tt + 64.0::DOUBLE)) -
+        |    ln((cr + 1.0::DOUBLE) / (tr + 64.0::DOUBLE)), 6) AS delta
+        |  FROM bk, tots),
+        |lw AS (
+        |  SELECT doc_id, lang,
+        |    round(list_reduce(list_concat([0.0::DOUBLE],
+        |      list_sort(list(k * delta))), (a, v) -> a + v), 6) AS logw
+        |  FROM db JOIN dl USING (b) GROUP BY doc_id, lang),
+        |kp AS (
+        |  SELECT lang, logw,
+        |    CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+        |      ::BIGINT % 10000 < least(10000,
+        |        CAST(floor(round(exp(logw) * 2500.0::DOUBLE, 6)) AS BIGINT))
+        |    THEN 1 ELSE 0 END AS keep
+        |  FROM lw)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |  round(SUM(keep)::DOUBLE / COUNT(*), 6) AS keep_rate,
+        |  round(CAST(SUM(CAST(round(round(logw, 6) * 1000000.0::DOUBLE, 0)
+        |      AS BIGINT)) AS DOUBLE) / 1000000.0::DOUBLE / COUNT(*), 6)
+        |    AS avg_logw
+        |FROM kp GROUP BY lang ORDER BY lang""".stripMargin,
 
     // NB: five explicit chained iterations, NOT a recursive CTE — DuckDB's
     // recursive-CTE evaluation of an aggregate over the working table gave

@@ -1527,6 +1527,55 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("importance resample: target lang carries the top mean log-weight") {
+    val rows = Pipeline.queries("q_importance_resample")(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("en", "de", "es", "fr", "zh"))
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total, "every doc weighted once")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1), r.toString)
+      val kr = r.getDouble(3)
+      assert(kr >= 0 && kr <= 1, r.toString)
+      assert(math.abs(kr - r.getLong(2).toDouble / r.getLong(1)) < 2e-6,
+        r.toString)
+    }
+    // the point of DSIR: docs from the target distribution score higher
+    val byLang = rows.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    byLang.filter(_._1 != "en").foreach { case (l, w) =>
+      assert(byLang("en") > w, s"en mean log-weight must beat $l: $byLang")
+    }
+  }
+
+  test("query likelihood: brute smoothed-LM rescore matches the top-20") {
+    val rows = Pipeline.queries("q_query_likelihood")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val ctf = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val total = docs.map(_._2.length.toLong).sum.toDouble
+    val q = ctf.toSeq.sortBy { case (w, c) => (-c, w) }.take(3)
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val brute = docs.map { case (id, toks) =>
+      val dl = toks.length
+      val cs = q.map { case (w, c) =>
+        math.log((toks.count(_ == w) + 2000.0 * c / total) / (dl + 2000.0))
+      }.sorted
+      (id, round6(cs.sum), q.count { case (w, _) => toks.contains(w) })
+    }
+    val top = brute.sortBy { case (id, sc, _) => (-sc, id) }.take(20)
+    rows.zip(top).foreach { case (r, (id, sc, nh)) =>
+      assert(r.getLong(0) == id, s"rank order: $r vs brute $id")
+      assert(math.abs(r.getDouble(3) - sc) < 2e-6, s"score: $r vs $sc")
+      assert(r.getLong(2) == nh, s"n_hit: $r vs $nh")
+      // every contribution is ln of a proper probability < 1
+      assert(r.getDouble(3) < 0, r.toString)
+    }
+  }
+
   test("mann whitney: u2/ties match a brute rank recount, z recomputes") {
     import graft.operators.Relational
     import org.apache.spark.sql.functions._

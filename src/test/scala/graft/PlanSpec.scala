@@ -1150,6 +1150,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("importance resample: the 64-row delta table broadcasts; no corpus join shuffle") {
+    // the per-doc bucket counts must meet the Δ table as a broadcast — a
+    // SortMergeJoin would shuffle the corpus-sized (doc, bucket) stream by
+    // bucket; nothing here may go nested-loop/cartesian
+    val plan = planOf(Pipeline.queries("q_importance_resample")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("IVF-PQ: coarse/codebook/LUT all broadcast; corpus never shuffles for a join") {
     // the corpus-side streams (assignment, encode, ADC probe) must each
     // meet their tiny model tables as broadcasts — a SortMergeJoin
