@@ -269,6 +269,23 @@ object Streaming {
     s.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(path)
   }
 
+  /** Deterministic replay stream of `documents` with a synthetic event time
+    * (base + doc_id seconds — the ingestion-order clock a crawler feed
+    * carries) plus the far-future sentinel doc. Same chunking/mod-time
+    * discipline as [[eventStream]]. */
+  private def docStream(s: SparkSession, dir: String, tag: String): DataFrame = {
+    val path = stageRoot(tag, dir)
+    val schema = staged.getOrElseUpdate(path, {
+      val d = Tables.load(s, dir, "documents").withColumn("ts", expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)"))
+      val maxTs = d.agg(max("ts")).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+      stage(s, d, Row(-1L, "", "__sentinel", "", 0L, sentTs), path)
+      d.schema
+    })
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(path)
+  }
+
   /** Run `out` to completion into an append-mode memory sink and return the
     * finished table. The final watermark-driven eviction happens in a
     * no-data micro-batch that can land just after processAllAvailable
@@ -923,6 +940,71 @@ object Streaming {
 
     // Streaming dedup: re-inject every 97th event as an in-stream duplicate
     // and drop it again with watermark-bounded dedup state on the key.
+    // STREAMING PERCOLATOR — E70's reverse search composed with the
+    // streaming surface (Elastic watcher / Luwak alerting, the shape the
+    // batch q_percolate's own comment names as the 100 TB ingest plan):
+    // the STORED conjunctive queries are the standing side, and every
+    // arriving document micro-batch probes them. The query index derives
+    // batch-side exactly as q_percolate (pairwise conjunctions of the
+    // top-4 document-frequency terms) and compiles to 6 driver literals
+    // (the BPE CASE precedent) — at production query counts it would be a
+    // broadcast term→qid posting index (the batch query's exact shape);
+    // either way the index NEVER shuffles and the doc stream never joins
+    // another stream. Matching is per-doc conjunction over the doc's own
+    // tokens → completely STATELESS (no watermark, no state store —
+    // alerting latency is one micro-batch). foreachBatch publishes
+    // per-query hit counters keyed by batchId, so an at-least-once
+    // redelivery overwrites its own slot instead of double-counting (the
+    // q_stream_exactly_once ledger discipline, driver-side). The replayed
+    // corpus is exactly `documents`, so the finished counters equal the
+    // batch percolator's — and the oracle replays that batch shape.
+    "q_stream_percolate" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val postings = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val top4 = postings.groupBy("w").agg(count(lit(1)).as("dfc"))
+        .orderBy(col("dfc").desc, col("w").asc).limit(4)
+        .select(col("w"), row_number().over(
+          Window.orderBy(col("dfc").desc, col("w").asc)).as("r"))
+      val qs = top4.as("a").join(top4.as("b"), col("a.r") < col("b.r"))
+        .select((col("a.r") * 10 + col("b.r")).cast("long").as("qid"),
+          col("a.w").as("term_a"), col("b.w").as("term_b"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+      def esc(x: String) = x.replace("\\", "\\\\").replace("'", "''")
+      val qArr = qs.map { case (qid, a, b) =>
+        s"named_struct('qid', ${qid}L, " +
+          s"'term_a', '${esc(a)}', 'term_b', '${esc(b)}')"
+      }.mkString("array(", ", ", ")")
+      val matches = docStream(s, dir, "percolate")
+        .filter(col("doc_id") =!= -1L)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), explode(expr(qArr)).as("q"))
+        .filter(expr(
+          "array_contains(toks, q.term_a) AND array_contains(toks, q.term_b)"))
+        .select(col("doc_id"), col("q.qid").as("qid"))
+      val acc = scala.collection.concurrent.TrieMap.empty[Long, Map[Long, Long]]
+      withStreamConf(s) {
+        val q = matches.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            acc(batchId) = batch.groupBy("qid").count()
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val totals = acc.values.flatten.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).sum }
+      val rows: Seq[Row] = qs.toSeq.map { case (qid, a, b) =>
+        Row(qid, a, b, totals.getOrElse(qid, 0L))
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+          StructField("qid", LongType), StructField("term_a", StringType),
+          StructField("term_b", StringType),
+          StructField("n_matched_docs", LongType))))
+        .orderBy("qid")
+    },
+
     "q_stream_dedup" -> { (s, dir) =>
       val out = eventStream(s, dir, "dedup",
           prep = df => df.unionByName(df.filter(col("event_id") % 97 === 0)))
@@ -1121,6 +1203,36 @@ object Streaming {
       |ORDER BY user_id, s_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the streamed corpus is exactly `documents`, each doc seen once and
+    // matched statelessly → the counters equal the batch percolator's
+    // (the q_percolate oracle shape replayed verbatim)
+    "q_stream_percolate" ->
+      """WITH postings AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |top4 AS (
+        |  SELECT w, row_number() OVER (ORDER BY dfc DESC, w ASC) AS r
+        |  FROM (SELECT w, COUNT(*) AS dfc FROM postings GROUP BY w
+        |        ORDER BY dfc DESC, w ASC LIMIT 4)),
+        |queries AS (
+        |  SELECT CAST(a.r * 10 + b.r AS BIGINT) AS qid,
+        |    a.w AS term_a, b.w AS term_b
+        |  FROM top4 a JOIN top4 b ON a.r < b.r),
+        |qt AS (
+        |  SELECT qid, term_a AS w FROM queries
+        |  UNION ALL SELECT qid, term_b FROM queries),
+        |m AS (
+        |  SELECT p.doc_id, q.qid, COUNT(*) AS n_hit
+        |  FROM postings p JOIN qt q ON p.w = q.w
+        |  GROUP BY p.doc_id, q.qid),
+        |mm AS (
+        |  SELECT qid, COUNT(*) AS n_matched_docs FROM m
+        |  WHERE n_hit = 2 GROUP BY qid)
+        |SELECT q.qid, q.term_a, q.term_b,
+        |  CAST(COALESCE(mm.n_matched_docs, 0) AS BIGINT) AS n_matched_docs
+        |FROM queries q LEFT JOIN mm USING (qid)
+        |ORDER BY qid""".stripMargin,
+
     // the folded CDC log must equal the table's current state, recomputed
     // here from nation + the three deterministic update waves (later waves
     // overwrite earlier ones per key)

@@ -566,6 +566,19 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(p("dedup_state_rows") <= p("distinct_events") + 1, p.toString)
   }
 
+  test("streaming percolator equals the batch percolator query-for-query") {
+    // statelessly matching each replayed doc micro-batch against the
+    // standing query index must land exactly the batch reverse-search
+    // counts — same stored queries, same conjunctive semantics
+    val streamed = Streaming.queries("q_stream_percolate")(spark, sfDir)
+      .collect().toSeq
+    val batch = graft.operators.Pipeline.queries("q_percolate")(spark, sfDir)
+      .collect().toSeq
+    assert(streamed.map(_.toSeq) == batch.map(_.toSeq))
+    assert(streamed.length == 6, "4 choose 2 stored queries")
+    assert(streamed.map(_.getLong(3)).sum > 0, "something must match")
+  }
+
   test("transformWithState totals equal the batch aggregation (3 state vars + timers)") {
     val streamed = Streaming.queries("q_stream_transform_state")(spark, sfDir)
       .collect().toSet
