@@ -2007,6 +2007,28 @@ object Pipeline {
         .orderBy("domain")
     },
 
+    // STRATIFIED EXACT-k SAMPLE — the eval-set carve-out every corpus
+    // release ships (exactly k docs per language, uniform WITHOUT
+    // replacement, seedless and reproducible): order each stratum by the
+    // portable md5 hash (hash order ≡ a random permutation fixed across
+    // runs/engines — the house coin, used as a SHUFFLE KEY this time) and
+    // keep rank ≤ 10 (declared k). Scale: this is top-k-per-group, not a
+    // per-stratum full sort — Spark's WindowGroupLimit (3.5+) inserts a
+    // partial per-partition limit BEFORE the shuffle, so each map task
+    // forwards at most k rows per stratum and a skewed stratum (one lang
+    // = 90% of 100 TB) never concentrates into one reducer's sort
+    // (PlanSpec pins the WindowGroupLimit node).
+    "q_stratified_sample" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("h", expr(hExpr("cast(doc_id as string)")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rn")
+    },
+
     // DSIR HASHED N-GRAM IMPORTANCE RESAMPLING (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling" — the
     // data-selection operator between q_data_mixture's fixed domain rates
@@ -3976,6 +3998,20 @@ object Pipeline {
         |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
         |  % 10000 < r2.rate_bp
         |GROUP BY d.domain ORDER BY d.domain""".stripMargin,
+
+    // same md5 permutation key, same per-stratum rank cut
+    "q_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rn
+        |  FROM d)
+        |SELECT lang, rn, doc_id, n_chars
+        |FROM r WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
 
     // same 64-bucket hashed unigram+bigram features, same add-one
     // smoothed Δ table rounded at the libm boundary, same sorted fold +

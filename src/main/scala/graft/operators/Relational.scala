@@ -32,6 +32,21 @@ object Relational {
 
   /** Exact money arithmetic: 2-dp doubles → DECIMAL(12,2). */
   private def money(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Holt-Winters shared expression text (q_holt_winters + q_forecast_mase
+    * — one recursion, two consumers, so the forecast and its evaluation
+    * can never desynchronize). 9-slot DOUBLE array accumulator
+    * [level, trend, s₋₆..s₀]; level recomputes inline (same expression,
+    * same value) so both engines run one IEEE tree per step. */
+  private val hwNl = "(0.5D * (e - element_at(a, 3)) + " +
+    "0.5D * (element_at(a, 1) + element_at(a, 2)))"
+  private val hwStep = s"(a, e) -> concat(" +
+    s"array($hwNl, 0.5D * ($hwNl - element_at(a, 1)) + 0.5D * element_at(a, 2)), " +
+    "slice(a, 4, 6), " +
+    s"array(0.5D * (e - $hwNl) + 0.5D * element_at(a, 3)))"
+  private val hwL7 = "(aggregate(slice(vals, 1, 7), 0.0D, (a, x) -> a + x) / 7.0D)"
+  private val hwSeed = s"concat(array($hwL7, 0.0D), " +
+    s"transform(slice(vals, 1, 7), x -> x - $hwL7))"
   /** (1 - discount) / (1 + tax) factors → DECIMAL(6,2): keeps DuckDB's
     * width-additive decimal multiply under 38 digits. */
   private def factor(c: Column): Column = c.cast(DecimalType(6, 2))
@@ -1677,6 +1692,81 @@ object Relational {
             .as("gini"))
     },
 
+    // ROLLUP REPORT — multi-level subtotals in ONE pass (GROUP BY ROLLUP:
+    // detail, per-flag subtotal, grand total — the finance/BI report shape
+    // that otherwise takes 3 scans UNIONed): Spark expands the grouping
+    // sets via a single Expand over the scan (each input row feeds all 3
+    // levels map-side; partial aggregation still combines before the
+    // shuffle), so the cost is one scan regardless of level count.
+    // GROUPING() flags disambiguate a real NULL key from a subtotal row —
+    // the canonical trap this operator exists to solve — and display keys
+    // coalesce to 'ALL' (declared; real values are single letters).
+    // Quantities sum in BIGINT, revenue in DECIMAL(12,2) (the money rule)
+    // cast to double once at the end; ordered by (grouping flags, keys) —
+    // a total order putting details before their subtotal.
+    "q_rollup_report" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(LongType).as("g_status"),
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast(DoubleType).as("revenue"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("g_flag"), col("g_status"), col("n_rows"), col("sum_qty"),
+          col("revenue"))
+        .orderBy("g_flag", "flag", "g_status", "status")
+    },
+
+    // WELCH'S UNEQUAL-VARIANCE t-TEST — the parametric member of the
+    // experiment-readout family (q_ab_test compares binary conversion,
+    // q_mann_whitney compares ranks; this compares MEANS of a continuous
+    // metric without assuming equal variances — the default t-test a
+    // metrics platform should ship, per Welch 1947): per-event spend in
+    // exact integer CENTS by the md5 user coin. ONE map-side-combined
+    // aggregation produces the six sufficient statistics (n, Σx, Σx² per
+    // variant, all BIGINT — Σx² ≈ 4e16 at sf0.1, far under BIGINT); the
+    // t statistic, and the Welch–Satterthwaite df, are one shared double
+    // tree over those exact integers (sample variance via the
+    // (Σx² − (Σx)²/n)/(n−1) identity — fine in double here because the
+    // inputs are exact and both engines run the identical tree). Means
+    // report in dollars. Degenerate variants (n ≤ 1 or zero pooled
+    // variance) yield NULL t/df. Scale: no shuffle at all beyond the
+    // 1-row final agg — the cheapest possible experiment readout.
+    "q_welch_ttest" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("cents",
+          (col("value").cast("decimal(12,2)") * 100).cast(LongType))
+        .withColumn("va", when(expr(
+          "cast(conv(substring(md5(cast(user_id as string)),1,8),16,10) as bigint) % 2") === 0,
+          1L).otherwise(0L))
+      val va = "((CAST(ss_a AS DOUBLE) - CAST(sum_a AS DOUBLE) * sum_a / n_a)" +
+        " / (n_a - 1.0D) / n_a)"
+      val vb = "((CAST(ss_b AS DOUBLE) - CAST(sum_b AS DOUBLE) * sum_b / n_b)" +
+        " / (n_b - 1.0D) / n_b)"
+      ev.agg(
+          sum(col("va")).as("n_a"),
+          sum(lit(1L) - col("va")).as("n_b"),
+          sum(col("va") * col("cents")).as("sum_a"),
+          sum((lit(1L) - col("va")) * col("cents")).as("sum_b"),
+          sum(col("va") * col("cents") * col("cents")).as("ss_a"),
+          sum((lit(1L) - col("va")) * col("cents") * col("cents")).as("ss_b"))
+        .select(col("n_a"), col("n_b"),
+          expr("round(CAST(sum_a AS DOUBLE) / 100.0D / n_a, 6)").as("mean_a"),
+          expr("round(CAST(sum_b AS DOUBLE) / 100.0D / n_b, 6)").as("mean_b"),
+          expr(s"""CASE WHEN n_a > 1 AND n_b > 1 AND $va + $vb > 0.0D
+            |THEN round((CAST(sum_a AS DOUBLE) / n_a -
+            |  CAST(sum_b AS DOUBLE) / n_b) / sqrt($va + $vb), 6)
+            |END""".stripMargin).as("t_stat"),
+          expr(s"""CASE WHEN n_a > 1 AND n_b > 1 AND $va + $vb > 0.0D
+            |THEN round(($va + $vb) * ($va + $vb) /
+            |  ($va * $va / (n_a - 1.0D) + $vb * $vb / (n_b - 1.0D)), 6)
+            |END""".stripMargin).as("df"))
+    },
+
     // MANN-WHITNEY U — the nonparametric sibling of q_ab_test (does one
     // variant's per-user engagement stochastically dominate the other's,
     // with NO normality assumption on the heavily-skewed count
@@ -2027,6 +2117,39 @@ object Relational {
         .orderBy("day")
     },
 
+    // THEIL-SEN ROBUST TREND — the median-of-pairwise-slopes estimator
+    // (Theil 1950/Sen 1968; up to ~29% outlier contamination cannot move
+    // it, where q_ols_regression's least-squares line chases every spike):
+    // daily event counts against an exact integer day index, ALL C(n,2)
+    // pairwise slopes, slope = median; intercept = median(yᵢ − m·iᵢ) using
+    // the ROUNDED slope (rounded at the estimator boundary so both engines
+    // feed the intercept pass the identical m — the fence discipline of
+    // q_outlier_iqr). Exact interpolated medians (Spark `percentile` ≡
+    // DuckDB `quantile_cont`, the q_percentile parity). The pair self-join
+    // is O(days²) ON THE DAILY AGGREGATE BY DESIGN — the corpus-sized work
+    // is the one rollup; at 10⁵ days the scale swap is the repeated-median
+    // or a sampled pair subset, plan shape unchanged.
+    "q_theil_sen" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("ts").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val mind = daily.agg(min("day").as("d0"))
+      val idx = daily.crossJoin(broadcast(mind))
+        .select(datediff(col("day"), col("d0")).cast(LongType).as("i"),
+          col("y"))
+      val slopes = idx.as("a").join(idx.as("b"), col("a.i") < col("b.i"))
+        .select(((col("b.y") - col("a.y")).cast("double") /
+          (col("b.i") - col("a.i"))).as("slope"))
+      val m = slopes.agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("slope_med"))
+      idx.crossJoin(broadcast(m))
+        .agg(count(lit(1)).as("n_days"),
+          min("n_pairs").as("n_pairs"),
+          min("slope_med").as("slope"),
+          round(expr("percentile(y - slope_med * i, 0.5)"), 6)
+            .as("intercept"))
+    },
+
     // HOLT-WINTERS additive seasonal smoothing — the production upgrade of
     // q_holt_linear for traffic that repeats by day-of-week: weekly season
     // (period 7) over the daily event series. α = β = γ = ½ so every
@@ -2051,21 +2174,12 @@ object Relational {
       val daily = t(s, dir, "events")
         .groupBy(col("ts").cast(DateType).as("day"))
         .agg(count(lit(1)).as("x"))
-      val nl = "(0.5D * (e - element_at(a, 3)) + " +
-        "0.5D * (element_at(a, 1) + element_at(a, 2)))"
-      val step = s"(a, e) -> concat(" +
-        s"array($nl, 0.5D * ($nl - element_at(a, 1)) + 0.5D * element_at(a, 2)), " +
-        "slice(a, 4, 6), " +
-        s"array(0.5D * (e - $nl) + 0.5D * element_at(a, 3)))"
-      val l7 = "(aggregate(slice(vals, 1, 7), 0.0D, (a, x) -> a + x) / 7.0D)"
-      val seed = s"concat(array($l7, 0.0D), " +
-        s"transform(slice(vals, 1, 7), x -> x - $l7))"
       daily
         .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("l"))
         .withColumn("vals", expr("transform(l, e -> CAST(e.x AS DOUBLE))"))
         .select(col("l"), col("vals"), posexplode(col("l")))
         .filter(col("pos") >= 7) // seeded from the first full week
-        .withColumn("st", expr(s"aggregate(slice(vals, 8, pos - 6), $seed, $step)"))
+        .withColumn("st", expr(s"aggregate(slice(vals, 8, pos - 6), $hwSeed, $hwStep)"))
         .select(col("col.day").as("day"), col("col.x").as("n_events"),
           round(expr("element_at(st, 1)"), 6).as("level"),
           round(expr("element_at(st, 2)"), 6).as("trend"),
@@ -2073,6 +2187,44 @@ object Relational {
           round(expr("element_at(st, 1) + element_at(st, 2) + element_at(st, 3)"), 6)
             .as("forecast_next"))
         .orderBy("day")
+    },
+
+    // FORECAST BACKTEST (MASE, Hyndman & Koehler 2006) — the evaluation
+    // step q_holt_winters needs before anyone trusts it: walk-forward
+    // one-step-ahead errors of the HW forecast vs the SEASONAL-NAIVE
+    // baseline (x̂ₜ₊₁ = xₜ₊₁₋₇ — the baseline MASE is defined against;
+    // < 1 means the model beats naive out-of-sample). Shares the exact
+    // hwSeed/hwStep recursion text with q_holt_winters (one recursion,
+    // two consumers); each eval day i ∈ [8, n−1] re-folds to its own
+    // state — O(days²) on the daily aggregate BY DESIGN — and both
+    // absolute-error series sum via sorted folds; the MASE ratio divides
+    // the two ROUNDED MAEs (rounded at the statistic boundary, so the
+    // ratio's inputs are bit-identical cross-engine). A zero naive MAE
+    // (perfectly periodic series) yields NULL, not a throw.
+    "q_forecast_mase" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("ts").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("l"))
+        .withColumn("vals", expr("transform(l, e -> CAST(e.x AS DOUBLE))"))
+        .select(col("vals"), posexplode(col("l")))
+        .filter(col("pos") >= 7 && col("pos") <= size(col("vals")) - 2)
+        .withColumn("st", expr(s"aggregate(slice(vals, 8, pos - 6), $hwSeed, $hwStep)"))
+        .withColumn("errm", expr("abs(element_at(vals, pos + 2) - " +
+          "(element_at(st, 1) + element_at(st, 2) + element_at(st, 3)))"))
+        .withColumn("errn", expr(
+          "abs(element_at(vals, pos + 2) - element_at(vals, pos - 5))"))
+        .agg(count(lit(1)).as("n_eval"),
+          expr("aggregate(sort_array(collect_list(errm)), " +
+            "cast(0.0 as double), (a, x) -> a + x)").as("sm"),
+          expr("aggregate(sort_array(collect_list(errn)), " +
+            "cast(0.0 as double), (a, x) -> a + x)").as("sn"))
+        .select(col("n_eval"),
+          round(col("sm") / col("n_eval"), 6).as("mae_model"),
+          round(col("sn") / col("n_eval"), 6).as("mae_naive"),
+          expr("CASE WHEN sn > 0.0D THEN round(round(sm / n_eval, 6) / " +
+            "round(sn / n_eval, 6), 6) END").as("mase"))
     },
 
     // BENFORD'S LAW first-digit audit — the forensic data-quality check
@@ -3151,6 +3303,78 @@ object Relational {
         |    AS gini
         |FROM a""".stripMargin,
 
+    // same one-pass ROLLUP, same GROUPING flags, same money discipline
+    "q_rollup_report" ->
+      """SELECT
+        |  COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, flag, g_status, status""".stripMargin,
+
+    // same md5 coin, same exact integer-cents sufficient statistics, same
+    // Welch t / Satterthwaite-df double trees, same degenerate guard
+    "q_welch_ttest" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS cents,
+        |    CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))
+        |      ::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS va
+        |  FROM events),
+        |a AS (
+        |  SELECT CAST(SUM(va) AS BIGINT) AS n_a,
+        |    CAST(SUM(1 - va) AS BIGINT) AS n_b,
+        |    CAST(SUM(va * cents) AS BIGINT) AS sum_a,
+        |    CAST(SUM((1 - va) * cents) AS BIGINT) AS sum_b,
+        |    CAST(SUM(va * cents * cents) AS BIGINT) AS ss_a,
+        |    CAST(SUM((1 - va) * cents * cents) AS BIGINT) AS ss_b
+        |  FROM e)
+        |SELECT n_a, n_b,
+        |  round(CAST(sum_a AS DOUBLE) / 100.0::DOUBLE / n_a, 6) AS mean_a,
+        |  round(CAST(sum_b AS DOUBLE) / 100.0::DOUBLE / n_b, 6) AS mean_b,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND
+        |    ((CAST(ss_a AS DOUBLE) - CAST(sum_a AS DOUBLE) * sum_a / n_a)
+        |      / (n_a - 1.0::DOUBLE) / n_a) +
+        |    ((CAST(ss_b AS DOUBLE) - CAST(sum_b AS DOUBLE) * sum_b / n_b)
+        |      / (n_b - 1.0::DOUBLE) / n_b) > 0.0::DOUBLE
+        |  THEN round((CAST(sum_a AS DOUBLE) / n_a -
+        |    CAST(sum_b AS DOUBLE) / n_b) / sqrt(
+        |    ((CAST(ss_a AS DOUBLE) - CAST(sum_a AS DOUBLE) * sum_a / n_a)
+        |      / (n_a - 1.0::DOUBLE) / n_a) +
+        |    ((CAST(ss_b AS DOUBLE) - CAST(sum_b AS DOUBLE) * sum_b / n_b)
+        |      / (n_b - 1.0::DOUBLE) / n_b)), 6)
+        |  END AS t_stat,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND
+        |    ((CAST(ss_a AS DOUBLE) - CAST(sum_a AS DOUBLE) * sum_a / n_a)
+        |      / (n_a - 1.0::DOUBLE) / n_a) +
+        |    ((CAST(ss_b AS DOUBLE) - CAST(sum_b AS DOUBLE) * sum_b / n_b)
+        |      / (n_b - 1.0::DOUBLE) / n_b) > 0.0::DOUBLE
+        |  THEN round((
+        |    ((CAST(ss_a AS DOUBLE) - CAST(sum_a AS DOUBLE) * sum_a / n_a)
+        |      / (n_a - 1.0::DOUBLE) / n_a) +
+        |    ((CAST(ss_b AS DOUBLE) - CAST(sum_b AS DOUBLE) * sum_b / n_b)
+        |      / (n_b - 1.0::DOUBLE) / n_b)) * (
+        |    ((CAST(ss_a AS DOUBLE) - CAST(sum_a AS DOUBLE) * sum_a / n_a)
+        |      / (n_a - 1.0::DOUBLE) / n_a) +
+        |    ((CAST(ss_b AS DOUBLE) - CAST(sum_b AS DOUBLE) * sum_b / n_b)
+        |      / (n_b - 1.0::DOUBLE) / n_b)) / (
+        |    ((CAST(ss_a AS DOUBLE) - CAST(sum_a AS DOUBLE) * sum_a / n_a)
+        |      / (n_a - 1.0::DOUBLE) / n_a) *
+        |    ((CAST(ss_a AS DOUBLE) - CAST(sum_a AS DOUBLE) * sum_a / n_a)
+        |      / (n_a - 1.0::DOUBLE) / n_a) / (n_a - 1.0::DOUBLE) +
+        |    ((CAST(ss_b AS DOUBLE) - CAST(sum_b AS DOUBLE) * sum_b / n_b)
+        |      / (n_b - 1.0::DOUBLE) / n_b) *
+        |    ((CAST(ss_b AS DOUBLE) - CAST(sum_b AS DOUBLE) * sum_b / n_b)
+        |      / (n_b - 1.0::DOUBLE) / n_b) / (n_b - 1.0::DOUBLE)), 6)
+        |  END AS df
+        |FROM a""".stripMargin,
+
     // same md5 coin, same per-score histogram + cumulative window, same
     // exact-BIGINT 2U / tie-term / doubled rank sum, same tie-corrected
     // z double tree with the identical degenerate guard
@@ -3438,6 +3662,27 @@ object Relational {
         |  round(st[1] + st[2], 6) AS forecast_next
         |FROM f ORDER BY day""".stripMargin,
 
+    // same integer day index, same C(n,2) pair slopes, same rounded-slope
+    // boundary before the intercept median, same interpolated quantiles
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, COUNT(*) AS y
+        |  FROM events GROUP BY ts::DATE),
+        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+        |idx AS (SELECT CAST(day - d0 AS BIGINT) AS i, y FROM daily, d0),
+        |p AS (
+        |  SELECT (b.y - a.y)::DOUBLE / (b.i - a.i) AS slope
+        |  FROM idx a JOIN idx b ON a.i < b.i),
+        |m AS (
+        |  SELECT COUNT(*) AS n_pairs,
+        |    round(quantile_cont(slope, 0.5), 6) AS slope_med
+        |  FROM p)
+        |SELECT COUNT(*) AS n_days,
+        |  CAST(MIN(n_pairs) AS BIGINT) AS n_pairs,
+        |  MIN(slope_med) AS slope,
+        |  round(quantile_cont(y - slope_med * i, 0.5), 6) AS intercept
+        |FROM idx, m""".stripMargin,
+
     // same first-week decomposition seed, same day-ordered 9-slot list
     // fold with the rotating seasonal queue, same inlined-level IEEE tree
     // (list accumulator — the q_holt_linear struct-fold-bug workaround)
@@ -3479,6 +3724,59 @@ object Relational {
         |  round(st[9], 6) AS season,
         |  round(st[1] + st[2] + st[3], 6) AS forecast_next
         |FROM f ORDER BY day""".stripMargin,
+
+    // same hwSeed/hwStep recursion per eval day, same seasonal-naive
+    // baseline, same sorted error folds + rounded-MAE ratio
+    "q_forecast_mase" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, COUNT(*) AS x
+        |  FROM events GROUP BY ts::DATE),
+        |lst AS (
+        |  SELECT list([x::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+        |    0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE]
+        |    ORDER BY day) AS vals
+        |  FROM daily),
+        |e AS (
+        |  SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+        |f AS (
+        |  SELECT e.i,
+        |    list_reduce(list_concat(
+        |      [list_concat(
+        |        [(list_reduce(list_transform(lst.vals[1:7], v -> v[1]),
+        |            (a, b) -> a + b) / 7.0::DOUBLE), 0.0::DOUBLE],
+        |        list_transform(lst.vals[1:7], v -> v[1] -
+        |          (list_reduce(list_transform(lst.vals[1:7], v2 -> v2[1]),
+        |            (a, b) -> a + b) / 7.0::DOUBLE)))],
+        |      lst.vals[8:e.i]),
+        |      (a, el) -> [
+        |        (0.5::DOUBLE * (el[1] - a[3]) +
+        |          0.5::DOUBLE * (a[1] + a[2])),
+        |        0.5::DOUBLE * ((0.5::DOUBLE * (el[1] - a[3]) +
+        |            0.5::DOUBLE * (a[1] + a[2])) - a[1])
+        |          + 0.5::DOUBLE * a[2],
+        |        a[4], a[5], a[6], a[7], a[8], a[9],
+        |        0.5::DOUBLE * (el[1] - (0.5::DOUBLE * (el[1] - a[3]) +
+        |            0.5::DOUBLE * (a[1] + a[2])))
+        |          + 0.5::DOUBLE * a[3]]) AS st,
+        |    abs(lst.vals[e.i + 1][1] - lst.vals[e.i - 6][1]) AS errn,
+        |    lst.vals[e.i + 1][1] AS nxt
+        |  FROM e CROSS JOIN lst
+        |  WHERE e.i >= 8 AND e.i <= len(lst.vals) - 1),
+        |err AS (
+        |  SELECT abs(nxt - (st[1] + st[2] + st[3])) AS errm, errn FROM f),
+        |g AS (
+        |  SELECT COUNT(*) AS n_eval,
+        |    list_reduce(list_concat([0.0::DOUBLE], list_sort(list(errm))),
+        |      (a, v) -> a + v) AS sm,
+        |    list_reduce(list_concat([0.0::DOUBLE], list_sort(list(errn))),
+        |      (a, v) -> a + v) AS sn
+        |  FROM err)
+        |SELECT n_eval,
+        |  round(sm / n_eval, 6) AS mae_model,
+        |  round(sn / n_eval, 6) AS mae_naive,
+        |  CASE WHEN sn > 0.0::DOUBLE THEN round(round(sm / n_eval, 6) /
+        |    round(sn / n_eval, 6), 6) END AS mase
+        |FROM g""".stripMargin,
 
     // same exact integer digit extraction, same rounded-log10 expected
     // shares, same (n-e)^2/e tree

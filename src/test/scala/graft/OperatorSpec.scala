@@ -1602,6 +1602,127 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(5) - z) < 3e-6, s"z $z vs $r")
   }
 
+  test("welch t-test: brute mean/variance recompute matches t and df") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val r = Relational.queries("q_welch_ttest")(spark, sfDir).collect().head
+    val samples = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("cast(cast(value as decimal(12,2)) * 100 as long) as cents",
+        "cast(conv(substring(md5(cast(user_id as string)),1,8),16,10) as bigint) % 2 = 0 as va")
+      .collect().map(x => (x.getLong(0), x.getBoolean(1)))
+    val (a, b) = samples.partition(_._2)
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    def stats(xs: Array[(Long, Boolean)]) = {
+      val n = xs.length.toDouble
+      val mean = xs.map(_._1).sum / n
+      val s2 = xs.map(x => (x._1 - mean) * (x._1 - mean)).sum / (n - 1)
+      (n, mean, s2)
+    }
+    val ((na, ma, sa), (nb, mb, sb)) = (stats(a), stats(b))
+    assert(math.abs(r.getDouble(2) - ma / 100) < 2e-6, s"mean_a: $r")
+    assert(math.abs(r.getDouble(3) - mb / 100) < 2e-6, s"mean_b: $r")
+    val (va, vb) = (sa / na, sb / nb)
+    val t = (ma - mb) / math.sqrt(va + vb)
+    val df = (va + vb) * (va + vb) / (va * va / (na - 1) + vb * vb / (nb - 1))
+    assert(math.abs(r.getDouble(4) - t) < 2e-5, s"t $t vs $r")
+    assert(math.abs(r.getDouble(5) - df) < 2e-3, s"df $df vs $r")
+    // Welch df is bounded by min(n)-1 below and n_a+n_b-2 above
+    assert(df >= math.min(na, nb) - 1 && df <= na + nb - 2, df.toString)
+  }
+
+  test("theil-sen: brute median-of-pairwise-slopes recompute matches") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_theil_sen")(spark, sfDir).collect().head
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("cast(ts as date) as day").groupBy("day").count()
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    val n = daily.length
+    assert(r.getLong(0) == n && r.getLong(1) == n.toLong * (n - 1) / 2)
+    def median(xs: Array[Double]) = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val slopes = for (i <- (0 until n).toArray; j <- i + 1 until n)
+      yield (daily(j) - daily(i)) / (j - i)
+    val m = median(slopes)
+    assert(math.abs(r.getDouble(2) - m) < 2e-6, s"slope $m vs $r")
+    val icept = median((0 until n).toArray.map(i =>
+      daily(i) - r.getDouble(2) * i))
+    assert(math.abs(r.getDouble(3) - icept) < 2e-6, s"intercept $icept vs $r")
+  }
+
+  test("rollup report: subtotals reconcile level by level") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_rollup_report")(spark, sfDir).collect()
+    val detail = rows.filter(r => r.getLong(2) == 0 && r.getLong(3) == 0)
+    val flagSub = rows.filter(r => r.getLong(2) == 0 && r.getLong(3) == 1)
+    val grand = rows.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(grand.length == 1 && rows.length ==
+      detail.length + flagSub.length + 1)
+    val total = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(grand.head.getLong(4) == total, "grand total row count")
+    assert(detail.map(_.getLong(4)).sum == total)
+    flagSub.foreach { sub =>
+      val d = detail.filter(_.getString(0) == sub.getString(0))
+      assert(sub.getLong(4) == d.map(_.getLong(4)).sum, sub.toString)
+      assert(sub.getLong(5) == d.map(_.getLong(5)).sum, sub.toString)
+      assert(math.abs(sub.getDouble(6) - d.map(_.getDouble(6)).sum) < 1e-6,
+        sub.toString)
+    }
+  }
+
+  test("stratified sample: exactly k per stratum = the k smallest hashes") {
+    val rows = Pipeline.queries("q_stratified_sample")(spark, sfDir).collect()
+    import org.apache.spark.sql.functions._
+    val byHash = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)),1,8),16,10) as bigint)"))
+      .collect().map(r => (r.getString(2), r.getLong(0),
+        r.getLong(r.length - 1)))
+    byHash.map(_._1).distinct.foreach { lang =>
+      val got = rows.filter(_.getString(0) == lang)
+      assert(got.length == 10, s"$lang stratum size")
+      val want = byHash.filter(_._1 == lang)
+        .sortBy(x => (x._3, x._2)).take(10).map(_._2).toSeq
+      assert(got.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq == want,
+        s"$lang sample = 10 smallest hashes in hash order")
+    }
+  }
+
+  test("forecast mase: errors reconcile with the holt-winters replay") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_forecast_mase")(spark, sfDir).collect().head
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("cast(ts as date) as day").groupBy("day").count()
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    val n = daily.length
+    assert(r.getLong(0) == n - 8, "eval days = post-seed days minus last")
+    // replay the recursion; collect one-step errors
+    val l7 = daily.take(7).sum / 7.0
+    var lv = l7; var tr = 0.0
+    var seas = daily.take(7).map(_ - l7)
+    val (em, en) = (Array.newBuilder[Double], Array.newBuilder[Double])
+    for (i <- 7 until n) {
+      val x = daily(i)
+      val sOld = seas(0)
+      val nl = 0.5 * (x - sOld) + 0.5 * (lv + tr)
+      val nt = 0.5 * (nl - lv) + 0.5 * tr
+      val ns = 0.5 * (x - nl) + 0.5 * sOld
+      seas = seas.drop(1) :+ ns
+      if (i + 1 < n) {
+        em += math.abs(daily(i + 1) - (nl + nt + seas(0)))
+        en += math.abs(daily(i + 1) - daily(i - 6))
+      }
+      lv = nl; tr = nt
+    }
+    val maeM = em.result().sum / (n - 8)
+    val maeN = en.result().sum / (n - 8)
+    assert(math.abs(r.getDouble(1) - maeM) < 2e-6, s"mae_model $maeM vs $r")
+    assert(math.abs(r.getDouble(2) - maeN) < 2e-6, s"mae_naive $maeN vs $r")
+    assert(math.abs(r.getDouble(3) - maeM / maeN) < 2e-5, s"mase vs $r")
+  }
+
   test("holt winters: brute recursion replay matches every output column") {
     import graft.operators.Relational
     val rows = Relational.queries("q_holt_winters")(spark, sfDir).collect()

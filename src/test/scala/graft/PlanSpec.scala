@@ -1150,6 +1150,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("stratified sample: WindowGroupLimit bounds per-stratum work before the shuffle") {
+    // top-k-per-group, not a per-stratum full sort: the partial group
+    // limit must appear so a skewed stratum never concentrates into one
+    // reducer's sort at scale
+    val plan = planOf(Pipeline.queries("q_stratified_sample")(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("importance resample: the 64-row delta table broadcasts; no corpus join shuffle") {
     // the per-doc bucket counts must meet the Δ table as a broadcast — a
     // SortMergeJoin would shuffle the corpus-sized (doc, bucket) stream by
