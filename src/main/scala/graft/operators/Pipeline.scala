@@ -2007,6 +2007,42 @@ object Pipeline {
         .orderBy("domain")
     },
 
+    // POISSON BOOTSTRAP CONFIDENCE INTERVAL (Chamandy et al. 2012, "the
+    // bootstrap at scale") — the error bar every corpus statistic should
+    // ship: classical resampling needs n draws WITH replacement per
+    // replica (a shuffle per replica — impossible at 100 TB); the Poisson
+    // trick gives each (row, replica) an independent Poisson(1) weight,
+    // ONE map-side pass for all 32 replicas, and the replica means are
+    // asymptotically the bootstrap distribution. Weights come from the
+    // house md5 coin through the Poisson(1) inverse CDF at basis-point
+    // resolution (thresholds 3679/7358/9197/9810/9963, capped at 5 —
+    // declared constants, identical both engines; deterministic ⇒
+    // reproducible CIs). Replica means are exact-integer ratios; the
+    // 2.5%/97.5% band is the interpolated percentile over the 32-row
+    // replica table (the q_percentile parity). Scale: 32× map-side
+    // expansion is THE bootstrap cost; the only shuffle is the 32-row
+    // replica rollup.
+    "q_bootstrap_ci" -> { (s, dir) =>
+      val rep = docs(s, dir).select(col("doc_id"), col("n_chars"),
+          explode(expr("sequence(0, 31)")).as("r"))
+        .withColumn("u", expr(s"${hExpr(
+          "concat(cast(doc_id as string), ':', cast(r as string))")} % 10000"))
+        .withColumn("w", expr("CASE WHEN u < 3679 THEN 0L " +
+          "WHEN u < 7358 THEN 1L WHEN u < 9197 THEN 2L " +
+          "WHEN u < 9810 THEN 3L WHEN u < 9963 THEN 4L ELSE 5L END"))
+      val means = rep.groupBy("r").agg(
+        (sum(col("w") * col("n_chars")).cast("double") / sum(col("w")))
+          .as("m"))
+      val base = docs(s, dir).agg(count(lit(1)).as("n_docs"),
+        (sum("n_chars").cast("double") / count(lit(1))).as("pm"))
+      means.crossJoin(broadcast(base)).agg(
+        min("n_docs").as("n_docs"),
+        count(lit(1)).as("n_replicas"),
+        round(min("pm"), 6).as("point_mean"),
+        round(expr("percentile(m, 0.025)"), 6).as("ci_lo"),
+        round(expr("percentile(m, 0.975)"), 6).as("ci_hi"))
+    },
+
     // STRATIFIED EXACT-k SAMPLE — the eval-set carve-out every corpus
     // release ships (exactly k docs per language, uniform WITHOUT
     // replacement, seedless and reproducible): order each stratum by the
@@ -3998,6 +4034,38 @@ object Pipeline {
         |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
         |  % 10000 < r2.rate_bp
         |GROUP BY d.domain ORDER BY d.domain""".stripMargin,
+
+    // same (row, replica) md5 coin through the same basis-point
+    // Poisson(1) inverse CDF, same exact replica-mean ratios, same
+    // interpolated band
+    "q_bootstrap_ci" ->
+      """WITH rep AS (
+        |  SELECT doc_id, n_chars, unnest(range(0, 32)) AS r
+        |  FROM documents),
+        |u AS (
+        |  SELECT r, n_chars,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(r AS VARCHAR)),1,8))::BIGINT % 10000 AS u
+        |  FROM rep),
+        |w AS (
+        |  SELECT r, n_chars,
+        |    CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+        |      WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+        |      WHEN u < 9963 THEN 4 ELSE 5 END AS w
+        |  FROM u),
+        |m AS (
+        |  SELECT r, CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w) AS m
+        |  FROM w GROUP BY r),
+        |b AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS pm
+        |  FROM documents)
+        |SELECT CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_replicas,
+        |  round(MIN(pm), 6) AS point_mean,
+        |  round(quantile_cont(m, 0.025), 6) AS ci_lo,
+        |  round(quantile_cont(m, 0.975), 6) AS ci_hi
+        |FROM m, b""".stripMargin,
 
     // same md5 permutation key, same per-stratum rank cut
     "q_stratified_sample" ->

@@ -1721,6 +1721,172 @@ object Relational {
         .orderBy("g_flag", "flag", "g_status", "status")
     },
 
+    // SALTED SKEW JOIN — the canonical hot-key defeat: joining a fact
+    // stream on a 5-value key (event_type) hashes 100 TB into ≤5 reducer
+    // buckets, so the join runs at the speed of one machine no matter the
+    // cluster. The salt manufactures fan-out: the fact side appends
+    // salt = pmod(hash(event_id), 16) (any deterministic spreading works —
+    // the salt never reaches the result), the dim side EXPLODES ×16 so
+    // every (key, salt) pair still finds its dim row, and the join key
+    // becomes (event_type, salt) → 80 balanced buckets. A shuffle_hash
+    // hint pins the shuffled pathway (at demo scale Spark would broadcast
+    // the 5-row dim and hide the pattern; at the pattern's actual scale
+    // the dim is too big to broadcast — that's when you salt). The
+    // above-average flag compares by EXACT integer cross-multiplication
+    // (cents·n > Σcents), no float mean anywhere. The oracle replays the
+    // UNSALTED join — identical results IS the correctness claim. AQE's
+    // skew-join handles sort-merge spills the same way at runtime; the
+    // salt is the static form you reach for when the skew is known.
+    "q_salted_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("cents",
+          (col("value").cast("decimal(12,2)") * 100).cast(LongType))
+      val dim = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_type"), sum("cents").as("sum_cents"))
+      val dimSalted = dim.select(col("event_type"), col("n_type"),
+        col("sum_cents"), explode(expr("sequence(0, 15)")).as("salt"))
+      val fact = ev.withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+      fact.join(dimSalted.hint("shuffle_hash"), Seq("event_type", "salt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("cents") * col("n_type") > col("sum_cents"), 1L)
+            .otherwise(0L)).as("n_above_avg"))
+        .select(col("event_type"), col("n_events"), col("n_above_avg"),
+          round(col("n_above_avg").cast("double") / col("n_events"), 6)
+            .as("share_above"))
+        .orderBy("event_type")
+    },
+
+    // RFM SEGMENTATION — the CRM workhorse (recency / frequency /
+    // monetary quintile scores → named lifecycle segments). The classic
+    // formulation is ntile(5) over the whole user table — a GLOBAL
+    // single-partition sort, exactly what dies at 100 TB users — so this
+    // uses the scale-correct equivalent: quintile FENCES via interpolated
+    // percentiles (12 scalars, rounded 6dp at the fence boundary — the
+    // q_outlier_iqr discipline so a last-ulp difference can't flip a user
+    // across a fence), broadcast as one row, scores assigned MAP-SIDE as
+    // 1 + Σ(threshold crossings) in exact integers. Higher score = better
+    // (recency inverts: smaller gap crosses more '<' fences). Segment
+    // taxonomy is the declared CASE (champion / recent / loyal-at-risk /
+    // hibernating / regular); rollup reports exact-integer averages.
+    // Scale: one user_id shuffle for the rollup, one percentile pass, the
+    // rest map-side — no global sort anywhere.
+    "q_rfm_segments" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("cents",
+          (col("value").cast("decimal(12,2)") * 100).cast(LongType))
+      val mx = ev.agg(max("ts").as("maxt"))
+      // recency at HOUR resolution via exact integer microseconds — day
+      // resolution degenerates on this corpus (nearly every user fires on
+      // the final day, collapsing the R quintiles onto 0)
+      val per = ev.crossJoin(broadcast(mx)).groupBy("user_id", "maxt")
+        .agg(max("ts").as("lastt"), count(lit(1)).as("freq"),
+          sum("cents").as("cents"))
+        .select(col("user_id"),
+          expr("(unix_micros(maxt) - unix_micros(lastt)) div 3600000000")
+            .as("recency"),
+          col("freq"), col("cents"))
+      val fences = per.agg(
+        round(expr("percentile(recency, 0.2)"), 6).as("r20"),
+        round(expr("percentile(recency, 0.4)"), 6).as("r40"),
+        round(expr("percentile(recency, 0.6)"), 6).as("r60"),
+        round(expr("percentile(recency, 0.8)"), 6).as("r80"),
+        round(expr("percentile(freq, 0.2)"), 6).as("f20"),
+        round(expr("percentile(freq, 0.4)"), 6).as("f40"),
+        round(expr("percentile(freq, 0.6)"), 6).as("f60"),
+        round(expr("percentile(freq, 0.8)"), 6).as("f80"),
+        round(expr("percentile(cents, 0.2)"), 6).as("m20"),
+        round(expr("percentile(cents, 0.4)"), 6).as("m40"),
+        round(expr("percentile(cents, 0.6)"), 6).as("m60"),
+        round(expr("percentile(cents, 0.8)"), 6).as("m80"))
+      def score(v: String, fs: Seq[String], op: String) =
+        s"1L + ${fs.map(f => s"(CASE WHEN $v $op $f THEN 1 ELSE 0 END)")
+          .mkString(" + ")}"
+      per.crossJoin(broadcast(fences))
+        .withColumn("r_score",
+          expr(score("recency", Seq("r80", "r60", "r40", "r20"), "<")))
+        .withColumn("f_score",
+          expr(score("freq", Seq("f20", "f40", "f60", "f80"), ">")))
+        .withColumn("m_score",
+          expr(score("cents", Seq("m20", "m40", "m60", "m80"), ">")))
+        .withColumn("segment", expr(
+          """CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            |WHEN r_score >= 4 THEN 'recent'
+            |WHEN f_score >= 4 THEN 'loyal_at_risk'
+            |WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            |ELSE 'regular' END""".stripMargin))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_users"), sum("recency").as("sr"),
+          sum("cents").as("sc"), sum("m_score").as("sm"))
+        .select(col("segment"), col("n_users"),
+          expr("round(CAST(sr AS DOUBLE) / n_users, 6)")
+            .as("avg_recency_h"),
+          expr("round(CAST(sc AS DOUBLE) / 100.0D / n_users, 6)")
+            .as("avg_spend"),
+          expr("round(CAST(sm AS DOUBLE) / n_users, 6)").as("avg_m_score"))
+        .orderBy("segment")
+    },
+
+    // CUPED VARIANCE REDUCTION (Deng et al. 2013, "Improving the
+    // Sensitivity of Online Controlled Experiments" — the adjustment every
+    // mature A/B platform applies before the t-test): per-user POST-period
+    // spend adjusted by the PRE-period covariate, ŷ = y − θ(x − x̄) with
+    // θ = cov(x,y)/var(x), shrinks metric variance by ρ² with zero bias.
+    // Periods self-derive (pre = first 15 days from min date — declared);
+    // x, y in exact integer cents; ONE user rollup then ONE global
+    // aggregation yields every sufficient statistic (n, Σx, Σy, Σx²,
+    // Σxy, Σy², per-variant Σ via the md5 coin — B-side stats derived by
+    // subtraction, so the agg stays six-wide); θ is ROUNDED at the
+    // estimator boundary before the adjusted-diff arithmetic (the
+    // q_theil_sen discipline), ρ² and both experiment diffs are shared
+    // double trees over the exact integers. Degenerate variance yields
+    // NULLs. Scale: one user_id shuffle + a 1-row agg — the readout adds
+    // nothing to the cost of computing the metric itself.
+    "q_cuped" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("cents",
+          (col("value").cast("decimal(12,2)") * 100).cast(LongType))
+        .withColumn("day", col("ts").cast(DateType))
+      val mid = ev.agg(date_add(min("day"), 15).as("mid"))
+      val per = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") < col("mid"), col("cents")).otherwise(0L))
+            .as("x"),
+          sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L))
+            .as("y"))
+        .withColumn("va", when(expr(
+          "cast(conv(substring(md5(cast(user_id as string)),1,8),16,10) as bigint) % 2") === 0,
+          1L).otherwise(0L))
+      val varx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+      val vary = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+      val covn = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+      per.agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("va")).as("n_a"),
+          sum(col("va") * col("x")).as("sx_a"),
+          sum(col("va") * col("y")).as("sy_a"))
+        .withColumn("theta", expr(
+          s"CASE WHEN $varx > 0.0D THEN round($covn / $varx, 6) END"))
+        .select(col("n").as("n_users"), col("theta"),
+          expr(s"""CASE WHEN $varx > 0.0D AND $vary > 0.0D
+            |THEN round($covn * $covn / ($varx * $vary), 6) END"""
+            .stripMargin).as("rho2"),
+          expr("""CASE WHEN n_a > 0 AND n - n_a > 0
+            |THEN round((CAST(sy_a AS DOUBLE) / n_a -
+            |  CAST(sy - sy_a AS DOUBLE) / (n - n_a)) / 100.0D, 6)
+            |END""".stripMargin).as("diff_raw"),
+          expr("""CASE WHEN n_a > 0 AND n - n_a > 0 AND theta IS NOT NULL
+            |THEN round((CAST(sy_a AS DOUBLE) / n_a -
+            |  CAST(sy - sy_a AS DOUBLE) / (n - n_a) -
+            |  theta * (CAST(sx_a AS DOUBLE) / n_a -
+            |    CAST(sx - sx_a AS DOUBLE) / (n - n_a))) / 100.0D, 6)
+            |END""".stripMargin).as("diff_cuped"))
+    },
+
     // WELCH'S UNEQUAL-VARIANCE t-TEST — the parametric member of the
     // experiment-readout family (q_ab_test compares binary conversion,
     // q_mann_whitney compares ranks; this compares MEANS of a continuous
@@ -3302,6 +3468,142 @@ object Relational {
         |  round(u2::DOUBLE / (n_pos::DOUBLE * n_neg) - 1.0::DOUBLE, 6)
         |    AS gini
         |FROM a""".stripMargin,
+
+    // the UNSALTED join — the salt must be invisible in the result
+    "q_salted_join" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |dim AS (
+        |  SELECT event_type, COUNT(*) AS n_type,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM ev GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN e.cents * d.n_type > d.sum_cents
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg,
+        |  round(SUM(CASE WHEN e.cents * d.n_type > d.sum_cents
+        |    THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS share_above
+        |FROM ev e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // same rounded quintile fences, same map-side crossing scores, same
+    // declared segment taxonomy, same exact-integer averages
+    "q_rfm_segments" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |mx AS (SELECT MAX(ts) AS maxt FROM ev),
+        |per AS (
+        |  SELECT user_id,
+        |    CAST((epoch_us(maxt) - epoch_us(MAX(ts))) // 3600000000
+        |      AS BIGINT) AS recency,
+        |    COUNT(*) AS freq, CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM ev, mx GROUP BY user_id, maxt),
+        |f AS (
+        |  SELECT round(quantile_cont(recency, 0.2), 6) AS r20,
+        |    round(quantile_cont(recency, 0.4), 6) AS r40,
+        |    round(quantile_cont(recency, 0.6), 6) AS r60,
+        |    round(quantile_cont(recency, 0.8), 6) AS r80,
+        |    round(quantile_cont(freq, 0.2), 6) AS f20,
+        |    round(quantile_cont(freq, 0.4), 6) AS f40,
+        |    round(quantile_cont(freq, 0.6), 6) AS f60,
+        |    round(quantile_cont(freq, 0.8), 6) AS f80,
+        |    round(quantile_cont(cents, 0.2), 6) AS m20,
+        |    round(quantile_cont(cents, 0.4), 6) AS m40,
+        |    round(quantile_cont(cents, 0.6), 6) AS m60,
+        |    round(quantile_cont(cents, 0.8), 6) AS m80
+        |  FROM per),
+        |sc AS (
+        |  SELECT
+        |    1 + (CASE WHEN recency < r80 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN recency < r60 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN recency < r40 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN recency < r20 THEN 1 ELSE 0 END) AS r_score,
+        |    1 + (CASE WHEN freq > f20 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN freq > f40 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN freq > f60 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN freq > f80 THEN 1 ELSE 0 END) AS f_score,
+        |    1 + (CASE WHEN cents > m20 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN cents > m40 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN cents > m60 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN cents > m80 THEN 1 ELSE 0 END) AS m_score,
+        |    recency, cents
+        |  FROM per, f),
+        |lab AS (
+        |  SELECT CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+        |    WHEN r_score >= 4 THEN 'recent'
+        |    WHEN f_score >= 4 THEN 'loyal_at_risk'
+        |    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |    ELSE 'regular' END AS segment,
+        |    recency, cents, m_score
+        |  FROM sc)
+        |SELECT segment, COUNT(*) AS n_users,
+        |  round(CAST(SUM(recency) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_recency_h,
+        |  round(CAST(SUM(cents) AS DOUBLE) / 100.0::DOUBLE / COUNT(*), 6)
+        |    AS avg_spend,
+        |  round(CAST(SUM(m_score) AS DOUBLE) / COUNT(*), 6) AS avg_m_score
+        |FROM lab GROUP BY segment ORDER BY segment""".stripMargin,
+
+    // same self-derived period split, same exact-cents sufficient
+    // statistics, same boundary-rounded theta, same shared double trees
+    "q_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts::DATE AS day,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |mid AS (SELECT MIN(day) + 15 AS mid FROM ev),
+        |per AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN day < mid THEN cents ELSE 0 END) AS BIGINT)
+        |      AS x,
+        |    CAST(SUM(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT)
+        |      AS y
+        |  FROM ev, mid GROUP BY user_id),
+        |pv AS (
+        |  SELECT x, y, CASE WHEN ('0x'||substr(md5(user_id::VARCHAR),1,8))
+        |    ::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS va
+        |  FROM per),
+        |a AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(va) AS BIGINT) AS n_a,
+        |    CAST(SUM(va * x) AS BIGINT) AS sx_a,
+        |    CAST(SUM(va * y) AS BIGINT) AS sy_a
+        |  FROM pv),
+        |t AS (
+        |  SELECT a.*, CASE WHEN
+        |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0.0::DOUBLE
+        |    THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |      (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+        |    END AS theta
+        |  FROM a)
+        |SELECT n AS n_users, theta,
+        |  CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |      > 0.0::DOUBLE
+        |    AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+        |      > 0.0::DOUBLE
+        |  THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |     (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |  END AS rho2,
+        |  CASE WHEN n_a > 0 AND n - n_a > 0
+        |  THEN round((CAST(sy_a AS DOUBLE) / n_a -
+        |    CAST(sy - sy_a AS DOUBLE) / (n - n_a)) / 100.0::DOUBLE, 6)
+        |  END AS diff_raw,
+        |  CASE WHEN n_a > 0 AND n - n_a > 0 AND theta IS NOT NULL
+        |  THEN round((CAST(sy_a AS DOUBLE) / n_a -
+        |    CAST(sy - sy_a AS DOUBLE) / (n - n_a) -
+        |    theta * (CAST(sx_a AS DOUBLE) / n_a -
+        |      CAST(sx - sx_a AS DOUBLE) / (n - n_a))) / 100.0::DOUBLE, 6)
+        |  END AS diff_cuped
+        |FROM t""".stripMargin,
 
     // same one-pass ROLLUP, same GROUPING flags, same money discipline
     "q_rollup_report" ->

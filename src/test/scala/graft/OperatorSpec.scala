@@ -1602,6 +1602,85 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(5) - z) < 3e-6, s"z $z vs $r")
   }
 
+  test("bootstrap ci: deterministic band brackets the brute point estimate") {
+    val r1 = Pipeline.queries("q_bootstrap_ci")(spark, sfDir).collect().head
+    val r2 = Pipeline.queries("q_bootstrap_ci")(spark, sfDir).collect().head
+    assert(r1 == r2, "md5-coin bootstrap must be exactly reproducible")
+    val chars = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("n_chars").collect().map(_.getLong(0))
+    assert(r1.getLong(0) == chars.length && r1.getLong(1) == 32)
+    val mean = chars.sum.toDouble / chars.length
+    assert(math.abs(r1.getDouble(2) - mean) < 2e-6, s"point mean: $r1")
+    val (lo, hi) = (r1.getDouble(3), r1.getDouble(4))
+    assert(lo < hi, r1.toString)
+    assert(lo > chars.min && hi < chars.max,
+      "replica means live strictly inside the data envelope")
+    assert(lo <= mean && mean <= hi,
+      s"the 95% band should bracket the point estimate: $r1")
+  }
+
+  test("cuped: theta/rho2 reconcile with a brute covariance recompute") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val r = Relational.queries("q_cuped")(spark, sfDir).collect().head
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "cast(ts as date) as day",
+        "cast(cast(value as decimal(12,2)) * 100 as long) as cents")
+    val mid = ev.selectExpr("date_add(min(day), 15) as mid").head.getDate(0)
+    val per = ev.groupBy("user_id")
+      .agg(sum(when(col("day") < lit(mid), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("day") >= lit(mid), col("cents")).otherwise(0L)).as("y"))
+      .collect().map(x => (x.getLong(1).toDouble, x.getLong(2).toDouble))
+    assert(r.getLong(0) == per.length)
+    val n = per.length
+    val (mx, my) = (per.map(_._1).sum / n, per.map(_._2).sum / n)
+    val cov = per.map(p => (p._1 - mx) * (p._2 - my)).sum
+    val vx = per.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    val vy = per.map(p => (p._2 - my) * (p._2 - my)).sum
+    assert(math.abs(r.getDouble(1) - cov / vx) < 1e-4, s"theta: $r")
+    val rho2 = cov * cov / (vx * vy)
+    assert(math.abs(r.getDouble(2) - rho2) < 1e-4, s"rho2: $r")
+    assert(rho2 >= 0 && rho2 <= 1)
+  }
+
+  test("rfm: users conserved, recency ordering holds by construction") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_rfm_segments")(spark, sfDir).collect()
+    val nUsers = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nUsers, "every user segmented once")
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 1 && r.getDouble(4) <= 5, s"m in [1,5]: $r")
+      assert(r.getDouble(2) >= 0, r.toString)
+    }
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    for (c <- byName.get("champion"); h <- byName.get("hibernating"))
+      assert(c.getDouble(2) < h.getDouble(2),
+        "champions are by construction more recent than hibernators")
+  }
+
+  test("salted join: results equal the plain unsalted join") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val salted = Relational.queries("q_salted_join")(spark, sfDir)
+      .collect().toSeq.map(_.toSeq)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_type",
+        "cast(cast(value as decimal(12,2)) * 100 as long) as cents")
+    val dim = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_type"), sum("cents").as("sum_cents"))
+    val naive = ev.join(dim, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("cents") * col("n_type") > col("sum_cents"), 1L)
+          .otherwise(0L)).as("n_above_avg"))
+      .select(col("event_type"), col("n_events"), col("n_above_avg"),
+        round(col("n_above_avg").cast("double") / col("n_events"), 6)
+          .as("share_above"))
+      .orderBy("event_type").collect().toSeq.map(_.toSeq)
+    assert(salted == naive, "the salt must be invisible in the result")
+  }
+
   test("welch t-test: brute mean/variance recompute matches t and df") {
     import graft.operators.Relational
     import org.apache.spark.sql.functions._
