@@ -1721,42 +1721,6 @@ object Relational {
         .orderBy("g_flag", "flag", "g_status", "status")
     },
 
-    // SALTED SKEW JOIN — the canonical hot-key defeat: joining a fact
-    // stream on a 5-value key (event_type) hashes 100 TB into ≤5 reducer
-    // buckets, so the join runs at the speed of one machine no matter the
-    // cluster. The salt manufactures fan-out: the fact side appends
-    // salt = pmod(hash(event_id), 16) (any deterministic spreading works —
-    // the salt never reaches the result), the dim side EXPLODES ×16 so
-    // every (key, salt) pair still finds its dim row, and the join key
-    // becomes (event_type, salt) → 80 balanced buckets. A shuffle_hash
-    // hint pins the shuffled pathway (at demo scale Spark would broadcast
-    // the 5-row dim and hide the pattern; at the pattern's actual scale
-    // the dim is too big to broadcast — that's when you salt). The
-    // above-average flag compares by EXACT integer cross-multiplication
-    // (cents·n > Σcents), no float mean anywhere. The oracle replays the
-    // UNSALTED join — identical results IS the correctness claim. AQE's
-    // skew-join handles sort-merge spills the same way at runtime; the
-    // salt is the static form you reach for when the skew is known.
-    "q_salted_join" -> { (s, dir) =>
-      val ev = t(s, dir, "events")
-        .withColumn("cents",
-          (col("value").cast("decimal(12,2)") * 100).cast(LongType))
-      val dim = ev.groupBy("event_type")
-        .agg(count(lit(1)).as("n_type"), sum("cents").as("sum_cents"))
-      val dimSalted = dim.select(col("event_type"), col("n_type"),
-        col("sum_cents"), explode(expr("sequence(0, 15)")).as("salt"))
-      val fact = ev.withColumn("salt", pmod(hash(col("event_id")), lit(16)))
-      fact.join(dimSalted.hint("shuffle_hash"), Seq("event_type", "salt"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("cents") * col("n_type") > col("sum_cents"), 1L)
-            .otherwise(0L)).as("n_above_avg"))
-        .select(col("event_type"), col("n_events"), col("n_above_avg"),
-          round(col("n_above_avg").cast("double") / col("n_events"), 6)
-            .as("share_above"))
-        .orderBy("event_type")
-    },
-
     // RFM SEGMENTATION — the CRM workhorse (recency / frequency /
     // monetary quintile scores → named lifecycle segments). The classic
     // formulation is ntile(5) over the whole user table — a GLOBAL
@@ -3468,24 +3432,6 @@ object Relational {
         |  round(u2::DOUBLE / (n_pos::DOUBLE * n_neg) - 1.0::DOUBLE, 6)
         |    AS gini
         |FROM a""".stripMargin,
-
-    // the UNSALTED join — the salt must be invisible in the result
-    "q_salted_join" ->
-      """WITH ev AS (
-        |  SELECT event_type,
-        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
-        |  FROM events),
-        |dim AS (
-        |  SELECT event_type, COUNT(*) AS n_type,
-        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
-        |  FROM ev GROUP BY event_type)
-        |SELECT e.event_type, COUNT(*) AS n_events,
-        |  CAST(SUM(CASE WHEN e.cents * d.n_type > d.sum_cents
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg,
-        |  round(SUM(CASE WHEN e.cents * d.n_type > d.sum_cents
-        |    THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS share_above
-        |FROM ev e JOIN dim d USING (event_type)
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     // same rounded quintile fences, same map-side crossing scores, same
     // declared segment taxonomy, same exact-integer averages

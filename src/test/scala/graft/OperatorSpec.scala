@@ -1659,28 +1659,6 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
         "champions are by construction more recent than hibernators")
   }
 
-  test("salted join: results equal the plain unsalted join") {
-    import graft.operators.Relational
-    import org.apache.spark.sql.functions._
-    val salted = Relational.queries("q_salted_join")(spark, sfDir)
-      .collect().toSeq.map(_.toSeq)
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("event_type",
-        "cast(cast(value as decimal(12,2)) * 100 as long) as cents")
-    val dim = ev.groupBy("event_type")
-      .agg(count(lit(1)).as("n_type"), sum("cents").as("sum_cents"))
-    val naive = ev.join(dim, "event_type")
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
-        sum(when(col("cents") * col("n_type") > col("sum_cents"), 1L)
-          .otherwise(0L)).as("n_above_avg"))
-      .select(col("event_type"), col("n_events"), col("n_above_avg"),
-        round(col("n_above_avg").cast("double") / col("n_events"), 6)
-          .as("share_above"))
-      .orderBy("event_type").collect().toSeq.map(_.toSeq)
-    assert(salted == naive, "the salt must be invisible in the result")
-  }
-
   test("welch t-test: brute mean/variance recompute matches t and df") {
     import graft.operators.Relational
     import org.apache.spark.sql.functions._

@@ -1150,16 +1150,6 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("salted join: the shuffled pathway actually runs (no broadcast shortcut)") {
-    // the pattern under demonstration is the (key, salt) shuffle join —
-    // a broadcast of the tiny demo dim would hide exactly the plan shape
-    // being exercised
-    val plan = planOf(graft.operators.Relational
-      .queries("q_salted_join")(spark, sfDir))
-    assert(plan.contains("ShuffledHashJoin"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
-  }
-
   test("stratified sample: WindowGroupLimit bounds per-stratum work before the shuffle") {
     // top-k-per-group, not a per-stratum full sort: the partial group
     // limit must appear so a skewed stratum never concentrates into one
