@@ -1719,6 +1719,47 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // TOKENIZER PARITY AUDIT — the multilingual-equity readout (Petrov et
+    // al. 2023's "language unfairness": a tokenizer trained on a skewed
+    // mix fragments under-represented languages into more tokens, which
+    // taxes their context budget and training signal): encode EVERY word
+    // with the SAME trained 3-merge BPE ([[bpeTrainMerges]] — one training
+    // implementation, third consumer) and roll fertility (tokens/word),
+    // chars/token, and the parity ratio vs the 'en' anchor up PER
+    // LANGUAGE. Parity divides the two ROUNDED fertilities (boundary
+    // discipline). Scale: the encode is map-side regex over words (the
+    // q_bpe_encode path), the rollup is ≤|langs| rows; the anchor is a
+    // 1-row broadcast.
+    "q_tokenizer_parity" -> { (s, dir) =>
+      val merges = bpeTrainMerges(s, dir, 3)
+      val enc0 = docsPar(s, dir)
+        .select(col("lang"), explode(split(col("text"), " +")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .withColumn("syms",
+          concat(lit(" "), concat_ws(" ", split(col("word"), "")), lit(" ")))
+      val enc = merges.foldLeft(enc0) { (df, m) =>
+        df.withColumn("syms", regexp_replace(col("syms"),
+          java.util.regex.Pattern.quote(s" $m "),
+          java.util.regex.Matcher.quoteReplacement(s" ${m.replace(" ", "")} ")))
+      }
+      val per = enc
+        .select(col("lang"), length(col("word")).cast("long").as("wlen"),
+          size(split(trim(col("syms")), " ")).cast("long").as("ntok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), sum("ntok").as("n_tokens"),
+          sum("wlen").as("n_chars"))
+        .withColumn("fertility", round(col("n_tokens") / col("n_words"), 6))
+        .withColumn("chars_per_token",
+          round(col("n_chars") / col("n_tokens"), 6))
+      val en = per.filter(col("lang") === "en")
+        .select(col("fertility").as("f_en"))
+      per.crossJoin(broadcast(en))
+        .withColumn("parity", round(col("fertility") / col("f_en"), 6))
+        .select("lang", "n_words", "n_tokens", "fertility",
+          "chars_per_token", "parity")
+        .orderBy("lang")
+    },
+
     // UNIGRAM-LM TOKENIZER TRAINER — the SentencePiece family next to BPE
     // (Kudo 2018): hard-EM over a capped seed vocab. Seed = every single
     // char of the top-200 word table (coverage guarantee: the all-chars
@@ -3811,6 +3852,95 @@ object Pipeline {
         |  round(SUM(len(string_split(trim(syms), ' '))) * 1.0 / COUNT(*), 6)
         |    AS fertility
         |FROM e3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same re-derived 3-merge training (the q_bpe_encode CTE prefix), same
+    // per-lang encode + rollup, same rounded-fertility parity ratio
+    "q_tokenizer_parity" ->
+      """WITH w0 AS (
+        |  SELECT word, COUNT(*) AS wc FROM (
+        |    SELECT unnest(string_split_regex(text, ' +')) AS word
+        |    FROM documents) t
+        |  WHERE length(word) >= 2 GROUP BY 1),
+        |top AS (
+        |  SELECT word, wc FROM (
+        |    SELECT word, wc,
+        |      row_number() OVER (ORDER BY wc DESC, word ASC) AS rn
+        |    FROM w0) z WHERE rn <= 200),
+        |s0 AS (
+        |  SELECT wc,
+        |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS syms
+        |  FROM top),
+        |p1 AS (
+        |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        |    SELECT wc, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT wc, string_split(trim(syms), ' ') AS l FROM s0) q)
+        |  GROUP BY 1),
+        |b1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |s1 AS (
+        |  SELECT wc, replace(syms,
+        |    ' ' || (SELECT pair FROM b1) || ' ',
+        |    ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS syms
+        |  FROM s0),
+        |p2 AS (
+        |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        |    SELECT wc, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT wc, string_split(trim(syms), ' ') AS l FROM s1) q)
+        |  GROUP BY 1),
+        |b2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |s2 AS (
+        |  SELECT wc, replace(syms,
+        |    ' ' || (SELECT pair FROM b2) || ' ',
+        |    ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS syms
+        |  FROM s1),
+        |p3 AS (
+        |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        |    SELECT wc, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT wc, string_split(trim(syms), ' ') AS l FROM s2) q)
+        |  GROUP BY 1),
+        |b3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |dw AS (
+        |  SELECT lang, word FROM (
+        |    SELECT lang, unnest(string_split_regex(text, ' +')) AS word
+        |    FROM documents) t
+        |  WHERE length(word) >= 1),
+        |e0 AS (
+        |  SELECT lang, length(word) AS wlen,
+        |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS syms
+        |  FROM dw),
+        |e1 AS (
+        |  SELECT lang, wlen, replace(syms,
+        |    ' ' || (SELECT pair FROM b1) || ' ',
+        |    ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS syms
+        |  FROM e0),
+        |e2 AS (
+        |  SELECT lang, wlen, replace(syms,
+        |    ' ' || (SELECT pair FROM b2) || ' ',
+        |    ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS syms
+        |  FROM e1),
+        |e3 AS (
+        |  SELECT lang, wlen, replace(syms,
+        |    ' ' || (SELECT pair FROM b3) || ' ',
+        |    ' ' || replace((SELECT pair FROM b3), ' ', '') || ' ') AS syms
+        |  FROM e2),
+        |per AS (
+        |  SELECT lang,
+        |    CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(len(string_split(trim(syms), ' '))) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(SUM(wlen) AS BIGINT) AS n_chars
+        |  FROM e3 GROUP BY lang),
+        |pf AS (
+        |  SELECT lang, n_words, n_tokens,
+        |    round(n_tokens * 1.0 / n_words, 6) AS fertility,
+        |    round(n_chars * 1.0 / n_tokens, 6) AS chars_per_token
+        |  FROM per),
+        |en AS (SELECT fertility AS f_en FROM pf WHERE lang = 'en')
+        |SELECT lang, n_words, n_tokens, fertility, chars_per_token,
+        |  round(fertility / f_en, 6) AS parity
+        |FROM pf, en ORDER BY lang""".stripMargin,
 
     // unrolled 2-round hard-EM: same vocab derivation, same per-myriad
     // integer likelihoods (floor 1), same 8-factor-padded HUGEINT product

@@ -1791,6 +1791,32 @@ object Relational {
         .orderBy("segment")
     },
 
+    // WILSON LOWER-BOUND RANKING (Wilson 1927 via the Agresti/"how not to
+    // sort by average rating" discipline) — ranking groups by a raw
+    // success rate promotes tiny-n flukes; the Wilson score interval's
+    // lower bound penalizes exactly by sample size, which is how real
+    // leaderboards/quality gates sort. Here: per-source share of 'en'
+    // documents (the corpus-quality readout a mixture designer ranks
+    // sources by). n and k are exact integers from ONE map-side-combined
+    // rollup; the bound is one shared double tree (z = 1.96 declared,
+    // z² spelled as 1.96·1.96 so both engines build the identical
+    // product), ordered by the ROUNDED bound with a source tiebreak —
+    // a total order. Scale: ≤|sources| rows after a single pass.
+    "q_wilson_rank" -> { (s, dir) =>
+      val ph = "(CAST(n_en AS DOUBLE) / n_docs)"
+      val lo = s"($ph + 1.96D * 1.96D / (2.0D * n_docs) - " +
+        s"1.96D * sqrt(($ph * (1.0D - $ph) + " +
+        "1.96D * 1.96D / (4.0D * n_docs)) / n_docs)) / " +
+        "(1.0D + 1.96D * 1.96D / n_docs)"
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .withColumn("p_hat", round(expr(ph), 6))
+        .withColumn("wilson_lo", round(expr(lo), 6))
+        .orderBy(col("wilson_lo").desc, col("source").asc)
+    },
+
     // CUPED VARIANCE REDUCTION (Deng et al. 2013, "Improving the
     // Sensitivity of Online Controlled Experiments" — the adjustment every
     // mature A/B platform applies before the t-test): per-user POST-period
@@ -2317,6 +2343,40 @@ object Relational {
           round(expr("element_at(st, 1) + element_at(st, 2) + element_at(st, 3)"), 6)
             .as("forecast_next"))
         .orderBy("day")
+    },
+
+    // AUTOCORRELATION FUNCTION (ACF, lags 1..7) — the diagnostic that
+    // TELLS you the weekly season q_holt_winters assumes is real (a
+    // spike at lag 7 over the daily series) and that q_holt_linear's
+    // residual independence holds: r_k = Σ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σ(xₜ−x̄)².
+    // The day-ordered value list is collected ONCE; mean, denominator and
+    // every lag's numerator fold IN INDEX ORDER (aligned-slice zip_with —
+    // a fixed order needs no sort, and both engines run the identical
+    // IEEE sum), so all 7 lags are map-side expressions over one ≤|days|
+    // array. A constant series (zero variance) yields NULL. Scale: the
+    // corpus-sized work is only the daily rollup (the E65/E82 shape).
+    "q_acf" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("ts").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("l"))
+        .withColumn("vals", expr("transform(l, e -> CAST(e.x AS DOUBLE))"))
+        .withColumn("n", size(col("vals")))
+        .withColumn("m", expr(
+          "aggregate(vals, 0.0D, (a, x) -> a + x) / CAST(n AS DOUBLE)"))
+        .withColumn("den", expr("aggregate(transform(vals, " +
+          "x -> (x - m) * (x - m)), 0.0D, (a, x) -> a + x)"))
+        .select(col("vals"), col("n"), col("m"), col("den"),
+          explode(expr("sequence(1, 7)")).as("lag"))
+        .withColumn("num", expr(
+          "aggregate(zip_with(slice(vals, 1, n - lag), " +
+            "slice(vals, 1 + lag, n - lag), " +
+            "(u, v) -> (u - m) * (v - m)), 0.0D, (a, x) -> a + x)"))
+        .select(col("lag").cast(LongType).as("lag"),
+          round(expr("CASE WHEN den > 0.0D THEN num / den END"), 6)
+            .as("acf"))
+        .orderBy("lag")
     },
 
     // FORECAST BACKTEST (MASE, Hyndman & Koehler 2006) — the evaluation
@@ -3493,6 +3553,25 @@ object Relational {
         |  round(CAST(SUM(m_score) AS DOUBLE) / COUNT(*), 6) AS avg_m_score
         |FROM lab GROUP BY segment ORDER BY segment""".stripMargin,
 
+    // same exact integer n/k, same 1.96·1.96 double tree, same total order
+    "q_wilson_rank" ->
+      """WITH g AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_en
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_en,
+        |  round((CAST(n_en AS DOUBLE) / n_docs), 6) AS p_hat,
+        |  round(((CAST(n_en AS DOUBLE) / n_docs) +
+        |    1.96::DOUBLE * 1.96::DOUBLE / (2.0::DOUBLE * n_docs) -
+        |    1.96::DOUBLE * sqrt(((CAST(n_en AS DOUBLE) / n_docs) *
+        |      (1.0::DOUBLE - (CAST(n_en AS DOUBLE) / n_docs)) +
+        |      1.96::DOUBLE * 1.96::DOUBLE / (4.0::DOUBLE * n_docs))
+        |      / n_docs)) /
+        |    (1.0::DOUBLE + 1.96::DOUBLE * 1.96::DOUBLE / n_docs), 6)
+        |    AS wilson_lo
+        |FROM g ORDER BY wilson_lo DESC, source ASC""".stripMargin,
+
     // same self-derived period split, same exact-cents sufficient
     // statistics, same boundary-rounded theta, same shared double trees
     "q_cuped" ->
@@ -3972,6 +4051,36 @@ object Relational {
         |  round(st[9], 6) AS season,
         |  round(st[1] + st[2] + st[3], 6) AS forecast_next
         |FROM f ORDER BY day""".stripMargin,
+
+    // same day-ordered list, same index-order folds per lag, same
+    // zero-variance guard
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, COUNT(*) AS x
+        |  FROM events GROUP BY ts::DATE),
+        |lst AS (SELECT list(x::DOUBLE ORDER BY day) AS vals FROM daily),
+        |s AS (
+        |  SELECT vals, len(vals) AS n,
+        |    list_reduce(list_concat([0.0::DOUBLE], vals), (a, b) -> a + b)
+        |      / CAST(len(vals) AS DOUBLE) AS m
+        |  FROM lst),
+        |s2 AS (
+        |  SELECT vals, n, m,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(vals, x -> (x - m) * (x - m))),
+        |      (a, b) -> a + b) AS den
+        |  FROM s),
+        |k AS (
+        |  SELECT vals, n, m, den, unnest(range(1, 8)) AS lag FROM s2),
+        |r AS (
+        |  SELECT lag, CASE WHEN den > 0.0::DOUBLE THEN
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(range(1, n - lag + 1),
+        |        t -> (vals[t] - m) * (vals[t + lag] - m))),
+        |      (a, b) -> a + b) / den END AS acf0
+        |  FROM k)
+        |SELECT CAST(lag AS BIGINT) AS lag, round(acf0, 6) AS acf
+        |FROM r ORDER BY lag""".stripMargin,
 
     // same hwSeed/hwStep recursion per eval day, same seasonal-naive
     // baseline, same sorted error folds + rounded-MAE ratio

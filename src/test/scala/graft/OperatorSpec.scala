@@ -1602,6 +1602,60 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(5) - z) < 3e-6, s"z $z vs $r")
   }
 
+  test("acf: brute lag correlation recompute matches, bounded") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_acf")(spark, sfDir).collect()
+    assert(rows.length == 7)
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("cast(ts as date) as day").groupBy("day").count()
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    val n = daily.length
+    val m = daily.sum / n
+    val den = daily.map(x => (x - m) * (x - m)).sum
+    rows.foreach { r =>
+      val k = r.getLong(0).toInt
+      val num = (0 until n - k).map(t => (daily(t) - m) * (daily(t + k) - m)).sum
+      assert(math.abs(r.getDouble(1) - num / den) < 2e-6, s"lag $k: $r")
+      assert(r.getDouble(1) >= -1 - 1e-9 && r.getDouble(1) <= 1 + 1e-9)
+    }
+  }
+
+  test("wilson rank: bound recomputes, penalizes, and orders the output") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_wilson_rank")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val z = 1.96
+    rows.foreach { r =>
+      val (n, k) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      val p = k / n
+      assert(math.abs(r.getDouble(3) - p) < 2e-6, r.toString)
+      val lo = (p + z * z / (2 * n) -
+        z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) / (1 + z * z / n)
+      assert(math.abs(r.getDouble(4) - lo) < 2e-6, s"wilson: $r vs $lo")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1, r.toString)
+      // the bound's whole point: it sits strictly under the raw rate
+      if (k > 0) assert(r.getDouble(4) < r.getDouble(3), r.toString)
+    }
+    val los = rows.map(_.getDouble(4))
+    assert(los.zip(los.tail).forall { case (a, b) => a >= b },
+      "ranked by the lower bound, descending")
+  }
+
+  test("tokenizer parity: en anchors at 1, fertility/compression bounded") {
+    val rows = Pipeline.queries("q_tokenizer_parity")(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("en", "de", "es", "fr", "zh"))
+    val en = rows.find(_.getString(0) == "en").get
+    assert(en.getDouble(5) == 1.0, s"the anchor's parity is exactly 1: $en")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"every word is at least one token: $r")
+      assert(r.getDouble(3) >= 1.0, s"fertility >= 1: $r")
+      assert(r.getDouble(4) >= 1.0, s"every token has >= 1 char: $r")
+      assert(r.getDouble(5) > 0, r.toString)
+    }
+  }
+
   test("bootstrap ci: deterministic band brackets the brute point estimate") {
     val r1 = Pipeline.queries("q_bootstrap_ci")(spark, sfDir).collect().head
     val r2 = Pipeline.queries("q_bootstrap_ci")(spark, sfDir).collect().head
