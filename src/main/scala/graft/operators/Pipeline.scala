@@ -2945,6 +2945,66 @@ object Pipeline {
         .orderBy("c_nationkey")
     },
 
+    // ER THRESHOLD SWEEP — the tuning curve a record-linkage operator
+    // ships with (Fellegi-Sunter in practice: pick τ by the
+    // precision/recall tradeoff, don't guess it): the EXACT q_entity_match
+    // blocked-pair + native Jaro-Winkler DAG re-read as a CLASSIFIER
+    // (pair is a match ⟺ jw ≥ τ) and swept over τ ∈ {.90,.95,.96,.97,
+    // .98} — the grid where this corruption's tradeoff actually moves
+    // (the shared 'Customer#' prefix Winkler-inflates every blocked pair
+    // past .9, so the informative band sits high; finding THAT is what a
+    // sweep is for). Ground truth is free (dirty_key = clean_key by
+    // construction), so TP/FP/FN are exact integer conditional sums — the
+    // SAME one scored-pair pass serves all four thresholds via a 4-row
+    // explode, and F1 composes the ROUNDED precision/recall (boundary
+    // discipline). jw compares as the rounded DECIMAL(8,6) against exact
+    // decimal thresholds — no float sits on a decision boundary. Scale:
+    // blocked equi-join (never all-pairs) + map-side threshold grid +
+    // ≤4-row rollup.
+    "q_er_threshold_sweep" -> { (s, dir) =>
+      registerNativeFns(s)
+      val c = Tables.load(s, dir, "customer")
+      val clean = c.select(col("c_custkey").as("clean_key"),
+        col("c_name").as("clean_name"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      val dirty = c.select(col("c_custkey").as("dirty_key"),
+        concat(lit("Customer#"), reverse(substring(col("c_name"), 10, 9)))
+          .as("dirty_name"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      val pairs = dirty.join(clean, Seq("nk", "seg"))
+        .withColumn("jw",
+          round(expr("graft_jaro_winkler(dirty_name, clean_name)"), 6)
+            .cast("decimal(8,6)"))
+        .select(col("dirty_key"), col("clean_key"), col("jw"))
+      pairs
+        .select(col("dirty_key"), col("clean_key"), col("jw"),
+          explode(expr("array(CAST(0.90 AS DECIMAL(8,6)), " +
+            "CAST(0.95 AS DECIMAL(8,6)), CAST(0.96 AS DECIMAL(8,6)), " +
+            "CAST(0.97 AS DECIMAL(8,6)), CAST(0.98 AS DECIMAL(8,6)))"))
+            .as("tau"))
+        .groupBy("tau")
+        .agg(
+          sum(when(col("jw") >= col("tau"), 1L).otherwise(0L))
+            .as("n_predicted"),
+          sum(when(col("dirty_key") === col("clean_key"), 1L).otherwise(0L))
+            .as("n_true"),
+          sum(when(col("jw") >= col("tau") &&
+              col("dirty_key") === col("clean_key"), 1L).otherwise(0L))
+            .as("n_tp"))
+        .withColumn("precision_r", expr("CASE WHEN n_predicted > 0 THEN " +
+          "round(CAST(n_tp AS DOUBLE) / n_predicted, 6) END"))
+        .withColumn("recall_r", expr("CASE WHEN n_true > 0 THEN " +
+          "round(CAST(n_tp AS DOUBLE) / n_true, 6) END"))
+        .withColumn("f1", expr(
+          "CASE WHEN precision_r + recall_r > 0.0D THEN round(" +
+            "2.0D * precision_r * recall_r / (precision_r + recall_r), 6)" +
+            " END"))
+        .select(col("tau").cast("double").as("tau"), col("n_predicted"),
+          col("n_tp"), col("n_true"), col("precision_r").as("precision"),
+          col("recall_r").as("recall"), col("f1"))
+        .orderBy("tau")
+    },
+
     // RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
     // keyword miner next to q_textrank (graph ranks single words; RAKE
     // scores PHRASES): candidate phrases are maximal runs of non-stopwords
@@ -5013,6 +5073,56 @@ object Pipeline {
         |  round(SUM(jw)::DOUBLE / COUNT(*), 6) AS avg_top1_jw
         |FROM t1 WHERE rn = 1
         |GROUP BY nk ORDER BY nk""".stripMargin,
+
+    // same blocked pairs + DuckDB's own jaro_winkler_similarity (fuzz-
+    // proven bit-equal to the native expression), same decimal threshold
+    // grid, same rounded-P/R F1 composition
+    "q_er_threshold_sweep" ->
+      """WITH clean AS (
+        |  SELECT c_custkey AS clean_key, c_name AS clean_name,
+        |    c_nationkey AS nk, c_mktsegment AS seg
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS dirty_key,
+        |    'Customer#' || reverse(substr(c_name, 10, 9)) AS dirty_name,
+        |    c_nationkey AS nk, c_mktsegment AS seg
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT d.dirty_key, c.clean_key,
+        |    CAST(round(jaro_winkler_similarity(d.dirty_name, c.clean_name),
+        |      6) AS DECIMAL(8,6)) AS jw
+        |  FROM dirty d JOIN clean c ON c.nk = d.nk AND c.seg = d.seg),
+        |sw AS (
+        |  SELECT p.*, t.tau FROM pairs p CROSS JOIN (
+        |    SELECT unnest([CAST(0.90 AS DECIMAL(8,6)),
+        |      CAST(0.95 AS DECIMAL(8,6)), CAST(0.96 AS DECIMAL(8,6)),
+        |      CAST(0.97 AS DECIMAL(8,6)), CAST(0.98 AS DECIMAL(8,6))])
+        |      AS tau) t),
+        |g AS (
+        |  SELECT tau,
+        |    CAST(SUM(CASE WHEN jw >= tau THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_predicted,
+        |    CAST(SUM(CASE WHEN dirty_key = clean_key THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_true,
+        |    CAST(SUM(CASE WHEN jw >= tau AND dirty_key = clean_key
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_tp
+        |  FROM sw GROUP BY tau),
+        |pr AS (
+        |  SELECT g.*,
+        |    CASE WHEN n_predicted > 0
+        |      THEN round(CAST(n_tp AS DOUBLE) / n_predicted, 6)
+        |    END AS precision_r,
+        |    CASE WHEN n_true > 0
+        |      THEN round(CAST(n_tp AS DOUBLE) / n_true, 6)
+        |    END AS recall_r
+        |  FROM g)
+        |SELECT CAST(tau AS DOUBLE) AS tau, n_predicted, n_tp, n_true,
+        |  precision_r AS "precision", recall_r AS recall,
+        |  CASE WHEN precision_r + recall_r > 0.0::DOUBLE
+        |    THEN round(2.0::DOUBLE * precision_r * recall_r /
+        |      (precision_r + recall_r), 6)
+        |  END AS f1
+        |FROM pr ORDER BY tau""".stripMargin,
 
     // same top-5 stopword derivation, same cumulative-stopword run ids,
     // same DECIMAL(12,6) word scores and exact-decimal top-20 cut

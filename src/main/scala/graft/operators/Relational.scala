@@ -1791,6 +1791,46 @@ object Relational {
         .orderBy("segment")
     },
 
+    // k-ANONYMITY / l-DIVERSITY AUDIT (Sweeney 2002 / Machanavajjhala
+    // 2007) — the re-identification risk readout a governance pipeline
+    // runs before releasing a dataset: quasi-identifier = (nationkey,
+    // mktsegment) — the columns an attacker links on — and the sensitive
+    // attribute is the account-balance band (exact integer cents div
+    // 100 000, so the band edge can never float-drift). A QI group
+    // smaller than k = 5 (declared) re-identifies its members; a group
+    // with few distinct sensitive values leaks the attribute even at
+    // size ≥ k (that's l-diversity — the homogeneity attack k-anonymity
+    // alone misses). ONE QI rollup computes sizes + per-group distinct
+    // bands; the summary is a second ≤|groups| aggregation, all exact
+    // integers until the final ratios. Scale: group-by + distinct-count
+    // partials, nothing else; at 100 TB the distinct-count swaps to HLL
+    // with the same plan shape.
+    "q_k_anonymity" -> { (s, dir) =>
+      val g = t(s, dir, "customer")
+        .withColumn("band",
+          expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " div 100000"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("gsize"),
+          countDistinct("band").as("l_div"))
+      g.agg(
+          count(lit(1)).as("n_groups"),
+          sum("gsize").as("n_customers"),
+          sum(when(col("gsize") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+          sum(when(col("gsize") < 5, col("gsize")).otherwise(0L))
+            .as("n_exposed"),
+          min("gsize").as("min_k"),
+          min("l_div").as("min_l"),
+          sum("l_div").as("sum_l"))
+        .select(col("n_groups"), col("n_customers"), col("n_small_groups"),
+          col("n_exposed"),
+          round(col("n_exposed").cast("double") / col("n_customers"), 6)
+            .as("exposed_share"),
+          col("min_k"), col("min_l"),
+          round(col("sum_l").cast("double") / col("n_groups"), 6)
+            .as("avg_l"))
+    },
+
     // WILSON LOWER-BOUND RANKING (Wilson 1927 via the Agresti/"how not to
     // sort by average rating" discipline) — ranking groups by a raw
     // success rate promotes tiny-n flukes; the Wilson score interval's
@@ -3552,6 +3592,27 @@ object Relational {
         |    AS avg_spend,
         |  round(CAST(SUM(m_score) AS DOUBLE) / COUNT(*), 6) AS avg_m_score
         |FROM lab GROUP BY segment ORDER BY segment""".stripMargin,
+
+    // same QI rollup, same exact band edges, same k=5 / distinct-band
+    // accounting
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS gsize,
+        |    CAST(COUNT(DISTINCT CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+        |      AS BIGINT) // 100000) AS BIGINT) AS l_div
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT COUNT(*) AS n_groups,
+        |  CAST(SUM(gsize) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN gsize < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(SUM(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT)
+        |    AS n_exposed,
+        |  round(SUM(CASE WHEN gsize < 5 THEN gsize ELSE 0 END)::DOUBLE /
+        |    SUM(gsize), 6) AS exposed_share,
+        |  CAST(MIN(gsize) AS BIGINT) AS min_k,
+        |  CAST(MIN(l_div) AS BIGINT) AS min_l,
+        |  round(SUM(l_div)::DOUBLE / COUNT(*), 6) AS avg_l
+        |FROM g""".stripMargin,
 
     // same exact integer n/k, same 1.96·1.96 double tree, same total order
     "q_wilson_rank" ->

@@ -1602,6 +1602,44 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(5) - z) < 3e-6, s"z $z vs $r")
   }
 
+  test("k-anonymity: brute QI group recount reconciles every statistic") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_k_anonymity")(spark, sfDir).collect().head
+    val groups = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_nationkey", "c_mktsegment",
+        "cast(cast(c_acctbal as decimal(12,2)) * 100 as long) div 100000 as band")
+      .collect().map(x => ((x.getInt(0), x.getString(1)), x.getLong(2)))
+      .groupBy(_._1).toSeq.map { case (_, xs) =>
+        (xs.length.toLong, xs.map(_._2).distinct.length.toLong) }
+    assert(r.getLong(0) == groups.length, "group count")
+    assert(r.getLong(1) == groups.map(_._1).sum, "customers conserved")
+    assert(r.getLong(2) == groups.count(_._1 < 5), "small groups")
+    assert(r.getLong(3) == groups.filter(_._1 < 5).map(_._1).sum, "exposed")
+    assert(r.getLong(5) == groups.map(_._1).min, "min k")
+    assert(r.getLong(6) == groups.map(_._2).min, "min l")
+    assert(r.getLong(6) >= 1 && r.getDouble(7) >= r.getLong(6))
+  }
+
+  test("er threshold sweep: predictions shrink with tau, full recall at the floor") {
+    val rows = Pipeline.queries("q_er_threshold_sweep")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(2) <= r.getLong(3),
+        s"TP bounded by predictions and truth: $r")
+    }
+    val preds = rows.map(_.getLong(1))
+    assert(preds.zip(preds.tail).forall { case (a, b) => a >= b },
+      "raising tau can only shrink the predicted set")
+    val tps = rows.map(_.getLong(2))
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b })
+    // the reversed-digit corruption preserves the char multiset, so every
+    // true pair stays above the .90 floor — recall there is exactly 1
+    assert(rows.head.getDouble(5) == 1.0, rows.head.toString)
+    assert(rows.map(_.getLong(3)).distinct.length == 1,
+      "ground-truth count is threshold-independent")
+  }
+
   test("acf: brute lag correlation recompute matches, bounded") {
     import graft.operators.Relational
     val rows = Relational.queries("q_acf")(spark, sfDir).collect()
