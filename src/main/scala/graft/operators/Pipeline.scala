@@ -2084,18 +2084,20 @@ object Pipeline {
         round(expr("percentile(m, 0.975)"), 6).as("ci_hi"))
     },
 
-    // STRATIFIED EXACT-k SAMPLE — the eval-set carve-out every corpus
+    // STRATIFIED EXACT-k CARVE-OUT — the eval-set cut every corpus
     // release ships (exactly k docs per language, uniform WITHOUT
-    // replacement, seedless and reproducible): order each stratum by the
-    // portable md5 hash (hash order ≡ a random permutation fixed across
-    // runs/engines — the house coin, used as a SHUFFLE KEY this time) and
-    // keep rank ≤ 10 (declared k). Scale: this is top-k-per-group, not a
-    // per-stratum full sort — Spark's WindowGroupLimit (3.5+) inserts a
-    // partial per-partition limit BEFORE the shuffle, so each map task
-    // forwards at most k rows per stratum and a skewed stratum (one lang
-    // = 90% of 100 TB) never concentrates into one reducer's sort
-    // (PlanSpec pins the WindowGroupLimit node).
-    "q_stratified_sample" -> { (s, dir) =>
+    // replacement, seedless and reproducible — the EXACT-COUNT complement
+    // of q_stratified_sample's per-language RATES): order each stratum by
+    // the portable md5 hash (hash order ≡ a random permutation fixed
+    // across runs/engines — the house coin, used as a SHUFFLE KEY this
+    // time) and keep rank ≤ 10 (declared k). Scale: this is
+    // top-k-per-group, not a per-stratum full sort — Spark's
+    // WindowGroupLimit (3.5+) inserts a partial per-partition limit
+    // BEFORE the shuffle, so each map task forwards at most k rows per
+    // stratum and a skewed stratum (one lang = 90% of 100 TB) never
+    // concentrates into one reducer's sort (PlanSpec pins the
+    // WindowGroupLimit node).
+    "q_stratified_topk" -> { (s, dir) =>
       docs(s, dir)
         .withColumn("h", expr(hExpr("cast(doc_id as string)")))
         .withColumn("rn", row_number().over(
@@ -4258,7 +4260,7 @@ object Pipeline {
         |FROM m, b""".stripMargin,
 
     // same md5 permutation key, same per-stratum rank cut
-    "q_stratified_sample" ->
+    "q_stratified_topk" ->
       """WITH d AS (
         |  SELECT lang, doc_id, n_chars,
         |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h

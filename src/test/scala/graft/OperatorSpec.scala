@@ -21,6 +21,23 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(areas.map(_.size).sum == SparkEntry.queries.size)
   }
 
+  test("no query name is declared twice in one source file (map-literal shadowing)") {
+    // a duplicate key in a Map literal silently keeps only the LAST entry
+    // — round 13 shipped a q_stratified_sample that shadowed the round-6
+    // operator of the same name for several commits before this tripwire.
+    // Each literal-declared name must appear exactly twice across main
+    // sources: once in the queries map, once in the oracles map.
+    import scala.jdk.CollectionConverters._
+    val srcs = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
+      .iterator().asScala.filter(_.toString.endsWith(".scala")).toSeq
+    val pat = """"(q_[a-z0-9_]+)" ->""".r
+    val counts = srcs.flatMap(p => pat.findAllMatchIn(
+        new String(java.nio.file.Files.readAllBytes(p))).map(_.group(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val bad = counts.filter(_._2 > 2)
+    assert(bad.isEmpty, s"names declared more than query+oracle once: $bad")
+  }
+
   test("every declared query has matching oracle coverage") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
@@ -1822,7 +1839,7 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("stratified sample: exactly k per stratum = the k smallest hashes") {
-    val rows = Pipeline.queries("q_stratified_sample")(spark, sfDir).collect()
+    val rows = Pipeline.queries("q_stratified_topk")(spark, sfDir).collect()
     import org.apache.spark.sql.functions._
     val byHash = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("h", expr(

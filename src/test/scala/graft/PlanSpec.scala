@@ -1154,7 +1154,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // top-k-per-group, not a per-stratum full sort: the partial group
     // limit must appear so a skewed stratum never concentrates into one
     // reducer's sort at scale
-    val plan = planOf(Pipeline.queries("q_stratified_sample")(spark, sfDir))
+    val plan = planOf(Pipeline.queries("q_stratified_topk")(spark, sfDir))
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
