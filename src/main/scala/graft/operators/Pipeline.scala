@@ -2048,6 +2048,36 @@ object Pipeline {
         .orderBy("domain")
     },
 
+    // DATASET MANIFEST (content-addressed fingerprint) — the release
+    // artifact that answers "is the corpus you trained on byte-identical
+    // to the one I'm holding?" without moving data: every row digests to
+    // the portable 32-bit md5 hash of its canonical serialization
+    // (fields + a full-text md5, '|'-joined), and digests combine with
+    // ORDER-INDEPENDENT, MERGEABLE aggregates — SUM, SUM(h·(h mod 997))
+    // (a second mixing moment so transposing two rows' fields can't
+    // cancel), and COUNT — so 1000 executors each fingerprint their
+    // partitions and the manifest merges associatively; GROUP BY
+    // ROLLUP(source) emits the per-source digests AND the whole-dataset
+    // digest from the SAME pass (the grand-total row IS the dataset
+    // fingerprint, by mergeability). Exact BIGINT throughout (mix term
+    // ≤ 4e12/row — at ~10⁶ rows/partition the partial stays < 2⁶²; the
+    // 100 TB swap is DECIMAL(38,0), plan unchanged). Any single-field
+    // edit, row drop, or duplication moves at least one aggregate.
+    "q_dataset_manifest" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("h", expr(hExpr(
+          "concat_ws('|', cast(doc_id as string), lang, source, " +
+            "cast(n_chars as string), md5(text))")))
+        .rollup(col("source"))
+        .agg(grouping(col("source")).cast("long").as("g"),
+          count(lit(1)).as("n_rows"),
+          sum(col("h")).as("digest_sum"),
+          sum(col("h") * (col("h") % 997L)).as("digest_mix"))
+        .select(coalesce(col("source"), lit("__DATASET__")).as("source"),
+          col("g"), col("n_rows"), col("digest_sum"), col("digest_mix"))
+        .orderBy("g", "source")
+    },
+
     // POISSON BOOTSTRAP CONFIDENCE INTERVAL (Chamandy et al. 2012, "the
     // bootstrap at scale") — the error bar every corpus statistic should
     // ship: classical resampling needs n draws WITH replacement per
@@ -4226,6 +4256,23 @@ object Pipeline {
         |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
         |  % 10000 < r2.rate_bp
         |GROUP BY d.domain ORDER BY d.domain""".stripMargin,
+
+    // same canonical row serialization, same order-independent sum/mix
+    // digests, same ROLLUP grand-total-as-dataset-fingerprint
+    "q_dataset_manifest" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '|' || lang ||
+        |      '|' || source || '|' || CAST(n_chars AS VARCHAR) || '|' ||
+        |      md5(text)),1,8))::BIGINT AS h
+        |  FROM documents)
+        |SELECT COALESCE(source, '__DATASET__') AS source,
+        |  CAST(GROUPING(source) AS BIGINT) AS g,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(h) AS BIGINT) AS digest_sum,
+        |  CAST(SUM(h * (h % 997)) AS BIGINT) AS digest_mix
+        |FROM h GROUP BY ROLLUP(source)
+        |ORDER BY g, source""".stripMargin,
 
     // same (row, replica) md5 coin through the same basis-point
     // Poisson(1) inverse CDF, same exact replica-mean ratios, same

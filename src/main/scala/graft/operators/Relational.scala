@@ -1791,6 +1791,47 @@ object Relational {
         .orderBy("segment")
     },
 
+    // INCREMENTAL AGGREGATE REFRESH (delta-view maintenance) — the
+    // pattern that makes a 100 TB daily rollup affordable: never
+    // recompute the world, keep PARTIAL aggregates (count + exact-cents
+    // sum are commutative monoids) and MERGE yesterday's materialized
+    // partials with today's delta partials. Here the base (first 25 days,
+    // self-derived split) and the delta (the rest) aggregate
+    // INDEPENDENTLY, union as partial rows, and a second groupBy merges
+    // them — the exact shape of a Delta/Iceberg MERGE-refresh or a
+    // two-level Spark partial agg, made explicit. The oracle recomputes
+    // from scratch in one pass: merged-partials ≡ full recompute IS the
+    // correctness claim (it holds for ANY monoid aggregate; avg is
+    // carried as sum+count, never pre-divided — the classic refresh bug
+    // this query pins against). Scale: each side shuffles only its own
+    // rows once; the merge is |types|-sized.
+    "q_delta_refresh" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("cents",
+          (col("value").cast("decimal(12,2)") * 100).cast(LongType))
+        .withColumn("day", col("ts").cast(DateType))
+      val cut = ev.agg(date_add(min("day"), 25).as("cut"))
+      val tagged = ev.crossJoin(broadcast(cut))
+      def partial(df: DataFrame, tag: String) = df
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .withColumn("part", lit(tag))
+      val base = partial(tagged.filter(col("day") < col("cut")), "base")
+      val delta = partial(tagged.filter(col("day") >= col("cut")), "delta")
+      base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum("n").as("n_events"), sum("sum_cents").as("sum_cents"),
+          sum(when(col("part") === "base", col("n")).otherwise(0L))
+            .as("n_base"),
+          sum(when(col("part") === "delta", col("n")).otherwise(0L))
+            .as("n_delta"))
+        .select(col("event_type"), col("n_events"), col("n_base"),
+          col("n_delta"),
+          round(expr("CAST(sum_cents AS DOUBLE) / 100.0D / n_events"), 6)
+            .as("avg_value"))
+        .orderBy("event_type")
+    },
+
     // k-ANONYMITY / l-DIVERSITY AUDIT (Sweeney 2002 / Machanavajjhala
     // 2007) — the re-identification risk readout a governance pipeline
     // runs before releasing a dataset: quasi-identifier = (nationkey,
@@ -3592,6 +3633,23 @@ object Relational {
         |    AS avg_spend,
         |  round(CAST(SUM(m_score) AS DOUBLE) / COUNT(*), 6) AS avg_m_score
         |FROM lab GROUP BY segment ORDER BY segment""".stripMargin,
+
+    // the FULL single-pass recompute (merged partials must equal it),
+    // with the same base/delta breakdown via the self-derived cut
+    "q_delta_refresh" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |c AS (SELECT MIN(day) + 25 AS cut FROM ev)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN day < cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_base,
+        |  CAST(SUM(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_delta,
+        |  round(CAST(SUM(cents) AS DOUBLE) / 100.0::DOUBLE / COUNT(*), 6)
+        |    AS avg_value
+        |FROM ev, c GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // same QI rollup, same exact band edges, same k=5 / distinct-band
     // accounting

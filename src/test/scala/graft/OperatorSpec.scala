@@ -1619,6 +1619,56 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(5) - z) < 3e-6, s"z $z vs $r")
   }
 
+  test("dataset manifest: grand-total digest is the merge of per-source digests") {
+    val rows = Pipeline.queries("q_dataset_manifest")(spark, sfDir).collect()
+    val (srcRows, total) = rows.partition(_.getLong(1) == 0)
+    assert(total.length == 1 && total.head.getString(0) == "__DATASET__")
+    // mergeability: the dataset fingerprint must equal the per-source
+    // partials combined — this is what lets 1000 executors fingerprint
+    // independently
+    assert(total.head.getLong(2) == srcRows.map(_.getLong(2)).sum)
+    assert(total.head.getLong(3) == srcRows.map(_.getLong(3)).sum)
+    assert(total.head.getLong(4) == srcRows.map(_.getLong(4)).sum)
+    // sensitivity: recompute driver-side; a one-row change moves the sum
+    val hs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("source",
+        "cast(conv(substring(md5(concat_ws('|', cast(doc_id as string), " +
+          "lang, source, cast(n_chars as string), md5(text))),1,8),16,10) " +
+          "as bigint) as h")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(total.head.getLong(3) == hs.map(_._2).sum, "digest recompute")
+    assert(total.head.getLong(4) ==
+      hs.map(x => x._2 * (x._2 % 997L)).sum, "mix recompute")
+    srcRows.foreach { r =>
+      val mine = hs.filter(_._1 == r.getString(0)).map(_._2)
+      assert(r.getLong(2) == mine.length && r.getLong(3) == mine.sum, r.toString)
+    }
+  }
+
+  test("delta refresh: merged partials equal the single-pass recompute") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val rows = Relational.queries("q_delta_refresh")(spark, sfDir)
+      .collect().toSeq
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"base + delta partition the events: $r")
+    }
+    val full = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_type",
+        "cast(cast(value as decimal(12,2)) * 100 as long) as cents")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    rows.foreach { r =>
+      val (n, sc) = full(r.getString(0))
+      assert(r.getLong(1) == n, s"count: $r")
+      assert(math.abs(r.getDouble(4) - sc.toDouble / 100 / n) < 2e-6,
+        s"avg carried as sum+count: $r")
+    }
+  }
+
   test("k-anonymity: brute QI group recount reconciles every statistic") {
     import graft.operators.Relational
     val r = Relational.queries("q_k_anonymity")(spark, sfDir).collect().head
