@@ -249,6 +249,81 @@ object Similarity {
         .orderBy("q_id", "rn")
     },
 
+    // NPROBE SWEEP — the ANN tuning curve (the E101 discipline applied to
+    // the vector index): recall@3 AND scanned-candidate cost as a function
+    // of nprobe ∈ {1,2,4,8}, which is THE knob every IVF deployment turns
+    // (probe more lists → scan more → recall climbs toward exact). No PQ
+    // here — distances inside probed lists are exact, so the measured
+    // recall loss is attributable to PRUNING alone (isolating one error
+    // source is what makes a sweep readable). All arithmetic is the
+    // q_ivf_pq quantized exact-bigint Σ(x−c)² with (d, id) tiebreaks — no
+    // float ever decides a rank. One assignment pass + one exact
+    // ground-truth pass + one candidate pass serve all four nprobe values
+    // via a 4-row explode; the (q, np) universe table keeps the recall
+    // denominator fixed even if a probed list is empty of candidates.
+    // Scale: the corpus meets only broadcast tables (centroids, queries);
+    // candidates ∝ probed-list sizes — the whole point of the index.
+    "q_nprobe_sweep" -> { (s, dir) =>
+      val Kc = 8
+      val x = vecs(s, dir).select(col("vec_id"),
+        expr("transform(v, e -> cast(round(e * 1000d) as bigint))").as("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        x.count() // materialize once: assignment + exact + candidate passes
+        val sq = "aggregate(zip_with(%s, %s, (a, b) -> (a-b)*(a-b)), " +
+          "0L, (acc, t) -> acc + t)"
+        val coarse = x.filter(col("vec_id") < Kc)
+          .select(col("vec_id").cast("int").as("ci"), col("x").as("ccent"))
+        val asg = x.crossJoin(broadcast(coarse))
+          .withColumn("d", expr(sq.format("x", "ccent")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d"), col("ci"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("ci"), col("x"))
+        val q = x.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("x").as("qx"))
+        val exact = broadcast(q).join(x, col("vec_id") =!= col("q_id"))
+          .withColumn("d", expr(sq.format("qx", "x")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("d"), col("vec_id"))))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id"))
+        val probes = q.crossJoin(broadcast(coarse))
+          .withColumn("d", expr(sq.format("qx", "ccent")))
+          .withColumn("crank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("d"), col("ci"))))
+          .select(col("q_id"), col("qx"), col("ci"), col("crank"))
+          .select(col("q_id"), col("qx"), col("ci"), col("crank"),
+            explode(expr("array(1, 2, 4, 8)")).as("np"))
+          .filter(col("crank") <= col("np"))
+        val cands = probes.join(asg, "ci")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("d", expr(sq.format("qx", "x")))
+        val universe = probes.select("q_id", "np").distinct()
+        val stats = cands.groupBy("q_id", "np")
+          .agg(count(lit(1)).as("n_scanned"))
+        val hits = cands
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id", "np").orderBy(col("d"), col("vec_id"))))
+          .filter(col("rn") <= 3)
+          .join(exact, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy("q_id", "np").agg(count(lit(1)).as("hits"))
+        universe
+          .join(stats, Seq("q_id", "np"), "left")
+          .join(hits, Seq("q_id", "np"), "left")
+          .groupBy("np")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(coalesce(col("n_scanned"), lit(0L))).as("scanned"),
+            sum(coalesce(col("hits"), lit(0L))).as("n_hits"))
+          .select(col("np").cast("long").as("nprobe"), col("n_queries"),
+            round(col("scanned").cast("double") / col("n_queries"), 6)
+              .as("avg_scanned"),
+            round(col("n_hits").cast("double") /
+              (lit(3.0) * col("n_queries")), 6).as("recall_at_3"))
+          .orderBy("nprobe")
+      } finally { x.unpersist(); () }
+    },
+
     // K-means training for the IVF coarse index. Tier 2 (q_cosine_topk_ivf)
     // prunes by a cluster ASSIGNMENT someone must have trained; this
     // operator trains it. Quantized exact-integer Lloyd: vectors quantize
@@ -1163,6 +1238,63 @@ object Similarity {
     // full IVFPQ replay: coarse argmin + residuals, shared residual
     // codebook, nprobe=2 query LUTs, ADC restricted to probed lists,
     // recall vs the unpruned exact top-3 — all exact bigint
+    // same quantized exact-bigint distances and (d, id) tiebreaks, same
+    // 4-value probe grid, same fixed-denominator universe
+    "q_nprobe_sweep" ->
+      """WITH x AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS x
+        |  FROM embeddings),
+        |co AS (SELECT CAST(vec_id AS INT) AS ci, x AS ccent
+        |  FROM x WHERE vec_id < 8),
+        |ad AS (SELECT x.vec_id, co.ci, x.x,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> (x.x[j]-co.ccent[j])*(x.x[j]-co.ccent[j]))) AS BIGINT)
+        |      AS d
+        |  FROM x, co),
+        |asg AS (SELECT vec_id, ci, x FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d, ci) AS rn FROM ad) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, x AS qx FROM x WHERE vec_id < 10),
+        |ex AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.q_id, x.vec_id, row_number() OVER (PARTITION BY q.q_id
+        |    ORDER BY CAST(list_sum(list_transform(range(1, 65),
+        |      j -> (q.qx[j]-x.x[j])*(q.qx[j]-x.x[j]))) AS BIGINT),
+        |      x.vec_id) AS rn
+        |  FROM q, x WHERE x.vec_id <> q.q_id) WHERE rn <= 3),
+        |qc AS (SELECT q_id, qx, ci, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY d, ci) AS crank FROM (
+        |  SELECT q.q_id, q.qx, co.ci,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> (q.qx[j]-co.ccent[j])*(q.qx[j]-co.ccent[j]))) AS BIGINT)
+        |      AS d
+        |  FROM q, co) z),
+        |pr AS (SELECT q_id, qx, ci, crank, t.np
+        |  FROM qc, (SELECT unnest([1, 2, 4, 8]) AS np) t
+        |  WHERE crank <= t.np),
+        |cd AS (SELECT pr.q_id, pr.np, a.vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> (pr.qx[j]-a.x[j])*(pr.qx[j]-a.x[j]))) AS BIGINT) AS d
+        |  FROM pr JOIN asg a USING (ci) WHERE a.vec_id <> pr.q_id),
+        |uni AS (SELECT DISTINCT q_id, np FROM pr),
+        |st AS (SELECT q_id, np, COUNT(*) AS n_scanned
+        |  FROM cd GROUP BY q_id, np),
+        |hp AS (
+        |  SELECT r.q_id, r.np, COUNT(*) AS hits FROM (
+        |    SELECT q_id, np, vec_id,
+        |      row_number() OVER (PARTITION BY q_id, np
+        |        ORDER BY d, vec_id) AS rn
+        |    FROM cd) r
+        |  JOIN ex ON ex.q_id = r.q_id AND ex.vec_id = r.vec_id
+        |  WHERE r.rn <= 3 GROUP BY r.q_id, r.np)
+        |SELECT CAST(np AS BIGINT) AS nprobe, COUNT(*) AS n_queries,
+        |  round(SUM(COALESCE(n_scanned, 0))::DOUBLE / COUNT(*), 6)
+        |    AS avg_scanned,
+        |  round(SUM(COALESCE(hits, 0))::DOUBLE /
+        |    (3.0::DOUBLE * COUNT(*)), 6) AS recall_at_3
+        |FROM uni LEFT JOIN st USING (q_id, np) LEFT JOIN hp USING (q_id, np)
+        |GROUP BY np ORDER BY nprobe""".stripMargin,
+
     "q_ivf_pq" ->
       """WITH x AS (
         |  SELECT vec_id, list_transform(embedding,

@@ -1619,6 +1619,25 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(5) - z) < 3e-6, s"z $z vs $r")
   }
 
+  test("nprobe sweep: recall and cost both monotone, exact at full probe") {
+    val rows = Similarity.queries("q_nprobe_sweep")(spark, sfDir).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10, s"fixed query denominator: $r")
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1, r.toString)
+    }
+    val rec = rows.map(_.getDouble(3))
+    assert(rec.zip(rec.tail).forall { case (a, b) => b >= a - 1e-9 },
+      "probing more lists can only help recall")
+    val cost = rows.map(_.getDouble(2))
+    assert(cost.zip(cost.tail).forall { case (a, b) => b >= a },
+      "probing more lists can only scan more")
+    // nprobe = 8 probes every list → the candidate set IS the corpus
+    // (minus self), so recall is exactly 1
+    assert(rows.last.getDouble(3) == 1.0, rows.last.toString)
+  }
+
   test("dataset manifest: grand-total digest is the merge of per-source digests") {
     val rows = Pipeline.queries("q_dataset_manifest")(spark, sfDir).collect()
     val (srcRows, total) = rows.partition(_.getLong(1) == 0)
