@@ -1791,6 +1791,54 @@ object Relational {
         .orderBy("segment")
     },
 
+    // WATERMARK LATENESS AUDIT — the measurement that SIZES the watermark
+    // delay every streaming query declares (too small drops events, too
+    // big bloats state): replay the events in a simulated out-of-order
+    // arrival (the md5 permutation — testdata arrives perfectly sorted,
+    // so transport disorder self-derives, declared) and count, for each
+    // candidate delay, the events whose event time sits more than the
+    // delay behind the high-water mark at their arrival. THE SCAN IS
+    // DISTRIBUTED: the arrival-order running max never uses a global
+    // sort — arrival keys bucket into contiguous CHUNKS (a div 2²⁶),
+    // each chunk's intra-window is bounded, and chunk maxima prefix-fold
+    // in a ≤|chunks|-row window (the classic two-level prefix-scan that
+    // replaces ORDER BY over 100 TB; chunk width is the only knob).
+    // Everything is exact integer micros; drop share is monotone
+    // non-increasing in the delay by construction.
+    "q_lateness_audit" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), expr("unix_micros(ts)").as("tsu"))
+        .withColumn("a", expr(
+          "cast(conv(substring(md5(cast(event_id as string)),1,8),16,10) as bigint)"))
+        .withColumn("chunk", expr("a div 67108864"))
+      val wIn = Window.partitionBy("chunk")
+        .orderBy(col("a").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunkMax = ev.groupBy("chunk").agg(max("tsu").as("cmax"))
+      val wCh = Window.orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunkPrev = chunkMax
+        .withColumn("pmax", max("cmax").over(wCh))
+        .select(col("chunk"), col("pmax"))
+      ev.join(broadcast(chunkPrev), "chunk")
+        .withColumn("imax", max("tsu").over(wIn))
+        .withColumn("hw", greatest(coalesce(col("imax"), col("tsu")),
+          coalesce(col("pmax"), col("tsu"))))
+        .withColumn("late_us", greatest(lit(0L), col("hw") - col("tsu")))
+        .select(col("late_us"), explode(expr(
+          "array(0L, 86400000000L, 604800000000L, 2592000000000L)"))
+          .as("delay_us"))
+        .groupBy("delay_us")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > col("delay_us"), 1L).otherwise(0L))
+            .as("n_dropped"))
+        .select(expr("delay_us div 3600000000").as("delay_h"),
+          col("n_events"), col("n_dropped"),
+          round(col("n_dropped").cast("double") / col("n_events"), 6)
+            .as("drop_share"))
+        .orderBy("delay_h")
+    },
+
     // INCREMENTAL AGGREGATE REFRESH (delta-view maintenance) — the
     // pattern that makes a 100 TB daily rollup affordable: never
     // recompute the world, keep PARTIAL aggregates (count + exact-cents
@@ -3633,6 +3681,39 @@ object Relational {
         |    AS avg_spend,
         |  round(CAST(SUM(m_score) AS DOUBLE) / COUNT(*), 6) AS avg_m_score
         |FROM lab GROUP BY segment ORDER BY segment""".stripMargin,
+
+    // same md5 arrival permutation, same two-level chunk/prefix scan,
+    // same exact-micros lateness + delay grid
+    "q_lateness_audit" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS tsu,
+        |    ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8))::BIGINT AS a
+        |  FROM events),
+        |ec AS (SELECT *, a // 67108864 AS chunk FROM ev),
+        |cm AS (SELECT chunk, MAX(tsu) AS cmax FROM ec GROUP BY chunk),
+        |cp AS (SELECT chunk, MAX(cmax) OVER (ORDER BY chunk
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM cm),
+        |e2 AS (
+        |  SELECT ec.tsu,
+        |    MAX(tsu) OVER (PARTITION BY ec.chunk
+        |      ORDER BY ec.a ASC, ec.event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS imax,
+        |    cp.pmax
+        |  FROM ec JOIN cp USING (chunk)),
+        |l AS (
+        |  SELECT greatest(0, greatest(COALESCE(imax, tsu),
+        |    COALESCE(pmax, tsu)) - tsu) AS late_us FROM e2),
+        |d AS (
+        |  SELECT late_us, t.delay_us FROM l, (SELECT unnest([0,
+        |    86400000000, 604800000000, 2592000000000]) AS delay_us) t)
+        |SELECT CAST(delay_us // 3600000000 AS BIGINT) AS delay_h,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN late_us > delay_us THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  round(SUM(CASE WHEN late_us > delay_us THEN 1 ELSE 0 END)::DOUBLE
+        |    / COUNT(*), 6) AS drop_share
+        |FROM d GROUP BY delay_us ORDER BY delay_h""".stripMargin,
 
     // the FULL single-pass recompute (merged partials must equal it),
     // with the same base/delta breakdown via the self-derived cut

@@ -1619,6 +1619,33 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(5) - z) < 3e-6, s"z $z vs $r")
   }
 
+  test("lateness audit: two-level prefix scan equals a brute global replay") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_lateness_audit")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 24L, 168L, 720L))
+    val drops = rows.map(_.getLong(2))
+    assert(drops.zip(drops.tail).forall { case (a, b) => a >= b },
+      "a bigger delay can only drop fewer events")
+    assert(drops.last == 0, "30 days covers the whole series span")
+    // brute: single global arrival-ordered running max
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_id", "unix_micros(cast(ts as timestamp)) as tsu",
+        "cast(conv(substring(md5(cast(event_id as string)),1,8),16,10) as bigint) as a")
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(x => (x._1, x._2))
+    var hw = Long.MinValue
+    val lates = ev.map { case (_, _, tsu) =>
+      val l = math.max(0L, (if (hw == Long.MinValue) tsu else math.max(hw, tsu)) - tsu)
+      hw = if (hw == Long.MinValue) tsu else math.max(hw, tsu)
+      l
+    }
+    rows.foreach { r =>
+      val d = r.getLong(0) * 3600000000L
+      assert(r.getLong(2) == lates.count(_ > d),
+        s"delay ${r.getLong(0)}h: $r vs brute ${lates.count(_ > d)}")
+    }
+  }
+
   test("nprobe sweep: recall and cost both monotone, exact at full probe") {
     val rows = Similarity.queries("q_nprobe_sweep")(spark, sfDir).collect()
     assert(rows.length == 4)
