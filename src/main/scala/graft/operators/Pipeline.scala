@@ -2048,6 +2048,41 @@ object Pipeline {
         .orderBy("domain")
     },
 
+    // BATCH PADDING ECONOMICS — the readout that justifies bucketed
+    // (length-grouped) batching to a training team: padding a batch to
+    // its longest member burns FLOPs on pad tokens, and the waste under
+    // "one global bucket" vs "power-of-two length buckets" (the standard
+    // bucketing ladder, declared edges 64..1024) is exactly the cost
+    // difference between naive DataLoader batching and bucketed batching.
+    // (q_pack_sequences is the third strategy — concatenate and split —
+    // with its own tradeoffs; this query prices the PADDED family.)
+    // Token counts are exact integers; the global max arrives as a 1-row
+    // broadcast; both strategies price in ONE map-side pass each, rolled
+    // to 2 rows. waste_share = padded-minus-real over padded, exact
+    // integers until the final ratio.
+    "q_batch_padding" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .select(size(split(col("text"), " ")).cast("long").as("len"))
+      val mx = d.agg(max("len").as("gmax"))
+      val bucketed = d
+        .withColumn("bmax", expr("""CASE WHEN len <= 64 THEN 64L
+          |WHEN len <= 128 THEN 128L WHEN len <= 256 THEN 256L
+          |WHEN len <= 512 THEN 512L ELSE 1024L END""".stripMargin))
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("real_tokens"),
+          sum("bmax").as("padded_tokens"))
+        .withColumn("strategy", lit("pow2_buckets"))
+      val global = d.crossJoin(broadcast(mx))
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("real_tokens"),
+          sum("gmax").as("padded_tokens"))
+        .withColumn("strategy", lit("global_max"))
+      global.unionByName(bucketed)
+        .select(col("strategy"), col("n_docs"), col("real_tokens"),
+          col("padded_tokens"),
+          round((col("padded_tokens") - col("real_tokens")).cast("double") /
+            col("padded_tokens"), 6).as("waste_share"))
+        .orderBy("strategy")
+    },
+
     // DATASET MANIFEST (content-addressed fingerprint) — the release
     // artifact that answers "is the corpus you trained on byte-identical
     // to the one I'm holding?" without moving data: every row digests to
@@ -4256,6 +4291,32 @@ object Pipeline {
         |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
         |  % 10000 < r2.rate_bp
         |GROUP BY d.domain ORDER BY d.domain""".stripMargin,
+
+    // same exact token counts, same declared bucket ladder, same
+    // 1-row global max
+    "q_batch_padding" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        |mx AS (SELECT MAX(len) AS gmax FROM d),
+        |b AS (
+        |  SELECT 'pow2_buckets' AS strategy, COUNT(*) AS n_docs,
+        |    CAST(SUM(len) AS BIGINT) AS real_tokens,
+        |    CAST(SUM(CASE WHEN len <= 64 THEN 64
+        |      WHEN len <= 128 THEN 128 WHEN len <= 256 THEN 256
+        |      WHEN len <= 512 THEN 512 ELSE 1024 END) AS BIGINT)
+        |      AS padded_tokens
+        |  FROM d),
+        |g AS (
+        |  SELECT 'global_max' AS strategy, COUNT(*) AS n_docs,
+        |    CAST(SUM(len) AS BIGINT) AS real_tokens,
+        |    CAST(SUM(gmax) AS BIGINT) AS padded_tokens
+        |  FROM d, mx),
+        |u AS (SELECT * FROM g UNION ALL SELECT * FROM b)
+        |SELECT strategy, n_docs, real_tokens, padded_tokens,
+        |  round((padded_tokens - real_tokens)::DOUBLE / padded_tokens, 6)
+        |    AS waste_share
+        |FROM u ORDER BY strategy""".stripMargin,
 
     // same canonical row serialization, same order-independent sum/mix
     // digests, same ROLLUP grand-total-as-dataset-fingerprint

@@ -1619,6 +1619,28 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(5) - z) < 3e-6, s"z $z vs $r")
   }
 
+  test("batch padding: both strategies reconcile with a brute repricing") {
+    val rows = Pipeline.queries("q_batch_padding")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lens = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("cast(size(split(text, ' ')) as long) as len")
+      .collect().map(_.getLong(0))
+    val gmax = lens.max
+    def pow2(l: Long) = if (l <= 64) 64L else if (l <= 128) 128L
+      else if (l <= 256) 256L else if (l <= 512) 512L else 1024L
+    val cases = Seq(
+      ("global_max", lens.map(_ => gmax).sum),
+      ("pow2_buckets", lens.map(pow2).sum))
+    cases.foreach { case (name, padded) =>
+      val r = rows(name)
+      assert(r.getLong(1) == lens.length && r.getLong(2) == lens.sum, r.toString)
+      assert(r.getLong(3) == padded, s"$name padded: $r vs $padded")
+      assert(r.getLong(3) >= r.getLong(2), "padding can only add tokens")
+      assert(math.abs(r.getDouble(4) -
+        (padded - lens.sum).toDouble / padded) < 2e-6, r.toString)
+    }
+  }
+
   test("lateness audit: two-level prefix scan equals a brute global replay") {
     import graft.operators.Relational
     val rows = Relational.queries("q_lateness_audit")(spark, sfDir).collect()
