@@ -1791,6 +1791,56 @@ object Relational {
         .orderBy("segment")
     },
 
+    // MARKETING ATTRIBUTION (first-touch vs last-touch) — the revenue
+    // question product analytics exists to answer: WHICH channel gets
+    // credit for a purchase. First-touch credits the user's first-ever
+    // event's type; last-touch credits the latest NON-purchase event
+    // strictly before the purchase (purchases with no prior touch credit
+    // 'direct' — declared). The prior-touch lookup is PORTABLE: a
+    // running MAX over the prior rows' CASE'd row numbers (an integer —
+    // both engines agree exactly), then one keyed self-join on
+    // (user, rn) fetches the touch's type — no IGNORE NULLS window
+    // dependence, no per-user arrays. Revenue stays exact integer cents
+    // until the final /100 display. Both attribution rollups read the
+    // SAME attributed table and full-outer-merge per channel, so the two
+    // models' totals reconcile by construction. Scale: one user_id
+    // shuffle for the windows, one keyed join, ≤|types|+1 output rows.
+    "q_attribution" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("cents",
+          (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val r = ev.withColumn("rn", row_number().over(w).cast("long"))
+      val wPrev = Window.partitionBy("user_id").orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withPn = r.withColumn("pn",
+        max(when(col("event_type") =!= "purchase", col("rn"))).over(wPrev))
+      val firsts = r.filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("first_type"))
+      val purch = withPn.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("pn"), col("cents"))
+      val lastSrc = r.select(col("user_id"), col("rn").as("pn"),
+        col("event_type").as("last_type"))
+      val att = purch
+        .join(firsts, "user_id")
+        .join(lastSrc, Seq("user_id", "pn"), "left")
+        .withColumn("last_type", coalesce(col("last_type"), lit("direct")))
+      val f = att.groupBy(col("first_type").as("channel"))
+        .agg(count(lit(1)).as("ft_conv"), sum("cents").as("ft_cents"))
+      val l = att.groupBy(col("last_type").as("channel"))
+        .agg(count(lit(1)).as("lt_conv"), sum("cents").as("lt_cents"))
+      f.join(l, Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("ft_conv"), lit(0L)).as("first_touch_conv"),
+          round(coalesce(col("ft_cents"), lit(0L)).cast("double") /
+            lit(100.0), 6).as("first_touch_rev"),
+          coalesce(col("lt_conv"), lit(0L)).as("last_touch_conv"),
+          round(coalesce(col("lt_cents"), lit(0L)).cast("double") /
+            lit(100.0), 6).as("last_touch_rev"))
+        .orderBy("channel")
+    },
+
     // WATERMARK LATENESS AUDIT — the measurement that SIZES the watermark
     // delay every streaming query declares (too small drops events, too
     // big bloats state): replay the events in a simulated out-of-order
@@ -3681,6 +3731,45 @@ object Relational {
         |    AS avg_spend,
         |  round(CAST(SUM(m_score) AS DOUBLE) / COUNT(*), 6) AS avg_m_score
         |FROM lab GROUP BY segment ORDER BY segment""".stripMargin,
+
+    // same running-max prior-touch lookup, same keyed type fetch, same
+    // 'direct' fallback, same exact-cents accounting
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM ev),
+        |wp AS (
+        |  SELECT *, MAX(CASE WHEN event_type <> 'purchase' THEN rn END)
+        |    OVER (PARTITION BY user_id ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pn
+        |  FROM r),
+        |fs AS (SELECT user_id, event_type AS first_type FROM r WHERE rn = 1),
+        |pu AS (SELECT user_id, pn, cents FROM wp
+        |  WHERE event_type = 'purchase'),
+        |ls AS (SELECT user_id, rn AS pn, event_type AS last_type FROM r),
+        |att AS (
+        |  SELECT pu.cents, fs.first_type,
+        |    COALESCE(ls.last_type, 'direct') AS last_type
+        |  FROM pu JOIN fs USING (user_id)
+        |  LEFT JOIN ls ON ls.user_id = pu.user_id AND ls.pn = pu.pn),
+        |f AS (SELECT first_type AS channel, COUNT(*) AS ft_conv,
+        |  CAST(SUM(cents) AS BIGINT) AS ft_cents FROM att GROUP BY 1),
+        |l AS (SELECT last_type AS channel, COUNT(*) AS lt_conv,
+        |  CAST(SUM(cents) AS BIGINT) AS lt_cents FROM att GROUP BY 1)
+        |SELECT channel,
+        |  CAST(COALESCE(ft_conv, 0) AS BIGINT) AS first_touch_conv,
+        |  round(COALESCE(ft_cents, 0)::DOUBLE / 100.0::DOUBLE, 6)
+        |    AS first_touch_rev,
+        |  CAST(COALESCE(lt_conv, 0) AS BIGINT) AS last_touch_conv,
+        |  round(COALESCE(lt_cents, 0)::DOUBLE / 100.0::DOUBLE, 6)
+        |    AS last_touch_rev
+        |FROM f FULL OUTER JOIN l USING (channel)
+        |ORDER BY channel""".stripMargin,
 
     // same md5 arrival permutation, same two-level chunk/prefix scan,
     // same exact-micros lateness + delay grid

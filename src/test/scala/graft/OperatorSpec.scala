@@ -1619,6 +1619,25 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(5) - z) < 3e-6, s"z $z vs $r")
   }
 
+  test("attribution: both models conserve conversions and revenue") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_attribution")(spark, sfDir).collect()
+    val nPurch = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    // the two models credit different channels but must both account for
+    // every conversion and every cent exactly once
+    assert(rows.map(_.getLong(1)).sum == nPurch, "first-touch conversions")
+    assert(rows.map(_.getLong(3)).sum == nPurch, "last-touch conversions")
+    assert(math.abs(rows.map(_.getDouble(2)).sum -
+      rows.map(_.getDouble(4)).sum) < 1e-4, "revenue conserved across models")
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    // a purchase can never be its own last non-purchase touch
+    byName.get("purchase").foreach(r => assert(r.getLong(3) == 0, r.toString))
+    // 'direct' exists only as a last-touch fallback
+    byName.get("direct").foreach(r => assert(r.getLong(1) == 0, r.toString))
+  }
+
   test("batch padding: both strategies reconcile with a brute repricing") {
     val rows = Pipeline.queries("q_batch_padding")(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
