@@ -422,9 +422,14 @@ object Pipeline {
     // join-aggregate iterations hash-match the oracle's recursive CTE —
     // no float accumulation-order drift is possible.
     // Scale: vocab capped via TakeOrderedAndProject and broadcast into the
-    // edge build (same cap discipline as q_unigram_lm); each iteration is
-    // one shuffle on the node key over the |edges|-sized table; per-round
-    // persist + unpersist bounds lineage exactly like q_dup_clusters.
+    // edge build (same cap discipline as q_unigram_lm); the corpus-sized
+    // work is ONLY the vocab+bigram extraction, materialized once into a
+    // ≤V²-row checkpointed edge table. The 5 PageRank rounds then unroll
+    // as ONE lazy plan over that constant table — per-round persist+count
+    // (the q_dup_clusters discipline) exists to bound lineage in
+    // UNBOUNDED-iteration loops; for a fixed 5-round unroll it only buys
+    // a dozen extra job launches, which r13 measured at 3.5 s of pure
+    // overhead at sf0.1. AQE coalesces the tiny per-round shuffles.
     "q_textrank" -> { (s, dir) =>
       val Scale = 1000000000000L
       val d = docsPar(s, dir).select(split(col("text"), " ").as("w"))
@@ -447,23 +452,17 @@ object Pipeline {
       val edges = e0.unionByName(e0.select(col("w2").as("w1"), col("w1").as("w2")))
         .distinct()
       val ed = edges.join(edges.groupBy("w1").agg(count(lit(1)).as("deg")), "w1")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val nNodes = ed.select("w1").distinct().count()
       val base = (15L * (Scale / nNodes)) / 100L
       var rank = ed.select(col("w1").as("w")).distinct()
         .withColumn("r", lit(Scale / nNodes))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      rank.count()
       for (_ <- 1 to 5) {
-        val next = ed.join(rank, ed("w1") === rank("w"))
+        rank = ed.join(rank, ed("w1") === rank("w"))
           .select(col("w2"), expr("r div deg").as("c"))
           .groupBy("w2").agg(sum("c").as("s"))
           .select(col("w2").as("w"),
             (lit(base) + expr("(85 * s) div 100")).as("r"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize so the previous round can release
-        rank.unpersist()
-        rank = next
       }
       rank.select(col("w"), col("r").as("rank_scaled"))
         .orderBy(col("rank_scaled").desc, col("w").asc).limit(20)
