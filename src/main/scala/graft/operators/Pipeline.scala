@@ -244,6 +244,28 @@ object Pipeline {
     (enc, docBg)
   }
 
+  /** Add-one interpolated bigram model (q_bigram_lm's model — shared with
+    * q_ppl_filter_sweep so the quality gate and its tuning curve can never
+    * desynchronize). Returns (bg, lp). */
+  private def interpolatedBigramModel(enc: DataFrame, docBg: DataFrame): DataFrame = {
+    val uni = enc.select(explode(col("ids")).as("vid"))
+      .groupBy("vid").agg(count(lit(1)).as("c1"))
+    val nTok = enc.agg(sum(size(col("ids"))).cast("long").as("n_corpus"))
+    val cbg = docBg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+    val ctx = cbg.withColumn("u", expr("bg div 17"))
+      .groupBy("u").agg(sum("cbg").as("cctx"))
+    cbg
+      .withColumn("u", expr("bg div 17"))
+      .withColumn("v", expr("bg % 17"))
+      .join(broadcast(ctx), "u")
+      .join(broadcast(uni.withColumnRenamed("vid", "v")), "v")
+      .crossJoin(broadcast(nTok))
+      .withColumn("p",
+        lit(0.75) * ((col("cbg") + lit(1.0)) / (col("cctx") + lit(17.0)))
+          + lit(0.25) * ((col("c1") + lit(1.0)) / (col("n_corpus") + lit(17.0))))
+      .select(col("bg"), log2(col("p")).as("lp"))
+  }
+
   /** Shared scoring tail of the two bigram LMs: per-doc Σ k·log2(p) over a
     * SORTED fold (the q_token_entropy float discipline) → bits per
     * transition. `model` must be (bg, lp). */
@@ -2688,23 +2710,50 @@ object Pipeline {
     // anywhere.
     "q_bigram_lm" -> { (s, dir) =>
       val (enc, docBg) = bigramEncoded(s, dir)
-      val uni = enc.select(explode(col("ids")).as("vid"))
-        .groupBy("vid").agg(count(lit(1)).as("c1"))
-      val nTok = enc.agg(sum(size(col("ids"))).cast("long").as("n_corpus"))
-      val cbg = docBg.groupBy("bg").agg(count(lit(1)).as("cbg"))
-      val ctx = cbg.withColumn("u", expr("bg div 17"))
-        .groupBy("u").agg(sum("cbg").as("cctx"))
-      val model = cbg
-        .withColumn("u", expr("bg div 17"))
-        .withColumn("v", expr("bg % 17"))
-        .join(broadcast(ctx), "u")
-        .join(broadcast(uni.withColumnRenamed("vid", "v")), "v")
-        .crossJoin(broadcast(nTok))
-        .withColumn("p",
-          lit(0.75) * ((col("cbg") + lit(1.0)) / (col("cctx") + lit(17.0)))
-            + lit(0.25) * ((col("c1") + lit(1.0)) / (col("n_corpus") + lit(17.0))))
-        .select(col("bg"), log2(col("p")).as("lp"))
-      perDocBits(docBg, model)
+      perDocBits(docBg, interpolatedBigramModel(enc, docBg))
+    },
+
+    // PERPLEXITY-FILTER THRESHOLD SWEEP — the tuning curve for the LM
+    // quality gate (the CCNet/Gopher-style "keep if perplexity ≤ τ"
+    // filter), and the audit for its best-documented failure mode:
+    // perplexity gates silently SKEW LANGUAGE COMPOSITION, because the
+    // LM scores its own majority language as most predictable. τ
+    // self-derives as the rounded P25/P50/P75 of the per-doc bits
+    // (no magic constants — the q_outlier_iqr fence discipline), the
+    // model is EXACTLY q_bigram_lm's via the shared
+    // [[interpolatedBigramModel]] (gate and curve cannot
+    // desynchronize), and each quantile row reports kept share plus the
+    // kept set's en-share — the composition readout. Scale: one scored
+    // corpus pass serves all three thresholds via a 3-row explode.
+    "q_ppl_filter_sweep" -> { (s, dir) =>
+      val (enc, docBg) = bigramEncoded(s, dir)
+      val bits = perDocBits(docBg, interpolatedBigramModel(enc, docBg))
+        .select(col("doc_id"), col("bits_per_token").as("bits"))
+      val lj = bits.join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+      val fences = lj.agg(
+        round(expr("percentile(bits, 0.25)"), 6).as("t25"),
+        round(expr("percentile(bits, 0.5)"), 6).as("t50"),
+        round(expr("percentile(bits, 0.75)"), 6).as("t75"))
+      lj.crossJoin(broadcast(fences))
+        .select(col("bits"), col("lang"), explode(expr(
+          "array(named_struct('q', 'p25', 'tau', t25), " +
+            "named_struct('q', 'p50', 'tau', t50), " +
+            "named_struct('q', 'p75', 'tau', t75))")).as("th"))
+        .select(col("th.q").as("quantile"), col("th.tau").as("tau"),
+          col("bits"), col("lang"))
+        .groupBy("quantile", "tau")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bits") <= col("tau"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("bits") <= col("tau") && col("lang") === "en", 1L)
+            .otherwise(0L)).as("n_kept_en"))
+        .select(col("quantile"), col("tau"), col("n_docs"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_docs"), 6)
+            .as("kept_share"),
+          expr("CASE WHEN n_kept > 0 THEN " +
+            "round(CAST(n_kept_en AS DOUBLE) / n_kept, 6) END")
+            .as("en_share_kept"))
+        .orderBy("quantile")
     },
 
     // KNESER-NEY bigram LM — the smoothing real LM-perplexity filters ship
@@ -4966,6 +5015,58 @@ object Pipeline {
         |  FROM dk JOIN model USING (bg) GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, round(-slog / n_bigrams, 6) AS bits_per_token
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // the full q_bigram_lm chain replayed, then the same self-derived
+    // quantile fences, keep rule, and composition readout
+    "q_ppl_filter_sweep" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ty AS (SELECT u.t AS w, COUNT(*) AS c
+        |  FROM d, unnest(d.w) u(t) GROUP BY 1),
+        |vocab AS (SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS vid
+        |  FROM (SELECT w, c FROM ty ORDER BY c DESC, w ASC LIMIT 16)),
+        |tok AS (SELECT doc_id, unnest(w) AS t,
+        |  generate_subscripts(w, 1) AS pos FROM d),
+        |m AS (SELECT tok.doc_id, tok.pos, COALESCE(v.vid, 0) AS vid
+        |  FROM tok LEFT JOIN vocab v ON v.w = tok.t),
+        |bgs AS (SELECT a.doc_id, a.vid * 17 + b.vid AS bg
+        |  FROM m a JOIN m b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |cbg AS (SELECT bg, COUNT(*) AS cbg FROM bgs GROUP BY 1),
+        |ctx AS (SELECT bg // 17 AS u, SUM(cbg) AS cctx FROM cbg GROUP BY 1),
+        |uni AS (SELECT vid, COUNT(*) AS c1 FROM m GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_corpus FROM m),
+        |model AS (SELECT bg,
+        |    log2(0.75::DOUBLE * ((cbg + 1.0::DOUBLE) / (cctx + 17.0::DOUBLE))
+        |      + 0.25::DOUBLE * ((c1 + 1.0::DOUBLE)
+        |        / ((SELECT n_corpus FROM n) + 17.0::DOUBLE))) AS lp
+        |  FROM cbg
+        |  JOIN ctx ON ctx.u = cbg.bg // 17
+        |  JOIN uni ON uni.vid = cbg.bg % 17),
+        |dk AS (SELECT doc_id, bg, COUNT(*) AS k FROM bgs GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_concat([0.0::DOUBLE], list_sort(list(k * lp))),
+        |      (acc, v) -> acc + v) AS slog
+        |  FROM dk JOIN model USING (bg) GROUP BY doc_id),
+        |lj AS (SELECT round(-slog / n_bigrams, 6) AS bits, doc.lang
+        |  FROM sc JOIN documents doc USING (doc_id)),
+        |f AS (SELECT round(quantile_cont(bits, 0.25), 6) AS t25,
+        |  round(quantile_cont(bits, 0.5), 6) AS t50,
+        |  round(quantile_cont(bits, 0.75), 6) AS t75 FROM lj),
+        |th AS (SELECT 'p25' AS quantile, t25 AS tau FROM f
+        |  UNION ALL SELECT 'p50', t50 FROM f
+        |  UNION ALL SELECT 'p75', t75 FROM f),
+        |sw AS (SELECT th.quantile, th.tau, lj.bits, lj.lang
+        |  FROM lj CROSS JOIN th)
+        |SELECT quantile, tau, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN bits <= tau THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  round(SUM(CASE WHEN bits <= tau THEN 1 ELSE 0 END)::DOUBLE /
+        |    COUNT(*), 6) AS kept_share,
+        |  CASE WHEN SUM(CASE WHEN bits <= tau THEN 1 ELSE 0 END) > 0 THEN
+        |    round(CAST(SUM(CASE WHEN bits <= tau AND lang = 'en'
+        |        THEN 1 ELSE 0 END) AS DOUBLE) /
+        |      SUM(CASE WHEN bits <= tau THEN 1 ELSE 0 END), 6)
+        |  END AS en_share_kept
+        |FROM sw GROUP BY quantile, tau ORDER BY quantile""".stripMargin,
 
     // same encode; KN model: max(c−D,0)/ctx + (D·N1+(u·)/ctx)·(N1+(·v)/T)
     // with D = 0.75 — identical fixed DAG, one division per component

@@ -249,6 +249,49 @@ object Similarity {
         .orderBy("q_id", "rn")
     },
 
+    // EMBEDDING CENTROID DRIFT — the model-monitoring readout between two
+    // ingest snapshots (did the encoder, the corpus mix, or an upstream
+    // preprocessing change move the embedding space?): snapshots
+    // self-derive by vec_id parity (declared — simulating two ingest
+    // days), and per label the two centroids compare by L2 shift in
+    // milli-units and by centroid cosine. Sums per (label, dim) are EXACT
+    // BIGINT over the quantized vectors (one posexplode rollup — the only
+    // corpus-sized shuffle); centroids divide once per (label, dim); the
+    // 64 per-dimension terms fold SORTED per label (bounded lists), so
+    // both engines sum identically. Labels missing a side are excluded
+    // (drift of a centroid that doesn't exist is undefined). Scale: the
+    // rollup is |labels|·64 cells with map-side partials; everything
+    // after is tiny.
+    "q_embedding_drift" -> { (s, dir) =>
+      val x = vecs(s, dir).select(col("vec_id"), col("label"),
+        expr("transform(v, e -> cast(round(e * 1000d) as bigint))").as("x"))
+      val parts = x.withColumn("snap", expr("cast(vec_id % 2 as int)"))
+        .select(col("snap"), col("label"), posexplode(col("x")).as(Seq("j", "xj")))
+        .groupBy("label", "j")
+        .agg(sum(when(col("snap") === 0, col("xj")).otherwise(0L)).as("sa"),
+          sum(when(col("snap") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("snap") === 1, col("xj")).otherwise(0L)).as("sb"),
+          sum(when(col("snap") === 1, 1L).otherwise(0L)).as("nb"))
+        .filter(col("na") > 0 && col("nb") > 0)
+        .withColumn("ca", expr("CAST(sa AS DOUBLE) / na"))
+        .withColumn("cb", expr("CAST(sb AS DOUBLE) / nb"))
+      parts.groupBy("label")
+        .agg(min("na").as("n_a"), min("nb").as("n_b"),
+          expr("aggregate(sort_array(collect_list((ca - cb) * (ca - cb))), " +
+            "cast(0.0 as double), (a, x) -> a + x)").as("s2"),
+          expr("aggregate(sort_array(collect_list(ca * cb)), " +
+            "cast(0.0 as double), (a, x) -> a + x)").as("sab"),
+          expr("aggregate(sort_array(collect_list(ca * ca)), " +
+            "cast(0.0 as double), (a, x) -> a + x)").as("saa"),
+          expr("aggregate(sort_array(collect_list(cb * cb)), " +
+            "cast(0.0 as double), (a, x) -> a + x)").as("sbb"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          round(expr("sqrt(s2)"), 6).as("l2_shift_milli"),
+          expr("CASE WHEN saa > 0.0D AND sbb > 0.0D THEN " +
+            "round(sab / sqrt(saa * sbb), 6) END").as("cos_centroids"))
+        .orderBy("label")
+    },
+
     // NPROBE SWEEP — the ANN tuning curve (the E101 discipline applied to
     // the vector index): recall@3 AND scanned-candidate cost as a function
     // of nprobe ∈ {1,2,4,8}, which is THE knob every IVF deployment turns
@@ -1238,6 +1281,51 @@ object Similarity {
     // full IVFPQ replay: coarse argmin + residuals, shared residual
     // codebook, nprobe=2 query LUTs, ADC restricted to probed lists,
     // recall vs the unpruned exact top-3 — all exact bigint
+    // same parity snapshots, same exact per-(label, dim) sums, same
+    // sorted 64-term folds and shared centroid trees
+    "q_embedding_drift" ->
+      """WITH x AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS x
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT CAST(vec_id % 2 AS INT) AS snap, label, t.j, x[t.j] AS xj
+        |  FROM x, range(1, 65) t(j)),
+        |p AS (
+        |  SELECT label, j,
+        |    CAST(SUM(CASE WHEN snap = 0 THEN xj ELSE 0 END) AS BIGINT)
+        |      AS sa,
+        |    CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(SUM(CASE WHEN snap = 1 THEN xj ELSE 0 END) AS BIGINT)
+        |      AS sb,
+        |    CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb
+        |  FROM e GROUP BY label, j),
+        |t2 AS (
+        |  SELECT label, na, nb,
+        |    (CAST(sa AS DOUBLE) / na) AS ca,
+        |    (CAST(sb AS DOUBLE) / nb) AS cb
+        |  FROM p WHERE na > 0 AND nb > 0),
+        |g AS (
+        |  SELECT label, CAST(MIN(na) AS BIGINT) AS n_a,
+        |    CAST(MIN(nb) AS BIGINT) AS n_b,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_sort(list((ca - cb) * (ca - cb)))), (a, v) -> a + v)
+        |      AS s2,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_sort(list(ca * cb))), (a, v) -> a + v) AS sab,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_sort(list(ca * ca))), (a, v) -> a + v) AS saa,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_sort(list(cb * cb))), (a, v) -> a + v) AS sbb
+        |  FROM t2 GROUP BY label)
+        |SELECT label, n_a, n_b,
+        |  round(sqrt(s2), 6) AS l2_shift_milli,
+        |  CASE WHEN saa > 0.0::DOUBLE AND sbb > 0.0::DOUBLE
+        |    THEN round(sab / sqrt(saa * sbb), 6) END AS cos_centroids
+        |FROM g ORDER BY label""".stripMargin,
+
     // same quantized exact-bigint distances and (d, id) tiebreaks, same
     // 4-value probe grid, same fixed-denominator universe
     "q_nprobe_sweep" ->

@@ -1619,6 +1619,49 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(5) - z) < 3e-6, s"z $z vs $r")
   }
 
+  test("embedding drift: brute parity-split centroid recompute matches") {
+    val rows = Similarity.queries("q_embedding_drift")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "label",
+        "transform(cast(embedding as array<double>), e -> cast(round(e * 1000d) as bigint)) as x")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+    rows.foreach { r =>
+      val lab = r.getInt(0)
+      val a = vecs.filter(v => v._2 == lab && v._1 % 2 == 0).map(_._3)
+      val b = vecs.filter(v => v._2 == lab && v._1 % 2 == 1).map(_._3)
+      assert(r.getLong(1) == a.length && r.getLong(2) == b.length, r.toString)
+      val ca = (0 until 64).map(j => a.map(_(j)).sum.toDouble / a.length)
+      val cb = (0 until 64).map(j => b.map(_(j)).sum.toDouble / b.length)
+      val l2 = math.sqrt(ca.zip(cb).map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(math.abs(r.getDouble(3) - l2) < 2e-5, s"l2: $r vs $l2")
+      val cos = ca.zip(cb).map { case (x, y) => x * y }.sum /
+        math.sqrt(ca.map(x => x * x).sum * cb.map(x => x * x).sum)
+      assert(math.abs(r.getDouble(4) - cos) < 2e-6, s"cos: $r vs $cos")
+      assert(r.getDouble(4) <= 1 + 1e-9, r.toString)
+    }
+  }
+
+  test("ppl filter sweep: quantile fences produce a monotone keep curve") {
+    val rows = Pipeline.queries("q_ppl_filter_sweep")(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("p25", "p50", "p75"))
+    assert(rows.map(_.getLong(2)).distinct.length == 1,
+      "same scored-doc denominator per row")
+    val taus = rows.map(_.getDouble(1))
+    assert(taus.zip(taus.tail).forall { case (a, b) => a <= b },
+      "quantile fences ordered")
+    val kept = rows.map(_.getLong(3))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a <= b },
+      "looser threshold keeps at least as much")
+    val n = rows.head.getLong(2)
+    // interpolated quantile fences: at least ~the nominal mass passes
+    assert(kept(0) >= n / 5 && kept(2) >= (n * 7) / 10, rows.mkString(";"))
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1, r.toString)
+    }
+  }
+
   test("attribution: both models conserve conversions and revenue") {
     import graft.operators.Relational
     val rows = Relational.queries("q_attribution")(spark, sfDir).collect()
