@@ -2069,6 +2069,40 @@ object Pipeline {
         .orderBy("domain")
     },
 
+    // CLASS-BASED TF-IDF (c-TF-IDF, the BERTopic topic-keyword scorer —
+    // Grootendorst 2022): treat each SOURCE as one concatenated
+    // pseudo-document and score terms by tf_class · ln(1 + A/tf_total),
+    // where A is the average class token count — the class-level
+    // re-weighting that surfaces what makes a source DISTINCTIVE rather
+    // than merely frequent (plain TF-IDF, E24, scores documents; this
+    // scores classes). Term counts are exact integers; A enters as an
+    // exact ratio inside the shared ln tree; top-5 per source cut on the
+    // ROUNDED score with (term) tiebreak via WindowGroupLimit (the E92
+    // partial-limit shape — no full per-class sort at scale). Scale: one
+    // (source, term) rollup + a broadcast term-total + class-size join.
+    "q_ctfidf" -> { (s, dir) =>
+      val tok = docsPar(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val ct = tok.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+      val tot = tok.groupBy("w").agg(count(lit(1)).as("tf_total"))
+      val sizes = ct.groupBy("source").agg(sum("tf").as("class_tokens"))
+      val avgA = sizes.agg(sum("class_tokens").as("t_all"),
+        count(lit(1)).as("n_classes"))
+      val scored = ct.join(broadcast(tot), "w")
+        .crossJoin(broadcast(avgA))
+        .withColumn("score", round(expr(
+          "tf * ln(1.0D + (CAST(t_all AS DOUBLE) / n_classes) / tf_total)"),
+          6))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("score").desc, col("w").asc)).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("source"), col("rn"), col("w").as("term"),
+          col("tf"), col("score"))
+        .orderBy("source", "rn")
+    },
+
     // BATCH PADDING ECONOMICS — the readout that justifies bucketed
     // (length-grouped) batching to a training team: padding a batch to
     // its longest member burns FLOPs on pad tokens, and the waste under
@@ -4339,6 +4373,31 @@ object Pipeline {
         |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
         |  % 10000 < r2.rate_bp
         |GROUP BY d.domain ORDER BY d.domain""".stripMargin,
+
+    // same class rollup, same exact-ratio A inside the shared ln tree,
+    // same rounded-score top-5 cut
+    "q_ctfidf" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |ct AS (SELECT source, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT w, COUNT(*) AS tf_total FROM tok GROUP BY 1),
+        |sz AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS class_tokens
+        |  FROM ct GROUP BY source),
+        |aa AS (SELECT CAST(SUM(class_tokens) AS BIGINT) AS t_all,
+        |  COUNT(*) AS n_classes FROM sz),
+        |sc AS (
+        |  SELECT ct.source, ct.w, ct.tf,
+        |    round(ct.tf * ln(1.0::DOUBLE +
+        |      (CAST(t_all AS DOUBLE) / n_classes) / tf_total), 6) AS score
+        |  FROM ct JOIN tot USING (w), aa),
+        |r AS (
+        |  SELECT source, w, tf, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score DESC, w ASC) AS BIGINT) AS rn
+        |  FROM sc)
+        |SELECT source, rn, w AS term, tf, score
+        |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
 
     // same exact token counts, same declared bucket ladder, same
     // 1-row global max

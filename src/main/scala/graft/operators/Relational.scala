@@ -1791,6 +1791,33 @@ object Relational {
         .orderBy("segment")
     },
 
+    // SOURCE CONCENTRATION AUDIT (Gini / HHI / top-1 share) — the
+    // corpus-mix diversity readout next to E69's Zipf slope: is the
+    // corpus dominated by a handful of crawl sources (the
+    // one-domain-eats-the-mix failure q_source_cap exists to prevent)?
+    // Gini over per-source doc counts via the sorted-rank identity
+    // G = 2Σi·x₍ᵢ₎/(nΣx) − (n+1)/n — Σi·x is an EXACT BIGINT once ranks
+    // come from a total order (count, then source) — plus the
+    // Herfindahl–Hirschman index Σshare² and the top-1 share, all one
+    // double tree over exact integers. The rank window runs on the
+    // ≤|sources|-row rollup BY DESIGN. Scale: one map-side-combined
+    // rollup; everything after is ≤|sources| rows.
+    "q_concentration" -> { (s, dir) =>
+      val g = t(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("x"))
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("x").asc, col("source").asc)).cast("long"))
+      g.agg(count(lit(1)).as("n_sources"), sum("x").as("n_docs"),
+          sum(col("i") * col("x")).as("iwx"), max("x").as("max_x"),
+          sum(col("x") * col("x")).as("xx"))
+        .select(col("n_sources"), col("n_docs"),
+          round(expr("2.0D * iwx / (n_sources * CAST(n_docs AS DOUBLE)) " +
+            "- (n_sources + 1.0D) / n_sources"), 6).as("gini"),
+          round(expr("CAST(max_x AS DOUBLE) / n_docs"), 6).as("top1_share"),
+          round(expr("CAST(xx AS DOUBLE) / " +
+            "(CAST(n_docs AS DOUBLE) * n_docs)"), 6).as("hhi"))
+    },
+
     // MARKETING ATTRIBUTION (first-touch vs last-touch) — the revenue
     // question product analytics exists to answer: WHICH channel gets
     // credit for a purchase. First-touch credits the user's first-ever
@@ -3731,6 +3758,27 @@ object Relational {
         |    AS avg_spend,
         |  round(CAST(SUM(m_score) AS DOUBLE) / COUNT(*), 6) AS avg_m_score
         |FROM lab GROUP BY segment ORDER BY segment""".stripMargin,
+
+    // same sorted-rank Gini identity, same exact Σi·x / Σx² inputs,
+    // same shared double trees
+    "q_concentration" ->
+      """WITH g AS (
+        |  SELECT source, COUNT(*) AS x FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC, source ASC)
+        |    AS BIGINT) AS i
+        |  FROM g)
+        |SELECT COUNT(*) AS n_sources,
+        |  CAST(SUM(x) AS BIGINT) AS n_docs,
+        |  round(2.0::DOUBLE * CAST(SUM(i * x) AS BIGINT) /
+        |    (COUNT(*) * CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE)) -
+        |    (COUNT(*) + 1.0::DOUBLE) / COUNT(*), 6) AS gini,
+        |  round(CAST(MAX(x) AS DOUBLE) / CAST(SUM(x) AS BIGINT), 6)
+        |    AS top1_share,
+        |  round(CAST(SUM(x * x) AS DOUBLE) /
+        |    (CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) *
+        |      CAST(SUM(x) AS BIGINT)), 6) AS hhi
+        |FROM r""".stripMargin,
 
     // same running-max prior-touch lookup, same keyed type fetch, same
     // 'direct' fallback, same exact-cents accounting

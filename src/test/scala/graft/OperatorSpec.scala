@@ -1619,6 +1619,51 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(5) - z) < 3e-6, s"z $z vs $r")
   }
 
+  test("ctfidf: per-class top-5 matches a brute class-level rescoring") {
+    val rows = Pipeline.queries("q_ctfidf")(spark, sfDir).collect()
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("source", "explode(split(text, ' ')) as w")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val tot = toks.groupBy(_._2).map { case (w, xs) => w -> xs.length }
+    val nClasses = toks.map(_._1).distinct.length
+    val avgA = toks.length.toDouble / nClasses
+    val bySrc = toks.groupBy(_._1)
+    assert(rows.length == nClasses * 5)
+    bySrc.foreach { case (src, xs) =>
+      val scored = xs.groupBy(_._2).toSeq.map { case (w, ys) =>
+        val sc = BigDecimal(ys.length * math.log(1.0 + avgA / tot(w)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (w, ys.length.toLong, sc)
+      }
+      val top = scored.sortBy { case (w, _, sc) => (-sc, w) }.take(5)
+      val got = rows.filter(_.getString(0) == src).sortBy(_.getLong(1))
+      got.zip(top).foreach { case (r, (w, tf, sc)) =>
+        assert(r.getString(2) == w && r.getLong(3) == tf &&
+          math.abs(r.getDouble(4) - sc) < 2e-6, s"$src: $r vs ($w,$tf,$sc)")
+      }
+    }
+  }
+
+  test("concentration: gini/hhi/top1 match a brute recompute, bounded") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_concentration")(spark, sfDir).collect().head
+    val xs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(x => (x.getString(0), x.getLong(1))).sortBy(x => (x._2, x._1))
+    val n = xs.length
+    val total = xs.map(_._2).sum
+    assert(r.getLong(0) == n && r.getLong(1) == total)
+    val gini = 2.0 * xs.zipWithIndex.map { case ((_, x), i) =>
+      (i + 1).toLong * x }.sum / (n * total.toDouble) - (n + 1.0) / n
+    assert(math.abs(r.getDouble(2) - gini) < 2e-6, s"gini $gini vs $r")
+    assert(r.getDouble(2) >= 0 && r.getDouble(2) < 1, r.toString)
+    assert(math.abs(r.getDouble(3) - xs.map(_._2).max.toDouble / total) < 2e-6)
+    val hhi = xs.map(x => x._2.toDouble * x._2).sum / (total.toDouble * total)
+    assert(math.abs(r.getDouble(4) - hhi) < 2e-6, s"hhi $hhi vs $r")
+    // HHI is bounded below by 1/n (uniform) and above by 1 (monopoly)
+    assert(r.getDouble(4) >= 1.0 / n - 1e-9 && r.getDouble(4) <= 1)
+  }
+
   test("embedding drift: brute parity-split centroid recompute matches") {
     val rows = Similarity.queries("q_embedding_drift")(spark, sfDir).collect()
     assert(rows.nonEmpty)
