@@ -1845,11 +1845,19 @@ object Storage {
     // from map values, so the read prunes the ring to partitions owning a
     // row whose map HAS the key, then filters rows exactly. The map cell
     // here is attrs = {mktsegment -> nationkey}, so CONTAINS KEY
-    // 'BUILDING' is the segment membership read.
+    // 'BUILDING' is the segment membership read. A segment predicate keeps
+    // ~1/5 of ALL partitions — thousands of one-row keys — so the read
+    // also sets the size-coalescing knob: without it the scan schedules a
+    // task PER KEY (measured ~3 s of pure scheduler overhead for ~3k keys
+    // at sf0.1, linear in key count), with it the kept keys pack into
+    // ~task-sized splits. The selective granules below keep it off: their
+    // kept-key counts are small and the per-key splits preserve the
+    // reported key grouping.
     "q_kv_contains_key" -> { (s, dir) =>
       val name = stageCustAttrs(s, dir)
       s.read.format("graft.sources.KVDataSource").option("table", name)
-        .option("containskey", "attrs:BUILDING").load()
+        .option("containskey", "attrs:BUILDING")
+        .option("split_target_rows", "256").load()
         .select("c_custkey", "c_acctbal")
         .orderBy("c_custkey")
     },
