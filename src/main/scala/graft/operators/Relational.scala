@@ -2677,6 +2677,111 @@ object Relational {
         .select(col("e1"), col("e2"), col("e3"), col("n"),
           round(col("n").cast(DoubleType) / col("n_total"), 6).as("support"))
         .orderBy(col("n").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+    },
+
+    // SKYLINE (Pareto frontier) — the parts no other part beats on BOTH
+    // price (minimize) and size (maximize): the multi-criteria shortlist
+    // operator. Naive dominance is an all-pairs quadratic self-join; the
+    // 2-D skyline collapses to sort-order algebra instead: per exact-cent
+    // price keep the MAX size (same-price smaller rows are dominated
+    // in-place by that row), then one cumulative-max window over the
+    // price-ascending histogram — a price survives iff its best size
+    // strictly exceeds every strictly-cheaper price's best. The corpus
+    // reduces to ≤|distinct prices| rows in ONE map-side-combinable agg;
+    // the single-partition window runs on that histogram BY DESIGN (the
+    // q_roc_auc shape), and the survivor table broadcasts back for the
+    // row fetch. Price rides as exact cents via DECIMAL(12,2)·100, so
+    // both engines sort/compare identical integers. Equal (price, size)
+    // rows are mutually non-dominating — all returned.
+    "q_skyline" -> { (s, dir) =>
+      val pr = t(s, dir, "part").select(col("p_partkey"),
+        (col("p_retailprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("price_c"),
+        col("p_size").cast(LongType).as("p_size"))
+      val h = pr.groupBy("price_c").agg(max("p_size").as("smax"))
+      val w = Window.orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = h.withColumn("mlt", max("smax").over(w))
+        .filter(col("mlt").isNull || col("smax") > col("mlt"))
+        .select(col("price_c").as("s_price"), col("smax"))
+      pr.join(broadcast(sky), pr("price_c") === col("s_price") &&
+          pr("p_size") === col("smax"))
+        .select(col("p_partkey"), col("price_c"), col("p_size"))
+        .orderBy("price_c", "p_partkey")
+    },
+
+    // MANN–KENDALL TREND TEST — the nonparametric "is this metric
+    // drifting" monitor on the daily event series: no linearity or
+    // normality assumed (the hypothesis-test sibling of q_theil_sen's
+    // slope estimator). S = Σ_{i<j} sign(x_j − x_i) over day-ordered
+    // daily counts is an EXACT ±1/0 BIGINT sum; the tie correction
+    // Σ t(t−1)(2t+5) is an exact BIGINT aggregate; Var S =
+    // (n(n−1)(2n+5) − ties)/18 and the continuity-corrected
+    // z = (S ∓ 1)/√Var run as ONE double tree over the exact integers,
+    // identical in the oracle. Scale: the corpus reduces to ≤|days| rows
+    // in one shuffle; the pair join is day² over that CALENDAR-bounded
+    // table (30 days → 435 pairs) — bounded by elapsed time, never by
+    // corpus size.
+    "q_mann_kendall" -> { (s, dir) =>
+      val d = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val pairs = d.select(col("day").as("d1"), col("x").as("x1"))
+        .join(d.select(col("day").as("d2"), col("x").as("x2")),
+          col("d1") < col("d2"))
+        .agg(sum(when(col("x2") > col("x1"), 1L)
+          .when(col("x2") < col("x1"), -1L).otherwise(0L)).as("s_stat"))
+      val ties = d.groupBy("x").agg(count(lit(1)).as("tcnt"))
+        .agg(sum(col("tcnt") * (col("tcnt") - 1) *
+          (lit(2L) * col("tcnt") + 5)).as("tie_term"))
+      val n = d.agg(count(lit(1)).as("n_days"))
+      val varS = "(n_days * (n_days - 1.0D) * (2 * n_days + 5) - tie_term)" +
+        " / 18.0D"
+      n.crossJoin(broadcast(pairs)).crossJoin(broadcast(ties))
+        .select(col("n_days"), col("s_stat"), col("tie_term"),
+          expr(s"""CASE WHEN $varS > 0.0D
+            |THEN round((CASE WHEN s_stat > 0 THEN s_stat - 1.0D
+            |  WHEN s_stat < 0 THEN s_stat + 1.0D ELSE 0.0D END)
+            |  / sqrt($varS), 6) END""".stripMargin).as("z_stat"))
+    },
+
+    // COHEN'S KAPPA — chance-corrected agreement between two independent
+    // rule-based document labelers (the inter-annotator-agreement gate a
+    // labeling pipeline runs before trusting any quality rubric): A
+    // classes docs by character length, B by space-separated token
+    // proxy (exact integer space count), both 3-way. κ = (p_o − p_e) /
+    // (1 − p_e) with p_o from the contingency diagonal and p_e from the
+    // marginal products — every count an exact BIGINT from ONE corpus
+    // aggregation into the ≤9-cell contingency table; the marginal
+    // product sum joins the two ≤3-row marginal tables on class label.
+    // The final algebra is one double tree over exact integers, rounded
+    // at display. Scale: one map-side-combined rollup; everything after
+    // is ≤|classes|² rows.
+    "q_cohens_kappa" -> { (s, dir) =>
+      val lab = t(s, dir, "documents").select(
+        when(col("n_chars") < 150, "short")
+          .when(col("n_chars") < 300, "med").otherwise("long").as("a"),
+        when(expr("length(text) - length(replace(text, ' ', ''))") < 25,
+          "short")
+          .when(expr("length(text) - length(replace(text, ' ', ''))") < 50,
+            "med").otherwise("long").as("b"))
+      val cells = lab.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      val tot = cells.agg(sum("cnt").as("n_docs"),
+        sum(when(col("a") === col("b"), col("cnt")).otherwise(0L))
+          .as("n_agree"))
+      val ra = cells.groupBy("a").agg(sum("cnt").as("ra"))
+      val cb = cells.groupBy("b").agg(sum("cnt").as("cb"))
+      val pe = ra.join(cb, col("a") === col("b"))
+        .agg(sum(col("ra") * col("cb")).as("pe_num"))
+      val po = "(CAST(n_agree AS DOUBLE) / n_docs)"
+      val peE = "(CAST(pe_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs))"
+      tot.crossJoin(broadcast(pe))
+        .select(col("n_docs"), col("n_agree"), col("pe_num"),
+          expr(s"round($po, 6)").as("po"),
+          expr(s"round($peE, 6)").as("pe"),
+          expr(s"""CASE WHEN $peE < 1.0D
+            |THEN round(($po - $peE) / (1.0D - $peE), 6)
+            |END""".stripMargin).as("kappa"))
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -4508,5 +4613,86 @@ object Relational {
         |SELECT e1, e2, e3, n,
         |  round(n::DOUBLE / n_total, 6) AS support
         |FROM cnt CROSS JOIN tot
-        |ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC""".stripMargin)
+        |ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC""".stripMargin,
+
+    // same exact-cent prices, same per-price max reduction, same
+    // strictly-cheaper cumulative-max survivor rule, same row fetch
+    "q_skyline" ->
+      """WITH pr AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS price_c,
+        |    CAST(p_size AS BIGINT) AS p_size
+        |  FROM part),
+        |h AS (SELECT price_c, MAX(p_size) AS smax FROM pr GROUP BY price_c),
+        |c AS (
+        |  SELECT price_c, smax, MAX(smax) OVER (ORDER BY price_c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt
+        |  FROM h),
+        |s AS (SELECT price_c, smax FROM c WHERE mlt IS NULL OR smax > mlt)
+        |SELECT pr.p_partkey, pr.price_c, pr.p_size
+        |FROM pr JOIN s ON pr.price_c = s.price_c AND pr.p_size = s.smax
+        |ORDER BY pr.price_c, pr.p_partkey""".stripMargin,
+
+    // same daily reduction, same exact BIGINT S / tie term, same
+    // continuity-corrected z double tree with the identical guard
+    "q_mann_kendall" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+        |    WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |tt AS (
+        |  SELECT CAST(SUM(tcnt * (tcnt - 1) * (2 * tcnt + 5)) AS BIGINT)
+        |    AS tie_term
+        |  FROM (SELECT COUNT(*) AS tcnt FROM d GROUP BY x)),
+        |nn AS (SELECT COUNT(*) AS n_days FROM d)
+        |SELECT n_days, s_stat, tie_term,
+        |  CASE WHEN (n_days * (n_days - 1.0::DOUBLE) * (2 * n_days + 5)
+        |      - tie_term) / 18.0::DOUBLE > 0.0::DOUBLE
+        |  THEN round((CASE WHEN s_stat > 0 THEN s_stat - 1.0::DOUBLE
+        |    WHEN s_stat < 0 THEN s_stat + 1.0::DOUBLE
+        |    ELSE 0.0::DOUBLE END)
+        |    / sqrt((n_days * (n_days - 1.0::DOUBLE) * (2 * n_days + 5)
+        |      - tie_term) / 18.0::DOUBLE), 6)
+        |  END AS z_stat
+        |FROM nn CROSS JOIN p CROSS JOIN tt""".stripMargin,
+
+    // same two rule labelers, same exact contingency/marginal BIGINTs,
+    // same po/pe/kappa double tree with the identical pe < 1 guard
+    "q_cohens_kappa" ->
+      """WITH lab AS (
+        |  SELECT
+        |    CASE WHEN n_chars < 150 THEN 'short'
+        |      WHEN n_chars < 300 THEN 'med' ELSE 'long' END AS a,
+        |    CASE WHEN length(text) - length(replace(text, ' ', '')) < 25
+        |      THEN 'short'
+        |      WHEN length(text) - length(replace(text, ' ', '')) < 50
+        |      THEN 'med' ELSE 'long' END AS b
+        |  FROM documents),
+        |cells AS (SELECT a, b, COUNT(*) AS cnt FROM lab GROUP BY a, b),
+        |tot AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM cells),
+        |ra AS (SELECT a, SUM(cnt) AS ra FROM cells GROUP BY a),
+        |cb AS (SELECT b, SUM(cnt) AS cb FROM cells GROUP BY b),
+        |pe AS (
+        |  SELECT CAST(SUM(ra.ra * cb.cb) AS BIGINT) AS pe_num
+        |  FROM ra JOIN cb ON ra.a = cb.b)
+        |SELECT n_docs, n_agree, pe_num,
+        |  round(CAST(n_agree AS DOUBLE) / n_docs, 6) AS po,
+        |  round(CAST(pe_num AS DOUBLE)
+        |    / (CAST(n_docs AS DOUBLE) * n_docs), 6) AS pe,
+        |  CASE WHEN CAST(pe_num AS DOUBLE)
+        |      / (CAST(n_docs AS DOUBLE) * n_docs) < 1.0::DOUBLE
+        |  THEN round((CAST(n_agree AS DOUBLE) / n_docs
+        |    - CAST(pe_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs))
+        |    / (1.0::DOUBLE - CAST(pe_num AS DOUBLE)
+        |      / (CAST(n_docs AS DOUBLE) * n_docs)), 6)
+        |  END AS kappa
+        |FROM tot CROSS JOIN pe""".stripMargin)
 }

@@ -2143,4 +2143,75 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       lv = nl; tr = nt; i += 1
     }
   }
+
+  test("skyline: result set equals the brute-force dominance frontier") {
+    import graft.operators.Relational
+    val got = Relational.queries("q_skyline")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pts = spark.read.parquet(s"$sfDir/part.parquet")
+      .selectExpr("p_partkey",
+        "cast(cast(p_retailprice as decimal(12,2)) * 100 as bigint) as pc",
+        "cast(p_size as bigint) as sz")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = pts.filter { case (_, pc, sz) =>
+      !pts.exists { case (_, pc2, sz2) =>
+        pc2 <= pc && sz2 >= sz && (pc2 < pc || sz2 > sz)
+      }
+    }.toSet
+    assert(got.nonEmpty)
+    assert(got == brute,
+      s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+  }
+
+  test("mann kendall: S and tie term match a brute pair recount") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_mann_kendall")(spark, sfDir).collect().head
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("cast(ts as date) as day").groupBy("day").count()
+      .orderBy("day").collect().map(_.getLong(1))
+    assert(r.getLong(0) == daily.length, s"n_days: $r")
+    val sBrute = (for (i <- daily.indices; j <- i + 1 until daily.length)
+      yield java.lang.Long.signum(daily(j) - daily(i)).toLong).sum
+    assert(r.getLong(1) == sBrute, s"S $sBrute vs $r")
+    val tBrute = daily.groupBy(identity).values
+      .map(g => g.length.toLong).map(t => t * (t - 1) * (2 * t + 5)).sum
+    assert(r.getLong(2) == tBrute, s"ties $tBrute vs $r")
+    val varS = (daily.length.toLong * (daily.length - 1.0) *
+      (2L * daily.length + 5) - tBrute) / 18.0
+    if (varS > 0) {
+      val num = if (sBrute > 0) sBrute - 1.0
+        else if (sBrute < 0) sBrute + 1.0 else 0.0
+      assert(math.abs(r.getDouble(3) - num / math.sqrt(varS)) < 2e-6,
+        s"z: $r")
+    } else assert(r.isNullAt(3), s"degenerate variance must yield NULL: $r")
+  }
+
+  test("cohens kappa: contingency recount reproduces po/pe/kappa") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_cohens_kappa")(spark, sfDir).collect().head
+    val lab = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr(
+        "case when n_chars < 150 then 'short' when n_chars < 300 " +
+          "then 'med' else 'long' end as a",
+        "case when length(text) - length(replace(text, ' ', '')) < 25 " +
+          "then 'short' when length(text) - length(replace(text, ' ', ''))" +
+          " < 50 then 'med' else 'long' end as b")
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    val n = lab.length.toLong
+    val agree = lab.count { case (a, b) => a == b }.toLong
+    val ra = lab.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cb = lab.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val peNum = ra.map { case (k, v) => v * cb.getOrElse(k, 0L) }.sum
+    assert(r.getLong(0) == n && r.getLong(1) == agree && r.getLong(2) == peNum,
+      s"counts: $r vs ($n, $agree, $peNum)")
+    val po = agree.toDouble / n
+    val pe = peNum.toDouble / (n.toDouble * n)
+    assert(math.abs(r.getDouble(3) - po) < 2e-6, s"po: $r")
+    assert(math.abs(r.getDouble(4) - pe) < 2e-6, s"pe: $r")
+    if (pe < 1.0)
+      assert(math.abs(r.getDouble(5) - (po - pe) / (1.0 - pe)) < 2e-6,
+        s"kappa: $r")
+    // both labelers track length, so agreement must beat chance here
+    assert(r.getDouble(5) > 0.0, s"expected positive kappa on this corpus: $r")
+  }
 }
