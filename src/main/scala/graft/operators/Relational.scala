@@ -2782,6 +2782,130 @@ object Relational {
           expr(s"""CASE WHEN $peE < 1.0D
             |THEN round(($po - $peE) / (1.0D - $peE), 6)
             |END""".stripMargin).as("kappa"))
+    },
+
+    // LEAVE-ONE-OUT TARGET ENCODING — the leakage-aware categorical
+    // feature prep every GBDT/classifier pipeline runs (Micci-Barreca
+    // 2001): encode order priority by the smoothed mean of the target
+    // (order finalized) EXCLUDING the row's own label, so the feature
+    // never memorizes its own answer. enc = (cat_sum − y + m·prior) /
+    // (cat_n − 1 + m), m = 10 (declared), prior = the global rate. The
+    // per-category stats are ONE map-side-combined rollup that BROADCASTS
+    // into the per-row encode (map-side, zero extra shuffles at 100 TB);
+    // within a (category, target) pair the encoding is a single constant,
+    // so the verification rollup emits ≤|cats|·2 rows with min() picking
+    // the constant. Sums/counts exact BIGINT; one double tree at the end.
+    "q_target_encoding" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderpriority").as("cat"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val stats = o.groupBy("cat")
+        .agg(count(lit(1)).as("cat_n"), sum("y").as("cat_sum"))
+      val g = o.agg(count(lit(1)).as("g_n"), sum("y").as("g_sum"))
+      val enc = o.join(broadcast(stats), "cat").crossJoin(broadcast(g))
+        .withColumn("enc", expr(
+          "(CAST(cat_sum - y AS DOUBLE) + " +
+            "10.0D * (CAST(g_sum AS DOUBLE) / g_n)) / (cat_n - 1 + 10)"))
+      enc.groupBy("cat", "y")
+        .agg(count(lit(1)).as("n_rows"), round(min("enc"), 6).as("enc"))
+        .orderBy("cat", "y")
+    },
+
+    // CLASSICAL SEASONAL DECOMPOSITION (additive, moving-average trend) —
+    // the "is Monday just like this" readout underneath q_holt_winters'
+    // forecaster: trend = centered 7-day moving average (full windows
+    // only), seasonal = per-weekday mean of the detrended series,
+    // residual = the rest. EXACT by construction: the detrended value
+    // rides as dx7 = 7x − Σ₇ (a BIGINT — no double ever aggregates), the
+    // weekday index self-derives as (day − min_day) mod 7 (no calendar
+    // literal, no engine-specific week-start), and trend/seasonal/
+    // residual are one shared double tree over exact integers at display.
+    // Scale: the corpus reduces to ≤|days| rows in one shuffle; the
+    // moving window and weekday rollup run on that calendar-bounded
+    // histogram BY DESIGN; the ≤7-row seasonal table broadcasts back.
+    "q_seasonal_decompose" -> { (s, dir) =>
+      val d = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val d0 = d.agg(min("day").as("d0"))
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      val full = d
+        .withColumn("sum7", sum("x").over(w))
+        .withColumn("cnt7", count(lit(1)).over(w))
+        .filter(col("cnt7") === 7)
+        .withColumn("dx7", lit(7L) * col("x") - col("sum7"))
+        .crossJoin(broadcast(d0))
+        .withColumn("wd", expr("CAST(datediff(day, d0) % 7 AS BIGINT)"))
+      val seas = full.groupBy("wd")
+        .agg(sum("dx7").as("ssum"), count(lit(1)).as("scnt"))
+      full.join(broadcast(seas), "wd")
+        .select(col("day"), col("x"),
+          round(expr("CAST(sum7 AS DOUBLE) / 7.0D"), 6).as("trend"),
+          round(expr("CAST(ssum AS DOUBLE) / (7.0D * scnt)"), 6)
+            .as("seasonal"),
+          round(expr("CAST(dx7 AS DOUBLE) / 7.0D - " +
+            "CAST(ssum AS DOUBLE) / (7.0D * scnt)"), 6).as("residual"))
+        .orderBy("day")
+    },
+
+    // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator teams
+    // reach for when a feature launched mid-window WITHOUT a holdout:
+    // (treat post − treat pre) − (ctrl post − ctrl pre) cancels both the
+    // group's level and the common time shock. Panel: per (user, period)
+    // event count with ABSENT user-periods as explicit zeros (users ×
+    // {pre, post} universe — dropping them would bias toward active
+    // users); treatment = the q_ab_test md5 coin; the period fence
+    // self-derives as min_day + 15. Every cell statistic (n, Σy, Σy²)
+    // is an exact BIGINT; means, the DiD, its pooled SE over the four
+    // cell mean-variances, and z are one double tree at the end.
+    // Scale: one user_id shuffle for the panel, ≤2·|users| rows after,
+    // 4-cell rollup, 1-row output.
+    "q_did_estimator" -> { (s, dir) =>
+      val coin = "cast(conv(substring(md5(cast(user_id as string)),1,8)," +
+        "16,10) as bigint) % 2"
+      val ev = t(s, dir, "events").select(col("user_id"),
+        to_date(col("ts")).as("day"))
+      val d0 = ev.agg(min("day").as("d0"))
+      val counts = ev.crossJoin(broadcast(d0))
+        .withColumn("post",
+          when(expr("datediff(day, d0) >= 15"), 1L).otherwise(0L))
+        .groupBy("user_id", "post").agg(count(lit(1)).as("y"))
+      val universe = ev.select("user_id").distinct()
+        .crossJoin(broadcast(
+          s.range(2).select(col("id").as("post"))))
+      val panel = universe.join(counts, Seq("user_id", "post"), "left")
+        .withColumn("y", coalesce(col("y"), lit(0L)))
+        .withColumn("treat", when(expr(s"$coin = 0"), 1L).otherwise(0L))
+      val cells = panel.groupBy("treat", "post").agg(
+        count(lit(1)).as("n"), sum("y").as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      def cell(tr: Int, po: Int, c: String): Column =
+        max(when(col("treat") === tr && col("post") === po, col(c)))
+      val one = cells.agg(
+        cell(1, 0, "n").as("n_t"), cell(0, 0, "n").as("n_c"),
+        cell(1, 0, "sy").as("sy_tpre"), cell(1, 0, "syy").as("syy_tpre"),
+        cell(1, 1, "sy").as("sy_tpost"), cell(1, 1, "syy").as("syy_tpost"),
+        cell(0, 0, "sy").as("sy_cpre"), cell(0, 0, "syy").as("syy_cpre"),
+        cell(0, 1, "sy").as("sy_cpost"), cell(0, 1, "syy").as("syy_cpost"))
+      def m(sy: String, n: String) = s"(CAST($sy AS DOUBLE) / $n)"
+      def v(sy: String, syy: String, n: String) =
+        s"(((CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) * $sy / $n) / " +
+          s"($n - 1.0D)) / $n)"
+      val did = s"((${m("sy_tpost", "n_t")} - ${m("sy_tpre", "n_t")}) - " +
+        s"(${m("sy_cpost", "n_c")} - ${m("sy_cpre", "n_c")}))"
+      val se = s"sqrt(${v("sy_tpre", "syy_tpre", "n_t")} + " +
+        s"${v("sy_tpost", "syy_tpost", "n_t")} + " +
+        s"${v("sy_cpre", "syy_cpre", "n_c")} + " +
+        s"${v("sy_cpost", "syy_cpost", "n_c")})"
+      one.select(col("n_t"), col("n_c"),
+        expr(s"round(${m("sy_tpre", "n_t")}, 6)").as("mean_t_pre"),
+        expr(s"round(${m("sy_tpost", "n_t")}, 6)").as("mean_t_post"),
+        expr(s"round(${m("sy_cpre", "n_c")}, 6)").as("mean_c_pre"),
+        expr(s"round(${m("sy_cpost", "n_c")}, 6)").as("mean_c_post"),
+        expr(s"round($did, 6)").as("did"),
+        expr(s"CASE WHEN n_t > 1 AND n_c > 1 AND $se > 0.0D " +
+          s"THEN round($se, 6) END").as("se"),
+        expr(s"CASE WHEN n_t > 1 AND n_c > 1 AND $se > 0.0D " +
+          s"THEN round($did / $se, 6) END").as("z_stat"))
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -4694,5 +4818,147 @@ object Relational {
         |    / (1.0::DOUBLE - CAST(pe_num AS DOUBLE)
         |      / (CAST(n_docs AS DOUBLE) * n_docs)), 6)
         |  END AS kappa
-        |FROM tot CROSS JOIN pe""".stripMargin)
+        |FROM tot CROSS JOIN pe""".stripMargin,
+
+    // same per-category broadcast stats, same LOO + m=10 smoothing tree,
+    // same constant-per-(cat,y) min() rollup
+    "q_target_encoding" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS cat,
+        |    CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+        |      AS BIGINT) AS y
+        |  FROM orders),
+        |stats AS (
+        |  SELECT cat, COUNT(*) AS cat_n, CAST(SUM(y) AS BIGINT) AS cat_sum
+        |  FROM o GROUP BY cat),
+        |g AS (
+        |  SELECT COUNT(*) AS g_n, CAST(SUM(y) AS BIGINT) AS g_sum FROM o),
+        |enc AS (
+        |  SELECT o.cat, o.y,
+        |    (CAST(stats.cat_sum - o.y AS DOUBLE)
+        |      + 10.0::DOUBLE * (CAST(g.g_sum AS DOUBLE) / g.g_n))
+        |      / (stats.cat_n - 1 + 10) AS enc
+        |  FROM o JOIN stats ON o.cat = stats.cat CROSS JOIN g)
+        |SELECT cat, y, COUNT(*) AS n_rows, round(MIN(enc), 6) AS enc
+        |FROM enc GROUP BY cat, y
+        |ORDER BY cat, y""".stripMargin,
+
+    // same daily reduction, same full-window 7-day sums, same exact dx7
+    // BIGINT detrending, same self-derived weekday, same display trees
+    "q_seasonal_decompose" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |d0 AS (SELECT MIN(day) AS d0 FROM d),
+        |t7 AS (
+        |  SELECT day, x, SUM(x) OVER w AS sum7, COUNT(*) OVER w AS cnt7
+        |  FROM d WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (
+        |  SELECT day, x, sum7, 7 * x - sum7 AS dx7,
+        |    CAST((day - d0.d0) % 7 AS BIGINT) AS wd
+        |  FROM t7 CROSS JOIN d0 WHERE cnt7 = 7),
+        |seas AS (
+        |  SELECT wd, CAST(SUM(dx7) AS BIGINT) AS ssum, COUNT(*) AS scnt
+        |  FROM f GROUP BY wd)
+        |SELECT f.day, f.x,
+        |  round(CAST(sum7 AS DOUBLE) / 7.0::DOUBLE, 6) AS trend,
+        |  round(CAST(ssum AS DOUBLE) / (7.0::DOUBLE * scnt), 6)
+        |    AS seasonal,
+        |  round(CAST(dx7 AS DOUBLE) / 7.0::DOUBLE
+        |    - CAST(ssum AS DOUBLE) / (7.0::DOUBLE * scnt), 6) AS residual
+        |FROM f JOIN seas ON f.wd = seas.wd
+        |ORDER BY f.day""".stripMargin,
+
+    // same zero-filled user×period panel, same md5 coin, same exact cell
+    // sufficient statistics, same DiD/SE/z double tree with the guards
+    "q_did_estimator" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        |counts AS (
+        |  SELECT user_id,
+        |    CAST(CASE WHEN (ev.day - d0.d0) >= 15 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS post,
+        |    COUNT(*) AS y
+        |  FROM ev CROSS JOIN d0 GROUP BY 1, 2),
+        |users AS (SELECT DISTINCT user_id FROM ev),
+        |universe AS (
+        |  SELECT user_id, CAST(p.post AS BIGINT) AS post
+        |  FROM users CROSS JOIN (VALUES (0), (1)) AS p(post)),
+        |panel AS (
+        |  SELECT u.user_id, u.post, COALESCE(c.y, 0) AS y,
+        |    CASE WHEN ('0x' || substr(md5(u.user_id::VARCHAR), 1, 8))
+        |      ::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS treat
+        |  FROM universe u LEFT JOIN counts c
+        |    ON u.user_id = c.user_id AND u.post = c.post),
+        |cells AS (
+        |  SELECT treat, post, COUNT(*) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM panel GROUP BY 1, 2),
+        |one AS (
+        |  SELECT
+        |    MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_t,
+        |    MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_c,
+        |    MAX(CASE WHEN treat = 1 AND post = 0 THEN sy END) AS sy_tpre,
+        |    MAX(CASE WHEN treat = 1 AND post = 0 THEN syy END) AS syy_tpre,
+        |    MAX(CASE WHEN treat = 1 AND post = 1 THEN sy END) AS sy_tpost,
+        |    MAX(CASE WHEN treat = 1 AND post = 1 THEN syy END) AS syy_tpost,
+        |    MAX(CASE WHEN treat = 0 AND post = 0 THEN sy END) AS sy_cpre,
+        |    MAX(CASE WHEN treat = 0 AND post = 0 THEN syy END) AS syy_cpre,
+        |    MAX(CASE WHEN treat = 0 AND post = 1 THEN sy END) AS sy_cpost,
+        |    MAX(CASE WHEN treat = 0 AND post = 1 THEN syy END) AS syy_cpost
+        |  FROM cells)
+        |SELECT n_t, n_c,
+        |  round((CAST(sy_tpre AS DOUBLE) / n_t), 6) AS mean_t_pre,
+        |  round((CAST(sy_tpost AS DOUBLE) / n_t), 6) AS mean_t_post,
+        |  round((CAST(sy_cpre AS DOUBLE) / n_c), 6) AS mean_c_pre,
+        |  round((CAST(sy_cpost AS DOUBLE) / n_c), 6) AS mean_c_post,
+        |  round((((CAST(sy_tpost AS DOUBLE) / n_t)
+        |    - (CAST(sy_tpre AS DOUBLE) / n_t))
+        |    - ((CAST(sy_cpost AS DOUBLE) / n_c)
+        |    - (CAST(sy_cpre AS DOUBLE) / n_c))), 6) AS did,
+        |  CASE WHEN n_t > 1 AND n_c > 1 AND sqrt(
+        |      (((CAST(syy_tpre AS DOUBLE) - CAST(sy_tpre AS DOUBLE)
+        |        * sy_tpre / n_t) / (n_t - 1.0::DOUBLE)) / n_t)
+        |      + (((CAST(syy_tpost AS DOUBLE) - CAST(sy_tpost AS DOUBLE)
+        |        * sy_tpost / n_t) / (n_t - 1.0::DOUBLE)) / n_t)
+        |      + (((CAST(syy_cpre AS DOUBLE) - CAST(sy_cpre AS DOUBLE)
+        |        * sy_cpre / n_c) / (n_c - 1.0::DOUBLE)) / n_c)
+        |      + (((CAST(syy_cpost AS DOUBLE) - CAST(sy_cpost AS DOUBLE)
+        |        * sy_cpost / n_c) / (n_c - 1.0::DOUBLE)) / n_c)) > 0.0::DOUBLE
+        |  THEN round(sqrt(
+        |      (((CAST(syy_tpre AS DOUBLE) - CAST(sy_tpre AS DOUBLE)
+        |        * sy_tpre / n_t) / (n_t - 1.0::DOUBLE)) / n_t)
+        |      + (((CAST(syy_tpost AS DOUBLE) - CAST(sy_tpost AS DOUBLE)
+        |        * sy_tpost / n_t) / (n_t - 1.0::DOUBLE)) / n_t)
+        |      + (((CAST(syy_cpre AS DOUBLE) - CAST(sy_cpre AS DOUBLE)
+        |        * sy_cpre / n_c) / (n_c - 1.0::DOUBLE)) / n_c)
+        |      + (((CAST(syy_cpost AS DOUBLE) - CAST(sy_cpost AS DOUBLE)
+        |        * sy_cpost / n_c) / (n_c - 1.0::DOUBLE)) / n_c)), 6)
+        |  END AS se,
+        |  CASE WHEN n_t > 1 AND n_c > 1 AND sqrt(
+        |      (((CAST(syy_tpre AS DOUBLE) - CAST(sy_tpre AS DOUBLE)
+        |        * sy_tpre / n_t) / (n_t - 1.0::DOUBLE)) / n_t)
+        |      + (((CAST(syy_tpost AS DOUBLE) - CAST(sy_tpost AS DOUBLE)
+        |        * sy_tpost / n_t) / (n_t - 1.0::DOUBLE)) / n_t)
+        |      + (((CAST(syy_cpre AS DOUBLE) - CAST(sy_cpre AS DOUBLE)
+        |        * sy_cpre / n_c) / (n_c - 1.0::DOUBLE)) / n_c)
+        |      + (((CAST(syy_cpost AS DOUBLE) - CAST(sy_cpost AS DOUBLE)
+        |        * sy_cpost / n_c) / (n_c - 1.0::DOUBLE)) / n_c)) > 0.0::DOUBLE
+        |  THEN round((((CAST(sy_tpost AS DOUBLE) / n_t)
+        |    - (CAST(sy_tpre AS DOUBLE) / n_t))
+        |    - ((CAST(sy_cpost AS DOUBLE) / n_c)
+        |    - (CAST(sy_cpre AS DOUBLE) / n_c))) / sqrt(
+        |      (((CAST(syy_tpre AS DOUBLE) - CAST(sy_tpre AS DOUBLE)
+        |        * sy_tpre / n_t) / (n_t - 1.0::DOUBLE)) / n_t)
+        |      + (((CAST(syy_tpost AS DOUBLE) - CAST(sy_tpost AS DOUBLE)
+        |        * sy_tpost / n_t) / (n_t - 1.0::DOUBLE)) / n_t)
+        |      + (((CAST(syy_cpre AS DOUBLE) - CAST(sy_cpre AS DOUBLE)
+        |        * sy_cpre / n_c) / (n_c - 1.0::DOUBLE)) / n_c)
+        |      + (((CAST(syy_cpost AS DOUBLE) - CAST(sy_cpost AS DOUBLE)
+        |        * sy_cpost / n_c) / (n_c - 1.0::DOUBLE)) / n_c)), 6)
+        |  END AS z_stat
+        |FROM one""".stripMargin)
 }

@@ -2214,4 +2214,107 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     // both labelers track length, so agreement must beat chance here
     assert(r.getDouble(5) > 0.0, s"expected positive kappa on this corpus: $r")
   }
+
+  test("target encoding: brute LOO recount; excluding a positive lowers it") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_target_encoding")(spark, sfDir)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderpriority as cat",
+        "case when o_orderstatus = 'F' then 1L else 0L end as y")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val gSum = o.map(_._2).sum
+    val prior = gSum.toDouble / o.length
+    val byCat = o.groupBy(_._1)
+    byCat.foreach { case (cat, rs) =>
+      val (n, sy) = (rs.length.toLong, rs.map(_._2).sum)
+      Seq(0L, 1L).foreach { y =>
+        val cnt = rs.count(_._2 == y).toLong
+        if (cnt > 0) {
+          val enc = ((sy - y).toDouble + 10.0 * prior) / (n - 1 + 10)
+          val (gotN, gotE) = rows((cat, y))
+          assert(gotN == cnt, s"($cat,$y) n: $gotN vs $cnt")
+          assert(math.abs(gotE - enc) < 2e-6, s"($cat,$y) enc: $gotE vs $enc")
+        }
+      }
+      // the leakage guard itself: a row's own positive label never
+      // inflates its feature
+      if (rows.contains((cat, 0L)) && rows.contains((cat, 1L)))
+        assert(rows((cat, 1L))._2 < rows((cat, 0L))._2, s"LOO order in $cat")
+    }
+  }
+
+  test("seasonal decompose: brute replay; additive identity holds exactly") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_seasonal_decompose")(spark, sfDir)
+      .collect()
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("cast(ts as date) as day").groupBy("day").count()
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+    assert(rows.length == daily.length - 6, "full 7-day windows only")
+    val x = daily.map(_._2)
+    val trend = (3 until x.length - 3)
+      .map(i => (i, x.slice(i - 3, i + 4).sum)).toMap
+    val d0 = daily.head._1.toLocalDate
+    val dx7 = trend.map { case (i, s7) => i -> (7 * x(i) - s7) }
+    val byWd = dx7.groupBy { case (i, _) =>
+      java.time.temporal.ChronoUnit.DAYS.between(
+        d0, daily(i)._1.toLocalDate) % 7
+    }
+    rows.foreach { r =>
+      val i = daily.indexWhere(_._1 == r.getDate(0))
+      assert(r.getLong(1) == x(i), s"x at $i: $r")
+      assert(math.abs(r.getDouble(2) - trend(i) / 7.0) < 2e-6, s"trend: $r")
+      val wd = java.time.temporal.ChronoUnit.DAYS.between(
+        d0, daily(i)._1.toLocalDate) % 7
+      val cell = byWd(wd).values
+      val seas = cell.sum.toDouble / (7.0 * cell.size)
+      assert(math.abs(r.getDouble(3) - seas) < 2e-6, s"seasonal: $r")
+      // additive identity: x = trend + seasonal + residual
+      assert(math.abs(r.getLong(1) -
+        (r.getDouble(2) + r.getDouble(3) + r.getDouble(4))) < 5e-6,
+        s"identity: $r")
+    }
+  }
+
+  test("did estimator: brute zero-filled panel recount") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val r = Relational.queries("q_did_estimator")(spark, sfDir).collect().head
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "cast(ts as date) as day",
+        "cast(conv(substring(md5(cast(user_id as string)),1,8),16,10) " +
+          "as bigint) % 2 = 0 as treat")
+      .collect().map(x => (x.getLong(0), x.getDate(1).toLocalDate,
+        x.getBoolean(2)))
+    val d0 = ev.map(_._2).min
+    def post(d: java.time.LocalDate): Int =
+      if (java.time.temporal.ChronoUnit.DAYS.between(d0, d) >= 15) 1 else 0
+    val users = ev.map(u => (u._1, u._3)).distinct
+    val cnt = ev.groupBy(e => (e._1, post(e._2)))
+      .map { case (k, v) => k -> v.length.toLong }
+    def ys(treat: Boolean, p: Int): Seq[Long] =
+      users.filter(_._2 == treat).map(u => cnt.getOrElse((u._1, p), 0L)).toSeq
+    val (nT, nC) = (users.count(_._2), users.count(!_._2))
+    assert(r.getLong(0) == nT && r.getLong(1) == nC, s"group sizes: $r")
+    def mean(v: Seq[Long]): Double = v.sum.toDouble / v.length
+    assert(math.abs(r.getDouble(2) - mean(ys(true, 0))) < 2e-6, s"tpre: $r")
+    assert(math.abs(r.getDouble(3) - mean(ys(true, 1))) < 2e-6, s"tpost: $r")
+    assert(math.abs(r.getDouble(4) - mean(ys(false, 0))) < 2e-6, s"cpre: $r")
+    assert(math.abs(r.getDouble(5) - mean(ys(false, 1))) < 2e-6, s"cpost: $r")
+    val did = (mean(ys(true, 1)) - mean(ys(true, 0))) -
+      (mean(ys(false, 1)) - mean(ys(false, 0)))
+    assert(math.abs(r.getDouble(6) - did) < 2e-6, s"did: $r")
+    def vMean(v: Seq[Long]): Double = {
+      val m = mean(v)
+      v.map(x => (x - m) * (x - m)).sum / (v.length - 1.0) / v.length
+    }
+    val se = math.sqrt(vMean(ys(true, 0)) + vMean(ys(true, 1)) +
+      vMean(ys(false, 0)) + vMean(ys(false, 1)))
+    assert(math.abs(r.getDouble(7) - se) < 2e-6, s"se: $r")
+    assert(math.abs(r.getDouble(8) - did / se) < 2e-5, s"z: $r")
+  }
 }
