@@ -2906,6 +2906,117 @@ object Relational {
           s"THEN round($se, 6) END").as("se"),
         expr(s"CASE WHEN n_t > 1 AND n_c > 1 AND $se > 0.0D " +
           s"THEN round($did / $se, 6) END").as("z_stat"))
+    },
+
+    // KMV (k-minimum-values / Θ-style) DISTINCT SKETCH with set algebra —
+    // the audience-overlap readout (Bar-Yossef et al. 2002; Beyer et al.
+    // 2007): how many distinct active (user, day) keys does each event
+    // type touch, and how much do two types' audiences OVERLAP — answered
+    // from 64-value sketches instead of exact distincts. Unlike HLL
+    // (q_hll_mergeable), KMV supports INTERSECTION: the union sketch is
+    // just the k smallest of the merged sketches (mergeability IS the
+    // 100 TB story — per-partition sketches union associatively), est =
+    // (k−1)·2³²/h_k on the house md5 hash (exact same integer in both
+    // engines; a sub-k sketch holds the whole set and reports it
+    // exactly), and |A∩B| = est_A + est_B − est_∪ by inclusion-exclusion,
+    // clamped at 0. Scale: ONE distinct shuffle over (type, key-hash),
+    // per-type top-64 under WindowGroupLimit (rank pushdown — never a
+    // full sort), everything after runs on ≤64·|types| rows.
+    "q_kmv_sketch" -> { (s, dir) =>
+      val h = "cast(conv(substring(md5(concat(cast(user_id as string), " +
+        "'#', cast(day as string))),1,8),16,10) as bigint)"
+      val th = t(s, dir, "events")
+        .select(col("event_type").as("src"), col("user_id"),
+          to_date(col("ts")).as("day"))
+        .withColumn("h", expr(h))
+        .select("src", "h").distinct()
+      val wr = Window.partitionBy("src").orderBy("h")
+      val sk = th.withColumn("r", row_number().over(wr))
+        .filter(col("r") <= 64).select("src", "h")
+      val per = sk.groupBy("src")
+        .agg(count(lit(1)).as("n_sk"), max("h").as("hk"))
+      val pairs = per.select(col("src").as("s1"))
+        .crossJoin(broadcast(per.select(col("src").as("s2"))))
+        .filter(col("s1") < col("s2"))
+      val m1 = pairs.join(sk.withColumnRenamed("src", "s1"), "s1")
+      val m2 = pairs.join(sk.withColumnRenamed("src", "s2"), "s2")
+      val mh = m1.select("s1", "s2", "h")
+        .union(m2.select("s1", "s2", "h")).distinct()
+      val wu = Window.partitionBy("s1", "s2").orderBy("h")
+      val us = mh.withColumn("r", row_number().over(wu))
+        .filter(col("r") <= 64)
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_u"),
+          max("h").as("hku"))
+      def est(n: String, hk: String) =
+        s"(CASE WHEN $n < 64 THEN CAST($n AS DOUBLE) " +
+          s"ELSE 63.0D * 4294967296.0D / $hk END)"
+      val (e1, e2, eu) = (est("n1", "hk1"), est("n2", "hk2"),
+        est("n_u", "hku"))
+      val inter = s"greatest(0.0D, $e1 + $e2 - $eu)"
+      us.join(broadcast(per.select(col("src").as("s1"),
+          col("n_sk").as("n1"), col("hk").as("hk1"))), "s1")
+        .join(broadcast(per.select(col("src").as("s2"),
+          col("n_sk").as("n2"), col("hk").as("hk2"))), "s2")
+        .select(col("s1"), col("s2"), col("n1"), col("n2"), col("n_u"),
+          expr(s"round($e1, 6)").as("est_1"),
+          expr(s"round($e2, 6)").as("est_2"),
+          expr(s"round($eu, 6)").as("est_union"),
+          expr(s"round($inter, 6)").as("est_inter"),
+          expr(s"CASE WHEN $eu > 0.0D THEN round($inter / $eu, 6) END")
+            .as("jaccard"))
+        .orderBy("s1", "s2")
+    },
+
+    // U-SHAPED (position-based) MULTI-TOUCH ATTRIBUTION — the model
+    // between q_attribution's two single-touch extremes: every purchase
+    // splits credit over ALL its prior touches — 40% first, 40% last,
+    // the middle 20% evenly (1 touch → 100%, 2 → 50/50; touchless
+    // purchases are q_attribution's declared 'direct' and carry no
+    // credit here). Per-purchase position/count come from ONE
+    // (user, purchase) window after the user-keyed prior-touch join
+    // (equi on user_id with an rn < purchase residual — bounded by a
+    // user's own history, never corpus×corpus). EXACTNESS: touches
+    // aggregate to the ≤|channels|·|n|·3-row (channel, n, role) grid
+    // with BIGINT counts/cents FIRST; the per-grid-cell weights apply
+    // there, and each channel's total folds over the SORTED cell list —
+    // both engines add the same doubles in the same order, so the sum
+    // is bit-identical with no exact-rational gymnastics.
+    "q_position_attribution" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("cents",
+          (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      val wUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val r = ev.withColumn("rn", row_number().over(wUser).cast("long"))
+      val purch = r.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("rn").as("prn"), col("cents"))
+      val touch = r.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("rn"), col("event_type").as("channel"))
+      val pt = purch.join(touch, Seq("user_id"))
+        .filter(col("rn") < col("prn"))
+      val wp = Window.partitionBy("user_id", "prn")
+      val pos = pt
+        .withColumn("n", count(lit(1)).over(wp))
+        .withColumn("pos", row_number().over(wp.orderBy("rn")).cast("long"))
+        .withColumn("role", when(col("pos") === 1, "first")
+          .when(col("pos") === col("n"), "last").otherwise("mid"))
+      val grid = pos.groupBy("channel", "n", "role")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("scents"))
+      val wCase = "(CASE WHEN n = 1 THEN 1.0D WHEN n = 2 THEN 0.5D " +
+        "WHEN role = 'mid' THEN 0.2D / (n - 2) ELSE 0.4D END)"
+      grid
+        .withColumn("conv_d", expr(s"$wCase * cnt"))
+        .withColumn("rev_d",
+          expr(s"$wCase * (CAST(scents AS DOUBLE) / 100.0D)"))
+        .groupBy("channel")
+        .agg(sum("cnt").as("n_touches"),
+          collect_list("conv_d").as("cl"), collect_list("rev_d").as("rl"))
+        .select(col("channel"), col("n_touches"),
+          expr("round(aggregate(sort_array(cl), 0.0D, (a, x) -> a + x), 6)")
+            .as("credit_conversions"),
+          expr("round(aggregate(sort_array(rl), 0.0D, (a, x) -> a + x), 6)")
+            .as("credit_revenue"))
+        .orderBy("channel")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -4960,5 +5071,120 @@ object Relational {
         |      + (((CAST(syy_cpost AS DOUBLE) - CAST(sy_cpost AS DOUBLE)
         |        * sy_cpost / n_c) / (n_c - 1.0::DOUBLE)) / n_c)), 6)
         |  END AS z_stat
-        |FROM one""".stripMargin)
+        |FROM one""".stripMargin,
+
+    // same md5 key hash, same per-type/per-pair top-64 sketches, same
+    // (k-1)*2^32/h_k estimator with the sub-k exact path, same
+    // inclusion-exclusion intersection clamp
+    "q_kmv_sketch" ->
+      """WITH th AS (
+        |  SELECT DISTINCT event_type AS src,
+        |    ('0x' || substr(md5(user_id::VARCHAR || '#' ||
+        |      (CAST(ts AS DATE))::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM events),
+        |sk AS (
+        |  SELECT src, h FROM (
+        |    SELECT src, h,
+        |      row_number() OVER (PARTITION BY src ORDER BY h) AS r
+        |    FROM th) WHERE r <= 64),
+        |per AS (
+        |  SELECT src, COUNT(*) AS n_sk, MAX(h) AS hk FROM sk GROUP BY src),
+        |pairs AS (
+        |  SELECT a.src AS s1, b.src AS s2
+        |  FROM per a CROSS JOIN per b WHERE a.src < b.src),
+        |mh AS (
+        |  SELECT DISTINCT s1, s2, h FROM (
+        |    SELECT p.s1, p.s2, k.h FROM pairs p JOIN sk k ON k.src = p.s1
+        |    UNION ALL
+        |    SELECT p.s1, p.s2, k.h FROM pairs p JOIN sk k ON k.src = p.s2)),
+        |us AS (
+        |  SELECT s1, s2, COUNT(*) AS n_u, MAX(h) AS hku FROM (
+        |    SELECT s1, s2, h,
+        |      row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS r
+        |    FROM mh) WHERE r <= 64 GROUP BY s1, s2)
+        |SELECT us.s1, us.s2, p1.n_sk AS n1, p2.n_sk AS n2, us.n_u,
+        |  round((CASE WHEN p1.n_sk < 64 THEN CAST(p1.n_sk AS DOUBLE)
+        |    ELSE 63.0::DOUBLE * 4294967296.0::DOUBLE / p1.hk END), 6)
+        |    AS est_1,
+        |  round((CASE WHEN p2.n_sk < 64 THEN CAST(p2.n_sk AS DOUBLE)
+        |    ELSE 63.0::DOUBLE * 4294967296.0::DOUBLE / p2.hk END), 6)
+        |    AS est_2,
+        |  round((CASE WHEN us.n_u < 64 THEN CAST(us.n_u AS DOUBLE)
+        |    ELSE 63.0::DOUBLE * 4294967296.0::DOUBLE / us.hku END), 6)
+        |    AS est_union,
+        |  round(greatest(0.0::DOUBLE,
+        |    (CASE WHEN p1.n_sk < 64 THEN CAST(p1.n_sk AS DOUBLE)
+        |      ELSE 63.0::DOUBLE * 4294967296.0::DOUBLE / p1.hk END)
+        |    + (CASE WHEN p2.n_sk < 64 THEN CAST(p2.n_sk AS DOUBLE)
+        |      ELSE 63.0::DOUBLE * 4294967296.0::DOUBLE / p2.hk END)
+        |    - (CASE WHEN us.n_u < 64 THEN CAST(us.n_u AS DOUBLE)
+        |      ELSE 63.0::DOUBLE * 4294967296.0::DOUBLE / us.hku END)), 6)
+        |    AS est_inter,
+        |  CASE WHEN (CASE WHEN us.n_u < 64 THEN CAST(us.n_u AS DOUBLE)
+        |      ELSE 63.0::DOUBLE * 4294967296.0::DOUBLE / us.hku END)
+        |      > 0.0::DOUBLE
+        |  THEN round(greatest(0.0::DOUBLE,
+        |    (CASE WHEN p1.n_sk < 64 THEN CAST(p1.n_sk AS DOUBLE)
+        |      ELSE 63.0::DOUBLE * 4294967296.0::DOUBLE / p1.hk END)
+        |    + (CASE WHEN p2.n_sk < 64 THEN CAST(p2.n_sk AS DOUBLE)
+        |      ELSE 63.0::DOUBLE * 4294967296.0::DOUBLE / p2.hk END)
+        |    - (CASE WHEN us.n_u < 64 THEN CAST(us.n_u AS DOUBLE)
+        |      ELSE 63.0::DOUBLE * 4294967296.0::DOUBLE / us.hku END))
+        |    / (CASE WHEN us.n_u < 64 THEN CAST(us.n_u AS DOUBLE)
+        |      ELSE 63.0::DOUBLE * 4294967296.0::DOUBLE / us.hku END), 6)
+        |  END AS jaccard
+        |FROM us JOIN per p1 ON p1.src = us.s1
+        |  JOIN per p2 ON p2.src = us.s2
+        |ORDER BY s1, s2""".stripMargin,
+
+    // same user-keyed prior-touch join, same (n, pos, role) grid with
+    // exact BIGINT counts/cents, same weights, same sorted-list fold
+    "q_position_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events),
+        |purch AS (
+        |  SELECT user_id, rn AS prn, cents FROM ev
+        |  WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, rn, event_type AS channel FROM ev
+        |  WHERE event_type <> 'purchase'),
+        |pt AS (
+        |  SELECT p.user_id, p.prn, p.cents, t.rn, t.channel
+        |  FROM purch p JOIN touch t
+        |    ON p.user_id = t.user_id AND t.rn < p.prn),
+        |pos AS (
+        |  SELECT channel, cents,
+        |    COUNT(*) OVER (PARTITION BY user_id, prn) AS n,
+        |    row_number() OVER (PARTITION BY user_id, prn ORDER BY rn)
+        |      AS pos
+        |  FROM pt),
+        |grid AS (
+        |  SELECT channel, n,
+        |    CASE WHEN pos = 1 THEN 'first'
+        |      WHEN pos = n THEN 'last' ELSE 'mid' END AS role,
+        |    COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS scents
+        |  FROM pos GROUP BY 1, 2, 3),
+        |contrib AS (
+        |  SELECT channel, cnt,
+        |    (CASE WHEN n = 1 THEN 1.0::DOUBLE WHEN n = 2 THEN 0.5::DOUBLE
+        |      WHEN role = 'mid' THEN 0.2::DOUBLE / (n - 2)
+        |      ELSE 0.4::DOUBLE END) * cnt AS conv_d,
+        |    (CASE WHEN n = 1 THEN 1.0::DOUBLE WHEN n = 2 THEN 0.5::DOUBLE
+        |      WHEN role = 'mid' THEN 0.2::DOUBLE / (n - 2)
+        |      ELSE 0.4::DOUBLE END)
+        |      * (CAST(scents AS DOUBLE) / 100.0::DOUBLE) AS rev_d
+        |  FROM grid)
+        |SELECT channel, CAST(SUM(cnt) AS BIGINT) AS n_touches,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_sort(list(conv_d))), (a, x) -> a + x), 6)
+        |    AS credit_conversions,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_sort(list(rev_d))), (a, x) -> a + x), 6)
+        |    AS credit_revenue
+        |FROM contrib GROUP BY channel
+        |ORDER BY channel""".stripMargin)
 }

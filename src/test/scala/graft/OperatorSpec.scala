@@ -2317,4 +2317,79 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(7) - se) < 2e-6, s"se: $r")
     assert(math.abs(r.getDouble(8) - did / se) < 2e-5, s"z: $r")
   }
+
+  test("kmv sketch: sub-k is exact, over-k estimates near truth, algebra") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_kmv_sketch")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val exact = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_type", "user_id", "cast(ts as date) as day")
+      .distinct().groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (s1, s2) = (r.getString(0), r.getString(1))
+      val (n1, nu) = (r.getLong(2), r.getLong(4))
+      val (e1, e2, eu, ei, j) = (r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8), r.getDouble(9))
+      // sub-k sketches are EXACT; full sketches estimate within KMV's
+      // sampling error (1/sqrt(63) ~ 12.6%; 4 sigma bound)
+      if (n1 < 64) assert(e1 == exact(s1).toDouble, s"sub-k exact: $r")
+      else assert(math.abs(e1 - exact(s1)) / exact(s1) < 0.5, s"est1: $r")
+      // set algebra: union at least each side's sketch-implied floor,
+      // intersection inside [0, min(e1, e2)], jaccard in [0, 1]
+      assert(eu >= math.max(e1, e2) - 1e-6 || nu == 64, s"union floor: $r")
+      assert(ei >= 0.0 && ei <= math.min(e1, e2) + 1e-6, s"inter: $r")
+      assert(j >= 0.0 && j <= 1.0, s"jaccard: $r")
+      // columns are individually rounded at 6 dp, so the identity holds
+      // to a few ulps of that rounding
+      assert(math.abs((e1 + e2 - eu) - ei) < 5e-6 || ei == 0.0,
+        s"inclusion-exclusion: $r")
+    }
+  }
+
+  test("position attribution: brute credit replay conserves conversions") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_position_attribution")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "event_id", "ts", "event_type",
+        "cast(cast(value as decimal(12,2)) * 100 as long) as cents")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        x.getAs[java.time.LocalDateTime](2), x.getString(3), x.getLong(4)))
+    val conv = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    val rev = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    val nt = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    var credited = 0
+    ev.groupBy(_._1).values.foreach { g =>
+      val ord = g.toSeq.sortBy(e => (e._3.toEpochSecond(
+        java.time.ZoneOffset.UTC) * 1000000L + e._3.getNano / 1000, e._2))
+      ord.zipWithIndex.filter(_._1._4 == "purchase").foreach {
+        case (p, pi) =>
+          val touches = ord.take(pi).filter(_._4 != "purchase")
+          val n = touches.length
+          if (n > 0) credited += 1
+          touches.zipWithIndex.foreach { case (t, i) =>
+            val w =
+              if (n == 1) 1.0 else if (n == 2) 0.5
+              else if (i == 0 || i == n - 1) 0.4 else 0.2 / (n - 2)
+            conv(t._4) += w
+            rev(t._4) += w * (p._5.toDouble / 100.0)
+            nt(t._4) += 1
+          }
+      }
+    }
+    conv.keys.foreach { ch =>
+      val (gn, gc, gr) = rows(ch)
+      assert(gn == nt(ch), s"$ch touches: $gn vs ${nt(ch)}")
+      assert(math.abs(gc - conv(ch)) < 1e-4, s"$ch conv: $gc vs ${conv(ch)}")
+      assert(math.abs(gr - rev(ch)) < 1e-2, s"$ch rev: $gr vs ${rev(ch)}")
+    }
+    // credit conservation: every touched purchase hands out exactly 1.0
+    assert(math.abs(rows.values.map(_._2).sum - credited) < 1e-3,
+      s"conservation: ${rows.values.map(_._2).sum} vs $credited")
+  }
 }
