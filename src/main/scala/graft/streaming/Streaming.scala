@@ -1005,6 +1005,61 @@ object Streaming {
         .orderBy("qid")
     },
 
+    // STREAMING COUNT-MIN HEAVY HITTERS — top-k over an unbounded stream
+    // with O(1) state (Cormode & Muthukrishnan 2005). Exact streaming
+    // per-key counts (q_stream_stateful) carry one state row PER KEY —
+    // unbounded at 100 TB/day; the count-min sketch carries EXACTLY
+    // d·w = 4·256 = 1024 cells NO MATTER how many keys or events arrive.
+    // Each event explodes into its 4 (row, col) cell increments and a
+    // plain streaming groupBy((d, c)).count accumulates the sketch —
+    // the sketch update IS Spark's own aggregation state, mergeable
+    // across partitions and micro-batches by construction (no custom
+    // state handler to get wrong). The estimate phase then probes the
+    // finished sketch: est(key) = min over its 4 cells (an upper bound,
+    // est ≥ exact always), top-10 under a total order. The exact count
+    // rides along as the audit column — at 100 TB you'd drop it; here it
+    // makes the overestimate visible and testable. Sizing honesty: the
+    // testdata's keys are near-UNIFORM, so w=256 leaves the estimates
+    // collision-dominated (overcount ≈ stream_len/w — visible in the
+    // audit column BY DESIGN); count-min only separates true heavy
+    // hitters, and the production rule is w ≈ e/ε for an ε·N tolerable
+    // overcount — the knob, not the plan, changes at 100 TB.
+    "q_stream_heavy_hitters" -> { (s, dir) =>
+      val cellExpr = "transform(sequence(0, 3), d -> named_struct(" +
+        "'d', CAST(d AS BIGINT), " +
+        "'c', cast(conv(substring(md5(concat(cast(d as string), ':', " +
+        "cast(user_id as string))),1,8),16,10) as bigint) % 256))"
+      val cells = eventStream(s, dir, "cmsketch")
+        .filter(col("event_id") =!= -1L)
+        .select(explode(expr(cellExpr)).as("cell"))
+        .groupBy(col("cell.d").as("d"), col("cell.c").as("c"))
+        .agg(count(lit(1)).as("n"))
+      val acc = new java.util.concurrent.atomic.AtomicReference[Array[Row]](
+        Array.empty)
+      withStreamConf(s) {
+        val q = cells.writeStream.outputMode("complete")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            acc.set(batch.collect())
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val sketch = s.createDataFrame(
+        java.util.Arrays.asList(acc.get(): _*), StructType(Seq(
+          StructField("d", LongType), StructField("c", LongType),
+          StructField("n", LongType))))
+      val users = Tables.load(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      users
+        .select(col("user_id"), col("exact_n"),
+          explode(expr(cellExpr)).as("cell"))
+        .select(col("user_id"), col("exact_n"),
+          col("cell.d").as("d"), col("cell.c").as("c"))
+        .join(broadcast(sketch), Seq("d", "c"))
+        .groupBy("user_id", "exact_n").agg(min("n").as("est_n"))
+        .orderBy(col("est_n").desc, col("user_id").asc).limit(10)
+        .select("user_id", "est_n", "exact_n")
+    },
+
     "q_stream_dedup" -> { (s, dir) =>
       val out = eventStream(s, dir, "dedup",
           prep = df => df.unionByName(df.filter(col("event_id") % 97 === 0)))
@@ -1203,6 +1258,31 @@ object Streaming {
       |ORDER BY user_id, s_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the streamed events are exactly `events`, each counted once into a
+    // deterministic sketch → the finished cells equal a batch replay;
+    // same 4-row hash explode, same min-of-cells estimate, same total
+    // order on the top-10
+    "q_stream_heavy_hitters" ->
+      """WITH cell AS (
+        |  SELECT dd.d,
+        |    ('0x' || substr(md5(dd.d::VARCHAR || ':' ||
+        |      user_id::VARCHAR), 1, 8))::BIGINT % 256 AS c
+        |  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS dd(d)),
+        |sk AS (SELECT d, c, COUNT(*) AS n FROM cell GROUP BY d, c),
+        |users AS (
+        |  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id),
+        |probe AS (
+        |  SELECT u.user_id, u.exact_n, dd.d,
+        |    ('0x' || substr(md5(dd.d::VARCHAR || ':' ||
+        |      u.user_id::VARCHAR), 1, 8))::BIGINT % 256 AS c
+        |  FROM users u CROSS JOIN (VALUES (0), (1), (2), (3)) AS dd(d)),
+        |est AS (
+        |  SELECT p.user_id, p.exact_n, MIN(sk.n) AS est_n
+        |  FROM probe p JOIN sk ON sk.d = p.d AND sk.c = p.c
+        |  GROUP BY 1, 2)
+        |SELECT user_id, est_n, exact_n FROM est
+        |ORDER BY est_n DESC, user_id ASC LIMIT 10""".stripMargin,
+
     // the streamed corpus is exactly `documents`, each doc seen once and
     // matched statelessly → the counters equal the batch percolator's
     // (the q_percolate oracle shape replayed verbatim)

@@ -579,6 +579,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.map(_.getLong(3)).sum > 0, "something must match")
   }
 
+  test("count-min heavy hitters: est bounds exact, state bounded by d*w") {
+    val top = Streaming.queries("q_stream_heavy_hitters")(spark, sfDir)
+      .collect()
+    assert(top.nonEmpty && top.length <= 10)
+    // the count-min guarantee on every returned row: never an undercount
+    top.foreach(r => assert(r.getLong(1) >= r.getLong(2),
+      s"est < exact: $r"))
+    // the sketch's state is the streaming agg's groups: at most d*w cells
+    // regardless of how many keys or events the stream carried — recount
+    // the cell universe the explode can reach from the batch side
+    val cells = Tables.load(spark, sfDir, "events")
+      .selectExpr("explode(transform(sequence(0, 3), d -> named_struct(" +
+        "'d', CAST(d AS BIGINT), " +
+        "'c', cast(conv(substring(md5(concat(cast(d as string), ':', " +
+        "cast(user_id as string))),1,8),16,10) as bigint) % 256))) as cell")
+      .select("cell.d", "cell.c").distinct().count()
+    assert(cells <= 4L * 256, s"cell universe: $cells")
+    // with more keys than columns collisions are pigeonhole-guaranteed
+    // somewhere; at the tiny test SF (15 users over 256 columns) every
+    // key can land clean, and then the sketch must be EXACT everywhere
+    val nUsers = Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    if (nUsers > 256)
+      assert(top.exists(r => r.getLong(1) > r.getLong(2)),
+        "expected at least one collision overestimate in the top-10")
+  }
+
   test("transformWithState totals equal the batch aggregation (3 state vars + timers)") {
     val streamed = Streaming.queries("q_stream_transform_state")(spark, sfDir)
       .collect().toSet
