@@ -3203,6 +3203,77 @@ object Pipeline {
         .limit(20)
         .select(col("phrase"), col("n_occ"), col("n_words"),
           round(col("sc").cast("double"), 6).as("score"))
+    },
+
+    // FRONT-CODED TERM DICTIONARY SIZE ESTIMATOR — the companion of
+    // q_postings_size for the OTHER half of an inverted index: Lucene's
+    // block-tree terms dictionary stores sorted terms as (shared-prefix
+    // length, suffix) with a raw restart every 16 terms. The dictionary
+    // here is the sorted distinct customer-name key space (the classic
+    // shared-prefix shape of sorted identifiers). LCP via the monotone
+    // prefix-equality count: substring(a,1,i)=substring(b,1,i) is
+    // downward-closed in i, so counting the trues IS the longest common
+    // prefix — pure expression work, no UDF. Cost model declared: suffix
+    // bytes + 2 length bytes per term, raw at block starts. All exact
+    // BIGINT sums; the single-partition lag/rank window runs on the
+    // ≤|distinct terms| dictionary BY DESIGN (vocabulary-bounded — the
+    // dictionary of a 100 TB corpus still fits one node; at larger
+    // dictionaries the same plan shards by block ranges).
+    "q_dict_compression" -> { (s, dir) =>
+      val terms = Tables.load(s, dir, "customer")
+        .select(col("c_name").as("term")).distinct()
+      val ord = Window.partitionBy(pmod(length(col("term")), lit(1)))
+        .orderBy(col("term").asc)
+      val lcpE = "CASE WHEN prev IS NULL OR (rank - 1) % 16 = 0 " +
+        "OR least(length(term), length(prev)) < 1 THEN 0L " +
+        "ELSE size(filter(transform(" +
+        "sequence(1, least(length(term), length(prev))), " +
+        "i -> substring(term, 1, i) = substring(prev, 1, i)), x -> x)) END"
+      terms
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .withColumn("prev", lag("term", 1).over(ord))
+        .withColumn("lcp", expr(lcpE).cast("long"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(length(col("term")).cast("long")).as("raw_bytes"),
+          sum(length(col("term")).cast("long") - col("lcp") + 2)
+            .as("coded_bytes"),
+          sum(col("lcp")).as("lcp_bytes_saved"))
+        .select(col("n_terms"), col("raw_bytes"), col("coded_bytes"),
+          col("lcp_bytes_saved"),
+          expr("round(CAST(coded_bytes AS DOUBLE) / raw_bytes, 6)")
+            .as("ratio"))
+    },
+
+    // TEXT NORMALIZATION DEDUP DELTA — the CCNet/C4 "canonicalize before
+    // you dedup" pass, measured: lowercase + whitespace-collapse + trim,
+    // then count how many exact-duplicate groups exist AFTER
+    // normalization that raw hashing missed. The testdata arrives clean
+    // (500 unique texts), so the query injects DECLARED perturbations —
+    // the q_stream_dedup discipline — an upper-cased double-spaced
+    // trailing-space copy of every doc_id % 7 == 0 doc (id offset +10⁶):
+    // normalization must merge each injected copy with its original and
+    // nothing else. Counts are exact distincts; at 100 TB the distincts
+    // swap to their md5-fingerprint forms (q_dedup_exact's plan),
+    // normalization staying a map-side expression either way.
+    "q_text_normalize" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val noisy = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(regexp_replace(col("text"), " ", "  ")), lit(" "))
+            .as("text"))
+      val all = d.union(noisy)
+      val norm = all.withColumn("ntext",
+        trim(regexp_replace(lower(col("text")), " +", " ")))
+      norm.agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct_raw"),
+          countDistinct(col("ntext")).as("n_distinct_norm"),
+          sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L))
+            .as("n_injected"))
+        .select(col("n_docs"), col("n_distinct_raw"),
+          col("n_distinct_norm"),
+          (col("n_distinct_raw") - col("n_distinct_norm"))
+            .as("n_merged_by_norm"),
+          col("n_injected"))
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -5431,5 +5502,53 @@ object Pipeline {
         |  FROM pw JOIN ws USING (wd)
         |  GROUP BY pw.phrase, pw.n_occ)
         |SELECT phrase, n_occ, n_words, round(sc::DOUBLE, 6) AS score
-        |FROM psc ORDER BY sc DESC, phrase ASC LIMIT 20""".stripMargin)
+        |FROM psc ORDER BY sc DESC, phrase ASC LIMIT 20""".stripMargin,
+
+    // same sorted dictionary, same 16-term block restarts, same monotone
+    // prefix-equality LCP count, same 2-byte-overhead cost model
+    "q_dict_compression" ->
+      """WITH terms AS (SELECT DISTINCT c_name AS term FROM customer),
+        |r AS (
+        |  SELECT term,
+        |    row_number() OVER (ORDER BY term ASC) AS rank,
+        |    lag(term, 1) OVER (ORDER BY term ASC) AS prev
+        |  FROM terms),
+        |l AS (
+        |  SELECT term,
+        |    CASE WHEN prev IS NULL OR (rank - 1) % 16 = 0
+        |      OR least(length(term), length(prev)) < 1 THEN 0
+        |    ELSE COALESCE(list_sum(list_transform(
+        |      range(1, least(length(term), length(prev)) + 1),
+        |      i -> CASE WHEN substr(term, 1, i) = substr(prev, 1, i)
+        |        THEN 1 ELSE 0 END)), 0) END AS lcp
+        |  FROM r)
+        |SELECT COUNT(*) AS n_terms,
+        |  CAST(SUM(length(term)) AS BIGINT) AS raw_bytes,
+        |  CAST(SUM(length(term) - lcp + 2) AS BIGINT) AS coded_bytes,
+        |  CAST(SUM(lcp) AS BIGINT) AS lcp_bytes_saved,
+        |  round(CAST(SUM(length(term) - lcp + 2) AS DOUBLE)
+        |    / SUM(length(term)), 6) AS ratio
+        |FROM l""".stripMargin,
+
+    // same declared perturbation injection, same lower/collapse/trim
+    // canonicalization, same exact distinct counts
+    "q_text_normalize" ->
+      """WITH noisy AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    upper(replace(text, ' ', '  ')) || ' ' AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |al AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM noisy),
+        |norm AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS ntext
+        |  FROM al)
+        |SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT text) AS n_distinct_raw,
+        |  COUNT(DISTINCT ntext) AS n_distinct_norm,
+        |  COUNT(DISTINCT text) - COUNT(DISTINCT ntext) AS n_merged_by_norm,
+        |  CAST(SUM(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_injected
+        |FROM norm""".stripMargin)
 }

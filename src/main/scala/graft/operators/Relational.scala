@@ -3017,6 +3017,39 @@ object Relational {
           expr("round(aggregate(sort_array(rl), 0.0D, (a, x) -> a + x), 6)")
             .as("credit_revenue"))
         .orderBy("channel")
+    },
+
+    // INCREMENTAL JOIN MAINTENANCE (delta join) — the JOIN sibling of
+    // q_delta_refresh's aggregate maintenance, the identity every
+    // materialized-view engine (and every streaming join) is built on:
+    // (A∪dA)⋈(B∪dB) = A⋈B ∪ dA⋈B ∪ A⋈dB ∪ dA⋈dB. The revenue-by-nation
+    // view is computed ONLY from the four delta joins (base result +
+    // three delta terms unioned before the rollup); the oracle computes
+    // the from-scratch join — incremental ≡ full recompute IS the
+    // claim. Splits are declared mod fences (orders 80/20, customers
+    // 90/10) so both sides contribute a delta. Money stays exact
+    // DECIMAL through the union and rollup. Scale: this is why a 100 TB
+    // view refresh touches |dA|·|B| join work instead of |A∪dA|·|B∪dB| —
+    // the three delta terms are small-side joins AQE broadcasts.
+    "q_delta_join" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          money(col("o_totalprice")).as("p"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val oBase = o.filter(col("o_orderkey") % 10 < 8)
+      val oDelta = o.filter(col("o_orderkey") % 10 >= 8)
+      val cBase = c.filter(col("c_custkey") % 10 < 9)
+      val cDelta = c.filter(col("c_custkey") % 10 >= 9)
+      def j(a: DataFrame, b: DataFrame): DataFrame =
+        a.join(b, col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey"), col("p"))
+      j(oBase, cBase).union(j(oDelta, cBase))
+        .union(j(oBase, cDelta)).union(j(oDelta, cDelta))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("p").cast(DoubleType).as("revenue"))
+        .orderBy("c_nationkey")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -5186,5 +5219,15 @@ object Relational {
         |    list_sort(list(rev_d))), (a, x) -> a + x), 6)
         |    AS credit_revenue
         |FROM contrib GROUP BY channel
-        |ORDER BY channel""".stripMargin)
+        |ORDER BY channel""".stripMargin,
+
+    // DIFFERENTIAL oracle: the from-scratch join over the full tables —
+    // the incremental union-of-four-delta-joins must land exactly here
+    "q_delta_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
 }

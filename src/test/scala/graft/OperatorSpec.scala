@@ -2392,4 +2392,55 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(rows.values.map(_._2).sum - credited) < 1e-3,
       s"conservation: ${rows.values.map(_._2).sum} vs $credited")
   }
+
+  test("delta join: incremental union equals the from-scratch join") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val inc = Relational.queries("q_delta_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val full = spark.read.parquet(s"$sfDir/orders.parquet")
+      .join(spark.read.parquet(s"$sfDir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("c_nationkey").collect().map(_.toSeq).toSeq
+    assert(inc == full, s"first diff: ${inc.zip(full).find(p => p._1 != p._2)}")
+    assert(inc.nonEmpty)
+  }
+
+  test("dict compression: brute LCP/block replay over the sorted dictionary") {
+    import graft.operators.Relational
+    val r = graft.operators.Pipeline.queries("q_dict_compression")(
+      spark, sfDir).collect().head
+    val names = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_name").distinct().collect().map(_.getString(0)).sorted
+    def lcp(a: String, b: String): Long =
+      a.zip(b).takeWhile(p => p._1 == p._2).length.toLong
+    var raw = 0L; var coded = 0L; var saved = 0L
+    names.zipWithIndex.foreach { case (t, i) =>
+      val l = if (i == 0 || i % 16 == 0) 0L else lcp(names(i - 1), t)
+      raw += t.length; coded += t.length - l + 2; saved += l
+    }
+    assert(r.getLong(0) == names.length, s"n_terms: $r")
+    assert(r.getLong(1) == raw, s"raw: $r vs $raw")
+    assert(r.getLong(2) == coded, s"coded: $r vs $coded")
+    assert(r.getLong(3) == saved, s"saved: $r vs $saved")
+    // sorted identifiers must actually front-code well
+    assert(r.getDouble(4) < 0.8, s"ratio: $r")
+  }
+
+  test("text normalize: each injected perturbation merges, nothing else") {
+    import graft.operators.Pipeline
+    val r = Pipeline.queries("q_text_normalize")(spark, sfDir).collect().head
+    val nOrig = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(r.getLong(0) == nOrig + r.getLong(4), s"doc count: $r")
+    // originals are unique, each injected copy collides with exactly its
+    // source after normalization and with nothing before it
+    assert(r.getLong(1) == r.getLong(0), s"raw all distinct: $r")
+    assert(r.getLong(2) == nOrig, s"norm distinct = originals: $r")
+    assert(r.getLong(3) == r.getLong(4), s"merged == injected: $r")
+    assert(r.getLong(4) > 0, s"perturbations present: $r")
+  }
 }
