@@ -3205,6 +3205,72 @@ object Pipeline {
           round(col("sc").cast("double"), 6).as("score"))
     },
 
+    // GREEDY DECODING from the interpolated bigram LM — the generation
+    // readout that proves the LM family (q_unigram_lm → q_bigram_lm →
+    // q_kneser_ney) actually RUNS as a language model, not just as a
+    // scorer: seed at the most frequent token, then 8 steps of
+    // next = argmax_v p(v|u). The model densifies to the full 17×16
+    // grid (unseen bigrams get their smoothed mass — coalesced zero
+    // counts through the exact q_bigram_lm formula), so every state has
+    // a successor and the walk never dead-ends; candidates EXCLUDE the
+    // UNK id — a decoder never emits UNK (it would otherwise dominate:
+    // UNK absorbs the whole out-of-vocab tail, the classic trap), and
+    // the seed is the most frequent REAL token. Each step is a join +
+    // top-1 against the broadcast 289-row model — 8 steps unroll into
+    // ONE lazy plan (the q_textrank discipline; nothing but the ≤16
+    // vocab scalars visits the driver). Argmax is deterministic
+    // cross-engine: identical probability trees over identical integers,
+    // token-id ascending tiebreak.
+    "q_greedy_decode" -> { (s, dir) =>
+      val (enc, docBg) = bigramEncoded(s, dir)
+      val uni = enc.select(explode(col("ids")).as("vid"))
+        .groupBy("vid").agg(count(lit(1)).as("c1"))
+      val nTok = enc.agg(sum(size(col("ids"))).cast("long").as("n_corpus"))
+      val cbg = docBg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+      val ctx = cbg.withColumn("u", expr("bg div 17"))
+        .groupBy("u").agg(sum("cbg").as("cctx"))
+      val grid = s.range(17).select(col("id").as("u"))
+        .crossJoin(s.range(1, 17).select(col("id").as("v")))
+      val dense = grid
+        .join(broadcast(cbg.select(expr("bg div 17").as("u"),
+          expr("bg % 17").as("v"), col("cbg"))), Seq("u", "v"), "left")
+        .join(broadcast(ctx), Seq("u"), "left")
+        .join(broadcast(uni.select(col("vid").as("v"), col("c1"))),
+          Seq("v"), "left")
+        .crossJoin(broadcast(nTok))
+        .withColumn("p", expr(
+          "0.75D * ((coalesce(cbg, 0L) + 1.0D) / " +
+            "(coalesce(cctx, 0L) + 17.0D)) " +
+          "+ 0.25D * ((coalesce(c1, 0L) + 1.0D) / (n_corpus + 17.0D))"))
+        .select("u", "v", "p")
+      var state = uni.filter(col("vid") >= 1)
+        .orderBy(col("c1").desc, col("vid").asc).limit(1)
+        .select(col("vid").as("u"), lit(0L).as("step"),
+          lit(null).cast("double").as("p"))
+      val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
+        state.select(col("step"), col("u").as("token_id"), col("p")))
+      for (i <- 1 to 8) {
+        state = dense.join(broadcast(state.select("u")), "u")
+          .orderBy(col("p").desc, col("v").asc).limit(1)
+          .select(col("v").as("u"), lit(i.toLong).as("step"), col("p"))
+        steps += state.select(col("step"), col("u").as("token_id"), col("p"))
+      }
+      val vocab = docsPar(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(16)
+        .collect().map(_.getString(0))
+      val dec = vocab.zipWithIndex.map { case (t, i) =>
+        s"WHEN ${i + 1}L THEN '${t.replace("'", "''")}'"
+      }.mkString(" ")
+      steps.reduce(_ union _)
+        .withColumn("token",
+          expr(s"CASE token_id $dec ELSE '<unk>' END"))
+        .select(col("step"), col("token_id"), col("token"),
+          round(col("p"), 6).as("p"))
+        .orderBy("step")
+    },
+
     // FRONT-CODED TERM DICTIONARY SIZE ESTIMATOR — the companion of
     // q_postings_size for the OTHER half of an inverted index: Lucene's
     // block-tree terms dictionary stores sorted terms as (shared-prefix
@@ -5503,6 +5569,71 @@ object Pipeline {
         |  GROUP BY pw.phrase, pw.n_occ)
         |SELECT phrase, n_occ, n_words, round(sc::DOUBLE, 6) AS score
         |FROM psc ORDER BY sc DESC, phrase ASC LIMIT 20""".stripMargin,
+
+    // same encode chain as q_bigram_lm, same densified 17x17 smoothed
+    // model, same seed, same 8 unrolled argmax steps with the v-asc
+    // tiebreak, same vocab decode
+    "q_greedy_decode" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ty AS (SELECT u.t AS w, COUNT(*) AS c
+        |  FROM d, unnest(d.w) u(t) GROUP BY 1),
+        |vocab AS (SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS vid
+        |  FROM (SELECT w, c FROM ty ORDER BY c DESC, w ASC LIMIT 16)),
+        |tok AS (SELECT doc_id, unnest(w) AS t,
+        |  generate_subscripts(w, 1) AS pos FROM d),
+        |m AS (SELECT tok.doc_id, tok.pos, COALESCE(v.vid, 0) AS vid
+        |  FROM tok LEFT JOIN vocab v ON v.w = tok.t),
+        |bgs AS (SELECT a.doc_id, a.vid * 17 + b.vid AS bg
+        |  FROM m a JOIN m b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |cbg AS (SELECT bg, COUNT(*) AS cbg FROM bgs GROUP BY 1),
+        |ctx AS (SELECT bg // 17 AS u, SUM(cbg) AS cctx FROM cbg GROUP BY 1),
+        |uni AS (SELECT vid, COUNT(*) AS c1 FROM m GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_corpus FROM m),
+        |grid AS (SELECT gu.range AS u, gv.range AS v
+        |  FROM range(0, 17) gu CROSS JOIN range(1, 17) gv),
+        |dense AS (SELECT g.u, g.v,
+        |    0.75::DOUBLE * ((COALESCE(cb.cbg, 0) + 1.0::DOUBLE)
+        |      / (COALESCE(cx.cctx, 0) + 17.0::DOUBLE))
+        |    + 0.25::DOUBLE * ((COALESCE(un.c1, 0) + 1.0::DOUBLE)
+        |      / ((SELECT n_corpus FROM n) + 17.0::DOUBLE)) AS p
+        |  FROM grid g
+        |  LEFT JOIN (SELECT bg // 17 AS u, bg % 17 AS v, cbg FROM cbg) cb
+        |    ON cb.u = g.u AND cb.v = g.v
+        |  LEFT JOIN ctx cx ON cx.u = g.u
+        |  LEFT JOIN uni un ON un.vid = g.v),
+        |s0 AS (SELECT vid AS u FROM uni WHERE vid >= 1
+        |  ORDER BY c1 DESC, vid ASC LIMIT 1),
+        |n1 AS (SELECT dd.v, dd.p FROM dense dd JOIN s0 ON dd.u = s0.u
+        |  ORDER BY dd.p DESC, dd.v ASC LIMIT 1),
+        |n2 AS (SELECT dd.v, dd.p FROM dense dd JOIN n1 ON dd.u = n1.v
+        |  ORDER BY dd.p DESC, dd.v ASC LIMIT 1),
+        |n3 AS (SELECT dd.v, dd.p FROM dense dd JOIN n2 ON dd.u = n2.v
+        |  ORDER BY dd.p DESC, dd.v ASC LIMIT 1),
+        |n4 AS (SELECT dd.v, dd.p FROM dense dd JOIN n3 ON dd.u = n3.v
+        |  ORDER BY dd.p DESC, dd.v ASC LIMIT 1),
+        |n5 AS (SELECT dd.v, dd.p FROM dense dd JOIN n4 ON dd.u = n4.v
+        |  ORDER BY dd.p DESC, dd.v ASC LIMIT 1),
+        |n6 AS (SELECT dd.v, dd.p FROM dense dd JOIN n5 ON dd.u = n5.v
+        |  ORDER BY dd.p DESC, dd.v ASC LIMIT 1),
+        |n7 AS (SELECT dd.v, dd.p FROM dense dd JOIN n6 ON dd.u = n6.v
+        |  ORDER BY dd.p DESC, dd.v ASC LIMIT 1),
+        |n8 AS (SELECT dd.v, dd.p FROM dense dd JOIN n7 ON dd.u = n7.v
+        |  ORDER BY dd.p DESC, dd.v ASC LIMIT 1),
+        |chain AS (
+        |  SELECT CAST(0 AS BIGINT) AS step, CAST(u AS BIGINT) AS token_id,
+        |    NULL::DOUBLE AS p FROM s0
+        |  UNION ALL SELECT 1, CAST(v AS BIGINT), p FROM n1
+        |  UNION ALL SELECT 2, CAST(v AS BIGINT), p FROM n2
+        |  UNION ALL SELECT 3, CAST(v AS BIGINT), p FROM n3
+        |  UNION ALL SELECT 4, CAST(v AS BIGINT), p FROM n4
+        |  UNION ALL SELECT 5, CAST(v AS BIGINT), p FROM n5
+        |  UNION ALL SELECT 6, CAST(v AS BIGINT), p FROM n6
+        |  UNION ALL SELECT 7, CAST(v AS BIGINT), p FROM n7
+        |  UNION ALL SELECT 8, CAST(v AS BIGINT), p FROM n8)
+        |SELECT c.step, c.token_id, COALESCE(v.w, '<unk>') AS token,
+        |  round(c.p, 6) AS p
+        |FROM chain c LEFT JOIN vocab v ON v.vid = c.token_id
+        |ORDER BY c.step""".stripMargin,
 
     // same sorted dictionary, same 16-term block restarts, same monotone
     // prefix-equality LCP count, same 2-byte-overhead cost model

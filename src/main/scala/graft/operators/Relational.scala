@@ -3050,6 +3050,93 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"),
           sum("p").cast(DoubleType).as("revenue"))
         .orderBy("c_nationkey")
+    },
+
+    // SIMPSON'S PARADOX AUDIT — the analytics-QA check that catches the
+    // oldest aggregation trap: a pooled trend whose sign REVERSES inside
+    // every (or any) subgroup. Reuses q_ols_regression's closed-form
+    // discipline twice from ONE pass of sufficient statistics (x =
+    // quantity BIGINT, y = price DECIMAL): per-group slopes from the
+    // grouped rollup, the pooled slope from re-summing THE SAME partials
+    // (mergeability again — the pooled stats are the group stats summed,
+    // no second scan), flags where sign(group) ≠ sign(pooled). One
+    // map-side-combined rollup; everything after is ≤|groups| rows.
+    "q_simpson_audit" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast(LongType).as("x"),
+          money(col("l_extendedprice")).as("y"))
+      val g = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+        sum(col("y") * col("x")).as("sxy"))
+      val pool = g.agg(sum("n").as("pn"), sum("sx").as("psx"),
+        sum("sxx").as("psxx"), sum("sy").as("psy"), sum("sxy").as("psxy"))
+      def slope(n: String, sx: String, sxx: String, sy: String,
+          sxy: String) =
+        s"(CASE WHEN CAST($n AS DOUBLE) * $sxx - CAST($sx AS DOUBLE) * $sx" +
+          s" > 0.0D THEN (CAST($n AS DOUBLE) * $sxy " +
+          s"- CAST($sx AS DOUBLE) * $sy) / (CAST($n AS DOUBLE) * $sxx " +
+          s"- CAST($sx AS DOUBLE) * $sx) END)"
+      val sg = slope("n", "sx", "sxx", "sy", "sxy")
+      val sp = slope("pn", "psx", "psxx", "psy", "psxy")
+      g.crossJoin(broadcast(pool))
+        .select(col("l_returnflag"), col("n"),
+          expr(s"round($sg, 6)").as("slope_group"),
+          expr(s"round($sp, 6)").as("slope_pooled"),
+          expr(s"CASE WHEN $sg IS NOT NULL AND $sp IS NOT NULL THEN " +
+            s"CAST(CASE WHEN sign($sg) <> sign($sp) THEN 1 ELSE 0 END " +
+            "AS BIGINT) END").as("sign_flips"))
+        .orderBy("l_returnflag")
+    },
+
+    // SPLIT CONFORMAL PREDICTION INTERVAL — the distribution-free "how
+    // wrong is this model allowed to be" wrapper every production ML
+    // monitor wants (Vovk; Lei et al. 2018): 3-way md5 split of users
+    // into train/calibration/test, constant predictor μ = train mean of
+    // per-user event counts, nonconformity = |y − μ|, q̂ = the
+    // ⌈0.9·(n_cal+1)⌉-th smallest calibration residual (EXACT rank
+    // selection — row_number over (residual, user_id), never a float
+    // quantile), and the guarantee audited on the held-out test split:
+    // coverage = share of |y − μ| ≤ q̂, ≥ 90% in expectation by the
+    // exchangeability argument. μ is one double from exact BIGINTs; the
+    // residual order is doubles compared identically in both engines.
+    // One user_id shuffle; rank window on the ≤|cal users| rows.
+    "q_conformal_interval" -> { (s, dir) =>
+      val coin = "cast(conv(substring(md5(cast(user_id as string)),1,8)," +
+        "16,10) as bigint) % 3"
+      val u = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("y"))
+        .withColumn("fold", expr(coin))
+      val tr = u.filter(col("fold") === 0)
+        .agg(sum("y").as("tsy"), count(lit(1)).as("tn"))
+      val mu = "(CAST(tsy AS DOUBLE) / tn)"
+      val cal = u.filter(col("fold") === 1).crossJoin(broadcast(tr))
+        .withColumn("res", expr(s"abs(CAST(y AS DOUBLE) - $mu)"))
+      val nCal = cal.agg(count(lit(1)).as("n_cal"))
+      val ranked = cal.withColumn("rk", row_number().over(
+        Window.partitionBy(pmod(col("fold"), lit(1)))
+          .orderBy(col("res").asc, col("user_id").asc)).cast("long"))
+      val qhat = ranked.crossJoin(broadcast(nCal))
+        // k clamps to n_cal (tiny calibration sets would otherwise ask
+        // for the (n+1)-th residual — the infinite interval; the clamp is
+        // the declared finite fallback)
+        .filter(expr("rk = least(CAST(ceil(0.9D * (n_cal + 1)) AS BIGINT)" +
+          ", n_cal)"))
+        .select(col("rk").as("k"), col("n_cal"), col("res").as("q_hat"))
+      val test = u.filter(col("fold") === 2).crossJoin(broadcast(tr))
+        .crossJoin(broadcast(qhat))
+        .agg(count(lit(1)).as("n_test"),
+          sum(expr(s"CASE WHEN abs(CAST(y AS DOUBLE) - $mu) <= q_hat " +
+            "THEN 1L ELSE 0L END")).as("n_covered"),
+          min("k").as("k"), min("n_cal").as("n_cal"),
+          min("q_hat").as("q_hat"), min("tsy").as("tsy"),
+          min("tn").as("tn"))
+      test.select(col("tn").as("n_train"), col("n_cal"), col("n_test"),
+        expr(s"round($mu, 6)").as("mu"), col("k"),
+        round(col("q_hat"), 6).as("q_hat"),
+        expr("round(CAST(n_covered AS DOUBLE) / n_test, 6)")
+          .as("coverage"))
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -5229,5 +5316,94 @@ object Relational {
         |    AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey
-        |ORDER BY c_nationkey""".stripMargin)
+        |ORDER BY c_nationkey""".stripMargin,
+
+    // same one-pass sufficient statistics, same re-summed pooled
+    // partials, same slope trees and sign comparison
+    "q_simpson_audit" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    SUM(y) AS sy, SUM(y * x) AS sxy
+        |  FROM b GROUP BY l_returnflag),
+        |pool AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS pn, SUM(sx) AS psx,
+        |    SUM(sxx) AS psxx, SUM(sy) AS psy, SUM(sxy) AS psxy
+        |  FROM g)
+        |SELECT l_returnflag, n,
+        |  round((CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx
+        |      > 0.0::DOUBLE
+        |    THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) END), 6)
+        |    AS slope_group,
+        |  round((CASE WHEN CAST(pn AS DOUBLE) * psxx
+        |      - CAST(psx AS DOUBLE) * psx > 0.0::DOUBLE
+        |    THEN (CAST(pn AS DOUBLE) * psxy - CAST(psx AS DOUBLE) * psy)
+        |      / (CAST(pn AS DOUBLE) * psxx - CAST(psx AS DOUBLE) * psx)
+        |    END), 6) AS slope_pooled,
+        |  CASE WHEN (CASE WHEN CAST(n AS DOUBLE) * sxx
+        |      - CAST(sx AS DOUBLE) * sx > 0.0::DOUBLE
+        |    THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) END)
+        |      IS NOT NULL
+        |    AND (CASE WHEN CAST(pn AS DOUBLE) * psxx
+        |      - CAST(psx AS DOUBLE) * psx > 0.0::DOUBLE
+        |    THEN (CAST(pn AS DOUBLE) * psxy - CAST(psx AS DOUBLE) * psy)
+        |      / (CAST(pn AS DOUBLE) * psxx - CAST(psx AS DOUBLE) * psx)
+        |    END) IS NOT NULL
+        |  THEN CAST(CASE WHEN sign((CASE WHEN CAST(n AS DOUBLE) * sxx
+        |      - CAST(sx AS DOUBLE) * sx > 0.0::DOUBLE
+        |    THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) END))
+        |    <> sign((CASE WHEN CAST(pn AS DOUBLE) * psxx
+        |      - CAST(psx AS DOUBLE) * psx > 0.0::DOUBLE
+        |    THEN (CAST(pn AS DOUBLE) * psxy - CAST(psx AS DOUBLE) * psy)
+        |      / (CAST(pn AS DOUBLE) * psxx - CAST(psx AS DOUBLE) * psx)
+        |    END)) THEN 1 ELSE 0 END AS BIGINT)
+        |  END AS sign_flips
+        |FROM g CROSS JOIN pool
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // same md5 3-fold split, same train mean, same exact-rank residual
+    // selection with the declared n_cal clamp, same coverage tree
+    "q_conformal_interval" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS y,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 3
+        |      AS fold
+        |  FROM events GROUP BY user_id),
+        |tr AS (
+        |  SELECT CAST(SUM(y) AS BIGINT) AS tsy, COUNT(*) AS tn
+        |  FROM u WHERE fold = 0),
+        |cal AS (
+        |  SELECT u.user_id,
+        |    abs(CAST(y AS DOUBLE) - (CAST(tsy AS DOUBLE) / tn)) AS res
+        |  FROM u CROSS JOIN tr WHERE fold = 1),
+        |nc AS (SELECT COUNT(*) AS n_cal FROM cal),
+        |rk AS (
+        |  SELECT res, row_number() OVER (ORDER BY res ASC, user_id ASC)
+        |    AS rk
+        |  FROM cal),
+        |qh AS (
+        |  SELECT rk.rk AS k, nc.n_cal, rk.res AS q_hat
+        |  FROM rk CROSS JOIN nc
+        |  WHERE rk.rk = least(CAST(ceil(0.9::DOUBLE * (nc.n_cal + 1))
+        |    AS BIGINT), nc.n_cal)),
+        |te AS (
+        |  SELECT COUNT(*) AS n_test,
+        |    CAST(SUM(CASE WHEN abs(CAST(y AS DOUBLE)
+        |      - (CAST(tsy AS DOUBLE) / tn)) <= q_hat
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |    MIN(k) AS k, MIN(n_cal) AS n_cal, MIN(q_hat) AS q_hat,
+        |    MIN(tsy) AS tsy, MIN(tn) AS tn
+        |  FROM u CROSS JOIN tr CROSS JOIN qh WHERE fold = 2)
+        |SELECT tn AS n_train, n_cal, n_test,
+        |  round((CAST(tsy AS DOUBLE) / tn), 6) AS mu, k,
+        |  round(q_hat, 6) AS q_hat,
+        |  round(CAST(n_covered AS DOUBLE) / n_test, 6) AS coverage
+        |FROM te""".stripMargin)
 }

@@ -2443,4 +2443,82 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(3) == r.getLong(4), s"merged == injected: $r")
     assert(r.getLong(4) > 0, s"perturbations present: $r")
   }
+
+  test("greedy decode: brute argmax chain replay over the dense model") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.queries("q_greedy_decode")(spark, sfDir)
+      .collect()
+    assert(rows.length == 9)
+    // rebuild the model from raw counts
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("split(text, ' ') as w").collect()
+      .map(_.getSeq[String](0))
+    val vocab = docs.flatten.groupBy(identity).toSeq
+      .map { case (w, g) => (w, g.length) }
+      .sortBy { case (w, c) => (-c, w) }.take(16).map(_._1)
+    val vid = vocab.zipWithIndex.map { case (w, i) => w -> (i + 1) }.toMap
+    val ids = docs.map(_.map(w => vid.getOrElse(w, 0)))
+    val uni = ids.flatten.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val n = ids.map(_.length).sum.toLong
+    val bg = ids.filter(_.length >= 2)
+      .flatMap(d => d.zip(d.tail)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val ctx = bg.groupBy(_._1._1).map { case (u, m) => u -> m.values.sum }
+    def p(u: Int, v: Int): Double =
+      0.75 * ((bg.getOrElse((u, v), 0L) + 1.0) /
+        (ctx.getOrElse(u, 0L) + 17.0)) +
+        0.25 * ((uni.getOrElse(v, 0L) + 1.0) / (n + 17.0))
+    var cur = (1 to 16).map(v => (v, uni.getOrElse(v, 0L)))
+      .maxBy { case (v, c) => (c, -v) }._1
+    assert(rows(0).getLong(1) == cur, s"seed: ${rows(0)}")
+    (1 to 8).foreach { i =>
+      val (nxt, pv) = (1 to 16).map(v => (v, p(cur, v)))
+        .maxBy { case (v, pv) => (pv, -v) }
+      assert(rows(i).getLong(1) == nxt, s"step $i: ${rows(i)} vs $nxt")
+      assert(math.abs(rows(i).getDouble(3) - pv) < 2e-6, s"p $i: ${rows(i)}")
+      cur = nxt
+    }
+  }
+
+  test("simpson audit: group slopes match the OLS query; pooled recomputes") {
+    import graft.operators.Relational
+    val sa = Relational.queries("q_simpson_audit")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ols = Relational.queries("q_ols_regression")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // same sufficient statistics, same tree → identical group slopes
+    sa.foreach { case (k, r) =>
+      assert(r.getDouble(2) == ols(k), s"group slope drift for $k: $r")
+      assert(!r.isNullAt(4), s"flip flag defined: $r")
+    }
+    // pooled slope is one number across rows
+    assert(sa.values.map(_.getDouble(3)).toSet.size == 1)
+  }
+
+  test("conformal interval: brute split/rank/coverage replay") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_conformal_interval")(spark, sfDir)
+      .collect().head
+    val u = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").count()
+      .selectExpr("user_id", "count as y",
+        "cast(conv(substring(md5(cast(user_id as string)),1,8),16,10) " +
+          "as bigint) % 3 as fold")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val tr = u.filter(_._3 == 0)
+    val mu = tr.map(_._2).sum.toDouble / tr.length
+    val cal = u.filter(_._3 == 1)
+      .map(x => (math.abs(x._2 - mu), x._1)).sorted
+    val k = math.min(math.ceil(0.9 * (cal.length + 1)).toLong, cal.length)
+    val qhat = cal((k - 1).toInt)._1
+    val te = u.filter(_._3 == 2)
+    val cov = te.count(x => math.abs(x._2 - mu) <= qhat).toDouble / te.length
+    assert(r.getLong(0) == tr.length && r.getLong(1) == cal.length &&
+      r.getLong(2) == te.length, s"split sizes: $r")
+    assert(math.abs(r.getDouble(3) - mu) < 2e-6, s"mu: $r")
+    assert(r.getLong(4) == k, s"k: $r")
+    assert(math.abs(r.getDouble(5) - qhat) < 2e-6, s"q_hat: $r")
+    assert(math.abs(r.getDouble(6) - cov) < 2e-6, s"coverage: $r")
+  }
 }
