@@ -490,6 +490,48 @@ object Pipeline {
         .orderBy(col("rank_scaled").desc, col("w").asc).limit(20)
     },
 
+    // HITS HUBS & AUTHORITIES (Kleinberg 1999) — the DIRECTED sibling of
+    // q_textrank's PageRank on the same capped word graph: a bigram edge
+    // w1→w2 makes w1 a hub endorsing authority w2, and the two scores
+    // reinforce mutually (a = Aᵀh, h = Aa). Four rounds, each one join +
+    // map-side-combinable SUM against the ≤32-row score frame, all
+    // unrolled into ONE lazy plan (the q_textrank discipline — each
+    // frame referenced once per round, so the plan grows linearly; the
+    // only corpus-sized work is wordGraph's single bigram extraction).
+    // EXACT: scores are scaled integers (Scale=1e8) and the L1
+    // normalization is integer division by the exact score total — no
+    // float decides anything, both engines walk identical integers.
+    // Overflow audit: raw sums ≤ 32·1e8, ×Scale ≤ 3.2e17 < 2⁶³. The
+    // global window runs on the ≤32-row score frame BY DESIGN.
+    "q_hits" -> { (s, dir) =>
+      val Scale = 100000000L
+      val (_, e0) = wordGraph(s, dir, 32)
+      val nodes = e0.select(col("w1").as("w"))
+        .unionByName(e0.select(col("w2").as("w")))
+        .distinct().localCheckpoint(true)
+      val gw = Window.partitionBy(pmod(col("s"), lit(1)))
+      def norm(raw: DataFrame): DataFrame =
+        raw.withColumn("t", sum("s").over(gw))
+          .select(col("w"), expr(s"(s * ${Scale}L) div t").as("v"))
+      var h = nodes.withColumn("v", lit(Scale))
+      var a: DataFrame = null
+      for (_ <- 1 to 4) {
+        a = norm(nodes.join(
+          e0.join(h, e0("w1") === h("w"))
+            .groupBy(col("w2")).agg(sum("v").as("s")),
+          nodes("w") === col("w2"), "left")
+          .select(nodes("w"), coalesce(col("s"), lit(0L)).as("s")))
+        h = norm(nodes.join(
+          e0.join(a, e0("w2") === a("w"))
+            .groupBy(col("w1")).agg(sum("v").as("s")),
+          nodes("w") === col("w1"), "left")
+          .select(nodes("w"), coalesce(col("s"), lit(0L)).as("s")))
+      }
+      a.select(col("w"), col("v").as("authority_scaled"))
+        .join(h.select(col("w"), col("v").as("hub_scaled")), "w")
+        .orderBy(col("authority_scaled").desc, col("w").asc).limit(10)
+    },
+
     // RECURSIVE CTE hierarchy walk (Spark 4 `WITH RECURSIVE` — the SQL
     // surface for iterative plans that q_textrank/q_dup_clusters drive
     // from the Scala side; the org-chart/category-tree query every
@@ -4709,6 +4751,40 @@ object Pipeline {
         """
         |SELECT w, CAST(r AS BIGINT) AS rank_scaled FROM pr5
         |ORDER BY rank_scaled DESC, w ASC LIMIT 20""".stripMargin
+    },
+
+    // same capped directed graph, same 4 unrolled a = Aᵀh / h = Aa
+    // rounds in scaled integers with exact-total integer-division
+    // normalization
+    "q_hits" -> {
+      val step = (i: Int) => {
+        val (hp, ar, an, aa, hr, hn, hh) =
+          (s"h${i - 1}", s"ar$i", s"an$i", s"a$i", s"hr$i", s"hn$i", s"h$i")
+        s""",
+        |$ar AS (SELECT e0.w2 AS w, SUM($hp.v) AS s
+        |  FROM e0 JOIN $hp ON $hp.w = e0.w1 GROUP BY e0.w2),
+        |$an AS (SELECT n.w, CAST(COALESCE(r.s, 0) AS BIGINT) AS s
+        |  FROM nodes n LEFT JOIN $ar r ON r.w = n.w),
+        |$aa AS (SELECT w, CAST((s * 100000000) //
+        |    CAST(SUM(s) OVER () AS BIGINT) AS BIGINT) AS v FROM $an),
+        |$hr AS (SELECT e0.w1 AS w, SUM($aa.v) AS s
+        |  FROM e0 JOIN $aa ON $aa.w = e0.w2 GROUP BY e0.w1),
+        |$hn AS (SELECT n.w, CAST(COALESCE(r.s, 0) AS BIGINT) AS s
+        |  FROM nodes n LEFT JOIN $hr r ON r.w = n.w),
+        |$hh AS (SELECT w, CAST((s * 100000000) //
+        |    CAST(SUM(s) OVER () AS BIGINT) AS BIGINT) AS v FROM $hn)"""
+          .stripMargin
+      }
+      s"""WITH
+        |$wordGraphSql,
+        |nodes AS (SELECT w1 AS w FROM e0 UNION SELECT w2 FROM e0),
+        |h0 AS (SELECT w, CAST(100000000 AS BIGINT) AS v FROM nodes)"""
+        .stripMargin +
+        (1 to 4).map(step).mkString +
+        """
+        |SELECT a4.w, a4.v AS authority_scaled, h4.v AS hub_scaled
+        |FROM a4 JOIN h4 ON h4.w = a4.w
+        |ORDER BY authority_scaled DESC, a4.w ASC LIMIT 10""".stripMargin
     },
 
     // same capped graph, same strict-total-order parent, same walk

@@ -3137,6 +3137,48 @@ object Relational {
         round(col("q_hat"), 6).as("q_hat"),
         expr("round(CAST(n_covered AS DOUBLE) / n_test, 6)")
           .as("coverage"))
+    },
+
+    // ITEM-ITEM COLLABORATIVE FILTERING — the co-purchase recommender
+    // (Sarwar et al. 2001 / Amazon's item-to-item CF): parts bought
+    // together in the same order, neighbor score = cosine over the
+    // binary order-incidence vectors = n_both / sqrt(n_i · n_j), top-5
+    // neighbors for the 10 most-purchased parts. Scale: the pair
+    // self-join is keyed on l_orderkey and the blow-up is bounded by
+    // BASKET SIZE (TPC-H orders hold ≤7 lineitems — per-order pairs are
+    // a constant factor, never quadratic in the catalog); distinct +
+    // groupBy(i,j) both map-side combine; the degree join is a plain
+    // equi-join on partkey (AQE-broadcast at small SF); the focus list
+    // is a 10-row broadcast. Cosine is ONE double tree over exact
+    // BIGINT counts — identical in both engines, so the (cosine DESC,
+    // neighbor ASC) rank is deterministic; rounding only at display.
+    "q_item_cf" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val deg = op.groupBy("p").agg(count(lit(1)).as("n"))
+      val pairs = op.as("a")
+        .join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("i"), col("b.p").as("j"))
+        .agg(count(lit(1)).as("nij"))
+      val sym = pairs.select(col("i"), col("j"), col("nij"))
+        .unionByName(pairs.select(col("j").as("i"), col("i").as("j"),
+          col("nij")))
+      val focus = deg.orderBy(col("n").desc, col("p").asc).limit(10)
+        .select(col("p").as("i"), col("n").as("n_i"))
+      val scored = sym.join(broadcast(focus), "i")
+        .join(deg.select(col("p").as("j"), col("n").as("n_j")), "j")
+        .withColumn("cosine",
+          expr("CAST(nij AS DOUBLE) / sqrt(CAST(n_i AS DOUBLE) * n_j)"))
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy("i").orderBy(col("cosine").desc, col("j").asc)))
+        .filter(col("rn") <= 5)
+        .select(col("i").as("part"), col("rn").cast(LongType).as("rank"),
+          col("j").as("neighbor"), col("n_i").as("n_part"),
+          col("n_j").as("n_neighbor"), col("nij").as("n_both"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("part", "rank")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -5405,5 +5447,34 @@ object Relational {
         |  round((CAST(tsy AS DOUBLE) / tn), 6) AS mu, k,
         |  round(q_hat, 6) AS q_hat,
         |  round(CAST(n_covered AS DOUBLE) / n_test, 6) AS coverage
-        |FROM te""".stripMargin)
+        |FROM te""".stripMargin,
+
+    // same distinct incidence, same basket-bounded pair join, same cosine
+    // tree and (cosine DESC, neighbor ASC) rank
+    "q_item_cf" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |deg AS (SELECT p, COUNT(*) AS n FROM op GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.p AS i, b.p AS j, COUNT(*) AS nij
+        |  FROM op a JOIN op b ON b.o = a.o AND a.p < b.p
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT i, j, nij FROM pairs
+        |  UNION ALL SELECT j AS i, i AS j, nij FROM pairs),
+        |focus AS (SELECT p AS i, n AS n_i FROM deg
+        |  ORDER BY n DESC, p ASC LIMIT 10),
+        |scored AS (
+        |  SELECT s.i, s.j, s.nij, f.n_i, d.n AS n_j,
+        |    CAST(s.nij AS DOUBLE) / sqrt(CAST(f.n_i AS DOUBLE) * d.n)
+        |      AS cosine
+        |  FROM sym s JOIN focus f ON f.i = s.i JOIN deg d ON d.p = s.j),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY i
+        |    ORDER BY cosine DESC, j ASC) AS rn
+        |  FROM scored)
+        |SELECT i AS part, CAST(rn AS BIGINT) AS "rank", j AS neighbor,
+        |  n_i AS n_part, n_j AS n_neighbor, nij AS n_both,
+        |  round(cosine, 6) AS cosine
+        |FROM rk WHERE rn <= 5
+        |ORDER BY part, "rank"""".stripMargin)
 }

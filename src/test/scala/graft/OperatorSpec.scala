@@ -2521,4 +2521,77 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(5) - qhat) < 2e-6, s"q_hat: $r")
     assert(math.abs(r.getDouble(6) - cov) < 2e-6, s"coverage: $r")
   }
+
+  test("hits: brute 4-round scaled-integer replay matches the top-10") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.queries("q_hits")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("split(text, ' ') as w").collect()
+      .map(_.getSeq[String](0))
+    val vocab = docs.flatten.groupBy(identity).toSeq
+      .map { case (w, g) => (w, g.length) }
+      .sortBy { case (w, c) => (-c, w) }.take(32).map(_._1).toSet
+    val e0 = docs.filter(_.length >= 2)
+      .flatMap(d => d.zip(d.tail))
+      .filter { case (a, b) => a != b && vocab(a) && vocab(b) }
+      .distinct
+    val nodes = (e0.map(_._1) ++ e0.map(_._2)).distinct.sorted
+    val S = 100000000L
+    var h = nodes.map(_ -> S).toMap
+    var a = h
+    def norm(raw: Map[String, Long]): Map[String, Long] = {
+      val t = raw.values.sum
+      raw.map { case (w, s) => w -> (s * S) / t }
+    }
+    for (_ <- 1 to 4) {
+      a = norm(nodes.map(n =>
+        n -> e0.filter(_._2 == n).map(e => h(e._1)).sum).toMap)
+      h = norm(nodes.map(n =>
+        n -> e0.filter(_._1 == n).map(e => a(e._2)).sum).toMap)
+    }
+    val top = a.toSeq.map { case (w, v) => (w, v, h(w)) }
+      .sortBy { case (w, v, _) => (-v, w) }.take(10)
+    rows.zip(top).foreach { case (r, (w, av, hv)) =>
+      assert(r.getString(0) == w && r.getLong(1) == av &&
+        r.getLong(2) == hv, s"$r vs ($w,$av,$hv)")
+    }
+  }
+
+  test("item cf: brute co-purchase recount reproduces every neighbor row") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_item_cf")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val op = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = op.groupBy(_._2).map { case (p, g) => p -> g.length.toLong }
+    val byOrder = op.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val co = scala.collection.mutable.Map[(Long, Long), Long]()
+    byOrder.foreach { ps =>
+      for (a <- ps; b <- ps if a < b)
+        co((a, b)) = co.getOrElse((a, b), 0L) + 1
+    }
+    val focus = deg.toSeq.sortBy { case (p, n) => (-n, p) }.take(10).toMap
+    rows.foreach { r =>
+      val (i, j) = (r.getLong(0), r.getLong(2))
+      assert(focus.contains(i), s"focus part: $r")
+      val nij = co.getOrElse((math.min(i, j), math.max(i, j)), 0L)
+      assert(r.getLong(5) == nij && nij >= 1, s"n_both: $r")
+      assert(r.getLong(3) == deg(i) && r.getLong(4) == deg(j), s"deg: $r")
+      assert(nij <= math.min(deg(i), deg(j)), s"bound: $r")
+      val cos = nij.toDouble / math.sqrt(deg(i).toDouble * deg(j))
+      assert(math.abs(r.getDouble(6) - cos) < 2e-6, s"cosine: $r")
+    }
+    // per-part ranks are 1..k and scores non-increasing within a part
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length).toSeq)
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(6) >= b.getDouble(6), s"monotone: $a vs $b")
+        case _ =>
+      }
+    }
+  }
 }
