@@ -52,6 +52,29 @@ object Relational {
   private def factor(c: Column): Column = c.cast(DecimalType(6, 2))
   private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
 
+  /** Shared scored-document derivation for the calibration family
+    * (q_calibration_bins + q_isotonic_calibration — one scorer, two
+    * consumers, so the reliability diagram and the isotonic fit can never
+    * desynchronize): score p = logistic of the z-scored char length
+    * (z and p round to 6 dp before any grouping so a last-ulp wobble
+    * can't move a row across a level), label y = (lang = 'en'). */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("n_chars").cast(LongType).as("x"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val st = d.agg(count(lit(1)).as("nd"), sum("x").as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    d.crossJoin(broadcast(st))
+      .withColumn("z", round(
+        (col("x") - col("sx").cast(DoubleType) / col("nd")) /
+          sqrt((col("nd").cast(DoubleType) * col("sxx") -
+            col("sx").cast(DoubleType) * col("sx")) /
+            (col("nd") * (col("nd") - 1))), 6))
+      .withColumn("p",
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6)
+          .cast(DecimalType(8, 6)))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map(
@@ -2323,20 +2346,7 @@ object Relational {
     // can't perturb any reported statistic. Scale: one corpus pass + a
     // 10-row rollup.
     "q_calibration_bins" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
-        .select(col("n_chars").cast(LongType).as("x"),
-          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-      val st = d.agg(count(lit(1)).as("nd"), sum("x").as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
-      val scored = d.crossJoin(broadcast(st))
-        .withColumn("z", round(
-          (col("x") - col("sx").cast(DoubleType) / col("nd")) /
-            sqrt((col("nd").cast(DoubleType) * col("sxx") -
-              col("sx").cast(DoubleType) * col("sx")) /
-              (col("nd") * (col("nd") - 1))), 6))
-        .withColumn("p",
-          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6)
-            .cast(DecimalType(8, 6)))
+      val scored = scoredDocs(s, dir)
         .withColumn("bin",
           least(floor(col("p") * 10).cast(LongType), lit(9L)))
       scored.groupBy("bin")
@@ -3179,6 +3189,93 @@ object Relational {
           col("n_j").as("n_neighbor"), col("nij").as("n_both"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("part", "rank")
+    },
+
+    // ISOTONIC REGRESSION CALIBRATION — the nonparametric upgrade of
+    // q_calibration_bins' reliability diagram (Zadrozny & Elkan 2002:
+    // calibrate scores with the best MONOTONE fit, no bin-width choice).
+    // PAVA is a sequential pooling algorithm, but isotonic regression has
+    // a closed DISTRIBUTABLE form — the minimax identity (Robertson,
+    // Wright & Dykstra 1988): ŷᵢ = max_{j≤i} min_{k≥i} mean(y[j..k]) —
+    // which turns the fit into joins over prefix sums. Shares
+    // q_calibration_bins' scorer via scoredDocs; scores collapse to ≤101
+    // percent levels in ONE map-side-combined corpus rollup, so the
+    // (j,i,k) triple space is ≤101³ ≈ 1e6 rows against broadcast ≤101-row
+    // frames BY DESIGN — never corpus-sized. EXACT: every candidate mean
+    // is one division of exact BIGINT prefix-sum deltas (identical
+    // cross-engine), and min/max over identical doubles is deterministic;
+    // rounding only at display. The global window runs on the ≤101-row
+    // level table BY DESIGN.
+    "q_isotonic_calibration" -> { (s, dir) =>
+      val lvl = scoredDocs(s, dir)
+        .withColumn("l", least(floor(col("p") * 100).cast(LongType),
+          lit(99L)))
+        .groupBy("l").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      val gw = Window.partitionBy(pmod(col("l"), lit(1))).orderBy("l")
+      val pre = lvl
+        .withColumn("i", row_number().over(gw).cast(LongType))
+        .withColumn("cn", sum("n").over(gw))
+        .withColumn("cp", sum("pos").over(gw))
+        .localCheckpoint(true)
+      val lo = pre.select(col("i").as("j"),
+        (col("cn") - col("n")).as("n0"), (col("cp") - col("pos")).as("p0"))
+      val hi = pre.select(col("i").as("k"), col("cn").as("n1"),
+        col("cp").as("p1"))
+      val avg = broadcast(lo).join(hi, col("j") <= col("k"))
+        .select(col("j"), col("k"),
+          ((col("p1") - col("p0")).cast(DoubleType) /
+            (col("n1") - col("n0"))).as("m"))
+      val fit = avg
+        .join(broadcast(pre.select("i")),
+          col("j") <= col("i") && col("i") <= col("k"))
+        .groupBy("i", "j").agg(min("m").as("inner"))
+        .groupBy("i").agg(max("inner").as("iso"))
+      pre.join(fit, "i")
+        .select(col("l"), col("n"), col("pos"),
+          round(col("pos").cast(DoubleType) / col("n"), 6).as("raw_rate"),
+          round(col("iso"), 6).as("iso_rate"))
+        .orderBy("l")
+    },
+
+    // SPRT — Wald's sequential probability ratio test (1945), the
+    // always-valid sibling of q_ab_test's fixed-horizon z: monitor the
+    // purchase rate day by day and STOP the moment the evidence crosses
+    // a boundary, without the peeking penalty. H₀ = the corpus-wide
+    // purchase rate (self-derived, rounded to 6 dp before use), H₁ = a
+    // declared 25% lift (alternative rounded the same way); boundaries
+    // ln((1−β)/α), ln(β/(1−α)) at declared α = β = 0.05. EXACT: the LLR
+    // at day t is cum_pos·ln(p₁/p₀) + cum_neg·ln((1−p₁)/(1−p₀)) computed
+    // FROM the cumulative exact BIGINT counts — one double tree per day,
+    // never a float fold — and the decision reads the ROUNDED statistic
+    // so a last-ulp wobble can't flip it. Scale: the corpus collapses to
+    // the ≤|days| daily table in one map-side-combined shuffle; the
+    // cumulative window runs on that aggregate BY DESIGN.
+    "q_sprt" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("ts").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("pos"))
+      val p0 = daily.agg(
+        round(sum("pos").cast(DoubleType) / sum("n"), 6).as("p0"))
+        .withColumn("p1", round(col("p0") * 1.25, 6))
+      val gw = Window.partitionBy(pmod(col("n"), lit(1))).orderBy("day")
+      daily
+        .withColumn("cn", sum("n").over(gw))
+        .withColumn("cpos", sum("pos").over(gw))
+        .crossJoin(broadcast(p0))
+        .withColumn("llr", round(
+          col("cpos") * log(col("p1") / col("p0")) +
+            (col("cn") - col("cpos")) *
+              log((lit(1.0) - col("p1")) / (lit(1.0) - col("p0"))), 6))
+        .withColumn("decision",
+          when(col("llr") >= round(log(lit(19.0)), 6), "accept_h1")
+            .when(col("llr") <= round(log(lit(1.0) / 19.0), 6),
+              "accept_h0")
+            .otherwise("continue"))
+        .select(col("day"), col("cn").as("cum_n"),
+          col("cpos").as("cum_pos"), col("llr"), col("decision"))
+        .orderBy("day")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -5476,5 +5573,82 @@ object Relational {
         |  n_i AS n_part, n_j AS n_neighbor, nij AS n_both,
         |  round(cosine, 6) AS cosine
         |FROM rk WHERE rn <= 5
-        |ORDER BY part, "rank"""".stripMargin)
+        |ORDER BY part, "rank"""".stripMargin,
+
+    // same shared scorer, same ≤101-level rollup, same minimax identity
+    // over the same exact prefix-sum deltas
+    "q_isotonic_calibration" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |st AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM d),
+        |z AS (
+        |  SELECT y, round((x - sx::DOUBLE / nd) /
+        |    sqrt((nd::DOUBLE * sxx - sx::DOUBLE * sx) /
+        |      (nd * (nd - 1))), 6) AS z
+        |  FROM d CROSS JOIN st),
+        |p AS (
+        |  SELECT y, CAST(round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 6)
+        |    AS DECIMAL(8,6)) AS p
+        |  FROM z),
+        |lvl AS (
+        |  SELECT least(CAST(floor(p * 100) AS BIGINT), 99) AS l,
+        |    COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM p GROUP BY 1),
+        |pre AS (
+        |  SELECT l, n, pos,
+        |    CAST(row_number() OVER (ORDER BY l) AS BIGINT) AS i,
+        |    CAST(SUM(n) OVER (ORDER BY l) AS BIGINT) AS cn,
+        |    CAST(SUM(pos) OVER (ORDER BY l) AS BIGINT) AS cp
+        |  FROM lvl),
+        |avg_jk AS (
+        |  SELECT a.i AS j, b.i AS k,
+        |    (b.cp - (a.cp - a.pos))::DOUBLE / (b.cn - (a.cn - a.n)) AS m
+        |  FROM pre a JOIN pre b ON a.i <= b.i),
+        |fit AS (
+        |  SELECT i, MAX(inner_m) AS iso FROM (
+        |    SELECT p.i, v.j, MIN(v.m) AS inner_m
+        |    FROM avg_jk v JOIN pre p ON v.j <= p.i AND p.i <= v.k
+        |    GROUP BY p.i, v.j) q
+        |  GROUP BY i)
+        |SELECT pre.l, pre.n, pre.pos,
+        |  round(pre.pos::DOUBLE / pre.n, 6) AS raw_rate,
+        |  round(f.iso, 6) AS iso_rate
+        |FROM pre JOIN fit f ON f.i = pre.i
+        |ORDER BY pre.l""".stripMargin,
+
+    // same rounded self-derived p0/p1, same cumulative exact counts,
+    // same one-tree LLR and rounded-boundary decision
+    "q_sprt" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM events GROUP BY 1),
+        |h AS (
+        |  SELECT round(SUM(pos)::DOUBLE / SUM(n), 6) AS p0,
+        |    round(round(SUM(pos)::DOUBLE / SUM(n), 6) * 1.25::DOUBLE, 6)
+        |      AS p1
+        |  FROM daily),
+        |cum AS (
+        |  SELECT day,
+        |    CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS cn,
+        |    CAST(SUM(pos) OVER (ORDER BY day) AS BIGINT) AS cpos
+        |  FROM daily),
+        |sc AS (
+        |  SELECT day, cn, cpos,
+        |    round(cpos * ln(p1 / p0) +
+        |      (cn - cpos) * ln((1.0::DOUBLE - p1) / (1.0::DOUBLE - p0)), 6)
+        |      AS llr
+        |  FROM cum CROSS JOIN h)
+        |SELECT day, cn AS cum_n, cpos AS cum_pos, llr,
+        |  CASE WHEN llr >= round(ln(19.0::DOUBLE), 6) THEN 'accept_h1'
+        |       WHEN llr <= round(ln(1.0::DOUBLE / 19.0::DOUBLE), 6)
+        |         THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM sc ORDER BY day""".stripMargin)
 }

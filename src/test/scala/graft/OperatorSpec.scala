@@ -2558,6 +2558,74 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("isotonic calibration: PAVA replay matches the minimax fit") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_isotonic_calibration")(spark, sfDir)
+      .collect()
+    assert(rows.length >= 3)
+    // PAVA — the sequential pool-adjacent-violators algorithm, a genuinely
+    // different computation from the query's minimax joins
+    case class Block(n: Long, pos: Long) { def m: Double = pos.toDouble / n }
+    val st = scala.collection.mutable.Stack[Block]()
+    rows.foreach { r =>
+      var b = Block(r.getLong(1), r.getLong(2))
+      while (st.nonEmpty && st.top.m >= b.m) {
+        val t = st.pop(); b = Block(t.n + b.n, t.pos + b.pos)
+      }
+      st.push(b)
+    }
+    // expand blocks back over levels by walking counts
+    val blocks = st.toSeq.reverse
+    var bi = 0; var used = 0L
+    rows.foreach { r =>
+      if (used == blocks(bi).n) { bi += 1; used = 0 }
+      val exp = math.rint(blocks(bi).m * 1e6) / 1e6
+      assert(math.abs(r.getDouble(4) - exp) < 2e-6,
+        s"level ${r.getLong(0)}: ${r.getDouble(4)} vs $exp")
+      used += r.getLong(1)
+    }
+    // monotone non-decreasing and mass-conserving
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(4) + 1e-9, s"monotone: $a $b")
+      case _ =>
+    }
+    val tot = rows.map(r => r.getLong(1) * r.getDouble(4)).sum
+    val pos = rows.map(_.getLong(2)).sum
+    assert(math.abs(tot - pos) < 1e-2 * pos.max(1L), s"mass: $tot vs $pos")
+  }
+
+  test("sprt: brute daily LLR walk matches every row and decision") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_sprt")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("cast(ts as date) as day",
+        "case when event_type = 'purchase' then 1L else 0L end as y")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val daily = ev.groupBy(_._1).toSeq
+      .map { case (d, g) => (d, g.length.toLong, g.map(_._2).sum) }
+      .sortBy(_._1)
+    val totN = daily.map(_._2).sum
+    val totP = daily.map(_._3).sum
+    val p0 = math.rint(totP.toDouble / totN * 1e6) / 1e6
+    val p1 = math.rint(p0 * 1.25 * 1e6) / 1e6
+    val hi = math.rint(math.log(19.0) * 1e6) / 1e6
+    val lo = math.rint(math.log(1.0 / 19.0) * 1e6) / 1e6
+    var cn = 0L; var cp = 0L
+    rows.zip(daily).foreach { case (r, (d, n, p)) =>
+      cn += n; cp += p
+      assert(r.getDate(0).toString == d && r.getLong(1) == cn &&
+        r.getLong(2) == cp, s"cums: $r")
+      val llr = math.rint((cp * math.log(p1 / p0) +
+        (cn - cp) * math.log((1 - p1) / (1 - p0))) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(3) - llr) < 2e-6, s"llr: $r vs $llr")
+      val dec = if (r.getDouble(3) >= hi) "accept_h1"
+        else if (r.getDouble(3) <= lo) "accept_h0" else "continue"
+      assert(r.getString(4) == dec, s"decision: $r")
+    }
+  }
+
   test("item cf: brute co-purchase recount reproduces every neighbor row") {
     import graft.operators.Relational
     val rows = Relational.queries("q_item_cf")(spark, sfDir).collect()
