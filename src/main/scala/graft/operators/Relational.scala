@@ -3276,11 +3276,873 @@ object Relational {
         .select(col("day"), col("cn").as("cum_n"),
           col("cpos").as("cum_pos"), col("llr"), col("decision"))
         .orderBy("day")
+    },
+
+    // GINI COEFFICIENT + top-decile Lorenz share (revenue concentration
+    // across customers — the inequality readout every marketplace and
+    // data-mixture audit wants; Gini 1912 in Sen's rank form): per-customer
+    // revenue rolls up to exact BIGINT cents, ranks are row_number over the
+    // TOTAL order (rev, custkey), and G = (2·Σr·x − (n+1)·Σx) / (n·Σx) is
+    // one double tree over three exact BIGINT aggregates. Top-decile share
+    // = Σx over ranks above n − n div 10 (declared integer decile rule)
+    // over Σx. Degenerate (Σx = 0) yields NULL, never a throw. Scale: the
+    // corpus collapses to the ≤|customers| rollup in one map-side shuffle;
+    // the rank window on that rollup is single-partition BY DESIGN (the
+    // q_roc_auc shape) — at 1e9 customers swap in the two-level distributed
+    // prefix-rank the watermark-lateness audit uses, tree unchanged. Σr·x
+    // ≈ 1e17 at sf0.1 — BIGINT-safe; DECIMAL(38,0) swap beyond.
+    "q_gini" -> { (s, dir) =>
+      val perCust = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg((sum(money(col("o_totalprice"))) * 100).cast(LongType)
+          .as("rev"))
+      val tot = perCust.agg(count(lit(1)).as("n"), sum("rev").as("s1"))
+      perCust
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("rev"), col("o_custkey"))))
+        .crossJoin(broadcast(tot))
+        .agg(
+          max("n").as("n_customers"),
+          max("s1").as("total_cents"),
+          sum(col("r") * col("rev")).as("sr"),
+          sum(when(expr("r > n - n div 10"), col("rev")).otherwise(0L))
+            .as("top_cents"))
+        .select(col("n_customers"), col("total_cents"),
+          expr("""CASE WHEN total_cents > 0 THEN
+            |round((2.0D * sr - (CAST(n_customers AS DOUBLE) + 1.0D) *
+            |  total_cents) /
+            |  (CAST(n_customers AS DOUBLE) * total_cents), 6)
+            |END""".stripMargin).as("gini"),
+          expr("""CASE WHEN total_cents > 0 THEN
+            |round(CAST(top_cents AS DOUBLE) / total_cents, 6)
+            |END""".stripMargin).as("top_decile_share"))
+    },
+
+    // SPEARMAN RANK CORRELATION (order-frequency vs spend across customers
+    // — the monotone-association sibling of q_ols_regression's Pearson r,
+    // robust to the heavy spend skew; Spearman 1904): average-rank ties
+    // computed WITHOUT a per-row window — each variable collapses to its
+    // value histogram and avg rank = cum_below + (cnt+1)/2, kept exact by
+    // DOUBLING (2·rank = 2·cum_below + cnt + 1 is always integer), then the
+    // doubled ranks join back by value and ρ is the Pearson tree over exact
+    // BIGINT rank statistics (doubling cancels in ρ). Degenerate (either
+    // variable constant) yields NULL. Scale: one |customers| rollup, two
+    // ≤|distinct value| histogram windows BY DESIGN (q_roc_auc shape), two
+    // broadcast-sized rank joins; products ≤ ~2e17 at sf0.1 — BIGINT-safe,
+    // DECIMAL(38,0) swap beyond.
+    "q_spearman" -> { (s, dir) =>
+      val u = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("a"),
+          (sum(money(col("o_totalprice"))) * 100).cast(LongType).as("b"))
+      def ranks(v: String, r2: String): DataFrame = {
+        val w = Window.orderBy(v).rowsBetween(Window.unboundedPreceding, -1)
+        u.groupBy(v).agg(count(lit(1)).as("cnt"))
+          .withColumn("cb", coalesce(sum("cnt").over(w), lit(0L)))
+          .select(col(v),
+            (lit(2L) * col("cb") + col("cnt") + lit(1L)).as(r2))
+      }
+      u.join(ranks("a", "r2a"), "a").join(ranks("b", "r2b"), "b")
+        .agg(count(lit(1)).as("n"),
+          sum("r2a").as("sa"), sum("r2b").as("sb"),
+          sum(col("r2a") * col("r2a")).as("saa"),
+          sum(col("r2b") * col("r2b")).as("sbb"),
+          sum(col("r2a") * col("r2b")).as("sab"))
+        .select(col("n"),
+          expr("""CASE WHEN n > 1
+            | AND CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa > 0.0D
+            | AND CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb > 0.0D
+            |THEN round(
+            |  (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb) /
+            |  sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa) *
+            |       (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)
+            |END""".stripMargin).as("rho"))
+    },
+
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV (does variant A's per-event spend
+    // DISTRIBUTION differ from B's anywhere, not just in the mean — the
+    // whole-shape drift test q_welch_ttest can't see; Smirnov 1939): spend
+    // in exact integer cents by the md5 user coin, histogram to one row per
+    // distinct value (the only corpus-sized agg), inclusive cumulative
+    // window over the histogram, and the sup-gap kept EXACT by cross-
+    // multiplication — D_num = max|cumA·nB − cumB·nA| in BIGINT, so no
+    // float CDF ever decides the max. D = D_num/(nA·nB) and the scaled
+    // statistic √(nA·nB/(nA+nB))·D are one shared double tree; the reject
+    // flag reads the ROUNDED statistic against the declared α=0.05
+    // critical value 1.358 (Smirnov asymptote). Scale: map-side partials
+    // into the ≤|distinct cents| histogram; the single-partition window
+    // runs on the histogram BY DESIGN (q_roc_auc's documented shape);
+    // cum·n products ≤ 1e10 at sf0.1 — DECIMAL(38,0) swap at ~1e9 events.
+    "q_ks_test" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(
+          (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType)
+            .as("cents"),
+          when(expr(
+            "cast(conv(substring(md5(cast(user_id as string)),1,8),16,10) as bigint) % 2") === 0,
+            1L).otherwise(0L).as("va"))
+      val h = ev.groupBy("cents").agg(
+        sum(col("va")).as("na"), sum(lit(1L) - col("va")).as("nb"))
+      val tot = h.agg(sum("na").as("ta"), sum("nb").as("tb"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      h.withColumn("ca", sum("na").over(w))
+        .withColumn("cb", sum("nb").over(w))
+        .crossJoin(broadcast(tot))
+        .agg(max("ta").as("n_a"), max("tb").as("n_b"),
+          max(abs(col("ca") * col("tb") - col("cb") * col("ta")))
+            .as("d_num"))
+        .select(col("n_a"), col("n_b"), col("d_num"),
+          expr("""CASE WHEN n_a > 0 AND n_b > 0 THEN
+            |round(CAST(d_num AS DOUBLE) /
+            |  (CAST(n_a AS DOUBLE) * n_b), 6) END""".stripMargin)
+            .as("d_stat"),
+          expr("""CASE WHEN n_a > 0 AND n_b > 0 THEN
+            |round(sqrt(CAST(n_a AS DOUBLE) * n_b /
+            |    (CAST(n_a AS DOUBLE) + n_b)) *
+            |  (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)), 6)
+            |END""".stripMargin).as("ks_scaled"))
+        .withColumn("reject_05",
+          when(col("ks_scaled").isNotNull, col("ks_scaled") > lit(1.358)))
+    },
+
+    // PEARSON CORRELATION MATRIX (all 6 pairs over lineitem's four numeric
+    // measures from ONE aggregation pass — the feature-redundancy screen a
+    // training pipeline runs before fitting anything): each measure lands
+    // in an exact integer unit (quantity BIGINT, price cents BIGINT,
+    // discount/tax percent points BIGINT via the DECIMAL(6,2) cast), the 15
+    // sufficient statistics are exact aggregates (the one BIGINT-unsafe
+    // product, cents², runs in DECIMAL(37,0) — ~6e19 at sf0.1 overflows
+    // BIGINT), and each r is the q_ols_regression double tree over the cast
+    // exact sums. stack() unpivots the 1-row stats into 6 (var_a, var_b, r)
+    // rows. Zero-variance pairs yield NULL r. Scale: ONE map-side-combined
+    // pass, no shuffle beyond the 1-row final agg — adding measures grows
+    // the stat count quadratically but the pass count not at all.
+    "q_pearson_corr" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(
+        col("l_quantity").cast(LongType).as("q"),
+        (money(col("l_extendedprice")) * 100).cast(LongType).as("p"),
+        (col("l_discount").cast(DecimalType(6, 2)) * 100).cast(LongType)
+          .as("d"),
+        (col("l_tax").cast(DecimalType(6, 2)) * 100).cast(LongType)
+          .as("x"))
+      val a = li.agg(
+        count(lit(1)).as("n"),
+        sum("q").as("sq"), sum("p").as("sp"),
+        sum("d").as("sd"), sum("x").as("sx"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(col("p").cast(DecimalType(18, 0)) *
+          col("p").cast(DecimalType(18, 0))).as("spp"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("q") * col("p")).as("sqp"),
+        sum(col("q") * col("d")).as("sqd"),
+        sum(col("q") * col("x")).as("sqx"),
+        sum(col("p") * col("d")).as("spd"),
+        sum(col("p") * col("x")).as("spx"),
+        sum(col("d") * col("x")).as("sdx"))
+      def r(sa: String, sb: String, saa: String, sbb: String,
+          sab: String): String =
+        s"""CASE WHEN CAST(n AS DOUBLE) * $saa -
+           |    CAST($sa AS DOUBLE) * $sa > 0.0D
+           |  AND CAST(n AS DOUBLE) * $sbb -
+           |    CAST($sb AS DOUBLE) * $sb > 0.0D
+           |THEN round(
+           |  (CAST(n AS DOUBLE) * $sab - CAST($sa AS DOUBLE) * $sb) /
+           |  sqrt((CAST(n AS DOUBLE) * $saa - CAST($sa AS DOUBLE) * $sa) *
+           |    (CAST(n AS DOUBLE) * $sbb - CAST($sb AS DOUBLE) * $sb)), 6)
+           |END""".stripMargin
+      a.select(col("n"), expr(s"""stack(6,
+          |'discount', 'price',    ${r("sd", "sp", "sdd", "spp", "spd")},
+          |'discount', 'tax',      ${r("sd", "sx", "sdd", "sxx", "sdx")},
+          |'quantity', 'discount', ${r("sq", "sd", "sqq", "sdd", "sqd")},
+          |'quantity', 'price',    ${r("sq", "sp", "sqq", "spp", "sqp")},
+          |'quantity', 'tax',      ${r("sq", "sx", "sqq", "sxx", "sqx")},
+          |'price',    'tax',      ${r("sp", "sx", "spp", "sxx", "spx")}
+          |) AS (var_a, var_b, r)""".stripMargin))
+        .select(col("var_a"), col("var_b"), col("n"), col("r"))
+        .orderBy("var_a", "var_b")
+    },
+
+    // NELSON–AALEN CUMULATIVE HAZARD (the estimator siblings of
+    // q_kaplan_meier on the SAME signup→purchase life table — hazard
+    // accumulates Σ d/n_risk where KM multiplies survival factors; Nelson
+    // 1972, Aalen 1978): identical life-table construction (durations in
+    // integer days, deaths-before-censors), then the hazard is a left fold
+    // of d/n_risk over the dur-SORTED struct list — the q_token_entropy
+    // float discipline: double addition is non-associative, so the sum
+    // runs in list order, never shuffle order, and matches the oracle's
+    // identical fold bit for bit. exp(−H) reports the hazard-implied
+    // survival next to KM's product-limit for the textbook H ≥ −ln(S)
+    // cross-check (asserted in OperatorSpec). Scale: the corpus collapses
+    // to the ≤|users| duration rollup, then everything runs on the
+    // ≤|distinct durations| life table BY DESIGN.
+    "q_nelson_aalen" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val obsEnd = ev.agg(max("ts").as("obs_end"))
+      val t0 = ev.groupBy("user_id").agg(min("ts").as("t0"))
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .join(t0, "user_id").filter(col("ts") > col("t0"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      val users = t0.join(firstP, Seq("user_id"), "left")
+        .crossJoin(broadcast(obsEnd))
+        .select(
+          when(col("tp").isNotNull, 1L).otherwise(0L).as("ev_flag"),
+          when(col("tp").isNotNull,
+            expr("(unix_micros(tp) - unix_micros(t0)) div 86400000000"))
+            .otherwise(
+              expr("(unix_micros(obs_end) - unix_micros(t0)) div 86400000000"))
+            .as("dur"))
+      val byDur = users.groupBy("dur").agg(
+        sum("ev_flag").as("d"),
+        sum(lit(1L) - col("ev_flag")).as("c"))
+      val total = users.agg(count(lit(1)).as("n_total"))
+      val wz = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byDur.crossJoin(broadcast(total))
+        .withColumn("n_risk", col("n_total") -
+          coalesce(sum(col("d") + col("c")).over(wz), lit(0L)))
+        .agg(sort_array(collect_list(
+          struct(col("dur"), col("d"), col("n_risk")))).as("l"))
+        .select(col("l"), posexplode(col("l")))
+        .select(col("col.dur").as("duration_day"),
+          col("col.n_risk").as("n_risk"),
+          col("col.d").as("n_events"),
+          expr(
+            """aggregate(
+              |  transform(slice(l, 1, pos + 1),
+              |    x -> CAST(x.d AS DOUBLE) / x.n_risk),
+              |  0.0D, (acc, f) -> acc + f)""".stripMargin).as("h"))
+        .select(col("duration_day"), col("n_risk"), col("n_events"),
+          round(col("h"), 6).as("cum_hazard"),
+          round(exp(-col("h")), 6).as("na_survival"))
+        .orderBy("duration_day")
+    },
+
+    // BENJAMINI–HOCHBERG FDR over a per-nation segment scan (25 urgent-
+    // order-rate z-tests run at once — exactly the multiple-testing trap
+    // BH 1995 exists for; without it ~1–2 nations "win" by chance at
+    // α=0.1): each nation tests its urgent rate against the REST (pooled
+    // p̂ is then the global rate — one broadcast scalar), z from exact
+    // BIGINT counts as one shared double tree, two-sided p through the
+    // DECLARED logistic CDF approximation Φ(t) ≈ 1/(1+e^(−1.702t))
+    // (Bowling et al. 2009 — both engines share it; no erf cross-engine),
+    // decisions read ROUNDED p. Step-up rule: reject all ranks ≤ the
+    // largest k with p_(k) ≤ α·k/m, computed as a suffix-max window over
+    // the rank order. Scale: one nation-keyed rollup; every window runs on
+    // the ≤|nations| frame BY DESIGN.
+    "q_benjamini_hochberg" -> { (s, dir) =>
+      val byNat = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+          .otherwise(0L)).as("x"), count(lit(1)).as("n"))
+      val tot = byNat.agg(sum("x").as("tx"), sum("n").as("tn"),
+        count(lit(1)).as("m"))
+      val scored = byNat.crossJoin(broadcast(tot))
+        .withColumn("z", expr(
+          """CASE WHEN n > 0 AND tn > n
+            | AND CAST(tx AS DOUBLE) / tn > 0.0D
+            | AND CAST(tx AS DOUBLE) / tn < 1.0D
+            |THEN round((CAST(x AS DOUBLE) / n -
+            |    CAST(tx - x AS DOUBLE) / (tn - n)) /
+            |  sqrt((CAST(tx AS DOUBLE) / tn) *
+            |    (1.0D - CAST(tx AS DOUBLE) / tn) *
+            |    (1.0D / n + 1.0D / (tn - n))), 6)
+            |END""".stripMargin))
+        .withColumn("p_value", expr(
+          """CASE WHEN z IS NOT NULL THEN
+            |round(2.0D * (1.0D - 1.0D /
+            |  (1.0D + exp(-1.702D * abs(z)))), 6) END""".stripMargin))
+      val ranked = scored
+        .withColumn("k",
+          row_number().over(Window.orderBy(col("p_value").asc_nulls_last,
+            col("n_name"))))
+        .withColumn("bh_threshold",
+          expr("round(0.1D * k / m, 6)"))
+        .withColumn("ok",
+          when(col("p_value") <= col("bh_threshold"), 1L).otherwise(0L))
+      ranked
+        .withColumn("reject", max("ok").over(
+          Window.orderBy(col("k").desc)
+            .rowsBetween(Window.unboundedPreceding, 0)) === 1L)
+        .select(col("n_name"), col("x").as("n_urgent"), col("n"),
+          col("z"), col("p_value"), col("k"), col("bh_threshold"),
+          col("reject"))
+        .orderBy("k")
+    },
+
+    // QUANTILE NORMALIZATION (force the three return-flag price
+    // distributions onto a shared reference distribution — the batch-
+    // effect remover from Bolstad 2003, the same op a multi-source corpus
+    // uses to align per-source quality-score scales): rank within each
+    // group over the TOTAL order (cents, orderkey, linenumber), then the
+    // reference value at rank r is the cross-group MEAN of the r-th
+    // smallest values — exact BIGINT cent sums divided once at the end;
+    // the probe emits the first 20 ranks (declared readout; the mapping is
+    // defined for every rank). n_groups = 3 is asserted per rank (every
+    // group is longer than the probe). Scale: the rank window is
+    // PARTITIONED by group — each group sorts independently, exactly the
+    // per-source sort a 100 TB quantile-normalize pays; the rank-keyed
+    // rollup shuffles ≤20 rows after the early filter.
+    "q_quantile_normalize" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        (money(col("l_extendedprice")) * 100).cast(LongType).as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("r", row_number().over(
+          Window.partitionBy("l_returnflag")
+            .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))))
+        .filter(col("r") <= 20)
+        .groupBy("r")
+        .agg(count(lit(1)).as("n_groups"), sum("cents").as("sc"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .select(col("r").as("rank"), col("n_groups"),
+          expr("round(CAST(sc AS DOUBLE) / n_groups / 100.0D, 6)")
+            .as("norm_dollars"),
+          col("min_cents"), col("max_cents"))
+        .orderBy("rank")
+    },
+
+    // PCA TOP COMPONENT via power iteration (Mises 1929 — the dominant
+    // eigenvector of the 4×4 covariance of lineitem's numeric measures,
+    // the first thing any feature-space audit computes): the covariance
+    // reuses q_pearson_corr's ONE-pass exact sufficient statistics
+    // (c_ab = (Σab − Σa·Σb/n)/(n−1) as doubles over exact sums), then 8
+    // power-iteration rounds v ← Cv/|Cv| run as pure column expressions on
+    // a ONE-ROW frame — every multiply-add in a fixed written order, so
+    // both engines walk the identical IEEE tree and the unrounded
+    // intermediates match bit for bit (the q_greedy_decode unroll
+    // discipline; rounding only at the readout). Eigenvalue = Rayleigh
+    // v·Cv; sign oriented so the price component ≥ 0 (declared — price
+    // carries ~all the variance, so it is never ~0). Scale: ONE map-side
+    // pass over the corpus; the iteration is 1-row algebra regardless of
+    // data size — this is exactly how a 100 TB PCA runs (stats pass +
+    // driver-sized eigensolve), minus LAPACK.
+    "q_pca_power" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(
+        col("l_quantity").cast(LongType).as("q"),
+        (money(col("l_extendedprice")) * 100).cast(LongType).as("p"),
+        (col("l_discount").cast(DecimalType(6, 2)) * 100).cast(LongType)
+          .as("d"),
+        (col("l_tax").cast(DecimalType(6, 2)) * 100).cast(LongType)
+          .as("x"))
+      val a = li.agg(
+        count(lit(1)).as("n"),
+        sum("q").as("sq"), sum("p").as("sp"),
+        sum("d").as("sd"), sum("x").as("sx"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(col("p").cast(DecimalType(18, 0)) *
+          col("p").cast(DecimalType(18, 0))).as("spp"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("q") * col("p")).as("sqp"),
+        sum(col("q") * col("d")).as("sqd"),
+        sum(col("q") * col("x")).as("sqx"),
+        sum(col("p") * col("d")).as("spd"),
+        sum(col("p") * col("x")).as("spx"),
+        sum(col("d") * col("x")).as("sdx"))
+      def cv(sab: String, sa: String, sb: String): String =
+        s"(CAST($sab AS DOUBLE) - CAST($sa AS DOUBLE) * $sb / n) / (n - 1.0D)"
+      val c = a.filter(col("n") > 1).select(
+        expr(cv("sqq", "sq", "sq")).as("c11"),
+        expr(cv("sqp", "sq", "sp")).as("c12"),
+        expr(cv("sqd", "sq", "sd")).as("c13"),
+        expr(cv("sqx", "sq", "sx")).as("c14"),
+        expr(cv("spp", "sp", "sp")).as("c22"),
+        expr(cv("spd", "sp", "sd")).as("c23"),
+        expr(cv("spx", "sp", "sx")).as("c24"),
+        expr(cv("sdd", "sd", "sd")).as("c33"),
+        expr(cv("sdx", "sd", "sx")).as("c34"),
+        expr(cv("sxx", "sx", "sx")).as("c44"))
+        .withColumn("v1", lit(0.5)).withColumn("v2", lit(0.5))
+        .withColumn("v3", lit(0.5)).withColumn("v4", lit(0.5))
+      val cs = Seq("c11", "c12", "c13", "c14", "c22", "c23", "c24",
+        "c33", "c34", "c44").map(col)
+      def matvec(d: DataFrame): DataFrame = d.select(cs ++ Seq(
+        expr("c11*v1 + c12*v2 + c13*v3 + c14*v4").as("w1"),
+        expr("c12*v1 + c22*v2 + c23*v3 + c24*v4").as("w2"),
+        expr("c13*v1 + c23*v2 + c33*v3 + c34*v4").as("w3"),
+        expr("c14*v1 + c24*v2 + c34*v3 + c44*v4").as("w4"),
+        col("v1"), col("v2"), col("v3"), col("v4")): _*)
+      def normalize(d: DataFrame): DataFrame = d
+        .withColumn("nm", expr("sqrt(w1*w1 + w2*w2 + w3*w3 + w4*w4)"))
+        .select(cs ++ Seq(expr("w1/nm").as("v1"), expr("w2/nm").as("v2"),
+          expr("w3/nm").as("v3"), expr("w4/nm").as("v4")): _*)
+      val it = (1 to 8).foldLeft(c)((d, _) => normalize(matvec(d)))
+      matvec(it)
+        .withColumn("lam", expr("v1*w1 + v2*w2 + v3*w3 + v4*w4"))
+        .withColumn("sgn", when(col("v2") < 0, lit(-1.0)).otherwise(lit(1.0)))
+        // + 0.0 normalizes IEEE −0.0 to +0.0 (a tiny negative component
+        // rounds to −0, which would hash-differ from the oracle's +0)
+        .select(round(col("lam"), 6).as("eig_value"),
+          (round(col("sgn") * col("v1"), 6) + lit(0.0)).as("v_quantity"),
+          (round(col("sgn") * col("v2"), 6) + lit(0.0)).as("v_price"),
+          (round(col("sgn") * col("v3"), 6) + lit(0.0)).as("v_discount"),
+          (round(col("sgn") * col("v4"), 6) + lit(0.0)).as("v_tax"))
+    },
+
+    // SHAPLEY CHANNEL ATTRIBUTION (exact, Shapley 1953 — the game-theoretic
+    // split of conversions across the four touch channels, the readout
+    // first/last-touch attribution approximates): per-user exposure
+    // bitmask over the four non-purchase event types + converted flag; the
+    // coalition value v(S) = conversions among users whose exposure ⊆ S
+    // (monotone by construction), computed from the ≤16-row mask rollup by
+    // a subset-sum join; φ_c = Σ_{S∌c} |S|!(3−|S|)!/4! · [v(S∪c) − v(S)]
+    // kept EXACT by scaling ×24 (weights 6/2/2/6 are integers — no float
+    // touches the attribution until the final division; efficiency
+    // Σφ·24 = 24·(v(full) − v(∅)) is asserted in OperatorSpec). Scale: ONE
+    // user rollup shuffle; everything after runs on ≤16-row broadcast
+    // frames — channels beyond ~10 need the sampled permutation estimator,
+    // disclosed here.
+    "q_shapley_attribution" -> { (s, dir) =>
+      val u = t(s, dir, "events").groupBy("user_id").agg(
+        (max(when(col("event_type") === "click", 1L).otherwise(0L)) +
+          max(when(col("event_type") === "view", 2L).otherwise(0L)) +
+          max(when(col("event_type") === "signup", 4L).otherwise(0L)) +
+          max(when(col("event_type") === "error", 8L).otherwise(0L)))
+          .as("mask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val mc = u.groupBy("mask").agg(sum("conv").as("cv"))
+      val sets = s.range(16).select(col("id").as("st"))
+      val v = sets.join(broadcast(mc), expr("(mask & st) = mask"), "left")
+        .groupBy("st").agg(coalesce(sum("cv"), lit(0L)).as("v"))
+      val chan = s.range(4).select(col("id").as("ch"),
+        expr("CASE id WHEN 0 THEN 1L WHEN 1 THEN 2L WHEN 2 THEN 4L ELSE 8L END")
+          .as("bit"),
+        expr("CASE id WHEN 0 THEN 'click' WHEN 1 THEN 'view' WHEN 2 THEN 'signup' ELSE 'error' END")
+          .as("channel"))
+      val tot = u.agg(sum("conv").as("total_conv"))
+      chan.join(broadcast(v.select(col("st").as("s0"), col("v").as("v0"))),
+          expr("(s0 & bit) = 0"))
+        .join(broadcast(v.select(col("st").as("s1"), col("v").as("v1"))),
+          expr("s1 = s0 + bit"))
+        .withColumn("w24", expr(
+          """CASE (s0 & 1) + ((s0 div 2) & 1) + ((s0 div 4) & 1) +
+            |  ((s0 div 8) & 1)
+            |WHEN 0 THEN 6L WHEN 1 THEN 2L WHEN 2 THEN 2L ELSE 6L
+            |END""".stripMargin))
+        .groupBy("channel")
+        .agg(sum(col("w24") * (col("v1") - col("v0"))).as("phi24"))
+        .crossJoin(broadcast(tot))
+        .select(col("channel"), col("phi24"),
+          expr("round(CAST(phi24 AS DOUBLE) / 24.0D, 6)").as("phi"),
+          expr("""CASE WHEN total_conv > 0 THEN
+            |round(CAST(phi24 AS DOUBLE) / (24.0D * total_conv), 6)
+            |END""".stripMargin).as("share"))
+        .orderBy("channel")
     })
 
   // ----------------------------------------------------------- oracle SQL
 
+  /** q_pca_power's oracle: the same one-pass covariance stats, then the 8
+    * power-iteration rounds unrolled as CTE pairs (w = Cv, v = w/|w|) with
+    * the multiply-adds written in the same order as the Spark columns —
+    * identical IEEE trees, so the unrounded intermediates match exactly.
+    */
+  private def pcaPowerOracle: String = {
+    val stats =
+      """WITH b AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS p,
+        |    CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT) AS d,
+        |    CAST(CAST(l_tax AS DECIMAL(6,2)) * 100 AS BIGINT) AS x
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+        |    CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(q*q) AS BIGINT) AS sqq,
+        |    SUM(CAST(p AS DECIMAL(18,0)) * CAST(p AS DECIMAL(18,0)))
+        |      AS spp,
+        |    CAST(SUM(d*d) AS BIGINT) AS sdd,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(q*p) AS BIGINT) AS sqp,
+        |    CAST(SUM(q*d) AS BIGINT) AS sqd,
+        |    CAST(SUM(q*x) AS BIGINT) AS sqx,
+        |    CAST(SUM(p*d) AS BIGINT) AS spd,
+        |    CAST(SUM(p*x) AS BIGINT) AS spx,
+        |    CAST(SUM(d*x) AS BIGINT) AS sdx
+        |  FROM b)""".stripMargin
+    def cv(sab: String, sa: String, sb: String) =
+      s"(CAST($sab AS DOUBLE) - CAST($sa AS DOUBLE) * $sb / n) / " +
+        "(n - 1.0::DOUBLE)"
+    val cov = s"""cov AS (
+      |  SELECT ${cv("sqq", "sq", "sq")} AS c11,
+      |    ${cv("sqp", "sq", "sp")} AS c12, ${cv("sqd", "sq", "sd")} AS c13,
+      |    ${cv("sqx", "sq", "sx")} AS c14, ${cv("spp", "sp", "sp")} AS c22,
+      |    ${cv("spd", "sp", "sd")} AS c23, ${cv("spx", "sp", "sx")} AS c24,
+      |    ${cv("sdd", "sd", "sd")} AS c33, ${cv("sdx", "sd", "sx")} AS c34,
+      |    ${cv("sxx", "sx", "sx")} AS c44
+      |  FROM a WHERE n > 1),
+      |it0 AS (
+      |  SELECT *, 0.5::DOUBLE AS v1, 0.5::DOUBLE AS v2,
+      |    0.5::DOUBLE AS v3, 0.5::DOUBLE AS v4 FROM cov)""".stripMargin
+    val cNames = "c11, c12, c13, c14, c22, c23, c24, c33, c34, c44"
+    val wExprs =
+      """c11*v1 + c12*v2 + c13*v3 + c14*v4 AS w1,
+        |    c12*v1 + c22*v2 + c23*v3 + c24*v4 AS w2,
+        |    c13*v1 + c23*v2 + c33*v3 + c34*v4 AS w3,
+        |    c14*v1 + c24*v2 + c34*v3 + c44*v4 AS w4""".stripMargin
+    val iters = (1 to 8).map { i =>
+      s"""w$i AS (
+         |  SELECT $cNames, $wExprs
+         |  FROM it${i - 1}),
+         |it$i AS (
+         |  SELECT $cNames,
+         |    w1/sqrt(w1*w1 + w2*w2 + w3*w3 + w4*w4) AS v1,
+         |    w2/sqrt(w1*w1 + w2*w2 + w3*w3 + w4*w4) AS v2,
+         |    w3/sqrt(w1*w1 + w2*w2 + w3*w3 + w4*w4) AS v3,
+         |    w4/sqrt(w1*w1 + w2*w2 + w3*w3 + w4*w4) AS v4
+         |  FROM w$i)""".stripMargin
+    }.mkString(",\n")
+    val fin =
+      """wf AS (
+        |  SELECT $CN, $WE, v1, v2, v3, v4 FROM it8),
+        |f AS (
+        |  SELECT v1*w1 + v2*w2 + v3*w3 + v4*w4 AS lam,
+        |    CASE WHEN v2 < 0 THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END AS sgn,
+        |    v1, v2, v3, v4
+        |  FROM wf)
+        |SELECT round(lam, 6) AS eig_value,
+        |  round(sgn * v1, 6) + 0.0::DOUBLE AS v_quantity,
+        |  round(sgn * v2, 6) + 0.0::DOUBLE AS v_price,
+        |  round(sgn * v3, 6) + 0.0::DOUBLE AS v_discount,
+        |  round(sgn * v4, 6) + 0.0::DOUBLE AS v_tax
+        |FROM f""".stripMargin
+        .replace("$CN", cNames).replace("$WE", wExprs)
+    s"$stats,\n$cov,\n$iters,\n$fin"
+  }
+
   val oracles: Map[String, String] = Map(
+    // same exact cent rollup, same total rank order, same double tree
+    // over the three BIGINT aggregates
+    "q_gini" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+        |      AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS s1 FROM pc),
+        |rk AS (
+        |  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS r
+        |  FROM pc),
+        |a AS (
+        |  SELECT MAX(tot.n) AS n_customers, MAX(tot.s1) AS total_cents,
+        |    CAST(SUM(r * rev) AS BIGINT) AS sr,
+        |    CAST(SUM(CASE WHEN r > tot.n - tot.n // 10 THEN rev ELSE 0 END)
+        |      AS BIGINT) AS top_cents
+        |  FROM rk CROSS JOIN tot)
+        |SELECT n_customers, total_cents,
+        |  CASE WHEN total_cents > 0 THEN
+        |    round((2.0::DOUBLE * sr -
+        |      (CAST(n_customers AS DOUBLE) + 1.0::DOUBLE) * total_cents) /
+        |      (CAST(n_customers AS DOUBLE) * total_cents), 6) END AS gini,
+        |  CASE WHEN total_cents > 0 THEN
+        |    round(CAST(top_cents AS DOUBLE) / total_cents, 6) END
+        |    AS top_decile_share
+        |FROM a""".stripMargin,
+
+    // same doubled average-rank histograms, same Pearson tree over the
+    // exact BIGINT rank statistics
+    "q_spearman" ->
+      """WITH u AS (
+        |  SELECT o_custkey, COUNT(*) AS a,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+        |      AS b
+        |  FROM orders GROUP BY o_custkey),
+        |ha AS (SELECT a, COUNT(*) AS cnt FROM u GROUP BY a),
+        |ra AS (
+        |  SELECT a, 2 * COALESCE(SUM(cnt) OVER (ORDER BY a
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS r2a
+        |  FROM ha),
+        |hb AS (SELECT b, COUNT(*) AS cnt FROM u GROUP BY b),
+        |rb AS (
+        |  SELECT b, 2 * COALESCE(SUM(cnt) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS r2b
+        |  FROM hb),
+        |st AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(r2a) AS BIGINT) AS sa, CAST(SUM(r2b) AS BIGINT) AS sb,
+        |    CAST(SUM(r2a * r2a) AS BIGINT) AS saa,
+        |    CAST(SUM(r2b * r2b) AS BIGINT) AS sbb,
+        |    CAST(SUM(r2a * r2b) AS BIGINT) AS sab
+        |  FROM u JOIN ra USING (a) JOIN rb USING (b))
+        |SELECT n,
+        |  CASE WHEN n > 1
+        |    AND CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa
+        |      > 0.0::DOUBLE
+        |    AND CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb
+        |      > 0.0::DOUBLE
+        |  THEN round(
+        |    (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb) /
+        |    sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa) *
+        |         (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)
+        |  END AS rho
+        |FROM st""".stripMargin,
+
+    // same md5 coin, same histogram + inclusive cumulative window, same
+    // cross-multiplied exact sup-gap and rounded-statistic decision
+    "q_ks_test" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+        |      % 2 = 0 THEN 1 ELSE 0 END AS va
+        |  FROM events),
+        |h AS (
+        |  SELECT cents, CAST(SUM(va) AS BIGINT) AS na,
+        |    CAST(SUM(1 - va) AS BIGINT) AS nb
+        |  FROM ev GROUP BY cents),
+        |tot AS (
+        |  SELECT CAST(SUM(na) AS BIGINT) AS ta,
+        |    CAST(SUM(nb) AS BIGINT) AS tb FROM h),
+        |cw AS (
+        |  SELECT CAST(SUM(na) OVER win AS BIGINT) AS ca,
+        |    CAST(SUM(nb) OVER win AS BIGINT) AS cb
+        |  FROM h WINDOW win AS (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |a AS (
+        |  SELECT MAX(tot.ta) AS n_a, MAX(tot.tb) AS n_b,
+        |    CAST(MAX(abs(ca * tot.tb - cb * tot.ta)) AS BIGINT) AS d_num
+        |  FROM cw CROSS JOIN tot),
+        |sc AS (
+        |  SELECT n_a, n_b, d_num,
+        |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |      round(CAST(d_num AS DOUBLE) /
+        |        (CAST(n_a AS DOUBLE) * n_b), 6) END AS d_stat,
+        |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |      round(sqrt(CAST(n_a AS DOUBLE) * n_b /
+        |          (CAST(n_a AS DOUBLE) + n_b)) *
+        |        (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)), 6)
+        |    END AS ks_scaled
+        |  FROM a)
+        |SELECT *, CASE WHEN ks_scaled IS NOT NULL
+        |  THEN ks_scaled > 1.358::DOUBLE END AS reject_05
+        |FROM sc""".stripMargin,
+
+    // same exact integer units, same 15 one-pass sufficient statistics
+    // (cents² in DECIMAL), same r tree per pair
+    "q_pearson_corr" -> {
+      def r(sa: String, sb: String, saa: String, sbb: String,
+          sab: String): String =
+        s"""CASE WHEN CAST(n AS DOUBLE) * $saa -
+           |      CAST($sa AS DOUBLE) * $sa > 0.0::DOUBLE
+           |    AND CAST(n AS DOUBLE) * $sbb -
+           |      CAST($sb AS DOUBLE) * $sb > 0.0::DOUBLE
+           |  THEN round(
+           |    (CAST(n AS DOUBLE) * $sab - CAST($sa AS DOUBLE) * $sb) /
+           |    sqrt((CAST(n AS DOUBLE) * $saa -
+           |        CAST($sa AS DOUBLE) * $sa) *
+           |      (CAST(n AS DOUBLE) * $sbb -
+           |        CAST($sb AS DOUBLE) * $sb)), 6)
+           |  END""".stripMargin
+      s"""WITH b AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS q,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      AS p,
+         |    CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT) AS d,
+         |    CAST(CAST(l_tax AS DECIMAL(6,2)) * 100 AS BIGINT) AS x
+         |  FROM lineitem),
+         |a AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+         |    CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(q*q) AS BIGINT) AS sqq,
+         |    SUM(CAST(p AS DECIMAL(18,0)) * CAST(p AS DECIMAL(18,0)))
+         |      AS spp,
+         |    CAST(SUM(d*d) AS BIGINT) AS sdd,
+         |    CAST(SUM(x*x) AS BIGINT) AS sxx,
+         |    CAST(SUM(q*p) AS BIGINT) AS sqp,
+         |    CAST(SUM(q*d) AS BIGINT) AS sqd,
+         |    CAST(SUM(q*x) AS BIGINT) AS sqx,
+         |    CAST(SUM(p*d) AS BIGINT) AS spd,
+         |    CAST(SUM(p*x) AS BIGINT) AS spx,
+         |    CAST(SUM(d*x) AS BIGINT) AS sdx
+         |  FROM b)
+         |SELECT var_a, var_b, n, r FROM (
+         |  SELECT 'discount' AS var_a, 'price' AS var_b, n,
+         |    ${r("sd", "sp", "sdd", "spp", "spd")} AS r FROM a
+         |  UNION ALL SELECT 'discount', 'tax', n,
+         |    ${r("sd", "sx", "sdd", "sxx", "sdx")} FROM a
+         |  UNION ALL SELECT 'quantity', 'discount', n,
+         |    ${r("sq", "sd", "sqq", "sdd", "sqd")} FROM a
+         |  UNION ALL SELECT 'quantity', 'price', n,
+         |    ${r("sq", "sp", "sqq", "spp", "sqp")} FROM a
+         |  UNION ALL SELECT 'quantity', 'tax', n,
+         |    ${r("sq", "sx", "sqq", "sxx", "sqx")} FROM a
+         |  UNION ALL SELECT 'price', 'tax', n,
+         |    ${r("sp", "sx", "spp", "sxx", "spx")} FROM a)
+         |ORDER BY var_a, var_b""".stripMargin
+    },
+
+    // same life table as q_kaplan_meier, additive fold instead of the
+    // product-limit fold (same sorted-list float discipline)
+    "q_nelson_aalen" ->
+      """WITH ends AS (SELECT MAX(ts) AS obs_end FROM events),
+        |t0 AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+        |fp AS (
+        |  SELECT e.user_id, MIN(e.ts) AS tp
+        |  FROM events e JOIN t0 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t0.t0
+        |  GROUP BY e.user_id),
+        |u AS (
+        |  SELECT CASE WHEN fp.user_id IS NULL THEN 0 ELSE 1 END AS ev_flag,
+        |    CASE WHEN fp.user_id IS NULL
+        |      THEN (epoch_us(ends.obs_end) - epoch_us(t0.t0)) // 86400000000
+        |      ELSE (epoch_us(fp.tp) - epoch_us(t0.t0)) // 86400000000
+        |    END AS dur
+        |  FROM t0 LEFT JOIN fp ON fp.user_id = t0.user_id CROSS JOIN ends),
+        |bd AS (
+        |  SELECT dur, CAST(SUM(ev_flag) AS BIGINT) AS d,
+        |    CAST(SUM(1 - ev_flag) AS BIGINT) AS c
+        |  FROM u GROUP BY dur),
+        |tot AS (SELECT COUNT(*) AS n_total FROM u),
+        |rk AS (
+        |  SELECT dur, d, CAST(tot.n_total - COALESCE(SUM(d + c) OVER
+        |    (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS n_risk
+        |  FROM bd CROSS JOIN tot),
+        |lst AS (
+        |  SELECT list(struct_pack(dur := dur, d := d, n_risk := n_risk)
+        |    ORDER BY dur) AS l
+        |  FROM rk),
+        |e AS (
+        |  SELECT dur, d, n_risk, ROW_NUMBER() OVER (ORDER BY dur) AS i
+        |  FROM rk)
+        |SELECT e.dur AS duration_day, e.n_risk, e.d AS n_events,
+        |  round(list_reduce(list_concat([0.0::DOUBLE],
+        |    list_transform(lst.l[1:e.i],
+        |      x -> x.d::DOUBLE / x.n_risk)),
+        |    (acc, f) -> acc + f), 6) AS cum_hazard,
+        |  round(exp(-list_reduce(list_concat([0.0::DOUBLE],
+        |    list_transform(lst.l[1:e.i],
+        |      x -> x.d::DOUBLE / x.n_risk)),
+        |    (acc, f) -> acc + f)), 6) AS na_survival
+        |FROM e CROSS JOIN lst
+        |ORDER BY duration_day""".stripMargin,
+
+    // same nation-vs-rest z from exact counts, same declared logistic CDF,
+    // same rounded-p rank and step-up suffix max
+    "q_benjamini_hochberg" ->
+      """WITH bn AS (
+        |  SELECT n_name,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x,
+        |    COUNT(*) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |tot AS (
+        |  SELECT CAST(SUM(x) AS BIGINT) AS tx, CAST(SUM(n) AS BIGINT)
+        |    AS tn, COUNT(*) AS m
+        |  FROM bn),
+        |sc AS (
+        |  SELECT n_name, x, n, m,
+        |    CASE WHEN n > 0 AND tn > n
+        |      AND CAST(tx AS DOUBLE) / tn > 0.0::DOUBLE
+        |      AND CAST(tx AS DOUBLE) / tn < 1.0::DOUBLE
+        |    THEN round((CAST(x AS DOUBLE) / n -
+        |        CAST(tx - x AS DOUBLE) / (tn - n)) /
+        |      sqrt((CAST(tx AS DOUBLE) / tn) *
+        |        (1.0::DOUBLE - CAST(tx AS DOUBLE) / tn) *
+        |        (1.0::DOUBLE / n + 1.0::DOUBLE / (tn - n))), 6)
+        |    END AS z
+        |  FROM bn CROSS JOIN tot),
+        |pv AS (
+        |  SELECT *, CASE WHEN z IS NOT NULL THEN
+        |    round(2.0::DOUBLE * (1.0::DOUBLE - 1.0::DOUBLE /
+        |      (1.0::DOUBLE + exp(-1.702::DOUBLE * abs(z)))), 6) END
+        |    AS p_value
+        |  FROM sc),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY p_value NULLS LAST, n_name)
+        |    AS k
+        |  FROM pv),
+        |th AS (
+        |  SELECT *, round(0.1::DOUBLE * k / m, 6) AS bh_threshold,
+        |    CASE WHEN p_value <= round(0.1::DOUBLE * k / m, 6)
+        |      THEN 1 ELSE 0 END AS ok
+        |  FROM rk),
+        |rj AS (
+        |  SELECT *, MAX(ok) OVER (ORDER BY k DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS reject
+        |  FROM th)
+        |SELECT n_name, x AS n_urgent, n, z, p_value, k, bh_threshold,
+        |  reject
+        |FROM rj ORDER BY k""".stripMargin,
+
+    // same per-group total-order ranks, same cross-group exact cent means
+    "q_quantile_normalize" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |rk AS (
+        |  SELECT l_returnflag, cents, ROW_NUMBER() OVER (
+        |    PARTITION BY l_returnflag
+        |    ORDER BY cents, l_orderkey, l_linenumber) AS r
+        |  FROM li),
+        |g AS (
+        |  SELECT r, COUNT(*) AS n_groups, CAST(SUM(cents) AS BIGINT) AS sc,
+        |    MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        |  FROM rk WHERE r <= 20 GROUP BY r)
+        |SELECT r AS "rank", n_groups,
+        |  round(CAST(sc AS DOUBLE) / n_groups / 100.0::DOUBLE, 6)
+        |    AS norm_dollars,
+        |  min_cents, max_cents
+        |FROM g ORDER BY "rank"""".stripMargin,
+
+    "q_pca_power" -> pcaPowerOracle,
+
+    // same mask rollup, subset-sum coalition values, exact ×24 weights
+    "q_shapley_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) +
+        |    MAX(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END) +
+        |    MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) +
+        |    MAX(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) AS mask,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id),
+        |mc AS (
+        |  SELECT mask, CAST(SUM(conv) AS BIGINT) AS cv
+        |  FROM u GROUP BY mask),
+        |sets AS (SELECT range AS st FROM range(0, 16)),
+        |v AS (
+        |  SELECT st, CAST(COALESCE(SUM(cv), 0) AS BIGINT) AS v
+        |  FROM sets LEFT JOIN mc ON (mask & st) = mask
+        |  GROUP BY st),
+        |chan AS (SELECT * FROM (VALUES (1, 'click'), (2, 'view'),
+        |  (4, 'signup'), (8, 'error')) AS t(bit, channel)),
+        |tot AS (SELECT CAST(SUM(conv) AS BIGINT) AS total_conv FROM u),
+        |pairs AS (
+        |  SELECT c.channel, s0.st AS st0, s0.v AS v0, s1.v AS v1
+        |  FROM chan c JOIN v s0 ON (s0.st & c.bit) = 0
+        |  JOIN v s1 ON s1.st = s0.st + c.bit),
+        |ph AS (
+        |  SELECT channel, CAST(SUM(
+        |    (CASE (st0 & 1) + ((st0 // 2) & 1) + ((st0 // 4) & 1) +
+        |       ((st0 // 8) & 1)
+        |     WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END) *
+        |    (v1 - v0)) AS BIGINT) AS phi24
+        |  FROM pairs GROUP BY channel)
+        |SELECT channel, phi24,
+        |  round(CAST(phi24 AS DOUBLE) / 24.0::DOUBLE, 6) AS phi,
+        |  CASE WHEN total_conv > 0 THEN
+        |    round(CAST(phi24 AS DOUBLE) / (24.0::DOUBLE * total_conv), 6)
+        |  END AS share
+        |FROM ph CROSS JOIN tot ORDER BY channel""".stripMargin,
+
     "q_users_scan" ->
       """SELECT * FROM (VALUES
         | (1, 'Alice',   'alice@example.com'),

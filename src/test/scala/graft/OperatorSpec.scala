@@ -2662,4 +2662,241 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  /** per-customer revenue in exact cents, shared by the gini/spearman
+    * brute replays below. */
+  private def custRevCents(): Seq[(Long, Long, Long)] =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq
+      .map { case (k, g) => (k, g.length.toLong, g.map(_._2).sum) }
+
+  test("gini: brute sorted-rank recompute matches, bounds hold") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_gini")(spark, sfDir).collect().head
+    val revs = custRevCents().map(t => (t._3, t._1)).sortBy(identity)
+    val n = revs.length.toLong
+    val s1 = revs.map(_._1).sum
+    val sr = revs.zipWithIndex.map { case ((x, _), i) => (i + 1) * x }.sum
+    assert(r.getLong(0) == n && r.getLong(1) == s1)
+    val gini = math.rint((2.0 * sr - (n.toDouble + 1.0) * s1) /
+      (n.toDouble * s1) * 1e6) / 1e6
+    assert(math.abs(r.getDouble(2) - gini) < 2e-6, s"gini: $r vs $gini")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+    // the top decile holds at least its population share of revenue
+    val topn = n / 10
+    val top = revs.takeRight(topn.toInt).map(_._1).sum
+    assert(math.abs(r.getDouble(3) - math.rint(
+      top.toDouble / s1 * 1e6) / 1e6) < 2e-6, s"decile: $r")
+    assert(r.getDouble(3) >= topn.toDouble / n - 1e-6)
+  }
+
+  test("spearman: brute average-rank correlation matches, |rho| <= 1") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_spearman")(spark, sfDir).collect().head
+    val u = custRevCents().map(t => (t._2, t._3))
+    def avgRank2(vs: Seq[Long]): Map[Long, Long] = {
+      // doubled average rank: 2*cum_below + cnt + 1
+      val h = vs.groupBy(identity).map { case (v, g) =>
+        v -> g.length.toLong }.toSeq.sortBy(_._1)
+      var cum = 0L
+      h.map { case (v, c) =>
+        val r2 = 2 * cum + c + 1; cum += c; v -> r2 }.toMap
+    }
+    val ra = avgRank2(u.map(_._1)); val rb = avgRank2(u.map(_._2))
+    val pts = u.map { case (a, b) => (ra(a), rb(b)) }
+    val n = pts.length.toLong
+    val (sa, sb) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val saa = pts.map(p => p._1 * p._1).sum
+    val sbb = pts.map(p => p._2 * p._2).sum
+    val sab = pts.map(p => p._1 * p._2).sum
+    val rho = (n.toDouble * sab - sa.toDouble * sb) /
+      math.sqrt((n.toDouble * saa - sa.toDouble * sa) *
+        (n.toDouble * sbb - sb.toDouble * sb))
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) - math.rint(rho * 1e6) / 1e6) < 2e-6)
+    assert(math.abs(r.getDouble(1)) <= 1.0)
+  }
+
+  test("ks test: brute sorted-merge sup-gap matches the exact numerator") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_ks_test")(spark, sfDir).collect().head
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr(
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents",
+        "cast(conv(substring(md5(cast(user_id as string)),1,8),16,10) as bigint) % 2 = 0 AS a")
+      .collect().map(x => (x.getLong(0), x.getBoolean(1)))
+    val na = ev.count(_._2).toLong; val nb = ev.length - na
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    val byC = ev.groupBy(_._1).toSeq.sortBy(_._1)
+    var (ca, cb, best) = (0L, 0L, 0L)
+    byC.foreach { case (_, g) =>
+      ca += g.count(_._2); cb += g.count(!_._2)
+      best = math.max(best, math.abs(ca * nb - cb * na))
+    }
+    assert(r.getLong(2) == best, s"d_num: $r vs $best")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    // reject flag reads the rounded statistic against 1.358
+    assert(r.getBoolean(5) == (r.getDouble(4) > 1.358))
+  }
+
+  test("pearson matrix: brute quantity-price pair matches; all |r| <= 1") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_pearson_corr")(spark, sfDir).collect()
+    assert(rows.length == 6)
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0, s"$r"))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT) AS q",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = li.length.toLong
+    val sq = li.map(_._1).sum; val sp = li.map(_._2).sum
+    val sqq = li.map(x => x._1 * x._1).sum
+    val spp = li.map(x => BigInt(x._2) * BigInt(x._2)).sum
+    val sqp = li.map(x => x._1 * x._2).sum
+    val rqp = (n.toDouble * sqp - sq.toDouble * sp) /
+      math.sqrt((n.toDouble * sqq - sq.toDouble * sq) *
+        (n.toDouble * spp.toDouble - sp.toDouble * sp))
+    val got = rows.find(r =>
+      r.getString(0) == "quantity" && r.getString(1) == "price").get
+    assert(math.abs(got.getDouble(3) - math.rint(rqp * 1e6) / 1e6) < 2e-6)
+  }
+
+  test("nelson-aalen: hazard non-decreasing, H >= -ln(S_km) pointwise") {
+    import graft.operators.Relational
+    val na = Relational.queries("q_nelson_aalen")(spark, sfDir).collect()
+    val km = Relational.queries("q_kaplan_meier")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(na.nonEmpty && na.length == km.size)
+    var prev = -1.0
+    na.foreach { r =>
+      val h = r.getDouble(3)
+      assert(h >= prev, s"monotone: $r"); prev = h
+      assert(math.abs(r.getDouble(4) - math.rint(
+        math.exp(-h) * 1e6) / 1e6) < 2e-6, s"exp: $r")
+      // textbook: cumulative hazard dominates -ln(KM survival) only in
+      // the limit; the elementwise relation is H <= -ln(S) (since
+      // x >= -ln(1-x) per factor), checked where S > 0
+      val s = km(r.getLong(0))
+      if (s > 0) assert(h <= -math.log(s) + 2e-6, s"H vs KM: $r")
+    }
+  }
+
+  test("benjamini-hochberg: step-up reject set is a rank prefix") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_benjamini_hochberg")(spark, sfDir)
+      .collect().sortBy(_.getInt(5))
+    assert(rows.length == 25)
+    // p non-decreasing along rank; thresholds = 0.1*k/m
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(4) + 1e-9, s"p order: $b")
+      case _ =>
+    }
+    val m = rows.length
+    rows.foreach { r =>
+      val k = r.getInt(5)
+      assert(math.abs(r.getDouble(6) -
+        math.rint(0.1 * k / m * 1e6) / 1e6) < 1e-9)
+    }
+    // reject flags: true exactly for k <= largest k with p_k <= thr_k
+    val kMax = rows.filter(r => r.getDouble(4) <= r.getDouble(6))
+      .map(_.getInt(5)).sorted.lastOption.getOrElse(0)
+    rows.foreach(r =>
+      assert(r.getBoolean(7) == (r.getInt(5) <= kMax), s"reject: $r"))
+  }
+
+  test("quantile normalize: 20 full ranks, mean between group extremes") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_quantile_normalize")(spark, sfDir)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 20).toSeq)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3, s"n_groups: $r")
+      val (lo, hi) = (r.getLong(3) / 100.0, r.getLong(4) / 100.0)
+      assert(r.getDouble(2) >= lo - 1e-6 && r.getDouble(2) <= hi + 1e-6)
+    }
+    // the normalized series is non-decreasing in rank (means of sorted
+    // per-group series)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(2) <= b.getDouble(2) + 1e-9)
+      case _ =>
+    }
+  }
+
+  test("pca power: brute stats + 8-round replay matches every component") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_pca_power")(spark, sfDir).collect().head
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT) AS q",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p",
+        "CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT) AS d",
+        "CAST(CAST(l_tax AS DECIMAL(6,2)) * 100 AS BIGINT) AS x")
+      .collect().map(z =>
+        Array(z.getLong(0), z.getLong(1), z.getLong(2), z.getLong(3)))
+    val n = li.length.toDouble
+    def s1(i: Int) = li.map(_(i)).sum.toDouble
+    def s2(i: Int, j: Int) =
+      li.map(z => BigInt(z(i)) * BigInt(z(j))).sum.toDouble
+    val c = Array.ofDim[Double](4, 4)
+    for (i <- 0 until 4; j <- i until 4) {
+      val v = (s2(i, j) - s1(i) * li.map(_(j)).sum / n) / (n - 1.0)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array(0.5, 0.5, 0.5, 0.5)
+    def matvec(u: Array[Double]) =
+      Array.tabulate(4)(i => (0 until 4).map(j => c(i)(j) * u(j)).sum)
+    for (_ <- 1 to 8) {
+      val w = matvec(v)
+      val nm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nm)
+    }
+    val w = matvec(v)
+    val lam = v.zip(w).map { case (a, b) => a * b }.sum
+    val sgn = if (v(1) < 0) -1.0 else 1.0
+    // replay uses associativity-relaxed sums (tolerance, not bit-equality
+    // — the oracle is the bit-exact check); direction must match tightly
+    assert(math.abs(r.getDouble(0) / lam - 1.0) < 1e-9, s"lam: $r vs $lam")
+    for (i <- 0 until 4)
+      assert(math.abs(r.getDouble(1 + i) - sgn * v(i)) < 1e-6,
+        s"v$i: $r vs ${sgn * v(i)}")
+    // price carries ~all variance: the component aligns with that axis
+    assert(r.getDouble(2) > 0.99)
+    val nrm = (1 to 4).map(i => r.getDouble(i) * r.getDouble(i)).sum
+    assert(math.abs(nrm - 1.0) < 1e-6)
+  }
+
+  test("shapley: brute permutation average matches; efficiency holds") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_shapley_attribution")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 4)
+    val u = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).toSeq.map { case (_, g) =>
+        val ts = g.map(_._2).toSet
+        val mask = (if (ts("click")) 1 else 0) + (if (ts("view")) 2 else 0) +
+          (if (ts("signup")) 4 else 0) + (if (ts("error")) 8 else 0)
+        (mask, if (ts("purchase")) 1L else 0L)
+      }
+    def v(s: Int): Long =
+      u.filter { case (m, _) => (m & s) == m }.map(_._2).sum
+    // exact Shapley by enumerating all 4! channel orders
+    val bits = Map("click" -> 1, "view" -> 2, "signup" -> 4, "error" -> 8)
+    val phi24 = scala.collection.mutable.Map[String, Long]()
+    bits.keys.toSeq.permutations.foreach { perm =>
+      var s = 0
+      perm.foreach { ch =>
+        phi24(ch) = phi24.getOrElse(ch, 0L) + (v(s | bits(ch)) - v(s))
+        s |= bits(ch)
+      }
+    }
+    bits.keys.foreach { ch =>
+      assert(rows(ch).getLong(1) == phi24(ch), s"$ch: ${rows(ch)}")
+    }
+    assert(phi24.values.sum == 24L * (v(15) - v(0)), "efficiency")
+  }
 }
