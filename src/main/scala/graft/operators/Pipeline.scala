@@ -3382,6 +3382,260 @@ object Pipeline {
           (col("n_distinct_raw") - col("n_distinct_norm"))
             .as("n_merged_by_norm"),
           col("n_injected"))
+    },
+
+    // GOPHER QUALITY RULES (Rae et al. 2021 §A1.1, thresholds adapted to
+    // this corpus's declared scale — the rule-based pre-filter every
+    // LLM-corpus pipeline runs before any model-based gate): word count ∈
+    // [20, 1000], mean word length ∈ [3, 10], symbol-to-word ratio ≤ 0.1
+    // ('#'/'…' tokens), ≥80% words alphabetic, ≥2 stopwords from the
+    // declared 8-word list. EVERY comparison is exact-integer — ratio
+    // bounds cross-multiply (3·n ≤ chars ≤ 10·n, 10·sym ≤ n, 10·alpha ≥
+    // 8·n) so no float ever sits on a pass/fail boundary. One map-side
+    // pass; per-rule fail counts + the all-rules pass count roll up to a
+    // single row. At 100 TB this is the cheapest possible filter: pure
+    // per-row expressions inside the scan, one 1-row agg.
+    "q_gopher_rules" -> { (s, dir) =>
+      val d = docsPar(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")).cast("long"))
+        .withColumn("chars",
+          expr("aggregate(w, 0L, (a, x) -> a + length(x))"))
+        .withColumn("alpha",
+          expr("CAST(size(filter(w, x -> x rlike '[a-z]')) AS BIGINT)"))
+        .withColumn("sym", expr(
+          "CAST(size(filter(w, x -> x IN ('#', '...'))) AS BIGINT)"))
+        .withColumn("stop", expr(
+          "CAST(size(filter(w, x -> x IN ('the','be','to','of','and'," +
+            "'that','have','with'))) AS BIGINT)"))
+        .withColumn("r_wc", col("n") >= 20L && col("n") <= 1000L)
+        .withColumn("r_mwl",
+          col("chars") >= lit(3L) * col("n") &&
+            col("chars") <= lit(10L) * col("n"))
+        .withColumn("r_sym", lit(10L) * col("sym") <= col("n"))
+        .withColumn("r_alpha", lit(10L) * col("alpha") >= lit(8L) * col("n"))
+        .withColumn("r_stop", col("stop") >= 2L)
+      d.agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("r_wc"), 1L).otherwise(0L)).as("fail_word_count"),
+        sum(when(!col("r_mwl"), 1L).otherwise(0L)).as("fail_mean_word_len"),
+        sum(when(!col("r_sym"), 1L).otherwise(0L)).as("fail_symbol_ratio"),
+        sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("fail_alpha_ratio"),
+        sum(when(!col("r_stop"), 1L).otherwise(0L)).as("fail_stopwords"),
+        sum(when(col("r_wc") && col("r_mwl") && col("r_sym") &&
+          col("r_alpha") && col("r_stop"), 1L).otherwise(0L)).as("n_pass"))
+    },
+
+    // FLESCH READING EASE (Flesch 1948 — the classic readability score, a
+    // standard cheap quality feature beside E-text_quality's ratios):
+    // 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word), with
+    // syllables = vowel-group count per word clamped ≥1 (the standard
+    // regex heuristic) and sentences = terminal-punctuation count clamped
+    // ≥1. words/sents/syllables are EXACT BIGINTs (the vowel-group count
+    // folds inside the token array — no shuffle-order float anywhere);
+    // the score is one shared double tree rounded 6 dp, the band CASE
+    // reads the ROUNDED score, and the per-band mean sums exact
+    // DECIMAL(18,6) (order-insensitive) before one final division.
+    // Scale: pure per-row regex work inside the scan + a ≤5-row rollup.
+    "q_readability" -> { (s, dir) =>
+      docsPar(s, dir)
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .withColumn("n_sents",
+          greatest(regexp_count(col("text"), lit("[.!?]")).cast("long"),
+            lit(1L)))
+        .withColumn("n_syll", expr(
+          "aggregate(w, 0L, (a, x) -> a + greatest(1L, " +
+            "CAST(size(regexp_extract_all(x, '[aeiouy]+', 0)) AS BIGINT)))"))
+        .withColumn("flesch", expr(
+          "round(206.835D - 1.015D * n_words / n_sents" +
+            " - 84.6D * n_syll / n_words, 6)"))
+        .withColumn("band", expr(
+          """CASE WHEN flesch >= 90.0D THEN 'very_easy'
+            |WHEN flesch >= 70.0D THEN 'easy'
+            |WHEN flesch >= 50.0D THEN 'medium'
+            |WHEN flesch >= 30.0D THEN 'hard'
+            |ELSE 'very_hard' END""".stripMargin))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("flesch").cast("decimal(18,6)")).as("sf"),
+          min("flesch").as("min_flesch"), max("flesch").as("max_flesch"))
+        .select(col("band"), col("n_docs"),
+          expr("round(CAST(sf AS DOUBLE) / n_docs, 6)").as("avg_flesch"),
+          col("min_flesch"), col("max_flesch"))
+        .orderBy("band")
+    },
+
+    // JENSEN–SHANNON DIVERGENCE between the even- and odd-doc_id corpus
+    // halves (Lin 1991 — the symmetric, bounded [0,1]-bit distribution
+    // distance; the drift metric between two corpus snapshots or two
+    // sources, where E-source_kl is asymmetric): distributions over the
+    // top-64 corpus terms with +1 smoothing (q_source_kl's discipline —
+    // keeps every log finite), per-term contribution ½p·log2(p/m) +
+    // ½q·log2(q/m) with m = ½(p+q) as one shared double tree over exact
+    // BIGINT counts, summed by the SORTED-list fold (q_token_entropy rule
+    // — never a shuffle-order float sum). √JSD reports the metric form.
+    // Scale: one token shuffle into a ≤64-row vocab frame; the fold runs
+    // on 64 scalars.
+    "q_js_divergence" -> { (s, dir) =>
+      val tok = docsPar(s, dir)
+        .select((col("doc_id") % 2 === 0).as("ga"),
+          explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(64).select("w")
+      val counts = tok.join(broadcast(vocab), "w")
+        .groupBy("w")
+        .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("ga"), 1L).otherwise(0L)).as("cb"))
+      val tots = counts.agg(sum("ca").as("na"), sum("cb").as("nb"),
+        count(lit(1)).as("n_terms"))
+      counts.crossJoin(broadcast(tots))
+        .withColumn("p", expr(
+          "(CAST(ca AS DOUBLE) + 1.0D) / (CAST(na AS DOUBLE) + 64.0D)"))
+        .withColumn("q", expr(
+          "(CAST(cb AS DOUBLE) + 1.0D) / (CAST(nb AS DOUBLE) + 64.0D)"))
+        .withColumn("term", expr(
+          "0.5D * p * log2(p / (0.5D * (p + q))) + " +
+            "0.5D * q * log2(q / (0.5D * (p + q)))"))
+        .agg(max("n_terms").as("n_terms"),
+          expr("aggregate(sort_array(collect_list(term)), 0D, " +
+            "(a, x) -> a + x)").as("jsd"))
+        .select(col("n_terms"),
+          round(col("jsd"), 6).as("jsd_bits"),
+          round(sqrt(col("jsd")), 6).as("js_distance"))
+    },
+
+    // ELIAS–FANO POSTINGS SIZING (Vigna 2013 — the quasi-succinct
+    // encoding production index stacks offer beside varint; the E68
+    // companion that answers "should these lists be EF instead?"): same
+    // top-16 postings lists, EF low-bit width ℓ = ⌊log2(U/n)⌋ computed
+    // EXACTLY as length(bin(U div n)) − 1 — integer bit-length, never
+    // libm log2 on a boundary — with the declared size model n·(ℓ+2)
+    // bits vs the varint gap encoding's measured bytes. U self-derives
+    // as max(doc_id)+1. Scale: the postings build is the one corpus
+    // shuffle (same as E68); the sizing is a ≤16-row readout; at 100 TB
+    // the per-list ℓ recomputes per partition range exactly the same way.
+    "q_elias_fano" -> { (s, dir) =>
+      val postings = docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val top = postings.groupBy("w").agg(count(lit(1)).as("dfc"))
+        .orderBy(col("dfc").desc, col("w").asc).limit(16)
+      val uni = docsPar(s, dir).agg((max("doc_id") + 1L).as("u"))
+      val wnd = Window.partitionBy("w").orderBy("doc_id")
+      postings.join(broadcast(top.select("w")), "w")
+        .withColumn("prev", lag("doc_id", 1).over(wnd))
+        .withColumn("gap", when(col("prev").isNull, col("doc_id"))
+          .otherwise(col("doc_id") - col("prev")))
+        .withColumn("vbytes",
+          when(col("gap") < 128L, 1L)
+            .when(col("gap") < 16384L, 2L)
+            .when(col("gap") < 2097152L, 3L)
+            .when(col("gap") < 268435456L, 4L)
+            .otherwise(5L))
+        .groupBy("w")
+        .agg(count(lit(1)).as("df"), sum("vbytes").as("varint_bytes"))
+        .crossJoin(broadcast(uni))
+        .withColumn("low_bits",
+          expr("CAST(length(bin(u div df)) AS BIGINT) - 1L"))
+        .select(col("w"), col("df"), col("u").as("universe"),
+          col("low_bits"),
+          (col("df") * (col("low_bits") + lit(2L))).as("ef_bits"),
+          (col("varint_bytes") * 8L).as("varint_bits"))
+        .withColumn("ef_gain", round(
+          col("varint_bits").cast("double") / col("ef_bits"), 6))
+        .orderBy("w")
+    },
+
+    // K-CORE DECOMPOSITION (Seidman 1983 — the graph-degeneracy peel that
+    // separates a graph's cohesive core from its tree-like fringe; the
+    // standard prefilter before community/influence analytics): the
+    // 3-core of the shared undirected word graph by 8 unrolled peeling
+    // rounds — each round keeps nodes with ≥3 surviving neighbors and
+    // re-derives the induced subgraph; 8 rounds provably suffice on a
+    // ≤32-node graph IF the peel converges (OperatorSpec replays the
+    // brute peel to fixpoint and asserts both convergence-within-8 and
+    // set equality). All joins are equi-joins between the ≤32²-row edge
+    // frame and ≤32-row node frames (wordGraph's one corpus-sized bigram
+    // extraction is shared + checkpointed); the unroll is ONE lazy plan,
+    // the q_textrank discipline. Scale: at real graph sizes each round is
+    // a self-contained degree rollup — the same plan iterates, state
+    // linear in nodes.
+    "q_kcore" -> { (s, dir) =>
+      val (vocab, e0) = wordGraph(s, dir, 32)
+      val und = e0.union(
+        e0.select(col("w2").as("w1"), col("w1").as("w2"))).distinct()
+        .localCheckpoint(true)
+      var nodes = vocab.select(col("w"))
+      var edges = und
+      (1 to 8).foreach { _ =>
+        edges = und
+          .join(nodes.select(col("w").as("w1")), "w1")
+          .join(nodes.select(col("w").as("w2")), "w2")
+          .select("w1", "w2")
+        nodes = edges.groupBy("w1").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 3L).select(col("w1").as("w"))
+      }
+      edges
+        .join(nodes.select(col("w").as("w1")), "w1")
+        .join(nodes.select(col("w").as("w2")), "w2")
+        .groupBy(col("w1").as("w"))
+        .agg(count(lit(1)).as("core_degree"))
+        .orderBy("w")
+    },
+
+    // FELLEGI–SUNTER m/u WEIGHT ESTIMATION (Fellegi & Sunter 1969 — the
+    // parameter-estimation half of record linkage; E80 is the DECISION
+    // half): over the same blocked customer pairs with construction-known
+    // labels (dirty_key = clean_key), estimate per-field agreement
+    // probabilities m = P(agree|match), u = P(agree|non-match) with +1/+2
+    // Laplace smoothing (no zero-frequency log), and the log2 match
+    // weights w⁺ = log2(m/u), w⁻ = log2((1−m)/(1−u)) as one shared double
+    // tree over exact BIGINT counts. Fields: name Jaro-Winkler ≥ .96
+    // (rounded DECIMAL vs DECIMAL — no float boundary) and exact acctbal
+    // agreement. Scale: the blocked equi-join is the only corpus-sized
+    // work (never all-pairs); the estimate is a 1-row sufficient-stat agg
+    // unpivoted to 2 field rows.
+    "q_fellegi_sunter" -> { (s, dir) =>
+      registerNativeFns(s)
+      val c = Tables.load(s, dir, "customer")
+      val clean = c.select(col("c_custkey").as("clean_key"),
+        col("c_name").as("clean_name"), col("c_acctbal").as("clean_acct"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      val dirty = c.select(col("c_custkey").as("dirty_key"),
+        concat(lit("Customer#"), reverse(substring(col("c_name"), 10, 9)))
+          .as("dirty_name"),
+        col("c_acctbal").as("dirty_acct"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      val a = dirty.join(clean, Seq("nk", "seg"))
+        .withColumn("mt", col("dirty_key") === col("clean_key"))
+        .withColumn("agn",
+          round(expr("graft_jaro_winkler(dirty_name, clean_name)"), 6)
+            .cast("decimal(8,6)") >= expr("CAST(0.96 AS DECIMAL(8,6))"))
+        .withColumn("aga", col("dirty_acct") === col("clean_acct"))
+        .agg(sum(when(col("mt"), 1L).otherwise(0L)).as("nm"),
+          sum(when(!col("mt"), 1L).otherwise(0L)).as("nu"),
+          sum(when(col("mt") && col("agn"), 1L).otherwise(0L)).as("amn"),
+          sum(when(!col("mt") && col("agn"), 1L).otherwise(0L)).as("aun"),
+          sum(when(col("mt") && col("aga"), 1L).otherwise(0L)).as("ama"),
+          sum(when(!col("mt") && col("aga"), 1L).otherwise(0L)).as("aua"))
+      def mu(am: String, au: String): (String, String) = (
+        s"(CAST($am AS DOUBLE) + 1.0D) / (CAST(nm AS DOUBLE) + 2.0D)",
+        s"(CAST($au AS DOUBLE) + 1.0D) / (CAST(nu AS DOUBLE) + 2.0D)")
+      def fieldRow(am: String, au: String): String = {
+        val (m, u) = mu(am, au)
+        s"$am, $au, round($m, 6), round($u, 6), " +
+          s"round(log2(($m) / ($u)), 6), " +
+          s"round(log2((1.0D - ($m)) / (1.0D - ($u))), 6)"
+      }
+      a.select(col("nm").as("n_match"), col("nu").as("n_unmatch"),
+          expr(s"""stack(2,
+            |'acctbal_equal', ${fieldRow("ama", "aua")},
+            |'name_jw', ${fieldRow("amn", "aun")}
+            |) AS (field, n_agree_match, n_agree_unmatch, m, u,
+            |  w_agree, w_disagree)""".stripMargin))
+        .select("field", "n_match", "n_unmatch", "n_agree_match",
+          "n_agree_unmatch", "m", "u", "w_agree", "w_disagree")
+        .orderBy("field")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -3406,7 +3660,244 @@ object Pipeline {
       |       JOIN vocab v1 ON w1 = v1.w JOIN vocab v2 ON w2 = v2.w
       |       WHERE w1 <> w2)""".stripMargin
 
+  /** q_kcore's oracle: wordGraph's CTE chain + the symmetrized edge set +
+    * the same 8 peeling rounds unrolled (node set n0..n8, induced edges
+    * per round), then the final induced-degree readout. */
+  private def kcoreOracle: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""e$i AS (
+         |  SELECT u.w1, u.w2 FROM und u
+         |  JOIN n${i - 1} a ON u.w1 = a.w JOIN n${i - 1} b ON u.w2 = b.w),
+         |n$i AS (
+         |  SELECT w1 AS w FROM e$i GROUP BY w1 HAVING COUNT(*) >= 3)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $wordGraphSql,
+       |und AS (SELECT w1, w2 FROM e0
+       |        UNION SELECT w2 AS w1, w1 AS w2 FROM e0),
+       |n0 AS (SELECT w FROM vocab),
+       |$rounds,
+       |ef AS (
+       |  SELECT u.w1, u.w2 FROM und u
+       |  JOIN n8 a ON u.w1 = a.w JOIN n8 b ON u.w2 = b.w)
+       |SELECT w1 AS w, COUNT(*) AS core_degree
+       |FROM ef GROUP BY w1 ORDER BY w""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // same exact-integer rule boundaries (cross-multiplied ratios), same
+    // declared thresholds and stopword list
+    "q_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (
+        |  SELECT CAST(len(w) AS BIGINT) AS n,
+        |    CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+        |      AS BIGINT) AS chars,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(w, x -> x IN ('#', '...'))) AS BIGINT)
+        |      AS sym,
+        |    CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and',
+        |      'that','have','with'))) AS BIGINT) AS stop
+        |  FROM d),
+        |r AS (
+        |  SELECT n >= 20 AND n <= 1000 AS r_wc,
+        |    chars >= 3 * n AND chars <= 10 * n AS r_mwl,
+        |    10 * sym <= n AS r_sym,
+        |    10 * alpha >= 8 * n AS r_alpha,
+        |    stop >= 2 AS r_stop
+        |  FROM st)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_word_count,
+        |  CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_mean_word_len,
+        |  CAST(SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_symbol_ratio,
+        |  CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_alpha_ratio,
+        |  CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_stopwords,
+        |  CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha
+        |    AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM r""".stripMargin,
+
+    // same clamped integer counts, same rounded score tree, same band
+    // boundaries on the ROUNDED score, same exact decimal mean
+    "q_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(len(w) AS BIGINT) AS n_words,
+        |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]'))
+        |      AS BIGINT), 1) AS n_sents,
+        |    CAST(list_aggregate(list_transform(w, x -> GREATEST(1,
+        |      len(regexp_extract_all(x, '[aeiouy]+')))), 'sum')
+        |      AS BIGINT) AS n_syll
+        |  FROM d),
+        |f AS (
+        |  SELECT round(206.835::DOUBLE - 1.015::DOUBLE * n_words / n_sents
+        |    - 84.6::DOUBLE * n_syll / n_words, 6) AS flesch
+        |  FROM st),
+        |b AS (
+        |  SELECT CASE WHEN flesch >= 90.0::DOUBLE THEN 'very_easy'
+        |    WHEN flesch >= 70.0::DOUBLE THEN 'easy'
+        |    WHEN flesch >= 50.0::DOUBLE THEN 'medium'
+        |    WHEN flesch >= 30.0::DOUBLE THEN 'hard'
+        |    ELSE 'very_hard' END AS band, flesch
+        |  FROM f)
+        |SELECT band, COUNT(*) AS n_docs,
+        |  round(CAST(SUM(CAST(flesch AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_flesch,
+        |  MIN(flesch) AS min_flesch, MAX(flesch) AS max_flesch
+        |FROM b GROUP BY band ORDER BY band""".stripMargin,
+
+    // same top-64 vocab, same +1 smoothing, same per-term tree, same
+    // sorted-list float fold
+    "q_js_divergence" ->
+      """WITH tok AS (
+        |  SELECT doc_id % 2 = 0 AS ga,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w FROM (
+        |  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        |  ORDER BY c DESC, w ASC LIMIT 64) t),
+        |counts AS (
+        |  SELECT w, CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(SUM(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM tok JOIN vocab USING (w) GROUP BY w),
+        |tots AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb, COUNT(*) AS n_terms
+        |  FROM counts),
+        |pq AS (
+        |  SELECT n_terms,
+        |    (CAST(ca AS DOUBLE) + 1.0::DOUBLE) /
+        |      (CAST(na AS DOUBLE) + 64.0::DOUBLE) AS p,
+        |    (CAST(cb AS DOUBLE) + 1.0::DOUBLE) /
+        |      (CAST(nb AS DOUBLE) + 64.0::DOUBLE) AS q
+        |  FROM counts CROSS JOIN tots),
+        |terms AS (
+        |  SELECT n_terms,
+        |    0.5::DOUBLE * p * log2(p / (0.5::DOUBLE * (p + q))) +
+        |    0.5::DOUBLE * q * log2(q / (0.5::DOUBLE * (p + q))) AS term
+        |  FROM pq),
+        |agg AS (
+        |  SELECT MAX(n_terms) AS n_terms,
+        |    list_reduce(list_concat([0.0::DOUBLE], list_sort(list(term))),
+        |      (a, x) -> a + x) AS jsd
+        |  FROM terms)
+        |SELECT n_terms, round(jsd, 6) AS jsd_bits,
+        |  round(sqrt(jsd), 6) AS js_distance
+        |FROM agg""".stripMargin,
+
+    // same postings lists and varint gap bytes as q_postings_size, EF
+    // low-bit width by exact integer bit-length (bin string), same model
+    "q_elias_fano" ->
+      """WITH pt AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |top AS (SELECT w FROM (
+        |  SELECT w, COUNT(*) AS dfc FROM pt GROUP BY w
+        |  ORDER BY dfc DESC, w ASC LIMIT 16) t),
+        |uni AS (SELECT MAX(doc_id) + 1 AS u FROM documents),
+        |g AS (
+        |  SELECT w, doc_id,
+        |    doc_id - LAG(doc_id) OVER (PARTITION BY w ORDER BY doc_id)
+        |      AS gp
+        |  FROM pt JOIN top USING (w)),
+        |vb AS (
+        |  SELECT w, CASE WHEN gp IS NULL THEN doc_id ELSE gp END AS gap
+        |  FROM g),
+        |sz AS (
+        |  SELECT w, COUNT(*) AS df,
+        |    CAST(SUM(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+        |      WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+        |      ELSE 5 END) AS BIGINT) AS varint_bytes
+        |  FROM vb GROUP BY w),
+        |lb AS (
+        |  SELECT w, df, varint_bytes, u,
+        |    CAST(length(bin(u // df)) AS BIGINT) - 1 AS low_bits
+        |  FROM sz CROSS JOIN uni)
+        |SELECT w, df, u AS universe, low_bits,
+        |  df * (low_bits + 2) AS ef_bits,
+        |  varint_bytes * 8 AS varint_bits,
+        |  round(CAST(varint_bytes * 8 AS DOUBLE) / (df * (low_bits + 2)),
+        |    6) AS ef_gain
+        |FROM lb ORDER BY w""".stripMargin,
+
+    "q_kcore" -> kcoreOracle,
+
+    // same blocked pairs + DuckDB's own jaro_winkler_similarity, same
+    // Laplace-smoothed m/u and log2 weight trees over exact counts
+    "q_fellegi_sunter" ->
+      """WITH clean AS (
+        |  SELECT c_custkey AS clean_key, c_name AS clean_name,
+        |    c_acctbal AS clean_acct, c_nationkey AS nk,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS dirty_key,
+        |    'Customer#' || reverse(substr(c_name, 10, 9)) AS dirty_name,
+        |    c_acctbal AS dirty_acct, c_nationkey AS nk,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |p AS (
+        |  SELECT d.dirty_key = c.clean_key AS mt,
+        |    CAST(round(jaro_winkler_similarity(d.dirty_name, c.clean_name),
+        |      6) AS DECIMAL(8,6)) >= CAST(0.96 AS DECIMAL(8,6)) AS agn,
+        |    d.dirty_acct = c.clean_acct AS aga
+        |  FROM dirty d JOIN clean c ON c.nk = d.nk AND c.seg = d.seg),
+        |a AS (
+        |  SELECT CAST(SUM(CASE WHEN mt THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+        |    CAST(SUM(CASE WHEN NOT mt THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+        |    CAST(SUM(CASE WHEN mt AND agn THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS amn,
+        |    CAST(SUM(CASE WHEN NOT mt AND agn THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS aun,
+        |    CAST(SUM(CASE WHEN mt AND aga THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ama,
+        |    CAST(SUM(CASE WHEN NOT mt AND aga THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS aua
+        |  FROM p)
+        |SELECT field, n_match, n_unmatch, n_agree_match, n_agree_unmatch,
+        |  m, u, w_agree, w_disagree
+        |FROM (
+        |  SELECT 'acctbal_equal' AS field, nm AS n_match, nu AS n_unmatch,
+        |    ama AS n_agree_match, aua AS n_agree_unmatch,
+        |    round((CAST(ama AS DOUBLE) + 1.0::DOUBLE) /
+        |      (CAST(nm AS DOUBLE) + 2.0::DOUBLE), 6) AS m,
+        |    round((CAST(aua AS DOUBLE) + 1.0::DOUBLE) /
+        |      (CAST(nu AS DOUBLE) + 2.0::DOUBLE), 6) AS u,
+        |    round(log2(((CAST(ama AS DOUBLE) + 1.0::DOUBLE) /
+        |      (CAST(nm AS DOUBLE) + 2.0::DOUBLE)) /
+        |      ((CAST(aua AS DOUBLE) + 1.0::DOUBLE) /
+        |      (CAST(nu AS DOUBLE) + 2.0::DOUBLE))), 6) AS w_agree,
+        |    round(log2((1.0::DOUBLE - ((CAST(ama AS DOUBLE) + 1.0::DOUBLE)
+        |      / (CAST(nm AS DOUBLE) + 2.0::DOUBLE))) /
+        |      (1.0::DOUBLE - ((CAST(aua AS DOUBLE) + 1.0::DOUBLE) /
+        |      (CAST(nu AS DOUBLE) + 2.0::DOUBLE)))), 6) AS w_disagree
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'name_jw', nm, nu, amn, aun,
+        |    round((CAST(amn AS DOUBLE) + 1.0::DOUBLE) /
+        |      (CAST(nm AS DOUBLE) + 2.0::DOUBLE), 6),
+        |    round((CAST(aun AS DOUBLE) + 1.0::DOUBLE) /
+        |      (CAST(nu AS DOUBLE) + 2.0::DOUBLE), 6),
+        |    round(log2(((CAST(amn AS DOUBLE) + 1.0::DOUBLE) /
+        |      (CAST(nm AS DOUBLE) + 2.0::DOUBLE)) /
+        |      ((CAST(aun AS DOUBLE) + 1.0::DOUBLE) /
+        |      (CAST(nu AS DOUBLE) + 2.0::DOUBLE))), 6),
+        |    round(log2((1.0::DOUBLE - ((CAST(amn AS DOUBLE) + 1.0::DOUBLE)
+        |      / (CAST(nm AS DOUBLE) + 2.0::DOUBLE))) /
+        |      (1.0::DOUBLE - ((CAST(aun AS DOUBLE) + 1.0::DOUBLE) /
+        |      (CAST(nu AS DOUBLE) + 2.0::DOUBLE)))), 6)
+        |  FROM a)
+        |ORDER BY field""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
         |FROM documents

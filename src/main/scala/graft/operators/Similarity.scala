@@ -947,6 +947,58 @@ object Similarity {
           round(col("sdot").cast("double") / col("n_pairs"), 6)
             .as("mean_dot"))
         .orderBy("batch")
+    },
+
+    // NDCG@10 (Järvelin & Kekäläinen 2002 — the GRADED ranking metric
+    // beside q_retrieval_metrics' binary recall/MRR; the number a ranker
+    // A/B actually reports): ground truth = the brute-force cosine top-20
+    // with declared grades (rank ≤5 → 3, ≤10 → 2, else 1 — relevance from
+    // the exact ranking, so no human qrels needed), system = the
+    // label-filtered top-20 (the same two rankings q_retrieval_metrics
+    // compares). DCG = Σ g/log2(r+1) over the system's top-10, IDCG over
+    // the ideal (truth-rank) order — both folds run over rank-SORTED
+    // ≤10-element lists (the q_token_entropy float rule; log2 matches
+    // libm cross-engine per the q_source_kl precedent). Scale: the
+    // corpus-sized work is the two top-k retrievals (broadcast query,
+    // TakeOrdered); the metric itself touches ≤20 rows.
+    "q_ndcg" -> { (s, dir) =>
+      val rel = annTop(s, dir, 20)
+        .withColumn("g", when(col("r_ann") <= 5, 3L)
+          .when(col("r_ann") <= 10, 2L).otherwise(1L))
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("label").as("q_label"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val sys = broadcast(q)
+        .join(e, col("label") === col("q_label") && col("vec_id") =!= 0)
+        .withColumn("cosine_raw", expr(dot) / (col("qn") * col("nrm")))
+        .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+        .limit(20)
+        .withColumn("r_sys", row_number().over(
+          Window.partitionBy(pmod(col("vec_id"), lit(1)))
+            .orderBy(col("cosine_raw").desc, col("vec_id").asc))
+          .cast("long"))
+        .select(col("vec_id").as("doc_id"), col("r_sys"))
+      val dcg = sys.filter(col("r_sys") <= 10)
+        .join(rel.select("doc_id", "g"), Seq("doc_id"), "left")
+        .withColumn("g", coalesce(col("g"), lit(0L)))
+        .agg(sort_array(collect_list(struct(col("r_sys"), col("g"))))
+          .as("l"))
+        .select(expr(
+          """aggregate(l, 0D, (a, p) -> a +
+            |CAST(p.g AS DOUBLE) / log2(CAST(p.r_sys AS DOUBLE) + 1.0D))"""
+            .stripMargin).as("dcg"))
+      val idcg = rel.filter(col("r_ann") <= 10)
+        .agg(sort_array(collect_list(struct(col("r_ann"), col("g"))))
+          .as("l"))
+        .select(expr(
+          """aggregate(l, 0D, (a, p) -> a +
+            |CAST(p.g AS DOUBLE) / log2(CAST(p.r_ann AS DOUBLE) + 1.0D))"""
+            .stripMargin).as("idcg"))
+      dcg.crossJoin(idcg)
+        .select(round(col("dcg"), 6).as("dcg_at_10"),
+          round(col("idcg"), 6).as("idcg_at_10"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg_at_10"))
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -1031,6 +1083,48 @@ object Similarity {
       |WHERE cosine >= 0.2 ORDER BY vec_a, vec_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same two rankings as q_retrieval_metrics, same declared grades,
+    // same rank-sorted log2 folds
+    "q_ndcg" ->
+      s"""WITH e AS ($vecsSql),
+        |truth0 AS (
+        |  SELECT c.vec_id AS doc_id, $dotSql / (q.nrm * c.nrm) AS cos
+        |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0
+        |  ORDER BY cos DESC, c.vec_id ASC LIMIT 20),
+        |rel AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r_ann,
+        |    CASE WHEN row_number() OVER (ORDER BY cos DESC, doc_id ASC)
+        |        <= 5 THEN 3
+        |      WHEN row_number() OVER (ORDER BY cos DESC, doc_id ASC)
+        |        <= 10 THEN 2 ELSE 1 END AS g
+        |  FROM truth0),
+        |sys0 AS (
+        |  SELECT c.vec_id AS doc_id, $dotSql / (q.nrm * c.nrm) AS cos
+        |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0
+        |    AND c.label = q.label
+        |  ORDER BY cos DESC, c.vec_id ASC LIMIT 20),
+        |sys AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r_sys
+        |  FROM sys0),
+        |ds AS (
+        |  SELECT s.r_sys, COALESCE(t.g, 0) AS g
+        |  FROM sys s LEFT JOIN rel t USING (doc_id) WHERE s.r_sys <= 10),
+        |dl AS (SELECT list(struct_pack(r_sys := r_sys, g := g)
+        |    ORDER BY r_sys) AS l FROM ds),
+        |dc AS (SELECT list_reduce(list_concat([0.0::DOUBLE],
+        |    list_transform(dl.l, p -> p.g::DOUBLE /
+        |      log2(p.r_sys::DOUBLE + 1.0::DOUBLE))),
+        |    (a, x) -> a + x) AS dcg FROM dl),
+        |il AS (SELECT list(struct_pack(r_ann := r_ann, g := g)
+        |    ORDER BY r_ann) AS l FROM rel WHERE r_ann <= 10),
+        |ic AS (SELECT list_reduce(list_concat([0.0::DOUBLE],
+        |    list_transform(il.l, p -> p.g::DOUBLE /
+        |      log2(p.r_ann::DOUBLE + 1.0::DOUBLE))),
+        |    (a, x) -> a + x) AS idcg FROM il)
+        |SELECT round(dcg, 6) AS dcg_at_10, round(idcg, 6) AS idcg_at_10,
+        |  round(dcg / idcg, 6) AS ndcg_at_10
+        |FROM dc CROSS JOIN ic""".stripMargin,
+
     "q_cosine_topk" -> cosineTopkSql,
 
     // replays the brute top-20 (truth) and the label-pruned top-20 (sys)

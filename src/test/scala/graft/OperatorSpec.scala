@@ -2899,4 +2899,166 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
     assert(phi24.values.sum == 24L * (v(15) - v(0)), "efficiency")
   }
+
+  test("gopher rules: brute per-doc rule replay matches every fail count") {
+    val r = Pipeline.queries("q_gopher_rules")(spark, sfDir).collect().head
+    val stopSet = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0).split(" ", -1).toSeq)
+    val flags = docs.map { w =>
+      val n = w.length.toLong
+      val chars = w.map(_.length.toLong).sum
+      val alpha = w.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val sym = w.count(x => x == "#" || x == "...").toLong
+      val stop = w.count(stopSet).toLong
+      (n >= 20 && n <= 1000, chars >= 3 * n && chars <= 10 * n,
+        10 * sym <= n, 10 * alpha >= 8 * n, stop >= 2)
+    }
+    assert(r.getLong(0) == docs.length)
+    assert(r.getLong(1) == flags.count(!_._1))
+    assert(r.getLong(2) == flags.count(!_._2))
+    assert(r.getLong(3) == flags.count(!_._3))
+    assert(r.getLong(4) == flags.count(!_._4))
+    assert(r.getLong(5) == flags.count(!_._5))
+    assert(r.getLong(6) == flags.count(f => f._1 && f._2 && f._3 &&
+      f._4 && f._5))
+  }
+
+  test("readability: bands partition the corpus, brute flesch in band") {
+    val rows = Pipeline.queries("q_readability")(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    val bounds = Map("very_easy" -> (90.0, 1e9), "easy" -> (70.0, 90.0),
+      "medium" -> (50.0, 70.0), "hard" -> (30.0, 50.0),
+      "very_hard" -> (-1e9, 30.0))
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      assert(r.getDouble(3) >= lo && r.getDouble(3) < hi, s"min in band: $r")
+      assert(r.getDouble(4) >= lo && r.getDouble(4) < hi, s"max in band: $r")
+      assert(r.getDouble(2) >= r.getDouble(3) - 1e-6 &&
+        r.getDouble(2) <= r.getDouble(4) + 1e-6, s"avg between: $r")
+    }
+    // brute flesch for one doc lands in the claimed band partition
+    val w = spark.read.parquet(s"$sfDir/documents.parquet")
+      .orderBy("doc_id").select("text").head.getString(0).split(" ").toSeq
+    val syll = w.map(x =>
+      math.max(1, "[aeiouy]+".r.findAllIn(x).length).toLong).sum
+    val f = math.rint((206.835 - 1.015 * w.length -
+      84.6 * syll / w.length.toDouble) * 1e6) / 1e6
+    val band = if (f >= 90) "very_easy" else if (f >= 70) "easy"
+      else if (f >= 50) "medium" else if (f >= 30) "hard" else "very_hard"
+    val br = rows.find(_.getString(0) == band).get
+    assert(f >= br.getDouble(3) - 1e-6 && f <= br.getDouble(4) + 1e-6)
+  }
+
+  test("js divergence: bounded [0,1] bits, brute recompute within tolerance") {
+    val r = Pipeline.queries("q_js_divergence")(spark, sfDir).collect().head
+    // vocab is top-64 but the smoke corpus has fewer distinct terms
+    assert(r.getLong(0) >= 1 && r.getLong(0) <= 64)
+    val jsd = r.getDouble(1)
+    assert(jsd >= 0.0 && jsd <= 1.0, s"bounds: $r")
+    // query sqrts the UNROUNDED jsd; recovering it from the rounded one
+    // amplifies the 5e-7 rounding by 1/(2*sqrt(jsd)) — loose tolerance
+    assert(math.abs(r.getDouble(2) - math.sqrt(jsd)) < 5e-5)
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap(x => x.getString(1).split(" ").map(w =>
+        (w, x.getLong(0) % 2 == 0)))
+    val vocab = toks.groupBy(_._1).view.mapValues(_.length).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(64).map(_._1).toSet
+    assert(r.getLong(0) == vocab.size)
+    val in = toks.filter(t => vocab(t._1))
+    val na = in.count(_._2).toDouble; val nb = in.length - na
+    val brute = vocab.toSeq.map { w =>
+      val ca = in.count(t => t._1 == w && t._2)
+      val cb = in.count(t => t._1 == w && !t._2)
+      val p = (ca + 1.0) / (na + 64.0); val q = (cb + 1.0) / (nb + 64.0)
+      val m = 0.5 * (p + q)
+      0.5 * p * (math.log(p / m) / math.log(2)) +
+        0.5 * q * (math.log(q / m) / math.log(2))
+    }.sum
+    assert(math.abs(jsd - brute) < 1e-5, s"$jsd vs $brute")
+  }
+
+  test("elias-fano: exact bit-length low bits, model sizes reproduce") {
+    val rows = Pipeline.queries("q_elias_fano")(spark, sfDir).collect()
+    assert(rows.length == 16)
+    val pt = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap(x => x.getString(1).split(" ").map((x.getLong(0), _)))
+      .distinct
+    val u = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head.getLong(0) + 1
+    rows.foreach { r =>
+      val df = pt.count(_._2 == r.getString(0)).toLong
+      assert(r.getLong(1) == df, s"df: $r")
+      assert(r.getLong(2) == u)
+      val lb = 63 - java.lang.Long.numberOfLeadingZeros(u / df)
+      assert(r.getLong(3) == lb, s"low_bits: $r vs $lb")
+      assert(r.getLong(4) == df * (lb + 2), s"ef_bits: $r")
+      assert(r.getLong(5) >= df * 8, s"varint >= 1 byte/gap: $r")
+    }
+  }
+
+  test("kcore: brute peel to fixpoint converges within 8 rounds and matches") {
+    val rows = Pipeline.queries("q_kcore")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rebuild the capped word graph brute-force
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0).split(" ").toSeq)
+    val vocab = docs.flatten.groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(32).map(_._1).toSet
+    val und = docs.flatMap(w => w.zip(w.drop(1)))
+      .filter(p => p._1 != p._2 && vocab(p._1) && vocab(p._2))
+      .flatMap(p => Seq(p, p.swap)).distinct
+    var nodes = vocab
+    var roundsUsed = 0
+    var changed = true
+    while (changed && roundsUsed < 50) {
+      val e = und.filter(p => nodes(p._1) && nodes(p._2))
+      val deg = e.groupBy(_._1).view.mapValues(_.length).toMap
+      val next = nodes.filter(w => deg.getOrElse(w, 0) >= 3)
+      changed = next != nodes; nodes = next; roundsUsed += 1
+    }
+    assert(roundsUsed <= 8, s"peel needed $roundsUsed rounds; bump unroll")
+    val e = und.filter(p => nodes(p._1) && nodes(p._2))
+    val deg = e.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(rows == deg, s"core mismatch")
+    rows.values.foreach(d => assert(d >= 3))
+  }
+
+  test("fellegi-sunter: weight trees reproduce from counts, separation") {
+    val rows = Pipeline.queries("q_fellegi_sunter")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 2)
+    val nCust = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    rows.values.foreach { r =>
+      val (nm, nu) = (r.getLong(1), r.getLong(2))
+      assert(nm == nCust, "each record matches itself inside its block")
+      val (am, au) = (r.getLong(3), r.getLong(4))
+      assert(am <= nm && au <= nu)
+      val m = (am + 1.0) / (nm + 2.0); val u = (au + 1.0) / (nu + 2.0)
+      assert(math.abs(r.getDouble(5) - math.rint(m * 1e6) / 1e6) < 1e-9)
+      assert(math.abs(r.getDouble(6) - math.rint(u * 1e6) / 1e6) < 1e-9)
+      val wa = math.log(m / u) / math.log(2)
+      val wd = math.log((1 - m) / (1 - u)) / math.log(2)
+      assert(math.abs(r.getDouble(7) - math.rint(wa * 1e6) / 1e6) < 2e-6)
+      assert(math.abs(r.getDouble(8) - math.rint(wd * 1e6) / 1e6) < 2e-6)
+      // informative fields separate: agreement favors match
+      assert(r.getDouble(7) > 0 && r.getDouble(8) < 0, s"separation: $r")
+    }
+    // acctbal is a perfect separator under this corruption: every true
+    // pair agrees
+    assert(rows("acctbal_equal").getLong(3) == nCust)
+  }
+
+  test("ndcg: idcg is the closed-form graded series, ndcg in [0,1]") {
+    val r = Similarity.queries("q_ndcg")(spark, sfDir).collect().head
+    val idcg = (1 to 5).map(k => 3.0 / (math.log(k + 1.0) / math.log(2)))
+      .sum + (6 to 10).map(k => 2.0 / (math.log(k + 1.0) / math.log(2))).sum
+    assert(math.abs(r.getDouble(1) - math.rint(idcg * 1e6) / 1e6) < 2e-6,
+      s"idcg: $r vs $idcg")
+    assert(r.getDouble(0) <= r.getDouble(1) + 1e-9, "dcg <= idcg")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
 }
