@@ -3733,6 +3733,245 @@ object Relational {
             |round(CAST(phi24 AS DOUBLE) / (24.0D * total_conv), 6)
             |END""".stripMargin).as("share"))
         .orderBy("channel")
+    },
+
+    // LOGISTIC REGRESSION via 3 Newton–Raphson steps (the GLM every
+    // quality-classifier calibration actually fits — P(returned | order
+    // quantity) here): the corpus collapses ONCE to the ≤50-row (quantity,
+    // n, k) sufficient-statistic histogram (the feature is integral, so
+    // the per-row sigmoid work is per-DISTINCT-VALUE, not per-row — the
+    // histogram trick that makes IRLS distributable), each Newton step is
+    // five left folds over the x-SORTED histogram list (gradient + Hessian
+    // entries; the q_token_entropy float rule — no shuffle-order float
+    // sum) plus a closed-form 2×2 solve, all three steps unrolled into ONE
+    // lazy plan on a one-row frame (the q_pca_power discipline — identical
+    // IEEE trees cross-engine, rounding only at the readout). Scale: one
+    // map-side histogram shuffle; the iteration cost is independent of
+    // corpus size. Millions of distinct feature values → bucketize first,
+    // same plan.
+    "q_logistic_newton" -> { (s, dir) =>
+      val hist = t(s, dir, "lineitem")
+        .groupBy(col("l_quantity").cast(LongType).as("x"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+      val base = hist
+        .agg(sum("n").as("n_rows"),
+          sort_array(collect_list(struct(col("x"), col("n"), col("k"))))
+            .as("l"))
+        .withColumn("b0", lit(0.0)).withColumn("b1", lit(0.0))
+      val sig = "1.0D / (1.0D + exp(-(b0 + b1 * CAST(p.x AS DOUBLE))))"
+      def fold(term: String): String =
+        s"aggregate(l, 0D, (a, p) -> a + ($term))"
+      def step(d: DataFrame): DataFrame = d
+        .withColumn("g1", expr(fold(s"CAST(p.k AS DOUBLE) - p.n * $sig")))
+        .withColumn("g2", expr(fold(
+          s"(CAST(p.k AS DOUBLE) - p.n * $sig) * p.x")))
+        .withColumn("h11", expr(fold(s"p.n * $sig * (1.0D - $sig)")))
+        .withColumn("h12", expr(fold(
+          s"p.n * $sig * (1.0D - $sig) * p.x")))
+        .withColumn("h22", expr(fold(
+          s"p.n * $sig * (1.0D - $sig) * p.x * p.x")))
+        .withColumn("det", expr("h11 * h22 - h12 * h12"))
+        .select(col("n_rows"), col("l"),
+          expr("b0 + (h22 * g1 - h12 * g2) / det").as("b0"),
+          expr("b1 + (h11 * g2 - h12 * g1) / det").as("b1"))
+      val it = (1 to 3).foldLeft(base)((d, _) => step(d))
+      it.withColumn("ll", expr(fold(
+          "CAST(p.k AS DOUBLE) * (b0 + b1 * CAST(p.x AS DOUBLE)) " +
+            "- p.n * ln(1.0D + exp(b0 + b1 * CAST(p.x AS DOUBLE)))")))
+        .select(col("n_rows"),
+          round(col("b0"), 6).as("intercept"),
+          round(col("b1"), 6).as("slope"),
+          round(col("ll"), 6).as("log_lik"))
+    },
+
+    // 5-FOLD CROSS-VALIDATION of the closed-form OLS fit (the eval loop
+    // every model gate needs before it ships a threshold) — with ZERO
+    // extra passes over the data: fold sufficient statistics roll up once
+    // (md5 row coin), train stats = TOTAL − fold (aggregate mergeability,
+    // the E103 identity, running in reverse), coefficients from the
+    // q_ols_regression tree, and the held-out MSE expands algebraically —
+    // Σ(y−b0−b1x)² = Σy² − 2b0Σy − 2b1Σxy + nb0² + 2b0b1Σx + b1²Σx² — so
+    // the TEST error also reads from the same exact stats, never a
+    // per-row residual pass (at 100 TB: one map-side rollup total).
+    // Exactness: x BIGINT, y cents BIGINT, y² DECIMAL(37,0) (q_pearson's
+    // discipline); all algebra one shared double tree over the cast sums.
+    "q_cross_validation" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(
+        expr("cast(conv(substring(md5(concat(cast(l_orderkey as string)," +
+          " '-', cast(l_linenumber as string))),1,8),16,10) as bigint) % 5")
+          .as("fold"),
+        col("l_quantity").cast(LongType).as("x"),
+        (money(col("l_extendedprice")) * 100).cast(LongType).as("y"))
+      val perFold = li.groupBy("fold").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum("y").as("sy"),
+        sum(col("y").cast(DecimalType(18, 0)) *
+          col("y").cast(DecimalType(18, 0))).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val tot = perFold.agg(sum("n").as("tn"), sum("sx").as("tsx"),
+        sum("sxx").as("tsxx"), sum("sy").as("tsy"),
+        sum("syy").as("tsyy"), sum("sxy").as("tsxy"))
+      perFold.crossJoin(broadcast(tot))
+        .withColumn("trn", col("tn") - col("n"))
+        .withColumn("den", expr(
+          "CAST(trn AS DOUBLE) * (tsxx - sxx) - " +
+            "CAST(tsx - sx AS DOUBLE) * (tsx - sx)"))
+        .withColumn("b1", expr(
+          "CASE WHEN den > 0.0D THEN " +
+            "(CAST(trn AS DOUBLE) * (tsxy - sxy) - " +
+            "CAST(tsx - sx AS DOUBLE) * (tsy - sy)) / den END"))
+        .withColumn("b0", expr(
+          "(CAST(tsy - sy AS DOUBLE) - b1 * (tsx - sx)) / trn"))
+        .withColumn("mse", expr(
+          """(CAST(syy AS DOUBLE) - 2.0D * b0 * sy - 2.0D * b1 * sxy
+            | + CAST(n AS DOUBLE) * b0 * b0 + 2.0D * b0 * b1 * sx
+            | + b1 * b1 * sxx) / n""".stripMargin))
+        .select(col("fold"), (col("tn") - col("n")).as("n_train"),
+          col("n").as("n_test"),
+          round(col("b1"), 6).as("slope"),
+          round(col("b0"), 6).as("intercept"),
+          round(col("mse"), 6).as("test_mse"))
+        .orderBy("fold")
+    },
+
+    // 10%-TRIMMED MEAN of per-customer revenue (the robust location
+    // estimate beside q_outlier_iqr's winsorization — drop the tails
+    // instead of clamping them): exact integer trim boundaries by rank
+    // (n div 10 off each end — no float quantile decides membership),
+    // sums in exact BIGINT cents. Scale: same shape as q_gini — one
+    // customer rollup, rank window on the rollup BY DESIGN with the
+    // two-level prefix-rank swap at 1e9 customers.
+    "q_trimmed_mean" -> { (s, dir) =>
+      val perCust = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg((sum(money(col("o_totalprice"))) * 100).cast(LongType)
+          .as("rev"))
+      val tot = perCust.agg(count(lit(1)).as("n"), sum("rev").as("s1"))
+      perCust
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("rev"), col("o_custkey"))))
+        .crossJoin(broadcast(tot))
+        .agg(max("n").as("n_customers"),
+          max("s1").as("s1"),
+          sum(when(expr("r > n div 10 AND r <= n - n div 10"), col("rev")))
+            .as("ts"),
+          sum(when(expr("r > n div 10 AND r <= n - n div 10"), 1L)
+            .otherwise(0L)).as("n_trimmed"))
+        .select(col("n_customers"), col("n_trimmed"),
+          expr("round(CAST(s1 AS DOUBLE) / 100.0D / n_customers, 6)")
+            .as("raw_mean_dollars"),
+          expr("""CASE WHEN n_trimmed > 0 THEN
+            |round(CAST(ts AS DOUBLE) / 100.0D / n_trimmed, 6)
+            |END""".stripMargin).as("trimmed_mean_dollars"))
+    },
+
+    // HYPERLOGLOG distinct-user sketch (Flajolet et al. 2007 — THE
+    // production cardinality sketch; the E118 KMV sibling that wins when
+    // only unions are needed): 64 registers on the house 32-bit md5 hash
+    // (register = h % 64, rank ρ = leading-zero count of the remaining 26
+    // bits + 1 via EXACT integer bit-length — never libm log2), register
+    // values by plain MAX aggregation — mergeable across partitions,
+    // micro-batches, and days BY CONSTRUCTION, which is the entire 100 TB
+    // story. Raw estimate α₆₄·64²/Σ2^(−Mⱼ) with the standard V>0
+    // linear-counting small-range correction (both read exact integer
+    // registers; the Σ folds over the register-SORTED list). Exact
+    // distinct + relative error reported for audit (the sketch's accuracy
+    // contract, asserted in OperatorSpec).
+    "q_hyperloglog" -> { (s, dir) =>
+      val m = 64
+      val regs = t(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(cast(user_id as string)),1,8),16,10) as bigint)"))
+        .withColumn("j", col("h") % m)
+        .withColumn("w", expr(s"h div $m"))
+        .withColumn("rho", expr(
+          "CASE WHEN w = 0 THEN 27L ELSE 27L - CAST(length(bin(w)) AS BIGINT) END"))
+        .groupBy("j").agg(max("rho").as("mj"))
+      val exact = t(s, dir, "events")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      regs
+        .agg(count(lit(1)).as("n_used"),
+          sort_array(collect_list(col("mj"))).as("ms"))
+        .crossJoin(broadcast(exact))
+        .withColumn("zsum", expr(
+          s"aggregate(ms, 0D, (a, x) -> a + power(2.0D, -CAST(x AS DOUBLE)))" +
+            s" + CAST($m - n_used AS DOUBLE)"))
+        .withColumn("e_raw", expr("0.709D * 4096.0D / zsum"))
+        .withColumn("v", lit(m.toLong) - col("n_used"))
+        .withColumn("e_corr", expr(
+          s"""CASE WHEN e_raw <= 2.5D * $m AND v > 0
+             |THEN $m.0D * ln($m.0D / v) ELSE e_raw END""".stripMargin))
+        .select(col("n_exact"), col("v").as("n_zero_registers"),
+          round(col("e_raw"), 6).as("hll_raw"),
+          round(col("e_corr"), 6).as("hll_estimate"),
+          round(abs(col("e_corr") - col("n_exact")) / col("n_exact"), 6)
+            .as("rel_error"))
+    },
+
+    // EXACT DISTRIBUTED QUANTILES by histogram rank selection (what
+    // replaces percentile_approx when the SLO number is contractual —
+    // p50/p90/p99/p999 of per-event spend): quantile ranks are EXACT
+    // integers ⌈q·n⌉ computed by integer ceiling division (no float ever
+    // picks a rank), the value at rank r = the smallest histogram value
+    // whose inclusive cumulative count reaches r. Scale: the corpus
+    // collapses to the ≤|distinct cents| histogram (map-side), the
+    // cumulative window runs on the histogram BY DESIGN (q_roc_auc
+    // shape), and the 4 rank probes are a broadcast join against it.
+    "q_exact_quantiles" -> { (s, dir) =>
+      val h = t(s, dir, "events")
+        .select((col("value").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+        .groupBy("cents").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = h.withColumn("cum", sum("c").over(w))
+      val tot = h.agg(sum("c").as("n"))
+      val qs = s.range(4).select(col("id"),
+        expr("element_at(array('p50','p90','p99','p999'), " +
+          "CAST(id + 1 AS INT))").as("q"),
+        expr("element_at(array(1L, 9L, 99L, 999L), CAST(id + 1 AS INT))")
+          .as("qn"),
+        expr("element_at(array(2L, 10L, 100L, 1000L), CAST(id + 1 AS INT))")
+          .as("qd"))
+      qs.crossJoin(broadcast(tot))
+        .withColumn("rk", expr("(n * qn + qd - 1L) div qd"))
+        .join(cum, col("cum") >= col("rk"))
+        .groupBy("id", "q", "rk", "n")
+        .agg(min("cents").as("value_cents"))
+        .select(col("q").as("quantile"), col("n"), col("rk").as("rank"),
+          col("value_cents"),
+          round(col("value_cents") / lit(100.0), 6).as("dollars"))
+        .orderBy("rank")
+    },
+
+    // DIFFERENTIALLY-PRIVATE COUNTS via the Laplace mechanism (Dwork
+    // 2006 — the privacy-preserving release a training-data pipeline
+    // publishes instead of raw per-segment counts; sensitivity 1, declared
+    // ε = 1): noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) by inverse-CDF over a
+    // hash-derived u ∈ (0,1) — DETERMINISTIC by design here so the oracle
+    // can replay it (a production release draws real randomness; the
+    // MECHANISM — sensitivity, scale, inverse-CDF — is what's under
+    // test, disclosed). True counts stay in the output as the audit
+    // column. Scale: one nation rollup; noise is per-GROUP work on the
+    // ≤|nations| frame.
+    "q_dp_laplace" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("true_count"))
+        .withColumn("u", expr(
+          "(CAST(cast(conv(substring(md5(n_name),1,8),16,10) as bigint) " +
+            "% 999999L + 1L AS DOUBLE)) / 1000000.0D"))
+        .withColumn("noise", expr(
+          """round(-(1.0D / 1.0D) *
+            |  CASE WHEN u >= 0.5D THEN 1.0D ELSE -1.0D END *
+            |  ln(1.0D - 2.0D * abs(u - 0.5D)), 6)""".stripMargin))
+        .select(col("n_name"), col("true_count"), col("noise"),
+          (col("true_count") +
+            expr("CAST(round(noise, 0) AS BIGINT)")).as("noisy_count"))
+        .orderBy("n_name")
     })
 
   // ----------------------------------------------------------- oracle SQL

@@ -999,6 +999,39 @@ object Similarity {
         .select(round(col("dcg"), 6).as("dcg_at_10"),
           round(col("idcg"), 6).as("idcg_at_10"),
           round(col("dcg") / col("idcg"), 6).as("ndcg_at_10"))
+    },
+
+    // k-NN LABEL CLASSIFIER (Cover & Hart 1967 — the eval loop that
+    // answers "do these embeddings actually encode the labels?", the
+    // standard probe before they feed curriculum or dedup decisions):
+    // for each of the 10 query vectors, the 5 nearest neighbors by
+    // cosine vote on the label; majority with (votes DESC, label ASC)
+    // tie-break — a max-STRUCT aggregation (the q_entity_match shuffle
+    // shape: one best-so-far row per query combines map-side, never a
+    // vote-table window). Scale: broadcast 10-row query side streamed
+    // over the corpus (the q_cosine_topk kernel); votes are ≤50 rows.
+    "q_knn_classifier" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr(dot) / (col("qn") * col("nrm")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("vec_id").asc)))
+        .filter(col("rn") <= 5)
+        .groupBy("q_id", "true_label", "label")
+        .agg(count(lit(1)).as("votes"))
+        .groupBy("q_id", "true_label")
+        .agg(max(struct(col("votes"),
+          (lit(0) - col("label")).as("neg"))).as("best"))
+        .select(col("q_id"), col("true_label"),
+          (lit(0) - col("best.neg")).as("pred_label"),
+          col("best.votes").as("n_votes"),
+          (col("true_label") === (lit(0) - col("best.neg")))
+            .as("correct"))
+        .orderBy("q_id")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -1124,6 +1157,27 @@ object Similarity {
         |SELECT round(dcg, 6) AS dcg_at_10, round(idcg, 6) AS idcg_at_10,
         |  round(dcg / idcg, 6) AS ndcg_at_10
         |FROM dc CROSS JOIN ic""".stripMargin,
+
+    // same 5-NN cosine votes; the oracle's row_number over (votes DESC,
+    // label ASC) is provably the same total order as the max-struct
+    "q_knn_classifier" ->
+      s"""WITH e AS ($vecsSql),
+        |nb AS (
+        |  SELECT q.vec_id AS q_id, q.label AS true_label, c.label,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY $dotSql / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rn
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |v AS (
+        |  SELECT q_id, true_label, label, COUNT(*) AS votes
+        |  FROM nb WHERE rn <= 5 GROUP BY q_id, true_label, label),
+        |b AS (
+        |  SELECT q_id, true_label, label AS pred_label, votes,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY votes DESC, label ASC) AS brn
+        |  FROM v)
+        |SELECT q_id, true_label, pred_label, votes AS n_votes,
+        |  true_label = pred_label AS correct
+        |FROM b WHERE brn = 1 ORDER BY q_id""".stripMargin,
 
     "q_cosine_topk" -> cosineTopkSql,
 
