@@ -4056,6 +4056,59 @@ object Relational {
     s"$stats,\n$cov,\n$iters,\n$fin"
   }
 
+  /** q_logistic_newton's oracle: the same (x, n, k) histogram collapsed to
+    * one x-SORTED struct list, the same three Newton steps unrolled as CTE
+    * triples (gradient/Hessian folds → det → update), every float sum a
+    * list_reduce left fold over the SAME list order with the SAME term
+    * trees as the Spark `aggregate(...)` HOFs — identical IEEE sequences,
+    * so the unrounded coefficients match bit-for-bit before the 6dp
+    * readout. */
+  private def logisticNewtonOracle: String = {
+    def fold(term: String): String =
+      "list_reduce(list_concat([0.0::DOUBLE], list_transform(l, " +
+        s"p -> ($term))), (a, b) -> a + b)"
+    val sig =
+      "1.0::DOUBLE / (1.0::DOUBLE + exp(-(b0 + b1 * CAST(p.x AS DOUBLE))))"
+    val steps = (1 to 3).map { i =>
+      val prev = if (i == 1) "base" else s"s${i - 1}"
+      s"""s${i}a AS (
+         |  SELECT n_rows, l, b0, b1,
+         |    ${fold(s"CAST(p.k AS DOUBLE) - p.n * $sig")} AS g1,
+         |    ${fold(s"(CAST(p.k AS DOUBLE) - p.n * $sig) * p.x")} AS g2,
+         |    ${fold(s"p.n * $sig * (1.0::DOUBLE - $sig)")} AS h11,
+         |    ${fold(s"p.n * $sig * (1.0::DOUBLE - $sig) * p.x")} AS h12,
+         |    ${fold(s"p.n * $sig * (1.0::DOUBLE - $sig) * p.x * p.x")}
+         |      AS h22
+         |  FROM $prev),
+         |s${i}b AS (
+         |  SELECT n_rows, l, b0, b1, g1, g2, h11, h12, h22,
+         |    h11 * h22 - h12 * h12 AS det
+         |  FROM s${i}a),
+         |s$i AS (
+         |  SELECT n_rows, l,
+         |    b0 + (h22 * g1 - h12 * g2) / det AS b0,
+         |    b1 + (h11 * g2 - h12 * g1) / det AS b1
+         |  FROM s${i}b)""".stripMargin
+    }.mkString(",\n")
+    val ll = fold(
+      "CAST(p.k AS DOUBLE) * (b0 + b1 * CAST(p.x AS DOUBLE)) " +
+        "- p.n * ln(1.0::DOUBLE + exp(b0 + b1 * CAST(p.x AS DOUBLE)))")
+    s"""WITH hist AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS x, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS k
+       |  FROM lineitem GROUP BY x),
+       |base AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       |    list(struct_pack(x := x, n := n, k := k) ORDER BY x) AS l,
+       |    0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1
+       |  FROM hist),
+       |$steps
+       |SELECT n_rows, round(b0, 6) AS intercept, round(b1, 6) AS slope,
+       |  round($ll, 6) AS log_lik
+       |FROM s3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // same exact cent rollup, same total rank order, same double tree
     // over the three BIGINT aggregates
@@ -4341,6 +4394,177 @@ object Relational {
         |FROM g ORDER BY "rank"""".stripMargin,
 
     "q_pca_power" -> pcaPowerOracle,
+
+    "q_logistic_newton" -> logisticNewtonOracle,
+
+    // same md5 fold coin, same exact BIGINT/DECIMAL sufficient stats,
+    // same train = TOTAL − fold algebra and expanded-MSE double tree
+    "q_cross_validation" ->
+      """WITH li AS (
+        |  SELECT ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |      CAST(l_linenumber AS VARCHAR)),1,8))::BIGINT % 5 AS fold,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM lineitem),
+        |pf AS (
+        |  SELECT fold, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+        |      AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM li GROUP BY fold),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(SUM(sx) AS BIGINT) AS tsx,
+        |    CAST(SUM(sxx) AS BIGINT) AS tsxx,
+        |    CAST(SUM(sy) AS BIGINT) AS tsy, SUM(syy) AS tsyy,
+        |    CAST(SUM(sxy) AS BIGINT) AS tsxy
+        |  FROM pf),
+        |d AS (
+        |  SELECT *, tn - n AS trn,
+        |    CAST(tn - n AS DOUBLE) * (tsxx - sxx) -
+        |      CAST(tsx - sx AS DOUBLE) * (tsx - sx) AS den
+        |  FROM pf CROSS JOIN tot),
+        |b AS (
+        |  SELECT *, CASE WHEN den > 0.0::DOUBLE THEN
+        |    (CAST(trn AS DOUBLE) * (tsxy - sxy) -
+        |      CAST(tsx - sx AS DOUBLE) * (tsy - sy)) / den END AS b1
+        |  FROM d),
+        |b0c AS (
+        |  SELECT *, (CAST(tsy - sy AS DOUBLE) - b1 * (tsx - sx)) / trn
+        |    AS b0
+        |  FROM b),
+        |m AS (
+        |  SELECT *, (CAST(syy AS DOUBLE) - 2.0::DOUBLE * b0 * sy
+        |    - 2.0::DOUBLE * b1 * sxy + CAST(n AS DOUBLE) * b0 * b0
+        |    + 2.0::DOUBLE * b0 * b1 * sx + b1 * b1 * sxx) / n AS mse
+        |  FROM b0c)
+        |SELECT fold, trn AS n_train, n AS n_test, round(b1, 6) AS slope,
+        |  round(b0, 6) AS intercept, round(mse, 6) AS test_mse
+        |FROM m ORDER BY fold""".stripMargin,
+
+    // same exact cent rollup, same total rank order, same integer trim
+    // boundaries (n div 10 off each end), same double readout tree
+    "q_trimmed_mean" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+        |      AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS s1 FROM pc),
+        |rk AS (
+        |  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS r
+        |  FROM pc),
+        |a AS (
+        |  SELECT MAX(tot.n) AS n_customers, MAX(tot.s1) AS s1,
+        |    CAST(SUM(CASE WHEN r > tot.n // 10
+        |      AND r <= tot.n - tot.n // 10 THEN rev END) AS BIGINT) AS ts,
+        |    CAST(SUM(CASE WHEN r > tot.n // 10
+        |      AND r <= tot.n - tot.n // 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_trimmed
+        |  FROM rk CROSS JOIN tot)
+        |SELECT n_customers, n_trimmed,
+        |  round(CAST(s1 AS DOUBLE) / 100.0::DOUBLE / n_customers, 6)
+        |    AS raw_mean_dollars,
+        |  CASE WHEN n_trimmed > 0 THEN
+        |    round(CAST(ts AS DOUBLE) / 100.0::DOUBLE / n_trimmed, 6)
+        |  END AS trimmed_mean_dollars
+        |FROM a""".stripMargin,
+
+    // same 32-bit md5 hash, same register split (j = h % 64, rank from
+    // exact bin() bit-length), same register-sorted 2^(−M) fold
+    "q_hyperloglog" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |hs AS (
+        |  SELECT ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT
+        |    AS h
+        |  FROM u),
+        |rr AS (
+        |  SELECT h % 64 AS j,
+        |    CASE WHEN h // 64 = 0 THEN 27::BIGINT
+        |      ELSE 27::BIGINT - CAST(length(bin(h // 64)) AS BIGINT) END
+        |      AS rho
+        |  FROM hs),
+        |regs AS (SELECT j, MAX(rho) AS mj FROM rr GROUP BY j),
+        |ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events),
+        |ag AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+        |    list(mj ORDER BY mj) AS ms
+        |  FROM regs),
+        |z AS (
+        |  SELECT n_exact, n_used,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(ms,
+        |        x -> power(2.0::DOUBLE, -CAST(x AS DOUBLE)))),
+        |      (a, b) -> a + b) + CAST(64 - n_used AS DOUBLE) AS zsum
+        |  FROM ag CROSS JOIN ex),
+        |e AS (
+        |  SELECT n_exact, 64 - n_used AS v,
+        |    0.709::DOUBLE * 4096.0::DOUBLE / zsum AS e_raw
+        |  FROM z),
+        |c AS (
+        |  SELECT n_exact, v, e_raw,
+        |    CASE WHEN e_raw <= 2.5::DOUBLE * 64 AND v > 0
+        |      THEN 64.0::DOUBLE * ln(64.0::DOUBLE / v) ELSE e_raw END
+        |      AS e_corr
+        |  FROM e)
+        |SELECT n_exact, v AS n_zero_registers, round(e_raw, 6) AS hll_raw,
+        |  round(e_corr, 6) AS hll_estimate,
+        |  round(abs(e_corr - n_exact) / n_exact, 6) AS rel_error
+        |FROM c""".stripMargin,
+
+    // same exact cents histogram, same inclusive cumulative window, same
+    // integer ceiling ranks ⌈q·n⌉ probed against the histogram
+    "q_exact_quantiles" ->
+      """WITH h AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS cents, COUNT(*) AS c
+        |  FROM events GROUP BY cents),
+        |cum AS (
+        |  SELECT cents, CAST(SUM(c) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM h),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+        |qs(q, qn, qd) AS (VALUES ('p50', 1::BIGINT, 2::BIGINT),
+        |  ('p90', 9::BIGINT, 10::BIGINT), ('p99', 99::BIGINT, 100::BIGINT),
+        |  ('p999', 999::BIGINT, 1000::BIGINT)),
+        |rks AS (
+        |  SELECT q, n, CAST((n * qn + qd - 1) // qd AS BIGINT) AS rk
+        |  FROM qs CROSS JOIN tot),
+        |sel AS (
+        |  SELECT q, n, rk, MIN(cents) AS value_cents
+        |  FROM rks JOIN cum ON cum.cum >= rks.rk GROUP BY q, n, rk)
+        |SELECT q AS quantile, n, rk AS "rank", value_cents,
+        |  round(value_cents / 100.0::DOUBLE, 6) AS dollars
+        |FROM sel ORDER BY "rank"""".stripMargin,
+
+    // same md5-derived u ∈ (0,1), same inverse-CDF Laplace tree, same
+    // rounded-noise integer release
+    "q_dp_laplace" ->
+      """WITH g AS (
+        |  SELECT n_name, COUNT(*) AS true_count
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |uu AS (
+        |  SELECT n_name, true_count,
+        |    CAST(('0x'||substr(md5(n_name),1,8))::BIGINT % 999999 + 1
+        |      AS DOUBLE) / 1000000.0::DOUBLE AS u
+        |  FROM g),
+        |nn AS (
+        |  SELECT n_name, true_count,
+        |    round(-(1.0::DOUBLE / 1.0::DOUBLE) *
+        |      CASE WHEN u >= 0.5::DOUBLE THEN 1.0::DOUBLE
+        |        ELSE -1.0::DOUBLE END *
+        |      ln(1.0::DOUBLE - 2.0::DOUBLE * abs(u - 0.5::DOUBLE)), 6)
+        |      AS noise
+        |  FROM uu)
+        |SELECT n_name, true_count, noise,
+        |  true_count + CAST(round(noise, 0) AS BIGINT) AS noisy_count
+        |FROM nn ORDER BY n_name""".stripMargin,
 
     // same mask rollup, subset-sum coalition values, exact ×24 weights
     "q_shapley_attribution" ->
