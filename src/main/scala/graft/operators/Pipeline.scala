@@ -216,23 +216,31 @@ object Pipeline {
       s: SparkSession, dir: String, rounds: Int): Seq[String] =
     bpeTrainRounds(s, dir, rounds).map(_._1)
 
-  /** Shared by q_bigram_lm / q_kneser_ney: cap the vocab at the top-16
-    * types (16 driver scalars → CASE literals — the BPE precedent), encode
-    * every doc token→id map-only (OOV → UNK id 0), and explode adjacent id
-    * pairs via the aligned-slice zip_with (never a positional self-join —
-    * the corpus does not shuffle before the per-(doc, bigram) rollup).
-    * Returns (encoded docs with `ids`, the (doc_id, bg) transition
-    * stream); `bg = u·17 + v`. One training implementation, two smoothers
-    * on top. */
-  private def bigramEncoded(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** Shared by q_bigram_lm / q_kneser_ney / q_greedy_decode: cap the
+    * vocab at the top-16 types (16 driver scalars → CASE literals — the
+    * BPE precedent), encode every doc token→id map-only (OOV → UNK id 0),
+    * and explode adjacent id pairs via the aligned-slice zip_with (never
+    * a positional self-join — the corpus does not shuffle before the
+    * per-(doc, bigram) rollup). Returns (encoded docs with `ids`, the
+    * (doc_id, bg) transition stream, the rank-ordered (token, count)
+    * vocab, and the exact corpus token total — so callers that need the
+    * id→token decode or the unigram statistics reuse the ONE word-count
+    * rollup (checkpointed: |types|-sized, the vocab-build shape) instead
+    * of re-scanning the corpus); `bg = u·17 + v`. One training
+    * implementation, two smoothers on top. */
+  private def bigramEncoded(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[(String, Long)], Long) = {
     val d0 = docsPar(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val vocab = d0.select(explode(col("w")).as("w"))
+    val wc = d0.select(explode(col("w")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = wc
       .orderBy(col("c").desc, col("w").asc).limit(16)
-      .collect().map(_.getString(0)) // scalar driver action: the vocab
+      .collect().map(r => (r.getString(0), r.getLong(1))) // vocab scalars
+    val nCorpus = wc.agg(sum("c")).head.getLong(0)
     require(vocab.nonEmpty, "bigram LM needs a non-empty corpus")
-    val cases = vocab.zipWithIndex.map { case (t, i) =>
+    val cases = vocab.zipWithIndex.map { case ((t, _), i) =>
       s"WHEN '${t.replace("'", "''")}' THEN ${i + 1}"
     }.mkString(" ")
     val enc = d0
@@ -241,7 +249,7 @@ object Pipeline {
       .select(col("doc_id"), explode(expr(
         "zip_with(slice(ids, 1, size(ids)-1), slice(ids, 2, size(ids)-1), " +
           "(a, b) -> a * 17 + b)")).as("bg"))
-    (enc, docBg)
+    (enc, docBg, vocab.toSeq, nCorpus)
   }
 
   /** Add-one interpolated bigram model (q_bigram_lm's model — shared with
@@ -2328,6 +2336,10 @@ object Pipeline {
             round(col("logw_micro").cast("double") / lit(1000000.0) /
               col("n_docs"), 6).as("avg_logw"))
           .orderBy("lang")
+          // eager ≤|langs|-row materialization before grams leaves the
+          // cache — a lazy return would recompute both gram passes
+          // uncached (r13 advice)
+          .localCheckpoint(true)
       } finally { grams.unpersist(); () }
     },
 
@@ -2785,7 +2797,7 @@ object Pipeline {
     // map-only encode + three bounded aggregates — no corpus-sized join
     // anywhere.
     "q_bigram_lm" -> { (s, dir) =>
-      val (enc, docBg) = bigramEncoded(s, dir)
+      val (enc, docBg, _, _) = bigramEncoded(s, dir)
       perDocBits(docBg, interpolatedBigramModel(enc, docBg))
     },
 
@@ -2802,7 +2814,7 @@ object Pipeline {
     // kept set's en-share — the composition readout. Scale: one scored
     // corpus pass serves all three thresholds via a 3-row explode.
     "q_ppl_filter_sweep" -> { (s, dir) =>
-      val (enc, docBg) = bigramEncoded(s, dir)
+      val (enc, docBg, _, _) = bigramEncoded(s, dir)
       val bits = perDocBits(docBg, interpolatedBigramModel(enc, docBg))
         .select(col("doc_id"), col("bits_per_token").as("bits"))
       val lj = bits.join(docs(s, dir).select("doc_id", "lang"), "doc_id")
@@ -2850,7 +2862,7 @@ object Pipeline {
     // bigram backoff path needs no extra machinery because the scorer
     // never meets one.
     "q_kneser_ney" -> { (s, dir) =>
-      val (_, docBg) = bigramEncoded(s, dir)
+      val (_, docBg, _, _) = bigramEncoded(s, dir)
       val cbg = docBg.groupBy("bg").agg(count(lit(1)).as("c"))
         .withColumn("u", expr("bg div 17"))
         .withColumn("v", expr("bg % 17"))
@@ -3257,18 +3269,28 @@ object Pipeline {
     // a successor and the walk never dead-ends; candidates EXCLUDE the
     // UNK id — a decoder never emits UNK (it would otherwise dominate:
     // UNK absorbs the whole out-of-vocab tail, the classic trap), and
-    // the seed is the most frequent REAL token. Each step is a join +
-    // top-1 against the broadcast 289-row model — 8 steps unroll into
-    // ONE lazy plan (the q_textrank discipline; nothing but the ≤16
-    // vocab scalars visits the driver). Argmax is deterministic
-    // cross-engine: identical probability trees over identical integers,
-    // token-id ascending tiebreak.
+    // the seed is the most frequent REAL token. The corpus collapses to
+    // three checkpointed sufficient-stat frames (17-row unigrams,
+    // 289-row bigram counts, 1-row token total) and the densified grid
+    // is checkpointed too (272 rows) — so the 8 decode steps touch ONLY
+    // leaf frames; each step's 1-row state checkpoints as well, since it
+    // feeds both the next join and the output union (two references —
+    // a lazy unroll would double the plan per step and re-derive the
+    // grid from the corpus each time, r13's 7.4 s defect). Argmax is
+    // deterministic cross-engine: identical probability trees over
+    // identical integers, token-id ascending tiebreak.
     "q_greedy_decode" -> { (s, dir) =>
-      val (enc, docBg) = bigramEncoded(s, dir)
-      val uni = enc.select(explode(col("ids")).as("vid"))
-        .groupBy("vid").agg(count(lit(1)).as("c1"))
-      val nTok = enc.agg(sum(size(col("ids"))).cast("long").as("n_corpus"))
+      val (_, docBg, vocab, nCorpus) = bigramEncoded(s, dir)
+      // the per-id unigram counts ARE the vocab rollup's counts (id i =
+      // rank-i token by construction), so the 17-row frame builds from
+      // the scalars bigramEncoded already collected — no second corpus
+      // pass; id 0 (UNK) never enters the grid (v ranges over real ids)
+      import s.implicits._
+      val uni = vocab.zipWithIndex
+        .map { case ((_, c), i) => ((i + 1).toLong, c) }
+        .toDF("vid", "c1")
       val cbg = docBg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+        .localCheckpoint(true)
       val ctx = cbg.withColumn("u", expr("bg div 17"))
         .groupBy("u").agg(sum("cbg").as("cctx"))
       val grid = s.range(17).select(col("id").as("u"))
@@ -3279,30 +3301,28 @@ object Pipeline {
         .join(broadcast(ctx), Seq("u"), "left")
         .join(broadcast(uni.select(col("vid").as("v"), col("c1"))),
           Seq("v"), "left")
-        .crossJoin(broadcast(nTok))
+        .withColumn("n_corpus", lit(nCorpus))
         .withColumn("p", expr(
           "0.75D * ((coalesce(cbg, 0L) + 1.0D) / " +
             "(coalesce(cctx, 0L) + 17.0D)) " +
           "+ 0.25D * ((coalesce(c1, 0L) + 1.0D) / (n_corpus + 17.0D))"))
         .select("u", "v", "p")
+        .localCheckpoint(true)
       var state = uni.filter(col("vid") >= 1)
         .orderBy(col("c1").desc, col("vid").asc).limit(1)
         .select(col("vid").as("u"), lit(0L).as("step"),
           lit(null).cast("double").as("p"))
+        .localCheckpoint(true)
       val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
         state.select(col("step"), col("u").as("token_id"), col("p")))
       for (i <- 1 to 8) {
         state = dense.join(broadcast(state.select("u")), "u")
           .orderBy(col("p").desc, col("v").asc).limit(1)
           .select(col("v").as("u"), lit(i.toLong).as("step"), col("p"))
+          .localCheckpoint(true)
         steps += state.select(col("step"), col("u").as("token_id"), col("p"))
       }
-      val vocab = docsPar(s, dir)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w").asc).limit(16)
-        .collect().map(_.getString(0))
-      val dec = vocab.zipWithIndex.map { case (t, i) =>
+      val dec = vocab.zipWithIndex.map { case ((t, _), i) =>
         s"WHEN ${i + 1}L THEN '${t.replace("'", "''")}'"
       }.mkString(" ")
       steps.reduce(_ union _)
@@ -3556,10 +3576,14 @@ object Pipeline {
     // brute peel to fixpoint and asserts both convergence-within-8 and
     // set equality). All joins are equi-joins between the ≤32²-row edge
     // frame and ≤32-row node frames (wordGraph's one corpus-sized bigram
-    // extraction is shared + checkpointed); the unroll is ONE lazy plan,
-    // the q_textrank discipline. Scale: at real graph sizes each round is
-    // a self-contained degree rollup — the same plan iterates, state
-    // linear in nodes.
+    // extraction is shared + checkpointed). Each round references the
+    // survivor set TWICE (once per edge endpoint), so a lazy unroll
+    // doubles the plan tree per round (~2⁸ subtree copies by round 8 —
+    // 21.8 s of pure Catalyst work in r13); the textrank single-reference
+    // discipline can't apply, so each round's ≤32-row survivor frame is
+    // localCheckpoint'd instead — plan size CONSTANT per round, which is
+    // also the Pregel shape this peel runs as at real graph sizes: one
+    // materialized frontier per superstep, state linear in nodes.
     "q_kcore" -> { (s, dir) =>
       val (vocab, e0) = wordGraph(s, dir, 32)
       val und = e0.union(
@@ -3574,6 +3598,7 @@ object Pipeline {
           .select("w1", "w2")
         nodes = edges.groupBy("w1").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 3L).select(col("w1").as("w"))
+          .localCheckpoint(true)
       }
       edges
         .join(nodes.select(col("w").as("w1")), "w1")

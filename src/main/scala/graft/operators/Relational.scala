@@ -3155,17 +3155,23 @@ object Relational {
     // binary order-incidence vectors = n_both / sqrt(n_i · n_j), top-5
     // neighbors for the 10 most-purchased parts. Scale: the pair
     // self-join is keyed on l_orderkey and the blow-up is bounded by
-    // BASKET SIZE (TPC-H orders hold ≤7 lineitems — per-order pairs are
-    // a constant factor, never quadratic in the catalog); distinct +
-    // groupBy(i,j) both map-side combine; the degree join is a plain
-    // equi-join on partkey (AQE-broadcast at small SF); the focus list
-    // is a 10-row broadcast. Cosine is ONE double tree over exact
-    // BIGINT counts — identical in both engines, so the (cosine DESC,
-    // neighbor ASC) rank is deterministic; rounding only at display.
+    // BASKET SIZE — enforced, not assumed: a basket larger than
+    // BucketCap would emit O(basket²) pairs, so it is dropped whole
+    // (the house skew guard, mirrored in the oracle; TPC-H baskets hold
+    // ≤7 lineitems, so the guard is inert here — it exists for the
+    // degenerate mega-basket at corpus scale); distinct + groupBy(i,j)
+    // both map-side combine; the degree join is a plain equi-join on
+    // partkey (AQE-broadcast at small SF); the focus list is a 10-row
+    // broadcast. Cosine is ONE double tree over exact BIGINT counts —
+    // identical in both engines, so the (cosine DESC, neighbor ASC)
+    // rank is deterministic; rounding only at display.
     "q_item_cf" -> { (s, dir) =>
       val op = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy("o")))
+        .filter(col("bn") <= Pipeline.BucketCap)
+        .select("o", "p")
       val deg = op.groupBy("p").agg(count(lit(1)).as("n"))
       val pairs = op.as("a")
         .join(op.as("b"),
@@ -6871,11 +6877,15 @@ object Relational {
         |  round(CAST(n_covered AS DOUBLE) / n_test, 6) AS coverage
         |FROM te""".stripMargin,
 
-    // same distinct incidence, same basket-bounded pair join, same cosine
-    // tree and (cosine DESC, neighbor ASC) rank
+    // same distinct incidence, same BucketCap=128 mega-basket guard,
+    // same cosine tree and (cosine DESC, neighbor ASC) rank
     "q_item_cf" ->
       """WITH op AS (
-        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |  SELECT o, p FROM (
+        |    SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bn
+        |    FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |          FROM lineitem))
+        |  WHERE bn <= 128),
         |deg AS (SELECT p, COUNT(*) AS n FROM op GROUP BY 1),
         |pairs AS (
         |  SELECT a.p AS i, b.p AS j, COUNT(*) AS nij

@@ -364,6 +364,10 @@ object Similarity {
             round(col("n_hits").cast("double") /
               (lit(3.0) * col("n_queries")), 6).as("recall_at_3"))
           .orderBy("nprobe")
+          // eagerly materialize the 4-row result BEFORE the finally
+          // unpersists x — a lazy return would recompute every pass
+          // against the already-evicted cache (r13 advice)
+          .localCheckpoint(true)
       } finally { x.unpersist(); () }
     },
 
@@ -424,6 +428,8 @@ object Similarity {
           .join(ck, "cluster")
           .select("cluster", "n_vecs", "inertia", "checksum")
           .orderBy("cluster")
+          // eager K-row materialization before x leaves the cache
+          .localCheckpoint(true)
       } finally { x.unpersist(); () }
     },
 
