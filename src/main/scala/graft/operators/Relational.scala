@@ -3741,6 +3741,81 @@ object Relational {
         .orderBy("channel")
     },
 
+    // SAMPLED-PERMUTATION SHAPLEY (Castro et al. 2009 — the Monte-Carlo
+    // estimator that is the ONLY tractable Shapley path past ~10
+    // channels, where E139's exact 2ⁿ subset walk explodes): φ̂ᵢ =
+    // (1/M) Σₘ [v(predᵢ(πₘ) ∪ {i}) − v(predᵢ(πₘ))] over M=12
+    // permutations drawn DETERMINISTICALLY from the house md5 coin
+    // (rank channels by h(m ':' channel) per sample — the oracle replays
+    // the identical draw; production swaps in real randomness, the
+    // ESTIMATOR is what's under test, disclosed). The whole pipeline is
+    // integer until display: v(S) values are BIGINT conversion counts,
+    // marginals subtract exactly, the M-sample sum divides once. The
+    // exact φ rides along as the audit pair (phi24/phi_exact +
+    // abs_err) — affordable ONLY because n=4 here; at scale the audit
+    // columns drop and the sampling path is what remains. Scale: ONE
+    // corpus rollup to user masks; v is evaluated ONLY at the ≤2·M·n
+    // masks the samples touch (never the 2ⁿ lattice) via a broadcast
+    // containment join; everything after is ≤M·n rows.
+    "q_shapley_sampled" -> { (s, dir) =>
+      val u = t(s, dir, "events").groupBy("user_id").agg(
+        (max(when(col("event_type") === "click", 1L).otherwise(0L)) +
+          max(when(col("event_type") === "view", 2L).otherwise(0L)) +
+          max(when(col("event_type") === "signup", 4L).otherwise(0L)) +
+          max(when(col("event_type") === "error", 8L).otherwise(0L)))
+          .as("mask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val mc = u.groupBy("mask").agg(sum("conv").as("cv"))
+      val chan = s.range(4).select(
+        expr("CASE id WHEN 0 THEN 1L WHEN 1 THEN 2L WHEN 2 THEN 4L ELSE 8L END")
+          .as("bit"),
+        expr("CASE id WHEN 0 THEN 'click' WHEN 1 THEN 'view' " +
+          "WHEN 2 THEN 'signup' ELSE 'error' END").as("channel"))
+      val perm = s.range(12).select(col("id").as("m")).crossJoin(chan)
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(concat(cast(m as string), ':', " +
+            "channel)),1,8),16,10) as bigint)"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("m").orderBy(col("h"), col("channel"))))
+        .withColumn("pred", coalesce(sum("bit").over(
+          Window.partitionBy("m").orderBy("r")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val need = perm.select(col("pred").as("st"))
+        .union(perm.select((col("pred") + col("bit")).as("st"))).distinct()
+      val v = need.join(broadcast(mc), expr("(mask & st) = mask"), "left")
+        .groupBy("st").agg(coalesce(sum("cv"), lit(0L)).as("v"))
+      val marg = perm
+        .join(broadcast(v.select(col("st").as("s0"), col("v").as("v0"))),
+          col("s0") === col("pred"))
+        .join(broadcast(v.select(col("st").as("s1"), col("v").as("v1"))),
+          col("s1") === col("pred") + col("bit"))
+        .groupBy("channel").agg(sum(col("v1") - col("v0")).as("phi_sum"))
+      val sets = s.range(16).select(col("id").as("st"))
+      val vx = sets.join(broadcast(mc), expr("(mask & st) = mask"), "left")
+        .groupBy("st").agg(coalesce(sum("cv"), lit(0L)).as("v"))
+      val ex = chan
+        .join(broadcast(vx.select(col("st").as("e0"), col("v").as("w0"))),
+          expr("(e0 & bit) = 0"))
+        .join(broadcast(vx.select(col("st").as("e1"), col("v").as("w1"))),
+          expr("e1 = e0 + bit"))
+        .withColumn("w24", expr(
+          """CASE (e0 & 1) + ((e0 div 2) & 1) + ((e0 div 4) & 1) +
+            |  ((e0 div 8) & 1)
+            |WHEN 0 THEN 6L WHEN 1 THEN 2L WHEN 2 THEN 2L ELSE 6L
+            |END""".stripMargin))
+        .groupBy(col("channel").as("chx"))
+        .agg(sum(col("w24") * (col("w1") - col("w0"))).as("phi24"))
+      marg.join(ex, col("chx") === col("channel"))
+        .select(col("channel"), col("phi24"), col("phi_sum"),
+          expr("round(CAST(phi24 AS DOUBLE) / 24.0D, 6)").as("phi_exact"),
+          expr("round(CAST(phi_sum AS DOUBLE) / 12.0D, 6)")
+            .as("phi_sampled"),
+          expr("round(abs(CAST(phi_sum AS DOUBLE) / 12.0D - " +
+            "CAST(phi24 AS DOUBLE) / 24.0D), 6)").as("abs_err"))
+        .orderBy("channel")
+    },
+
     // LOGISTIC REGRESSION via 3 Newton–Raphson steps (the GLM every
     // quality-classifier calibration actually fits — P(returned | order
     // quantity) here): the corpus collapses ONCE to the ≤50-row (quantity,
@@ -4402,6 +4477,70 @@ object Relational {
     "q_pca_power" -> pcaPowerOracle,
 
     "q_logistic_newton" -> logisticNewtonOracle,
+
+    // same md5 permutation draw, same needed-mask containment join, same
+    // exact-24-weight audit pair; integer until the final divisions
+    "q_shapley_sampled" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) +
+        |    MAX(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END) +
+        |    MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) +
+        |    MAX(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) AS mask,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id),
+        |mc AS (SELECT mask, CAST(SUM(conv) AS BIGINT) AS cv
+        |  FROM u GROUP BY mask),
+        |chan(bit, channel) AS (VALUES (1::BIGINT, 'click'),
+        |  (2::BIGINT, 'view'), (4::BIGINT, 'signup'),
+        |  (8::BIGINT, 'error')),
+        |p0 AS (
+        |  SELECT m.range AS m, bit, channel,
+        |    ('0x'||substr(md5(CAST(m.range AS VARCHAR) || ':' ||
+        |      channel),1,8))::BIGINT AS h
+        |  FROM range(0, 12) m CROSS JOIN chan),
+        |p1 AS (
+        |  SELECT m, bit, channel,
+        |    ROW_NUMBER() OVER (PARTITION BY m ORDER BY h, channel) AS r
+        |  FROM p0),
+        |perm AS (
+        |  SELECT m, bit, channel,
+        |    CAST(COALESCE(SUM(bit) OVER (PARTITION BY m ORDER BY r
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pred
+        |  FROM p1),
+        |need AS (SELECT DISTINCT pred AS st FROM perm
+        |  UNION SELECT DISTINCT pred + bit FROM perm),
+        |v AS (
+        |  SELECT st, CAST(COALESCE(SUM(cv), 0) AS BIGINT) AS v
+        |  FROM need LEFT JOIN mc ON (mask & st) = mask GROUP BY st),
+        |marg AS (
+        |  SELECT p.channel, CAST(SUM(v1.v - v0.v) AS BIGINT) AS phi_sum
+        |  FROM perm p JOIN v v0 ON v0.st = p.pred
+        |  JOIN v v1 ON v1.st = p.pred + p.bit
+        |  GROUP BY p.channel),
+        |sets AS (SELECT range AS st FROM range(0, 16)),
+        |vx AS (
+        |  SELECT st, CAST(COALESCE(SUM(cv), 0) AS BIGINT) AS v
+        |  FROM sets LEFT JOIN mc ON (mask & st) = mask GROUP BY st),
+        |ex AS (
+        |  SELECT c.channel,
+        |    CAST(SUM((CASE (v0.st & 1) + ((v0.st // 2) & 1) +
+        |      ((v0.st // 4) & 1) + ((v0.st // 8) & 1)
+        |      WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+        |      * (v1.v - v0.v)) AS BIGINT) AS phi24
+        |  FROM chan c
+        |  JOIN vx v0 ON (v0.st & c.bit) = 0
+        |  JOIN vx v1 ON v1.st = v0.st + c.bit
+        |  GROUP BY c.channel)
+        |SELECT m.channel, phi24, phi_sum,
+        |  round(CAST(phi24 AS DOUBLE) / 24.0::DOUBLE, 6) AS phi_exact,
+        |  round(CAST(phi_sum AS DOUBLE) / 12.0::DOUBLE, 6) AS phi_sampled,
+        |  round(abs(CAST(phi_sum AS DOUBLE) / 12.0::DOUBLE -
+        |    CAST(phi24 AS DOUBLE) / 24.0::DOUBLE), 6) AS abs_err
+        |FROM marg m JOIN ex ON ex.channel = m.channel
+        |ORDER BY m.channel""".stripMargin,
 
     // same md5 fold coin, same exact BIGINT/DECIMAL sufficient stats,
     // same train = TOTAL − fold algebra and expanded-MSE double tree

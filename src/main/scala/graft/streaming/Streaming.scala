@@ -286,6 +286,29 @@ object Streaming {
     s.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(path)
   }
 
+  /** Deterministic replay stream of DIRTY customer records (q_entity_match's
+    * perturbation: name suffix reversed) with a synthetic arrival clock
+    * (base + custkey seconds) plus the far-future sentinel record. Same
+    * chunking/mod-time discipline as [[eventStream]] — the ingest feed an
+    * online entity-resolution service sees. */
+  private def dirtyCustStream(s: SparkSession, dir: String, tag: String): DataFrame = {
+    val path = stageRoot(tag, dir)
+    val schema = staged.getOrElseUpdate(path, {
+      val d = Tables.load(s, dir, "customer").select(
+          col("c_custkey").as("dirty_key"),
+          concat(lit("Customer#"), reverse(substring(col("c_name"), 10, 9)))
+            .as("dirty_name"),
+          col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+        .withColumn("ts", expr(
+          "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, dirty_key)"))
+      val maxTs = d.agg(max("ts")).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+      stage(s, d, Row(-1L, "__sentinel", -1, "", sentTs), path)
+      d.schema
+    })
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(path)
+  }
+
   /** Run `out` to completion into an append-mode memory sink and return the
     * finished table. The final watermark-driven eviction happens in a
     * no-data micro-batch that can land just after processAllAvailable
@@ -1060,6 +1083,122 @@ object Streaming {
         .select("user_id", "est_n", "exact_n")
     },
 
+    // WATERMARK-WINDOWED COUNT-MIN HEAVY HITTERS — q_stream_heavy_hitters'
+    // sketch made TIME-LOCAL, which is how production top-k actually runs
+    // ("who bought most between 9 and 10", not "since the epoch" — the
+    // sketch tracks the purchase stream): the same
+    // d·w cell explode, but grouped by the event-time hour window under a
+    // 1 h watermark in APPEND mode — so state is d·w cells PER OPEN WINDOW
+    // and a window's cells leave the store the moment the watermark closes
+    // it (the global sketch's cells live forever; the eviction is the
+    // entire point of the variant). Each window's finished 1024-cell
+    // sketch is emitted exactly once; the probe + per-window top-3 run
+    // batch-side against the finished sketches with the exact count as
+    // the audit column, (est DESC, user ASC) total order.
+    "q_stream_hh_windowed" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // w=32 here (vs the global sketch's 256): per-window streams carry
+      // ~1/720th of the events, so the width — the ε-knob, ~e/ε cells for
+      // an ε·N_window overcount — shrinks with the window, keeping state
+      // commits proportional to what a window actually holds
+      val cellExpr = "transform(sequence(0, 3), d -> named_struct(" +
+        "'d', CAST(d AS BIGINT), " +
+        "'c', cast(conv(substring(md5(concat(cast(d as string), ':', " +
+        "cast(user_id as string))),1,8),16,10) as bigint) % 32))"
+      val cells = eventStream(s, dir, "cmwin")
+        // the sentinel must SURVIVE the scope filter — it is what drives
+        // the watermark past the last real window; its own far-future
+        // window can never be emitted
+        .filter(col("event_type").isin("purchase", "__sentinel"))
+        .withWatermark("ts", "1 hour")
+        .select(col("ts"), explode(expr(cellExpr)).as("cell"))
+        .groupBy(window(col("ts"), "1 hour"), col("cell.d").as("d"),
+          col("cell.c").as("c"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("d"), col("c"),
+          col("n"))
+      val sketch = runToMemory(cells, "graft_stream_hh_windowed")
+      val exact = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("date_trunc('HOUR', ts)").as("w_start"),
+          col("user_id"))
+        .agg(count(lit(1)).as("exact_n"))
+      exact
+        .select(col("w_start"), col("user_id"), col("exact_n"),
+          explode(expr(cellExpr)).as("cell"))
+        .select(col("w_start"), col("user_id"), col("exact_n"),
+          col("cell.d").as("d"), col("cell.c").as("c"))
+        .join(broadcast(sketch), Seq("w_start", "d", "c"))
+        .groupBy("w_start", "user_id", "exact_n")
+        .agg(min("n").as("est_n"))
+        .withColumn("rnk", row_number().over(Window.partitionBy("w_start")
+          .orderBy(col("est_n").desc, col("user_id").asc)))
+        .filter(col("rnk") <= 3)
+        .select(col("w_start"), col("rnk").cast("long").as("hh_rank"),
+          col("user_id"), col("est_n"), col("exact_n"))
+        .orderBy("w_start", "hh_rank")
+    },
+
+    // STREAMING ENTITY MATCH — q_entity_match run as an online service:
+    // dirty customer records ARRIVE as a stream and resolve against the
+    // STATIC clean index via a stream-static blocked equi-join
+    // ((nation, segment) blocking — never all-pairs) + the native
+    // Jaro-Winkler scorer. The stream side carries ZERO state: a
+    // stream-static join is stateless by construction (each arriving
+    // record meets the whole broadcast index inside its own micro-batch),
+    // so each record's per-batch (jw DESC, clean_key ASC) argmax IS its
+    // global argmax — the index, not the stream, is the state, which is
+    // the 100 TB story (the index shards/broadcasts; arrivals never
+    // accumulate). Finished per-entity matches roll up to the exact
+    // q_entity_match readout — the stream must answer what the batch
+    // linkage answers.
+    "q_stream_entity_match" -> { (s, dir) =>
+      graft.operators.Pipeline.registerNativeFns(s)
+      val clean = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("clean_key"), col("c_name").as("clean_name"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      val matches = dirtyCustStream(s, dir, "ermatch")
+        .filter(col("dirty_key") =!= -1L)
+        .join(broadcast(clean), Seq("nk", "seg"))
+        .withColumn("jw",
+          round(expr("graft_jaro_winkler(dirty_name, clean_name)"), 6)
+            .cast("decimal(8,6)"))
+      val acc = scala.collection.concurrent.TrieMap.empty[Long, Array[Row]]
+      withStreamConf(s) {
+        val q = matches.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // lexicographic struct max ≡ (jw DESC, clean_key ASC) — the
+            // q_entity_match tiebreak, evaluated per batch
+            acc(batchId) = batch.groupBy("nk", "dirty_key")
+              .agg(max(struct(col("jw"), (lit(0L) - col("clean_key"))
+                .as("neg_key"))).as("best"))
+              .select(col("nk"), col("dirty_key"),
+                (lit(0L) - col("best.neg_key")).as("clean_key"),
+                col("best.jw").as("jw"))
+              .collect()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val rows: Seq[Row] = acc.values.flatten.toSeq
+      val best = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), StructType(Seq(
+          StructField("nk", IntegerType), StructField("dirty_key", LongType),
+          StructField("clean_key", LongType),
+          StructField("jw", DecimalType(8, 6)))))
+      best.groupBy("nk")
+        .agg(count(lit(1)).as("n_entities"),
+          sum(when(col("clean_key") === col("dirty_key"), 1L).otherwise(0L))
+            .as("n_correct"),
+          sum(col("jw")).as("sjw"))
+        .select(col("nk").as("c_nationkey"), col("n_entities"),
+          col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_entities"), 6)
+            .as("top1_accuracy"),
+          round(col("sjw").cast("double") / col("n_entities"), 6)
+            .as("avg_top1_jw"))
+        .orderBy("c_nationkey")
+    },
+
     "q_stream_dedup" -> { (s, dir) =>
       val out = eventStream(s, dir, "dedup",
           prep = df => df.unionByName(df.filter(col("event_id") % 97 === 0)))
@@ -1282,6 +1421,76 @@ object Streaming {
         |  GROUP BY 1, 2)
         |SELECT user_id, est_n, exact_n FROM est
         |ORDER BY est_n DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    // every real window closes (sentinel-advanced watermark), so the
+    // finished per-window sketches equal the batch per-hour rollup —
+    // the q_stream_heavy_hitters oracle with date_trunc('hour') joined
+    // through every stage
+    "q_stream_hh_windowed" ->
+      """WITH dd(d) AS (VALUES (0), (1), (2), (3)),
+        |ev AS (SELECT ts, user_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |cell AS (
+        |  SELECT date_trunc('hour', ts) AS w_start, dd.d,
+        |    ('0x' || substr(md5(dd.d::VARCHAR || ':' ||
+        |      user_id::VARCHAR), 1, 8))::BIGINT % 32 AS c
+        |  FROM ev CROSS JOIN dd),
+        |sk AS (SELECT w_start, d, c, COUNT(*) AS n FROM cell
+        |  GROUP BY 1, 2, 3),
+        |users AS (
+        |  SELECT date_trunc('hour', ts) AS w_start, user_id,
+        |    COUNT(*) AS exact_n
+        |  FROM ev GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT u.w_start, u.user_id, u.exact_n, dd.d,
+        |    ('0x' || substr(md5(dd.d::VARCHAR || ':' ||
+        |      u.user_id::VARCHAR), 1, 8))::BIGINT % 32 AS c
+        |  FROM users u CROSS JOIN dd),
+        |est AS (
+        |  SELECT p.w_start, p.user_id, p.exact_n, MIN(sk.n) AS est_n
+        |  FROM probe p JOIN sk ON sk.w_start = p.w_start AND sk.d = p.d
+        |    AND sk.c = p.c
+        |  GROUP BY 1, 2, 3),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY w_start
+        |    ORDER BY est_n DESC, user_id ASC) AS hh_rank
+        |  FROM est)
+        |SELECT w_start, CAST(hh_rank AS BIGINT) AS hh_rank, user_id,
+        |  est_n, exact_n
+        |FROM rk WHERE hh_rank <= 3
+        |ORDER BY w_start, hh_rank""".stripMargin,
+
+    // each dirty record arrives exactly once and resolves statelessly
+    // against the full static index → the finished rollup equals the
+    // batch q_entity_match oracle verbatim
+    "q_stream_entity_match" ->
+      """WITH clean AS (
+        |  SELECT c_custkey AS clean_key, c_name AS clean_name,
+        |    c_nationkey AS nk, c_mktsegment AS seg
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS dirty_key,
+        |    'Customer#' || reverse(substr(c_name, 10, 9)) AS dirty_name,
+        |    c_nationkey AS nk, c_mktsegment AS seg
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT d.dirty_key, c.clean_key, d.nk,
+        |    CAST(round(jaro_winkler_similarity(d.dirty_name, c.clean_name),
+        |      6) AS DECIMAL(8,6)) AS jw
+        |  FROM dirty d JOIN clean c ON c.nk = d.nk AND c.seg = d.seg),
+        |t1 AS (
+        |  SELECT dirty_key, clean_key, nk, jw,
+        |    ROW_NUMBER() OVER (PARTITION BY dirty_key
+        |      ORDER BY jw DESC, clean_key ASC) AS rn
+        |  FROM pairs)
+        |SELECT nk AS c_nationkey, COUNT(*) AS n_entities,
+        |  CAST(SUM(CASE WHEN clean_key = dirty_key THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  round(SUM(CASE WHEN clean_key = dirty_key THEN 1 ELSE 0 END)
+        |    ::DOUBLE / COUNT(*), 6) AS top1_accuracy,
+        |  round(SUM(jw)::DOUBLE / COUNT(*), 6) AS avg_top1_jw
+        |FROM t1 WHERE rn = 1
+        |GROUP BY nk ORDER BY nk""".stripMargin,
 
     // the streamed corpus is exactly `documents`, each doc seen once and
     // matched statelessly → the counters equal the batch percolator's

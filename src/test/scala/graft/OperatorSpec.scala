@@ -3221,6 +3221,50 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(3) < 0.0, "bernoulli log-likelihood is negative")
   }
 
+  test("sampled shapley: brute permutation replay matches, efficiency holds") {
+    import org.apache.spark.sql.functions.{expr, sum}
+    import graft.operators.Relational
+    val rows = Relational.queries("q_shapley_sampled")(spark, sfDir)
+      .collect()
+    assert(rows.length == 4)
+    val mc = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id")
+      .agg(expr("max(CASE WHEN event_type = 'click' THEN 1L ELSE 0L END) + " +
+          "max(CASE WHEN event_type = 'view' THEN 2L ELSE 0L END) + " +
+          "max(CASE WHEN event_type = 'signup' THEN 4L ELSE 0L END) + " +
+          "max(CASE WHEN event_type = 'error' THEN 8L ELSE 0L END)")
+          .as("mask"),
+        expr("max(CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END)")
+          .as("conv"))
+      .groupBy("mask").agg(sum("conv").as("cv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def v(st: Long): Long =
+      mc.filter { case (m, _) => (m & st) == m }.map(_._2).sum
+    val chans = Seq((1L, "click"), (2L, "view"), (4L, "signup"),
+      (8L, "error"))
+    val phiSum = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for (m <- 0L to 11L) {
+      val order = chans
+        .map { case (bit, ch) => (md5h32(s"$m:$ch"), ch, bit) }
+        .sortBy(t => (t._1, t._2))
+      var pred = 0L
+      order.foreach { case (_, ch, bit) =>
+        phiSum(ch) += v(pred + bit) - v(pred)
+        pred += bit
+      }
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) == phiSum(r.getString(0)),
+        s"phi_sum: $r vs ${phiSum(r.getString(0))}")
+    }
+    // per-permutation telescoping => efficiency: the sampled numerators
+    // sum to exactly M * v(grand coalition)
+    assert(rows.map(_.getLong(2)).sum == 12L * v(15L))
+    // and so do the exact 24-weight numerators (scaled)
+    assert(rows.map(_.getLong(1)).sum == 24L * v(15L))
+  }
+
   test("hyperloglog: register replay matches, rel error within 3 sigma") {
     import graft.operators.Relational
     val r = Relational.queries("q_hyperloglog")(spark, sfDir).collect().head

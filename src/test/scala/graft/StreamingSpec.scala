@@ -619,4 +619,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .collect().toSet
     assert(streamed == batch)
   }
+
+  test("windowed count-min: per-window est bounds exact, top-3 under total order") {
+    val rows = Streaming.queries("q_stream_hh_windowed")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // exact per (hour, purchaser) recomputed batch-side — the audit
+    // column must be the truth, and the estimate may never undercount
+    val exact = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("date_trunc('HOUR', ts)").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(4), s"est < exact: $r")
+      assert(r.getLong(4) == exact((r.getTimestamp(0), r.getLong(2))),
+        s"audit column drifted: $r")
+      assert(r.getTimestamp(0).getTime % 3600000L == 0L, s"unaligned: $r")
+    }
+    // ranks are a contiguous 1..k<=3 prefix per window
+    rows.groupBy(_.getTimestamp(0)).values.foreach { g =>
+      val rks = g.map(_.getLong(1)).sorted
+      assert(rks.length <= 3 && rks.zipWithIndex.forall {
+        case (rk, i) => rk == i + 1L
+      }, s"ranks: ${rks.toSeq}")
+    }
+  }
+
+  test("streaming entity match equals the batch linkage row-for-row") {
+    val streamed = Streaming.queries("q_stream_entity_match")(spark, sfDir)
+      .collect().toSet
+    val batch = graft.operators.Pipeline.queries("q_entity_match")(
+      spark, sfDir).collect().toSet
+    assert(streamed == batch,
+      s"stream vs batch diff: ${(streamed -- batch) ++ (batch -- streamed)}")
+  }
 }
