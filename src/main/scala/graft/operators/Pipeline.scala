@@ -2092,6 +2092,36 @@ object Pipeline {
     // aggregate; pass 2 broadcasts the 3 rates and filters map-only — the
     // corpus itself never shuffles. All rate arithmetic is integer (div),
     // so the kept set is bit-identical in any engine.
+    // TEMPERATURE-SCALED SOURCE MIXTURE (the mT5/XLM-R α-sampling rule,
+    // Conneau et al. 2020 §3.1 — the OTHER standard mixture knob beside
+    // q_data_mixture's declared target shares: upweight small sources by
+    // wᵢ ∝ pᵢ^α, α = 0.3 declared): shares from ONE exact token rollup,
+    // p^α written as exp(α·ln p) so BOTH engines run the identical
+    // libm tree (no pow-implementation drift on a rounding boundary),
+    // the Σp^α normalizer folded over the source-SORTED list (the
+    // q_token_entropy rule), epochs = wᵢ/pᵢ — the "how many times does
+    // this source repeat per pass" readout a training run budgets with.
+    // Scale: one map-side-combined rollup to ≤|sources| rows.
+    "q_temperature_mix" -> { (s, dir) =>
+      val st = docs(s, dir)
+        .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
+      val pw = "exp(0.3D * ln(CAST(p.tokens AS DOUBLE) / tot))"
+      st.agg(sum("tokens").as("tot"),
+          sort_array(collect_list(struct(col("source"), col("tokens"),
+            col("n_docs")))).as("l"))
+        .withColumn("z", expr(s"aggregate(l, 0D, (a, p) -> a + $pw)"))
+        .select(explode(col("l")).as("p"), col("tot"), col("z"))
+        .select(col("p.source").as("source"), col("p.n_docs").as("n_docs"),
+          col("p.tokens").as("tokens"),
+          expr("round(CAST(p.tokens AS DOUBLE) / tot, 6)").as("share"),
+          expr(s"round($pw / z, 6)").as("weight"),
+          expr(s"round($pw / z / (CAST(p.tokens AS DOUBLE) / tot), 6)")
+            .as("epochs"))
+        .orderBy("source")
+    },
+
     "q_data_mixture" -> { (s, dir) =>
       val d = docs(s, dir)
         .withColumn("dom_ix", expr("cast(substring(source, 4) as int) % 3"))
@@ -5040,6 +5070,33 @@ object Pipeline {
         |GROUP BY s.doc_id
         |HAVING SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) > 0
         |ORDER BY s.doc_id""".stripMargin,
+
+    // same exact token rollup, same exp(α·ln p) tree (no pow drift),
+    // same source-sorted normalizer fold
+    "q_temperature_mix" ->
+      """WITH st AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |one AS (
+        |  SELECT CAST(SUM(tokens) AS BIGINT) AS tot,
+        |    list(struct_pack(source := source, tokens := tokens,
+        |      n_docs := n_docs) ORDER BY source) AS l
+        |  FROM st),
+        |o2 AS (
+        |  SELECT tot, l,
+        |    list_reduce(list_concat([0.0::DOUBLE], list_transform(l,
+        |      p -> exp(0.3::DOUBLE * ln(CAST(p.tokens AS DOUBLE) / tot)))),
+        |      (a, b) -> a + b) AS z
+        |  FROM one),
+        |o3 AS (SELECT tot, z, unnest(l, recursive := true) FROM o2)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, tokens,
+        |  round(CAST(tokens AS DOUBLE) / tot, 6) AS share,
+        |  round(exp(0.3::DOUBLE * ln(CAST(tokens AS DOUBLE) / tot)) / z, 6)
+        |    AS weight,
+        |  round(exp(0.3::DOUBLE * ln(CAST(tokens AS DOUBLE) / tot)) / z /
+        |    (CAST(tokens AS DOUBLE) / tot), 6) AS epochs
+        |FROM o3 ORDER BY source""".stripMargin,
 
     "q_data_mixture" ->
       """WITH d AS (

@@ -3741,6 +3741,142 @@ object Relational {
         .orderBy("channel")
     },
 
+    // BRIER SCORE DECOMPOSITION (Murphy 1973 — the classic three-way
+    // readout of WHY a probabilistic classifier scores what it scores:
+    // reliability = calibration error to pay down, resolution = earned
+    // discrimination, uncertainty = the floor no model beats): over
+    // q_calibration_bins' exact 10-bin grid. The identity BS = REL − RES
+    // + UNC holds EXACTLY for the BINNED forecast (p̄ₖ as the issued
+    // probability), so both the binned Brier and its three parts are
+    // reported plus the identity gap (+0.0 normalizes −0.0 cross-engine)
+    // — the raw Brier (unbinned p) rides along to show what binning
+    // costs. EXACT: per-bin stats are decimal/BIGINT sums; every float
+    // term folds over the bin-SORTED ≤10-row list (the q_token_entropy
+    // rule). Scale: ONE map-side-combined corpus rollup to ≤10 bins.
+    "q_brier_decomposition" -> { (s, dir) =>
+      val b = scoredDocs(s, dir)
+        .withColumn("bin",
+          least(floor(col("p") * 10).cast(LongType), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
+          sum("y").as("pos"),
+          sum((col("p") - col("y").cast(DecimalType(1, 0))) *
+            (col("p") - col("y").cast(DecimalType(1, 0)))).as("ssq"))
+      val one = b.agg(sum("n").as("nd"), sum("pos").as("npos"),
+          sum("ssq").as("tssq"),
+          sort_array(collect_list(struct(col("bin"), col("n"), col("sp"),
+            col("pos")))).as("l"))
+        .withColumn("ybar", expr("CAST(npos AS DOUBLE) / nd"))
+      def fold(term: String) =
+        s"aggregate(l, 0D, (a, p) -> a + ($term))"
+      val pb = "CAST(p.sp AS DOUBLE) / p.n"
+      val yb = "CAST(p.pos AS DOUBLE) / p.n"
+      one
+        .withColumn("rel", expr(
+          fold(s"p.n * ($pb - $yb) * ($pb - $yb)") + " / nd"))
+        .withColumn("res", expr(
+          fold(s"p.n * ($yb - ybar) * ($yb - ybar)") + " / nd"))
+        .withColumn("unc", expr("ybar * (1.0D - ybar)"))
+        .withColumn("bb", expr(
+          fold(s"p.n * $pb * $pb - 2.0D * $pb * p.pos + p.pos") + " / nd"))
+        .select(col("nd").as("n_docs"),
+          round(expr("CAST(tssq AS DOUBLE) / nd"), 6).as("brier_raw"),
+          round(col("bb"), 6).as("brier_binned"),
+          round(col("rel"), 6).as("reliability"),
+          round(col("res"), 6).as("resolution"),
+          round(col("unc"), 6).as("uncertainty"),
+          expr("round(bb - (rel - res + unc), 6) + 0.0D")
+            .as("identity_gap"))
+    },
+
+    // POPULATION STABILITY INDEX (the industry-standard model-input
+    // drift monitor with the 0.10/0.25 traffic-light bands — what a
+    // scoring pipeline actually alerts on, where E142's JS divergence is
+    // the information-theoretic cousin): reference vs current snapshots
+    // from the house md5 event coin, bins = EXACT DECILES OF THE
+    // REFERENCE (rank-selected from the cents histogram — the
+    // q_exact_quantiles machinery; no float quantile decides a
+    // boundary), +1 smoothing on both shares (declared — zero-proof,
+    // the E142 precedent), PSI = Σ(pᵣ−p꜀)·ln(pᵣ/p꜀) folded over the
+    // bin-SORTED ≤10-row list. Scale: two histogram rollups + a 9-row
+    // broadcast boundary join; the corpus never shuffles twice.
+    "q_psi_drift" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select((col("value").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("cents"),
+          expr("cast(conv(substring(md5(cast(event_id as string)),1,8)" +
+            ",16,10) as bigint) % 2").as("snap"))
+      val ha = ev.filter(col("snap") === 0).groupBy("cents")
+        .agg(count(lit(1)).as("c"))
+      val cum = ha.withColumn("cum", sum("c").over(
+        Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)))
+      val na = ha.agg(sum("c").as("n"))
+      val bnd = s.range(1, 10).select(col("id").as("k"))
+        .crossJoin(broadcast(na))
+        .withColumn("rk", expr("(n * k + 9L) div 10L"))
+        .join(cum, col("cum") >= col("rk"))
+        .groupBy("k").agg(min("cents").as("bv"))
+      val hc = ev.groupBy("snap", "cents").agg(count(lit(1)).as("c"))
+      // bin the ≤|distinct cents| HISTOGRAM rows against the 9 boundaries
+      // (bin = #boundaries ≤ value), never the corpus itself
+      val withBin = hc.crossJoin(broadcast(bnd.select("bv")))
+        .groupBy("snap", "cents", "c")
+        .agg(sum(when(col("cents") >= col("bv"), 1L).otherwise(0L))
+          .as("bin"))
+      val piv = s.range(10).select(col("id").as("bin"))
+        .join(withBin.groupBy("bin").agg(
+          sum(when(col("snap") === 0, col("c")).otherwise(0L)).as("ca"),
+          sum(when(col("snap") === 1, col("c")).otherwise(0L)).as("cb")),
+          Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      val pa = "(CAST(p.ca AS DOUBLE) + 1.0D) / (CAST(na AS DOUBLE) + 10.0D)"
+      val pb = "(CAST(p.cb AS DOUBLE) + 1.0D) / (CAST(nb AS DOUBLE) + 10.0D)"
+      piv.agg(sum("ca").as("na"), sum("cb").as("nb"),
+          sort_array(collect_list(struct(col("bin"), col("ca"), col("cb"))))
+            .as("l"))
+        .withColumn("psi", round(expr(
+          s"aggregate(l, 0D, (a, p) -> a + ($pa - $pb) * ln($pa / $pb))"),
+          6))
+        .select(col("na").as("n_ref"), col("nb").as("n_cur"), col("psi"),
+          expr("""CASE WHEN psi < 0.1D THEN 'stable'
+            |WHEN psi < 0.25D THEN 'moderate'
+            |ELSE 'major' END""".stripMargin).as("band"))
+    },
+
+    // RIDGE REGRESSION SWEEP (Hoerl & Kennard 1970 — the L2-regularized
+    // fit every feature pipeline reaches for when OLS goes unstable;
+    // the λ grid is the knob, and the sweep shows the shrinkage path):
+    // same ONE-PASS exact sufficient statistics as q_ols_regression
+    // (BIGINT x/cents sums), closed form on the centered moments with
+    // the intercept unpenalized — b₁(λ) = (n·Σxy−ΣxΣy)/(n·Σxx−Σx²+λ·n),
+    // b₀ = (Σy−b₁Σx)/n — swept over λ ∈ {0,100,10⁴,10⁶} via a 4-row
+    // explode on the SAME stats row (declared grid; the λ=0 column rides
+    // in every row so shrinkage = b₁(λ)/b₁(0) needs no self-join).
+    // Scale: one map-side rollup; the sweep is 4 rows of scalar algebra.
+    "q_ridge_regression" -> { (s, dir) =>
+      val st = t(s, dir, "lineitem").select(
+          col("l_quantity").cast(LongType).as("x"),
+          (money(col("l_extendedprice")) * 100).cast(LongType).as("y"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"))
+      st.select(col("*"),
+          explode(expr("array(0L, 100L, 10000L, 1000000L)")).as("lambda"))
+        .withColumn("num", expr(
+          "CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy"))
+        .withColumn("den0", expr(
+          "CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx"))
+        .withColumn("b1", expr("num / (den0 + CAST(lambda AS DOUBLE) * n)"))
+        .withColumn("b1_ols", expr("num / den0"))
+        .withColumn("b0", expr("(CAST(sy AS DOUBLE) - b1 * sx) / n"))
+        .select(col("lambda"), col("n"),
+          round(col("b1"), 6).as("slope"),
+          round(col("b0"), 6).as("intercept"),
+          round(col("b1") / col("b1_ols"), 6).as("shrinkage"))
+        .orderBy("lambda")
+    },
+
     // SAMPLED-PERMUTATION SHAPLEY (Castro et al. 2009 — the Monte-Carlo
     // estimator that is the ONLY tractable Shapley path past ~10
     // channels, where E139's exact 2ⁿ subset walk explodes): φ̂ᵢ =
@@ -4477,6 +4613,157 @@ object Relational {
     "q_pca_power" -> pcaPowerOracle,
 
     "q_logistic_newton" -> logisticNewtonOracle,
+
+    // same scored 10-bin grid, same bin-sorted folds over exact
+    // decimal/BIGINT bin stats, same +0.0 −0.0 normalization
+    "q_brier_decomposition" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |st AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM d),
+        |z AS (
+        |  SELECT y, round((x - sx::DOUBLE / nd) /
+        |    sqrt((nd::DOUBLE * sxx - sx::DOUBLE * sx) /
+        |      (nd * (nd - 1))), 6) AS z
+        |  FROM d CROSS JOIN st),
+        |p AS (
+        |  SELECT y, CAST(round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 6)
+        |    AS DECIMAL(8,6)) AS p
+        |  FROM z),
+        |b AS (
+        |  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+        |    COUNT(*) AS n, SUM(p) AS sp, CAST(SUM(y) AS BIGINT) AS pos,
+        |    SUM((p - y::DECIMAL(1,0)) * (p - y::DECIMAL(1,0))) AS ssq
+        |  FROM p GROUP BY 1),
+        |one AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nd,
+        |    CAST(SUM(pos) AS BIGINT) AS npos, SUM(ssq) AS tssq,
+        |    list(struct_pack(bin := bin, n := n, sp := sp, pos := pos)
+        |      ORDER BY bin) AS l
+        |  FROM b),
+        |o2 AS (SELECT *, CAST(npos AS DOUBLE) / nd AS ybar FROM one),
+        |o3 AS (
+        |  SELECT *,
+        |    list_reduce(list_concat([0.0::DOUBLE], list_transform(l,
+        |      p -> (p.n * (CAST(p.sp AS DOUBLE) / p.n -
+        |        CAST(p.pos AS DOUBLE) / p.n)
+        |        * (CAST(p.sp AS DOUBLE) / p.n -
+        |        CAST(p.pos AS DOUBLE) / p.n)))),
+        |      (a, b) -> a + b) / nd AS rel,
+        |    list_reduce(list_concat([0.0::DOUBLE], list_transform(l,
+        |      p -> (p.n * (CAST(p.pos AS DOUBLE) / p.n - ybar)
+        |        * (CAST(p.pos AS DOUBLE) / p.n - ybar)))),
+        |      (a, b) -> a + b) / nd AS res,
+        |    ybar * (1.0::DOUBLE - ybar) AS unc,
+        |    list_reduce(list_concat([0.0::DOUBLE], list_transform(l,
+        |      p -> (p.n * (CAST(p.sp AS DOUBLE) / p.n) *
+        |        (CAST(p.sp AS DOUBLE) / p.n)
+        |        - 2.0::DOUBLE * (CAST(p.sp AS DOUBLE) / p.n) * p.pos
+        |        + p.pos))),
+        |      (a, b) -> a + b) / nd AS bb
+        |  FROM o2)
+        |SELECT nd AS n_docs,
+        |  round(CAST(tssq AS DOUBLE) / nd, 6) AS brier_raw,
+        |  round(bb, 6) AS brier_binned,
+        |  round(rel, 6) AS reliability,
+        |  round(res, 6) AS resolution,
+        |  round(unc, 6) AS uncertainty,
+        |  round(bb - (rel - res + unc), 6) + 0.0::DOUBLE AS identity_gap
+        |FROM o3""".stripMargin,
+
+    // same md5 snapshot coin, same rank-selected reference deciles, same
+    // +1-smoothed bin-sorted PSI fold, same banded readout
+    "q_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8))::BIGINT % 2
+        |      AS snap
+        |  FROM events),
+        |ha AS (SELECT cents, COUNT(*) AS c FROM ev WHERE snap = 0
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT cents, CAST(SUM(c) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM ha),
+        |na AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ha),
+        |bnd AS (
+        |  SELECT k.range AS k, MIN(cents) AS bv
+        |  FROM range(1, 10) k CROSS JOIN na
+        |  JOIN cum ON cum.cum >= (na.n * k.range + 9) // 10
+        |  GROUP BY 1),
+        |hc AS (SELECT snap, cents, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |wb AS (
+        |  SELECT snap, cents, c,
+        |    CAST(SUM(CASE WHEN cents >= bv THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bin
+        |  FROM hc CROSS JOIN bnd GROUP BY 1, 2, 3),
+        |piv AS (
+        |  SELECT u.range AS bin,
+        |    CAST(COALESCE(SUM(CASE WHEN snap = 0 THEN c END), 0)
+        |      AS BIGINT) AS ca,
+        |    CAST(COALESCE(SUM(CASE WHEN snap = 1 THEN c END), 0)
+        |      AS BIGINT) AS cb
+        |  FROM range(0, 10) u LEFT JOIN wb ON wb.bin = u.range
+        |  GROUP BY 1),
+        |one AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb,
+        |    list(struct_pack(bin := bin, ca := ca, cb := cb)
+        |      ORDER BY bin) AS l
+        |  FROM piv),
+        |o2 AS (
+        |  SELECT na, nb, round(list_reduce(list_concat([0.0::DOUBLE],
+        |    list_transform(l, p ->
+        |      (((CAST(p.ca AS DOUBLE) + 1.0::DOUBLE) /
+        |        (CAST(na AS DOUBLE) + 10.0::DOUBLE))
+        |        - ((CAST(p.cb AS DOUBLE) + 1.0::DOUBLE) /
+        |        (CAST(nb AS DOUBLE) + 10.0::DOUBLE)))
+        |      * ln(((CAST(p.ca AS DOUBLE) + 1.0::DOUBLE) /
+        |        (CAST(na AS DOUBLE) + 10.0::DOUBLE))
+        |        / ((CAST(p.cb AS DOUBLE) + 1.0::DOUBLE) /
+        |        (CAST(nb AS DOUBLE) + 10.0::DOUBLE))))),
+        |    (a, b) -> a + b), 6) AS psi
+        |  FROM one)
+        |SELECT na AS n_ref, nb AS n_cur, psi,
+        |  CASE WHEN psi < 0.1 THEN 'stable'
+        |    WHEN psi < 0.25 THEN 'moderate' ELSE 'major' END AS band
+        |FROM o2""".stripMargin,
+
+    // same one-pass exact stats, same centered closed form and declared
+    // λ grid, same shrinkage-vs-OLS readout
+    "q_ridge_regression" ->
+      """WITH st AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS y
+        |    FROM lineitem)),
+        |lam(lambda) AS (VALUES (0::BIGINT), (100::BIGINT),
+        |  (10000::BIGINT), (1000000::BIGINT)),
+        |d AS (
+        |  SELECT lambda, n,
+        |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS den0,
+        |    sx, sy
+        |  FROM st CROSS JOIN lam),
+        |e AS (
+        |  SELECT lambda, n,
+        |    num / (den0 + CAST(lambda AS DOUBLE) * n) AS b1,
+        |    num / den0 AS b1_ols, sx, sy
+        |  FROM d)
+        |SELECT lambda, n, round(b1, 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - b1 * sx) / n, 6) AS intercept,
+        |  round(b1 / b1_ols, 6) AS shrinkage
+        |FROM e ORDER BY lambda""".stripMargin,
 
     // same md5 permutation draw, same needed-mask containment join, same
     // exact-24-weight audit pair; integer until the final divisions

@@ -1139,6 +1139,51 @@ object Streaming {
         .orderBy("w_start", "hh_rank")
     },
 
+    // WATERMARK-WINDOWED EXACT PERCENTILES — the per-hour p50/p95 spend
+    // readout (the SLO-dashboard query every observability stack runs)
+    // under the q_exact_quantiles rank discipline: the STREAMING state is
+    // the per-window exact cents histogram — |distinct cents| rows per
+    // OPEN window, bounded by value granularity rather than event count,
+    // and a closed window's histogram leaves the store with the
+    // watermark; exact integer ⌈q·n⌉ rank selection then runs batch-side
+    // on the finished histograms (no t-digest approximation — at cents
+    // granularity the exact histogram IS the cheap representation).
+    // Purchase-scoped; the sentinel survives the filter to close the
+    // final windows.
+    "q_stream_percentiles" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = eventStream(s, dir, "pctwin")
+        .filter(col("event_type").isin("purchase", "__sentinel"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+            .as("cents"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("window.start").as("w_start"), col("cents"), col("c"))
+      val hist = runToMemory(h, "graft_stream_percentiles")
+      // per-window total as a second window over the SAME frame — a
+      // separate aggregate would self-join the memory sink (conflicting
+      // attribute ids)
+      val cum = hist.withColumn("cum", sum("c").over(
+          Window.partitionBy("w_start").orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", sum("c").over(Window.partitionBy("w_start")))
+      val qs = s.range(2).select(
+        expr("element_at(array('p50','p95'), CAST(id + 1 AS INT))")
+          .as("q"),
+        expr("element_at(array(1L, 19L), CAST(id + 1 AS INT))").as("qn"),
+        expr("element_at(array(2L, 20L), CAST(id + 1 AS INT))").as("qd"))
+      cum.crossJoin(broadcast(qs))
+        .withColumn("rk", expr("(n * qn + qd - 1L) div qd"))
+        .filter(col("cum") >= col("rk"))
+        .groupBy("w_start", "q", "rk", "n")
+        .agg(min("cents").as("value_cents"))
+        .select(col("w_start"), col("q").as("quantile"), col("n"),
+          col("rk").as("rank_sel"), col("value_cents"),
+          round(col("value_cents") / lit(100.0), 6).as("dollars"))
+        .orderBy("w_start", "quantile")
+    },
+
     // STREAMING ENTITY MATCH — q_entity_match run as an online service:
     // dirty customer records ARRIVE as a stream and resolve against the
     // STATIC clean index via a stream-static blocked equi-join
@@ -1459,6 +1504,36 @@ object Streaming {
         |  est_n, exact_n
         |FROM rk WHERE hh_rank <= 3
         |ORDER BY w_start, hh_rank""".stripMargin,
+
+    // every real window closes, so the finished per-window histograms
+    // equal the batch per-hour rollup — rank selection replayed on it
+    "q_stream_percentiles" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS w_start,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT w_start, cents, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT w_start, cents, CAST(SUM(c) OVER (PARTITION BY w_start
+        |    ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW) AS BIGINT) AS cum
+        |  FROM h),
+        |tot AS (SELECT w_start, CAST(SUM(c) AS BIGINT) AS n FROM h
+        |  GROUP BY 1),
+        |qs(q, qn, qd) AS (VALUES ('p50', 1::BIGINT, 2::BIGINT),
+        |  ('p95', 19::BIGINT, 20::BIGINT)),
+        |rks AS (
+        |  SELECT w_start, q, n, CAST((n * qn + qd - 1) // qd AS BIGINT)
+        |    AS rk
+        |  FROM tot CROSS JOIN qs),
+        |sel AS (
+        |  SELECT r.w_start, q, n, rk, MIN(cents) AS value_cents
+        |  FROM rks r JOIN cum ON cum.w_start = r.w_start
+        |    AND cum.cum >= r.rk
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT w_start, q AS quantile, n, rk AS rank_sel, value_cents,
+        |  round(value_cents / 100.0::DOUBLE, 6) AS dollars
+        |FROM sel ORDER BY w_start, quantile""".stripMargin,
 
     // each dirty record arrives exactly once and resolves statelessly
     // against the full static index → the finished rollup equals the

@@ -3221,6 +3221,128 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(3) < 0.0, "bernoulli log-likelihood is negative")
   }
 
+  test("brier decomposition: murphy identity exact, brute bin replay matches") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_brier_decomposition")(spark, sfDir)
+      .collect().head
+    // the binned Brier must satisfy BS = REL - RES + UNC exactly
+    assert(r.getDouble(6) == 0.0, s"identity gap: $r")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(4) >= 0.0)
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 0.25 + 1e-9)
+    // brute replay from the scored corpus (same z-score + sigmoid path
+    // the calibration-bins replay uses)
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("CAST(n_chars AS BIGINT) AS x",
+        "CASE WHEN lang = 'en' THEN 1L ELSE 0L END AS y")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = d.length
+    val sx = d.map(_._1).sum
+    val sxx = d.map(t => t._1 * t._1).sum
+    val sd = math.sqrt((n.toDouble * sxx - sx.toDouble * sx) /
+      (n.toDouble * (n - 1)))
+    val scored = d.map { case (x, y) =>
+      val z = math.rint((x - sx.toDouble / n) / sd * 1e6) / 1e6
+      (math.rint(1.0 / (1.0 + math.exp(-z)) * 1e6) / 1e6, y)
+    }
+    val ybar = scored.map(_._2).sum.toDouble / n
+    val bins = scored.groupBy(t => math.min((t._1 * 10).toLong, 9L))
+    val rel = bins.values.map { g =>
+      val pb = g.map(_._1).sum / g.length
+      val yb = g.map(_._2).sum.toDouble / g.length
+      g.length * (pb - yb) * (pb - yb)
+    }.sum / n
+    val res = bins.values.map { g =>
+      val yb = g.map(_._2).sum.toDouble / g.length
+      g.length * (yb - ybar) * (yb - ybar)
+    }.sum / n
+    assert(math.abs(r.getDouble(3) - rel) < 1e-5, s"rel: $r vs $rel")
+    assert(math.abs(r.getDouble(4) - res) < 1e-5, s"res: $r vs $res")
+    assert(math.abs(r.getDouble(5) - ybar * (1 - ybar)) < 1e-5)
+    // both Brier variants live in [0, 1] (no ordering holds between
+    // them in general — binning can move the score either way)
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  test("psi drift: brute decile replay matches, band honors thresholds") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_psi_drift")(spark, sfDir).collect().head
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("CAST(event_id AS STRING) AS id",
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+      .collect().map(x => (md5h32(x.getString(0)) % 2, x.getLong(1)))
+    val a = ev.filter(_._1 == 0L).map(_._2).sorted
+    val b = ev.filter(_._1 == 1L).map(_._2)
+    assert(r.getLong(0) == a.length.toLong && r.getLong(1) == b.length.toLong)
+    val bnd = (1 to 9).map(k => a(((a.length.toLong * k + 9) / 10 - 1).toInt))
+    def binOf(v: Long) = bnd.count(v >= _)
+    val ca = a.groupBy(binOf).map { case (k, g) => k -> g.length.toLong }
+    val cb = b.groupBy(binOf).map { case (k, g) => k -> g.length.toLong }
+    val psi = (0 to 9).map { bin =>
+      val pa = (ca.getOrElse(bin, 0L) + 1.0) / (a.length + 10.0)
+      val pb = (cb.getOrElse(bin, 0L) + 1.0) / (b.length + 10.0)
+      (pa - pb) * math.log(pa / pb)
+    }.sum
+    assert(psi >= 0.0)
+    assert(math.abs(r.getDouble(2) - psi) < 1e-5, s"psi: $r vs $psi")
+    val band = if (r.getDouble(2) < 0.1) "stable"
+      else if (r.getDouble(2) < 0.25) "moderate" else "major"
+    assert(r.getString(3) == band, s"band: $r")
+  }
+
+  test("ridge sweep: lambda=0 equals OLS, shrinkage strictly decreasing") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_ridge_regression")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 4 && rows.head.getLong(0) == 0L)
+    assert(rows.head.getDouble(4) == 1.0, "lambda=0 shrinkage")
+    // brute OLS on the raw rows
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT)",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = li.length.toDouble
+    val (sx, sy) = (li.map(_._1).sum.toDouble, li.map(_._2).sum.toDouble)
+    val sxx = li.map(t => t._1 * t._1).sum.toDouble
+    val sxy = li.map(t => t._1 * t._2).sum.toDouble
+    rows.foreach { r =>
+      val lam = r.getLong(0).toDouble
+      val b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx + lam * n)
+      assert(math.abs(r.getDouble(2) - b1) < math.abs(b1) * 1e-6 + 1e-4,
+        s"slope: $r vs $b1")
+      assert(math.abs(r.getDouble(3) - (sy - b1 * sx) / n) < 1.0,
+        s"intercept: $r")
+    }
+    rows.sliding(2).foreach { p =>
+      assert(p(1).getDouble(4) < p(0).getDouble(4),
+        s"shrinkage not decreasing: ${p.toSeq}")
+    }
+  }
+
+  test("temperature mix: weights normalize, epochs anti-monotone in share") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.queries("q_temperature_mix")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(wsum - 1.0) < 1e-4 * rows.length, s"sum w: $wsum")
+    // alpha < 1 compresses: epochs = p^(alpha-1)/Z is DECREASING in p
+    val byTok = rows.sortBy(_.getLong(2))
+    byTok.sliding(2).foreach { p =>
+      if (p(0).getLong(2) < p(1).getLong(2))
+        assert(p(0).getDouble(5) >= p(1).getDouble(5) - 1e-9,
+          s"epochs not anti-monotone: ${p.toSeq}")
+    }
+    // brute replay of one source's weight
+    val toks = rows.map(r => (r.getString(0), r.getLong(2)))
+    val tot = toks.map(_._2).sum.toDouble
+    val z = toks.sortBy(_._1)
+      .map(t => math.exp(0.3 * math.log(t._2 / tot))).sum
+    rows.foreach { r =>
+      val w = math.exp(0.3 * math.log(r.getLong(2) / tot)) / z
+      assert(math.abs(r.getDouble(4) - w) < 1e-5, s"weight: $r vs $w")
+    }
+  }
+
   test("sampled shapley: brute permutation replay matches, efficiency holds") {
     import org.apache.spark.sql.functions.{expr, sum}
     import graft.operators.Relational

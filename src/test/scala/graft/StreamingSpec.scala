@@ -646,6 +646,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("windowed percentiles: brute per-window rank selection matches") {
+    val rows = Streaming.queries("q_stream_percentiles")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byWin = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .selectExpr("date_trunc('HOUR', ts) AS w",
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+      .collect().groupBy(_.getTimestamp(0))
+      .map { case (w, g) => w -> g.map(_.getLong(1)).sorted }
+    val frac = Map("p50" -> ((1L, 2L)), "p95" -> ((19L, 20L)))
+    rows.foreach { r =>
+      val cents = byWin(r.getTimestamp(0))
+      val (qn, qd) = frac(r.getString(1))
+      val n = cents.length.toLong
+      val rk = (n * qn + qd - 1) / qd
+      assert(r.getLong(2) == n && r.getLong(3) == rk, s"rank: $r")
+      assert(r.getLong(4) == cents((rk - 1).toInt), s"value: $r")
+    }
+    // p50 <= p95 inside every window; both quantiles present
+    rows.groupBy(_.getTimestamp(0)).values.foreach { g =>
+      assert(g.map(_.getString(1)).toSet == Set("p50", "p95"))
+      val m = g.map(r => r.getString(1) -> r.getLong(4)).toMap
+      assert(m("p50") <= m("p95"), s"crossed quantiles: ${g.toSeq}")
+    }
+  }
+
   test("streaming entity match equals the batch linkage row-for-row") {
     val streamed = Streaming.queries("q_stream_entity_match")(spark, sfDir)
       .collect().toSet
