@@ -3741,6 +3741,125 @@ object Relational {
         .orderBy("channel")
     },
 
+    // McNEMAR'S PAIRED TEST (McNemar 1947 — THE test for "is classifier
+    // B actually better than A on the SAME documents": accuracy deltas
+    // mislead under pairing, only the DISCORDANT cells carry signal):
+    // two self-derived binary en-detectors (chars vs spaces, each
+    // thresholded at its own EXACT rank-selected median — no magic
+    // constants), b = A-only-correct, c = B-only-correct, continuity-
+    // corrected χ² = (|b−c|−1)²/(b+c). EXACT: medians by integer ceil
+    // rank on the two histograms, the 2×2 discordant cells are one
+    // corpus rollup, χ² one double tree. Scale: two ≤|distinct|
+    // histogram rollups + one map-side-combined cell rollup.
+    "q_mcnemar" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(
+        col("n_chars").cast(LongType).as("chars"),
+        (size(split(col("text"), " ")) - 1).cast(LongType).as("spaces"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("truth"))
+      def median(c: String): DataFrame = {
+        val h = d.groupBy(col(c).as("v")).agg(count(lit(1)).as("cn"))
+        val cum = h.withColumn("cum", sum("cn").over(
+          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+        val n = h.agg(sum("cn").as("n"))
+        cum.crossJoin(broadcast(n))
+          .filter(col("cum") >= expr("(n + 1L) div 2L"))
+          .agg(min("v").as(s"med_$c"))
+      }
+      val cells = d
+        .crossJoin(broadcast(median("chars")))
+        .crossJoin(broadcast(median("spaces")))
+        .withColumn("pa",
+          when(col("chars") >= col("med_chars"), 1L).otherwise(0L))
+        .withColumn("pb",
+          when(col("spaces") >= col("med_spaces"), 1L).otherwise(0L))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pa") === col("truth"), 1L).otherwise(0L))
+            .as("acc_a"),
+          sum(when(col("pb") === col("truth"), 1L).otherwise(0L))
+            .as("acc_b"),
+          sum(when(col("pa") === col("truth") &&
+            col("pb") =!= col("truth"), 1L).otherwise(0L)).as("b"),
+          sum(when(col("pa") =!= col("truth") &&
+            col("pb") === col("truth"), 1L).otherwise(0L)).as("c"))
+      cells.select(col("n"), col("b"), col("c"),
+        round(expr("CAST(acc_a AS DOUBLE) / n"), 6).as("acc_a"),
+        round(expr("CAST(acc_b AS DOUBLE) / n"), 6).as("acc_b"),
+        expr("""CASE WHEN b + c > 0 THEN
+          |round(CAST((abs(b - c) - 1L) * (abs(b - c) - 1L) AS DOUBLE)
+          |  / (b + c), 6)
+          |END""".stripMargin).as("chi2"))
+    },
+
+    // LIFT / CUMULATIVE-GAINS CURVE (the decile targeting readout every
+    // classifier ships to its consumers beside q_roc_auc's AUC — "call
+    // the top 20% and you capture X% of converters"): rank thresholds
+    // are EXACT integer ⌈k·n/10⌉ probes into the score-DESC cumulative
+    // histogram (the q_roc_auc level-table discipline — ties collapse to
+    // score LEVELS first, so no row-level tiebreak ever decides a
+    // decile), capture = cum_pos/total_pos, lift = precision-at-depth
+    // over base rate, one shared double tree. Scale: corpus → ≤|distinct
+    // scores| level histogram in one rollup; the cumulative window and
+    // 10 rank probes run on the level table BY DESIGN.
+    "q_lift_curve" -> { (s, dir) =>
+      val lvl = scoredDocs(s, dir).groupBy("p")
+        .agg(count(lit(1)).as("cn"), sum("y").as("pos"))
+      val cum = lvl
+        .withColumn("cum", sum("cn").over(
+          Window.orderBy(col("p").desc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cpos", sum("pos").over(
+          Window.orderBy(col("p").desc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = lvl.agg(sum("cn").as("n"), sum("pos").as("npos"))
+      val ks = s.range(1, 11).select(col("id").as("k"))
+      ks.crossJoin(broadcast(tot))
+        .withColumn("rk", expr("(n * k + 9L) div 10L"))
+        .join(cum, col("cum") >= col("rk"))
+        .groupBy("k", "rk", "n", "npos")
+        .agg(min(struct(col("cum"), col("cpos"))).as("first"))
+        .select(col("k").as("decile"), col("rk").as("depth_rank"),
+          col("first.cum").as("cum_docs"),
+          col("first.cpos").as("cum_pos"),
+          round(expr("CAST(first.cpos AS DOUBLE) / npos"), 6)
+            .as("capture_rate"),
+          round(expr("(CAST(first.cpos AS DOUBLE) / first.cum) / " +
+            "(CAST(npos AS DOUBLE) / n)"), 6).as("lift"))
+        .orderBy("decile")
+    },
+
+    // TWO-PROPORTION SAMPLE-SIZE CALCULATOR (the experiment-design
+    // operator that answers "how long must this A/B run" BEFORE it
+    // runs — the q_ab_test family's missing front half): the unit is the
+    // ACTIVE USER-DAY (per-user lifetime conversion saturates at 1.0 over
+    // this 30-day corpus — a degenerate baseline; daily conversion is
+    // what a launch actually moves), baseline measured EXACTLY from the
+    // corpus, swept over declared absolute MDEs {1,2,5}pp with the
+    // standard α=.05/power=.80 normal constants (z = 1.959964, 0.841621
+    // — declared-semantics constants, the HLL-α precedent); n/arm =
+    // ⌈(z_α+z_β)²·(p₁q₁+p₂q₂)/δ²⌉. Scale: ONE (user, day) rollup; the
+    // sweep is 3 rows of scalar algebra.
+    "q_sample_size" -> { (s, dir) =>
+      val base = t(s, dir, "events")
+        .groupBy(col("user_id"), expr("date_trunc('DAY', ts)").as("d"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .agg(count(lit(1)).as("n_units"), sum("conv").as("n_conv"))
+      base.select(col("*"),
+          explode(expr("array(1L, 2L, 5L)")).as("mde_pp"))
+        .withColumn("p1", expr("CAST(n_conv AS DOUBLE) / n_units"))
+        .withColumn("p2", expr("p1 + CAST(mde_pp AS DOUBLE) / 100.0D"))
+        .withColumn("n_arm", expr(
+          """CAST(ceil((1.959964D + 0.841621D) * (1.959964D + 0.841621D)
+            |  * (p1 * (1.0D - p1) + p2 * (1.0D - p2))
+            |  / ((CAST(mde_pp AS DOUBLE) / 100.0D)
+            |     * (CAST(mde_pp AS DOUBLE) / 100.0D))) AS BIGINT)"""
+            .stripMargin))
+        .select(col("mde_pp"), col("n_units"), col("n_conv"),
+          round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+          col("n_arm"))
+        .orderBy("mde_pp")
+    },
+
     // BRIER SCORE DECOMPOSITION (Murphy 1973 — the classic three-way
     // readout of WHY a probabilistic classifier scores what it scores:
     // reliability = calibration error to pay down, resolution = earned
@@ -4613,6 +4732,127 @@ object Relational {
     "q_pca_power" -> pcaPowerOracle,
 
     "q_logistic_newton" -> logisticNewtonOracle,
+
+    // same rank-selected medians, same discordant-cell rollup, same
+    // continuity-corrected chi2 tree
+    "q_mcnemar" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS chars,
+        |    CAST(len(string_split(text, ' ')) - 1 AS BIGINT) AS spaces,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth
+        |  FROM documents),
+        |hc AS (SELECT chars AS v, COUNT(*) AS cn FROM d GROUP BY 1),
+        |mc AS (
+        |  SELECT MIN(v) AS med_chars FROM (
+        |    SELECT v, SUM(cn) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM hc) x CROSS JOIN
+        |    (SELECT CAST(SUM(cn) AS BIGINT) AS n FROM hc) t
+        |  WHERE cum >= (n + 1) // 2),
+        |hs AS (SELECT spaces AS v, COUNT(*) AS cn FROM d GROUP BY 1),
+        |ms AS (
+        |  SELECT MIN(v) AS med_spaces FROM (
+        |    SELECT v, SUM(cn) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM hs) x CROSS JOIN
+        |    (SELECT CAST(SUM(cn) AS BIGINT) AS n FROM hs) t
+        |  WHERE cum >= (n + 1) // 2),
+        |cells AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN pa = truth THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS acc_a,
+        |    CAST(SUM(CASE WHEN pb = truth THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS acc_b,
+        |    CAST(SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0
+        |      END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c
+        |  FROM (
+        |    SELECT truth,
+        |      CASE WHEN chars >= med_chars THEN 1 ELSE 0 END AS pa,
+        |      CASE WHEN spaces >= med_spaces THEN 1 ELSE 0 END AS pb
+        |    FROM d CROSS JOIN mc CROSS JOIN ms))
+        |SELECT n, b, c,
+        |  round(CAST(acc_a AS DOUBLE) / n, 6) AS acc_a,
+        |  round(CAST(acc_b AS DOUBLE) / n, 6) AS acc_b,
+        |  CASE WHEN b + c > 0 THEN
+        |    round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+        |      / (b + c), 6)
+        |  END AS chi2
+        |FROM cells""".stripMargin,
+
+    // same scored level histogram, same score-DESC cumulative window and
+    // integer decile rank probes, same capture/lift trees
+    "q_lift_curve" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |st AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM d),
+        |z AS (
+        |  SELECT y, round((x - sx::DOUBLE / nd) /
+        |    sqrt((nd::DOUBLE * sxx - sx::DOUBLE * sx) /
+        |      (nd * (nd - 1))), 6) AS z
+        |  FROM d CROSS JOIN st),
+        |sc AS (
+        |  SELECT y, CAST(round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 6)
+        |    AS DECIMAL(8,6)) AS p
+        |  FROM z),
+        |lvl AS (SELECT p, COUNT(*) AS cn, CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM sc GROUP BY 1),
+        |cum AS (
+        |  SELECT p, CAST(SUM(cn) OVER (ORDER BY p DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum,
+        |    CAST(SUM(pos) OVER (ORDER BY p DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cpos
+        |  FROM lvl),
+        |tot AS (SELECT CAST(SUM(cn) AS BIGINT) AS n,
+        |  CAST(SUM(pos) AS BIGINT) AS npos FROM lvl),
+        |sel AS (
+        |  SELECT k.range AS decile, (n * k.range + 9) // 10 AS rk, n,
+        |    npos, MIN(struct_pack(cum := cum, cpos := cpos)) AS first
+        |  FROM range(1, 11) k CROSS JOIN tot
+        |  JOIN cum ON cum.cum >= (tot.n * k.range + 9) // 10
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT decile, CAST(rk AS BIGINT) AS depth_rank,
+        |  first.cum AS cum_docs, first.cpos AS cum_pos,
+        |  round(CAST(first.cpos AS DOUBLE) / npos, 6) AS capture_rate,
+        |  round((CAST(first.cpos AS DOUBLE) / first.cum) /
+        |    (CAST(npos AS DOUBLE) / n), 6) AS lift
+        |FROM sel ORDER BY decile""".stripMargin,
+
+    // same user-day rollup, same declared z constants and MDE grid, same
+    // ceiling tree
+    "q_sample_size" ->
+      """WITH u AS (
+        |  SELECT user_id, date_trunc('day', ts) AS d,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT COUNT(*) AS n_units,
+        |  CAST(SUM(conv) AS BIGINT) AS n_conv FROM u),
+        |g AS (
+        |  SELECT m.mde_pp, n_units, n_conv,
+        |    CAST(n_conv AS DOUBLE) / n_units AS p1
+        |  FROM base CROSS JOIN (VALUES (1::BIGINT), (2::BIGINT),
+        |    (5::BIGINT)) AS m(mde_pp)),
+        |e AS (
+        |  SELECT *, p1 + CAST(mde_pp AS DOUBLE) / 100.0::DOUBLE AS p2
+        |  FROM g)
+        |SELECT mde_pp, n_units, n_conv, round(p1, 6) AS p1,
+        |  round(p2, 6) AS p2,
+        |  CAST(ceil((1.959964::DOUBLE + 0.841621::DOUBLE) *
+        |    (1.959964::DOUBLE + 0.841621::DOUBLE) *
+        |    (p1 * (1.0::DOUBLE - p1) + p2 * (1.0::DOUBLE - p2))
+        |    / ((CAST(mde_pp AS DOUBLE) / 100.0::DOUBLE)
+        |       * (CAST(mde_pp AS DOUBLE) / 100.0::DOUBLE))) AS BIGINT)
+        |    AS n_arm
+        |FROM e ORDER BY mde_pp""".stripMargin,
 
     // same scored 10-bin grid, same bin-sorted folds over exact
     // decimal/BIGINT bin stats, same +0.0 −0.0 normalization

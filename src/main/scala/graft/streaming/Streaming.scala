@@ -1184,6 +1184,80 @@ object Streaming {
         .orderBy("w_start", "quantile")
     },
 
+    // STREAMING PSI DRIFT MONITOR — q_psi_drift run the way drift is
+    // actually watched in production: the REFERENCE distribution (exact
+    // rank-selected purchase-cents deciles of the full static table —
+    // "yesterday's snapshot") is fixed batch-side, and each event-time
+    // hour of the arriving purchase stream scores its OWN PSI against it
+    // with the 0.10/0.25 bands — the per-window alert feed. Streaming
+    // state is exactly q_stream_percentiles' per-window cents histogram
+    // (value-granularity-bounded, watermark-evicted); the binning (+1
+    // smoothing, bin-sorted fold) runs batch-side on the finished
+    // histograms against the 9-row broadcast boundary table. Windows
+    // with no purchases emit no row — no traffic, no drift reading.
+    "q_stream_psi" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ref = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select((col("value").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("cents"))
+      // one reference scan: the ≤|distinct cents| histogram checkpoints,
+      // and the deciles / total / reference bins all read the leaf
+      val refH = ref.groupBy("cents").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val refCum = refH.withColumn("cum", sum("c").over(
+        Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)))
+      val nr = refH.agg(sum("c").as("n"))
+      val bnd = s.range(1, 10).select(col("id").as("k"))
+        .crossJoin(broadcast(nr))
+        .withColumn("rk", expr("(n * k + 9L) div 10L"))
+        .join(refCum, col("cum") >= col("rk"))
+        .groupBy("k").agg(min("cents").as("bv"))
+      val refBins = refH.crossJoin(broadcast(bnd.select("bv")))
+        .groupBy("cents", "c")
+        .agg(sum(when(col("cents") >= col("bv"), 1L).otherwise(0L))
+          .as("bin"))
+        .groupBy("bin").agg(sum("c").as("cr"))
+      val h = eventStream(s, dir, "psiwin")
+        .filter(col("event_type").isin("purchase", "__sentinel"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+            .as("cents"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("window.start").as("w_start"), col("cents"), col("c"))
+      val hist = runToMemory(h, "graft_stream_psi")
+      val winBins = hist.crossJoin(broadcast(bnd.select("bv")))
+        .groupBy("w_start", "cents", "c")
+        .agg(sum(when(col("cents") >= col("bv"), 1L).otherwise(0L))
+          .as("bin"))
+        .groupBy("w_start", "bin").agg(sum("c").as("cw"))
+      // zero bins via map lookups over sequence(0,9) — a zero-filled
+      // universe table would self-join the memory-sink lineage
+      // (conflicting attribute ids, the q_stream_percentiles lesson);
+      // the ascending sequence IS the bin-sorted fold order
+      val refMap = refBins.agg(map_from_entries(sort_array(
+        collect_list(struct(col("bin"), col("cr"))))).as("rm"))
+      val pw = "(CAST(coalesce(element_at(m, b), 0L) AS DOUBLE) + 1.0D)" +
+        " / (CAST(nw AS DOUBLE) + 10.0D)"
+      val pr = "(CAST(coalesce(element_at(rm, b), 0L) AS DOUBLE) + 1.0D)" +
+        " / (CAST(nr AS DOUBLE) + 10.0D)"
+      winBins.groupBy("w_start")
+        .agg(sum("cw").as("nw"),
+          map_from_entries(sort_array(collect_list(struct(col("bin"),
+            col("cw"))))).as("m"))
+        .crossJoin(broadcast(refMap))
+        .crossJoin(broadcast(nr.select(col("n").as("nr"))))
+        .withColumn("psi", round(expr(
+          "aggregate(sequence(0L, 9L), 0D, (a, b) -> a + " +
+            s"($pw - $pr) * ln($pw / $pr))"), 6))
+        .select(col("w_start"), col("nw").as("n_window"), col("psi"),
+          expr("""CASE WHEN psi < 0.1D THEN 'stable'
+            |WHEN psi < 0.25D THEN 'moderate'
+            |ELSE 'major' END""".stripMargin).as("band"))
+        .orderBy("w_start")
+    },
+
     // STREAMING ENTITY MATCH — q_entity_match run as an online service:
     // dirty customer records ARRIVE as a stream and resolve against the
     // STATIC clean index via a stream-static blocked equi-join
@@ -1534,6 +1608,74 @@ object Streaming {
         |SELECT w_start, q AS quantile, n, rk AS rank_sel, value_cents,
         |  round(value_cents / 100.0::DOUBLE, 6) AS dollars
         |FROM sel ORDER BY w_start, quantile""".stripMargin,
+
+    // every real window closes, so the finished per-window histograms
+    // equal the batch per-hour rollup; reference deciles, binning, and
+    // the +1-smoothed fold replay in batch SQL
+    "q_stream_psi" ->
+      """WITH ref AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |refh AS (SELECT cents, COUNT(*) AS c FROM ref GROUP BY 1),
+        |cum AS (
+        |  SELECT cents, CAST(SUM(c) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM refh),
+        |nrf AS (SELECT CAST(SUM(c) AS BIGINT) AS nrv FROM refh),
+        |bnd AS (
+        |  SELECT k.range AS k, MIN(cents) AS bv
+        |  FROM range(1, 10) k CROSS JOIN nrf
+        |  JOIN cum ON cum.cum >= (nrf.nrv * k.range + 9) // 10
+        |  GROUP BY 1),
+        |refbins AS (
+        |  SELECT bin, CAST(SUM(c) AS BIGINT) AS cr FROM (
+        |    SELECT cents, c,
+        |      CAST(SUM(CASE WHEN cents >= bv THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS bin
+        |    FROM refh CROSS JOIN bnd GROUP BY 1, 2) GROUP BY 1),
+        |ev AS (
+        |  SELECT date_trunc('hour', ts) AS w_start,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |wh AS (SELECT w_start, cents, COUNT(*) AS c FROM ev
+        |  GROUP BY 1, 2),
+        |wb AS (
+        |  SELECT w_start, bin, CAST(SUM(c) AS BIGINT) AS cw FROM (
+        |    SELECT w_start, cents, c,
+        |      CAST(SUM(CASE WHEN cents >= bv THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS bin
+        |    FROM wh CROSS JOIN bnd GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT w.w_start, u.range AS bin, COALESCE(wb.cw, 0) AS cw,
+        |    COALESCE(rb.cr, 0) AS cr
+        |  FROM (SELECT DISTINCT w_start FROM wb) w
+        |  CROSS JOIN range(0, 10) u
+        |  LEFT JOIN wb ON wb.w_start = w.w_start AND wb.bin = u.range
+        |  LEFT JOIN refbins rb ON rb.bin = u.range),
+        |one AS (
+        |  SELECT w_start, CAST(SUM(cw) AS BIGINT) AS nw,
+        |    list(struct_pack(bin := bin, cw := cw, cr := cr)
+        |      ORDER BY bin) AS l
+        |  FROM cells GROUP BY 1),
+        |o2 AS (
+        |  SELECT w_start, nw, round(list_reduce(list_concat([0.0::DOUBLE],
+        |    list_transform(l, p ->
+        |      (((CAST(p.cw AS DOUBLE) + 1.0::DOUBLE) /
+        |        (CAST(nw AS DOUBLE) + 10.0::DOUBLE))
+        |        - ((CAST(p.cr AS DOUBLE) + 1.0::DOUBLE) /
+        |        (CAST(nrv AS DOUBLE) + 10.0::DOUBLE)))
+        |      * ln(((CAST(p.cw AS DOUBLE) + 1.0::DOUBLE) /
+        |        (CAST(nw AS DOUBLE) + 10.0::DOUBLE))
+        |        / ((CAST(p.cr AS DOUBLE) + 1.0::DOUBLE) /
+        |        (CAST(nrv AS DOUBLE) + 10.0::DOUBLE))))),
+        |    (a, b) -> a + b), 6) AS psi
+        |  FROM one CROSS JOIN nrf)
+        |SELECT w_start, nw AS n_window, psi,
+        |  CASE WHEN psi < 0.1 THEN 'stable'
+        |    WHEN psi < 0.25 THEN 'moderate' ELSE 'major' END AS band
+        |FROM o2 ORDER BY w_start""".stripMargin,
 
     // each dirty record arrives exactly once and resolves statelessly
     // against the full static index → the finished rollup equals the

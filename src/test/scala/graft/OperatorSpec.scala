@@ -3221,6 +3221,99 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(3) < 0.0, "bernoulli log-likelihood is negative")
   }
 
+  test("mcnemar: brute median-labeler replay matches all cells") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_mcnemar")(spark, sfDir).collect().head
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("CAST(n_chars AS BIGINT)",
+        "CAST(size(split(text, ' ')) - 1 AS BIGINT)",
+        "CASE WHEN lang = 'en' THEN 1L ELSE 0L END")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    def med(v: Seq[Long]): Long = {
+      val s = v.sorted; s(((s.length + 1) / 2 - 1).toInt)
+    }
+    val (mc, ms) = (med(d.map(_._1)), med(d.map(_._2)))
+    val preds = d.map { case (ch, sp, y) =>
+      (if (ch >= mc) 1L else 0L, if (sp >= ms) 1L else 0L, y)
+    }
+    val b = preds.count(t => t._1 == t._3 && t._2 != t._3).toLong
+    val c = preds.count(t => t._1 != t._3 && t._2 == t._3).toLong
+    assert(r.getLong(0) == d.length.toLong)
+    assert(r.getLong(1) == b && r.getLong(2) == c, s"cells: $r vs ($b,$c)")
+    if (b + c > 0) {
+      val chi2 = ((math.abs(b - c) - 1.0) * (math.abs(b - c) - 1.0)) /
+        (b + c)
+      assert(math.abs(r.getDouble(5) - math.rint(chi2 * 1e6) / 1e6) < 2e-6,
+        s"chi2: $r vs $chi2")
+    } else assert(r.isNullAt(5), "chi2 undefined when no discordance")
+    // accuracy audit columns match the paired recount
+    assert(math.abs(r.getDouble(3) -
+      preds.count(t => t._1 == t._3).toDouble / d.length) < 2e-6)
+    assert(math.abs(r.getDouble(4) -
+      preds.count(t => t._2 == t._3).toDouble / d.length) < 2e-6)
+  }
+
+  test("lift curve: brute sorted sweep matches; capture monotone to 1.0") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_lift_curve")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 10)
+    // capture is non-decreasing and ends at exactly 1.0
+    rows.sliding(2).foreach(p =>
+      assert(p(0).getDouble(4) <= p(1).getDouble(4) + 1e-9))
+    assert(rows.last.getDouble(4) == 1.0)
+    assert(rows.last.getDouble(5) == 1.0, "full-depth lift is 1 by def")
+    // brute replay: level-collapsed score-desc sweep
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("CAST(n_chars AS BIGINT) AS x",
+        "CASE WHEN lang = 'en' THEN 1L ELSE 0L END AS y")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = d.length
+    val sx = d.map(_._1).sum
+    val sxx = d.map(t => t._1 * t._1).sum
+    val sd = math.sqrt((n.toDouble * sxx - sx.toDouble * sx) /
+      (n.toDouble * (n - 1)))
+    val scored = d.map { case (x, y) =>
+      val z = math.rint((x - sx.toDouble / n) / sd * 1e6) / 1e6
+      (math.rint(1.0 / (1.0 + math.exp(-z)) * 1e6) / 1e6, y)
+    }
+    val lvls = scored.groupBy(_._1).toSeq
+      .map { case (p, g) => (p, g.length.toLong, g.map(_._2).sum) }
+      .sortBy(-_._1)
+    val cums = lvls.scanLeft((0L, 0L)) { case ((c, cp), (_, cn, pos)) =>
+      (c + cn, cp + pos)
+    }.tail
+    val npos = scored.map(_._2).sum
+    rows.foreach { r =>
+      val rk = (n.toLong * r.getLong(0) + 9) / 10
+      val (cd, cp) = cums.find(_._1 >= rk).get
+      assert(r.getLong(1) == rk && r.getLong(2) == cd && r.getLong(3) == cp,
+        s"depth: $r vs ($rk,$cd,$cp)")
+      assert(math.abs(r.getDouble(4) -
+        math.rint(cp.toDouble / npos * 1e6) / 1e6) < 2e-6)
+    }
+  }
+
+  test("sample size: formula replay, monotone decreasing in MDE") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_sample_size")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 3)
+    rows.sliding(2).foreach(p =>
+      assert(p(0).getLong(5) > p(1).getLong(5),
+        s"bigger MDE must need fewer units: ${p.toSeq}"))
+    rows.foreach { r =>
+      val (p1, d) = (r.getDouble(3), r.getLong(0) / 100.0)
+      val p2 = p1 + d
+      val zsum = 1.959964 + 0.841621
+      val want = math.ceil(zsum * zsum *
+        (p1 * (1 - p1) + p2 * (1 - p2)) / (d * d)).toLong
+      // p1 in the row is rounded to 6dp; re-derive within 1 unit
+      assert(math.abs(r.getLong(5) - want) <= 1L, s"n_arm: $r vs $want")
+      assert(r.getLong(5) > 0L && p1 > 0.0 && p1 < 1.0)
+    }
+  }
+
   test("brier decomposition: murphy identity exact, brute bin replay matches") {
     import graft.operators.Relational
     val r = Relational.queries("q_brier_decomposition")(spark, sfDir)

@@ -673,6 +673,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("stream psi: per-window drift replay matches, bands honor cutoffs") {
+    val rows = Streaming.queries("q_stream_psi")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // brute: reference deciles from the static purchases, then each
+    // window's +1-smoothed PSI against them
+    val purch = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .selectExpr("date_trunc('HOUR', ts) AS w",
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    val refSorted = purch.map(_._2).sorted
+    val nr = refSorted.length.toLong
+    val bnd = (1 to 9).map(k => refSorted(((nr * k + 9) / 10 - 1).toInt))
+    def binOf(v: Long) = bnd.count(v >= _)
+    val refBins = refSorted.groupBy(binOf)
+      .map { case (k, g) => k -> g.length.toLong }
+    val byWin = purch.groupBy(_._1)
+    rows.foreach { r =>
+      val g = byWin(r.getTimestamp(0)).map(_._2)
+      assert(r.getLong(1) == g.length.toLong, s"window n: $r")
+      val wb = g.groupBy(binOf).map { case (k, v) => k -> v.length.toLong }
+      val psi = (0 to 9).map { bin =>
+        val pw = (wb.getOrElse(bin, 0L) + 1.0) / (g.length + 10.0)
+        val pr = (refBins.getOrElse(bin, 0L) + 1.0) / (nr + 10.0)
+        (pw - pr) * math.log(pw / pr)
+      }.sum
+      assert(math.abs(r.getDouble(2) - psi) < 1e-5, s"psi: $r vs $psi")
+      val band = if (r.getDouble(2) < 0.1) "stable"
+        else if (r.getDouble(2) < 0.25) "moderate" else "major"
+      assert(r.getString(3) == band, s"band: $r")
+    }
+    // every window that saw a purchase reports
+    assert(rows.length == byWin.size)
+  }
+
   test("streaming entity match equals the batch linkage row-for-row") {
     val streamed = Streaming.queries("q_stream_entity_match")(spark, sfDir)
       .collect().toSet
