@@ -3741,6 +3741,83 @@ object Relational {
         .orderBy("channel")
     },
 
+    // DEPTH-2 CART REGRESSION TREE by histogram split search (the
+    // XGBoost/LightGBM core trick, Chen & Guestrin 2016 §3.3: split
+    // candidates come from the FEATURE HISTOGRAM, so finding the best
+    // split is a prefix-sum scan, not a sort of the corpus): root split
+    // on quantity minimizing total SSE of price, then the best split
+    // INSIDE each side — variance-reduction CART, exact. EXACT
+    // cross-engine by construction: every cumulative is an INTEGER /
+    // DECIMAL window sum over the ≤|levels| histogram (float window
+    // cumsums are NOT portable — DuckDB may tree-reduce them; integer
+    // addition is associative, so these are), and every SSE is one
+    // scalar double tree over those exact cums, so the argmin scan picks
+    // identical winners under the (sse ASC, x ASC) total order. Scale:
+    // ONE map-side histogram rollup; the scans run on the ≤50-row level
+    // table BY DESIGN — exactly how histogram-based GBDT distributes.
+    // (A side holding a single level has no candidate split and emits
+    // no child row — at sf0.001 the root splits at the top of the range
+    // and the right side is one level, so the output is 2 rows there
+    // and 3 at sf0.01+; both engines derive the same absence.)
+    "q_cart_stump" -> { (s, dir) =>
+      val lvl = t(s, dir, "lineitem").select(
+          col("l_quantity").cast(LongType).as("x"),
+          (money(col("l_extendedprice")) * 100).cast(LongType).as("y"))
+        .groupBy("x").agg(count(lit(1)).as("n"), sum("y").as("sy"),
+          sum(col("y").cast(DecimalType(18, 0)) *
+            col("y").cast(DecimalType(18, 0))).as("syy"))
+      val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = lvl
+        .withColumn("cn", sum("n").over(w))
+        .withColumn("cs", sum("sy").over(w))
+        .withColumn("css", sum("syy").over(w))
+      val tot = lvl.agg(sum("n").as("nn"), sum("sy").as("ss"),
+        sum("syy").as("sss"))
+      val c2 = cum.crossJoin(broadcast(tot)).localCheckpoint(true)
+      def sse(cnt: String, sm: String, ssq: String) =
+        s"(CAST($ssq AS DOUBLE) - CAST($sm AS DOUBLE) * $sm / $cnt)"
+      val root = c2.filter(col("cn") < col("nn"))
+        .withColumn("sa", expr(sse("cn", "cs", "css") + " + " +
+          sse("(nn - cn)", "(ss - cs)", "(sss - css)")))
+        .orderBy(col("sa").asc, col("x").asc).limit(1)
+        .select(col("x").as("t1"), col("cn").as("cn1"),
+          col("cs").as("cs1"), col("css").as("css1"), col("sa").as("sa1"),
+          col("nn"), col("ss"), col("sss"))
+        .localCheckpoint(true)
+      val left = c2.drop("nn", "ss", "sss").crossJoin(broadcast(root))
+        .filter(col("x") < col("t1"))
+        .withColumn("sa", expr(sse("cn", "cs", "css") + " + " +
+          sse("(cn1 - cn)", "(cs1 - cs)", "(css1 - css)")))
+        .orderBy(col("sa").asc, col("x").asc).limit(1)
+      val right = c2.drop("nn", "ss", "sss").crossJoin(broadcast(root))
+        .filter(col("x") > col("t1") && col("cn") < col("nn"))
+        .withColumn("sa", expr(sse("(cn - cn1)", "(cs - cs1)",
+          "(css - css1)") + " + " +
+          sse("(nn - cn)", "(ss - cs)", "(sss - css)")))
+        .orderBy(col("sa").asc, col("x").asc).limit(1)
+      val rootRow = root.select(lit("root").as("node"),
+        col("t1").as("split_x"), col("cn1").as("n_left"),
+        (col("nn") - col("cn1")).as("n_right"),
+        round(expr(sse("nn", "ss", "sss")), 6).as("sse_before"),
+        round(col("sa1"), 6).as("sse_after"),
+        round(expr(sse("nn", "ss", "sss")) - col("sa1"), 6).as("gain"))
+      val leftRow = left.select(lit("left").as("node"),
+        col("x").as("split_x"), col("cn").as("n_left"),
+        (col("cn1") - col("cn")).as("n_right"),
+        round(expr(sse("cn1", "cs1", "css1")), 6).as("sse_before"),
+        round(col("sa"), 6).as("sse_after"),
+        round(expr(sse("cn1", "cs1", "css1")) - col("sa"), 6).as("gain"))
+      val rightRow = right.select(lit("right").as("node"),
+        col("x").as("split_x"), (col("cn") - col("cn1")).as("n_left"),
+        (col("nn") - col("cn")).as("n_right"),
+        round(expr(sse("(nn - cn1)", "(ss - cs1)", "(sss - css1)")), 6)
+          .as("sse_before"),
+        round(col("sa"), 6).as("sse_after"),
+        round(expr(sse("(nn - cn1)", "(ss - cs1)", "(sss - css1)")) -
+          col("sa"), 6).as("gain"))
+      rootRow.unionByName(leftRow).unionByName(rightRow).orderBy("node")
+    },
+
     // McNEMAR'S PAIRED TEST (McNemar 1947 — THE test for "is classifier
     // B actually better than A on the SAME documents": accuracy deltas
     // mislead under pairing, only the DISCORDANT cells carry signal):
@@ -4732,6 +4809,78 @@ object Relational {
     "q_pca_power" -> pcaPowerOracle,
 
     "q_logistic_newton" -> logisticNewtonOracle,
+
+    // same integer/decimal histogram prefix sums (portable: integer
+    // window addition is associative), same scalar SSE trees, same
+    // (sse ASC, x ASC) argmin scans
+    "q_cart_stump" ->
+      """WITH lvl AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x, COUNT(*) AS n,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS sy,
+        |    SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |        AS BIGINT) AS DECIMAL(18,0)) *
+        |      CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |        AS BIGINT) AS DECIMAL(18,0))) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT x, n, sy, syy,
+        |    CAST(SUM(n) OVER w AS BIGINT) AS cn,
+        |    CAST(SUM(sy) OVER w AS BIGINT) AS cs,
+        |    SUM(syy) OVER w AS css
+        |  FROM lvl WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |  CAST(SUM(sy) AS BIGINT) AS ss, SUM(syy) AS sss FROM lvl),
+        |c2 AS (SELECT * FROM cum CROSS JOIN tot),
+        |root AS (
+        |  SELECT x AS t1, cn AS cn1, cs AS cs1, css AS css1, nn, ss, sss,
+        |    (CAST(css AS DOUBLE) - CAST(cs AS DOUBLE) * cs / cn) +
+        |    (CAST((sss - css) AS DOUBLE) -
+        |      CAST((ss - cs) AS DOUBLE) * (ss - cs) / (nn - cn)) AS sa1
+        |  FROM c2 WHERE cn < nn
+        |  ORDER BY sa1 ASC, x ASC LIMIT 1),
+        |lft AS (
+        |  SELECT c.*, r.t1, r.cn1, r.cs1, r.css1,
+        |    (CAST(css AS DOUBLE) - CAST(cs AS DOUBLE) * cs / cn) +
+        |    (CAST((css1 - css) AS DOUBLE) -
+        |      CAST((cs1 - cs) AS DOUBLE) * (cs1 - cs) / (cn1 - cn)) AS sa
+        |  FROM cum c CROSS JOIN root r WHERE c.x < r.t1
+        |  ORDER BY sa ASC, x ASC LIMIT 1),
+        |rgt AS (
+        |  SELECT c.*, r.t1, r.cn1, r.cs1, r.css1, r.nn, r.ss, r.sss,
+        |    (CAST((css - css1) AS DOUBLE) -
+        |      CAST((cs - cs1) AS DOUBLE) * (cs - cs1) / (cn - cn1)) +
+        |    (CAST((sss - css) AS DOUBLE) -
+        |      CAST((ss - cs) AS DOUBLE) * (ss - cs) / (nn - cn)) AS sa
+        |  FROM cum c CROSS JOIN root r WHERE c.x > r.t1 AND c.cn < r.nn
+        |  ORDER BY sa ASC, x ASC LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 'root' AS node, t1 AS split_x, cn1 AS n_left,
+        |    nn - cn1 AS n_right,
+        |    round((CAST(sss AS DOUBLE) - CAST(ss AS DOUBLE) * ss / nn), 6)
+        |      AS sse_before,
+        |    round(sa1, 6) AS sse_after,
+        |    round((CAST(sss AS DOUBLE) - CAST(ss AS DOUBLE) * ss / nn)
+        |      - sa1, 6) AS gain
+        |  FROM root
+        |  UNION ALL
+        |  SELECT 'left', x, cn, cn1 - cn,
+        |    round((CAST(css1 AS DOUBLE) -
+        |      CAST(cs1 AS DOUBLE) * cs1 / cn1), 6),
+        |    round(sa, 6),
+        |    round((CAST(css1 AS DOUBLE) -
+        |      CAST(cs1 AS DOUBLE) * cs1 / cn1) - sa, 6)
+        |  FROM lft
+        |  UNION ALL
+        |  SELECT 'right', x, cn - cn1, nn - cn,
+        |    round((CAST((sss - css1) AS DOUBLE) -
+        |      CAST((ss - cs1) AS DOUBLE) * (ss - cs1) / (nn - cn1)), 6),
+        |    round(sa, 6),
+        |    round((CAST((sss - css1) AS DOUBLE) -
+        |      CAST((ss - cs1) AS DOUBLE) * (ss - cs1) / (nn - cn1))
+        |      - sa, 6)
+        |  FROM rgt) ORDER BY node""".stripMargin,
 
     // same rank-selected medians, same discordant-cell rollup, same
     // continuity-corrected chi2 tree

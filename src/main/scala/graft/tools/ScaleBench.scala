@@ -73,11 +73,14 @@ object ScaleBench {
     * watermark-bounded stream-stream join — plus the KV CDC fold
     * (q_stream_kv_cdc streams the `nation` changelog, a GLOBAL dim the
     * tiers copy verbatim, so its cost must stay FLAT across tiers — the
-    * probe pins that the CDC path carries no hidden data-volume term).
-    * All five run at base, ×10 AND (when a dir is given) ×100. */
+    * probe pins that the CDC path carries no hidden data-volume term)
+    * and the round-14 watermark-windowed sketch (q_stream_hh_windowed:
+    * its state is d·w cells per OPEN window regardless of event volume,
+    * so its growth must track event count, never key count). All six
+    * run at base, ×10 AND (when a dir is given) ×100. */
   val streamProbes: Seq[String] = Seq("q_stream_chained",
     "q_stream_transform_state", "q_stream_dedup", "q_stream_join",
-    "q_stream_kv_cdc")
+    "q_stream_kv_cdc", "q_stream_hh_windowed")
 
   /** ×100 subset: the heaviest per-family representatives (full set would
     * take ~an hour at 100×; the point is the growth curve, which one probe

@@ -3221,6 +3221,54 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(3) < 0.0, "bernoulli log-likelihood is negative")
   }
 
+  test("cart stump: brute split-search replay matches every node") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_cart_stump")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.contains("root"))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT)",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    def sse(g: Seq[(Long, Long)]): Double = {
+      val n = g.length.toDouble
+      val s = g.map(_._2).sum.toDouble
+      g.map(t => BigDecimal(t._2) * BigDecimal(t._2)).sum.toDouble -
+        s * s / n
+    }
+    def bestSplit(g: Seq[(Long, Long)]): Option[(Long, Double)] = {
+      val levels = g.map(_._1).distinct.sorted
+      if (levels.length < 2) None
+      else Some(levels.init.map { t =>
+        val (l, r) = g.partition(_._1 <= t)
+        (t, sse(l) + sse(r))
+      }.minBy(p => (p._2, p._1)))
+    }
+    val (t1, sa1) = bestSplit(li.toSeq).get
+    val root = rows("root")
+    assert(root.getLong(1) == t1, s"root split: $root vs $t1")
+    assert(math.abs(root.getDouble(5) - sa1) <
+      math.abs(sa1) * 1e-9 + 1e-3, s"root sse: $root vs $sa1")
+    assert(root.getDouble(6) >= -1e-6, "gain never negative")
+    val (lg, rg) = li.toSeq.partition(_._1 <= t1)
+    assert(root.getLong(2) == lg.length.toLong &&
+      root.getLong(3) == rg.length.toLong)
+    Seq("left" -> lg, "right" -> rg).foreach { case (name, g) =>
+      (rows.get(name), bestSplit(g)) match {
+        case (Some(r), Some((t, sa))) =>
+          assert(r.getLong(1) == t, s"$name split: $r vs $t")
+          assert(math.abs(r.getDouble(5) - sa) <
+            math.abs(sa) * 1e-9 + 1e-3, s"$name sse: $r vs $sa")
+          assert(math.abs(r.getDouble(4) - math.rint(sse(g) * 1e6) / 1e6)
+            < math.abs(sse(g)) * 1e-9 + 1e-3, s"$name before: $r")
+          assert(r.getDouble(6) >= -1e-6)
+        case (None, None) => // single-level side: both agree no split
+        case (got, want) =>
+          fail(s"$name: query=$got brute=$want disagree on splittability")
+      }
+    }
+  }
+
   test("mcnemar: brute median-labeler replay matches all cells") {
     import graft.operators.Relational
     val r = Relational.queries("q_mcnemar")(spark, sfDir).collect().head
