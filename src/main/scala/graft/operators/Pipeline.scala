@@ -44,6 +44,54 @@ object Pipeline {
     * sessions). Idempotent. */
   def registerNativeFns(s: SparkSession): Unit = graft.functions.Natives.register(s)
 
+  /** q_importance_resample's corpus-side gram stream (doc, lang, hashed
+    * bucket) — factored so the PlanSpec pin and the public query share
+    * ONE definition. */
+  private[graft] def resampleGrams(s: SparkSession, dir: String): DataFrame =
+    docsPar(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr(s"concat(w, ${ngramExpr(2)})")).as("g"))
+      .withColumn("b", expr(s"${hExpr("g")} % 64"))
+
+  /** The LAZY q_importance_resample pipeline over a (possibly cached)
+    * gram stream. The public query materializes this eagerly inside its
+    * cache scope (which collapses the visible plan to the checkpoint
+    * scan), so PlanSpec pins the join strategy HERE. */
+  private[graft] def importanceResamplePlan(grams: DataFrame): DataFrame = {
+    val db = grams.groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("k"))
+    val buckets = grams.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val tots = buckets.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    val delta = buckets.crossJoin(broadcast(tots))
+      .withColumn("delta", round(expr(
+        "ln((ct + 1.0D) / (tt + 64.0D)) - ln((cr + 1.0D) / (tr + 64.0D))"), 6))
+      .select("b", "delta")
+    val logw = db.join(broadcast(delta), "b")
+      .withColumn("contrib", col("k") * col("delta"))
+      .groupBy("doc_id", "lang")
+      .agg(expr("round(aggregate(array_sort(collect_list(contrib)), " +
+        "cast(0.0 as double), (a, x) -> a + x), 6)").as("logw"))
+    logw
+      .withColumn("rate_bp", least(lit(10000L),
+        expr("cast(floor(round(exp(logw) * 2500.0D, 6)) as bigint)")))
+      .withColumn("keep",
+        expr(s"${hExpr("cast(doc_id as string)")} % 10000") < col("rate_bp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(expr("cast(round(round(logw, 6) * 1000000.0D, 0) as bigint)"))
+          .as("logw_micro"))
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6)
+          .as("keep_rate"),
+        round(col("logw_micro").cast("double") / lit(1000000.0) /
+          col("n_docs"), 6).as("avg_logw"))
+      .orderBy("lang")
+  }
+
   /** documents spread across all cores: the testdata ships as one small
     * parquet file → one input split, which would serialize the expensive
     * per-token hash work onto a single core. The repartition is a real
@@ -2328,44 +2376,10 @@ object Pipeline {
     // Scale: the only corpus-sized shuffle is the (doc, bucket) rollup;
     // everything the docs join against is ≤64 rows, broadcast.
     "q_importance_resample" -> { (s, dir) =>
-      val d = docsPar(s, dir)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
-      val grams = d.select(col("doc_id"), col("lang"),
-          explode(expr(s"concat(w, ${ngramExpr(2)})")).as("g"))
-        .withColumn("b", expr(s"${hExpr("g")} % 64"))
+      val grams = resampleGrams(s, dir)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val db = grams.groupBy("doc_id", "lang", "b")
-          .agg(count(lit(1)).as("k"))
-        val buckets = grams.groupBy("b").agg(
-          count(lit(1)).as("cr"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
-        val tots = buckets.agg(sum("cr").as("tr"), sum("ct").as("tt"))
-        val delta = buckets.crossJoin(broadcast(tots))
-          .withColumn("delta", round(expr(
-            "ln((ct + 1.0D) / (tt + 64.0D)) - ln((cr + 1.0D) / (tr + 64.0D))"), 6))
-          .select("b", "delta")
-        val logw = db.join(broadcast(delta), "b")
-          .withColumn("contrib", col("k") * col("delta"))
-          .groupBy("doc_id", "lang")
-          .agg(expr("round(aggregate(array_sort(collect_list(contrib)), " +
-            "cast(0.0 as double), (a, x) -> a + x), 6)").as("logw"))
-        logw
-          .withColumn("rate_bp", least(lit(10000L),
-            expr("cast(floor(round(exp(logw) * 2500.0D, 6)) as bigint)")))
-          .withColumn("keep",
-            expr(s"${hExpr("cast(doc_id as string)")} % 10000") < col("rate_bp"))
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-            sum(expr("cast(round(round(logw, 6) * 1000000.0D, 0) as bigint)"))
-              .as("logw_micro"))
-          .select(col("lang"), col("n_docs"), col("n_kept"),
-            round(col("n_kept").cast("double") / col("n_docs"), 6)
-              .as("keep_rate"),
-            round(col("logw_micro").cast("double") / lit(1000000.0) /
-              col("n_docs"), 6).as("avg_logw"))
-          .orderBy("lang")
+        importanceResamplePlan(grams)
           // eager ≤|langs|-row materialization before grams leaves the
           // cache — a lazy return would recompute both gram passes
           // uncached (r13 advice)

@@ -1161,8 +1161,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   test("importance resample: the 64-row delta table broadcasts; no corpus join shuffle") {
     // the per-doc bucket counts must meet the Δ table as a broadcast — a
     // SortMergeJoin would shuffle the corpus-sized (doc, bucket) stream by
-    // bucket; nothing here may go nested-loop/cartesian
-    val plan = planOf(Pipeline.queries("q_importance_resample")(spark, sfDir))
+    // bucket; nothing here may go nested-loop/cartesian. Pinned on the
+    // LAZY pipeline: the public query materializes eagerly inside its
+    // cache scope (r14), which collapses the visible plan to the
+    // checkpoint scan.
+    val plan = planOf(Pipeline.importanceResamplePlan(
+      Pipeline.resampleGrams(spark, sfDir)))
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
