@@ -4385,6 +4385,186 @@ object Relational {
           (col("true_count") +
             expr("CAST(round(noise, 0) AS BIGINT)")).as("noisy_count"))
         .orderBy("n_name")
+    },
+
+    // ONE-WAY ANOVA F (the "does the group matter at all" gate that runs
+    // before any per-group deep dive — here: does order priority move
+    // total price): the corpus collapses ONCE to the ≤|groups| (n, Σy,
+    // Σy²) sufficient-statistic table in exact integers (cents BIGINT,
+    // y² through DECIMAL — the q_cross_validation discipline), SSB/SSW
+    // are then left folds over the group-SORTED struct list (the
+    // q_logistic_newton float rule — a 5-term double sum must not let
+    // shuffle order pick the rounding), F and η² read from one shared
+    // tree. Scale: one map-side rollup; everything after is per-GROUP
+    // scalar algebra on a broadcast-sized frame.
+    "q_anova_f" -> { (s, dir) =>
+      val d = t(s, dir, "orders").select(
+        col("o_orderpriority").as("g"),
+        (money(col("o_totalprice")) * 100).cast(LongType).as("y"))
+      val gs = d.groupBy("g").agg(count(lit(1)).as("n"),
+        sum("y").as("sy"),
+        sum(col("y").cast(DecimalType(18, 0)) *
+          col("y").cast(DecimalType(18, 0))).as("syy"))
+      def fold(term: String): String =
+        s"aggregate(l, 0D, (a, p) -> a + ($term))"
+      gs.agg(sum("n").as("tn"), sum("sy").as("tsy"),
+          count(lit(1)).as("k"),
+          sort_array(collect_list(struct(col("g"), col("n"), col("sy"),
+            col("syy")))).as("l"))
+        .withColumn("ssb", expr(fold(
+          "CAST(p.n AS DOUBLE) * " +
+            "(CAST(p.sy AS DOUBLE) / p.n - CAST(tsy AS DOUBLE) / tn) * " +
+            "(CAST(p.sy AS DOUBLE) / p.n - CAST(tsy AS DOUBLE) / tn)")))
+        .withColumn("ssw", expr(fold(
+          "CAST(p.syy AS DOUBLE) - CAST(p.sy AS DOUBLE) * p.sy / p.n")))
+        .select(col("tn").as("n"), col("k"),
+          round(expr("ssb / 1e8"), 4).as("ss_between_usd2"),
+          round(expr("ssw / 1e8"), 4).as("ss_within_usd2"),
+          round(expr("(ssb / (k - 1)) / (ssw / (tn - k))"), 6)
+            .as("f_stat"),
+          round(expr("ssb / (ssb + ssw)"), 6).as("eta_sq"))
+    },
+
+    // KRUSKAL–WALLIS H (the rank-based ANOVA that survives the heavy
+    // right tail order totals actually have): global average ranks come
+    // from the value-LEVEL histogram — 2·avg_rank = 2·cum_before+cnt+1
+    // is an EXACT integer, so per-group rank sums are integer sufficient
+    // stats (the q_mann_whitney rank discipline, K groups instead of 2),
+    // the tie term Σ(t³−t) reads off the same histogram, and H folds
+    // over the ≤|groups| sorted list in one double tree. Scale: corpus →
+    // level histogram (map-side) → one broadcast-sized rank join; no
+    // row-level sort anywhere.
+    "q_kruskal_wallis" -> { (s, dir) =>
+      val d = t(s, dir, "orders").select(
+        col("o_orderpriority").as("g"),
+        (money(col("o_totalprice")) * 100).cast(LongType).as("y"))
+      val lvl = d.groupBy("y").agg(count(lit(1)).as("cn"))
+      val cum = lvl.withColumn("cb", sum("cn").over(
+        Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0))
+        - col("cn"))
+      val gr = d.groupBy("g", "y").agg(count(lit(1)).as("gn"))
+        .join(cum, "y")
+        .groupBy("g").agg(
+          sum(col("gn") * (lit(2L) * col("cb") + col("cn") + 1L))
+            .as("r2"),
+          sum("gn").as("n"))
+      val ties = lvl.agg(
+        sum(col("cn") * col("cn") * col("cn") - col("cn")).as("tsum"))
+      val st = gr
+        .agg(sum("n").as("tn"),
+          sort_array(collect_list(struct(col("g"), col("n"), col("r2"))))
+            .as("l"))
+        .crossJoin(broadcast(ties))
+        .withColumn("srn", expr(
+          "aggregate(l, 0D, (a, p) -> a + ((CAST(p.r2 AS DOUBLE) / 2) * " +
+            "(CAST(p.r2 AS DOUBLE) / 2) / p.n))"))
+        .select(col("tn"), col("tsum"),
+          expr("12.0D / (CAST(tn AS DOUBLE) * (tn + 1)) * srn " +
+            "- 3.0D * (tn + 1)").as("h_raw"))
+      gr.crossJoin(broadcast(st))
+        .select(col("g").as("grp"), col("n"),
+          round(expr("CAST(r2 AS DOUBLE) / 2"), 1).as("rank_sum"),
+          round(col("h_raw"), 6).as("h"),
+          round(expr("h_raw / (1.0D - CAST(tsum AS DOUBLE) / " +
+            "(CAST(tn AS DOUBLE) * tn * tn - tn))"), 6)
+            .as("h_corrected"))
+        .orderBy("grp")
+    },
+
+    // LEVENE'S TEST, Brown–Forsythe variant (the variance-homogeneity
+    // check that decides whether q_anova_f's pooled-variance F is even
+    // admissible — deviations from the group MEDIAN, robust where the
+    // classic mean-based Levene is not): group medians are exact lower
+    // medians by integer rank on the per-group histogram (the q_mcnemar
+    // median trick, partitioned), |y−med| stays integer cents, and the
+    // deviations feed the identical sufficient-stat ANOVA shape as
+    // q_anova_f. Scale: two map-side rollups (histogram, then deviation
+    // stats) + broadcast medians; W is ≤|groups|-row scalar algebra.
+    "q_levene_test" -> { (s, dir) =>
+      val d = t(s, dir, "orders").select(
+        col("o_orderpriority").as("g"),
+        (money(col("o_totalprice")) * 100).cast(LongType).as("y"))
+      val h = d.groupBy("g", "y").agg(count(lit(1)).as("cn"))
+      val cum = h
+        .withColumn("cum", sum("cn").over(
+          Window.partitionBy("g").orderBy("y")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("gn", sum("cn").over(Window.partitionBy("g")))
+      val med = cum.filter(col("cum") >= expr("(gn + 1L) div 2L"))
+        .groupBy("g").agg(min("y").as("med"))
+      val z = d.join(broadcast(med), "g")
+        .select(col("g"), abs(col("y") - col("med")).as("z"))
+      val gs = z.groupBy("g").agg(count(lit(1)).as("n"),
+        sum("z").as("sz"),
+        sum(col("z").cast(DecimalType(18, 0)) *
+          col("z").cast(DecimalType(18, 0))).as("szz"))
+      def fold(term: String): String =
+        s"aggregate(l, 0D, (a, p) -> a + ($term))"
+      val st = gs
+        .agg(sum("n").as("tn"), sum("sz").as("tsz"),
+          count(lit(1)).as("k"),
+          sort_array(collect_list(struct(col("g"), col("n"), col("sz"),
+            col("szz")))).as("l"))
+        .withColumn("ssb", expr(fold(
+          "CAST(p.n AS DOUBLE) * " +
+            "(CAST(p.sz AS DOUBLE) / p.n - CAST(tsz AS DOUBLE) / tn) * " +
+            "(CAST(p.sz AS DOUBLE) / p.n - CAST(tsz AS DOUBLE) / tn)")))
+        .withColumn("ssw", expr(fold(
+          "CAST(p.szz AS DOUBLE) - CAST(p.sz AS DOUBLE) * p.sz / p.n")))
+        .select(col("k"), col("tn"),
+          round(expr("(ssb / (k - 1)) / (ssw / (tn - k))"), 6)
+            .as("w_stat"))
+      gs.join(broadcast(med), "g")
+        .crossJoin(broadcast(st))
+        .select(col("g").as("grp"), col("n"),
+          round(expr("CAST(med AS DOUBLE) / 100"), 2).as("median_usd"),
+          round(expr("CAST(sz AS DOUBLE) / n / 100"), 6).as("mad_usd"),
+          col("w_stat"))
+        .orderBy("grp")
+    },
+
+    // WILCOXON SIGNED-RANK (the paired two-period test q_welch_ttest
+    // cannot be — same customers, before/after 1998, no normality
+    // assumed): pairs = per-customer exact cent totals in each period
+    // (both-active customers only, zero diffs dropped per the classic
+    // procedure), |diff| ranks come from the level histogram with the
+    // integer 2·rank trick (q_kruskal_wallis's), W⁺ is an exact integer
+    // sum in 2× units, and the tie-corrected normal z reads from one
+    // scalar tree. Scale: one customer rollup → |diff| level histogram;
+    // no row sort, no per-pair window.
+    "q_wilcoxon_signed_rank" -> { (s, dir) =>
+      val p = t(s, dir, "orders").select(
+        col("o_custkey").as("c"),
+        expr("CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' " +
+          "THEN 0L ELSE 1L END").as("half"),
+        (money(col("o_totalprice")) * 100).cast(LongType).as("y"))
+        .groupBy("c").agg(
+          sum(when(col("half") === 0L, col("y")).otherwise(0L)).as("y0"),
+          sum(when(col("half") === 1L, col("y")).otherwise(0L)).as("y1"),
+          min("half").as("mn"), max("half").as("mx"))
+      val d = p.filter(col("mn") === 0L && col("mx") === 1L &&
+          col("y1") =!= col("y0"))
+        .select(col("c"), (col("y1") - col("y0")).as("diff"))
+      val lvl = d.groupBy(abs(col("diff")).as("a"))
+        .agg(count(lit(1)).as("cn"))
+      val cum = lvl.withColumn("cb", sum("cn").over(
+        Window.orderBy("a").rowsBetween(Window.unboundedPreceding, 0))
+        - col("cn"))
+      val w = d.join(cum, abs(col("diff")) === col("a"))
+        .agg(sum(when(col("diff") > 0L,
+          lit(2L) * col("cb") + col("cn") + 1L).otherwise(0L)).as("w2p"),
+          count(lit(1)).as("n"))
+      val ties = lvl.agg(
+        sum(col("cn") * col("cn") * col("cn") - col("cn")).as("tsum"))
+      w.crossJoin(broadcast(ties))
+        .select(col("n").as("n_pairs"),
+          round(expr("CAST(w2p AS DOUBLE) / 2"), 1).as("w_plus"),
+          round(expr("(CAST(n AS DOUBLE) * (n + 1) / 2) - " +
+            "CAST(w2p AS DOUBLE) / 2"), 1).as("w_minus"),
+          round(expr("(CAST(w2p AS DOUBLE) / 2 - " +
+            "CAST(n AS DOUBLE) * (n + 1) / 4) / " +
+            "sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24 - " +
+            "CAST(tsum AS DOUBLE) / 48)"), 6).as("z"))
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -7800,5 +7980,167 @@ object Relational {
         |       WHEN llr <= round(ln(1.0::DOUBLE / 19.0::DOUBLE), 6)
         |         THEN 'accept_h0'
         |       ELSE 'continue' END AS decision
-        |FROM sc ORDER BY day""".stripMargin)
+        |FROM sc ORDER BY day""".stripMargin,
+
+    // same group sufficient stats, same group-sorted list folds (the
+    // fold-pairing rule: list_reduce over [0.0]++terms == Spark
+    // aggregate), same SSB/SSW/F/eta trees
+    "q_anova_f" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM orders),
+        |gs AS (
+        |  SELECT g, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+        |      AS syy
+        |  FROM d GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(SUM(sy) AS BIGINT) AS tsy, COUNT(*) AS k,
+        |    list_sort(list(struct_pack(g := g, n := n, sy := sy,
+        |      syy := syy))) AS l
+        |  FROM gs),
+        |st AS (
+        |  SELECT tn, tsy, k,
+        |    list_reduce(list_concat([0.0::DOUBLE], list_transform(l,
+        |      p -> (p.n::DOUBLE *
+        |        (p.sy::DOUBLE / p.n - tsy::DOUBLE / tn) *
+        |        (p.sy::DOUBLE / p.n - tsy::DOUBLE / tn)))),
+        |      (a, b) -> a + b) AS ssb,
+        |    list_reduce(list_concat([0.0::DOUBLE], list_transform(l,
+        |      p -> (p.syy::DOUBLE - p.sy::DOUBLE * p.sy / p.n))),
+        |      (a, b) -> a + b) AS ssw
+        |  FROM tot)
+        |SELECT tn AS n, k,
+        |  round(ssb / 1e8, 4) AS ss_between_usd2,
+        |  round(ssw / 1e8, 4) AS ss_within_usd2,
+        |  round((ssb / (k - 1)) / (ssw / (tn - k)), 6) AS f_stat,
+        |  round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM st""".stripMargin,
+
+    // same level histogram, same integer 2·rank trick, same tie term,
+    // same group-sorted fold and H trees
+    "q_kruskal_wallis" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM orders),
+        |lvl AS (SELECT y, COUNT(*) AS cn FROM d GROUP BY 1),
+        |cum AS (
+        |  SELECT y, cn, CAST(SUM(cn) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cn
+        |    AS BIGINT) AS cb
+        |  FROM lvl),
+        |gr AS (
+        |  SELECT g,
+        |    CAST(SUM(gv.gn * (2 * c.cb + c.cn + 1)) AS BIGINT) AS r2,
+        |    CAST(SUM(gv.gn) AS BIGINT) AS n
+        |  FROM (SELECT g, y, COUNT(*) AS gn FROM d GROUP BY 1, 2) gv
+        |  JOIN cum c ON gv.y = c.y GROUP BY 1),
+        |ties AS (
+        |  SELECT CAST(SUM(cn * cn * cn - cn) AS BIGINT) AS tsum FROM lvl),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    list_sort(list(struct_pack(g := g, n := n, r2 := r2))) AS l
+        |  FROM gr),
+        |st AS (
+        |  SELECT tn, tsum,
+        |    12.0::DOUBLE / (tn::DOUBLE * (tn + 1)) *
+        |      list_reduce(list_concat([0.0::DOUBLE], list_transform(l,
+        |        p -> ((p.r2::DOUBLE / 2) * (p.r2::DOUBLE / 2) / p.n))),
+        |        (a, b) -> a + b)
+        |      - 3.0::DOUBLE * (tn + 1) AS h_raw
+        |  FROM tot CROSS JOIN ties)
+        |SELECT g AS grp, n, round(r2::DOUBLE / 2, 1) AS rank_sum,
+        |  round(h_raw, 6) AS h,
+        |  round(h_raw / (1.0::DOUBLE - tsum::DOUBLE /
+        |    (tn::DOUBLE * tn * tn - tn)), 6) AS h_corrected
+        |FROM gr CROSS JOIN st ORDER BY grp""".stripMargin,
+
+    // same per-group lower medians by integer rank, same |y−med| cents,
+    // same ANOVA fold trees as q_anova_f
+    "q_levene_test" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM orders),
+        |h AS (SELECT g, y, COUNT(*) AS cn FROM d GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, y, SUM(cn) OVER (PARTITION BY g ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    CAST(SUM(cn) OVER (PARTITION BY g) AS BIGINT) AS gn
+        |  FROM h),
+        |med AS (
+        |  SELECT g, MIN(y) AS med FROM cum
+        |  WHERE cum >= (gn + 1) // 2 GROUP BY 1),
+        |z AS (
+        |  SELECT d.g, abs(d.y - med.med) AS z
+        |  FROM d JOIN med ON d.g = med.g),
+        |gs AS (
+        |  SELECT g, COUNT(*) AS n, CAST(SUM(z) AS BIGINT) AS sz,
+        |    SUM(CAST(z AS DECIMAL(18,0)) * CAST(z AS DECIMAL(18,0)))
+        |      AS szz
+        |  FROM z GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(SUM(sz) AS BIGINT) AS tsz, COUNT(*) AS k,
+        |    list_sort(list(struct_pack(g := g, n := n, sz := sz,
+        |      szz := szz))) AS l
+        |  FROM gs),
+        |st AS (
+        |  SELECT k, tn,
+        |    round((list_reduce(list_concat([0.0::DOUBLE],
+        |        list_transform(l, p -> (p.n::DOUBLE *
+        |          (p.sz::DOUBLE / p.n - tsz::DOUBLE / tn) *
+        |          (p.sz::DOUBLE / p.n - tsz::DOUBLE / tn)))),
+        |        (a, b) -> a + b) / (k - 1)) /
+        |      (list_reduce(list_concat([0.0::DOUBLE],
+        |        list_transform(l, p -> (p.szz::DOUBLE -
+        |          p.sz::DOUBLE * p.sz / p.n))),
+        |        (a, b) -> a + b) / (tn - k)), 6) AS w_stat
+        |  FROM tot)
+        |SELECT g AS grp, n, round(med::DOUBLE / 100, 2) AS median_usd,
+        |  round(sz::DOUBLE / n / 100, 6) AS mad_usd, w_stat
+        |FROM gs JOIN med USING (g) CROSS JOIN st ORDER BY grp""".stripMargin,
+
+    // same both-active pair rollup, same |diff| level ranks, same
+    // tie-corrected z tree
+    "q_wilcoxon_signed_rank" ->
+      """WITH p AS (
+        |  SELECT o_custkey AS c,
+        |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |        AS BIGINT) ELSE 0 END) AS y0,
+        |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN 0 ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |        AS BIGINT) END) AS y1,
+        |    MIN(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN 0 ELSE 1 END) AS mn,
+        |    MAX(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN 0 ELSE 1 END) AS mx
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT c, CAST(y1 - y0 AS BIGINT) AS diff
+        |  FROM p WHERE mn = 0 AND mx = 1 AND y1 <> y0),
+        |lvl AS (SELECT abs(diff) AS a, COUNT(*) AS cn FROM d GROUP BY 1),
+        |cum AS (
+        |  SELECT a, cn, CAST(SUM(cn) OVER (ORDER BY a
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cn
+        |    AS BIGINT) AS cb
+        |  FROM lvl),
+        |w AS (
+        |  SELECT CAST(SUM(CASE WHEN d.diff > 0
+        |      THEN 2 * c.cb + c.cn + 1 ELSE 0 END) AS BIGINT) AS w2p,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d JOIN cum c ON abs(d.diff) = c.a),
+        |ties AS (
+        |  SELECT CAST(SUM(cn * cn * cn - cn) AS BIGINT) AS tsum FROM lvl)
+        |SELECT n AS n_pairs, round(w2p::DOUBLE / 2, 1) AS w_plus,
+        |  round((n::DOUBLE * (n + 1) / 2) - w2p::DOUBLE / 2, 1)
+        |    AS w_minus,
+        |  round((w2p::DOUBLE / 2 - n::DOUBLE * (n + 1) / 4) /
+        |    sqrt(n::DOUBLE * (n + 1) * (2 * n + 1) / 24 -
+        |      tsum::DOUBLE / 48), 6) AS z
+        |FROM w CROSS JOIN ties""".stripMargin)
 }

@@ -3555,4 +3555,126 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     // errors of the m=64 bound 1.04/sqrt(64) (Flajolet et al. 2007)
     assert(r.getDouble(4) <= 3.0 * 1.04 / 8.0, s"rel_error: $r")
   }
+
+  private def orderCents(): Array[(String, Long)] =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderpriority",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  test("anova f: brute group-mean decomposition matches") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_anova_f")(spark, sfDir).collect().head
+    val g = orderCents().groupBy(_._1).map { case (_, v) =>
+      v.map(_._2.toDouble)
+    }.toSeq
+    val n = g.map(_.length).sum
+    val gm = g.map(_.sum).sum / n
+    val ssb = g.map(v => v.length * math.pow(v.sum / v.length - gm, 2)).sum
+    val ssw = g.map(v => v.map(x => math.pow(x - v.sum / v.length, 2)).sum)
+      .sum
+    val f = (ssb / (g.length - 1)) / (ssw / (n - g.length))
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == g.length.toLong)
+    assert(math.abs(r.getDouble(4) - f) < math.abs(f) * 1e-6 + 1e-4,
+      s"f: $r vs $f")
+    assert(math.abs(r.getDouble(5) - ssb / (ssb + ssw)) < 1e-5)
+    assert(math.abs(r.getDouble(2) - ssb / 1e8) < ssb / 1e8 * 1e-6 + 1e-2)
+    assert(math.abs(r.getDouble(3) - ssw / 1e8) < ssw / 1e8 * 1e-6 + 1e-2)
+  }
+
+  private def avgRanks(xs: Seq[Long]): Map[Long, Double] = {
+    var i = 0L
+    val m = scala.collection.mutable.Map[Long, Double]()
+    for ((v, g) <- xs.sorted.groupBy(identity).toSeq.sortBy(_._1)) {
+      m(v) = i + (g.length + 1) / 2.0
+      i += g.length
+    }
+    m.toMap
+  }
+
+  test("kruskal-wallis: brute average-rank H matches per group") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_kruskal_wallis")(spark, sfDir)
+      .collect().sortBy(_.getString(0))
+    val d = orderCents()
+    val rank = avgRanks(d.map(_._2).toSeq)
+    val g = d.groupBy(_._1).view.mapValues(_.map(x => rank(x._2))).toMap
+    val n = d.length
+    val srn = g.values.map(v => math.pow(v.sum, 2) / v.length).sum
+    val h = 12.0 / (n.toDouble * (n + 1)) * srn - 3.0 * (n + 1)
+    val tsum = d.map(_._2).groupBy(identity).values
+      .map(v => math.pow(v.length, 3) - v.length).sum
+    val hc = h / (1.0 - tsum / (math.pow(n, 3) - n))
+    assert(rows.length == g.size)
+    rows.foreach { r =>
+      val rs = g(r.getString(0)).sum
+      assert(r.getLong(1) == g(r.getString(0)).length.toLong)
+      assert(math.abs(r.getDouble(2) - rs) < 0.51, s"rank_sum: $r vs $rs")
+      assert(math.abs(r.getDouble(3) - h) < math.abs(h) * 1e-6 + 1e-4,
+        s"h: $r vs $h")
+      assert(math.abs(r.getDouble(4) - hc) < math.abs(hc) * 1e-6 + 1e-4)
+    }
+  }
+
+  test("levene/brown-forsythe: brute median-deviation F matches") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_levene_test")(spark, sfDir)
+      .collect().sortBy(_.getString(0))
+    val g = orderCents().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def lowMed(v: Seq[Long]): Long = {
+      val s = v.sorted; s(((s.length + 1) / 2 - 1).toInt)
+    }
+    val z = g.view.mapValues { v =>
+      val m = lowMed(v.toSeq); v.map(x => math.abs(x - m).toDouble)
+    }.toMap
+    val n = z.values.map(_.length).sum
+    val k = z.size
+    val gm = z.values.map(_.sum).sum / n
+    val ssb = z.values
+      .map(v => v.length * math.pow(v.sum / v.length - gm, 2)).sum
+    val ssw = z.values
+      .map(v => v.map(x => math.pow(x - v.sum / v.length, 2)).sum).sum
+    val w = (ssb / (k - 1)) / (ssw / (n - k))
+    rows.foreach { r =>
+      val grp = r.getString(0)
+      assert(r.getLong(1) == g(grp).length.toLong)
+      assert(math.abs(r.getDouble(2) - lowMed(g(grp).toSeq) / 100.0)
+        < 5e-3, s"median: $r")
+      assert(math.abs(r.getDouble(3) -
+        z(grp).sum / z(grp).length / 100.0) < 1e-4, s"mad: $r")
+      assert(math.abs(r.getDouble(4) - w) < math.abs(w) * 1e-6 + 1e-4,
+        s"w: $r vs $w")
+    }
+  }
+
+  test("wilcoxon signed-rank: brute paired-diff replay matches") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_wilcoxon_signed_rank")(spark, sfDir)
+      .collect().head
+    val prs = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey",
+        "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect()
+      .map(x => (x.getLong(0), x.getBoolean(1), x.getLong(2)))
+      .groupBy(_._1).values.toSeq
+      .filter(v => v.exists(_._2) && v.exists(!_._2))
+      .map { v =>
+        v.filter(!_._2).map(_._3).sum - v.filter(_._2).map(_._3).sum
+      }
+      .filter(_ != 0L)
+    val rank = avgRanks(prs.map(math.abs))
+    val n = prs.length
+    val wp = prs.filter(_ > 0L).map(d => rank(math.abs(d))).sum
+    val tsum = prs.map(math.abs).groupBy(identity).values
+      .map(v => math.pow(v.length, 3) - v.length).sum
+    val z = (wp - n.toDouble * (n + 1) / 4) /
+      math.sqrt(n.toDouble * (n + 1) * (2 * n + 1) / 24 - tsum / 48)
+    assert(r.getLong(0) == n.toLong, s"n: $r vs $n")
+    assert(math.abs(r.getDouble(1) - wp) < 0.51, s"w_plus: $r vs $wp")
+    assert(math.abs(r.getDouble(2) -
+      (n.toDouble * (n + 1) / 2 - wp)) < 0.51, s"w_minus: $r")
+    assert(math.abs(r.getDouble(3) - z) < math.abs(z) * 1e-6 + 1e-4,
+      s"z: $r vs $z")
+  }
 }
