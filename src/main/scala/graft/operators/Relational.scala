@@ -4565,6 +4565,177 @@ object Relational {
             "CAST(n AS DOUBLE) * (n + 1) / 4) / " +
             "sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24 - " +
             "CAST(tsum AS DOUBLE) / 48)"), 6).as("z"))
+    },
+
+    // TWO-GROUP LOG-RANK TEST (Mantel 1966 — "do the two cohorts churn
+    // at the same rate", the comparison half of the survival family
+    // whose curve halves are q_kaplan_meier / q_nelson_aalen): same
+    // duration derivation as q_kaplan_meier (first event → first
+    // subsequent purchase, censored at obs end), cohort = user_id
+    // parity (a deterministic stand-in for any user split). Risk sets
+    // per cohort come from INTEGER window cumsums over the duration-day
+    // level table (portable — integer addition is associative); the
+    // O−E and variance sums are folds over the duration-SORTED struct
+    // list so both engines add identical doubles in identical order,
+    // with the n = 1 variance term guarded to 0 (its d(n−d) factor is
+    // 0 whenever it is reached — the CASE only dodges the 0/0).
+    // Scale: one user rollup → one ≤|distinct durations| level table;
+    // the statistic is a single fold, nothing row-level past the
+    // rollup.
+    "q_logrank_test" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val obsEnd = ev.agg(max("ts").as("obs_end"))
+      val t0 = ev.groupBy("user_id").agg(min("ts").as("t0"))
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .join(t0, "user_id").filter(col("ts") > col("t0"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      val users = t0.join(firstP, Seq("user_id"), "left")
+        .crossJoin(broadcast(obsEnd))
+        .select((col("user_id") % 2).as("g"),
+          when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"),
+          when(col("tp").isNotNull,
+            expr("(unix_micros(tp) - unix_micros(t0)) div 86400000000"))
+            .otherwise(expr(
+              "(unix_micros(obs_end) - unix_micros(t0)) div 86400000000"))
+            .as("dur"))
+      val tot = users.agg(
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("tn0"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("tn1"))
+      val byd = users.groupBy("dur").agg(
+        sum(when(col("g") === 0L && col("ev") === 1L, 1L).otherwise(0L))
+          .as("d0"),
+        sum(when(col("g") === 0L && col("ev") === 0L, 1L).otherwise(0L))
+          .as("c0"),
+        sum(when(col("g") === 1L && col("ev") === 1L, 1L).otherwise(0L))
+          .as("d1"),
+        sum(when(col("g") === 1L && col("ev") === 0L, 1L).otherwise(0L))
+          .as("c1"))
+      val wz = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lv = byd.crossJoin(broadcast(tot))
+        .withColumn("n0", col("tn0") -
+          coalesce(sum(col("d0") + col("c0")).over(wz), lit(0L)))
+        .withColumn("n1", col("tn1") -
+          coalesce(sum(col("d1") + col("c1")).over(wz), lit(0L)))
+        .filter(col("d0") + col("d1") > 0L)
+        .select(col("dur"), (col("d0") + col("d1")).as("d"), col("d1"),
+          (col("n0") + col("n1")).as("n"), col("n1"))
+      def fold(term: String): String =
+        s"aggregate(l, 0D, (a, p) -> a + ($term))"
+      lv.agg(sort_array(collect_list(struct(col("dur"), col("d"),
+            col("d1"), col("n"), col("n1")))).as("l"),
+          sum("d1").as("o1"))
+        .withColumn("e1", expr(fold(
+          "CAST(p.d AS DOUBLE) * p.n1 / p.n")))
+        .withColumn("v", expr(fold(
+          "CASE WHEN p.n > 1 THEN CAST(p.d AS DOUBLE) * " +
+            "(CAST(p.n1 AS DOUBLE) / p.n) * " +
+            "(1.0D - CAST(p.n1 AS DOUBLE) / p.n) * " +
+            "(p.n - p.d) / (p.n - 1) ELSE 0.0D END")))
+        .crossJoin(broadcast(tot))
+        .select(col("tn0").as("n_g0"), col("tn1").as("n_g1"),
+          col("o1").as("observed_1"),
+          round(col("e1"), 6).as("expected_1"),
+          round(expr("(CAST(o1 AS DOUBLE) - e1) / sqrt(v)"), 6).as("z"),
+          round(expr("(CAST(o1 AS DOUBLE) - e1) * (o1 - e1) / v"), 6)
+            .as("chi_sq"))
+    },
+
+    // FRIEDMAN TEST (Friedman 1937 — the within-block rank test for K
+    // treatments, the paired generalization q_wilcoxon_signed_rank is
+    // the K = 2 special case of): blocks = order years, treatments =
+    // order priorities, cell = the block×treatment total in exact cents
+    // (BIGINT — ranking a float mean across engines would sit on the
+    // rounding boundary; an integer total never does). Within-block
+    // average ranks use the 2·rank histogram trick (q_kruskal_wallis's,
+    // partitioned by block) so every rank is an exact integer in 2×
+    // units; the tie-robust Conover form Q = (k−1)·Σ(R2_j − n(k+1))² /
+    // (Σr2² − nk(k+1)²) then divides ONE exact integer by another —
+    // the only float op is the final division. Incomplete blocks are
+    // dropped (classic complete-block design). Scale: corpus → ≤
+    // years×priorities cell grid in one rollup; everything after is
+    // algebra on ≤ 35 rows.
+    "q_friedman_test" -> { (s, dir) =>
+      val cell = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("b"),
+          col("o_orderpriority").as("trt"))
+        .agg(sum((money(col("o_totalprice")) * 100).cast(LongType))
+          .as("y"))
+      val kk = cell.agg(countDistinct("trt").as("k"))
+      val blk = cell.crossJoin(broadcast(kk)).groupBy("b", "k")
+        .agg(count(lit(1)).as("nc")).filter(col("nc") === col("k"))
+        .select("b")
+      val c2 = cell.join(broadcast(blk), "b")
+      val lvl = c2.groupBy("b", "y").agg(count(lit(1)).as("cn"))
+      val cum = lvl.withColumn("cb", sum("cn").over(
+        Window.partitionBy("b").orderBy("y")
+          .rowsBetween(Window.unboundedPreceding, 0)) - col("cn"))
+      val rr = c2.join(cum, Seq("b", "y"))
+        .select(col("b"), col("trt"),
+          (lit(2L) * col("cb") + col("cn") + 1L).as("r2"))
+      val pt = rr.groupBy("trt").agg(sum("r2").as("rs2"))
+      val s4 = rr.agg(sum(col("r2") * col("r2")).as("s4"))
+      val tot = rr.agg(countDistinct("b").as("nb"),
+        countDistinct("trt").as("k"))
+      val a = pt.crossJoin(broadcast(tot))
+        .agg(sum((col("rs2") - col("nb") * (col("k") + 1L)) *
+          (col("rs2") - col("nb") * (col("k") + 1L))).as("a2"))
+      val st = tot.crossJoin(broadcast(a)).crossJoin(broadcast(s4))
+        .select(col("nb"), col("k"),
+          expr("(CAST(k - 1 AS DOUBLE) * a2) / " +
+            "(s4 - nb * k * (k + 1) * (k + 1))").as("q0"))
+      pt.crossJoin(broadcast(st))
+        .select(col("trt"), col("nb").as("n_blocks"),
+          col("k").as("k_treatments"),
+          round(expr("CAST(rs2 AS DOUBLE) / 2"), 1).as("rank_sum"),
+          round(col("q0"), 6).as("q_stat"))
+        .orderBy("trt")
+    },
+
+    // CONNECTED COMPONENTS by min-label propagation WITH pointer
+    // jumping (Kiveris et al. 2014 "Connected Components in MapReduce"
+    // — each round every node takes the min label over itself + its
+    // neighbors, then labels COMPRESS by one join through themselves,
+    // so convergence is O(log diameter) supersteps, not O(diameter)):
+    // the graph is the supplier–part bipartite week (who supplied what
+    // in the first week of 1995-03) — sparse by construction, hundreds
+    // of small components (the co-purchase graph is one giant blob; a
+    // CC query needs real components to say anything). Each round
+    // references the ≤|nodes|-row label frame twice (own + neighbor)
+    // and the jump references the round's min frame twice, so BOTH are
+    // localCheckpoint'd per round (the q_kcore discipline — constant
+    // plan size, and exactly the materialized-frontier shape a Pregel
+    // run has at real graph sizes; the DuckDB oracle needs MATERIALIZED
+    // CTEs for the same reason). 8 jump rounds cover diameter ~2⁸;
+    // fixpoint-vs-brute-union-find is asserted in OperatorSpec. Scale:
+    // edges shuffle once on each endpoint per round, state is one row
+    // per node — the textbook 100 TB CC layout.
+    "q_connected_components" -> { (s, dir) =>
+      val e0 = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1995-03-01 00:00:00") &&
+          col("l_shipdate") < ts("1995-03-08 00:00:00"))
+        .select(concat(lit("s"), col("l_suppkey")).as("w1"),
+          concat(lit("p"), col("l_partkey")).as("w2")).distinct()
+      val und = e0.union(
+        e0.select(col("w2").as("w1"), col("w1").as("w2"))).distinct()
+        .localCheckpoint(true)
+      var lbl = und.select(col("w1").as("w")).distinct()
+        .select(col("w"), col("w").as("comp")).localCheckpoint(true)
+      (1 to 8).foreach { _ =>
+        val m = lbl.union(
+            und.join(lbl.select(col("w").as("w2"), col("comp")), "w2")
+              .select(col("w1").as("w"), col("comp")))
+          .groupBy("w").agg(min("comp").as("comp"))
+          .localCheckpoint(true)
+        val j = m.select(col("w").as("jw"), col("comp").as("jc"))
+        lbl = m.join(j, m("comp") === col("jw"))
+          .select(m("w").as("w"), col("jc").as("comp"))
+          .localCheckpoint(true)
+      }
+      val sz = lbl.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+      lbl.join(sz, "comp")
+        .select(col("w").as("node"), col("comp"), col("comp_size"))
+        .orderBy("node")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -8142,5 +8313,140 @@ object Relational {
         |  round((w2p::DOUBLE / 2 - n::DOUBLE * (n + 1) / 4) /
         |    sqrt(n::DOUBLE * (n + 1) * (2 * n + 1) / 24 -
         |      tsum::DOUBLE / 48), 6) AS z
-        |FROM w CROSS JOIN ties""".stripMargin)
+        |FROM w CROSS JOIN ties""".stripMargin,
+
+    // same KM duration derivation, same integer risk-set cumsums, same
+    // duration-sorted O−E / variance folds with the n = 1 guard
+    "q_logrank_test" ->
+      """WITH obs AS (SELECT MAX(ts) AS obs_end FROM events),
+        |t0 AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY 1),
+        |fp AS (SELECT e.user_id, MIN(e.ts) AS tp
+        |       FROM events e JOIN t0 ON e.user_id = t0.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t0.t0
+        |       GROUP BY 1),
+        |users AS (
+        |  SELECT t0.user_id % 2 AS g,
+        |    CASE WHEN fp.tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+        |    CASE WHEN fp.tp IS NOT NULL
+        |      THEN (epoch_us(fp.tp) - epoch_us(t0.t0)) // 86400000000
+        |      ELSE (epoch_us(obs.obs_end) - epoch_us(t0.t0))
+        |        // 86400000000 END AS dur
+        |  FROM t0 LEFT JOIN fp ON t0.user_id = fp.user_id
+        |  CROSS JOIN obs),
+        |tot AS (SELECT
+        |  CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn0,
+        |  CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tn1
+        |  FROM users),
+        |byd AS (SELECT dur,
+        |  CAST(SUM(CASE WHEN g = 0 AND ev = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS d0,
+        |  CAST(SUM(CASE WHEN g = 0 AND ev = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c0,
+        |  CAST(SUM(CASE WHEN g = 1 AND ev = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS d1,
+        |  CAST(SUM(CASE WHEN g = 1 AND ev = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c1
+        |  FROM users GROUP BY 1),
+        |risk AS (SELECT dur, d0, d1,
+        |  tn0 - CAST(COALESCE(SUM(d0 + c0) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n0,
+        |  tn1 - CAST(COALESCE(SUM(d1 + c1) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n1
+        |  FROM byd CROSS JOIN tot),
+        |lv AS (SELECT dur, d0 + d1 AS d, d1, n0 + n1 AS n, n1 FROM risk
+        |       WHERE d0 + d1 > 0),
+        |agg AS (SELECT
+        |  list_sort(list(struct_pack(dur := dur, d := d, d1 := d1,
+        |    n := n, n1 := n1))) AS l,
+        |  CAST(SUM(d1) AS BIGINT) AS o1 FROM lv),
+        |st AS (SELECT o1,
+        |  list_reduce(list_concat([0.0::DOUBLE], list_transform(l,
+        |    p -> (p.d::DOUBLE * p.n1 / p.n))), (a, b) -> a + b) AS e1,
+        |  list_reduce(list_concat([0.0::DOUBLE], list_transform(l,
+        |    p -> (CASE WHEN p.n > 1 THEN p.d::DOUBLE *
+        |      (p.n1::DOUBLE / p.n) * (1.0::DOUBLE - p.n1::DOUBLE / p.n)
+        |      * (p.n - p.d) / (p.n - 1) ELSE 0.0::DOUBLE END))),
+        |    (a, b) -> a + b) AS v
+        |  FROM agg)
+        |SELECT tn0 AS n_g0, tn1 AS n_g1, o1 AS observed_1,
+        |  round(e1, 6) AS expected_1,
+        |  round((o1::DOUBLE - e1) / sqrt(v), 6) AS z,
+        |  round((o1::DOUBLE - e1) * (o1 - e1) / v, 6) AS chi_sq
+        |FROM st CROSS JOIN tot""".stripMargin,
+
+    // same exact-cent cell grid, same per-block 2·rank histogram, same
+    // all-integer Conover numerator/denominator
+    "q_friedman_test" ->
+      """WITH cell AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS b,
+        |    o_orderpriority AS trt,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |kk AS (SELECT CAST(COUNT(DISTINCT trt) AS BIGINT) AS k
+        |       FROM cell),
+        |blk AS (SELECT b FROM cell CROSS JOIN kk
+        |        GROUP BY b, k HAVING COUNT(*) = k),
+        |c2 AS (SELECT cell.* FROM cell JOIN blk USING (b)),
+        |lvl AS (SELECT b, y, COUNT(*) AS cn FROM c2 GROUP BY 1, 2),
+        |cum AS (SELECT b, y, cn,
+        |  CAST(SUM(cn) OVER (PARTITION BY b ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cn
+        |    AS BIGINT) AS cb
+        |  FROM lvl),
+        |rr AS (SELECT c2.b, c2.trt,
+        |  CAST(2 * cum.cb + cum.cn + 1 AS BIGINT) AS r2
+        |  FROM c2 JOIN cum ON c2.b = cum.b AND c2.y = cum.y),
+        |pt AS (SELECT trt, CAST(SUM(r2) AS BIGINT) AS rs2
+        |       FROM rr GROUP BY 1),
+        |s4 AS (SELECT CAST(SUM(r2 * r2) AS BIGINT) AS s4 FROM rr),
+        |tot AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb,
+        |  CAST(COUNT(DISTINCT trt) AS BIGINT) AS k FROM rr),
+        |a AS (SELECT CAST(SUM((rs2 - nb * (k + 1)) *
+        |    (rs2 - nb * (k + 1))) AS BIGINT) AS a2
+        |  FROM pt CROSS JOIN tot),
+        |st AS (SELECT nb, k,
+        |  ((k - 1)::DOUBLE * a2) / (s4 - nb * k * (k + 1) * (k + 1))
+        |    AS q0
+        |  FROM tot CROSS JOIN a CROSS JOIN s4)
+        |SELECT trt, nb AS n_blocks, k AS k_treatments,
+        |  round(rs2::DOUBLE / 2, 1) AS rank_sum,
+        |  round(q0, 6) AS q_stat
+        |FROM pt CROSS JOIN st ORDER BY trt""".stripMargin,
+
+    // same supplier–part week edges, same 8 min-propagate + pointer-jump
+    // rounds (MATERIALIZED: each round references its predecessor twice
+    // — inlined, the CTE tree is 4^8 base-scan copies)
+    "q_connected_components" -> connectedComponentsOracle)
+
+  /** q_connected_components's oracle: the symmetrized bipartite week +
+    * the same 8 unrolled min-label + pointer-jump rounds. */
+  private def connectedComponentsOracle: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT w, MIN(comp) AS comp FROM (
+         |  SELECT w, comp FROM l${i - 1}
+         |  UNION ALL
+         |  SELECT u.w1 AS w, p.comp FROM und u
+         |  JOIN l${i - 1} p ON u.w2 = p.w
+         |) GROUP BY w),
+         |l$i AS MATERIALIZED (SELECT a.w, b.comp
+         |  FROM m$i a JOIN m$i b ON a.comp = b.w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 's' || l_suppkey AS w1, 'p' || l_partkey AS w2
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+       |    AND l_shipdate < TIMESTAMP '1995-03-08'),
+       |und AS MATERIALIZED (SELECT w1, w2 FROM e0
+       |  UNION SELECT w2 AS w1, w1 AS w2 FROM e0),
+       |nodes AS (SELECT DISTINCT w1 AS w FROM und),
+       |l0 AS (SELECT w, w AS comp FROM nodes),
+       |$rounds,
+       |sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS comp_size
+       |       FROM l8 GROUP BY 1)
+       |SELECT w AS node, comp, comp_size FROM l8 JOIN sz USING (comp)
+       |ORDER BY node""".stripMargin
+  }
 }

@@ -1038,6 +1038,52 @@ object Similarity {
           (col("true_label") === (lit(0) - col("best.neg")))
             .as("correct"))
         .orderBy("q_id")
+    },
+
+    // JOHNSON–LINDENSTRAUSS RANDOM PROJECTION (Achlioptas 2003 — the
+    // database-friendly ±1 variant: no Gaussian sampling, the projection
+    // matrix IS a hash function, so every executor regenerates any cell
+    // on demand and NOTHING is shipped): project 64-dim embeddings to
+    // m = 8 with sign(i,j) = parity of the house md5 coin on "i_j",
+    // y_i = Σ_j sign·v_j / √m — an ordered left fold over j so both
+    // engines add the same doubles in the same order. The audit half
+    // pairs consecutive vectors (100 fixed pairs) and reports projected
+    // vs original squared distance — E[ratio] = 1 is the JL contract,
+    // asserted in OperatorSpec's mean-ratio band. Scale: the projection
+    // is one narrow map pass (64·8 fused multiply-adds per row, no
+    // shuffle, no matrix broadcast); the audit join is on vec_id+1 —
+    // AQE broadcasts the 100-row side. At 100 TB the map pass is the
+    // whole story: dimensionality reduction before any O(d) pairwise
+    // stage (LSH, clustering) with distances preserved to 1±ε.
+    "q_random_projection" -> { (s, dir) =>
+      val e = vecs(s, dir).filter(col("vec_id") < 200)
+        .withColumn("y", expr(
+          """transform(sequence(0, 7), i ->
+            |  aggregate(sequence(1, 64), 0D, (a, j) -> a +
+            |    (CASE WHEN CAST(conv(substring(md5(concat(
+            |        CAST(i AS STRING), '_', CAST(j AS STRING))),
+            |        1, 8), 16, 10) AS BIGINT) % 2 = 0
+            |      THEN 1.0D ELSE -1.0D END) * element_at(v, j))
+            |  / sqrt(8.0D))""".stripMargin))
+        .select(col("vec_id"), col("v"), col("y"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("y").as("ya")).filter(col("id_a") % 2 === 0)
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("y").as("yb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .withColumn("d2o", expr(
+          "aggregate(sequence(1, 64), 0D, (a, j) -> a + " +
+            "(element_at(va, j) - element_at(vb, j)) * " +
+            "(element_at(va, j) - element_at(vb, j)))"))
+        .withColumn("d2p", expr(
+          "aggregate(sequence(1, 8), 0D, (a, i) -> a + " +
+            "(element_at(ya, i) - element_at(yb, i)) * " +
+            "(element_at(ya, i) - element_at(yb, i)))"))
+        .select(col("id_a"), col("id_b"),
+          round(col("d2o"), 6).as("dist_sq_orig"),
+          round(col("d2p"), 6).as("dist_sq_proj"),
+          round(col("d2p") / col("d2o"), 6).as("ratio"))
+        .orderBy("id_a")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -1762,6 +1808,38 @@ object Similarity {
         |  CAST(MIN(dotq) AS BIGINT) AS min_dot,
         |  CAST(MAX(dotq) AS BIGINT) AS max_dot,
         |  round(SUM(dotq)::DOUBLE / COUNT(*), 6) AS mean_dot
-        |FROM p GROUP BY batch ORDER BY batch""".stripMargin)
+        |FROM p GROUP BY batch ORDER BY batch""".stripMargin,
+
+    // same md5-parity sign matrix, same ordered j-folds (list_reduce over
+    // [0.0]++terms == Spark aggregate), same consecutive-pair audit
+    "q_random_projection" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 200),
+        |proj AS (
+        |  SELECT vec_id, v,
+        |    list_transform(range(0, 8), i ->
+        |      list_reduce(list_concat([0.0::DOUBLE],
+        |        list_transform(range(1, 65), j ->
+        |          (CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' ||
+        |              j::VARCHAR), 1, 8))::BIGINT % 2 = 0
+        |            THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) * v[j])),
+        |        (a, b) -> a + b) / sqrt(8.0::DOUBLE)) AS y
+        |  FROM e),
+        |pr AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(range(1, 65),
+        |        j -> (a.v[j] - b.v[j]) * (a.v[j] - b.v[j]))),
+        |      (x, y) -> x + y) AS d2o,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(range(1, 9),
+        |        i -> (a.y[i] - b.y[i]) * (a.y[i] - b.y[i]))),
+        |      (x, y) -> x + y) AS d2p
+        |  FROM proj a JOIN proj b
+        |    ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0)
+        |SELECT id_a, id_b, round(d2o, 6) AS dist_sq_orig,
+        |  round(d2p, 6) AS dist_sq_proj,
+        |  round(d2p / d2o, 6) AS ratio
+        |FROM pr ORDER BY id_a""".stripMargin)
 
 }

@@ -3677,4 +3677,149 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(3) - z) < math.abs(z) * 1e-6 + 1e-4,
       s"z: $r vs $z")
   }
+
+  test("logrank: brute risk-set O-E replay matches") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_logrank_test")(spark, sfDir)
+      .collect().head
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "unix_micros(cast(ts as timestamp))")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val obsEnd = ev.map(_._3).max
+    val users = ev.groupBy(_._1).map { case (uid, rows) =>
+      val t0 = rows.map(_._3).min
+      val tp = rows.filter(x => x._2 == "purchase" && x._3 > t0)
+        .map(_._3).minOption
+      val dur = (tp.getOrElse(obsEnd) - t0) / 86400000000L
+      (uid % 2, tp.isDefined, dur)
+    }.toSeq
+    val n0 = users.count(_._1 == 0L)
+    val n1 = users.size - n0
+    var (at0, at1) = (n0, n1)
+    var (o1, e1, v) = (0L, 0.0, 0.0)
+    users.map(_._3).distinct.sorted.foreach { tt =>
+      val d0 = users.count(u => u._1 == 0L && u._2 && u._3 == tt)
+      val d1 = users.count(u => u._1 == 1L && u._2 && u._3 == tt)
+      val c0 = users.count(u => u._1 == 0L && !u._2 && u._3 == tt)
+      val c1 = users.count(u => u._1 == 1L && !u._2 && u._3 == tt)
+      val (d, n, nn1) = (d0 + d1, at0 + at1, at1)
+      if (d > 0) {
+        o1 += d1
+        e1 += d.toDouble * nn1 / n
+        if (n > 1)
+          v += d.toDouble * (nn1.toDouble / n) * (1.0 - nn1.toDouble / n) *
+            (n - d) / (n - 1)
+      }
+      at0 -= d0 + c0; at1 -= d1 + c1
+    }
+    assert(r.getLong(0) == n0.toLong && r.getLong(1) == n1.toLong)
+    assert(r.getLong(2) == o1, s"observed: $r vs $o1")
+    assert(math.abs(r.getDouble(3) - e1) < math.abs(e1) * 1e-6 + 1e-4)
+    val z = (o1 - e1) / math.sqrt(v)
+    assert(math.abs(r.getDouble(4) - z) < math.abs(z) * 1e-6 + 1e-4,
+      s"z: $r vs $z")
+    assert(math.abs(r.getDouble(5) - z * z) < z * z * 1e-6 + 1e-4)
+  }
+
+  test("friedman: brute within-block rank replay matches") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_friedman_test")(spark, sfDir)
+      .collect().sortBy(_.getString(0))
+    val cells = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(year(o_orderdate) AS BIGINT)", "o_orderpriority",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(x => (x._1, x._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val k = cells.keys.map(_._2).toSeq.distinct.size
+    val blocks = cells.groupBy(_._1._1).filter(_._2.size == k)
+    val n = blocks.size
+    var rankSum = Map[String, Double]().withDefaultValue(0.0)
+    var s = 0.0
+    blocks.values.foreach { cm =>
+      val ranked = avgRanks(cm.values.toSeq)
+      cm.foreach { case ((_, trt), y) =>
+        rankSum += trt -> (rankSum(trt) + ranked(y)); s += math.pow(ranked(y), 2)
+      }
+    }
+    val q = (k - 1) * rankSum.values.map(rj =>
+      math.pow(rj - n * (k + 1) / 2.0, 2)).sum /
+      (s - n * k * math.pow(k + 1, 2) / 4.0)
+    assert(rows.length == k)
+    rows.foreach { r =>
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == k.toLong)
+      assert(math.abs(r.getDouble(3) - rankSum(r.getString(0))) < 0.51,
+        s"rank_sum: $r")
+      assert(math.abs(r.getDouble(4) - q) < math.abs(q) * 1e-6 + 1e-4,
+        s"q: $r vs $q")
+    }
+  }
+
+  test("connected components: brute union-find fixpoint matches") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_connected_components")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val edges = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter("l_shipdate >= TIMESTAMP '1995-03-01 00:00:00' AND " +
+        "l_shipdate < TIMESTAMP '1995-03-08 00:00:00'")
+      .selectExpr("concat('s', l_suppkey)", "concat('p', l_partkey)")
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val par = scala.collection.mutable.Map(nodes.map(w => w -> w): _*)
+    def find(x: String): String = {
+      var c = x
+      while (par(c) != c) { par(c) = par(par(c)); c = par(c) }
+      c
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb)
+
+        par(Seq(ra, rb).max) = Seq(ra, rb).min
+    }
+    val members = nodes.groupBy(find)
+    val expect = nodes.map { w =>
+      val m = members(find(w)); w -> (m.min, m.length.toLong)
+    }.toMap
+    assert(rows == expect,
+      s"components differ: ${(rows.toSet -- expect.toSet).take(3)}")
+  }
+
+  test("random projection: brute md5-sign replay + JL mean-ratio band") {
+    val rows = graft.operators.Similarity
+      .queries("q_random_projection")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    val vs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter("vec_id < 200")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sign(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+    def proj(v: Array[Double]): Array[Double] =
+      (0 until 8).map { i =>
+        var a = 0.0
+        (1 to 64).foreach(j => a += sign(i, j) * v(j - 1))
+        a / math.sqrt(8.0)
+      }.toArray
+    assert(rows.nonEmpty)
+    rows.take(10).foreach { r =>
+      val (a, b) = (vs(r.getLong(0)), vs(r.getLong(1)))
+      val d2o = a.zip(b).map(x => math.pow(x._1 - x._2, 2)).sum
+      val (pa, pb) = (proj(a), proj(b))
+      val d2p = pa.zip(pb).map(x => math.pow(x._1 - x._2, 2)).sum
+      assert(math.abs(r.getDouble(2) - d2o) < 1e-4, s"d2o: $r vs $d2o")
+      assert(math.abs(r.getDouble(3) - d2p) < 1e-4, s"d2p: $r vs $d2p")
+    }
+    // JL contract: E[d2p/d2o] = 1; the m = 8 band is wide but a sign or
+    // scaling bug lands far outside it
+    val mean = rows.map(_.getDouble(4)).sum / rows.length
+    assert(mean > 0.5 && mean < 2.0, s"mean ratio $mean outside JL band")
+  }
 }
