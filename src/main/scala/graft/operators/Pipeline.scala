@@ -980,6 +980,71 @@ object Pipeline {
         .orderBy("doc_a", "doc_b")
     },
 
+    // INCREMENTAL MinHash-LSH — the production shape of near-dup at
+    // 100 TB: the corpus is already banded into an INDEX (doc_id % 10
+    // ≠ 0 stands in for "yesterday's indexed corpus"); the daily DELTA
+    // (doc_id % 10 = 0) probes the index buckets asymmetrically — a
+    // delta-sized band join, NEVER a corpus re-band or delta×delta
+    // blowup. Same signature pipeline as q_minhash_lsh (one shared
+    // derivation — the full-LSH and the incremental probe can never
+    // disagree on a signature); BucketCap applies to the INDEX side
+    // (the side that persists and can accumulate skew), the delta is
+    // passed through whole. Each delta doc reports its best index
+    // match (jaccard DESC, doc_id ASC) or admits as new — the
+    // admit/dedup decision a daily ingest actually makes. Scale: work
+    // ∝ |delta| · bucket occupancy; the index is touched only on the
+    // probed (band, bkey) keys.
+    "q_minhash_incremental" -> { (s, dir) =>
+      registerNativeFns(s)
+      val mh = docsPar(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          expr(s"array_distinct(${ngramExpr(3)})").as("shingles"))
+        .withColumn("xs", expr(s"transform(shingles, s -> ${hExpr("s")})"))
+        .select(col("doc_id"), col("shingles"),
+          expr("graft_minhash32(xs)").as("mh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      mh.count() // materialize before the band explode + verify reuses
+      val bands = mh.select(col("doc_id"),
+          expr("explode(transform(sequence(0,7), j -> struct(j as band, concat_ws('-', mh[4*j], mh[4*j+1], mh[4*j+2], mh[4*j+3]) as bkey)))")
+            .as("b"))
+        .select(col("doc_id"), col("b.band").as("band"),
+          col("b.bkey").as("bkey"))
+      val idx = bands.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("bn",
+          count(lit(1)).over(Window.partitionBy("band", "bkey")))
+        .filter(col("bn") <= BucketCap)
+      val del = bands.filter(col("doc_id") % 10 === 0)
+      val cand = del.as("a")
+        .join(idx.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+        .select(col("a.doc_id").as("doc_new"),
+          col("b.doc_id").as("doc_index"))
+        .distinct()
+      val sa = mh.select(col("doc_id").as("doc_new"),
+        col("shingles").as("sa"))
+      val sb = mh.select(col("doc_id").as("doc_index"),
+        col("shingles").as("sb"))
+      val best = cand.join(sa, "doc_new").join(sb, "doc_index")
+        .withColumn("jaccard",
+          round(expr(
+            "size(array_intersect(sa, sb)) / size(array_union(sa, sb))"),
+            6))
+        .filter(col("jaccard") >= 0.8)
+        .withColumn("rn", row_number().over(Window.partitionBy("doc_new")
+          .orderBy(col("jaccard").desc, col("doc_index").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_new").as("doc_id"),
+          col("doc_index").as("matched_doc"), col("jaccard"))
+      mh.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("matched_doc"),
+          coalesce(col("jaccard"), lit(0.0d)).as("best_jaccard"),
+          col("matched_doc").isNotNull.as("is_dup"))
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup: 60-bit simhash from per-token hash bit votes;
     // candidates via the block pigeonhole — any pair within Hamming distance
     // ≤ 3 must agree on at least one of the 4 15-bit blocks → equi-join on
@@ -4084,6 +4149,56 @@ object Pipeline {
         |SELECT doc_a, doc_b, jaccard FROM pairs
         |WHERE jaccard >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same signature pipeline as q_minhash_lsh, asymmetric delta→index
+    // band probe, index-side BucketCap, best-match readout
+    "q_minhash_incremental" ->
+      s"""WITH d AS ($docsW),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        |  FROM d WHERE len(w) >= 3),
+        |xh AS (
+        |  SELECT doc_id, shingles,
+        |    list_transform(shingles, s -> ('0x'||substr(md5(s),1,8))::BIGINT) AS xs
+        |  FROM sh),
+        |mh AS (
+        |  SELECT doc_id, shingles,
+        |    list_transform(range(0,32),
+        |      i -> list_min(list_transform(xs, x -> ((2*i+1)*x + 12345 + 777*i) % 4294967291))) AS mh
+        |  FROM xh),
+        |bands AS (
+        |  SELECT doc_id, j AS band,
+        |    concat_ws('-', mh[4*j+1], mh[4*j+2], mh[4*j+3], mh[4*j+4]) AS bkey
+        |  FROM mh, range(0,8) t(j)),
+        |idx AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, band, bkey,
+        |      count(*) OVER (PARTITION BY band, bkey) AS bn
+        |    FROM bands WHERE doc_id % 10 <> 0) WHERE bn <= $BucketCap),
+        |del AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 10 = 0),
+        |cand AS (
+        |  SELECT DISTINCT del.doc_id AS doc_new, idx.doc_id AS doc_index
+        |  FROM del JOIN idx ON del.band = idx.band AND del.bkey = idx.bkey),
+        |pairs AS (
+        |  SELECT doc_new, doc_index,
+        |    round(len(list_intersect(x.shingles, y.shingles)) * 1.0
+        |      / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+        |  FROM cand JOIN mh x ON x.doc_id = doc_new
+        |  JOIN mh y ON y.doc_id = doc_index),
+        |best AS (
+        |  SELECT doc_new, doc_index, jaccard,
+        |    row_number() OVER (PARTITION BY doc_new
+        |      ORDER BY jaccard DESC, doc_index ASC) AS rn
+        |  FROM pairs WHERE jaccard >= 0.8)
+        |SELECT m.doc_id, b.doc_index AS matched_doc,
+        |  COALESCE(b.jaccard, 0.0::DOUBLE) AS best_jaccard,
+        |  b.doc_index IS NOT NULL AS is_dup
+        |FROM (SELECT doc_id FROM mh WHERE doc_id % 10 = 0) m
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  ON m.doc_id = b.doc_new
+        |ORDER BY m.doc_id""".stripMargin,
 
     "q_simhash" ->
       s"""WITH d AS ($docsW),

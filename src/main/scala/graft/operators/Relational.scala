@@ -4736,6 +4736,72 @@ object Relational {
       lbl.join(sz, "comp")
         .select(col("w").as("node"), col("comp"), col("comp_size"))
         .orderBy("node")
+    },
+
+    // COCHRAN'S Q TEST (Cochran 1950 — the K-treatment paired test for
+    // BINARY outcomes, completing the matched-design bench: Wilcoxon
+    // handles paired continuous, Friedman paired ranks, McNemar is the
+    // K = 2 case of THIS): blocks = customers, treatments = the years
+    // 1995–1997, x = "placed an order that year". Constant blocks
+    // (all-0 / all-3) are dropped — they carry no discrimination and
+    // their removal is the textbook procedure. EVERYTHING is integer
+    // until the final division: column totals G_j, row-total sufficient
+    // stats ΣL and ΣL², Q = (k−1)(kΣG² − (ΣG)²) / (kΣL − ΣL²). Scale:
+    // one customer rollup (conditional max per year), one 1-row agg;
+    // the per-year readout is a 3-row stack.
+    "q_cochran_q" -> { (s, dir) =>
+      val blk = t(s, dir, "orders").groupBy(col("o_custkey").as("c"))
+        .agg(
+          max(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L))
+            .as("x95"),
+          max(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L))
+            .as("x96"),
+          max(when(year(col("o_orderdate")) === 1997, 1L).otherwise(0L))
+            .as("x97"))
+        .withColumn("li", col("x95") + col("x96") + col("x97"))
+        .filter(col("li").isin(1L, 2L))
+      blk.agg(sum("x95").as("g95"), sum("x96").as("g96"),
+          sum("x97").as("g97"), count(lit(1)).as("nb"),
+          sum("li").as("sl"), sum(col("li") * col("li")).as("sll"))
+        .withColumn("q0", expr(
+          "(2.0D * (3 * (g95*g95 + g96*g96 + g97*g97) - " +
+            "(g95+g96+g97) * (g95+g96+g97))) / (3 * sl - sll)"))
+        .select(expr("stack(3, 1995L, g95, 1996L, g96, 1997L, g97) " +
+            "AS (yr, n_active)"),
+          col("nb").as("n_blocks"), round(col("q0"), 6).as("q_stat"))
+        .select("yr", "n_active", "n_blocks", "q_stat")
+        .orderBy("yr")
+    },
+
+    // GRUBBS' OUTLIER TEST (Grubbs 1950 — "is the most extreme point
+    // statistically an outlier", the inferential sibling of
+    // q_outlier_iqr's fences and q_anomaly_zscore's flags): the
+    // extreme point is chosen by maximizing |n·y − Σy| — an EXACT
+    // integer, so the argmax can never land differently across engines
+    // the way |y − ȳ| in floats could; G = |y* − ȳ|/s reads off the
+    // (n, Σy, Σy²) sufficient stats in one scalar tree. Ties break to
+    // the smaller value under the total order. Scale: one map-side
+    // stats rollup + one top-1 under a total order (TakeOrdered, no
+    // full sort); nothing else touches the corpus.
+    "q_grubbs_test" -> { (s, dir) =>
+      val d = t(s, dir, "orders").select(
+        (money(col("o_totalprice")) * 100).cast(LongType).as("y"))
+      val st = d.agg(count(lit(1)).as("n"), sum("y").as("s"),
+        sum(col("y").cast(DecimalType(18, 0)) *
+          col("y").cast(DecimalType(18, 0))).as("syy"))
+      d.crossJoin(broadcast(st))
+        .withColumn("ad", abs(col("n") * col("y") - col("s")))
+        .orderBy(col("ad").desc, col("y").asc).limit(1)
+        .select(col("n"),
+          round(expr("CAST(y AS DOUBLE) / 100"), 2).as("outlier_usd"),
+          round(expr("CAST(s AS DOUBLE) / n / 100"), 6).as("mean_usd"),
+          round(expr("sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+            "CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * (n - 1))) " +
+            "/ 100"), 6).as("sd_usd"),
+          round(expr("(CAST(ad AS DOUBLE) / n) / " +
+            "sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+            "CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * (n - 1)))"),
+            6).as("g_stat"))
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -8419,7 +8485,66 @@ object Relational {
     // same supplier–part week edges, same 8 min-propagate + pointer-jump
     // rounds (MATERIALIZED: each round references its predecessor twice
     // — inlined, the CTE tree is 4^8 base-scan copies)
-    "q_connected_components" -> connectedComponentsOracle)
+    "q_connected_components" -> connectedComponentsOracle,
+
+    // same per-customer year flags, same informative-block filter, same
+    // all-integer Q ratio
+    "q_cochran_q" ->
+      """WITH blk AS (
+        |  SELECT o_custkey AS c,
+        |    CAST(MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x95,
+        |    CAST(MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x96,
+        |    CAST(MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x97
+        |  FROM orders GROUP BY 1),
+        |inf AS (
+        |  SELECT *, x95 + x96 + x97 AS li FROM blk
+        |  WHERE x95 + x96 + x97 IN (1, 2)),
+        |g AS (SELECT CAST(SUM(x95) AS BIGINT) AS g95,
+        |  CAST(SUM(x96) AS BIGINT) AS g96,
+        |  CAST(SUM(x97) AS BIGINT) AS g97,
+        |  CAST(COUNT(*) AS BIGINT) AS nb,
+        |  CAST(SUM(li) AS BIGINT) AS sl,
+        |  CAST(SUM(li * li) AS BIGINT) AS sll
+        |  FROM inf),
+        |st AS (SELECT nb, g95, g96, g97,
+        |  (2.0::DOUBLE * (3 * (g95*g95 + g96*g96 + g97*g97) -
+        |    (g95+g96+g97) * (g95+g96+g97))) / (3 * sl - sll) AS q0
+        |  FROM g)
+        |SELECT yr, n_active, nb AS n_blocks, round(q0, 6) AS q_stat
+        |FROM (
+        |  SELECT 1995::BIGINT AS yr, g95 AS n_active, nb, q0 FROM st
+        |  UNION ALL
+        |  SELECT 1996::BIGINT, g96, nb, q0 FROM st
+        |  UNION ALL
+        |  SELECT 1997::BIGINT, g97, nb, q0 FROM st)
+        |ORDER BY yr""".stripMargin,
+
+    // same integer |n·y − Σy| argmax, same sufficient-stat G tree
+    "q_grubbs_test" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT) AS y
+        |  FROM orders),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS s,
+        |    SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+        |      AS syy
+        |  FROM d),
+        |top AS (
+        |  SELECT y, abs(n * y - s) AS ad FROM d CROSS JOIN st
+        |  ORDER BY ad DESC, y ASC LIMIT 1)
+        |SELECT n, round(y::DOUBLE / 100, 2) AS outlier_usd,
+        |  round(s::DOUBLE / n / 100, 6) AS mean_usd,
+        |  round(sqrt((n::DOUBLE * syy::DOUBLE - s::DOUBLE * s) /
+        |    (n::DOUBLE * (n - 1))) / 100, 6) AS sd_usd,
+        |  round((ad::DOUBLE / n) /
+        |    sqrt((n::DOUBLE * syy::DOUBLE - s::DOUBLE * s) /
+        |      (n::DOUBLE * (n - 1))), 6) AS g_stat
+        |FROM top CROSS JOIN st""".stripMargin)
 
   /** q_connected_components's oracle: the symmetrized bipartite week +
     * the same 8 unrolled min-label + pointer-jump rounds. */

@@ -3822,4 +3822,79 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     val mean = rows.map(_.getDouble(4)).sum / rows.length
     assert(mean > 0.5 && mean < 2.0, s"mean ratio $mean outside JL band")
   }
+
+  test("cochran q: brute paired-binary replay matches") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_cochran_q")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    val byCust = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey", "CAST(year(o_orderdate) AS INT)")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val yrs = Seq(1995, 1996, 1997)
+    val xs = byCust.values.map(ys => yrs.map(y => if (ys(y)) 1L else 0L))
+      .filter(x => x.sum == 1L || x.sum == 2L).toSeq
+    val g = yrs.indices.map(j => xs.map(_(j)).sum)
+    val (sl, sll) = (xs.map(_.sum).sum, xs.map(x => x.sum * x.sum).sum)
+    val q = 2.0 * (3 * g.map(v => v * v).sum -
+      math.pow(g.sum.toDouble, 2)) / (3 * sl - sll)
+    assert(rows.length == 3)
+    rows.zip(yrs).foreach { case (r, y) =>
+      assert(r.getLong(0) == y.toLong)
+      assert(r.getLong(1) == g(yrs.indexOf(y)), s"n_active: $r")
+      assert(r.getLong(2) == xs.size.toLong, s"n_blocks: $r")
+      assert(math.abs(r.getDouble(3) - q) < math.abs(q) * 1e-6 + 1e-4,
+        s"q: $r vs $q")
+    }
+  }
+
+  test("grubbs: brute max-deviation replay matches") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_grubbs_test")(spark, sfDir)
+      .collect().head
+    val ys = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(_.getLong(0))
+    val n = ys.length
+    val m = ys.sum.toDouble / n
+    val sd = math.sqrt(ys.map(y => math.pow(y - m, 2)).sum / (n - 1))
+    val out = ys.minBy(y => (-math.abs(n.toLong * y - ys.sum), y))
+    assert(r.getLong(0) == n.toLong)
+    assert(math.abs(r.getDouble(1) - out / 100.0) < 5e-3, s"outlier: $r")
+    assert(math.abs(r.getDouble(2) - m / 100.0) < 1e-4, s"mean: $r")
+    assert(math.abs(r.getDouble(3) - sd / 100.0) < sd / 100.0 * 1e-6 + 1e-4)
+    val g = math.abs(out - m) / sd
+    assert(math.abs(r.getDouble(4) - g) < g * 1e-6 + 1e-4, s"g: $r vs $g")
+  }
+
+  test("incremental minhash agrees with full LSH on mixed pairs") {
+    import graft.operators.Pipeline
+    val inc = Pipeline.queries("q_minhash_incremental")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    // full-LSH pairs restricted to (delta, index) sides must yield the
+    // same per-delta best match (bucket caps never bind at test SF)
+    val full = Pipeline.queries("q_minhash_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mixed = full.flatMap { case (a, b, j) =>
+      (a % 10, b % 10) match {
+        case (0, x) if x != 0 => Some((a, b, j))
+        case (x, 0) if x != 0 => Some((b, a, j))
+        case _ => None
+      }
+    }
+    val expect = mixed.groupBy(_._1).view.mapValues { ps =>
+      val best = ps.minBy(p => (-p._3, p._2)); (best._2, best._3)
+    }.toMap
+    // every delta doc present exactly once; dup set matches
+    assert(inc.keys.forall(_ % 10 == 0))
+    expect.foreach { case (d, (mi, j)) =>
+      assert(inc(d).contains((mi, j)), s"delta $d: ${inc(d)} vs ($mi, $j)")
+    }
+    inc.foreach { case (d, m) =>
+      if (m.isDefined) assert(expect.contains(d), s"extra dup $d: $m")
+    }
+  }
 }
