@@ -4802,6 +4802,118 @@ object Relational {
             "sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
             "CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * (n - 1)))"),
             6).as("g_stat"))
+    },
+
+    // TIME-SPINE GAP FILL with linear interpolation (the warehouse
+    // gap-fill/date-spine feature — Snowflake GAP_FILL, Timescale
+    // time_bucket_gapfill — a sparse series becomes a dense one a
+    // downstream join or window can trust): the series is the TOP
+    // customer's daily order total (deterministic argmax by count
+    // DESC, key ASC — a naturally SPARSE series at every SF, so the
+    // interpolation path is actually exercised); spine = every day
+    // between the first and last observation, missing days filled by
+    // LOCF + next-observation windows (IGNORE NULLS — one forward and
+    // one backward window pass, no per-gap join) and the linear blend
+    // py + (ny−py)·(d−pd)/(nd−pd) in one shared tree. Edges can't
+    // dangle: the spine is clamped to known endpoints. Scale: the
+    // spine is per-ENTITY (bounded by the entity's span); at corpus
+    // scale the same two windows run partitioned by entity key —
+    // nothing here is corpus-wide except the one rollup.
+    "q_gap_fill" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val top = o.groupBy(col("o_custkey").as("c"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("c").asc).limit(1).select("c")
+      val known = o.join(broadcast(top), col("o_custkey") === col("c"))
+        .groupBy(expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+          "DATE '1992-01-01') AS BIGINT)").as("d"))
+        .agg(sum((money(col("o_totalprice")) * 100).cast(LongType))
+          .as("y"))
+      val bounds = known.agg(min("d").as("d0"), max("d").as("d1"))
+      val spine = bounds
+        .select(explode(expr("sequence(d0, d1)")).as("d"))
+      val j = spine.join(known, Seq("d"), "left")
+      val wb = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wf = Window.orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+      j.withColumn("py", last(col("y"), ignoreNulls = true).over(wb))
+        .withColumn("pd", last(when(col("y").isNotNull, col("d")),
+          ignoreNulls = true).over(wb))
+        .withColumn("ny", first(col("y"), ignoreNulls = true).over(wf))
+        .withColumn("nd", first(when(col("y").isNotNull, col("d")),
+          ignoreNulls = true).over(wf))
+        .select(col("d").as("day_index"),
+          round(expr("CASE WHEN y IS NOT NULL THEN CAST(y AS DOUBLE) " +
+            "ELSE CAST(py AS DOUBLE) + (CAST(ny AS DOUBLE) - py) * " +
+            "(d - pd) / (nd - pd) END / 100"), 2).as("value_usd"),
+          when(col("y").isNotNull, lit("actual"))
+            .otherwise(lit("interpolated")).as("status"))
+        .orderBy("day_index")
+    },
+
+    // HMM VITERBI DECODE, 8-step unrolled (Viterbi 1967 / Rabiner 1989
+    // — per-sequence max-product state labeling, the sequence-model
+    // counterpart of q_markov_transitions' parameter estimation): a
+    // declared 2-state browse/buy HMM (constant transition/emission
+    // tables — ln() of literals, the identical IEEE tree both engines)
+    // decodes each user's first 8 events (ts, event_id total order).
+    // Per step both new state values reference both old values, so
+    // each of the 8 unrolled steps is localCheckpoint'd on the
+    // bounded per-user frame (the q_kcore discipline — constant plan,
+    // and the decode is EMBARRASSINGLY parallel: one row per user, no
+    // shuffle after the rollup; at 100 TB this is the map-only shape
+    // sequence labeling wants). Path strings carry the argmax
+    // backpointers forward (ties prefer browse), final state by
+    // GREATEST.
+    "q_viterbi_decode" -> { (s, dir) =>
+      def emit(state: Int, obs: String): String = {
+        val t = if (state == 0)
+          Seq("view" -> "0.3", "click" -> "0.3", "signup" -> "0.2",
+            "error" -> "0.15", "purchase" -> "0.05")
+        else
+          Seq("purchase" -> "0.45", "click" -> "0.2", "view" -> "0.15",
+            "signup" -> "0.05", "error" -> "0.15")
+        "CASE " + t.map { case (k, v) =>
+          s"WHEN $obs = '$k' THEN ln(${v}D)"
+        }.mkString(" ") + " ELSE ln(0.01D) END"
+      }
+      var df = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))).as("l"),
+          count(lit(1)).as("n"))
+        .filter(col("n") >= 8L)
+        .select(col("user_id"),
+          expr("transform(slice(l, 1, 8), x -> x.event_type)").as("obs"))
+        .withColumn("v0",
+          expr(s"ln(0.5D) + (${emit(0, "element_at(obs, 1)")})"))
+        .withColumn("v1",
+          expr(s"ln(0.5D) + (${emit(1, "element_at(obs, 1)")})"))
+        .withColumn("p0", lit("0")).withColumn("p1", lit("1"))
+        .localCheckpoint(true)
+      (2 to 8).foreach { i =>
+        df = df.select(col("user_id"), col("obs"),
+          expr("greatest(v0 + ln(0.8D), v1 + ln(0.4D)) + " +
+            s"(${emit(0, s"element_at(obs, $i)")})").as("nv0"),
+          expr("greatest(v0 + ln(0.2D), v1 + ln(0.6D)) + " +
+            s"(${emit(1, s"element_at(obs, $i)")})").as("nv1"),
+          expr("concat(CASE WHEN v0 + ln(0.8D) >= v1 + ln(0.4D) " +
+            "THEN p0 ELSE p1 END, '0')").as("np0"),
+          expr("concat(CASE WHEN v0 + ln(0.2D) >= v1 + ln(0.6D) " +
+            "THEN p0 ELSE p1 END, '1')").as("np1"))
+          .withColumnRenamed("nv0", "v0").withColumnRenamed("nv1", "v1")
+          .withColumnRenamed("np0", "p0").withColumnRenamed("np1", "p1")
+          .localCheckpoint(true)
+      }
+      df.select(col("user_id"),
+          expr("CASE WHEN v0 >= v1 THEN p0 ELSE p1 END")
+            .as("state_path"),
+          expr("CAST(length(CASE WHEN v0 >= v1 THEN p0 ELSE p1 END) - " +
+            "length(replace(CASE WHEN v0 >= v1 THEN p0 ELSE p1 END, " +
+            "'1', '')) AS BIGINT)").as("n_buy_steps"),
+          round(greatest(col("v0"), col("v1")), 6).as("logp"))
+        .orderBy("user_id")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -8544,7 +8656,98 @@ object Relational {
         |  round((ad::DOUBLE / n) /
         |    sqrt((n::DOUBLE * syy::DOUBLE - s::DOUBLE * s) /
         |      (n::DOUBLE * (n - 1))), 6) AS g_stat
-        |FROM top CROSS JOIN st""".stripMargin)
+        |FROM top CROSS JOIN st""".stripMargin,
+
+    // same top-entity series, same IGNORE NULLS forward/backward
+    // windows, same linear-blend tree
+    "q_gap_fill" ->
+      """WITH top AS (
+        |  SELECT o_custkey AS c FROM orders GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, o_custkey ASC LIMIT 1),
+        |known AS (
+        |  SELECT CAST(date_diff('day', TIMESTAMP '1992-01-01',
+        |    o_orderdate) AS BIGINT) AS d,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders JOIN top ON o_custkey = top.c GROUP BY 1),
+        |bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM known),
+        |spine AS (SELECT unnest(range(d0, d1 + 1)) AS d FROM bounds),
+        |j AS (SELECT spine.d, known.y FROM spine
+        |      LEFT JOIN known USING (d)),
+        |f AS (
+        |  SELECT d, y,
+        |    LAST_VALUE(y IGNORE NULLS) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS py,
+        |    LAST_VALUE(CASE WHEN y IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW) AS pd,
+        |    FIRST_VALUE(y IGNORE NULLS) OVER (ORDER BY d
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ny,
+        |    FIRST_VALUE(CASE WHEN y IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND
+        |        UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT d AS day_index,
+        |  round(CASE WHEN y IS NOT NULL THEN y::DOUBLE
+        |    ELSE py::DOUBLE + (ny::DOUBLE - py) * (d - pd) / (nd - pd)
+        |    END / 100, 2) AS value_usd,
+        |  CASE WHEN y IS NOT NULL THEN 'actual' ELSE 'interpolated' END
+        |    AS status
+        |FROM f ORDER BY day_index""".stripMargin,
+
+    // same declared HMM constants, same 8 unrolled max-product steps
+    // (MATERIALIZED — each step references the previous twice), same
+    // backpointer strings
+    "q_viterbi_decode" -> viterbiOracle)
+
+  /** q_viterbi_decode's oracle: the per-user first-8 observation rollup
+    * + the same 8 unrolled Viterbi steps with backpointer strings. */
+  private def viterbiOracle: String = {
+    def emit(state: Int, obs: String): String = {
+      val t = if (state == 0)
+        Seq("view" -> "0.3", "click" -> "0.3", "signup" -> "0.2",
+          "error" -> "0.15", "purchase" -> "0.05")
+      else
+        Seq("purchase" -> "0.45", "click" -> "0.2", "view" -> "0.15",
+          "signup" -> "0.05", "error" -> "0.15")
+      "CASE " + t.map { case (k, v) =>
+        s"WHEN $obs = '$k' THEN ln($v::DOUBLE)"
+      }.mkString(" ") + " ELSE ln(0.01::DOUBLE) END"
+    }
+    val steps = (2 to 8).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT user_id, obs,
+         |    GREATEST(v0 + ln(0.8::DOUBLE), v1 + ln(0.4::DOUBLE)) +
+         |      (${emit(0, s"obs[$i]")}) AS v0,
+         |    GREATEST(v0 + ln(0.2::DOUBLE), v1 + ln(0.6::DOUBLE)) +
+         |      (${emit(1, s"obs[$i]")}) AS v1,
+         |    (CASE WHEN v0 + ln(0.8::DOUBLE) >= v1 + ln(0.4::DOUBLE)
+         |      THEN p0 ELSE p1 END) || '0' AS p0,
+         |    (CASE WHEN v0 + ln(0.2::DOUBLE) >= v1 + ln(0.6::DOUBLE)
+         |      THEN p0 ELSE p1 END) || '1' AS p1
+         |  FROM s${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS MATERIALIZED (
+       |  SELECT user_id,
+       |    list_transform(list_sort(list(struct_pack(ts := ts,
+       |      eid := event_id, et := event_type)))[1:8], x -> x.et)
+       |      AS obs
+       |  FROM events GROUP BY user_id HAVING COUNT(*) >= 8),
+       |s1 AS MATERIALIZED (
+       |  SELECT user_id, obs,
+       |    ln(0.5::DOUBLE) + (${emit(0, "obs[1]")}) AS v0,
+       |    ln(0.5::DOUBLE) + (${emit(1, "obs[1]")}) AS v1,
+       |    '0' AS p0, '1' AS p1
+       |  FROM seq),
+       |$steps
+       |SELECT user_id,
+       |  CASE WHEN v0 >= v1 THEN p0 ELSE p1 END AS state_path,
+       |  CAST(length(CASE WHEN v0 >= v1 THEN p0 ELSE p1 END) -
+       |    length(replace(CASE WHEN v0 >= v1 THEN p0 ELSE p1 END,
+       |    '1', '')) AS BIGINT) AS n_buy_steps,
+       |  round(GREATEST(v0, v1), 6) AS logp
+       |FROM s8 ORDER BY user_id""".stripMargin
+  }
 
   /** q_connected_components's oracle: the symmetrized bipartite week +
     * the same 8 unrolled min-label + pointer-jump rounds. */

@@ -3897,4 +3897,79 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       if (m.isDefined) assert(expect.contains(d), s"extra dup $d: $m")
     }
   }
+
+  test("gap fill: brute spine interpolation replay matches") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_gap_fill")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS BIGINT)",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val top = o.groupBy(_._1).view.mapValues(_.length).toSeq
+      .minBy(p => (-p._2, p._1))._1
+    val known = o.filter(_._1 == top).groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toMap
+    val ds = known.keys.toSeq.sorted
+    assert(rows.length == (ds.max - ds.min + 1).toInt)
+    assert(rows.count(_._3 == "actual") == ds.size)
+    rows.foreach { case (d, v, st) =>
+      if (st == "actual")
+        assert(math.abs(v - known(d) / 100.0) < 5e-3, s"actual $d: $v")
+      else {
+        val pd = ds.filter(_ < d).max
+        val nd = ds.filter(_ > d).min
+        val exp = (known(pd) +
+          (known(nd) - known(pd)).toDouble * (d - pd) / (nd - pd)) / 100.0
+        assert(math.abs(v - exp) < 1.5e-2, s"interp $d: $v vs $exp")
+      }
+    }
+  }
+
+  test("viterbi: brute max-product decode replay matches") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_viterbi_decode")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp))",
+        "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val em = Array(
+      Map("view" -> 0.3, "click" -> 0.3, "signup" -> 0.2,
+        "error" -> 0.15, "purchase" -> 0.05),
+      Map("purchase" -> 0.45, "click" -> 0.2, "view" -> 0.15,
+        "signup" -> 0.05, "error" -> 0.15))
+    val tr = Array(Array(0.8, 0.2), Array(0.4, 0.6))
+    val expect = ev.groupBy(_._1).filter(_._2.length >= 8).map {
+      case (u, es) =>
+        val obs = es.sortBy(e => (e._2, e._3)).take(8).map(_._4)
+        var v = Array.tabulate(2)(st =>
+          math.log(0.5) + math.log(em(st)(obs(0))))
+        var p = Array("0", "1")
+        obs.drop(1).foreach { o =>
+          val nv = new Array[Double](2)
+          val np = new Array[String](2)
+          (0 to 1).foreach { st =>
+            val c0 = v(0) + math.log(tr(0)(st))
+            val c1 = v(1) + math.log(tr(1)(st))
+            val pick = if (c0 >= c1) 0 else 1
+            nv(st) = math.max(c0, c1) + math.log(em(st)(o))
+            np(st) = p(pick) + st.toString
+          }
+          v = nv; p = np
+        }
+        val path = if (v(0) >= v(1)) p(0) else p(1)
+        u -> (path, path.count(_ == '1').toLong, math.max(v(0), v(1)))
+    }
+    assert(rows.keySet == expect.keySet)
+    expect.foreach { case (u, (path, nb, lp)) =>
+      val r = rows(u)
+      assert(r._1 == path && r._2 == nb, s"user $u: $r vs ($path, $nb)")
+      assert(math.abs(r._3 - lp) < 1e-5, s"logp $u: ${r._3} vs $lp")
+    }
+  }
 }
