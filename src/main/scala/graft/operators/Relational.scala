@@ -52,6 +52,53 @@ object Relational {
   private def factor(c: Column): Column = c.cast(DecimalType(6, 2))
   private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
 
+  /** Shared two-cohort survival risk-set derivation (q_logrank_test +
+    * q_cox_regression — one derivation, two consumers, so the test and
+    * the model can never disagree on a risk set): q_kaplan_meier's
+    * duration rule (first event → first subsequent purchase, censored
+    * at obs end), cohort g = user_id parity, per-duration-day event /
+    * censor counts per cohort, at-risk counts from INTEGER window
+    * cumsums. Returns (risk(dur, d0, d1, n0, n1), tot(tn0, tn1)). */
+  private def survivalRisk(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val ev = t(s, dir, "events")
+    val obsEnd = ev.agg(max("ts").as("obs_end"))
+    val t0 = ev.groupBy("user_id").agg(min("ts").as("t0"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .join(t0, "user_id").filter(col("ts") > col("t0"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    val users = t0.join(firstP, Seq("user_id"), "left")
+      .crossJoin(broadcast(obsEnd))
+      .select((col("user_id") % 2).as("g"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"),
+        when(col("tp").isNotNull,
+          expr("(unix_micros(tp) - unix_micros(t0)) div 86400000000"))
+          .otherwise(expr(
+            "(unix_micros(obs_end) - unix_micros(t0)) div 86400000000"))
+          .as("dur"))
+    val tot = users.agg(
+      sum(when(col("g") === 0L, 1L).otherwise(0L)).as("tn0"),
+      sum(when(col("g") === 1L, 1L).otherwise(0L)).as("tn1"))
+    val byd = users.groupBy("dur").agg(
+      sum(when(col("g") === 0L && col("ev") === 1L, 1L).otherwise(0L))
+        .as("d0"),
+      sum(when(col("g") === 0L && col("ev") === 0L, 1L).otherwise(0L))
+        .as("c0"),
+      sum(when(col("g") === 1L && col("ev") === 1L, 1L).otherwise(0L))
+        .as("d1"),
+      sum(when(col("g") === 1L && col("ev") === 0L, 1L).otherwise(0L))
+        .as("c1"))
+    val wz = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byd.crossJoin(broadcast(tot))
+      .withColumn("n0", col("tn0") -
+        coalesce(sum(col("d0") + col("c0")).over(wz), lit(0L)))
+      .withColumn("n1", col("tn1") -
+        coalesce(sum(col("d1") + col("c1")).over(wz), lit(0L)))
+      .select("dur", "d0", "d1", "n0", "n1")
+    (risk, tot)
+  }
+
   /** Shared scored-document derivation for the calibration family
     * (q_calibration_bins + q_isotonic_calibration — one scorer, two
     * consumers, so the reliability diagram and the isotonic fit can never
@@ -4583,40 +4630,8 @@ object Relational {
     // the statistic is a single fold, nothing row-level past the
     // rollup.
     "q_logrank_test" -> { (s, dir) =>
-      val ev = t(s, dir, "events")
-      val obsEnd = ev.agg(max("ts").as("obs_end"))
-      val t0 = ev.groupBy("user_id").agg(min("ts").as("t0"))
-      val firstP = ev.filter(col("event_type") === "purchase")
-        .join(t0, "user_id").filter(col("ts") > col("t0"))
-        .groupBy("user_id").agg(min("ts").as("tp"))
-      val users = t0.join(firstP, Seq("user_id"), "left")
-        .crossJoin(broadcast(obsEnd))
-        .select((col("user_id") % 2).as("g"),
-          when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"),
-          when(col("tp").isNotNull,
-            expr("(unix_micros(tp) - unix_micros(t0)) div 86400000000"))
-            .otherwise(expr(
-              "(unix_micros(obs_end) - unix_micros(t0)) div 86400000000"))
-            .as("dur"))
-      val tot = users.agg(
-        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("tn0"),
-        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("tn1"))
-      val byd = users.groupBy("dur").agg(
-        sum(when(col("g") === 0L && col("ev") === 1L, 1L).otherwise(0L))
-          .as("d0"),
-        sum(when(col("g") === 0L && col("ev") === 0L, 1L).otherwise(0L))
-          .as("c0"),
-        sum(when(col("g") === 1L && col("ev") === 1L, 1L).otherwise(0L))
-          .as("d1"),
-        sum(when(col("g") === 1L && col("ev") === 0L, 1L).otherwise(0L))
-          .as("c1"))
-      val wz = Window.orderBy("dur")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val lv = byd.crossJoin(broadcast(tot))
-        .withColumn("n0", col("tn0") -
-          coalesce(sum(col("d0") + col("c0")).over(wz), lit(0L)))
-        .withColumn("n1", col("tn1") -
-          coalesce(sum(col("d1") + col("c1")).over(wz), lit(0L)))
+      val (risk, tot) = survivalRisk(s, dir)
+      val lv = risk
         .filter(col("d0") + col("d1") > 0L)
         .select(col("dur"), (col("d0") + col("d1")).as("d"), col("d1"),
           (col("n0") + col("n1")).as("n"), col("n1"))
@@ -4914,6 +4929,52 @@ object Relational {
             "'1', '')) AS BIGINT)").as("n_buy_steps"),
           round(greatest(col("v0"), col("v1")), 6).as("logp"))
         .orderBy("user_id")
+    },
+
+    // COX PROPORTIONAL-HAZARDS REGRESSION, binary covariate, Breslow
+    // ties, 4 Newton–Raphson steps unrolled (Cox 1972 — the MODEL the
+    // survival family was missing: q_kaplan_meier/q_nelson_aalen draw
+    // the curves, q_logrank_test decides "different?", this one says
+    // BY HOW MUCH as a hazard ratio with a standard error): shares
+    // [[survivalRisk]] with q_logrank_test verbatim, so the test and
+    // the model read the SAME risk sets. With x ∈ {0,1} the partial-
+    // likelihood score and information collapse to folds over the
+    // event-time level list — U(β) = Σd₁ − Σ d·n₁e^β/(n₀+n₁e^β),
+    // I(β) = Σ d·n₀n₁e^β/(n₀+n₁e^β)² — so each Newton step is two
+    // folds over the duration-SORTED struct list on a ONE-ROW frame,
+    // localCheckpoint'd per step (both folds reference β — the
+    // q_greedy_decode lesson). β* solves U = 0 exactly at the
+    // fixpoint; se = I(β*)^(-1/2), z = β*/se. Scale: the corpus work
+    // is survivalRisk's one rollup; four steps touch one row.
+    "q_cox_regression" -> { (s, dir) =>
+      val (risk, tot) = survivalRisk(s, dir)
+      val lv = risk.filter(col("d0") + col("d1") > 0L)
+        .select(col("dur"), (col("d0") + col("d1")).as("d"), col("d1"),
+          col("n0"), col("n1"))
+      def foldU = "aggregate(l, 0D, (a, p) -> a + " +
+        "(CAST(p.d AS DOUBLE) * p.n1 * exp(beta) / " +
+        "(p.n0 + p.n1 * exp(beta))))"
+      def foldI = "aggregate(l, 0D, (a, p) -> a + " +
+        "(CAST(p.d AS DOUBLE) * p.n0 * p.n1 * exp(beta) / " +
+        "((p.n0 + p.n1 * exp(beta)) * (p.n0 + p.n1 * exp(beta)))))"
+      var st = lv.agg(sort_array(collect_list(struct(col("dur"),
+          col("d"), col("d1"), col("n0"), col("n1")))).as("l"),
+          sum("d1").as("sd1"))
+        .withColumn("beta", lit(0.0d))
+        .localCheckpoint(true)
+      (1 to 4).foreach { _ =>
+        st = st.withColumn("beta",
+          expr(s"beta + (CAST(sd1 AS DOUBLE) - $foldU) / ($foldI)"))
+          .localCheckpoint(true)
+      }
+      st.withColumn("ifin", expr(foldI))
+        .crossJoin(broadcast(tot))
+        .select(col("tn0").as("n_g0"), col("tn1").as("n_g1"),
+          col("sd1").as("events_g1"),
+          round(col("beta"), 6).as("beta"),
+          round(exp(col("beta")), 6).as("hazard_ratio"),
+          round(expr("1.0D / sqrt(ifin)"), 6).as("se"),
+          round(expr("beta / (1.0D / sqrt(ifin))"), 6).as("z"))
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -8698,7 +8759,78 @@ object Relational {
     // same declared HMM constants, same 8 unrolled max-product steps
     // (MATERIALIZED — each step references the previous twice), same
     // backpointer strings
-    "q_viterbi_decode" -> viterbiOracle)
+    "q_viterbi_decode" -> viterbiOracle,
+
+    // same survivalRisk CTE chain as q_logrank_test, same 4 MATERIALIZED
+    // Newton steps with the identical U/I folds
+    "q_cox_regression" -> coxOracle)
+
+  /** q_cox_regression's oracle: the q_logrank_test risk-set chain + the
+    * same 4 unrolled Newton–Raphson steps over the event-level list. */
+  private def coxOracle: String = {
+    def foldU = """list_reduce(list_concat([0.0::DOUBLE], list_transform(l,
+      |    p -> (p.d::DOUBLE * p.n1 * exp(beta) /
+      |      (p.n0 + p.n1 * exp(beta))))), (a, b) -> a + b)""".stripMargin
+    def foldI = """list_reduce(list_concat([0.0::DOUBLE], list_transform(l,
+      |    p -> (p.d::DOUBLE * p.n0 * p.n1 * exp(beta) /
+      |      ((p.n0 + p.n1 * exp(beta)) * (p.n0 + p.n1 * exp(beta)))))),
+      |    (a, b) -> a + b)""".stripMargin
+    val steps = (1 to 4).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT l, sd1,
+         |  beta + (sd1::DOUBLE - $foldU) / ($foldI) AS beta
+         |  FROM s${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH obs AS (SELECT MAX(ts) AS obs_end FROM events),
+       |t0 AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY 1),
+       |fp AS (SELECT e.user_id, MIN(e.ts) AS tp
+       |       FROM events e JOIN t0 ON e.user_id = t0.user_id
+       |       WHERE e.event_type = 'purchase' AND e.ts > t0.t0
+       |       GROUP BY 1),
+       |users AS (
+       |  SELECT t0.user_id % 2 AS g,
+       |    CASE WHEN fp.tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+       |    CASE WHEN fp.tp IS NOT NULL
+       |      THEN (epoch_us(fp.tp) - epoch_us(t0.t0)) // 86400000000
+       |      ELSE (epoch_us(obs.obs_end) - epoch_us(t0.t0))
+       |        // 86400000000 END AS dur
+       |  FROM t0 LEFT JOIN fp ON t0.user_id = fp.user_id
+       |  CROSS JOIN obs),
+       |tot AS (SELECT
+       |  CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn0,
+       |  CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tn1
+       |  FROM users),
+       |byd AS (SELECT dur,
+       |  CAST(SUM(CASE WHEN g = 0 AND ev = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS d0,
+       |  CAST(SUM(CASE WHEN g = 0 AND ev = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS c0,
+       |  CAST(SUM(CASE WHEN g = 1 AND ev = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS d1,
+       |  CAST(SUM(CASE WHEN g = 1 AND ev = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS c1
+       |  FROM users GROUP BY 1),
+       |risk AS (SELECT dur, d0, d1,
+       |  tn0 - CAST(COALESCE(SUM(d0 + c0) OVER (ORDER BY dur
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS n0,
+       |  tn1 - CAST(COALESCE(SUM(d1 + c1) OVER (ORDER BY dur
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS n1
+       |  FROM byd CROSS JOIN tot),
+       |lv AS (SELECT dur, d0 + d1 AS d, d1, n0, n1 FROM risk
+       |       WHERE d0 + d1 > 0),
+       |s0 AS MATERIALIZED (SELECT
+       |  list_sort(list(struct_pack(dur := dur, d := d, d1 := d1,
+       |    n0 := n0, n1 := n1))) AS l,
+       |  CAST(SUM(d1) AS BIGINT) AS sd1, 0.0::DOUBLE AS beta FROM lv),
+       |$steps
+       |SELECT tn0 AS n_g0, tn1 AS n_g1, sd1 AS events_g1,
+       |  round(beta, 6) AS beta,
+       |  round(exp(beta), 6) AS hazard_ratio,
+       |  round(1.0::DOUBLE / sqrt($foldI), 6) AS se,
+       |  round(beta / (1.0::DOUBLE / sqrt($foldI)), 6) AS z
+       |FROM s4 CROSS JOIN tot""".stripMargin
+  }
 
   /** q_viterbi_decode's oracle: the per-user first-8 observation rollup
     * + the same 8 unrolled Viterbi steps with backpointer strings. */

@@ -3972,4 +3972,52 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(r._3 - lp) < 1e-5, s"logp $u: ${r._3} vs $lp")
     }
   }
+
+  test("cox regression: brute Newton partial-likelihood replay matches") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_cox_regression")(spark, sfDir)
+      .collect().head
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "unix_micros(cast(ts as timestamp))")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val obsEnd = ev.map(_._3).max
+    val users = ev.groupBy(_._1).map { case (uid, rows0) =>
+      val t0 = rows0.map(_._3).min
+      val tp = rows0.filter(x => x._2 == "purchase" && x._3 > t0)
+        .map(_._3).minOption
+      ((uid % 2).toInt, tp.isDefined,
+        (tp.getOrElse(obsEnd) - t0) / 86400000000L)
+    }.toSeq
+    var (at0, at1) = (users.count(_._1 == 0), users.count(_._1 == 1))
+    val lv = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    users.map(_._3).distinct.sorted.foreach { tt =>
+      val d0 = users.count(u => u._1 == 0 && u._2 && u._3 == tt)
+      val d1 = users.count(u => u._1 == 1 && u._2 && u._3 == tt)
+      val c0 = users.count(u => u._1 == 0 && !u._2 && u._3 == tt)
+      val c1 = users.count(u => u._1 == 1 && !u._2 && u._3 == tt)
+      if (d0 + d1 > 0) lv += (((d0 + d1).toLong, d1.toLong,
+        at0.toLong, at1.toLong))
+      at0 -= d0 + c0; at1 -= d1 + c1
+    }
+    val sd1 = lv.map(_._2).sum
+    var beta = 0.0
+    def uFold(b: Double) = lv.map { case (d, _, n0, n1) =>
+      d.toDouble * n1 * math.exp(b) / (n0 + n1 * math.exp(b))
+    }.sum
+    def iFold(b: Double) = lv.map { case (d, _, n0, n1) =>
+      d.toDouble * n0 * n1 * math.exp(b) /
+        math.pow(n0 + n1 * math.exp(b), 2)
+    }.sum
+    (1 to 4).foreach(_ => beta += (sd1 - uFold(beta)) / iFold(beta))
+    val se = 1.0 / math.sqrt(iFold(beta))
+    assert(r.getLong(2) == sd1, s"events_g1: $r vs $sd1")
+    assert(math.abs(r.getDouble(3) - beta) < 1e-5, s"beta: $r vs $beta")
+    assert(math.abs(r.getDouble(4) - math.exp(beta)) < 1e-5)
+    assert(math.abs(r.getDouble(5) - se) < 1e-5, s"se: $r vs $se")
+    assert(math.abs(r.getDouble(6) - beta / se) < 1e-4, s"z: $r")
+    // the fixpoint actually solves the score equation: U(beta*) ~ 0
+    assert(math.abs(sd1 - uFold(beta)) < 1e-6,
+      s"U(beta*) = ${sd1 - uFold(beta)} not converged")
+  }
 }
