@@ -4975,6 +4975,97 @@ object Relational {
           round(exp(col("beta")), 6).as("hazard_ratio"),
           round(expr("1.0D / sqrt(ifin)"), 6).as("se"),
           round(expr("beta / (1.0D / sqrt(ifin))"), 6).as("z"))
+    },
+
+    // SAX SYMBOLIZATION (Lin & Keogh 2003 — Piecewise Aggregate
+    // Approximation + fixed-breakpoint alphabet, the indexable symbolic
+    // form a 100 TB time-series store actually searches): the monthly
+    // revenue series z-normalizes against EXACT global sufficient
+    // stats (Σy BIGINT, Σy² through DECIMAL(28) — a month total's
+    // square overflows BIGINT at sf ≥ 1), PAA segments by the
+    // any-length rule segment = ⌊r·8/n⌋ (integer — no float boundary
+    // decides membership), per-segment means from exact integer sums,
+    // symbols by the standard 4-letter Gaussian breakpoints ±0.6745/0.
+    // Scale: one rollup to months, one 1-row stats agg; the symbol
+    // table is 8 rows. Per-entity SAX at corpus scale is the same
+    // plan partitioned by entity key.
+    "q_sax_symbols" -> { (s, dir) =>
+      val ser = t(s, dir, "orders")
+        .groupBy(expr("CAST((year(o_orderdate) - 1992) * 12 + " +
+          "month(o_orderdate) - 1 AS BIGINT)").as("m"))
+        .agg(sum((money(col("o_totalprice")) * 100).cast(LongType))
+          .as("y"))
+      val idx = ser
+        .withColumn("r",
+          (row_number().over(Window.orderBy("m")) - 1).cast(LongType))
+      val st = idx.agg(count(lit(1)).as("n"), sum("y").as("s"),
+        sum(col("y").cast(DecimalType(28, 0)) *
+          col("y").cast(DecimalType(28, 0))).as("syy"))
+      idx.crossJoin(broadcast(st))
+        .groupBy(expr("(r * 8) div n").as("segment"))
+        .agg(count(lit(1)).as("n_points"), sum("y").as("sy"),
+          max("n").as("n"), max("s").as("s"), max("syy").as("syy"))
+        .withColumn("z", expr(
+          "(CAST(sy AS DOUBLE) / n_points - CAST(s AS DOUBLE) / n) / " +
+            "sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+            "CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * n))"))
+        .select(col("segment"), col("n_points"),
+          round(col("z"), 6).as("z_paa"),
+          expr("CASE WHEN z < -0.6745D THEN 'a' WHEN z < 0D THEN 'b' " +
+            "WHEN z < 0.6745D THEN 'c' ELSE 'd' END").as("symbol"))
+        .orderBy("segment")
+    },
+
+    // MATRIX PROFILE (Yeh & Keogh 2016 — every subsequence's nearest-
+    // neighbor distance, THE time-series primitive: motifs are the
+    // profile's minima, discords its maxima): window m = 6 over the
+    // monthly revenue series, z-normalized Euclidean distance, trivial
+    // matches excluded by |i−j| ≥ m. Per-subsequence μ/σ derive from
+    // ordered folds over the one broadcast-sized series array; the
+    // pair table is a bounded |subs|² nested-loop join (the
+    // q_mmr_rerank K² shape — 75² here, NEVER corpus-sized: the
+    // series is an aggregate of the corpus, and per-entity profiles
+    // at 100 TB partition by entity before this same bounded kernel).
+    // Nearest neighbor per i under (dist ASC, j ASC).
+    "q_matrix_profile" -> { (s, dir) =>
+      val ser = t(s, dir, "orders")
+        .groupBy(expr("CAST((year(o_orderdate) - 1992) * 12 + " +
+          "month(o_orderdate) - 1 AS BIGINT)").as("m"))
+        .agg(sum((money(col("o_totalprice")) * 100).cast(LongType))
+          .as("y"))
+      val arr = ser
+        .agg(sort_array(collect_list(struct(col("m"), col("y")))).as("l"))
+        .select(expr("transform(l, p -> CAST(p.y AS DOUBLE))").as("ys"),
+          expr("CAST(size(l) AS BIGINT)").as("n"))
+      val subs = arr
+        .select(col("ys"), col("n"),
+          explode(expr("sequence(0L, n - 6)")).as("i"))
+        .withColumn("ssum", expr("aggregate(sequence(1, 6), 0D, " +
+          "(a, k) -> a + element_at(ys, CAST(i + k AS INT)))"))
+        .withColumn("ssq", expr("aggregate(sequence(1, 6), 0D, " +
+          "(a, k) -> a + element_at(ys, CAST(i + k AS INT)) * " +
+          "element_at(ys, CAST(i + k AS INT)))"))
+        .withColumn("mu", expr("ssum / 6"))
+        .withColumn("sig", expr("sqrt(ssq / 6 - (ssum / 6) * (ssum / 6))"))
+        .select("i", "ys", "mu", "sig")
+        .localCheckpoint(true)
+      val a = subs.select(col("i").as("ai"), col("ys").as("ays"),
+        col("mu").as("amu"), col("sig").as("asig"))
+      val b = subs.select(col("i").as("bi"), col("ys").as("bys"),
+        col("mu").as("bmu"), col("sig").as("bsig"))
+      a.join(b, abs(col("ai") - col("bi")) >= 6L)
+        .withColumn("d", expr("sqrt(aggregate(sequence(1, 6), 0D, " +
+          "(x, k) -> x + " +
+          "((element_at(ays, CAST(ai + k AS INT)) - amu) / asig - " +
+          " (element_at(bys, CAST(bi + k AS INT)) - bmu) / bsig) * " +
+          "((element_at(ays, CAST(ai + k AS INT)) - amu) / asig - " +
+          " (element_at(bys, CAST(bi + k AS INT)) - bmu) / bsig)))"))
+        .withColumn("rn", row_number().over(Window.partitionBy("ai")
+          .orderBy(col("d").asc, col("bi").asc)))
+        .filter(col("rn") === 1)
+        .select(col("ai").as("idx"), col("bi").as("nn_idx"),
+          round(col("d"), 6).as("nn_dist"))
+        .orderBy("idx")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -8763,7 +8854,86 @@ object Relational {
 
     // same survivalRisk CTE chain as q_logrank_test, same 4 MATERIALIZED
     // Newton steps with the identical U/I folds
-    "q_cox_regression" -> coxOracle)
+    "q_cox_regression" -> coxOracle,
+
+    // same exact global stats, same integer segment rule, same z tree
+    // and breakpoints
+    "q_sax_symbols" ->
+      """WITH ser AS (
+        |  SELECT CAST((year(o_orderdate) - 1992) * 12 +
+        |    month(o_orderdate) - 1 AS BIGINT) AS m,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |idx AS (
+        |  SELECT y, CAST(row_number() OVER (ORDER BY m) - 1 AS BIGINT)
+        |    AS r
+        |  FROM ser),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS s,
+        |    SUM(CAST(y AS DECIMAL(28,0)) * CAST(y AS DECIMAL(28,0)))
+        |      AS syy
+        |  FROM idx),
+        |seg AS (
+        |  SELECT (r * 8) // n AS segment, CAST(COUNT(*) AS BIGINT)
+        |    AS n_points, CAST(SUM(y) AS BIGINT) AS sy,
+        |    MAX(n) AS n, MAX(s) AS s, MAX(syy) AS syy
+        |  FROM idx CROSS JOIN st GROUP BY 1),
+        |zz AS (
+        |  SELECT segment, n_points,
+        |    (sy::DOUBLE / n_points - s::DOUBLE / n) /
+        |      sqrt((n::DOUBLE * syy::DOUBLE - s::DOUBLE * s) /
+        |        (n::DOUBLE * n)) AS z
+        |  FROM seg)
+        |SELECT segment, n_points, round(z, 6) AS z_paa,
+        |  CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0 THEN 'b'
+        |       WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+        |FROM zz ORDER BY segment""".stripMargin,
+
+    // same series array, same μ/σ folds, same z-normalized distance
+    // fold and (dist, j) nearest-neighbor order
+    "q_matrix_profile" ->
+      """WITH ser AS (
+        |  SELECT CAST((year(o_orderdate) - 1992) * 12 +
+        |    month(o_orderdate) - 1 AS BIGINT) AS m,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |arr AS MATERIALIZED (
+        |  SELECT list_transform(list_sort(list(struct_pack(m := m,
+        |    y := y))), p -> p.y::DOUBLE) AS ys,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ser),
+        |subs AS MATERIALIZED (
+        |  SELECT i, ys, ssum / 6 AS mu,
+        |    sqrt(ssq / 6 - (ssum / 6) * (ssum / 6)) AS sig
+        |  FROM (
+        |    SELECT i, ys,
+        |      list_reduce(list_concat([0.0::DOUBLE],
+        |        list_transform(range(1, 7), k -> ys[i + k])),
+        |        (a, b) -> a + b) AS ssum,
+        |      list_reduce(list_concat([0.0::DOUBLE],
+        |        list_transform(range(1, 7), k -> ys[i + k] * ys[i + k])),
+        |        (a, b) -> a + b) AS ssq
+        |    FROM arr, LATERAL (SELECT unnest(range(0, n - 5)) AS i) t)),
+        |pairs AS (
+        |  SELECT a.i AS ai, b.i AS bi,
+        |    sqrt(list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(range(1, 7), k ->
+        |        ((a.ys[a.i + k] - a.mu) / a.sig -
+        |         (b.ys[b.i + k] - b.mu) / b.sig) *
+        |        ((a.ys[a.i + k] - a.mu) / a.sig -
+        |         (b.ys[b.i + k] - b.mu) / b.sig))),
+        |      (x, y) -> x + y)) AS d
+        |  FROM subs a JOIN subs b ON abs(a.i - b.i) >= 6),
+        |best AS (
+        |  SELECT ai, bi, d,
+        |    row_number() OVER (PARTITION BY ai ORDER BY d ASC, bi ASC)
+        |      AS rn
+        |  FROM pairs)
+        |SELECT ai AS idx, bi AS nn_idx, round(d, 6) AS nn_dist
+        |FROM best WHERE rn = 1 ORDER BY idx""".stripMargin)
 
   /** q_cox_regression's oracle: the q_logrank_test risk-set chain + the
     * same 4 unrolled Newton–Raphson steps over the event-level list. */

@@ -4020,4 +4020,70 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(sd1 - uFold(beta)) < 1e-6,
       s"U(beta*) = ${sd1 - uFold(beta)} not converged")
   }
+
+  private def monthlyCents(): Array[Long] =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr(
+        "CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).sum).toArray
+
+  test("sax: brute PAA z-symbolization replay matches") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_sax_symbols")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    val ys = monthlyCents()
+    val n = ys.length
+    val mu = ys.sum.toDouble / n
+    val sd = math.sqrt(ys.map(y => math.pow(y - mu, 2)).sum / n)
+    val segs = ys.indices.groupBy(r => r.toLong * 8 / n)
+    assert(rows.length == segs.size)
+    rows.foreach { r =>
+      val idxs = segs(r.getLong(0))
+      assert(r.getLong(1) == idxs.size.toLong)
+      val z = (idxs.map(ys(_)).sum.toDouble / idxs.size - mu) / sd
+      assert(math.abs(r.getDouble(2) - z) < 1e-5, s"z: $r vs $z")
+      val sym = if (z < -0.6745) "a" else if (z < 0) "b"
+        else if (z < 0.6745) "c" else "d"
+      assert(r.getString(3) == sym, s"symbol: $r vs $sym")
+    }
+  }
+
+  test("matrix profile: brute all-pairs nearest neighbor matches") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_matrix_profile")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val ys = monthlyCents().map(_.toDouble)
+    val n = ys.length
+    val m = 6
+    def st(i: Int): (Double, Double) = {
+      val w = ys.slice(i, i + m)
+      val mu = w.sum / m
+      (mu, math.sqrt(w.map(x => x * x).sum / m - mu * mu))
+    }
+    val expect = (0 to n - m).map { i =>
+      val (mi, si) = st(i)
+      val cands = (0 to n - m).filter(j => math.abs(i - j) >= m).map { j =>
+        val (mj, sj) = st(j)
+        val d = math.sqrt((0 until m).map { k =>
+          math.pow((ys(i + k) - mi) / si - (ys(j + k) - mj) / sj, 2)
+        }.sum)
+        (j, d)
+      }
+      i.toLong -> cands.minBy(c => (c._2, c._1))
+    }.toMap
+    assert(rows.keySet == expect.keySet)
+    expect.foreach { case (i, (j, d)) =>
+      val r = rows(i)
+      assert(r._1 == j.toLong, s"nn of $i: $r vs ($j, $d)")
+      assert(math.abs(r._2 - d) < 1e-5, s"dist of $i: $r vs $d")
+    }
+    // motif sanity: profile minima are symmetric partners
+    val (mi, (mj, _)) = expect.minBy(_._2._2)
+    assert(expect(mj.toLong)._2 <= expect.values.map(_._2).max)
+    assert(mi >= 0)
+  }
 }
