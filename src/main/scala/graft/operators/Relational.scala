@@ -5066,6 +5066,89 @@ object Relational {
         .select(col("ai").as("idx"), col("bi").as("nn_idx"),
           round(col("d"), 6).as("nn_dist"))
         .orderBy("idx")
+    },
+
+    // ECOD OUTLIER SCORES (Li et al. 2022 — unsupervised outlier
+    // detection from per-feature ECDF tail probabilities: no
+    // parameters, no distance metric, embarrassingly parallel — the
+    // reason it's the go-to first screen at corpus scale): features =
+    // (total price, order-date day index); per-feature ECDFs come from
+    // INTEGER cumsums over the value-level histograms (exact — no
+    // float rank), each row scores −Σ ln(two-sided tail) via two level
+    // joins, top-10 under (score DESC, key ASC). The declared variant
+    // uses the symmetric tail min(F, 1−F+1/n) per feature. Scale: two
+    // level rollups + two equi-joins back — never a sort of the
+    // corpus; the top-10 is TakeOrdered.
+    "q_ecod_outliers" -> { (s, dir) =>
+      val d = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        (money(col("o_totalprice")) * 100).cast(LongType).as("y1"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+          "DATE '1992-01-01') AS BIGINT)").as("y2"))
+      val n = d.agg(count(lit(1)).as("n"))
+      def cum(c: String): DataFrame =
+        d.groupBy(col(c).as("v")).agg(count(lit(1)).as("cn"))
+          .withColumn("le", sum("cn").over(Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("v"), col("le"))
+      val c1 = cum("y1").select(col("v").as("y1"), col("le").as("le1"))
+      val c2 = cum("y2").select(col("v").as("y2"), col("le").as("le2"))
+      d.join(c1, "y1").join(c2, "y2").crossJoin(broadcast(n))
+        .withColumn("score", expr(
+          "-ln(least(CAST(le1 AS DOUBLE) / n, " +
+            "1.0D - CAST(le1 AS DOUBLE) / n + 1.0D / n)) " +
+            "- ln(least(CAST(le2 AS DOUBLE) / n, " +
+            "1.0D - CAST(le2 AS DOUBLE) / n + 1.0D / n))"))
+        .orderBy(col("score").desc, col("k").asc).limit(10)
+        .select(col("k").as("o_orderkey"),
+          round(expr("CAST(y1 AS DOUBLE) / 100"), 2)
+            .as("totalprice_usd"),
+          col("y2").as("day_index"),
+          round(col("score"), 6).as("ecod_score"))
+    },
+
+    // IPF RAKING (Deming & Stephan 1940 — iterative proportional
+    // fitting of a contingency table to target margins, the survey /
+    // panel-weighting workhorse): the segment × region customer grid
+    // rakes to uniform margins (tot/5 each) in 4 row+column rounds.
+    // The ENTIRE state is one row holding the 25-cell grid as a
+    // (seg, reg)-sorted struct list; every margin sum is an ordered
+    // fold over that list (masked by CASE — adding 0.0 terms leaves
+    // IEEE sums unchanged), so both engines scale identical doubles
+    // in identical order; each of the 8 half-steps references the
+    // list twice → localCheckpoint per half-step (the q_kcore
+    // discipline, 1-row frames). Scale: corpus → 25-cell rollup is
+    // the only big work; raking itself is O(cells²·rounds) driver-free
+    // scalar algebra — the same shape at ANY corpus size.
+    "q_ipf_raking" -> { (s, dir) =>
+      val cnt = t(s, dir, "customer")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("r_name").as("reg"))
+        .agg(count(lit(1)).as("n"))
+      def scale(key: String): String =
+        s"""transform(l, p -> named_struct(
+           |  'seg', p.seg, 'reg', p.reg, 'n', p.n,
+           |  'w', p.w * (CAST(tot AS DOUBLE) / 5) /
+           |    aggregate(l, 0D, (a, q) -> a +
+           |      (CASE WHEN q.$key = p.$key THEN q.w
+           |       ELSE 0.0D END))))""".stripMargin
+      var st = cnt
+        .agg(sort_array(collect_list(struct(col("seg"), col("reg"),
+            col("n"), col("n").cast(DoubleType).as("w")))).as("l"),
+          sum("n").as("tot"))
+        .localCheckpoint(true)
+      (1 to 4).foreach { _ =>
+        st = st.withColumn("l", expr(scale("seg"))).localCheckpoint(true)
+        st = st.withColumn("l", expr(scale("reg"))).localCheckpoint(true)
+      }
+      st.select(explode(col("l")).as("p"))
+        .select(col("p.seg").as("segment"), col("p.reg").as("region"),
+          col("p.n").as("n_raw"), round(col("p.w"), 6).as("weight"),
+          round(expr("p.w / p.n"), 6).as("rake_factor"))
+        .orderBy("segment", "region")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -8933,7 +9016,79 @@ object Relational {
         |      AS rn
         |  FROM pairs)
         |SELECT ai AS idx, bi AS nn_idx, round(d, 6) AS nn_dist
-        |FROM best WHERE rn = 1 ORDER BY idx""".stripMargin)
+        |FROM best WHERE rn = 1 ORDER BY idx""".stripMargin,
+
+    // same integer level cumsums, same two-sided tail score tree, same
+    // (score DESC, key ASC) top-10
+    "q_ecod_outliers" ->
+      """WITH d AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS y1,
+        |    CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+        |      AS BIGINT) AS y2
+        |  FROM orders),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+        |l1 AS (SELECT y1 AS v, COUNT(*) AS cn FROM d GROUP BY 1),
+        |c1 AS (SELECT v, CAST(SUM(cn) OVER (ORDER BY v ROWS BETWEEN
+        |  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS le
+        |  FROM l1),
+        |l2 AS (SELECT y2 AS v, COUNT(*) AS cn FROM d GROUP BY 1),
+        |c2 AS (SELECT v, CAST(SUM(cn) OVER (ORDER BY v ROWS BETWEEN
+        |  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS le
+        |  FROM l2),
+        |sc AS (
+        |  SELECT d.k, d.y1, d.y2,
+        |    -ln(LEAST(c1.le::DOUBLE / n.n, 1.0::DOUBLE -
+        |      c1.le::DOUBLE / n.n + 1.0::DOUBLE / n.n))
+        |    - ln(LEAST(c2.le::DOUBLE / n.n, 1.0::DOUBLE -
+        |      c2.le::DOUBLE / n.n + 1.0::DOUBLE / n.n)) AS score
+        |  FROM d JOIN c1 ON d.y1 = c1.v JOIN c2 ON d.y2 = c2.v
+        |  CROSS JOIN n)
+        |SELECT k AS o_orderkey,
+        |  round(y1::DOUBLE / 100, 2) AS totalprice_usd,
+        |  y2 AS day_index, round(score, 6) AS ecod_score
+        |FROM sc ORDER BY score DESC, k ASC LIMIT 10""".stripMargin,
+
+    // same 25-cell sorted grid, same 8 MATERIALIZED masked-fold
+    // half-steps, same uniform targets
+    "q_ipf_raking" -> ipfOracle)
+
+  /** q_ipf_raking's oracle: the segment × region rollup + the same 4
+    * row+column raking rounds as one-row list states. */
+  private def ipfOracle: String = {
+    def scale(key: String): String =
+      s"""list_transform(l, p -> struct_pack(seg := p.seg,
+         |    reg := p.reg, n := p.n,
+         |    w := p.w * (tot::DOUBLE / 5) /
+         |      list_reduce(list_concat([0.0::DOUBLE], list_transform(l,
+         |        q -> CASE WHEN q.$key = p.$key THEN q.w
+         |             ELSE 0.0::DOUBLE END)), (a, b) -> a + b)))"""
+        .stripMargin
+    val rounds = (1 to 4).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT ${scale("seg")} AS l, tot FROM c${i - 1}),
+         |c$i AS MATERIALIZED (
+         |  SELECT ${scale("reg")} AS l, tot FROM r$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cnt AS (
+       |  SELECT c_mktsegment AS seg, r_name AS reg,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY 1, 2),
+       |c0 AS MATERIALIZED (
+       |  SELECT list_sort(list(struct_pack(seg := seg, reg := reg,
+       |    n := n, w := n::DOUBLE))) AS l, CAST(SUM(n) AS BIGINT) AS tot
+       |  FROM cnt),
+       |$rounds
+       |SELECT u.seg AS segment, u.reg AS region, u.n AS n_raw,
+       |  round(u.w, 6) AS weight,
+       |  round(u.w / u.n, 6) AS rake_factor
+       |FROM c4, LATERAL (SELECT unnest(l, recursive := true))
+       |  u(seg, reg, n, w)
+       |ORDER BY segment, region""".stripMargin
+  }
 
   /** q_cox_regression's oracle: the q_logrank_test risk-set chain + the
     * same 4 unrolled Newton–Raphson steps over the event-level list. */

@@ -4086,4 +4086,69 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(expect(mj.toLong)._2 <= expect.values.map(_._2).max)
     assert(mi >= 0)
   }
+
+  test("ecod: brute ecdf tail-score replay matches the top-10") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_ecod_outliers")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    val d = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = d.length
+    val y1s = d.map(_._2).sorted
+    val y2s = d.map(_._3).sorted
+    def tail(y: Long, ys: Array[Long]): Double = {
+      val le = ys.count(_ <= y)
+      -math.log(math.min(le.toDouble / n, 1.0 - le.toDouble / n + 1.0 / n))
+    }
+    val expect = d.map(x => (x._1, tail(x._2, y1s) + tail(x._3, y2s)))
+      .sortBy(p => (-p._2, p._1)).take(10)
+    assert(rows.length == 10)
+    rows.zip(expect).foreach { case ((k, sc), (ek, esc)) =>
+      assert(k == ek, s"key order: $k vs $ek")
+      assert(math.abs(sc - esc) < 1e-5, s"score $k: $sc vs $esc")
+    }
+  }
+
+  test("ipf raking: brute fitting replay matches and margins converge") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_ipf_raking")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val cnt = spark.read.parquet(s"$sfDir/customer.parquet")
+      .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+        org.apache.spark.sql.functions.expr("c_nationkey = n_nationkey"))
+      .join(spark.read.parquet(s"$sfDir/region.parquet"),
+        org.apache.spark.sql.functions.expr("n_regionkey = r_regionkey"))
+      .groupBy("c_mktsegment", "r_name").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tot = cnt.values.sum
+    val segs = cnt.keys.map(_._1).toSeq.distinct.sorted
+    val regs = cnt.keys.map(_._2).toSeq.distinct.sorted
+    var w = cnt.view.mapValues(_.toDouble).toMap
+    (1 to 4).foreach { _ =>
+      val rs = segs.map(s0 => s0 ->
+        regs.flatMap(r0 => w.get((s0, r0))).sum).toMap
+      w = w.map { case (k, v) => k -> v * (tot.toDouble / 5) / rs(k._1) }
+      val cs = regs.map(r0 => r0 ->
+        segs.flatMap(s0 => w.get((s0, r0))).sum).toMap
+      w = w.map { case (k, v) => k -> v * (tot.toDouble / 5) / cs(k._2) }
+    }
+    assert(rows.keySet == w.keySet)
+    w.foreach { case (k, v) =>
+      val (nRaw, weight, factor) = rows(k)
+      assert(nRaw == cnt(k), s"n_raw $k")
+      assert(math.abs(weight - v) < 1e-4, s"weight $k: $weight vs $v")
+      assert(math.abs(factor - v / cnt(k)) < 1e-4, s"factor $k")
+    }
+    // margins genuinely converge to the uniform targets
+    segs.foreach { s0 =>
+      val m = regs.flatMap(r0 => w.get((s0, r0))).sum
+      assert(math.abs(m - tot.toDouble / 5) < 0.01, s"row margin $s0: $m")
+    }
+  }
 }
