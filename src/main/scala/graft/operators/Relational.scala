@@ -5149,6 +5149,73 @@ object Relational {
           col("p.n").as("n_raw"), round(col("p.w"), 6).as("weight"),
           round(expr("p.w / p.n"), 6).as("rake_factor"))
         .orderBy("segment", "region")
+    },
+
+    // GRID DBSCAN (the scalable form of density clustering — Xu 1999
+    // GDBSCAN / the cell-based variant every distributed DBSCAN uses:
+    // points collapse to GRID CELLS first, so density and connectivity
+    // are decided on a bounded cell table, never point-to-point):
+    // customers in (account balance, lifetime spend) space, integer
+    // floor-div cells via pmod (Spark `div` truncates, DuckDB `//`
+    // floors — (x − pmod(x,W)) div W floors in BOTH), dense = ≥ 4
+    // points, clusters = connected components of dense cells under
+    // 8-neighborhood — neighbor edges by the 9-OFFSET EQUI-join
+    // (explode 8 offsets, join on shifted coords; the scale-correct
+    // shape — no nested-loop over cells), then the q_connected_
+    // components pointer-jump kernel (8 checkpointed rounds). Sparse
+    // cells are reported as noise mass. Scale: one point rollup; all
+    // clustering on the ≤|cells| frame.
+    "q_dbscan_grid" -> { (s, dir) =>
+      val spent = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum((money(col("o_totalprice")) * 100).cast(LongType))
+          .as("sp"))
+      val pts = t(s, dir, "customer")
+        .join(spent, col("c_custkey") === col("o_custkey"), "left")
+        .select((money(col("c_acctbal")) * 100).cast(LongType).as("x"),
+          coalesce(col("sp"), lit(0L)).as("y"))
+      val cells = pts.groupBy(
+          expr("(x - pmod(x, 100000L)) div 100000L").as("cx"),
+          expr("(y - pmod(y, 20000000L)) div 20000000L").as("cy"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val dense = cells.filter(col("n") >= 4L)
+        .withColumn("w", concat(col("cx"), lit(":"), col("cy")))
+        .localCheckpoint(true)
+      val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+        (1, -1), (1, 0), (1, 1))
+        .map { case (dx, dy) => s"struct(${dx}L as dx, ${dy}L as dy)" }
+        .mkString(", ")
+      val und = dense.select(col("w"),
+          explode(expr(s"array($offs)")).as("o"),
+          col("cx"), col("cy"))
+        .select(col("w").as("w1"), (col("cx") + col("o.dx")).as("nx"),
+          (col("cy") + col("o.dy")).as("ny"))
+        .join(dense.select(col("cx").as("nx"), col("cy").as("ny"),
+          col("w").as("w2")), Seq("nx", "ny"))
+        .select("w1", "w2")
+        .localCheckpoint(true)
+      var lbl = dense.select(col("w"), col("w").as("comp"))
+        .localCheckpoint(true)
+      (1 to 8).foreach { _ =>
+        val m = lbl.union(
+            und.join(lbl.select(col("w").as("w2"), col("comp")), "w2")
+              .select(col("w1").as("w"), col("comp")))
+          .groupBy("w").agg(min("comp").as("comp"))
+          .localCheckpoint(true)
+        val j = m.select(col("w").as("jw"), col("comp").as("jc"))
+        lbl = m.join(j, m("comp") === col("jw"))
+          .select(m("w").as("w"), col("jc").as("comp"))
+          .localCheckpoint(true)
+      }
+      val sz = lbl.groupBy("comp").agg(count(lit(1)).as("n_cells"))
+      val noise = cells.filter(col("n") < 4L)
+        .agg(coalesce(sum("n"), lit(0L)).as("n_noise_points"))
+      dense.join(lbl, "w").join(sz, "comp")
+        .crossJoin(broadcast(noise))
+        .select(col("cx").as("cell_x"), col("cy").as("cell_y"),
+          col("n").as("n_points"), col("comp").as("cluster_id"),
+          col("n_cells").as("cluster_cells"), col("n_noise_points"))
+        .orderBy("cell_x", "cell_y")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -9052,7 +9119,61 @@ object Relational {
 
     // same 25-cell sorted grid, same 8 MATERIALIZED masked-fold
     // half-steps, same uniform targets
-    "q_ipf_raking" -> ipfOracle)
+    "q_ipf_raking" -> ipfOracle,
+
+    // same pmod floor-div cells, same 9-offset equi-join edges, same 8
+    // pointer-jump rounds (MATERIALIZED), same noise mass
+    "q_dbscan_grid" -> dbscanOracle)
+
+  /** q_dbscan_grid's oracle: the cell rollup + 8-neighborhood edges +
+    * the q_connected_components pointer-jump rounds on dense cells. */
+  private def dbscanOracle: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT w, MIN(comp) AS comp FROM (
+         |  SELECT w, comp FROM l${i - 1}
+         |  UNION ALL
+         |  SELECT u.w1 AS w, p.comp FROM und u
+         |  JOIN l${i - 1} p ON u.w2 = p.w
+         |) GROUP BY w),
+         |l$i AS MATERIALIZED (SELECT a.w, b.comp
+         |  FROM m$i a JOIN m$i b ON a.comp = b.w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |    AS x, COALESCE(t.sp, 0) AS y
+       |  FROM customer LEFT JOIN (
+       |    SELECT o_custkey, CAST(SUM(CAST(CAST(o_totalprice
+       |      AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sp
+       |    FROM orders GROUP BY 1) t ON c_custkey = o_custkey),
+       |cells AS MATERIALIZED (
+       |  SELECT (x - ((x % 100000) + 100000) % 100000) // 100000 AS cx,
+       |    (y - ((y % 20000000) + 20000000) % 20000000) // 20000000
+       |      AS cy,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM pts GROUP BY 1, 2),
+       |dense AS MATERIALIZED (
+       |  SELECT cx, cy, n, cx::VARCHAR || ':' || cy::VARCHAR AS w
+       |  FROM cells WHERE n >= 4),
+       |und AS MATERIALIZED (
+       |  SELECT a.w AS w1, b.w AS w2
+       |  FROM (SELECT d.cx + o.dx AS nx, d.cy + o.dy AS ny, d.w
+       |        FROM dense d, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+       |          (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)) a0
+       |  JOIN dense b ON a0.nx = b.cx AND a0.ny = b.cy
+       |  JOIN dense a ON a.w = a0.w),
+       |l0 AS (SELECT w, w AS comp FROM dense),
+       |$rounds,
+       |sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_cells
+       |       FROM l8 GROUP BY 1),
+       |noise AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT)
+       |  AS n_noise_points FROM cells WHERE n < 4)
+       |SELECT d.cx AS cell_x, d.cy AS cell_y, d.n AS n_points,
+       |  l.comp AS cluster_id, sz.n_cells AS cluster_cells,
+       |  noise.n_noise_points
+       |FROM dense d JOIN l8 l ON d.w = l.w JOIN sz ON l.comp = sz.comp
+       |CROSS JOIN noise
+       |ORDER BY cell_x, cell_y""".stripMargin
+  }
 
   /** q_ipf_raking's oracle: the segment × region rollup + the same 4
     * row+column raking rounds as one-row list states. */

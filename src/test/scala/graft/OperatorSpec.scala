@@ -4151,4 +4151,48 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(m - tot.toDouble / 5) < 0.01, s"row margin $s0: $m")
     }
   }
+
+  test("dbscan grid: brute union-find over dense cells matches") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_dbscan_grid")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val spent = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val pts = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_custkey",
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getLong(1), spent.getOrElse(r.getLong(0), 0L)))
+    def fdiv(x: Long, w0: Long): Long = (x - ((x % w0) + w0) % w0) / w0
+    val cellOf = pts.map(p => (fdiv(p._1, 100000L), fdiv(p._2, 20000000L)))
+    val counts = cellOf.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val dense = counts.filter(_._2 >= 4L).keySet
+    val noise = counts.filter(_._2 < 4L).values.sum
+    val par = scala.collection.mutable.Map(
+      dense.toSeq.map(c => c -> c): _*)
+    def find(c: (Long, Long)): (Long, Long) = {
+      var x = c
+      while (par(x) != x) { par(x) = par(par(x)); x = par(x) }
+      x
+    }
+    implicit val ord: Ordering[(Long, Long)] = Ordering.Tuple2
+    for (c <- dense; dx <- -1L to 1L; dy <- -1L to 1L
+         if (dx, dy) != ((0L, 0L)) && dense((c._1 + dx, c._2 + dy))) {
+      val (a, b) = (find(c), find((c._1 + dx, c._2 + dy)))
+      if (a != b) par(ord.max(a, b)) = ord.min(a, b)
+    }
+    val members = dense.groupBy(find)
+    val expect = dense.map { c =>
+      val m = members(find(c))
+      c -> (counts(c), m.map(x => s"${x._1}:${x._2}").min,
+        m.size.toLong, noise)
+    }.toMap
+    assert(rows == expect, s"diff: ${(rows.toSet -- expect.toSet).take(3)}")
+  }
 }
