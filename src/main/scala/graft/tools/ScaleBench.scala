@@ -66,7 +66,14 @@ object ScaleBench {
     // funnel = 3 chained user joins, markov = per-user lead window,
     // association = a-priori basket self-join, ewma = per-entity fold)
     "q_event_funnel", "q_markov_transitions", "q_association_rules",
-    "q_ewma")
+    "q_ewma",
+    // round-14 iterative-graph + pipeline additions: pointer-jump CC
+    // (per-round checkpointed frontiers — the Pregel shape), grid
+    // DBSCAN (bounded cell table after one rollup), the asymmetric
+    // delta→index LSH probe (work ∝ |delta|·bucket occupancy), and
+    // ECOD (two level-histogram joins — must scale like the rollups)
+    "q_connected_components", "q_dbscan_grid", "q_minhash_incremental",
+    "q_ecod_outliers")
 
   /** Streaming tier probes: every stateful-operator family — chained
     * multi-stateful, transformWithState (RocksDB), watermark dedup,
@@ -93,7 +100,10 @@ object ScaleBench {
     "q_containment",
     // events-analytics representatives: the chained user-keyed funnel and
     // the window-heavy markov matrix (user cardinality grows with the tier)
-    "q_event_funnel", "q_markov_transitions")
+    "q_event_funnel", "q_markov_transitions",
+    // round-14 representatives: the pointer-jump CC (supersteps must
+    // stay flat — only the edge shuffle grows) and the delta LSH probe
+    "q_connected_components", "q_minhash_incremental")
 
   def main(args: Array[String]): Unit = {
     val x10Dir = args.lift(0).getOrElse("/root/repo/target/scaledata/sf1")
