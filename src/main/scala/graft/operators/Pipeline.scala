@@ -3770,6 +3770,60 @@ object Pipeline {
         .select("field", "n_match", "n_unmatch", "n_agree_match",
           "n_agree_unmatch", "m", "u", "w_agree", "w_disagree")
         .orderBy("field")
+    },
+
+    // WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken 2003 — the
+    // MOSS local fingerprinting algorithm: in every window of w
+    // consecutive k-gram hashes keep the minimum, rightmost on ties,
+    // guaranteeing any match ≥ w+k−1 tokens shares a fingerprint; the
+    // position-aware sibling of q_minhash_lsh's order-free sketch and
+    // q_doc_fingerprint's whole-doc hash). k = 3-token shingles via
+    // the shared zip_with ngram builder, w = 4; the rightmost-min
+    // tie-break is ENCODED INTO ONE BIGINT — key = h·65536 +
+    // (65535 − pos) — so each window's pick is a plain integer
+    // array_min (no struct-accumulator fold: the DuckDB list_reduce
+    // type rule), and (h, pos) decode back exactly while pos < 65536
+    // (documents are ≤ a few hundred tokens; longer docs chunk first
+    // — q_chunk_docs). Doc pairs then join on shared fingerprint
+    // hashes with the house BucketCap=128 hot-bucket guard, resemblance
+    // = |shared| / |union|. Scale: per-doc work is linear in length,
+    // the pair join is banded by fingerprint (never all-pairs), and
+    // the cap bounds any degenerate bucket.
+    "q_winnowing" -> { (s, dir) =>
+      val pd = docsPar(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 6)
+        .withColumn("g", expr(ngramExpr(3)))
+        .withColumn("hw", expr(s"transform(g, gr -> ${hExpr("gr")})"))
+        .withColumn("keys", expr(
+          "zip_with(hw, sequence(0L, CAST(size(hw) - 1 AS BIGINT)), " +
+            "(h, i) -> h * 65536L + (65535L - i))"))
+        .withColumn("fps", expr(
+          "array_distinct(transform(sequence(1, size(keys) - 3), " +
+            "p -> array_min(slice(keys, p, 4)) div 65536L))"))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      val hot = pd.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 128)
+      val cp = pd.join(hot.select("fp"), "fp")
+      val nf = cp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+      val pr = cp.as("a")
+        .join(cp.as("b"), col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      pr.join(nf.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")),
+          "doc_a")
+        .join(nf.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          col("nfp_a"), col("nfp_b"),
+          round(expr("CAST(n_shared AS DOUBLE) / " +
+            "CAST(nfp_a + nfp_b - n_shared AS DOUBLE)"), 6)
+            .as("resemblance"))
+        .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -6459,5 +6513,46 @@ object Pipeline {
         |  COUNT(DISTINCT text) - COUNT(DISTINCT ntext) AS n_merged_by_norm,
         |  CAST(SUM(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_injected
-        |FROM norm""".stripMargin)
+        |FROM norm""".stripMargin,
+
+    // q_winnowing's oracle: identical shingle hashes (house md5 coin),
+    // identical BIGINT key encode / window-min / decode, same cap and
+    // pair algebra.
+    "q_winnowing" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 6),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(0, len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS gr FROM d),
+        |h AS (
+        |  SELECT doc_id, list_transform(gr,
+        |    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hw FROM g),
+        |k AS (
+        |  SELECT doc_id, list_transform(range(0, len(hw)),
+        |    i -> hw[i+1] * 65536 + (65535 - i)) AS keys FROM h),
+        |f AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(keys) - 2),
+        |    p -> list_min(keys[p:p+3]) // 65536)) AS fps FROM k),
+        |pd AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |hot AS (SELECT fp FROM pd GROUP BY fp HAVING COUNT(*) <= 128),
+        |cp AS (SELECT pd.doc_id, pd.fp FROM pd JOIN hot USING (fp)),
+        |nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp
+        |       FROM cp GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM cp a JOIN cp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+        |  na.nfp AS nfp_a, nb.nfp AS nfp_b,
+        |  round(CAST(pr.n_shared AS DOUBLE) /
+        |    CAST(na.nfp + nb.nfp - pr.n_shared AS DOUBLE), 6)
+        |    AS resemblance
+        |FROM pr JOIN nf na ON pr.doc_a = na.doc_id
+        |        JOIN nf nb ON pr.doc_b = nb.doc_id
+        |WHERE pr.n_shared >= 3
+        |ORDER BY pr.n_shared DESC, pr.doc_a, pr.doc_b
+        |LIMIT 20""".stripMargin)
 }

@@ -5216,7 +5216,136 @@ object Relational {
           col("n").as("n_points"), col("comp").as("cluster_id"),
           col("n_cells").as("cluster_cells"), col("n_noise_points"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // MUTUAL-INFORMATION FEATURE RANKING (the filter-method feature
+    // screen — I(F;Y) = Σ p(v,y) ln(p(v,y)/(p(v)p(y))) per candidate
+    // feature against the returned-flag label; what a training-data
+    // pipeline runs before fitting q_logistic_newton to pick WHICH
+    // column to fit): 4 categorical features fan out by one stack
+    // (the q_column_profile Expand shape), contingency cells and all
+    // three marginals are INTEGER groupBy sums (shuffle-order-safe),
+    // and each feature's MI is ONE ordered fold over its (v,y)-sorted
+    // cell list — the q_token_entropy float rule; `+ 0.0D` washes the
+    // -0.0 a cancelling near-independent feature can round to. Scale:
+    // one Expand pass + three tiny integer rollups; the fold runs on
+    // ≤|distinct v|·2 cells per feature, independent of corpus size.
+    "q_mutual_info" -> { (s, dir) =>
+      val cells = t(s, dir, "lineitem")
+        .select(expr(
+          """stack(4,
+            |  'linestatus', l_linestatus,
+            |  'ship_month', CAST(month(l_shipdate) AS STRING),
+            |  'discount_cents', CAST(CAST(CAST(l_discount AS DECIMAL(6,2))
+            |    * 100 AS BIGINT) AS STRING),
+            |  'tax_cents', CAST(CAST(CAST(l_tax AS DECIMAL(6,2))
+            |    * 100 AS BIGINT) AS STRING)) AS (f, v)""".stripMargin),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy("f", "v", "y").agg(count(lit(1)).as("n"))
+      val nv = cells.groupBy("f", "v").agg(sum("n").as("nv"))
+      val ny = cells.groupBy("f", "y").agg(sum("n").as("ny"))
+      val nn = cells.groupBy("f").agg(sum("n").as("nn"))
+      cells.join(nv, Seq("f", "v")).join(ny, Seq("f", "y"))
+        .join(nn, Seq("f"))
+        .groupBy("f")
+        .agg(countDistinct("v").as("n_values"),
+          count(lit(1)).as("n_cells"),
+          sort_array(collect_list(struct(col("v"), col("y"), col("n"),
+            col("nv"), col("ny"), col("nn")))).as("l"))
+        .select(col("f").as("feature"), col("n_values"), col("n_cells"),
+          expr(
+            """round(aggregate(l, 0D, (a, p) -> a +
+              |  (CAST(p.n AS DOUBLE) / CAST(p.nn AS DOUBLE)) *
+              |  ln((CAST(p.n AS DOUBLE) * CAST(p.nn AS DOUBLE)) /
+              |     (CAST(p.nv AS DOUBLE) * CAST(p.ny AS DOUBLE)))),
+              |  6) + 0.0D""".stripMargin).as("mi_nats"))
+        .orderBy(col("mi_nats").desc, col("feature"))
+    },
+
+    // DYNAMIC TIME WARPING (Sakoe & Chiba 1978 — elastic alignment
+    // distance between two series, THE shape-similarity measure SAX
+    // (E180) indexes for and the matrix profile (E181) normalizes
+    // away; here with the Sakoe-Chiba band |i−j| ≤ 3 that makes
+    // real-world DTW linear): 1995-vs-1996 monthly revenue in EXACT
+    // BIGINT cents, so the whole DP is integer arithmetic — bit-equal
+    // across engines by construction, no float rule needed. The corpus
+    // collapses to two 12-point series in one rollup; the banded DP
+    // runs as 12 row-frames of ≤7 cells each, one localCheckpoint per
+    // row (up/diag reference the PREVIOUS row's columns twice — the
+    // q_kcore plan-growth discipline; the in-row left term inlines
+    // textually and grows only linearly along the band). Readout
+    // compares against the lockstep Σ|aᵢ−bᵢ| distance — DTW ≤ lockstep
+    // always; the ratio is the elasticity win. Scale: one map-side
+    // rollup; the DP is constant work at ANY corpus size (longer
+    // series: the same generator emits O(n·band) cells).
+    "q_dtw" -> { (s, dir) =>
+      val v = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("yr"),
+          month(col("o_orderdate")).cast(LongType).as("m"))
+        .agg(sum((money(col("o_totalprice")) * 100).cast(LongType))
+          .as("v"))
+      var st = v.agg(
+          map_from_entries(sort_array(collect_list(
+            when(col("yr") === 1995L, struct(col("m"), col("v"))))))
+            .as("ma"),
+          map_from_entries(sort_array(collect_list(
+            when(col("yr") === 1996L, struct(col("m"), col("v"))))))
+            .as("mb"))
+        .select(
+          expr("transform(sequence(1L, 12L), " +
+            "m -> coalesce(element_at(ma, m), 0L))").as("a"),
+          expr("transform(sequence(1L, 12L), " +
+            "m -> coalesce(element_at(mb, m), 0L))").as("b"),
+          expr("CAST(cardinality(ma) AS BIGINT)").as("n_a"),
+          expr("CAST(cardinality(mb) AS BIGINT)").as("n_b"))
+        .withColumn("lock", expr(
+          "aggregate(transform(sequence(1, 12), " +
+            "i -> abs(element_at(a, i) - element_at(b, i))), 0L, " +
+            "(s, p) -> s + p)"))
+        .localCheckpoint(true)
+      val keep = Seq("a", "b", "n_a", "n_b", "lock")
+      (1 to 12).foreach { i =>
+        st = st.selectExpr(keep ++
+            dtwRowExprs(i).map { case (n, e) => s"$e AS $n" }: _*)
+          .localCheckpoint(true)
+      }
+      st.select(col("n_a").as("n_months_a"), col("n_b").as("n_months_b"),
+        col("lock").as("lockstep_cents"), col("d12_12").as("dtw_cents"),
+        round(expr("CAST(d12_12 AS DOUBLE) / CAST(lock AS DOUBLE)"), 6)
+          .as("dtw_ratio"))
     })
+
+  /** Sakoe-Chiba band of q_dtw: legal j-range for row i. */
+  private def dtwBand(i: Int): Range =
+    math.max(1, i - 3) to math.min(12, i + 3)
+
+  /** One banded-DP row of q_dtw as (column, expression) pairs. up/diag
+    * reference the previous row's materialized COLUMNS; the in-row left
+    * term inlines the previous cell's text (linear growth along the ≤7
+    * cell band). `acc` renders series element access per engine. */
+  private def dtwRowExprs(
+      i: Int,
+      acc: (String, Int) => String =
+        (arr, k) => s"element_at($arr, $k)"): Seq[(String, String)] = {
+    val texts = scala.collection.mutable.Map[Int, String]()
+    dtwBand(i).map { j =>
+      val cst = s"abs(${acc("a", i)} - ${acc("b", j)})"
+      val terms = Seq(
+        if (i > 1 && dtwBand(i - 1).contains(j)) Some(s"d${i - 1}_$j")
+        else None,
+        if (i > 1 && j - 1 >= 1 && dtwBand(i - 1).contains(j - 1))
+          Some(s"d${i - 1}_${j - 1}")
+        else None,
+        if (j - 1 >= dtwBand(i).head) Some(texts(j - 1)) else None).flatten
+      val e =
+        if (terms.isEmpty) cst
+        else if (terms.size == 1) s"($cst + ${terms.head})"
+        else s"($cst + least(${terms.mkString(", ")}))"
+      texts(j) = e
+      s"d${i}_$j" -> e
+    }
+  }
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -9123,7 +9252,100 @@ object Relational {
 
     // same pmod floor-div cells, same 9-offset equi-join edges, same 8
     // pointer-jump rounds (MATERIALIZED), same noise mass
-    "q_dbscan_grid" -> dbscanOracle)
+    "q_dbscan_grid" -> dbscanOracle,
+
+    // q_mutual_info's oracle: identical integer contingency/marginal
+    // rollups, identical (v,y)-ordered fold tree per feature.
+    "q_mutual_info" -> {
+      val label = "CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END " +
+        "AS BIGINT)"
+      val feats = Seq(
+        "linestatus" -> "l_linestatus",
+        "ship_month" -> "CAST(month(l_shipdate) AS VARCHAR)",
+        "discount_cents" -> ("CAST(CAST(CAST(l_discount AS DECIMAL(6,2))" +
+          " * 100 AS BIGINT) AS VARCHAR)"),
+        "tax_cents" -> ("CAST(CAST(CAST(l_tax AS DECIMAL(6,2))" +
+          " * 100 AS BIGINT) AS VARCHAR)"))
+      val raw = feats.map { case (n, e) =>
+        s"SELECT '$n' AS f, $e AS v, $label AS y FROM lineitem"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH raw AS (
+         |  $raw),
+         |cells AS (
+         |  SELECT f, v, y, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM raw GROUP BY 1, 2, 3),
+         |nv AS (SELECT f, v, CAST(SUM(n) AS BIGINT) AS nv
+         |       FROM cells GROUP BY 1, 2),
+         |ny AS (SELECT f, y, CAST(SUM(n) AS BIGINT) AS ny
+         |       FROM cells GROUP BY 1, 2),
+         |nn AS (SELECT f, CAST(SUM(n) AS BIGINT) AS nn
+         |       FROM cells GROUP BY 1),
+         |j AS (
+         |  SELECT c.f,
+         |    CAST(COUNT(DISTINCT c.v) AS BIGINT) AS n_values,
+         |    CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |    list(struct_pack(v := c.v, y := c.y, n := c.n, nv := nv.nv,
+         |      ny := ny.ny, nn := nn.nn) ORDER BY c.v, c.y) AS l
+         |  FROM cells c
+         |  JOIN nv ON c.f = nv.f AND c.v = nv.v
+         |  JOIN ny ON c.f = ny.f AND c.y = ny.y
+         |  JOIN nn ON c.f = nn.f
+         |  GROUP BY c.f)
+         |SELECT f AS feature, n_values, n_cells,
+         |  round(list_reduce(list_concat([0.0::DOUBLE],
+         |    list_transform(l, p ->
+         |      (CAST(p.n AS DOUBLE) / CAST(p.nn AS DOUBLE)) *
+         |      ln((CAST(p.n AS DOUBLE) * CAST(p.nn AS DOUBLE)) /
+         |         (CAST(p.nv AS DOUBLE) * CAST(p.ny AS DOUBLE))))),
+         |    (a, b) -> a + b), 6) + 0.0::DOUBLE AS mi_nats
+         |FROM j
+         |ORDER BY mi_nats DESC, feature""".stripMargin
+    },
+
+    // q_dtw's oracle: identical integer series (missing months 0-filled
+    // by a month-spine left join), the SAME generated banded-DP cell
+    // expressions — 12 MATERIALIZED CTEs mirror the 12 checkpointed
+    // row-frames; all-BIGINT arithmetic, so equality is structural.
+    "q_dtw" -> {
+      val ctes = (1 to 12).map { i =>
+        val prev = if (i == 1) "base" else s"r${i - 1}"
+        val cols = dtwRowExprs(i, (arr, k) => s"$arr[$k]")
+          .map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+        val carry = (Seq("a", "b", "n_a", "n_b", "lock") ++
+          (if (i == 1) Nil else dtwBand(i - 1).map(j => s"d${i - 1}_$j")))
+          .mkString(", ")
+        s"""r$i AS MATERIALIZED (
+           |  SELECT $carry,
+           |    $cols
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |    CAST(month(o_orderdate) AS BIGINT) AS m,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS v
+         |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+         |  GROUP BY 1, 2),
+         |mon AS (SELECT r.range AS m FROM range(1, 13) r),
+         |sa AS (SELECT list(COALESCE(v.v, 0) ORDER BY mon.m) AS a,
+         |  CAST(SUM(CASE WHEN v.v IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_a
+         |  FROM mon LEFT JOIN v ON v.yr = 1995 AND v.m = mon.m),
+         |sb AS (SELECT list(COALESCE(v.v, 0) ORDER BY mon.m) AS b,
+         |  CAST(SUM(CASE WHEN v.v IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_b
+         |  FROM mon LEFT JOIN v ON v.yr = 1996 AND v.m = mon.m),
+         |base AS (SELECT a, b, n_a, n_b,
+         |  CAST(list_aggregate(list_transform(range(1, 13),
+         |    i -> abs(a[i] - b[i])), 'sum') AS BIGINT) AS lock
+         |  FROM sa CROSS JOIN sb),
+         |$ctes
+         |SELECT n_a AS n_months_a, n_b AS n_months_b,
+         |  lock AS lockstep_cents, d12_12 AS dtw_cents,
+         |  round(CAST(d12_12 AS DOUBLE) / CAST(lock AS DOUBLE), 6)
+         |    AS dtw_ratio
+         |FROM r12""".stripMargin
+    })
 
   /** q_dbscan_grid's oracle: the cell rollup + 8-neighborhood edges +
     * the q_connected_components pointer-jump rounds on dense cells. */

@@ -2976,6 +2976,58 @@ object Storage {
         .orderBy("n_regionkey")
     },
 
+    // HILBERT-CURVE clustering (the locality-preserving layout that beats
+    // Z-order on range queries: the Hilbert curve never makes the long
+    // diagonal jumps Morton interleaving does, so each curve bucket is a
+    // tighter bounding box — why Delta/Databricks moved liquid clustering
+    // from Z-order to Hilbert). Order-8 curve over (custkey mod 256, day
+    // mod 256); the classic xy2d walk (8 bit-levels of quadrant pick +
+    // rotate) is STATEFUL across levels, so it runs on the BOUNDED
+    // (hx, hy) CELL rollup (≤65536 rows at ANY corpus size — the
+    // q_dbscan_grid discipline), one localCheckpoint per level (x/y/d
+    // each reference the previous level's columns up to 5× — unchecked,
+    // the inlined plan grows 5^8). The quadrant index (3rx)⊕ry is
+    // rewritten 3rx + ry − 2rx·ry — identical integer text in both
+    // engines, no bitwise-XOR syntax split. Scale: one integer rollup +
+    // constant cell-table work; the layout write path itself is
+    // repartitionByRange(d) exactly like zorderLayout.
+    "q_hilbert_layout" -> { (s, dir) =>
+      val cells = Tables.load(s, dir, "orders")
+        .withColumn("day",
+          expr("cast(datediff(o_orderdate, date'1992-01-01') as bigint)"))
+        .groupBy(expr("cast(o_custkey % 256 as bigint)").as("hx"),
+          expr("day % 256").as("hy"))
+        .agg(count(lit(1)).as("n"),
+          min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+          min("day").as("min_day"), max("day").as("max_day"))
+        .withColumn("d", lit(0L))
+        .withColumn("x", col("hx")).withColumn("y", col("hy"))
+        .localCheckpoint(true)
+      val walked = Seq(128, 64, 32, 16, 8, 4, 2, 1).foldLeft(cells) {
+        (df, s0) =>
+          df.select(col("hx"), col("hy"), col("n"), col("min_cust"),
+            col("max_cust"), col("min_day"), col("max_day"),
+            expr(s"d + ${s0 * s0} * (3 * ((x & $s0) div $s0) " +
+              s"+ ((y & $s0) div $s0) " +
+              s"- 2 * ((x & $s0) div $s0) * ((y & $s0) div $s0))")
+              .as("d"),
+            expr(s"CASE WHEN ((y & $s0) div $s0) = 0 THEN " +
+              s"(CASE WHEN ((x & $s0) div $s0) = 1 " +
+              s"THEN $s0 - 1 - (y % $s0) ELSE y % $s0 END) " +
+              s"ELSE x % $s0 END").as("x"),
+            expr(s"CASE WHEN ((y & $s0) div $s0) = 0 THEN " +
+              s"(CASE WHEN ((x & $s0) div $s0) = 1 " +
+              s"THEN $s0 - 1 - (x % $s0) ELSE x % $s0 END) " +
+              s"ELSE y % $s0 END").as("y"))
+            .localCheckpoint(true)
+      }
+      walked.groupBy(expr("d div 4096").as("hbucket"))
+        .agg(sum("n").as("n_points"), count(lit(1)).as("n_cells"),
+          min("min_cust").as("min_cust"), max("max_cust").as("max_cust"),
+          min("min_day").as("min_day"), max("max_day").as("max_day"))
+        .orderBy("hbucket")
+    },
+
     // Z-order (Morton) clustering: the multi-dimensional layout op — a sort
     // on (a, b) clusters only `a`, while interleaving the key bits bounds
     // BOTH dimensions inside every z-range, so file-level min/max stats
@@ -4490,5 +4542,49 @@ object Storage {
         |SELECT CAST(zval // 262144 AS BIGINT) AS zbucket, COUNT(*) AS n,
         |  MIN(zx) AS min_cust, MAX(zx) AS max_cust,
         |  MIN(zy) AS min_day, MAX(zy) AS max_day
-        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin)
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+
+    // q_hilbert_layout's oracle: identical cell rollup, the SAME 8
+    // xy2d level steps as MATERIALIZED CTEs with identical integer
+    // quadrant/rotate texts (// for Spark's div).
+    "q_hilbert_layout" -> {
+      val steps = Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex.map {
+        case (s0, k) =>
+          val prev = if (k == 0) "c0" else s"s$k"
+          s"""s${k + 1} AS MATERIALIZED (
+             |  SELECT hx, hy, n, min_cust, max_cust, min_day, max_day,
+             |    d + ${s0 * s0} * (3 * ((x & $s0) // $s0)
+             |      + ((y & $s0) // $s0)
+             |      - 2 * ((x & $s0) // $s0) * ((y & $s0) // $s0)) AS d,
+             |    CASE WHEN ((y & $s0) // $s0) = 0 THEN
+             |      (CASE WHEN ((x & $s0) // $s0) = 1
+             |       THEN $s0 - 1 - (y % $s0) ELSE y % $s0 END)
+             |      ELSE x % $s0 END AS x,
+             |    CASE WHEN ((y & $s0) // $s0) = 0 THEN
+             |      (CASE WHEN ((x & $s0) // $s0) = 1
+             |       THEN $s0 - 1 - (x % $s0) ELSE x % $s0 END)
+             |      ELSE y % $s0 END AS y
+             |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cells AS (
+         |  SELECT CAST(o_custkey % 256 AS BIGINT) AS hx,
+         |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) % 256
+         |      AS BIGINT) AS hy,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+         |    CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+         |    CAST(MIN(date_diff('day', DATE '1992-01-01', o_orderdate))
+         |      AS BIGINT) AS min_day,
+         |    CAST(MAX(date_diff('day', DATE '1992-01-01', o_orderdate))
+         |      AS BIGINT) AS max_day
+         |  FROM orders GROUP BY 1, 2),
+         |c0 AS (SELECT hx, hy, n, min_cust, max_cust, min_day, max_day,
+         |  CAST(0 AS BIGINT) AS d, hx AS x, hy AS y FROM cells),
+         |$steps
+         |SELECT d // 4096 AS hbucket, CAST(SUM(n) AS BIGINT) AS n_points,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  MIN(min_cust) AS min_cust, MAX(max_cust) AS max_cust,
+         |  MIN(min_day) AS min_day, MAX(max_day) AS max_day
+         |FROM s8 GROUP BY 1 ORDER BY 1""".stripMargin
+    })
 }

@@ -4195,4 +4195,160 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }.toMap
     assert(rows == expect, s"diff: ${(rows.toSet -- expect.toSet).take(3)}")
   }
+
+  test("mutual info: brute contingency replay matches and MI is non-negative") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_mutual_info")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_linestatus", "CAST(month(l_shipdate) AS STRING)",
+        "CAST(CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT) " +
+          "AS STRING)",
+        "CAST(CAST(CAST(l_tax AS DECIMAL(6,2)) * 100 AS BIGINT) " +
+          "AS STRING)",
+        "CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END")
+      .collect()
+    val feats = Seq(0 -> "linestatus", 1 -> "ship_month",
+      2 -> "discount_cents", 3 -> "tax_cents")
+    val expect = feats.map { case (i, name) =>
+      val vy = li.map(r => (r.getString(i), r.getLong(4)))
+      val cells = vy.groupBy(identity).view.mapValues(_.length).toMap
+      val nv = vy.groupBy(_._1).view.mapValues(_.length).toMap
+      val ny = vy.groupBy(_._2).view.mapValues(_.length).toMap
+      val n = vy.length.toDouble
+      val mi = cells.toSeq.sortBy(c => (c._1._1, c._1._2)).map {
+        case ((v, y), c) =>
+          (c / n) * math.log((c * n) / (nv(v).toDouble * ny(y)))
+      }.sum
+      name -> (nv.size.toLong, cells.size.toLong,
+        BigDecimal(mi).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0d)
+    }.toMap
+    assert(rows.keySet == expect.keySet)
+    for ((k, (nvE, ncE, miE)) <- expect) {
+      val (nvA, ncA, miA) = rows(k)
+      assert(nvA == nvE && ncA == ncE, s"$k marginals: $nvA/$ncA")
+      assert(math.abs(miA - miE) < 1e-9, s"$k mi: $miA vs $miE")
+      assert(miA >= 0.0d, s"$k negative MI $miA")
+    }
+  }
+
+  test("winnowing: brute window-min replay matches the reported pairs") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.queries("q_winnowing")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .toSeq
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def h32(str: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      BigInt(1, md.digest(str.getBytes("UTF-8")).take(4)).toLong
+    }
+    val fps = docs.flatMap { case (id, text) =>
+      val w = text.split(" ", -1)
+      if (w.length < 6) None
+      else {
+        val hw = w.sliding(3).map(g => h32(g.mkString(" "))).toArray
+        val keys = hw.zipWithIndex.map { case (h, i) =>
+          h * 65536L + (65535L - i)
+        }
+        Some(id -> keys.sliding(4).map(_.min / 65536L).toSet)
+      }
+    }.toMap
+    val df = fps.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val capped = fps.view.mapValues(_.filter(df(_) <= 128)).toMap
+    val ids = capped.keys.toSeq.sorted
+    val expect = (for {
+      a <- ids; b <- ids if a < b
+      sh = (capped(a) & capped(b)).size.toLong if sh >= 3L
+    } yield {
+      val (na, nb) = (capped(a).size.toLong, capped(b).size.toLong)
+      (a, b, sh, na, nb,
+        BigDecimal(sh.toDouble / (na + nb - sh))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).sortBy(t => (-t._3, t._1, t._2)).take(20)
+    assert(rows == expect,
+      s"winnowing pairs differ: got ${rows.take(3)} vs ${expect.take(3)}")
+  }
+
+  test("dtw: brute banded-DP replay matches and dtw <= lockstep") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_dtw")(spark, sfDir).collect().head
+    val vals = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter("year(o_orderdate) IN (1995, 1996)")
+      .selectExpr("CAST(year(o_orderdate) AS BIGINT)",
+        "CAST(month(o_orderdate) AS BIGINT)",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect()
+      .groupBy(x => (x.getLong(0), x.getLong(1)))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val a = (1 to 12).map(m => vals.getOrElse((1995L, m.toLong), 0L))
+    val b = (1 to 12).map(m => vals.getOrElse((1996L, m.toLong), 0L))
+    def band(i: Int) = math.max(1, i - 3) to math.min(12, i + 3)
+    val dp = Array.fill(13, 13)(Long.MaxValue / 4)
+    for (i <- 1 to 12; j <- band(i)) {
+      val c = math.abs(a(i - 1) - b(j - 1))
+      dp(i)(j) =
+        if (i == 1 && j == 1) c
+        else {
+          val cands = Seq(
+            if (i > 1 && band(i - 1).contains(j)) Some(dp(i - 1)(j))
+            else None,
+            if (i > 1 && j > 1 && band(i - 1).contains(j - 1))
+              Some(dp(i - 1)(j - 1))
+            else None,
+            if (j - 1 >= band(i).head) Some(dp(i)(j - 1)) else None)
+            .flatten
+          c + cands.min
+        }
+    }
+    val lock = (0 until 12).map(i => math.abs(a(i) - b(i))).sum
+    assert(r.getLong(2) == lock, s"lockstep ${r.getLong(2)} vs $lock")
+    assert(r.getLong(3) == dp(12)(12), s"dtw ${r.getLong(3)} vs ${dp(12)(12)}")
+    assert(r.getLong(3) <= lock, "dtw must never exceed lockstep")
+  }
+
+  test("hilbert layout: classic xy2d replay matches every bucket") {
+    import graft.operators.Storage
+    val rows = Storage.queries("q_hilbert_layout")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 128L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val pts = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_custkey AS BIGINT)",
+        "CAST(datediff(o_orderdate, date'1992-01-01') AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byBucket = pts.groupBy { case (ck, day) =>
+      xy2d(((ck % 256) + 256) % 256, ((day % 256) + 256) % 256) / 4096
+    }
+    val expect = byBucket.map { case (bkt, ps) =>
+      val cells = ps.map(p => (p._1 % 256, p._2 % 256)).distinct
+      bkt -> (ps.length.toLong, cells.length.toLong,
+        ps.map(_._1).min, ps.map(_._1).max,
+        ps.map(_._2).min, ps.map(_._2).max)
+    }
+    assert(rows == expect,
+      s"hilbert buckets differ: ${(rows.toSet -- expect.toSet).take(3)}")
+  }
 }
