@@ -5314,6 +5314,123 @@ object Relational {
         col("lock").as("lockstep_cents"), col("d12_12").as("dtw_cents"),
         round(expr("CAST(d12_12 AS DOUBLE) / CAST(lock AS DOUBLE)"), 6)
           .as("dtw_ratio"))
+    },
+
+    // INVERSE-PROPENSITY-WEIGHTED ATE (Horvitz-Thompson / the IPW
+    // estimator every observational A/B readout needs when treatment
+    // wasn't randomized — completing the causal bench beside q_cuped's
+    // variance reduction and q_did_estimator's parallel trends):
+    // treatment = urgent/high order priority, outcome = order value,
+    // confounder = order month. Propensity e(x) is the SAME 3-step
+    // Newton logistic as q_logistic_newton — and because the
+    // confounder is integral, the ENTIRE estimator reads off the
+    // ≤12-row (x, n, k, Σy_t, Σy_c) histogram: weighted sums
+    // Σ T·Y/e(x) collapse to per-cell closed forms, so IPW costs ONE
+    // corpus rollup at any scale. Naive difference-in-means reported
+    // beside the weighted estimate — the gap IS the confounding. All
+    // folds x-ordered (q_token_entropy float rule), outcomes in exact
+    // BIGINT cents until the readout divisions.
+    "q_ipw_estimator" -> { (s, dir) =>
+      val trt = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val cents = (money(col("o_totalprice")) * 100).cast(LongType)
+      val hist = t(s, dir, "orders")
+        .groupBy(month(col("o_orderdate")).cast(LongType).as("x"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(trt, 1L).otherwise(0L)).as("k"),
+          sum(when(trt, cents).otherwise(0L)).as("syt"),
+          sum(when(trt, 0L).otherwise(cents)).as("syc"))
+      val base = hist
+        .agg(sort_array(collect_list(struct(col("x"), col("n"), col("k"),
+          col("syt"), col("syc")))).as("l"))
+        .withColumn("b0", lit(0.0)).withColumn("b1", lit(0.0))
+      val sig = "1.0D / (1.0D + exp(-(b0 + b1 * CAST(p.x AS DOUBLE))))"
+      def fold(term: String): String =
+        s"aggregate(l, 0D, (a, p) -> a + ($term))"
+      def step(d: DataFrame): DataFrame = d
+        .withColumn("g1", expr(fold(s"CAST(p.k AS DOUBLE) - p.n * $sig")))
+        .withColumn("g2", expr(fold(
+          s"(CAST(p.k AS DOUBLE) - p.n * $sig) * p.x")))
+        .withColumn("h11", expr(fold(s"p.n * $sig * (1.0D - $sig)")))
+        .withColumn("h12", expr(fold(
+          s"p.n * $sig * (1.0D - $sig) * p.x")))
+        .withColumn("h22", expr(fold(
+          s"p.n * $sig * (1.0D - $sig) * p.x * p.x")))
+        .withColumn("det", expr("h11 * h22 - h12 * h12"))
+        .select(col("l"),
+          expr("b0 + (h22 * g1 - h12 * g2) / det").as("b0"),
+          expr("b1 + (h11 * g2 - h12 * g1) / det").as("b1"))
+      val it = (1 to 3).foldLeft(base)((d, _) => step(d))
+      it.withColumn("wt", expr(fold(s"CAST(p.k AS DOUBLE) / ($sig)")))
+        .withColumn("wyt", expr(fold(s"CAST(p.syt AS DOUBLE) / ($sig)")))
+        .withColumn("wc", expr(fold(
+          s"CAST(p.n - p.k AS DOUBLE) / (1.0D - ($sig))")))
+        .withColumn("wyc", expr(fold(
+          s"CAST(p.syc AS DOUBLE) / (1.0D - ($sig))")))
+        .withColumn("nt", expr(fold("CAST(p.k AS DOUBLE)")))
+        .withColumn("sytd", expr(fold("CAST(p.syt AS DOUBLE)")))
+        .withColumn("nc", expr(fold("CAST(p.n - p.k AS DOUBLE)")))
+        .withColumn("sycd", expr(fold("CAST(p.syc AS DOUBLE)")))
+        .select(round(col("b0"), 6).as("intercept"),
+          round(col("b1"), 6).as("slope"),
+          round(expr("(wyt / wt - wyc / wc) / 100.0D"), 6)
+            .as("ate_ipw_usd"),
+          round(expr("(sytd / nt - sycd / nc) / 100.0D"), 6)
+            .as("ate_naive_usd"))
+    },
+
+    // POISSON REGRESSION via 4 Newton steps on the canonical log link
+    // (the count-GLM beside q_logistic_newton's binary one — rate
+    // modeling for event counts): per-customer order counts on the
+    // nation feature, zero-order customers INCLUDED via the left join
+    // (dropping them biases the rate up — the classic exposure
+    // mistake). Initialization at the NULL-MODEL MLE b0 = ln(Σy/Σm)
+    // (from b0 = 0 the first Newton step overshoots to b0 ≈ 9 and
+    // burns every remaining step crawling back — measured; from the
+    // null model 4 steps land on the score-equation fixpoint, asserted
+    // in OperatorSpec). The corpus collapses to the ≤25-row (x, m, Σy)
+    // histogram; every step is five x-ordered folds + the shared 2×2
+    // solve. Scale: one customer rollup + one histogram shuffle.
+    "q_poisson_irls" -> { (s, dir) =>
+      val cnt = t(s, dir, "orders").groupBy(col("o_custkey").as("ck"))
+        .agg(count(lit(1)).as("y"))
+      val hist = t(s, dir, "customer")
+        .join(cnt, col("c_custkey") === col("ck"), "left")
+        .select(col("c_nationkey").cast(LongType).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("m"), sum("y").as("sy"))
+      val base = hist.agg(
+          sort_array(collect_list(struct(col("x"), col("m"), col("sy"))))
+            .as("l"),
+          expr("ln(CAST(SUM(sy) AS DOUBLE) / CAST(SUM(m) AS DOUBLE))")
+            .as("b0"))
+        .withColumn("b1", lit(0.0))
+      val lam = "exp(b0 + b1 * CAST(p.x AS DOUBLE))"
+      def fold(term: String): String =
+        s"aggregate(l, 0D, (a, p) -> a + ($term))"
+      def step(d: DataFrame): DataFrame = d
+        .withColumn("g1", expr(fold(s"CAST(p.sy AS DOUBLE) - p.m * $lam")))
+        .withColumn("g2", expr(fold(
+          s"(CAST(p.sy AS DOUBLE) - p.m * $lam) * p.x")))
+        .withColumn("h11", expr(fold(s"p.m * $lam")))
+        .withColumn("h12", expr(fold(s"p.m * $lam * p.x")))
+        .withColumn("h22", expr(fold(s"p.m * $lam * p.x * p.x")))
+        .withColumn("det", expr("h11 * h22 - h12 * h12"))
+        .select(col("l"),
+          expr("b0 + (h22 * g1 - h12 * g2) / det").as("b0"),
+          expr("b1 + (h11 * g2 - h12 * g1) / det").as("b1"))
+      val it = (1 to 4).foldLeft(base)((d, _) => step(d))
+      it.withColumn("qll", expr(fold(
+          s"CAST(p.sy AS DOUBLE) * (b0 + b1 * CAST(p.x AS DOUBLE)) " +
+            s"- p.m * $lam")))
+        .withColumn("m", expr(fold("CAST(p.m AS DOUBLE)")))
+        .withColumn("sy", expr(fold("CAST(p.sy AS DOUBLE)")))
+        .select(expr("CAST(m AS BIGINT)").as("n_customers"),
+          expr("CAST(sy AS BIGINT)").as("n_orders"),
+          round(col("b0"), 6).as("intercept"),
+          round(col("b1"), 6).as("slope"),
+          round(expr("exp(b0)"), 6).as("base_rate"),
+          round(col("qll"), 6).as("quasi_log_lik"))
     })
 
   /** Sakoe-Chiba band of q_dtw: legal j-range for row i. */
@@ -9345,6 +9462,130 @@ object Relational {
          |  round(CAST(d12_12 AS DOUBLE) / CAST(lock AS DOUBLE), 6)
          |    AS dtw_ratio
          |FROM r12""".stripMargin
+    },
+
+    // q_ipw_estimator's oracle: identical integer histogram, the SAME
+    // 3 Newton CTE steps as logisticNewtonOracle, identical weighted
+    // readout folds (sig parenthesized in every division).
+    "q_ipw_estimator" -> {
+      def fold(term: String): String =
+        "list_reduce(list_concat([0.0::DOUBLE], list_transform(l, " +
+          s"p -> ($term))), (a, b) -> a + b)"
+      val sig = "1.0::DOUBLE / (1.0::DOUBLE + " +
+        "exp(-(b0 + b1 * CAST(p.x AS DOUBLE))))"
+      val steps = (1 to 3).map { i =>
+        val prev = if (i == 1) "base" else s"s${i - 1}"
+        s"""s${i}a AS (
+           |  SELECT l, b0, b1,
+           |    ${fold(s"CAST(p.k AS DOUBLE) - p.n * $sig")} AS g1,
+           |    ${fold(s"(CAST(p.k AS DOUBLE) - p.n * $sig) * p.x")} AS g2,
+           |    ${fold(s"p.n * $sig * (1.0::DOUBLE - $sig)")} AS h11,
+           |    ${fold(s"p.n * $sig * (1.0::DOUBLE - $sig) * p.x")} AS h12,
+           |    ${fold(s"p.n * $sig * (1.0::DOUBLE - $sig) * p.x * p.x")}
+           |      AS h22
+           |  FROM $prev),
+           |s${i}b AS (
+           |  SELECT l, b0, b1, g1, g2, h11, h12, h22,
+           |    h11 * h22 - h12 * h12 AS det
+           |  FROM s${i}a),
+           |s$i AS (
+           |  SELECT l,
+           |    b0 + (h22 * g1 - h12 * g2) / det AS b0,
+           |    b1 + (h11 * g2 - h12 * g1) / det AS b1
+           |  FROM s${i}b)""".stripMargin
+      }.mkString(",\n")
+      val cents = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT)"
+      s"""WITH hist AS (
+         |  SELECT CAST(month(o_orderdate) AS BIGINT) AS x,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN $cents ELSE 0 END) AS BIGINT) AS syt,
+         |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN 0 ELSE $cents END) AS BIGINT) AS syc
+         |  FROM orders GROUP BY 1),
+         |base AS (
+         |  SELECT list(struct_pack(x := x, n := n, k := k, syt := syt,
+         |    syc := syc) ORDER BY x) AS l,
+         |    0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1
+         |  FROM hist),
+         |$steps,
+         |r AS (
+         |  SELECT b0, b1,
+         |    ${fold(s"CAST(p.k AS DOUBLE) / ($sig)")} AS wt,
+         |    ${fold(s"CAST(p.syt AS DOUBLE) / ($sig)")} AS wyt,
+         |    ${fold(s"CAST(p.n - p.k AS DOUBLE) / (1.0::DOUBLE - ($sig))")}
+         |      AS wc,
+         |    ${fold(s"CAST(p.syc AS DOUBLE) / (1.0::DOUBLE - ($sig))")}
+         |      AS wyc,
+         |    ${fold("CAST(p.k AS DOUBLE)")} AS nt,
+         |    ${fold("CAST(p.syt AS DOUBLE)")} AS sytd,
+         |    ${fold("CAST(p.n - p.k AS DOUBLE)")} AS nc,
+         |    ${fold("CAST(p.syc AS DOUBLE)")} AS sycd
+         |  FROM s3)
+         |SELECT round(b0, 6) AS intercept, round(b1, 6) AS slope,
+         |  round((wyt / wt - wyc / wc) / 100.0::DOUBLE, 6) AS ate_ipw_usd,
+         |  round((sytd / nt - sycd / nc) / 100.0::DOUBLE, 6)
+         |    AS ate_naive_usd
+         |FROM r""".stripMargin
+    },
+
+    // q_poisson_irls's oracle: identical left-join histogram (zero-order
+    // customers kept), null-model init, the SAME 4 Newton CTE steps.
+    "q_poisson_irls" -> {
+      def fold(term: String): String =
+        "list_reduce(list_concat([0.0::DOUBLE], list_transform(l, " +
+          s"p -> ($term))), (a, b) -> a + b)"
+      val lam = "exp(b0 + b1 * CAST(p.x AS DOUBLE))"
+      val steps = (1 to 4).map { i =>
+        val prev = if (i == 1) "base" else s"s${i - 1}"
+        s"""s${i}a AS (
+           |  SELECT l, b0, b1,
+           |    ${fold(s"CAST(p.sy AS DOUBLE) - p.m * $lam")} AS g1,
+           |    ${fold(s"(CAST(p.sy AS DOUBLE) - p.m * $lam) * p.x")} AS g2,
+           |    ${fold(s"p.m * $lam")} AS h11,
+           |    ${fold(s"p.m * $lam * p.x")} AS h12,
+           |    ${fold(s"p.m * $lam * p.x * p.x")} AS h22
+           |  FROM $prev),
+           |s${i}b AS (
+           |  SELECT l, b0, b1, g1, g2, h11, h12, h22,
+           |    h11 * h22 - h12 * h12 AS det
+           |  FROM s${i}a),
+           |s$i AS (
+           |  SELECT l,
+           |    b0 + (h22 * g1 - h12 * g2) / det AS b0,
+           |    b1 + (h11 * g2 - h12 * g1) / det AS b1
+           |  FROM s${i}b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cnt AS (
+         |  SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1),
+         |hist AS (
+         |  SELECT CAST(c.c_nationkey AS BIGINT) AS x,
+         |    CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(COALESCE(cnt.y, 0)) AS BIGINT) AS sy
+         |  FROM customer c LEFT JOIN cnt ON cnt.ck = c.c_custkey
+         |  GROUP BY 1),
+         |base AS (
+         |  SELECT list(struct_pack(x := x, m := m, sy := sy) ORDER BY x)
+         |    AS l,
+         |    ln(CAST(SUM(sy) AS DOUBLE) / CAST(SUM(m) AS DOUBLE)) AS b0,
+         |    0.0::DOUBLE AS b1
+         |  FROM hist),
+         |$steps,
+         |r AS (SELECT b0, b1,
+         |  ${fold(s"CAST(p.sy AS DOUBLE) * (b0 + b1 * CAST(p.x AS DOUBLE)) - p.m * $lam")}
+         |    AS qll,
+         |  ${fold("CAST(p.m AS DOUBLE)")} AS m,
+         |  ${fold("CAST(p.sy AS DOUBLE)")} AS sy
+         |  FROM s4)
+         |SELECT CAST(m AS BIGINT) AS n_customers,
+         |  CAST(sy AS BIGINT) AS n_orders,
+         |  round(b0, 6) AS intercept, round(b1, 6) AS slope,
+         |  round(exp(b0), 6) AS base_rate, round(qll, 6) AS quasi_log_lik
+         |FROM r""".stripMargin
     })
 
   /** q_dbscan_grid's oracle: the cell rollup + 8-neighborhood edges +

@@ -4351,4 +4351,92 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(rows == expect,
       s"hilbert buckets differ: ${(rows.toSet -- expect.toSet).take(3)}")
   }
+
+  test("ipw estimator: brute Newton+weighting replay matches") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_ipw_estimator")(spark, sfDir)
+      .collect().head
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(month(o_orderdate) AS BIGINT)",
+        "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+          "THEN 1L ELSE 0L END",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val cells = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (x, g) =>
+        (x, g.length.toLong, g.count(_._2 == 1L).toLong,
+          g.filter(_._2 == 1L).map(_._3).sum,
+          g.filter(_._2 == 0L).map(_._3).sum)
+    }
+    var (b0, b1) = (0.0, 0.0)
+    for (_ <- 1 to 3) {
+      var (g1, g2, h11, h12, h22) = (0.0, 0.0, 0.0, 0.0, 0.0)
+      for ((x, n, k, _, _) <- cells) {
+        val s = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+        g1 += k - n * s; g2 += (k - n * s) * x
+        h11 += n * s * (1 - s); h12 += n * s * (1 - s) * x
+        h22 += n * s * (1 - s) * x * x
+      }
+      val det = h11 * h22 - h12 * h12
+      val (nb0, nb1) =
+        (b0 + (h22 * g1 - h12 * g2) / det, b1 + (h11 * g2 - h12 * g1) / det)
+      b0 = nb0; b1 = nb1
+    }
+    var (wt, wyt, wc, wyc, nt, syt, nc, syc) =
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    for ((x, n, k, st, sc) <- cells) {
+      val s = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+      wt += k / s; wyt += st / s
+      wc += (n - k) / (1.0 - s); wyc += sc / (1.0 - s)
+      nt += k; syt += st; nc += n - k; syc += sc
+    }
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(0) - r6(b0)) < 1e-9, s"b0 ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - r6(b1)) < 1e-9, s"b1 ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - r6((wyt / wt - wyc / wc) / 100)) < 1e-6,
+      s"ipw ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - r6((syt / nt - syc / nc) / 100)) < 1e-6,
+      s"naive ${r.getDouble(3)}")
+  }
+
+  test("poisson irls: brute replay matches and the score equation closes") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_poisson_irls")(spark, sfDir)
+      .collect().head
+    val cnt = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy("o_custkey").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val cells = cust.groupBy(_._2).toSeq.sortBy(_._1).map { case (x, g) =>
+      (x, g.length.toLong, g.map(c => cnt.getOrElse(c._1, 0L)).sum)
+    }
+    val (mTot, syTot) = (cells.map(_._2).sum, cells.map(_._3).sum)
+    var (b0, b1) = (math.log(syTot.toDouble / mTot), 0.0)
+    for (_ <- 1 to 4) {
+      var (g1, g2, h11, h12, h22) = (0.0, 0.0, 0.0, 0.0, 0.0)
+      for ((x, m, sy) <- cells) {
+        val lm = math.exp(b0 + b1 * x)
+        g1 += sy - m * lm; g2 += (sy - m * lm) * x
+        h11 += m * lm; h12 += m * lm * x; h22 += m * lm * x * x
+      }
+      val det = h11 * h22 - h12 * h12
+      val (nb0, nb1) =
+        (b0 + (h22 * g1 - h12 * g2) / det, b1 + (h11 * g2 - h12 * g1) / det)
+      b0 = nb0; b1 = nb1
+    }
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == mTot && r.getLong(1) == syTot)
+    assert(math.abs(r.getDouble(2) - r6(b0)) < 1e-9, s"b0 ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - r6(b1)) < 1e-9, s"b1 ${r.getDouble(3)}")
+    // score-equation fixpoint: the fitted rate reproduces the corpus total
+    val g1Final = cells.map { case (x, m, sy) =>
+      sy - m * math.exp(b0 + b1 * x)
+    }.sum
+    assert(math.abs(g1Final) < 1e-6 * syTot,
+      s"Newton did not converge: residual score $g1Final")
+  }
 }
