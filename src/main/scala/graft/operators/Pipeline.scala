@@ -3824,6 +3824,67 @@ object Pipeline {
             .as("resemblance"))
         .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
         .limit(20)
+    },
+
+    // LABEL-PROPAGATION COMMUNITIES (Raghavan 2007 LPA — the
+    // linear-time community detector every graph pipeline runs first;
+    // completes the graph bench: CC finds connectivity, k-core finds
+    // density, THIS finds modules): synchronous updates, each node
+    // adopts its neighbors' plurality label with the deterministic
+    // (count DESC, label ASC) tie-break (async LPA is run-order
+    // dependent — unverifiable), isolated nodes keep their own. Graph
+    // = the vocab word graph SPARSIFIED to the top-64 co-occurrence
+    // edges by (count, w1, w2) — a CAP, not a count threshold, so the
+    // same structure emerges at every SF (a fixed threshold empties at
+    // sf0.001 and saturates at sf1; measured: the uncapped graph is so
+    // dense one label swallows all 31 nodes). 4 unrolled rounds, label
+    // frame checkpointed per round (referenced 2×). Scale: one bigram
+    // rollup; rounds shuffle the ≤64-edge frame only.
+    "q_label_propagation" -> { (s, dir) =>
+      val d = docsPar(s, dir).select(split(col("text"), " ").as("w"))
+      val vocab = d.select(explode(col("w")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(32)
+        .localCheckpoint(true)
+      val bi = d.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), " +
+            "(x, y) -> struct(x as w1, y as w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= col("w2"))
+      val ec = bi
+        .join(broadcast(vocab.select(col("w").as("w1"))), "w1")
+        .join(broadcast(vocab.select(col("w").as("w2"))), "w2")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      val etop = ec
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(pmod(col("n"), lit(1)))
+            .orderBy(col("n").desc, col("w1"), col("w2"))))
+        .filter(col("rn") <= 64).select("w1", "w2")
+      val und = etop
+        .union(etop.select(col("w2").as("w1"), col("w1").as("w2")))
+        .distinct().localCheckpoint(true)
+      var lbl = vocab.select(col("w"), col("w").as("lbl"))
+        .localCheckpoint(true)
+      (1 to 4).foreach { _ =>
+        val votes = und
+          .join(broadcast(lbl.select(col("w").as("w2"), col("lbl"))), "w2")
+          .groupBy(col("w1").as("w"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        val best = votes
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("w")
+              .orderBy(col("c").desc, col("lbl").asc)))
+          .filter(col("rn") === 1).select(col("w"), col("lbl").as("nl"))
+        lbl = lbl.join(broadcast(best), Seq("w"), "left")
+          .select(col("w"), coalesce(col("nl"), col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      lbl.join(broadcast(sz), "lbl")
+        .select(col("w").as("word"), col("lbl").as("community"),
+          col("community_size"))
+        .orderBy("word")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -6554,5 +6615,50 @@ object Pipeline {
         |        JOIN nf nb ON pr.doc_b = nb.doc_id
         |WHERE pr.n_shared >= 3
         |ORDER BY pr.n_shared DESC, pr.doc_a, pr.doc_b
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+
+    // q_label_propagation's oracle: identical vocab/top-64-edge
+    // construction, the same 4 synchronous rounds as MATERIALIZED CTEs
+    // with the same (count DESC, label ASC) tie-break.
+    "q_label_propagation" -> {
+      val rounds = (1 to 4).map { r =>
+        val prev = s"l${r - 1}"
+        s"""v$r AS MATERIALIZED (
+           |  SELECT u.w1 AS w, p.lbl, COUNT(*) AS c
+           |  FROM und u JOIN $prev p ON p.w = u.w2 GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (
+           |  SELECT w, lbl FROM (
+           |    SELECT w, lbl, ROW_NUMBER() OVER (PARTITION BY w
+           |      ORDER BY c DESC, lbl ASC) AS rn FROM v$r)
+           |  WHERE rn = 1),
+           |l$r AS MATERIALIZED (
+           |  SELECT p.w, COALESCE(b.lbl, p.lbl) AS lbl
+           |  FROM $prev p LEFT JOIN b$r b ON b.w = p.w)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |tok AS (SELECT unnest(w) AS w FROM d),
+         |vocab AS (SELECT w, c FROM (
+         |  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+         |  ORDER BY c DESC, w ASC LIMIT 32) v),
+         |big AS (SELECT unnest(list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i+1])) AS bg
+         |  FROM d WHERE len(w) >= 2),
+         |sp AS (SELECT string_split(bg, ' ')[1] AS w1,
+         |  string_split(bg, ' ')[2] AS w2 FROM big),
+         |ec AS (SELECT w1, w2, COUNT(*) AS n FROM sp
+         |  JOIN vocab v1 ON w1 = v1.w JOIN vocab v2 ON w2 = v2.w
+         |  WHERE w1 <> w2 GROUP BY 1, 2),
+         |etop AS (SELECT w1, w2 FROM (SELECT w1, w2, n,
+         |  ROW_NUMBER() OVER (ORDER BY n DESC, w1, w2) AS rn FROM ec)
+         |  WHERE rn <= 64),
+         |und AS MATERIALIZED (SELECT w1, w2 FROM etop
+         |  UNION SELECT w2 AS w1, w1 AS w2 FROM etop),
+         |l0 AS MATERIALIZED (SELECT w, w AS lbl FROM vocab),
+         |$rounds,
+         |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+         |       FROM l4 GROUP BY 1)
+         |SELECT l.w AS word, l.lbl AS community, sz.community_size
+         |FROM l4 l JOIN sz ON sz.lbl = l.lbl
+         |ORDER BY l.w""".stripMargin
+    })
 }

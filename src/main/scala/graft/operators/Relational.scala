@@ -5431,7 +5431,109 @@ object Relational {
           round(col("b1"), 6).as("slope"),
           round(expr("exp(b0)"), 6).as("base_rate"),
           round(col("qll"), 6).as("quasi_log_lik"))
+    },
+
+    // BORUVKA MINIMUM SPANNING TREE (Boruvka 1926 / the algorithm every
+    // distributed MST runs — GraphX, Pregel papers — because ALL
+    // components pick their minimum outgoing edge in parallel and the
+    // component count at least HALVES per round: O(log V) supersteps):
+    // here the maximum-trade spanning backbone of the 25-nation
+    // supplier→customer revenue graph (weights negated so min-MST =
+    // max-trade). The corpus collapses ONCE to the ≤300-row canonical
+    // edge table; each of 5 Boruvka rounds picks per-component minima
+    // under the TOTAL order (w, a, b) — the canonical edge id, so the
+    // cluster-minimum edge is chosen by BOTH endpoints and the
+    // component-level successor function f has exactly one 2-cycle per
+    // cluster (the textbook mutual-min argument). Contraction: because
+    // the COMPONENT graph is bounded (≤25 entries — nations, not the
+    // corpus), f ships as ONE map_from_entries row (the q_ipf_raking
+    // one-row discipline) and f³⁰ is a 30-deep element_at chase in a
+    // single projection — 30 ≥ the ≤23-step tail into the 2-cycle, and
+    // LEAST(g, f(g)) is parity-independent. No iterate-to-fixpoint, no
+    // driver union-find; a measured join-based doubling chain spent
+    // ~10× this query's runtime on per-job fixed costs. Frames are
+    // ckptCut per round (localCheckpoint ALONE telescopes lazy
+    // sizeInBytes stats — see ckptCut). At unbounded component counts
+    // the map row is replaced by the E172 pointer-jump kernel — the
+    // same round structure, distributed f. OperatorSpec proves the
+    // edge SET equals Kruskal's. Scale: one corpus rollup; rounds
+    // touch ≤2&#124;E&#124;-row frames; O(log V) supersteps.
+    "q_mst_boruvka" -> { (s, dir) =>
+      val custNation = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      val pair = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(custNation, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(
+          least(col("s_nationkey"), col("c_nationkey")).cast(LongType)
+            .as("a"),
+          greatest(col("s_nationkey"), col("c_nationkey")).cast(LongType)
+            .as("b"))
+        .agg(sum((money(col("l_extendedprice")) * 100).cast(LongType))
+          .as("cents"))
+      val edges = ckptCut(pair
+        .select(col("a"), col("b"), (-col("cents")).as("w"),
+          col("a").as("u"), col("b").as("v"))
+        .union(pair.select(col("a"), col("b"), (-col("cents")).as("w"),
+          col("b").as("u"), col("a").as("v"))))
+      var lbl = ckptCut(edges.select(col("u")).distinct()
+        .select(col("u"), col("u").as("comp")))
+      var mst = ckptCut(edges.select("a", "b", "w").limit(0))
+      (1 to 5).foreach { _ =>
+        val cand = edges
+          .join(lbl.select(col("u"), col("comp").as("cu")), "u")
+          .join(lbl.select(col("u").as("v"), col("comp").as("cv")), "v")
+          .filter(col("cu") =!= col("cv"))
+        val sel = ckptCut(cand
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("cu").orderBy(col("w"), col("a"), col("b"))))
+          .filter(col("rn") === 1)
+          .select("cu", "cv", "w", "a", "b"))
+        mst = mst.union(sel.select("a", "b", "w"))
+        val mrow = ckptCut(lbl.select(col("comp")).distinct()
+          .join(sel.select(col("cu"), col("cv")),
+            col("comp") === col("cu"), "left")
+          .agg(map_from_entries(sort_array(collect_list(struct(
+            col("comp"), coalesce(col("cv"), col("comp"))))))
+            .as("fm")))
+        val chase = (1 to 30)
+          .foldLeft("comp")((e, _) => s"element_at(fm, $e)")
+        lbl = ckptCut(lbl.crossJoin(broadcast(mrow))
+          .select(col("u"),
+            expr(s"least($chase, element_at(fm, $chase))").as("comp")))
+      }
+      val mstD = ckptCut(mst.distinct())
+      val tot = mstD.agg(sum(-col("w")).as("tree_cents"),
+        count(lit(1)).as("n_edges"))
+      mstD.crossJoin(broadcast(tot))
+        .select(col("a").as("nation_a"), col("b").as("nation_b"),
+          (-col("w")).as("trade_cents"), col("n_edges"), col("tree_cents"))
+        .orderBy("nation_a", "nation_b")
     })
+
+  /** localCheckpoint + CUT THE LAZY STATS LINEAGE. A checkpointed
+    * Dataset's LogicalRDD keeps the ORIGINAL plan's sizeInBytes stats
+    * lazily, so a pointer-jump SQUARING chain (g ⋈ g per jump) doubles
+    * the BigInt digit count per jump — measured 6→94 digits across 5
+    * jumps; nested inside 5 Boruvka rounds the estimate reaches millions
+    * of digits and the driver burns minutes inside BigInteger.multiply
+    * in SizeInBytesOnlyStatsPlanVisitor (observed: q_mst_boruvka >15 min
+    * before this fix, all of it driver-side stats arithmetic). The RDD
+    * round-trip re-wraps the SAME materialized partitions with fresh
+    * default stats — no recompute, constant-size estimates. The plain
+    * per-round kernels (q_connected_components, q_dbscan_grid) only
+    * double digits ONCE per round and stay fast without this; any query
+    * that SQUARES a checkpointed frame per step needs it. */
+  private def ckptCut(df: DataFrame): DataFrame = {
+    val m = df.localCheckpoint(true)
+    m.sparkSession.createDataFrame(m.rdd, m.schema)
+  }
 
   /** Sakoe-Chiba band of q_dtw: legal j-range for row i. */
   private def dtwBand(i: Int): Range =
@@ -9586,6 +9688,77 @@ object Relational {
          |  round(b0, 6) AS intercept, round(b1, 6) AS slope,
          |  round(exp(b0), 6) AS base_rate, round(qll, 6) AS quasi_log_lik
          |FROM r""".stripMargin
+    },
+
+    // q_mst_boruvka's oracle: identical canonical edge rollup, the same
+    // 5 Boruvka rounds × 5 pointer-jump doublings as MATERIALIZED CTEs,
+    // same (w, a, b) total order and LEAST(g, f(g)) contraction.
+    "q_mst_boruvka" -> {
+      val rounds = (1 to 5).map { r =>
+        val prevLbl = if (r == 1) "l0" else s"l${r - 1}"
+        val prevMst = if (r == 1) "m0" else s"m${r - 1}"
+        val jumps = (1 to 5).map { k =>
+          val pf = if (k == 1) s"f${r}_0" else s"f${r}_${k - 1}"
+          s"""f${r}_$k AS MATERIALIZED (
+             |  SELECT a.c AS c, b.t AS t FROM $pf a JOIN $pf b
+             |  ON a.t = b.c)""".stripMargin
+        }.mkString(",\n")
+        s"""cand$r AS MATERIALIZED (
+           |  SELECT la.comp AS cu, lb.comp AS cv, e.w, e.a, e.b
+           |  FROM edges e
+           |  JOIN $prevLbl la ON e.u = la.u
+           |  JOIN $prevLbl lb ON e.v = lb.u
+           |  WHERE la.comp <> lb.comp),
+           |sel$r AS MATERIALIZED (
+           |  SELECT cu, cv, w, a, b FROM (
+           |    SELECT cu, cv, w, a, b,
+           |      ROW_NUMBER() OVER (PARTITION BY cu ORDER BY w, a, b)
+           |        AS rn
+           |    FROM cand$r) WHERE rn = 1),
+           |m$r AS MATERIALIZED (
+           |  SELECT a, b, w FROM $prevMst
+           |  UNION
+           |  SELECT a, b, w FROM sel$r),
+           |f${r}_0 AS MATERIALIZED (
+           |  SELECT lc.comp AS c, COALESCE(s.cv, lc.comp) AS t
+           |  FROM (SELECT DISTINCT comp FROM $prevLbl) lc(comp)
+           |  LEFT JOIN sel$r s ON s.cu = lc.comp),
+           |$jumps,
+           |l$r AS MATERIALIZED (
+           |  SELECT p.u, LEAST(g.t, f0.t) AS comp
+           |  FROM $prevLbl p
+           |  JOIN f${r}_5 g ON g.c = p.comp
+           |  JOIN f${r}_0 f0 ON f0.c = g.t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS (
+         |  SELECT CAST(s.s_nationkey AS BIGINT) AS su,
+         |    CAST(cu.c_nationkey AS BIGINT) AS cn,
+         |    CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT) AS cents
+         |  FROM lineitem l
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+         |  WHERE s.s_nationkey <> cu.c_nationkey),
+         |pair AS (
+         |  SELECT LEAST(su, cn) AS a, GREATEST(su, cn) AS b,
+         |    CAST(SUM(cents) AS BIGINT) AS cents
+         |  FROM tr GROUP BY 1, 2),
+         |edges AS MATERIALIZED (
+         |  SELECT a, b, -cents AS w, a AS u, b AS v FROM pair
+         |  UNION ALL
+         |  SELECT a, b, -cents AS w, b AS u, a AS v FROM pair),
+         |nodes AS (SELECT DISTINCT u FROM edges),
+         |l0 AS MATERIALIZED (SELECT u, u AS comp FROM nodes),
+         |m0 AS (SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT)
+         |  AS b, CAST(NULL AS BIGINT) AS w WHERE 1 = 0),
+         |$rounds,
+         |tot AS (SELECT CAST(SUM(-w) AS BIGINT) AS tree_cents,
+         |  CAST(COUNT(*) AS BIGINT) AS n_edges FROM m5)
+         |SELECT m.a AS nation_a, m.b AS nation_b,
+         |  CAST(-m.w AS BIGINT) AS trade_cents, t.n_edges, t.tree_cents
+         |FROM m5 m CROSS JOIN tot t
+         |ORDER BY m.a, m.b""".stripMargin
     })
 
   /** q_dbscan_grid's oracle: the cell rollup + 8-neighborhood edges +

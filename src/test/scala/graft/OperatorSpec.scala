@@ -4439,4 +4439,86 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(g1Final) < 1e-6 * syTot,
       s"Newton did not converge: residual score $g1Final")
   }
+
+  test("mst boruvka: edge set, count, and total equal Kruskal's MST") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_mst_boruvka")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val cst = spark.read.parquet(s"$sfDir/customer.parquet")
+    import org.apache.spark.sql.functions.{col => f}
+    val pairs = li
+      .join(sup, f("l_suppkey") === f("s_suppkey"))
+      .join(ord, f("l_orderkey") === f("o_orderkey"))
+      .join(cst, f("o_custkey") === f("c_custkey"))
+      .filter("s_nationkey <> c_nationkey")
+      .selectExpr("CAST(least(s_nationkey, c_nationkey) AS BIGINT)",
+        "CAST(greatest(s_nationkey, c_nationkey) AS BIGINT)",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(p => (p._1, p._2)).view.mapValues(_.map(_._3).sum).toSeq
+      .map { case ((a, b), c) => (-c, a, b) }.sorted
+    val par = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var c = x
+      while (par.getOrElseUpdate(c, c) != c) {
+        par(c) = par(par(c)); c = par(c)
+      }
+      c
+    }
+    var (cnt, tot) = (0L, 0L)
+    val chosen = scala.collection.mutable.Set[(Long, Long, Long)]()
+    for ((w, a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        par(math.max(ra, rb)) = math.min(ra, rb)
+        cnt += 1; tot += -w; chosen += ((a, b, -w))
+      }
+    }
+    assert(rows.forall(r => r._4 == cnt), s"n_edges ${rows.headOption}")
+    assert(rows.forall(r => r._5 == tot), "tree total differs from Kruskal")
+    assert(rows.map(r => (r._1, r._2, r._3)).toSet == chosen.toSet,
+      "MST edge set differs from Kruskal")
+  }
+
+  test("label propagation: brute synchronous LPA replay matches") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.queries("q_label_propagation")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("split(text, ' ')").collect()
+      .map(_.getSeq[String](0).toArray)
+    val vocab = docs.flatten.groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(32).map(_._1)
+    val vs = vocab.toSet
+    val ecnt = scala.collection.mutable.Map[(String, String), Int]()
+    for (w <- docs; i <- 0 until w.length - 1
+         if vs(w(i)) && vs(w(i + 1)) && w(i) != w(i + 1))
+      ecnt((w(i), w(i + 1))) = ecnt.getOrElse((w(i), w(i + 1)), 0) + 1
+    val etop = ecnt.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(64).map(_._1)
+    val und = (etop ++ etop.map(e => (e._2, e._1))).distinct
+    val nbr = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = vs.map(w => w -> w).toMap
+    for (_ <- 1 to 4) {
+      lbl = vs.map { w =>
+        val ns = nbr.getOrElse(w, Nil)
+        if (ns.isEmpty) w -> lbl(w)
+        else {
+          val c = ns.groupBy(lbl).view.mapValues(_.length).toSeq
+          w -> c.minBy { case (l, n) => (-n, l) }._1
+        }
+      }.toMap
+    }
+    val sz = lbl.values.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    val expect = lbl.map { case (w, l) => (w, l, sz(l)) }.toSet
+    assert(rows == expect,
+      s"LPA differs: ${(rows -- expect).take(3)} vs ${(expect -- rows).take(3)}")
+  }
 }
