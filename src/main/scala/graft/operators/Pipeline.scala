@@ -3885,6 +3885,81 @@ object Pipeline {
         .select(col("w").as("word"), col("lbl").as("community"),
           col("community_size"))
         .orderBy("word")
+    },
+
+    // ROCCHIO PSEUDO-RELEVANCE FEEDBACK (Rocchio 1971 / the PRF loop
+    // every classical search stack runs: retrieve → assume top-k
+    // relevant → move the query toward their centroid → re-retrieve;
+    // the 4th ranker beside BM25, query-likelihood and the trigram
+    // family): q = the self-derived top-3-ctf terms (the house
+    // convention), initial tf·idf retrieval picks the top-5 feedback
+    // docs, expanded weights w_t = α·idf_t·[t∈q] + β·centroid_t with
+    // the published (α=1, β=0.75, γ=0) PRF setting, top-8 expansion
+    // terms under (rounded weight DESC, term ASC), rerank by
+    // Σ w_t·tf·idf. Weights ROUND before the cut so the term set is
+    // cross-engine stable; every per-doc/per-term float sum is the
+    // array_sort(collect_list) canonical fold (collect order is
+    // nondeterministic — sorting makes the IEEE tree unique). Scale:
+    // ONE tokenize pass builds the persisted (doc, term, tf, idf)
+    // rollup; all three retrieval passes are broadcast-term joins
+    // against it (≤8 rows per doc), feedback/centroid frames are ≤5
+    // docs and their vocab.
+    "q_rocchio" -> { (s, dir) =>
+      val tok = docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nd = tok.agg(countDistinct("doc_id").as("n"))
+        val terms = tok.groupBy("w").agg(count(lit(1)).as("ctf"))
+          .orderBy(col("ctf").desc, col("w").asc).limit(3).select("w")
+          .localCheckpoint(true)
+        val idf = tok.groupBy("w").agg(countDistinct("doc_id").as("df"))
+          .crossJoin(broadcast(nd))
+          .select(col("w"),
+            expr("ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))").as("idf"))
+        val tfidf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+          .join(idf, "w")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          def fold(term: String): String =
+            "round(aggregate(array_sort(collect_list(" + term +
+              ")), cast(0.0 as double), (a, v) -> a + v), 6)"
+          val s0 = tfidf.join(broadcast(terms), "w")
+            .groupBy("doc_id")
+            .agg(expr(fold("CAST(tf AS DOUBLE) * idf")).as("score0"))
+          val fb = s0.orderBy(col("score0").desc, col("doc_id").asc)
+            .limit(5).localCheckpoint(true)
+          val cent = tfidf
+            .join(broadcast(fb.select("doc_id")), "doc_id")
+            .groupBy("w")
+            .agg(expr("aggregate(array_sort(collect_list(" +
+              "CAST(tf AS DOUBLE) * idf)), cast(0.0 as double), " +
+              "(a, v) -> a + v) / 5.0D").as("cent"),
+              max("idf").as("idf"))
+          val top8 = cent
+            .join(broadcast(terms.select(col("w"), lit(1L).as("inq"))),
+              Seq("w"), "left")
+            .select(col("w"),
+              round(expr("CASE WHEN inq IS NOT NULL THEN idf " +
+                "ELSE 0.0D END + 0.75D * cent"), 6).as("wt"))
+            .orderBy(col("wt").desc, col("w").asc).limit(8)
+            .localCheckpoint(true)
+          val s1 = tfidf.join(broadcast(top8), "w")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_hit"),
+              expr(fold("wt * CAST(tf AS DOUBLE) * idf")).as("score1"))
+          s1.join(s0, Seq("doc_id"), "left")
+            .join(broadcast(fb.select(col("doc_id"), lit(1L).as("isfb"))),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("score0"), lit(0.0)).as("score_initial"),
+              col("score1").as("score_rocchio"), col("n_hit"),
+              col("isfb").isNotNull.as("was_feedback"))
+            .orderBy(col("score_rocchio").desc, col("doc_id").asc)
+            .limit(10)
+            .localCheckpoint(true) // 10 rows; releases both caches
+        } finally { tfidf.unpersist(); () }
+      } finally { tok.unpersist(); () }
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -6660,5 +6735,65 @@ object Pipeline {
          |SELECT l.w AS word, l.lbl AS community, sz.community_size
          |FROM l4 l JOIN sz ON sz.lbl = l.lbl
          |ORDER BY l.w""".stripMargin
-    })
+    },
+
+    // q_rocchio's oracle: identical self-derived query, feedback cut,
+    // rounded weights, and canonical sorted folds at every float sum.
+    "q_rocchio" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+        |       FROM tok),
+        |terms AS (SELECT w FROM (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS ctf FROM tok GROUP BY w
+        |  ORDER BY ctf DESC, w ASC LIMIT 3)),
+        |idf AS (
+        |  SELECT df.w, ln(CAST(nd.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+        |    AS idf
+        |  FROM (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM tok GROUP BY w) df CROSS JOIN nd),
+        |tfidf AS (
+        |  SELECT tf.doc_id, tf.w, tf.tf, idf.idf
+        |  FROM (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |        FROM tok GROUP BY 1, 2) tf
+        |  JOIN idf ON idf.w = tf.w),
+        |s0 AS (
+        |  SELECT doc_id,
+        |    round(list_reduce(list_concat([0.0::DOUBLE],
+        |      list_sort(list(CAST(tf AS DOUBLE) * idf))),
+        |      (a, v) -> a + v), 6) AS score0
+        |  FROM tfidf JOIN terms USING (w)
+        |  GROUP BY doc_id),
+        |fb AS (SELECT doc_id, score0 FROM s0
+        |       ORDER BY score0 DESC, doc_id ASC LIMIT 5),
+        |cent AS (
+        |  SELECT w,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_sort(list(CAST(tf AS DOUBLE) * idf))),
+        |      (a, v) -> a + v) / 5.0::DOUBLE AS cent,
+        |    MAX(idf) AS idf
+        |  FROM tfidf JOIN fb USING (doc_id)
+        |  GROUP BY w),
+        |top8 AS (
+        |  SELECT w,
+        |    round(CASE WHEN t.w IS NOT NULL THEN idf
+        |      ELSE 0.0::DOUBLE END + 0.75::DOUBLE * cent, 6) AS wt
+        |  FROM cent LEFT JOIN terms t USING (w)
+        |  ORDER BY wt DESC, w ASC LIMIT 8),
+        |s1 AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+        |    round(list_reduce(list_concat([0.0::DOUBLE],
+        |      list_sort(list(wt * CAST(tf AS DOUBLE) * idf))),
+        |      (a, v) -> a + v), 6) AS score1
+        |  FROM tfidf JOIN top8 USING (w)
+        |  GROUP BY doc_id)
+        |SELECT s1.doc_id,
+        |  COALESCE(s0.score0, 0.0::DOUBLE) AS score_initial,
+        |  s1.score1 AS score_rocchio, s1.n_hit,
+        |  (fb.doc_id IS NOT NULL) AS was_feedback
+        |FROM s1 LEFT JOIN s0 ON s0.doc_id = s1.doc_id
+        |LEFT JOIN fb ON fb.doc_id = s1.doc_id
+        |ORDER BY s1.score1 DESC, s1.doc_id ASC
+        |LIMIT 10""".stripMargin)
 }

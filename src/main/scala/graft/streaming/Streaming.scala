@@ -1258,6 +1258,66 @@ object Streaming {
         .orderBy("w_start")
     },
 
+    // STREAMING CUSUM CHANGEPOINT — q_cusum_changepoint run against the
+    // live event feed (the rate-shift monitor an ingest pipeline pages
+    // on): the STREAM's job is the per-hour count — one watermarked
+    // tumbling window agg, state = open windows only, exactly
+    // q_stream_tumbling's bound; the CUSUM folds then run on the
+    // FINISHED window table (≤ hours-of-history rows, localCheckpoint'd
+    // so the two readout derivations — the stats row and the sorted
+    // list — don't self-join the memory-sink lineage, the
+    // q_stream_percentiles lesson). Same (μ, 0.5σ slack, 4σ threshold)
+    // self-referential parameterization and the same slice-prefix
+    // greatest-folds as the batch operator — the stream must flag
+    // exactly the hours the batch replay flags. Scale: window state is
+    // watermark-bounded; the readout frame grows one row per hour.
+    "q_stream_cusum" -> { (s, dir) =>
+      val agg = eventStream(s, dir, "cusumwin")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"))
+      val wins = runToMemory(agg, "graft_stream_cusum")
+        .filter(col("event_type") =!= "__sentinel")
+        .groupBy("w_start").agg(sum("n").as("x"))
+        .localCheckpoint(true)
+      val st = wins
+        .agg(count(lit(1)).as("nd"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(
+          round(col("sx").cast(DoubleType) / col("nd"), 6).as("mu"),
+          round(sqrt((col("nd").cast(DoubleType) * col("sxx") -
+            col("sx").cast(DoubleType) * col("sx")) /
+            (col("nd") * (col("nd") - 1))), 6).as("sd"))
+        .select(col("mu"),
+          round(col("sd") * 0.5, 6).as("kk"),
+          round(col("sd") * 4.0, 6).as("hh"))
+      wins
+        .agg(sort_array(collect_list(struct(col("w_start"), col("x"))))
+          .as("l"))
+        .crossJoin(broadcast(st))
+        .select(col("l"), col("mu"), col("kk"), col("hh"),
+          posexplode(col("l")))
+        .select(col("col.w_start").as("w_start"),
+          col("col.x").as("n_events"),
+          round(expr(
+            """aggregate(slice(l, 1, pos + 1), 0.0D,
+              |  (acc, e) -> greatest(0.0D,
+              |    acc + (CAST(e.x AS DOUBLE) - mu - kk)))""".stripMargin),
+            6).as("cusum_pos"),
+          round(expr(
+            """aggregate(slice(l, 1, pos + 1), 0.0D,
+              |  (acc, e) -> greatest(0.0D,
+              |    acc + (mu - kk - CAST(e.x AS DOUBLE))))""".stripMargin),
+            6).as("cusum_neg"),
+          col("hh").as("threshold"))
+        .withColumn("is_change",
+          col("cusum_pos") > col("threshold") ||
+            col("cusum_neg") > col("threshold"))
+        .orderBy("w_start")
+    },
+
     // STREAMING ENTITY MATCH — q_entity_match run as an online service:
     // dirty customer records ARRIVE as a stream and resolve against the
     // STATIC clean index via a stream-static blocked equi-join
@@ -1676,6 +1736,48 @@ object Streaming {
         |  CASE WHEN psi < 0.1 THEN 'stable'
         |    WHEN psi < 0.25 THEN 'moderate' ELSE 'major' END AS band
         |FROM o2 ORDER BY w_start""".stripMargin,
+
+    // hourly spine instead of daily — otherwise verbatim the
+    // q_cusum_changepoint oracle: same self-referential (μ, 0.5σ, 4σ),
+    // same prefix greatest-folds over the w_start-sorted list
+    "q_stream_cusum" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS w_start, COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |st0 AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM hourly),
+        |st1 AS (
+        |  SELECT round(sx::DOUBLE / nd, 6) AS mu,
+        |    round(sqrt((nd::DOUBLE * sxx - sx::DOUBLE * sx) /
+        |      (nd * (nd - 1))), 6) AS sd
+        |  FROM st0),
+        |st AS (
+        |  SELECT mu, round(sd * 0.5, 6) AS kk, round(sd * 4.0, 6) AS hh
+        |  FROM st1),
+        |lst AS (
+        |  SELECT list(struct_pack(w_start := w_start, x := x)
+        |    ORDER BY w_start) AS l
+        |  FROM hourly),
+        |e AS (
+        |  SELECT w_start, x, ROW_NUMBER() OVER (ORDER BY w_start) AS i
+        |  FROM hourly),
+        |folds AS (
+        |  SELECT e.w_start, e.x,
+        |    round(list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(lst.l[1:e.i], v -> v.x::DOUBLE)),
+        |      (acc, xv) -> greatest(0.0::DOUBLE,
+        |        acc + (xv - st.mu - st.kk))), 6) AS cusum_pos,
+        |    round(list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(lst.l[1:e.i], v -> v.x::DOUBLE)),
+        |      (acc, xv) -> greatest(0.0::DOUBLE,
+        |        acc + (st.mu - st.kk - xv))), 6) AS cusum_neg,
+        |    st.hh AS threshold
+        |  FROM e CROSS JOIN lst CROSS JOIN st)
+        |SELECT w_start, x AS n_events, cusum_pos, cusum_neg, threshold,
+        |  (cusum_pos > threshold OR cusum_neg > threshold) AS is_change
+        |FROM folds ORDER BY w_start""".stripMargin,
 
     // each dirty record arrives exactly once and resolves statelessly
     // against the full static index → the finished rollup equals the

@@ -4521,4 +4521,52 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(rows == expect,
       s"LPA differs: ${(rows -- expect).take(3)} vs ${(expect -- rows).take(3)}")
   }
+
+  test("rocchio: brute PRF replay matches and feedback docs score high") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.queries("q_rocchio")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "split(text, ' ')").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val tf = docs.map { case (d, ws) =>
+      d -> ws.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val n = docs.length
+    val ctf = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity).view
+      .mapValues(_.size).toMap
+    val terms = ctf.toSeq.sortBy { case (w, c) => (-c, w) }.take(3)
+      .map(_._1).toSet
+    val idf = df.map { case (w, d) => w -> math.log(n.toDouble / d) }
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def foldSorted(vs: Iterable[Double]): Double = vs.toSeq.sorted.sum
+    val s0 = tf.flatMap { case (d, m) =>
+      val cs = terms.toSeq.filter(m.contains).map(w => m(w) * idf(w))
+      if (cs.isEmpty) None else Some(d -> r6(foldSorted(cs)))
+    }
+    val fb = s0.toSeq.sortBy { case (d, sc) => (-sc, d) }.take(5)
+      .map(_._1).toSet
+    val cent = fb.toSeq.flatMap(d => tf(d).map { case (w, c) =>
+      w -> c * idf(w)
+    }).groupBy(_._1).view
+      .mapValues(v => foldSorted(v.map(_._2)) / 5.0).toMap
+    val wts = cent.map { case (w, c) =>
+      w -> r6((if (terms(w)) idf(w) else 0.0) + 0.75 * c)
+    }
+    val top8 = wts.toSeq.sortBy { case (w, v) => (-v, w) }.take(8).toMap
+    val s1 = tf.flatMap { case (d, m) =>
+      val cs = top8.keys.toSeq.filter(m.contains)
+        .map(w => top8(w) * m(w) * idf(w))
+      if (cs.isEmpty) None
+      else Some((d, r6(foldSorted(cs)), cs.length.toLong))
+    }
+    val expect = s1.toSeq.sortBy { case (d, sc, _) => (-sc, d) }.take(10)
+      .map { case (d, sc, nh) => (d, s0.getOrElse(d, 0.0), sc, nh, fb(d)) }
+    assert(rows.toSeq == expect,
+      s"rocchio differs: ${rows.take(3).toSeq} vs ${expect.take(3)}")
+  }
 }

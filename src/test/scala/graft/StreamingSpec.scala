@@ -716,4 +716,38 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batch,
       s"stream vs batch diff: ${(streamed -- batch) ++ (batch -- streamed)}")
   }
+
+  test("stream cusum: brute hourly-prefix replay matches every window") {
+    val rows = Streaming.queries("q_stream_cusum")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val hourly = Tables.load(spark, sfDir, "events")
+      .selectExpr("date_trunc('HOUR', ts) AS w")
+      .collect().map(_.getTimestamp(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy(_._1.getTime)
+    val xs = hourly.map(_._2)
+    val nd = xs.length.toLong
+    val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mu = r6(sx.toDouble / nd)
+    val sd = r6(math.sqrt((nd.toDouble * sxx - sx.toDouble * sx) /
+      (nd * (nd - 1.0))))
+    val (kk, hh) = (r6(sd * 0.5), r6(sd * 4.0))
+    var (cp, cn) = (0.0, 0.0)
+    val expect = hourly.map { case (w, x) =>
+      cp = math.max(0.0, cp + (x - mu - kk))
+      cn = math.max(0.0, cn + (mu - kk - x))
+      (w, x, r6(cp), r6(cn), hh, r6(cp) > hh || r6(cn) > hh)
+    }
+    assert(rows.length == expect.length,
+      s"window count ${rows.length} vs ${expect.length}")
+    rows.zip(expect).foreach { case (r, e) =>
+      assert(r.getTimestamp(0) == e._1 && r.getLong(1) == e._2,
+        s"window/count: $r vs $e")
+      assert(math.abs(r.getDouble(2) - e._3) < 1e-6 &&
+        math.abs(r.getDouble(3) - e._4) < 1e-6, s"cusum: $r vs $e")
+      assert(r.getBoolean(5) == e._6, s"flag: $r vs $e")
+    }
+  }
 }
