@@ -3790,6 +3790,16 @@ object Pipeline {
     // the pair join is banded by fingerprint (never all-pairs), and
     // the cap bounds any degenerate bucket.
     "q_winnowing" -> { (s, dir) =>
+      // TWO traps fixed here (58 s -> ~4 s at sf0.1, measured). (1)
+      // explode_outer, NOT explode: plain explode lets Catalyst infer
+      // `isnotnull(fps) AND size(fps) > 0` (InferFiltersFromGenerate)
+      // and push them through every Project — inlining the WHOLE md5
+      // chain several times into one non-codegen Filter that
+      // re-interprets it per row (52 of the 58 s). fps is never
+      // null/empty here (≥6 tokens ⇒ ≥1 window), so _outer is
+      // semantically identical and infers nothing. (2) pd feeds three
+      // consumers (df rollup + both sides of the pair self-join):
+      // checkpoint it once, and the capped table once.
       val pd = docsPar(s, dir)
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 6)
@@ -3801,10 +3811,11 @@ object Pipeline {
         .withColumn("fps", expr(
           "array_distinct(transform(sequence(1, size(keys) - 3), " +
             "p -> array_min(slice(keys, p, 4)) div 65536L))"))
-        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+        .localCheckpoint(true)
       val hot = pd.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 128)
-      val cp = pd.join(hot.select("fp"), "fp")
+      val cp = pd.join(hot.select("fp"), "fp").localCheckpoint(true)
       val nf = cp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
       val pr = cp.as("a")
         .join(cp.as("b"), col("a.fp") === col("b.fp") &&

@@ -5515,6 +5515,548 @@ object Relational {
         .select(col("a").as("nation_a"), col("b").as("nation_b"),
           (-col("w")).as("trade_cents"), col("n_edges"), col("tree_cents"))
         .orderBy("nation_a", "nation_b")
+    },
+
+    // GAUSSIAN MIXTURE via 4 unrolled EM rounds (Dempster 1977 — THE
+    // iterative latent-variable algorithm, completing the fitting bench
+    // beside the Newton GLMs: EM is what you run when the likelihood
+    // has hidden structure): 2 components over the quantity histogram.
+    // Same distributive skeleton as q_logistic_newton — the corpus
+    // collapses ONCE to the ≤50-cell (x, n) histogram, each EM round is
+    // six x-ordered folds (E-step responsibilities γ recomputed inside
+    // each fold term — identical IEEE trees cross-engine; M-step = the
+    // weighted-moment ratios). Deterministic symmetric-break init at
+    // μ ± σ/2 from the exact integer moments (EM is init-sensitive —
+    // a pinned init IS the reproducibility contract); variance floored
+    // at 0.04 (the standard degenerate-component guard). Readout adds
+    // the mixture log-lik with the √2π constant factored once. Scale:
+    // one map-side histogram; iteration cost independent of corpus
+    // size (continuous features bucketize first — same plan).
+    "q_mixture_em" -> { (s, dir) =>
+      val hist = t(s, dir, "lineitem")
+        .groupBy(col("l_quantity").cast(LongType).as("x"))
+        .agg(count(lit(1)).as("n"))
+      val base = hist
+        .agg(sort_array(collect_list(struct(col("x"), col("n")))).as("l"),
+          sum("n").as("nn"), sum(col("n") * col("x")).as("sx"),
+          sum(col("n") * col("x") * col("x")).as("sxx"))
+        .select(col("l"), col("nn").cast(DoubleType).as("n"),
+          lit(0.5).as("w1"),
+          expr("CAST(sx AS DOUBLE) / nn - sqrt((CAST(sxx AS DOUBLE) * nn" +
+            " - CAST(sx AS DOUBLE) * sx) / (CAST(nn AS DOUBLE) * nn))" +
+            " / 2.0D").as("m1"),
+          expr("(CAST(sxx AS DOUBLE) * nn - CAST(sx AS DOUBLE) * sx) /" +
+            " (CAST(nn AS DOUBLE) * nn)").as("v1"),
+          expr("CAST(sx AS DOUBLE) / nn + sqrt((CAST(sxx AS DOUBLE) * nn" +
+            " - CAST(sx AS DOUBLE) * sx) / (CAST(nn AS DOUBLE) * nn))" +
+            " / 2.0D").as("m2"),
+          expr("(CAST(sxx AS DOUBLE) * nn - CAST(sx AS DOUBLE) * sx) /" +
+            " (CAST(nn AS DOUBLE) * nn)").as("v2"))
+      val phi1 = "exp(-(CAST(p.x AS DOUBLE) - m1) * (CAST(p.x AS DOUBLE)" +
+        " - m1) / (2.0D * v1)) / sqrt(v1)"
+      val phi2 = "exp(-(CAST(p.x AS DOUBLE) - m2) * (CAST(p.x AS DOUBLE)" +
+        " - m2) / (2.0D * v2)) / sqrt(v2)"
+      val g1 = s"(w1 * $phi1) / (w1 * $phi1 + (1.0D - w1) * $phi2)"
+      def fold(term: String): String =
+        s"aggregate(l, 0D, (a, p) -> a + ($term))"
+      def step(d: DataFrame): DataFrame = d
+        .withColumn("r1", expr(fold(s"p.n * $g1")))
+        .withColumn("rx1", expr(fold(s"p.n * $g1 * p.x")))
+        .withColumn("rxx1", expr(fold(s"p.n * $g1 * p.x * p.x")))
+        .withColumn("r2", expr(fold(s"p.n * (1.0D - $g1)")))
+        .withColumn("rx2", expr(fold(s"p.n * (1.0D - $g1) * p.x")))
+        .withColumn("rxx2", expr(fold(s"p.n * (1.0D - $g1) * p.x * p.x")))
+        .select(col("l"), col("n"),
+          expr("r1 / n").as("w1"),
+          expr("rx1 / r1").as("m1"),
+          expr("greatest(rxx1 / r1 - (rx1 / r1) * (rx1 / r1), 0.04D)")
+            .as("v1"),
+          expr("rx2 / r2").as("m2"),
+          expr("greatest(rxx2 / r2 - (rx2 / r2) * (rx2 / r2), 0.04D)")
+            .as("v2"))
+      val it = (1 to 4).foldLeft(base)((d, _) => step(d))
+      it.withColumn("ll", expr(fold(
+          s"p.n * ln((w1 * $phi1 + (1.0D - w1) * $phi2) / " +
+            "sqrt(2.0D * pi()))")))
+        .select(col("n").cast(LongType).as("n_rows"),
+          round(col("w1"), 6).as("weight1"),
+          round(col("m1"), 6).as("mean1"),
+          round(expr("sqrt(v1)"), 6).as("sd1"),
+          round(col("m2"), 6).as("mean2"),
+          round(expr("sqrt(v2)"), 6).as("sd2"),
+          round(col("ll"), 6).as("log_lik"))
+    },
+
+    // GRADIENT-BOOSTED STUMPS (Friedman 2001 L2 boosting, ν = 0.5, 3
+    // rounds — the additive-model sibling of q_cart_stump's single
+    // tree): because the model F(x) is piecewise-constant on the
+    // INTEGRAL feature, per-round residual statistics NEVER touch the
+    // corpus again — every candidate split's (R_L, R_R) reads off the
+    // integer prefix cums N(t), Σy(t) plus the previous stumps' params
+    // via N(min(t, t_k)) map lookups, so 3 boosting rounds cost ONE
+    // histogram rollup total (the q_cross_validation "no extra passes"
+    // identity, applied to boosting). Integer window cums only (float
+    // window sums are not cross-engine portable — the house rule);
+    // doubles appear in one shared scalar tree per candidate. Winner
+    // per round under (gain DESC, t ASC) via row_number; params carry
+    // forward on a ckptCut 1-row frame; train MSE per round from the
+    // (x, n, Σy, Σy²)-list fold with Σy² in DECIMAL(38) (a cents²
+    // corpus sum overflows BIGINT). Scale: one histogram shuffle; the
+    // candidate table is ≤&#124;distinct x&#124; rows per round.
+    "q_boosted_stumps" -> { (s, dir) =>
+      val cents = (money(col("l_extendedprice")) * 100).cast(LongType)
+      val cells = t(s, dir, "lineitem")
+        .groupBy(col("l_quantity").cast(LongType).as("x"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("sy"),
+          sum(cents.cast(DecimalType(18, 0)) *
+            cents.cast(DecimalType(18, 0))).as("syy"))
+        .localCheckpoint(true)
+      val cums = ckptCut(cells.select(col("x").as("t"),
+        sum("n").over(Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, 0)).as("nl"),
+        sum("sy").over(Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, 0)).as("syl")))
+      val g0 = cells.agg(sum("n").as("ng"), sum("sy").as("syg"))
+      val maps = cums.agg(map_from_entries(sort_array(collect_list(
+        struct(col("t"), col("nl"))))).as("nm"))
+      val lst = cells.agg(sort_array(collect_list(struct(col("x"),
+        col("n"), col("sy"), col("syy")))).as("l"))
+      var params = ckptCut(g0
+        .crossJoin(broadcast(maps)).crossJoin(broadcast(lst))
+        .select(expr("CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE)").as("f0"),
+          col("ng"), col("syg"), col("nm"), col("l")))
+      val acc = (k: String) => s"element_at(nm, $k)"
+      (1 to 3).foreach { m =>
+        val rl = s"CAST(c.syl AS DOUBLE) - (${boostFLeq(m, "c.nl", acc)})"
+        val rg = s"CAST(syg AS DOUBLE) - (${boostFAll(m, acc)})"
+        val cand = cums.as("c").crossJoin(broadcast(params))
+          .filter(col("c.nl") < col("ng"))
+          .select(col("c.t").as("t"), col("c.nl").as("nl"),
+            (col("ng") - col("c.nl")).as("nr"),
+            expr(rl).as("rl"), expr(s"($rg) - ($rl)").as("rr"))
+          .withColumn("gain", expr(
+            "rl * rl / CAST(nl AS DOUBLE) + rr * rr / CAST(nr AS DOUBLE)"))
+        val win = cand
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(pmod(col("nl"), lit(1)))
+              .orderBy(col("gain").desc, col("t").asc)))
+          .filter(col("rn") === 1)
+          .select(col("t").as(s"t$m"),
+            expr("rl / CAST(nl AS DOUBLE)").as(s"l$m"),
+            expr("rr / CAST(nr AS DOUBLE)").as(s"r$m"))
+        params = ckptCut(params.crossJoin(broadcast(win)))
+      }
+      val mses = (1 to 3).map { m =>
+        val f = boostF(m)
+        expr(s"""round(aggregate(l, 0D, (a, p) -> a +
+          |  (CAST(p.syy AS DOUBLE) - 2.0D * ($f) * CAST(p.sy AS DOUBLE)
+          |   + CAST(p.n AS DOUBLE) * ($f) * ($f))) /
+          |  CAST(ng AS DOUBLE), 6)""".stripMargin).as(s"mse$m")
+      }
+      params.select(col("*") +: mses: _*)
+        .select(expr(
+          """stack(3,
+            |  1L, t1, round(l1 / 100.0D, 6), round(r1 / 100.0D, 6), mse1,
+            |  2L, t2, round(l2 / 100.0D, 6), round(r2 / 100.0D, 6), mse2,
+            |  3L, t3, round(l3 / 100.0D, 6), round(r3 / 100.0D, 6), mse3)
+            |AS (round, split_at, leaf_left_usd, leaf_right_usd,
+            |  train_mse_cents2)""".stripMargin))
+        .orderBy("round")
+    },
+
+    // POCKET PERCEPTRON (Rosenblatt 1958 batch rule + Gallant 1990
+    // pocket): q_classifier_train's all-integer-perceptron discipline
+    // (integral features, η = 1, w₀ = 0 keep every weight a BIGINT —
+    // no float portability surface), extended two ways it needs on
+    // non-separable data: the POCKET rule (batch perceptron OSCILLATES
+    // there — report the best w seen, not the last) and the histogram
+    // collapse (classifier_train folds the corpus per round; here
+    // rounds cost O(cells), corpus-independent). y = ±1 on returnflag
+    // = 'R' over (quantity, discount‰); the corpus collapses ONCE to
+    // the ≤|x1|·|x2|·2 cell histogram, each round is
+    // four integer folds over the sorted cell list (error count + the
+    // three misclassified-sum gradient components), the pocket row =
+    // earliest argmin of the five error evaluations (measured here:
+    // 60000 → 20046 → 39954 → 20046, a genuine 2-cycle). Scale: one
+    // map-side histogram shuffle, then one-row work.
+    "q_perceptron" -> { (s, dir) =>
+      val cells = t(s, dir, "lineitem")
+        .groupBy(col("l_quantity").cast(LongType).as("x1"),
+          round(col("l_discount") * 100, 0).cast(LongType).as("x2"),
+          when(col("l_returnflag") === "R", 1L).otherwise(-1L).as("y"))
+        .agg(count(lit(1)).as("n"))
+      val mis = "p.y * (w0 + w1 * p.x1 + w2 * p.x2) <= 0L"
+      def ifold(term: String): String =
+        s"aggregate(l, 0L, (a, p) -> a + (CASE WHEN $mis THEN $term" +
+          " ELSE 0L END))"
+      val base = cells
+        .agg(sort_array(collect_list(struct(col("x1"), col("x2"),
+          col("y"), col("n")))).as("l"))
+        .select(col("l"),
+          lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"))
+      val trained = (0 to 3).foldLeft(base) { (d, r) =>
+        val d2 = d.withColumn(s"e$r", expr(ifold("p.n")))
+        val carried = Seq(col("l")) ++
+          (0 to r).map(k => col(s"e$k")) ++
+          (0 until r).flatMap(k => Seq(col(s"w0_$k"), col(s"w1_$k"),
+            col(s"w2_$k")))
+        d2.select(carried ++ Seq(
+          col("w0").as(s"w0_$r"), col("w1").as(s"w1_$r"),
+          col("w2").as(s"w2_$r"),
+          (col("w0") + expr(ifold("p.y * p.n"))).as("w0"),
+          (col("w1") + expr(ifold("p.y * p.n * p.x1"))).as("w1"),
+          (col("w2") + expr(ifold("p.y * p.n * p.x2"))).as("w2")): _*)
+      }
+      val fin = trained.withColumn("e4", expr(ifold("p.n")))
+        .withColumn("w0_4", col("w0")).withColumn("w1_4", col("w1"))
+        .withColumn("w2_4", col("w2"))
+        .withColumn("emin", least((0 to 4).map(k => col(s"e$k")): _*))
+        .withColumn("argmin", expr(
+          """CASE WHEN e0 = emin THEN 0L WHEN e1 = emin THEN 1L
+            |WHEN e2 = emin THEN 2L WHEN e3 = emin THEN 3L
+            |ELSE 4L END""".stripMargin))
+      fin.select(expr((0 to 4).map(k =>
+          s"${k}L, w0_$k, w1_$k, w2_$k, e$k, " +
+            s"CASE WHEN argmin = ${k}L THEN 1L ELSE 0L END")
+          .mkString("stack(5,\n", ",\n",
+            ")\nAS (step, w_bias, w_qty, w_disc, errors, is_pocket)")))
+        .orderBy("step")
+    },
+
+    // SMITH-WATERMAN LOCAL ALIGNMENT (Smith & Waterman 1981 — THE
+    // local-similarity DP, the alignment sibling of q_dtw's global
+    // elastic match and q_dedup_spans' exact-run detector: where edit
+    // distance scores whole strings, SW finds the best-scoring LOCAL
+    // region, which is how plagiarism spans and shared boilerplate
+    // actually surface): token-level, match +2 / mismatch −1 / gap −1,
+    // over the first 12 tokens of the two longest documents (picked by
+    // the deterministic (n_chars DESC, doc_id ASC) rank). The DP is
+    // ALL-INTEGER — bit-equal across engines by construction — and
+    // runs as 12 one-row frames checkpointed per row (the q_dtw
+    // discipline: up/diag reference the PREVIOUS materialized row, the
+    // in-row left term inlines textually and grows only linearly).
+    // Readout: best score, its earliest (i, j) end cell, and the
+    // count of positive cells (the alignment's footprint). Scale: the
+    // corpus work is one rank-and-limit; the DP is constant work.
+    "q_smith_waterman" -> { (s, dir) =>
+      val two = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("tk"), col("n_chars"),
+          col("doc_id"))
+        .filter(size(col("tk")) >= 12)
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(2)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .localCheckpoint(true)
+      var st = two.filter(col("rk") === 1)
+        .select(slice(col("tk"), 1, 12).as("a"))
+        .crossJoin(two.filter(col("rk") === 2)
+          .select(slice(col("tk"), 1, 12).as("b")))
+        .localCheckpoint(true)
+      val el = (arr: String, k: Int) => s"element_at($arr, $k)"
+      var keep = Seq("a", "b")
+      (1 to 12).foreach { i =>
+        val cells = swRowExprs(i, el)
+        st = st.selectExpr(keep ++
+          cells.map { case (n, e) => s"$e AS $n" }: _*)
+          .localCheckpoint(true)
+        keep = keep ++ cells.map(_._1)
+      }
+      val all = for (i <- 1 to 12; j <- 1 to 12) yield s"h${i}_$j"
+      val pos = "CASE " + (for (i <- 1 to 12; j <- 1 to 12)
+        yield s"WHEN h${i}_$j = best THEN ${i * 100 + j}L")
+        .mkString(" ") + " END"
+      val npos = (1 to 12).map(i => "(" + (1 to 12)
+        .map(j => s"(CASE WHEN h${i}_$j > 0 THEN 1L ELSE 0L END)")
+        .mkString(" + ") + ")").mkString(" + ")
+      st.withColumn("best", expr(s"greatest(${all.mkString(", ")})"))
+        .select(col("best").as("best_score"),
+          expr(s"($pos) div 100L").as("end_i"),
+          expr(s"($pos) % 100L").as("end_j"),
+          expr(npos).as("n_positive_cells"))
+    },
+
+    // ABSORBING MARKOV CHAIN (Kemeny & Snell 1960 — the fundamental-
+    // matrix readout of the funnel: q_markov_transitions gives the raw
+    // transition probabilities, THIS answers the questions a growth
+    // team actually asks: "from a view, how many steps until the
+    // journey ends, and does it end in purchase or error?"): purchase/
+    // error modeled as absorbing, each user's sequence CENSORED at the
+    // first absorption (transitions after it are a different journey);
+    // the successor is lead() over the (ts, event_id) total order and
+    // the censor mask an INTEGER prefix sum — one window pass, no
+    // self-join. The 15 transition counts collapse to one row, N =
+    // (I−Q)⁻¹ is the closed-form 3×3 adjugate/determinant (one shared
+    // scalar tree — the same cofactor TEXTS run in both engines),
+    // expected steps t = N·1, absorption split B = N·R (rows sum to 1
+    // — asserted). Scale: one corpus window pass + a 15-cell rollup.
+    "q_absorbing_chain" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+      val e = t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type").as("src"),
+          when(col("event_type").isin("purchase", "error"), 1L)
+            .otherwise(0L).as("ab"))
+        .withColumn("dst", lead("src", 1).over(w))
+        .withColumn("abs_before", coalesce(sum("ab").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .filter(col("dst").isNotNull && col("abs_before") === 0L &&
+          col("ab") === 0L)
+      val keys = Seq("click" -> "c", "signup" -> "s", "view" -> "v",
+        "error" -> "e", "purchase" -> "p")
+      val srcs = keys.take(3)
+      val cnts = for ((sn, sa) <- srcs; (dn, da) <- keys) yield
+        sum(when(col("src") === sn && col("dst") === dn, 1L)
+          .otherwise(0L)).as(s"c_$sa$da")
+      val one = e.agg(cnts.head, cnts.tail: _*)
+      val probs = srcs.zipWithIndex.flatMap { case ((_, sa), i) =>
+        val tot = s"CAST(c_${sa}c + c_${sa}s + c_${sa}v + c_${sa}e " +
+          s"+ c_${sa}p AS DOUBLE)"
+        keys.take(3).zipWithIndex.map { case ((_, da), j) =>
+          expr(s"CAST(c_$sa$da AS DOUBLE) / ($tot)").as(s"q${i + 1}${j + 1}")
+        } ++ Seq(
+          expr(s"CAST(c_${sa}e AS DOUBLE) / ($tot)").as(s"r${i + 1}1"),
+          expr(s"CAST(c_${sa}p AS DOUBLE) / ($tot)").as(s"r${i + 1}2"))
+      }
+      val base = one.select(probs: _*)
+      val fin = base.select(col("*") +:
+        (1 to 3).flatMap(i => (1 to 3).map(j =>
+          expr(fundN(i, j)).as(s"nn$i$j"))): _*)
+      fin.select(expr(srcs.zipWithIndex.map { case ((sn, _), k) =>
+          val i = k + 1
+          s"'$sn', round(nn${i}1 + nn${i}2 + nn${i}3, 6), " +
+            s"round(nn${i}1 * r11 + nn${i}2 * r21 + nn${i}3 * r31, 6), " +
+            s"round(nn${i}1 * r12 + nn${i}2 * r22 + nn${i}3 * r32, 6)"
+        }.mkString("stack(3,\n", ",\n",
+          ")\nAS (start_state, expected_steps, p_error, p_purchase)")))
+        .orderBy("start_state")
+    },
+
+    // RANK-1 ALS FACTORIZATION (Koren/Bell/Volinsky 2009's workhorse at
+    // its minimal rank — THE recommender decomposition, and the missing
+    // sibling of q_pca_power: power iteration finds the top eigenvector
+    // of XᵀX, ALS alternates exact least-squares half-steps on the
+    // RATING matrix itself, sparse-aware by construction): R[segment,
+    // nation] = revenue cents; v⁰ = 1, then 3 rounds of uᵢ =
+    // Σⱼ Rᵢⱼvⱼ / Σⱼ vⱼ² and the mirrored vⱼ update, each a j-sorted
+    // (resp. i-sorted) fold with map lookups — per-row sums run over
+    // OBSERVED cells only, exactly how ALS stays linear in nnz at 100 TB
+    // (the corpus collapses ONCE to the ≤|I|·|J| cell rollup; every
+    // half-step afterwards is one-row map work, ckptCut per half-step
+    // so the lookup trees never nest). Readout: unit-normalized factor
+    // loadings per axis + the implied top singular value σ =
+    // uᵀRv/(‖u‖‖v‖). Scale: rounds cost O(nnz) independent of corpus.
+    "q_als_rank1" -> { (s, dir) =>
+      val cents = (money(col("l_extendedprice")) * 100).cast(LongType)
+      val cells = t(s, dir, "lineitem").as("l")
+        .join(t(s, dir, "orders").as("o"),
+          col("l.l_orderkey") === col("o.o_orderkey"))
+        .join(broadcast(t(s, dir, "customer").as("c")),
+          col("o.o_custkey") === col("c.c_custkey"))
+        .join(broadcast(t(s, dir, "supplier").as("sp")),
+          col("l.l_suppkey") === col("sp.s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").as("n")),
+          col("sp.s_nationkey") === col("n.n_nationkey"))
+        .groupBy(col("c.c_mktsegment").as("i"), col("n.n_name").as("j"))
+        .agg(sum(cents).as("r"))
+      val ri = cells.groupBy("i")
+        .agg(sort_array(collect_list(struct(col("j"), col("r")))).as("l"))
+      val rj = cells.groupBy("j")
+        .agg(sort_array(collect_list(struct(col("i"), col("r")))).as("l"))
+      def newmap(keys: String, lists: String, vm: String,
+          ka: String): String =
+        s"""map_from_entries(transform($keys, k -> struct(k,
+           |  aggregate(element_at($lists, k), 0D, (a, p) ->
+           |    a + CAST(p.r AS DOUBLE) * element_at($vm, p.$ka)) /
+           |  aggregate(element_at($lists, k), 0D, (a, p) ->
+           |    a + element_at($vm, p.$ka) * element_at($vm, p.$ka)))))"""
+          .stripMargin
+      val base = ri
+        .agg(map_from_entries(collect_list(struct(col("i"), col("l"))))
+          .as("rowm"))
+        .crossJoin(rj.agg(map_from_entries(collect_list(
+          struct(col("j"), col("l")))).as("colm")))
+        .crossJoin(ri.agg(sort_array(collect_list(col("i"))).as("ikeys")))
+        .crossJoin(rj.agg(sort_array(collect_list(col("j"))).as("jkeys")))
+        .crossJoin(cells.agg(sort_array(collect_list(
+          struct(col("i"), col("j"), col("r")))).as("cl")))
+        .withColumn("vm0", expr(
+          "map_from_entries(transform(jkeys, x -> struct(x, 1.0D)))"))
+      var st = ckptCut(base)
+      for (r <- 1 to 3) {
+        st = ckptCut(st.withColumn(s"um$r", expr(newmap("ikeys", "rowm",
+          if (r == 1) "vm0" else s"vm${r - 1}", "j"))))
+        st = ckptCut(st.withColumn(s"vm$r",
+          expr(newmap("jkeys", "colm", s"um$r", "i"))))
+      }
+      val fin = ckptCut(st
+        .withColumn("un", expr(
+          """sqrt(aggregate(transform(ikeys, k ->
+            |  element_at(um3, k) * element_at(um3, k)), 0D,
+            |  (a, x) -> a + x))""".stripMargin))
+        .withColumn("vn", expr(
+          """sqrt(aggregate(transform(jkeys, k ->
+            |  element_at(vm3, k) * element_at(vm3, k)), 0D,
+            |  (a, x) -> a + x))""".stripMargin))
+        .withColumn("urv", expr(
+          """aggregate(transform(cl, p -> CAST(p.r AS DOUBLE) *
+            |  element_at(um3, p.i) * element_at(vm3, p.j)), 0D,
+            |  (a, x) -> a + x)""".stripMargin)))
+      val segs = fin.select(lit("segment").as("axis"),
+          explode(col("ikeys")).as("name"), col("um3").as("fm"),
+          col("un").as("nrm"), col("urv"), col("un"), col("vn"))
+      val nats = fin.select(lit("nation").as("axis"),
+          explode(col("jkeys")).as("name"), col("vm3").as("fm"),
+          col("vn").as("nrm"), col("urv"), col("un"), col("vn"))
+      segs.unionByName(nats)
+        .select(col("axis"), col("name"),
+          round(expr("element_at(fm, name) / nrm"), 6).as("weight"),
+          round(expr("urv / (un * vn) / 100.0D"), 2).as("sigma_usd"))
+        .orderBy("axis", "name")
+    },
+
+    // YULE-WALKER AR(2) (Yule 1927 / Walker 1931 — the method-of-moments
+    // autoregression fit; the MODEL the q_acf diagnostic feeds: ρ₁, ρ₂
+    // in, φ₁, φ₂ out through the closed 2×2 Toeplitz solve, no
+    // iteration): daily event counts, autocovariances c₀/c₁/c₂ as
+    // aligned-slice index-ordered folds over the ONE day-sorted value
+    // list (the q_acf discipline — fixed order needs no sort and both
+    // engines run the identical IEEE sum), φ₁ = ρ₁(1−ρ₂)/(1−ρ₁²),
+    // φ₂ = (ρ₂−ρ₁²)/(1−ρ₁²), intercept μ(1−φ₁−φ₂), and the in-sample
+    // one-step RMSE folds the SAME recursion text both engines share.
+    // Scale: corpus work is only the daily rollup; everything after is
+    // one ≤|days| array on one row.
+    "q_yule_walker" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("ts").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("l"))
+        .withColumn("vals", expr("transform(l, e -> CAST(e.x AS DOUBLE))"))
+        .withColumn("n", size(col("vals")))
+        .withColumn("m", expr(
+          "aggregate(vals, 0.0D, (a, x) -> a + x) / CAST(n AS DOUBLE)"))
+        .withColumn("c0", expr("aggregate(transform(vals, " +
+          "x -> (x - m) * (x - m)), 0.0D, (a, x) -> a + x)"))
+        .withColumn("c1", expr(
+          """aggregate(transform(sequence(1, n - 1), i ->
+            |  (element_at(vals, i) - m) *
+            |  (element_at(vals, i + 1) - m)), 0.0D, (a, x) -> a + x)"""
+            .stripMargin))
+        .withColumn("c2", expr(
+          """aggregate(transform(sequence(1, n - 2), i ->
+            |  (element_at(vals, i) - m) *
+            |  (element_at(vals, i + 2) - m)), 0.0D, (a, x) -> a + x)"""
+            .stripMargin))
+        .withColumn("rho1", expr("c1 / c0"))
+        .withColumn("rho2", expr("c2 / c0"))
+        .withColumn("phi1", expr(
+          "rho1 * (1.0D - rho2) / (1.0D - rho1 * rho1)"))
+        .withColumn("phi2", expr(
+          "(rho2 - rho1 * rho1) / (1.0D - rho1 * rho1)"))
+        .withColumn("rmse", expr(
+          """sqrt(aggregate(transform(sequence(3, n), i ->
+            |  (element_at(vals, i) - (m + phi1 *
+            |    (element_at(vals, i - 1) - m) + phi2 *
+            |    (element_at(vals, i - 2) - m)))
+            |  * (element_at(vals, i) - (m + phi1 *
+            |    (element_at(vals, i - 1) - m) + phi2 *
+            |    (element_at(vals, i - 2) - m)))), 0.0D, (a, x) -> a + x)
+            |  / CAST(n - 2 AS DOUBLE))""".stripMargin))
+        .select(col("n").cast(LongType).as("n_days"),
+          round(col("m"), 6).as("mean_daily"),
+          round(col("rho1"), 6).as("rho1"),
+          round(col("rho2"), 6).as("rho2"),
+          round(col("phi1"), 6).as("phi1"),
+          round(col("phi2"), 6).as("phi2"),
+          round(expr("m * (1.0D - phi1 - phi2)"), 6).as("intercept"),
+          round(col("rmse"), 6).as("rmse_onestep"))
+    },
+
+    // FISHER LINEAR DISCRIMINANT (Fisher 1936 — the closed-form
+    // classifier: w = S_pooled⁻¹ (μ₁ − μ₀), no iteration at all, which
+    // makes it the exactness benchmark of the classifier bench): label
+    // = extendedprice above the EXACT lower-median (rank-selected from
+    // the bounded cents histogram — the q_mcnemar idiom, guaranteeing
+    // a pinned 50/50-ish split with no magic constant), features
+    // (quantity, discount‰). The corpus collapses to the labeled
+    // ≤|x1|·|x2|·2 cell histogram; all 12 class sufficient statistics
+    // (n, Σx, Σx², Σx₁x₂ per class) are INTEGER sums off it, the 2×2
+    // pooled-covariance solve is one shared scalar tree, and the
+    // confusion matrix re-reads the SAME histogram with the integer-
+    // feature score w·x compared to the midpoint threshold (identical
+    // IEEE trees cross-engine). Scale: one bounded-domain median
+    // histogram + one cell rollup; the solve and confusion are
+    // cell-table work by design.
+    "q_fisher_lda" -> { (s, dir) =>
+      val b = t(s, dir, "lineitem").select(
+        col("l_quantity").cast(LongType).as("x1"),
+        round(col("l_discount") * 100, 0).cast(LongType).as("x2"),
+        (money(col("l_extendedprice")) * 100).cast(LongType).as("cents"))
+      val h = b.groupBy("cents").agg(count(lit(1)).as("cn"))
+      val med = h
+        .withColumn("cum", sum("cn").over(
+          Window.orderBy("cents").rowsBetween(
+            Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(h.agg(sum("cn").as("n"))))
+        .filter(col("cum") >= expr("(n + 1L) div 2L"))
+        .agg(min("cents").as("med"))
+      val cells = b.crossJoin(broadcast(med))
+        .groupBy(col("x1"), col("x2"),
+          when(col("cents") > col("med"), 1L).otherwise(0L).as("y"))
+        .agg(count(lit(1)).as("n"))
+      def cs(cls: Int, term: String, name: String) =
+        sum(when(col("y") === cls.toLong, expr(term)).otherwise(0L))
+          .as(name)
+      val suff = cells.agg(
+        cs(0, "n", "n0"), cs(0, "n * x1", "a1"), cs(0, "n * x2", "a2"),
+        cs(0, "n * x1 * x1", "a11"), cs(0, "n * x2 * x2", "a22"),
+        cs(0, "n * x1 * x2", "a12"),
+        cs(1, "n", "n1"), cs(1, "n * x1", "b1"), cs(1, "n * x2", "b2"),
+        cs(1, "n * x1 * x1", "b11"), cs(1, "n * x2 * x2", "b22"),
+        cs(1, "n * x1 * x2", "b12"))
+      val params = suff.select(col("*"),
+          expr("""(CAST(a11 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n0
+            | + CAST(b11 AS DOUBLE) - CAST(b1 AS DOUBLE) * b1 / n1)
+            | / (CAST(n0 + n1 AS DOUBLE) - 2.0D)""".stripMargin).as("sa"),
+          expr("""(CAST(a22 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n0
+            | + CAST(b22 AS DOUBLE) - CAST(b2 AS DOUBLE) * b2 / n1)
+            | / (CAST(n0 + n1 AS DOUBLE) - 2.0D)""".stripMargin).as("sb"),
+          expr("""(CAST(a12 AS DOUBLE) - CAST(a1 AS DOUBLE) * a2 / n0
+            | + CAST(b12 AS DOUBLE) - CAST(b1 AS DOUBLE) * b2 / n1)
+            | / (CAST(n0 + n1 AS DOUBLE) - 2.0D)""".stripMargin).as("sc"),
+          expr("CAST(b1 AS DOUBLE) / n1 - CAST(a1 AS DOUBLE) / n0")
+            .as("d1"),
+          expr("CAST(b2 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n0")
+            .as("d2"))
+        .select(col("*"),
+          expr("(sb * d1 - sc * d2) / (sa * sb - sc * sc)").as("w1"),
+          expr("(sa * d2 - sc * d1) / (sa * sb - sc * sc)").as("w2"))
+        .select(col("n0"), col("n1"), col("w1"), col("w2"), expr(
+          """w1 * (CAST(a1 AS DOUBLE) / n0 + CAST(b1 AS DOUBLE) / n1)
+            | / 2.0D +
+            |w2 * (CAST(a2 AS DOUBLE) / n0 + CAST(b2 AS DOUBLE) / n1)
+            | / 2.0D""".stripMargin).as("c"))
+      val score = "w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE) > c"
+      cells.crossJoin(broadcast(params))
+        .agg(
+          sum(when(col("y") === 1L && expr(score), col("n"))
+            .otherwise(0L)).as("tp"),
+          sum(when(col("y") === 0L && expr(score), col("n"))
+            .otherwise(0L)).as("fp"),
+          sum(when(col("y") === 1L && !expr(score), col("n"))
+            .otherwise(0L)).as("fn"),
+          sum(when(col("y") === 0L && !expr(score), col("n"))
+            .otherwise(0L)).as("tn"),
+          first("n0").as("n0"), first("n1").as("n1"),
+          first("w1").as("w1"), first("w2").as("w2"),
+          first("c").as("c"))
+        .select((col("n0") + col("n1")).as("n_rows"),
+          (round(col("w1"), 9) + lit(0.0)).as("w_qty"),
+          (round(col("w2"), 9) + lit(0.0)).as("w_disc"),
+          (round(col("c"), 9) + lit(0.0)).as("threshold"),
+          col("tp"), col("fp"), col("fn"), col("tn"),
+          round(expr("CAST(tp + tn AS DOUBLE) / (n0 + n1)"), 6)
+            .as("accuracy"))
     })
 
   /** localCheckpoint + CUT THE LAZY STATS LINEAGE. A checkpointed
@@ -5533,6 +6075,77 @@ object Relational {
   private def ckptCut(df: DataFrame): DataFrame = {
     val m = df.localCheckpoint(true)
     m.sparkSession.createDataFrame(m.rdd, m.schema)
+  }
+
+  /** q_boosted_stumps shared texts — the n-weighted model sum over the
+    * cells at or left of candidate t, after stumps 1..m−1. `acc` renders
+    * the N-cum map lookup per engine (Spark element_at returns the
+    * value; DuckDB returns a 1-element list), `half` the ν literal. */
+  private def boostFLeq(m: Int, nl: String, acc: String => String,
+      half: String = "0.5D"): String = {
+    val parts = Seq(s"f0 * CAST($nl AS DOUBLE)") ++ (1 until m).map { k =>
+      val nk = s"CAST(${acc(s"least(t, t$k)")} AS DOUBLE)"
+      s"$half * (l$k * $nk + r$k * (CAST($nl AS DOUBLE) - $nk))"
+    }
+    parts.mkString(" + ")
+  }
+
+  /** q_boosted_stumps: the n-weighted model sum over ALL cells. */
+  private def boostFAll(m: Int, acc: String => String,
+      half: String = "0.5D"): String = {
+    val parts = Seq("f0 * CAST(ng AS DOUBLE)") ++ (1 until m).map { k =>
+      val nk = s"CAST(${acc(s"t$k")} AS DOUBLE)"
+      s"$half * (l$k * $nk + r$k * (CAST(ng AS DOUBLE) - $nk))"
+    }
+    parts.mkString(" + ")
+  }
+
+  /** q_boosted_stumps: F(p.x) after stumps 1..m, for the SSE fold. */
+  private def boostF(m: Int, half: String = "0.5D"): String =
+    (Seq("f0") ++ (1 to m).map { k =>
+      s"$half * (CASE WHEN p.x <= t$k THEN l$k ELSE r$k END)"
+    }).mkString(" + ")
+
+  /** q_smith_waterman: the 12 cell texts of DP row i, ENGINE-NEUTRAL
+    * except the element accessor `el` (Spark element_at(a, k) / DuckDB
+    * a[k]). The in-row left dependency inlines textually (linear
+    * growth along the row); up/diag reference the previous row's
+    * MATERIALIZED h columns — the q_dtw row-frame discipline. */
+  private[operators] def swRowExprs(i: Int,
+      el: (String, Int) => String): Seq[(String, String)] = {
+    var left = "CAST(0 AS BIGINT)"
+    (1 to 12).map { j =>
+      val sc = s"(CASE WHEN ${el("a", i)} = ${el("b", j)} " +
+        "THEN 2 ELSE -1 END)"
+      val diag = if (i == 1 || j == 1) "CAST(0 AS BIGINT)"
+        else s"h${i - 1}_${j - 1}"
+      val up = if (i == 1) "CAST(0 AS BIGINT)" else s"h${i - 1}_$j"
+      val cell = s"greatest(CAST(0 AS BIGINT), $diag + $sc, $up - 1, " +
+        s"($left) - 1)"
+      left = cell
+      (s"h${i}_$j", cell)
+    }
+  }
+
+  /** q_absorbing_chain: entry (i, j) of N = (I−Q)⁻¹ via the closed
+    * 3×3 adjugate/determinant, as ENGINE-NEUTRAL SQL text over the
+    * q11..q33 columns (CAST(1 AS DOUBLE), not 1.0D/::DOUBLE, so the
+    * identical string runs in Spark and DuckDB). */
+  private[operators] def fundN(i: Int, j: Int): String = {
+    def m(a: Int, b: Int): String =
+      if (a == b) s"(CAST(1 AS DOUBLE) - q$a$b)" else s"(- q$a$b)"
+    def c2(a: Int, b: Int, c: Int, d: Int): String =
+      s"(${m(a, b)} * ${m(c, d)} - ${m(a, d)} * ${m(c, b)})"
+    val det = s"(${m(1, 1)} * ${c2(2, 2, 3, 3)} - ${m(1, 2)} * " +
+      s"(${m(2, 1)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 1)}) + " +
+      s"${m(1, 3)} * (${m(2, 1)} * ${m(3, 2)} - ${m(2, 2)} * ${m(3, 1)}))"
+    // inverse entry (i, j) = cofactor C(j, i) / det
+    val rows = Seq(1, 2, 3).filter(_ != j)
+    val cols = Seq(1, 2, 3).filter(_ != i)
+    val minor = s"(${m(rows(0), cols(0))} * ${m(rows(1), cols(1))} - " +
+      s"${m(rows(0), cols(1))} * ${m(rows(1), cols(0))})"
+    val sign = if ((i + j) % 2 == 0) "" else "- "
+    s"($sign$minor) / $det"
   }
 
   /** Sakoe-Chiba band of q_dtw: legal j-range for row i. */
@@ -9759,6 +10372,556 @@ object Relational {
          |  CAST(-m.w AS BIGINT) AS trade_cents, t.n_edges, t.tree_cents
          |FROM m5 m CROSS JOIN tot t
          |ORDER BY m.a, m.b""".stripMargin
+    },
+
+    // q_mixture_em's oracle: identical pinned init, the same 4 EM CTE
+    // rounds with identical six-fold E/M texts, same variance floor.
+    "q_mixture_em" -> {
+      def fold(term: String): String =
+        "list_reduce(list_concat([0.0::DOUBLE], list_transform(l, " +
+          s"p -> ($term))), (a, b) -> a + b)"
+      val phi1 = "exp(-(CAST(p.x AS DOUBLE) - m1) * (CAST(p.x AS DOUBLE)" +
+        " - m1) / (2.0::DOUBLE * v1)) / sqrt(v1)"
+      val phi2 = "exp(-(CAST(p.x AS DOUBLE) - m2) * (CAST(p.x AS DOUBLE)" +
+        " - m2) / (2.0::DOUBLE * v2)) / sqrt(v2)"
+      val g1 = s"(w1 * $phi1) / (w1 * $phi1 + (1.0::DOUBLE - w1) * $phi2)"
+      val steps = (1 to 4).map { i =>
+        val prev = if (i == 1) "base" else s"s${i - 1}"
+        s"""s${i}a AS (
+           |  SELECT l, n,
+           |    ${fold(s"p.n * $g1")} AS r1,
+           |    ${fold(s"p.n * $g1 * p.x")} AS rx1,
+           |    ${fold(s"p.n * $g1 * p.x * p.x")} AS rxx1,
+           |    ${fold(s"p.n * (1.0::DOUBLE - $g1)")} AS r2,
+           |    ${fold(s"p.n * (1.0::DOUBLE - $g1) * p.x")} AS rx2,
+           |    ${fold(s"p.n * (1.0::DOUBLE - $g1) * p.x * p.x")} AS rxx2
+           |  FROM $prev),
+           |s$i AS (
+           |  SELECT l, n, r1 / n AS w1,
+           |    rx1 / r1 AS m1,
+           |    greatest(rxx1 / r1 - (rx1 / r1) * (rx1 / r1), 0.04::DOUBLE)
+           |      AS v1,
+           |    rx2 / r2 AS m2,
+           |    greatest(rxx2 / r2 - (rx2 / r2) * (rx2 / r2), 0.04::DOUBLE)
+           |      AS v2
+           |  FROM s${i}a)""".stripMargin
+      }.mkString(",\n")
+      val ll = fold(s"p.n * ln((w1 * $phi1 + (1.0::DOUBLE - w1) * $phi2)" +
+        " / sqrt(2.0::DOUBLE * pi()))")
+      s"""WITH hist AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM lineitem GROUP BY 1),
+         |st AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |    CAST(SUM(n * x) AS BIGINT) AS sx,
+         |    CAST(SUM(n * x * x) AS BIGINT) AS sxx
+         |  FROM hist),
+         |base AS (
+         |  SELECT list(struct_pack(x := x, n := n) ORDER BY x) AS l,
+         |    CAST(nn AS DOUBLE) AS n,
+         |    0.5::DOUBLE AS w1,
+         |    CAST(sx AS DOUBLE) / nn - sqrt((CAST(sxx AS DOUBLE) * nn
+         |      - CAST(sx AS DOUBLE) * sx) / (CAST(nn AS DOUBLE) * nn))
+         |      / 2.0::DOUBLE AS m1,
+         |    (CAST(sxx AS DOUBLE) * nn - CAST(sx AS DOUBLE) * sx) /
+         |      (CAST(nn AS DOUBLE) * nn) AS v1,
+         |    CAST(sx AS DOUBLE) / nn + sqrt((CAST(sxx AS DOUBLE) * nn
+         |      - CAST(sx AS DOUBLE) * sx) / (CAST(nn AS DOUBLE) * nn))
+         |      / 2.0::DOUBLE AS m2,
+         |    (CAST(sxx AS DOUBLE) * nn - CAST(sx AS DOUBLE) * sx) /
+         |      (CAST(nn AS DOUBLE) * nn) AS v2
+         |  FROM hist CROSS JOIN st GROUP BY nn, sx, sxx),
+         |$steps
+         |SELECT CAST(n AS BIGINT) AS n_rows, round(w1, 6) AS weight1,
+         |  round(m1, 6) AS mean1, round(sqrt(v1), 6) AS sd1,
+         |  round(m2, 6) AS mean2, round(sqrt(v2), 6) AS sd2,
+         |  round($ll, 6) AS log_lik
+         |FROM s4""".stripMargin
+    },
+
+    // q_boosted_stumps's oracle: identical integer histogram/cums, the
+    // same generated candidate/winner texts per round (DuckDB map
+    // element_at returns a 1-element list — the [1] accessor), same
+    // stack readout via UNNEST.
+    "q_boosted_stumps" -> {
+      val acc = (k: String) => s"element_at(nm, $k)[1]"
+      val half = "0.5::DOUBLE"
+      val rounds = (1 to 3).map { m =>
+        val prev = if (m == 1) "params0" else s"params${m - 1}"
+        val rl = s"CAST(c.syl AS DOUBLE) - " +
+          s"(${boostFLeq(m, "c.nl", acc, half)})"
+        val rg = s"CAST(syg AS DOUBLE) - (${boostFAll(m, acc, half)})"
+        s"""cand$m AS MATERIALIZED (
+           |  SELECT c.t, c.nl, ng - c.nl AS nr,
+           |    $rl AS rl,
+           |    ($rg) - ($rl) AS rr,
+           |    p.*
+           |  FROM cums c CROSS JOIN $prev p
+           |  WHERE c.nl < ng),
+           |win$m AS MATERIALIZED (
+           |  SELECT * FROM (
+           |    SELECT t AS wt, rl / CAST(nl AS DOUBLE) AS wl,
+           |      rr / CAST(nr AS DOUBLE) AS wr,
+           |      ROW_NUMBER() OVER (ORDER BY
+           |        rl * rl / CAST(nl AS DOUBLE)
+           |          + rr * rr / CAST(nr AS DOUBLE) DESC,
+           |        t ASC) AS rn
+           |    FROM cand$m) WHERE rn = 1),
+           |params$m AS MATERIALIZED (
+           |  SELECT p.*, w.wt AS t$m, w.wl AS l$m, w.wr AS r$m
+           |  FROM $prev p CROSS JOIN win$m w)""".stripMargin
+      }.mkString(",\n")
+      val mses = (1 to 3).map { m =>
+        val f = boostF(m, half)
+        s"""round(list_reduce(list_concat([0.0::DOUBLE],
+           |  list_transform(l, p -> CAST(p.syy AS DOUBLE)
+           |    - 2.0::DOUBLE * ($f) * CAST(p.sy AS DOUBLE)
+           |    + CAST(p.n AS DOUBLE) * ($f) * ($f))),
+           |  (a, b) -> a + b) / CAST(ng AS DOUBLE), 6) AS mse$m"""
+          .stripMargin
+      }.mkString(",\n")
+      val cents = "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT)"
+      s"""WITH cells AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM($cents) AS BIGINT) AS sy,
+         |    SUM(CAST($cents AS DECIMAL(18,0))
+         |        * CAST($cents AS DECIMAL(18,0))) AS syy
+         |  FROM lineitem GROUP BY 1),
+         |cums AS MATERIALIZED (
+         |  SELECT x AS t,
+         |    CAST(SUM(n) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS nl,
+         |    CAST(SUM(sy) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS syl
+         |  FROM cells),
+         |g AS (SELECT CAST(SUM(n) AS BIGINT) AS ng,
+         |      CAST(SUM(sy) AS BIGINT) AS syg FROM cells),
+         |maps AS (SELECT map_from_entries(list(
+         |  struct_pack(k := t, v := nl) ORDER BY t)) AS nm FROM cums),
+         |lst AS (SELECT list(struct_pack(x := x, n := n, sy := sy,
+         |  syy := syy) ORDER BY x) AS l FROM cells),
+         |params0 AS (
+         |  SELECT CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE) AS f0,
+         |    ng, syg, nm, l
+         |  FROM g CROSS JOIN maps CROSS JOIN lst),
+         |$rounds,
+         |wide AS (SELECT p.*,
+         |$mses
+         |  FROM params3 p)
+         |SELECT CAST(stump AS BIGINT) AS round,
+         |  CAST(CASE stump WHEN 1 THEN t1 WHEN 2 THEN t2 ELSE t3 END
+         |    AS BIGINT) AS split_at,
+         |  round(CASE stump WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END
+         |    / 100.0::DOUBLE, 6) AS leaf_left_usd,
+         |  round(CASE stump WHEN 1 THEN r1 WHEN 2 THEN r2 ELSE r3 END
+         |    / 100.0::DOUBLE, 6) AS leaf_right_usd,
+         |  CASE stump WHEN 1 THEN mse1 WHEN 2 THEN mse2 ELSE mse3 END
+         |    AS train_mse_cents2
+         |FROM wide CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS stump) s
+         |ORDER BY 1""".stripMargin
+    },
+
+    // q_perceptron's oracle: identical cell histogram, the same four
+    // all-integer fold texts per round (BIGINT list_reduce — no float
+    // anywhere), same pocket argmin, UNNEST readout.
+    "q_perceptron" -> {
+      val mis = "p.y * (w0 + w1 * p.x1 + w2 * p.x2) <= 0"
+      def ifold(term: String): String =
+        "list_reduce(list_concat([0::BIGINT], list_transform(l, " +
+          s"p -> CASE WHEN $mis THEN $term ELSE 0::BIGINT END)), " +
+          "(a, b) -> a + b)"
+      val rounds = (0 to 3).map { r =>
+        val prev = if (r == 0) "base" else s"s${r - 1}"
+        val carried = (0 until r).map(k => s"e$k, w0_$k, w1_$k, w2_$k")
+          .mkString(", ")
+        val carry = if (carried.isEmpty) "" else carried + ","
+        s"""r$r AS (
+           |  SELECT l, $carry
+           |    ${ifold("p.n")} AS e$r,
+           |    w0 AS w0_$r, w1 AS w1_$r, w2 AS w2_$r,
+           |    w0 + ${ifold("p.y * p.n")} AS u0,
+           |    w1 + ${ifold("p.y * p.n * p.x1")} AS u1,
+           |    w2 + ${ifold("p.y * p.n * p.x2")} AS u2
+           |  FROM $prev),
+           |s$r AS (
+           |  SELECT * EXCLUDE (u0, u1, u2), u0 AS w0, u1 AS w1,
+           |    u2 AS w2
+           |  FROM r$r)""".stripMargin
+      }.mkString(",\n")
+      def pick(name: Int => String) = s"CASE step " +
+        (0 to 4).map(k => s"WHEN $k THEN ${name(k)}").mkString(" ") +
+        " END"
+      s"""WITH cells AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         |    CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END
+         |      AS BIGINT) AS y,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM lineitem GROUP BY 1, 2, 3),
+         |base AS (
+         |  SELECT list(struct_pack(x1 := x1, x2 := x2, y := y, n := n)
+         |      ORDER BY x1, x2, y) AS l,
+         |    0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2
+         |  FROM cells),
+         |$rounds,
+         |fin AS (
+         |  SELECT *, ${ifold("p.n")} AS e4,
+         |    w0 AS w0_4, w1 AS w1_4, w2 AS w2_4
+         |  FROM s3),
+         |fin2 AS (
+         |  SELECT *, least(e0, e1, e2, e3, e4) AS emin,
+         |    CASE WHEN e0 = least(e0, e1, e2, e3, e4) THEN 0
+         |      WHEN e1 = least(e0, e1, e2, e3, e4) THEN 1
+         |      WHEN e2 = least(e0, e1, e2, e3, e4) THEN 2
+         |      WHEN e3 = least(e0, e1, e2, e3, e4) THEN 3
+         |      ELSE 4 END AS argmin
+         |  FROM fin)
+         |SELECT CAST(step AS BIGINT) AS step,
+         |  CAST(${pick(k => s"w0_$k")} AS BIGINT) AS w_bias,
+         |  CAST(${pick(k => s"w1_$k")} AS BIGINT) AS w_qty,
+         |  CAST(${pick(k => s"w2_$k")} AS BIGINT) AS w_disc,
+         |  CAST(${pick(k => s"e$k")} AS BIGINT) AS errors,
+         |  CAST(CASE WHEN step = argmin THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_pocket
+         |FROM fin2 CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4]) AS step) s
+         |ORDER BY 1""".stripMargin
+    },
+
+    // q_smith_waterman's oracle: identical deterministic pair pick,
+    // the SAME generated all-integer cell texts (12 MATERIALIZED CTEs
+    // mirror the 12 checkpointed row-frames), chunked per-row sums
+    // for the positive-cell count (a flat 144-term + chain exceeds
+    // DuckDB's binder recursion depth).
+    "q_smith_waterman" -> {
+      val el = (arr: String, k: Int) => s"$arr[$k]"
+      val pick =
+        """SELECT string_split(text, ' ')[1:12] AS %s
+          |FROM documents
+          |WHERE len(string_split(text, ' ')) >= 12
+          |ORDER BY n_chars DESC, doc_id ASC LIMIT 1%s""".stripMargin
+      val ctes = new scala.collection.mutable.ArrayBuffer[String]
+      ctes += ("base AS MATERIALIZED (SELECT a, b FROM (" +
+        pick.format("a", "") + ") CROSS JOIN (" +
+        pick.format("b", " OFFSET 1") + "))")
+      var prev = "base"
+      (1 to 12).foreach { i =>
+        val exprs = swRowExprs(i, el)
+          .map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+        ctes += s"r$i AS MATERIALIZED (SELECT *,\n    $exprs\n  FROM $prev)"
+        prev = s"r$i"
+      }
+      val all = for (i <- 1 to 12; j <- 1 to 12) yield s"h${i}_$j"
+      val pos = "CASE " + (for (i <- 1 to 12; j <- 1 to 12)
+        yield s"WHEN h${i}_$j = best THEN ${i * 100 + j}")
+        .mkString(" ") + " END"
+      val npos = (1 to 12).map(i => "(" + (1 to 12)
+        .map(j => s"(CASE WHEN h${i}_$j > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ") + ")").mkString(" + ")
+      s"""WITH ${ctes.mkString(",\n")},
+         |fin AS (SELECT *, greatest(${all.mkString(", ")}) AS best
+         |  FROM r12)
+         |SELECT CAST(best AS BIGINT) AS best_score,
+         |  CAST(($pos) // 100 AS BIGINT) AS end_i,
+         |  CAST(($pos) % 100 AS BIGINT) AS end_j,
+         |  CAST($npos AS BIGINT) AS n_positive_cells
+         |FROM fin""".stripMargin
+    },
+
+    // q_absorbing_chain's oracle: identical windowed successor/censor
+    // pass, the same 15-cell rollup, and the IDENTICAL engine-neutral
+    // fundN cofactor texts (one generator, two engines).
+    "q_absorbing_chain" -> {
+      val keys = Seq("click" -> "c", "signup" -> "s", "view" -> "v",
+        "error" -> "e", "purchase" -> "p")
+      val srcs = keys.take(3)
+      val cnts = (for ((sn, sa) <- srcs; (dn, da) <- keys) yield
+        s"CAST(SUM(CASE WHEN src = '$sn' AND dst = '$dn' THEN 1 " +
+          s"ELSE 0 END) AS BIGINT) AS c_$sa$da").mkString(",\n    ")
+      val probs = srcs.zipWithIndex.flatMap { case ((_, sa), i) =>
+        val tot = s"CAST(c_${sa}c + c_${sa}s + c_${sa}v + c_${sa}e " +
+          s"+ c_${sa}p AS DOUBLE)"
+        keys.take(3).zipWithIndex.map { case ((_, da), j) =>
+          s"CAST(c_$sa$da AS DOUBLE) / ($tot) AS q${i + 1}${j + 1}"
+        } ++ Seq(
+          s"CAST(c_${sa}e AS DOUBLE) / ($tot) AS r${i + 1}1",
+          s"CAST(c_${sa}p AS DOUBLE) / ($tot) AS r${i + 1}2")
+      }.mkString(",\n    ")
+      val nns = (1 to 3).flatMap(i => (1 to 3).map(j =>
+        s"${fundN(i, j)} AS nn$i$j")).mkString(",\n    ")
+      val rows = srcs.zipWithIndex.map { case ((sn, _), k) =>
+        val i = k + 1
+        s"""SELECT '$sn' AS start_state,
+           |  round(nn${i}1 + nn${i}2 + nn${i}3, 6) AS expected_steps,
+           |  round(nn${i}1 * r11 + nn${i}2 * r21 + nn${i}3 * r31, 6)
+           |    AS p_error,
+           |  round(nn${i}1 * r12 + nn${i}2 * r22 + nn${i}3 * r32, 6)
+           |    AS p_purchase
+           |FROM fin""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, event_type AS src,
+         |    CASE WHEN event_type IN ('purchase', 'error') THEN 1
+         |      ELSE 0 END AS ab
+         |  FROM events),
+         |p AS (
+         |  SELECT src, ab,
+         |    LEAD(src) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS dst,
+         |    COALESCE(SUM(ab) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS abs_before
+         |  FROM e),
+         |f AS (SELECT src, dst FROM p
+         |  WHERE dst IS NOT NULL AND abs_before = 0 AND ab = 0),
+         |one AS (
+         |  SELECT $cnts
+         |  FROM f),
+         |base AS (
+         |  SELECT $probs
+         |  FROM one),
+         |fin AS (
+         |  SELECT *,
+         |    $nns
+         |  FROM base)
+         |$rows
+         |ORDER BY start_state""".stripMargin
+    },
+
+    // q_als_rank1's oracle: identical cell rollup, the same generated
+    // half-step map texts per round (DuckDB element_at returns a
+    // 1-element list — the [1] accessor), same normalized readout.
+    "q_als_rank1" -> {
+      def ufold(lists: String, vm: String, ka: String): String =
+        s"""list_reduce(list_concat([0.0::DOUBLE], list_transform(
+           |  element_at($lists, k)[1],
+           |  p -> CAST(p.r AS DOUBLE) * element_at($vm, p.$ka)[1])),
+           |  (a,b) -> a + b) /
+           |list_reduce(list_concat([0.0::DOUBLE], list_transform(
+           |  element_at($lists, k)[1],
+           |  p -> element_at($vm, p.$ka)[1] * element_at($vm, p.$ka)[1])),
+           |  (a,b) -> a + b)""".stripMargin
+      def newmap(keys: String, lists: String, vm: String,
+          ka: String): String =
+        s"""map_from_entries(list_transform($keys, k ->
+           |  struct_pack(k := k, v := ${ufold(lists, vm, ka)})))"""
+          .stripMargin
+      val rounds = (1 to 3).map { r =>
+        val prev = if (r == 1) "b0" else s"v${r - 1}"
+        val pvm = if (r == 1) "vm0" else s"vm${r - 1}"
+        s"""u$r AS (
+           |  SELECT *, ${newmap("ikeys", "rowm", pvm, "j")} AS um$r
+           |  FROM $prev),
+           |v$r AS (
+           |  SELECT *, ${newmap("jkeys", "colm", s"um$r", "i")} AS vm$r
+           |  FROM u$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cells AS (
+         |  SELECT c.c_mktsegment AS i, n.n_name AS j,
+         |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+         |      * 100 AS BIGINT)) AS BIGINT) AS r
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  GROUP BY 1, 2),
+         |ri AS (SELECT i, list(struct_pack(j := j, r := r) ORDER BY j)
+         |  AS l FROM cells GROUP BY 1),
+         |rj AS (SELECT j, list(struct_pack(i := i, r := r) ORDER BY i)
+         |  AS l FROM cells GROUP BY 1),
+         |rowmF AS (SELECT map_from_entries(list(struct_pack(k := i,
+         |  v := l) ORDER BY i)) AS rowm FROM ri),
+         |colmF AS (SELECT map_from_entries(list(struct_pack(k := j,
+         |  v := l) ORDER BY j)) AS colm FROM rj),
+         |ikeysF AS (SELECT list(i ORDER BY i) AS ikeys FROM ri),
+         |jkeysF AS (SELECT list(j ORDER BY j) AS jkeys FROM rj),
+         |cellsF AS (SELECT list(struct_pack(i := i, j := j, r := r)
+         |  ORDER BY i, j) AS cl FROM cells),
+         |b0 AS (
+         |  SELECT *, map_from_entries(list_transform(jkeys, x ->
+         |    struct_pack(k := x, v := 1.0::DOUBLE))) AS vm0
+         |  FROM rowmF CROSS JOIN colmF CROSS JOIN ikeysF
+         |    CROSS JOIN jkeysF CROSS JOIN cellsF),
+         |$rounds,
+         |fin AS (
+         |  SELECT *,
+         |    sqrt(list_reduce(list_concat([0.0::DOUBLE],
+         |      list_transform(ikeys, k ->
+         |        element_at(um3, k)[1] * element_at(um3, k)[1])),
+         |      (a,b) -> a + b)) AS un,
+         |    sqrt(list_reduce(list_concat([0.0::DOUBLE],
+         |      list_transform(jkeys, k ->
+         |        element_at(vm3, k)[1] * element_at(vm3, k)[1])),
+         |      (a,b) -> a + b)) AS vn,
+         |    list_reduce(list_concat([0.0::DOUBLE],
+         |      list_transform(cl, p -> CAST(p.r AS DOUBLE) *
+         |        element_at(um3, p.i)[1] * element_at(vm3, p.j)[1])),
+         |      (a,b) -> a + b) AS urv
+         |  FROM v3)
+         |SELECT axis, name, weight, sigma_usd FROM (
+         |  SELECT 'segment' AS axis, k AS name,
+         |    round(element_at(um3, k)[1] / un, 6) AS weight,
+         |    round(urv / (un * vn) / 100.0::DOUBLE, 2) AS sigma_usd
+         |  FROM fin CROSS JOIN UNNEST(ikeys) AS t(k)
+         |  UNION ALL
+         |  SELECT 'nation' AS axis, k AS name,
+         |    round(element_at(vm3, k)[1] / vn, 6) AS weight,
+         |    round(urv / (un * vn) / 100.0::DOUBLE, 2) AS sigma_usd
+         |  FROM fin CROSS JOIN UNNEST(jkeys) AS t(k))
+         |ORDER BY axis, name""".stripMargin
+    },
+
+    // q_yule_walker's oracle: the same day-sorted list, the same
+    // index-ordered autocovariance and one-step-error folds (DuckDB
+    // 1-based vals[i] == Spark element_at), same Toeplitz solve.
+    "q_yule_walker" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |base AS (
+        |  SELECT list(struct_pack(day := day, x := x) ORDER BY day) AS l
+        |  FROM daily),
+        |b1 AS (
+        |  SELECT list_transform(l, e -> CAST(e.x AS DOUBLE)) AS vals,
+        |    len(l) AS n FROM base),
+        |b2 AS (
+        |  SELECT vals, n,
+        |    list_reduce(list_concat([0.0::DOUBLE], vals), (a,b) -> a + b)
+        |      / CAST(n AS DOUBLE) AS m FROM b1),
+        |b3 AS (
+        |  SELECT vals, n, m,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(vals, x -> (x - m) * (x - m))),
+        |      (a,b) -> a + b) AS c0,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(generate_series(1::BIGINT, n - 1), i ->
+        |        (vals[i] - m) * (vals[i + 1] - m))), (a,b) -> a + b) AS c1,
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(generate_series(1::BIGINT, n - 2), i ->
+        |        (vals[i] - m) * (vals[i + 2] - m))), (a,b) -> a + b) AS c2
+        |  FROM b2),
+        |b4 AS (SELECT vals, n, m, c1 / c0 AS rho1, c2 / c0 AS rho2
+        |  FROM b3),
+        |b5 AS (
+        |  SELECT vals, n, m, rho1, rho2,
+        |    rho1 * (1.0::DOUBLE - rho2) / (1.0::DOUBLE - rho1 * rho1)
+        |      AS phi1,
+        |    (rho2 - rho1 * rho1) / (1.0::DOUBLE - rho1 * rho1) AS phi2
+        |  FROM b4),
+        |b6 AS (
+        |  SELECT n, m, rho1, rho2, phi1, phi2,
+        |    sqrt(list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(generate_series(3::BIGINT, n), i ->
+        |        (vals[i] - (m + phi1 * (vals[i - 1] - m)
+        |          + phi2 * (vals[i - 2] - m)))
+        |        * (vals[i] - (m + phi1 * (vals[i - 1] - m)
+        |          + phi2 * (vals[i - 2] - m))))), (a,b) -> a + b)
+        |      / CAST(n - 2 AS DOUBLE)) AS rmse
+        |  FROM b5)
+        |SELECT CAST(n AS BIGINT) AS n_days, round(m, 6) AS mean_daily,
+        |  round(rho1, 6) AS rho1, round(rho2, 6) AS rho2,
+        |  round(phi1, 6) AS phi1, round(phi2, 6) AS phi2,
+        |  round(m * (1.0::DOUBLE - phi1 - phi2), 6) AS intercept,
+        |  round(rmse, 6) AS rmse_onestep
+        |FROM b6""".stripMargin,
+
+    // q_fisher_lda's oracle: identical rank-selected median, cell
+    // histogram, 12 integer sufficient statistics, the same layered
+    // scalar trees for the pooled 2×2 solve, same strict > midpoint
+    // classification off the cell table.
+    "q_fisher_lda" -> {
+      def cs(cls: Int, term: String, name: String) =
+        s"CAST(SUM(CASE WHEN y = $cls THEN $term ELSE 0 END) AS BIGINT)" +
+          s" AS $name"
+      s"""WITH b AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT) AS cents
+         |  FROM lineitem),
+         |h AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cn
+         |  FROM b GROUP BY 1),
+         |med AS (
+         |  SELECT MIN(cents) AS med FROM (
+         |    SELECT cents,
+         |      SUM(cn) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+         |        PRECEDING AND CURRENT ROW) AS cum,
+         |      (SELECT SUM(cn) FROM h) AS n
+         |    FROM h)
+         |  WHERE cum >= (n + 1) // 2),
+         |cells AS (
+         |  SELECT x1, x2,
+         |    CAST(CASE WHEN cents > (SELECT med FROM med) THEN 1
+         |      ELSE 0 END AS BIGINT) AS y,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM b GROUP BY 1, 2, 3),
+         |suff AS (
+         |  SELECT ${cs(0, "n", "n0")}, ${cs(0, "n * x1", "a1")},
+         |    ${cs(0, "n * x2", "a2")}, ${cs(0, "n * x1 * x1", "a11")},
+         |    ${cs(0, "n * x2 * x2", "a22")},
+         |    ${cs(0, "n * x1 * x2", "a12")},
+         |    ${cs(1, "n", "n1")}, ${cs(1, "n * x1", "b1")},
+         |    ${cs(1, "n * x2", "b2")}, ${cs(1, "n * x1 * x1", "b11")},
+         |    ${cs(1, "n * x2 * x2", "b22")},
+         |    ${cs(1, "n * x1 * x2", "b12")}
+         |  FROM cells),
+         |p1 AS (
+         |  SELECT *,
+         |    (CAST(a11 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n0
+         |     + CAST(b11 AS DOUBLE) - CAST(b1 AS DOUBLE) * b1 / n1)
+         |     / (CAST(n0 + n1 AS DOUBLE) - 2.0::DOUBLE) AS sa,
+         |    (CAST(a22 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n0
+         |     + CAST(b22 AS DOUBLE) - CAST(b2 AS DOUBLE) * b2 / n1)
+         |     / (CAST(n0 + n1 AS DOUBLE) - 2.0::DOUBLE) AS sb,
+         |    (CAST(a12 AS DOUBLE) - CAST(a1 AS DOUBLE) * a2 / n0
+         |     + CAST(b12 AS DOUBLE) - CAST(b1 AS DOUBLE) * b2 / n1)
+         |     / (CAST(n0 + n1 AS DOUBLE) - 2.0::DOUBLE) AS sc,
+         |    CAST(b1 AS DOUBLE) / n1 - CAST(a1 AS DOUBLE) / n0 AS d1,
+         |    CAST(b2 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n0 AS d2
+         |  FROM suff),
+         |p2 AS (
+         |  SELECT *,
+         |    (sb * d1 - sc * d2) / (sa * sb - sc * sc) AS w1,
+         |    (sa * d2 - sc * d1) / (sa * sb - sc * sc) AS w2
+         |  FROM p1),
+         |params AS (
+         |  SELECT n0, n1, w1, w2,
+         |    w1 * (CAST(a1 AS DOUBLE) / n0 + CAST(b1 AS DOUBLE) / n1)
+         |     / 2.0::DOUBLE +
+         |    w2 * (CAST(a2 AS DOUBLE) / n0 + CAST(b2 AS DOUBLE) / n1)
+         |     / 2.0::DOUBLE AS c
+         |  FROM p2),
+         |conf AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN y = 1 AND w1 * CAST(x1 AS DOUBLE)
+         |      + w2 * CAST(x2 AS DOUBLE) > c THEN n ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN y = 0 AND w1 * CAST(x1 AS DOUBLE)
+         |      + w2 * CAST(x2 AS DOUBLE) > c THEN n ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN y = 1 AND NOT (w1 * CAST(x1 AS DOUBLE)
+         |      + w2 * CAST(x2 AS DOUBLE) > c) THEN n ELSE 0 END)
+         |      AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN y = 0 AND NOT (w1 * CAST(x1 AS DOUBLE)
+         |      + w2 * CAST(x2 AS DOUBLE) > c) THEN n ELSE 0 END)
+         |      AS BIGINT) AS tn,
+         |    ANY_VALUE(n0) AS n0, ANY_VALUE(n1) AS n1,
+         |    ANY_VALUE(w1) AS w1, ANY_VALUE(w2) AS w2,
+         |    ANY_VALUE(c) AS c
+         |  FROM cells CROSS JOIN params)
+         |SELECT CAST(n0 + n1 AS BIGINT) AS n_rows,
+         |  round(w1, 9) + 0.0::DOUBLE AS w_qty,
+         |  round(w2, 9) + 0.0::DOUBLE AS w_disc,
+         |  round(c, 9) + 0.0::DOUBLE AS threshold,
+         |  tp, fp, fn, tn,
+         |  round(CAST(tp + tn AS DOUBLE) / (n0 + n1), 6) AS accuracy
+         |FROM conf""".stripMargin
     })
 
   /** q_dbscan_grid's oracle: the cell rollup + 8-neighborhood edges +

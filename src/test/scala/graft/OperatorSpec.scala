@@ -4569,4 +4569,354 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(rows.toSeq == expect,
       s"rocchio differs: ${rows.take(3).toSeq} vs ${expect.take(3)}")
   }
+
+  test("mixture em: brute 4-round replay matches and weights stay proper") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_mixture_em")(spark, sfDir).collect().head
+    val cells = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT)").collect()
+      .map(_.getLong(0)).groupBy(identity).view
+      .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    val nn = cells.map(_._2).sum
+    val sx = cells.map { case (x, n) => n * x }.sum
+    val sxx = cells.map { case (x, n) => n * x * x }.sum
+    val vr = (sxx.toDouble * nn - sx.toDouble * sx) / (nn.toDouble * nn)
+    val mu = sx.toDouble / nn
+    var (w1, m1, v1, m2, v2) =
+      (0.5, mu - math.sqrt(vr) / 2, vr, mu + math.sqrt(vr) / 2, vr)
+    for (_ <- 1 to 4) {
+      var (r1, rx1, rxx1, r2, rx2, rxx2) = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      for ((x, n) <- cells) {
+        val p1 = math.exp(-(x - m1) * (x - m1) / (2 * v1)) / math.sqrt(v1)
+        val p2 = math.exp(-(x - m2) * (x - m2) / (2 * v2)) / math.sqrt(v2)
+        val g = (w1 * p1) / (w1 * p1 + (1 - w1) * p2)
+        r1 += n * g; rx1 += n * g * x; rxx1 += n * g * x * x
+        r2 += n * (1 - g); rx2 += n * (1 - g) * x; rxx2 += n * (1 - g) * x * x
+      }
+      w1 = r1 / nn
+      m1 = rx1 / r1; v1 = math.max(rxx1 / r1 - (rx1 / r1) * (rx1 / r1), 0.04)
+      m2 = rx2 / r2; v2 = math.max(rxx2 / r2 - (rx2 / r2) * (rx2 / r2), 0.04)
+    }
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == nn)
+    assert(math.abs(r.getDouble(1) - r6(w1)) < 1e-9, s"w1 ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - r6(m1)) < 1e-9, s"m1 ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - r6(math.sqrt(v1))) < 1e-9, "sd1")
+    assert(math.abs(r.getDouble(4) - r6(m2)) < 1e-9, s"m2 ${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - r6(math.sqrt(v2))) < 1e-9, "sd2")
+    assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 1.0, "weight proper")
+    assert(r.getDouble(2) < r.getDouble(4), "components stay ordered")
+  }
+
+  test("boosted stumps: brute 3-round L2-boost replay matches each round") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_boosted_stumps")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 3)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT)",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = li.length.toDouble
+    val f0 = li.map(_._2).sum.toDouble / n
+    var pred = li.map(_ => f0)
+    val levels = li.map(_._1).distinct.sorted
+    for (m <- 0 until 3) {
+      val res = li.zip(pred).map { case ((_, y), f) => y - f }
+      val (t, _) = levels.init.map { t =>
+        val (l, r) = li.zip(res).partition(_._1._1 <= t)
+        val (rl, rr) = (l.map(_._2).sum, r.map(_._2).sum)
+        (t, rl * rl / l.length + rr * rr / r.length)
+      }.maxBy(p => (p._2, -p._1))
+      val (l, r) = li.zip(res).partition(_._1._1 <= t)
+      val (ll, lr) = (l.map(_._2).sum / l.length, r.map(_._2).sum / r.length)
+      pred = li.zip(pred).map { case ((x, _), f) =>
+        f + 0.5 * (if (x <= t) ll else lr)
+      }
+      val mse = li.zip(pred).map { case ((_, y), f) =>
+        (y - f) * (y - f)
+      }.sum / n
+      val row = rows(m)
+      assert(row.getLong(1) == t, s"round ${m + 1} split: $row vs $t")
+      assert(math.abs(row.getDouble(2) - ll / 100.0) < 1e-4,
+        s"round ${m + 1} left leaf: $row vs ${ll / 100.0}")
+      assert(math.abs(row.getDouble(3) - lr / 100.0) < 1e-4,
+        s"round ${m + 1} right leaf: $row vs ${lr / 100.0}")
+      assert(math.abs(row.getDouble(4) - mse) < math.abs(mse) * 1e-6 + 1e-2,
+        s"round ${m + 1} mse: $row vs $mse")
+    }
+    // boosting contract: train MSE is non-increasing across rounds
+    assert(rows(0).getDouble(4) >= rows(1).getDouble(4) - 1e-6 &&
+      rows(1).getDouble(4) >= rows(2).getDouble(4) - 1e-6,
+      "train MSE must not increase")
+  }
+
+  test("perceptron: all-integer brute batch replay matches every step") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_perceptron")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 5)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT)",
+        "CAST(round(l_discount * 100) AS BIGINT)",
+        "CASE WHEN l_returnflag = 'R' THEN 1L ELSE -1L END")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    var w = (0L, 0L, 0L)
+    val steps = (0 to 4).map { _ =>
+      val mis = li.filter { case (x1, x2, y) =>
+        y * (w._1 + w._2 * x1 + w._3 * x2) <= 0L
+      }
+      val out = (w, mis.length.toLong)
+      w = (w._1 + mis.map(_._3).sum,
+        w._2 + mis.map(t => t._3 * t._1).sum,
+        w._3 + mis.map(t => t._3 * t._2).sum)
+      out
+    }
+    assert(steps(0)._2 == li.length.toLong,
+      "zero vector must misclassify everything")
+    val pocket = steps.map(_._2).zipWithIndex.minBy(p => (p._1, p._2))._2
+    rows.zip(steps).foreach { case (r, ((w0, w1, w2), e)) =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) == w0 && r.getLong(2) == w1 &&
+        r.getLong(3) == w2, s"step $k weights: $r vs ($w0,$w1,$w2)")
+      assert(r.getLong(4) == e, s"step $k errors: $r vs $e")
+      assert(r.getLong(5) == (if (k == pocket.toLong) 1L else 0L),
+        s"step $k pocket flag: $r vs pocket=$pocket")
+    }
+  }
+
+  test("fisher lda: brute pooled-covariance replay matches the solve") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_fisher_lda")(spark, sfDir)
+      .collect().head
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT)",
+        "CAST(round(l_discount * 100) AS BIGINT)",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val sorted = li.map(_._3).sorted
+    val med = sorted(((li.length + 1) / 2 - 1).toInt)
+    val pts = li.map { case (x1, x2, c) =>
+      (x1, x2, if (c > med) 1L else 0L)
+    }
+    def stats(cls: Long) = {
+      val g = pts.filter(_._3 == cls)
+      (g.length.toLong, g.map(_._1).sum, g.map(_._2).sum,
+        g.map(t => t._1 * t._1).sum, g.map(t => t._2 * t._2).sum,
+        g.map(t => t._1 * t._2).sum)
+    }
+    val (n0, a1, a2, a11, a22, a12) = stats(0L)
+    val (n1, b1, b2, b11, b22, b12) = stats(1L)
+    val nm2 = (n0 + n1).toDouble - 2.0
+    val sa = (a11 - a1.toDouble * a1 / n0 + b11 - b1.toDouble * b1 / n1) / nm2
+    val sb = (a22 - a2.toDouble * a2 / n0 + b22 - b2.toDouble * b2 / n1) / nm2
+    val sc = (a12 - a1.toDouble * a2 / n0 + b12 - b1.toDouble * b2 / n1) / nm2
+    val (d1, d2) = (b1.toDouble / n1 - a1.toDouble / n0,
+      b2.toDouble / n1 - a2.toDouble / n0)
+    val det = sa * sb - sc * sc
+    val (w1, w2) = ((sb * d1 - sc * d2) / det, (sa * d2 - sc * d1) / det)
+    val c = w1 * (a1.toDouble / n0 + b1.toDouble / n1) / 2.0 +
+      w2 * (a2.toDouble / n0 + b2.toDouble / n1) / 2.0
+    val tp = pts.count(t => t._3 == 1L && w1 * t._1 + w2 * t._2 > c).toLong
+    val fp = pts.count(t => t._3 == 0L && w1 * t._1 + w2 * t._2 > c).toLong
+    assert(r.getLong(0) == li.length.toLong)
+    assert(math.abs(r.getDouble(1) - w1) < math.abs(w1) * 1e-9 + 1e-9,
+      s"w_qty: $r vs $w1")
+    assert(math.abs(r.getDouble(2) - w2) < math.abs(w2) * 1e-9 + 1e-9,
+      s"w_disc: $r vs $w2")
+    assert(math.abs(r.getDouble(3) - c) < math.abs(c) * 1e-9 + 1e-9,
+      s"threshold: $r vs $c")
+    assert(r.getLong(4) == tp && r.getLong(5) == fp, s"tp/fp: $r")
+    // confusion marginals must reconstruct the class sizes exactly
+    assert(r.getLong(4) + r.getLong(6) == n1, "tp + fn = n1")
+    assert(r.getLong(5) + r.getLong(7) == n0, "fp + tn = n0")
+  }
+
+  test("yule walker: brute AR(2) moment replay matches the solve") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_yule_walker")(spark, sfDir)
+      .collect().head
+    val vals = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("CAST(ts AS DATE) AS day").groupBy("day").count()
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    val n = vals.length
+    val m = vals.sum / n
+    val c0 = vals.map(x => (x - m) * (x - m)).sum
+    val c1 = (0 until n - 1).map(i => (vals(i) - m) * (vals(i + 1) - m)).sum
+    val c2 = (0 until n - 2).map(i => (vals(i) - m) * (vals(i + 2) - m)).sum
+    val (rho1, rho2) = (c1 / c0, c2 / c0)
+    val phi1 = rho1 * (1 - rho2) / (1 - rho1 * rho1)
+    val phi2 = (rho2 - rho1 * rho1) / (1 - rho1 * rho1)
+    val sse = (2 until n).map { i =>
+      val e = vals(i) - (m + phi1 * (vals(i - 1) - m) +
+        phi2 * (vals(i - 2) - m))
+      e * e
+    }.sum
+    val rmse = math.sqrt(sse / (n - 2))
+    assert(r.getLong(0) == n.toLong)
+    assert(math.abs(r.getDouble(1) - m) < 1e-4, s"mean: $r vs $m")
+    assert(math.abs(r.getDouble(2) - rho1) < 1e-4, s"rho1: $r vs $rho1")
+    assert(math.abs(r.getDouble(3) - rho2) < 1e-4, s"rho2: $r vs $rho2")
+    assert(math.abs(r.getDouble(4) - phi1) < 1e-4, s"phi1: $r vs $phi1")
+    assert(math.abs(r.getDouble(5) - phi2) < 1e-4, s"phi2: $r vs $phi2")
+    assert(math.abs(r.getDouble(6) - m * (1 - phi1 - phi2)) < 1e-3,
+      s"intercept: $r")
+    assert(math.abs(r.getDouble(7) - rmse) < 1e-4, s"rmse: $r vs $rmse")
+    // Yule-Walker contract: the fitted AR(2) reproduces the sample ACF
+    assert(math.abs(phi1 + phi2 * rho1 - rho1) < 1e-9 &&
+      math.abs(phi1 * rho1 + phi2 - rho2) < 1e-9,
+      "YW equations must hold at the solution")
+  }
+
+  test("als rank1: brute alternating replay matches factors and sigma") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_als_rank1")(spark, sfDir).collect()
+    val cells = spark.sql(
+      s"""SELECT c.c_mktsegment AS i, n.n_name AS j,
+         |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS r
+         |FROM parquet.`$sfDir/lineitem.parquet` l
+         |JOIN parquet.`$sfDir/orders.parquet` o
+         |  ON l.l_orderkey = o.o_orderkey
+         |JOIN parquet.`$sfDir/customer.parquet` c
+         |  ON o.o_custkey = c.c_custkey
+         |JOIN parquet.`$sfDir/supplier.parquet` s
+         |  ON l.l_suppkey = s.s_suppkey
+         |JOIN parquet.`$sfDir/nation.parquet` n
+         |  ON s.s_nationkey = n.n_nationkey
+         |GROUP BY 1, 2""".stripMargin)
+      .collect().map(x => ((x.getString(0), x.getString(1)),
+        x.getLong(2).toDouble)).toMap
+    val segs = cells.keys.map(_._1).toSeq.distinct.sorted
+    val nats = cells.keys.map(_._2).toSeq.distinct.sorted
+    var v = nats.map(_ -> 1.0).toMap
+    var u = Map.empty[String, Double]
+    for (_ <- 1 to 3) {
+      u = segs.map { i =>
+        val obs = nats.filter(j => cells.contains((i, j)))
+        i -> obs.map(j => cells((i, j)) * v(j)).sum /
+          obs.map(j => v(j) * v(j)).sum
+      }.toMap
+      v = nats.map { j =>
+        val obs = segs.filter(i => cells.contains((i, j)))
+        j -> obs.map(i => cells((i, j)) * u(i)).sum /
+          obs.map(i => u(i) * u(i)).sum
+      }.toMap
+    }
+    val un = math.sqrt(segs.map(i => u(i) * u(i)).sum)
+    val vn = math.sqrt(nats.map(j => v(j) * v(j)).sum)
+    val urv = cells.toSeq.map { case ((i, j), r) => r * u(i) * v(j) }.sum
+    val sigma = urv / (un * vn) / 100.0
+    assert(rows.length == segs.length + nats.length)
+    rows.foreach { r =>
+      val want = if (r.getString(0) == "segment") u(r.getString(1)) / un
+        else v(r.getString(1)) / vn
+      assert(math.abs(r.getDouble(2) - want) < 1e-5,
+        s"${r.getString(0)}/${r.getString(1)}: $r vs $want")
+      assert(math.abs(r.getDouble(3) - sigma) < math.abs(sigma) * 1e-6,
+        s"sigma: $r vs $sigma")
+      // unit-norm contract per axis
+    }
+    val segSq = rows.filter(_.getString(0) == "segment")
+      .map(r => r.getDouble(2) * r.getDouble(2)).sum
+    val natSq = rows.filter(_.getString(0) == "nation")
+      .map(r => r.getDouble(2) * r.getDouble(2)).sum
+    assert(math.abs(segSq - 1.0) < 1e-4 && math.abs(natSq - 1.0) < 1e-4,
+      s"factor loadings must be unit-norm: $segSq / $natSq")
+  }
+
+  test("absorbing chain: brute censored-replay matches the fundamental matrix") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_absorbing_chain")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val evs = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "event_type", "CAST(ts AS STRING) AS ts",
+        "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .groupBy(_._1).values.map(_.sortBy(e => (e._3, e._4)).map(_._2))
+    val absorbing = Set("purchase", "error")
+    val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    evs.foreach { seq =>
+      val it = seq.iterator.takeWhile(!absorbing.contains(_)) ++
+        seq.dropWhile(!absorbing.contains(_)).take(1)
+      val censored = it.toSeq
+      censored.sliding(2).foreach {
+        case Seq(a, b) => cnt((a, b)) += 1L
+        case _ =>
+      }
+    }
+    val trans = Seq("click", "signup", "view")
+    val tgts = Seq("click", "signup", "view", "error", "purchase")
+    val tot = trans.map(s => s -> tgts.map(d => cnt((s, d))).sum).toMap
+    val q = Array.tabulate(3, 3)((i, j) =>
+      cnt((trans(i), trans(j))).toDouble / tot(trans(i)))
+    val rr = Array.tabulate(3, 2)((i, j) =>
+      cnt((trans(i), Seq("error", "purchase")(j))).toDouble /
+        tot(trans(i)))
+    // invert I - Q with Gaussian elimination
+    val a = Array.tabulate(3, 6)((i, j) =>
+      if (j < 3) (if (i == j) 1.0 else 0.0) - q(i)(j)
+      else if (j - 3 == i) 1.0 else 0.0)
+    for (p <- 0 until 3) {
+      val piv = (p until 3).maxBy(r => math.abs(a(r)(p)))
+      val tmp = a(p); a(p) = a(piv); a(piv) = tmp
+      val d = a(p)(p)
+      for (j <- 0 until 6) a(p)(j) /= d
+      for (r <- 0 until 3 if r != p) {
+        val f = a(r)(p)
+        for (j <- 0 until 6) a(r)(j) -= f * a(p)(j)
+      }
+    }
+    val nMat = Array.tabulate(3, 3)((i, j) => a(i)(j + 3))
+    trans.zipWithIndex.foreach { case (sn, i) =>
+      val row = rows(sn)
+      val steps = (0 until 3).map(j => nMat(i)(j)).sum
+      val pe = (0 until 3).map(j => nMat(i)(j) * rr(j)(0)).sum
+      val pp = (0 until 3).map(j => nMat(i)(j) * rr(j)(1)).sum
+      assert(math.abs(row.getDouble(1) - steps) < 1e-5,
+        s"$sn steps: $row vs $steps")
+      assert(math.abs(row.getDouble(2) - pe) < 1e-5, s"$sn p_error: $row")
+      assert(math.abs(row.getDouble(3) - pp) < 1e-5,
+        s"$sn p_purchase: $row")
+      // absorption is certain: the two exit probabilities sum to 1
+      assert(math.abs(row.getDouble(2) + row.getDouble(3) - 1.0) < 1e-5,
+        s"$sn absorption mass: $row")
+      assert(row.getDouble(1) >= 1.0 - 1e-9, "at least one step to absorb")
+    }
+  }
+
+  test("smith waterman: brute local-alignment DP replay matches") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_smith_waterman")(spark, sfDir)
+      .collect().head
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "n_chars", "split(text, ' ') AS tk")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getSeq[String](2)))
+      .filter(_._3.length >= 12)
+      .sortBy(d => (-d._2, d._1)).take(2)
+    val a = docs(0)._3.take(12)
+    val b = docs(1)._3.take(12)
+    val h = Array.ofDim[Long](13, 13)
+    for (i <- 1 to 12; j <- 1 to 12) {
+      val sc = if (a(i - 1) == b(j - 1)) 2L else -1L
+      h(i)(j) = Seq(0L, h(i - 1)(j - 1) + sc, h(i - 1)(j) - 1L,
+        h(i)(j - 1) - 1L).max
+    }
+    val cells = for (i <- 1 to 12; j <- 1 to 12) yield (i, j, h(i)(j))
+    val best = cells.map(_._3).max
+    val (ei, ej, _) = cells.find(_._3 == best).get
+    val npos = cells.count(_._3 > 0L).toLong
+    assert(r.getLong(0) == best, s"best: $r vs $best")
+    assert(r.getLong(1) == ei.toLong && r.getLong(2) == ej.toLong,
+      s"end cell: $r vs ($ei,$ej)")
+    assert(r.getLong(3) == npos, s"n_positive: $r vs $npos")
+    // SW contract: a cell's score never exceeds 2x the diagonal depth
+    assert(best <= 2L * math.min(12, 12), "score bounded by 2*len")
+    assert(best >= 0L)
+  }
 }
