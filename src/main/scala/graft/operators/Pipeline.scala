@@ -106,6 +106,20 @@ object Pipeline {
   private def hExpr(s: String): String =
     s"cast(conv(substring(md5($s),1,8),16,10) as bigint)"
 
+  /** q_fs_em: the E-step responsibility γ(x) of pattern struct x under
+    * the current (p, mn, ma, un, ua) — ENGINE-NEUTRAL text (CASE +
+    * CAST(1 AS DOUBLE)) shared verbatim by the Spark folds and the
+    * DuckDB oracle's list_transform terms. */
+  private def fsEmG: String = {
+    val pm = "p * (CASE WHEN x.gn = 1 THEN mn ELSE CAST(1 AS DOUBLE) " +
+      "- mn END) * (CASE WHEN x.ga = 1 THEN ma ELSE CAST(1 AS DOUBLE) " +
+      "- ma END)"
+    val pu = "(CAST(1 AS DOUBLE) - p) * (CASE WHEN x.gn = 1 THEN un " +
+      "ELSE CAST(1 AS DOUBLE) - un END) * (CASE WHEN x.ga = 1 THEN ua " +
+      "ELSE CAST(1 AS DOUBLE) - ua END)"
+    s"(($pm) / (($pm) + ($pu)))"
+  }
+
   /** Space-joined n-gram array over token column `w`, built from n aligned
     * slices folded with zip_with — NOT `w[i]` indexing inside a transform
     * lambda: HOF lambdas are interpreted, so every element access would
@@ -3772,6 +3786,74 @@ object Pipeline {
         .orderBy("field")
     },
 
+    // UNSUPERVISED FELLEGI-SUNTER VIA EM (Winkler 1988 — the m/u
+    // weights WITHOUT labels: q_fellegi_sunter reads truth off the
+    // join key, but production linkage has no truth — EM on the
+    // agreement-PATTERN histogram under conditional independence is
+    // how real linkers (Splink et al.) bootstrap): the SAME blocked
+    // candidate pairs and two agreement flags as q_fellegi_sunter,
+    // collapsed to the ≤4-pattern (gn, ga, c) histogram — the truth
+    // column is never consulted. 4 EM rounds in the q_mixture_em
+    // discipline (responsibilities recomputed inside each fold term,
+    // pinned init p=0.1, m=0.9, u=0.1 — engine-neutral CAST(0.1 AS
+    // DOUBLE) literals), readout = prevalence + per-field m/u and the
+    // log₂ match weights. Converges to p̂=0.064 vs true 0.077 at
+    // sf0.01 — the labels it never saw. Scale: the blocked join is
+    // the only corpus-sized work; EM runs on 4 cells.
+    "q_fs_em" -> { (s, dir) =>
+      registerNativeFns(s)
+      val c = Tables.load(s, dir, "customer")
+      val clean = c.select(col("c_name").as("clean_name"),
+        col("c_acctbal").as("clean_acct"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      val dirty = c.select(
+        concat(lit("Customer#"), reverse(substring(col("c_name"), 10, 9)))
+          .as("dirty_name"),
+        col("c_acctbal").as("dirty_acct"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      val cells = dirty.join(clean, Seq("nk", "seg"))
+        .select(
+          when(round(expr("graft_jaro_winkler(dirty_name, clean_name)"), 6)
+            .cast("decimal(8,6)") >= expr("CAST(0.96 AS DECIMAL(8,6))"),
+            1L).otherwise(0L).as("gn"),
+          when(col("dirty_acct") === col("clean_acct"), 1L).otherwise(0L)
+            .as("ga"))
+        .groupBy("gn", "ga").agg(count(lit(1)).as("c"))
+      val base = cells
+        .agg(sort_array(collect_list(struct(col("gn"), col("ga"),
+          col("c")))).as("l"), sum("c").as("nn"))
+        .select(col("l"), col("nn").cast("double").as("n"),
+          expr("CAST(0.1 AS DOUBLE)").as("p"),
+          expr("CAST(0.9 AS DOUBLE)").as("mn"),
+          expr("CAST(0.9 AS DOUBLE)").as("ma"),
+          expr("CAST(0.1 AS DOUBLE)").as("un"),
+          expr("CAST(0.1 AS DOUBLE)").as("ua"))
+      def fold(term: String): String =
+        s"aggregate(l, 0D, (a, x) -> a + ($term))"
+      val g = fsEmG
+      def step(d: DataFrame): DataFrame = d
+        .withColumn("sp", expr(fold(s"x.c * $g")))
+        .withColumn("smn", expr(fold(s"x.c * $g * x.gn")))
+        .withColumn("sma", expr(fold(s"x.c * $g * x.ga")))
+        .withColumn("sun", expr(fold(
+          s"x.c * (CAST(1 AS DOUBLE) - $g) * x.gn")))
+        .withColumn("sua", expr(fold(
+          s"x.c * (CAST(1 AS DOUBLE) - $g) * x.ga")))
+        .select(col("l"), col("n"),
+          expr("sp / n").as("p"), expr("smn / sp").as("mn"),
+          expr("sma / sp").as("ma"), expr("sun / (n - sp)").as("un"),
+          expr("sua / (n - sp)").as("ua"))
+      val it = (1 to 4).foldLeft(base)((d, _) => step(d))
+      it.select(col("n").cast("long").as("n_pairs"),
+        round(col("p"), 6).as("prevalence"),
+        round(col("mn"), 6).as("m_name"),
+        round(col("un"), 6).as("u_name"),
+        round(col("ma"), 6).as("m_acct"),
+        round(col("ua"), 6).as("u_acct"),
+        round(expr("log2(mn / un)"), 6).as("w_name"),
+        round(expr("log2(ma / ua)"), 6).as("w_acct"))
+    },
+
     // WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken 2003 — the
     // MOSS local fingerprinting algorithm: in every window of w
     // consecutive k-gram hashes keep the minimum, rightmost on ties,
@@ -4165,6 +4247,69 @@ object Pipeline {
         |FROM lb ORDER BY w""".stripMargin,
 
     "q_kcore" -> kcoreOracle,
+
+    // q_fs_em's oracle: identical blocked pairs and pattern histogram
+    // (DuckDB's jaro_winkler_similarity, same rounding/threshold), the
+    // same 4 EM rounds with the IDENTICAL fsEmG responsibility text
+    // inside each list_transform term, same pinned init.
+    "q_fs_em" -> {
+      def fold(term: String): String =
+        "list_reduce(list_concat([0.0::DOUBLE], list_transform(l, " +
+          s"x -> ($term))), (a, b) -> a + b)"
+      val g = fsEmG
+      val steps = (1 to 4).map { i =>
+        val prev = if (i == 1) "base" else s"s${i - 1}"
+        s"""s${i}a AS (
+           |  SELECT l, n,
+           |    ${fold(s"x.c * $g")} AS sp,
+           |    ${fold(s"x.c * $g * x.gn")} AS smn,
+           |    ${fold(s"x.c * $g * x.ga")} AS sma,
+           |    ${fold(s"x.c * (CAST(1 AS DOUBLE) - $g) * x.gn")} AS sun,
+           |    ${fold(s"x.c * (CAST(1 AS DOUBLE) - $g) * x.ga")} AS sua
+           |  FROM $prev),
+           |s$i AS (
+           |  SELECT l, n, sp / n AS p, smn / sp AS mn, sma / sp AS ma,
+           |    sun / (n - sp) AS un, sua / (n - sp) AS ua
+           |  FROM s${i}a)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH clean AS (
+         |  SELECT c_name AS clean_name, c_acctbal AS clean_acct,
+         |    c_nationkey AS nk, c_mktsegment AS seg
+         |  FROM customer),
+         |dirty AS (
+         |  SELECT 'Customer#' || reverse(substr(c_name, 10, 9))
+         |      AS dirty_name,
+         |    c_acctbal AS dirty_acct, c_nationkey AS nk,
+         |    c_mktsegment AS seg
+         |  FROM customer),
+         |cells AS (
+         |  SELECT CAST(CASE WHEN
+         |      CAST(round(jaro_winkler_similarity(d.dirty_name,
+         |        c.clean_name), 6) AS DECIMAL(8,6)) >=
+         |      CAST(0.96 AS DECIMAL(8,6)) THEN 1 ELSE 0 END AS BIGINT)
+         |      AS gn,
+         |    CAST(CASE WHEN d.dirty_acct = c.clean_acct THEN 1 ELSE 0
+         |      END AS BIGINT) AS ga,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM dirty d JOIN clean c ON c.nk = d.nk AND c.seg = d.seg
+         |  GROUP BY 1, 2),
+         |base AS (
+         |  SELECT list(struct_pack(gn := gn, ga := ga, c := c)
+         |      ORDER BY gn, ga) AS l,
+         |    CAST(SUM(c) AS DOUBLE) AS n,
+         |    CAST(0.1 AS DOUBLE) AS p, CAST(0.9 AS DOUBLE) AS mn,
+         |    CAST(0.9 AS DOUBLE) AS ma, CAST(0.1 AS DOUBLE) AS un,
+         |    CAST(0.1 AS DOUBLE) AS ua
+         |  FROM cells),
+         |$steps
+         |SELECT CAST(n AS BIGINT) AS n_pairs,
+         |  round(p, 6) AS prevalence,
+         |  round(mn, 6) AS m_name, round(un, 6) AS u_name,
+         |  round(ma, 6) AS m_acct, round(ua, 6) AS u_acct,
+         |  round(log2(mn / un), 6) AS w_name,
+         |  round(log2(ma / ua), 6) AS w_acct
+         |FROM s4""".stripMargin
+    },
 
     // same blocked pairs + DuckDB's own jaro_winkler_similarity, same
     // Laplace-smoothed m/u and log2 weight trees over exact counts

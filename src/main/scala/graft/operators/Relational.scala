@@ -5723,6 +5723,92 @@ object Relational {
         .orderBy("step")
     },
 
+    // HILL TAIL-INDEX ESTIMATOR (Hill 1975 — THE heavy-tail diagnostic:
+    // α̂ = k / Σᵢ≤k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k order statistics;
+    // the number a pipeline checks BEFORE trusting means and variances
+    // — α ≤ 2 means infinite variance and every Σx² rollup in this
+    // bench is noise): order totalprice cents, k = 50 and 100 (the
+    // two-k readout IS the stability check — a genuine power law gives
+    // the same α at both). EXACT top-(k+1) selection (orderBy DESC
+    // limit 101 — boundary ties don't matter, only the value multiset
+    // enters), then each α is one ln-fold over the DESC-sorted list
+    // prefix (canonical order — both engines run the identical IEEE
+    // sum). A large α (measured ~330 here) correctly reads "bounded,
+    // not heavy-tailed" — uniform synthetic prices. Scale: TopK is one
+    // reduction; everything after is a ≤101-element array on one row.
+    "q_hill_tail" -> { (s, dir) =>
+      val cents = (money(col("o_totalprice")) * 100).cast(LongType)
+      val top = t(s, dir, "orders").select(cents.as("c"))
+        .orderBy(col("c").desc).limit(101)
+      val base = top.agg(sort_array(collect_list(col("c")), asc = false)
+        .as("l"))
+      def alpha(k: Int): String =
+        s"""CAST($k AS DOUBLE) / aggregate(slice(l, 1, $k), 0D,
+           |  (a, x) -> a + ln(CAST(x AS DOUBLE) /
+           |    CAST(element_at(l, ${k + 1}) AS DOUBLE)))""".stripMargin
+      base.select(expr(
+          s"""stack(2,
+             |  50L, round(CAST(element_at(l, 51) AS DOUBLE) / 100.0D, 2),
+             |    round(${alpha(50)}, 6),
+             |  100L, round(CAST(element_at(l, 101) AS DOUBLE) / 100.0D, 2),
+             |    round(${alpha(100)}, 6))
+             |AS (k, threshold_usd, alpha)""".stripMargin))
+        .orderBy("k")
+    },
+
+    // MARKOV-CHAIN ENTROPY RATE (Shannon 1948 §7 — bits of genuine
+    // novelty per event once the chain's memory is accounted for:
+    // H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ, the sequence-level sibling of
+    // q_token_entropy's iid rate and the summary number over
+    // q_markov_transitions' full matrix): transition counts from ONE
+    // lead() window pass (the q_absorbing_chain spine, uncensored),
+    // stationary π by 8 unrolled power steps from uniform — each step
+    // a 5-term dot product ckptCut so the 5-fold references never
+    // nest (5⁸ blowup otherwise) — and the entropy readout is one
+    // shared scalar tree with a p > 0 guard. Measured ≈ ln 5: the
+    // synthetic event stream is genuinely memoryless-uniform, and the
+    // estimator says exactly that. Scale: one window pass + a 25-cell
+    // rollup; the power iteration is constant one-row work.
+    "q_entropy_rate" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("src"))
+        .withColumn("dst", lead("src", 1).over(w))
+        .filter(col("dst").isNotNull)
+      val cnts = for (a <- types; b <- types) yield
+        sum(when(col("src") === a && col("dst") === b, 1L)
+          .otherwise(0L)).as(s"c_${a}_$b")
+      val one = pairs.agg(cnts.head, cnts.tail: _*)
+      val probs = types.zipWithIndex.flatMap { case (a, i) =>
+        val tot = types.map(b => s"c_${a}_$b").mkString("(", " + ", ")")
+        types.zipWithIndex.map { case (b, j) =>
+          expr(s"CAST(c_${a}_$b AS DOUBLE) / CAST($tot AS DOUBLE)")
+            .as(s"p$i$j")
+        }
+      }
+      var st = ckptCut(one.select(probs ++ types.indices.map(i =>
+        expr("CAST(1 AS DOUBLE) / 5").as(s"pi0_$i")): _*))
+      (1 to 8).foreach { step =>
+        st = ckptCut(st.select(col("*") +: types.indices.map { d =>
+          expr(types.indices.map(i => s"pi${step - 1}_$i * p$i$d")
+            .mkString(" + ")).as(s"pi${step}_$d")
+        }: _*))
+      }
+      val hTerm = types.indices.map { i =>
+        val inner = types.indices.map(j =>
+          s"(CASE WHEN p$i$j > CAST(0 AS DOUBLE) " +
+            s"THEN p$i$j * ln(p$i$j) ELSE CAST(0 AS DOUBLE) END)")
+          .mkString(" + ")
+        s"pi8_$i * ($inner)"
+      }.mkString(" + ")
+      st.select(types.zipWithIndex.map { case (tn, i) =>
+          round(col(s"pi8_$i"), 6).as(s"pi_$tn")
+        } :+ round(expr(s"-($hTerm)"), 6).as("entropy_rate_nats"): _*)
+    },
+
     // SMITH-WATERMAN LOCAL ALIGNMENT (Smith & Waterman 1981 — THE
     // local-similarity DP, the alignment sibling of q_dtw's global
     // elastic match and q_dedup_spans' exact-run detector: where edit
@@ -10590,6 +10676,86 @@ object Relational {
          |    AS is_pocket
          |FROM fin2 CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4]) AS step) s
          |ORDER BY 1""".stripMargin
+    },
+
+    // q_hill_tail's oracle: identical exact top-101 value multiset,
+    // the same DESC-ordered ln-folds (Spark slice == DuckDB l[1:k]).
+    "q_hill_tail" -> {
+      def alpha(k: Int): String =
+        s"""CAST($k AS DOUBLE) / list_reduce(list_concat([0.0::DOUBLE],
+           |  list_transform(l[1:$k], x -> ln(CAST(x AS DOUBLE) /
+           |    CAST(l[${k + 1}] AS DOUBLE)))), (a, b) -> a + b)"""
+          .stripMargin
+      def row(k: Int): String =
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  round(CAST(l[${k + 1}] AS DOUBLE) / 100.0::DOUBLE, 2)
+           |    AS threshold_usd,
+           |  round(${alpha(k)}, 6) AS alpha
+           |FROM base""".stripMargin
+      s"""WITH top AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |    AS BIGINT) AS c
+         |  FROM orders ORDER BY 1 DESC LIMIT 101),
+         |base AS (SELECT list(c ORDER BY c DESC) AS l FROM top)
+         |${row(50)}
+         |UNION ALL
+         |${row(100)}
+         |ORDER BY k""".stripMargin
+    },
+
+    // q_entropy_rate's oracle: identical lead() pairs, 25-cell rollup,
+    // the SAME engine-neutral dot-product texts per power step (8
+    // MATERIALIZED CTEs mirror the 8 ckptCut frames), same guarded
+    // entropy tree.
+    "q_entropy_rate" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cnts = (for (a <- types; b <- types) yield
+        s"CAST(SUM(CASE WHEN src = '$a' AND dst = '$b' THEN 1 ELSE 0 " +
+          s"END) AS BIGINT) AS c_${a}_$b").mkString(",\n    ")
+      val probs = types.zipWithIndex.flatMap { case (a, i) =>
+        val tot = types.map(b => s"c_${a}_$b").mkString("(", " + ", ")")
+        types.zipWithIndex.map { case (b, j) =>
+          s"CAST(c_${a}_$b AS DOUBLE) / CAST($tot AS DOUBLE) AS p$i$j"
+        }
+      }.mkString(",\n    ")
+      val pi0 = types.indices.map(i =>
+        s"CAST(1 AS DOUBLE) / 5 AS pi0_$i").mkString(", ")
+      val steps = (1 to 8).map { step =>
+        val prev = if (step == 1) "st0" else s"st${step - 1}"
+        val cols = types.indices.map { d =>
+          types.indices.map(i => s"pi${step - 1}_$i * p$i$d")
+            .mkString(" + ") + s" AS pi${step}_$d"
+        }.mkString(",\n    ")
+        s"st$step AS MATERIALIZED (SELECT *,\n    $cols\n  FROM $prev)"
+      }.mkString(",\n")
+      val hTerm = types.indices.map { i =>
+        val inner = types.indices.map(j =>
+          s"(CASE WHEN p$i$j > CAST(0 AS DOUBLE) " +
+            s"THEN p$i$j * ln(p$i$j) ELSE CAST(0 AS DOUBLE) END)")
+          .mkString(" + ")
+        s"pi8_$i * ($inner)"
+      }.mkString(" + ")
+      val outs = types.zipWithIndex.map { case (tn, i) =>
+        s"round(pi8_$i, 6) AS pi_$tn"
+      }.mkString(",\n  ")
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, event_type AS src FROM events),
+         |pr AS (
+         |  SELECT src, LEAD(src) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) AS dst
+         |  FROM e),
+         |f AS (SELECT src, dst FROM pr WHERE dst IS NOT NULL),
+         |one AS (
+         |  SELECT $cnts
+         |  FROM f),
+         |st0 AS (
+         |  SELECT $probs,
+         |    $pi0
+         |  FROM one),
+         |$steps
+         |SELECT $outs,
+         |  round(-($hTerm), 6) AS entropy_rate_nats
+         |FROM st8""".stripMargin
     },
 
     // q_smith_waterman's oracle: identical deterministic pair pick,

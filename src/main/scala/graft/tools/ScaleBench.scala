@@ -73,7 +73,14 @@ object ScaleBench {
     // delta→index LSH probe (work ∝ |delta|·bucket occupancy), and
     // ECOD (two level-histogram joins — must scale like the rollups)
     "q_connected_components", "q_dbscan_grid", "q_minhash_incremental",
-    "q_ecod_outliers")
+    "q_ecod_outliers",
+    // round-14 late additions: winnowing (banded fingerprint self-join —
+    // pins that the explode_outer fix holds when docs × 10), the
+    // unsupervised F-S EM (blocked pair join is the only corpus-sized
+    // work; EM itself runs on 4 cells), rank-1 ALS (3 broadcast joins +
+    // one cell rollup, then corpus-independent one-row rounds), and the
+    // absorbing chain (one lead window pass + a 15-cell rollup)
+    "q_winnowing", "q_fs_em", "q_als_rank1", "q_absorbing_chain")
 
   /** Streaming tier probes: every stateful-operator family — chained
     * multi-stateful, transformWithState (RocksDB), watermark dedup,
@@ -102,8 +109,10 @@ object ScaleBench {
     // the window-heavy markov matrix (user cardinality grows with the tier)
     "q_event_funnel", "q_markov_transitions",
     // round-14 representatives: the pointer-jump CC (supersteps must
-    // stay flat — only the edge shuffle grows) and the delta LSH probe
-    "q_connected_components", "q_minhash_incremental")
+    // stay flat — only the edge shuffle grows), the delta LSH probe,
+    // the fixed winnowing fingerprint join, and the blocked F-S EM
+    "q_connected_components", "q_minhash_incremental",
+    "q_winnowing", "q_fs_em")
 
   def main(args: Array[String]): Unit = {
     val x10Dir = args.lift(0).getOrElse("/root/repo/target/scaledata/sf1")

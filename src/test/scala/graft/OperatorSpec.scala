@@ -4919,4 +4919,120 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(best <= 2L * math.min(12, 12), "score bounded by 2*len")
     assert(best >= 0L)
   }
+
+  test("hill tail: brute order-statistic replay matches both k") {
+    import graft.operators.Relational
+    val rows = Relational.queries("q_hill_tail")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    val cents = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr(
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(_.getLong(0)).sorted(Ordering[Long].reverse)
+    Seq(50, 100).zip(rows).foreach { case (k, r) =>
+      val xk1 = cents(k) // (k+1)-th largest, 0-indexed
+      val hill = (0 until k)
+        .map(i => math.log(cents(i).toDouble / xk1)).sum / k
+      val alpha = 1.0 / hill
+      assert(r.getLong(0) == k.toLong)
+      assert(math.abs(r.getDouble(1) - xk1 / 100.0) < 0.005 + 1e-9,
+        s"k=$k threshold: $r vs ${xk1 / 100.0}")
+      assert(math.abs(r.getDouble(2) - alpha) < math.abs(alpha) * 1e-6,
+        s"k=$k alpha: $r vs $alpha")
+      assert(r.getDouble(2) > 0.0, "alpha positive on positive data")
+    }
+  }
+
+  test("entropy rate: brute power-iteration replay matches, bounded by ln(types)") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_entropy_rate")(spark, sfDir)
+      .collect().head
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val evs = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "event_type", "CAST(ts AS STRING)",
+        "event_id")
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getLong(3)))
+      .groupBy(_._1).values
+    val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    evs.foreach { g =>
+      g.toSeq.sortBy(e => (e._3, e._4)).map(_._2).sliding(2).foreach {
+        case Seq(a, b) => cnt((a, b)) += 1L
+        case _ =>
+      }
+    }
+    val tot = types.map(a => a -> types.map(b => cnt((a, b))).sum).toMap
+    val p = types.map(a => types.map(b =>
+      cnt((a, b)).toDouble / tot(a)))
+    var pi = Array.fill(5)(0.2)
+    for (_ <- 1 to 8)
+      pi = Array.tabulate(5)(d =>
+        (0 until 5).map(i => pi(i) * p(i)(d)).sum)
+    val h = -(0 until 5).map(i => pi(i) * (0 until 5).map(j =>
+      if (p(i)(j) > 0) p(i)(j) * math.log(p(i)(j)) else 0.0).sum).sum
+    types.indices.foreach { i =>
+      assert(math.abs(r.getDouble(i) - pi(i)) < 1e-5,
+        s"pi_${types(i)}: $r vs ${pi(i)}")
+    }
+    assert(math.abs(r.getDouble(5) - h) < 1e-5, s"H: $r vs $h")
+    // contracts: pi is a distribution; H bounded by ln(#types)
+    assert(math.abs(types.indices.map(r.getDouble).sum - 1.0) < 1e-4,
+      "stationary distribution sums to 1")
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= math.log(5.0) + 1e-9,
+      "0 < H <= ln 5")
+  }
+
+  test("fs em: brute pattern-EM replay matches and separates m from u") {
+    import graft.operators.Pipeline
+    val r = Pipeline.queries("q_fs_em")(spark, sfDir).collect().head
+    // recover the 4-pattern histogram exactly as the query builds it
+    Pipeline.registerNativeFns(spark)
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val pairs = {
+      import org.apache.spark.sql.functions._
+      val clean = c.select(col("c_name").as("cn"),
+        col("c_acctbal").as("ca"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg"))
+      val dirty = c.select(
+        concat(lit("Customer#"), reverse(substring(col("c_name"), 10, 9)))
+          .as("dn"),
+        col("c_acctbal").as("da"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg"))
+      dirty.join(clean, Seq("nk", "seg"))
+        .selectExpr(
+          "CASE WHEN CAST(round(graft_jaro_winkler(dn, cn), 6) AS " +
+            "DECIMAL(8,6)) >= CAST(0.96 AS DECIMAL(8,6)) THEN 1L " +
+            "ELSE 0L END AS gn",
+          "CASE WHEN da = ca THEN 1L ELSE 0L END AS ga")
+        .groupBy("gn", "ga").count().collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    }
+    val n = pairs.map(_._3).sum.toDouble
+    var (p, mn, ma, un, ua) = (0.1, 0.9, 0.9, 0.1, 0.1)
+    for (_ <- 1 to 4) {
+      var (sp, smn, sma, sun, sua) = (0.0, 0.0, 0.0, 0.0, 0.0)
+      for ((gn, ga, cc) <- pairs) {
+        val pm = p * (if (gn == 1L) mn else 1 - mn) *
+          (if (ga == 1L) ma else 1 - ma)
+        val pu = (1 - p) * (if (gn == 1L) un else 1 - un) *
+          (if (ga == 1L) ua else 1 - ua)
+        val g = pm / (pm + pu)
+        sp += cc * g; smn += cc * g * gn; sma += cc * g * ga
+        sun += cc * (1 - g) * gn; sua += cc * (1 - g) * ga
+      }
+      p = sp / n; mn = smn / sp; ma = sma / sp
+      un = sun / (n - sp); ua = sua / (n - sp)
+    }
+    assert(r.getLong(0) == n.toLong)
+    assert(math.abs(r.getDouble(1) - p) < 1e-5, s"prevalence: $r vs $p")
+    assert(math.abs(r.getDouble(2) - mn) < 1e-5, s"m_name: $r vs $mn")
+    assert(math.abs(r.getDouble(3) - un) < 1e-5, s"u_name: $r vs $un")
+    assert(math.abs(r.getDouble(4) - ma) < 1e-5, s"m_acct: $r vs $ma")
+    assert(math.abs(r.getDouble(5) - ua) < 1e-5, s"u_acct: $r vs $ua")
+    // EM found structure without labels: matches agree far more often
+    assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 1.0)
+    assert(r.getDouble(2) > r.getDouble(3) && r.getDouble(4) > r.getDouble(5),
+      s"m must exceed u per field: $r")
+  }
 }
