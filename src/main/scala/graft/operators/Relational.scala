@@ -5723,6 +5723,104 @@ object Relational {
         .orderBy("step")
     },
 
+    // KENDALL'S τ-b ON THE DECILE GRID (Kendall 1938 with the tie-
+    // corrected τ-b — the rank-correlation sibling of q_spearman: ρ
+    // correlates rank VALUES, τ counts pairwise ORDER agreements, the
+    // more robust readout when only monotonicity matters): chars vs
+    // token count per document. Exact τ needs all-pairs; the SCALE
+    // move is value-based decile bucketing FIRST — each distinct value
+    // maps to ⌈10·cum/n⌉ from its exact cumulative count (value-
+    // deterministic, unlike NTILE whose boundary ties split by row
+    // order) — making concordance a ≤100-cell × ≤100-cell join with
+    // n₁·n₂ pair weights, ALL-INTEGER until the final ratio. τ-b's
+    // tie terms fall out of the same cell marginals. Measured 0.967 —
+    // chars and tokens are near-perfectly concordant, as they must be.
+    // Scale: two bounded-domain histograms + one 10⁴-cell-pair join.
+    "q_kendall_tau" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(
+        col("n_chars").cast(LongType).as("x"),
+        size(split(col("text"), " ")).cast(LongType).as("y"))
+      val n = d.agg(count(lit(1)).as("nn"))
+      def dec(c: String): DataFrame = d.groupBy(col(c).as("v"))
+        .agg(count(lit(1)).as("cn"))
+        .withColumn("cum", sum("cn").over(
+          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(n))
+        .select(col("v").as(c), expr("(10L * cum + nn - 1L) div nn")
+          .as(s"g$c"))
+      val cells = d.join(broadcast(dec("x")), "x")
+        .join(broadcast(dec("y")), "y")
+        .groupBy("gx", "gy").agg(count(lit(1)).as("cn"))
+        .localCheckpoint(true)
+      val pairs = cells.as("a").crossJoin(cells.as("b"))
+        .agg(
+          sum(when(col("b.gx") > col("a.gx") &&
+            col("b.gy") > col("a.gy"),
+            col("a.cn") * col("b.cn")).otherwise(0L)).as("cc"),
+          sum(when(col("b.gx") > col("a.gx") &&
+            col("b.gy") < col("a.gy"),
+            col("a.cn") * col("b.cn")).otherwise(0L)).as("dd"))
+      val tx = cells.groupBy("gx").agg(sum("cn").as("s"))
+        .agg(sum(expr("s * (s - 1L) div 2L")).as("t1"))
+      val ty = cells.groupBy("gy").agg(sum("cn").as("s"))
+        .agg(sum(expr("s * (s - 1L) div 2L")).as("t2"))
+      pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+        .crossJoin(broadcast(n))
+        .select(col("nn").as("n_rows"), col("cc").as("concordant"),
+          col("dd").as("discordant"),
+          round(expr(
+            """(CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) /
+              |sqrt((CAST(nn AS DOUBLE) * (nn - 1L) / 2 - t1) *
+              |     (CAST(nn AS DOUBLE) * (nn - 1L) / 2 - t2))"""
+              .stripMargin), 6).as("tau_b"))
+    },
+
+    // RANK-BIASED OVERLAP (Webber, Moffat & Zobel 2010 — the top-
+    // weighted ranking-similarity measure: Kendall/Spearman treat all
+    // positions equally, RBO discounts depth d by pᵈ⁻¹, which is what
+    // "did the TOP of the leaderboard change?" actually asks): 1995 vs
+    // 1996 nation revenue rankings (total order tie-broken by name),
+    // truncated RBO@25 with the published p = 0.9. Overlap at each
+    // depth is an INTEGER fold over the joined (rank_a, rank_b) list —
+    // |∩@d| = Σ[max(rₐ, r_b) ≤ d] — and the depth-weighted sum folds
+    // d-ordered with pᵈ⁻¹ written exp((d−1)·ln p) (the house p^α
+    // cross-engine rule). Readout adds the raw depth-5/10 overlaps.
+    // Scale: two grouped rollups + rank windows on ≤|nations| rows;
+    // everything after is a ≤25-element array on one row.
+    "q_rbo" -> { (s, dir) =>
+      val rev = t(s, dir, "orders").as("o")
+        .join(broadcast(t(s, dir, "customer").as("c")),
+          col("o.o_custkey") === col("c.c_custkey"))
+        .join(broadcast(t(s, dir, "nation").as("n")),
+          col("c.c_nationkey") === col("n.n_nationkey"))
+        .filter(year(col("o.o_orderdate")).isin(1995, 1996))
+        .groupBy(col("n.n_name").as("nm"),
+          year(col("o.o_orderdate")).as("yr"))
+        .agg(sum((money(col("o.o_totalprice")) * 100).cast(LongType))
+          .as("rev"))
+      def ranked(y: Int, out: String): DataFrame = rev
+        .filter(col("yr") === y)
+        .select(col("nm"), row_number().over(
+          Window.orderBy(col("rev").desc, col("nm").asc)).as(out))
+      val j = ranked(1995, "ra").join(ranked(1996, "rb"), "nm")
+        .agg(sort_array(collect_list(struct(col("ra"), col("rb"))))
+          .as("l"))
+      def ov(d: String): String =
+        s"aggregate(l, 0L, (p, x) -> p + (CASE WHEN " +
+          s"greatest(x.ra, x.rb) <= $d THEN 1L ELSE 0L END))"
+      j.withColumn("ovs", expr(
+          s"transform(sequence(1, 25), d -> ${ov("d")})"))
+        .select(
+          round(expr(
+            """(CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE)) *
+              |aggregate(transform(sequence(1, 25), d ->
+              |  exp((d - 1) * ln(CAST(0.9 AS DOUBLE))) *
+              |  CAST(element_at(ovs, d) AS DOUBLE) / CAST(d AS DOUBLE)),
+              |  0D, (p, x) -> p + x)""".stripMargin), 6).as("rbo_at_25"),
+          expr("element_at(ovs, 5)").as("overlap_at_5"),
+          expr("element_at(ovs, 10)").as("overlap_at_10"))
+    },
+
     // HILL TAIL-INDEX ESTIMATOR (Hill 1975 — THE heavy-tail diagnostic:
     // α̂ = k / Σᵢ≤k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k order statistics;
     // the number a pipeline checks BEFORE trusting means and variances
@@ -10677,6 +10775,86 @@ object Relational {
          |FROM fin2 CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4]) AS step) s
          |ORDER BY 1""".stripMargin
     },
+
+    // q_kendall_tau's oracle: identical value-based decile bucketing,
+    // cell-pair concordance with the same integer pair weights, same
+    // tie marginals and final double tree.
+    "q_kendall_tau" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM d),
+        |dxb AS (
+        |  SELECT x, CAST((10 * cum + (SELECT nn FROM n) - 1)
+        |    // (SELECT nn FROM n) AS BIGINT) AS gx
+        |  FROM (SELECT x, SUM(c) OVER (ORDER BY x ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM d
+        |      GROUP BY 1))),
+        |dyb AS (
+        |  SELECT y, CAST((10 * cum + (SELECT nn FROM n) - 1)
+        |    // (SELECT nn FROM n) AS BIGINT) AS gy
+        |  FROM (SELECT y, SUM(c) OVER (ORDER BY y ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM d
+        |      GROUP BY 1))),
+        |cells AS (
+        |  SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM d JOIN dxb USING (x) JOIN dyb USING (y)
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT CAST(SUM(CASE WHEN b.gx > a.gx AND b.gy > a.gy
+        |      THEN a.cn * b.cn ELSE 0 END) AS BIGINT) AS cc,
+        |    CAST(SUM(CASE WHEN b.gx > a.gx AND b.gy < a.gy
+        |      THEN a.cn * b.cn ELSE 0 END) AS BIGINT) AS dd
+        |  FROM cells a CROSS JOIN cells b),
+        |tx AS (SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS t1
+        |  FROM (SELECT SUM(cn) AS s FROM cells GROUP BY gx)),
+        |ty AS (SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS t2
+        |  FROM (SELECT SUM(cn) AS s FROM cells GROUP BY gy))
+        |SELECT (SELECT nn FROM n) AS n_rows, cc AS concordant,
+        |  dd AS discordant,
+        |  round((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) /
+        |    sqrt((CAST((SELECT nn FROM n) AS DOUBLE) *
+        |        ((SELECT nn FROM n) - 1) / 2 - t1) *
+        |      (CAST((SELECT nn FROM n) AS DOUBLE) *
+        |        ((SELECT nn FROM n) - 1) / 2 - t2)), 6) AS tau_b
+        |FROM pairs CROSS JOIN tx CROSS JOIN ty""".stripMargin,
+
+    // q_rbo's oracle: identical ranked join, the same integer overlap
+    // folds per depth (nested-lambda capture) and the same
+    // exp((d−1)·ln p) weighting.
+    "q_rbo" ->
+      """WITH rev AS (
+        |  SELECT n.n_name AS nm, year(o.o_orderdate) AS yr,
+        |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE year(o.o_orderdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT nm, ROW_NUMBER() OVER (ORDER BY rev DESC, nm ASC)
+        |  AS ra FROM rev WHERE yr = 1995),
+        |rb AS (SELECT nm, ROW_NUMBER() OVER (ORDER BY rev DESC, nm ASC)
+        |  AS rb FROM rev WHERE yr = 1996),
+        |j AS (SELECT list(struct_pack(ra := ra, rb := rb) ORDER BY ra)
+        |  AS l FROM ra JOIN rb USING (nm)),
+        |o AS (SELECT list_transform(generate_series(1, 25), d ->
+        |    list_reduce(list_concat([CAST(0 AS BIGINT)],
+        |      list_transform(l, x -> CAST(CASE WHEN greatest(x.ra, x.rb)
+        |        <= d THEN 1 ELSE 0 END AS BIGINT))),
+        |      (p, q) -> p + q)) AS ovs
+        |  FROM j)
+        |SELECT round((CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE)) *
+        |    list_reduce(list_concat([0.0::DOUBLE],
+        |      list_transform(generate_series(1, 25), d ->
+        |        exp((d - 1) * ln(CAST(0.9 AS DOUBLE))) *
+        |        CAST(ovs[d] AS DOUBLE) / CAST(d AS DOUBLE))),
+        |      (p, q) -> p + q), 6) AS rbo_at_25,
+        |  ovs[5] AS overlap_at_5, ovs[10] AS overlap_at_10
+        |FROM o""".stripMargin,
 
     // q_hill_tail's oracle: identical exact top-101 value multiset,
     // the same DESC-ordered ln-folds (Spark slice == DuckDB l[1:k]).

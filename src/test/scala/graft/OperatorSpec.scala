@@ -5035,4 +5035,76 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(2) > r.getDouble(3) && r.getDouble(4) > r.getDouble(5),
       s"m must exceed u per field: $r")
   }
+
+  test("kendall tau: brute decile-pair replay matches, tau in [-1, 1]") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_kendall_tau")(spark, sfDir)
+      .collect().head
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("CAST(n_chars AS BIGINT)",
+        "CAST(size(split(text, ' ')) AS BIGINT)")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = d.length.toLong
+    def dec(vs: Seq[Long]): Map[Long, Long] = {
+      val hist = vs.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      hist.map { case (v, c) =>
+        cum += c; v -> ((10L * cum + n - 1L) / n)
+      }.toMap
+    }
+    val (dx, dy) = (dec(d.map(_._1)), dec(d.map(_._2)))
+    val cells = d.map { case (x, y) => (dx(x), dy(y)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    var (cc, dd) = (0L, 0L)
+    for (((gx1, gy1), n1) <- cells; ((gx2, gy2), n2) <- cells) {
+      if (gx2 > gx1 && gy2 > gy1) cc += n1 * n2
+      if (gx2 > gx1 && gy2 < gy1) dd += n1 * n2
+    }
+    val t1 = cells.groupBy(_._1._1).values
+      .map(g => { val s = g.map(_._2).sum; s * (s - 1) / 2 }).sum
+    val t2 = cells.groupBy(_._1._2).values
+      .map(g => { val s = g.map(_._2).sum; s * (s - 1) / 2 }).sum
+    val n0 = n.toDouble * (n - 1) / 2
+    val tau = (cc - dd).toDouble / math.sqrt((n0 - t1) * (n0 - t2))
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == cc && r.getLong(2) == dd,
+      s"pair counts: $r vs ($cc,$dd)")
+    assert(math.abs(r.getDouble(3) - tau) < 1e-5, s"tau: $r vs $tau")
+    assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+    // chars and token count must be strongly concordant by construction
+    assert(r.getDouble(3) > 0.5, s"expected strong concordance: $r")
+  }
+
+  test("rbo: brute depth-weighted overlap replay matches") {
+    import graft.operators.Relational
+    val r = Relational.queries("q_rbo")(spark, sfDir).collect().head
+    val rev = spark.sql(
+      s"""SELECT n.n_name AS nm, year(o.o_orderdate) AS yr,
+         |  CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS rev
+         |FROM parquet.`$sfDir/orders.parquet` o
+         |JOIN parquet.`$sfDir/customer.parquet` c
+         |  ON o.o_custkey = c.c_custkey
+         |JOIN parquet.`$sfDir/nation.parquet` n
+         |  ON c.c_nationkey = n.n_nationkey
+         |WHERE year(o.o_orderdate) IN (1995, 1996)
+         |GROUP BY 1, 2""".stripMargin)
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getLong(2)))
+    def ranks(y: Int): Map[String, Int] = rev.filter(_._2 == y)
+      .sortBy(t => (-t._3, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1) }.toMap
+    val (ra, rb) = (ranks(1995), ranks(1996))
+    val common = ra.keySet.intersect(rb.keySet)
+    def ov(dep: Int): Long =
+      common.count(nm => math.max(ra(nm), rb(nm)) <= dep).toLong
+    val rbo = 0.1 * (1 to 25).map(dep =>
+      math.exp((dep - 1) * math.log(0.9)) * ov(dep) / dep).sum
+    assert(math.abs(r.getDouble(0) - rbo) < 1e-5, s"rbo: $r vs $rbo")
+    assert(r.getLong(1) == ov(5) && r.getLong(2) == ov(10),
+      s"overlaps: $r vs (${ov(5)},${ov(10)})")
+    // RBO is a [0, 1] similarity and overlap grows with depth
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+    assert(r.getLong(1) <= r.getLong(2), "overlap monotone in depth")
+  }
 }
