@@ -110,6 +110,94 @@ object Pipeline {
     * the current (p, mn, ma, un, ua) — ENGINE-NEUTRAL text (CASE +
     * CAST(1 AS DOUBLE)) shared verbatim by the Spark folds and the
     * DuckDB oracle's list_transform terms. */
+  /** Sorted-digit ER blocking key — the digit MULTISET of the customer
+    * name's 9-digit suffix, emitted as ONE engine-neutral SQL text
+    * (substr/replace/repeat/length/concat parse and evaluate identically
+    * in Spark and DuckDB, so the Spark queries and the oracles share it
+    * verbatim). This is the classic sorted-chars blocking key of record
+    * linkage (the sorted-neighborhood family): invariant under ANY
+    * permutation of the digits — in particular the reversal corruption —
+    * so every true pair co-blocks, while the key's CARDINALITY GROWS with
+    * the data (digit multisets of the key range) instead of staying fixed.
+    * Composing it with (nationkey, mktsegment) is the r14 quadratic-
+    * linkage fix: the old fixed-125-key block made candidate pairs grow
+    * n²/125 (measured 2.9 s → 177 s at ×10); with the composed key the
+    * candidate set is ~1.15·n at sf0.1 and the family is scale-probed
+    * like every other candidate generator (ScaleBench probes + probes100).
+    */
+  private[graft] def sortedDigitsExpr(nameCol: String): String =
+    (0 to 9).map(d =>
+      s"repeat('$d', 9 - length(replace(substr($nameCol, 10, 9), " +
+        s"'$d', '')))")
+      .mkString("concat(", ", ", ")")
+
+  /** Shared ER candidate generator for the linkage family (q_entity_match,
+    * q_er_threshold_sweep, q_fellegi_sunter, q_fs_em; the streaming twin
+    * builds the same key on the arriving record): the dirty file
+    * self-derives by reversing each name's digit suffix, candidates block
+    * on (nationkey, mktsegment, sorted-digit multiset) — the composed key
+    * above — and the house BucketCap=128 guard drops any clean block over
+    * the cap (part of the declared semantics, mirrored in the oracles; it
+    * never fires on this data where the largest block is 48 rows at sf0.1,
+    * but it mechanically bounds candidates to ≤ cap·|dirty| on ANY data).
+    * The block key is computed from c_name on both sides purely for text
+    * brevity: the dirty record's own name has the SAME digit multiset by
+    * construction, so the key IS computable from the record alone (the
+    * streaming twin does exactly that). Returns the candidate-pair frame
+    * with both sides' key/name/acctbal columns. */
+  /** The capped clean-side block index of erCandidates — also the STATIC
+    * side of q_stream_entity_match's stream-static join, so batch and
+    * stream resolve against the identical index. */
+  private[graft] def erCleanIndex(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val clean = c.select(col("c_custkey").as("clean_key"),
+      col("c_name").as("clean_name"), col("c_acctbal").as("clean_acct"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      expr(sortedDigitsExpr("c_name")).as("sd"))
+    val w = Window.partitionBy("nk", "seg", "sd")
+    clean.withColumn("bc", count(lit(1)).over(w))
+      .filter(col("bc") <= lit(BucketCap.toLong)).drop("bc")
+  }
+
+  private def erCandidates(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val dirty = c.select(col("c_custkey").as("dirty_key"),
+      concat(lit("Customer#"), reverse(substring(col("c_name"), 10, 9)))
+        .as("dirty_name"),
+      col("c_acctbal").as("dirty_acct"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      expr(sortedDigitsExpr("c_name")).as("sd"))
+    // the window already hash-partitioned clean by the block key; the join
+    // shuffles dirty onto the same partitioning
+    dirty.join(erCleanIndex(s, dir), Seq("nk", "seg", "sd")).drop("sd")
+  }
+
+  /** The erCandidates rule as DuckDB CTEs (clean/dirty/cok/cand) — the
+    * oracle-side mirror, sharing sortedDigitsExpr's text verbatim; also
+    * the base of the q_stream_entity_match oracle. */
+  private[graft] def erOracleCtes: String =
+    s"""clean AS (
+       |  SELECT c_custkey AS clean_key, c_name AS clean_name,
+       |    c_acctbal AS clean_acct, c_nationkey AS nk,
+       |    c_mktsegment AS seg, ${sortedDigitsExpr("c_name")} AS sd
+       |  FROM customer),
+       |dirty AS (
+       |  SELECT c_custkey AS dirty_key,
+       |    'Customer#' || reverse(substr(c_name, 10, 9)) AS dirty_name,
+       |    c_acctbal AS dirty_acct, c_nationkey AS nk,
+       |    c_mktsegment AS seg, ${sortedDigitsExpr("c_name")} AS sd
+       |  FROM customer),
+       |cok AS (
+       |  SELECT clean_key, clean_name, clean_acct, nk, seg, sd FROM (
+       |    SELECT c.*, COUNT(*) OVER (PARTITION BY nk, seg, sd) AS bc
+       |    FROM clean c) t
+       |  WHERE bc <= 128),
+       |cand AS (
+       |  SELECT d.dirty_key, d.dirty_name, d.dirty_acct, c.clean_key,
+       |    c.clean_name, c.clean_acct, d.nk, d.seg
+       |  FROM dirty d JOIN cok c
+       |    ON c.nk = d.nk AND c.seg = d.seg AND c.sd = d.sd)""".stripMargin
+
   private def fsEmG: String = {
     val pm = "p * (CASE WHEN x.gn = 1 THEN mn ELSE CAST(1 AS DOUBLE) " +
       "- mn END) * (CASE WHEN x.ga = 1 THEN ma ELSE CAST(1 AS DOUBLE) " +
@@ -3218,9 +3306,11 @@ object Pipeline {
     // dedup ships: a "dirty file" self-derives by deterministically
     // corrupting each customer name (digit suffix reversed — same char
     // multiset, so the true pair stays close under Jaro while non-pairs
-    // drift), candidates BLOCK on stable attributes (nationkey ×
-    // mktsegment — never all-pairs; block size is |customers|/125-ish and
-    // at 100 TB the blocking key simply gets finer), the verify stage
+    // drift), candidates BLOCK on (nationkey × mktsegment × sorted-digit
+    // multiset) via the shared erCandidates generator — the composed key
+    // whose cardinality GROWS with the data, plus the BucketCap guard, so
+    // candidates stay ~linear in rows (never all-pairs, never n²/constant;
+    // see sortedDigitsExpr), the verify stage
     // scores candidates with the NATIVE codegen `graft_jaro_winkler`
     // (fuzz-validated bit-exact vs DuckDB's jaro_winkler_similarity on
     // 75k pairs), and each dirty record takes its top-1 clean candidate
@@ -3236,15 +3326,7 @@ object Pipeline {
     // best score.
     "q_entity_match" -> { (s, dir) =>
       registerNativeFns(s)
-      val c = Tables.load(s, dir, "customer")
-      val clean = c.select(col("c_custkey").as("clean_key"),
-        col("c_name").as("clean_name"),
-        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-      val dirty = c.select(col("c_custkey").as("dirty_key"),
-        concat(lit("Customer#"), reverse(substring(col("c_name"), 10, 9)))
-          .as("dirty_name"),
-        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-      val pairs = dirty.join(clean, Seq("nk", "seg"))
+      val pairs = erCandidates(s, dir)
         .withColumn("jw",
           round(expr("graft_jaro_winkler(dirty_name, clean_name)"), 6)
             .cast("decimal(8,6)"))
@@ -3285,19 +3367,11 @@ object Pipeline {
     // explode, and F1 composes the ROUNDED precision/recall (boundary
     // discipline). jw compares as the rounded DECIMAL(8,6) against exact
     // decimal thresholds — no float sits on a decision boundary. Scale:
-    // blocked equi-join (never all-pairs) + map-side threshold grid +
-    // ≤4-row rollup.
+    // the erCandidates composed-key equi-join (never all-pairs) +
+    // map-side threshold grid + ≤5-row rollup.
     "q_er_threshold_sweep" -> { (s, dir) =>
       registerNativeFns(s)
-      val c = Tables.load(s, dir, "customer")
-      val clean = c.select(col("c_custkey").as("clean_key"),
-        col("c_name").as("clean_name"),
-        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-      val dirty = c.select(col("c_custkey").as("dirty_key"),
-        concat(lit("Customer#"), reverse(substring(col("c_name"), 10, 9)))
-          .as("dirty_name"),
-        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-      val pairs = dirty.join(clean, Seq("nk", "seg"))
+      val pairs = erCandidates(s, dir)
         .withColumn("jw",
           round(expr("graft_jaro_winkler(dirty_name, clean_name)"), 6)
             .cast("decimal(8,6)"))
@@ -3740,21 +3814,15 @@ object Pipeline {
     // weights w⁺ = log2(m/u), w⁻ = log2((1−m)/(1−u)) as one shared double
     // tree over exact BIGINT counts. Fields: name Jaro-Winkler ≥ .96
     // (rounded DECIMAL vs DECIMAL — no float boundary) and exact acctbal
-    // agreement. Scale: the blocked equi-join is the only corpus-sized
-    // work (never all-pairs); the estimate is a 1-row sufficient-stat agg
+    // agreement. m/u are estimated over the BLOCKED candidate set (the
+    // production setup — Splink et al. estimate over candidates too), so
+    // u reflects the within-block non-match population. Scale: the
+    // erCandidates composed-key equi-join is the only corpus-sized work
+    // (never all-pairs); the estimate is a 1-row sufficient-stat agg
     // unpivoted to 2 field rows.
     "q_fellegi_sunter" -> { (s, dir) =>
       registerNativeFns(s)
-      val c = Tables.load(s, dir, "customer")
-      val clean = c.select(col("c_custkey").as("clean_key"),
-        col("c_name").as("clean_name"), col("c_acctbal").as("clean_acct"),
-        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-      val dirty = c.select(col("c_custkey").as("dirty_key"),
-        concat(lit("Customer#"), reverse(substring(col("c_name"), 10, 9)))
-          .as("dirty_name"),
-        col("c_acctbal").as("dirty_acct"),
-        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-      val a = dirty.join(clean, Seq("nk", "seg"))
+      val a = erCandidates(s, dir)
         .withColumn("mt", col("dirty_key") === col("clean_key"))
         .withColumn("agn",
           round(expr("graft_jaro_winkler(dirty_name, clean_name)"), 6)
@@ -3797,21 +3865,15 @@ object Pipeline {
     // discipline (responsibilities recomputed inside each fold term,
     // pinned init p=0.1, m=0.9, u=0.1 — engine-neutral CAST(0.1 AS
     // DOUBLE) literals), readout = prevalence + per-field m/u and the
-    // log₂ match weights. Converges to p̂=0.064 vs true 0.077 at
-    // sf0.01 — the labels it never saw. Scale: the blocked join is
-    // the only corpus-sized work; EM runs on 4 cells.
+    // log₂ match weights. Under the composed fine blocking most
+    // candidates ARE matches (that is what good blocking does), so the
+    // recovered prevalence is high (p̂=0.69 at sf0.01 vs true 0.97) and
+    // the per-field m/u still separate — labels it never saw. Scale:
+    // the erCandidates blocked join is the only corpus-sized work; EM
+    // runs on 4 cells.
     "q_fs_em" -> { (s, dir) =>
       registerNativeFns(s)
-      val c = Tables.load(s, dir, "customer")
-      val clean = c.select(col("c_name").as("clean_name"),
-        col("c_acctbal").as("clean_acct"),
-        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-      val dirty = c.select(
-        concat(lit("Customer#"), reverse(substring(col("c_name"), 10, 9)))
-          .as("dirty_name"),
-        col("c_acctbal").as("dirty_acct"),
-        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-      val cells = dirty.join(clean, Seq("nk", "seg"))
+      val cells = erCandidates(s, dir)
         .select(
           when(round(expr("graft_jaro_winkler(dirty_name, clean_name)"), 6)
             .cast("decimal(8,6)") >= expr("CAST(0.96 AS DECIMAL(8,6))"),
@@ -3850,8 +3912,10 @@ object Pipeline {
         round(col("un"), 6).as("u_name"),
         round(col("ma"), 6).as("m_acct"),
         round(col("ua"), 6).as("u_acct"),
-        round(expr("log2(mn / un)"), 6).as("w_name"),
-        round(expr("log2(ma / ua)"), 6).as("w_acct"))
+        // + 0.0 guard: in the degenerate all-match block census (sf0.001)
+        // log2(1/1) rounds to -0.0 — normalize the sign in both engines
+        expr("round(log2(mn / un), 6) + CAST(0 AS DOUBLE)").as("w_name"),
+        expr("round(log2(ma / ua), 6) + CAST(0 AS DOUBLE)").as("w_acct"))
     },
 
     // WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken 2003 — the
@@ -4248,7 +4312,8 @@ object Pipeline {
 
     "q_kcore" -> kcoreOracle,
 
-    // q_fs_em's oracle: identical blocked pairs and pattern histogram
+    // q_fs_em's oracle: identical blocked pairs (the shared erOracleCtes —
+    // composed sorted-digit key + BucketCap) and pattern histogram
     // (DuckDB's jaro_winkler_similarity, same rounding/threshold), the
     // same 4 EM rounds with the IDENTICAL fsEmG responsibility text
     // inside each list_transform term, same pinned init.
@@ -4272,26 +4337,17 @@ object Pipeline {
            |    sun / (n - sp) AS un, sua / (n - sp) AS ua
            |  FROM s${i}a)""".stripMargin
       }.mkString(",\n")
-      s"""WITH clean AS (
-         |  SELECT c_name AS clean_name, c_acctbal AS clean_acct,
-         |    c_nationkey AS nk, c_mktsegment AS seg
-         |  FROM customer),
-         |dirty AS (
-         |  SELECT 'Customer#' || reverse(substr(c_name, 10, 9))
-         |      AS dirty_name,
-         |    c_acctbal AS dirty_acct, c_nationkey AS nk,
-         |    c_mktsegment AS seg
-         |  FROM customer),
+      s"""WITH $erOracleCtes,
          |cells AS (
          |  SELECT CAST(CASE WHEN
-         |      CAST(round(jaro_winkler_similarity(d.dirty_name,
-         |        c.clean_name), 6) AS DECIMAL(8,6)) >=
+         |      CAST(round(jaro_winkler_similarity(dirty_name,
+         |        clean_name), 6) AS DECIMAL(8,6)) >=
          |      CAST(0.96 AS DECIMAL(8,6)) THEN 1 ELSE 0 END AS BIGINT)
          |      AS gn,
-         |    CAST(CASE WHEN d.dirty_acct = c.clean_acct THEN 1 ELSE 0
+         |    CAST(CASE WHEN dirty_acct = clean_acct THEN 1 ELSE 0
          |      END AS BIGINT) AS ga,
          |    CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM dirty d JOIN clean c ON c.nk = d.nk AND c.seg = d.seg
+         |  FROM cand
          |  GROUP BY 1, 2),
          |base AS (
          |  SELECT list(struct_pack(gn := gn, ga := ga, c := c)
@@ -4306,31 +4362,22 @@ object Pipeline {
          |  round(p, 6) AS prevalence,
          |  round(mn, 6) AS m_name, round(un, 6) AS u_name,
          |  round(ma, 6) AS m_acct, round(ua, 6) AS u_acct,
-         |  round(log2(mn / un), 6) AS w_name,
-         |  round(log2(ma / ua), 6) AS w_acct
+         |  round(log2(mn / un), 6) + CAST(0 AS DOUBLE) AS w_name,
+         |  round(log2(ma / ua), 6) + CAST(0 AS DOUBLE) AS w_acct
          |FROM s4""".stripMargin
     },
 
-    // same blocked pairs + DuckDB's own jaro_winkler_similarity, same
+    // same blocked pairs (shared erOracleCtes — composed sorted-digit key
+    // + BucketCap) + DuckDB's own jaro_winkler_similarity, same
     // Laplace-smoothed m/u and log2 weight trees over exact counts
     "q_fellegi_sunter" ->
-      """WITH clean AS (
-        |  SELECT c_custkey AS clean_key, c_name AS clean_name,
-        |    c_acctbal AS clean_acct, c_nationkey AS nk,
-        |    c_mktsegment AS seg
-        |  FROM customer),
-        |dirty AS (
-        |  SELECT c_custkey AS dirty_key,
-        |    'Customer#' || reverse(substr(c_name, 10, 9)) AS dirty_name,
-        |    c_acctbal AS dirty_acct, c_nationkey AS nk,
-        |    c_mktsegment AS seg
-        |  FROM customer),
+      s"""WITH $erOracleCtes,
         |p AS (
-        |  SELECT d.dirty_key = c.clean_key AS mt,
-        |    CAST(round(jaro_winkler_similarity(d.dirty_name, c.clean_name),
+        |  SELECT dirty_key = clean_key AS mt,
+        |    CAST(round(jaro_winkler_similarity(dirty_name, clean_name),
         |      6) AS DECIMAL(8,6)) >= CAST(0.96 AS DECIMAL(8,6)) AS agn,
-        |    d.dirty_acct = c.clean_acct AS aga
-        |  FROM dirty d JOIN clean c ON c.nk = d.nk AND c.seg = d.seg),
+        |    dirty_acct = clean_acct AS aga
+        |  FROM cand),
         |a AS (
         |  SELECT CAST(SUM(CASE WHEN mt THEN 1 ELSE 0 END) AS BIGINT) AS nm,
         |    CAST(SUM(CASE WHEN NOT mt THEN 1 ELSE 0 END) AS BIGINT) AS nu,
@@ -6572,24 +6619,16 @@ object Pipeline {
         |    (acc, v) -> acc + v), 6) AS kl_bits
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
-    // same derived dirty file, same blocking, DuckDB's own
-    // jaro_winkler_similarity (bit-exact with the native expression),
-    // same rounded-decimal top-1 total order
+    // same derived dirty file, same composed blocking + cap (shared
+    // erOracleCtes), DuckDB's own jaro_winkler_similarity (bit-exact with
+    // the native expression), same rounded-decimal top-1 total order
     "q_entity_match" ->
-      """WITH clean AS (
-        |  SELECT c_custkey AS clean_key, c_name AS clean_name,
-        |    c_nationkey AS nk, c_mktsegment AS seg
-        |  FROM customer),
-        |dirty AS (
-        |  SELECT c_custkey AS dirty_key,
-        |    'Customer#' || reverse(substr(c_name, 10, 9)) AS dirty_name,
-        |    c_nationkey AS nk, c_mktsegment AS seg
-        |  FROM customer),
+      s"""WITH $erOracleCtes,
         |pairs AS (
-        |  SELECT d.dirty_key, c.clean_key, d.nk,
-        |    CAST(round(jaro_winkler_similarity(d.dirty_name, c.clean_name),
+        |  SELECT dirty_key, clean_key, nk,
+        |    CAST(round(jaro_winkler_similarity(dirty_name, clean_name),
         |      6) AS DECIMAL(8,6)) AS jw
-        |  FROM dirty d JOIN clean c ON c.nk = d.nk AND c.seg = d.seg),
+        |  FROM cand),
         |t1 AS (
         |  SELECT dirty_key, clean_key, nk, jw,
         |    ROW_NUMBER() OVER (PARTITION BY dirty_key
@@ -6604,24 +6643,16 @@ object Pipeline {
         |FROM t1 WHERE rn = 1
         |GROUP BY nk ORDER BY nk""".stripMargin,
 
-    // same blocked pairs + DuckDB's own jaro_winkler_similarity (fuzz-
-    // proven bit-equal to the native expression), same decimal threshold
-    // grid, same rounded-P/R F1 composition
+    // same blocked pairs (shared erOracleCtes) + DuckDB's own
+    // jaro_winkler_similarity (fuzz-proven bit-equal to the native
+    // expression), same decimal threshold grid, same rounded-P/R F1
     "q_er_threshold_sweep" ->
-      """WITH clean AS (
-        |  SELECT c_custkey AS clean_key, c_name AS clean_name,
-        |    c_nationkey AS nk, c_mktsegment AS seg
-        |  FROM customer),
-        |dirty AS (
-        |  SELECT c_custkey AS dirty_key,
-        |    'Customer#' || reverse(substr(c_name, 10, 9)) AS dirty_name,
-        |    c_nationkey AS nk, c_mktsegment AS seg
-        |  FROM customer),
+      s"""WITH $erOracleCtes,
         |pairs AS (
-        |  SELECT d.dirty_key, c.clean_key,
-        |    CAST(round(jaro_winkler_similarity(d.dirty_name, c.clean_name),
+        |  SELECT dirty_key, clean_key,
+        |    CAST(round(jaro_winkler_similarity(dirty_name, clean_name),
         |      6) AS DECIMAL(8,6)) AS jw
-        |  FROM dirty d JOIN clean c ON c.nk = d.nk AND c.seg = d.seg),
+        |  FROM cand),
         |sw AS (
         |  SELECT p.*, t.tau FROM pairs p CROSS JOIN (
         |    SELECT unnest([CAST(0.90 AS DECIMAL(8,6)),

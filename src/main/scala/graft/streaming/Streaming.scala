@@ -1320,25 +1320,31 @@ object Streaming {
 
     // STREAMING ENTITY MATCH — q_entity_match run as an online service:
     // dirty customer records ARRIVE as a stream and resolve against the
-    // STATIC clean index via a stream-static blocked equi-join
-    // ((nation, segment) blocking — never all-pairs) + the native
-    // Jaro-Winkler scorer. The stream side carries ZERO state: a
-    // stream-static join is stateless by construction (each arriving
-    // record meets the whole broadcast index inside its own micro-batch),
-    // so each record's per-batch (jw DESC, clean_key ASC) argmax IS its
-    // global argmax — the index, not the stream, is the state, which is
-    // the 100 TB story (the index shards/broadcasts; arrivals never
-    // accumulate). Finished per-entity matches roll up to the exact
-    // q_entity_match readout — the stream must answer what the batch
-    // linkage answers.
+    // STATIC clean block index (Pipeline.erCleanIndex — the identical
+    // composed (nation, segment, sorted-digit) key + BucketCap the batch
+    // linkage uses) via a stream-static equi-join on the FULL block key;
+    // the arriving record computes its own key from its own dirty name
+    // (the multiset is corruption-invariant), so each arrival meets ONE
+    // block's candidates, never the whole index. The stream side carries
+    // ZERO state: a stream-static join is stateless by construction and
+    // each dirty record arrives exactly once, so its per-batch
+    // (jw DESC, clean_key ASC) argmax IS its global argmax. The index is
+    // hash-partitioned by block key — at 100 TB it shards like any
+    // bucketed dimension (no full-table broadcast: the r14 version
+    // broadcast the whole clean table, unboundable at scale). Finished
+    // matches fold per batch to per-nation PARTIAL sums (count/correct/
+    // Σjw — associative, exact decimals), so driver memory is
+    // O(nations·batches), never O(entities); the final readout sums the
+    // partials to the exact q_entity_match answer.
     "q_stream_entity_match" -> { (s, dir) =>
       graft.operators.Pipeline.registerNativeFns(s)
-      val clean = Tables.load(s, dir, "customer").select(
-        col("c_custkey").as("clean_key"), col("c_name").as("clean_name"),
-        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      val cleanIdx = graft.operators.Pipeline.erCleanIndex(s, dir)
+        .drop("clean_acct")
       val matches = dirtyCustStream(s, dir, "ermatch")
         .filter(col("dirty_key") =!= -1L)
-        .join(broadcast(clean), Seq("nk", "seg"))
+        .withColumn("sd", expr(
+          graft.operators.Pipeline.sortedDigitsExpr("dirty_name")))
+        .join(cleanIdx, Seq("nk", "seg", "sd"))
         .withColumn("jw",
           round(expr("graft_jaro_winkler(dirty_name, clean_name)"), 6)
             .cast("decimal(8,6)"))
@@ -1347,28 +1353,34 @@ object Streaming {
         val q = matches.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             // lexicographic struct max ≡ (jw DESC, clean_key ASC) — the
-            // q_entity_match tiebreak, evaluated per batch
+            // q_entity_match tiebreak, evaluated per batch, then reduced
+            // to the per-nation partial BEFORE leaving the executors:
+            // ≤ |nations| rows reach the driver per batch
             acc(batchId) = batch.groupBy("nk", "dirty_key")
               .agg(max(struct(col("jw"), (lit(0L) - col("clean_key"))
                 .as("neg_key"))).as("best"))
               .select(col("nk"), col("dirty_key"),
                 (lit(0L) - col("best.neg_key")).as("clean_key"),
                 col("best.jw").as("jw"))
+              .groupBy("nk")
+              .agg(count(lit(1)).as("n"),
+                sum(when(col("clean_key") === col("dirty_key"), 1L)
+                  .otherwise(0L)).as("n_correct"),
+                sum(col("jw")).cast(DecimalType(18, 6)).as("sjw"))
               .collect()
           }.start()
         try q.processAllAvailable() finally q.stop()
       }
       val rows: Seq[Row] = acc.values.flatten.toSeq
-      val best = s.createDataFrame(
+      val partials = s.createDataFrame(
         java.util.Arrays.asList(rows: _*), StructType(Seq(
-          StructField("nk", IntegerType), StructField("dirty_key", LongType),
-          StructField("clean_key", LongType),
-          StructField("jw", DecimalType(8, 6)))))
-      best.groupBy("nk")
-        .agg(count(lit(1)).as("n_entities"),
-          sum(when(col("clean_key") === col("dirty_key"), 1L).otherwise(0L))
-            .as("n_correct"),
-          sum(col("jw")).as("sjw"))
+          StructField("nk", IntegerType), StructField("n", LongType),
+          StructField("n_correct", LongType),
+          StructField("sjw", DecimalType(18, 6)))))
+      partials.groupBy("nk")
+        .agg(sum(col("n")).as("n_entities"),
+          sum(col("n_correct")).as("n_correct"),
+          sum(col("sjw")).as("sjw"))
         .select(col("nk").as("c_nationkey"), col("n_entities"),
           col("n_correct"),
           round(col("n_correct").cast("double") / col("n_entities"), 6)
@@ -1780,23 +1792,16 @@ object Streaming {
         |FROM folds ORDER BY w_start""".stripMargin,
 
     // each dirty record arrives exactly once and resolves statelessly
-    // against the full static index → the finished rollup equals the
+    // against the static block index (the shared erOracleCtes — composed
+    // sorted-digit key + BucketCap) → the finished rollup equals the
     // batch q_entity_match oracle verbatim
     "q_stream_entity_match" ->
-      """WITH clean AS (
-        |  SELECT c_custkey AS clean_key, c_name AS clean_name,
-        |    c_nationkey AS nk, c_mktsegment AS seg
-        |  FROM customer),
-        |dirty AS (
-        |  SELECT c_custkey AS dirty_key,
-        |    'Customer#' || reverse(substr(c_name, 10, 9)) AS dirty_name,
-        |    c_nationkey AS nk, c_mktsegment AS seg
-        |  FROM customer),
+      s"""WITH ${graft.operators.Pipeline.erOracleCtes},
         |pairs AS (
-        |  SELECT d.dirty_key, c.clean_key, d.nk,
-        |    CAST(round(jaro_winkler_similarity(d.dirty_name, c.clean_name),
+        |  SELECT dirty_key, clean_key, nk,
+        |    CAST(round(jaro_winkler_similarity(dirty_name, clean_name),
         |      6) AS DECIMAL(8,6)) AS jw
-        |  FROM dirty d JOIN clean c ON c.nk = d.nk AND c.seg = d.seg),
+        |  FROM cand),
         |t1 AS (
         |  SELECT dirty_key, clean_key, nk, jw,
         |    ROW_NUMBER() OVER (PARTITION BY dirty_key

@@ -78,16 +78,16 @@ object ScaleBench {
     // pins that the explode_outer fix holds when docs × 10), rank-1 ALS
     // (3 broadcast joins + one cell rollup, then corpus-independent
     // one-row rounds), and the absorbing chain (one lead window pass +
-    // a 15-cell rollup). q_fs_em / q_fellegi_sunter are NOT probed at
-    // any tier, deliberately: blocked-pair linkage is quadratic in
-    // block size when the block KEY is held fixed (measured 2.9 s →
-    // 177 s at ×10 — exactly n²/B), and that is a property of the
-    // evaluation setup, not the operator: at real scale a linker
-    // re-blocks finer so block sizes stay bounded, which changes the
-    // candidate set and hence the measured semantics. Probing it here
-    // would either flag a by-design curve or quietly measure a
-    // different operator; the disclosure lives in E205's SURVEY row.
-    "q_winnowing", "q_als_rank1", "q_absorbing_chain")
+    // a 15-cell rollup).
+    "q_winnowing", "q_als_rank1", "q_absorbing_chain",
+    // round-15: the ER/linkage family, now probed like every other
+    // candidate generator. r14's fixed 125-key (nation, segment) block
+    // made candidate pairs grow n²/125 (measured 2.9 s → 177 s at ×10;
+    // the family was deliberately EXCLUDED from probes); the composed
+    // (nation, segment, sorted-digit-multiset) key + BucketCap guard
+    // (Pipeline.erCandidates) bounds candidates to ~1.15·n, so the same
+    // operator semantics now hold across tiers — no more exclusion.
+    "q_entity_match", "q_fs_em")
 
   /** Streaming tier probes: every stateful-operator family — chained
     * multi-stateful, transformWithState (RocksDB), watermark dedup,
@@ -117,14 +117,14 @@ object ScaleBench {
     "q_event_funnel", "q_markov_transitions",
     // round-14 representatives: the pointer-jump CC (supersteps must
     // stay flat — only the edge shuffle grows), the delta LSH probe,
-    // and the fixed winnowing fingerprint join. q_fs_em is ×10-only BY
-    // DESIGN: blocked-pair linkage is quadratic in block size (125
-    // fixed blocks × (n/125)² ≈ 2·10¹⁰ jaro-winkler pairs at ×100 —
-    // measured as a multi-hour hang), and the ×10 tier already shows
-    // that curve; at real scale you re-block finer, you don't brute
-    // the same 125 blocks through 100× the rows.
+    // and the fixed winnowing fingerprint join
     "q_connected_components", "q_minhash_incremental",
-    "q_winnowing")
+    "q_winnowing",
+    // round-15: both linkage probes run the FULL ×100 tier — the composed
+    // sorted-digit block key keeps candidates ~linear (the r14 fixed-key
+    // version was a measured multi-hour hang here; holding the ≤120×
+    // gate at ×100 is exactly the point of the fix)
+    "q_entity_match", "q_fs_em")
 
   def main(args: Array[String]): Unit = {
     val x10Dir = args.lift(0).getOrElse("/root/repo/target/scaledata/sf1")

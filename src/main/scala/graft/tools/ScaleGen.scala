@@ -65,8 +65,17 @@ object ScaleGen {
     write("nation", read("nation"))
 
     val cust = read("customer"); val custS = stride(cust, "c_custkey")
+    // c_name regenerates from the SHIFTED key ('Customer#' || 9-digit pad —
+    // the base generator's own rule, so copy 0 is byte-identical): a
+    // verbatim name copy would put 10/100 IDENTICAL names in every ER
+    // block, densifying the linkage candidate set quadratically — the same
+    // self-similarity requirement the documents/embeddings perturbations
+    // implement (copies must look like MORE customers, not repeated ones)
     write("customer", fan(cust).select(shift("c_custkey", custS),
-      col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+      concat(lit("Customer#"),
+        lpad((col("c_custkey") + col("_i") * custS).cast("string"), 9, "0"))
+        .as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
 
     val supp = read("supplier"); val suppS = stride(supp, "s_suppkey")
     write("supplier", fan(supp).select(shift("s_suppkey", suppS),

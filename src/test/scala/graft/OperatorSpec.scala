@@ -4985,21 +4985,31 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
 
   test("fs em: brute pattern-EM replay matches and separates m from u") {
     import graft.operators.Pipeline
-    val r = Pipeline.queries("q_fs_em")(spark, sfDir).collect().head
-    // recover the 4-pattern histogram exactly as the query builds it
+    // sf0.01 (not the suite default sf0.001): under the composed fine
+    // blocking the tiny tier's candidate census is all-match/one-pattern
+    // (degenerate but deterministic); the separation contract needs the
+    // tier where non-match candidates exist
+    val emDir = "/root/testdata/sf0.01"
+    val r = Pipeline.queries("q_fs_em")(spark, emDir).collect().head
+    // recover the 4-pattern histogram exactly as the query builds it:
+    // composed (nk, seg, sorted-digit) block key + the BucketCap guard
     Pipeline.registerNativeFns(spark)
-    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val c = spark.read.parquet(s"$emDir/customer.parquet")
     val pairs = {
       import org.apache.spark.sql.functions._
-      val clean = c.select(col("c_name").as("cn"),
+      val sdE = expr(Pipeline.sortedDigitsExpr("c_name"))
+      val clean0 = c.select(col("c_name").as("cn"),
         col("c_acctbal").as("ca"), col("c_nationkey").as("nk"),
-        col("c_mktsegment").as("seg"))
+        col("c_mktsegment").as("seg"), sdE.as("sd"))
+      val okBlocks = clean0.groupBy("nk", "seg", "sd").count()
+        .filter(col("count") <= 128).select("nk", "seg", "sd")
+      val clean = clean0.join(okBlocks, Seq("nk", "seg", "sd"))
       val dirty = c.select(
         concat(lit("Customer#"), reverse(substring(col("c_name"), 10, 9)))
           .as("dn"),
         col("c_acctbal").as("da"), col("c_nationkey").as("nk"),
-        col("c_mktsegment").as("seg"))
-      dirty.join(clean, Seq("nk", "seg"))
+        col("c_mktsegment").as("seg"), sdE.as("sd"))
+      dirty.join(clean, Seq("nk", "seg", "sd"))
         .selectExpr(
           "CASE WHEN CAST(round(graft_jaro_winkler(dn, cn), 6) AS " +
             "DECIMAL(8,6)) >= CAST(0.96 AS DECIMAL(8,6)) THEN 1L " +
