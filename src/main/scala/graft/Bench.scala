@@ -124,8 +124,12 @@ object Bench {
     val meth = "warm-up pass at sf0.001, then min of 3 timed passes; " +
       "spread = per-query max/min across the passes (jitter bound); " +
       "canary=q_users_scan min-of-3 before/after; contended = canary drift >2x"
+    // config delta, stated so the committed self-bench total is never read
+    // against the driver's local[32] number as a regression
+    val note = s"self-bench at cpus=$cpus / shuffle.partitions=$cpus; " +
+      "the driver bench runs local[32] — totals are NOT comparable across configs"
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"reps":3,"cpus":$cpus,"canary_before_sec":${r3(canaryBefore)},"canary_after_sec":${r3(canaryAfter)},"contended":$contended,"methodology":"$meth","queries":$qs,"spread":$sp$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"reps":3,"cpus":$cpus,"note":"$note","canary_before_sec":${r3(canaryBefore)},"canary_after_sec":${r3(canaryAfter)},"contended":$contended,"methodology":"$meth","queries":$qs,"spread":$sp$errJson,"sf":"$sfDir"}"""
     println(line)
     // trailing one-line summary AFTER the big line: the driver's tail capture
     // truncated the r7 line from the head ("parsed": null), so the headline

@@ -2698,6 +2698,103 @@ object Pipeline {
         .orderBy("shard", "bin")
     },
 
+    // END-TO-END CORPUS PIPELINE — the whole training-data assembly line
+    // as ONE lazy DAG with one funnel readout: Gopher quality gate →
+    // exact dedup (content-hash keep-first) → near dedup (prefix
+    // fingerprint keep-first) → benchmark decontamination (5-gram
+    // shingles vs the eval set) → √-rebalanced language sampling →
+    // 512-token sequence packing. Every stage is a COLUMN over one
+    // corpus scan, not a separate job: the keep-first dedups are
+    // conditional MINs over content-key windows (min(CASE WHEN prev_ok
+    // THEN doc_id END) OVER (PARTITION BY key) — each stage's predicate
+    // nests the previous one's), contamination is a map-side
+    // arrays_overlap against the ≤|eval-shingles| broadcast reference,
+    // and packing is the q_pack_sequences cumulative window over the
+    // sampled survivors only. Scan census: ONE corpus scan feeds the
+    // spine; the eval REFERENCE set (doc_id % 50 = 0) is its own tiny
+    // rollup scan (a separate input, not a stage re-scan); and there is
+    // exactly ONE documented localCheckpoint cut — after decontamination,
+    // where the sampling rates need a per-language rollup OF the spine
+    // plus a join BACK to it (two consumers; in production this cut is
+    // the materialized "clean corpus" artifact every pipeline writes
+    // anyway). Windows/joins shuffle on content keys and language — all
+    // key-partitioned, nothing corpus-sized ever single-partitions.
+    "q_corpus_pipeline" -> { (s, dir) =>
+      val shingles =
+        s"array_distinct(transform(${ngramExpr(5)}, g -> ${hExpr("g")}))"
+      val bench = docsPar(s, dir).filter(col("doc_id") % 50 === 0)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 5)
+        .select(explode(expr(shingles)).as("sh")).distinct()
+        .agg(collect_set(col("sh")).as("bset"))
+      val wCk = Window.partitionBy("ckey")
+      val wFp = Window.partitionBy("fp")
+      val spine0 = docsPar(s, dir).filter(col("doc_id") % 50 =!= 0)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("tok", size(col("w")).cast("long"))
+        .withColumn("chars",
+          expr("aggregate(w, 0L, (a, x) -> a + length(x))"))
+        .withColumn("alpha",
+          expr("CAST(size(filter(w, x -> x rlike '[a-z]')) AS BIGINT)"))
+        .withColumn("sym", expr(
+          "CAST(size(filter(w, x -> x IN ('#', '...'))) AS BIGINT)"))
+        .withColumn("stop", expr(
+          "CAST(size(filter(w, x -> x IN ('the','be','to','of','and'," +
+            "'that','have','with'))) AS BIGINT)"))
+        .withColumn("qk",
+          col("tok") >= 20L && col("tok") <= 1000L &&
+            col("chars") >= lit(3L) * col("tok") &&
+            col("chars") <= lit(10L) * col("tok") &&
+            lit(10L) * col("sym") <= col("tok") &&
+            lit(10L) * col("alpha") >= lit(8L) * col("tok") &&
+            col("stop") >= 2L)
+        .withColumn("ckey",
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+        .withColumn("fp", md5(expr("array_join(slice(w, 1, 8), ' ')")))
+        .withColumn("ek", col("qk") &&
+          col("doc_id") === min(when(col("qk"), col("doc_id"))).over(wCk))
+        .withColumn("nk", col("ek") &&
+          col("doc_id") === min(when(col("ek"), col("doc_id"))).over(wFp))
+        .withColumn("sh_arr", expr(
+          s"CASE WHEN size(w) >= 5 THEN $shingles END"))
+        .crossJoin(broadcast(bench))
+        .withColumn("ck", col("nk") &&
+          !coalesce(arrays_overlap(col("sh_arr"), col("bset")), lit(false)))
+        .select("doc_id", "lang", "tok", "qk", "ek", "nk", "ck")
+      // the ONE documented cut (see the scan census above)
+      val spine = spine0.localCheckpoint(true)
+      val one = Window.partitionBy(pmod(col("lang_tokens"), lit(1)))
+      val rates = spine.filter(col("ck")).groupBy("lang")
+        .agg(sum("tok").as("lang_tokens"))
+        .withColumn("w_l", floor(sqrt(col("lang_tokens"))).cast("long"))
+        .withColumn("total_tokens", sum("lang_tokens").over(one))
+        .withColumn("sum_w", sum("w_l").over(one))
+        .withColumn("rate_bp", least(lit(10000L),
+          expr("(((total_tokens div 2) div sum_w) * w_l * 10000) " +
+            "div lang_tokens")))
+        .select("lang", "rate_bp")
+      val wSh = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      spine.join(broadcast(rates), Seq("lang"), "left")
+        .withColumn("mk", col("ck") &&
+          expr(s"${hExpr("cast(doc_id as string)")} % 10000") <
+            coalesce(col("rate_bp"), lit(0L)))
+        .withColumn("shard",
+          expr(s"${hExpr("cast(doc_id as string)")} % 16"))
+        .withColumn("cum_before", coalesce(
+          sum(when(col("mk"), col("tok")).otherwise(0L)).over(wSh), lit(0L)))
+        .withColumn("seq_id", when(col("mk"),
+          col("shard") * 1048576L + expr("cum_before div 512")))
+        .agg(count(lit(1)).as("n_input"),
+          sum(when(col("qk"), 1L).otherwise(0L)).as("n_quality_pass"),
+          sum(when(col("ek"), 1L).otherwise(0L)).as("n_after_exact_dedup"),
+          sum(when(col("nk"), 1L).otherwise(0L)).as("n_after_near_dedup"),
+          sum(when(col("ck"), 1L).otherwise(0L)).as("n_after_decontam"),
+          sum(when(col("mk"), 1L).otherwise(0L)).as("n_sampled"),
+          countDistinct(col("seq_id")).as("n_sequences"),
+          sum(when(col("mk"), col("tok")).otherwise(0L)).as("tokens_packed"))
+    },
+
     // Per-language corpus stats (count / token / char aggregates).
     "q_text_stats" -> { (s, dir) =>
       docs(s, dir)
@@ -3353,6 +3450,85 @@ object Pipeline {
         .orderBy("c_nationkey")
     },
 
+    // SORTED-NEIGHBORHOOD candidate generation (Hernández & Stolfo 1995
+    // — the OTHER standard scale-safe ER candidate generator, next to
+    // q_entity_match's blocking): clean + dirty records UNION into one
+    // file, sort by a similarity-preserving key (the sorted-digit
+    // multiset, then name — true pairs share the key so they sort
+    // ADJACENT), and each record pairs with only its w = 8 successors in
+    // sort order. Candidates are ≤ w·n BY CONSTRUCTION — a hard bound
+    // that holds on any data, including the skewed blocks where plain
+    // blocking degrades (the complementary tradeoff: bounded candidates,
+    // recall depends on w). Run here within the coarse (nation, segment)
+    // partitions — the standard blocked-SN hybrid, which is also the
+    // distributed execution shape: the window sorts WITHIN partitions
+    // (at 100 TB: range-partition the sort key, w-row boundary overlap),
+    // one shuffle + sort, linear pair volume. Verify = the native
+    // codegen Jaro-Winkler, top-1 by the q_entity_match total order;
+    // readout adds COVERAGE (dirty records that got any candidate) —
+    // the recall knob a linker tunes w by. Both engines compute the
+    // neighborhood with lead(k) over the identical total order.
+    "q_sorted_neighborhood" -> { (s, dir) =>
+      registerNativeFns(s)
+      val c = Tables.load(s, dir, "customer")
+      val clean = c.select(col("c_custkey").as("k"), col("c_name").as("nm"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+        .withColumn("role", lit(0))
+      val dirty = c.select(col("c_custkey").as("k"),
+        concat(lit("Customer#"), reverse(substring(col("c_name"), 10, 9)))
+          .as("nm"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+        .withColumn("role", lit(1))
+      val u = clean.unionByName(dirty)
+        .withColumn("sdk", expr(sortedDigitsExpr("nm")))
+      val w = Window.partitionBy("nk", "seg")
+        .orderBy("sdk", "nm", "role", "k")
+      var l = u
+      (1 to 8).foreach { i =>
+        l = l.withColumn(s"nb$i",
+          lead(struct(col("role"), col("k"), col("nm")), i).over(w))
+      }
+      val pairs = l
+        .select(col("nk"), col("role"), col("k"), col("nm"),
+          explode(array((1 to 8).map(i => col(s"nb$i")): _*)).as("b"))
+        .filter(col("b").isNotNull && col("b.role") =!= col("role"))
+        .select(col("nk"),
+          when(col("role") === 1, col("k")).otherwise(col("b.k"))
+            .as("dirty_key"),
+          when(col("role") === 1, col("nm")).otherwise(col("b.nm"))
+            .as("dirty_name"),
+          when(col("role") === 1, col("b.k")).otherwise(col("k"))
+            .as("clean_key"),
+          when(col("role") === 1, col("b.nm")).otherwise(col("nm"))
+            .as("clean_name"))
+        .withColumn("jw",
+          round(expr("graft_jaro_winkler(dirty_name, clean_name)"), 6)
+            .cast("decimal(8,6)"))
+      val best = pairs.groupBy("nk", "dirty_key")
+        .agg(max(struct(col("jw"), (lit(0L) - col("clean_key"))
+          .as("neg_key"))).as("best"))
+        .select(col("nk"), col("dirty_key"),
+          (lit(0L) - col("best.neg_key")).as("clean_key"),
+          col("best.jw").as("jw"))
+      val tot = c.groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_dirty"))
+      best.groupBy("nk")
+        .agg(count(lit(1)).as("n_matched"),
+          sum(when(col("clean_key") === col("dirty_key"), 1L).otherwise(0L))
+            .as("n_correct"),
+          sum(col("jw")).as("sjw"))
+        .join(broadcast(tot), Seq("nk"))
+        .select(col("nk").as("c_nationkey"), col("n_dirty"),
+          col("n_matched"), col("n_correct"),
+          round(col("n_matched").cast("double") / col("n_dirty"), 6)
+            .as("coverage"),
+          round(col("n_correct").cast("double") / col("n_matched"), 6)
+            .as("top1_accuracy"),
+          round(col("sjw").cast("double") / col("n_matched"), 6)
+            .as("avg_top1_jw"))
+        .orderBy("c_nationkey")
+    },
+
     // ER THRESHOLD SWEEP — the tuning curve a record-linkage operator
     // ships with (Fellegi-Sunter in practice: pick τ by the
     // precision/recall tradeoff, don't guess it): the EXACT q_entity_match
@@ -3951,9 +4127,18 @@ object Pipeline {
         .filter(size(col("w")) >= 6)
         .withColumn("g", expr(ngramExpr(3)))
         .withColumn("hw", expr(s"transform(g, gr -> ${hExpr("gr")})"))
+        // loud overflow guard: the (h, pos) pack is only bijective while
+        // pos < 65536 — a longer doc would silently decode to corrupted
+        // fingerprints (h−1), so it must FAIL, not clamp; the documented
+        // contract is that long docs chunk first (q_chunk_docs)
         .withColumn("keys", expr(
-          "zip_with(hw, sequence(0L, CAST(size(hw) - 1 AS BIGINT)), " +
-            "(h, i) -> h * 65536L + (65535L - i))"))
+          "CASE WHEN size(hw) < 65536 THEN " +
+            "zip_with(hw, sequence(0L, CAST(size(hw) - 1 AS BIGINT)), " +
+            "(h, i) -> h * 65536L + (65535L - i)) " +
+            "ELSE raise_error(concat('q_winnowing: doc ', " +
+            "CAST(doc_id AS STRING), ' has ', CAST(size(hw) AS STRING), " +
+            "' shingle positions (max 65535) - chunk first, " +
+            "cf. q_chunk_docs')) END"))
         .withColumn("fps", expr(
           "array_distinct(transform(sequence(1, size(keys) - 3), " +
             "p -> array_min(slice(keys, p, 4)) div 65536L))"))
@@ -6168,6 +6353,106 @@ object Pipeline {
         |  md5(array_to_string(w[start:start+31], ' ')) AS chunk_hash
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    // stage-for-stage replay of the one-DAG funnel: same Gopher rule
+    // texts, same content/fingerprint keep-first conditional-MIN windows,
+    // same shingle reference and overlap gate (list_has_any ≡
+    // arrays_overlap on null-free lists), same √-rebalance integer rate
+    // arithmetic and md5 coin, same packing cursor
+    "q_corpus_pipeline" ->
+      """WITH bench AS (
+        |  SELECT list(DISTINCT sh) AS bset FROM (
+        |    SELECT unnest(list_distinct(list_transform(
+        |        list_transform(range(0, len(w) - 4),
+        |          i -> w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]),
+        |        g -> ('0x'||substr(md5(g),1,8))::BIGINT))) AS sh
+        |    FROM (SELECT string_split(text, ' ') AS w FROM documents
+        |          WHERE doc_id % 50 = 0) t WHERE len(w) >= 5)),
+        |base AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |st AS (
+        |  SELECT doc_id, lang, w, CAST(len(w) AS BIGINT) AS tok,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS ckey,
+        |    md5(array_to_string(w[1:8], ' ')) AS fp,
+        |    CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+        |      AS BIGINT) AS chars,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(w, x -> x IN ('#', '...'))) AS BIGINT)
+        |      AS sym,
+        |    CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and',
+        |      'that','have','with'))) AS BIGINT) AS stop,
+        |    CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
+        |      list_transform(range(0, len(w) - 4),
+        |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]),
+        |      g -> ('0x'||substr(md5(g),1,8))::BIGINT)) END AS sh_arr
+        |  FROM base),
+        |s1 AS (
+        |  SELECT *, (tok >= 20 AND tok <= 1000 AND chars >= 3 * tok
+        |    AND chars <= 10 * tok AND 10 * sym <= tok
+        |    AND 10 * alpha >= 8 * tok AND stop >= 2) AS qk
+        |  FROM st),
+        |s2 AS (
+        |  SELECT *, (qk AND doc_id = MIN(CASE WHEN qk THEN doc_id END)
+        |    OVER (PARTITION BY ckey)) AS ek
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, (ek AND doc_id = MIN(CASE WHEN ek THEN doc_id END)
+        |    OVER (PARTITION BY fp)) AS nk
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT s3.*, (nk AND NOT COALESCE(list_has_any(sh_arr, bset),
+        |    FALSE)) AS ck
+        |  FROM s3 CROSS JOIN bench),
+        |agg AS (
+        |  SELECT lang, CAST(SUM(CASE WHEN ck THEN tok END) AS BIGINT)
+        |    AS lang_tokens
+        |  FROM s4 GROUP BY lang
+        |  HAVING SUM(CASE WHEN ck THEN 1 ELSE 0 END) > 0),
+        |r AS (
+        |  SELECT lang, lang_tokens,
+        |    CAST(floor(sqrt(lang_tokens)) AS BIGINT) AS w_l,
+        |    CAST(SUM(lang_tokens) OVER () AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CAST(floor(sqrt(lang_tokens)) AS BIGINT)) OVER ()
+        |      AS BIGINT) AS sum_w
+        |  FROM agg),
+        |rates AS (
+        |  SELECT lang, CAST(least(10000,
+        |    (((total_tokens // 2) // sum_w) * w_l * 10000) // lang_tokens)
+        |    AS BIGINT) AS rate_bp
+        |  FROM r),
+        |s5 AS (
+        |  SELECT s4.*,
+        |    (ck AND ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+        |      % 10000 < COALESCE(rate_bp, 0)) AS mk
+        |  FROM s4 LEFT JOIN rates USING (lang)),
+        |s6 AS (
+        |  SELECT *, ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+        |    % 16 AS shard
+        |  FROM s5),
+        |s7 AS (
+        |  SELECT *, COALESCE(SUM(CASE WHEN mk THEN tok ELSE 0 END)
+        |    OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum_before
+        |  FROM s6)
+        |SELECT COUNT(*) AS n_input,
+        |  CAST(SUM(CASE WHEN qk THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quality_pass,
+        |  CAST(SUM(CASE WHEN ek THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after_exact_dedup,
+        |  CAST(SUM(CASE WHEN nk THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after_near_dedup,
+        |  CAST(SUM(CASE WHEN ck THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after_decontam,
+        |  CAST(SUM(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(COUNT(DISTINCT CASE WHEN mk
+        |    THEN shard * 1048576 + cum_before // 512 END) AS BIGINT)
+        |    AS n_sequences,
+        |  CAST(SUM(CASE WHEN mk THEN tok ELSE 0 END) AS BIGINT)
+        |    AS tokens_packed
+        |FROM s7""".stripMargin,
+
     "q_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -6642,6 +6927,60 @@ object Pipeline {
         |  round(SUM(jw)::DOUBLE / COUNT(*), 6) AS avg_top1_jw
         |FROM t1 WHERE rn = 1
         |GROUP BY nk ORDER BY nk""".stripMargin,
+
+    // same union file, same sorted-digit sort key, the identical
+    // (sdk, nm, role, k) total order driving lead(·, 1..8), DuckDB's own
+    // jaro_winkler_similarity, same top-1 total order and readout
+    "q_sorted_neighborhood" -> {
+      val leads = (1 to 8).map(i =>
+        s"lead(struct_pack(role := role, k := k, nm := nm), $i) " +
+          s"OVER w AS nb$i").mkString(",\n    |    ").stripMargin
+      val unions = (1 to 8).map(i =>
+        s"""  SELECT nk,
+           |    CASE WHEN role = 1 THEN k ELSE nb$i.k END AS dirty_key,
+           |    CASE WHEN role = 1 THEN nm ELSE nb$i.nm END AS dirty_name,
+           |    CASE WHEN role = 1 THEN nb$i.k ELSE k END AS clean_key,
+           |    CASE WHEN role = 1 THEN nb$i.nm ELSE nm END AS clean_name
+           |  FROM l WHERE nb$i IS NOT NULL AND nb$i.role <> role"""
+          .stripMargin).mkString("\n  UNION ALL\n")
+      s"""WITH u AS (
+         |  SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nk,
+         |    c_mktsegment AS seg, 0 AS role FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey, 'Customer#' || reverse(substr(c_name, 10, 9)),
+         |    c_nationkey, c_mktsegment, 1 FROM customer),
+         |us AS (SELECT u.*, ${sortedDigitsExpr("nm")} AS sdk FROM u),
+         |l AS (
+         |  SELECT us.*,
+         |    $leads
+         |  FROM us WINDOW w AS (PARTITION BY nk, seg
+         |    ORDER BY sdk, nm, role, k)),
+         |pr AS (
+         |$unions),
+         |scored AS (
+         |  SELECT nk, dirty_key, clean_key,
+         |    CAST(round(jaro_winkler_similarity(dirty_name, clean_name),
+         |      6) AS DECIMAL(8,6)) AS jw
+         |  FROM pr),
+         |t1 AS (
+         |  SELECT nk, dirty_key, clean_key, jw,
+         |    row_number() OVER (PARTITION BY dirty_key
+         |      ORDER BY jw DESC, clean_key ASC) AS rn
+         |  FROM scored),
+         |best AS (SELECT * FROM t1 WHERE rn = 1),
+         |tot AS (
+         |  SELECT c_nationkey AS nk, COUNT(*) AS n_dirty
+         |  FROM customer GROUP BY 1)
+         |SELECT b.nk AS c_nationkey, t.n_dirty, COUNT(*) AS n_matched,
+         |  CAST(SUM(CASE WHEN clean_key = dirty_key THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  round(COUNT(*)::DOUBLE / t.n_dirty, 6) AS coverage,
+         |  round(SUM(CASE WHEN clean_key = dirty_key THEN 1 ELSE 0 END)
+         |    ::DOUBLE / COUNT(*), 6) AS top1_accuracy,
+         |  round(SUM(jw)::DOUBLE / COUNT(*), 6) AS avg_top1_jw
+         |FROM best b JOIN tot t ON t.nk = b.nk
+         |GROUP BY b.nk, t.n_dirty ORDER BY b.nk""".stripMargin
+    },
 
     // same blocked pairs (shared erOracleCtes) + DuckDB's own
     // jaro_winkler_similarity (fuzz-proven bit-equal to the native

@@ -999,6 +999,82 @@ object Relational {
         .orderBy("column_name")
     },
 
+    // APPROX COLUMN PROFILER — the 100 TB variant of q_column_profile
+    // promised above: the SAME one-pass stacked readout, but the six
+    // exact COUNT(DISTINCT)s (which force Catalyst's deliberate 6×
+    // Expand) are replaced by six PORTABLE HyperLogLog estimates built
+    // on the q_hyperloglog register machinery (md5-derived 64-register
+    // sketch, rho ≤ 27, linear-counting small-range correction). Each
+    // column's register census is ONE bounded collect_set (≤ 64·27
+    // distinct (j, rho) pairs — partial-aggregating map-side like any
+    // sketch), so the whole profile is a single Aggregate with NO
+    // Expand (plan pinned in OperatorSpec) — at 100 TB this reads the
+    // table once and ships KBs per column. The estimate folds the exact
+    // integer registers through the same ordered double tree in both
+    // engines (2^-M as exact 1/shifted-integer division — no pow); the
+    // rel-error contract vs the exact profiler is asserted in
+    // OperatorSpec (m=64 HLL band).
+    "q_approx_stats" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def reg(colName: String, sExpr: String): Column = {
+        val h = s"cast(conv(substring(md5($sExpr),1,8),16,10) as bigint)"
+        expr(s"CASE WHEN $colName IS NOT NULL THEN named_struct(" +
+          s"'j', $h % 64, 'r', CASE WHEN $h div 64 = 0 THEN 27L ELSE " +
+          s"27L - CAST(length(bin($h div 64)) AS BIGINT) END) END")
+      }
+      def mn(c: Column) = min(c).cast(StringType)
+      def mx(c: Column) = max(c).cast(StringType)
+      val specs = Seq(
+        ("o_orderkey", "CAST(o_orderkey AS STRING)",
+          col("o_orderkey"), col("o_orderkey")),
+        ("o_custkey", "CAST(o_custkey AS STRING)",
+          col("o_custkey"), col("o_custkey")),
+        ("o_orderstatus", "o_orderstatus",
+          col("o_orderstatus"), col("o_orderstatus")),
+        ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING)",
+          money(col("o_totalprice")), money(col("o_totalprice"))),
+        ("o_orderdate", "CAST(CAST(o_orderdate AS DATE) AS STRING)",
+          col("o_orderdate").cast(DateType), col("o_orderdate").cast(DateType)),
+        ("o_orderpriority", "o_orderpriority",
+          col("o_orderpriority"), col("o_orderpriority")))
+      val aggs = specs.zipWithIndex.flatMap { case ((name, hs, mnc, mxc), i) =>
+        Seq(count(col(name)).as(s"nn${i + 1}"),
+          collect_set(reg(name, hs)).as(s"ms${i + 1}"),
+          mn(mnc).as(s"mn${i + 1}"), mx(mxc).as(s"mx${i + 1}"))
+      }
+      var d = o.agg(count(lit(1)).as("nr"), aggs: _*)
+      (1 to 6).foreach { i =>
+        d = d
+          .withColumn(s"zs$i", expr(
+            s"""aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (a, j) ->
+               |  a + CAST(1 AS DOUBLE) / CAST(shiftleft(1L, CAST(
+               |    coalesce(array_max(transform(filter(ms$i,
+               |      x -> x.j = j), x -> x.r)), 0L) AS INT)) AS DOUBLE))
+               |""".stripMargin))
+          .withColumn(s"v$i", expr(
+            s"64 - size(array_distinct(transform(ms$i, x -> x.j)))"))
+          .withColumn(s"er$i", expr(
+            s"CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) / zs$i"))
+          .withColumn(s"ad$i", expr(
+            s"""round(CASE WHEN er$i <= CAST(160 AS DOUBLE) AND v$i > 0
+               |THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v$i)
+               |ELSE er$i END, 6)""".stripMargin))
+      }
+      d.select(expr(
+          """stack(6,
+            |'o_orderkey',      nr - nn1, ad1, mn1, mx1,
+            |'o_custkey',       nr - nn2, ad2, mn2, mx2,
+            |'o_orderstatus',   nr - nn3, ad3, mn3, mx3,
+            |'o_totalprice',    nr - nn4, ad4, mn4, mx4,
+            |'o_orderdate',     nr - nn5, ad5, mn5, mx5,
+            |'o_orderpriority', nr - nn6, ad6, mn6, mx6)
+            |as (column_name, n_null, approx_distinct, min_val, max_val)
+            |""".stripMargin), col("nr").as("n_rows"))
+        .select("column_name", "n_rows", "n_null", "approx_distinct",
+          "min_val", "max_val")
+        .orderBy("column_name")
+    },
+
     // MARKOV NEXT-EVENT transition matrix — P(next event type | current)
     // from each user's time-ordered stream: the behavioral model behind
     // "users who view usually click next" readouts and next-action
@@ -8037,6 +8113,61 @@ object Relational {
         |  FROM orders)
         |SELECT column_name, n_rows, n_null, n_distinct, min_val, max_val
         |FROM p ORDER BY column_name""".stripMargin,
+
+    // identical 64-register md5 HLL census per column (exact integer
+    // (j, rho) sets), identical register→estimate double tree
+    "q_approx_stats" -> {
+      def reg(s: String): String = {
+        val h = s"('0x'||substr(md5($s),1,8))::BIGINT"
+        s"list(DISTINCT struct_pack(j := $h % 64, r := CASE WHEN " +
+          s"$h // 64 = 0 THEN 27 ELSE 27 - CAST(length(bin($h // 64)) " +
+          s"AS BIGINT) END))"
+      }
+      val specs = Seq(
+        ("o_orderkey", "o_orderkey::VARCHAR",
+          "MIN(o_orderkey)::VARCHAR", "MAX(o_orderkey)::VARCHAR"),
+        ("o_custkey", "o_custkey::VARCHAR",
+          "MIN(o_custkey)::VARCHAR", "MAX(o_custkey)::VARCHAR"),
+        ("o_orderstatus", "o_orderstatus",
+          "MIN(o_orderstatus)", "MAX(o_orderstatus)"),
+        ("o_totalprice", "(o_totalprice::DECIMAL(12,2))::VARCHAR",
+          "MIN(o_totalprice::DECIMAL(12,2))::VARCHAR",
+          "MAX(o_totalprice::DECIMAL(12,2))::VARCHAR"),
+        ("o_orderdate", "(o_orderdate::DATE)::VARCHAR",
+          "MIN(o_orderdate::DATE)::VARCHAR",
+          "MAX(o_orderdate::DATE)::VARCHAR"),
+        ("o_orderpriority", "o_orderpriority",
+          "MIN(o_orderpriority)", "MAX(o_orderpriority)"))
+      val parts = specs.map { case (name, hs, mnS, mxS) =>
+        s"""  SELECT '$name' AS column_name, COUNT(*) AS n_rows,
+           |    COUNT(*) - COUNT($name) AS n_null,
+           |    ${reg(hs)} FILTER ($name IS NOT NULL) AS ms,
+           |    $mnS AS min_val, $mxS AS max_val
+           |  FROM orders""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH p AS (
+         |$parts),
+         |e AS (
+         |  SELECT column_name, n_rows, n_null, min_val, max_val,
+         |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+         |      list_transform(range(0, 64), j ->
+         |        CAST(1 AS DOUBLE) / CAST(1::BIGINT << CAST(
+         |          COALESCE(list_max(list_transform(list_filter(ms,
+         |            x -> x.j = j), x -> x.r)), 0) AS INT) AS DOUBLE))),
+         |      (a, b) -> a + b) AS zsum,
+         |    64 - len(list_distinct(list_transform(ms, x -> x.j))) AS v
+         |  FROM p),
+         |f AS (
+         |  SELECT *, CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) / zsum
+         |    AS e_raw
+         |  FROM e)
+         |SELECT column_name, n_rows, n_null,
+         |  round(CASE WHEN e_raw <= CAST(160 AS DOUBLE) AND v > 0
+         |    THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v)
+         |    ELSE e_raw END, 6) AS approx_distinct,
+         |  min_val, max_val
+         |FROM f ORDER BY column_name""".stripMargin
+    },
 
     "q_scd2_dimension" ->
       """WITH o AS (

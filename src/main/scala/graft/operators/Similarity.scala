@@ -1082,7 +1082,11 @@ object Similarity {
         .select(col("id_a"), col("id_b"),
           round(col("d2o"), 6).as("dist_sq_orig"),
           round(col("d2p"), 6).as("dist_sq_proj"),
-          round(col("d2p") / col("d2o"), 6).as("ratio"))
+          // NULL guard on identical vectors: double 0/0 semantics (NULL vs
+          // NaN vs Inf) are not guaranteed identical cross-engine — the
+          // CASE text is shared verbatim with the oracle
+          expr("CASE WHEN d2o = CAST(0 AS DOUBLE) THEN NULL " +
+            "ELSE round(d2p / d2o, 6) END").as("ratio"))
         .orderBy("id_a")
     })
 
@@ -1839,7 +1843,8 @@ object Similarity {
         |    ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0)
         |SELECT id_a, id_b, round(d2o, 6) AS dist_sq_orig,
         |  round(d2p, 6) AS dist_sq_proj,
-        |  round(d2p / d2o, 6) AS ratio
+        |  CASE WHEN d2o = CAST(0 AS DOUBLE) THEN NULL
+        |    ELSE round(d2p / d2o, 6) END AS ratio
         |FROM pr ORDER BY id_a""".stripMargin)
 
 }

@@ -87,7 +87,10 @@ object ScaleBench {
     // (nation, segment, sorted-digit-multiset) key + BucketCap guard
     // (Pipeline.erCandidates) bounds candidates to ~1.15·n, so the same
     // operator semantics now hold across tiers — no more exclusion.
-    "q_entity_match", "q_fs_em")
+    // q_sorted_neighborhood is the w-bounded alternative generator
+    // (candidates ≤ w·n by construction — the probe pins the sort+window
+    // path scales too).
+    "q_entity_match", "q_fs_em", "q_sorted_neighborhood")
 
   /** Streaming tier probes: every stateful-operator family — chained
     * multi-stateful, transformWithState (RocksDB), watermark dedup,

@@ -773,6 +773,32 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(pk.getLong(3) == nRows && pk.getLong(2) == 0, pk.toString)
   }
 
+  test("approx stats: HLL band vs exact profile, single Aggregate, no Expand") {
+    import graft.operators.Relational
+    val df = Relational.queries("q_approx_stats")(spark, sfDir)
+    // the whole point of the approx variant: q_column_profile's exact
+    // COUNT(DISTINCT)s force a 6x Expand; the sketch census must not
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "approx profile must not Expand")
+    val rows = df.collect()
+    val exact = Relational.queries("q_column_profile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val e = exact(r.getString(0))
+      assert(r.getLong(1) == e.getLong(1) && r.getLong(2) == e.getLong(2),
+        s"row/null counts must be exact: $r vs $e")
+      assert(r.getString(4) == e.getString(4) && r.getString(5) == e.getString(5),
+        s"min/max must be exact: $r vs $e")
+      // m=64 HLL: sigma = 1.04/8 = 13%; 0.35 is a ~2.7-sigma band (the
+      // small-cardinality columns go through linear counting and land
+      // much closer)
+      val (est, nd) = (r.getDouble(3), e.getLong(3).toDouble)
+      assert(math.abs(est - nd) / nd < 0.35,
+        s"rel error out of the m=64 band: $r vs exact $nd")
+    }
+  }
+
   test("shortest path: source at 0, hop distances contiguous from 1") {
     val rows = Pipeline.queries("q_shortest_path")(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 32)
@@ -1860,6 +1886,81 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(5) == groups.map(_._1).min, "min k")
     assert(r.getLong(6) == groups.map(_._2).min, "min l")
     assert(r.getLong(6) >= 1 && r.getDouble(7) >= r.getLong(6))
+  }
+
+  test("corpus pipeline: funnel monotone, quality stage replays, no post-cut rescan") {
+    import org.apache.spark.sql.functions._
+    val df = Pipeline.queries("q_corpus_pipeline")(spark, sfDir)
+    // everything after the documented checkpoint cut must run off the
+    // materialized spine — the corpus parquet is never re-scanned
+    assert(!df.queryExecution.executedPlan.toString.contains("Scan parquet"),
+      "post-cut stages must not re-scan the corpus")
+    val r = df.collect().head
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(r.getLong(0) == docs.filter(col("doc_id") % 50 =!= 0).count())
+    // brute-replay the quality gate (the first funnel stage)
+    val nQ = docs.filter(col("doc_id") % 50 =!= 0)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("chars", expr("aggregate(w, 0L, (a, x) -> a + length(x))"))
+      .filter(col("n") >= 20L && col("n") <= 1000L &&
+        col("chars") >= lit(3L) * col("n") &&
+        col("chars") <= lit(10L) * col("n") &&
+        expr("10L * CAST(size(filter(w, x -> x IN ('#', '...'))) AS BIGINT)") <= col("n") &&
+        expr("10L * CAST(size(filter(w, x -> x rlike '[a-z]')) AS BIGINT)") >= lit(8L) * col("n") &&
+        expr("CAST(size(filter(w, x -> x IN ('the','be','to','of','and'," +
+          "'that','have','with'))) AS BIGINT)") >= 2L)
+      .count()
+    assert(r.getLong(1) == nQ, s"quality stage: $r vs $nQ")
+    // each stage can only shrink the corpus
+    val funnel = (0 to 5).map(r.getLong)
+    assert(funnel.zip(funnel.tail).forall { case (a, b) => a >= b }, r.toString)
+    // packing: sequences exist, are fewer than docs, and the 512-token
+    // cursor implies roughly tokens/512 bins across 16 shards
+    val (nSeq, tokens) = (r.getLong(6), r.getLong(7))
+    assert(nSeq >= 1 && nSeq <= r.getLong(5), r.toString)
+    assert(nSeq <= tokens / 512 + 16, s"bin arithmetic: $r")
+  }
+
+  test("sorted neighborhood: w-bounded brute replay, full coverage, accuracy") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_sorted_neighborhood")(spark, sfDir)
+      .collect()
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val perNation = cust.groupBy("c_nationkey").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.length == perNation.size)
+    rows.foreach { r =>
+      assert(r.getLong(1) == perNation(r.getInt(0)), s"n_dirty: $r")
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(2), r.toString)
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0, r.toString)
+    }
+    // the true pair shares the sorted-digit key, so it sorts ADJACENT and
+    // a window of 8 always covers it: coverage is exactly 1 on this data
+    assert(rows.forall(_.getDouble(4) == 1.0), "true pair within window")
+    val (nAll, nOk) = (rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    assert(nOk.toDouble / nAll > 0.9, s"top-1 accuracy $nOk/$nAll")
+    // brute w-bound: the candidate set the window CAN emit is <= w per
+    // record by construction — replay the (nk, seg)-partitioned sort and
+    // count cross-role pairs within distance 8, one nation
+    val local = cust.filter(col("c_nationkey") === 3)
+      .select("c_custkey", "c_name", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def sdk(nm: String): String =
+      nm.substring(9).toCharArray.sorted.mkString
+    val file = local.flatMap { case (k, nm, seg) =>
+      val dn = "Customer#" + nm.substring(9).reverse
+      Seq((seg, sdk(nm), nm, 0, k), (seg, sdk(dn), dn, 1, k))
+    }
+    val nPairs = file.groupBy(_._1).values.map { g =>
+      val srt = g.sortBy(t => (t._2, t._3, t._4, t._5))
+      srt.indices.map { i =>
+        ((i + 1) to math.min(i + 8, srt.length - 1))
+          .count(j => srt(j)._4 != srt(i)._4)
+      }.sum
+    }.sum
+    assert(nPairs <= 8 * file.length, s"w-bound: $nPairs pairs")
+    assert(nPairs >= local.length, "every true pair is a candidate")
   }
 
   test("er threshold sweep: predictions shrink with tau, full recall at the floor") {
