@@ -39,18 +39,24 @@ object ScaleGen {
     val out = args.lift(0).getOrElse("/root/repo/target/scaledata/sf1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
     val src = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    // optional 4th arg: comma-separated table subset — the ×1000 tier only
+    // materializes the tables its two probe queries read (a full ×1000
+    // lineitem+orders+events copy would be ~20 GB of parquet nobody scans)
+    val tables = args.lift(3).map(_.split(",").toSet)
     val spark = graft.Sessions.local("graft-scalegen")
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, copies)
+    generate(spark, src, out, copies, tables)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+  def generate(spark: SparkSession, src: String, out: String, copies: Int,
+      tables: Option[Set[String]] = None): Unit = {
     def read(t: String): DataFrame = graft.sources.Tables.load(spark, src, t)
-    def write(t: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[scalegen] $t -> $out/$t.parquet")
-    }
+    def write(t: String, df: DataFrame): Unit =
+      if (tables.forall(_.contains(t))) {
+        df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"[scalegen] $t -> $out/$t.parquet")
+      }
     // stride = max(key)+1 per keyed table, so shifted copies never collide
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head.getLong(0) + 1L
