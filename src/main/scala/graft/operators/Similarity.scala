@@ -720,6 +720,114 @@ object Similarity {
         .orderBy("removed_id")
     },
 
+    // GRAPH ANN — a navigable-small-world beam search (the HNSW family,
+    // Malkov & Yashunin 2018), the OTHER production ANN architecture next
+    // to the IVF/PQ tier, re-expressed as two bounded layers:
+    //   · ENTRY layer: a FIXED 16-node hub clique (vec_id ∈ [100,116) —
+    //     HNSW's top layer is O(1)-size by construction, so the hub-hub
+    //     edge set is a 240-row constant at any corpus size); each query
+    //     enters at its best hub (one broadcast scan of 16 vectors);
+    //   · BASE layer: each node's M = 8 out-edges are its top-cosine
+    //     neighbors among MULTI-RESOLUTION sign-LSH banded candidates —
+    //     the q_embed_neardup_lsh bands (graft_signlsh, 4×16-bit) read at
+    //     three prefix widths (16/8/4 bits), EACH level under the house
+    //     BucketCap=128 guard. The ladder is the scale knob (LSH-forest
+    //     style): at small corpora the coarse 4-bit buckets supply the
+    //     candidate density a navigable graph needs; as the corpus grows
+    //     a coarse level's buckets blow past the cap and SELF-EVICT,
+    //     leaving the finer levels — candidate volume stays ≤
+    //     levels·bands·cap per node at any size, never all-pairs;
+    //   · SEARCH: R = 6 beam rounds — frontier expands over out-edges,
+    //     candidates score against the query (native graft_dot, the
+    //     bit-identical-across-engines kernel), keep top-B = 16 per query.
+    //     Per-round work is |Q|·B·M rows — INDEPENDENT of corpus size,
+    //     which is the entire point of graph ANN at 100 TB (IVF scans
+    //     nprobe·cell; the graph walks a constant-size beam). Each round's
+    //     ≤|Q|·B frontier is localCheckpoint'd (referenced twice: union +
+    //     expansion — the q_kcore plan-doubling rule).
+    // Readout: the beam's top-3 per query vs the brute-force truth
+    // (q_cosine_topk's kernel) with a hit flag — the recall@3 readout an
+    // index build ships. Deterministic: raw-double cosine ranks with id
+    // tiebreaks, the same total order every ANN query here uses.
+    "q_graph_ann" -> { (s, dir) =>
+      val (mOut, beam, rounds) = (8, 16, 6)
+      val e = vecs(s, dir)
+        .withColumn("codes", expr("graft_signlsh(v)"))
+        .localCheckpoint(true)
+      val ban = e
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("band", "code")))
+        .select(col("vec_id"), col("band"), explode(expr(
+          "array(named_struct('bits', 16, 'pcode', code), " +
+            "named_struct('bits', 8, 'pcode', code div 256), " +
+            "named_struct('bits', 4, 'pcode', code div 4096))")).as("l"))
+        .select(col("vec_id"), col("band"),
+          col("l.bits").as("bits"), col("l.pcode").as("pcode"))
+        .withColumn("bn",
+          count(lit(1)).over(Window.partitionBy("band", "bits", "pcode")))
+        .filter(col("bn") <= Pipeline.BucketCap)
+        .select("vec_id", "band", "bits", "pcode")
+      val va = e.select(col("vec_id").as("src"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      val vb = e.select(col("vec_id").as("dst"), col("v"), col("nrm"))
+      val nbrs = ban.as("a").join(ban.as("b"),
+          col("a.band") === col("b.band") && col("a.bits") === col("b.bits")
+            && col("a.pcode") === col("b.pcode")
+            && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+        .distinct()
+        .join(va, "src").join(vb, "dst")
+        .withColumn("cos", expr(dot) / (col("qn") * col("nrm")))
+        .withColumn("rn", row_number().over(Window.partitionBy("src")
+          .orderBy(col("cos").desc, col("dst").asc)))
+        .filter(col("rn") <= mOut)
+        .select("src", "dst")
+      val hubIds = e.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+      val hubEdges = hubIds.select(col("vec_id").as("src"))
+        .crossJoin(broadcast(hubIds.select(col("vec_id").as("dst"))))
+        .filter(col("src") =!= col("dst"))
+      val edges = nbrs.union(hubEdges).distinct().localCheckpoint(true)
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      // entry: best hub per query (16-row broadcast scan)
+      var frontier = broadcast(qs)
+        .crossJoin(hubIds.select(col("vec_id").as("node"), col("v"),
+          col("nrm")))
+        .withColumn("cos", expr(dot) / (col("qn") * col("nrm")))
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("node").asc)))
+        .filter(col("rn") === 1).select("q_id", "node", "cos")
+        .localCheckpoint(true)
+      (1 to rounds).foreach { _ =>
+        val expanded = frontier.join(edges,
+            frontier("node") === edges("src"))
+          .select(col("q_id"), col("dst").as("node"))
+        frontier = frontier.select("q_id", "node").union(expanded)
+          .distinct()
+          .filter(col("node") =!= col("q_id"))
+          .join(vb.withColumnRenamed("dst", "node"), "node")
+          .join(broadcast(qs), "q_id")
+          .withColumn("cos", expr(dot) / (col("qn") * col("nrm")))
+          .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("node").asc)))
+          .filter(col("rn") <= beam).select("q_id", "node", "cos")
+          .localCheckpoint(true)
+      }
+      val truth = queries("q_cosine_topk")(s, dir)
+        .select(col("q_id"), col("match_id"), lit(true).as("in_exact_top3"))
+      frontier
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("node").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("node").as("match_id"),
+          round(col("cos"), 6).as("cosine"))
+        .join(truth, Seq("q_id", "match_id"), "left")
+        .withColumn("in_exact_top3",
+          coalesce(col("in_exact_top3"), lit(false)))
+        .select("q_id", "rn", "match_id", "cosine", "in_exact_top3")
+        .orderBy("q_id", "rn")
+    },
+
     // Int8 symmetric quantization + integer-dot top-k: the bandwidth tier
     // of 100 TB ANN — a 64-dim FLOAT vector is 256 bytes, its int8 form 64,
     // so the candidate scan reads 4× less, and the dot product becomes
@@ -1171,7 +1279,101 @@ object Similarity {
       |SELECT vec_a, vec_b, cosine FROM p
       |WHERE cosine >= 0.2 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q_graph_ann's oracle: the same hub clique + capped banded top-M graph
+    * and the same 4 unrolled beam rounds (frontier ∪ expansion → top-B by
+    * the identical raw-double cosine order). */
+  private val graphAnnSql: String = {
+    val dotQN = "list_sum(list_transform(range(1, 65), " +
+      "i -> q.v[i] * n.v[i])) / (q.nrm * n.nrm)"
+    val roundsSql = (1 to 6).map { r =>
+      s"""f$r AS (
+         |  SELECT q_id, node, cos FROM (
+         |    SELECT s.*, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, node ASC) AS rn
+         |    FROM (
+         |      SELECT u.q_id, u.node, $dotQN AS cos
+         |      FROM (
+         |        SELECT q_id, node FROM f${r - 1}
+         |        UNION
+         |        SELECT f.q_id, ed.dst AS node
+         |        FROM f${r - 1} f JOIN ed ON ed.src = f.node) u
+         |      JOIN e n ON n.vec_id = u.node
+         |      JOIN q ON q.q_id = u.q_id
+         |      WHERE u.node <> u.q_id) s) WHERE rn <= 16)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($vecsSql),
+       |h AS (
+       |  SELECT vec_id, band,
+       |    list_sum(list_transform(range(0, 16), j ->
+       |      CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i + 1] *
+       |          (CASE WHEN ((1103515245 * (64*(16*band + j) + i) + 12345) >> 16) & 1 = 1
+       |                THEN 1.0 ELSE -1.0 END))) >= 0
+       |           THEN (1 << j) ELSE 0 END))::BIGINT AS code
+       |  FROM e, (VALUES (0), (1), (2), (3)) b(band)),
+       |hl AS (
+       |  SELECT vec_id, band, lv.bits, code // lv.dv AS pcode
+       |  FROM h, (VALUES (16, 1), (8, 256), (4, 4096)) lv(bits, dv)),
+       |hf AS (
+       |  SELECT vec_id, band, bits, pcode FROM (
+       |    SELECT vec_id, band, bits, pcode,
+       |      count(*) OVER (PARTITION BY band, bits, pcode) AS bn
+       |    FROM hl) WHERE bn <= ${Pipeline.BucketCap}),
+       |nb AS (
+       |  SELECT src, dst FROM (
+       |    SELECT c.src, c.dst,
+       |      row_number() OVER (PARTITION BY c.src ORDER BY
+       |        list_sum(list_transform(range(1, 65),
+       |          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) DESC,
+       |        c.dst ASC) AS rn
+       |    FROM (
+       |      SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |      FROM hf x JOIN hf y
+       |        ON x.band = y.band AND x.bits = y.bits
+       |          AND x.pcode = y.pcode AND x.vec_id <> y.vec_id) c
+       |    JOIN e a ON a.vec_id = c.src
+       |    JOIN e b ON b.vec_id = c.dst) WHERE rn <= 8),
+       |hub AS (SELECT vec_id FROM e WHERE vec_id >= 100 AND vec_id < 116),
+       |ed AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst FROM nb
+       |    UNION
+       |    SELECT a.vec_id, b.vec_id FROM hub a CROSS JOIN hub b
+       |    WHERE a.vec_id <> b.vec_id) t),
+       |q AS (SELECT vec_id AS q_id, v, nrm FROM e WHERE vec_id < 10),
+       |f0 AS (
+       |  SELECT q_id, node, cos FROM (
+       |    SELECT s.*, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, node ASC) AS rn
+       |    FROM (
+       |      SELECT q.q_id, n.vec_id AS node, $dotQN AS cos
+       |      FROM q JOIN e n ON n.vec_id >= 100 AND n.vec_id < 116) s)
+       |  WHERE rn = 1),
+       |$roundsSql,
+       |res AS (
+       |  SELECT q_id, node, cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, node ASC) AS rn
+       |  FROM f6),
+       |truth AS (
+       |  SELECT q_id, match_id FROM (
+       |    SELECT tq.vec_id AS q_id, c.vec_id AS match_id,
+       |      row_number() OVER (PARTITION BY tq.vec_id
+       |        ORDER BY list_sum(list_transform(range(1, 65),
+       |          i -> tq.v[i] * c.v[i])) / (tq.nrm * c.nrm) DESC,
+       |        c.vec_id ASC) AS rn
+       |    FROM e tq JOIN e c ON tq.vec_id < 10 AND c.vec_id <> tq.vec_id)
+       |  WHERE rn <= 3)
+       |SELECT r.q_id, CAST(r.rn AS INT) AS rn, r.node AS match_id,
+       |  round(r.cos, 6) AS cosine,
+       |  (t.match_id IS NOT NULL) AS in_exact_top3
+       |FROM res r LEFT JOIN truth t
+       |  ON t.q_id = r.q_id AND t.match_id = r.node
+       |WHERE r.rn <= 3
+       |ORDER BY r.q_id, r.rn""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_graph_ann" -> graphAnnSql,
     // same two rankings as q_retrieval_metrics, same declared grades,
     // same rank-sorted log2 folds
     "q_ndcg" ->

@@ -1888,6 +1888,30 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(6) >= 1 && r.getDouble(7) >= r.getLong(6))
   }
 
+  test("graph ann: beam readout well-formed, hit flags exact, recall floor") {
+    import graft.operators.Similarity
+    val rows = Similarity.queries("q_graph_ann")(spark, sfDir).collect()
+    assert(rows.length == 30, "10 queries x top-3")
+    val truth = Similarity.queries("q_cosine_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3), s"q $q ranks")
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"q $q beam order")
+      rs.foreach(r => assert(r.getLong(2) != q, "self excluded"))
+    }
+    // the hit flag must be EXACT against the brute top-3
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == truth((r.getLong(0), r.getLong(2))), r.toString)
+    }
+    // navigability floor: the 2-layer graph finds at least half the exact
+    // top-3 on this (near-random, hard-for-ANN) synthetic corpus — the
+    // recall an index build would report and tune M/B/R by
+    val recall = rows.count(_.getBoolean(4)).toDouble / rows.length
+    assert(recall >= 0.5, s"recall@3 $recall")
+  }
+
   test("corpus pipeline: funnel monotone, quality stage replays, no post-cut rescan") {
     import org.apache.spark.sql.functions._
     val df = Pipeline.queries("q_corpus_pipeline")(spark, sfDir)
