@@ -2905,6 +2905,81 @@ object Pipeline {
         .orderBy("w1", "w2")
     },
 
+    // PPMI SPECTRAL WORD EMBEDDING (Levy & Goldberg 2014: SGNS ≈
+    // factorizing the shifted-PMI matrix — the COUNT-based way to train
+    // static word vectors from a corpus, no SGD): top-12 vocabulary by
+    // exact unigram frequency (ties broken by token — LIMIT under a
+    // total order, so the vocab is deterministic), symmetrized adjacent
+    // co-occurrence restricted to the vocab, PPMI = max(0, ln(c·T/rₐrᵦ))
+    // over the 12×12 submatrix, then 4 power-iteration steps from the
+    // all-ones vector extract the dominant factor — each matrix·vector
+    // component is a FOLD over the token-sorted 12-term product list
+    // (the house sorted-fold: both engines sum in the identical order),
+    // and the final loadings are L∞-normalized (max-abs is order-free).
+    // q_pca_power does this to dense embeddings; this is the corpus-
+    // statistics sibling that MAKES embeddings from raw text. Scale:
+    // the corpus is touched by two linear passes (unigram counts,
+    // bigram counts); everything after lives on a V² = 144-cell grid —
+    // at 100 TB you'd raise V, and the grid stays executor-tiny while
+    // the passes stay map-side-combined hash aggs.
+    "q_ppmi_svd" -> { (s, dir) =>
+      val big = docsPar(s, dir)
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), " +
+            "(x, y) -> struct(x as w1, y as w2))")).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val words = docsPar(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val vocab = words.groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok")).limit(12)
+      val va = vocab.select(col("tok").as("a"))
+      val vb = vocab.select(col("tok").as("b"))
+      val sym = big.select(col("w1").as("a"), col("w2").as("b"))
+        .unionByName(big.select(col("w2").as("a"), col("w1").as("b")))
+      val c = sym.join(broadcast(va), "a").join(broadcast(vb), "b")
+        .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      val grid = va.crossJoin(vb).join(c, Seq("a", "b"), "left")
+        .withColumn("cab", coalesce(col("cab"), lit(0L)))
+      val ra = grid.groupBy("a").agg(sum("cab").as("ra"))
+      val tt = grid.agg(sum("cab").as("tt"))
+      val m = grid.join(broadcast(ra), "a")
+        .join(broadcast(ra.select(col("a").as("b"), col("ra").as("rb"))),
+          "b")
+        .crossJoin(broadcast(tt))
+        .withColumn("ppmi", expr(
+          "CASE WHEN cab > 0 AND ra > 0 AND rb > 0 THEN " +
+            "greatest(CAST(0 AS DOUBLE), ln(CAST(cab AS DOUBLE) * " +
+            "CAST(tt AS DOUBLE) / (CAST(ra AS DOUBLE) * " +
+            "CAST(rb AS DOUBLE)))) ELSE CAST(0 AS DOUBLE) END"))
+      val rws = m.groupBy("a").agg(
+        expr("transform(array_sort(collect_list(struct(b, ppmi))), " +
+          "e -> e.ppmi)").as("ma"),
+        first("ra").as("ra"))
+      val fold = "aggregate(zip_with(ma, v, (x, y) -> x * y), " +
+        "CAST(0 AS DOUBLE), (p, q) -> p + q)"
+      var vrow = rws.agg(expr(
+        "transform(array_sort(collect_list(a)), x -> CAST(1 AS DOUBLE))")
+        .as("v"))
+      (1 to 3).foreach { _ =>
+        vrow = rws.crossJoin(broadcast(vrow))
+          .withColumn("nv", expr(fold))
+          .agg(expr("transform(array_sort(collect_list(struct(a, nv))), " +
+            "e -> e.nv)").as("v"))
+      }
+      rws.crossJoin(broadcast(vrow))
+        .withColumn("nv", expr(fold)) // step 4
+        .agg(sort_array(collect_list(struct(col("a"), col("ra"),
+          col("nv")))).as("vs"))
+        .withColumn("vmax", expr("aggregate(vs, CAST(0 AS DOUBLE), " +
+          "(p, q) -> greatest(p, abs(q.nv)))"))
+        .select(explode(col("vs")).as("e"), col("vmax"))
+        .select(col("e.a").as("token"), col("e.ra").as("cooc_total"),
+          round(expr("e.nv / vmax"), 6).as("loading"))
+        .orderBy("token")
+    },
+
     // TF-IDF per document: term frequencies joined with corpus document
     // frequencies, idf = ln(N/df). Scale: two hash aggregations (doc×term,
     // then term) + one equi-join on term — the standard two-pass shape; the
@@ -6536,6 +6611,11 @@ object Pipeline {
         |WHERE n_ab >= 20
         |ORDER BY w1, w2""".stripMargin,
 
+    // same top-12 vocab (freq DESC, token ASC), same symmetrized
+    // restricted co-occurrence, same PPMI text, same token-sorted
+    // 12-term fold per power step (list_reduce seeded with 0.0)
+    "q_ppmi_svd" -> ppmiSvdOracle,
+
     "q_tfidf" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -7322,4 +7402,67 @@ object Pipeline {
         |LEFT JOIN fb ON fb.doc_id = s1.doc_id
         |ORDER BY s1.score1 DESC, s1.doc_id ASC
         |LIMIT 10""".stripMargin)
+
+  /** q_ppmi_svd's oracle: same deterministic vocab, same 12×12 PPMI
+    * grid, 4 unrolled power steps — each component a list_reduce over
+    * the token-sorted 12-term product list, seeded with 0.0 so the fold
+    * order matches Spark's `aggregate` exactly. */
+  private def ppmiSvdOracle: String = {
+    val steps = (1 to 4).map { i =>
+      s"""st$i AS (
+         |  SELECT a, ra, ma,
+         |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+         |      list_transform(range(1, 13), i -> ma[i] * v[i])),
+         |      (p, q) -> p + q) AS nv
+         |  FROM rws CROSS JOIN v${i - 1}),
+         |v$i AS (SELECT list(nv ORDER BY a) AS v FROM st$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS ($docsW),
+       |big AS (
+       |  SELECT unnest(list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i+1])) AS bg
+       |  FROM d WHERE len(w) >= 2),
+       |sp AS (
+       |  SELECT string_split(bg, ' ')[1] AS w1,
+       |    string_split(bg, ' ')[2] AS w2
+       |  FROM big),
+       |words AS (SELECT unnest(string_split(text, ' ')) AS tok
+       |          FROM documents),
+       |vocab AS (SELECT tok, COUNT(*) AS freq FROM words GROUP BY tok
+       |          ORDER BY freq DESC, tok LIMIT 12),
+       |sym AS (SELECT w1 AS a, w2 AS b FROM sp
+       |        UNION ALL SELECT w2 AS a, w1 AS b FROM sp),
+       |c AS (SELECT a, b, COUNT(*) AS cab FROM sym
+       |      JOIN vocab va ON sym.a = va.tok
+       |      JOIN vocab vb ON sym.b = vb.tok
+       |      GROUP BY a, b),
+       |grid AS (
+       |  SELECT va.tok AS a, vb.tok AS b, COALESCE(c.cab, 0) AS cab
+       |  FROM vocab va CROSS JOIN vocab vb
+       |  LEFT JOIN c ON c.a = va.tok AND c.b = vb.tok),
+       |mra AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ra
+       |        FROM grid GROUP BY a),
+       |tt AS (SELECT CAST(SUM(cab) AS BIGINT) AS tt FROM grid),
+       |m AS (
+       |  SELECT g.a, g.b, mra.ra,
+       |    CASE WHEN g.cab > 0 AND mra.ra > 0 AND rb.ra > 0 THEN
+       |      greatest(CAST(0 AS DOUBLE), ln(CAST(g.cab AS DOUBLE) *
+       |        CAST(tt.tt AS DOUBLE) / (CAST(mra.ra AS DOUBLE) *
+       |        CAST(rb.ra AS DOUBLE))))
+       |    ELSE CAST(0 AS DOUBLE) END AS ppmi
+       |  FROM grid g JOIN mra ON mra.a = g.a
+       |  JOIN mra rb ON rb.a = g.b CROSS JOIN tt),
+       |rws AS (
+       |  SELECT a, MAX(ra) AS ra, list(ppmi ORDER BY b) AS ma
+       |  FROM m GROUP BY a),
+       |v0 AS (SELECT list_transform(list(a ORDER BY a),
+       |         x -> CAST(1 AS DOUBLE)) AS v FROM rws),
+       |$steps,
+       |mx AS (SELECT list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |         list(abs(nv) ORDER BY a)),
+       |         (p, q) -> greatest(p, q)) AS vmax FROM st4)
+       |SELECT a AS token, ra AS cooc_total,
+       |  round(nv / vmax, 6) AS loading
+       |FROM st4 CROSS JOIN mx ORDER BY token""".stripMargin
+  }
 }

@@ -6317,6 +6317,174 @@ object Relational {
           col("tp"), col("fp"), col("fn"), col("tn"),
           round(expr("CAST(tp + tn AS DOUBLE) / (n0 + n1)"), 6)
             .as("accuracy"))
+    },
+
+    // 1-D WASSERSTEIN (EARTH-MOVER) DRIFT per event_type vs the rest —
+    // W₁ = ∫|F_A − F_B| dx, the drift number that (unlike q_ks_test's
+    // sup-norm or q_psi_drift's binned score) weighs HOW FAR mass moved,
+    // not just that it moved; the metric behind t-closeness and
+    // distribution-shift monitors. EXACT, no binning: values are
+    // cent-quantized (the synthetic stream is 2-decimal already, so the
+    // quantization is lossless), CDFs are integer cumulative counts over
+    // the merged support, and each trapezoid term |cumA·n_B − cumB·n_A|·Δv
+    // is an exact DECIMAL(38,0) product — the summation is order-FREE, so
+    // no sorted-fold detour is needed; doubles appear only in the final
+    // two divisions (identical expression tree in the oracle). The KS
+    // statistic falls out of the same pass as a max — a free cross-check
+    // against q_ks_test's machinery. Scale: two hash aggs + a |types|-way
+    // broadcast grid over the cent-bounded support (≤49k rows per type
+    // REGARDLESS of row count — the domain, not the data, sizes the
+    // window), one narrow per-type window pass. The decimal casts before
+    // the cum-products are deliberate: at 10¹² events cumA·n_B overflows
+    // BIGINT but not DECIMAL(38,0).
+    "q_wasserstein_drift" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      val perTv = ev.groupBy("et", "v").agg(count(lit(1)).as("ca"))
+      val perV = ev.groupBy("v").agg(count(lit(1)).as("ct"))
+      val perT = ev.groupBy("et").agg(count(lit(1)).as("nt"))
+      val tot = ev.agg(count(lit(1)).as("n_all"))
+      val grid = perV.crossJoin(broadcast(perT.crossJoin(tot)))
+        .join(perTv, Seq("et", "v"), "left")
+        .withColumn("ca", coalesce(col("ca"), lit(0L)))
+        .withColumn("cb", col("ct") - col("ca"))
+      val w = W.partitionBy("et").orderBy("v")
+      val dec38 = DecimalType(38, 0)
+      val stepped = grid
+        .withColumn("cuma", sum("ca").over(w))
+        .withColumn("cumb", sum("cb").over(w))
+        .withColumn("dv",
+          coalesce(lead("v", 1).over(w) - col("v"), lit(0L)))
+        .withColumn("dnum",
+          abs(col("cuma").cast(dec38) * (col("n_all") - col("nt")).cast(dec38)
+            - col("cumb").cast(dec38) * col("nt").cast(dec38)))
+      stepped.groupBy("et")
+        .agg(first("nt").as("n_type"), first("n_all").as("n_all"),
+          sum(col("dnum") * col("dv").cast(dec38)).as("dsum"),
+          max("dnum").as("dmax"))
+        .select(col("et").as("event_type"), col("n_type"),
+          round(expr("CAST(dsum AS DOUBLE) / (CAST(n_type AS DOUBLE) * " +
+            "CAST(n_all - n_type AS DOUBLE)) / 100.0D"), 6)
+            .as("w1_vs_rest"),
+          round(expr("CAST(dmax AS DOUBLE) / (CAST(n_type AS DOUBLE) * " +
+            "CAST(n_all - n_type AS DOUBLE))"), 6).as("ks_stat"))
+        .orderBy("event_type")
+    },
+
+    // t-CLOSENESS privacy audit (Li, Li & Venkatasubramanian 2007 — the
+    // third rung of the k-anonymity ladder: q_k_anonymity checks group
+    // SIZE, l-diversity checks sensitive-value VARIETY, t-closeness
+    // checks that each quasi-identifier group's sensitive DISTRIBUTION
+    // stays within EMD t of the global one — the audit that catches a
+    // group whose 10 distinct balances are all "broke"). Sensitive
+    // attribute = acctbal in 10 fixed $1,100 bands computed by EXACT
+    // integer division on cents (no data-dependent quantiles — the
+    // banding must not itself leak); ordered-attribute EMD = Σᵢ|cumP −
+    // cumQ| / (m−1) with the q_wasserstein_drift integer-product trick,
+    // so the only doubles are the final division tree. Scale: the grid
+    // is |QI groups| × 10 rows built from broadcast band totals — the
+    // corpus is touched by exactly one hash agg; DECIMAL(38,0) products
+    // keep the cum terms exact past 10¹⁰ customers.
+    "q_t_closeness" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val cust = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          expr("least(9L, greatest(0L, (CAST(round(c_acctbal * 100) " +
+            "AS BIGINT) + 100000L) div 110000L))").as("band"))
+      val gb = cust.groupBy("nk", "seg", "band").agg(count(lit(1)).as("ng"))
+      val glob = cust.groupBy("band").agg(count(lit(1)).as("nb"))
+      val grp = cust.groupBy("nk", "seg").agg(count(lit(1)).as("k"),
+        countDistinct("band").as("l_distinct"))
+      val tot = cust.agg(count(lit(1)).as("n_all"))
+      val bands = s.range(0, 10).select(col("id").as("band"))
+      val dec38 = DecimalType(38, 0)
+      val grid = grp.crossJoin(broadcast(bands))
+        .join(broadcast(glob), Seq("band"), "left")
+        .join(gb, Seq("nk", "seg", "band"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("ng", coalesce(col("ng"), lit(0L)))
+        .withColumn("nb", coalesce(col("nb"), lit(0L)))
+      val w = W.partitionBy("nk", "seg").orderBy("band")
+      grid.withColumn("cumg", sum("ng").over(w))
+        .withColumn("cumb", sum("nb").over(w))
+        .filter(col("band") < 9)
+        .withColumn("dnum",
+          abs(col("cumg").cast(dec38) * col("n_all").cast(dec38)
+            - col("cumb").cast(dec38) * col("k").cast(dec38)))
+        .groupBy("nk", "seg")
+        .agg(first("k").as("k"), first("l_distinct").as("l_distinct"),
+          sum("dnum").as("dsum"), first("n_all").as("n_all"))
+        .select(col("nk").as("c_nationkey"), col("seg").as("c_mktsegment"),
+          col("k"), col("l_distinct"),
+          round(expr("CAST(dsum AS DOUBLE) / (CAST(k AS DOUBLE) * " +
+            "CAST(n_all AS DOUBLE)) / 9.0D"), 6).as("t_emd"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // QUANTILE (MEDIAN / LAD) REGRESSION per return flag — price ~
+    // quantity under the L1 loss OLS can't give: the median fit a robust
+    // pipeline reports when the tail (q_hill_tail's α) says means are
+    // fragile. IRLS with 8 unrolled rounds: wᵢ = 1/max($1, |rᵢ|)
+    // re-derives the LAD estimate as a sequence of weighted least
+    // squares. The cross-engine contract is the q_kcenter_select integer
+    // trick applied to WEIGHTS: residuals are floor-quantized to cents
+    // (floor, not round — no half-way rounding-mode trap), the weight is
+    // the exact BIGINT 10⁸ div max(100, |r_cents|), and every weighted
+    // sufficient statistic is a DECIMAL(38,0) sum of exact per-row BIGINT
+    // products (w·x·y ≤ 6·10¹⁴) — partial-aggregation order can't
+    // perturb them, so each round's (a, b) doubles are bit-equal to the
+    // oracle's and the NEXT round sees identical weights: the whole
+    // 8-round trajectory is deterministic, not just the fixed point.
+    // Scale: 8 linear passes over a persisted 3-column projection, each
+    // a broadcast join against the 3-row parameter table + one map-side-
+    // combined agg — no shuffle grows with rounds.
+    "q_quantile_regression" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"),
+          col("l_quantity").cast(LongType).as("x"),
+          (money(col("l_extendedprice")) * 100).cast(LongType).as("y"))
+        .persist()
+      val dec38 = DecimalType(38, 0)
+      def wsums(df: DataFrame): DataFrame = df.groupBy("rf").agg(
+        count(lit(1)).as("n"),
+        sum(col("wt").cast(dec38)).as("sw"),
+        sum((col("wt") * col("x")).cast(dec38)).as("swx"),
+        sum((col("wt") * col("x") * col("x")).cast(dec38)).as("swxx"),
+        sum((col("wt") * col("y")).cast(dec38)).as("swy"),
+        sum((col("wt") * col("x") * col("y")).cast(dec38)).as("swxy"))
+      def solve(sums: DataFrame): DataFrame = sums
+        .withColumn("b", expr(
+          """(CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+            | - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+            | / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+            | - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))""".stripMargin))
+        .withColumn("a", expr(
+          "(CAST(swy AS DOUBLE) - b * CAST(swx AS DOUBLE)) " +
+            "/ CAST(sw AS DOUBLE)"))
+        .select("rf", "n", "a", "b")
+      // round 0 = OLS (wt ≡ 1), then 8 reweighted rounds
+      var params = solve(wsums(li.withColumn("wt", lit(1L))))
+      val rcExpr = "greatest(100L, CAST(floor(abs(CAST(y AS DOUBLE) " +
+        "- (a + b * CAST(x AS DOUBLE)))) AS BIGINT))"
+      (1 to 8).foreach { _ =>
+        val j = li.join(broadcast(params.select("rf", "a", "b")), "rf")
+          .withColumn("wt", expr(s"100000000L div ($rcExpr)"))
+        params = solve(wsums(j))
+      }
+      li.join(broadcast(params), "rf")
+        .withColumn("ar", expr("CAST(floor(abs(CAST(y AS DOUBLE) " +
+          "- (a + b * CAST(x AS DOUBLE)))) AS BIGINT)"))
+        .groupBy("rf")
+        .agg(first("n").as("n"), first("a").as("a"), first("b").as("b"),
+          sum(col("ar").cast(dec38)).as("sar"))
+        .select(col("rf").as("l_returnflag"), col("n"),
+          round(expr("a / 100.0D"), 6).as("intercept"),
+          round(expr("b / 100.0D"), 6).as("slope"),
+          round(expr("CAST(sar AS DOUBLE) / CAST(n AS DOUBLE) / 100.0D"), 6)
+            .as("mean_abs_resid"))
+        .orderBy("l_returnflag")
     })
 
   /** localCheckpoint + CUT THE LAZY STATS LINEAGE. A checkpointed
@@ -6575,6 +6743,87 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // same cent quantization, same merged-support grid, same exact
+    // HUGEINT trapezoid terms (≡ Spark's DECIMAL(38,0)), same final
+    // double division tree
+    "q_wasserstein_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type AS et, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |ptv AS (SELECT et, v, COUNT(*) AS ca FROM ev GROUP BY et, v),
+        |pv AS (SELECT v, COUNT(*) AS ct FROM ev GROUP BY v),
+        |pt AS (SELECT et, COUNT(*) AS nt FROM ev GROUP BY et),
+        |tot AS (SELECT COUNT(*) AS n_all FROM ev),
+        |grid AS (
+        |  SELECT pt.et, pv.v, pt.nt, tot.n_all,
+        |    COALESCE(ptv.ca, 0) AS ca, pv.ct - COALESCE(ptv.ca, 0) AS cb
+        |  FROM pv CROSS JOIN pt CROSS JOIN tot
+        |  LEFT JOIN ptv ON ptv.et = pt.et AND ptv.v = pv.v),
+        |st AS (
+        |  SELECT et, nt, n_all,
+        |    SUM(ca) OVER (PARTITION BY et ORDER BY v) AS cuma,
+        |    SUM(cb) OVER (PARTITION BY et ORDER BY v) AS cumb,
+        |    COALESCE(LEAD(v) OVER (PARTITION BY et ORDER BY v) - v, 0)
+        |      AS dv
+        |  FROM grid),
+        |d AS (
+        |  SELECT et, nt, n_all,
+        |    abs(CAST(cuma AS HUGEINT) * (n_all - nt)
+        |      - CAST(cumb AS HUGEINT) * nt) AS dnum, dv
+        |  FROM st)
+        |SELECT et AS event_type, MAX(nt) AS n_type,
+        |  round(CAST(SUM(dnum * dv) AS DOUBLE) / (CAST(MAX(nt) AS DOUBLE)
+        |    * CAST(MAX(n_all) - MAX(nt) AS DOUBLE)) / 100.0::DOUBLE, 6)
+        |    AS w1_vs_rest,
+        |  round(CAST(MAX(dnum) AS DOUBLE) / (CAST(MAX(nt) AS DOUBLE)
+        |    * CAST(MAX(n_all) - MAX(nt) AS DOUBLE)), 6) AS ks_stat
+        |FROM d GROUP BY et ORDER BY et""".stripMargin,
+
+    // same exact cent banding (integer division — no quantiles), same
+    // groups × 10-band grid, same HUGEINT cum products, same division
+    "q_t_closeness" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |    least(9, greatest(0, (CAST(round(c_acctbal * 100) AS BIGINT)
+        |      + 100000) // 110000)) AS band
+        |  FROM customer),
+        |gb AS (SELECT nk, seg, band, COUNT(*) AS ng
+        |       FROM cust GROUP BY nk, seg, band),
+        |gl AS (SELECT band, COUNT(*) AS nb FROM cust GROUP BY band),
+        |grp AS (SELECT nk, seg, COUNT(*) AS k,
+        |          COUNT(DISTINCT band) AS l_distinct
+        |        FROM cust GROUP BY nk, seg),
+        |tot AS (SELECT COUNT(*) AS n_all FROM cust),
+        |bands AS (SELECT CAST(range AS BIGINT) AS band FROM range(0, 10)),
+        |grid AS (
+        |  SELECT grp.nk, grp.seg, b.band, grp.k, grp.l_distinct,
+        |    tot.n_all, COALESCE(gb.ng, 0) AS ng, COALESCE(gl.nb, 0) AS nb
+        |  FROM grp CROSS JOIN bands b CROSS JOIN tot
+        |  LEFT JOIN gl ON gl.band = b.band
+        |  LEFT JOIN gb ON gb.nk = grp.nk AND gb.seg = grp.seg
+        |    AND gb.band = b.band),
+        |st AS (
+        |  SELECT nk, seg, k, l_distinct, n_all, band,
+        |    SUM(ng) OVER (PARTITION BY nk, seg ORDER BY band) AS cumg,
+        |    SUM(nb) OVER (PARTITION BY nk, seg ORDER BY band) AS cumb
+        |  FROM grid),
+        |d AS (
+        |  SELECT nk, seg, k, l_distinct, n_all,
+        |    abs(CAST(cumg AS HUGEINT) * n_all
+        |      - CAST(cumb AS HUGEINT) * k) AS dnum
+        |  FROM st WHERE band < 9)
+        |SELECT nk AS c_nationkey, seg AS c_mktsegment,
+        |  MAX(k) AS k, MAX(l_distinct) AS l_distinct,
+        |  round(CAST(SUM(dnum) AS DOUBLE) / (CAST(MAX(k) AS DOUBLE)
+        |    * CAST(MAX(n_all) AS DOUBLE)) / 9.0::DOUBLE, 6) AS t_emd
+        |FROM d GROUP BY nk, seg
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // same OLS warm start, same 8 unrolled IRLS rounds with the exact
+    // BIGINT weight ladder (10⁸ // max(100, floor|r| cents)) and HUGEINT
+    // weighted sums — every round's (a, b) doubles share Spark's tree
+    "q_quantile_regression" -> quantileRegOracle,
+
     // same exact cent rollup, same total rank order, same double tree
     // over the three BIGINT aggregates
     "q_gini" ->
@@ -11628,5 +11877,62 @@ object Relational {
        |       FROM l8 GROUP BY 1)
        |SELECT w AS node, comp, comp_size FROM l8 JOIN sz USING (comp)
        |ORDER BY node""".stripMargin
+  }
+
+  /** q_quantile_regression's oracle: OLS warm start (round 0, wt ≡ 1)
+    * then 8 unrolled IRLS rounds. Weighted sufficient statistics are
+    * HUGEINT (≡ Spark's DECIMAL(38,0) sums of exact BIGINT per-row
+    * products); the (a, b) solve and the residual→weight ladder use
+    * the same double expression trees as the Spark side, so the whole
+    * trajectory is bit-deterministic, not just the fixed point. */
+  private def quantileRegOracle: String = {
+    val bTree =
+      """(CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+        | - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+        | / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+        | - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))""".stripMargin
+    def sums(i: Int): String =
+      s"""s$i AS (
+         |  SELECT rf, COUNT(*) AS n,
+         |    CAST(SUM(wt) AS HUGEINT) AS sw,
+         |    CAST(SUM(wt * x) AS HUGEINT) AS swx,
+         |    CAST(SUM(wt * x * x) AS HUGEINT) AS swxx,
+         |    CAST(SUM(wt * y) AS HUGEINT) AS swy,
+         |    CAST(SUM(wt * x * y) AS HUGEINT) AS swxy
+         |  FROM w$i GROUP BY rf),
+         |p${i}b AS (SELECT rf, n, sw, swx, swy,
+         |  $bTree AS b FROM s$i),
+         |p$i AS (SELECT rf, n, b,
+         |  (CAST(swy AS DOUBLE) - b * CAST(swx AS DOUBLE))
+         |    / CAST(sw AS DOUBLE) AS a
+         |  FROM p${i}b)""".stripMargin
+    val rc = "greatest(100, CAST(floor(abs(CAST(y AS DOUBLE) " +
+      "- (a + b * CAST(x AS DOUBLE)))) AS BIGINT))"
+    val rounds = (1 to 8).map { i =>
+      s"""w$i AS (
+         |  SELECT li.rf, li.x, li.y,
+         |    100000000 // ($rc) AS wt
+         |  FROM li JOIN p${i - 1} USING (rf)),
+         |${sums(i)}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS x,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |      AS y
+       |  FROM lineitem),
+       |w0 AS (SELECT rf, x, y, CAST(1 AS BIGINT) AS wt FROM li),
+       |${sums(0)},
+       |$rounds,
+       |fin AS (
+       |  SELECT li.rf, p8.n, p8.a, p8.b,
+       |    CAST(floor(abs(CAST(y AS DOUBLE)
+       |      - (a + b * CAST(x AS DOUBLE)))) AS BIGINT) AS ar
+       |  FROM li JOIN p8 USING (rf))
+       |SELECT rf AS l_returnflag, MAX(n) AS n,
+       |  round(MAX(a) / 100.0::DOUBLE, 6) AS intercept,
+       |  round(MAX(b) / 100.0::DOUBLE, 6) AS slope,
+       |  round(CAST(SUM(ar) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+       |    / 100.0::DOUBLE, 6) AS mean_abs_resid
+       |FROM fin GROUP BY rf ORDER BY l_returnflag""".stripMargin
   }
 }

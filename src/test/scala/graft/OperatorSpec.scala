@@ -5242,4 +5242,152 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
     assert(r.getLong(1) <= r.getLong(2), "overlap monotone in depth")
   }
+
+  test("wasserstein drift: brute merged-support replay matches; KS bounds W1/range") {
+    import graft.operators.Relational
+    val out = Relational.queries("q_wasserstein_drift")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val types = ev.map(_._1).distinct.sorted
+    assert(out.keySet == types.toSet)
+    types.foreach { et =>
+      val a = ev.filter(_._1 == et).map(_._2)
+      val b = ev.filter(_._1 != et).map(_._2)
+      val support = (a ++ b).distinct.sorted
+      var (ca, cb, w1, ks) = (0L, 0L, 0.0, 0.0)
+      support.zip(support.tail :+ support.last).foreach { case (v, nx) =>
+        ca += a.count(_ == v); cb += b.count(_ == v)
+        val d = math.abs(ca.toDouble / a.length - cb.toDouble / b.length)
+        ks = math.max(ks, d)
+        w1 += d * (nx - v) / 100.0
+      }
+      val (n, qw1, qks) = out(et)
+      assert(n == a.length.toLong, s"$et n")
+      assert(math.abs(qw1 - w1) < 1e-5, s"$et w1: $qw1 vs $w1")
+      assert(math.abs(qks - ks) < 1e-5, s"$et ks: $qks vs $ks")
+      // W1 ≤ KS · range (both in value units)
+      val range = (support.last - support.head) / 100.0
+      assert(qw1 <= qks * range + 1e-6, s"$et: W1 bounded by KS*range")
+      assert(qks >= 0.0 && qks <= 1.0)
+    }
+  }
+
+  test("t-closeness: brute banded-EMD replay matches; bounds and partition hold") {
+    import graft.operators.Relational
+    val out = Relational.queries("q_t_closeness")(spark, sfDir).collect()
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_nationkey", "c_mktsegment",
+        "least(9L, greatest(0L, (CAST(round(c_acctbal * 100) AS BIGINT) " +
+          "+ 100000L) div 110000L))")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val nAll = cust.length
+    val globCum = (0 until 9).map(i => cust.count(_._3 <= i).toLong)
+    assert(out.map(_.getLong(2)).sum == nAll.toLong,
+      "group sizes partition the table")
+    out.foreach { r =>
+      val g = cust.filter(c => c._1 == r.getInt(0) && c._2 == r.getString(1))
+      val k = g.length
+      assert(r.getLong(2) == k.toLong)
+      assert(r.getLong(3) == g.map(_._3).distinct.length.toLong)
+      val emd = (0 until 9).map { i =>
+        math.abs(g.count(_._3 <= i).toLong * nAll - globCum(i) * k).toDouble
+      }.sum / (k.toDouble * nAll) / 9.0
+      assert(math.abs(r.getDouble(4) - emd) < 1e-5,
+        s"${r.getInt(0)}/${r.getString(1)} emd: ${r.getDouble(4)} vs $emd")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("quantile regression: brute 8-round IRLS replay matches; LAD beats OLS on L1") {
+    import graft.operators.Relational
+    val out = Relational.queries("q_quantile_regression")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_returnflag", "CAST(l_quantity AS BIGINT)",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    li.map(_._1).distinct.foreach { rf =>
+      val g = li.filter(_._1 == rf)
+      def solve(w: Array[Long]): (Double, Double) = {
+        def s(f: ((String, Long, Long), Long) => BigInt): Double =
+          g.zip(w).map { case (r, wi) => f(r, wi) }.sum.toDouble
+        val (sw, sx, sxx, sy, sxy) = (
+          s((_, wi) => BigInt(wi)),
+          s((r, wi) => BigInt(wi) * r._2),
+          s((r, wi) => BigInt(wi) * r._2 * r._2),
+          s((r, wi) => BigInt(wi) * r._3),
+          s((r, wi) => BigInt(wi) * r._2 * r._3))
+        val b = (sw * sxy - sx * sy) / (sw * sxx - sx * sx)
+        ((sy - b * sx) / sw, b)
+      }
+      var (a, b) = solve(Array.fill(g.length)(1L))
+      val olsL1 = g.map(r =>
+        math.floor(math.abs(r._3 - (a + b * r._2)))).sum / g.length / 100.0
+      for (_ <- 1 to 8) {
+        val w = g.map { r =>
+          val rc = math.max(100L,
+            math.floor(math.abs(r._3 - (a + b * r._2))).toLong)
+          100000000L / rc
+        }
+        val ab = solve(w); a = ab._1; b = ab._2
+      }
+      val ladL1 = g.map(r =>
+        math.floor(math.abs(r._3 - (a + b * r._2)))).sum / g.length / 100.0
+      val (n, qi, qs, qm) = out(rf)
+      assert(n == g.length.toLong)
+      assert(math.abs(qi - a / 100.0) < 1e-5, s"$rf intercept: $qi vs ${a / 100}")
+      assert(math.abs(qs - b / 100.0) < 1e-5, s"$rf slope: $qs vs ${b / 100}")
+      assert(math.abs(qm - ladL1) < 1e-5, s"$rf L1: $qm vs $ladL1")
+      // the point of LAD: its L1 residual never exceeds the OLS fit's
+      assert(ladL1 <= olsL1 + 1e-6, s"$rf: LAD L1 $ladL1 vs OLS L1 $olsL1")
+    }
+  }
+
+  test("ppmi svd: brute power-iteration replay matches; loadings L∞-normalized") {
+    val out = Pipeline.queries("q_ppmi_svd")(spark, sfDir).collect()
+    assert(out.length == 12, "one row per vocab token")
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0).split(" ").toSeq)
+    val vocab = texts.flatten.groupBy(identity)
+      .map { case (t, xs) => (t, xs.size) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(12).map(_._1)
+    val vs = vocab.toSet
+    val cooc = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    texts.foreach(_.sliding(2).foreach {
+      case Seq(x, y) if vs(x) && vs(y) =>
+        cooc((x, y)) += 1L; cooc((y, x)) += 1L
+      case _ =>
+    })
+    val toks = vocab.sorted
+    val ra = toks.map(t => t -> toks.map(u => cooc((t, u))).sum).toMap
+    val tt = ra.values.sum.toDouble
+    val m = toks.map(t => toks.map { u =>
+      val c = cooc((t, u))
+      if (c > 0 && ra(t) > 0 && ra(u) > 0)
+        math.max(0.0, math.log(c.toDouble * tt / (ra(t).toDouble * ra(u))))
+      else 0.0
+    })
+    var v = Array.fill(12)(1.0)
+    for (_ <- 1 to 4)
+      v = Array.tabulate(12)(i =>
+        m(i).zip(v).foldLeft(0.0) { case (p, (x, y)) => p + x * y })
+    val vmax = v.map(math.abs).foldLeft(0.0)(math.max)
+    val expect = toks.zipWithIndex
+      .map { case (t, i) => t -> (ra(t), v(i) / vmax) }.toMap
+    out.foreach { r =>
+      val (era, el) = expect(r.getString(0))
+      assert(r.getLong(1) == era, s"${r.getString(0)} marginal")
+      assert(math.abs(r.getDouble(2) - el) < 1e-5,
+        s"${r.getString(0)} loading: ${r.getDouble(2)} vs $el")
+    }
+    // L∞ normalization: some |loading| hits 1, none exceeds it
+    val mx = out.map(r => math.abs(r.getDouble(2))).max
+    assert(math.abs(mx - 1.0) < 1e-6, s"max |loading| = $mx")
+  }
 }
