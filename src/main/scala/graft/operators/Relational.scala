@@ -6485,6 +6485,149 @@ object Relational {
           round(expr("CAST(sar AS DOUBLE) / CAST(n AS DOUBLE) / 100.0D"), 6)
             .as("mean_abs_resid"))
         .orderBy("l_returnflag")
+    },
+
+    // MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016 — the
+    // model-based answer to q_attribution's positional and
+    // q_shapley_attribution's cooperative heuristics: delete channel c
+    // from the journey chain, recompute P(conversion), and credit c
+    // with the drop): q_absorbing_chain's first-journey transition
+    // counts and (I−Q)⁻¹ cofactor algebra, PLUS the start distribution
+    // π from each user's first event; removal ≠ renormalization — paths
+    // into the deleted state are LOST (the 2×2 minor chain), so effects
+    // are nonnegative by construction. Every probability divides exact
+    // BIGINTs and the cofactor trees are the SAME generated text on
+    // both engines (fundN / markovRemoved). Scale: two corpus window
+    // passes collapse to one 18-column row; everything after is scalar.
+    "q_markov_attribution" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("src"),
+          when(col("event_type").isin("purchase", "error"), 1L)
+            .otherwise(0L).as("ab"))
+        .withColumn("dst", lead("src", 1).over(w))
+        .withColumn("abs_before", coalesce(sum("ab").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .filter(col("dst").isNotNull && col("abs_before") === 0L &&
+          col("ab") === 0L)
+      val keys = Seq("click" -> "c", "signup" -> "s", "view" -> "v",
+        "error" -> "e", "purchase" -> "p")
+      val srcs = keys.take(3)
+      val cnts = for ((sn, sa) <- srcs; (dn, da) <- keys) yield
+        sum(when(col("src") === sn && col("dst") === dn, 1L)
+          .otherwise(0L)).as(s"c_$sa$da")
+      val fc = ev
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .agg(srcs.zipWithIndex.map { case ((sn, _), i) =>
+          sum(when(col("event_type") === sn, 1L).otherwise(0L))
+            .as(s"f${i + 1}")
+        }.head, srcs.zipWithIndex.tail.map { case ((sn, _), i) =>
+          sum(when(col("event_type") === sn, 1L).otherwise(0L))
+            .as(s"f${i + 1}")
+        }: _*)
+      val one = e.agg(cnts.head, cnts.tail: _*).crossJoin(broadcast(fc))
+      val probs = srcs.zipWithIndex.flatMap { case ((_, sa), i) =>
+        val tot = s"CAST(c_${sa}c + c_${sa}s + c_${sa}v + c_${sa}e " +
+          s"+ c_${sa}p AS DOUBLE)"
+        keys.take(3).zipWithIndex.map { case ((_, da), j) =>
+          expr(s"CAST(c_$sa$da AS DOUBLE) / ($tot)").as(s"q${i + 1}${j + 1}")
+        } ++ Seq(
+          expr(s"CAST(c_${sa}e AS DOUBLE) / ($tot)").as(s"r${i + 1}1"),
+          expr(s"CAST(c_${sa}p AS DOUBLE) / ($tot)").as(s"r${i + 1}2"))
+      } ++ (1 to 3).map(i =>
+        expr(s"CAST(f$i AS DOUBLE) / CAST(f1 + f2 + f3 AS DOUBLE)")
+          .as(s"pi$i"))
+      val base = one.select(probs: _*)
+      val fin = base.select(col("*") +: (1 to 3).flatMap(i =>
+        (1 to 3).map(j => expr(fundN(i, j)).as(s"nn$i$j"))): _*)
+        .withColumn("p_full", expr(markovFull))
+      val fin2 = (1 to 3).foldLeft(fin) { (df, k) =>
+        df.withColumn(s"prm$k", expr(markovRemoved(k)))
+      }
+      val fin3 = (1 to 3).foldLeft(fin2) { (df, k) =>
+        df.withColumn(s"eff$k", expr(s"(p_full - prm$k) / p_full"))
+      }
+      fin3.select(expr(srcs.zipWithIndex.map { case ((sn, _), k) =>
+          val i = k + 1
+          s"'$sn', round(p_full, 6), round(prm$i, 6), round(eff$i, 6), " +
+            s"round(eff$i / (eff1 + eff2 + eff3), 6)"
+        }.mkString("stack(3,\n", ",\n",
+          ")\nAS (channel, p_purchase_full, p_purchase_removed, " +
+            "removal_effect, attribution)")))
+        .orderBy("channel")
+    },
+
+    // RESTRICTED MEAN SURVIVAL TIME (Royston & Parmar 2013 — the
+    // model-free "average days survived in the first τ" readout
+    // clinicians and retention teams quote when q_kaplan_meier's curve
+    // is the input and a single comparable number is the output; robust
+    // where median survival is undefined): RMST(τ) = ∫₀^τ S(t)dt over
+    // the KM step function, evaluated at τ = 30 and 60 days. The fold
+    // carries [prod, area, prev] as a DOUBLE ARRAY accumulator (the
+    // q_holt_winters array-not-struct rule for DuckDB's list_reduce)
+    // over the dur-sorted life table — each KM factor is one correctly
+    // rounded division of exact integers, each trapezoid S·Δt uses the
+    // identical least()-clamped tree in both engines, and the post-fold
+    // tail term extends the last step to τ. Scale: identical to KM —
+    // two user-keyed aggs, then life-table-sized scalar work.
+    "q_rmst" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val obsEnd = ev.agg(max("ts").as("obs_end"))
+      val t0 = ev.groupBy("user_id").agg(min("ts").as("t0"))
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .join(t0, "user_id").filter(col("ts") > col("t0"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      val users = t0.join(firstP, Seq("user_id"), "left")
+        .crossJoin(broadcast(obsEnd))
+        .select(
+          when(col("tp").isNotNull, 1L).otherwise(0L).as("ev_flag"),
+          when(col("tp").isNotNull,
+            expr("(unix_micros(tp) - unix_micros(t0)) div 86400000000"))
+            .otherwise(
+              expr("(unix_micros(obs_end) - unix_micros(t0)) div 86400000000"))
+            .as("dur"))
+      val byDur = users.groupBy("dur").agg(
+        sum("ev_flag").as("d"),
+        sum(lit(1L) - col("ev_flag")).as("c"))
+      val total = users.agg(count(lit(1)).as("n_total"))
+      val wz = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val risk = byDur.crossJoin(broadcast(total))
+        .withColumn("n_risk", col("n_total") -
+          coalesce(sum(col("d") + col("c")).over(wz), lit(0L)))
+      val lrow = risk
+        .agg(sort_array(collect_list(array(
+          col("dur").cast(DoubleType), col("d").cast(DoubleType),
+          col("n_risk").cast(DoubleType)))).as("l"))
+      def taued(tau: Int): DataFrame = {
+        val tc = s"CAST($tau AS DOUBLE)"
+        lrow
+          .withColumn("st", expr(
+            s"""aggregate(l,
+               |  array(CAST(1 AS DOUBLE), CAST(0 AS DOUBLE),
+               |    CAST(0 AS DOUBLE)),
+               |  (a, el) -> array(
+               |    element_at(a, 1) * (CAST(1 AS DOUBLE)
+               |      - element_at(el, 2) / element_at(el, 3)),
+               |    element_at(a, 2) + element_at(a, 1)
+               |      * (least(element_at(el, 1), $tc)
+               |        - least(element_at(a, 3), $tc)),
+               |    element_at(el, 1)))""".stripMargin))
+          .select(
+            lit(tau.toLong).as("tau_days"),
+            round(expr(s"element_at(st, 2) + element_at(st, 1) * " +
+              s"($tc - least(element_at(st, 3), $tc))"), 6)
+              .as("rmst_days"),
+            round(expr(
+              s"""aggregate(filter(l, el -> element_at(el, 1) <= $tc),
+                 |  CAST(1 AS DOUBLE), (a, el) -> a * (CAST(1 AS DOUBLE)
+                 |    - element_at(el, 2) / element_at(el, 3)))"""
+                .stripMargin), 6).as("survival_at_tau"))
+      }
+      taued(30).unionByName(taued(60)).orderBy("tau_days")
     })
 
   /** localCheckpoint + CUT THE LAZY STATS LINEAGE. A checkpointed
@@ -6574,6 +6717,28 @@ object Relational {
       s"${m(rows(0), cols(1))} * ${m(rows(1), cols(0))})"
     val sign = if ((i + j) % 2 == 0) "" else "- "
     s"($sign$minor) / $det"
+  }
+
+  /** q_markov_attribution: P(purchase) from the start distribution
+    * through the FULL chain — Σᵢ πᵢ (N r₂)ᵢ over the fundN entries.
+    * Engine-neutral text shared by the Spark expr and the oracle. */
+  private[operators] def markovFull: String =
+    (1 to 3).map(i => s"pi$i * (nn${i}1 * r12 + nn${i}2 * r22 " +
+      s"+ nn${i}3 * r32)").mkString("(", " + ", ")")
+
+  /** q_markov_attribution: P(purchase) with transient state k DELETED
+    * (paths into k are lost, no renormalization) — the 2×2 minor
+    * chain's (I−Q')⁻¹ applied to the remaining start mass. Same
+    * generated text on both engines. */
+  private[operators] def markovRemoved(k: Int): String = {
+    def mm(i: Int, j: Int): String =
+      if (i == j) s"(CAST(1 AS DOUBLE) - q$i$j)" else s"(- q$i$j)"
+    val Seq(a, b) = Seq(1, 2, 3).filter(_ != k)
+    val det = s"(${mm(a, a)} * ${mm(b, b)} - ${mm(a, b)} * ${mm(b, a)})"
+    s"""(pi$a * ((${mm(b, b)} / $det) * r${a}2
+       | + ((- ${mm(a, b)}) / $det) * r${b}2)
+       | + pi$b * (((- ${mm(b, a)}) / $det) * r${a}2
+       | + (${mm(a, a)} / $det) * r${b}2))""".stripMargin
   }
 
   /** Sakoe-Chiba band of q_dtw: legal j-range for row i. */
@@ -6743,6 +6908,157 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // same first-journey transition counts, same start distribution,
+    // same generated cofactor texts (fundN for the full chain,
+    // markovRemoved for each 2×2 minor chain)
+    "q_markov_attribution" -> {
+      val keys = Seq("click" -> "c", "signup" -> "s", "view" -> "v",
+        "error" -> "e", "purchase" -> "p")
+      val srcs = keys.take(3)
+      val cnts = (for ((sn, sa) <- srcs; (dn, da) <- keys) yield
+        s"CAST(SUM(CASE WHEN src = '$sn' AND dst = '$dn' THEN 1 " +
+          s"ELSE 0 END) AS BIGINT) AS c_$sa$da").mkString(",\n    ")
+      val fcs = srcs.zipWithIndex.map { case ((sn, _), i) =>
+        s"CAST(SUM(CASE WHEN event_type = '$sn' THEN 1 ELSE 0 END) " +
+          s"AS BIGINT) AS f${i + 1}"
+      }.mkString(",\n    ")
+      val probs = (srcs.zipWithIndex.flatMap { case ((_, sa), i) =>
+        val tot = s"CAST(c_${sa}c + c_${sa}s + c_${sa}v + c_${sa}e " +
+          s"+ c_${sa}p AS DOUBLE)"
+        keys.take(3).zipWithIndex.map { case ((_, da), j) =>
+          s"CAST(c_$sa$da AS DOUBLE) / ($tot) AS q${i + 1}${j + 1}"
+        } ++ Seq(
+          s"CAST(c_${sa}e AS DOUBLE) / ($tot) AS r${i + 1}1",
+          s"CAST(c_${sa}p AS DOUBLE) / ($tot) AS r${i + 1}2")
+      } ++ (1 to 3).map(i =>
+        s"CAST(f$i AS DOUBLE) / CAST(f1 + f2 + f3 AS DOUBLE) AS pi$i"))
+        .mkString(",\n    ")
+      val nns = (1 to 3).flatMap(i => (1 to 3).map(j =>
+        s"${fundN(i, j)} AS nn$i$j")).mkString(",\n    ")
+      val prms = (1 to 3).map(k =>
+        s"${markovRemoved(k)} AS prm$k").mkString(",\n    ")
+      val effs = (1 to 3).map(k =>
+        s"(p_full - prm$k) / p_full AS eff$k").mkString(",\n    ")
+      val rows = srcs.zipWithIndex.map { case ((sn, _), k) =>
+        val i = k + 1
+        s"""SELECT '$sn' AS channel,
+           |  round(p_full, 6) AS p_purchase_full,
+           |  round(prm$i, 6) AS p_purchase_removed,
+           |  round(eff$i, 6) AS removal_effect,
+           |  round(eff$i / (eff1 + eff2 + eff3), 6) AS attribution
+           |FROM fin4""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, event_type AS src,
+         |    CASE WHEN event_type IN ('purchase', 'error') THEN 1
+         |      ELSE 0 END AS ab
+         |  FROM events),
+         |p AS (
+         |  SELECT src, ab,
+         |    LEAD(src) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS dst,
+         |    COALESCE(SUM(ab) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS abs_before
+         |  FROM e),
+         |f AS (SELECT src, dst FROM p
+         |  WHERE dst IS NOT NULL AND abs_before = 0 AND ab = 0),
+         |fst AS (
+         |  SELECT event_type FROM (
+         |    SELECT event_type, ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |    FROM events) WHERE rn = 1),
+         |fc AS (
+         |  SELECT $fcs
+         |  FROM fst),
+         |one AS (
+         |  SELECT $cnts
+         |  FROM f),
+         |base AS (
+         |  SELECT $probs
+         |  FROM one CROSS JOIN fc),
+         |fin AS (
+         |  SELECT *,
+         |    $nns
+         |  FROM base),
+         |fin2 AS (SELECT *, $markovFull AS p_full FROM fin),
+         |fin3 AS (
+         |  SELECT *,
+         |    $prms
+         |  FROM fin2),
+         |fin4 AS (
+         |  SELECT *,
+         |    $effs
+         |  FROM fin3)
+         |$rows
+         |ORDER BY channel""".stripMargin
+    },
+
+    // same life table as q_kaplan_meier, same [prod, area, prev]
+    // array-accumulator fold (the holt_winters array-not-struct rule),
+    // same least()-clamped trapezoid and tail-extension trees
+    "q_rmst" -> {
+      def fold(tau: Int): String =
+        s"""list_reduce(list_concat(
+           |    [[CAST(1 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]],
+           |    lst.l),
+           |  (a, el) -> [
+           |    a[1] * (CAST(1 AS DOUBLE) - el[2] / el[3]),
+           |    a[2] + a[1] * (least(el[1], CAST($tau AS DOUBLE))
+           |      - least(a[3], CAST($tau AS DOUBLE))),
+           |    el[1]])""".stripMargin
+      def sTau(tau: Int): String =
+        s"""list_reduce(list_concat([CAST(1 AS DOUBLE)],
+           |  list_transform(
+           |    list_filter(lst.l, el -> el[1] <= CAST($tau AS DOUBLE)),
+           |    el -> CAST(1 AS DOUBLE) - el[2] / el[3])),
+           |  (a, b) -> a * b)""".stripMargin
+      def row(tau: Int): String =
+        s"""SELECT CAST($tau AS BIGINT) AS tau_days,
+           |  round(st[2] + st[1] * (CAST($tau AS DOUBLE)
+           |    - least(st[3], CAST($tau AS DOUBLE))), 6) AS rmst_days,
+           |  round(${sTau(tau)}, 6) AS survival_at_tau
+           |FROM (SELECT ${fold(tau)} AS st FROM lst) CROSS JOIN lst"""
+          .stripMargin
+      s"""WITH ends AS (SELECT MAX(ts) AS obs_end FROM events),
+         |t0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+         |       GROUP BY user_id),
+         |fp AS (
+         |  SELECT e.user_id, MIN(e.ts) AS tp
+         |  FROM events e JOIN t0 USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.ts > t0.t0
+         |  GROUP BY e.user_id),
+         |u AS (
+         |  SELECT CASE WHEN fp.user_id IS NULL THEN 0 ELSE 1 END
+         |      AS ev_flag,
+         |    CASE WHEN fp.user_id IS NULL
+         |      THEN (epoch_us(ends.obs_end) - epoch_us(t0.t0))
+         |        // 86400000000
+         |      ELSE (epoch_us(fp.tp) - epoch_us(t0.t0)) // 86400000000
+         |    END AS dur
+         |  FROM t0 LEFT JOIN fp ON fp.user_id = t0.user_id
+         |  CROSS JOIN ends),
+         |bd AS (
+         |  SELECT dur, CAST(SUM(ev_flag) AS BIGINT) AS d,
+         |    CAST(SUM(1 - ev_flag) AS BIGINT) AS c
+         |  FROM u GROUP BY dur),
+         |tot AS (SELECT COUNT(*) AS n_total FROM u),
+         |rk AS (
+         |  SELECT dur, d, c, CAST(tot.n_total - COALESCE(SUM(d + c) OVER
+         |    (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+         |  FROM bd CROSS JOIN tot),
+         |lst AS (
+         |  SELECT list([CAST(dur AS DOUBLE), CAST(d AS DOUBLE),
+         |    CAST(n_risk AS DOUBLE)] ORDER BY dur) AS l
+         |  FROM rk)
+         |${row(30)}
+         |UNION ALL
+         |${row(60)}
+         |ORDER BY tau_days""".stripMargin
+    },
+
     // same cent quantization, same merged-support grid, same exact
     // HUGEINT trapezoid terms (≡ Spark's DECIMAL(38,0)), same final
     // double division tree

@@ -447,6 +447,69 @@ object Streaming {
         .orderBy("w_start", "event_type")
     },
 
+    // STREAMING 1-D WASSERSTEIN DRIFT — q_wasserstein_drift's exact-EMD
+    // machinery pointed at the production question: "did TODAY's value
+    // distribution drift from the corpus?" (the continuous sibling of
+    // q_stream_psi's binned score). The STREAM side keeps only
+    // watermark-bounded per-(day-window, dollar-bucket) counts — state
+    // is domain-bounded (≤491 buckets per open window, the cent rule
+    // relaxed to dollars) and independent of event volume; the sentinel
+    // advances the watermark past every real day and its own window
+    // never closes, so append mode emits exactly the finished days. The
+    // W1 integration runs BATCH-side on the closed histograms against
+    // the static corpus reference: integer CDFs on the merged support,
+    // each trapezoid an exact DECIMAL(38,0) |cumW·N − cumR·n_day|·Δv —
+    // order-free summation, doubles only in the final division tree.
+    "q_stream_wasserstein" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val agg = eventStream(s, dir, "wstein")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"),
+          expr("CAST(floor(value) AS BIGINT)").as("v"))
+        .agg(count(lit(1)).as("ca"))
+        .select(col("window.start").as("w_start"), col("v"), col("ca"))
+      // the W1 grid references the finished sink THREE times (support
+      // union, per-window totals, per-cell counts) — a memory-sink View
+      // can't be self-joined (conflicting attribute ids, the
+      // q_stream_percentiles note), so re-wrap the materialized rows as
+      // a plain LogicalRDD the analyzer CAN deduplicate
+      val sink = {
+        val m = runToMemory(agg, "graft_stream_wstein")
+        m.sparkSession.createDataFrame(m.rdd, m.schema)
+      }
+      val ref = Tables.load(s, dir, "events")
+        .select(expr("CAST(floor(value) AS BIGINT)").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cr"))
+      val wins = sink.groupBy("w_start").agg(sum("ca").as("nt"))
+      val tot = ref.agg(sum("cr").as("n_all"))
+      val sup = ref.select("v").unionByName(sink.select("v")).distinct()
+      val dec38 = DecimalType(38, 0)
+      val grid = sup.crossJoin(broadcast(wins))
+        .join(sink, Seq("w_start", "v"), "left")
+        .withColumn("ca", coalesce(col("ca"), lit(0L)))
+        .join(broadcast(ref), Seq("v"), "left")
+        .withColumn("cr", coalesce(col("cr"), lit(0L)))
+        .crossJoin(broadcast(tot))
+      val w = W.partitionBy("w_start").orderBy("v")
+      grid.withColumn("cumw", sum("ca").over(w))
+        .withColumn("cumr", sum("cr").over(w))
+        .withColumn("dv",
+          coalesce(lead("v", 1).over(w) - col("v"), lit(0L)))
+        .withColumn("dnum",
+          abs(col("cumw").cast(dec38) * col("n_all").cast(dec38)
+            - col("cumr").cast(dec38) * col("nt").cast(dec38)))
+        .groupBy("w_start")
+        .agg(first("nt").as("n_events"), first("n_all").as("n_all"),
+          sum(col("dnum") * col("dv").cast(dec38)).as("dsum"),
+          max("dnum").as("dmax"))
+        .select(col("w_start"), col("n_events"),
+          round(expr("CAST(dsum AS DOUBLE) / (CAST(n_events AS DOUBLE) * " +
+            "CAST(n_all AS DOUBLE))"), 6).as("w1_vs_corpus"),
+          round(expr("CAST(dmax AS DOUBLE) / (CAST(n_events AS DOUBLE) * " +
+            "CAST(n_all AS DOUBLE))"), 6).as("ks_stat"))
+        .orderBy("w_start")
+    },
+
     // Backfill trigger (Trigger.AvailableNow): process the whole backlog in
     // rate-limited micro-batches, then STOP on our own — the reference's
     // run-to-completion `kind: Job` shape (reference: userdata/cloudinit.sh:
@@ -1680,6 +1743,45 @@ object Streaming {
         |SELECT w_start, q AS quantile, n, rk AS rank_sel, value_cents,
         |  round(value_cents / 100.0::DOUBLE, 6) AS dollars
         |FROM sel ORDER BY w_start, quantile""".stripMargin,
+
+    // same day windows (no sentinel in the batch table; its window never
+    // closes stream-side), same merged support, same HUGEINT trapezoids
+    "q_stream_wasserstein" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('day', ts) AS w_start,
+        |    CAST(floor(value) AS BIGINT) AS v
+        |  FROM events),
+        |sink AS (SELECT w_start, v, COUNT(*) AS ca FROM ev GROUP BY 1, 2),
+        |ref AS (SELECT CAST(floor(value) AS BIGINT) AS v, COUNT(*) AS cr
+        |        FROM events GROUP BY 1),
+        |wins AS (SELECT w_start, CAST(SUM(ca) AS BIGINT) AS nt
+        |         FROM sink GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_all FROM events),
+        |sup AS (SELECT v FROM ref UNION SELECT v FROM sink),
+        |grid AS (
+        |  SELECT w.w_start, s.v, w.nt, tot.n_all,
+        |    COALESCE(k.ca, 0) AS ca, COALESCE(r.cr, 0) AS cr
+        |  FROM sup s CROSS JOIN wins w CROSS JOIN tot
+        |  LEFT JOIN sink k ON k.w_start = w.w_start AND k.v = s.v
+        |  LEFT JOIN ref r ON r.v = s.v),
+        |st AS (
+        |  SELECT w_start, nt, n_all,
+        |    SUM(ca) OVER (PARTITION BY w_start ORDER BY v) AS cumw,
+        |    SUM(cr) OVER (PARTITION BY w_start ORDER BY v) AS cumr,
+        |    COALESCE(LEAD(v) OVER (PARTITION BY w_start ORDER BY v) - v,
+        |      0) AS dv
+        |  FROM grid),
+        |d AS (
+        |  SELECT w_start, nt, n_all,
+        |    abs(CAST(cumw AS HUGEINT) * n_all
+        |      - CAST(cumr AS HUGEINT) * nt) AS dnum, dv
+        |  FROM st)
+        |SELECT w_start, MAX(nt) AS n_events,
+        |  round(CAST(SUM(dnum * dv) AS DOUBLE) / (CAST(MAX(nt) AS DOUBLE)
+        |    * CAST(MAX(n_all) AS DOUBLE)), 6) AS w1_vs_corpus,
+        |  round(CAST(MAX(dnum) AS DOUBLE) / (CAST(MAX(nt) AS DOUBLE)
+        |    * CAST(MAX(n_all) AS DOUBLE)), 6) AS ks_stat
+        |FROM d GROUP BY w_start ORDER BY w_start""".stripMargin,
 
     // every real window closes, so the finished per-window histograms
     // equal the batch per-hour rollup; reference deciles, binning, and

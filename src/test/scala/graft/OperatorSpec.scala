@@ -5390,4 +5390,157 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     val mx = out.map(r => math.abs(r.getDouble(2))).max
     assert(math.abs(mx - 1.0) < 1e-6, s"max |loading| = $mx")
   }
+
+  test("markov attribution: brute chain replay matches; effects nonneg, shares sum to 1") {
+    import graft.operators.Relational
+    val out = Relational.queries("q_markov_attribution")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val types = Seq("click", "signup", "view")
+    val evs = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "event_type", "CAST(ts AS STRING)", "event_id")
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+      .groupBy(_._1).values.map(_.toSeq.sortBy(e => (e._3, e._4)).map(_._2))
+    val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    val fst = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    evs.foreach { seq =>
+      fst(seq.head) += 1L
+      seq.takeWhile(t => t != "purchase" && t != "error").size match {
+        case k => seq.take(k + 1).sliding(2).foreach {
+          case Seq(a, b) => cnt((a, b)) += 1L
+          case _ =>
+        }
+      }
+    }
+    val tot = types.map(a =>
+      a -> (types ++ Seq("error", "purchase")).map(b => cnt((a, b))).sum)
+      .toMap
+    val q = Array.tabulate(3, 3)((i, j) =>
+      cnt((types(i), types(j))).toDouble / tot(types(i)))
+    val r2 = Array.tabulate(3)(i =>
+      cnt((types(i), "purchase")).toDouble / tot(types(i)))
+    val fsum = types.map(fst).sum.toDouble
+    val pi = Array.tabulate(3)(i => fst(types(i)) / fsum)
+    def inv3(m: Array[Array[Double]]): Array[Array[Double]] = {
+      val d = m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+        m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+        m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+      Array.tabulate(3, 3) { (i, j) =>
+        val rs = (0 to 2).filter(_ != j)
+        val cs = (0 to 2).filter(_ != i)
+        val minor = m(rs(0))(cs(0)) * m(rs(1))(cs(1)) -
+          m(rs(0))(cs(1)) * m(rs(1))(cs(0))
+        (if ((i + j) % 2 == 0) minor else -minor) / d
+      }
+    }
+    val im = Array.tabulate(3, 3)((i, j) =>
+      (if (i == j) 1.0 else 0.0) - q(i)(j))
+    val nn = inv3(im)
+    val pFull = (0 to 2).map(i =>
+      pi(i) * (0 to 2).map(j => nn(i)(j) * r2(j)).sum).sum
+    val prm = (0 to 2).map { k =>
+      val Seq(a, b) = (0 to 2).filterNot(_ == k)
+      val d = im(a)(a) * im(b)(b) - im(a)(b) * im(b)(a)
+      pi(a) * ((im(b)(b) / d) * r2(a) + (-im(a)(b) / d) * r2(b)) +
+        pi(b) * ((-im(b)(a) / d) * r2(a) + (im(a)(a) / d) * r2(b))
+    }
+    val effs = prm.map(p => (pFull - p) / pFull)
+    types.zipWithIndex.foreach { case (ch, k) =>
+      val (qf, qr, qe, qa) = out(ch)
+      assert(math.abs(qf - pFull) < 1e-5, s"$ch p_full: $qf vs $pFull")
+      assert(math.abs(qr - prm(k)) < 1e-5, s"$ch p_removed")
+      assert(math.abs(qe - effs(k)) < 1e-5, s"$ch effect")
+      assert(math.abs(qa - effs(k) / effs.sum) < 1e-5, s"$ch share")
+      // deleting paths cannot create conversions
+      assert(qr <= qf + 1e-9 && qe >= -1e-9, s"$ch: removal must not help")
+    }
+    assert(math.abs(out.values.map(_._4).sum - 1.0) < 1e-5,
+      "attribution shares sum to 1")
+  }
+
+  test("rmst: brute KM-integral replay matches; bounds and monotonicity hold") {
+    import graft.operators.Relational
+    val out = Relational.queries("q_rmst")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val obsEnd = ev.map(_._3).max
+    val durs = ev.groupBy(_._1).values.map { g =>
+      val t0 = g.map(_._3).min
+      val tp = g.filter(e => e._2 == "purchase" && e._3 > t0).map(_._3)
+      if (tp.nonEmpty) (true, (tp.min - t0) / 86400000000L)
+      else (false, (obsEnd - t0) / 86400000000L)
+    }.toSeq
+    val table = durs.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, xs) =>
+      (d, xs.count(_._1).toLong)
+    }
+    val nTotal = durs.size.toLong
+    Seq(30L, 60L).foreach { tau =>
+      var (atRisk, prod, area, prev) = (nTotal, 1.0, 0.0, 0.0)
+      var removedBefore = 0L
+      val grouped = durs.groupBy(_._2).toSeq.sortBy(_._1)
+      grouped.foreach { case (dur, xs) =>
+        val nRisk = nTotal - removedBefore
+        area += prod * (math.min(dur.toDouble, tau.toDouble) -
+          math.min(prev, tau.toDouble))
+        prod *= 1.0 - xs.count(_._1).toDouble / nRisk
+        prev = dur.toDouble
+        removedBefore += xs.size.toLong
+      }
+      area += prod * (tau.toDouble - math.min(prev, tau.toDouble))
+      val sTau = {
+        var (p, rem) = (1.0, 0L)
+        grouped.foreach { case (dur, xs) =>
+          if (dur <= tau) p *= 1.0 - xs.count(_._1).toDouble /
+            (nTotal - rem)
+          rem += xs.size.toLong
+        }
+        p
+      }
+      val (qr, qs) = out(tau)
+      assert(math.abs(qr - area) < 1e-5, s"tau=$tau rmst: $qr vs $area")
+      assert(math.abs(qs - sTau) < 1e-5, s"tau=$tau s: $qs vs $sTau")
+      assert(qr >= 0.0 && qr <= tau.toDouble + 1e-9, s"tau=$tau bound")
+      assert(qs >= 0.0 && qs <= 1.0)
+    }
+    // RMST grows with the horizon, survival shrinks
+    assert(out(30L)._1 <= out(60L)._1 + 1e-9)
+    assert(out(60L)._2 <= out(30L)._2 + 1e-9)
+  }
+
+  test("stream wasserstein: per-day sink matches batch replay; sentinel window absent") {
+    import graft.streaming.Streaming
+    val out = Streaming.queries("q_stream_wasserstein")(spark, sfDir)
+      .collect()
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("CAST(date_trunc('DAY', ts) AS STRING) AS day",
+        "CAST(floor(value) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val days = ev.map(_._1).distinct.sorted
+    assert(out.length == days.length,
+      s"${out.length} windows vs ${days.length} days (sentinel must not emit)")
+    val nAll = ev.length
+    val refC = ev.groupBy(_._2).map { case (v, xs) => v -> xs.size }
+    out.foreach { r =>
+      val day = r.getTimestamp(0).toInstant.toString.take(10)
+      val win = ev.filter(_._1.take(10) == day).map(_._2)
+      val sup = refC.keySet.toSeq.sorted
+      var (cw, crr, w1, ks) = (0L, 0L, 0.0, 0.0)
+      sup.zip(sup.tail :+ sup.last).foreach { case (v, nx) =>
+        cw += win.count(_ == v); crr += refC(v)
+        val d = math.abs(cw.toDouble / win.length - crr.toDouble / nAll)
+        ks = math.max(ks, d)
+        w1 += d * (nx - v)
+      }
+      assert(r.getLong(1) == win.length.toLong, s"$day n")
+      assert(math.abs(r.getDouble(2) - w1) < 1e-5, s"$day w1")
+      assert(math.abs(r.getDouble(3) - ks) < 1e-5, s"$day ks")
+    }
+  }
 }
