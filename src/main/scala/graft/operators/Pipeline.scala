@@ -2980,6 +2980,104 @@ object Pipeline {
         .orderBy("token")
     },
 
+    // RANK-2 NMF TOPIC EXTRACTION (Lee & Seung 1999 multiplicative
+    // updates — the unsupervised "what are the two themes" readout next
+    // to q_ppmi_svd's single spectral axis and q_fisher_lda's SUPERVISED
+    // axis): the corpus collapses ONCE to a 16×12 pseudo-document ×
+    // vocab count matrix (docs hash-bucketed by doc_id % 16 — the
+    // standard fit-on-aggregates trick: at 100 TB you fit H on bounded
+    // rollups and fold W in per-doc afterwards, never materializing a
+    // corpus-sized factor), then 3 alternating W/H update rounds run as
+    // one-row array algebra — every Σ_t / Σ_b is an index-ordered FOLD
+    // (both engines sum 12 resp. 16 terms in the same order), positivity
+    // is preserved by construction, and a 10⁻⁹ ridge in each (WH)
+    // denominator guards the all-zero-bucket corner identically in both
+    // engines. Init breaks the all-ones saddle DETERMINISTICALLY
+    // (h1 = 1 + t/100, h2 = 1 − t/100 over the token-sorted index — no
+    // RNG). Readout: per-topic normalized term weights + the lead topic
+    // read off the ROUNDED weights so a ULP wobble can't flip it.
+    "q_nmf_topics" -> { (s, dir) =>
+      val words = docsPar(s, dir)
+        .select((col("doc_id") % 16).as("b"),
+          explode(split(col("text"), " ")).as("tok"))
+      val vocab = words.groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok")).limit(12)
+      val xc = words.join(broadcast(vocab.select("tok")), "tok")
+        .groupBy("b", "tok").agg(count(lit(1)).as("x"))
+      val bs = s.range(0, 16).select(col("id").as("b"))
+      val grid = bs.crossJoin(broadcast(vocab.select("tok")))
+        .join(xc, Seq("b", "tok"), "left")
+        .withColumn("xd",
+          coalesce(col("x"), lit(0L)).cast("double"))
+      val xr = grid.groupBy("b").agg(
+        expr("transform(array_sort(collect_list(struct(tok, xd))), " +
+          "e -> e.xd)").as("xs"))
+      val one = xr
+        .agg(expr("transform(array_sort(collect_list(struct(b, xs))), " +
+          "e -> e.xs)").as("xm"))
+        .crossJoin(broadcast(vocab.agg(
+          expr("array_sort(collect_list(tok))").as("toks"))))
+        .withColumn("h1", expr("transform(sequence(1, 12), t -> " +
+          "CAST(1 AS DOUBLE) + CAST(t AS DOUBLE) / CAST(100 AS DOUBLE))"))
+        .withColumn("h2", expr("transform(sequence(1, 12), t -> " +
+          "CAST(1 AS DOUBLE) - CAST(t AS DOUBLE) / CAST(100 AS DOUBLE))"))
+        .withColumn("wa1", expr(
+          "transform(sequence(1, 16), b -> CAST(1 AS DOUBLE))"))
+        .withColumn("wa2", expr(
+          "transform(sequence(1, 16), b -> CAST(1 AS DOUBLE))"))
+      val eps = "CAST(1 AS DOUBLE) / 1000000000"
+      def wh(i: String, t: String, wa1: String, wa2: String) =
+        s"(element_at($wa1, $i) * element_at(h1, $t) " +
+          s"+ element_at($wa2, $i) * element_at(h2, $t) + $eps)"
+      def wUpd(k: Int): String = {
+        val (wk, hk) = (s"wa$k", s"h$k")
+        s"""transform(sequence(1, 16), i ->
+           |  element_at($wk, i) * aggregate(sequence(1, 12),
+           |    CAST(0 AS DOUBLE), (acc, t) ->
+           |    acc + element_at(element_at(xm, i), t)
+           |      * element_at($hk, t) / ${wh("i", "t", "wa1", "wa2")})
+           |  / aggregate($hk, CAST(0 AS DOUBLE), (acc, v) -> acc + v))"""
+          .stripMargin
+      }
+      def hUpd(k: Int): String = {
+        val (wk, hk) = (s"nw$k", s"h$k")
+        s"""transform(sequence(1, 12), t ->
+           |  element_at($hk, t) * aggregate(sequence(1, 16),
+           |    CAST(0 AS DOUBLE), (acc, i) ->
+           |    acc + element_at(element_at(xm, i), t)
+           |      * element_at($wk, i) / ${wh("i", "t", "nw1", "nw2")})
+           |  / aggregate($wk, CAST(0 AS DOUBLE), (acc, v) -> acc + v))"""
+          .stripMargin
+      }
+      var st = one
+      (1 to 3).foreach { _ =>
+        st = st
+          .withColumn("nw1", expr(wUpd(1)))
+          .withColumn("nw2", expr(wUpd(2)))
+          .withColumn("nh1", expr(hUpd(1)))
+          .withColumn("nh2", expr(hUpd(2)))
+          .drop("wa1", "wa2", "h1", "h2")
+          .withColumnRenamed("nw1", "wa1").withColumnRenamed("nw2", "wa2")
+          .withColumnRenamed("nh1", "h1").withColumnRenamed("nh2", "h2")
+      }
+      st
+        .withColumn("sh1", expr(
+          "aggregate(h1, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+        .withColumn("sh2", expr(
+          "aggregate(h2, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+        .select(posexplode(col("toks")).as(Seq("pos", "token")),
+          col("h1"), col("h2"), col("sh1"), col("sh2"))
+        .select(col("token"),
+          round(expr("element_at(h1, pos + 1) / sh1"), 6)
+            .as("topic1_weight"),
+          round(expr("element_at(h2, pos + 1) / sh2"), 6)
+            .as("topic2_weight"))
+        .withColumn("lead_topic",
+          when(col("topic1_weight") >= col("topic2_weight"), 1L)
+            .otherwise(2L))
+        .orderBy("token")
+    },
+
     // TF-IDF per document: term frequencies joined with corpus document
     // frequencies, idf = ln(N/df). Scale: two hash aggregations (doc×term,
     // then term) + one equi-join on term — the standard two-pass shape; the
@@ -6616,6 +6714,11 @@ object Pipeline {
     // 12-term fold per power step (list_reduce seeded with 0.0)
     "q_ppmi_svd" -> ppmiSvdOracle,
 
+    // same 16×12 bucketed count matrix, same deterministic saddle-break
+    // init, same 3 alternating multiplicative rounds with index-ordered
+    // folds and the identical 10⁻⁹ ridge
+    "q_nmf_topics" -> nmfTopicsOracle,
+
     "q_tfidf" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -7464,5 +7567,75 @@ object Pipeline {
        |SELECT a AS token, ra AS cooc_total,
        |  round(nv / vmax, 6) AS loading
        |FROM st4 CROSS JOIN mx ORDER BY token""".stripMargin
+  }
+
+  /** q_nmf_topics' oracle: same bucketed matrix, same deterministic
+    * init, 3 unrolled alternating multiplicative rounds — every Σ_t /
+    * Σ_b a seeded list_reduce in index order, the same 10⁻⁹ ridge in
+    * each (WH) denominator. */
+  private def nmfTopicsOracle: String = {
+    val eps = "CAST(1 AS DOUBLE) / 1000000000"
+    def wh(w1: String, w2: String) =
+      s"($w1[i] * h1[t] + $w2[i] * h2[t] + $eps)"
+    def fold(terms: String) =
+      s"list_reduce(list_concat([CAST(0 AS DOUBLE)], $terms), " +
+        "(acc, v) -> acc + v)"
+    def wUpd(k: Int): String =
+      s"""list_transform(range(1, 17), i ->
+         |  wa$k[i] * ${fold(s"list_transform(range(1, 13), t -> " +
+        s"xm[i][t] * h$k[t] / ${wh("wa1", "wa2")})")}
+         |  / ${fold(s"h$k")})""".stripMargin
+    def hUpd(k: Int): String =
+      s"""list_transform(range(1, 13), t ->
+         |  h$k[t] * ${fold(s"list_transform(range(1, 17), i -> " +
+        s"xm[i][t] * nw$k[i] / ${wh("nw1", "nw2")})")}
+         |  / ${fold(s"nw$k")})""".stripMargin
+    val rounds = (1 to 3).map { r =>
+      s"""r${r}w AS (
+         |  SELECT xm, toks, h1, h2,
+         |    ${wUpd(1)} AS nw1,
+         |    ${wUpd(2)} AS nw2
+         |  FROM ${if (r == 1) "s0" else s"r${r - 1}"}),
+         |r$r AS (
+         |  SELECT xm, toks, nw1 AS wa1, nw2 AS wa2,
+         |    ${hUpd(1)} AS h1,
+         |    ${hUpd(2)} AS h2
+         |  FROM r${r}w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT doc_id % 16 AS b, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |vocab AS (SELECT tok, COUNT(*) AS freq FROM words GROUP BY tok
+       |          ORDER BY freq DESC, tok LIMIT 12),
+       |xc AS (SELECT b, tok, COUNT(*) AS x FROM words
+       |       JOIN vocab USING (tok) GROUP BY b, tok),
+       |bs AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, 16)),
+       |grid AS (
+       |  SELECT bs.b, v.tok, CAST(COALESCE(xc.x, 0) AS DOUBLE) AS xd
+       |  FROM bs CROSS JOIN vocab v
+       |  LEFT JOIN xc ON xc.b = bs.b AND xc.tok = v.tok),
+       |xr AS (SELECT b, list(xd ORDER BY tok) AS xs FROM grid GROUP BY b),
+       |s0 AS (
+       |  SELECT (SELECT list(xs ORDER BY b) FROM xr) AS xm,
+       |    (SELECT list(tok ORDER BY tok) FROM vocab) AS toks,
+       |    list_transform(range(1, 13), t -> CAST(1 AS DOUBLE)
+       |      + CAST(t AS DOUBLE) / CAST(100 AS DOUBLE)) AS h1,
+       |    list_transform(range(1, 13), t -> CAST(1 AS DOUBLE)
+       |      - CAST(t AS DOUBLE) / CAST(100 AS DOUBLE)) AS h2,
+       |    list_transform(range(1, 17), b -> CAST(1 AS DOUBLE)) AS wa1,
+       |    list_transform(range(1, 17), b -> CAST(1 AS DOUBLE)) AS wa2),
+       |$rounds,
+       |fin AS (
+       |  SELECT toks, h1, h2,
+       |    ${fold("h1")} AS sh1,
+       |    ${fold("h2")} AS sh2
+       |  FROM r3)
+       |SELECT toks[pos] AS token,
+       |  round(h1[pos] / sh1, 6) AS topic1_weight,
+       |  round(h2[pos] / sh2, 6) AS topic2_weight,
+       |  CASE WHEN round(h1[pos] / sh1, 6) >= round(h2[pos] / sh2, 6)
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS lead_topic
+       |FROM fin CROSS JOIN range(1, 13) r(pos)
+       |ORDER BY token""".stripMargin
   }
 }

@@ -5543,4 +5543,63 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(r.getDouble(3) - ks) < 1e-5, s"$day ks")
     }
   }
+
+  test("nmf topics: brute multiplicative-update replay matches; weights are distributions") {
+    val out = Pipeline.queries("q_nmf_topics")(spark, sfDir).collect()
+    assert(out.length == 12)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id % 16 AS b", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val allWords = docs.flatMap(_._2)
+    val vocab = allWords.groupBy(identity)
+      .map { case (t, xs) => (t, xs.size) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(12).map(_._1)
+    val toks = vocab.sorted
+    val tIdx = toks.zipWithIndex.toMap
+    val xm = Array.ofDim[Double](16, 12)
+    docs.foreach { case (b, ws) =>
+      ws.foreach(w => tIdx.get(w).foreach(t => xm(b.toInt)(t) += 1.0))
+    }
+    val eps = 1.0 / 1000000000
+    var h1 = Array.tabulate(12)(t => 1.0 + (t + 1) / 100.0)
+    var h2 = Array.tabulate(12)(t => 1.0 - (t + 1) / 100.0)
+    var w1 = Array.fill(16)(1.0)
+    var w2 = Array.fill(16)(1.0)
+    for (_ <- 1 to 3) {
+      def wUpd(wk: Array[Double], hk: Array[Double]) =
+        Array.tabulate(16) { i =>
+          val num = (0 until 12).foldLeft(0.0)((acc, t) =>
+            acc + xm(i)(t) * hk(t) /
+              (w1(i) * h1(t) + w2(i) * h2(t) + eps))
+          wk(i) * num / hk.foldLeft(0.0)(_ + _)
+        }
+      val (nw1, nw2) = (wUpd(w1, h1), wUpd(w2, h2))
+      def hUpd(wk: Array[Double], hk: Array[Double]) =
+        Array.tabulate(12) { t =>
+          val num = (0 until 16).foldLeft(0.0)((acc, i) =>
+            acc + xm(i)(t) * wk(i) /
+              (nw1(i) * h1(t) + nw2(i) * h2(t) + eps))
+          hk(t) * num / wk.foldLeft(0.0)(_ + _)
+        }
+      val (nh1, nh2) = (hUpd(nw1, h1), hUpd(nw2, h2))
+      w1 = nw1; w2 = nw2; h1 = nh1; h2 = nh2
+    }
+    val (s1, s2) = (h1.sum, h2.sum)
+    val expect = toks.zipWithIndex
+      .map { case (t, i) => t -> (h1(i) / s1, h2(i) / s2) }.toMap
+    out.foreach { r =>
+      val (e1, e2) = expect(r.getString(0))
+      assert(math.abs(r.getDouble(1) - e1) < 1e-5,
+        s"${r.getString(0)} t1: ${r.getDouble(1)} vs $e1")
+      assert(math.abs(r.getDouble(2) - e2) < 1e-5,
+        s"${r.getString(0)} t2: ${r.getDouble(2)} vs $e2")
+      assert(r.getDouble(1) > 0.0 && r.getDouble(2) > 0.0,
+        "multiplicative updates preserve positivity")
+      val lead = if (r.getDouble(1) >= r.getDouble(2)) 1L else 2L
+      assert(r.getLong(3) == lead, s"${r.getString(0)} lead")
+    }
+    // each topic's term weights form a distribution
+    assert(math.abs(out.map(_.getDouble(1)).sum - 1.0) < 1e-4)
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+  }
 }
