@@ -4330,7 +4330,7 @@ object Relational {
     // Σ(y−b0−b1x)² = Σy² − 2b0Σy − 2b1Σxy + nb0² + 2b0b1Σx + b1²Σx² — so
     // the TEST error also reads from the same exact stats, never a
     // per-row residual pass (at 100 TB: one map-side rollup total).
-    // Exactness: x BIGINT, y cents BIGINT, y² DECIMAL(37,0) (q_pearson's
+    // Exactness: x BIGINT, y cents BIGINT, y² DECIMAL(37,0) (q_pearson_corr's
     // discipline); all algebra one shared double tree over the cast sums.
     "q_cross_validation" -> { (s, dir) =>
       val li = t(s, dir, "lineitem").select(
@@ -5985,7 +5985,7 @@ object Relational {
 
     // SMITH-WATERMAN LOCAL ALIGNMENT (Smith & Waterman 1981 — THE
     // local-similarity DP, the alignment sibling of q_dtw's global
-    // elastic match and q_dedup_spans' exact-run detector: where edit
+    // elastic match and q_substring_dedup's exact-run detector: where edit
     // distance scores whole strings, SW finds the best-scoring LOCAL
     // region, which is how plagiarism spans and shared boilerplate
     // actually surface): token-level, match +2 / mismatch −1 / gap −1,

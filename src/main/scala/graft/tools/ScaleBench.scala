@@ -90,7 +90,17 @@ object ScaleBench {
     // q_sorted_neighborhood is the w-bounded alternative generator
     // (candidates ≤ w·n by construction — the probe pins the sort+window
     // path scales too).
-    "q_entity_match", "q_fs_em", "q_sorted_neighborhood")
+    "q_entity_match", "q_fs_em", "q_sorted_neighborhood",
+    // round-15 second half: the exact-EMD drift (its grid is sized by
+    // the cent-bounded DOMAIN, not the data — the probe pins that the
+    // per-type window pass stays linear), the 8-pass IRLS quantile
+    // regression (8 broadcast-join + map-combined-agg passes — growth
+    // must be ~linear, never round-compounded), Markov attribution (two
+    // corpus window passes into one scalar row), and the two
+    // fit-on-aggregates factorizations (PPMI power iteration and NMF:
+    // corpus → bounded grid, then corpus-independent one-row rounds).
+    "q_wasserstein_drift", "q_quantile_regression",
+    "q_markov_attribution", "q_ppmi_svd", "q_nmf_topics")
 
   /** Streaming tier probes: every stateful-operator family — chained
     * multi-stateful, transformWithState (RocksDB), watermark dedup,
@@ -104,7 +114,11 @@ object ScaleBench {
     * run at base, ×10 AND (when a dir is given) ×100. */
   val streamProbes: Seq[String] = Seq("q_stream_chained",
     "q_stream_transform_state", "q_stream_dedup", "q_stream_join",
-    "q_stream_kv_cdc", "q_stream_hh_windowed")
+    "q_stream_kv_cdc", "q_stream_hh_windowed",
+    // round-15: the Wasserstein drift monitor's state is per-(open
+    // window, dollar-bucket) counts — DOMAIN-bounded, so its growth
+    // must track the micro-batch count, never the event volume
+    "q_stream_wasserstein")
 
   /** ×100 subset: the heaviest per-family representatives (full set would
     * take ~an hour at 100×; the point is the growth curve, which one probe
@@ -127,7 +141,11 @@ object ScaleBench {
     // sorted-digit block key keeps candidates ~linear (the r14 fixed-key
     // version was a measured multi-hour hang here; holding the ≤120×
     // gate at ×100 is exactly the point of the fix)
-    "q_entity_match", "q_fs_em")
+    "q_entity_match", "q_fs_em",
+    // round-15: the domain-bounded-grid claim (W1 drift) and the
+    // 8-pass IRLS both run the full ×100 tier — pass count must not
+    // compound with data volume
+    "q_wasserstein_drift", "q_quantile_regression")
 
   def main(args: Array[String]): Unit = {
     val x10Dir = args.lift(0).getOrElse("/root/repo/target/scaledata/sf1")

@@ -1493,4 +1493,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("[codegen id :"), plan)
     assert(plan.linesIterator.exists(l => l.contains("(3) Filter") || l.contains("Filter [codegen id")), plan)
   }
+
+  test("wasserstein drift prunes the events scan to (event_type, value) and partitions its window") {
+    val plan = planOf(Relational.queries("q_wasserstein_drift")(spark, sfDir))
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(reads.contains("event_type") && reads.contains("value"), reads)
+    Seq("props", "user_id", "event_id").foreach(c =>
+      assert(!reads.contains(c), s"unpruned column $c in: $reads"))
+    // the CDF window is keyed per event_type — a global (unpartitioned)
+    // window over the support grid would serialize the 100 TB plan
+    val windows = plan.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!windows.contains("windowspecdefinition(v#"),
+      s"window must be partitioned by event_type: $windows")
+  }
+
+  test("quantile regression broadcasts every per-round parameter join — no SortMergeJoin") {
+    val df = Relational.queries("q_quantile_regression")(spark, sfDir)
+    val plan = planOf(df)
+    // 9 parameter tables (OLS warm start + 8 IRLS rounds) each join the
+    // fact side; all must broadcast — a sort-merge join would shuffle the
+    // full corpus once per round at scale
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "IRLS parameter join fell back to sort-merge:\n" +
+        plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    Seq("l_shipdate", "l_partkey", "l_comment", "l_discount").foreach(c =>
+      assert(!reads.contains(c), s"unpruned column $c"))
+  }
 }
