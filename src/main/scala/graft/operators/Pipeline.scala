@@ -3078,6 +3078,40 @@ object Pipeline {
         .orderBy("token")
     },
 
+    // "FIGHTIN' WORDS" LOG-ODDS with informative Dirichlet prior
+    // (Monroe, Colaresi & Quinn 2008 — THE principled "which words
+    // distinguish corpus A from corpus B" statistic; raw log-odds
+    // overweights rare words and TF-IDF overweights frequent ones, the
+    // z-scored prior-smoothed delta does neither): A = English docs vs
+    // B = the rest, over the top-32 corpus vocabulary (freq DESC, token
+    // ASC — deterministic cut), prior αw = α0·cw/Σcw with α0 = 100
+    // (the corpus itself is the prior, the published setting).
+    // δw = ln((yA+αw)/(nA+α0−yA−αw)) − ln(same for B),
+    // σ²w = 1/(yA+αw) + 1/(yB+αw), z = δ/σ — every input an exact
+    // BIGINT count, the double tree shared verbatim with the oracle;
+    // output is token-ordered so z-ULP can't reorder rows. Scale: one
+    // tokenize pass + one 32-row rollup, totals broadcast.
+    "q_log_odds_monroe" -> { (s, dir) =>
+      val words = docsPar(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = words.groupBy("tok").agg(count(lit(1)).as("cw"))
+        .orderBy(col("cw").desc, col("tok")).limit(32)
+      val perTok = words.join(broadcast(vocab), "tok")
+        .groupBy("tok").agg(
+          first("cw").as("cw"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ya"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("yb"))
+      val tots = perTok.agg(sum("ya").as("na"), sum("yb").as("nb"),
+        sum("cw").as("ctot"))
+      val (dl, s2) = monroeTexts
+      perTok.crossJoin(broadcast(tots))
+        .select(col("tok").as("token"), col("cw").as("corpus_count"),
+          col("ya").as("count_en"), col("yb").as("count_rest"),
+          round(expr(dl), 6).as("log_odds_delta"),
+          round(expr(s"$dl / sqrt($s2)"), 6).as("z_score"))
+        .orderBy("token")
+    },
+
     // TF-IDF per document: term frequencies joined with corpus document
     // frequencies, idf = ln(N/df). Scale: two hash aggregations (doc×term,
     // then term) + one equi-join on term — the standard two-pass shape; the
@@ -6719,6 +6753,9 @@ object Pipeline {
     // folds and the identical 10⁻⁹ ridge
     "q_nmf_topics" -> nmfTopicsOracle,
 
+    // same vocab cut and counts, the same shared (δ, σ²) texts
+    "q_log_odds_monroe" -> logOddsMonroeOracle,
+
     "q_tfidf" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -7567,6 +7604,47 @@ object Pipeline {
        |SELECT a AS token, ra AS cooc_total,
        |  round(nv / vmax, 6) AS loading
        |FROM st4 CROSS JOIN mx ORDER BY token""".stripMargin
+  }
+
+  /** q_log_odds_monroe's (δ, σ²) texts — ENGINE-NEUTRAL (CAST/ln/sqrt
+    * parse and evaluate identically in Spark and DuckDB), shared
+    * verbatim by the query and its oracle. */
+  private def monroeTexts: (String, String) = {
+    val aw = "(CAST(100 AS DOUBLE) * CAST(cw AS DOUBLE) " +
+      "/ CAST(ctot AS DOUBLE))"
+    val dl = s"(ln((CAST(ya AS DOUBLE) + $aw) / (CAST(na AS DOUBLE) " +
+      s"+ CAST(100 AS DOUBLE) - CAST(ya AS DOUBLE) - $aw)) " +
+      s"- ln((CAST(yb AS DOUBLE) + $aw) / (CAST(nb AS DOUBLE) " +
+      s"+ CAST(100 AS DOUBLE) - CAST(yb AS DOUBLE) - $aw)))"
+    val s2 = s"(CAST(1 AS DOUBLE) / (CAST(ya AS DOUBLE) + $aw) " +
+      s"+ CAST(1 AS DOUBLE) / (CAST(yb AS DOUBLE) + $aw))"
+    (dl, s2)
+  }
+
+  /** q_log_odds_monroe's oracle: same vocab cut, same counts, the
+    * SAME (δ, σ²) texts via [[monroeTexts]]. */
+  private def logOddsMonroeOracle: String = {
+    val (dl, s2) = monroeTexts
+    s"""WITH words AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |vocab AS (SELECT tok, COUNT(*) AS cw FROM words GROUP BY tok
+       |          ORDER BY cw DESC, tok LIMIT 32),
+       |pt AS (
+       |  SELECT tok, MAX(cw) AS cw,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ya,
+       |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS yb
+       |  FROM words JOIN vocab USING (tok) GROUP BY tok),
+       |tots AS (SELECT CAST(SUM(ya) AS BIGINT) AS na,
+       |  CAST(SUM(yb) AS BIGINT) AS nb,
+       |  CAST(SUM(cw) AS BIGINT) AS ctot FROM pt)
+       |SELECT tok AS token, cw AS corpus_count, ya AS count_en,
+       |  yb AS count_rest,
+       |  round($dl, 6) AS log_odds_delta,
+       |  round($dl / sqrt($s2), 6) AS z_score
+       |FROM pt CROSS JOIN tots ORDER BY token""".stripMargin
   }
 
   /** q_nmf_topics' oracle: same bucketed matrix, same deterministic

@@ -6628,6 +6628,136 @@ object Relational {
                 .stripMargin), 6).as("survival_at_tau"))
       }
       taued(30).unionByName(taued(60)).orderBy("tau_days")
+    },
+
+    // COCHRAN–MANTEL–HAENSZEL stratified association (Mantel & Haenszel
+    // 1959 — the FIX for the paradox q_simpson_audit exhibits: test the
+    // exposure→outcome link while CONTROLLING for the stratum, and pool
+    // the odds ratio the stratification-robust way): 2×2×K table over
+    // exposure = quantity > 25, outcome = returned, strata = the order's
+    // priority (5 strata). Per-stratum cells are exact BIGINTs from ONE
+    // hash agg over the order join; the χ²_CMH numerator Σ(aₖ−Eₖ),
+    // variance ΣVₖ and both Mantel-Haenszel OR sums fold a K-sorted
+    // struct list with a 4-slot DOUBLE-ARRAY accumulator (the house
+    // sorted-fold — 5 elements, identical IEEE order both engines;
+    // Vₖ's 4-way count product exceeds 2⁵³ at scale, which is FINE:
+    // the tree, not exactness, carries the cross-engine contract).
+    // Continuity-corrected χ² = (|Σ(aₖ−Eₖ)|−½)²/ΣVₖ. Scale: one
+    // broadcast-dim join + one 5-row rollup; the fold is constant work.
+    "q_cmh" -> { (s, dir) =>
+      val j = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("k"),
+          (col("l_quantity") > 25).as("ex"),
+          (col("l_returnflag") === "R").as("out"))
+      val cells = j.groupBy("k").agg(
+        sum(when(col("ex") && col("out"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("ex") && !col("out"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ex") && col("out"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("ex") && !col("out"), 1L).otherwise(0L)).as("d"))
+      val folded = cells
+        .agg(sort_array(collect_list(struct(col("k"), col("a"),
+          col("b"), col("c"), col("d")))).as("l"))
+        .withColumn("st", expr(
+          """aggregate(l,
+            |  array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+            |    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)),
+            |  (acc, e) -> array(
+            |    element_at(acc, 1) + (CAST(e.a AS DOUBLE)
+            |      - CAST(e.a + e.b AS DOUBLE) * CAST(e.a + e.c AS DOUBLE)
+            |        / CAST(e.a + e.b + e.c + e.d AS DOUBLE)),
+            |    element_at(acc, 2)
+            |      + (CAST(e.a + e.b AS DOUBLE) * CAST(e.c + e.d AS DOUBLE))
+            |      * (CAST(e.a + e.c AS DOUBLE) * CAST(e.b + e.d AS DOUBLE))
+            |      / ((CAST(e.a + e.b + e.c + e.d AS DOUBLE)
+            |        * CAST(e.a + e.b + e.c + e.d AS DOUBLE))
+            |        * (CAST(e.a + e.b + e.c + e.d AS DOUBLE)
+            |          - CAST(1 AS DOUBLE))),
+            |    element_at(acc, 3) + CAST(e.a AS DOUBLE)
+            |      * CAST(e.d AS DOUBLE)
+            |      / CAST(e.a + e.b + e.c + e.d AS DOUBLE),
+            |    element_at(acc, 4) + CAST(e.b AS DOUBLE)
+            |      * CAST(e.c AS DOUBLE)
+            |      / CAST(e.a + e.b + e.c + e.d AS DOUBLE)))""".stripMargin))
+        .select(
+          round(expr("(abs(element_at(st, 1)) - CAST(0.5 AS DOUBLE)) " +
+            "* (abs(element_at(st, 1)) - CAST(0.5 AS DOUBLE)) " +
+            "/ element_at(st, 2)"), 6).as("cmh_chi2"),
+          round(expr("element_at(st, 3) / element_at(st, 4)"), 6)
+            .as("or_mh"))
+      cells.crossJoin(broadcast(folded))
+        .select(col("k").as("o_orderpriority"), col("a"), col("b"),
+          col("c"), col("d"),
+          round(expr("CASE WHEN b > 0 AND c > 0 THEN " +
+            "(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)) " +
+            "/ (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END"), 6)
+            .as("or_stratum"),
+          col("cmh_chi2"), col("or_mh"))
+        .orderBy("o_orderpriority")
+    },
+
+    // MEDIATION ANALYSIS (Baron & Kenny 1986 + Sobel 1982 — the causal
+    // decomposition beside q_did_estimator and q_ipw_estimator: how much
+    // of quantity's price effect flows THROUGH the discount?): three
+    // exact-sufficient-statistic regressions per return flag — total
+    // effect c (y~x), path a (m~x), and the 2-predictor fit y~x+m whose
+    // centered 2×2 normal equations invert in closed form (the
+    // q_fisher_lda algebra) giving direct c′ and path b; Sobel
+    // z = ab/√(b²s_a² + a²s_b²) with the textbook standard errors from
+    // residual variances. Every sufficient statistic is exact (x, m in
+    // integral units — quantity, discount basis points — y in cents;
+    // DECIMAL(38,0) sums), so the entire double tree is shared with the
+    // oracle. Scale: ONE map-side-combined agg per group; everything
+    // after is scalar algebra on ≤3 rows.
+    "q_mediation" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"),
+          col("l_quantity").cast(LongType).as("x"),
+          expr("CAST(round(l_discount * 10000) AS BIGINT)").as("m"),
+          (money(col("l_extendedprice")) * 100).cast(LongType).as("y"))
+      val dec38 = DecimalType(38, 0)
+      def sd(c: Column) = sum(c.cast(dec38))
+      val g = li.groupBy("rf").agg(
+        count(lit(1)).as("n"),
+        sd(col("x")).as("sx"), sd(col("m")).as("sm"), sd(col("y")).as("sy"),
+        sd(col("x") * col("x")).as("sxx"),
+        sd(col("m") * col("m")).as("smm"),
+        sd(col("x") * col("m")).as("sxm"),
+        sd(col("x") * col("y")).as("sxy"),
+        sd(col("m") * col("y")).as("smy"),
+        sd(col("y") * col("y")).as("syy"))
+      // centered second moments (exact-integer numerators over n)
+      val cent = g.select(col("rf"), col("n"),
+        expr("CAST(n AS DOUBLE)").as("dn"),
+        expr("CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").as("cxx"),
+        expr("CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)").as("cmm"),
+        expr("CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)").as("cxm"),
+        expr("CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)").as("cxy"),
+        expr("CAST(smy AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)").as("cmy"),
+        expr("CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)").as("cyy"))
+      cent
+        .withColumn("c_tot", expr("cxy / cxx"))
+        .withColumn("aa", expr("cxm / cxx"))
+        .withColumn("det", expr("cxx * cmm - cxm * cxm"))
+        .withColumn("cp", expr("(cmm * cxy - cxm * cmy) / det"))
+        .withColumn("bb", expr("(cxx * cmy - cxm * cxy) / det"))
+        .withColumn("se_a2", expr(
+          "((cmm - aa * cxm) / (dn - CAST(2 AS DOUBLE))) / cxx"))
+        .withColumn("sig2", expr(
+          "(cyy - cp * cxy - bb * cmy) / (dn - CAST(3 AS DOUBLE))"))
+        .withColumn("se_b2", expr("sig2 * cxx / det"))
+        .withColumn("sobel_z", expr(
+          "aa * bb / sqrt(bb * bb * se_a2 + aa * aa * se_b2)"))
+        .select(col("rf").as("l_returnflag"), col("n"),
+          round(expr("c_tot / 100.0D"), 6).as("total_effect"),
+          round(col("aa"), 6).as("path_a"),
+          round(expr("bb / 100.0D"), 6).as("path_b"),
+          round(expr("cp / 100.0D"), 6).as("direct_effect"),
+          round(expr("aa * bb / 100.0D"), 6).as("indirect_effect"),
+          round(col("sobel_z"), 6).as("sobel_z"),
+          round(expr("aa * bb / c_tot"), 6).as("prop_mediated"))
+        .orderBy("l_returnflag")
     })
 
   /** localCheckpoint + CUT THE LAZY STATS LINEAGE. A checkpointed
@@ -6908,6 +7038,118 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // same exact 2×2×K cells, same K-sorted 4-slot array-accumulator
+    // fold — intermediate count sums are integers exactly representable
+    // in DOUBLE, so only the product/division trees carry the contract
+    "q_cmh" ->
+      """WITH j AS (
+        |  SELECT o.o_orderpriority AS k, l.l_quantity > 25 AS ex,
+        |    l.l_returnflag = 'R' AS outc
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |cells AS (
+        |  SELECT k,
+        |    CAST(SUM(CASE WHEN ex AND outc THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(SUM(CASE WHEN ex AND NOT outc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN NOT ex AND outc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN NOT ex AND NOT outc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM j GROUP BY k),
+        |lst AS (
+        |  SELECT list([CAST(a AS DOUBLE), CAST(b AS DOUBLE),
+        |    CAST(c AS DOUBLE), CAST(d AS DOUBLE)] ORDER BY k) AS l
+        |  FROM cells),
+        |f AS (
+        |  SELECT list_reduce(list_concat(
+        |    [[CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+        |      CAST(0 AS DOUBLE)]], l),
+        |    (acc, e) -> [
+        |      acc[1] + (e[1] - (e[1] + e[2]) * (e[1] + e[3])
+        |        / (e[1] + e[2] + e[3] + e[4])),
+        |      acc[2] + ((e[1] + e[2]) * (e[3] + e[4]))
+        |        * ((e[1] + e[3]) * (e[2] + e[4]))
+        |        / (((e[1] + e[2] + e[3] + e[4])
+        |          * (e[1] + e[2] + e[3] + e[4]))
+        |          * ((e[1] + e[2] + e[3] + e[4]) - CAST(1 AS DOUBLE))),
+        |      acc[3] + e[1] * e[4] / (e[1] + e[2] + e[3] + e[4]),
+        |      acc[4] + e[2] * e[3] / (e[1] + e[2] + e[3] + e[4])])
+        |    AS st
+        |  FROM lst),
+        |sc AS (
+        |  SELECT round((abs(st[1]) - CAST(0.5 AS DOUBLE))
+        |      * (abs(st[1]) - CAST(0.5 AS DOUBLE)) / st[2], 6)
+        |      AS cmh_chi2,
+        |    round(st[3] / st[4], 6) AS or_mh
+        |  FROM f)
+        |SELECT k AS o_orderpriority, a, b, c, d,
+        |  round(CASE WHEN b > 0 AND c > 0 THEN
+        |    (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+        |    / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END, 6)
+        |    AS or_stratum,
+        |  cmh_chi2, or_mh
+        |FROM cells CROSS JOIN sc ORDER BY o_orderpriority""".stripMargin,
+
+    // same integral quantization (quantity, basis points, cents), same
+    // HUGEINT sufficient statistics, same stepwise centered-moment and
+    // Sobel trees
+    "q_mediation" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_discount * 10000) AS BIGINT) AS m,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT rf, COUNT(*) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(m) AS HUGEINT) AS sm,
+        |    CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x * x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(m * m) AS HUGEINT) AS smm,
+        |    CAST(SUM(x * m) AS HUGEINT) AS sxm,
+        |    CAST(SUM(x * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(m * y) AS HUGEINT) AS smy,
+        |    CAST(SUM(y * y) AS HUGEINT) AS syy
+        |  FROM li GROUP BY rf),
+        |cent AS (
+        |  SELECT rf, n, CAST(n AS DOUBLE) AS dn,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cxx,
+        |    CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cmm,
+        |    CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cxm,
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cxy,
+        |    CAST(smy AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cmy,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cyy
+        |  FROM g),
+        |f1 AS (SELECT *, cxy / cxx AS c_tot, cxm / cxx AS aa,
+        |         cxx * cmm - cxm * cxm AS det FROM cent),
+        |f2 AS (SELECT *, (cmm * cxy - cxm * cmy) / det AS cp,
+        |         (cxx * cmy - cxm * cxy) / det AS bb FROM f1),
+        |f3 AS (SELECT *,
+        |         ((cmm - aa * cxm) / (dn - CAST(2 AS DOUBLE))) / cxx
+        |           AS se_a2,
+        |         (cyy - cp * cxy - bb * cmy) / (dn - CAST(3 AS DOUBLE))
+        |           AS sig2 FROM f2),
+        |f4 AS (SELECT *, sig2 * cxx / det AS se_b2 FROM f3),
+        |f5 AS (SELECT *,
+        |         aa * bb / sqrt(bb * bb * se_a2 + aa * aa * se_b2)
+        |           AS sobel_z FROM f4)
+        |SELECT rf AS l_returnflag, n,
+        |  round(c_tot / 100.0::DOUBLE, 6) AS total_effect,
+        |  round(aa, 6) AS path_a,
+        |  round(bb / 100.0::DOUBLE, 6) AS path_b,
+        |  round(cp / 100.0::DOUBLE, 6) AS direct_effect,
+        |  round(aa * bb / 100.0::DOUBLE, 6) AS indirect_effect,
+        |  round(sobel_z, 6) AS sobel_z,
+        |  round(aa * bb / c_tot, 6) AS prop_mediated
+        |FROM f5 ORDER BY l_returnflag""".stripMargin,
+
     // same first-journey transition counts, same start distribution,
     // same generated cofactor texts (fundN for the full chain,
     // markovRemoved for each 2×2 minor chain)

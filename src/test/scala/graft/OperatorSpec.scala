@@ -5602,4 +5602,117 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(out.map(_.getDouble(1)).sum - 1.0) < 1e-4)
     assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-4)
   }
+
+  test("cmh: brute stratified replay matches; cells partition the join") {
+    import graft.operators.Relational
+    val out = Relational.queries("q_cmh")(spark, sfDir).collect()
+    val rows = spark.sql(
+      s"""SELECT o.o_orderpriority AS k, l.l_quantity > 25 AS ex,
+         |  l.l_returnflag = 'R' AS outc
+         |FROM parquet.`$sfDir/lineitem.parquet` l
+         |JOIN parquet.`$sfDir/orders.parquet` o
+         |  ON l.l_orderkey = o.o_orderkey""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    val strata = rows.map(_._1).distinct.sorted
+    assert(out.map(_.getString(0)).toSeq == strata.toSeq)
+    var (num, den, sor, scr) = (0.0, 0.0, 0.0, 0.0)
+    strata.foreach { k =>
+      val g = rows.filter(_._1 == k)
+      val a = g.count(r => r._2 && r._3).toDouble
+      val b = g.count(r => r._2 && !r._3).toDouble
+      val c = g.count(r => !r._2 && r._3).toDouble
+      val d = g.count(r => !r._2 && !r._3).toDouble
+      val n = a + b + c + d
+      num += a - (a + b) * (a + c) / n
+      den += ((a + b) * (c + d)) * ((a + c) * (b + d)) / ((n * n) * (n - 1.0))
+      sor += a * d / n
+      scr += b * c / n
+      val r = out.find(_.getString(0) == k).get
+      assert(r.getLong(1) == a.toLong && r.getLong(2) == b.toLong &&
+        r.getLong(3) == c.toLong && r.getLong(4) == d.toLong, s"$k cells")
+    }
+    val chi2 = (math.abs(num) - 0.5) * (math.abs(num) - 0.5) / den
+    val orMh = sor / scr
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(6) - chi2) < 1e-5, s"chi2: ${r.getDouble(6)} vs $chi2")
+      assert(math.abs(r.getDouble(7) - orMh) < 1e-5, s"or_mh: ${r.getDouble(7)} vs $orMh")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(7) > 0.0)
+    }
+    assert(out.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3) +
+      r.getLong(4)).sum == rows.length.toLong, "cells partition the join")
+  }
+
+  test("mediation: brute replay matches; effect decomposition is exact") {
+    import graft.operators.Relational
+    val out = Relational.queries("q_mediation")(spark, sfDir).collect()
+    val li = spark.sql(
+      s"""SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS x,
+         |  CAST(round(l_discount * 10000) AS BIGINT) AS m,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |    AS y
+         |FROM parquet.`$sfDir/lineitem.parquet`""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    out.foreach { r =>
+      val g = li.filter(_._1 == r.getString(0))
+      val n = g.length.toDouble
+      def s(f: ((String, Long, Long, Long)) => BigInt): Double =
+        g.map(f).sum.toDouble
+      val (sx, sm, sy) = (s(t => BigInt(t._2)), s(t => BigInt(t._3)),
+        s(t => BigInt(t._4)))
+      val cxx = s(t => BigInt(t._2) * t._2) - sx * sx / n
+      val cmm = s(t => BigInt(t._3) * t._3) - sm * sm / n
+      val cxm = s(t => BigInt(t._2) * t._3) - sx * sm / n
+      val cxy = s(t => BigInt(t._2) * t._4) - sx * sy / n
+      val cmy = s(t => BigInt(t._3) * t._4) - sm * sy / n
+      val cTot = cxy / cxx
+      val aa = cxm / cxx
+      val det = cxx * cmm - cxm * cxm
+      val cp = (cmm * cxy - cxm * cmy) / det
+      val bb = (cxx * cmy - cxm * cxy) / det
+      assert(r.getLong(1) == g.length.toLong)
+      assert(math.abs(r.getDouble(2) - cTot / 100.0) < 1e-5, "total")
+      assert(math.abs(r.getDouble(3) - aa) < 1e-5, "path a")
+      assert(math.abs(r.getDouble(4) - bb / 100.0) < 1e-5, "path b")
+      assert(math.abs(r.getDouble(5) - cp / 100.0) < 1e-5, "direct")
+      assert(math.abs(r.getDouble(6) - aa * bb / 100.0) < 1e-5, "indirect")
+      // the OLS identity: total = direct + indirect (exactly, in algebra)
+      assert(math.abs(r.getDouble(2) - (r.getDouble(5) + r.getDouble(6)))
+        < 1e-4, s"${r.getString(0)}: c = c' + ab must hold")
+      assert(math.abs(r.getDouble(8) - aa * bb / cTot) < 1e-5, "prop")
+    }
+  }
+
+  test("log-odds monroe: brute replay matches; z tracks usage imbalance") {
+    val out = Pipeline.queries("q_log_odds_monroe")(spark, sfDir).collect()
+    val words = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("lang", "explode(split(text, ' ')) AS tok")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val vocab = words.map(_._2).groupBy(identity)
+      .map { case (t, xs) => (t, xs.size.toLong) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(32)
+    // the synthetic corpus has ~31 distinct tokens — the cut is min(32, |V|)
+    assert(out.length == vocab.length, s"${out.length} vs ${vocab.length}")
+    val cnt = vocab.toMap
+    val ya = vocab.map { case (t, _) =>
+      t -> words.count(w => w._2 == t && w._1 == "en").toLong }.toMap
+    val yb = vocab.map { case (t, _) =>
+      t -> words.count(w => w._2 == t && w._1 != "en").toLong }.toMap
+    val (na, nb) = (ya.values.sum.toDouble, yb.values.sum.toDouble)
+    val ctot = cnt.values.sum.toDouble
+    out.foreach { r =>
+      val t = r.getString(0)
+      val aw = 100.0 * cnt(t) / ctot
+      val dl = math.log((ya(t) + aw) / (na + 100.0 - ya(t) - aw)) -
+        math.log((yb(t) + aw) / (nb + 100.0 - yb(t) - aw))
+      val s2 = 1.0 / (ya(t) + aw) + 1.0 / (yb(t) + aw)
+      assert(r.getLong(1) == cnt(t) && r.getLong(2) == ya(t) &&
+        r.getLong(3) == yb(t), s"$t counts")
+      assert(math.abs(r.getDouble(4) - dl) < 1e-5, s"$t delta")
+      assert(math.abs(r.getDouble(5) - dl / math.sqrt(s2)) < 1e-5, s"$t z")
+      // a token used relatively MORE in EN than rest must get z > 0
+      if (ya(t) / na > 2.0 * (yb(t) / nb)) assert(r.getDouble(5) > 0.0, t)
+      if (yb(t) / nb > 2.0 * (ya(t) / na)) assert(r.getDouble(5) < 0.0, t)
+    }
+  }
 }
