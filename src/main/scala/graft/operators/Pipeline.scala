@@ -2957,27 +2957,36 @@ object Pipeline {
         expr("transform(array_sort(collect_list(struct(b, ppmi))), " +
           "e -> e.ppmi)").as("ma"),
         first("ra").as("ra"))
-      val fold = "aggregate(zip_with(ma, v, (x, y) -> x * y), " +
-        "CAST(0 AS DOUBLE), (p, q) -> p + q)"
-      var vrow = rws.agg(expr(
-        "transform(array_sort(collect_list(a)), x -> CAST(1 AS DOUBLE))")
-        .as("v"))
-      (1 to 3).foreach { _ =>
-        vrow = rws.crossJoin(broadcast(vrow))
-          .withColumn("nv", expr(fold))
-          .agg(expr("transform(array_sort(collect_list(struct(a, nv))), " +
-            "e -> e.nv)").as("v"))
-      }
-      rws.crossJoin(broadcast(vrow))
-        .withColumn("nv", expr(fold)) // step 4
-        .agg(sort_array(collect_list(struct(col("a"), col("ra"),
-          col("nv")))).as("vs"))
-        .withColumn("vmax", expr("aggregate(vs, CAST(0 AS DOUBLE), " +
-          "(p, q) -> greatest(p, abs(q.nv)))"))
-        .select(explode(col("vs")).as("e"), col("vmax"))
-        .select(col("e.a").as("token"), col("e.ra").as("cooc_total"),
-          round(expr("e.nv / vmax"), 6).as("loading"))
-        .orderBy("token")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // materialize the V-row PPMI matrix ONCE so the 5 power-step
+        // subplans read the cache, not Catalyst exchange-reuse luck —
+        // without this, disabling reuse would rescan the corpus per step
+        rws.count()
+        val fold = "aggregate(zip_with(ma, v, (x, y) -> x * y), " +
+          "CAST(0 AS DOUBLE), (p, q) -> p + q)"
+        var vrow = rws.agg(expr(
+          "transform(array_sort(collect_list(a)), x -> CAST(1 AS DOUBLE))")
+          .as("v"))
+        (1 to 3).foreach { _ =>
+          vrow = rws.crossJoin(broadcast(vrow))
+            .withColumn("nv", expr(fold))
+            .agg(expr("transform(array_sort(collect_list(struct(a, nv))), " +
+              "e -> e.nv)").as("v"))
+        }
+        rws.crossJoin(broadcast(vrow))
+          .withColumn("nv", expr(fold)) // step 4
+          .agg(sort_array(collect_list(struct(col("a"), col("ra"),
+            col("nv")))).as("vs"))
+          .withColumn("vmax", expr("aggregate(vs, CAST(0 AS DOUBLE), " +
+            "(p, q) -> greatest(p, abs(q.nv)))"))
+          .select(explode(col("vs")).as("e"), col("vmax"))
+          .select(col("e.a").as("token"), col("e.ra").as("cooc_total"),
+            round(expr("e.nv / vmax"), 6).as("loading"))
+          .orderBy("token")
+          // eager 12-row materialization before rws leaves the cache
+          .localCheckpoint(true)
+      } finally { rws.unpersist(); () }
     },
 
     // RANK-2 NMF TOPIC EXTRACTION (Lee & Seung 1999 multiplicative

@@ -6439,13 +6439,16 @@ object Relational {
     // 8-round trajectory is deterministic, not just the fixed point.
     // Scale: 8 linear passes over a persisted 3-column projection, each
     // a broadcast join against the 3-row parameter table + one map-side-
-    // combined agg — no shuffle grows with rounds.
+    // combined agg — no shuffle grows with rounds; the ≤3-row result is
+    // materialized eagerly so the finally-unpersist can't strand a lazy
+    // plan against an evicted cache.
     "q_quantile_regression" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("rf"),
           col("l_quantity").cast(LongType).as("x"),
           (money(col("l_extendedprice")) * 100).cast(LongType).as("y"))
         .persist()
+      try {
       val dec38 = DecimalType(38, 0)
       def wsums(df: DataFrame): DataFrame = df.groupBy("rf").agg(
         count(lit(1)).as("n"),
@@ -6485,6 +6488,9 @@ object Relational {
           round(expr("CAST(sar AS DOUBLE) / CAST(n AS DOUBLE) / 100.0D"), 6)
             .as("mean_abs_resid"))
         .orderBy("l_returnflag")
+        // eager ≤3-row materialization before li leaves the cache
+        .localCheckpoint(true)
+      } finally { li.unpersist(); () }
     },
 
     // MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016 — the
@@ -6639,9 +6645,12 @@ object Relational {
     // hash agg over the order join; the χ²_CMH numerator Σ(aₖ−Eₖ),
     // variance ΣVₖ and both Mantel-Haenszel OR sums fold a K-sorted
     // struct list with a 4-slot DOUBLE-ARRAY accumulator (the house
-    // sorted-fold — 5 elements, identical IEEE order both engines;
-    // Vₖ's 4-way count product exceeds 2⁵³ at scale, which is FINE:
-    // the tree, not exactness, carries the cross-engine contract).
+    // sorted-fold — 5 elements, identical IEEE order both engines).
+    // The cells are pre-cast to DOUBLE BEFORE the fold so the stepwise
+    // additions (e.a + e.b + e.c + e.d, left-assoc doubles) are the
+    // SAME tree DuckDB's list_reduce evaluates — that shared tree, not
+    // exactness, carries the cross-engine contract once any
+    // intermediate sum passes 2⁵³ (~9·10¹⁵ rows/stratum).
     // Continuity-corrected χ² = (|Σ(aₖ−Eₖ)|−½)²/ΣVₖ. Scale: one
     // broadcast-dim join + one 5-row rollup; the fold is constant work.
     "q_cmh" -> { (s, dir) =>
@@ -6657,29 +6666,30 @@ object Relational {
         sum(when(!col("ex") && col("out"), 1L).otherwise(0L)).as("c"),
         sum(when(!col("ex") && !col("out"), 1L).otherwise(0L)).as("d"))
       val folded = cells
-        .agg(sort_array(collect_list(struct(col("k"), col("a"),
-          col("b"), col("c"), col("d")))).as("l"))
+        .agg(sort_array(collect_list(struct(col("k"),
+          col("a").cast(DoubleType).as("a"),
+          col("b").cast(DoubleType).as("b"),
+          col("c").cast(DoubleType).as("c"),
+          col("d").cast(DoubleType).as("d")))).as("l"))
         .withColumn("st", expr(
           """aggregate(l,
             |  array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
             |    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)),
             |  (acc, e) -> array(
-            |    element_at(acc, 1) + (CAST(e.a AS DOUBLE)
-            |      - CAST(e.a + e.b AS DOUBLE) * CAST(e.a + e.c AS DOUBLE)
-            |        / CAST(e.a + e.b + e.c + e.d AS DOUBLE)),
+            |    element_at(acc, 1) + (e.a
+            |      - (e.a + e.b) * (e.a + e.c)
+            |        / (e.a + e.b + e.c + e.d)),
             |    element_at(acc, 2)
-            |      + (CAST(e.a + e.b AS DOUBLE) * CAST(e.c + e.d AS DOUBLE))
-            |      * (CAST(e.a + e.c AS DOUBLE) * CAST(e.b + e.d AS DOUBLE))
-            |      / ((CAST(e.a + e.b + e.c + e.d AS DOUBLE)
-            |        * CAST(e.a + e.b + e.c + e.d AS DOUBLE))
-            |        * (CAST(e.a + e.b + e.c + e.d AS DOUBLE)
+            |      + ((e.a + e.b) * (e.c + e.d))
+            |      * ((e.a + e.c) * (e.b + e.d))
+            |      / (((e.a + e.b + e.c + e.d)
+            |        * (e.a + e.b + e.c + e.d))
+            |        * ((e.a + e.b + e.c + e.d)
             |          - CAST(1 AS DOUBLE))),
-            |    element_at(acc, 3) + CAST(e.a AS DOUBLE)
-            |      * CAST(e.d AS DOUBLE)
-            |      / CAST(e.a + e.b + e.c + e.d AS DOUBLE),
-            |    element_at(acc, 4) + CAST(e.b AS DOUBLE)
-            |      * CAST(e.c AS DOUBLE)
-            |      / CAST(e.a + e.b + e.c + e.d AS DOUBLE)))""".stripMargin))
+            |    element_at(acc, 3) + e.a * e.d
+            |      / (e.a + e.b + e.c + e.d),
+            |    element_at(acc, 4) + e.b * e.c
+            |      / (e.a + e.b + e.c + e.d)))""".stripMargin))
         .select(
           round(expr("(abs(element_at(st, 1)) - CAST(0.5 AS DOUBLE)) " +
             "* (abs(element_at(st, 1)) - CAST(0.5 AS DOUBLE)) " +
@@ -7039,8 +7049,8 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     // same exact 2×2×K cells, same K-sorted 4-slot array-accumulator
-    // fold — intermediate count sums are integers exactly representable
-    // in DOUBLE, so only the product/division trees carry the contract
+    // fold — cells are pre-cast to DOUBLE before the fold on BOTH
+    // engines, so the stepwise add/product/division trees are identical
     "q_cmh" ->
       """WITH j AS (
         |  SELECT o.o_orderpriority AS k, l.l_quantity > 25 AS ex,
