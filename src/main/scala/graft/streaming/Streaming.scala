@@ -227,11 +227,12 @@ object Streaming {
     s"${sys.props("java.io.tmpdir")}/graft-stream/$tag-$safe"
   }
 
-  /** Stage `df` as `Chunks` range-partitioned parquet files plus a sentinel
+  /** Stage `df` as `chunks` range-partitioned parquet files plus a sentinel
     * file, with strictly increasing mod-times so the file stream source
     * replays them deterministically in event-time order. */
-  private def stage(s: SparkSession, df: DataFrame, sentinel: Row, path: String): Unit = {
-    df.repartitionByRange(Chunks, col("ts")).sortWithinPartitions("ts")
+  private def stage(s: SparkSession, df: DataFrame, sentinel: Row, path: String,
+      chunks: Int = Chunks): Unit = {
+    df.repartitionByRange(chunks, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(path)
     s.createDataFrame(s.sparkContext.parallelize(Seq(sentinel), 1), df.schema)
       .write.mode("overwrite").parquet(path + ".sent")
@@ -243,7 +244,7 @@ object Streaming {
       .filter(_.getName.startsWith("part-")).head
     val target = Paths.get(path, "zz-sentinel.snappy.parquet")
     Files.move(sent.toPath, target, StandardCopyOption.REPLACE_EXISTING)
-    target.toFile.setLastModified(base + 1000L * (Chunks + 10))
+    target.toFile.setLastModified(base + 1000L * (chunks + 10))
   }
 
   /** Staged dirs already produced this session — queries without a `prep`
@@ -253,13 +254,14 @@ object Streaming {
   /** Open a deterministic replay stream of `events` (+ optional extra rows
     * via `prep`) with one far-future sentinel event appended. */
   private def eventStream(s: SparkSession, dir: String, tag: String,
-      prep: DataFrame => DataFrame = identity): DataFrame = {
+      prep: DataFrame => DataFrame = identity,
+      chunks: Int = Chunks): DataFrame = {
     val path = stageRoot(tag, dir)
     val schema = staged.getOrElseUpdate(path, {
       val ev = prep(Tables.load(s, dir, "events"))
       val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
-      stage(s, ev, Row(-1L, sentTs, -1L, "__sentinel", 0.0, "{}"), path)
+      stage(s, ev, Row(-1L, sentTs, -1L, "__sentinel", 0.0, "{}"), path, chunks)
       ev.schema
     })
     // 2 files per trigger: chunk ranges are disjoint and mod-time ordered, so
@@ -387,7 +389,22 @@ object Streaming {
       s.read.format("statestore").load(aggCkpt).count()
     }
     val dedupCkpt = stageRoot("scaleprobe-dedup", dir) + "-" + System.nanoTime()
-    val ded = eventStream(s, dir, "events")
+    // The dedup probe stages its OWN replay with a chunk count that grows
+    // with the tier's event-time span (~4 chunks per base month, capped):
+    // the watermark only advances between micro-batches, so with a fixed
+    // 4-chunk staging a 100×-longer stream arrives in 3 batches and the
+    // peak snapshot necessarily holds a whole batch (≈ half the stream) —
+    // the probe would measure batch sizing, not the watermark bound. With
+    // span-proportional batches each covers a bounded slice of event-time
+    // and the peak IS the in-horizon working set the horizon promises.
+    val probeChunks = {
+      val spanDays = Tables.load(s, dir, "events").select(
+        (floor((unix_micros(max(col("ts")).cast("timestamp")) -
+          unix_micros(min(col("ts")).cast("timestamp"))) /
+          (86400L * 1000000L)) + lit(1L)).as("d")).head().getLong(0)
+      math.max(Chunks, math.min(64, math.ceil(4.0 * spanDays / 31.0).toInt))
+    }
+    val ded = eventStream(s, dir, "probe-dedup", chunks = probeChunks)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val dedupRows = withStreamConf(s) {

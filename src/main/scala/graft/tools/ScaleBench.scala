@@ -100,7 +100,16 @@ object ScaleBench {
     // fit-on-aggregates factorizations (PPMI power iteration and NMF:
     // corpus → bounded grid, then corpus-independent one-row rounds).
     "q_wasserstein_drift", "q_quantile_regression",
-    "q_markov_attribution", "q_ppmi_svd", "q_nmf_topics")
+    "q_markov_attribution", "q_ppmi_svd", "q_nmf_topics",
+    // round-16: the three slowest previously-unprobed operators (r15
+    // verdict item 1). q_graph_ann is the engine's one iterative
+    // beam-search structure — its 6-round frontier must stay beam-
+    // bounded, never corpus-bounded; q_hits is 4 unrolled iterations
+    // on the degree-capped word graph (plan overhead at base — the
+    // probe pins that data growth, not round count, drives the cost);
+    // q_kneser_ney is the heaviest wordGraph consumer (continuation
+    // counts = two corpus-shaped aggs).
+    "q_graph_ann", "q_hits", "q_kneser_ney")
 
   /** Streaming tier probes: every stateful-operator family — chained
     * multi-stateful, transformWithState (RocksDB), watermark dedup,
@@ -118,7 +127,12 @@ object ScaleBench {
     // round-15: the Wasserstein drift monitor's state is per-(open
     // window, dollar-bucket) counts — DOMAIN-bounded, so its growth
     // must track the micro-batch count, never the event volume
-    "q_stream_wasserstein")
+    "q_stream_wasserstein",
+    // round-16: the outer-join completion floor (r15 verdict item 1) —
+    // left-outer stream-stream join whose null-emission waits on
+    // watermark passage; the probe pins that the floor is the
+    // micro-batch count, not join-state volume
+    "q_stream_left_join")
 
   /** ×100 subset: the heaviest per-family representatives (full set would
     * take ~an hour at 100×; the point is the growth curve, which one probe
@@ -145,7 +159,12 @@ object ScaleBench {
     // round-15: the domain-bounded-grid claim (W1 drift) and the
     // 8-pass IRLS both run the full ×100 tier — pass count must not
     // compound with data volume
-    "q_wasserstein_drift", "q_quantile_regression")
+    "q_wasserstein_drift", "q_quantile_regression",
+    // round-16: graph ANN runs the full ×100 tier — the banded base
+    // graph and the fixed-size beam are exactly the structures whose
+    // blow-up would only show at scale (r15 verdict: the engine's
+    // second-slowest query, previously unmeasured)
+    "q_graph_ann")
 
   def main(args: Array[String]): Unit = {
     val x10Dir = args.lift(0).getOrElse("/root/repo/target/scaledata/sf1")

@@ -27,8 +27,11 @@ import org.apache.spark.sql.functions._
   *     rotated by i positions: a permutation preserves norms and all
   *     intra-copy dot products (the copy's ANN geometry is isometric to the
   *     base) while cross-copy cosine drops to noise;
-  *   - `events` shifts event_id/user_id; timestamps stay, so window/session
-  *     density per user is unchanged and watermark math sees the same clock.
+  *   - `events` shifts event_id/user_id AND shifts copy i's timestamps by
+  *     i whole-day strides: per-user window/session density is unchanged
+  *     (each user lives in one copy) while the stream gets N× LONGER in
+  *     event-time instead of N× denser — so watermark horizons actually
+  *     expire state across copies, like a real longer-running ingest.
   *
   * Output layout mirrors /root/testdata (`<out>/<table>.parquet`), so every
   * SparkEntry query runs against it unmodified. Deterministic: no RNG, the
@@ -105,7 +108,23 @@ object ScaleGen {
 
     val ev = read("events")
     val evS = stride(ev, "event_id"); val userS = stride(ev, "user_id")
-    write("events", fan(ev).select(shift("event_id", evS), col("ts"),
+    // Copy i's timestamps shift by i whole-day strides past the base span:
+    // the ×N stream is N× LONGER in event-time, not N× denser. A verbatim
+    // ts copy makes every scaled event land inside one base-sized horizon,
+    // so watermark-bounded state (the q_stream_dedup probe) can never
+    // demonstrate eviction — its in-horizon working set IS the whole
+    // stream (the r15 "probe artifact"). Per-user density, session gaps
+    // and window shapes are unchanged (each user lives in one copy); the
+    // timeline growing with volume is exactly what a real ingest does.
+    val tsDayStride = {
+      val r = ev.select(
+        (floor((unix_micros(max(col("ts")).cast("timestamp")) -
+          unix_micros(min(col("ts")).cast("timestamp"))) /
+          (86400L * 1000000L)) + lit(2L)).as("d")).head()
+      r.getLong(0)
+    }
+    write("events", fan(ev).select(shift("event_id", evS),
+      expr(s"timestampadd(DAY, _i * ${tsDayStride}L, ts)").as("ts"),
       shift("user_id", userS), col("event_type"), col("value"), col("props")))
 
     val docs = read("documents"); val docS = stride(docs, "doc_id")

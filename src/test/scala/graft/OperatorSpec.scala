@@ -1269,9 +1269,17 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       assert(byRn.zip(byRn.tail).forall { case (a, b) => a <= b }, byRn.toSeq)
       rs.foreach(r => assert(r.getInt(4) == 0 || r.getInt(4) == 1))
     }
-    // a 4×16 integer codebook must recover SOME exact-top-3 neighbors —
-    // zero total hits means the encode or the lookup join is broken
-    assert(rows.map(_.getInt(4)).sum > 0)
+    // recall@3 floor against the exact integer-L2 top-3 (r15 verdict
+    // stretch: the same search-QUALITY gate q_graph_ann carries, not just
+    // replay determinism). Calibration on this synthetic iid corpus:
+    // measured 0.133 here (4/30), and sweeping the codebook (K=16/32/64,
+    // ±1 Lloyd round) in the oracle engine moves it only within
+    // 0.13–0.27 — iid 64-dim vectors are PQ's adversarial case, so the
+    // gate is set where it separates "crude quantizer" (≥0.1) from
+    // "broken encode/lookup join" (≈0), not at a level the data can't
+    // support.
+    val recall = rows.map(_.getInt(4)).sum.toDouble / rows.length
+    assert(recall >= 0.1, f"PQ-ADC recall@3 $recall%.3f")
   }
 
   test("percolate: every stored query's match count equals a brute-force recount") {
