@@ -6768,6 +6768,90 @@ object Relational {
           round(col("sobel_z"), 6).as("sobel_z"),
           round(expr("aa * bb / c_tot"), 6).as("prop_mediated"))
         .orderBy("l_returnflag")
+    },
+
+    // ADAMIC-ADAR LINK PREDICTION (Adamic & Adar 2003 — the common-
+    // neighbor score that weights each shared neighbor by 1/ln(degree),
+    // so rare co-occurrences count more than hubs): which supplier
+    // pairs, not yet co-supplying, are LIKELY to? Graph = the March-1995
+    // supplier–part bipartite month (q_connected_components' week graph,
+    // widened so common neighbors exist). Candidate pairs come from the
+    // co-neighbor self-join through parts with degree ∈ [2, 32] — the
+    // hub cap is BOTH the standard AA practice (1/ln(d) of a hub ≈ no
+    // signal) and the scale guard: pair volume is ≤ cap²/2 per part, so
+    // candidates grow linearly in parts, never n². The score folds each
+    // pair's DEGREE LIST sorted ascending (the house sorted-fold — both
+    // engines sum 1/ln(d) in the identical IEEE order); counts exact.
+    "q_adamic_adar" -> { (s, dir) =>
+      val e0 = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1995-03-01 00:00:00") &&
+          col("l_shipdate") < ts("1995-04-01 00:00:00"))
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+      val deg = e0.groupBy("pk").agg(count(lit(1)).as("deg"))
+        .filter(col("deg").between(2, 32))
+      e0.select(col("pk"), col("sk").as("s_a"))
+        .join(e0.select(col("pk"), col("sk").as("s_b")), "pk")
+        .filter(col("s_a") < col("s_b"))
+        .join(deg, "pk")
+        .groupBy("s_a", "s_b")
+        .agg(count(lit(1)).as("n_common"),
+          expr("aggregate(array_sort(collect_list(deg)), " +
+            "CAST(0 AS DOUBLE), (acc, d) -> acc + CAST(1 AS DOUBLE) " +
+            "/ ln(CAST(d AS DOUBLE)))").as("aa_raw"))
+        .select(col("s_a"), col("s_b"), col("n_common"),
+          round(col("aa_raw"), 6).as("aa_score"))
+        .orderBy("s_a", "s_b")
+    },
+
+    // PAIRED PERMUTATION TEST (Fisher 1935 randomization, the exact-
+    // inference sibling of q_welch_ttest/q_mann_whitney that assumes
+    // NOTHING about the distribution): does a user's mean click value
+    // differ from their mean view value? Per qualifying user the paired
+    // difference quantizes to centi-cents by an EXACT integer tree
+    // (BIGINT sums, one floor(double)); the null distribution is 200
+    // DETERMINISTIC sign flips — flip k negates user u iff the house
+    // md5 hash of "u_k" is odd, so both engines draw the identical
+    // "random" signs with no RNG — and every T statistic is an exact
+    // BIGINT sum (order-free). p = (1 + #{|Tk| ≥ |T0|}) / 201, the
+    // add-one permutation p-value. Scale: one corpus hash agg to the
+    // per-user row, then users × 201 map-side products into a 201-key
+    // agg — the flips never touch the corpus again.
+    "q_permutation_test" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"),
+          (col("event_type") === "click").as("isc"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("user_id").agg(
+          sum(when(col("isc"), 1L).otherwise(0L)).as("nc"),
+          sum(when(col("isc"), col("cents")).otherwise(0L)).as("sc"),
+          sum(when(col("isc"), 0L).otherwise(1L)).as("nv"),
+          sum(when(col("isc"), 0L).otherwise(col("cents"))).as("sv"))
+        .filter(col("nc") > 0 && col("nv") > 0)
+        .withColumn("d", expr(
+          "CAST(floor(CAST((sc * nv - sv * nc) * 100 AS DOUBLE) " +
+            "/ CAST(nc * nv AS DOUBLE)) AS BIGINT)"))
+      val nu = per.agg(count(lit(1)).as("n_users"))
+      val ks = s.range(0, 201).select(col("id").as("k"))
+      val ts0 = per.select("user_id", "d").crossJoin(broadcast(ks))
+        .withColumn("sgn", expr(
+          "CASE WHEN k = 0 THEN CAST(1 AS BIGINT) ELSE 1 - 2 * " +
+            "(cast(conv(substring(md5(concat(CAST(user_id AS STRING), " +
+            "'_', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2) " +
+            "END"))
+        .groupBy("k").agg(sum(col("sgn") * col("d")).as("t"))
+      val t0 = ts0.filter(col("k") === 0).select(col("t").as("t0"))
+      ts0.filter(col("k") > 0).crossJoin(broadcast(t0))
+        .agg(first("t0").as("t0"),
+          sum(when(abs(col("t")) >= abs(col("t0")), 1L).otherwise(0L))
+            .as("n_extreme"))
+        .crossJoin(broadcast(nu))
+        .select(col("n_users"),
+          round(expr("CAST(t0 AS DOUBLE) / 100"), 6).as("t_obs_cents"),
+          col("n_extreme"),
+          round(expr("(n_extreme + 1) / CAST(201 AS DOUBLE)"), 6)
+            .as("p_value"))
     })
 
   /** localCheckpoint + CUT THE LAZY STATS LINEAGE. A checkpointed
@@ -7100,6 +7184,66 @@ object Relational {
         |    AS or_stratum,
         |  cmh_chi2, or_mh
         |FROM cells CROSS JOIN sc ORDER BY o_orderpriority""".stripMargin,
+
+    // same month graph, same [2,32] degree cap, same ascending-degree
+    // sorted fold of 1/ln(d)
+    "q_adamic_adar" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01'),
+        |deg AS (
+        |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY pk
+        |  HAVING COUNT(*) BETWEEN 2 AND 32),
+        |pr AS (
+        |  SELECT a.sk AS s_a, b.sk AS s_b, d.deg
+        |  FROM e0 a JOIN e0 b USING (pk) JOIN deg d USING (pk)
+        |  WHERE a.sk < b.sk)
+        |SELECT s_a, s_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |  round(list_reduce(list_concat([CAST(0 AS DOUBLE)],
+        |    list_transform(list(deg ORDER BY deg),
+        |      d -> CAST(1 AS DOUBLE) / ln(CAST(d AS DOUBLE)))),
+        |    (x, y) -> x + y), 6) AS aa_score
+        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same exact centi-cent paired differences, same md5 "u_k" parity
+    // sign draws, same exact BIGINT T sums
+    "q_permutation_test" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type = 'click' AS isc,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |per AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN isc THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN isc THEN cents ELSE 0 END) AS BIGINT) AS sc,
+        |    CAST(SUM(CASE WHEN isc THEN 0 ELSE 1 END) AS BIGINT) AS nv,
+        |    CAST(SUM(CASE WHEN isc THEN 0 ELSE cents END) AS BIGINT) AS sv
+        |  FROM ev GROUP BY 1
+        |  HAVING SUM(CASE WHEN isc THEN 1 ELSE 0 END) > 0
+        |    AND SUM(CASE WHEN isc THEN 0 ELSE 1 END) > 0),
+        |du AS (
+        |  SELECT user_id, CAST(floor(CAST((sc * nv - sv * nc) * 100
+        |    AS DOUBLE) / CAST(nc * nv AS DOUBLE)) AS BIGINT) AS d
+        |  FROM per),
+        |fl AS (
+        |  SELECT k.k, du.user_id,
+        |    CASE WHEN k.k = 0 THEN CAST(1 AS BIGINT)
+        |      ELSE 1 - 2 * (CAST(('0x' || substr(md5(
+        |        CAST(du.user_id AS VARCHAR) || '_' ||
+        |        CAST(k.k AS VARCHAR)), 1, 8)) AS BIGINT) % 2) END AS sgn,
+        |    du.d
+        |  FROM du, range(0, 201) k(k)),
+        |ts AS (SELECT k, CAST(SUM(sgn * d) AS BIGINT) AS t
+        |       FROM fl GROUP BY k),
+        |t0 AS (SELECT t AS t0 FROM ts WHERE k = 0)
+        |SELECT (SELECT COUNT(*) FROM du) AS n_users,
+        |  round(CAST(t0.t0 AS DOUBLE) / 100, 6) AS t_obs_cents,
+        |  CAST(SUM(CASE WHEN abs(ts.t) >= abs(t0.t0) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_extreme,
+        |  round((SUM(CASE WHEN abs(ts.t) >= abs(t0.t0) THEN 1 ELSE 0 END)
+        |    + 1) / CAST(201 AS DOUBLE), 6) AS p_value
+        |FROM ts CROSS JOIN t0 WHERE ts.k > 0 GROUP BY t0.t0""".stripMargin,
 
     // same integral quantization (quantity, basis points, cents), same
     // HUGEINT sufficient statistics, same stepwise centered-moment and

@@ -1196,6 +1196,90 @@ object Similarity {
           expr("CASE WHEN d2o = CAST(0 AS DOUBLE) THEN NULL " +
             "ELSE round(d2p / d2o, 6) END").as("ratio"))
         .orderBy("id_a")
+    },
+
+    // CONTRASTIVE HARD-NEGATIVE MINING (the triplet-construction job of
+    // embedding finetuning — Schroff et al. 2015 FaceNet's semi-hard
+    // mining, run as a batch query): for each anchor, the most-similar
+    // SAME-label vector is the positive and the most-similar OTHER-label
+    // vector is the hard negative; the margin (pos − neg cosine) is the
+    // quantity a triplet loss trains to push positive. One broadcast
+    // crossJoin scores the corpus once per anchor panel (the exact
+    // q_cosine_topk kernel — |anchors| constant, so BroadcastNLJ streams
+    // the corpus and cost is linear in it); both extrema fall out of ONE
+    // row_number window partitioned by (anchor, same-label?). cosine_raw
+    // is the native graft_dot tree (bit-identical both engines); the
+    // margin subtracts the raws BEFORE rounding, same tree as the oracle.
+    // At index scale the corpus leg swaps for the IVF/LSH candidate
+    // streams (q_cosine_topk_ivf / q_embed_neardup_lsh) unchanged.
+    "q_hard_negatives" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy("q_id", "is_pos")
+        .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+      broadcast(q).crossJoin(e)
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine_raw", expr(dot) / (col("qn") * col("nrm")))
+        .withColumn("is_pos",
+          when(col("label") === col("q_label"), 1).otherwise(0))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("q_id")
+        .agg(first("q_label").as("label"),
+          max(when(col("is_pos") === 1, col("vec_id"))).as("pos_id"),
+          max(when(col("is_pos") === 1, col("cosine_raw"))).as("pos_raw"),
+          max(when(col("is_pos") === 0, col("vec_id"))).as("neg_id"),
+          max(when(col("is_pos") === 0, col("cosine_raw"))).as("neg_raw"))
+        .select(col("q_id"), col("label"), col("pos_id"), col("neg_id"),
+          round(col("pos_raw"), 6).as("pos_cos"),
+          round(col("neg_raw"), 6).as("neg_cos"),
+          round(col("pos_raw") - col("neg_raw"), 6).as("margin"))
+        .orderBy("q_id")
+    },
+
+    // kNN LABEL-NOISE AUDIT (confident-learning flavor — Northcutt et
+    // al. 2021: a label whose nearest neighbors vote for a different
+    // class is a candidate annotation error; the pre-training audit that
+    // keeps mislabeled examples out of a finetune set). A FIXED 100-
+    // anchor probe panel (audits sample a panel, they don't score the
+    // corpus — that keeps the query linear in corpus size) takes its
+    // k=5 cosine neighbors from the full corpus, the neighbor majority
+    // (ties → smaller label, exact integer counts) is compared to the
+    // anchor's own label, and the per-label disagreement rate is the
+    // noise estimate. Votes/majorities/rates are exact integer
+    // arithmetic — the one division is the final rate, rounded.
+    "q_label_noise_knn" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val wN = Window.partitionBy("q_id")
+        .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+      val knn = broadcast(q).crossJoin(e)
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine_raw", expr(dot) / (col("qn") * col("nrm")))
+        .withColumn("rn", row_number().over(wN))
+        .filter(col("rn") <= 5)
+      val votes = knn.groupBy("q_id", "q_label", "label")
+        .agg(count(lit(1)).as("n_vote"))
+      val wV = Window.partitionBy("q_id")
+        .orderBy(col("n_vote").desc, col("label").asc)
+      votes.withColumn("rv", row_number().over(wV))
+        .filter(col("rv") === 1)
+        .groupBy("q_label")
+        .agg(count(lit(1)).as("n_audited"),
+          sum(when(col("label") =!= col("q_label"), 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(col("n_vote")).as("majority_votes"))
+        .select(col("q_label").as("label"), col("n_audited"),
+          col("n_flagged"),
+          round(col("n_flagged").cast("double") / col("n_audited"), 6)
+            .as("noise_rate"),
+          round(col("majority_votes").cast("double") /
+            (lit(5.0) * col("n_audited")), 6).as("avg_majority_share"))
+        .orderBy("label")
     })
 
   // ----------------------------------------------------------- oracle SQL
@@ -1374,6 +1458,59 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_graph_ann" -> graphAnnSql,
+
+    // same broadcast-scored corpus, same (anchor, same-label?) extrema,
+    // same raw-before-round margin subtraction
+    "q_hard_negatives" ->
+      s"""WITH e AS ($vecsSql),
+        |sc AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id, c.label,
+        |    $dotSql / (q.nrm * c.nrm) AS cosine_raw,
+        |    CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS is_pos
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id, is_pos
+        |      ORDER BY cosine_raw DESC, vec_id ASC) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |g AS (
+        |  SELECT q_id, MIN(q_label) AS label,
+        |    MAX(CASE WHEN is_pos = 1 THEN vec_id END) AS pos_id,
+        |    MAX(CASE WHEN is_pos = 1 THEN cosine_raw END) AS pos_raw,
+        |    MAX(CASE WHEN is_pos = 0 THEN vec_id END) AS neg_id,
+        |    MAX(CASE WHEN is_pos = 0 THEN cosine_raw END) AS neg_raw
+        |  FROM top GROUP BY q_id)
+        |SELECT q_id, label, pos_id, neg_id,
+        |  round(pos_raw, 6) AS pos_cos, round(neg_raw, 6) AS neg_cos,
+        |  round(pos_raw - neg_raw, 6) AS margin
+        |FROM g ORDER BY q_id""".stripMargin,
+
+    // same 100-anchor panel, same k=5 window, same exact-count majority
+    // with the (votes DESC, label ASC) tiebreak
+    "q_label_noise_knn" ->
+      s"""WITH e AS ($vecsSql),
+        |knn AS (
+        |  SELECT * FROM (
+        |    SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id, c.label,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY $dotSql / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rn
+        |    FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id)
+        |  WHERE rn <= 5),
+        |votes AS (
+        |  SELECT q_id, q_label, label, COUNT(*) AS n_vote
+        |  FROM knn GROUP BY 1, 2, 3),
+        |maj AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY n_vote DESC, label ASC) AS rv FROM votes)
+        |  WHERE rv = 1)
+        |SELECT q_label AS label, COUNT(*) AS n_audited,
+        |  CAST(SUM(CASE WHEN label <> q_label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  round(SUM(CASE WHEN label <> q_label THEN 1 ELSE 0 END)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS noise_rate,
+        |  round(SUM(n_vote) / (5.0 * COUNT(*)), 6) AS avg_majority_share
+        |FROM maj GROUP BY q_label ORDER BY label""".stripMargin,
     // same two rankings as q_retrieval_metrics, same declared grades,
     // same rank-sorted log2 folds
     "q_ndcg" ->

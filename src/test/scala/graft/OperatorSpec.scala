@@ -5723,4 +5723,166 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       if (yb(t) / nb > 2.0 * (ya(t) / na)) assert(r.getDouble(5) < 0.0, t)
     }
   }
+
+  /** Shared brute-force corpus for the contrastive/noise tests:
+    * (vec_id, label, vector) plus a cosine helper. */
+  private def bruteVecs(): (Array[(Long, Int, Array[Double])],
+      (Array[Double], Array[Double]) => Double) = {
+    val vs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val cos = (a: Array[Double], b: Array[Double]) => {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    (vs, cos)
+  }
+
+  test("hard negatives: extrema are true per-class extrema, margin consistent") {
+    val rows = Similarity.queries("q_hard_negatives")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val (vs, cos) = bruteVecs()
+    val byId = vs.map(v => v._1 -> v).toMap
+    rows.foreach { r =>
+      val (qid, lbl) = (r.getLong(0), r.getInt(1))
+      val (posId, negId) = (r.getLong(2), r.getLong(3))
+      val anchor = byId(qid)
+      assert(anchor._2 == lbl, s"anchor label: $r")
+      assert(byId(posId)._2 == lbl, s"positive shares the label: $r")
+      assert(byId(negId)._2 != lbl, s"negative differs in label: $r")
+      // no same-label vector beats the reported positive (tie: lower id)
+      val posCos = cos(anchor._3, byId(posId)._3)
+      val negCos = cos(anchor._3, byId(negId)._3)
+      vs.filter(v => v._1 != qid).foreach { v =>
+        val c = cos(anchor._3, v._3)
+        if (v._2 == lbl) assert(c < posCos + 1e-9, s"better pos ${v._1}")
+        else assert(c < negCos + 1e-9, s"better neg ${v._1}")
+      }
+      assert(math.abs(r.getDouble(4) - posCos) < 2e-6, s"pos_cos: $r")
+      assert(math.abs(r.getDouble(5) - negCos) < 2e-6, s"neg_cos: $r")
+      assert(math.abs(r.getDouble(6) - (posCos - negCos)) < 2e-6,
+        s"margin: $r")
+    }
+  }
+
+  test("label noise knn: per-label audit matches a brute 5-NN majority vote") {
+    val rows = Similarity.queries("q_label_noise_knn")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum == 100, "panel size")
+    val (vs, cos) = bruteVecs()
+    val byId = vs.map(v => v._1 -> v).toMap
+    val flagged = scala.collection.mutable.Map.empty[Int, Long]
+      .withDefaultValue(0L)
+    val audited = scala.collection.mutable.Map.empty[Int, Long]
+      .withDefaultValue(0L)
+    (0L until 100L).foreach { qid =>
+      val anchor = byId(qid)
+      val knn = vs.filter(_._1 != qid)
+        .map(v => (v._1, v._2, cos(anchor._3, v._3)))
+        .sortBy { case (id, _, c) => (-c, id) }.take(5)
+      val maj = knn.groupBy(_._2).toSeq
+        .map { case (l, g) => (l, g.size) }
+        .minBy { case (l, n) => (-n, l) }._1
+      audited(anchor._2) += 1
+      if (maj != anchor._2) flagged(anchor._2) += 1
+    }
+    rows.foreach { r =>
+      val l = r.getInt(0)
+      assert(r.getLong(1) == audited(l), s"n_audited label $l")
+      assert(r.getLong(2) == flagged(l), s"n_flagged label $l")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.2 - 1e-9 && r.getDouble(4) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("adamic adar: scores match a brute common-neighbor recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Relational.queries("q_adamic_adar")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty, "month graph must yield candidate pairs")
+    // string compare sidesteps the raw-parquet TIMESTAMP_NTZ type
+    val edges = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_shipdate").cast("string") >= lit("1995-03-01") &&
+        col("l_shipdate").cast("string") < lit("1995-04-01"))
+      .select("l_suppkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._2).map { case (p, g) => p -> g.size.toLong }
+      .filter { case (_, d) => d >= 2 && d <= 32 }
+    val byPart = edges.filter(e => deg.contains(e._2)).groupBy(_._2)
+    val brute = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Double)]
+    byPart.foreach { case (p, es) =>
+      val sks = es.map(_._1).sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.length) {
+        val k = (sks(i), sks(j))
+        val (n0, s0) = brute.getOrElse(k, (0L, 0.0))
+        brute(k) = (n0 + 1, s0 + 1.0 / math.log(deg(p).toDouble))
+      }
+    }
+    assert(rows.length == brute.size, s"${rows.length} vs ${brute.size}")
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val (n, sc) = brute(k)
+      assert(r.getLong(2) == n, s"n_common: $r")
+      assert(math.abs(r.getDouble(3) - sc) < 1e-5, s"aa_score: $r")
+    }
+  }
+
+  test("permutation test: exact T0, bounded extremes, add-one p") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Relational.queries("q_permutation_test")(
+      spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val per = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(_._1).flatMap { case (_, g) =>
+        val (cl, vw) = g.partition(_._2 == "click")
+        if (cl.isEmpty || vw.isEmpty) None
+        else {
+          val (nc, sc) = (cl.size.toLong, cl.map(_._3).sum)
+          val (nv, sv) = (vw.size.toLong, vw.map(_._3).sum)
+          Some(math.floor(((sc * nv - sv * nc) * 100).toDouble /
+            (nc * nv).toDouble).toLong)
+        }
+      }.toSeq
+    assert(r.getLong(0) == per.size, "n_users")
+    assert(math.abs(r.getDouble(1) - per.sum / 100.0) < 1e-6, "T0")
+    assert(r.getLong(2) >= 0 && r.getLong(2) <= 200)
+    assert(math.abs(r.getDouble(3) - (r.getLong(2) + 1) / 201.0) < 1e-6)
+  }
+
+  test("ppjoin: exact Jaccard join — no false positives, no false negatives") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_ppjoin")(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+      .sortBy(_._1)
+    // brute-force ALL pairs with J >= 0.8 — the prefix filter must lose
+    // NONE of them (exactness is PPJoin's whole point vs MinHash)
+    val brute = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      inter = (docs(i)._2 & docs(j)._2).size
+      un = docs(i)._2.size + docs(j)._2.size - inter
+      if inter * 5 >= un * 4
+    } yield ((docs(i)._1, docs(j)._1), (inter, un))).toMap
+    assert(rows.length == brute.size, s"${rows.length} vs ${brute.size}")
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val (inter, un) = brute(k)
+      assert(r.getLong(2) == inter && r.getLong(3) == un, s"$r")
+      assert(math.abs(r.getDouble(4) - inter.toDouble / un) < 1e-6)
+    }
+  }
 }
