@@ -6443,54 +6443,11 @@ object Relational {
     // materialized eagerly so the finally-unpersist can't strand a lazy
     // plan against an evicted cache.
     "q_quantile_regression" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("rf"),
-          col("l_quantity").cast(LongType).as("x"),
-          (money(col("l_extendedprice")) * 100).cast(LongType).as("y"))
-        .persist()
-      try {
-      val dec38 = DecimalType(38, 0)
-      def wsums(df: DataFrame): DataFrame = df.groupBy("rf").agg(
-        count(lit(1)).as("n"),
-        sum(col("wt").cast(dec38)).as("sw"),
-        sum((col("wt") * col("x")).cast(dec38)).as("swx"),
-        sum((col("wt") * col("x") * col("x")).cast(dec38)).as("swxx"),
-        sum((col("wt") * col("y")).cast(dec38)).as("swy"),
-        sum((col("wt") * col("x") * col("y")).cast(dec38)).as("swxy"))
-      def solve(sums: DataFrame): DataFrame = sums
-        .withColumn("b", expr(
-          """(CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
-            | - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
-            | / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
-            | - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))""".stripMargin))
-        .withColumn("a", expr(
-          "(CAST(swy AS DOUBLE) - b * CAST(swx AS DOUBLE)) " +
-            "/ CAST(sw AS DOUBLE)"))
-        .select("rf", "n", "a", "b")
-      // round 0 = OLS (wt ≡ 1), then 8 reweighted rounds
-      var params = solve(wsums(li.withColumn("wt", lit(1L))))
-      val rcExpr = "greatest(100L, CAST(floor(abs(CAST(y AS DOUBLE) " +
-        "- (a + b * CAST(x AS DOUBLE)))) AS BIGINT))"
-      (1 to 8).foreach { _ =>
-        val j = li.join(broadcast(params.select("rf", "a", "b")), "rf")
-          .withColumn("wt", expr(s"100000000L div ($rcExpr)"))
-        params = solve(wsums(j))
-      }
-      li.join(broadcast(params), "rf")
-        .withColumn("ar", expr("CAST(floor(abs(CAST(y AS DOUBLE) " +
-          "- (a + b * CAST(x AS DOUBLE)))) AS BIGINT)"))
-        .groupBy("rf")
-        .agg(first("n").as("n"), first("a").as("a"), first("b").as("b"),
-          sum(col("ar").cast(dec38)).as("sar"))
-        .select(col("rf").as("l_returnflag"), col("n"),
-          round(expr("a / 100.0D"), 6).as("intercept"),
-          round(expr("b / 100.0D"), 6).as("slope"),
-          round(expr("CAST(sar AS DOUBLE) / CAST(n AS DOUBLE) / 100.0D"), 6)
-            .as("mean_abs_resid"))
-        .orderBy("l_returnflag")
-        // eager ≤3-row materialization before li leaves the cache
-        .localCheckpoint(true)
-      } finally { li.unpersist(); () }
+      val li = quantileRegressionInput(s, dir).persist()
+      // eager ≤3-row materialization before li leaves the cache; PlanSpec
+      // pins the broadcast-join shape on the LAZY plan via the helper
+      try quantileRegressionPlan(li).localCheckpoint(true)
+      finally { li.unpersist(); () }
     },
 
     // MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016 — the
@@ -6870,6 +6827,63 @@ object Relational {
   private def ckptCut(df: DataFrame): DataFrame = {
     val m = df.localCheckpoint(true)
     m.sparkSession.createDataFrame(m.rdd, m.schema)
+  }
+
+  /** q_quantile_regression's 3-column projection (rf, quantity, price
+    * cents) — factored so the public query can persist it and PlanSpec
+    * can rebuild the lazy pipeline on an unpersisted copy. */
+  private[graft] def quantileRegressionInput(s: SparkSession,
+      dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        col("l_quantity").cast(LongType).as("x"),
+        (money(col("l_extendedprice")) * 100).cast(LongType).as("y"))
+
+  /** The LAZY 8-round IRLS pipeline over `li` (see the q_quantile_
+    * regression Scaladoc). The public query materializes this eagerly
+    * inside its persist scope (which collapses the visible plan to the
+    * checkpoint scan), so PlanSpec pins the broadcast-join strategy
+    * HERE — the q_importance_resample factoring discipline. */
+  private[graft] def quantileRegressionPlan(li: DataFrame): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    def wsums(df: DataFrame): DataFrame = df.groupBy("rf").agg(
+      count(lit(1)).as("n"),
+      sum(col("wt").cast(dec38)).as("sw"),
+      sum((col("wt") * col("x")).cast(dec38)).as("swx"),
+      sum((col("wt") * col("x") * col("x")).cast(dec38)).as("swxx"),
+      sum((col("wt") * col("y")).cast(dec38)).as("swy"),
+      sum((col("wt") * col("x") * col("y")).cast(dec38)).as("swxy"))
+    def solve(sums: DataFrame): DataFrame = sums
+      .withColumn("b", expr(
+        """(CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+          | - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+          | / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+          | - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))""".stripMargin))
+      .withColumn("a", expr(
+        "(CAST(swy AS DOUBLE) - b * CAST(swx AS DOUBLE)) " +
+          "/ CAST(sw AS DOUBLE)"))
+      .select("rf", "n", "a", "b")
+    // round 0 = OLS (wt ≡ 1), then 8 reweighted rounds
+    var params = solve(wsums(li.withColumn("wt", lit(1L))))
+    val rcExpr = "greatest(100L, CAST(floor(abs(CAST(y AS DOUBLE) " +
+      "- (a + b * CAST(x AS DOUBLE)))) AS BIGINT))"
+    (1 to 8).foreach { _ =>
+      val j = li.join(broadcast(params.select("rf", "a", "b")), "rf")
+        .withColumn("wt", expr(s"100000000L div ($rcExpr)"))
+      params = solve(wsums(j))
+    }
+    li.join(broadcast(params), "rf")
+      .withColumn("ar", expr("CAST(floor(abs(CAST(y AS DOUBLE) " +
+        "- (a + b * CAST(x AS DOUBLE)))) AS BIGINT)"))
+      .groupBy("rf")
+      .agg(first("n").as("n"), first("a").as("a"), first("b").as("b"),
+        sum(col("ar").cast(dec38)).as("sar"))
+      .select(col("rf").as("l_returnflag"), col("n"),
+        round(expr("a / 100.0D"), 6).as("intercept"),
+        round(expr("b / 100.0D"), 6).as("slope"),
+        round(expr("CAST(sar AS DOUBLE) / CAST(n AS DOUBLE) / 100.0D"), 6)
+          .as("mean_abs_resid"))
+      .orderBy("l_returnflag")
   }
 
   /** q_boosted_stumps shared texts — the n-weighted model sum over the

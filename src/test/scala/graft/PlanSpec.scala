@@ -1508,7 +1508,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("quantile regression broadcasts every per-round parameter join — no SortMergeJoin") {
-    val df = Relational.queries("q_quantile_regression")(spark, sfDir)
+    // the public query eagerly checkpoints (persist-scope hygiene), which
+    // collapses its visible plan — pin the LAZY pipeline via the factored
+    // helper instead (the q_importance_resample discipline)
+    val df = Relational.quantileRegressionPlan(
+      Relational.quantileRegressionInput(spark, sfDir))
     val plan = planOf(df)
     // 9 parameter tables (OLS warm start + 8 IRLS rounds) each join the
     // fact side; all must broadcast — a sort-merge join would shuffle the
@@ -1520,5 +1524,37 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
     Seq("l_shipdate", "l_partkey", "l_comment", "l_discount").foreach(c =>
       assert(!reads.contains(c), s"unpruned column $c"))
+  }
+
+  test("hard-negative mining broadcasts the anchor panel — no CartesianProduct") {
+    val plan = planOf(
+      graft.operators.Similarity.queries("q_hard_negatives")(spark, sfDir))
+    // constant-size anchor side must stream the corpus through a
+    // BroadcastNLJ — a CartesianProduct would shuffle both sides
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("permutation test prunes the events scan and broadcasts the 201 flips") {
+    val plan = planOf(
+      Relational.queries("q_permutation_test")(spark, sfDir))
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(reads.contains("user_id") && reads.contains("value"), reads)
+    Seq("props", "event_id").foreach(c =>
+      assert(!reads.contains(c), s"unpruned column $c in: $reads"))
+    // the flip table and the scalar T0/n_users frames broadcast; the
+    // corpus is never shuffled after its one hash agg
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("adamic-adar pushes the March window to the lineitem scan and prunes columns") {
+    val plan = planOf(Relational.queries("q_adamic_adar")(spark, sfDir))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("l_shipdate"), s"ship-date filter not pushed: $pushed")
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    Seq("l_extendedprice", "l_quantity", "l_orderkey").foreach(c =>
+      assert(!reads.contains(c), s"unpruned column $c in: $reads"))
   }
 }
