@@ -31,6 +31,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries are self-contained: drop any persisted intermediates a
+      // builder materialized mid-plan (the Bench discipline) so a long
+      // 471-query dump can't accumulate cached frames across queries
+      finally spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

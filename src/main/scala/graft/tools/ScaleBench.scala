@@ -109,7 +109,16 @@ object ScaleBench {
     // probe pins that data growth, not round count, drives the cost);
     // q_kneser_ney is the heaviest wordGraph consumer (continuation
     // counts = two corpus-shaped aggs).
-    "q_graph_ann", "q_hits", "q_kneser_ney")
+    "q_graph_ann", "q_hits", "q_kneser_ney",
+    // round-16 operators, probed from birth: PPJoin's prefix-filter
+    // candidate volume must track near-dup density (ScaleGen keeps
+    // cross-copy overlap zero, so candidates are ~linear in docs);
+    // adamic-adar's co-neighbor join is bounded by the degree cap;
+    // the permutation test's 201-flip fan-out must stay map-side; the
+    // two broadcast-NLJ panel scans (hard negatives, label-noise kNN)
+    // are linear in the corpus by construction.
+    "q_ppjoin", "q_adamic_adar", "q_permutation_test",
+    "q_hard_negatives", "q_label_noise_knn")
 
   /** Streaming tier probes: every stateful-operator family — chained
     * multi-stateful, transformWithState (RocksDB), watermark dedup,
@@ -164,7 +173,11 @@ object ScaleBench {
     // graph and the fixed-size beam are exactly the structures whose
     // blow-up would only show at scale (r15 verdict: the engine's
     // second-slowest query, previously unmeasured)
-    "q_graph_ann")
+    "q_graph_ann",
+    // round-16: the exact set-similarity join runs the full ×100 tier —
+    // the one new candidate generator whose volume is data-dependent
+    // (prefix buckets), exactly what must be measured, not asserted
+    "q_ppjoin")
 
   def main(args: Array[String]): Unit = {
     val x10Dir = args.lift(0).getOrElse("/root/repo/target/scaledata/sf1")
