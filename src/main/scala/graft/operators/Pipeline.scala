@@ -2907,22 +2907,29 @@ object Pipeline {
 
     // PPJOIN-STYLE PREFIX-FILTERED SET-SIMILARITY JOIN (Xiao et al.
     // 2008 — the EXACT all-pairs Jaccard join, where MinHash-LSH
-    // (q_minhash_lsh) is the approximate one): if J(a,b) ≥ τ then under
-    // ANY global token order the two docs' first |x|−⌈τ|x|⌉+1 tokens
-    // must share one — so ordering every doc's distinct tokens RAREST-
-    // FIRST (global (df, token) order) and joining only on those short
-    // prefixes yields every qualifying pair with zero false negatives
-    // while pruning ~99% of the n² pair space (measured at sf0.01:
-    // 121k candidates of 12.5M possible pairs). Rare-first is also the
-    // scale guard: a prefix token's bucket is small BY CONSTRUCTION
-    // (low df), so the candidate join never sees hub buckets — the
-    // exact-join counterpart of BucketCap. Verification is exact
-    // integer arithmetic: J ≥ 0.8 ⟺ 5·|∩| ≥ 4·|∪|, no float compare;
-    // jaccard itself is the only (rounded) double.
+    // (q_minhash_lsh) is the approximate one), over the SAME 3-gram
+    // shingle sets the MinHash family signs: if J(a,b) ≥ τ then under
+    // ANY global element order the two docs' first |x|−⌈τ|x|⌉+1
+    // elements must share one — so ordering every doc's shingles
+    // RAREST-FIRST (global (df, shingle) order) and joining only on
+    // those short prefixes yields every qualifying pair with zero
+    // false negatives. Shingles, not unigrams, are what make the
+    // filter BITE: the shingle space is huge, so even the rarest
+    // prefix element of a non-duplicate doc is near-unique (measured:
+    // 25 candidates at sf0.01, 43.5k of 12.5M possible pairs at
+    // sf0.1 — a unigram variant left 12.1M candidates because the
+    // tiny word vocabulary made every "rare" token a hub). The
+    // standard length filter (J ≥ τ ⟹ τ|b| ≤ |a| ≤ |b|/τ, exact
+    // cross-multiplied integers) prunes cross-size pairs before the
+    // distinct. Verification is exact integer arithmetic: J ≥ 0.8 ⟺
+    // 5·|∩| ≥ 4·|∪|, no float compare; jaccard itself is the only
+    // (rounded) double.
     "q_ppjoin" -> { (s, dir) =>
       val tok = docsPar(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
         .select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("tk"))
+          explode(expr(s"array_distinct(${ngramExpr(3)})")).as("tk"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         tok.count() // materialize once: feeds freq, sizes, prefixes, verify
@@ -2932,10 +2939,14 @@ object Pipeline {
           .withColumn("rk", row_number().over(
             Window.partitionBy("doc_id").orderBy(col("df"), col("tk"))))
           .filter(col("rk") <= col("sz") - expr("(4*sz + 4) div 5") + 1)
-          .select("doc_id", "tk")
-        val cand = pfx.select(col("tk"), col("doc_id").as("da"))
-          .join(pfx.select(col("tk"), col("doc_id").as("db")), "tk")
-          .filter(col("da") < col("db"))
+          .select("doc_id", "tk", "sz")
+        val cand = pfx.select(col("tk"), col("doc_id").as("da"),
+            col("sz").as("sza"))
+          .join(pfx.select(col("tk"), col("doc_id").as("db"),
+            col("sz").as("szb")), "tk")
+          .filter(col("da") < col("db") &&
+            col("sza") * 5 >= col("szb") * 4 &&
+            col("szb") * 5 >= col("sza") * 4)
           .select("da", "db").distinct()
         val inter = cand
           .join(tok.select(col("doc_id").as("da"), col("tk")), Seq("da"))
@@ -4618,18 +4629,23 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
-    // same global rare-first (df, token) prefix order, same integer
-    // ceil(4sz/5) prefix cut, same cross-multiplied 5·|∩| ≥ 4·|∪| verify
+    // same 3-gram shingle sets, same global rare-first (df, shingle)
+    // prefix order, same integer ceil(4sz/5) prefix cut, same exact
+    // length filter, same cross-multiplied 5·|∩| ≥ 4·|∪| verify
     "q_ppjoin" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
-        |    AS tk
-        |  FROM documents),
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tk
+        |  FROM d),
         |freq AS (SELECT tk, COUNT(*) AS df FROM tok GROUP BY tk),
         |sized AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
         |          FROM tok GROUP BY doc_id),
         |pfx AS (
-        |  SELECT doc_id, tk FROM (
+        |  SELECT doc_id, tk, sz FROM (
         |    SELECT t.doc_id, t.tk, s.sz,
         |      row_number() OVER (PARTITION BY t.doc_id
         |        ORDER BY f.df, t.tk) AS rk
@@ -4637,7 +4653,9 @@ object Pipeline {
         |  WHERE rk <= sz - ((4 * sz + 4) // 5) + 1),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM pfx a JOIN pfx b USING (tk) WHERE a.doc_id < b.doc_id),
+        |  FROM pfx a JOIN pfx b USING (tk)
+        |  WHERE a.doc_id < b.doc_id
+        |    AND 5 * a.sz >= 4 * b.sz AND 5 * b.sz >= 4 * a.sz),
         |inter AS (
         |  SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS n_inter
         |  FROM cand c JOIN tok ta ON ta.doc_id = c.da

@@ -5864,9 +5864,14 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
   test("ppjoin: exact Jaccard join — no false positives, no false negatives") {
     import org.apache.spark.sql.functions._
     val rows = Pipeline.queries("q_ppjoin")(spark, sfDir).collect()
+    // brute sets = the same distinct 3-gram shingles the query joins on
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter(_._2.length >= 3)
+      .map { case (id, w) =>
+        (id, w.sliding(3).map(_.mkString(" ")).toSet)
+      }
       .sortBy(_._1)
     // brute-force ALL pairs with J >= 0.8 — the prefix filter must lose
     // NONE of them (exactness is PPJoin's whole point vs MinHash)
