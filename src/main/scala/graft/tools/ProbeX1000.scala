@@ -14,7 +14,13 @@ package graft.tools
   * above it.
   */
 object ProbeX1000 {
-  val probes: Seq[String] = Seq("q_minhash_lsh", "q_connected_components")
+  // q_ppjoin joined in round 16: the exact set-similarity join is the one
+  // candidate generator whose volume is data-dependent, so its growth
+  // curve earns the third decade too (documents-only — already in the
+  // partial tier; embeddings stay out because the rotation isometry only
+  // keeps cross-copy cosine at noise through 2×dim copies).
+  val probes: Seq[String] =
+    Seq("q_minhash_lsh", "q_connected_components", "q_ppjoin")
 
   def main(args: Array[String]): Unit = {
     val x1000Dir = args.lift(0)
