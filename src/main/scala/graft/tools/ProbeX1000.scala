@@ -14,13 +14,16 @@ package graft.tools
   * above it.
   */
 object ProbeX1000 {
-  // q_ppjoin joined in round 16: the exact set-similarity join is the one
-  // candidate generator whose volume is data-dependent, so its growth
-  // curve earns the third decade too (documents-only — already in the
-  // partial tier; embeddings stay out because the rotation isometry only
-  // keeps cross-copy cosine at noise through 2×dim copies).
-  val probes: Seq[String] =
-    Seq("q_minhash_lsh", "q_connected_components", "q_ppjoin")
+  // q_ppjoin was TRIED here in round 16 and removed: at ×1000 (5M docs,
+  // ~120M shingle rows) its rarest-first rank window plus the freq/size
+  // joins need more local shuffle-spill disk than this box has (measured:
+  // filled the remaining ~48 GB and died with "No space left on device" —
+  // on a cluster that spill is spread across executors). Its growth curve
+  // is measured through ×100 in BENCH_SCALE.json (2.9× at ×10, 16.1× at
+  // ×100). Embeddings queries stay out for a different reason: the
+  // rotation isometry only keeps cross-copy cosine at noise through
+  // 2×dim copies.
+  val probes: Seq[String] = Seq("q_minhash_lsh", "q_connected_components")
 
   def main(args: Array[String]): Unit = {
     val x1000Dir = args.lift(0)
