@@ -2574,6 +2574,105 @@ object Pipeline {
         .orderBy("source")
     },
 
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT — Efraimidis & Spirakis 2006
+    // A-Res keys, the exponential form of Gumbel-top-k: draw uᵢ, rank by
+    // −ln(uᵢ)/wᵢ ascending, take k. q_weighted_sample's Bernoulli coin
+    // keeps a RATE; this keeps an exact-k panel per source with inclusion
+    // probability ∝ weight — the curation primitive behind "pick the k
+    // best-weighted docs per domain, reproducibly". The uniform is the
+    // house md5 coin ((h+1)/10001 — never 0, so ln is finite) and the key
+    // tree is shared verbatim with the oracle, so both engines rank the
+    // identical doubles. Scale: DISTRIBUTED top-k, not one sort — rank
+    // within (source, 64-way salt) first (64 parallel slices, each keeps
+    // ≤k), then rank the ≤64·k survivors per source; both windows are
+    // partitioned, no global sort, no collect.
+    "q_gumbel_topk" -> { (s, dir) =>
+      val k = 5
+      val keyed = docs(s, dir)
+        .withColumn("w_bp", expr(
+          "greatest(1L, least(10000L, (n_chars * 10000L) div 2000L))"))
+        .withColumn("u", expr(
+          s"(CAST(${hExpr("cast(doc_id as string)")} % 10000 AS DOUBLE) " +
+            "+ CAST(1 AS DOUBLE)) / CAST(10001 AS DOUBLE)"))
+        .withColumn("gk", expr(
+          "-ln(u) / (CAST(w_bp AS DOUBLE) / CAST(10000 AS DOUBLE))"))
+        .withColumn("salt", expr(s"${hExpr("cast(doc_id as string)")} % 64"))
+      val local = keyed
+        .withColumn("rs", row_number().over(
+          Window.partitionBy("source", "salt")
+            .orderBy(col("gk"), col("doc_id"))))
+        .filter(col("rs") <= k)
+      local
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("gk"), col("doc_id"))))
+        .filter(col("rk") <= k)
+        .select(col("source"), col("rk").cast("long").as("rank"),
+          col("doc_id"), col("w_bp"), round(col("gk"), 6).as("ares_key"))
+        .orderBy("source", "rank")
+    },
+
+    // GOOD-TURING FREQUENCY SMOOTHING (Good 1953 — THE count-of-counts
+    // estimator: how much probability mass belongs to words you have
+    // NEVER seen, and what an observed count c is really worth): N_c =
+    // #types seen exactly c times; smoothed c* = (c+1)·N_{c+1}/N_c, and
+    // the unseen mass is N_1/N — the quantity Kneser-Ney's discount
+    // approximates with a constant. Two exact hash aggs (token counts,
+    // then count-of-counts) collapse the corpus to a handful of rows;
+    // the N_{c'} lookup is a lead window over the tiny count-of-counts
+    // table, reported for the FIVE SMALLEST observed counts (a fixed
+    // c ≤ 5 cut returns nothing on this saturated synthetic vocab —
+    // every token is frequent; the estimator itself is count-agnostic:
+    // Gale & Sampson's simple GT interpolates exactly these adjacent
+    // populated N_c cells). Everything integer except the two final
+    // (rounded) divisions.
+    "q_good_turing" -> { (s, dir) =>
+      val freq = docsPar(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val coc = freq.groupBy("c").agg(count(lit(1)).as("n_c"))
+      val tot = freq.agg(sum("c").as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"))
+      coc
+        .withColumn("n_next", lead("n_c", 1).over(Window.orderBy("c")))
+        .withColumn("c_next", lead("c", 1).over(Window.orderBy("c")))
+        .withColumn("rn", row_number().over(Window.orderBy("c")))
+        .filter(col("rn") <= 5)
+        .crossJoin(broadcast(tot))
+        .select(col("c"), col("n_c"),
+          round(expr("CASE WHEN n_next IS NOT NULL THEN " +
+            "CAST(c_next AS DOUBLE) * CAST(n_next AS DOUBLE) " +
+            "/ CAST(n_c AS DOUBLE) END"), 6).as("c_star"),
+          round(expr("CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)"), 6)
+            .as("p_unseen"))
+        .orderBy("c")
+    },
+
+    // CHAO1 VOCABULARY-RICHNESS ESTIMATE (Chao 1984 — the unseen-species
+    // lower bound ecologists and corpus linguists share: how many word
+    // types does this language's corpus REALLY have?): per language,
+    // S_obs observed types, f1 singletons, f2 doubletons, chao1 = S_obs
+    // + f1²/(2·f2) (bias-corrected f1(f1−1)/2 when f2 = 0) — the
+    // coverage readout that says whether a crawl has saturated a
+    // language. One (lang, token) hash agg then a per-lang rollup;
+    // exact integers into one rounded division.
+    "q_chao1" -> { (s, dir) =>
+      docsPar(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("s_obs"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("lang"), col("s_obs"), col("f1"), col("f2"),
+          round(expr(
+            "CAST(s_obs AS DOUBLE) + CASE WHEN f2 > 0 THEN " +
+              "CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE) " +
+              "/ (CAST(2 AS DOUBLE) * CAST(f2 AS DOUBLE)) " +
+              "ELSE CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE) " +
+              "/ CAST(2 AS DOUBLE) END"), 6).as("chao1"))
+        .orderBy("lang")
+    },
+
     // Deterministic dataset splitting: train/val/test assignment by a
     // portable content-independent hash of the document id (md5-prefix mod
     // 100 → 80/10/10). This is how a 100 TB pipeline splits reproducibly —
@@ -4629,6 +4728,74 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    // single global rank per source — the query's salted two-phase
+    // refinement must be EXACTLY this (each salt slice keeps its own k
+    // smallest, so the global k are always among the survivors)
+    "q_gumbel_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    greatest(1, least(10000, (n_chars * 10000) // 2000)) AS w_bp,
+        |    (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 10000 AS DOUBLE) + CAST(1 AS DOUBLE))
+        |      / CAST(10001 AS DOUBLE) AS u
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, CAST(w_bp AS BIGINT) AS w_bp,
+        |    -ln(u) / (CAST(w_bp AS DOUBLE) / CAST(10000 AS DOUBLE)) AS gk
+        |  FROM d),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY gk, doc_id) AS rk FROM k)
+        |SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, w_bp,
+        |  round(gk, 6) AS ares_key
+        |FROM r WHERE rk <= 5 ORDER BY source, rank""".stripMargin,
+
+    // same two exact count aggs, same lead lookup, same division trees
+    "q_good_turing" ->
+      """WITH freq AS (
+        |  SELECT tok, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |coc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_c
+        |        FROM freq GROUP BY c),
+        |tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1
+        |  FROM freq),
+        |led AS (
+        |  SELECT c, n_c, lead(n_c, 1) OVER (ORDER BY c) AS n_next,
+        |    lead(c, 1) OVER (ORDER BY c) AS c_next,
+        |    row_number() OVER (ORDER BY c) AS rn
+        |  FROM coc)
+        |SELECT c, n_c,
+        |  round(CASE WHEN n_next IS NOT NULL THEN
+        |    CAST(c_next AS DOUBLE) * CAST(n_next AS DOUBLE)
+        |    / CAST(n_c AS DOUBLE) END, 6) AS c_star,
+        |  round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS p_unseen
+        |FROM led CROSS JOIN tot WHERE rn <= 5 ORDER BY c""".stripMargin,
+
+    // same (lang, token) agg, same singleton/doubleton rollup, same
+    // bias-corrected f2=0 branch
+    "q_chao1" ->
+      """WITH ft AS (
+        |  SELECT lang, tok, COUNT(*) AS c FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY lang, tok),
+        |g AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS s_obs,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM ft GROUP BY lang)
+        |SELECT lang, s_obs, f1, f2,
+        |  round(CAST(s_obs AS DOUBLE) + CASE WHEN f2 > 0 THEN
+        |    CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+        |    / (CAST(2 AS DOUBLE) * CAST(f2 AS DOUBLE))
+        |    ELSE CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+        |    / CAST(2 AS DOUBLE) END, 6) AS chao1
+        |FROM g ORDER BY lang""".stripMargin,
+
     // same 3-gram shingle sets, same global rare-first (df, shingle)
     // prefix order, same integer ceil(4sz/5) prefix cut, same exact
     // length filter, same cross-multiplied 5·|∩| ≥ 4·|∪| verify

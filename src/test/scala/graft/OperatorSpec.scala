@@ -5861,6 +5861,77 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(3) - (r.getLong(2) + 1) / 201.0) < 1e-6)
   }
 
+  test("gumbel top-k: exact-k weighted sample matches a brute global A-Res rank") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_gumbel_topk")(spark, sfDir).collect()
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val brute = docs.map { case (id, src, nc) =>
+      val wBp = math.max(1L, math.min(10000L, nc * 10000L / 2000L))
+      val u = ((md5h(id.toString) % 10000L).toDouble + 1.0) / 10001.0
+      (src, id, wBp, -math.log(u) / (wBp.toDouble / 10000.0))
+    }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(t => (t._4, t._2)).take(5).zipWithIndex
+        .map { case (t, i) => ((t._1, i + 1L), (t._2, t._3, t._4)) }
+    }.toMap
+    assert(rows.length == brute.size)
+    rows.foreach { r =>
+      val (id, wBp, gk) = brute((r.getString(0), r.getLong(1)))
+      assert(r.getLong(2) == id && r.getLong(3) == wBp, s"$r")
+      assert(math.abs(r.getDouble(4) - gk) < 1e-6, s"key: $r")
+    }
+  }
+
+  test("good-turing: five smallest populated count-of-counts cells, exact identity") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_good_turing")(spark, sfDir).collect()
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .collect().map(_.getString(0))
+    val coc = toks.groupBy(identity).values.map(_.size)
+      .groupBy(identity).map { case (c, g) => (c.toLong, g.size.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(rows.length == math.min(5, coc.length), s"${rows.length}")
+    val n = toks.length.toDouble
+    val f1 = coc.find(_._1 == 1L).map(_._2).getOrElse(0L).toDouble
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (c, nc) = coc(i)
+      assert(r.getLong(0) == c && r.getLong(1) == nc, s"$r")
+      if (i + 1 < coc.length) {
+        val (c2, nc2) = coc(i + 1)
+        assert(math.abs(r.getDouble(2) - c2 * nc2.toDouble / nc) < 1e-5)
+      }
+      assert(math.abs(r.getDouble(3) - f1 / n) < 1e-9)
+    }
+  }
+
+  test("chao1: per-language richness matches a brute singleton/doubleton count") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_chao1")(spark, sfDir).collect()
+    val lt = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val byLang = lt.groupBy(_._1)
+    assert(rows.length == byLang.size)
+    rows.foreach { r =>
+      val counts = byLang(r.getString(0)).groupBy(_._2).values.map(_.size)
+      val (sObs, f1, f2) = (counts.size.toLong,
+        counts.count(_ == 1).toLong, counts.count(_ == 2).toLong)
+      assert(r.getLong(1) == sObs && r.getLong(2) == f1 &&
+        r.getLong(3) == f2, s"$r")
+      val chao = if (f2 > 0) sObs + f1.toDouble * f1 / (2.0 * f2)
+        else sObs + f1.toDouble * (f1 - 1) / 2.0
+      assert(math.abs(r.getDouble(4) - chao) < 1e-5, s"$r")
+      assert(r.getDouble(4) >= sObs.toDouble, "chao1 is a lower bound above S_obs")
+    }
+  }
+
   test("ppjoin: exact Jaccard join — no false positives, no false negatives") {
     import org.apache.spark.sql.functions._
     val rows = Pipeline.queries("q_ppjoin")(spark, sfDir).collect()
