@@ -92,7 +92,31 @@ object Bench {
     // The per-query spread (max/min across passes) is emitted so a judge
     // can separate run-length jitter from a real regression WITHOUT
     // re-running: a 1.5x delta on a query whose own spread is 1.6x is noise.
-    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val passes0 = Seq(timedPass(), timedPass(), timedPass())
+    // Adaptive re-timing (r16 judge ask: worst spread was 10.2x on a
+    // sub-second query, riding pure scheduler jitter): any query whose
+    // 3-pass spread exceeds 3x gets two EXTRA timed runs, and its min /
+    // spread are taken over all five. Bounded cost — only the jittery
+    // tail re-runs, not the suite.
+    val jittery = SparkEntry.queries.keys.filter { k =>
+      val ts = passes0.map(_(k))
+      ts.forall(_ >= 0) && ts.max / math.max(1e-9, ts.min) > 3.0
+    }.toSeq
+    if (jittery.nonEmpty)
+      System.err.println(s"[bench] re-timing ${jittery.size} high-spread queries: " +
+        jittery.mkString(", "))
+    def retimePass(): Map[String, Double] = jittery.map { k =>
+      val t0 = System.nanoTime()
+      val err = exec(SparkEntry.queries(k), sfDir)
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      k -> (if (err.isDefined) -1.0 else dt)
+    }.toMap
+    val extras = if (jittery.isEmpty) Seq.empty else Seq(retimePass(), retimePass())
+    val passes = passes0 ++ extras.map(e =>
+      // extras only cover the jittery tail; treat missing keys as "no
+      // additional sample" by replaying pass-1's value (min/max unchanged)
+      SparkEntry.queries.keys.map(k => k -> e.getOrElse(k, passes0.head(k))).toMap)
     val canaryAfter = canary()
     val drift = math.max(canaryBefore, canaryAfter) /
       math.max(1e-9, math.min(canaryBefore, canaryAfter))
@@ -121,20 +145,28 @@ object Bench {
       else ",\"errors\":" + errors
         .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
         .mkString("{", ",", "}")
-    val meth = "warm-up pass at sf0.001, then min of 3 timed passes; " +
-      "spread = per-query max/min across the passes (jitter bound); " +
-      "canary=q_users_scan min-of-3 before/after; contended = canary drift >2x"
+    val meth = "warm-up pass at sf0.001, then min of 3 timed passes " +
+      "(+2 extra passes for any query whose 3-pass spread exceeds 3x); " +
+      "spread = per-query max/min across its passes (jitter bound); " +
+      "canary=q_users_scan min-of-3 before/after; contended = canary drift >2x; " +
+      "canary_min_sec is the machine floor — divide totals by it across rounds " +
+      "to separate machine drift from suite cost"
     // config delta, stated so the committed self-bench total is never read
     // against the driver's local[32] number as a regression
     val note = s"self-bench at cpus=$cpus / shuffle.partitions=$cpus; " +
       "the driver bench runs local[32] — totals are NOT comparable across configs"
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"reps":3,"cpus":$cpus,"note":"$note","canary_before_sec":${r3(canaryBefore)},"canary_after_sec":${r3(canaryAfter)},"contended":$contended,"methodology":"$meth","queries":$qs,"spread":$sp$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"reps":3,"cpus":$cpus,"note":"$note","canary_before_sec":${r3(canaryBefore)},"canary_after_sec":${r3(canaryAfter)},"canary_min_sec":${r3(math.min(canaryBefore, canaryAfter))},"contended":$contended,"methodology":"$meth","queries":$qs,"spread":$sp$errJson,"sf":"$sfDir"}"""
     println(line)
     // trailing one-line summary AFTER the big line: the driver's tail capture
     // truncated the r7 line from the head ("parsed": null), so the headline
     // numbers must also live at the very END of stdout
-    println(s"""{"total_sec":${r3(total)},"n_ok":${ok.size},"n_err":${errors.size},"contended":$contended}""")
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_sec":${r3(total)},"n_ok":${ok.size},"n_err":${errors.size},"canary_min_sec":${r3(math.min(canaryBefore, canaryAfter))},"contended":$contended,"sf":"$sfDir"}"""
+    println(summary)
+    // ...and on STDERR too (r16: the stdout tail capture STILL truncated
+    // mid-JSON because sbt interleaves its own epilogue — stderr is the
+    // channel sbt does not race on this line)
+    System.err.println("[bench-summary] " + summary)
     // belt-and-braces copy: r3's stdout capture truncated the JSON tail, so
     // always leave an untruncated copy on disk too
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")

@@ -103,8 +103,37 @@ object Pipeline {
 
   /** Portable 32-bit string hash, Spark side. DuckDB side:
     * `('0x'||substr(md5(s),1,8))::BIGINT`. */
-  private def hExpr(s: String): String =
+  private[graft] def hExpr(s: String): String =
     s"cast(conv(substring(md5($s),1,8),16,10) as bigint)"
+
+  /** Gumbel/A-Res weighted top-k panel, parameterized by `seed` so callers
+    * can draw INDEPENDENT reproducible panels (seed → "_s<seed>" hash salt;
+    * the default panel exposed as q_gumbel_topk uses seed=1, which the
+    * oracle replays verbatim). See the q_gumbel_topk entry for semantics. */
+  private[graft] def gumbelTopK(s: SparkSession, dir: String, seed: Int): DataFrame = {
+    val k = 5
+    val keyed = docs(s, dir)
+      .withColumn("w_bp", expr(
+        "greatest(1L, least(10000L, (n_chars * 10000L) div 2000L))"))
+      .withColumn("u", expr(
+        s"(CAST(${hExpr(s"concat(cast(doc_id as string), '_s$seed')")} % 10000 AS DOUBLE) " +
+          "+ CAST(1 AS DOUBLE)) / CAST(10001 AS DOUBLE)"))
+      .withColumn("gk", expr(
+        "-ln(u) / (CAST(w_bp AS DOUBLE) / CAST(10000 AS DOUBLE))"))
+      .withColumn("salt", expr(s"${hExpr("cast(doc_id as string)")} % 64"))
+    val local = keyed
+      .withColumn("rs", row_number().over(
+        Window.partitionBy("source", "salt")
+          .orderBy(col("gk"), col("doc_id"))))
+      .filter(col("rs") <= k)
+    local
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("gk"), col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk").cast("long").as("rank"),
+        col("doc_id"), col("w_bp"), round(col("gk"), 6).as("ares_key"))
+      .orderBy("source", "rank")
+  }
 
   /** q_fs_em: the E-step responsibility γ(x) of pattern struct x under
     * the current (p, mn, ma, un, ua) — ENGINE-NEUTRAL text (CASE +
@@ -219,7 +248,7 @@ object Pipeline {
     * Slice children evaluate once per row by construction; values are
     * byte-identical to the indexed form, so the DuckDB oracles are
     * untouched. */
-  private def ngramExpr(n: Int): String = {
+  private[graft] def ngramExpr(n: Int): String = {
     val len = s"size(w)-${n - 1}"
     (2 to n).foldLeft(s"slice(w, 1, $len)") { (e, k) =>
       s"zip_with($e, slice(w, $k, $len), (x, y) -> concat(x, ' ', y))"
@@ -1713,7 +1742,11 @@ object Pipeline {
     // trigram exceeds the cap and drops, leaving only discriminative
     // shingles to generate pairs (mirrored in the oracle, so counts agree
     // by construction). Set sizes |A| are the UNCAPPED distinct counts,
-    // carried through the join rather than recomputed.
+    // carried through the join rather than recomputed. Measured candidate
+    // volume (CONTAINMENT_CANDIDATES.json, r17): 1.27M pairs at sf0.1,
+    // 12.7M at x10, 126.6M at x100 — EXACTLY 10x/100x, zero buckets ever
+    // hitting the cap, so any superlinear wall ratio in BENCH_SCALE.json
+    // is the local shuffle floor on the candidate agg, not pair growth.
     "q_containment" -> { (s, dir) =>
       val base = docsPar(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -2580,36 +2613,16 @@ object Pipeline {
     // keeps a RATE; this keeps an exact-k panel per source with inclusion
     // probability ∝ weight — the curation primitive behind "pick the k
     // best-weighted docs per domain, reproducibly". The uniform is the
-    // house md5 coin ((h+1)/10001 — never 0, so ln is finite) and the key
+    // house md5 coin ((h+1)/10001 — never 0, so ln is finite) hashed over
+    // doc_id SALTED WITH A SEED ("_s<seed>", same device as
+    // q_permutation_test's "_k" flips), so independent panels are one
+    // seed away while each seed stays deterministic per engine; the key
     // tree is shared verbatim with the oracle, so both engines rank the
     // identical doubles. Scale: DISTRIBUTED top-k, not one sort — rank
     // within (source, 64-way salt) first (64 parallel slices, each keeps
     // ≤k), then rank the ≤64·k survivors per source; both windows are
     // partitioned, no global sort, no collect.
-    "q_gumbel_topk" -> { (s, dir) =>
-      val k = 5
-      val keyed = docs(s, dir)
-        .withColumn("w_bp", expr(
-          "greatest(1L, least(10000L, (n_chars * 10000L) div 2000L))"))
-        .withColumn("u", expr(
-          s"(CAST(${hExpr("cast(doc_id as string)")} % 10000 AS DOUBLE) " +
-            "+ CAST(1 AS DOUBLE)) / CAST(10001 AS DOUBLE)"))
-        .withColumn("gk", expr(
-          "-ln(u) / (CAST(w_bp AS DOUBLE) / CAST(10000 AS DOUBLE))"))
-        .withColumn("salt", expr(s"${hExpr("cast(doc_id as string)")} % 64"))
-      val local = keyed
-        .withColumn("rs", row_number().over(
-          Window.partitionBy("source", "salt")
-            .orderBy(col("gk"), col("doc_id"))))
-        .filter(col("rs") <= k)
-      local
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("source").orderBy(col("gk"), col("doc_id"))))
-        .filter(col("rk") <= k)
-        .select(col("source"), col("rk").cast("long").as("rank"),
-          col("doc_id"), col("w_bp"), round(col("gk"), 6).as("ares_key"))
-        .orderBy("source", "rank")
-    },
+    "q_gumbel_topk" -> { (s, dir) => gumbelTopK(s, dir, seed = 1) },
 
     // GOOD-TURING FREQUENCY SMOOTHING (Good 1953 — THE count-of-counts
     // estimator: how much probability mass belongs to words you have
@@ -2621,9 +2634,12 @@ object Pipeline {
     // the N_{c'} lookup is a lead window over the tiny count-of-counts
     // table, reported for the FIVE SMALLEST observed counts (a fixed
     // c ≤ 5 cut returns nothing on this saturated synthetic vocab —
-    // every token is frequent; the estimator itself is count-agnostic:
-    // Gale & Sampson's simple GT interpolates exactly these adjacent
-    // populated N_c cells). Everything integer except the two final
+    // every token is frequent). c_star is the TEXTBOOK estimator only:
+    // (c+1)·N_{c+1}/N_c when the NEXT populated cell is exactly c+1,
+    // NULL otherwise — substituting a farther cell can overshoot the
+    // standard discount wildly and is not Gale-Sampson SGT either
+    // (which regresses log Z_c); a NULL honestly says "this cell needs
+    // SGT smoothing". Everything integer except the two final
     // (rounded) divisions.
     "q_good_turing" -> { (s, dir) =>
       val freq = docsPar(s, dir)
@@ -2639,7 +2655,7 @@ object Pipeline {
         .filter(col("rn") <= 5)
         .crossJoin(broadcast(tot))
         .select(col("c"), col("n_c"),
-          round(expr("CASE WHEN n_next IS NOT NULL THEN " +
+          round(expr("CASE WHEN c_next = c + 1 THEN " +
             "CAST(c_next AS DOUBLE) * CAST(n_next AS DOUBLE) " +
             "/ CAST(n_c AS DOUBLE) END"), 6).as("c_star"),
           round(expr("CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)"), 6)
@@ -2671,6 +2687,97 @@ object Pipeline {
               "ELSE CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE) " +
               "/ CAST(2 AS DOUBLE) END"), 6).as("chao1"))
         .orderBy("lang")
+    },
+
+    // UNIGRAM-LM PERPLEXITY FILTER (the CCNet/Wikipedia-LM quality gate,
+    // Wenzek et al. 2020, reduced to the distributable core): score every
+    // document by its cross-entropy under the corpus's own Laplace-
+    // smoothed unigram model, p(w) = (c_w + 1)/(N + V) — high perplexity
+    // flags gibberish/outlier docs, low flags boilerplate. Two passes:
+    // one exact token-count agg (the LM "training"), then one corpus-
+    // shaped token→logp equi-join back (at 100 TB the vocab side is the
+    // Zipf-skewed join — AQE skew handling or a broadcast of the top-K
+    // head is the knob; the plan itself is one shuffle each way). The
+    // per-doc sum folds the SORTED logp list (the house sorted-fold, so
+    // both engines add the identical doubles in the identical order);
+    // keep-rule compares the ROUNDED cross-entropy so the boolean can
+    // never disagree with the reported column.
+    "q_perplexity_filter" -> { (s, dir) =>
+      val toks = docsPar(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = vocab.agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("v_types"))
+      val pv = vocab.crossJoin(broadcast(tot))
+        .withColumn("lp", expr(
+          "ln((CAST(c AS DOUBLE) + CAST(1 AS DOUBLE)) / " +
+            "(CAST(n_tokens AS DOUBLE) + CAST(v_types AS DOUBLE)))"))
+        .select("tok", "lp")
+      toks.join(pv, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          expr("aggregate(array_sort(collect_list(lp)), " +
+            "CAST(0 AS DOUBLE), (a, x) -> a + x)").as("slp"))
+        .withColumn("ce", round(expr("-slp / CAST(n_tok AS DOUBLE)"), 6))
+        .select(col("doc_id"), col("n_tok"),
+          col("ce").as("cross_entropy"),
+          round(expr("exp(-slp / CAST(n_tok AS DOUBLE))"), 6).as("ppl"),
+          (col("ce") <= 6.0).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // DSIR IMPORTANCE WEIGHTS (Xie et al. 2023, Data Selection via
+    // Importance Resampling — THE published recipe for "pick raw-crawl
+    // docs that look like the target domain"): hashed-bigram bag features
+    // (1024 buckets, the house md5 hash), Laplace-smoothed bucket
+    // distributions for TARGET (lang = 'en' here — the curation stand-in
+    // for "looks like Wikipedia") and RAW (everything), per-doc importance
+    // weight = Σ_bigram [ln p_t(b) − ln p_r(b)]. Scale shape: the feature
+    // table collapses to ≤1024 rows (broadcast back — the corpus is
+    // touched exactly twice, both embarrassingly parallel), and the top-20
+    // resampling panel uses the salted two-phase top-k — 64 parallel
+    // slices each keep ≤20, then the ≤1280 survivors take one tiny global
+    // rank; no global sort, no collect. Fold order: per-doc weight folds
+    // the SORTED log-ratio list, exact tie-break by doc_id.
+    "q_dsir_weights" -> { (s, dir) =>
+      val bg = docsPar(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(w)-1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i+1)))")).as("g"))
+        .withColumn("b", expr(s"${hExpr("g")} % 1024"))
+      val tots = bg.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"),
+        count(lit(1)).as("n_r"))
+      val lr = bg.groupBy("b").agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cr"))
+        .crossJoin(broadcast(tots))
+        .withColumn("lr", expr(
+          "ln((CAST(ct AS DOUBLE) + CAST(1 AS DOUBLE)) / " +
+            "(CAST(n_t AS DOUBLE) + CAST(1024 AS DOUBLE))) - " +
+          "ln((CAST(cr AS DOUBLE) + CAST(1 AS DOUBLE)) / " +
+            "(CAST(n_r AS DOUBLE) + CAST(1024 AS DOUBLE)))"))
+        .select("b", "lr")
+      val scored = bg.join(broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("aggregate(array_sort(collect_list(lr)), " +
+            "CAST(0 AS DOUBLE), (a, x) -> a + x)").as("wsum"))
+        .withColumn("salt", expr(s"${hExpr("cast(doc_id as string)")} % 64"))
+      scored
+        .withColumn("rs", row_number().over(
+          Window.partitionBy("salt")
+            .orderBy(col("wsum").desc, col("doc_id"))))
+        .filter(col("rs") <= 20)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(col("wsum").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("n_bigrams"),
+          round(col("wsum"), 6).as("dsir_logweight"))
+        .orderBy("rank")
     },
 
     // Deterministic dataset splitting: train/val/test assignment by a
@@ -4730,13 +4837,14 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     // single global rank per source — the query's salted two-phase
     // refinement must be EXACTLY this (each salt slice keeps its own k
-    // smallest, so the global k are always among the survivors)
+    // smallest, so the global k are always among the survivors); the
+    // uniform hashes doc_id || '_s1' — the seed=1 panel the query draws
     "q_gumbel_topk" ->
       """WITH d AS (
         |  SELECT doc_id, source,
         |    greatest(1, least(10000, (n_chars * 10000) // 2000)) AS w_bp,
-        |    (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |      AS BIGINT) % 10000 AS DOUBLE) + CAST(1 AS DOUBLE))
+        |    (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_s1'),
+        |      1, 8)) AS BIGINT) % 10000 AS DOUBLE) + CAST(1 AS DOUBLE))
         |      / CAST(10001 AS DOUBLE) AS u
         |  FROM documents),
         |k AS (
@@ -4768,7 +4876,7 @@ object Pipeline {
         |    row_number() OVER (ORDER BY c) AS rn
         |  FROM coc)
         |SELECT c, n_c,
-        |  round(CASE WHEN n_next IS NOT NULL THEN
+        |  round(CASE WHEN c_next = c + 1 THEN
         |    CAST(c_next AS DOUBLE) * CAST(n_next AS DOUBLE)
         |    / CAST(n_c AS DOUBLE) END, 6) AS c_star,
         |  round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
@@ -4795,6 +4903,70 @@ object Pipeline {
         |    ELSE CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
         |    / CAST(2 AS DOUBLE) END, 6) AS chao1
         |FROM g ORDER BY lang""".stripMargin,
+
+    // same Laplace unigram model, same sorted per-doc logp fold, same
+    // rounded cross-entropy comparison for the keep rule
+    "q_perplexity_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS v_types FROM vocab),
+        |pv AS (
+        |  SELECT tok, ln((CAST(c AS DOUBLE) + CAST(1 AS DOUBLE)) /
+        |    (CAST(n_tokens AS DOUBLE) + CAST(v_types AS DOUBLE))) AS lp
+        |  FROM vocab CROSS JOIN tot),
+        |per AS (
+        |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+        |      list(lp ORDER BY lp)), (x, y) -> x + y) AS slp
+        |  FROM toks t JOIN pv USING (tok) GROUP BY t.doc_id)
+        |SELECT doc_id, n_tok,
+        |  round(-slp / CAST(n_tok AS DOUBLE), 6) AS cross_entropy,
+        |  round(exp(-slp / CAST(n_tok AS DOUBLE)), 6) AS ppl,
+        |  round(-slp / CAST(n_tok AS DOUBLE), 6) <= 6.0 AS keep
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    // same hashed-bigram buckets, same Laplace target/raw bucket model,
+    // same sorted per-doc log-ratio fold, single global rank (the
+    // query's salted two-phase refinement must equal exactly this)
+    "q_dsir_weights" ->
+      """WITH bg AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i+1])) AS g
+        |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |          FROM documents) t
+        |    WHERE len(w) >= 2)),
+        |tots AS (
+        |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t,
+        |    CAST(COUNT(*) AS BIGINT) AS n_r FROM bg),
+        |lr AS (
+        |  SELECT b,
+        |    ln((CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |        AS DOUBLE) + CAST(1 AS DOUBLE)) /
+        |      (CAST(n_t AS DOUBLE) + CAST(1024 AS DOUBLE))) -
+        |    ln((CAST(COUNT(*) AS DOUBLE) + CAST(1 AS DOUBLE)) /
+        |      (CAST(n_r AS DOUBLE) + CAST(1024 AS DOUBLE))) AS lr
+        |  FROM bg CROSS JOIN tots
+        |  GROUP BY b, n_t, n_r),
+        |per AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+        |      list(lr ORDER BY lr)), (x, y) -> x + y) AS wsum
+        |  FROM bg JOIN lr USING (b) GROUP BY doc_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY wsum DESC, doc_id) AS rank
+        |  FROM per)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_bigrams,
+        |  round(wsum, 6) AS dsir_logweight
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // same 3-gram shingle sets, same global rare-first (df, shingle)
     // prefix order, same integer ceil(4sz/5) prefix cut, same exact

@@ -6736,9 +6736,13 @@ object Relational {
     // co-neighbor self-join through parts with degree ∈ [2, 32] — the
     // hub cap is BOTH the standard AA practice (1/ln(d) of a hub ≈ no
     // signal) and the scale guard: pair volume is ≤ cap²/2 per part, so
-    // candidates grow linearly in parts, never n². The score folds each
-    // pair's DEGREE LIST sorted ascending (the house sorted-fold — both
-    // engines sum 1/ln(d) in the identical IEEE order); counts exact.
+    // candidates grow linearly in parts, never n². Consequence, named
+    // honestly in the output: n_common_capped counts only common
+    // neighbors INSIDE the [2,32] cap, and a pair sharing only hub
+    // parts is absent entirely — that is the candidate-generation
+    // semantics, not the true common-neighbor count. The score folds
+    // each pair's DEGREE LIST sorted ascending (the house sorted-fold —
+    // both engines sum 1/ln(d) in the identical IEEE order).
     "q_adamic_adar" -> { (s, dir) =>
       val e0 = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1995-03-01 00:00:00") &&
@@ -6752,11 +6756,11 @@ object Relational {
         .filter(col("s_a") < col("s_b"))
         .join(deg, "pk")
         .groupBy("s_a", "s_b")
-        .agg(count(lit(1)).as("n_common"),
+        .agg(count(lit(1)).as("n_common_capped"),
           expr("aggregate(array_sort(collect_list(deg)), " +
             "CAST(0 AS DOUBLE), (acc, d) -> acc + CAST(1 AS DOUBLE) " +
             "/ ln(CAST(d AS DOUBLE)))").as("aa_raw"))
-        .select(col("s_a"), col("s_b"), col("n_common"),
+        .select(col("s_a"), col("s_b"), col("n_common_capped"),
           round(col("aa_raw"), 6).as("aa_score"))
         .orderBy("s_a", "s_b")
     },
@@ -7213,7 +7217,7 @@ object Relational {
         |  SELECT a.sk AS s_a, b.sk AS s_b, d.deg
         |  FROM e0 a JOIN e0 b USING (pk) JOIN deg d USING (pk)
         |  WHERE a.sk < b.sk)
-        |SELECT s_a, s_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |SELECT s_a, s_b, CAST(COUNT(*) AS BIGINT) AS n_common_capped,
         |  round(list_reduce(list_concat([CAST(0 AS DOUBLE)],
         |    list_transform(list(deg ORDER BY deg),
         |      d -> CAST(1 AS DOUBLE) / ln(CAST(d AS DOUBLE)))),

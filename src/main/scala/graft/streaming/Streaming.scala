@@ -275,11 +275,12 @@ object Streaming {
     * (base + doc_id seconds — the ingestion-order clock a crawler feed
     * carries) plus the far-future sentinel doc. Same chunking/mod-time
     * discipline as [[eventStream]]. */
-  private def docStream(s: SparkSession, dir: String, tag: String): DataFrame = {
+  private def docStream(s: SparkSession, dir: String, tag: String,
+      prep: DataFrame => DataFrame = identity): DataFrame = {
     val path = stageRoot(tag, dir)
     val schema = staged.getOrElseUpdate(path, {
-      val d = Tables.load(s, dir, "documents").withColumn("ts", expr(
-        "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)"))
+      val d = prep(Tables.load(s, dir, "documents").withColumn("ts", expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)")))
       val maxTs = d.agg(max("ts")).head().getTimestamp(0)
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
       stage(s, d, Row(-1L, "", "__sentinel", "", 0L, sentTs), path)
@@ -1518,6 +1519,82 @@ object Streaming {
         .orderBy("w_start", "event_type")
     },
 
+    // STREAMING CORPUS PIPELINE — the streaming sibling of the batch
+    // q_corpus_pipeline (Pipeline.scala), closing the last asymmetry
+    // between the batch and streaming LLM-curation surfaces: ONE query
+    // chains (1) the same per-row quality gate, (2) watermark-bounded
+    // TRANSPORT dedup (every doc_id % 37 == 0 doc is re-delivered, the
+    // at-least-once ingest shape — dropDuplicatesWithinWatermark state
+    // holds only the 1 h in-horizon ids, so state tracks data RATE, not
+    // stream length), and (3) a RUNNING contamination check: each
+    // surviving doc's 5-gram shingle hashes probed against the static
+    // benchmark set (doc_id % 50 == 0, same sample as batch) via a
+    // stream-static broadcast join — stateless, so the benchmark can
+    // rotate without a stream restart. Per-hour append-mode rollup =
+    // the crawl-ingest dashboard row: docs kept, contaminated, clean,
+    // clean tokens. Deterministic because re-delivered rows are BIT-
+    // IDENTICAL (dedup keeps an identical row whichever arrives first)
+    // and every real window closes under the sentinel-advanced
+    // watermark, so the sink equals the batch rollup the oracle runs.
+    "q_stream_corpus_pipeline" -> { (s, dir) =>
+      import graft.operators.Pipeline.{hExpr, ngramExpr}
+      val shingles =
+        s"array_distinct(transform(${ngramExpr(5)}, g -> ${hExpr("g")}))"
+      val bench = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 50 === 0)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 5)
+        .select(explode(expr(shingles)).as("sh")).distinct()
+        .agg(collect_set(col("sh")).as("bset"))
+        .withColumn("k", lit(1))
+      // Every pre-agg filter must PASS the sentinel doc (doc_id = -1):
+      // Catalyst pushes deterministic filters below the EventTimeWatermark
+      // node, so a filter that drops the sentinel starves the watermark
+      // and NO window ever closes (measured: the r17 first cut emitted
+      // zero rows for exactly this reason). The sentinel's own window can
+      // never be emitted — its end stays ahead of the final watermark —
+      // so it needs no post-sink scrubbing.
+      val out = docStream(s, dir, "corpus-pipe",
+          prep = df => df.unionByName(df.filter(col("doc_id") % 37 === 0)))
+        .withWatermark("ts", "1 hour")
+        .filter(col("doc_id") % 50 =!= 0)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("tok", size(col("w")).cast("long"))
+        .withColumn("chars",
+          expr("aggregate(w, 0L, (a, x) -> a + length(x))"))
+        .withColumn("alpha",
+          expr("CAST(size(filter(w, x -> x rlike '[a-z]')) AS BIGINT)"))
+        .withColumn("sym", expr(
+          "CAST(size(filter(w, x -> x IN ('#', '...'))) AS BIGINT)"))
+        .withColumn("stop", expr(
+          "CAST(size(filter(w, x -> x IN ('the','be','to','of','and'," +
+            "'that','have','with'))) AS BIGINT)"))
+        .filter(col("doc_id") === -1L ||
+          (col("tok") >= 20L && col("tok") <= 1000L &&
+            col("chars") >= lit(3L) * col("tok") &&
+            col("chars") <= lit(10L) * col("tok") &&
+            lit(10L) * col("sym") <= col("tok") &&
+            lit(10L) * col("alpha") >= lit(8L) * col("tok") &&
+            col("stop") >= 2L))
+        .dropDuplicatesWithinWatermark("doc_id")
+        .withColumn("sh_arr", expr(
+          s"CASE WHEN size(w) >= 5 THEN $shingles END"))
+        .withColumn("k", lit(1))
+        .join(broadcast(bench), Seq("k"), "left")
+        .withColumn("contaminated",
+          coalesce(arrays_overlap(col("sh_arr"), col("bset")), lit(false)))
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+          sum(when(!col("contaminated"), 1L).otherwise(0L)).as("n_clean"),
+          sum(when(!col("contaminated"), col("tok")).otherwise(0L))
+            .as("tokens_clean"))
+        .select(col("window.start").as("w_start"), col("n_docs"),
+          col("n_contaminated"), col("n_clean"), col("tokens_clean"))
+      runToMemory(out, "graft_stream_corpus_pipeline")
+        .orderBy("w_start")
+    },
+
     // CDC on the KV table (the connector stack's Cassandra CDC analog): the
     // registry's commit changelog — snapshot + three deterministic upsert
     // waves — is consumed as a MicroBatchStream (offset = commit count,
@@ -1979,6 +2056,58 @@ object Streaming {
         |  CAST(COALESCE(mm.n_matched_docs, 0) AS BIGINT) AS n_matched_docs
         |FROM queries q LEFT JOIN mm USING (qid)
         |ORDER BY qid""".stripMargin,
+
+    // batch replay of the streaming corpus pipeline: the injected
+    // transport duplicates vanish under the watermark dedup (re-delivered
+    // rows are bit-identical), so the oracle is the plain quality-gate +
+    // contamination rollup per hour of the synthetic ingest clock
+    // (2024-01-01 + doc_id seconds → hour bucket = doc_id // 3600)
+    "q_stream_corpus_pipeline" ->
+      """WITH bench AS (
+        |  SELECT list(DISTINCT sh) AS bset FROM (
+        |    SELECT unnest(list_distinct(list_transform(
+        |        list_transform(range(0, len(w) - 4),
+        |          i -> w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]),
+        |        g -> ('0x'||substr(md5(g),1,8))::BIGINT))) AS sh
+        |    FROM (SELECT string_split(text, ' ') AS w FROM documents
+        |          WHERE doc_id % 50 = 0) t WHERE len(w) >= 5)),
+        |st AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    TIMESTAMP '2024-01-01 00:00:00'
+        |      + INTERVAL (doc_id // 3600) HOUR AS w_start
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |s1 AS (
+        |  SELECT *, CAST(len(w) AS BIGINT) AS tok,
+        |    CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+        |      AS BIGINT) AS chars,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(w, x -> x IN ('#', '...'))) AS BIGINT)
+        |      AS sym,
+        |    CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and',
+        |      'that','have','with'))) AS BIGINT) AS stop,
+        |    CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
+        |      list_transform(range(0, len(w) - 4),
+        |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]),
+        |      g -> ('0x'||substr(md5(g),1,8))::BIGINT)) END AS sh_arr
+        |  FROM st),
+        |s2 AS (
+        |  SELECT * FROM s1
+        |  WHERE tok >= 20 AND tok <= 1000 AND chars >= 3 * tok
+        |    AND chars <= 10 * tok AND 10 * sym <= tok
+        |    AND 10 * alpha >= 8 * tok AND stop >= 2),
+        |s3 AS (
+        |  SELECT s2.*, COALESCE(list_has_any(sh_arr, bset), FALSE)
+        |    AS contaminated
+        |  FROM s2 CROSS JOIN bench)
+        |SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  CAST(SUM(CASE WHEN contaminated THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_clean,
+        |  CAST(SUM(CASE WHEN contaminated THEN 0 ELSE tok END) AS BIGINT)
+        |    AS tokens_clean
+        |FROM s3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the folded CDC log must equal the table's current state, recomputed
     // here from nation + the three deterministic update waves (later waves

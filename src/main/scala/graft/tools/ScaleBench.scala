@@ -141,7 +141,20 @@ object ScaleBench {
     // left-outer stream-stream join whose null-emission waits on
     // watermark passage; the probe pins that the floor is the
     // micro-batch count, not join-state volume
-    "q_stream_left_join")
+    "q_stream_left_join",
+    // round-17: the FULL outer stream-stream join (r16 verdict item 3 —
+    // the engine's 4th-slowest query and the last expensive one outside
+    // every probe set); both sides' null-emission waits on the
+    // watermark, so like the left join its growth must be the
+    // watermark-completion floor, not state volume
+    "q_stream_full_join",
+    // round-17: the streaming LLM-curation pipeline (quality gate →
+    // watermark transport-dedup → stream-static contamination probe →
+    // windowed rollup) — its only stateful stages are the same dedup
+    // and window-agg state families the dedicated probes bound (dedup
+    // state = in-horizon ids, window state = open windows), so the
+    // wall ratio is the signal here
+    "q_stream_corpus_pipeline")
 
   /** ×100 subset: the heaviest per-family representatives (full set would
     * take ~an hour at 100×; the point is the growth curve, which one probe
@@ -177,7 +190,15 @@ object ScaleBench {
     // round-16: the exact set-similarity join runs the full ×100 tier —
     // the one new candidate generator whose volume is data-dependent
     // (prefix buckets), exactly what must be measured, not asserted
-    "q_ppjoin")
+    "q_ppjoin",
+    // round-17 (r16 verdict item 4): the three core LLM ops previously
+    // stopped at ×10. q_cosine_topk is the exact-scan ANN baseline
+    // (broadcast query panel × corpus — must stay linear); q_simhash is
+    // the Hamming-banded near-dup generator; q_image_neardup reuses the
+    // embedding geometry. The embeddings rotation isometry holds through
+    // 2×dim = 128 copies (ScaleGen negates the second lap), so the ×100
+    // tier is inside the isometric regime for all three.
+    "q_cosine_topk", "q_simhash", "q_image_neardup")
 
   def main(args: Array[String]): Unit = {
     val x10Dir = args.lift(0).getOrElse("/root/repo/target/scaledata/sf1")

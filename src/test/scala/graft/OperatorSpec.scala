@@ -1282,6 +1282,46 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.1, f"PQ-ADC recall@3 $recall%.3f")
   }
 
+  test("embed-neardup LSH: recall floor on planted near-duplicate pairs") {
+    // r16 verdict stretch: the last approximate searcher without a
+    // search-QUALITY gate. The natural embeddings corpus has NO near-dup
+    // pairs (max pairwise cosine 0.51 at sf0.01 — a recall floor there is
+    // vacuous), so plant them: 200 deterministic base vectors + 20
+    // jittered copies at cosine ≈ 0.999, the regime banded sign-LSH
+    // (4 × 16-bit bands) exists to catch. Expected per-pair hit rate at
+    // theta ≈ 0.05 rad is 1-(1-(1-theta/pi)^16)^4 ≈ 0.997; the 0.8 floor
+    // separates "working banding" from "broken code/join", not luck.
+    val rnd = new scala.util.Random(42)
+    val base = Array.tabulate(200)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = base.take(20).map { case (id, v) =>
+      (200L + id, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val all = (base ++ dups).map { case (id, v) => (id, v, 0) }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lshrecall").toString
+    spark.createDataFrame(all.toIndexedSeq).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val vecsById = all.map(t => t._1 -> t._2).toMap
+    val ids = all.map(_._1).sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      if cos(vecsById(ids(i)), vecsById(ids(j))) >= 0.95
+    } yield (ids(i), ids(j))).toSet
+    assert(brute.size == 20, s"planted pairs: ${brute.size}")
+    val found = Similarity.queries("q_embed_neardup_lsh")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = brute.count(found.contains)
+    assert(hit >= 0.8 * brute.size,
+      s"LSH recall ${hit}/${brute.size} below the 0.8 floor")
+  }
+
   test("percolate: every stored query's match count equals a brute-force recount") {
     import org.apache.spark.sql.functions._
     val rows = Pipeline.queries("q_percolate")(spark, sfDir).collect()
@@ -5829,7 +5869,7 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     rows.foreach { r =>
       val k = (r.getLong(0), r.getLong(1))
       val (n, sc) = brute(k)
-      assert(r.getLong(2) == n, s"n_common: $r")
+      assert(r.getLong(2) == n, s"n_common_capped: $r")
       assert(math.abs(r.getDouble(3) - sc) < 1e-5, s"aa_score: $r")
     }
   }
@@ -5872,20 +5912,29 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("source"), col("n_chars"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    val brute = docs.map { case (id, src, nc) =>
+    def brutePanel(seed: Int) = docs.map { case (id, src, nc) =>
       val wBp = math.max(1L, math.min(10000L, nc * 10000L / 2000L))
-      val u = ((md5h(id.toString) % 10000L).toDouble + 1.0) / 10001.0
+      val u = ((md5h(s"${id}_s$seed") % 10000L).toDouble + 1.0) / 10001.0
       (src, id, wBp, -math.log(u) / (wBp.toDouble / 10000.0))
     }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
       g.sortBy(t => (t._4, t._2)).take(5).zipWithIndex
         .map { case (t, i) => ((t._1, i + 1L), (t._2, t._3, t._4)) }
     }.toMap
+    val brute = brutePanel(1)
     assert(rows.length == brute.size)
     rows.foreach { r =>
       val (id, wBp, gk) = brute((r.getString(0), r.getLong(1)))
       assert(r.getLong(2) == id && r.getLong(3) == wBp, s"$r")
       assert(math.abs(r.getDouble(4) - gk) < 1e-6, s"key: $r")
     }
+    // seed independence: a different seed draws a DIFFERENT reproducible
+    // panel (the ADVICE-r16 ask — one fixed panel was the old behavior)
+    val seed2 = Pipeline.gumbelTopK(spark, sfDir, seed = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brute2 = brutePanel(2)
+    seed2.foreach { case (k, id) => assert(brute2(k)._1 == id, s"seed2 $k") }
+    assert(seed2.exists { case (k, id) => brute(k)._1 != id },
+      "seed 2 must draw a different panel than seed 1")
   }
 
   test("good-turing: five smallest populated count-of-counts cells, exact identity") {
@@ -5903,11 +5952,74 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     rows.zipWithIndex.foreach { case (r, i) =>
       val (c, nc) = coc(i)
       assert(r.getLong(0) == c && r.getLong(1) == nc, s"$r")
-      if (i + 1 < coc.length) {
+      // textbook-only c_star (ADVICE r16): populated next cell must be
+      // exactly c+1, otherwise the estimator is undefined here → NULL
+      if (i + 1 < coc.length && coc(i + 1)._1 == c + 1) {
         val (c2, nc2) = coc(i + 1)
         assert(math.abs(r.getDouble(2) - c2 * nc2.toDouble / nc) < 1e-5)
+      } else {
+        assert(r.isNullAt(2), s"c_star must be NULL when N_(c+1)=0: $r")
       }
       assert(math.abs(r.getDouble(3) - f1 / n) < 1e-9)
+    }
+  }
+
+  test("perplexity filter: per-doc cross-entropy matches a brute Laplace-LM replay") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_perplexity_filter")(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val counts = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, g) => t -> g.length.toLong }
+    val n = counts.values.sum.toDouble
+    val v = counts.size.toDouble
+    assert(rows.length == docs.length, "one row per document")
+    val byId = docs.toMap
+    rows.foreach { r =>
+      val toks = byId(r.getLong(0))
+      assert(r.getLong(1) == toks.length, s"n_tok: $r")
+      // same sorted-fold order as both engines
+      val ce = -toks.map(t => math.log((counts(t) + 1) / (n + v)))
+        .sorted.sum / toks.length
+      assert(math.abs(r.getDouble(2) - ce) < 1e-5, s"ce: $r vs $ce")
+      assert(math.abs(r.getDouble(3) - math.exp(ce)) < 1e-3, s"ppl: $r")
+      assert(r.getBoolean(4) == (BigDecimal(ce).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble <= 6.0), s"keep: $r")
+    }
+  }
+
+  test("dsir: top-20 importance weights match a brute hashed-bigram replay") {
+    import org.apache.spark.sql.functions._
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val rows = Pipeline.queries("q_dsir_weights")(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+      .filter(_._3.length >= 2)
+    val perDoc = docs.map { case (id, lang, w) =>
+      (id, lang, w.sliding(2).map(p => md5h(p.mkString(" ")) % 1024).toSeq)
+    }
+    val nT = perDoc.filter(_._2 == "en").map(_._3.length).sum.toDouble
+    val nR = perDoc.map(_._3.length).sum.toDouble
+    val ct = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val cr = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    perDoc.foreach { case (_, lang, bs) => bs.foreach { b =>
+      cr(b) += 1; if (lang == "en") ct(b) += 1 } }
+    def lr(b: Long): Double =
+      math.log((ct(b) + 1.0) / (nT + 1024)) - math.log((cr(b) + 1.0) / (nR + 1024))
+    val brute = perDoc.map { case (id, _, bs) =>
+      (id, bs.length.toLong, bs.map(lr).sorted.sum)
+    }.sortBy(t => (-t._3, t._1)).take(20)
+    assert(rows.length == 20)
+    rows.zip(brute).zipWithIndex.foreach { case ((r, (id, nb, w)), i) =>
+      assert(r.getLong(0) == i + 1, s"rank: $r")
+      assert(r.getLong(1) == id && r.getLong(2) == nb, s"$r vs ($id, $nb)")
+      assert(math.abs(r.getDouble(3) - w) < 1e-5, s"weight: $r vs $w")
     }
   }
 

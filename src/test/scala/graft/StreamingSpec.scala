@@ -523,6 +523,62 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed != dup, "injection was a no-op — degenerate fixture")
   }
 
+  test("streaming corpus pipeline: hourly rollup equals the batch gate and the dedup bites") {
+    import graft.operators.Pipeline.{hExpr, ngramExpr}
+    val streamed = Streaming.queries("q_stream_corpus_pipeline")(spark, sfDir)
+      .collect().toSet
+    val docs0 = Tables.load(spark, sfDir, "documents")
+    val shingles =
+      s"array_distinct(transform(${ngramExpr(5)}, g -> ${hExpr("g")}))"
+    val bench = docs0.filter(col("doc_id") % 50 === 0)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 5)
+      .select(explode(expr(shingles)).as("sh")).distinct()
+      .agg(collect_set(col("sh")).as("bset"))
+      .withColumn("k", lit(1))
+    // clean batch replay: quality gate + contamination flag + hour rollup
+    // over the synthetic ingest clock (dedup = the docs table itself)
+    def roll(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("ts", expr("timestamp'2024-01-01 00:00:00' " +
+        "+ make_interval(0, 0, 0, 0, 0, 0, doc_id)"))
+      .filter(col("doc_id") % 50 =!= 0)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("tok", size(col("w")).cast("long"))
+      .withColumn("chars", expr("aggregate(w, 0L, (a, x) -> a + length(x))"))
+      .withColumn("alpha",
+        expr("CAST(size(filter(w, x -> x rlike '[a-z]')) AS BIGINT)"))
+      .withColumn("sym",
+        expr("CAST(size(filter(w, x -> x IN ('#', '...'))) AS BIGINT)"))
+      .withColumn("stop",
+        expr("CAST(size(filter(w, x -> x IN ('the','be','to','of','and'," +
+          "'that','have','with'))) AS BIGINT)"))
+      .filter(col("tok") >= 20L && col("tok") <= 1000L &&
+        col("chars") >= lit(3L) * col("tok") &&
+        col("chars") <= lit(10L) * col("tok") &&
+        lit(10L) * col("sym") <= col("tok") &&
+        lit(10L) * col("alpha") >= lit(8L) * col("tok") &&
+        col("stop") >= 2L)
+      .withColumn("sh_arr", expr(s"CASE WHEN size(w) >= 5 THEN $shingles END"))
+      .withColumn("k", lit(1))
+      .join(broadcast(bench), Seq("k"), "left")
+      .withColumn("contaminated",
+        coalesce(arrays_overlap(col("sh_arr"), col("bset")), lit(false)))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(!col("contaminated"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(!col("contaminated"), col("tok")).otherwise(0L))
+          .as("tokens_clean"))
+      .select(col("window.start").as("w_start"), col("n_docs"),
+        col("n_contaminated"), col("n_clean"), col("tokens_clean"))
+      .collect().toSet
+    assert(streamed == roll(docs0))
+    // …and the in-query watermark dedup really dropped the injected
+    // doc_id % 37 re-deliveries: the duplicated rollup must differ
+    val dup = roll(docs0.unionByName(docs0.filter(col("doc_id") % 37 === 0)))
+    assert(streamed != dup, "injection was a no-op — degenerate fixture")
+  }
+
   test("statestore reader reproduces the batch totals from the state files") {
     val fromState = Streaming.queries("q_stream_state_reader")(spark, sfDir)
       .collect().toSet
