@@ -1557,4 +1557,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     Seq("l_extendedprice", "l_quantity", "l_orderkey").foreach(c =>
       assert(!reads.contains(c), s"unpruned column $c in: $reads"))
   }
+
+  test("perplexity filter prunes documents to (doc_id, text); the LM joins, never cartesians") {
+    val plan = planOf(graft.operators.Pipeline.queries("q_perplexity_filter")(spark, sfDir))
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    // the 5-column documents scan reads only what the LM needs
+    Seq("lang", "source", "n_chars").foreach(c =>
+      assert(!reads.contains(c), s"unpruned column $c in: $reads"))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the 1-row totals frame rides a broadcast, not a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
+  }
+
+  test("dsir: the <=1024-row feature table broadcasts back to the corpus pass") {
+    val plan = planOf(graft.operators.Pipeline.queries("q_dsir_weights")(spark, sfDir))
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    Seq("source", "n_chars").foreach(c =>
+      assert(!reads.contains(c), s"unpruned column $c in: $reads"))
+    // log-ratio lookup is a broadcast hash join on the bucket id — the
+    // corpus is never shuffled for the scoring pass
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
