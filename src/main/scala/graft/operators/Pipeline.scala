@@ -1744,9 +1744,10 @@ object Pipeline {
     // by construction). Set sizes |A| are the UNCAPPED distinct counts,
     // carried through the join rather than recomputed. Measured candidate
     // volume (CONTAINMENT_CANDIDATES.json, r17): 1.27M pairs at sf0.1,
-    // 12.7M at x10, 126.6M at x100 — EXACTLY 10x/100x, zero buckets ever
-    // hitting the cap, so any superlinear wall ratio in BENCH_SCALE.json
-    // is the local shuffle floor on the candidate agg, not pair growth.
+    // 12.7M at x10, 126.6M at x100, 1.266B at x1000 — EXACTLY linear
+    // through three decades, zero buckets ever hitting the cap, so any
+    // superlinear wall ratio in BENCH_SCALE.json is the local shuffle
+    // floor on the candidate agg, not pair growth.
     "q_containment" -> { (s, dir) =>
       val base = docsPar(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
