@@ -23,7 +23,13 @@ object ProbeX1000 {
   // ×100). Embeddings queries stay out for a different reason: the
   // rotation isometry only keeps cross-copy cosine at noise through
   // 2×dim copies.
-  val probes: Seq[String] = Seq("q_minhash_lsh", "q_connected_components")
+  // round-17 additions: q_simhash (the Hamming-banded near-dup generator —
+  // core LLM op, documents-only, band volume bounded by construction) and
+  // the two new curation operators probed at the third decade from birth:
+  // q_perplexity_filter (one vocab agg + one corpus-shaped token join) and
+  // q_dsir_weights (corpus → 1024-bucket rollup → broadcast score-back).
+  val probes: Seq[String] = Seq("q_minhash_lsh", "q_connected_components",
+    "q_simhash", "q_perplexity_filter", "q_dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val x1000Dir = args.lift(0)
