@@ -110,6 +110,11 @@ object Bench {
       val err = exec(SparkEntry.queries(k), sfDir)
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache()
+      // An extra-pass error must not flip a query that already passed all 3
+      // original passes to -1 (r17 advice): log it loudly, mark the sample
+      // invalid, and let samples() fall back to the 3 clean originals.
+      err.foreach(m => System.err.println(s"[bench] re-time pass for $k failed " +
+        s"(falling back to the 3 clean original samples): $m"))
       k -> (if (err.isDefined) -1.0 else dt)
     }.toMap
     val extras = if (jittery.isEmpty) Seq.empty else Seq(retimePass(), retimePass())
@@ -129,7 +134,11 @@ object Bench {
     def samples(k: String): Seq[Double] = {
       val ts = passes0.map(_(k))
       val ex = extras.flatMap(_.get(k))
-      if (ex.isEmpty) ts else ex :+ ts.filter(_ >= 0).minOption.getOrElse(-1.0)
+      // If an extra pass errored (transient — the query passed all 3 original
+      // passes, or it would never have been re-timed), fall back to the clean
+      // originals rather than reporting -1 for a query that works.
+      if (ex.isEmpty || ex.exists(_ < 0)) ts
+      else ex :+ ts.filter(_ >= 0).minOption.getOrElse(-1.0)
     }
     val results = SparkEntry.queries.keys.map { k =>
       val ts = samples(k)
@@ -139,6 +148,14 @@ object Bench {
       val ts = samples(k)
       k -> (if (ts.exists(_ < 0)) -1.0 else ts.max / math.max(1e-9, ts.min))
     }.toSeq
+    // Raw 3-pass spread for the re-timed queries (r17 advice): the reported
+    // spread censors the worst original sample by design, so a genuinely
+    // bimodal query (legitimately slow ~1 in 3 runs) would look stable.
+    // Emitting the raw spread alongside keeps bimodality visible.
+    val spreadRaw = jittery.map { k =>
+      val ts = passes0.map(_(k))
+      k -> (if (ts.exists(_ < 0)) -1.0 else ts.max / math.max(1e-9, ts.min))
+    }
 
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def r2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
@@ -166,13 +183,24 @@ object Bench {
     // against the driver's local[32] number as a regression
     val note = s"self-bench at cpus=$cpus / shuffle.partitions=$cpus; " +
       "the driver bench runs local[32] — totals are NOT comparable across configs"
+    // "reps" is the actual per-query sample count: 3 for stable queries,
+    // "3+2" for the re-timed tail, which is also named in "retimed" so a
+    // consumer never has to infer sample counts from the methodology prose.
+    val repsJson = if (jittery.isEmpty) "3" else "\"3 (5 for retimed)\""
+    val retimedJson =
+      if (jittery.isEmpty) ""
+      else ",\"retimed\":" + jittery.map("\"" + _ + "\"").mkString("[", ",", "]") +
+        ",\"spread_raw\":" + spreadRaw.map { case (k, v) => "\"" + k + "\":" + r2(v) }
+          .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"reps":3,"cpus":$cpus,"note":"$note","canary_before_sec":${r3(canaryBefore)},"canary_after_sec":${r3(canaryAfter)},"canary_min_sec":${r3(math.min(canaryBefore, canaryAfter))},"contended":$contended,"methodology":"$meth","queries":$qs,"spread":$sp$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${ok.size},"n_err":${errors.size},"reps":$repsJson,"cpus":$cpus,"note":"$note","canary_before_sec":${r3(canaryBefore)},"canary_after_sec":${r3(canaryAfter)},"canary_min_sec":${r3(math.min(canaryBefore, canaryAfter))},"contended":$contended,"methodology":"$meth","queries":$qs,"spread":$sp$retimedJson$errJson,"sf":"$sfDir"}"""
     println(line)
     // trailing one-line summary AFTER the big line: the driver's tail capture
     // truncated the r7 line from the head ("parsed": null), so the headline
-    // numbers must also live at the very END of stdout
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_sec":${r3(total)},"n_ok":${ok.size},"n_err":${errors.size},"canary_min_sec":${r3(math.min(canaryBefore, canaryAfter))},"contended":$contended,"sf":"$sfDir"}"""
+    // numbers must also live at the very END of stdout. Distinct metric name
+    // (r17 advice): the full line stays the unique "metric":"total" record, so
+    // a metric==total grep can never silently pick the summary shape.
+    val summary = s"""{"metric":"total_summary","value":${r3(total)},"unit":"sec","total_sec":${r3(total)},"n_ok":${ok.size},"n_err":${errors.size},"canary_min_sec":${r3(math.min(canaryBefore, canaryAfter))},"contended":$contended,"sf":"$sfDir"}"""
     println(summary)
     // ...and on STDERR too (r16: the stdout tail capture STILL truncated
     // mid-JSON because sbt interleaves its own epilogue — stderr is the

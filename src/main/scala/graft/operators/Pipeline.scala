@@ -616,6 +616,71 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // EXACT-SUBSTRING DEDUP (Lee et al. 2021, "Deduplicating Training Data
+    // Makes Language Models Better" — the ExactSubstr recipe): remove
+    // duplicate >= L-token SPANS across the corpus, keeping each span's
+    // FIRST occurrence (min (doc_id, position)). The paper builds a suffix
+    // array; for a FIXED minimum span length the suffix array is
+    // unnecessary — every duplicated >= L-token span is a union of
+    // duplicated L-token SLIDING windows, so sorted L-token anchors find
+    // exactly the same spans, linear via hash-shuffle instead of
+    // suffix-array construction. L = 20 here (the paper's 50, scaled to
+    // this corpus's 10-99-token documents). Three moves, all distributed:
+    // (1) every sliding window hashed (full md5 — dedup must not eat
+    //     32-bit collisions; a production run swaps in a rolling
+    //     Rabin-Karp hash to make per-doc work O(n) instead of O(n*L),
+    //     same downstream plan);
+    // (2) owner election per hash: ONE map-side-combinable min+count agg
+    //     on h, keeping only hashes that actually repeat — the same
+    //     same-key shuffle-join discipline as q_chunk_dedup (the owner
+    //     table is ∝ distinct duplicated windows, NOT broadcastable and
+    //     not needing to be: both sides hash-partition on h);
+    // (3) non-owner occurrences merged into MAXIMAL duplicated spans by
+    //     the classic interval-union over sorted starts — one
+    //     doc_id-partitioned window over ONLY the duplicated positions
+    //     (a tiny fraction of the corpus), where fixed window length
+    //     makes the union size exactly max(p) - min(p) + L per span.
+    // Output: per-doc duplicated-span audit (the keep/cut list a 100 TB
+    // curation run feeds to the span-stripping rewrite pass).
+    "q_exact_substring_dedup" -> { (s, dir) =>
+      val L = 20
+      val win = docsPar(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= L)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+          col("w"), explode(expr(s"sequence(1, size(w) - ${L - 1})")).as("p"))
+        .select(col("doc_id"), col("n_tok"), col("p"),
+          md5(concat_ws(" ", expr(s"slice(w, p, $L)"))).as("wh"))
+      val owner = win.groupBy("wh")
+        .agg(min(struct(col("doc_id"), col("p"))).as("o"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") > 1)
+      val dup = win.join(owner, "wh")
+        .filter(!(col("doc_id") === col("o.doc_id") && col("p") === col("o.p")))
+        .select("doc_id", "n_tok", "p")
+      val wd = Window.partitionBy("doc_id").orderBy("p")
+      dup
+        .withColumn("prev", lag(col("p"), 1).over(wd))
+        // same-length intervals sorted by start: a window starts a NEW
+        // maximal span iff it neither overlaps nor touches the previous
+        // one (gap > L)
+        .withColumn("ns",
+          when(col("prev").isNull || col("p") - col("prev") > L, 1L)
+            .otherwise(0L))
+        .withColumn("span_id", sum("ns").over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "n_tok", "span_id")
+        .agg((max("p") - min("p") + L).as("span_tokens"))
+        .groupBy("doc_id", "n_tok")
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum("span_tokens").as("dup_tokens"))
+        .withColumn("retained", round(
+          expr("CAST(1 AS DOUBLE) - CAST(dup_tokens AS DOUBLE) / " +
+            "CAST(n_tok AS DOUBLE)"), 6))
+        .select("doc_id", "n_tok", "n_dup_spans", "dup_tokens", "retained")
+        .orderBy("doc_id")
+    },
+
     // Duplicate clustering: candidate pairs → connected components →
     // cluster id (= min doc_id in the component) — the step that turns
     // pairwise near-dup hits into keep/delete lists. Iterative min-label
@@ -5326,6 +5391,46 @@ object Pipeline {
         |  round(SUM(kept) * 1.0 / COUNT(*), 6) AS retained
         |FROM k GROUP BY doc_id
         |HAVING SUM(kept) < COUNT(*)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same sliding-window md5 anchors (L=20), same min-(doc_id,p) owner
+    // election, same sorted-start interval union per doc
+    "q_exact_substring_dedup" ->
+      s"""WITH d AS ($docsW),
+        |st AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok, w,
+        |    unnest(range(1, len(w) - 18)) AS p
+        |  FROM d WHERE len(w) >= 20),
+        |hw AS (
+        |  SELECT doc_id, n_tok, p,
+        |    md5(array_to_string(w[p:p+19], ' ')) AS wh
+        |  FROM st),
+        |o AS (
+        |  SELECT wh, MIN(ROW(doc_id, p)) AS o FROM hw GROUP BY wh
+        |  HAVING COUNT(*) > 1),
+        |dup AS (
+        |  SELECT hw.doc_id, hw.n_tok, hw.p
+        |  FROM hw JOIN o USING (wh)
+        |  WHERE NOT (ROW(hw.doc_id, hw.p) = o.o)),
+        |m AS (
+        |  SELECT doc_id, n_tok, p,
+        |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+        |      OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 20
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM dup),
+        |sp AS (
+        |  SELECT doc_id, n_tok, p,
+        |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+        |  FROM m),
+        |ag AS (
+        |  SELECT doc_id, n_tok, span_id,
+        |    MAX(p) - MIN(p) + 20 AS span_tokens
+        |  FROM sp GROUP BY doc_id, n_tok, span_id)
+        |SELECT doc_id, n_tok, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+        |  CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+        |  round(CAST(1 AS DOUBLE) - SUM(span_tokens)::DOUBLE
+        |    / CAST(n_tok AS DOUBLE), 6) AS retained
+        |FROM ag GROUP BY doc_id, n_tok
         |ORDER BY doc_id""".stripMargin,
 
     "q_dup_clusters" ->

@@ -1595,6 +1595,73 @@ object Streaming {
         .orderBy("w_start")
     },
 
+    // STREAMING PERPLEXITY GATE — q_perplexity_filter's quality gate moved
+    // into the ingest path (the CCNet/Wenzek-2020 deployment shape: the LM
+    // is trained OFFLINE on a reference corpus, then scores the live crawl
+    // feed): the Laplace-smoothed unigram LM is built in batch from the
+    // batch documents table, quantized to integer MICRO-logp (so the
+    // per-doc fold is an exact, order-independent integer sum — no float
+    // accumulation-order drift between engines), and shipped into the
+    // stream as a ONE-ROW static map via a broadcast stream-static join on
+    // a constant key (the q_stream_corpus_pipeline bset discipline; at
+    // 100 TB the map is the capped vocab head + the OOV constant — the
+    // Zipf tail IS the OOV bucket). Scoring is fully STATELESS — each
+    // doc's cross-entropy is one HOF fold over its own token array — so
+    // the only state store is the per-hour append rollup, and the LM can
+    // rotate without a stream restart. Keep rule: ce <= 3.41, the
+    // high-perplexity (gibberish/outlier) tail of this corpus — and the
+    // comparison uses the ROUNDED ce so the boolean can never disagree
+    // with the reported column. No pre-agg filter exists at all, so the
+    // watermark-starvation trap (sentinel dropped below the
+    // EventTimeWatermark node) cannot arise: the sentinel scores as pure
+    // OOV and its window never closes.
+    "q_stream_ppl_gate" -> { (s, dir) =>
+      // batch LM "training": one exact vocab agg + two bounded scalars
+      val vocab = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = vocab.agg(sum("c"), count(lit(1))).head()
+      val nTokens = tot.getLong(0)
+      val vTypes = tot.getLong(1)
+      val oovMicro = math.round(
+        math.log(1.0 / (nTokens.toDouble + vTypes.toDouble)) * 1e6)
+      val lmRow = vocab
+        .select(col("tok"), expr(
+          "cast(round(ln((cast(c as double) + cast(1 as double)) / " +
+            s"(cast($nTokens as double) + cast($vTypes as double))) " +
+            "* cast(1000000 as double), 0) as bigint)").as("lp_micro"))
+        .agg(map_from_entries(collect_list(struct(col("tok"), col("lp_micro"))))
+          .as("lmmap"))
+        .withColumn("k", lit(1))
+      val out = docStream(s, dir, "ppl-gate")
+        .withWatermark("ts", "1 hour")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")).cast("long"))
+        .withColumn("k", lit(1))
+        .join(broadcast(lmRow), Seq("k"))
+        .withColumn("slp_micro", expr(
+          s"aggregate(w, 0L, (a, x) -> a + coalesce(element_at(lmmap, x), ${oovMicro}L))"))
+        .withColumn("ce", round(expr(
+          "-cast(slp_micro as double) / cast(1000000 as double) / " +
+            "cast(n_tok as double)"), 6))
+        .withColumn("keep", col("ce") <= 3.41)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tokens_kept"),
+          // exact integer sum of the rounded per-doc ce — associative, so
+          // partial aggregation across micro-batches cannot reorder floats
+          sum(expr("cast(round(ce * cast(1000000 as double), 0) as bigint)"))
+            .as("ce_micro"))
+        .select(col("window.start").as("w_start"), col("n_docs"),
+          col("n_kept"), col("n_dropped"), col("tokens_kept"),
+          round(expr("cast(ce_micro as double) / cast(1000000 as double) / " +
+            "cast(n_docs as double)"), 6).as("avg_ce"))
+      runToMemory(out, "graft_stream_ppl_gate")
+        .orderBy("w_start")
+    },
+
     // CDC on the KV table (the connector stack's Cassandra CDC analog): the
     // registry's commit changelog — snapshot + three deterministic upsert
     // waves — is consumed as a MicroBatchStream (offset = commit count,
@@ -2108,6 +2175,52 @@ object Streaming {
         |  CAST(SUM(CASE WHEN contaminated THEN 0 ELSE tok END) AS BIGINT)
         |    AS tokens_clean
         |FROM s3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // batch replay of the streaming perplexity gate: same Laplace unigram
+    // LM quantized to integer micro-logp, same exact integer per-doc fold,
+    // same rounded-ce keep rule, same hour bucket of the synthetic ingest
+    // clock (no transport duplicates are injected, so no dedup leg)
+    "q_stream_ppl_gate" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS v_types FROM vocab),
+        |lm AS (
+        |  SELECT tok, CAST(round(ln((CAST(c AS DOUBLE) + CAST(1 AS DOUBLE))
+        |    / (CAST(n_tokens AS DOUBLE) + CAST(v_types AS DOUBLE)))
+        |    * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS lp_micro
+        |  FROM vocab CROSS JOIN tot),
+        |d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    TIMESTAMP '2024-01-01 00:00:00'
+        |      + INTERVAL (doc_id // 3600) HOUR AS w_start
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, w_start, CAST(len(w) AS BIGINT) AS n_tok,
+        |    unnest(w) AS tok
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id, w_start, n_tok,
+        |    CAST(SUM(lp_micro) AS BIGINT) AS slp_micro
+        |  FROM ex JOIN lm USING (tok)
+        |  GROUP BY doc_id, w_start, n_tok),
+        |ce AS (
+        |  SELECT doc_id, w_start, n_tok,
+        |    round(-CAST(slp_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |      / CAST(n_tok AS DOUBLE), 6) AS ce
+        |  FROM sc)
+        |SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN ce <= 3.41 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN ce <= 3.41 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(SUM(CASE WHEN ce <= 3.41 THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept,
+        |  round(SUM(CAST(round(ce * CAST(1000000 AS DOUBLE), 0) AS BIGINT))
+        |    ::DOUBLE / COUNT(*) / CAST(1000000 AS DOUBLE), 6) AS avg_ce
+        |FROM ce GROUP BY w_start ORDER BY w_start""".stripMargin,
 
     // the folded CDC log must equal the table's current state, recomputed
     // here from nation + the three deterministic update waves (later waves
