@@ -118,7 +118,12 @@ object ScaleBench {
     // two broadcast-NLJ panel scans (hard negatives, label-noise kNN)
     // are linear in the corpus by construction.
     "q_ppjoin", "q_adamic_adar", "q_permutation_test",
-    "q_hard_negatives", "q_label_noise_knn")
+    "q_hard_negatives", "q_label_noise_knn",
+    // round-18, probed from birth: exact-substring dedup — a THIRD
+    // sliding-window candidate generator (every L-token window hashed,
+    // owner elected per hash); its window volume is ∝ corpus tokens, so
+    // like q_substring_dedup its growth must stay linear
+    "q_exact_substring_dedup")
 
   /** Streaming tier probes: every stateful-operator family — chained
     * multi-stateful, transformWithState (RocksDB), watermark dedup,
@@ -154,7 +159,12 @@ object ScaleBench {
     // and window-agg state families the dedicated probes bound (dedup
     // state = in-horizon ids, window state = open windows), so the
     // wall ratio is the signal here
-    "q_stream_corpus_pipeline")
+    "q_stream_corpus_pipeline",
+    // round-18: the streaming perplexity gate — its scoring is fully
+    // STATELESS (one-row broadcast LM + a per-doc HOF fold), so its only
+    // state is the per-hour window agg; the probe pins that the wall
+    // tracks doc volume and the state stays open-window-bounded
+    "q_stream_ppl_gate")
 
   /** ×100 subset: the heaviest per-family representatives (full set would
     * take ~an hour at 100×; the point is the growth curve, which one probe
@@ -198,7 +208,22 @@ object ScaleBench {
     // embedding geometry. The embeddings rotation isometry holds through
     // 2×dim = 128 copies (ScaleGen negates the second lap), so the ×100
     // tier is inside the isometric regime for all three.
-    "q_cosine_topk", "q_simhash", "q_image_neardup")
+    "q_cosine_topk", "q_simhash", "q_image_neardup",
+    // round-18 (r17 verdict item 3): close the ×10-only tail — every
+    // remaining untagged probe gets a measured ×100 row instead of a
+    // hand-waved "bounded" tag. These 20 are the sub-5 s queries whose
+    // ×10 ratios sat at 0.9-5.6× (plan-overhead-dominated); the ×100 row
+    // is what separates "fixed cost amortizing" from "super-linear work
+    // hiding under a small base".
+    "q_hits", "q_ppmi_svd", "q_kneser_ney", "q_dbscan_grid", "q_als_rank1",
+    "q_textrank", "q_collocations", "q_bpe_merges", "q_sorted_neighborhood",
+    "q_nmf_topics", "q_ngram_jaccard", "q_edit_distance", "q_token_entropy",
+    "q_label_noise_knn", "q_association_rules", "q_ecod_outliers",
+    "q_permutation_test", "q_hard_negatives", "q_vocab_build",
+    "q_skew_salted_agg",
+    // round-18: exact-substring dedup runs the full ×100 tier from birth
+    // (r17 verdict stretch 6 asked for ×10/×100 measured, never asserted)
+    "q_exact_substring_dedup")
 
   def main(args: Array[String]): Unit = {
     val x10Dir = args.lift(0).getOrElse("/root/repo/target/scaledata/sf1")

@@ -5989,6 +5989,46 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("exact-substring dedup: spans match a brute full-string replay (no hash collisions, exact interval union)") {
+    import org.apache.spark.sql.functions._
+    val L = 20
+    val rows = Pipeline.queries("q_exact_substring_dedup")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter(_._2.length >= L)
+    // brute replay keyed on the FULL window string — so agreement also
+    // proves the md5 anchors introduced no false-positive collisions
+    val wins = docs.flatMap { case (id, w) =>
+      w.sliding(L).zipWithIndex.map { case (win, i) =>
+        (win.mkString(" "), id, i + 1) } }
+    val dupGroups = wins.groupBy(_._1).filter(_._2.length > 1)
+    val owner = dupGroups.map { case (k, g) =>
+      k -> g.map(t => (t._2, t._3)).min }
+    val dupStarts = wins
+      .filter(t => dupGroups.contains(t._1) && (t._2, t._3) != owner(t._1))
+      .groupBy(_._2).map { case (id, g) => id -> g.map(_._3).sorted }
+    assert(rows.keySet == dupStarts.keySet, "per-doc dup membership")
+    dupStarts.foreach { case (id, starts) =>
+      var spans = List.empty[(Int, Int)] // interval union of [p, p+L-1]
+      starts.foreach { p =>
+        spans match {
+          case (s, e) :: rest if p <= e + 1 =>
+            spans = (s, math.max(e, p + L - 1)) :: rest
+          case _ => spans = (p, p + L - 1) :: spans
+        }
+      }
+      val dupTok = spans.map { case (s, e) => e - s + 1 }.sum
+      val (nTok, nSpans, dT, ret) = rows(id)
+      assert(nSpans == spans.length && dT == dupTok,
+        s"doc $id: query $nSpans/$dT vs brute ${spans.length}/$dupTok")
+      assert(math.abs(ret - (1.0 - dupTok.toDouble / nTok)) < 1e-6, s"doc $id retained")
+    }
+  }
+
   test("dsir: top-20 importance weights match a brute hashed-bigram replay") {
     import org.apache.spark.sql.functions._
     def md5h(s: String): Long = {

@@ -1570,6 +1570,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       plan.take(2000))
   }
 
+  test("exact-substring dedup prunes documents to (doc_id, text); owner join shuffles on the hash, never cartesians") {
+    val plan = planOf(
+      graft.operators.Pipeline.queries("q_exact_substring_dedup")(spark, sfDir))
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    // the window builder needs only (doc_id, text)
+    Seq("lang", "source", "n_chars").foreach(c =>
+      assert(!reads.contains(c), s"unpruned column $c in: $reads"))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // window→owner is an EQUI-join on the span hash — the strategy is
+    // stats-driven (at this SF the filtered owner table is tiny, so
+    // Catalyst rightly broadcasts it; at corpus scale the same plan
+    // falls back to the same-key shuffle join, which is the point of
+    // keying both sides on wh). What must never appear is a non-equi
+    // join shape.
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("dsir: the <=1024-row feature table broadcasts back to the corpus pass") {
     val plan = planOf(graft.operators.Pipeline.queries("q_dsir_weights")(spark, sfDir))
     val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
