@@ -80,6 +80,35 @@ SELECT (SELECT count(*) FROM tok) AS shingle_postings,
 """
 
 
+# Validation leg: the base tier ALSO recounted with exact md5-string shingle
+# identity (the query's own keys) — must reproduce q_ppjoin's 43,543
+# candidates bit-exactly. The tier series itself uses the 64-bit hash
+# uniformly: tie-breaking the rarest-first prefix on hash instead of string
+# shifts which element is "the" prefix for a few docs (~±0.2% on the pair
+# counts, visible in the tiers), but the growth ORDER — the thing this
+# artifact measures — is unaffected.
+EXACT_BASE = """
+WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM '{path}'),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+    i -> array_to_string(w[i:i+2], ' ')))) AS tk
+  FROM d WHERE len(w) >= 3),
+pfx AS (
+  SELECT doc_id, tk, sz FROM (
+    SELECT t.doc_id, t.tk, s.sz,
+      row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tk) AS rk
+    FROM tok t
+    JOIN (SELECT tk, count(*) AS df FROM tok GROUP BY tk) f USING (tk)
+    JOIN (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id) s
+      USING (doc_id))
+  WHERE rk <= sz - ((4*sz + 4) // 5) + 1)
+SELECT count(*) FROM (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM pfx a JOIN pfx b ON a.tk=b.tk AND a.doc_id < b.doc_id
+    AND a.sz*5 >= b.sz*4 AND b.sz*5 >= a.sz*4)
+"""
+
+
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/PPJOIN_CANDIDATES.json"
     con = duckdb.connect()
@@ -88,6 +117,10 @@ def main():
     con.sql("SET memory_limit='40GB'")
     con.sql("SET temp_directory='/tmp/duckdb_ppjoin_spill'")
     con.sql("SET max_temp_directory_size='30GB'")
+    exact_base = int(con.sql(
+        EXACT_BASE.format(path=TIERS[0][1])).fetchone()[0])
+    assert exact_base == 43543, \
+        f"exact-identity base recount {exact_base} != q_ppjoin's 43,543"
     tiers = {}
     for tag, path in TIERS:
         t0 = time.time()
@@ -115,8 +148,12 @@ def main():
                    "prefix-token bucket pairs C(n,2), length filter "
                    "5*min(sz) >= 4*max(sz) on the (tkh,sz) histogram, then "
                    "the distinct surviving pairs"),
-        "validation": ("base tier reproduces q_ppjoin's measured candidate "
-                       "count exactly (43,543 at sf0.1)"),
+        "validation": ("base tier recounted with EXACT md5-string shingle "
+                       "identity reproduces q_ppjoin's measured candidate "
+                       f"count bit-exactly: {exact_base} = 43,543 at sf0.1; "
+                       "the tier series uses uniform 64-bit-hashed identity "
+                       "(hash tie-break shifts prefix choices ~0.2%)"),
+        "exact_identity_base_candidates": exact_base,
         "tiers": tiers,
         "candidate_ratio_x10": round(tiers["x10"]["distinct_candidates"] / base, 2),
         "candidate_ratio_x100": round(tiers["x100"]["distinct_candidates"] / base, 2),
