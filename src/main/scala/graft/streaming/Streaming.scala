@@ -1667,19 +1667,26 @@ object Streaming {
     // into the ingest path (the CCNet/Wenzek-2020 deployment shape: the LM
     // is trained OFFLINE on a reference corpus, then scores the live crawl
     // feed): the Laplace-smoothed unigram LM is built in batch from the
-    // batch documents table, quantized to integer MICRO-logp (so the
-    // per-doc fold is an exact, order-independent integer sum — no float
-    // accumulation-order drift between engines), and shipped into the
-    // stream as a ONE-ROW static map via a broadcast stream-static join on
-    // a constant key (the q_stream_corpus_pipeline bset discipline; at
-    // 100 TB the map is the capped vocab head + the OOV constant — the
-    // Zipf tail IS the OOV bucket). Scoring is fully STATELESS — each
-    // doc's cross-entropy is one HOF fold over its own token array — so
-    // the only state store is the per-hour append rollup, and the LM can
+    // batch documents table, quantized to integer MICRO-logp (so every
+    // in-stream sum is an exact, order-independent integer — no float
+    // accumulation-order drift across partitions or micro-batches), and
+    // shipped into the stream as a BROADCAST stream-static equi-join on
+    // the token (hash lookup, O(1) per token — the first cut carried the
+    // LM as a one-row map column and died by measurement: Spark map
+    // columns are ArrayBasedMapData, element_at is a LINEAR scan, so
+    // per-token lookup cost grew with vocab size — O(tokens·vocab), ~40
+    // minutes at the ×100 scale tier where the join version runs in
+    // seconds. At 100 TB the broadcast is the capped vocab head + the OOV
+    // fallback — the Zipf tail IS the OOV bucket). Unmatched tokens
+    // (incl. the sentinel's) LEFT-join to the OOV constant. Scoring then
+    // CHAINS TWO window aggregations (Spark 3.4+ multi-stateful support,
+    // the q_stream_chained discipline): exploded tokens roll up to
+    // per-(window, doc) cross-entropy, and the per-doc rows re-aggregate
+    // by the SAME window into the hourly keep/drop dashboard — the LM can
     // rotate without a stream restart. Keep rule: ce <= 3.41, the
-    // high-perplexity (gibberish/outlier) tail of this corpus — and the
-    // comparison uses the ROUNDED ce so the boolean can never disagree
-    // with the reported column. No pre-agg filter exists at all, so the
+    // high-perplexity (gibberish/outlier) tail of this corpus — compared
+    // on the ROUNDED ce so the boolean can never disagree with the
+    // reported column. No pre-agg filter exists at all, so the
     // watermark-starvation trap (sentinel dropped below the
     // EventTimeWatermark node) cannot arise: the sentinel scores as pure
     // OOV and its window never closes.
@@ -1693,27 +1700,26 @@ object Streaming {
       val vTypes = tot.getLong(1)
       val oovMicro = math.round(
         math.log(1.0 / (nTokens.toDouble + vTypes.toDouble)) * 1e6)
-      val lmRow = vocab
-        .select(col("tok"), expr(
-          "cast(round(ln((cast(c as double) + cast(1 as double)) / " +
-            s"(cast($nTokens as double) + cast($vTypes as double))) " +
-            "* cast(1000000 as double), 0) as bigint)").as("lp_micro"))
-        .agg(map_from_entries(collect_list(struct(col("tok"), col("lp_micro"))))
-          .as("lmmap"))
-        .withColumn("k", lit(1))
-      val out = docStream(s, dir, "ppl-gate")
+      val lm = vocab.select(col("tok"), expr(
+        "cast(round(ln((cast(c as double) + cast(1 as double)) / " +
+          s"(cast($nTokens as double) + cast($vTypes as double))) " +
+          "* cast(1000000 as double), 0) as bigint)").as("lp_micro"))
+      val perDoc = docStream(s, dir, "ppl-gate")
         .withWatermark("ts", "1 hour")
         .withColumn("w", split(col("text"), " "))
         .withColumn("n_tok", size(col("w")).cast("long"))
-        .withColumn("k", lit(1))
-        .join(broadcast(lmRow), Seq("k"))
-        .withColumn("slp_micro", expr(
-          s"aggregate(w, 0L, (a, x) -> a + coalesce(element_at(lmmap, x), ${oovMicro}L))"))
+        .select(col("doc_id"), col("ts"), col("n_tok"),
+          explode(col("w")).as("tok"))
+        .join(broadcast(lm), Seq("tok"), "left")
+        .withColumn("lp", coalesce(col("lp_micro"), lit(oovMicro)))
+        .groupBy(window(col("ts"), "1 hour"), col("doc_id"), col("n_tok"))
+        .agg(sum("lp").as("slp_micro"))
         .withColumn("ce", round(expr(
           "-cast(slp_micro as double) / cast(1000000 as double) / " +
             "cast(n_tok as double)"), 6))
         .withColumn("keep", col("ce") <= 3.41)
-        .groupBy(window(col("ts"), "1 hour"))
+      val out = perDoc
+        .groupBy(window(col("window"), "1 hour"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
