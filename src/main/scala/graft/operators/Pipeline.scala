@@ -267,6 +267,11 @@ object Pipeline {
     val vocab = d.select(explode(col("w")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc).limit(v)
+    // materialize the ≤v-row vocab eagerly FIRST and build the edge table
+    // from the CHECKPOINTED copy: built from the lazy vocab, e0's two
+    // broadcast subqueries each re-ran the corpus vocab pass (measured r18:
+    // 2 of q_hits' 3 expensive stages were duplicate vocab aggregations)
+    val vocabC = vocab.localCheckpoint(true)
     val bi = d.filter(size(col("w")) >= 2)
       .select(explode(expr(
         "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), " +
@@ -274,13 +279,12 @@ object Pipeline {
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .filter(col("w1") =!= col("w2"))
     val e0 = bi
-      .join(broadcast(vocab.select(col("w").as("w1"))), "w1")
-      .join(broadcast(vocab.select(col("w").as("w2"))), "w2")
+      .join(broadcast(vocabC.select(col("w").as("w1"))), "w1")
+      .join(broadcast(vocabC.select(col("w").as("w2"))), "w2")
       .select("w1", "w2").distinct()
-    // materialize the ≤v-row vocab and ≤v²-row edge tables eagerly (the
-    // temp-table analog): every caller reuses them in 2+ joins, and without
-    // this the corpus-sized token/bigram extraction recomputes per reference
-    (vocab.localCheckpoint(true), e0.localCheckpoint(true))
+    // e0 eager too (the temp-table analog): every caller reuses both in 2+
+    // joins, and without this the bigram extraction recomputes per reference
+    (vocabC, e0.localCheckpoint(true))
   }
 
   /** THE BPE training loop — greedy most-frequent adjacent pair,
@@ -765,19 +769,32 @@ object Pipeline {
       def norm(raw: DataFrame): DataFrame =
         raw.withColumn("t", sum("s").over(gw))
           .select(col("w"), expr(s"(s * ${Scale}L) div t").as("v"))
+      // Each half-step's ≤V-row score table is localCheckpoint'd (eager):
+      // lazily chained, the 8 half-steps nest into one 124-Exchange plan
+      // (measured r18: 1,556 plan lines, 41 jobs, 32 s task time for a
+      // ≤V-row iteration) — Catalyst re-plans and re-executes the whole
+      // chain per step. The checkpoint pins each step to its materialized
+      // rows; integer (div-scaled) scores make the result partition-
+      // independent, so nothing numeric changes.
+      // All four frames in a half-step are ≤V rows — broadcast the score
+      // side of both joins so a step never shuffles (BHJ replaces the
+      // 32-partition SMJ pair the default planner picked on these
+      // statistics-free checkpointed frames).
       var h = nodes.withColumn("v", lit(Scale))
       var a: DataFrame = null
       for (_ <- 1 to 4) {
-        a = norm(nodes.join(
-          e0.join(h, e0("w1") === h("w"))
-            .groupBy(col("w2")).agg(sum("v").as("s")),
+        a = norm(nodes.join(broadcast(
+          e0.join(broadcast(h), e0("w1") === h("w"))
+            .groupBy(col("w2")).agg(sum("v").as("s"))),
           nodes("w") === col("w2"), "left")
           .select(nodes("w"), coalesce(col("s"), lit(0L)).as("s")))
-        h = norm(nodes.join(
-          e0.join(a, e0("w2") === a("w"))
-            .groupBy(col("w1")).agg(sum("v").as("s")),
+          .localCheckpoint(true)
+        h = norm(nodes.join(broadcast(
+          e0.join(broadcast(a), e0("w2") === a("w"))
+            .groupBy(col("w1")).agg(sum("v").as("s"))),
           nodes("w") === col("w1"), "left")
           .select(nodes("w"), coalesce(col("s"), lit(0L)).as("s")))
+          .localCheckpoint(true)
       }
       a.select(col("w"), col("v").as("authority_scaled"))
         .join(h.select(col("w"), col("v").as("hub_scaled")), "w")

@@ -958,7 +958,11 @@ object Relational {
     // type-canonical in both engines: BIGINT/VARCHAR verbatim, TIMESTAMP
     // through DATE ('yyyy-MM-dd'), DOUBLE through DECIMAL(12,2).
     "q_column_profile" -> { (s, dir) =>
-      val o = t(s, dir, "orders")
+      // spread: the deliberate 6× Expand multiplies the single-split scan's
+      // rows on ONE core locally (min/max/count[distinct] partials are
+      // order-free, so partitioning can't move the result); no-op on a
+      // cluster where the scan already has ≥cores splits
+      val o = Tables.spread(t(s, dir, "orders"))
       def mn(c: Column) = min(c).cast(StringType)
       def mx(c: Column) = max(c).cast(StringType)
       o.agg(
@@ -1015,7 +1019,11 @@ object Relational {
     // rel-error contract vs the exact profiler is asserted in
     // OperatorSpec (m=64 HLL band).
     "q_approx_stats" -> { (s, dir) =>
-      val o = t(s, dir, "orders")
+      // spread: 6 md5-sketch registers per row are the heavy per-row work
+      // this query exists to amortize — on the single-split testdata scan
+      // they all ran on one core (QProf r18: 3 tasks, 4.4 s task time,
+      // parallelism 0.9×). Register census is a set union (order-free).
+      val o = Tables.spread(t(s, dir, "orders"))
       def reg(colName: String, sExpr: String): Column = {
         val h = s"cast(conv(substring(md5($sExpr),1,8),16,10) as bigint)"
         expr(s"CASE WHEN $colName IS NOT NULL THEN named_struct(" +
@@ -6838,10 +6846,15 @@ object Relational {
     * can rebuild the lazy pipeline on an unpersisted copy. */
   private[graft] def quantileRegressionInput(s: SparkSession,
       dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    // spread AFTER the projection: the single-file testdata scan yields one
+    // split, which would serialize all 10 IRLS passes on one core; shuffling
+    // only the 3 projected columns keeps the one-off cost minimal, and on a
+    // cluster (scan splits ≥ cores) the repartition is a no-op. Decimal-exact
+    // sums make the result partitioning-independent by construction.
+    Tables.spread(t(s, dir, "lineitem")
       .select(col("l_returnflag").as("rf"),
         col("l_quantity").cast(LongType).as("x"),
-        (money(col("l_extendedprice")) * 100).cast(LongType).as("y"))
+        (money(col("l_extendedprice")) * 100).cast(LongType).as("y")))
 
   /** The LAZY 8-round IRLS pipeline over `li` (see the q_quantile_
     * regression Scaladoc). The public query materializes this eagerly
@@ -6867,14 +6880,21 @@ object Relational {
         "(CAST(swy AS DOUBLE) - b * CAST(swx AS DOUBLE)) " +
           "/ CAST(sw AS DOUBLE)"))
       .select("rf", "n", "a", "b")
-    // round 0 = OLS (wt ≡ 1), then 8 reweighted rounds
+    // round 0 = OLS (wt ≡ 1), then 8 reweighted rounds. Each round's ≤3-row
+    // parameter table is localCheckpoint'd (eager): without it the final
+    // plan nests 9 broadcast subtrees (round k's params embed rounds
+    // 0..k-1), and Catalyst planning + the serial broadcast-job chain cost
+    // more than the aggregation passes themselves (QProf r18: 34 jobs,
+    // parallelism 1.4×). The checkpoint changes nothing numerically — the
+    // same exact-integer sufficient statistics feed the same double solve.
     var params = solve(wsums(li.withColumn("wt", lit(1L))))
+      .localCheckpoint(true)
     val rcExpr = "greatest(100L, CAST(floor(abs(CAST(y AS DOUBLE) " +
       "- (a + b * CAST(x AS DOUBLE)))) AS BIGINT))"
     (1 to 8).foreach { _ =>
       val j = li.join(broadcast(params.select("rf", "a", "b")), "rf")
         .withColumn("wt", expr(s"100000000L div ($rcExpr)"))
-      params = solve(wsums(j))
+      params = solve(wsums(j)).localCheckpoint(true)
     }
     li.join(broadcast(params), "rf")
       .withColumn("ar", expr("CAST(floor(abs(CAST(y AS DOUBLE) " +
