@@ -222,6 +222,21 @@ object Streaming {
 
   private val Chunks = 4
 
+  /** Files per micro-batch trigger. 4 ⇒ two micro-batches per query run
+    * ([c1..c4] then [sentinel]): the real chunks accumulate into state in
+    * batch 1 and the sentinel's far-future watermark flushes every window in
+    * batch 2 — still a genuine multi-batch accumulation+eviction cycle, one
+    * fewer trigger than the old 2-files reading ([c1,c2][c3,c4][sent]).
+    * Each trigger costs a fixed re-plan + WAL + per-partition state commit
+    * (measured r18: ~0.3-0.5 s/trigger across the 35-query family), which at
+    * a production trigger interval amortizes to zero but dominates a
+    * drain-to-completion bench. Results are trigger-count-invariant: every
+    * query's output is the watermark-flushed final table (verified against
+    * the batch-SQL oracle for all 37 streaming queries), never a per-batch
+    * history. Env knob restores the old reading for A/B. */
+  private val FilesPerTrigger =
+    sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "4")
+
   private def stageRoot(tag: String, dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
     s"${sys.props("java.io.tmpdir")}/graft-stream/$tag-$safe"
@@ -268,7 +283,7 @@ object Streaming {
     // event-time order across micro-batches still holds ([c1,c2] [c3,c4]
     // [sentinel]); 3 micro-batches instead of 5 halves the per-batch state
     // commit overhead while still exercising multi-batch accumulation.
-    s.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(path)
+    s.readStream.schema(schema).option("maxFilesPerTrigger", FilesPerTrigger).parquet(path)
   }
 
   /** Deterministic replay stream of `documents` with a synthetic event time
@@ -286,7 +301,7 @@ object Streaming {
       stage(s, d, Row(-1L, "", "__sentinel", "", 0L, sentTs), path)
       d.schema
     })
-    s.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(path)
+    s.readStream.schema(schema).option("maxFilesPerTrigger", FilesPerTrigger).parquet(path)
   }
 
   /** Deterministic replay stream of DIRTY customer records (q_entity_match's
@@ -309,7 +324,7 @@ object Streaming {
       stage(s, d, Row(-1L, "__sentinel", -1, "", sentTs), path)
       d.schema
     })
-    s.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(path)
+    s.readStream.schema(schema).option("maxFilesPerTrigger", FilesPerTrigger).parquet(path)
   }
 
   /** Run `out` to completion into an append-mode memory sink and return the
@@ -335,11 +350,19 @@ object Streaming {
   private[streaming] val RocksProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  // State/shuffle partition count for the micro-batch pipelines: each
+  // micro-batch commits one state file per partition per stateful operator
+  // (a stream-stream join commits FOUR), so at KB-scale state the commit
+  // fan-out IS the per-trigger floor. Env-tunable because on a real cluster
+  // this knob is sized to state volume, never to cores.
+  private val StreamShuffle =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+
   private def withStreamConf[T](s: SparkSession,
       provider: String = HdfsProvider)(body: => T): T = {
     val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val oldProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShuffle)
     s.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     try body
     finally {
@@ -348,12 +371,43 @@ object Streaming {
     }
   }
 
+  /** Fresh, UNIQUE checkpoint dir for one run-to-completion query, on tmpfs
+    * when the host has one. Every trigger pays offset-WAL + commit-log +
+    * per-partition state-commit file I/O under this dir; for a drained
+    * ephemeral query that durability buys nothing (the dir is deleted in the
+    * same call), so RAM-backed /dev/shm is the right medium on the bench
+    * host. A PRODUCTION stream points this at durable storage — which is why
+    * it is a per-query location, not a session conf. The nanoTime suffix
+    * guarantees no run can ever resume a previous run's offsets. */
+  private[streaming] def freshCkpt(tag: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-ckpt"
+      else sys.props("java.io.tmpdir") + "/graft-ckpt"
+    s"$base/$tag-${System.nanoTime()}"
+  }
+
+  private[streaming] def dropCkpt(path: String): Unit =
+    try {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    } catch { case _: Throwable => () }
+
   private def runToMemory(out: DataFrame, name: String,
       mode: String = "append", provider: String = HdfsProvider): DataFrame = {
     val s = out.sparkSession
     withStreamConf(s, provider) {
-      val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
-      try drainStable(q, s.table(name).count()) finally q.stop()
+      val ckpt = freshCkpt(name)
+      val q = out.writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt).start()
+      // coalesce(1): the memory sink parallelizes its local rows to
+      // defaultParallelism, so a bare count() is a 32-task two-stage job
+      // PER POLL (measured: 3 such stages ≈ 0.3 s each per stream query);
+      // the drain only needs the scalar
+      try drainStable(q, s.table(name).coalesce(1).count())
+      finally { q.stop(); dropCkpt(ckpt) }
     }
     s.table(name)
   }
@@ -512,7 +566,7 @@ object Streaming {
       val c = size
       if (c == last) stable += 1 else { stable = 0; last = c }
       rounds += 1
-      if (stable < 2) { Thread.sleep(50); q.processAllAvailable() }
+      if (stable < 2) { Thread.sleep(15); q.processAllAvailable() }
     }
     require(stable >= 2, s"sink did not stabilize after $rounds rounds")
   }
@@ -792,7 +846,7 @@ object Streaming {
         val q = agg.writeStream.format("memory")
           .queryName("graft_stream_state_src").outputMode("update")
           .option("checkpointLocation", ckpt).start()
-        try drainStable(q, s.table("graft_stream_state_src").count())
+        try drainStable(q, s.table("graft_stream_state_src").coalesce(1).count())
         finally q.stop()
         s.read.format("statestore").load(ckpt)
       }
@@ -1870,7 +1924,7 @@ object Streaming {
           s"ckpt-kvsink-${System.nanoTime()}"
         val q = in.writeStream.option("checkpointLocation", ck)
           .outputMode("append").toTable(fqn)
-        try drainStable(q, s.table(fqn).count()) finally q.stop()
+        try drainStable(q, s.table(fqn).coalesce(1).count()) finally q.stop()
       }
       s.table(fqn).orderBy("user_id")
     })
