@@ -786,9 +786,12 @@ object Similarity {
         .crossJoin(broadcast(hubIds.select(col("vec_id").as("dst"))))
         .filter(col("src") =!= col("dst"))
       val edges = nbrs.union(hubEdges).distinct().localCheckpoint(true)
+      // checkpointed: referenced by a broadcast in EVERY beam round, and a
+      // lazy qs re-runs its filter-over-checkpoint subplan once per round
       val qs = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"))
+        .localCheckpoint(true)
       // entry: best hub per query (16-row broadcast scan)
       var frontier = broadcast(qs)
         .crossJoin(hubIds.select(col("vec_id").as("node"), col("v"),
@@ -798,14 +801,19 @@ object Similarity {
           .orderBy(col("cos").desc, col("node").asc)))
         .filter(col("rn") === 1).select("q_id", "node", "cos")
         .localCheckpoint(true)
+      // The frontier is ≤|Q|·B rows at all times — broadcast it on BOTH
+      // per-round joins so neither the corpus-sized edge table nor the
+      // vector table is ever shuffled inside the loop (per-round work
+      // stays |Q|·B·M, independent of corpus size).
       (1 to rounds).foreach { _ =>
-        val expanded = frontier.join(edges,
+        val expanded = edges.join(broadcast(frontier),
             frontier("node") === edges("src"))
           .select(col("q_id"), col("dst").as("node"))
         frontier = frontier.select("q_id", "node").union(expanded)
           .distinct()
           .filter(col("node") =!= col("q_id"))
-          .join(vb.withColumnRenamed("dst", "node"), "node")
+        frontier = vb.withColumnRenamed("dst", "node")
+          .join(broadcast(frontier), "node")
           .join(broadcast(qs), "q_id")
           .withColumn("cos", expr(dot) / (col("qn") * col("nrm")))
           .withColumn("rn", row_number().over(Window.partitionBy("q_id")

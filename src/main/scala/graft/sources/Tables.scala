@@ -53,7 +53,16 @@ object Tables {
     * no shuffle is added. Inspecting partition count forces physical planning
     * of the scan only, not execution. */
   def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    // Width ≠ cores on purpose: with 32 in-process executor threads, 32-way
+    // tiny tasks contend on the shared memory manager/scheduler — the SAME
+    // aggregation measured 0.12 s of task CPU at width 1 but 4-7 s at width
+    // 32, with WORSE wall than width 8 (r18 sweep; md5-heavy shapes were
+    // wall-flat from 8→32). Half the cores, floor 4, keeps the parallel win
+    // without the contention tax, and tracks the driver's lower-core bench
+    // runs. Cluster scans have ≥cores splits, so this never fires there.
+    val p = math.max(4, math.min(cores,
+      sys.env.get("SPARK_GRAFT_SPREAD").map(_.toInt).getOrElse(cores / 2)))
     if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p) else df
   }
 }

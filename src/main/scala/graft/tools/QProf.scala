@@ -31,8 +31,19 @@ object QProf {
     @volatile var shufWrite = 0L
     @volatile var fetchWaitMs = 0L
     val stageTime = scala.collection.concurrent.TrieMap.empty[Int, (String, Long, Int)]
+    val jobStart = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
+    val jobWall = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        jobStart(j.jobId) = (System.nanoTime(),
+          Option(j.properties).map(_.getProperty("callSite.short", "?"))
+            .getOrElse("?"))
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        jobStart.remove(j.jobId).foreach { case (t0, cs) =>
+          jobWall(j.jobId) = (System.nanoTime() - t0, cs)
+        }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages += 1
         val info = sc.stageInfo
@@ -67,12 +78,20 @@ object QProf {
       Thread.sleep(200) // let the async listener bus drain
       jobs = 0; stages = 0; tasks = 0; taskMs = 0; gcMs = 0
       shufRead = 0; shufWrite = 0; fetchWaitMs = 0; stageTime.clear()
+      jobStart.clear(); jobWall.clear()
       val wall = exec(name)
       Thread.sleep(200)
       if (sys.env.get("QPROF_STAGES").contains("1"))
         stageTime.toSeq.sortBy(-_._2._2).take(12).foreach { case (id, (n, ms, nt)) =>
           println(f"[qprof-stage] $id%5d ${ms / 1e3}%8.2fs tasks=$nt%4d  $n")
         }
+      if (sys.env.get("QPROF_JOBS").contains("1")) {
+        val jw = jobWall.toSeq
+        println(f"[qprof-jobsum] n=${jw.size} sumWall=${jw.map(_._2._1).sum / 1e9}%.2fs")
+        jw.sortBy(-_._2._1).take(15).foreach { case (id, (ns, cs)) =>
+          println(f"[qprof-job] $id%5d ${ns / 1e9}%7.3fs  $cs")
+        }
+      }
       println(f"[qprof] $name wall=$wall%.2fs jobs=$jobs stages=$stages " +
         f"tasks=$tasks taskTime=${taskMs / 1e3}%.2fs gc=${gcMs / 1e3}%.2fs " +
         f"shufR=${shufRead / 1e6}%.1fMB shufW=${shufWrite / 1e6}%.1fMB " +

@@ -17,42 +17,47 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
+
+    @volatile var taskMs = 0L
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) taskMs += m.executorRunTime
+      }
+    })
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
     def time(tag: String)(body: => Unit): Unit = {
-      (1 to 3).foreach { i =>
+      (1 to 4).foreach { i =>
+        taskMs = 0
         val t0 = System.nanoTime()
         body
-        println(f"[scratch] $tag pass$i: ${(System.nanoTime() - t0) / 1e9}%.3fs")
+        val w = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(100)
+        println(f"[scratch] $tag pass$i: wall=$w%.3fs taskSum=${taskMs / 1e3}%.2fs")
       }
     }
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-
-    time("raw scan")(noop(docs))
-    time("split only (1 part)")(noop(docs.select(split(col("text"), " ").as("w"))))
-    val spread = docs.repartition(cpus.toInt)
-    time("repartition only")(noop(spread))
-    time("split+explode (1 part)")(
-      noop(docs.select(explode(split(col("text"), " ")).as("tok"))))
-    time("split+explode (spread)")(
-      noop(spread.select(explode(split(col("text"), " ")).as("tok"))))
-    time("vocab agg (spread)")(
-      noop(spread.select(explode(split(col("text"), " ")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c"))))
-    time("vocab top32 (spread)")(
-      noop(spread.select(explode(split(col("text"), " ")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("tok").asc).limit(32)))
-    time("bigram zip_with (spread)")(
-      noop(spread.select(split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), " +
-            "(x, y) -> struct(x as w1, y as w2))")).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))))
+    Seq(1, 4, 8, 16, 32).foreach { n =>
+      val d = if (n == 1) docs else docs.repartition(n)
+      time(s"vocab-agg width=$n") {
+        d.select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    Seq(8, 16, 32).foreach { n =>
+      val d = orders.repartition(n)
+      time(s"md5-agg width=$n") {
+        d.select(expr(
+            "cast(conv(substring(md5(cast(o_orderkey as string)),1,8),16,10) as bigint)")
+            .as("h"))
+          .agg(sum("h"), count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     spark.stop()
   }
 }
